@@ -1,13 +1,57 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.CoreQueries
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 registers here as a
+  * `(SparkSession, sfDir) => DataFrame` with (where SQL-expressible) a DuckDB
+  * oracle twin producing identical column names, identical rounding, and an
+  * identical total ordering.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    CoreQueries.flagshipTopGroupsMedian(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_flagship_top_median" -> (CoreQueries.flagshipTopGroupsMedian _),
+    "q_pricing_summary"     -> (CoreQueries.pricingSummary _),
+    "q_quantile_trim"       -> (CoreQueries.quantileTrim _),
+    "q_value_counts"        -> (CoreQueries.valueCounts _),
+    "q_histogram"           -> (CoreQueries.histogram _),
+    "q_boxplot_stats"       -> (CoreQueries.boxplotStats _),
+    "q_ols_fit"             -> (CoreQueries.olsFit _),
+    "q_geo_left_join"       -> (CoreQueries.geoLeftJoin _),
+    "q_topk_semi_join"      -> (CoreQueries.topKSemiJoin _),
+    "q_distinct_count"      -> (CoreQueries.distinctCount _),
+    "q_window_rank"         -> (CoreQueries.windowRank _),
+    "q_pie_proportions"     -> (CoreQueries.pieProportions _),
+    "q_parse_money_stats"   -> (CoreQueries.parseMoneyStats _),
+    "q_parse_regex_group"   -> (CoreQueries.parseRegexGroup _),
+    "q_hourly_window"       -> (CoreQueries.hourlyWindow _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q_flagship_top_median" -> CoreQueries.flagshipTopGroupsMedianSql,
+    "q_pricing_summary"     -> CoreQueries.pricingSummarySql,
+    "q_quantile_trim"       -> CoreQueries.quantileTrimSql,
+    "q_value_counts"        -> CoreQueries.valueCountsSql,
+    "q_histogram"           -> CoreQueries.histogramSql,
+    "q_boxplot_stats"       -> CoreQueries.boxplotStatsSql,
+    "q_ols_fit"             -> CoreQueries.olsFitSql,
+    "q_geo_left_join"       -> CoreQueries.geoLeftJoinSql,
+    "q_topk_semi_join"      -> CoreQueries.topKSemiJoinSql,
+    "q_distinct_count"      -> CoreQueries.distinctCountSql,
+    "q_window_rank"         -> CoreQueries.windowRankSql,
+    "q_pie_proportions"     -> CoreQueries.pieProportionsSql,
+    "q_parse_money_stats"   -> CoreQueries.parseMoneyStatsSql,
+    "q_parse_regex_group"   -> CoreQueries.parseRegexGroupSql,
+    "q_hourly_window"       -> CoreQueries.hourlyWindowSql,
+  )
 }

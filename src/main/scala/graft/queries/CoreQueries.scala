@@ -1,0 +1,311 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.engine.{Parse, Tables}
+
+/** The reference's analytical operator inventory (SURVEY.md §2) re-expressed
+  * as declarative Spark plans over the fixture tables.
+  *
+  * Conventions shared by every query here (SURVEY.md §5, §7.3):
+  *  - exact `median` / `percentile` (linear interpolation — matches pandas
+  *    default and DuckDB `quantile_cont`); `approx_*` never appears on a
+  *    Verify path;
+  *  - every output is totally ordered (explicit tie-breaks) so the driver's
+  *    hash compare is stable;
+  *  - floating aggregates are `round`ed at the output edge only, with the
+  *    identical arithmetic in the oracle SQL, so summation-order ulp noise
+  *    cannot flip a hash;
+  *  - dimension tables and scalar aggregate frames join via `broadcast()` —
+  *    no shuffle of the fact side for bounds/top-k/dim joins. At 100 TB the
+  *    fact table never repartitions for these; the only shuffles left are
+  *    the group-by exchanges on the aggregation keys themselves.
+  */
+object CoreQueries {
+  import Tables._
+
+  /** Flagship — `test.py:29-39`: per-group {count, exact median} → top-20
+    * groups by count → re-present sorted by median (two-key ranking T2/A5).
+    *
+    * Scale: the group-by shuffles once on `l_suppkey` with map-side partial
+    * aggregation for `count`; exact median needs the full value multiset per
+    * group, which is fine while group count ≪ rows (here: suppliers). The
+    * top-20 is `TakeOrderedAndProject` — O(k) per partition, no global sort.
+    */
+  def flagshipTopGroupsMedian(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    li.groupBy(col("l_suppkey"))
+      .agg(count(col("l_extendedprice")).as("n"),
+           median(col("l_extendedprice")).as("med_raw"))
+      .orderBy(col("n").desc, col("l_suppkey").asc)
+      .limit(20)
+      .select(col("l_suppkey"), col("n"), round(col("med_raw"), 2).as("med"))
+      .orderBy(col("med").desc, col("l_suppkey").asc)
+  }
+
+  val flagshipTopGroupsMedianSql: String =
+    """SELECT l_suppkey, n, med FROM (
+      |  SELECT l_suppkey, count(l_extendedprice) AS n,
+      |         round(median(l_extendedprice), 2) AS med
+      |  FROM lineitem GROUP BY l_suppkey
+      |  ORDER BY n DESC, l_suppkey ASC LIMIT 20
+      |) ORDER BY med DESC, l_suppkey ASC""".stripMargin
+
+  /** A1/A2-style grouped means with deterministic rounding (TPC-H Q1 shape).
+    * One shuffle on the two low-cardinality keys; partial aggregation makes
+    * the exchange carry ~|groups| rows per mapper regardless of input size. */
+  def pricingSummary(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+           round(sum(col("l_extendedprice")), 2).as("sum_base"),
+           round(avg(col("l_quantity")), 4).as("avg_qty"),
+           round(avg(col("l_discount")), 6).as("avg_disc"),
+           count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_quantity), 2) AS sum_qty,
+      |       round(sum(l_extendedprice), 2) AS sum_base,
+      |       round(avg(l_quantity), 4) AS avg_qty,
+      |       round(avg(l_discount), 6) AS avg_disc,
+      |       count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** F1 — the reference's exact 5th/95th-percentile trim
+    * (`analytics_otodom.py:36-39`), then summary stats over the kept rows.
+    *
+    * Scale: the bounds are a 1-row aggregate broadcast back onto the fact
+    * scan — no driver collect, no second shuffle; the filter runs map-side. */
+  def quantileTrim(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val bounds = o.agg(
+      percentile(col("o_totalprice"), array(lit(0.05), lit(0.95))).as("b"))
+      .select(col("b").getItem(0).as("lo"), col("b").getItem(1).as("hi"))
+    o.join(broadcast(bounds))
+      .where(col("o_totalprice").between(col("lo"), col("hi")))
+      .agg(count(lit(1)).as("n"),
+           round(avg(col("o_totalprice")), 2).as("avg_price"),
+           round(min(col("o_totalprice")), 2).as("min_price"),
+           round(max(col("o_totalprice")), 2).as("max_price"))
+  }
+
+  val quantileTrimSql: String =
+    """WITH b AS (SELECT quantile_cont(o_totalprice, 0.05) AS lo,
+      |                  quantile_cont(o_totalprice, 0.95) AS hi FROM orders)
+      |SELECT count(*) AS n,
+      |       round(avg(o_totalprice), 2) AS avg_price,
+      |       round(min(o_totalprice), 2) AS min_price,
+      |       round(max(o_totalprice), 2) AS max_price
+      |FROM orders, b WHERE o_totalprice BETWEEN b.lo AND b.hi""".stripMargin
+
+  /** A3 — `value_counts()`: group-count sorted desc with key tie-break. */
+  def valueCounts(s: SparkSession, d: String): DataFrame =
+    events(s, d).groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("event_type").asc)
+
+  val valueCountsSql: String =
+    """SELECT event_type, count(*) AS cnt FROM events
+      |GROUP BY event_type ORDER BY cnt DESC, event_type ASC""".stripMargin
+
+  /** A8 — 40-bucket equi-width histogram (`Series.hist(bins=40)`),
+    * two-pass min/max → bucket, the min/max broadcast like [[quantileTrim]].
+    * Identical IEEE arithmetic on both sides keeps bucket edges hash-stable. */
+  def histogram(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val mm = o.agg(min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+    o.join(broadcast(mm))
+      .select(least(floor((col("o_totalprice") - col("lo")) /
+                          ((col("hi") - col("lo")) / lit(40.0))), lit(39L))
+        .cast("long").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("bin"))
+  }
+
+  val histogramSql: String =
+    """WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
+      |SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 40.0)), 39) AS BIGINT) AS bin,
+      |       count(*) AS cnt
+      |FROM orders, b GROUP BY bin ORDER BY bin""".stripMargin
+
+  /** A9 — per-group boxplot statistics: exact quartiles + 1.5·IQR whiskers
+    * (`analytics_otodom.py:99`, computed by matplotlib in the reference). */
+  def boxplotStats(s: SparkSession, d: String): DataFrame =
+    orders(s, d).groupBy(col("o_orderpriority"))
+      .agg(percentile(col("o_totalprice"),
+                      array(lit(0.25), lit(0.5), lit(0.75))).as("q"),
+           count(lit(1)).as("n"))
+      .select(col("o_orderpriority"), col("n"),
+        round(col("q").getItem(0), 2).as("q1"),
+        round(col("q").getItem(1), 2).as("med"),
+        round(col("q").getItem(2), 2).as("q3"),
+        round(col("q").getItem(0) - (col("q").getItem(2) - col("q").getItem(0)) * 1.5, 2).as("whisker_lo"),
+        round(col("q").getItem(2) + (col("q").getItem(2) - col("q").getItem(0)) * 1.5, 2).as("whisker_hi"))
+      .orderBy(col("o_orderpriority"))
+
+  val boxplotStatsSql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |       round(quantile_cont(o_totalprice, 0.25), 2) AS q1,
+      |       round(quantile_cont(o_totalprice, 0.50), 2) AS med,
+      |       round(quantile_cont(o_totalprice, 0.75), 2) AS q3,
+      |       round(quantile_cont(o_totalprice, 0.25)
+      |             - (quantile_cont(o_totalprice, 0.75) - quantile_cont(o_totalprice, 0.25)) * 1.5, 2) AS whisker_lo,
+      |       round(quantile_cont(o_totalprice, 0.75)
+      |             + (quantile_cont(o_totalprice, 0.75) - quantile_cont(o_totalprice, 0.25)) * 1.5, 2) AS whisker_hi
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** A10 — OLS degree-1 fit (`np.polyfit(x, y, 1)`,
+    * `analytics_otodom.py:78-80`) as closed-form aggregates — a single
+    * partial+final aggregation pass, no iteration. */
+  def olsFit(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).agg(
+      round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+      round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"),
+      regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+
+  val olsFitSql: String =
+    """SELECT round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+      |       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+      |       regr_count(l_extendedprice, l_quantity) AS n
+      |FROM lineitem""".stripMargin
+
+  /** J1 — the geo left join (`analytics_otodom.py:185`): 16-row dimension ⟕
+    * grouped averages, unmatched keys surviving as nulls. Here: region ⟕
+    * per-region customer stats. Both the dim and the aggregate are broadcast;
+    * the only shuffle is the customer group-by. */
+  def geoLeftJoin(s: SparkSession, d: String): DataFrame = {
+    val agg = customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_regionkey"))
+      .agg(round(avg(col("c_acctbal")), 2).as("avg_bal"), count(lit(1)).as("n_cust"))
+    region(s, d)
+      .join(broadcast(agg), col("r_regionkey") === col("n_regionkey"), "left")
+      .select(col("r_regionkey"), col("r_name"), col("n_cust"), col("avg_bal"))
+      .orderBy(col("r_regionkey"))
+  }
+
+  val geoLeftJoinSql: String =
+    """WITH agg AS (
+      |  SELECT n_regionkey, round(avg(c_acctbal), 2) AS avg_bal, count(*) AS n_cust
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_regionkey)
+      |SELECT r_regionkey, r_name, n_cust, avg_bal
+      |FROM region LEFT JOIN agg ON r_regionkey = n_regionkey
+      |ORDER BY r_regionkey""".stripMargin
+
+  /** J2/F4/T1 — top-k groups then detail: top-10 suppliers by row count,
+    * left-semi joined back (the `isin(top10)` pattern,
+    * `analytics_otodom.py:95-96`). The top-k frame is broadcast, so the fact
+    * side is filtered map-side without a shuffle before its own group-by. */
+  def topKSemiJoin(s: SparkSession, d: String): DataFrame = {
+    val li  = lineitem(s, d)
+    val top = li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("l_suppkey").asc).limit(10)
+      .select(col("l_suppkey"))
+    li.join(broadcast(top), Seq("l_suppkey"), "left_semi")
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("revenue"), count(lit(1)).as("n"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  val topKSemiJoinSql: String =
+    """WITH top AS (
+      |  SELECT l_suppkey FROM lineitem GROUP BY l_suppkey
+      |  ORDER BY count(*) DESC, l_suppkey ASC LIMIT 10)
+      |SELECT l_suppkey, round(sum(l_extendedprice), 2) AS revenue, count(*) AS n
+      |FROM lineitem WHERE l_suppkey IN (SELECT l_suppkey FROM top)
+      |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
+
+  /** D1 — distinct / dedup (`set()` over urls, `main_otodom.py:118-129`). */
+  def distinctCount(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(col("user_id"), col("event_type")).distinct()
+      .agg(count(lit(1)).as("n_distinct"))
+
+  val distinctCountSql: String =
+    "SELECT count(*) AS n_distinct FROM (SELECT DISTINCT user_id, event_type FROM events)"
+
+  /** §2.8 — windowed rewrite of the reference's "top-N per group then
+    * detail" driver loop: rank nations by customer count within region, one
+    * pass, no driver-side iteration. */
+  def windowRank(s: SparkSession, d: String): DataFrame = {
+    val cnt = customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_regionkey"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"))
+    val w = Window.partitionBy(col("n_regionkey"))
+      .orderBy(col("n_cust").desc, col("n_name").asc)
+    cnt.withColumn("rnk", rank().over(w))
+      .where(col("rnk") <= 3)
+      .orderBy(col("n_regionkey"), col("rnk"), col("n_name"))
+  }
+
+  val windowRankSql: String =
+    """SELECT * FROM (
+      |  SELECT n_regionkey, n_name, count(*) AS n_cust,
+      |         rank() OVER (PARTITION BY n_regionkey
+      |                      ORDER BY count(*) DESC, n_name ASC) AS rnk
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_regionkey, n_name)
+      |WHERE rnk <= 3 ORDER BY n_regionkey, rnk, n_name""".stripMargin
+
+  /** A11 — pie-chart proportions: share of total via an unpartitioned window
+    * sum over the (tiny) aggregated frame — the window runs on |groups| rows,
+    * never on the fact table. */
+  def pieProportions(s: SparkSession, d: String): DataFrame = {
+    val c = events(s, d).groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    c.withColumn("pct", round(col("cnt") / sum(col("cnt")).over(Window.partitionBy()), 6))
+      .orderBy(col("event_type"))
+  }
+
+  val pieProportionsSql: String =
+    """SELECT event_type, count(*) AS cnt,
+      |       round(count(*) / sum(count(*)) OVER (), 6) AS pct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** P1/P2 — the money parser over a real dirty-string column
+    * (`events.props` is JSON-ish text; the chain strips to the numeric
+    * payload exactly like `to_number`, `analytics_otodom.py:22-29`). */
+  def parseMoneyStats(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(Parse.parseMoney(col("props")).as("k"))
+      .agg(count(col("k")).as("n_parsed"),
+           round(avg(col("k")), 4).as("avg_k"),
+           round(min(col("k")), 4).as("min_k"),
+           round(max(col("k")), 4).as("max_k"))
+
+  val parseMoneyStatsSql: String =
+    """WITH p AS (SELECT TRY_CAST(NULLIF(replace(regexp_replace(props, '[^0-9,.\-]', '', 'g'), ',', '.'), '') AS DOUBLE) AS k FROM events)
+      |SELECT count(k) AS n_parsed, round(avg(k), 4) AS avg_k,
+      |       round(min(k), 4) AS min_k, round(max(k), 4) AS max_k FROM p""".stripMargin
+
+  /** P4 — regex digit-capture → number (`liczba pokoi`,
+    * `analytics_otodom.py:45-46`) over `p_brand` ("Brand#13" → 13.0),
+    * with the empty-match → null parity guard. */
+  def parseRegexGroup(s: SparkSession, d: String): DataFrame =
+    part(s, d).select(Parse.parseRooms(col("p_brand")).as("brand_num"))
+      .groupBy(col("brand_num")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("brand_num").asc_nulls_first)
+
+  val parseRegexGroupSql: String =
+    """SELECT TRY_CAST(NULLIF(regexp_extract(p_brand, '([0-9]+)', 1), '') AS DOUBLE) AS brand_num,
+      |       count(*) AS cnt
+      |FROM part GROUP BY brand_num ORDER BY brand_num ASC NULLS FIRST""".stripMargin
+
+  /** P5/§2.9 — event-time tumbling window (1 hour) as a batch group-by; the
+    * Structured Streaming twin lives in [[graft.streaming.EventStreams]].
+    * Output formatted as string to be engine/timezone-neutral. */
+  def hourlyWindow(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+              col("cnt"), col("sum_value"))
+      .orderBy(col("hour_start"))
+
+  val hourlyWindowSql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+      |       count(*) AS cnt, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY hour_start ORDER BY hour_start""".stripMargin
+}
