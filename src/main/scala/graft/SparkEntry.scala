@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.CoreQueries
+import graft.queries.{CoreQueries, PipelineQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -33,6 +33,21 @@ object SparkEntry {
     "q_parse_money_stats"   -> (CoreQueries.parseMoneyStats _),
     "q_parse_regex_group"   -> (CoreQueries.parseRegexGroup _),
     "q_hourly_window"       -> (CoreQueries.hourlyWindow _),
+    // LLM-data-pipeline operators
+    "q_dedup_exact"         -> (PipelineQueries.dedupExact _),
+    "q_minhash_lsh_pairs"   -> (PipelineQueries.minhashLshPairs _),
+    "q_minhash_near_dups"   -> (PipelineQueries.minhashNearDups _),
+    "q_jaccard_all_pairs"   -> (PipelineQueries.jaccardAllPairs _),
+    "q_simhash_stats"       -> (PipelineQueries.simhashStats _),
+    "q_ann_brute_force"     -> (PipelineQueries.annBruteForce _),
+    "q_ann_lsh"             -> (PipelineQueries.annLsh _),
+    "q_embedding_near_dups" -> (PipelineQueries.embeddingNearDups _),
+    "q_token_stats"         -> (PipelineQueries.tokenStats _),
+    "q_lang_id_counts"      -> (PipelineQueries.langIdCounts _),
+    "q_quality_scores"      -> (PipelineQueries.qualityScores _),
+    "q_fingerprints"        -> (PipelineQueries.fingerprints _),
+    "q_multimodal_meta"     -> (PipelineQueries.multimodalMeta _),
+    "q_multimodal_features" -> (PipelineQueries.multimodalFeatures _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -53,5 +68,19 @@ object SparkEntry {
     "q_parse_money_stats"   -> CoreQueries.parseMoneyStatsSql,
     "q_parse_regex_group"   -> CoreQueries.parseRegexGroupSql,
     "q_hourly_window"       -> CoreQueries.hourlyWindowSql,
+    // LLM-data-pipeline oracles (q_ann_lsh / q_multimodal_features are
+    // rows-only by contract: seeded hyperplanes / mapPartitions stub)
+    "q_dedup_exact"         -> PipelineQueries.dedupExactSql,
+    "q_minhash_lsh_pairs"   -> PipelineQueries.minhashLshPairsSql,
+    "q_minhash_near_dups"   -> PipelineQueries.minhashNearDupsSql,
+    "q_jaccard_all_pairs"   -> PipelineQueries.jaccardAllPairsSql,
+    "q_simhash_stats"       -> PipelineQueries.simhashStatsSql,
+    "q_ann_brute_force"     -> PipelineQueries.annBruteForceSql,
+    "q_embedding_near_dups" -> PipelineQueries.embeddingNearDupsSql,
+    "q_token_stats"         -> PipelineQueries.tokenStatsSql,
+    "q_lang_id_counts"      -> PipelineQueries.langIdCountsSql,
+    "q_quality_scores"      -> PipelineQueries.qualityScoresSql,
+    "q_fingerprints"        -> PipelineQueries.fingerprintsSql,
+    "q_multimodal_meta"     -> PipelineQueries.multimodalMetaSql,
   )
 }

@@ -1,0 +1,171 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a large-scale training-data pipeline:
+  * exact (hash group-by), MinHash+LSH, SimHash, and exact n-gram Jaccard.
+  *
+  * Design for 100 TB:
+  *  - exact dedup is a single hash-aggregate on a 128-bit digest — the
+  *    shuffle carries (digest, doc_id), never the document bodies;
+  *  - MinHash signatures are computed in ONE pass over (doc × shingle) rows
+  *    with k independent `min` aggregates — no ×k row explosion, one shuffle
+  *    keyed by doc_id;
+  *  - LSH banding turns the quadratic all-pairs problem into a shuffle on
+  *    (band, key) where only same-bucket docs ever meet — the candidate join
+  *    is an equi-join Catalyst can hash-partition; exact Jaccard runs only on
+  *    candidates;
+  *  - all hash functions are md5-derived and deterministic, so results are
+  *    reproducible across runs/engines (and oracle-checkable in DuckDB).
+  *
+  * Exact all-pairs variants ([[allPairsJaccard]]) exist as the correctness
+  * baseline; at scale the LSH path ([[nearDupPairs]]) replaces them.
+  */
+object Dedup {
+
+  /** Exact-duplicate stats: total docs vs distinct md5(text)
+    * (`set()`-style dedup, `main_otodom.py:118-129`, lifted to content hash). */
+  def exactStats(docs: DataFrame): DataFrame =
+    docs.agg(count(lit(1)).as("n_docs"),
+      countDistinct(md5(col("text"))).as("n_unique"))
+
+  /** Keep one row per distinct text. At scale prefer the digest group-by
+    * (min doc_id per md5) over `dropDuplicates(text)` so the shuffle moves
+    * 16-byte keys, not document bodies. */
+  def dropExactDuplicates(docs: DataFrame): DataFrame = {
+    val keep = docs.select(md5(col("text")).as("k"), col("doc_id"))
+      .groupBy(col("k")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    docs.join(keep, Seq("doc_id"), "left_semi")
+  }
+
+  /** Universal-hash family for MinHash: the shingle is md5'd ONCE into a
+    * 48-bit base, then the k hashes are (base·Aᵢ + Bᵢ) mod P — one digest +
+    * k multiply-adds per shingle instead of k digests. All values stay under
+    * 2^60, so the arithmetic is overflow-free (and ANSI-safe) in both Spark
+    * and the DuckDB oracle. */
+  val MinhashP: Long = 1000000007L
+
+  def minhashConsts(numHashes: Int): Seq[(Long, Long)] =
+    (0 until numHashes).map { i =>
+      ((2654435761L * (i + 1)) % MinhashP,
+       (40503L * (i + 1) * (i + 7) + 11L) % MinhashP)
+    }
+
+  /** `(VALUES (0,a0,b0), ...) consts(i, a, b)` — the identical constants for
+    * the DuckDB oracle side. */
+  def minhashConstsSqlValues(numHashes: Int): String =
+    minhashConsts(numHashes).zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }
+      .mkString("(VALUES ", ", ", ") consts(i, a, b)")
+
+  /** MinHash signatures: one row per doc, columns h0..h{k-1}.
+    * Single shuffle on doc_id; k partial-aggregated mins over the same
+    * materialized base hash (md5 evaluated once per shingle). */
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 16, shingleN: Int = 3): DataFrame = {
+    val base = conv(substring(md5(col("s")), 1, 12), 16, 10).cast("long") % MinhashP
+    val sh = docs
+      .select(col("doc_id"), explode(TextOps.shingleSet(col("text"), shingleN)).as("s"))
+      .select(col("doc_id"), base.as("hb"))
+    val aggs = minhashConsts(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min((col("hb") * a + b) % MinhashP).as(s"h$i")
+    }
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH band keys: md5 over the comma-joined row hashes of each band.
+    * One output row per (doc, band). */
+  def lshBandKeys(signatures: DataFrame, numHashes: Int, bandRows: Int): DataFrame = {
+    val bands = (0 until numHashes / bandRows).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",", (0 until bandRows)
+          .map(r => col(s"h${b * bandRows + r}").cast("string")): _*)).as("key"))
+    }
+    signatures.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Candidate near-duplicate pairs: docs sharing any LSH bucket.
+    * The self-join is an equi-join on (band, key) — at scale this shuffles
+    * both sides by bucket id and never compares across buckets. */
+  def lshCandidatePairs(docs: DataFrame, numHashes: Int = 16, bandRows: Int = 2,
+                        shingleN: Int = 3): DataFrame = {
+    val bk = lshBandKeys(minhashSignatures(docs, numHashes, shingleN), numHashes, bandRows)
+    val a = bk.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+    val b = bk.select(col("band"), col("key"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** Production near-dup dedup: LSH candidates refined by exact Jaccard on
+    * the distinct shingle sets. Only candidate pairs ever touch the shingle
+    * arrays, so the expensive comparison is linear in |candidates|. */
+  def nearDupPairs(docs: DataFrame, threshold: Double, numHashes: Int = 16,
+                   bandRows: Int = 2, shingleN: Int = 3): DataFrame = {
+    val sets = docs.select(col("doc_id"), TextOps.shingleSet(col("text"), shingleN).as("sh"))
+    lshCandidatePairs(docs, numHashes, bandRows, shingleN)
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), TextOps.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Correctness baseline: exact all-pairs n-gram Jaccard above a threshold.
+    * Quadratic — only for verification scale / bounded id ranges; the LSH
+    * path is the 100 TB answer. */
+  def allPairsJaccard(docs: DataFrame, threshold: Double, shingleN: Int = 3): DataFrame = {
+    val sets = docs.select(col("doc_id"), TextOps.shingleSet(col("text"), shingleN).as("sh"))
+    val a = sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        TextOps.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** 60-bit SimHash over word unigrams: per-word hash from md5 hex (60 bits
+    * fit a signed long safely), then a per-bit signed majority vote.
+    *
+    * One pass: the 60 bit-votes are 60 conditional-sum aggregates in a single
+    * hash aggregate keyed by doc_id — no per-bit row explosion, one shuffle
+    * of (doc_id, word-hash) pairs. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val wordHash = conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long")
+    val wh = docs.select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+      .select(col("doc_id"), wordHash.as("h"))
+    val votes = (0 until 60).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$j")
+    }
+    val sig = (0 until 60).map { j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    wh.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: split the 60-bit signature into `bands`
+    * chunks; docs sharing any chunk are candidates (hamming-distance
+    * pigeonhole: distance < bands ⇒ at least one identical chunk), then the
+    * exact hamming filter keeps pairs within `maxHamming`. */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    val sh = simhash(docs)
+    val chunkBits = 60 / bands
+    val chunks = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * chunkBits)
+          .bitwiseAND(lit((1L << chunkBits) - 1)).as("key"))
+    }
+    val bk = sh.select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("c"))
+      .select(col("doc_id"), col("simhash"), col("c.band").as("band"), col("c.key").as("key"))
+    val a = bk.select(col("band"), col("key"), col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+    val b = bk.select(col("band"), col("key"), col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+    a.join(b, Seq("band", "key")).where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

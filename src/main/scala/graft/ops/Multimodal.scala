@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Decoded-media feature record (the stub "decode" output). */
+case class MediaFeatures(doc_id: Long, n_bytes: Long, byte_sum: Long,
+                         head_hex: String, width: Int, height: Int)
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, and a per-partition decode/feature-extract pass.
+  *
+  * The decode step is a clearly-marked STUB (no codec libraries in this
+  * container) — it derives deterministic fake features from the bytes. The
+  * Spark-side plumbing is real and is what matters at 100 TB:
+  *  - payloads ride a `BinaryType` column next to a typed `meta` struct, so
+  *    metadata-only queries prune the (huge) payload column at the parquet
+  *    scan and never deserialize bytes;
+  *  - feature extraction is `mapPartitions` over a typed Dataset: one
+  *    decoder/codec init per partition (not per row), streaming batches,
+  *    output re-enters Tungsten via the case-class encoder;
+  *  - partition sizing: binary rows are fat, so at scale repartition by
+  *    target batch bytes (`spark.sql.files.maxPartitionBytes` down, or an
+  *    explicit `repartition`) before the decode pass — never let a single
+  *    task hold thousands of decoded frames.
+  */
+object Multimodal {
+
+  /** Attach an opaque binary payload + typed metadata struct. Here the
+    * payload is the UTF-8 encoding of `text` (the fixture tables carry no
+    * real media); for real media this is the raw file/frame bytes. */
+  def attachPayload(docs: DataFrame): DataFrame =
+    docs.withColumn("payload", encode(col("text"), "UTF-8"))
+      .withColumn("meta", struct(
+        lit("text/plain").as("mime"),
+        octet_length(col("payload")).cast("long").as("n_bytes")))
+
+  /** Per-partition decode + feature extraction.
+    *
+    * STUB: a real implementation would initialize the codec once per
+    * partition and decode each payload (image resize, audio resample, video
+    * frame-sample). The fake features below are deterministic functions of
+    * the bytes so tests and downstream plumbing behave exactly as they
+    * would with a real decoder. */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // real codec init would happen HERE, once per partition
+        rows.map { case (id, bytes) =>
+          val sum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
+          val head = bytes.take(4).map(b => f"$b%02x").mkString
+          MediaFeatures(id, bytes.length.toLong, sum, head,
+            width = (sum % 640).toInt, height = (sum % 480).toInt)
+        }
+      }
+  }
+}

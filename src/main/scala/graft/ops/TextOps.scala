@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared text primitives for the dedup / text-analysis operators.
+  *
+  * All pure Column chains (codegen'd, no UDFs). Word extraction and
+  * shingling deliberately use only constructs with exact DuckDB equivalents
+  * (`string_split_regex`, `list_transform`, 1-based `element_at`), so the
+  * dedup oracles can replay the identical computation.
+  */
+object TextOps {
+
+  /** Whitespace tokenization after lowercase+trim (matches DuckDB
+    * `string_split_regex(lower(trim(x)), '\s+')`). */
+  def words(c: Column): Column = split(lower(trim(c)), "\\s+")
+
+  /** Word n-gram shingles; `[]` when fewer than n words. 1-based
+    * `element_at` keeps index arithmetic identical to DuckDB lists.
+    * Indices are always in range, so this is ANSI-safe. */
+  def shingles(w: Column, n: Int): Column =
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + lit(k))): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Distinct word n-gram shingle set for Jaccard/MinHash. */
+  def shingleSet(text: Column, n: Int): Column =
+    array_distinct(shingles(words(text), n))
+
+  /** Jaccard similarity of two pre-distinct string arrays:
+    * |a ∩ b| / |a ∪ b| (sizes only — element order never matters). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      greatest(size(array_union(a, b)), lit(1)).cast("double")
+}

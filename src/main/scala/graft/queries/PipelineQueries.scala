@@ -1,0 +1,228 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables._
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-training-data pipeline operators as driver-contract queries.
+  *
+  * Where the computation is expressible in DuckDB SQL the oracle replays the
+  * IDENTICAL deterministic algorithm (md5-derived hashes, same shingling,
+  * same fold order for float sums), so even MinHash-LSH and SimHash get
+  * exact hash-match verification rather than a rows-only check.
+  */
+object PipelineQueries {
+
+  /** Common DuckDB fragments (kept in sync with graft.ops.TextOps). */
+  private val duckWords = "string_split_regex(lower(trim(text)), '\\s+')"
+  private def duckShingleSet(wordsExpr: String) =
+    s"list_distinct(list_transform(range(1, greatest(len($wordsExpr)-1, 1)), " +
+      s"i -> $wordsExpr[i] || ' ' || $wordsExpr[i+1] || ' ' || $wordsExpr[i+2]))"
+
+  // ---- dedup -------------------------------------------------------------
+
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exactStats(documents(s, d))
+
+  val dedupExactSql: String =
+    "SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique FROM documents"
+
+  def minhashLshPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.lshCandidatePairs(documents(s, d), numHashes = 16, bandRows = 2)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private val duckMinhashBands =
+    s"""w AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |shg AS (SELECT doc_id, unnest(${duckShingleSet("w")}) AS s FROM w),
+       |hb AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 12))::BIGINT % ${Dedup.MinhashP} AS hb FROM shg),
+       |mh AS (SELECT doc_id, i, min((hb * a + b) % ${Dedup.MinhashP}) AS h
+       |       FROM hb, ${Dedup.minhashConstsSqlValues(16)} GROUP BY doc_id, i),
+       |bands AS (SELECT doc_id, i // 2 AS band, md5(string_agg(h::VARCHAR, ',' ORDER BY i)) AS bkey
+       |          FROM mh GROUP BY doc_id, band)""".stripMargin
+
+  val minhashLshPairsSql: String =
+    s"""WITH $duckMinhashBands
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** LSH candidates refined by exact Jaccard — the production near-dup op. */
+  def minhashNearDups(s: SparkSession, d: String): DataFrame =
+    Dedup.nearDupPairs(documents(s, d), threshold = 0.3, numHashes = 16, bandRows = 2)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val minhashNearDupsSql: String =
+    s"""WITH $duckMinhashBands,
+       |sets AS (SELECT doc_id, ${duckShingleSet("w")} AS sh FROM w),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT doc_a, doc_b,
+       |         round(len(list_intersect(x.sh, y.sh))::DOUBLE
+       |               / greatest(len(list_distinct(x.sh || y.sh)), 1), 6) AS jaccard
+       |  FROM cand JOIN sets x ON cand.doc_a = x.doc_id JOIN sets y ON cand.doc_b = y.doc_id)
+       |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Exact all-pairs Jaccard baseline (bounded id range — quadratic). */
+  def jaccardAllPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.allPairsJaccard(documents(s, d).where(col("doc_id") < 500), threshold = 0.3)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val jaccardAllPairsSql: String =
+    s"""WITH sets AS (SELECT doc_id, ${duckShingleSet(duckWords)} AS sh
+       |              FROM documents WHERE doc_id < 500)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         round(len(list_intersect(a.sh, b.sh))::DOUBLE
+       |               / greatest(len(list_distinct(a.sh || b.sh)), 1), 6) AS jaccard
+       |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
+       |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin
+
+  def simhashStats(s: SparkSession, d: String): DataFrame =
+    Dedup.simhash(documents(s, d))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("simhash")).as("n_distinct"),
+        round(avg(bit_count(col("simhash"))), 4).as("avg_bits"))
+
+  val simhashStatsSql: String =
+    """WITH wh AS (SELECT doc_id,
+      |              ('0x' || substr(md5(unnest(string_split_regex(lower(trim(text)), '\s+'))), 1, 15))::BIGINT AS h
+      |            FROM documents),
+      |votes AS (SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |          FROM wh, range(60) t(j) GROUP BY doc_id, j),
+      |sh AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+      |       FROM votes GROUP BY doc_id)
+      |SELECT count(*) AS n_docs, count(DISTINCT simhash) AS n_distinct,
+      |       round(avg(bit_count(simhash)), 4) AS avg_bits FROM sh""".stripMargin
+
+  // ---- similarity search ---------------------------------------------------
+
+  /** Norms precomputed once per vector (mirrors Similarity's norm columns). */
+  private val duckNormed =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      |       sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |     FROM embeddings)""".stripMargin
+
+  def annBruteForce(s: SparkSession, d: String): DataFrame =
+    Similarity.bruteForceTopK(embeddings(s, d), queryId = 0L, k = 10)
+
+  val annBruteForceSql: String =
+    s"""WITH $duckNormed,
+       |q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 0),
+       |c AS (SELECT e.vec_id, round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 4) AS cos
+       |      FROM e, q WHERE e.vec_id != 0)
+       |SELECT vec_id, cos FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
+
+  /** ANN via hyperplane LSH — same contract as brute force, bucketed scan.
+    * Not SQL-expressible (seeded hyperplanes) → rows-only check; recall is
+    * asserted against brute force in SimilaritySpec. */
+  def annLsh(s: SparkSession, d: String): DataFrame =
+    Similarity.lshTopK(embeddings(s, d), queryId = 0L, k = 10)
+
+  def embeddingNearDups(s: SparkSession, d: String): DataFrame =
+    Similarity.embeddingNearDupPairs(embeddings(s, d), threshold = 0.4, maxId = 1000000L)
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  val embeddingNearDupsSql: String =
+    s"""WITH $duckNormed
+       |SELECT vec_a, vec_b, cos FROM (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+       |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+       |WHERE cos > 0.4 ORDER BY vec_a, vec_b""".stripMargin
+
+  // ---- text analysis -------------------------------------------------------
+
+  def tokenStats(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tokenStats(documents(s, d))
+
+  val tokenStatsSql: String =
+    """WITH t AS (SELECT lang,
+      |             len(string_split_regex(lower(trim(text)), '\s+')) AS tokens,
+      |             len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS bpe_tokens,
+      |             length(text) AS chars
+      |           FROM documents)
+      |SELECT lang, count(*) AS n_docs, round(avg(tokens), 4) AS avg_tokens,
+      |       round(avg(bpe_tokens), 4) AS avg_bpe_tokens, round(avg(chars), 4) AS avg_chars
+      |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
+  def langIdCounts(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(TextAnalysis.langId(col("text")).as("predicted"))
+      .groupBy(col("predicted")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("predicted"))
+
+  val langIdCountsSql: String =
+    """WITH v AS (SELECT
+      |  (length(t)-length(replace(t,' the ','')))/5 + (length(t)-length(replace(t,' and ','')))/5 + (length(t)-length(replace(t,' of ','')))/4 AS en,
+      |  (length(t)-length(replace(t,' der ','')))/5 + (length(t)-length(replace(t,' und ','')))/5 + (length(t)-length(replace(t,' die ','')))/5 AS de,
+      |  (length(t)-length(replace(t,' le ','')))/4 + (length(t)-length(replace(t,' la ','')))/4 + (length(t)-length(replace(t,' et ','')))/4 AS fr,
+      |  (length(t)-length(replace(t,' el ','')))/4 + (length(t)-length(replace(t,' los ','')))/5 + (length(t)-length(replace(t,' y ','')))/3 AS es
+      |  FROM (SELECT ' ' || lower(text) || ' ' AS t FROM documents))
+      |SELECT predicted, count(*) AS cnt FROM (
+      |  SELECT CASE WHEN greatest(en,de,fr,es) <= 0 THEN 'other'
+      |              WHEN en = greatest(en,de,fr,es) THEN 'en'
+      |              WHEN de = greatest(en,de,fr,es) THEN 'de'
+      |              WHEN fr = greatest(en,de,fr,es) THEN 'fr'
+      |              ELSE 'es' END AS predicted FROM v)
+      |GROUP BY predicted ORDER BY predicted""".stripMargin
+
+  def qualityScores(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("source"), TextAnalysis.qualityScore(col("text")).as("q"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("q")), 6).as("avg_quality"))
+      .orderBy(col("source"))
+
+  val qualityScoresSql: String =
+    """WITH t AS (SELECT source,
+      |  len(string_split_regex(lower(trim(text)), '\s+')) AS tokens,
+      |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |      x -> x IN ('the','a','of','and','to','in','is')))::DOUBLE
+      |    / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1) AS stop_ratio,
+      |  (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))::DOUBLE
+      |    / greatest(length(text), 1) AS punct
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |       round(avg(greatest(0.0, least(1.0,
+      |         least(tokens/100.0, 1.0)*0.4 + stop_ratio*2.0*0.4 + (1.0-punct)*0.2))), 6) AS avg_quality
+      |FROM t GROUP BY source ORDER BY source""".stripMargin
+
+  def fingerprints(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("source"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("fp")).as("n_unique"),
+        min(col("fp")).as("min_fp"))
+      .orderBy(col("source"))
+
+  val fingerprintsSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |       count(DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_unique,
+      |       min(md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS min_fp
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- multimodal ----------------------------------------------------------
+
+  def multimodalMeta(s: SparkSession, d: String): DataFrame =
+    Multimodal.attachPayload(documents(s, d))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("meta.n_bytes")).as("total_bytes"),
+        min(md5(col("payload"))).as("min_md5"))
+      .orderBy(col("source"))
+
+  val multimodalMetaSql: String =
+    """SELECT source, count(*) AS n_media,
+      |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+      |       min(md5(text)) AS min_md5
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** Stubbed decode / feature extraction — mapPartitions plumbing; not
+    * SQL-expressible (rows-only check), asserted in MultimodalSpec. */
+  def multimodalFeatures(s: SparkSession, d: String): DataFrame =
+    Multimodal.extractFeatures(Multimodal.attachPayload(documents(s, d)))
+      .toDF().orderBy(col("doc_id"))
+}

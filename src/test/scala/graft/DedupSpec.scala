@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Dedup, TextOps}
+
+class DedupSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"),          // exact dup of 0
+    (2L, "the quick brown fox jumps over the sleepy dog"),        // near dup of 0
+    (3L, "completely different text about spark and data"),
+    (4L, "hi"),                                                   // < 3 words: no shingles
+  ).toDF("doc_id", "text")
+
+  test("shingles: word 3-grams, empty below 3 words") {
+    val sh = docs.select(col("doc_id"), TextOps.shingleSet(col("text"), 3).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(0L).head === "the quick brown")
+    assert(sh(0L).size === 7)
+    assert(sh(4L).isEmpty)
+  }
+
+  test("exact dedup: stats and keep-first") {
+    val st = Dedup.exactStats(docs).collect().head
+    assert(st.getAs[Long]("n_docs") === 5 && st.getAs[Long]("n_unique") === 4)
+    val kept = Dedup.dropExactDuplicates(docs).select("doc_id")
+      .as[Long].collect().sorted
+    assert(kept === Array(0L, 2L, 3L, 4L))  // doc 1 removed, min doc_id kept
+  }
+
+  test("minhash LSH: exact dups always collide, distinct docs don't") {
+    val pairs = Dedup.lshCandidatePairs(docs)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))            // identical signatures
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("near-dup pipeline: LSH+jaccard ⊆ all-pairs, finds planted pair") {
+    val lsh = Dedup.nearDupPairs(docs, 0.3).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    val all = Dedup.allPairsJaccard(docs, 0.3).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(all))
+    assert(lsh.contains((0L, 1L)) && lsh.contains((0L, 2L)))
+  }
+
+  test("near-dup pipeline on fixture docs: LSH candidates ⊆ all-pairs at same threshold") {
+    val fixture = graft.engine.Tables.documents(spark, sf)
+    val lsh = Dedup.nearDupPairs(fixture, 0.3).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    val all = Dedup.allPairsJaccard(fixture, 0.3).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(all))
+    assert(lsh.nonEmpty)  // the fixtures contain planted near-dups
+  }
+
+  test("simhash: identical text → identical hash; near text → small hamming") {
+    val sh = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    assert(sh(0L) === sh(1L))
+    val hamming = java.lang.Long.bitCount(sh(0L) ^ sh(2L))
+    val hammingFar = java.lang.Long.bitCount(sh(0L) ^ sh(3L))
+    assert(hamming < hammingFar)
+  }
+
+  test("simhash near-dups: finds exact pair within hamming 3") {
+    val pairs = Dedup.simhashNearDups(docs, maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+}

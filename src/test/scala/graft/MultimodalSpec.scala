@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Multimodal
+
+class MultimodalSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("payload attach + stub feature extraction round-trips deterministically") {
+    val docs = Seq((1L, "abc", "en", "srcX", 3L), (2L, "", "en", "srcX", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.attachPayload(docs)
+    assert(media.schema("payload").dataType.typeName === "binary")
+    assert(media.select("meta.n_bytes").as[Long].collect().sorted === Array(0L, 3L))
+
+    val feats = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    assert(feats(0).n_bytes === 3L)
+    assert(feats(0).byte_sum === ('a' + 'b' + 'c').toLong)
+    assert(feats(0).head_hex === "616263")
+    assert(feats(1).n_bytes === 0L && feats(1).head_hex === "")
+    // deterministic: same input → same features
+    val again = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    assert(feats.toSeq === again.toSeq)
+  }
+
+  test("metadata-only query does not need payload decode (column pruning)") {
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = Multimodal.attachPayload(docs).select("doc_id", "source")
+      .queryExecution.executedPlan.toString
+    // the parquet scan must not read `text` (payload source) for a
+    // doc_id/source projection
+    assert(plan.contains("ReadSchema") && !plan.contains("text"))
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  test("cosine: known vectors") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), "same"),
+                 (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f), "orth"),
+                 (Seq(1.0f, 1.0f), Seq(-1.0f, -1.0f), "anti"))
+      .toDF("a", "b", "name")
+    val got = df.select(col("name"), Similarity.cosine(col("a"), col("b")).as("c"))
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(got("same") - 1.0) < 1e-12)
+    assert(math.abs(got("orth")) < 1e-12)
+    assert(math.abs(got("anti") + 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k: k rows, descending, self excluded") {
+    val top = Similarity.bruteForceTopK(
+      graft.engine.Tables.embeddings(spark, sf), 0L, 10).collect()
+    assert(top.length === 10)
+    assert(!top.exists(_.getAs[Long]("vec_id") == 0L))
+    val cs = top.map(_.getAs[Double]("cos"))
+    assert(cs.sameElements(cs.sortBy(-_)))
+  }
+
+  test("LSH top-k: results are a valid subset ranking with useful recall") {
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    val exact = Similarity.bruteForceTopK(emb, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val approx = Similarity.lshTopK(emb, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(approx.size === 10)
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.2, s"recall=$recall")  // deterministic given seed=42
+  }
+
+  test("embedding near-dups: symmetric-free pairs above threshold") {
+    val pairs = Similarity.embeddingNearDupPairs(
+      graft.engine.Tables.embeddings(spark, sf), 0.4, 1000000L).collect()
+    assert(pairs.forall(r => r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b")))
+    assert(pairs.forall(_.getAs[Double]("cos") > 0.4))
+  }
+}
