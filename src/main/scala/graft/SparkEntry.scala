@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreQueries, PipelineQueries}
+import graft.queries.{CoreQueries, PipelineQueries, RentalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -33,6 +33,7 @@ object SparkEntry {
     "q_parse_money_stats"   -> (CoreQueries.parseMoneyStats _),
     "q_parse_regex_group"   -> (CoreQueries.parseRegexGroup _),
     "q_hourly_window"       -> (CoreQueries.hourlyWindow _),
+    "q_location_parse"      -> (RentalQueries.locationParse _),
     // LLM-data-pipeline operators
     "q_dedup_exact"         -> (PipelineQueries.dedupExact _),
     "q_minhash_lsh_pairs"   -> (PipelineQueries.minhashLshPairs _),
@@ -68,6 +69,7 @@ object SparkEntry {
     "q_parse_money_stats"   -> CoreQueries.parseMoneyStatsSql,
     "q_parse_regex_group"   -> CoreQueries.parseRegexGroupSql,
     "q_hourly_window"       -> CoreQueries.hourlyWindowSql,
+    "q_location_parse"      -> RentalQueries.locationParseSql,
     // LLM-data-pipeline oracles (q_ann_lsh / q_multimodal_features are
     // rows-only by contract: seeded hyperplanes / mapPartitions stub)
     "q_dedup_exact"         -> PipelineQueries.dedupExactSql,
