@@ -70,9 +70,8 @@ object SparkEntry {
     "q_parse_regex_group"   -> CoreQueries.parseRegexGroupSql,
     "q_hourly_window"       -> CoreQueries.hourlyWindowSql,
     "q_location_parse"      -> RentalQueries.locationParseSql,
-    // LLM-data-pipeline oracles (q_ann_lsh / q_multimodal_features are
-    // rows-only by contract: seeded hyperplanes / mapPartitions stub)
     "q_dedup_exact"         -> PipelineQueries.dedupExactSql,
+    "q_ann_lsh"             -> PipelineQueries.annLshSql,
     "q_minhash_lsh_pairs"   -> PipelineQueries.minhashLshPairsSql,
     "q_minhash_near_dups"   -> PipelineQueries.minhashNearDupsSql,
     "q_jaccard_all_pairs"   -> PipelineQueries.jaccardAllPairsSql,

@@ -52,39 +52,69 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic pseudo-random unit-ish hyperplanes (fixed seed). */
+  /** Deterministic pseudo-random unit-ish hyperplanes (fixed seed). The
+    * constants are seed-reproducible, so the DuckDB oracles embed them as
+    * literal `DOUBLE[]` VALUES ([[planesSqlValues]]) and replay the exact
+    * bucketing — LSH queries get hash-match verification, not rows-only. */
   private def planes(nPlanes: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-bit LSH bucket id for an embedding column. */
-  def lshBucket(v: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column = {
-    val vd = v.cast("array<double>")
-    val ps = planes(nPlanes, dim, seed)
-    (0 until nPlanes).map { p =>
-      val plane = typedlit(ps(p).toSeq)
-      val dot = aggregate(zip_with(vd, plane, (x, y) => x * y), lit(0.0), (a, b) => a + b)
-      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  /** `(VALUES (0, [..]::DOUBLE[]), ...) planes(j, p)` — the identical plane
+    * constants for a DuckDB oracle. Scala's `Double.toString` is
+    * round-trip-exact, so both engines see bit-identical planes. */
+  def planesSqlValues(nPlanes: Int, dim: Int, seed: Long): String =
+    planes(nPlanes, dim, seed).zipWithIndex.map { case (p, j) =>
+      p.mkString(s"($j, [", ", ", "]::DOUBLE[])")
+    }.mkString("(VALUES ", ", ", ") planes(j, p)")
 
-  /** ANN top-k via hyperplane LSH with 1-bit multi-probe: consider only
-    * vectors whose bucket is the query's bucket or differs in exactly one
-    * bit, then exact-re-rank those candidates. Recall/latency trade-off is
-    * (nPlanes, probes); the bucketing pass is one narrow projection that at
-    * scale would be precomputed and bucket-partitioned on write. */
-  def lshTopK(emb: DataFrame, queryId: Long, k: Int,
-              nPlanes: Int = 6, dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val bucketed = emb.withColumn("bucket", lshBucket(col("embedding"), nPlanes, dim, seed))
-    val q = bucketed.where(col("vec_id") === queryId)
-      .select(col("embedding").as("qv"), norm(col("embedding")).as("qn"),
-        col("bucket").as("qb"))
-    val probeOk = (0 until nPlanes)
-      .map(p => col("bucket") === col("qb").bitwiseXOR(lit(1L << p)))
-      .foldLeft(col("bucket") === col("qb"))(_ || _)
-    bucketed.join(broadcast(q))
-      .where(col("vec_id") =!= queryId && probeOk)
+  /** Sign-bit bucket from an explicit plane subset: bit j set iff v·pⱼ > 0.
+    * The dot is a sequential left-to-right fold, matching DuckDB
+    * `list_dot_product` term order. */
+  private def bucketFromPlanes(vd: Column, ps: Seq[Array[Double]]): Column =
+    ps.zipWithIndex.map { case (p, j) =>
+      val dot = aggregate(zip_with(vd, typedlit(p.toSeq), (x, y) => x * y),
+        lit(0.0), (a, b) => a + b)
+      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Sign-bit LSH bucket id for an embedding column. */
+  def lshBucket(v: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column =
+    bucketFromPlanes(v.cast("array<double>"), planes(nPlanes, dim, seed))
+
+  /** ANN top-k via banded hyperplane LSH: `lTables` independent tables of
+    * `bBits` sign bits; a vector is a candidate iff it shares at least one
+    * table bucket with the query, then candidates are exact-re-ranked.
+    *
+    * Scale shape: the corpus-side bucketing is a narrow (vec_id, table, key)
+    * projection that at scale is precomputed and bucket-partitioned on
+    * write; the query probes `lTables` buckets via a broadcast of its own
+    * keys — no corpus shuffle, no full scan. Recall for a neighbour at
+    * angle θ (p = 1 − θ/π) is 1 − (1 − p^bBits)^lTables — (bBits, lTables)
+    * trade candidate volume against recall, and bBits is the knob that
+    * grows with corpus size. The fixture corpus is near-uniform (true
+    * top-10 sit at cos ≈ 0.3, p ≈ 0.6), the adversarial case for sign-LSH,
+    * so defaults favour recall; on a real near-dup corpus (cos ≥ 0.8) the
+    * identical machinery prunes ~40× harder. */
+  def lshTopK(emb: DataFrame, queryId: Long, k: Int, bBits: Int = 4,
+              lTables: Int = 16, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val ps = planes(bBits * lTables, dim, seed)
+    val vd = col("embedding").cast("array<double>")
+    val tables = (0 until lTables).map { t =>
+      struct(lit(t).as("t"),
+        bucketFromPlanes(vd, ps.slice(t * bBits, (t + 1) * bBits)).as("key"))
+    }
+    val bk = emb.select(col("vec_id"), explode(array(tables: _*)).as("b"))
+      .select(col("vec_id"), col("b.t").as("t"), col("b.key").as("key"))
+    val qKeys = bk.where(col("vec_id") === queryId).select(col("t"), col("key"))
+    val candIds = bk.join(broadcast(qKeys), Seq("t", "key"), "left_semi")
+      .where(col("vec_id") =!= queryId)
+      .select(col("vec_id")).distinct()
+    val q = emb.where(col("vec_id") === queryId)
+      .select(col("embedding").as("qv"), norm(col("embedding")).as("qn"))
+    emb.join(candIds, Seq("vec_id"), "left_semi")
+      .join(broadcast(q))
       .select(col("vec_id"),
         round(dotU(col("embedding"), col("qv")) /
           (norm(col("embedding")) * col("qn")), 4).as("cos"))
@@ -93,14 +123,57 @@ object Similarity {
   }
 
   /** Embedding-space near-duplicate pairs above a cosine threshold —
-    * exact all-pairs baseline (verification scale; LSH-bucket the ids first
-    * at production scale, mirroring [[Dedup.nearDupPairs]]). */
+    * exact all-pairs BASELINE. Quadratic by construction; kept only as the
+    * verification yardstick for [[bandedNearDupPairs]] in SimilaritySpec.
+    * Never register this at scale. */
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double, maxId: Long): DataFrame = {
     val e = emb.where(col("vec_id") < maxId)
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
     a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(dotU(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 6).as("cos"))
+      .where(col("cos") > threshold)
+  }
+
+  /** Production embedding near-dup pairs: banded hyperplane LSH (OR of
+    * `lTables` independent tables of `bBits` sign bits) + exact cosine
+    * re-rank of candidates only — the structural twin of
+    * [[Dedup.nearDupPairs]]'s MinHash banding.
+    *
+    * Scale shape: the bucketing pass is one narrow projection
+    * (vec_id, table, key) — `lTables` rows per vector; the candidate join is
+    * an equi-join on (table, key) that hash-partitions by bucket, so vectors
+    * in different buckets NEVER meet (vs the O(n²) theta join this replaces).
+    * Exact cosines touch only candidates. Recall for a pair at angle θ with
+    * p = 1 − θ/π is 1 − (1 − p^bBits)^lTables: with b=6, L=8 that is ≈0.90
+    * at cos 0.8 and ≈0.98 at cos 0.9 — real near-dup territory — while
+    * random pairs (p≈0.5) collide with prob 1−(1−2⁻⁶)⁸ ≈ 0.12, an ~8×
+    * candidate cut. bBits is the knob that grows with corpus size
+    * (b ≈ log₂(n / bucket-target)); the fixture corpus is near-uniform
+    * (its 0.4-threshold pairs sit at cos 0.40–0.51), the adversarial case
+    * where any sign-LSH recalls less — the oracle replays the identical
+    * bucketing, so verification is exact either way. */
+  def bandedNearDupPairs(emb: DataFrame, threshold: Double, bBits: Int = 6,
+                         lTables: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val ps = planes(bBits * lTables, dim, seed)
+    val e = emb.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val vd = col("embedding").cast("array<double>")
+    val tables = (0 until lTables).map { t =>
+      struct(lit(t).as("t"),
+        bucketFromPlanes(vd, ps.slice(t * bBits, (t + 1) * bBits)).as("key"))
+    }
+    val bk = emb.select(col("vec_id"), explode(array(tables: _*)).as("b"))
+      .select(col("vec_id"), col("b.t").as("t"), col("b.key").as("key"))
+      .persist() // computed once; both sides of the self-join reuse it
+    val cand = bk.select(col("t"), col("key"), col("vec_id").as("vec_a"))
+      .join(bk.select(col("t"), col("key"), col("vec_id").as("vec_b")), Seq("t", "key"))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b")), Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         round(dotU(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 6).as("cos"))
       .where(col("cos") > threshold)

@@ -116,22 +116,46 @@ object PipelineQueries {
        |      FROM e, q WHERE e.vec_id != 0)
        |SELECT vec_id, cos FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
 
-  /** ANN via hyperplane LSH — same contract as brute force, bucketed scan.
-    * Not SQL-expressible (seeded hyperplanes) → rows-only check; recall is
-    * asserted against brute force in SimilaritySpec. */
+  /** ANN via banded hyperplane LSH — same output contract as brute force,
+    * bucketed candidate generation. The seeded planes are embedded in the
+    * oracle as DOUBLE[] literals, so this is hash-verified (recall vs brute
+    * force is additionally asserted ≥ 0.7 in SimilaritySpec). */
   def annLsh(s: SparkSession, d: String): DataFrame =
     Similarity.lshTopK(embeddings(s, d), queryId = 0L, k = 10)
 
+  val annLshSql: String =
+    s"""WITH $duckNormed,
+       |pl AS (SELECT j // 4 AS t, j % 4 AS bit, p FROM ${Similarity.planesSqlValues(64, 64, 42L)}),
+       |bk AS (SELECT e.vec_id, pl.t,
+       |         sum(CASE WHEN list_dot_product(e.v, pl.p) > 0 THEN (1::BIGINT << pl.bit) ELSE 0 END)::BIGINT AS key
+       |       FROM e CROSS JOIN pl GROUP BY e.vec_id, pl.t),
+       |qk AS (SELECT t, key FROM bk WHERE vec_id = 0),
+       |cand AS (SELECT DISTINCT bk.vec_id FROM bk JOIN qk ON bk.t = qk.t AND bk.key = qk.key
+       |         WHERE bk.vec_id != 0),
+       |q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 0)
+       |SELECT e.vec_id, round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 4) AS cos
+       |FROM e JOIN cand ON e.vec_id = cand.vec_id, q
+       |ORDER BY cos DESC, e.vec_id ASC LIMIT 10""".stripMargin
+
+  /** Production near-dup pairs: banded LSH candidates + exact re-rank
+    * (replaces the O(n²) all-pairs theta join; identical plane constants
+    * replayed in the oracle). */
   def embeddingNearDups(s: SparkSession, d: String): DataFrame =
-    Similarity.embeddingNearDupPairs(embeddings(s, d), threshold = 0.4, maxId = 1000000L)
+    Similarity.bandedNearDupPairs(embeddings(s, d), threshold = 0.4)
       .orderBy(col("vec_a"), col("vec_b"))
 
   val embeddingNearDupsSql: String =
-    s"""WITH $duckNormed
+    s"""WITH $duckNormed,
+       |pl AS (SELECT j // 6 AS t, j % 6 AS bit, p FROM ${Similarity.planesSqlValues(48, 64, 42L)}),
+       |bk AS (SELECT e.vec_id, pl.t,
+       |         sum(CASE WHEN list_dot_product(e.v, pl.p) > 0 THEN (1::BIGINT << pl.bit) ELSE 0 END)::BIGINT AS key
+       |       FROM e CROSS JOIN pl GROUP BY e.vec_id, pl.t),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |         FROM bk a JOIN bk b ON a.t = b.t AND a.key = b.key AND a.vec_id < b.vec_id)
        |SELECT vec_a, vec_b, cos FROM (
-       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
-       |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+       |  SELECT cand.vec_a, cand.vec_b,
+       |         round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS cos
+       |  FROM cand JOIN e x ON cand.vec_a = x.vec_id JOIN e y ON cand.vec_b = y.vec_id)
        |WHERE cos > 0.4 ORDER BY vec_a, vec_b""".stripMargin
 
   // ---- text analysis -------------------------------------------------------

@@ -30,7 +30,7 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cs.sameElements(cs.sortBy(-_)))
   }
 
-  test("LSH top-k: results are a valid subset ranking with useful recall") {
+  test("banded LSH top-k: high recall vs brute force (seed-deterministic)") {
     val emb = graft.engine.Tables.embeddings(spark, sf)
     val exact = Similarity.bruteForceTopK(emb, 0L, 10)
       .select("vec_id").as[Long].collect().toSet
@@ -38,13 +38,21 @@ class SimilaritySpec extends AnyFunSuite {
       .select("vec_id").as[Long].collect().toSet
     assert(approx.size === 10)
     val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.2, s"recall=$recall")  // deterministic given seed=42
+    assert(recall >= 0.7, s"recall=$recall") // measured 0.9 at sf0.001/sf0.01
   }
 
-  test("embedding near-dups: symmetric-free pairs above threshold") {
-    val pairs = Similarity.embeddingNearDupPairs(
-      graft.engine.Tables.embeddings(spark, sf), 0.4, 1000000L).collect()
-    assert(pairs.forall(r => r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b")))
-    assert(pairs.forall(_.getAs[Double]("cos") > 0.4))
+  test("banded near-dups: non-empty strict subset machinery of all-pairs") {
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    val all = Similarity.embeddingNearDupPairs(emb, 0.4, Long.MaxValue)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")) ->
+        r.getAs[Double]("cos")).toMap
+    val banded = Similarity.bandedNearDupPairs(emb, 0.4).collect()
+    assert(banded.nonEmpty)
+    banded.foreach { r =>
+      val k = (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))
+      assert(k._1 < k._2)
+      // every banded pair is a true pair with the identical exact cosine
+      assert(all.get(k).contains(r.getAs[Double]("cos")), s"pair=$k")
+    }
   }
 }
