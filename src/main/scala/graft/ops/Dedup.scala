@@ -60,19 +60,28 @@ object Dedup {
       .map { case ((a, b), i) => s"($i, $a, $b)" }
       .mkString("(VALUES ", ", ", ") consts(i, a, b)")
 
-  /** MinHash signatures: one row per doc, columns h0..h{k-1}.
-    * Single shuffle on doc_id; k partial-aggregated mins over the same
-    * materialized base hash (md5 evaluated once per shingle). */
-  def minhashSignatures(docs: DataFrame, numHashes: Int = 16, shingleN: Int = 3): DataFrame = {
+  /** MinHash signatures from a pre-computed (doc_id, sh) shingle-set frame:
+    * one row per doc, columns h0..h{k-1}. Single shuffle on doc_id; k
+    * partial-aggregated mins over the same materialized base hash (md5
+    * evaluated once per shingle). Taking the sets frame as input lets
+    * [[nearDupPairs]] shingle the corpus exactly ONCE for both the
+    * signature pass and the exact-Jaccard refine. */
+  def minhashSignaturesFromSets(sets: DataFrame, numHashes: Int = 16): DataFrame = {
     val base = conv(substring(md5(col("s")), 1, 12), 16, 10).cast("long") % MinhashP
-    val sh = docs
-      .select(col("doc_id"), explode(TextOps.shingleSet(col("text"), shingleN)).as("s"))
+    val sh = sets
+      .select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), base.as("hb"))
     val aggs = minhashConsts(numHashes).zipWithIndex.map { case ((a, b), i) =>
       min((col("hb") * a + b) % MinhashP).as(s"h$i")
     }
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** MinHash signatures straight from documents (shingles computed inline). */
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 16, shingleN: Int = 3): DataFrame =
+    minhashSignaturesFromSets(
+      docs.select(col("doc_id"), TextOps.shingleSet(col("text"), shingleN).as("sh")),
+      numHashes)
 
   /** LSH band keys: md5 over the comma-joined row hashes of each band.
     * One output row per (doc, band). */
@@ -86,12 +95,12 @@ object Dedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
-  /** Candidate near-duplicate pairs: docs sharing any LSH bucket.
+  /** Candidate pairs from a signature frame: docs sharing any LSH bucket.
     * The self-join is an equi-join on (band, key) — at scale this shuffles
     * both sides by bucket id and never compares across buckets. */
-  def lshCandidatePairs(docs: DataFrame, numHashes: Int = 16, bandRows: Int = 2,
-                        shingleN: Int = 3): DataFrame = {
-    val bk = lshBandKeys(minhashSignatures(docs, numHashes, shingleN), numHashes, bandRows)
+  def lshCandidatePairsFromSigs(signatures: DataFrame, numHashes: Int = 16,
+                                bandRows: Int = 2): DataFrame = {
+    val bk = lshBandKeys(signatures, numHashes, bandRows)
     val a = bk.select(col("band"), col("key"), col("doc_id").as("doc_a"))
     val b = bk.select(col("band"), col("key"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "key"))
@@ -99,13 +108,24 @@ object Dedup {
       .select(col("doc_a"), col("doc_b")).distinct()
   }
 
+  /** Candidate pairs straight from documents. */
+  def lshCandidatePairs(docs: DataFrame, numHashes: Int = 16, bandRows: Int = 2,
+                        shingleN: Int = 3): DataFrame =
+    lshCandidatePairsFromSigs(minhashSignatures(docs, numHashes, shingleN),
+      numHashes, bandRows)
+
   /** Production near-dup dedup: LSH candidates refined by exact Jaccard on
-    * the distinct shingle sets. Only candidate pairs ever touch the shingle
-    * arrays, so the expensive comparison is linear in |candidates|. */
+    * the distinct shingle sets. The corpus is shingled exactly once — the
+    * persisted (doc_id, sh) frame feeds the signature pass AND both sides
+    * of the refine join (at 100 TB this materialization is a checkpoint of
+    * a narrow derived table, not a second scan+reshingle of the corpus).
+    * Only candidate pairs ever touch the shingle arrays, so the expensive
+    * comparison is linear in |candidates|. */
   def nearDupPairs(docs: DataFrame, threshold: Double, numHashes: Int = 16,
                    bandRows: Int = 2, shingleN: Int = 3): DataFrame = {
     val sets = docs.select(col("doc_id"), TextOps.shingleSet(col("text"), shingleN).as("sh"))
-    lshCandidatePairs(docs, numHashes, bandRows, shingleN)
+      .persist()
+    lshCandidatePairsFromSigs(minhashSignaturesFromSets(sets, numHashes), numHashes, bandRows)
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), TextOps.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
@@ -165,7 +185,7 @@ object Dedup {
     a.join(b, Seq("band", "key")).where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming) // filter BEFORE dedup: smaller distinct
       .distinct()
-      .where(col("hamming") <= maxHamming)
   }
 }

@@ -25,9 +25,18 @@ object TextOps {
         i => concat_ws(" ", (0 until n).map(k => element_at(w, i + lit(k))): _*)))
       .otherwise(array().cast("array<string>"))
 
-  /** Distinct word n-gram shingle set for Jaccard/MinHash. */
-  def shingleSet(text: Column, n: Int): Column =
-    array_distinct(shingles(words(text), n))
+  /** Distinct word n-gram shingle set for Jaccard/MinHash.
+    *
+    * Documents with fewer than n words fall back to ONE whole-text shingle
+    * (the space-joined word list) instead of an empty set — otherwise short
+    * docs produce no signature rows and silently vanish from the LSH dedup
+    * path (even byte-identical ones could never be flagged). DuckDB mirror:
+    * `CASE WHEN len(w) >= n THEN ... ELSE [array_to_string(w, ' ')] END`. */
+  def shingleSet(text: Column, n: Int): Column = {
+    val w = words(text)
+    when(size(w) >= n, array_distinct(shingles(w, n)))
+      .otherwise(array(concat_ws(" ", w)))
+  }
 
   /** Jaccard similarity of two pre-distinct string arrays:
     * |a ∩ b| / |a ∪ b| (sizes only — element order never matters). */

@@ -16,9 +16,12 @@ object PipelineQueries {
 
   /** Common DuckDB fragments (kept in sync with graft.ops.TextOps). */
   private val duckWords = "string_split_regex(lower(trim(text)), '\\s+')"
+  // Mirrors TextOps.shingleSet incl. the whole-text fallback for short docs.
   private def duckShingleSet(wordsExpr: String) =
-    s"list_distinct(list_transform(range(1, greatest(len($wordsExpr)-1, 1)), " +
-      s"i -> $wordsExpr[i] || ' ' || $wordsExpr[i+1] || ' ' || $wordsExpr[i+2]))"
+    s"CASE WHEN len($wordsExpr) >= 3 THEN " +
+      s"list_distinct(list_transform(range(1, len($wordsExpr)-1), " +
+      s"i -> $wordsExpr[i] || ' ' || $wordsExpr[i+1] || ' ' || $wordsExpr[i+2])) " +
+      s"ELSE [array_to_string($wordsExpr, ' ')] END"
 
   // ---- dedup -------------------------------------------------------------
 
@@ -65,15 +68,16 @@ object PipelineQueries {
        |  FROM cand JOIN sets x ON cand.doc_a = x.doc_id JOIN sets y ON cand.doc_b = y.doc_id)
        |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin
 
-  /** Exact all-pairs Jaccard baseline (bounded id range — quadratic). */
+  /** Exact all-pairs Jaccard baseline (bounded id range — quadratic by
+    * design; the cap keeps the verification yardstick cheap in the bench). */
   def jaccardAllPairs(s: SparkSession, d: String): DataFrame =
-    Dedup.allPairsJaccard(documents(s, d).where(col("doc_id") < 500), threshold = 0.3)
+    Dedup.allPairsJaccard(documents(s, d).where(col("doc_id") < 250), threshold = 0.3)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
 
   val jaccardAllPairsSql: String =
     s"""WITH sets AS (SELECT doc_id, ${duckShingleSet(duckWords)} AS sh
-       |              FROM documents WHERE doc_id < 500)
+       |              FROM documents WHERE doc_id < 250)
        |SELECT doc_a, doc_b, jaccard FROM (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |         round(len(list_intersect(a.sh, b.sh))::DOUBLE

@@ -14,23 +14,30 @@ class DedupSpec extends AnyFunSuite {
     (1L, "the quick brown fox jumps over the lazy dog"),          // exact dup of 0
     (2L, "the quick brown fox jumps over the sleepy dog"),        // near dup of 0
     (3L, "completely different text about spark and data"),
-    (4L, "hi"),                                                   // < 3 words: no shingles
+    (4L, "hi"),                                                   // < 3 words: whole-text fallback
+    (5L, "hi"),                                                   // exact short dup of 4
   ).toDF("doc_id", "text")
 
-  test("shingles: word 3-grams, empty below 3 words") {
+  test("shingles: word 3-grams, whole-text fallback below 3 words") {
     val sh = docs.select(col("doc_id"), TextOps.shingleSet(col("text"), 3).as("s"))
       .as[(Long, Seq[String])].collect().toMap
     assert(sh(0L).head === "the quick brown")
     assert(sh(0L).size === 7)
-    assert(sh(4L).isEmpty)
+    assert(sh(4L) === Seq("hi")) // short docs keep ONE shingle, never vanish
+  }
+
+  test("short exact dups survive the LSH path via the fallback shingle") {
+    val pairs = Dedup.nearDupPairs(docs, 0.3).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((4L, 5L)))
   }
 
   test("exact dedup: stats and keep-first") {
     val st = Dedup.exactStats(docs).collect().head
-    assert(st.getAs[Long]("n_docs") === 5 && st.getAs[Long]("n_unique") === 4)
+    assert(st.getAs[Long]("n_docs") === 6 && st.getAs[Long]("n_unique") === 4)
     val kept = Dedup.dropExactDuplicates(docs).select("doc_id")
       .as[Long].collect().sorted
-    assert(kept === Array(0L, 2L, 3L, 4L))  // doc 1 removed, min doc_id kept
+    assert(kept === Array(0L, 2L, 3L, 4L))  // docs 1,5 removed, min doc_id kept
   }
 
   test("minhash LSH: exact dups always collide, distinct docs don't") {
