@@ -34,6 +34,9 @@ object SparkEntry {
     "q_parse_regex_group"   -> (CoreQueries.parseRegexGroup _),
     "q_hourly_window"       -> (CoreQueries.hourlyWindow _),
     "q_location_parse"      -> (RentalQueries.locationParse _),
+    "q_clean_layer"         -> (RentalQueries.cleanLayer _),
+    "q_raw_profile"         -> (RentalQueries.rawProfile _),
+    "q_multivalue_explode"  -> (RentalQueries.multivalueExplode _),
     // LLM-data-pipeline operators
     "q_dedup_exact"         -> (PipelineQueries.dedupExact _),
     "q_minhash_lsh_pairs"   -> (PipelineQueries.minhashLshPairs _),
@@ -70,6 +73,9 @@ object SparkEntry {
     "q_parse_regex_group"   -> CoreQueries.parseRegexGroupSql,
     "q_hourly_window"       -> CoreQueries.hourlyWindowSql,
     "q_location_parse"      -> RentalQueries.locationParseSql,
+    "q_clean_layer"         -> RentalQueries.cleanLayerSql,
+    "q_raw_profile"         -> RentalQueries.rawProfileSql,
+    "q_multivalue_explode"  -> RentalQueries.multivalueExplodeSql,
     "q_dedup_exact"         -> PipelineQueries.dedupExactSql,
     "q_ann_lsh"             -> PipelineQueries.annLshSql,
     "q_minhash_lsh_pairs"   -> PipelineQueries.minhashLshPairsSql,

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.engine.{LocationParse, Tables}
+import graft.engine.{Clean, LocationParse, Tables}
 
 /** The reference's rental-ingest/clean pipeline operators as driver-contract
   * queries (SURVEY.md §2.2 P8-P12, §3 E1/E2).
@@ -67,4 +67,90 @@ object RentalQueries {
 
   val locationParseSql: String =
     LocationParse.duckDbParseSql(locationSrcSql, "id") + "\nORDER BY id"
+
+  // ---- raw CSV → clean layer (S1/P2/P3/P11/P12/F3) ------------------------
+
+  /** Committed rental-shaped raw CSV fixture (tools/gen_rental_csv.py). */
+  val rentalCsvPath: String =
+    sys.env.getOrElse("SPARK_GRAFT_RENTAL_CSV", "/root/repo/data/rental_raw.csv")
+
+  private val duckRaw =
+    s"read_csv('$rentalCsvPath', header=true, all_varchar=true)"
+
+  /** DuckDB twin of Parse.parseMoney over a sentinel-bearing raw column. */
+  private def duckMoney(c: String) =
+    s"TRY_CAST(NULLIF(replace(regexp_replace(NULLIF($c, 'brak informacji'), " +
+      s"'[^0-9,.\\-]', '', 'g'), ',', '.'), '') AS DOUBLE)"
+
+  /** E2 — the full load_and_clean pipeline (`analytics_otodom.py:14-51`)
+    * over the raw CSV: explicit all-string scan, sentinel → null, parse
+    * fan-out, IEEE ratio (`x/0 → Inf`, `0/0 → NaN`), then the reference's
+    * F3 filter (`test.py:26` — drops null AND NaN, keeps Inf). */
+  def cleanLayer(s: SparkSession, d: String): DataFrame =
+    Clean.clean(Clean.readRaw(s, rentalCsvPath))
+      .where(col("price_per_m2").isNotNull && !isnan(col("price_per_m2")))
+      .select(col("url"), col("title"), col("price_num"), col("rent_fee_num"),
+        col("deposit_num"), col("area_num"), col("rooms_num"),
+        round(col("price_per_m2"), 4).as("price_per_m2"),
+        date_format(col("scraped_at"), "yyyy-MM-dd HH:mm:ss").as("scraped_at"),
+        col("city"), col("district"))
+      .orderBy(col("url"))
+
+  val cleanLayerSql: String =
+    s"""WITH c AS (SELECT url, "tytuł" AS title,
+       |  ${duckMoney("\"miesięcznie\"")} AS price_num,
+       |  ${duckMoney("czynsz")} AS rent_fee_num,
+       |  ${duckMoney("kaucja")} AS deposit_num,
+       |  ${duckMoney("powierzchnia")} AS area_num,
+       |  TRY_CAST(NULLIF(regexp_extract(NULLIF("liczba pokoi", 'brak informacji'), '([0-9]+)', 1), '') AS DOUBLE) AS rooms_num,
+       |  strftime(try_strptime(NULLIF(data_pobrania, 'brak informacji'), '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS scraped_at,
+       |  NULLIF(miasto, 'brak informacji') AS city,
+       |  NULLIF(dzielnica, 'brak informacji') AS district
+       |  FROM $duckRaw),
+       |p AS (SELECT *, price_num * power(area_num, -1.0) AS ppm FROM c)
+       |SELECT url, title, price_num, rent_fee_num, deposit_num, area_num, rooms_num,
+       |       round(ppm, 4) AS price_per_m2, scraped_at, city, district
+       |FROM p WHERE ppm IS NOT NULL AND NOT isnan(ppm)
+       |ORDER BY url""".stripMargin
+
+  /** P11/P14/P17/F5/F6/P10 — raw-edge profile: sentinel counts,
+    * case-insensitive equality, substring predicates, bullet-split item
+    * count — one aggregation pass over the raw scan. */
+  def rawProfile(s: SparkSession, d: String): DataFrame =
+    Clean.readRaw(s, rentalCsvPath).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("miesięcznie") === Clean.Sentinel, 1L).otherwise(0L)).as("n_missing_price"),
+      sum(when(lower(col("typ ogłoszeniodawcy")) === "prywatny", 1L).otherwise(0L)).as("n_private"),
+      sum(when(col("url").contains("/pl/oferta/"), 1L).otherwise(0L)).as("n_offer_urls"),
+      sum(when(col("tytuł").startsWith("Mieszkanie"), 1L).otherwise(0L)).as("n_title_flat"),
+      sum(when(col("dostępne od") === "od zaraz", 1L).otherwise(0L)).as("n_available_now"),
+      sum(size(filter(split(col("informacje dodatkowe"), "[;,•·]"),
+        x => trim(x) =!= "" && trim(x) =!= Clean.Sentinel))).as("n_bullet_items"))
+
+  val rawProfileSql: String =
+    s"""SELECT count(*) AS n_rows,
+       |  sum(CASE WHEN "miesięcznie" = 'brak informacji' THEN 1 ELSE 0 END)::BIGINT AS n_missing_price,
+       |  sum(CASE WHEN lower("typ ogłoszeniodawcy") = 'prywatny' THEN 1 ELSE 0 END)::BIGINT AS n_private,
+       |  sum(CASE WHEN contains(url, '/pl/oferta/') THEN 1 ELSE 0 END)::BIGINT AS n_offer_urls,
+       |  sum(CASE WHEN starts_with("tytuł", 'Mieszkanie') THEN 1 ELSE 0 END)::BIGINT AS n_title_flat,
+       |  sum(CASE WHEN "dostępne od" = 'od zaraz' THEN 1 ELSE 0 END)::BIGINT AS n_available_now,
+       |  sum(len(list_filter(string_split_regex("informacje dodatkowe", '[;,•·]'),
+       |      x -> trim(x) <> '' AND trim(x) <> 'brak informacji')))::BIGINT AS n_bullet_items
+       |FROM $duckRaw""".stripMargin
+
+  /** P10 — multi-value `", "`-joined column → array → explode → counts
+    * (`main_otodom.py:165-208`). */
+  def multivalueExplode(s: SparkSession, d: String): DataFrame =
+    Clean.clean(Clean.readRaw(s, rentalCsvPath))
+      .select(explode(split(col("equipment"), ", ")).as("item"))
+      .where(trim(col("item")) =!= "")
+      .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("item"))
+
+  val multivalueExplodeSql: String =
+    s"""SELECT item, count(*) AS cnt FROM (
+       |  SELECT unnest(string_split(NULLIF("wyposażenie", 'brak informacji'), ', ')) AS item
+       |  FROM $duckRaw)
+       |WHERE trim(item) <> ''
+       |GROUP BY item ORDER BY cnt DESC, item""".stripMargin
 }
