@@ -29,6 +29,7 @@ object SparkEntry {
     "q_topk_semi_join"      -> (CoreQueries.topKSemiJoin _),
     "q_distinct_count"      -> (CoreQueries.distinctCount _),
     "q_window_rank"         -> (CoreQueries.windowRank _),
+    "q_district_breakdown"  -> (CoreQueries.districtBreakdown _),
     "q_pie_proportions"     -> (CoreQueries.pieProportions _),
     "q_parse_money_stats"   -> (CoreQueries.parseMoneyStats _),
     "q_parse_regex_group"   -> (CoreQueries.parseRegexGroup _),
@@ -68,6 +69,7 @@ object SparkEntry {
     "q_topk_semi_join"      -> CoreQueries.topKSemiJoinSql,
     "q_distinct_count"      -> CoreQueries.distinctCountSql,
     "q_window_rank"         -> CoreQueries.windowRankSql,
+    "q_district_breakdown"  -> CoreQueries.districtBreakdownSql,
     "q_pie_proportions"     -> CoreQueries.pieProportionsSql,
     "q_parse_money_stats"   -> CoreQueries.parseMoneyStatsSql,
     "q_parse_regex_group"   -> CoreQueries.parseRegexGroupSql,

@@ -251,6 +251,51 @@ object CoreQueries {
       |  GROUP BY n_regionkey, n_name)
       |WHERE rnk <= 3 ORDER BY n_regionkey, rnk, n_name""".stripMargin
 
+  /** E3/W2/F7 — the reference's per-city district report (`test.py:89-133`)
+    * collapsed from a 20-iteration driver loop into ONE plan: top-10 groups
+    * by row count (broadcast semi-join), per-(city, district)
+    * {count, exact median}, the whole-city median appended as a broadcast
+    * 1-row-per-city frame, and the ≥2-districts guard as a window count
+    * over the already-aggregated (tiny) frame.
+    *
+    * Scale: the fact table shuffles once per group-by; the top-k frame and
+    * the per-city medians are broadcast — the detail pass never repartitions
+    * for them. The window runs on |city × district| rows, not the corpus. */
+  def districtBreakdown(s: SparkSession, d: String): DataFrame = {
+    val cust = customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("city"), col("c_mktsegment").as("district"),
+        col("c_acctbal").as("v"))
+    val top = cust.groupBy(col("city")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("city").asc).limit(10).select("city")
+    val sel = cust.join(broadcast(top), Seq("city"), "left_semi")
+    val cityMed = sel.groupBy(col("city")).agg(median(col("v")).as("city_med_raw"))
+    val detail = sel.groupBy(col("city"), col("district"))
+      .agg(count(col("v")).as("n"), median(col("v")).as("med_raw"))
+    detail
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("city"))))
+      .where(col("nd") >= 2) // group-size guard (test.py:102)
+      .join(broadcast(cityMed), Seq("city"))
+      .select(col("city"), col("district"), col("n"),
+        round(col("med_raw"), 2).as("med"),
+        round(col("city_med_raw"), 2).as("city_med"))
+      .orderBy(col("city"), col("district"))
+  }
+
+  val districtBreakdownSql: String =
+    """WITH cust AS (SELECT n_name AS city, c_mktsegment AS district, c_acctbal AS v
+      |              FROM customer JOIN nation ON c_nationkey = n_nationkey),
+      |top AS (SELECT city FROM cust GROUP BY city ORDER BY count(*) DESC, city ASC LIMIT 10),
+      |sel AS (SELECT * FROM cust WHERE city IN (SELECT city FROM top)),
+      |cm AS (SELECT city, median(v) AS city_med_raw FROM sel GROUP BY city),
+      |det AS (SELECT city, district, count(v) AS n, median(v) AS med_raw
+      |        FROM sel GROUP BY city, district),
+      |g AS (SELECT *, count(*) OVER (PARTITION BY city) AS nd FROM det)
+      |SELECT g.city, district, n, round(med_raw, 2) AS med,
+      |       round(city_med_raw, 2) AS city_med
+      |FROM g JOIN cm ON g.city = cm.city WHERE nd >= 2
+      |ORDER BY g.city, district""".stripMargin
+
   /** A11 — pie-chart proportions: share of total via an unpartitioned window
     * sum over the (tiny) aggregated frame — the window runs on |groups| rows,
     * never on the fact table. */
