@@ -38,6 +38,7 @@ object SparkEntry {
     "q_clean_layer"         -> (RentalQueries.cleanLayer _),
     "q_raw_profile"         -> (RentalQueries.rawProfile _),
     "q_multivalue_explode"  -> (RentalQueries.multivalueExplode _),
+    "q_geojson_dim"         -> (RentalQueries.geojsonDim _),
     // LLM-data-pipeline operators
     "q_dedup_exact"         -> (PipelineQueries.dedupExact _),
     "q_minhash_lsh_pairs"   -> (PipelineQueries.minhashLshPairs _),
@@ -78,6 +79,7 @@ object SparkEntry {
     "q_clean_layer"         -> RentalQueries.cleanLayerSql,
     "q_raw_profile"         -> RentalQueries.rawProfileSql,
     "q_multivalue_explode"  -> RentalQueries.multivalueExplodeSql,
+    "q_geojson_dim"         -> RentalQueries.geojsonDimSql,
     "q_dedup_exact"         -> PipelineQueries.dedupExactSql,
     "q_ann_lsh"             -> PipelineQueries.annLshSql,
     "q_minhash_lsh_pairs"   -> PipelineQueries.minhashLshPairsSql,

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.engine.{Clean, LocationParse, Tables}
+import graft.engine.{Clean, LocationParse, Parse, Tables}
 
 /** The reference's rental-ingest/clean pipeline operators as driver-contract
   * queries (SURVEY.md §2.2 P8-P12, §3 E1/E2).
@@ -153,4 +153,52 @@ object RentalQueries {
        |  FROM $duckRaw)
        |WHERE trim(item) <> ''
        |GROUP BY item ORDER BY cnt DESC, item""".stripMargin
+
+  // ---- GeoJSON dimension (S5/P13/J1/A2) -----------------------------------
+
+  /** Committed voivodeship GeoJSON fixture (16 MultiPolygon features, shape
+    * of the reference's `poland.voivodeships.json`). */
+  val geojsonPath: String =
+    sys.env.getOrElse("SPARK_GRAFT_GEOJSON", "/root/repo/data/voivodeships.geojson")
+
+  /** S5/P13/J1 — the choropleth pipeline (`analytics_otodom.py:168-185`):
+    * multiLine GeoJSON scan, `explode(features)`, name normalization
+    * (strip "województwo" case-insensitively, trim, capitalize-FIRST — not
+    * `initcap`, which would break "Kujawsko-pomorskie"), then the 16-row
+    * dimension left-joins the per-voivodeship rent averages (A2: grouped
+    * mean, round 0, null keys dropped — pandas groupby parity). Both sides
+    * broadcast; unmatched voivodeships survive with null stats ("Brak
+    * danych" semantics). */
+  def geojsonDim(s: SparkSession, d: String): DataFrame = {
+    // (?iu): Java needs UNICODE_CASE on top of (?i) to fold Ó↔ó; DuckDB's
+    // RE2 folds unicode under plain (?i).
+    val normName = Parse.capitalizeFirst(
+      trim(regexp_replace(col("f.properties.name"), "(?iu)województwo", "")))
+    val geo = s.read.option("multiLine", "true").json(geojsonPath)
+      .select(explode(col("features")).as("f"))
+      .select(col("f.properties.terc").as("terc"), normName.as("wojewodztwo"))
+    val agg = Clean.clean(Clean.readRaw(s, rentalCsvPath))
+      .where(col("price_num").isNotNull && col("voivodeship").isNotNull)
+      .groupBy(Parse.capitalizeFirst(col("voivodeship")).as("wojewodztwo"))
+      .agg(round(avg(col("price_num")), 0).as("avg_price"), count(lit(1)).as("n"))
+    geo.join(broadcast(agg), Seq("wojewodztwo"), "left")
+      .select(col("terc"), col("wojewodztwo"), col("n"), col("avg_price"))
+      .orderBy(col("terc"))
+  }
+
+  val geojsonDimSql: String =
+    s"""WITH geo AS (
+       |  SELECT f.properties.terc AS terc,
+       |         upper(substr(trim(regexp_replace(f.properties.name, '(?i)województwo', '', 'g')), 1, 1)) ||
+       |         lower(substr(trim(regexp_replace(f.properties.name, '(?i)województwo', '', 'g')), 2)) AS wojewodztwo
+       |  FROM (SELECT unnest(features) AS f FROM read_json('$geojsonPath'))),
+       |agg AS (
+       |  SELECT upper(substr(v, 1, 1)) || lower(substr(v, 2)) AS wojewodztwo,
+       |         round(avg(p), 0) AS avg_price, count(*) AS n
+       |  FROM (SELECT NULLIF("województwo", 'brak informacji') AS v,
+       |               ${duckMoney("\"miesięcznie\"")} AS p FROM $duckRaw)
+       |  WHERE p IS NOT NULL AND v IS NOT NULL GROUP BY 1)
+       |SELECT terc, geo.wojewodztwo, n, avg_price
+       |FROM geo LEFT JOIN agg ON geo.wojewodztwo = agg.wojewodztwo
+       |ORDER BY terc""".stripMargin
 }
