@@ -93,5 +93,6 @@ object SparkEntry {
     "q_quality_scores"      -> PipelineQueries.qualityScoresSql,
     "q_fingerprints"        -> PipelineQueries.fingerprintsSql,
     "q_multimodal_meta"     -> PipelineQueries.multimodalMetaSql,
+    "q_multimodal_features" -> PipelineQueries.multimodalFeaturesSql,
   )
 }

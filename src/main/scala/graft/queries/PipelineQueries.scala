@@ -248,9 +248,23 @@ object PipelineQueries {
       |       min(md5(text)) AS min_md5
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
-  /** Stubbed decode / feature extraction — mapPartitions plumbing; not
-    * SQL-expressible (rows-only check), asserted in MultimodalSpec. */
+  /** Stubbed decode / feature extraction — real mapPartitions plumbing over
+    * a deterministic fake decoder; the oracle replays the stub byte-by-byte
+    * in DuckDB (hex expansion + list_sum), so even the stub path is
+    * hash-verified rather than rows-only. */
   def multimodalFeatures(s: SparkSession, d: String): DataFrame =
     Multimodal.extractFeatures(Multimodal.attachPayload(documents(s, d)))
       .toDF().orderBy(col("doc_id"))
+
+  val multimodalFeaturesSql: String =
+    """WITH h AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+      |                  octet_length(encode(text)) AS n FROM documents),
+      |s AS (SELECT doc_id, n,
+      |        coalesce(list_sum(list_transform(range(n),
+      |          i -> ('0x' || substr(hx, 2*i+1, 2))::BIGINT)), 0)::BIGINT AS bs,
+      |        substr(hx, 1, 8) AS head_hex
+      |      FROM h)
+      |SELECT doc_id, n::BIGINT AS n_bytes, bs AS byte_sum, head_hex,
+      |       (bs % 640)::INTEGER AS width, (bs % 480)::INTEGER AS height
+      |FROM s ORDER BY doc_id""".stripMargin
 }
