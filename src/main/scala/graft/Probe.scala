@@ -1,14 +1,11 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Scratch profiling main (not part of the driver contract). */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = graft.engine.Sessions.local("32", "graft-probe")
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
     def time(name: String)(f: => Long): Unit = {

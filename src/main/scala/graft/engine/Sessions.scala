@@ -1,0 +1,28 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** One place that builds the engine's local SparkSession, so session-scoped
+  * config is set exactly once at construction instead of mutated mid-query.
+  *
+  * `spark.sql.legacy.parquet.nanosAsLong` lives here (not in a reader — see
+  * [[Tables.events]]): the fixture's `events.ts` is parquet TIMESTAMP(NANOS),
+  * which has no per-read option, and flipping the session conf inside a
+  * reader would leak the setting into every later query and race under
+  * concurrent use. UTC pins `date_format`/`window` output so results are
+  * reproducible against the DuckDB oracle regardless of host timezone.
+  */
+object Sessions {
+  def local(cpus: String, appName: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

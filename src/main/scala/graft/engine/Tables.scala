@@ -24,14 +24,14 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's schema converter
-    * rejects (SPARK-40819). Read it as a raw nanosecond long and convert to
-    * microsecond precision here, so downstream plans see a normal
-    * `TimestampType` column. Integer `div` avoids the double-precision loss
-    * a plain `/` would introduce on ~1.7e18 nanosecond epochs. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * rejects (SPARK-40819). The session must be built with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[Sessions.local]]) so
+    * the scan yields a raw nanosecond long, converted to microsecond
+    * precision here — downstream plans see a normal `TimestampType` column.
+    * Integer `div` avoids the double-precision loss a plain `/` would
+    * introduce on ~1.7e18 nanosecond epochs. */
+  def events(s: SparkSession, d: String): DataFrame =
     table(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+
+/** Structured Streaming twins (SURVEY §2.9): incremental results must agree
+  * with the batch plans over the same rows, and watermark semantics must hold
+  * (finalize-once in append mode, late data dropped). */
+class EventStreamsSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+  private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(s: String): Timestamp = Timestamp.from(Instant.parse(s))
+
+  test("hourly window stream (complete mode) equals batch groupBy on same rows") {
+    val in = MemoryStream[(Timestamp, Double)]
+    val q = EventStreams.hourlyWindowStream(in.toDF().toDF("ts", "value"), "10 minutes")
+      .writeStream.outputMode("complete").format("memory").queryName("hw_complete").start()
+    in.addData(
+      (ts("2026-01-01T10:05:00Z"), 1.0),
+      (ts("2026-01-01T10:55:00Z"), 2.5),
+      (ts("2026-01-01T11:05:00Z"), 4.0))
+    q.processAllAvailable()
+    val got = spark.table("hw_complete").orderBy("hour_start")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("2026-01-01 10:00:00", 2L, 3.5),
+      ("2026-01-01 11:00:00", 1L, 4.0)))
+    q.stop()
+  }
+
+  test("append mode: window emitted once after watermark passes; late row dropped") {
+    val in = MemoryStream[(Timestamp, Double)]
+    val q = EventStreams.hourlyWindowStream(in.toDF().toDF("ts", "value"), "30 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("hw_append").start()
+    // Rows inside the 10:00 window — not yet emitted (watermark hasn't passed 11:00).
+    in.addData((ts("2026-01-01T10:05:00Z"), 1.0), (ts("2026-01-01T10:20:00Z"), 2.0))
+    q.processAllAvailable()
+    assert(spark.table("hw_append").count() == 0)
+    // Event at 12:00 pushes the watermark to 11:30 > 11:00 — 10:00 window finalizes.
+    in.addData((ts("2026-01-01T12:00:00Z"), 9.0))
+    q.processAllAvailable()
+    val emitted = spark.table("hw_append").as[(String, Long, Double)].collect().toSeq
+    assert(emitted == Seq(("2026-01-01 10:00:00", 2L, 3.0)))
+    // A late row for the already-finalized window is dropped, not re-emitted.
+    in.addData((ts("2026-01-01T10:40:00Z"), 7.0))
+    q.processAllAvailable()
+    assert(spark.table("hw_append").count() == 1)
+    q.stop()
+  }
+
+  test("runningTotals: per-key state accumulates across micro-batches") {
+    val in = MemoryStream[(String, Double)]
+    val q = EventStreams.runningTotals(in.toDS())
+      .toDF("event_type", "n", "total")
+      .writeStream.outputMode("update").format("memory").queryName("rt").start()
+    in.addData(("a", 1.0), ("a", 2.0), ("b", 5.0))
+    q.processAllAvailable()
+    in.addData(("a", 3.0))
+    q.processAllAvailable()
+    // update mode appends each batch's changed rows; the LAST row per key is
+    // the current state.
+    val last = spark.table("rt").as[(String, Long, Double)].collect()
+      .zipWithIndex.groupBy(_._1._1).map { case (k, rs) => k -> rs.maxBy(_._2)._1 }
+    assert(last("a") == (("a", 3L, 6.0)))
+    assert(last("b") == (("b", 1L, 5.0)))
+    q.stop()
+  }
+
+  test("file stream over the events fixture equals the batch hourlyWindow") {
+    val d = "/root/testdata/sf0.001"
+    // Glob (not a bare file path): FileStreamSource requires basePath to be
+    // a directory, and a glob's parent resolves as the base.
+    EventStreams.runHourlyOnce(spark, s"$d/events*.parquet", "hw_file")
+    val streamed = spark.table("hw_file").orderBy("hour_start")
+      .as[(String, Long, Double)].collect().toSeq
+    val batch = graft.queries.CoreQueries.hourlyWindow(spark, d)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(streamed == batch)
+  }
+}

@@ -5,13 +5,7 @@ import org.apache.spark.sql.SparkSession
 /** One shared local session for the whole ScalaTest run (cheap suites). */
 object SparkTestSession {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val s = graft.engine.Sessions.local("4", "graft-test")
     s.sparkContext.setLogLevel("ERROR")
     s
   }
