@@ -15,7 +15,7 @@ object Probe {
     val docs = graft.engine.Tables.documents(spark, d).cache()
     docs.count()
     time("warm")(docs.count())
-    time("shingleSet")(docs.select(explode(graft.ops.TextOps.shingleSet(col("text"), 3))).count())
+    time("shingleSet")(graft.ops.Dedup.shingleSets(docs).select(explode(col("sh"))).count())
     val sig = graft.ops.Dedup.minhashSignatures(docs)
     time("signatures")(sig.count())
     val bands = graft.ops.Dedup.lshBandKeys(sig, 16, 2)

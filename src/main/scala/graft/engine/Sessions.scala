@@ -20,6 +20,16 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // InferFiltersFromGenerate synthesizes `size(e)>0 AND isnotnull(e)`
+      // below every explode; predicate pushdown then re-inlines the full
+      // array-producing expression (for shingle sets: a dozen regex splits,
+      // some inside lambdas where codegen cannot eliminate them) into that
+      // filter, roughly doubling every explode-heavy stage (measured 2× on
+      // MinHash shingling). Our generators never feed empty/null arrays
+      // (TextOps.shingleSetFromWords guarantees ≥1 element), so the rule
+      // only costs.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -77,11 +77,17 @@ object Dedup {
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** (doc_id, sh) shingle-set frame. Two projections on purpose: the words
+    * array materializes once per row before the shingle `transform` touches
+    * it — see [[TextOps.shingleSetFromWords]] for why inlining the split
+    * into the lambda is O(words²) per document. */
+  def shingleSets(docs: DataFrame, shingleN: Int = 3): DataFrame =
+    docs.select(col("doc_id"), TextOps.words(col("text")).as("w"))
+      .select(col("doc_id"), TextOps.shingleSetFromWords(col("w"), shingleN).as("sh"))
+
   /** MinHash signatures straight from documents (shingles computed inline). */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 16, shingleN: Int = 3): DataFrame =
-    minhashSignaturesFromSets(
-      docs.select(col("doc_id"), TextOps.shingleSet(col("text"), shingleN).as("sh")),
-      numHashes)
+    minhashSignaturesFromSets(shingleSets(docs, shingleN), numHashes)
 
   /** LSH band keys: md5 over the comma-joined row hashes of each band.
     * One output row per (doc, band). */
@@ -123,8 +129,7 @@ object Dedup {
     * comparison is linear in |candidates|. */
   def nearDupPairs(docs: DataFrame, threshold: Double, numHashes: Int = 16,
                    bandRows: Int = 2, shingleN: Int = 3): DataFrame = {
-    val sets = docs.select(col("doc_id"), TextOps.shingleSet(col("text"), shingleN).as("sh"))
-      .persist()
+    val sets = shingleSets(docs, shingleN).persist()
     lshCandidatePairsFromSigs(minhashSignaturesFromSets(sets, numHashes), numHashes, bandRows)
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
@@ -136,7 +141,7 @@ object Dedup {
     * Quadratic — only for verification scale / bounded id ranges; the LSH
     * path is the 100 TB answer. */
   def allPairsJaccard(docs: DataFrame, threshold: Double, shingleN: Int = 3): DataFrame = {
-    val sets = docs.select(col("doc_id"), TextOps.shingleSet(col("text"), shingleN).as("sh"))
+    val sets = shingleSets(docs, shingleN)
     val a = sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     a.join(b, col("doc_a") < col("doc_b"))

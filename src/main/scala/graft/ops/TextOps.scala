@@ -25,18 +25,24 @@ object TextOps {
         i => concat_ws(" ", (0 until n).map(k => element_at(w, i + lit(k))): _*)))
       .otherwise(array().cast("array<string>"))
 
-  /** Distinct word n-gram shingle set for Jaccard/MinHash.
+  /** Distinct word n-gram shingle set from a PRE-MATERIALIZED words array.
     *
     * Documents with fewer than n words fall back to ONE whole-text shingle
     * (the space-joined word list) instead of an empty set — otherwise short
     * docs produce no signature rows and silently vanish from the LSH dedup
     * path (even byte-identical ones could never be flagged). DuckDB mirror:
-    * `CASE WHEN len(w) >= n THEN ... ELSE [array_to_string(w, ' ')] END`. */
-  def shingleSet(text: Column, n: Int): Column = {
-    val w = words(text)
+    * `CASE WHEN len(w) >= n THEN ... ELSE [array_to_string(w, ' ')] END`.
+    *
+    * `w` MUST be a materialized column (its own projection), not the raw
+    * `words(text)` expression: Catalyst does not eliminate common
+    * subexpressions across a lambda boundary, so an inlined regex split
+    * re-executes inside every `element_at` of the `transform` — O(words²)
+    * per document (measured 24 s → 1 s on 5k docs at sf0.1). CollapseProject
+    * keeps the two projections separate because the array is referenced many
+    * times and `split` is not a cheap expression. */
+  def shingleSetFromWords(w: Column, n: Int): Column =
     when(size(w) >= n, array_distinct(shingles(w, n)))
       .otherwise(array(concat_ws(" ", w)))
-  }
 
   /** Jaccard similarity of two pre-distinct string arrays:
     * |a ∩ b| / |a ∪ b| (sizes only — element order never matters). */

@@ -19,7 +19,7 @@ class DedupSpec extends AnyFunSuite {
   ).toDF("doc_id", "text")
 
   test("shingles: word 3-grams, whole-text fallback below 3 words") {
-    val sh = docs.select(col("doc_id"), TextOps.shingleSet(col("text"), 3).as("s"))
+    val sh = Dedup.shingleSets(docs, 3).select(col("doc_id"), col("sh").as("s"))
       .as[(Long, Seq[String])].collect().toMap
     assert(sh(0L).head === "the quick brown")
     assert(sh(0L).size === 7)
