@@ -38,6 +38,7 @@ object SparkEntry {
     "q_clean_layer"         -> (RentalQueries.cleanLayer _),
     "q_raw_profile"         -> (RentalQueries.rawProfile _),
     "q_multivalue_explode"  -> (RentalQueries.multivalueExplode _),
+    "q_city_slice"          -> (RentalQueries.citySlice _),
     "q_geojson_dim"         -> (RentalQueries.geojsonDim _),
     // LLM-data-pipeline operators
     "q_dedup_exact"         -> (PipelineQueries.dedupExact _),
@@ -79,6 +80,7 @@ object SparkEntry {
     "q_clean_layer"         -> RentalQueries.cleanLayerSql,
     "q_raw_profile"         -> RentalQueries.rawProfileSql,
     "q_multivalue_explode"  -> RentalQueries.multivalueExplodeSql,
+    "q_city_slice"          -> RentalQueries.citySliceSql,
     "q_geojson_dim"         -> RentalQueries.geojsonDimSql,
     "q_dedup_exact"         -> PipelineQueries.dedupExactSql,
     "q_ann_lsh"             -> PipelineQueries.annLshSql,

@@ -81,6 +81,19 @@ object Clean {
       .withColumn("scraped_at", Parse.parseTimestamp(col("scrape_date")))
   }
 
+  /** F6/A12 — case-insensitive city slice with the reference's
+    * raise-if-empty guard (`analytics_otodom.py:232-234`: lowercase match,
+    * then `subset.empty` → raise). The guard is `isEmpty` (a `limit(1)`
+    * job underneath) — it stops at the first matching row, never a full
+    * count, so at 100 TB the check costs one scan-until-hit, and the
+    * filter itself pushes down to the scan. */
+  def citySlice(df: DataFrame, city: String): DataFrame = {
+    val slice = df.where(
+      lower(col("city")) === city.toLowerCase(java.util.Locale.ROOT))
+    require(!slice.isEmpty, s"no listings for city '$city'")
+    slice
+  }
+
   /** S2/P11 — the CSV write edge: nulls become the sentinel again
     * (`main_otodom.py:244-286`); header, overwrite. Only string columns are
     * filled — numeric/timestamp stay typed until serialization. */

@@ -154,6 +154,23 @@ object RentalQueries {
        |WHERE trim(item) <> ''
        |GROUP BY item ORDER BY cnt DESC, item""".stripMargin
 
+  /** F6/A12 — per-district stats for one case-insensitively matched city
+    * (`analytics_otodom.py:229-241`): the slice guard raises on an empty
+    * match; the query side is a plain grouped aggregate over the slice.
+    * "WROCŁAW" exercises the unicode case fold (Ł↔ł). */
+  def citySlice(s: SparkSession, d: String): DataFrame =
+    Clean.citySlice(Clean.clean(Clean.readRaw(s, rentalCsvPath)), "WROCŁAW")
+      .groupBy(coalesce(col("district"), lit("(brak)")).as("district"))
+      .agg(count(lit(1)).as("n"), round(avg(col("price_num")), 2).as("avg_price"))
+      .orderBy(col("district"))
+
+  val citySliceSql: String =
+    s"""SELECT coalesce(NULLIF(dzielnica, 'brak informacji'), '(brak)') AS district,
+       |       count(*) AS n,
+       |       round(avg(${duckMoney("\"miesięcznie\"")}), 2) AS avg_price
+       |FROM $duckRaw WHERE lower(miasto) = lower('WROCŁAW')
+       |GROUP BY district ORDER BY district""".stripMargin
+
   // ---- GeoJSON dimension (S5/P13/J1/A2) -----------------------------------
 
   /** Committed voivodeship GeoJSON fixture (16 MultiPolygon features, shape

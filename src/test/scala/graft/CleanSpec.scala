@@ -63,4 +63,12 @@ class CleanSpec extends AnyFunSuite {
       cleaned.where(col("city").isNull).count())
     assert(back.count() === cleaned.count())
   }
+
+  test("city slice: case-insensitive match (unicode fold), empty raises (F6/A12)") {
+    val hit = Clean.citySlice(cleaned, "wArSzAwA")
+    assert(hit.count() === 8)
+    assert(hit.select("city").distinct().collect().map(_.getString(0)).toSeq === Seq("Warszawa"))
+    val e = intercept[IllegalArgumentException](Clean.citySlice(cleaned, "Atlantyda"))
+    assert(e.getMessage.contains("Atlantyda"))
+  }
 }
