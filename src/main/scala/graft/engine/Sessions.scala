@@ -20,6 +20,7 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // InferFiltersFromGenerate synthesizes `size(e)>0 AND isnotnull(e)`
       // below every explode; predicate pushdown then re-inlines the full
       // array-producing expression (for shingle sets: a dozen regex splits,

@@ -1,0 +1,19 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** `spark.sql.extensions=graft.functions.GraftExtensions` registers the
+  * engine's native expressions with the SQL function registry, so
+  * `spark.sql("SELECT graft_dot(a, b) ...")` and `expr("graft_dot(...)")`
+  * resolve. DataFrame callers don't need the registry —
+  * [[DotProduct.dot]] builds the Column directly. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+  }
+}

@@ -14,21 +14,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Fused dot product of two float arrays as a deterministic sequential
-    * double fold — bit-compatible with DuckDB
-    * `list_dot_product(a::DOUBLE[], b::DOUBLE[])`.
-    *
-    * A UDF (not `zip_with`+`aggregate`): higher-order expressions allocate an
-    * intermediate array and interpret two lambdas per element, which at 2M+
-    * pairs dominates the runtime; the fused loop is ~10× faster and keeps the
-    * identical left-to-right summation order the oracle replays. */
-  private val dotU = udf { (a: Seq[Float], b: Seq[Float]) =>
-    var s = 0.0
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-    s
-  }
+  /** Fused dot product — the native codegen expression
+    * [[graft.functions.DotProduct]]: a primitive loop over the two
+    * ArrayDatas, zero allocation, fused into whole-stage codegen.
+    * Deterministic left-to-right double fold, bit-compatible with DuckDB
+    * `list_dot_product(a::DOUBLE[], b::DOUBLE[])`. Replaced both a boxing
+    * Scala UDF (Seq[Float] conversion per call) and `zip_with`+`aggregate`
+    * chains (two interpreted lambdas per element). */
+  private def dotU(a: Column, b: Column): Column =
+    graft.functions.DotProduct.dot(a, b)
 
   /** sqrt(v·v) — precompute ONCE per vector before any pairwise op. */
   def norm(v: Column): Column = sqrt(dotU(v, v))
@@ -70,18 +64,18 @@ object Similarity {
     }.mkString("(VALUES ", ", ", ") planes(j, p)")
 
   /** Sign-bit bucket from an explicit plane subset: bit j set iff v·pⱼ > 0.
-    * The dot is a sequential left-to-right fold, matching DuckDB
-    * `list_dot_product` term order. */
+    * Each dot is the native [[graft.functions.DotProduct]] loop — a
+    * sequential left-to-right fold matching DuckDB `list_dot_product` term
+    * order — so bucketing a vector against b·L planes stays inside one
+    * codegen stage with no per-plane array allocation. */
   private def bucketFromPlanes(vd: Column, ps: Seq[Array[Double]]): Column =
     ps.zipWithIndex.map { case (p, j) =>
-      val dot = aggregate(zip_with(vd, typedlit(p.toSeq), (x, y) => x * y),
-        lit(0.0), (a, b) => a + b)
-      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+      when(dotU(vd, typedlit(p.toSeq)) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Sign-bit LSH bucket id for an embedding column. */
   def lshBucket(v: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column =
-    bucketFromPlanes(v.cast("array<double>"), planes(nPlanes, dim, seed))
+    bucketFromPlanes(v, planes(nPlanes, dim, seed))
 
   /** ANN top-k via banded hyperplane LSH: `lTables` independent tables of
     * `bBits` sign bits; a vector is a candidate iff it shares at least one
@@ -100,7 +94,7 @@ object Similarity {
   def lshTopK(emb: DataFrame, queryId: Long, k: Int, bBits: Int = 4,
               lTables: Int = 16, dim: Int = 64, seed: Long = 42L): DataFrame = {
     val ps = planes(bBits * lTables, dim, seed)
-    val vd = col("embedding").cast("array<double>")
+    val vd = col("embedding") // raw floats: DotProduct widens each element exactly
     val tables = (0 until lTables).map { t =>
       struct(lit(t).as("t"),
         bucketFromPlanes(vd, ps.slice(t * bBits, (t + 1) * bBits)).as("key"))
@@ -159,7 +153,7 @@ object Similarity {
                          lTables: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
     val ps = planes(bBits * lTables, dim, seed)
     val e = emb.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    val vd = col("embedding").cast("array<double>")
+    val vd = col("embedding") // raw floats: DotProduct widens each element exactly
     val tables = (0 until lTables).map { t =>
       struct(lit(t).as("t"),
         bucketFromPlanes(vd, ps.slice(t * bBits, (t + 1) * bBits)).as("key"))
