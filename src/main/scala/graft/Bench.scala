@@ -30,6 +30,12 @@ object Bench {
     val results = SparkEntry.queries.toSeq
       .filterNot { case (name, _) => excludedBaselines(name) }
       .map { case (name, fn) =>
+        // Queries persist intermediates (LSH band keys, shingle sets) and
+        // Spark's cache manager matches plan SUBTREES across queries — so
+        // without a clear, a later query can silently reuse an earlier
+        // query's cache and bench 10× faster than its cold plan. Clear
+        // between queries: each timing is the query's own cost.
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         name -> (System.nanoTime() - t0) / 1e9

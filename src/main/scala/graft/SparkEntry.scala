@@ -46,6 +46,7 @@ object SparkEntry {
     "q_minhash_near_dups"   -> (PipelineQueries.minhashNearDups _),
     "q_jaccard_all_pairs"   -> (PipelineQueries.jaccardAllPairs _),
     "q_simhash_stats"       -> (PipelineQueries.simhashStats _),
+    "q_simhash_near_dups"   -> (PipelineQueries.simhashNearDups _),
     "q_ann_brute_force"     -> (PipelineQueries.annBruteForce _),
     "q_ann_lsh"             -> (PipelineQueries.annLsh _),
     "q_embedding_near_dups" -> (PipelineQueries.embeddingNearDups _),
@@ -88,6 +89,7 @@ object SparkEntry {
     "q_minhash_near_dups"   -> PipelineQueries.minhashNearDupsSql,
     "q_jaccard_all_pairs"   -> PipelineQueries.jaccardAllPairsSql,
     "q_simhash_stats"       -> PipelineQueries.simhashStatsSql,
+    "q_simhash_near_dups"   -> PipelineQueries.simhashNearDupsSql,
     "q_ann_brute_force"     -> PipelineQueries.annBruteForceSql,
     "q_embedding_near_dups" -> PipelineQueries.embeddingNearDupsSql,
     "q_token_stats"         -> PipelineQueries.tokenStatsSql,

@@ -15,8 +15,13 @@ import graft.engine.{Parse, Tables}
   *  - every output is totally ordered (explicit tie-breaks) so the driver's
   *    hash compare is stable;
   *  - floating aggregates are `round`ed at the output edge only, with the
-  *    identical arithmetic in the oracle SQL, so summation-order ulp noise
-  *    cannot flip a hash;
+  *    identical arithmetic in the oracle SQL. This absorbs summation-order
+  *    ulp noise in practice but is not a proof: Spark's partial aggregation
+  *    is order-nondeterministic while DuckDB folds left-to-right, so a sum
+  *    landing exactly on a round-half boundary could still flip the last
+  *    digit at some scale. Accepted as a known small flake risk — the
+  *    alternative (decimal-cast sums on Verify paths) would change the
+  *    engine's arithmetic just to please the harness;
   *  - dimension tables and scalar aggregate frames join via `broadcast()` —
   *    no shuffle of the fact side for bounds/top-k/dim joins. At 100 TB the
   *    fact table never repartitions for these; the only shuffles left are

@@ -91,16 +91,39 @@ object PipelineQueries {
         countDistinct(col("simhash")).as("n_distinct"),
         round(avg(bit_count(col("simhash"))), 4).as("avg_bits"))
 
-  val simhashStatsSql: String =
-    """WITH wh AS (SELECT doc_id,
+  /** DuckDB replay of [[Dedup.simhash]] (shared by the stats and near-dup
+    * oracles): per-word 60-bit md5 hash, per-bit signed majority vote. */
+  private val duckSimhashCtes: String =
+    """wh AS (SELECT doc_id,
       |              ('0x' || substr(md5(unnest(string_split_regex(lower(trim(text)), '\s+'))), 1, 15))::BIGINT AS h
       |            FROM documents),
       |votes AS (SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
       |          FROM wh, range(60) t(j) GROUP BY doc_id, j),
       |sh AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
-      |       FROM votes GROUP BY doc_id)
+      |       FROM votes GROUP BY doc_id)""".stripMargin
+
+  val simhashStatsSql: String =
+    s"""WITH $duckSimhashCtes
       |SELECT count(*) AS n_docs, count(DISTINCT simhash) AS n_distinct,
       |       round(avg(bit_count(simhash)), 4) AS avg_bits FROM sh""".stripMargin
+
+  /** SimHash near-dup pairs via banded hamming (pigeonhole: distance ≤ 3
+    * with 4 bands ⇒ at least one identical 15-bit chunk, so the chunk
+    * equi-join finds every such pair — never an all-pairs compare). */
+  def simhashNearDups(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashNearDups(documents(s, d), maxHamming = 3, bands = 4)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val simhashNearDupsSql: String =
+    s"""WITH $duckSimhashCtes,
+       |bk AS (SELECT doc_id, simhash, b, (simhash >> (b * 15)) & 32767 AS key
+       |       FROM sh, range(4) t(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |                bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |         FROM bk a JOIN bk b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming::BIGINT AS hamming FROM cand
+       |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
 
   // ---- similarity search ---------------------------------------------------
 
