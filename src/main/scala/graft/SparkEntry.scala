@@ -49,6 +49,7 @@ object SparkEntry {
     "q_simhash_near_dups"   -> (PipelineQueries.simhashNearDups _),
     "q_ann_brute_force"     -> (PipelineQueries.annBruteForce _),
     "q_ann_lsh"             -> (PipelineQueries.annLsh _),
+    "q_ann_ivf"             -> (PipelineQueries.annIvf _),
     "q_embedding_near_dups" -> (PipelineQueries.embeddingNearDups _),
     "q_token_stats"         -> (PipelineQueries.tokenStats _),
     "q_lang_id_counts"      -> (PipelineQueries.langIdCounts _),
@@ -85,6 +86,7 @@ object SparkEntry {
     "q_geojson_dim"         -> RentalQueries.geojsonDimSql,
     "q_dedup_exact"         -> PipelineQueries.dedupExactSql,
     "q_ann_lsh"             -> PipelineQueries.annLshSql,
+    "q_ann_ivf"             -> PipelineQueries.annIvfSql,
     "q_minhash_lsh_pairs"   -> PipelineQueries.minhashLshPairsSql,
     "q_minhash_near_dups"   -> PipelineQueries.minhashNearDupsSql,
     "q_jaccard_all_pairs"   -> PipelineQueries.jaccardAllPairsSql,

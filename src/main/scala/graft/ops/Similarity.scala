@@ -116,6 +116,52 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-style ANN top-k: a coarse quantizer partitions the corpus into
+    * `nCells` inverted lists; a query probes only the `nProbe` cells whose
+    * centroids are nearest, then exact-re-ranks their members.
+    *
+    * The coarse centroids here are the first `nCells` corpus vectors —
+    * deterministic, so the DuckDB oracle replays cell assignment exactly. In
+    * production the centroids come from an offline k-means job; everything
+    * downstream (assignment, probing, re-rank) is identical, which is the
+    * part whose scale shape matters:
+    *  - assignment is one broadcast of the tiny centroid table against the
+    *    corpus, reduced map-side via `max_by` partial aggregation — the only
+    *    shuffle carries (vec_id, cell), two longs per vector, and at scale
+    *    the inverted lists are precomputed and written bucketed by cell;
+    *  - a query touches ~`nProbe/nCells` of the corpus instead of all of it,
+    *    and the exact re-rank touches only those members.
+    * Unlike sign-LSH (whose recall collapses on near-uniform corpora), IVF
+    * recall depends on how well cells approximate the data's clustering —
+    * the two are complementary, which is why both are first-class here. */
+  def ivfTopK(emb: DataFrame, queryId: Long, k: Int, nCells: Int = 16,
+              nProbe: Int = 4): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val cent = e.where(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"), col("nrm").as("cn"))
+    val scored = e.join(broadcast(cent))
+      .select(col("vec_id"), col("cell"),
+        (dotU(col("embedding"), col("cv")) / (col("nrm") * col("cn"))).as("ccos"))
+    // argmax per vector WITHOUT a window (no full sort): max_by over the
+    // (ccos, -cell) struct — partial-aggregated map-side, ties to min cell.
+    val cells = scored.groupBy(col("vec_id"))
+      .agg(max_by(col("cell"), struct(col("ccos"), -col("cell"))).as("cell"))
+    val probes = scored.where(col("vec_id") === queryId)
+      .orderBy(col("ccos").desc, col("cell").asc).limit(nProbe)
+      .select(col("cell"))
+    val candIds = cells.join(broadcast(probes), Seq("cell"), "left_semi")
+      .where(col("vec_id") =!= queryId)
+      .select(col("vec_id"))
+    val q = e.where(col("vec_id") === queryId)
+      .select(col("embedding").as("qv"), col("nrm").as("qn"))
+    e.join(candIds, Seq("vec_id"), "left_semi")
+      .join(broadcast(q))
+      .select(col("vec_id"),
+        round(dotU(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Embedding-space near-duplicate pairs above a cosine threshold —
     * exact all-pairs BASELINE. Quadratic by construction; kept only as the
     * verification yardstick for [[bandedNearDupPairs]] in SimilaritySpec.

@@ -164,6 +164,29 @@ object PipelineQueries {
        |FROM e JOIN cand ON e.vec_id = cand.vec_id, q
        |ORDER BY cos DESC, e.vec_id ASC LIMIT 10""".stripMargin
 
+  /** IVF-style ANN — inverted-list probe + exact re-rank; centroids are the
+    * first 16 corpus vectors (deterministic), so the oracle replays the
+    * full assignment/probe/re-rank pipeline exactly. */
+  def annIvf(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfTopK(embeddings(s, d), queryId = 0L, k = 10)
+
+  val annIvfSql: String =
+    s"""WITH $duckNormed,
+       |cent AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM e WHERE vec_id < 16),
+       |asg AS (SELECT e.vec_id, cent.cell,
+       |               list_dot_product(e.v, cent.cv) / (e.nrm * cent.cn) AS ccos
+       |        FROM e CROSS JOIN cent),
+       |cells AS (SELECT vec_id, cell FROM asg
+       |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) = 1),
+       |probes AS (SELECT cell FROM asg WHERE vec_id = 0
+       |           QUALIFY row_number() OVER (ORDER BY ccos DESC, cell ASC) <= 4),
+       |cand AS (SELECT vec_id FROM cells
+       |         WHERE cell IN (SELECT cell FROM probes) AND vec_id != 0),
+       |q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 0)
+       |SELECT e.vec_id, round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 4) AS cos
+       |FROM e JOIN cand ON e.vec_id = cand.vec_id, q
+       |ORDER BY cos DESC, e.vec_id ASC LIMIT 10""".stripMargin
+
   /** Production near-dup pairs: banded LSH candidates + exact re-rank
     * (replaces the O(n²) all-pairs theta join; identical plane constants
     * replayed in the oracle). */

@@ -41,6 +41,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.7, s"recall=$recall") // measured 0.9 at sf0.001/sf0.01
   }
 
+  test("IVF top-k: probed-cell candidates, sane recall vs brute force") {
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    val exact = Similarity.bruteForceTopK(emb, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val approx = Similarity.ivfTopK(emb, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(approx.size === 10)
+    assert(!approx.contains(0L))
+    // nProbe/nCells = 1/4 of the corpus scanned; on a near-uniform corpus
+    // expected recall ≈ coverage, so demand clearly-above-chance.
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall=$recall")
+  }
+
   test("banded near-dups: non-empty strict subset machinery of all-pairs") {
     val emb = graft.engine.Tables.embeddings(spark, sf)
     val all = Similarity.embeddingNearDupPairs(emb, 0.4, Long.MaxValue)
