@@ -57,6 +57,7 @@ object SparkEntry {
     "q_fingerprints"        -> (PipelineQueries.fingerprints _),
     "q_multimodal_meta"     -> (PipelineQueries.multimodalMeta _),
     "q_multimodal_features" -> (PipelineQueries.multimodalFeatures _),
+    "q_multimodal_frames"   -> (PipelineQueries.multimodalFrames _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -100,5 +101,6 @@ object SparkEntry {
     "q_fingerprints"        -> PipelineQueries.fingerprintsSql,
     "q_multimodal_meta"     -> PipelineQueries.multimodalMetaSql,
     "q_multimodal_features" -> PipelineQueries.multimodalFeaturesSql,
+    "q_multimodal_frames"   -> PipelineQueries.multimodalFramesSql,
   )
 }

@@ -7,6 +7,9 @@ import org.apache.spark.sql.functions._
 case class MediaFeatures(doc_id: Long, n_bytes: Long, byte_sum: Long,
                          head_hex: String, width: Int, height: Int)
 
+/** One sampled frame of a (fake) video payload. */
+case class Frame(doc_id: Long, frame_idx: Long, n_bytes: Long, frame_md5: String)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, and a per-partition decode/feature-extract pass.
   *
@@ -54,6 +57,42 @@ object Multimodal {
           val head = bytes.take(4).map(b => f"$b%02x").mkString
           MediaFeatures(id, bytes.length.toLong, sum, head,
             width = (sum % 640).toInt, height = (sum % 480).toInt)
+        }
+      }
+  }
+
+  /** Frame sampling over a binary payload: the payload is treated as a
+    * sequence of `frameBytes`-byte frames; every `stride`-th frame is
+    * "decoded" (STUB: fingerprinted) and emitted — the 1→N row shape of real
+    * video frame extraction, with the decoder state (here a MessageDigest; in
+    * production the codec context) initialized ONCE per partition.
+    *
+    * Frames are defined on the lowercase-hex encoding of the bytes so the
+    * DuckDB oracle can replay the identical slicing byte-exactly
+    * (DuckDB 1.0 cannot slice BLOBs; hex is ASCII, so character slicing ==
+    * byte slicing × 2). At 100 TB the frame explosion multiplies rows, not
+    * payload reads — each payload is read once, and output partitions should
+    * be re-sized downstream (`repartition`) if frames feed a shuffle. */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 256,
+                   stride: Int = 2): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hexPerFrame = frameBytes * 2
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition decoder init (real codec context goes here)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { case (id, bytes) =>
+          val hx = bytes.map(b => f"$b%02x").mkString
+          val nFrames = (hx.length + hexPerFrame - 1) / hexPerFrame
+          (0 until nFrames).iterator.collect { case i if i % stride == 0 =>
+            val s = hx.substring(i * hexPerFrame,
+              math.min((i + 1) * hexPerFrame, hx.length))
+            md.reset()
+            val h = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+            Frame(id, i.toLong, (s.length / 2).toLong, h)
+          }
         }
       }
   }

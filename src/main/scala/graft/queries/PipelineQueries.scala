@@ -313,4 +313,23 @@ object PipelineQueries {
       |SELECT doc_id, n::BIGINT AS n_bytes, bs AS byte_sum, head_hex,
       |       (bs % 640)::INTEGER AS width, (bs % 480)::INTEGER AS height
       |FROM s ORDER BY doc_id""".stripMargin
+
+  /** Video-style frame sampling (1→N decode): every 2nd 256-byte frame of
+    * the payload, fingerprinted per frame. The oracle replays the identical
+    * hex-domain slicing, so the mapPartitions path is hash-verified. */
+  def multimodalFrames(s: SparkSession, d: String): DataFrame =
+    Multimodal.sampleFrames(
+        Multimodal.attachPayload(documents(s, d).where(col("doc_id") < 100)))
+      .toDF().orderBy(col("doc_id"), col("frame_idx"))
+
+  val multimodalFramesSql: String =
+    """WITH m AS (SELECT doc_id, lower(hex(encode(text))) AS hx
+      |           FROM documents WHERE doc_id < 100),
+      |f AS (SELECT doc_id, i::BIGINT AS frame_idx,
+      |        (length(substring(hx, (i*512+1)::INT, 512)) / 2)::BIGINT AS n_bytes,
+      |        md5(substring(hx, (i*512+1)::INT, 512)) AS frame_md5
+      |      FROM m, range(0, 16384) t(i)
+      |      WHERE i*512 < length(hx) AND i % 2 = 0)
+      |SELECT doc_id, frame_idx, n_bytes, frame_md5 FROM f
+      |ORDER BY doc_id, frame_idx""".stripMargin
 }

@@ -24,6 +24,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.toSeq === again.toSeq)
   }
 
+  test("frame sampling: stride-2 frames, exact boundaries, last frame short") {
+    import spark.implicits._
+    // 600 chars → 600 bytes → frames of 256B: idx 0 (256B), 1 (256B), 2 (88B);
+    // stride 2 keeps idx 0 and 2.
+    val docs = Seq((7L, "ab" * 300)).toDF("doc_id", "text")
+    val got = graft.ops.Multimodal
+      .sampleFrames(graft.ops.Multimodal.attachPayload(docs))
+      .collect().sortBy(_.frame_idx)
+    assert(got.map(f => (f.frame_idx, f.n_bytes)).toSeq === Seq((0L, 256L), (2L, 88L)))
+    // fingerprint = md5 over the lowercase-hex slice (the oracle's domain)
+    val hx = ("ab" * 300).getBytes("UTF-8").map(b => f"$b%02x").mkString
+    val exp0 = java.security.MessageDigest.getInstance("MD5")
+      .digest(hx.substring(0, 512).getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(got.head.frame_md5 === exp0)
+  }
+
   test("metadata-only query does not need payload decode (column pruning)") {
     val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
     val plan = Multimodal.attachPayload(docs).select("doc_id", "source")
