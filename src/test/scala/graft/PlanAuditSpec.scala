@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the scale-critical plan shapes the engine is
+  * designed around, asserted so a refactor can't silently regress them.
+  * All on sf0.001 — plan shape, not data volume, is what's under test. */
+class PlanAuditSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
+
+  test("top-k queries use TakeOrderedAndProject, never a global sort") {
+    assert(plan("q_flagship_top_median").contains("TakeOrderedAndProject(limit=20"))
+    assert(plan("q_ann_brute_force").contains("TakeOrderedAndProject(limit=10"))
+  }
+
+  test("dimension and top-k joins broadcast the small side") {
+    val geo = plan("q_geo_left_join")
+    assert(geo.contains("BroadcastHashJoin"))
+    assert(!geo.contains("SortMergeJoin"))
+    val semi = plan("q_topk_semi_join")
+    assert(semi.contains("LeftSemi"))
+    assert(semi.contains("BroadcastHashJoin"))
+  }
+
+  test("scans prune to exactly the referenced columns") {
+    // events has 6 columns; a value_counts over event_type must read one.
+    assert(plan("q_value_counts").contains("FileScan parquet [event_type#"))
+    // flagship reads 2 of lineitem's 16 columns.
+    assert("""FileScan parquet \[l_suppkey#\d+L,l_extendedprice#\d+\]""".r
+      .findFirstIn(plan("q_flagship_top_median")).isDefined)
+  }
+
+  test("filters reach the parquet scan (pushdown below mapPartitions input)") {
+    assert(plan("q_multimodal_frames").contains("(doc_id#"))
+    assert("""DataFilters: \[isnotnull\(doc_id#\d+L\), \(doc_id#\d+L < 100\)\]""".r
+      .findFirstIn(plan("q_multimodal_frames")).isDefined)
+  }
+
+  test("scalar bounds broadcast onto the scan instead of a driver collect") {
+    // histogram joins the 1-row (min,max) frame via IdentityBroadcastMode.
+    val h = plan("q_histogram")
+    assert(h.contains("BroadcastExchange IdentityBroadcastMode"))
+  }
+
+  test("no registered query plans a CartesianProduct") {
+    // Theta joins in the documented quadratic baselines become
+    // BroadcastNestedLoopJoin (bounded side); an unconditional
+    // CartesianProduct anywhere is a bug.
+    SparkEntry.queries.keys.foreach { q =>
+      assert(!plan(q).contains("CartesianProduct"), s"CartesianProduct in $q")
+    }
+  }
+}
