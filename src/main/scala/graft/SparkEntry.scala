@@ -26,6 +26,7 @@ object SparkEntry {
     "q_boxplot_stats"       -> (CoreQueries.boxplotStats _),
     "q_ols_fit"             -> (CoreQueries.olsFit _),
     "q_geo_left_join"       -> (CoreQueries.geoLeftJoin _),
+    "q_supplier_stats"      -> (CoreQueries.supplierStats _),
     "q_topk_semi_join"      -> (CoreQueries.topKSemiJoin _),
     "q_distinct_count"      -> (CoreQueries.distinctCount _),
     "q_window_rank"         -> (CoreQueries.windowRank _),
@@ -71,6 +72,7 @@ object SparkEntry {
     "q_boxplot_stats"       -> CoreQueries.boxplotStatsSql,
     "q_ols_fit"             -> CoreQueries.olsFitSql,
     "q_geo_left_join"       -> CoreQueries.geoLeftJoinSql,
+    "q_supplier_stats"      -> CoreQueries.supplierStatsSql,
     "q_topk_semi_join"      -> CoreQueries.topKSemiJoinSql,
     "q_distinct_count"      -> CoreQueries.distinctCountSql,
     "q_window_rank"         -> CoreQueries.windowRankSql,

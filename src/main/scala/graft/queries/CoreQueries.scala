@@ -192,6 +192,25 @@ object CoreQueries {
       .orderBy(col("r_regionkey"))
   }
 
+  /** J1/A2/P17 over the one fixture table nothing else touches: per-nation
+    * supplier rollup with a substring predicate, dim broadcast onto the
+    * supplier scan. */
+  def supplierStats(s: SparkSession, d: String): DataFrame =
+    supplier(s, d)
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_supp"),
+        round(avg(col("s_acctbal")), 2).as("avg_bal"),
+        sum(when(col("s_name").contains("1"), 1L).otherwise(0L)).as("n_name_1"))
+      .orderBy(col("nation"))
+
+  val supplierStatsSql: String =
+    """SELECT n_name AS nation, count(*) AS n_supp,
+      |       round(avg(s_acctbal), 2) AS avg_bal,
+      |       sum(CASE WHEN contains(s_name, '1') THEN 1 ELSE 0 END)::BIGINT AS n_name_1
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY nation""".stripMargin
+
   val geoLeftJoinSql: String =
     """WITH agg AS (
       |  SELECT n_regionkey, round(avg(c_acctbal), 2) AS avg_bal, count(*) AS n_cust

@@ -76,6 +76,19 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup — the stream twin of
+    * [[graft.ops.Dedup.dropExactDuplicates]]: keep the first occurrence of
+    * each content digest across micro-batches. State is the digest set,
+    * partitioned by digest (same key as the batch shuffle); the event-time
+    * watermark bounds it — a digest older than the horizon is evicted, so
+    * state is O(docs-per-horizon), not O(corpus). The digest column (16
+    * bytes) is what rides the state store, never the document body. */
+  def dedupStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("digest", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("digest")
+
   /** Convenience: run the hourly-window stream over a directory to an
     * in-memory table and block until all currently-available files are
     * processed (complete mode: re-emits all windows each batch — used by

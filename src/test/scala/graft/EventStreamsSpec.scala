@@ -73,6 +73,21 @@ class EventStreamsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming dedup: first occurrence kept across batches, dup dropped") {
+    val in = MemoryStream[(Timestamp, String)]
+    val q = EventStreams.dedupStream(in.toDF().toDF("ts", "text"), "1 hour")
+      .select("text")
+      .writeStream.outputMode("append").format("memory").queryName("dd").start()
+    in.addData((ts("2026-01-01T10:00:00Z"), "alpha"), (ts("2026-01-01T10:01:00Z"), "beta"))
+    q.processAllAvailable()
+    // same content arriving in a LATER batch is recognized via state
+    in.addData((ts("2026-01-01T10:05:00Z"), "alpha"), (ts("2026-01-01T10:06:00Z"), "gamma"))
+    q.processAllAvailable()
+    val got = spark.table("dd").as[String].collect().toSeq.sorted
+    assert(got == Seq("alpha", "beta", "gamma"))
+    q.stop()
+  }
+
   test("file stream over the events fixture equals the batch hourlyWindow") {
     val d = "/root/testdata/sf0.001"
     // Glob (not a bare file path): FileStreamSource requires basePath to be
