@@ -156,6 +156,66 @@ object LocationParse {
         element_at(parts, ulicaIdx).as("ulica")))
   }
 
+  /** Staged frame form of [[parseLocation]] for pipelines: the parts array,
+    * its length, and the three positional indices each materialize ONCE as
+    * real columns — separate projection stages, exactly mirroring the
+    * oracle's p/q/r CTE structure — so the expression tree stays linear.
+    * The single-Column form inlines `parts` into every consumer, which on a
+    * non-trivial `loc` expression multiplies the tree ~15× (measured ~1 s
+    * of planning+eval overhead per query on the registered fixture).
+    * CollapseProject keeps the stages apart: each intermediate is non-cheap
+    * and multiply-referenced. Same rule set, same results, same guards
+    * (`when`-wrapped element_at — SQL AND does not short-circuit). */
+  def withParsedLocation(df: org.apache.spark.sql.DataFrame, loc: Column,
+                         out: String): org.apache.spark.sql.DataFrame = {
+    val P = "__lp_parts"; val N = "__lp_n"; val PI = "__lp_pidx"
+    val UI = "__lp_uidx"; val MI = "__lp_midx"; val L = "__lp_loc"
+    def at(i: Column): Column = element_at(col(P), i)
+    def isLowerC(c: Column): Column = c === lower(c) && c =!= upper(c)
+    val staged = df
+      .withColumn(L, loc)
+      .withColumn(P, transform(split(col(L), ","), p => trim(p)))
+      .withColumn(N, size(col(P)))
+      .withColumn(PI, when(col(N) > 1 && isLowerC(when(col(N) > 1, at(col(N) - 1))), col(N) - 1))
+      .withColumn(UI, {
+        val upos = array_position(
+          transform(col(P), p => p.startsWith("ul.")), lit(true))
+        when(upos > 0, upos).cast("int")
+      })
+      .withColumn(MI,
+        when(col(PI).isNotNull && col(N) > 2, col(N) - 2)
+          .otherwise(when(col(N) > 1, col(N) - 1)))
+    val uCand = when(col(UI) > 1, at(col(UI) - 1))
+    val mCand = when(col(MI) > 1, at(col(MI) - 1))
+    val dzielnica =
+      when(col(UI).isNotNull,
+        when(col(UI) === 1, lit(null).cast("string"))
+          .otherwise(
+            when(coalesce(col(MI) === col(UI) - 1, lit(false)) ||
+                 coalesce(col(PI) === col(UI) - 1, lit(false)),
+                 lit(null).cast("string"))
+              .otherwise(when(!startswith(uCand, lit("ul.")), uCand))))
+        .otherwise(
+          when(col(MI).isNotNull && col(MI) > 1,
+            when(!startswith(mCand, lit("ul.")), mCand)))
+    staged
+      .withColumn(out,
+        when(col(L).isNull || col(L) === "",
+          struct(
+            lit(null).cast("string").as("wojewodztwo"),
+            lit(null).cast("string").as("powiat"),
+            lit(null).cast("string").as("miasto"),
+            lit(null).cast("string").as("dzielnica"),
+            lit(null).cast("string").as("ulica")))
+          .otherwise(struct(
+            at(col(N)).as("wojewodztwo"),
+            element_at(col(P), col(PI)).as("powiat"),
+            element_at(col(P), col(MI)).as("miasto"),
+            dzielnica.as("dzielnica"),
+            element_at(col(P), col(UI)).as("ulica"))))
+      .drop(L, P, N, PI, UI, MI)
+  }
+
   /** The identical rule set as a DuckDB SQL expression suite, parameterized
     * by the column holding the raw location string. Produces a query fragment
     * `SELECT <idCol>, wojewodztwo, powiat, miasto, dzielnica, ulica FROM ...`

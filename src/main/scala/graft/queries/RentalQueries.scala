@@ -54,16 +54,17 @@ object RentalQueries {
     * The parse is the codegen Column form ([[LocationParse.parseLocation]]):
     * pure expression chain, no UDF, so at 100 TB it fuses into the scan
     * stage's whole-stage-codegen and shuffles nothing. */
-  def locationParse(s: SparkSession, d: String): DataFrame =
-    customer(s, d)
+  def locationParse(s: SparkSession, d: String): DataFrame = {
+    val src = customer(s, d)
       .where(col("c_custkey") <= 400)
       .select(col("c_custkey").as("id"),
-        LocationParse.parseLocation(
-          locExpr(col("c_custkey"), col("c_mktsegment"))).as("r"))
+        locExpr(col("c_custkey"), col("c_mktsegment")).as("loc"))
+    LocationParse.withParsedLocation(src, col("loc"), "r")
       .select(col("id"), col("r.wojewodztwo").as("wojewodztwo"),
         col("r.powiat").as("powiat"), col("r.miasto").as("miasto"),
         col("r.dzielnica").as("dzielnica"), col("r.ulica").as("ulica"))
       .orderBy(col("id"))
+  }
 
   val locationParseSql: String =
     LocationParse.duckDbParseSql(locationSrcSql, "id") + "\nORDER BY id"

@@ -86,5 +86,17 @@ class LocationParseSpec extends AnyFunSuite {
     val core = inputs.map(LocationParse.parse)
     assert(viaSpark(inputs, LocationParse.parseLocation(col("loc"))) === core)
     assert(viaSpark(inputs, LocationParse.parseLocationUdf(col("loc"))) === core)
+    assert(viaStagedFrame(inputs) === core)
+  }
+
+  private def viaStagedFrame(inputs: Seq[String]): Seq[Loc] =
+    LocationParse.withParsedLocation(inputs.toDF("loc"), col("loc"), "r")
+      .select("r.wojewodztwo", "r.powiat", "r.miasto", "r.dzielnica", "r.ulica")
+      .as[(Option[String], Option[String], Option[String], Option[String], Option[String])]
+      .collect().toSeq.map(t => Loc(t._1, t._2, t._3, t._4, t._5))
+
+  test("staged frame form matches the Scala core on all vectors") {
+    assert(viaStagedFrame(vectors.map(_._1)) ===
+      vectors.map(v => LocationParse.parse(v._1)))
   }
 }
