@@ -76,6 +76,22 @@ object EventStreams {
       }
   }
 
+  /** Streaming ingest twin of the batch clean layer: raw CSVs land in a
+    * directory (the 100 TB shape: a cloud-storage landing zone written by
+    * scrapers), each micro-batch picks up new files with the explicit
+    * all-string schema, and [[graft.engine.Clean.clean]] applies — every
+    * transform in the clean layer is stateless, so the SAME function serves
+    * batch and stream (no watermark needed; this is a map-only pipeline
+    * that preserves exactly-once through the file-source + checkpoint
+    * contract). */
+  def readRawListings(s: SparkSession, dir: String): DataFrame =
+    graft.engine.Clean.clean(
+      s.readStream
+        .schema(graft.engine.Clean.rawSchema)
+        .option("header", "true")
+        .option("maxFilesPerTrigger", "16")
+        .csv(dir))
+
   /** Streaming exact dedup — the stream twin of
     * [[graft.ops.Dedup.dropExactDuplicates]]: keep the first occurrence of
     * each content digest across micro-batches. State is the digest set,

@@ -88,6 +88,28 @@ class EventStreamsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming clean layer equals the batch clean layer on the raw CSV") {
+    // Stage the committed fixture into a landing dir (glob the file so the
+    // parent resolves as basePath).
+    val dir = java.nio.file.Files.createTempDirectory("graft-landing")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/repo/data/rental_raw.csv"),
+      dir.resolve("batch_000.csv"))
+    val q = EventStreams.readRawListings(spark, s"$dir/*.csv")
+      .select("url", "price_num", "city")
+      .writeStream.outputMode("append").format("memory").queryName("cl").start()
+    q.processAllAvailable()
+    val streamed = spark.table("cl").orderBy("url")
+      .as[(String, Option[Double], Option[String])].collect().toSeq
+    val batch = graft.engine.Clean.clean(
+        graft.engine.Clean.readRaw(spark, "/root/repo/data/rental_raw.csv"))
+      .select("url", "price_num", "city").orderBy("url")
+      .as[(String, Option[Double], Option[String])].collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.size == 64)
+    q.stop()
+  }
+
   test("file stream over the events fixture equals the batch hourlyWindow") {
     val d = "/root/testdata/sf0.001"
     // Glob (not a bare file path): FileStreamSource requires basePath to be
