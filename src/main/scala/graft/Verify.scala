@@ -18,6 +18,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Operators persist intermediates (shingle sets, band keys) and leave
+      // lifetime to the caller; release between queries so 40 dumps don't
+      // accumulate cached blocks.
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

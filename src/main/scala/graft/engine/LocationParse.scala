@@ -99,48 +99,50 @@ object LocationParse {
     * parity and as the cross-check surface in LocationParseSpec. */
   val parseLocationUdf = udf { (s: String) => parse(s) }
 
-  /** Codegen-friendly Column form: returns a struct
-    * `{wojewodztwo, powiat, miasto, dzielnica, ulica}` of strings.
-    *
-    * Index arithmetic is 1-based (`element_at`) so the DuckDB oracle
-    * (1-based lists) replays it verbatim. Every `element_at` is guarded by a
-    * `when` on the index being in range — CaseWhen only evaluates the matched
-    * branch, which keeps the chain ANSI-safe. */
-  def parseLocation(loc: Column): Column = {
-    val parts = transform(split(loc, ","), p => trim(p))
-    val n = size(parts)
+  /** Java `String.trim` parity (strips leading/trailing chars ≤ U+0020):
+    * SQL `trim` strips ONLY spaces, which would diverge from the Scala
+    * core/UDF on tab- or newline-padded parts. The DuckDB mirror is the
+    * identical regex with the 'g' flag. */
+  private def trimJ(c: Column): Column =
+    regexp_replace(c, "^[\\x00-\\x20]+|[\\x00-\\x20]+$", "")
 
-    def at(i: Column): Column = element_at(parts, i)
-    def isLowerC(c: Column): Column = c === lower(c) && c =!= upper(c)
+  private def isLowerC(c: Column): Column = c === lower(c) && c =!= upper(c)
 
-    val woj = at(n)
+  // 1-based county index (n-1 ↔ Python's parts[-2]); the element_at is
+  // `when`-guarded because SQL AND does not short-circuit (ANSI safety).
+  private def pidxExpr(parts: Column, n: Column): Column =
+    when(n > 1 && isLowerC(when(n > 1, element_at(parts, n - 1))), n - 1)
 
-    // 1-based county index (n-1 ↔ Python's parts[-2])
-    val powiatIdx = when(n > 1 && isLowerC(when(n > 1, at(n - 1))), n - 1)
-    val miastoIdx =
-      when(powiatIdx.isNotNull && n > 2, n - 2)
-        .otherwise(when(n > 1, n - 1))
-
-    // 1-based position of the first part starting with "ul."
-    // (array_position yields 0 when absent → null via `when`)
+  // 1-based position of the first part starting with "ul."
+  // (array_position yields 0 when absent → null via `when`)
+  private def uidxExpr(parts: Column): Column = {
     val upos = array_position(
       transform(parts, p => p.startsWith("ul.")), lit(true))
-    val ulicaIdx = when(upos > 0, upos).cast("int")
+    when(upos > 0, upos).cast("int")
+  }
 
-    val uCand = when(ulicaIdx > 1, at(ulicaIdx - 1))
-    val mCand = when(miastoIdx > 1, at(miastoIdx - 1))
+  private def midxExpr(pidx: Column, n: Column): Column =
+    when(pidx.isNotNull && n > 2, n - 2).otherwise(when(n > 1, n - 1))
+
+  /** The result struct from pre-built (loc, parts, n, pidx, uidx, midx)
+    * columns — the ONE place the dzielnica adjacency rules and null guards
+    * live; the single-Column and staged forms both delegate here. */
+  private def resultStruct(loc: Column, parts: Column, n: Column,
+                           pidx: Column, uidx: Column, midx: Column): Column = {
+    def at(i: Column): Column = element_at(parts, i)
+    val uCand = when(uidx > 1, at(uidx - 1))
+    val mCand = when(midx > 1, at(midx - 1))
     val dzielnica =
-      when(ulicaIdx.isNotNull,
-        when(ulicaIdx === 1, lit(null).cast("string"))
+      when(uidx.isNotNull,
+        when(uidx === 1, lit(null).cast("string"))
           .otherwise(
-            when(coalesce(miastoIdx === ulicaIdx - 1, lit(false)) ||
-                 coalesce(powiatIdx === ulicaIdx - 1, lit(false)),
+            when(coalesce(midx === uidx - 1, lit(false)) ||
+                 coalesce(pidx === uidx - 1, lit(false)),
                  lit(null).cast("string"))
               .otherwise(when(!startswith(uCand, lit("ul.")), uCand))))
         .otherwise(
-          when(miastoIdx.isNotNull && miastoIdx > 1,
+          when(midx.isNotNull && midx > 1,
             when(!startswith(mCand, lit("ul.")), mCand)))
-
     when(loc.isNull || loc === "",
       struct(
         lit(null).cast("string").as("wojewodztwo"),
@@ -149,11 +151,25 @@ object LocationParse {
         lit(null).cast("string").as("dzielnica"),
         lit(null).cast("string").as("ulica")))
       .otherwise(struct(
-        woj.as("wojewodztwo"),
-        element_at(parts, powiatIdx).as("powiat"),
-        element_at(parts, miastoIdx).as("miasto"),
+        at(n).as("wojewodztwo"),
+        element_at(parts, pidx).as("powiat"),
+        element_at(parts, midx).as("miasto"),
         dzielnica.as("dzielnica"),
-        element_at(parts, ulicaIdx).as("ulica")))
+        element_at(parts, uidx).as("ulica")))
+  }
+
+  /** Codegen-friendly Column form: returns a struct
+    * `{wojewodztwo, powiat, miasto, dzielnica, ulica}` of strings.
+    *
+    * Index arithmetic is 1-based (`element_at`) so the DuckDB oracle
+    * (1-based lists) replays it verbatim. NOTE this form inlines `parts`
+    * into every consumer — fine on a plain column, but for a computed `loc`
+    * use [[withParsedLocation]] (linear tree). */
+  def parseLocation(loc: Column): Column = {
+    val parts = transform(split(loc, ","), p => trimJ(p))
+    val n = size(parts)
+    val pidx = pidxExpr(parts, n)
+    resultStruct(loc, parts, n, pidx, uidxExpr(parts), midxExpr(pidx, n))
   }
 
   /** Staged frame form of [[parseLocation]] for pipelines: the parts array,
@@ -170,49 +186,14 @@ object LocationParse {
                          out: String): org.apache.spark.sql.DataFrame = {
     val P = "__lp_parts"; val N = "__lp_n"; val PI = "__lp_pidx"
     val UI = "__lp_uidx"; val MI = "__lp_midx"; val L = "__lp_loc"
-    def at(i: Column): Column = element_at(col(P), i)
-    def isLowerC(c: Column): Column = c === lower(c) && c =!= upper(c)
-    val staged = df
-      .withColumn(L, loc)
-      .withColumn(P, transform(split(col(L), ","), p => trim(p)))
+    df.withColumn(L, loc)
+      .withColumn(P, transform(split(col(L), ","), p => trimJ(p)))
       .withColumn(N, size(col(P)))
-      .withColumn(PI, when(col(N) > 1 && isLowerC(when(col(N) > 1, at(col(N) - 1))), col(N) - 1))
-      .withColumn(UI, {
-        val upos = array_position(
-          transform(col(P), p => p.startsWith("ul.")), lit(true))
-        when(upos > 0, upos).cast("int")
-      })
-      .withColumn(MI,
-        when(col(PI).isNotNull && col(N) > 2, col(N) - 2)
-          .otherwise(when(col(N) > 1, col(N) - 1)))
-    val uCand = when(col(UI) > 1, at(col(UI) - 1))
-    val mCand = when(col(MI) > 1, at(col(MI) - 1))
-    val dzielnica =
-      when(col(UI).isNotNull,
-        when(col(UI) === 1, lit(null).cast("string"))
-          .otherwise(
-            when(coalesce(col(MI) === col(UI) - 1, lit(false)) ||
-                 coalesce(col(PI) === col(UI) - 1, lit(false)),
-                 lit(null).cast("string"))
-              .otherwise(when(!startswith(uCand, lit("ul.")), uCand))))
-        .otherwise(
-          when(col(MI).isNotNull && col(MI) > 1,
-            when(!startswith(mCand, lit("ul.")), mCand)))
-    staged
+      .withColumn(PI, pidxExpr(col(P), col(N)))
+      .withColumn(UI, uidxExpr(col(P)))
+      .withColumn(MI, midxExpr(col(PI), col(N)))
       .withColumn(out,
-        when(col(L).isNull || col(L) === "",
-          struct(
-            lit(null).cast("string").as("wojewodztwo"),
-            lit(null).cast("string").as("powiat"),
-            lit(null).cast("string").as("miasto"),
-            lit(null).cast("string").as("dzielnica"),
-            lit(null).cast("string").as("ulica")))
-          .otherwise(struct(
-            at(col(N)).as("wojewodztwo"),
-            element_at(col(P), col(PI)).as("powiat"),
-            element_at(col(P), col(MI)).as("miasto"),
-            dzielnica.as("dzielnica"),
-            element_at(col(P), col(UI)).as("ulica"))))
+        resultStruct(col(L), col(P), col(N), col(PI), col(UI), col(MI)))
       .drop(L, P, N, PI, UI, MI)
   }
 
@@ -224,7 +205,8 @@ object LocationParse {
   def duckDbParseSql(srcSql: String, idCol: String): String =
     s"""WITH src AS ($srcSql),
        |p AS (SELECT $idCol, loc,
-       |        list_transform(string_split(loc, ','), x -> trim(x)) AS parts
+       |        list_transform(string_split(loc, ','),
+       |          x -> regexp_replace(x, '^[\\x00-\\x20]+|[\\x00-\\x20]+$$', '', 'g')) AS parts
        |      FROM src),
        |q AS (SELECT $idCol, loc, parts, len(parts) AS n,
        |        CASE WHEN len(parts) > 1

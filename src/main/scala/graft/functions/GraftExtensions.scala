@@ -14,6 +14,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        if (children.length != 2) {
+          throw new IllegalArgumentException(
+            s"graft_dot requires exactly 2 arguments, got ${children.length}")
+        }
+        DotProduct(children.head, children(1))
+      }))
   }
 }

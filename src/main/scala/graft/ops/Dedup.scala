@@ -80,9 +80,13 @@ object Dedup {
   /** (doc_id, sh) shingle-set frame. Two projections on purpose: the words
     * array materializes once per row before the shingle `transform` touches
     * it — see [[TextOps.shingleSetFromWords]] for why inlining the split
-    * into the lambda is O(words²) per document. */
+    * into the lambda is O(words²) per document. NULL text is normalized to
+    * '' so both engines agree on the fallback shingle [""] (DuckDB's word
+    * split of NULL yields NULL, whose fallback would be [NULL] and whose
+    * md5 would silently drop from the signature min()s). */
   def shingleSets(docs: DataFrame, shingleN: Int = 3): DataFrame =
-    docs.select(col("doc_id"), TextOps.words(col("text")).as("w"))
+    docs.select(col("doc_id"),
+        TextOps.words(coalesce(col("text"), lit(""))).as("w"))
       .select(col("doc_id"), TextOps.shingleSetFromWords(col("w"), shingleN).as("sh"))
 
   /** MinHash signatures straight from documents (shingles computed inline). */

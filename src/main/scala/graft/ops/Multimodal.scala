@@ -73,8 +73,8 @@ object Multimodal {
     * byte slicing × 2). At 100 TB the frame explosion multiplies rows, not
     * payload reads — each payload is read once, and output partitions should
     * be re-sized downstream (`repartition`) if frames feed a shuffle. */
-  def sampleFrames(media: DataFrame, frameBytes: Int = 256,
-                   stride: Int = 2): Dataset[Frame] = {
+  def sampleFrames(media: DataFrame, frameBytes: Int = 256, stride: Int = 2,
+                   maxFrames: Int = Int.MaxValue): Dataset[Frame] = {
     val spark = media.sparkSession
     import spark.implicits._
     val hexPerFrame = frameBytes * 2
@@ -85,7 +85,8 @@ object Multimodal {
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.flatMap { case (id, bytes) =>
           val hx = bytes.map(b => f"$b%02x").mkString
-          val nFrames = (hx.length + hexPerFrame - 1) / hexPerFrame
+          val nFrames = math.min(maxFrames,
+            (hx.length + hexPerFrame - 1) / hexPerFrame)
           (0 until nFrames).iterator.collect { case i if i % stride == 0 =>
             val s = hx.substring(i * hexPerFrame,
               math.min((i + 1) * hexPerFrame, hx.length))

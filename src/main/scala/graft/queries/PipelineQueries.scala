@@ -14,8 +14,12 @@ import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
   */
 object PipelineQueries {
 
-  /** Common DuckDB fragments (kept in sync with graft.ops.TextOps). */
-  private val duckWords = "string_split_regex(lower(trim(text)), '\\s+')"
+  /** Common DuckDB fragments (kept in sync with graft.ops.TextOps).
+    * `coalesce(text, '')` mirrors Dedup.shingleSets: a NULL text would
+    * otherwise produce [""] on the Spark side (concat_ws over a null array)
+    * but [NULL] in DuckDB — normalizing to '' keeps both at [""]. */
+  private val duckWords =
+    "string_split_regex(lower(trim(coalesce(text, ''))), '\\s+')"
   // Mirrors TextOps.shingleSet incl. the whole-text fallback for short docs.
   private def duckShingleSet(wordsExpr: String) =
     s"CASE WHEN len($wordsExpr) >= 3 THEN " +
@@ -318,8 +322,11 @@ object PipelineQueries {
     * the payload, fingerprinted per frame. The oracle replays the identical
     * hex-domain slicing, so the mapPartitions path is hash-verified. */
   def multimodalFrames(s: SparkSession, d: String): DataFrame =
+    // maxFrames mirrors the oracle's range(0, 16384) generator bound — both
+    // sides cap identically (fixture texts are KBs; the cap is 4 MiB).
     Multimodal.sampleFrames(
-        Multimodal.attachPayload(documents(s, d).where(col("doc_id") < 100)))
+        Multimodal.attachPayload(documents(s, d).where(col("doc_id") < 100)),
+        maxFrames = 16384)
       .toDF().orderBy(col("doc_id"), col("frame_idx"))
 
   val multimodalFramesSql: String =

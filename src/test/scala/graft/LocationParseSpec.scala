@@ -49,7 +49,11 @@ class LocationParseSpec extends AnyFunSuite {
     // county found with n==2: the county string doubles as the city (`:76-83`)
     "a, b" -> L(w = "b", p = "a", m = "a"),
     // bare comma: empty strings survive as values, islower('')==false
-    "," -> L(w = "", m = "")
+    "," -> L(w = "", m = ""),
+    // tab/newline padding: Java-trim parity across all surfaces (the SQL
+    // forms use a [\x00-\x20] regex, not space-only SQL trim)
+    "Wola,\tWARSZAWA,\nmazowieckie " ->
+      L(w = "mazowieckie", m = "WARSZAWA", d = "Wola")
   )
 
   test("Scala core: every branch of main_otodom.py:47-114") {
