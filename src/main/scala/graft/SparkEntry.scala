@@ -45,6 +45,7 @@ object SparkEntry {
     "q_dedup_exact"         -> (PipelineQueries.dedupExact _),
     "q_minhash_lsh_pairs"   -> (PipelineQueries.minhashLshPairs _),
     "q_minhash_near_dups"   -> (PipelineQueries.minhashNearDups _),
+    "q_dedup_components"    -> (PipelineQueries.dedupComponents _),
     "q_jaccard_all_pairs"   -> (PipelineQueries.jaccardAllPairs _),
     "q_simhash_stats"       -> (PipelineQueries.simhashStats _),
     "q_simhash_near_dups"   -> (PipelineQueries.simhashNearDups _),
@@ -92,6 +93,7 @@ object SparkEntry {
     "q_ann_ivf"             -> PipelineQueries.annIvfSql,
     "q_minhash_lsh_pairs"   -> PipelineQueries.minhashLshPairsSql,
     "q_minhash_near_dups"   -> PipelineQueries.minhashNearDupsSql,
+    "q_dedup_components"    -> PipelineQueries.dedupComponentsSql,
     "q_jaccard_all_pairs"   -> PipelineQueries.jaccardAllPairsSql,
     "q_simhash_stats"       -> PipelineQueries.simhashStatsSql,
     "q_simhash_near_dups"   -> PipelineQueries.simhashNearDupsSql,

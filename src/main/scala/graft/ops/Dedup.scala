@@ -141,6 +141,46 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Connected components over near-dup pairs — the keep-one-per-cluster
+    * step of dedup: every doc in a near-dup cluster maps to the cluster's
+    * minimum doc_id (the canonical survivor).
+    *
+    * Iterative min-label propagation: each round, every vertex takes the
+    * min label among itself and its neighbours; converges in O(component
+    * diameter) rounds (near-dup clusters are shallow — pairs/chains of a
+    * few docs). The driver loop with a per-round `count()` is the standard
+    * shape for iterative graph algorithms on Spark (GraphX does the same);
+    * each round's labels are persisted and the previous round released so
+    * lineage doesn't snowball. At web scale the alternating large-star/
+    * small-star variant halves round count; the join/agg structure is
+    * identical. Output: (doc_id, rep) for every doc appearing in ≥1 pair. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id")).persist()
+    labels.count()
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = sym
+        .join(labels.select(col("id").as("dst"), col("rep")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("rep")).as("nrep"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("rep"),
+          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("next"))
+        .persist()
+      changed = updated.where(col("next") < col("rep")).count()
+      val prev = labels
+      labels = updated.select(col("id"), col("next").as("rep")).persist()
+      labels.count()
+      prev.unpersist()
+      updated.unpersist()
+    }
+    sym.unpersist()
+    labels.select(col("id").as("doc_id"), col("rep"))
+  }
+
   /** Correctness baseline: exact all-pairs n-gram Jaccard above a threshold.
     * Quadratic — only for verification scale / bounded id ranges; the LSH
     * path is the 100 TB answer. */

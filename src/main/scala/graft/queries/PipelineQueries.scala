@@ -60,17 +60,46 @@ object PipelineQueries {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
 
-  val minhashNearDupsSql: String =
-    s"""WITH $duckMinhashBands,
+  /** Shared CTE chain ending in `scored(doc_a, doc_b, jacc)` — LSH
+    * candidates with UNROUNDED exact Jaccard (the Spark side also filters
+    * on the raw value and rounds only at the output edge). */
+  private val duckNearDupCtes: String =
+    s"""$duckMinhashBands,
        |sets AS (SELECT doc_id, ${duckShingleSet("w")} AS sh FROM w),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |         FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b, jaccard FROM (
-       |  SELECT doc_a, doc_b,
-       |         round(len(list_intersect(x.sh, y.sh))::DOUBLE
-       |               / greatest(len(list_distinct(x.sh || y.sh)), 1), 6) AS jaccard
-       |  FROM cand JOIN sets x ON cand.doc_a = x.doc_id JOIN sets y ON cand.doc_b = y.doc_id)
-       |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin
+       |         FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |scored AS (SELECT doc_a, doc_b,
+       |             len(list_intersect(x.sh, y.sh))::DOUBLE
+       |               / greatest(len(list_distinct(x.sh || y.sh)), 1) AS jacc
+       |           FROM cand JOIN sets x ON cand.doc_a = x.doc_id
+       |                     JOIN sets y ON cand.doc_b = y.doc_id)""".stripMargin
+
+  val minhashNearDupsSql: String =
+    s"""WITH $duckNearDupCtes
+       |SELECT doc_a, doc_b, round(jacc, 6) AS jaccard FROM scored
+       |WHERE jacc >= 0.3 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Near-dup cluster assignment: connected components over the LSH+refine
+    * pair set; the oracle computes the same components via a recursive
+    * transitive-closure CTE over the identical pairs. */
+  def dedupComponents(s: SparkSession, d: String): DataFrame =
+    Dedup.connectedComponents(
+        Dedup.nearDupPairs(documents(s, d), threshold = 0.3,
+          numHashes = 16, bandRows = 2)
+          .select(col("doc_a"), col("doc_b")))
+      .orderBy(col("doc_id"))
+
+  val dedupComponentsSql: String =
+    s"""WITH RECURSIVE $duckNearDupCtes,
+       |pairs AS (SELECT doc_a, doc_b FROM scored WHERE jacc >= 0.3),
+       |sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |        UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM sym
+       |  UNION
+       |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+       |SELECT src AS doc_id, least(src, min(dst)) AS rep
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
   /** Exact all-pairs Jaccard baseline (bounded id range — quadratic by
     * design; the cap keeps the verification yardstick cheap in the bench). */

@@ -40,6 +40,17 @@ class DedupSpec extends AnyFunSuite {
     assert(kept === Array(0L, 2L, 3L, 4L))  // docs 1,5 removed, min doc_id kept
   }
 
+  test("connected components: chain, triangle, disjoint pair, min label wins") {
+    // chain 1-2-3-4 (diameter 3, needs >1 round), triangle 10-11-12,
+    // disjoint pair 20-21
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (21L, 20L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("minhash LSH: exact dups always collide, distinct docs don't") {
     val pairs = Dedup.lshCandidatePairs(docs)
       .as[(Long, Long)].collect().toSet
