@@ -30,28 +30,38 @@ object Bench {
     val results = SparkEntry.queries.toSeq
       .filterNot { case (name, _) => excludedBaselines(name) }
       .map { case (name, fn) =>
-        // Steady-state timing (JMH-style): the first, untimed run compiles
-        // this query's generated code (Janino + JIT — measured ~5.5 s of a
-        // 7.7 s cold run for the LSH dedup plan, pure compile, amortized
-        // per-executor-process on a real cluster). Caches are then CLEARED
-        // so the timed run re-does all data work: queries persist
-        // intermediates (shingle sets, band keys) and Spark's cache manager
-        // matches plan subtrees, so without the clear the timed run would
-        // skip whole stages and bench 3-10× faster than its real plan.
+        // Steady-state timing (JMH-style): the first run — timed separately
+        // as `cold` — compiles this query's generated code (Janino + JIT —
+        // measured ~5.5 s of a 7.7 s cold run for the LSH dedup plan, pure
+        // compile, amortized per-executor-process on a real cluster).
+        // Caches are then CLEARED so the timed run re-does all data work:
+        // queries persist intermediates (shingle sets, band keys) and
+        // Spark's cache manager matches plan subtrees, so without the clear
+        // the timed run would skip whole stages and bench 3-10× faster than
+        // its real plan.
+        val c0 = System.nanoTime()
         fn(spark, sfDir).count()
+        val cold = (System.nanoTime() - c0) / 1e9
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
-        name -> (System.nanoTime() - t0) / 1e9
+        (name, (System.nanoTime() - t0) / 1e9, cold)
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val excl = excludedBaselines.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    // cold_total keeps cross-round numbers comparable with round 1's
+    // cold-run mode (the headline `value` stays steady-state).
+    val coldTotal = results.map(_._3).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"excluded":$excl,"mode":"steady_state_2nd_run","sf":"$sfDir"}"""
-    println(line)
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"excluded":$excl,"mode":"steady_state_2nd_run","cold_total":$coldTotal,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_result.json"), line + "\n")
+    // The metric line goes out LAST, after spark.stop(), so no executor/
+    // shutdown logging can interleave with it and a last-JSON-line parse
+    // finds it (the driver's BENCH parse came back null in rounds 1-2).
     spark.stop()
+    System.out.println(line)
+    System.out.flush()
   }
 }

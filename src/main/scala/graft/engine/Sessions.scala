@@ -33,6 +33,20 @@ object Sessions {
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // getOrCreate silently IGNORES creation-time configs when a session
+    // already exists in the JVM — without the graft extensions the SQL
+    // function registrations vanish and nanos-parquet reads throw deep in
+    // the scan. Fail fast with a readable message instead.
+    val required = Seq(
+      "spark.sql.extensions" -> "graft.functions.GraftExtensions",
+      "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+      "spark.sql.session.timeZone" -> "UTC")
+    for ((k, want) <- required) {
+      val got = s.conf.getOption(k).orNull
+      require(got == want,
+        s"Pre-existing SparkSession is incompatible with graft: $k=$got (need $want). " +
+          "Stop the existing session (or build it via graft.engine.Sessions) first.")
+    }
     s.sparkContext.setLogLevel("WARN")
     s
   }

@@ -130,48 +130,93 @@ object Dedup {
     * of the refine join (at 100 TB this materialization is a checkpoint of
     * a narrow derived table, not a second scan+reshingle of the corpus).
     * Only candidate pairs ever touch the shingle arrays, so the expensive
-    * comparison is linear in |candidates|. */
+    * comparison is linear in |candidates|.
+    *
+    * Resource contract: the fat (doc_id, sh) intermediate is persisted for
+    * the duration of THIS call and released before returning — the returned
+    * pair frame is eagerly materialized (it is tiny relative to the corpus:
+    * only above-threshold pairs), lineage-cut, and holds no reference to the
+    * shingle cache, so library callers never accumulate cached blocks. */
   def nearDupPairs(docs: DataFrame, threshold: Double, numHashes: Int = 16,
                    bandRows: Int = 2, shingleN: Int = 3): DataFrame = {
     val sets = shingleSets(docs, shingleN).persist()
-    lshCandidatePairsFromSigs(minhashSignaturesFromSets(sets, numHashes), numHashes, bandRows)
+    val pairs = lshCandidatePairsFromSigs(minhashSignaturesFromSets(sets, numHashes), numHashes, bandRows)
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), TextOps.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
+      .localCheckpoint(true) // materialize, then the shingle cache can go
+    sets.unpersist()
+    pairs
   }
 
   /** Connected components over near-dup pairs — the keep-one-per-cluster
     * step of dedup: every doc in a near-dup cluster maps to the cluster's
     * minimum doc_id (the canonical survivor).
     *
-    * Iterative min-label propagation: each round, every vertex takes the
-    * min label among itself and its neighbours; converges in O(component
-    * diameter) rounds (near-dup clusters are shallow — pairs/chains of a
-    * few docs). The driver loop with a per-round `count()` is the standard
-    * shape for iterative graph algorithms on Spark (GraphX does the same);
-    * each round's labels are persisted and the previous round released so
-    * lineage doesn't snowball. At web scale the alternating large-star/
-    * small-star variant halves round count; the join/agg structure is
-    * identical. Output: (doc_id, rep) for every doc appearing in ≥1 pair. */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
-    // Materialize the edge list ONCE before the self-union: `sym` consumes
+    * Iterative min-label propagation with pointer jumping (next := next's
+    * next squares the propagation distance per round, so convergence is
+    * O(log diameter) rounds instead of O(diameter)). The driver loop with a
+    * per-round `count()` is the standard shape for iterative graph
+    * algorithms on Spark (GraphX does the same).
+    *
+    * Checkpointing: each round MUST cut lineage, not just cache — `labels`
+    * is consumed twice per round, so the logical plan doubles every
+    * iteration and Catalyst re-optimizes the whole accumulated tree even
+    * when execution reads the cache (measured 10→2 s at sf0.1 from the cut
+    * alone). The cut goes through an explicit RDD handle so the PREVIOUS
+    * round's blocks are released deterministically each iteration (not left
+    * to the ContextCleaner). Two modes:
+    *  - default (`checkpointDir = None`): `localCheckpoint` — executor-local
+    *    blocks, fastest, but NOT fault-tolerant (a lost executor loses the
+    *    truncated lineage). Fine for local mode / restartable jobs.
+    *  - cluster (`checkpointDir = Some(dir)`): reliable `checkpoint` to a
+    *    (HDFS/object-store) directory — each round survives executor loss;
+    *    the in-memory copy is dropped as soon as the checkpoint files exist.
+    *
+    * Output: (doc_id, rep) for every doc appearing in ≥1 pair. */
+  def connectedComponents(pairs: DataFrame,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    val reliable = checkpointDir.isDefined
+
+    // cut2/cut3: materialize + lineage-cut a frame of long columns through a
+    // typed-Dataset→RDD round-trip, returning the RDD handle that owns the
+    // blocks so the loop can release the previous round deterministically.
+    // (Dataset.localCheckpoint buries its persisted RDD inside a private
+    // LogicalRDD — no public handle — which is why this goes via .rdd.)
+    def cut2(df: DataFrame, names: (String, String)): (DataFrame, org.apache.spark.rdd.RDD[(Long, Long)]) = {
+      val rdd = df.select(col(names._1).cast("long"), col(names._2).cast("long"))
+        .as[(Long, Long)].rdd
+      if (reliable) { rdd.persist(); rdd.checkpoint() } else rdd.localCheckpoint()
+      rdd.count() // eager: materialize (and write the reliable checkpoint) now
+      if (reliable) rdd.unpersist(false) // served from checkpoint files from here on
+      (rdd.toDF(names._1, names._2), rdd)
+    }
+    def cut3(df: DataFrame, names: (String, String, String)): (DataFrame, org.apache.spark.rdd.RDD[(Long, Long, Long)]) = {
+      val rdd = df.select(col(names._1).cast("long"), col(names._2).cast("long"),
+          col(names._3).cast("long")).as[(Long, Long, Long)].rdd
+      if (reliable) { rdd.persist(); rdd.checkpoint() } else rdd.localCheckpoint()
+      rdd.count()
+      if (reliable) rdd.unpersist(false)
+      (rdd.toDF(names._1, names._2, names._3), rdd)
+    }
+    def release(rdd: org.apache.spark.rdd.RDD[_]): Unit =
+      if (!reliable) rdd.unpersist(false) // reliable blocks were already dropped
+
+    // Edge list materialized ONCE before the self-union: `sym` consumes
     // `pairs` twice, and without the cut the (possibly expensive) upstream
     // pipeline that produced the pairs would execute in both branches.
-    val p = pairs.localCheckpoint(true)
+    val (p, pRdd) = cut2(pairs.select(col("doc_a"), col("doc_b")), ("doc_a", "doc_b"))
     val sym = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
-    // Each round MUST cut lineage, not just cache: `labels` is consumed
-    // twice per round, so the logical plan doubles every iteration and
-    // Catalyst re-optimizes the whole accumulated tree even when execution
-    // reads the cache — measured 10→2 s at sf0.1 from this change alone.
-    // `localCheckpoint(eager)` materializes AND truncates the plan; on a
-    // fault-tolerant cluster run, substitute reliable `checkpoint` with a
-    // checkpoint dir (localCheckpoint trades lost-executor recovery for
-    // speed).
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("rep", col("id")).localCheckpoint(true)
+    var (labels, labelsRdd0) = cut2(
+      sym.select(col("src").as("id")).distinct().withColumn("rep", col("id")),
+      ("id", "rep"))
+    var labelsRdd: org.apache.spark.rdd.RDD[_] = labelsRdd0
     var changed = 1L
     while (changed > 0) {
       val neighborMin = sym
@@ -180,19 +225,19 @@ object Dedup {
       val stepped = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("rep"),
           least(col("rep"), coalesce(col("nrep"), col("rep"))).as("next"))
-      // Pointer jump (next := next's next): squares the propagation distance
-      // per round, so convergence is O(log diameter) rounds instead of
-      // O(diameter) — the long-chain case (mutated near-dup sequences) would
-      // otherwise pay one full shuffle round per hop. `next` is always a
-      // member id, so the self-join is total.
+      // Pointer jump: `next` is always a member id, so the self-join is total.
       val jump = stepped.select(col("id").as("jid"), col("next").as("jnext"))
-      val updated = stepped.join(jump, col("next") === col("jid"))
-        .select(col("id"), col("rep"), col("jnext").as("next"))
-        .localCheckpoint(true)
+      val (updated, updatedRdd) = cut3(
+        stepped.join(jump, col("next") === col("jid"))
+          .select(col("id"), col("rep"), col("jnext").as("next")),
+        ("id", "rep", "next"))
       changed = updated.where(col("next") < col("rep")).count()
+      release(labelsRdd) // the previous round is no longer referenced
       labels = updated.select(col("id"), col("next").as("rep"))
+      labelsRdd = updatedRdd
     }
     sym.unpersist()
+    release(pRdd)
     labels.select(col("id").as("doc_id"), col("rep"))
   }
 
@@ -217,7 +262,12 @@ object Dedup {
     * of (doc_id, word-hash) pairs. */
   def simhash(docs: DataFrame): DataFrame = {
     val wordHash = conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long")
-    val wh = docs.select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+    // NULL text normalizes to '' exactly as in [[shingleSets]]: explode of a
+    // null words array would emit zero rows and silently DROP the document
+    // from the simhash universe, making MinHash and SimHash disagree on
+    // which documents exist. With '' the doc contributes one "" word.
+    val wh = docs.select(col("doc_id"),
+        explode(TextOps.words(coalesce(col("text"), lit("")))).as("w"))
       .select(col("doc_id"), wordHash.as("h"))
     val votes = (0 until 60).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$j")

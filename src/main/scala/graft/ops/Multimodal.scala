@@ -31,9 +31,12 @@ object Multimodal {
 
   /** Attach an opaque binary payload + typed metadata struct. Here the
     * payload is the UTF-8 encoding of `text` (the fixture tables carry no
-    * real media); for real media this is the raw file/frame bytes. */
+    * real media); for real media this is the raw file/frame bytes. NULL text
+    * coalesces to an empty payload (mirroring `Dedup.shingleSets`' NULL
+    * normalization) — a null binary would NPE the per-partition decode
+    * closures downstream. */
   def attachPayload(docs: DataFrame): DataFrame =
-    docs.withColumn("payload", encode(col("text"), "UTF-8"))
+    docs.withColumn("payload", encode(coalesce(col("text"), lit("")), "UTF-8"))
       .withColumn("meta", struct(
         lit("text/plain").as("mime"),
         octet_length(col("payload")).cast("long").as("n_bytes")))

@@ -207,15 +207,21 @@ object Similarity {
     val bk = emb.select(col("vec_id"), explode(array(tables: _*)).as("b"))
       .select(col("vec_id"), col("b.t").as("t"), col("b.key").as("key"))
       .persist() // computed once; both sides of the self-join reuse it
-    val cand = bk.select(col("t"), col("key"), col("vec_id").as("vec_a"))
+    // Resource contract (mirrors Dedup.nearDupPairs): the bucket frame is
+    // persisted only for this call — the returned pair frame is eagerly
+    // materialized (above-threshold pairs only) and lineage-cut, so the
+    // cache is released before returning and callers never leak blocks.
+    val pairs = bk.select(col("t"), col("key"), col("vec_id").as("vec_a"))
       .join(bk.select(col("t"), col("key"), col("vec_id").as("vec_b")), Seq("t", "key"))
       .where(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b")).distinct()
-    cand
       .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a")), Seq("vec_a"))
       .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b")), Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         round(dotU(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 6).as("cos"))
       .where(col("cos") > threshold)
+      .localCheckpoint(true)
+    bk.unpersist()
+    pairs
   }
 }

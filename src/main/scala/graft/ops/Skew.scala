@@ -25,9 +25,25 @@ object Skew {
   /** Uniform deterministic-per-run salt in [0, salt). Derived from
     * `monotonically_increasing_id` (partition id ⊕ row index), so it is
     * uniform within every scan partition — which is exactly what spreads a
-    * hot key across reducers. No data column is consumed. */
+    * hot key across reducers. No data column is consumed.
+    *
+    * RETRY CAVEAT (SPARK-23207 class): `monotonically_increasing_id` is
+    * position-based, so if an upstream SHUFFLE stage is partially recomputed
+    * after a fetch failure, rows can re-arrive in a different order and get
+    * different salts — rows may be double-counted or lost in the partial
+    * aggregate. Directly over a deterministic scan (the common case for a
+    * first-stage salted agg) positions are stable and this cannot happen;
+    * when salting above a shuffle on a real cluster, prefer
+    * [[saltFromCols]], whose salt is a pure function of row content. */
   private def saltExpr(salt: Int): Column =
     pmod(xxhash64(monotonically_increasing_id()), lit(salt.toLong))
+
+  /** Retry-safe salt: a pure function of data columns, so a recomputed row
+    * always lands on the same reducer. Include enough payload columns to
+    * spread the hot key (hashing only the group key would put every hot row
+    * in one salt bucket and defeat the salting). */
+  def saltFromCols(salt: Int, cols: Column*): Column =
+    pmod(xxhash64(cols: _*), lit(salt.toLong))
 
   /** Two-phase salted aggregation for skewed group keys: phase 1 shuffles on
     * (key, salt) — the hot key's rows split across `salt` reducers — and
@@ -38,8 +54,9 @@ object Skew {
     * NOTE Spark's partial aggregation (map-side combine) already handles
     * most group-by skew; salting matters when per-key state is too large to
     * combine map-side (exact distincts, collect-style accumulators). */
-  def saltedCounts(df: DataFrame, key: String, salt: Int = 16): DataFrame =
-    df.select(col(key), saltExpr(salt).as(SaltCol))
+  def saltedCounts(df: DataFrame, key: String, salt: Int = 16,
+                   saltSource: Option[Column] = None): DataFrame =
+    df.select(col(key), saltSource.getOrElse(saltExpr(salt)).as(SaltCol))
       .groupBy(col(key), col(SaltCol))
       .agg(count(lit(1)).as("partial_cnt"))
       .groupBy(col(key))
@@ -52,8 +69,8 @@ object Skew {
     * for small-but-not-broadcastable build sides. Result is identical to
     * `probe.join(build, key)` (every probe row meets exactly one replica). */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
-                 salt: Int = 16): DataFrame = {
-    val saltedProbe = probe.withColumn(SaltCol, saltExpr(salt))
+                 salt: Int = 16, saltSource: Option[Column] = None): DataFrame = {
+    val saltedProbe = probe.withColumn(SaltCol, saltSource.getOrElse(saltExpr(salt)))
     val replicatedBuild = build.withColumn(
       SaltCol, explode(sequence(lit(0L), lit(salt.toLong - 1))))
     saltedProbe.join(replicatedBuild, Seq(key, SaltCol)).drop(SaltCol)

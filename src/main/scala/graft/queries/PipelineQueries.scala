@@ -125,10 +125,12 @@ object PipelineQueries {
         round(avg(bit_count(col("simhash"))), 4).as("avg_bits"))
 
   /** DuckDB replay of [[Dedup.simhash]] (shared by the stats and near-dup
-    * oracles): per-word 60-bit md5 hash, per-bit signed majority vote. */
+    * oracles): per-word 60-bit md5 hash, per-bit signed majority vote.
+    * `coalesce(text, '')` mirrors the Spark side's NULL normalization so a
+    * NULL-text document stays in the simhash universe on both engines. */
   private val duckSimhashCtes: String =
     """wh AS (SELECT doc_id,
-      |              ('0x' || substr(md5(unnest(string_split_regex(lower(trim(text)), '\s+'))), 1, 15))::BIGINT AS h
+      |              ('0x' || substr(md5(unnest(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'))), 1, 15))::BIGINT AS h
       |            FROM documents),
       |votes AS (SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
       |          FROM wh, range(60) t(j) GROUP BY doc_id, j),
@@ -323,8 +325,8 @@ object PipelineQueries {
 
   val multimodalMetaSql: String =
     """SELECT source, count(*) AS n_media,
-      |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-      |       min(md5(text)) AS min_md5
+      |       CAST(sum(octet_length(encode(coalesce(text, '')))) AS BIGINT) AS total_bytes,
+      |       min(md5(coalesce(text, ''))) AS min_md5
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   /** Stubbed decode / feature extraction — real mapPartitions plumbing over
@@ -336,8 +338,8 @@ object PipelineQueries {
       .toDF().orderBy(col("doc_id"))
 
   val multimodalFeaturesSql: String =
-    """WITH h AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
-      |                  octet_length(encode(text)) AS n FROM documents),
+    """WITH h AS (SELECT doc_id, lower(hex(encode(coalesce(text, '')))) AS hx,
+      |                  octet_length(encode(coalesce(text, ''))) AS n FROM documents),
       |s AS (SELECT doc_id, n,
       |        coalesce(list_sum(list_transform(range(n),
       |          i -> ('0x' || substr(hx, 2*i+1, 2))::BIGINT)), 0)::BIGINT AS bs,
@@ -359,7 +361,7 @@ object PipelineQueries {
       .toDF().orderBy(col("doc_id"), col("frame_idx"))
 
   val multimodalFramesSql: String =
-    """WITH m AS (SELECT doc_id, lower(hex(encode(text))) AS hx
+    """WITH m AS (SELECT doc_id, lower(hex(encode(coalesce(text, '')))) AS hx
       |           FROM documents WHERE doc_id < 100),
       |f AS (SELECT doc_id, i::BIGINT AS frame_idx,
       |        (length(substring(hx, (i*512+1)::INT, 512)) / 2)::BIGINT AS n_bytes,

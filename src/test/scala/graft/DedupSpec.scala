@@ -51,6 +51,23 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components: reliable-checkpoint mode gives identical labels") {
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (21L, 20L)).toDF("doc_a", "doc_b")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    try {
+      val local = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+      val reliable = Dedup.connectedComponents(edges, Some(dir))
+        .as[(Long, Long)].collect().toMap
+      assert(reliable === local)
+      // the checkpoint files were really written to the reliable dir
+      assert(new java.io.File(dir).listFiles().nonEmpty)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("minhash LSH: exact dups always collide, distinct docs don't") {
     val pairs = Dedup.lshCandidatePairs(docs)
       .as[(Long, Long)].collect().toSet
@@ -89,5 +106,23 @@ class DedupSpec extends AnyFunSuite {
     val pairs = Dedup.simhashNearDups(docs, maxHamming = 3)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 1L)))
+  }
+
+  test("NULL text: MinHash and SimHash see the SAME document universe") {
+    // A NULL-text doc must normalize to '' on every dedup path — before the
+    // fix, explode of a null words array silently dropped it from simhash
+    // while the shingle fallback kept it in minhash.
+    val withNull = docs.union(Seq((6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text"))
+    val minhashIds = Dedup.minhashSignatures(withNull)
+      .select("doc_id").as[Long].collect().toSet
+    val simhashIds = Dedup.simhash(withNull)
+      .select("doc_id").as[Long].collect().toSet
+    assert(minhashIds === simhashIds)
+    assert(simhashIds.contains(6L))
+    // NULL and '' are the same document content-wise: identical simhash.
+    val sh = Dedup.simhash(withNull.union(Seq((7L, "")).toDF("doc_id", "text")))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(6L) === sh(7L))
   }
 }

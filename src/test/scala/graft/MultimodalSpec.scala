@@ -24,6 +24,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.toSeq === again.toSeq)
   }
 
+  test("NULL text coalesces to an empty payload (no NPE in decode closures)") {
+    val docs = Seq((9L, null.asInstanceOf[String], "en", "srcX", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.attachPayload(docs)
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.map(f => (f.doc_id, f.n_bytes, f.head_hex)).toSeq === Seq((9L, 0L, "")))
+    // empty payload → zero frames, not a crash
+    assert(Multimodal.sampleFrames(media).collect().isEmpty)
+  }
+
   test("frame sampling: stride-2 frames, exact boundaries, last frame short") {
     import spark.implicits._
     // 600 chars → 600 bytes → frames of 256B: idx 0 (256B), 1 (256B), 2 (88B);

@@ -31,6 +31,18 @@ class SkewSpec extends AnyFunSuite {
     assert(plan.contains("__graft_salt"))
   }
 
+  test("retry-safe data-column salt: identical results, spreads the hot key") {
+    val src = Some(Skew.saltFromCols(8, col("v")))
+    val plain = skewed.groupBy("k").count().as[(String, Long)].collect().toMap
+    val salted = Skew.saltedCounts(skewed, "k", salt = 8, saltSource = src)
+      .as[(String, Long)].collect().toMap
+    assert(salted == plain)
+    // the hot key's rows really land in >1 salt bucket
+    val buckets = skewed.where(col("k") === "hot")
+      .select(Skew.saltFromCols(8, col("v"))).distinct().count()
+    assert(buckets > 1)
+  }
+
   test("salted join equals plain join, salt column dropped") {
     val dim = Seq(("hot", "H"), ("k1", "A"), ("k3", "B")).toDF("k", "label")
     val plain = skewed.join(dim, "k").groupBy("k", "label").count()
