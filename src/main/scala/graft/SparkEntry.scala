@@ -60,6 +60,7 @@ object SparkEntry {
     "q_multimodal_meta"     -> (PipelineQueries.multimodalMeta _),
     "q_multimodal_features" -> (PipelineQueries.multimodalFeatures _),
     "q_multimodal_frames"   -> (PipelineQueries.multimodalFrames _),
+    "q_image_decode"        -> (PipelineQueries.imageDecode _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -106,5 +107,6 @@ object SparkEntry {
     "q_multimodal_meta"     -> PipelineQueries.multimodalMetaSql,
     "q_multimodal_features" -> PipelineQueries.multimodalFeaturesSql,
     "q_multimodal_frames"   -> PipelineQueries.multimodalFramesSql,
+    "q_image_decode"        -> PipelineQueries.imageDecodeSql,
   )
 }

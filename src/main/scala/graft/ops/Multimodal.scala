@@ -10,6 +10,11 @@ case class MediaFeatures(doc_id: Long, n_bytes: Long, byte_sum: Long,
 /** One sampled frame of a (fake) video payload. */
 case class Frame(doc_id: Long, frame_idx: Long, n_bytes: Long, frame_md5: String)
 
+/** Real decoded-image features (JDK ImageIO decode — see
+  * [[Multimodal.decodeImages]]). */
+case class ImageFeatures(name: String, width: Int, height: Int,
+                         n_pixels: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, and a per-partition decode/feature-extract pass.
   *
@@ -60,6 +65,63 @@ object Multimodal {
           val head = bytes.take(4).map(b => f"$b%02x").mkString
           MediaFeatures(id, bytes.length.toLong, sum, head,
             width = (sum % 640).toInt, height = (sum % 480).toInt)
+        }
+      }
+  }
+
+  /** REAL image decode over a binary column — JDK-native `javax.imageio`
+    * (PNG/JPEG/GIF/BMP, zero external deps), replacing the round-1/2 stub
+    * for actual image payloads. Input is any frame with a file `path` and a
+    * `content` binary column — the exact shape of Spark's built-in
+    * `binaryFile` source (`spark.read.format("binaryFile").load(dir)`), so
+    * at scale this runs straight off a multi-million-file object-store
+    * listing with the scan parallelized by file.
+    *
+    * Scale shape: `mapPartitions` so ImageIO's reader plumbing initializes
+    * per PARTITION, not per row; only (path, content) is projected into the
+    * decode pass (column pruning keeps other binaryFile metadata out of the
+    * shuffle); output re-enters Tungsten via the case-class encoder. Decoded
+    * rasters can be ~50× the compressed bytes, so partition sizing matters:
+    * cap `spark.sql.files.maxPartitionBytes` (binaryFile caps single files
+    * at 2 GiB) and repartition downstream if features feed a wide shuffle.
+    *
+    * Features are exact integer channel sums over the sRGB raster —
+    * deterministic for a given file, verified against an ANALYTIC oracle
+    * (formula-generated fixture PNGs whose true sums are computed without
+    * any codec — see graft.tools.GenImageFixture). Undecodable payloads
+    * yield a (-1, -1) sentinel row rather than killing the job (at 100 TB
+    * some corrupt files are a certainty). */
+  def decodeImages(images: DataFrame): Dataset[ImageFeatures] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select(
+        element_at(split(col("path"), "/"), -1).as("name"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition init: ImageIO scans the reader SPI registry once
+        javax.imageio.ImageIO.setUseCache(false) // no temp-file spooling
+        rows.map { case (name, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+          if (img == null) ImageFeatures(name, -1, -1, 0L, 0L, 0L, 0L)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var y = 0
+            val row = new Array[Int](w)
+            while (y < h) { // row-at-a-time: no w*h int buffer for big images
+              img.getRGB(0, y, w, 1, row, 0, w)
+              var x = 0
+              while (x < w) {
+                val p = row(x)
+                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            ImageFeatures(name, w, h, w.toLong * h, sr, sg, sb)
+          }
         }
       }
   }

@@ -349,6 +349,27 @@ object PipelineQueries {
       |       (bs % 640)::INTEGER AS width, (bs % 480)::INTEGER AS height
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** Committed image fixture (see graft.tools.GenImageFixture): 16
+    * formula-generated PNGs with analytic ground truth + 6 real-world chart
+    * PNGs with IHDR-verified dims. Env overrides mirror the geojson dim's
+    * convention. */
+  val imageFixtureDir: String =
+    sys.env.getOrElse("SPARK_GRAFT_IMAGES", "/root/repo/fixtures/images")
+  val imageManifestPath: String = sys.env.getOrElse("SPARK_GRAFT_IMAGE_MANIFEST",
+    "/root/repo/fixtures/image_manifest.parquet")
+
+  /** REAL image decode end-to-end: binaryFile scan → per-partition ImageIO
+    * decode → exact channel sums, verified against the analytic manifest
+    * (the oracle never runs a decoder — the synthetic images' true sums come
+    * from the generator formula, so a wrong decode cannot hash-match). */
+  def imageDecode(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeImages(s.read.format("binaryFile").load(imageFixtureDir))
+      .toDF().orderBy(col("name"))
+
+  val imageDecodeSql: String =
+    s"""SELECT name, width, height, n_pixels, sum_r, sum_g, sum_b
+       |FROM read_parquet('$imageManifestPath/*.parquet') ORDER BY name""".stripMargin
+
   /** Video-style frame sampling (1→N decode): every 2nd 256-byte frame of
     * the payload, fingerprinted per frame. The oracle replays the identical
     * hex-domain slicing, so the mapPartitions path is hash-verified. */

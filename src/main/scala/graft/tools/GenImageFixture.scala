@@ -1,0 +1,83 @@
+package graft.tools
+
+import java.awt.image.BufferedImage
+import java.io.File
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.SparkSession
+
+/** One-shot fixture generator for the real image-decode path (run via
+  * `sbt "runMain graft.tools.GenImageFixture"`; output is committed).
+  *
+  * Writes two artifacts under `fixtures/`:
+  *  - `images/gen_NN.png` — deterministic synthetic RGB PNGs whose pixel
+  *    values follow a closed-form formula;
+  *  - `image_manifest.parquet` — the ground-truth (name, width, height,
+  *    n_pixels, sum_r, sum_g, sum_b) per image.
+  *
+  * The manifest's channel sums are computed ANALYTICALLY from the formula
+  * (plain integer loops — no image object, no codec), so the oracle for
+  * `q_image_decode` is independent of the decoder under test: PNG is
+  * lossless, so `Multimodal.decodeImages` (ImageIO) must reproduce the
+  * formula's sums exactly or the decode is wrong. Any pre-existing
+  * `plot_*.png` files in the images dir (real-world charts, committed
+  * separately) are also manifested: width/height parsed straight from the
+  * PNG IHDR header bytes (codec-independent) and REQUIRED to match ImageIO,
+  * channel sums frozen from a one-time decode (regression pinning).
+  */
+object GenImageFixture {
+
+  /** The synthetic pixel formula (shared with the analytic sums). */
+  def rgb(i: Int, x: Int, y: Int): (Int, Int, Int) =
+    ((x * 3 + y * 5 + i * 11) % 256, (x * 7 + y * 2 + i * 13) % 256,
+      (x + y + i * 29) % 256)
+
+  def main(args: Array[String]): Unit = {
+    val imagesDir = new File("fixtures/images")
+    imagesDir.mkdirs()
+
+    val synthetic = (0 until 16).map { i =>
+      val (w, h) = (32 + 7 * i, 24 + 5 * i)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = rgb(i, x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        sr += r; sg += g; sb += b
+      }
+      val name = f"gen_$i%02d.png"
+      require(ImageIO.write(img, "png", new File(imagesDir, name)),
+        s"no PNG writer for $name")
+      (name, w, h, w.toLong * h, sr, sg, sb)
+    }
+
+    // Real-world PNGs already in the dir: IHDR-parsed dims + frozen sums.
+    val real = Option(imagesDir.listFiles()).get.toSeq
+      .filter(f => f.getName.startsWith("plot_") && f.getName.endsWith(".png"))
+      .sortBy(_.getName)
+      .map { f =>
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        def be32(o: Int) = ((bytes(o) & 0xff) << 24) | ((bytes(o + 1) & 0xff) << 16) |
+          ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
+        val (wHdr, hHdr) = (be32(16), be32(20)) // PNG IHDR: width@16, height@20
+        val img = ImageIO.read(f)
+        require(img.getWidth == wHdr && img.getHeight == hHdr,
+          s"${f.getName}: ImageIO dims ${img.getWidth}x${img.getHeight} != IHDR ${wHdr}x$hHdr")
+        val px = img.getRGB(0, 0, wHdr, hHdr, null, 0, wHdr)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        px.foreach { p =>
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        }
+        (f.getName, wHdr, hHdr, wHdr.toLong * hHdr, sr, sg, sb)
+      }
+
+    val spark = graft.engine.Sessions.local("4", "graft-gen-image-fixture")
+    import spark.implicits._
+    (synthetic ++ real)
+      .toDF("name", "width", "height", "n_pixels", "sum_r", "sum_g", "sum_b")
+      .coalesce(1)
+      .write.mode("overwrite").parquet("fixtures/image_manifest.parquet")
+    println(s"wrote ${synthetic.size} synthetic + ${real.size} real images + manifest")
+    spark.stop()
+  }
+}

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.Multimodal
 
@@ -48,6 +49,40 @@ class MultimodalSpec extends AnyFunSuite {
     val exp0 = java.security.MessageDigest.getInstance("MD5")
       .digest(hx.substring(0, 512).getBytes("UTF-8")).map(b => f"$b%02x").mkString
     assert(got.head.frame_md5 === exp0)
+  }
+
+  test("real ImageIO decode: exact known-pixel round trip, corrupt → sentinel") {
+    // 2x3 RGB image with hand-picked pixels; analytic sums below.
+    val img = new java.awt.image.BufferedImage(2, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = Seq((10, 20, 30), (40, 50, 60), (70, 80, 90),
+                 (100, 110, 120), (130, 140, 150), (160, 170, 180))
+    px.zipWithIndex.foreach { case ((r, g, b), i) =>
+      img.setRGB(i % 2, i / 2, (r << 16) | (g << 8) | b) }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val frame = Seq(("file:/x/tiny.png", bos.toByteArray),
+                    ("file:/x/junk.png", Array[Byte](1, 2, 3)))
+      .toDF("path", "content")
+    val got = Multimodal.decodeImages(frame).collect().sortBy(_.name)
+    val junk = got(0); val tiny = got(1)
+    assert(tiny.name === "tiny.png" && tiny.width === 2 && tiny.height === 3)
+    assert(tiny.n_pixels === 6L)
+    assert(tiny.sum_r === px.map(_._1.toLong).sum)
+    assert(tiny.sum_g === px.map(_._2.toLong).sum)
+    assert(tiny.sum_b === px.map(_._3.toLong).sum)
+    // undecodable bytes become a sentinel row, never an exception
+    assert(junk.name === "junk.png" && junk.width === -1 && junk.height === -1)
+  }
+
+  test("fixture decode matches the analytic manifest (q_image_decode path)") {
+    import graft.queries.PipelineQueries
+    val decoded = PipelineQueries.imageDecode(spark, "")
+      .collect().map(_.toSeq).toSeq
+    val manifest = spark.read.parquet(PipelineQueries.imageManifestPath)
+      .orderBy(col("name"))
+      .select("name", "width", "height", "n_pixels", "sum_r", "sum_g", "sum_b")
+      .collect().map(_.toSeq).toSeq
+    assert(decoded.nonEmpty && decoded === manifest)
   }
 
   test("metadata-only query does not need payload decode (column pruning)") {
