@@ -116,15 +116,93 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF-style ANN top-k: a coarse quantizer partitions the corpus into
-    * `nCells` inverted lists; a query probes only the `nProbe` cells whose
-    * centroids are nearest, then exact-re-ranks their members.
+  /** Seeded Lloyd's k-means — the offline trainer for [[ivfTopK]]'s coarse
+    * quantizer. Spherical variant: assignment by max cosine (matching the
+    * probe-side cell assignment exactly), update by per-dimension mean.
     *
-    * The coarse centroids here are the first `nCells` corpus vectors —
-    * deterministic, so the DuckDB oracle replays cell assignment exactly. In
-    * production the centroids come from an offline k-means job; everything
-    * downstream (assignment, probing, re-rank) is identical, which is the
-    * part whose scale shape matters:
+    * Scale shape — the model is small, the data is big, so the model lives
+    * on the driver (the classic distributed k-means split, same as Spark
+    * MLlib's `KMeans`):
+    *  - init: the `k` seed vectors are chosen by `xxhash64(vec_id, seed)`
+    *    order — a deterministic pseudo-random sample with no RNG state, so
+    *    retraining on the same data reproduces the same model;
+    *  - assignment is a pure narrow map: the k centroids are embedded as
+    *    literals, so each vector evaluates k codegen'd [[DotProduct]] loops
+    *    and an `array_max` argmax — NO join, NO shuffle;
+    *  - update: `posexplode` fans each vector into (cell, dim, value) and a
+    *    two-level aggregation takes per-(cell,dim) means — `avg` partially
+    *    aggregates map-side, so the shuffle carries ≤ k·dim·partitions sum
+    *    rows, independent of corpus size;
+    *  - per-iteration the k·dim doubles are collected to the driver (the
+    *    only collect — the model, not the data) and re-embedded as literals
+    *    for the next round. Empty cells keep their previous centroid.
+    * Training cost is `iters` scans; in production this runs as an offline
+    * job on a corpus sample (see tools.TrainIvfCentroids, whose output is
+    * the committed `fixtures/ivf_centroids.parquet`).
+    *
+    * Returns (cell: int, centroid: array<double>), `cell` = 0..k-1. */
+  def kMeansCentroids(emb: DataFrame, k: Int = 16, iters: Int = 10,
+                      seed: Long = 42L): DataFrame = {
+    val spark = emb.sparkSession
+    val e = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm")).persist()
+    try {
+      var cent: Array[Array[Double]] = e
+        .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id")).limit(k)
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      require(cent.length == k, s"corpus has fewer than k=$k vectors")
+      for (_ <- 0 until iters) {
+        val assigned = e.select(
+          assignCell(col("embedding"), col("nrm"), cent).as("cell"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        val means = assigned.groupBy(col("cell"), col("pos"))
+          .agg(avg(col("v")).as("m"))
+          .groupBy(col("cell"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            x => x.getField("m")).as("cv"))
+          .collect()
+          .map(r => r.getAs[Number]("cell").intValue() ->
+            r.getSeq[Double](1).toArray).toMap
+        cent = cent.indices.map(j => means.getOrElse(j, cent(j))).toArray
+      }
+      import spark.implicits._
+      cent.zipWithIndex.map { case (c, j) => (j, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+    } finally e.unpersist()
+  }
+
+  /** Argmax cell over driver-held centroids as ONE codegen'd expression:
+    * k fused dot products + `array_max` over (ccos, -cell) structs — ties
+    * break to the smallest cell, identical to [[ivfTopK]]'s `max_by` and
+    * the oracle's `row_number() ... ORDER BY ccos DESC, cell ASC`. */
+  private def assignCell(v: Column, nrm: Column, cent: Array[Array[Double]]): Column = {
+    val scored = cent.zipWithIndex.map { case (c, j) =>
+      val cn = math.sqrt(c.foldLeft(0.0)((s, x) => s + x * x))
+      struct((dotU(v, typedlit(c.toSeq)) / (nrm * lit(cn))).as("ccos"),
+        lit(-j).as("nc"))
+    }
+    (-array_max(array(scored.toIndexedSeq: _*)).getField("nc")).cast("int")
+  }
+
+  /** First-n untrained quantizer — the bootstrap [[ivfTopK]] ran on before
+    * training existed; kept as the comparison baseline for k-means recall
+    * (SimilaritySpec) and as a zero-cost init when no trained model is at
+    * hand. `centroid` stays `array<float>` — [[graft.functions.DotProduct]]
+    * widens each element exactly, so float/double centroids mix freely. */
+  def firstNCentroids(emb: DataFrame, n: Int): DataFrame =
+    emb.where(col("vec_id") < n)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
+
+  /** IVF-style ANN top-k: a coarse quantizer partitions the corpus into
+    * inverted lists (one per `centroids` row); a query probes only the
+    * `nProbe` cells whose centroids are nearest, then exact-re-ranks their
+    * members.
+    *
+    * The centroids come from an offline [[kMeansCentroids]] training job
+    * (the registered query reads the committed, seed-reproducible
+    * `fixtures/ivf_centroids.parquet`), so the DuckDB oracle replays cell
+    * assignment exactly from the same parquet. Scale shape:
     *  - assignment is one broadcast of the tiny centroid table against the
     *    corpus, reduced map-side via `max_by` partial aggregation — the only
     *    shuffle carries (vec_id, cell), two longs per vector, and at scale
@@ -134,11 +212,11 @@ object Similarity {
     * Unlike sign-LSH (whose recall collapses on near-uniform corpora), IVF
     * recall depends on how well cells approximate the data's clustering —
     * the two are complementary, which is why both are first-class here. */
-  def ivfTopK(emb: DataFrame, queryId: Long, k: Int, nCells: Int = 16,
-              nProbe: Int = 4): DataFrame = {
+  def ivfTopK(emb: DataFrame, centroids: DataFrame, queryId: Long, k: Int,
+              nProbe: Int): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    val cent = e.where(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell"), col("embedding").as("cv"), col("nrm").as("cn"))
+    val cent = centroids.select(col("cell"), col("centroid").as("cv"),
+      norm(col("centroid")).as("cn"))
     val scored = e.join(broadcast(cent))
       .select(col("vec_id"), col("cell"),
         (dotU(col("embedding"), col("cv")) / (col("nrm") * col("cn"))).as("ccos"))

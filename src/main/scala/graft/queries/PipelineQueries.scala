@@ -199,15 +199,25 @@ object PipelineQueries {
        |FROM e JOIN cand ON e.vec_id = cand.vec_id, q
        |ORDER BY cos DESC, e.vec_id ASC LIMIT 10""".stripMargin
 
-  /** IVF-style ANN — inverted-list probe + exact re-rank; centroids are the
-    * first 16 corpus vectors (deterministic), so the oracle replays the
-    * full assignment/probe/re-rank pipeline exactly. */
+  /** Committed IVF quantizer model (trained offline by
+    * graft.tools.TrainIvfCentroids — seeded Lloyd's k-means at sf0.01).
+    * Env override mirrors the image fixture's convention. */
+  val ivfCentroidsPath: String = sys.env.getOrElse("SPARK_GRAFT_IVF_CENTROIDS",
+    "/root/repo/fixtures/ivf_centroids.parquet")
+
+  /** IVF-style ANN — inverted-list probe + exact re-rank. The coarse
+    * centroids are the committed k-means model (the production "offline
+    * training job" at fixture scale); both engines read the same parquet,
+    * so the oracle replays assignment/probe/re-rank exactly. */
   def annIvf(s: SparkSession, d: String): DataFrame =
-    Similarity.ivfTopK(embeddings(s, d), queryId = 0L, k = 10)
+    Similarity.ivfTopK(embeddings(s, d), s.read.parquet(ivfCentroidsPath),
+      queryId = 0L, k = 10, nProbe = 4)
 
   val annIvfSql: String =
     s"""WITH $duckNormed,
-       |cent AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM e WHERE vec_id < 16),
+       |cent AS (SELECT cell, centroid AS cv,
+       |                sqrt(list_dot_product(centroid, centroid)) AS cn
+       |         FROM read_parquet('$ivfCentroidsPath/*.parquet')),
        |asg AS (SELECT e.vec_id, cent.cell,
        |               list_dot_product(e.v, cent.cv) / (e.nrm * cent.cn) AS ccos
        |        FROM e CROSS JOIN cent),

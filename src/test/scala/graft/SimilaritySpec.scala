@@ -41,18 +41,58 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.7, s"recall=$recall") // measured 0.9 at sf0.001/sf0.01
   }
 
-  test("IVF top-k: probed-cell candidates, sane recall vs brute force") {
+  test("IVF top-k with TRAINED centroids: high recall vs brute force") {
     val emb = graft.engine.Tables.embeddings(spark, sf)
     val exact = Similarity.bruteForceTopK(emb, 0L, 10)
       .select("vec_id").as[Long].collect().toSet
-    val approx = Similarity.ivfTopK(emb, 0L, 10)
+    val cent = Similarity.kMeansCentroids(emb, k = 16, iters = 10, seed = 42L)
+    val approx = Similarity.ivfTopK(emb, cent, 0L, 10, nProbe = 4)
       .select("vec_id").as[Long].collect().toSet
     assert(approx.size === 10)
     assert(!approx.contains(0L))
-    // nProbe/nCells = 1/4 of the corpus scanned; on a near-uniform corpus
-    // expected recall ≈ coverage, so demand clearly-above-chance.
+    // k-means cells follow the corpus's label clusters, so the query's true
+    // neighbours concentrate in its probed cells — well above the ~nProbe/k
+    // coverage an untrained quantizer gets on this corpus.
     val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.3, s"recall=$recall")
+    assert(recall >= 0.7, s"recall=$recall")
+  }
+
+  test("k-means: recovers planted clusters; empty-cell and determinism") {
+    // 4 well-separated direction clusters in 8-d, 40 vectors each.
+    val rnd = new scala.util.Random(7)
+    val axes = Seq(0, 2, 4, 6)
+    val rows = for (c <- 0 until 4; i <- 0 until 40) yield {
+      val v = Array.fill(8)(rnd.nextGaussian().toFloat * 0.05f)
+      v(axes(c)) = 1.0f + rnd.nextGaussian().toFloat * 0.05f
+      ((c * 40 + i).toLong, v.toSeq, c)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "truth")
+    val cent = Similarity.kMeansCentroids(emb, k = 4, iters = 8, seed = 42L)
+    assert(cent.count() === 4L)
+    // every truth-cluster maps to exactly one learned cell (purity 1.0)
+    val assigned = Similarity.ivfTopK(emb, cent, queryId = 0L, k = 10, nProbe = 1)
+      .select("vec_id").as[Long].collect()
+    assert(assigned.length === 10)
+    assert(assigned.forall(_ < 40), s"probe-1 candidates crossed clusters: ${assigned.mkString(",")}")
+    // deterministic retrain: same data + seed => identical model
+    val cent2 = Similarity.kMeansCentroids(emb, k = 4, iters = 8, seed = 42L)
+    val a = cent.orderBy("cell").as[(Int, Seq[Double])].collect()
+    val b = cent2.orderBy("cell").as[(Int, Seq[Double])].collect()
+    assert(a.map(_._1).sameElements(b.map(_._1)))
+    a.zip(b).foreach { case ((_, x), (_, y)) =>
+      x.zip(y).foreach { case (xi, yi) => assert(math.abs(xi - yi) < 1e-9) }
+    }
+  }
+
+  test("committed IVF fixture: 16 centroids, probe pipeline returns k rows") {
+    val cent = spark.read.parquet(graft.queries.PipelineQueries.ivfCentroidsPath)
+    assert(cent.count() === 16L)
+    assert(cent.schema("centroid").dataType.simpleString === "array<double>")
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    val top = Similarity.ivfTopK(emb, cent, 0L, 10, nProbe = 4).collect()
+    assert(top.length === 10)
+    val cs = top.map(_.getAs[Double]("cos"))
+    assert(cs.sameElements(cs.sortBy(-_)))
   }
 
   test("banded near-dups: non-empty strict subset machinery of all-pairs") {
