@@ -50,7 +50,7 @@ object Similarity {
     * constants are seed-reproducible, so the DuckDB oracles embed them as
     * literal `DOUBLE[]` VALUES ([[planesSqlValues]]) and replay the exact
     * bucketing — LSH queries get hash-match verification, not rows-only. */
-  private def planes(nPlanes: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
+  private[graft] def planes(nPlanes: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
@@ -68,7 +68,7 @@ object Similarity {
     * sequential left-to-right fold matching DuckDB `list_dot_product` term
     * order — so bucketing a vector against b·L planes stays inside one
     * codegen stage with no per-plane array allocation. */
-  private def bucketFromPlanes(vd: Column, ps: Seq[Array[Double]]): Column =
+  private[ops] def bucketFromPlanes(vd: Column, ps: Seq[Array[Double]]): Column =
     ps.zipWithIndex.map { case (p, j) =>
       when(dotU(vd, typedlit(p.toSeq)) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)

@@ -181,9 +181,19 @@ object PipelineQueries {
   /** ANN via banded hyperplane LSH — same output contract as brute force,
     * bucketed candidate generation. The seeded planes are embedded in the
     * oracle as DOUBLE[] literals, so this is hash-verified (recall vs brute
-    * force is additionally asserted ≥ 0.7 in SimilaritySpec). */
-  def annLsh(s: SparkSession, d: String): DataFrame =
-    Similarity.lshTopK(embeddings(s, d), queryId = 0L, k = 10)
+    * force is additionally asserted ≥ 0.7 in SimilaritySpec).
+    *
+    * Served from the MATERIALIZED index ([[graft.ops.Indexes]]): the first
+    * call builds the (vec_id, t, key) parquet partitioned by bucket, every
+    * later call partition-prunes to the query's `lTables` buckets and
+    * re-ranks candidates only — output-identical to the inline
+    * [[Similarity.lshTopK]] (IndexesSpec asserts hash equality and the
+    * absence of a bucketing pass in the probe plan). */
+  def annLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val idx = graft.ops.Indexes.ensureLshIndex(s, emb, d)
+    graft.ops.Indexes.lshTopKIndexed(emb, idx, queryId = 0L, k = 10)
+  }
 
   val annLshSql: String =
     s"""WITH $duckNormed,

@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Indexes, Similarity}
+
+class IndexesSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+  private def emb = graft.engine.Tables.embeddings(spark, sf)
+
+  private lazy val idxPath: String = {
+    val dir = Files.createTempDirectory("lsh_idx_spec").toString + "/idx"
+    Indexes.writeLshIndex(emb, dir)
+    dir
+  }
+
+  test("driver bucket keys are bit-identical to the executor expression") {
+    val ps = Similarity.planes(64, 64, 42L)
+    val sparkKeys = spark.read.parquet(idxPath)
+      .select(col("vec_id"), col("t"), col("key"))
+      .as[(Long, Int, Long)].collect()
+      .map { case (v, t, k) => (v, t) -> k }.toMap
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    vecs.take(50).foreach { case (vid, v) =>
+      (0 until 16).foreach { t =>
+        val local = Indexes.bucketKeyLocal(v.toArray, ps.slice(t * 4, (t + 1) * 4))
+        assert(sparkKeys((vid, t)) === local, s"vec $vid table $t")
+      }
+    }
+  }
+
+  test("indexed probe output == inline lshTopK output (row-exact)") {
+    val inline = Similarity.lshTopK(emb, 0L, 10).collect().toSeq
+    val indexed = Indexes.lshTopKIndexed(emb, idxPath, 0L, 10).collect().toSeq
+    assert(indexed === inline)
+  }
+
+  test("probe plan: partition-pruned index scan, no bucketing pass") {
+    val probe = Indexes.lshTopKIndexed(emb, idxPath, 0L, 10)
+    val plan = probe.queryExecution.executedPlan.toString()
+    // the index scan prunes to the query's 16 (t, key) directories
+    assert(plan.contains("PartitionFilters"), plan.take(2000))
+    val scans = plan.linesIterator.filter(_.contains(idxPath.split('/').last)).mkString("\n")
+    assert(scans.nonEmpty)
+    // no corpus re-bucketing: bucketing needs the per-table explode
+    // (Generate) and 64 plane dots; the probe plan must have neither.
+    assert(!plan.contains("Generate"), "probe plan re-buckets via explode")
+    val dots = "graft_dot".r.findAllIn(plan).size
+    // re-rank needs: dot(e,q), norm(e), plus q's own norm — never 64 plane dots
+    assert(dots <= 6, s"probe plan has $dots graft_dot calls — bucketing leaked in:\n$plan")
+  }
+
+  test("ensureLshIndex builds once, then reuses (same path, _SUCCESS-keyed)") {
+    val p1 = Indexes.ensureLshIndex(spark, emb, sf)
+    val marker = new java.io.File(p1, "_SUCCESS")
+    assert(marker.exists())
+    val before = marker.lastModified()
+    val p2 = Indexes.ensureLshIndex(spark, emb, sf)
+    assert(p2 === p1)
+    assert(marker.lastModified() === before, "index was rebuilt on second ensure")
+  }
+}
