@@ -60,34 +60,40 @@ object Dedup {
       .map { case ((a, b), i) => s"($i, $a, $b)" }
       .mkString("(VALUES ", ", ", ") consts(i, a, b)")
 
-  /** MinHash signatures from a pre-computed (doc_id, sh) shingle-set frame:
-    * one row per doc, columns h0..h{k-1}. Single shuffle on doc_id; k
-    * partial-aggregated mins over the same materialized base hash (md5
-    * evaluated once per shingle). Taking the sets frame as input lets
-    * [[nearDupPairs]] shingle the corpus exactly ONCE for both the
+  /** MinHash signatures from a pre-computed (doc_id, sh) HASHED shingle-set
+    * frame: one row per doc, columns h0..h{k-1}. Single shuffle on doc_id; k
+    * partial-aggregated mins over the stored 48-bit shingle id (md5 was
+    * evaluated once, at shingle-set build). Taking the sets frame as input
+    * lets [[nearDupPairs]] shingle the corpus exactly ONCE for both the
     * signature pass and the exact-Jaccard refine. */
   def minhashSignaturesFromSets(sets: DataFrame, numHashes: Int = 16): DataFrame = {
-    val base = conv(substring(md5(col("s")), 1, 12), 16, 10).cast("long") % MinhashP
     val sh = sets
       .select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), base.as("hb"))
+      .select(col("doc_id"), (col("s") % MinhashP).as("hb"))
     val aggs = minhashConsts(numHashes).zipWithIndex.map { case ((a, b), i) =>
       min((col("hb") * a + b) % MinhashP).as(s"h$i")
     }
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** (doc_id, sh) shingle-set frame. Two projections on purpose: the words
-    * array materializes once per row before the shingle `transform` touches
-    * it — see [[TextOps.shingleSetFromWords]] for why inlining the split
-    * into the lambda is O(words²) per document. NULL text is normalized to
-    * '' so both engines agree on the fallback shingle [""] (DuckDB's word
-    * split of NULL yields NULL, whose fallback would be [NULL] and whose
-    * md5 would silently drop from the signature min()s). */
+  /** (doc_id, sh) shingle-set frame, `sh` = distinct 48-bit shingle ids
+    * ([[TextOps.hashedShingleSet]]) — every downstream consumer (signature
+    * mins, Jaccard refine, all-pairs baseline) works on the hashed ids, so
+    * the fat shingle STRINGS never persist past this projection and never
+    * enter a shuffle or cache (8 bytes/shingle instead of ~50 at corpus
+    * scale; both DuckDB oracles hash identically, keeping verification
+    * exact). Three projections on purpose: the words array materializes
+    * once per row before the shingle `transform` touches it — see
+    * [[TextOps.shingleSetFromWords]] for why inlining the split into the
+    * lambda is O(words²) per document. NULL text is normalized to '' so
+    * both engines agree on the fallback shingle [""] (DuckDB's word split
+    * of NULL yields NULL, whose fallback would be [NULL] and whose md5
+    * would silently drop from the signature min()s). */
   def shingleSets(docs: DataFrame, shingleN: Int = 3): DataFrame =
     docs.select(col("doc_id"),
         TextOps.words(coalesce(col("text"), lit(""))).as("w"))
-      .select(col("doc_id"), TextOps.shingleSetFromWords(col("w"), shingleN).as("sh"))
+      .select(col("doc_id"), TextOps.shingleSetFromWords(col("w"), shingleN).as("shs"))
+      .select(col("doc_id"), TextOps.hashedShingleSet(col("shs")).as("sh"))
 
   /** MinHash signatures straight from documents (shingles computed inline). */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 16, shingleN: Int = 3): DataFrame =
@@ -156,17 +162,30 @@ object Dedup {
     *
     * Iterative min-label propagation with pointer jumping (next := next's
     * next squares the propagation distance per round, so convergence is
-    * O(log diameter) rounds instead of O(diameter)). The driver loop with a
-    * per-round `count()` is the standard shape for iterative graph
-    * algorithms on Spark (GraphX does the same).
+    * O(log diameter) rounds instead of O(diameter)). The component
+    * assignment is the unique fixpoint (min id per component), so the
+    * output is execution-independent and oracle-replayable.
     *
-    * Checkpointing: each round MUST cut lineage, not just cache — `labels`
-    * is consumed twice per round, so the logical plan doubles every
-    * iteration and Catalyst re-optimizes the whole accumulated tree even
-    * when execution reads the cache (measured 10→2 s at sf0.1 from the cut
-    * alone). The cut goes through an explicit RDD handle so the PREVIOUS
-    * round's blocks are released deterministically each iteration (not left
-    * to the ContextCleaner). Two modes:
+    * The LOOP runs on co-partitioned RDDs, not DataFrames — the one place in
+    * this engine where the RDD API is the right call, for two reasons the
+    * DataFrame API cannot express:
+    *  - a single `HashPartitioner` is REUSED across all rounds: the (big)
+    *    symmetric edge list is hash-partitioned once and every per-round
+    *    join against it is co-partitioned — zero edge shuffles per round.
+    *    Catalyst re-plans each iteration from scratch (the lineage cut that
+    *    keeps plans bounded also erases partitioning info), so the DataFrame
+    *    loop re-shuffled edges every round;
+    *  - per-round cost is a couple of narrow RDD jobs with NO optimizer pass
+    *    and NO fresh whole-stage-codegen compile. Measured at sf0.1: the
+    *    DataFrame loop paid ~0.9 s/round in planning+Janino on a 477-node
+    *    graph; the RDD loop pays milliseconds.
+    * Parallelism is sized from the materialized edge count (~500k symmetric
+    * edges per partition, capped at defaultParallelism) — the pair set is
+    * orders of magnitude smaller than the corpus, and AQE cannot size
+    * stages across an iterative driver loop.
+    *
+    * Per-round lineage/caching: each round's labels are persisted and the
+    * previous round released deterministically. Two modes:
     *  - default (`checkpointDir = None`): `localCheckpoint` — executor-local
     *    blocks, fastest, but NOT fault-tolerant (a lost executor loses the
     *    truncated lineage). Fine for local mode / restartable jobs.
@@ -182,63 +201,64 @@ object Dedup {
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     val reliable = checkpointDir.isDefined
 
-    // cut2/cut3: materialize + lineage-cut a frame of long columns through a
-    // typed-Dataset→RDD round-trip, returning the RDD handle that owns the
-    // blocks so the loop can release the previous round deterministically.
-    // (Dataset.localCheckpoint buries its persisted RDD inside a private
-    // LogicalRDD — no public handle — which is why this goes via .rdd.)
-    def cut2(df: DataFrame, names: (String, String)): (DataFrame, org.apache.spark.rdd.RDD[(Long, Long)]) = {
-      val rdd = df.select(col(names._1).cast("long"), col(names._2).cast("long"))
-        .as[(Long, Long)].rdd
+    def cut[T](rdd: org.apache.spark.rdd.RDD[T]): org.apache.spark.rdd.RDD[T] = {
       if (reliable) { rdd.persist(); rdd.checkpoint() } else rdd.localCheckpoint()
       rdd.count() // eager: materialize (and write the reliable checkpoint) now
       if (reliable) rdd.unpersist(false) // served from checkpoint files from here on
-      (rdd.toDF(names._1, names._2), rdd)
-    }
-    def cut3(df: DataFrame, names: (String, String, String)): (DataFrame, org.apache.spark.rdd.RDD[(Long, Long, Long)]) = {
-      val rdd = df.select(col(names._1).cast("long"), col(names._2).cast("long"),
-          col(names._3).cast("long")).as[(Long, Long, Long)].rdd
-      if (reliable) { rdd.persist(); rdd.checkpoint() } else rdd.localCheckpoint()
-      rdd.count()
-      if (reliable) rdd.unpersist(false)
-      (rdd.toDF(names._1, names._2, names._3), rdd)
+      rdd
     }
     def release(rdd: org.apache.spark.rdd.RDD[_]): Unit =
       if (!reliable) rdd.unpersist(false) // reliable blocks were already dropped
 
-    // Edge list materialized ONCE before the self-union: `sym` consumes
-    // `pairs` twice, and without the cut the (possibly expensive) upstream
-    // pipeline that produced the pairs would execute in both branches.
-    val (p, pRdd) = cut2(pairs.select(col("doc_a"), col("doc_b")), ("doc_a", "doc_b"))
-    val sym = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
-    var (labels, labelsRdd0) = cut2(
-      sym.select(col("src").as("id")).distinct().withColumn("rep", col("id")),
-      ("id", "rep"))
-    var labelsRdd: org.apache.spark.rdd.RDD[_] = labelsRdd0
+    // Edge list materialized ONCE: the upstream (LSH+refine) pipeline must
+    // not re-execute in the per-round joins, and the edge count sizes the
+    // loop's parallelism.
+    val e0 = cut(pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .as[(Long, Long)].rdd)
+    val nEdges = e0.count()
+    val parts = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
+      nEdges / 500000L + 1L)).toInt
+    val part = new org.apache.spark.HashPartitioner(parts)
+
+    // (dst, src) for BOTH directions, hash-partitioned once and pinned for
+    // the whole loop — every round's label lookup joins co-partitioned.
+    val byDst = e0.flatMap { case (a, b) => Iterator((b, a), (a, b)) }
+      .partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    var labels: org.apache.spark.rdd.RDD[(Long, Long)] =
+      cut(byDst.keys.distinct(parts).map(id => (id, id)).partitionBy(part))
     var changed = 1L
     while (changed > 0) {
-      val neighborMin = sym
-        .join(labels.select(col("id").as("dst"), col("rep")), Seq("dst"))
-        .groupBy(col("src").as("id")).agg(min(col("rep")).as("nrep"))
-      val stepped = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), col("rep"),
-          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("next"))
-      // Pointer jump: `next` is always a member id, so the self-join is total.
-      val jump = stepped.select(col("id").as("jid"), col("next").as("jnext"))
-      val (updated, updatedRdd) = cut3(
-        stepped.join(jump, col("next") === col("jid"))
-          .select(col("id"), col("rep"), col("jnext").as("next")),
-        ("id", "rep", "next"))
-      changed = updated.where(col("next") < col("rep")).count()
-      release(labelsRdd) // the previous round is no longer referenced
-      labels = updated.select(col("id"), col("next").as("rep"))
-      labelsRdd = updatedRdd
+      // neighbor-min: edges pick up their dst's label (co-partitioned join,
+      // edges never move), min-combined map-side by reduceByKey.
+      val nmin = byDst.join(labels, part)
+        .map { case (_, (src, rep)) => (src, rep) }
+        .reduceByKey(part, math.min(_: Long, _: Long))
+      val stepped = labels.leftOuterJoin(nmin, part).mapValues {
+        case (rep, o) => (rep, math.min(rep, o.getOrElse(rep)))
+      } // (id, (rep, next)) — co-partitioned with labels
+      // Pointer jump: next := next's next (always a member id, so total).
+      val idToNext = stepped.mapValues(_._2)
+      val updated = stepped
+        .map { case (id, (rep, next)) => (next, (id, rep)) }
+        .join(idToNext, part)
+        .map { case (_, ((id, rep), jnext)) => (id, (rep, jnext)) }
+      // One materializing action per round: the `changed` tally rides along
+      // in an accumulator (retry-safe here — a re-run task can only re-add
+      // POSITIVE counts, so `changed == 0` is never reported spuriously).
+      val acc = spark.sparkContext.longAccumulator
+      val next = cut(updated.map { case (id, (rep, jnext)) =>
+        if (jnext < rep) acc.add(1L)
+        (id, jnext)
+      }.partitionBy(part))
+      changed = acc.value
+      release(labels)
+      labels = next
     }
-    sym.unpersist()
-    release(pRdd)
-    labels.select(col("id").as("doc_id"), col("rep"))
+    byDst.unpersist(false)
+    release(e0)
+    labels.toDF("doc_id", "rep")
   }
 
   /** Correctness baseline: exact all-pairs n-gram Jaccard above a threshold.

@@ -44,7 +44,23 @@ object TextOps {
     when(size(w) >= n, array_distinct(shingles(w, n)))
       .otherwise(array(concat_ws(" ", w)))
 
-  /** Jaccard similarity of two pre-distinct string arrays:
+  /** 48-bit shingle id from the md5 hex prefix — the SAME base value the
+    * MinHash family consumes (DuckDB mirror:
+    * `('0x' || substr(md5(s), 1, 12))::BIGINT`). 48 bits fit a signed long
+    * with headroom for the universal-hash multiply in [[Dedup]]. */
+  def shingleHash(s: Column): Column =
+    conv(substring(md5(s), 1, 12), 16, 10).cast("long")
+
+  /** Distinct 48-bit shingle ids from a string shingle array. Dedup stores
+    * and shuffles THESE, not the shingle strings: at corpus scale the
+    * persisted/shuffled payload drops from ~tens of bytes per shingle to 8,
+    * and the Jaccard refine intersects longs instead of strings. Collisions
+    * (±2⁻⁴⁸ per pair) merge shingles identically on both engines — the
+    * DuckDB oracles apply the same transform, so results stay hash-exact. */
+  def hashedShingleSet(sh: Column): Column =
+    array_distinct(transform(sh, shingleHash(_)))
+
+  /** Jaccard similarity of two pre-distinct arrays (string or hashed):
     * |a ∩ b| / |a ∪ b| (sizes only — element order never matters). */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /

@@ -27,6 +27,11 @@ object PipelineQueries {
       s"i -> $wordsExpr[i] || ' ' || $wordsExpr[i+1] || ' ' || $wordsExpr[i+2])) " +
       s"ELSE [array_to_string($wordsExpr, ' ')] END"
 
+  // Mirrors TextOps.hashedShingleSet: distinct 48-bit md5-prefix shingle ids.
+  private def duckHashedShingleSet(wordsExpr: String) =
+    s"list_distinct(list_transform(${duckShingleSet(wordsExpr)}, " +
+      s"s -> ('0x' || substr(md5(s), 1, 12))::BIGINT))"
+
   // ---- dedup -------------------------------------------------------------
 
   def dedupExact(s: SparkSession, d: String): DataFrame =
@@ -41,8 +46,8 @@ object PipelineQueries {
 
   private val duckMinhashBands =
     s"""w AS (SELECT doc_id, $duckWords AS w FROM documents),
-       |shg AS (SELECT doc_id, unnest(${duckShingleSet("w")}) AS s FROM w),
-       |hb AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 12))::BIGINT % ${Dedup.MinhashP} AS hb FROM shg),
+       |shg AS (SELECT doc_id, unnest(${duckHashedShingleSet("w")}) AS s FROM w),
+       |hb AS (SELECT doc_id, s % ${Dedup.MinhashP} AS hb FROM shg),
        |mh AS (SELECT doc_id, i, min((hb * a + b) % ${Dedup.MinhashP}) AS h
        |       FROM hb, ${Dedup.minhashConstsSqlValues(16)} GROUP BY doc_id, i),
        |bands AS (SELECT doc_id, i // 2 AS band, md5(string_agg(h::VARCHAR, ',' ORDER BY i)) AS bkey
@@ -65,7 +70,7 @@ object PipelineQueries {
     * on the raw value and rounds only at the output edge). */
   private val duckNearDupCtes: String =
     s"""$duckMinhashBands,
-       |sets AS (SELECT doc_id, ${duckShingleSet("w")} AS sh FROM w),
+       |sets AS (SELECT doc_id, ${duckHashedShingleSet("w")} AS sh FROM w),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
        |scored AS (SELECT doc_a, doc_b,
@@ -109,7 +114,7 @@ object PipelineQueries {
       .orderBy(col("doc_a"), col("doc_b"))
 
   val jaccardAllPairsSql: String =
-    s"""WITH sets AS (SELECT doc_id, ${duckShingleSet(duckWords)} AS sh
+    s"""WITH sets AS (SELECT doc_id, ${duckHashedShingleSet(duckWords)} AS sh
        |              FROM documents WHERE doc_id < 250)
        |SELECT doc_a, doc_b, jaccard FROM (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -19,11 +19,24 @@ class DedupSpec extends AnyFunSuite {
   ).toDF("doc_id", "text")
 
   test("shingles: word 3-grams, whole-text fallback below 3 words") {
-    val sh = Dedup.shingleSets(docs, 3).select(col("doc_id"), col("sh").as("s"))
+    // string layer: the n-gram construction itself
+    val strSets = docs
+      .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+      .select(col("doc_id"), TextOps.shingleSetFromWords(col("w"), 3).as("s"))
       .as[(Long, Seq[String])].collect().toMap
-    assert(sh(0L).head === "the quick brown")
-    assert(sh(0L).size === 7)
-    assert(sh(4L) === Seq("hi")) // short docs keep ONE shingle, never vanish
+    assert(strSets(0L).head === "the quick brown")
+    assert(strSets(0L).size === 7)
+    assert(strSets(4L) === Seq("hi")) // short docs keep ONE shingle, never vanish
+    // hashed layer (what dedup stores/shuffles): same cardinality, and each
+    // id is exactly the 48-bit md5 prefix of its string shingle
+    val hashed = Dedup.shingleSets(docs, 3).select(col("doc_id"), col("sh").as("s"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(hashed(0L).size === 7)
+    def h48(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .take(6).map("%02x".format(_)).mkString, 16)
+    assert(hashed(0L).toSet === strSets(0L).map(h48).toSet)
+    assert(hashed(4L) === Seq(h48("hi")))
   }
 
   test("short exact dups survive the LSH path via the fallback shingle") {
