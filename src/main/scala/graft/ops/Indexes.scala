@@ -122,11 +122,94 @@ object Indexes {
                      bBits: Int = 4, lTables: Int = 16, dim: Int = 64,
                      seed: Long = 42L): String = {
     val path = lshIndexPath(sfDir, bBits, lTables, seed)
+    if (!successExists(spark, path)) writeLshIndex(emb, path, bBits, lTables, dim, seed)
+    path
+  }
+
+  // ---- IVF inverted lists ---------------------------------------------------
+
+  /** Deterministic IVF index location for a corpus dir + cell count. */
+  def ivfIndexPath(sfDir: String, nCells: Int): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"$indexRoot/$tag/ivf_k$nCells"
+  }
+
+  /** Materialize the IVF inverted lists: every vector's cell assignment
+    * (argmax cosine against the trained centroids — the IDENTICAL `max_by`
+    * tie-break [[Similarity.ivfTopK]] uses inline), written as parquet
+    * partitioned by cell. A probe lists only its `nProbe` cell directories,
+    * so candidate generation reads ~nProbe/nCells of the index — the
+    * precomputed form of the "only shuffle carries (vec_id, cell)" design
+    * note on [[Similarity.ivfTopK]]. */
+  def writeIvfIndex(emb: DataFrame, centroids: DataFrame, path: String): Unit = {
+    val e = emb.select(col("vec_id"), col("embedding"),
+      Similarity.norm(col("embedding")).as("nrm"))
+    val cent = centroids.select(col("cell"), col("centroid").as("cv"),
+      Similarity.norm(col("centroid")).as("cn"))
+    e.join(broadcast(cent))
+      .select(col("vec_id"), col("cell"),
+        (graft.functions.DotProduct.dot(col("embedding"), col("cv")) /
+          (col("nrm") * col("cn"))).as("ccos"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cell"), struct(col("ccos"), -col("cell"))).as("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** IVF ANN top-k served from prebuilt inverted lists — output-identical to
+    * [[Similarity.ivfTopK]] with the same centroids. The probe ranks cells
+    * on the DRIVER (the centroid model is tiny and the scoring fold is the
+    * same IEEE order as the codegen'd dot product), turns the `nProbe` cell
+    * ids into literal filters (static partition pruning on the index), and
+    * exact-re-ranks only the probed cells' members. */
+  def ivfTopKIndexed(emb: DataFrame, centroids: DataFrame, indexPath: String,
+                     queryId: Long, k: Int, nProbe: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val qv: Array[Float] = emb.where(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val qn: Double = {
+      var s = 0.0; var i = 0
+      while (i < qv.length) { s += qv(i).toDouble * qv(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    val cents: Seq[(Int, Array[Double])] =
+      centroids.select(col("cell").cast("int"), col("centroid"))
+        .collect().toSeq.map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val probes: Seq[Int] = cents.map { case (cell, cv) =>
+      val n = math.min(qv.length, cv.length)
+      var dot = 0.0; var cn = 0.0
+      var i = 0
+      while (i < n) { dot += qv(i).toDouble * cv(i); i += 1 }
+      i = 0
+      while (i < cv.length) { cn += cv(i) * cv(i); i += 1 }
+      (dot / (qn * math.sqrt(cn)), cell)
+    }.sortBy { case (ccos, cell) => (-ccos, cell) }.take(nProbe).map(_._2)
+    val candIds = spark.read.parquet(indexPath)
+      .where(col("cell").isin(probes: _*))
+      .where(col("vec_id") =!= queryId)
+      .select(col("vec_id"))
+    val q = emb.where(col("vec_id") === queryId)
+      .select(col("embedding").as("qv"), Similarity.norm(col("embedding")).as("qn"))
+    emb.join(candIds, Seq("vec_id"), "left_semi")
+      .join(broadcast(q))
+      .select(col("vec_id"),
+        round(graft.functions.DotProduct.dot(col("embedding"), col("qv")) /
+          (Similarity.norm(col("embedding")) * col("qn")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Build-if-missing IVF inverted lists (see [[ensureLshIndex]]). */
+  def ensureIvfIndex(spark: SparkSession, emb: DataFrame, centroids: DataFrame,
+                     sfDir: String, nCells: Int): String = {
+    val path = ivfIndexPath(sfDir, nCells)
+    if (!successExists(spark, path)) writeIvfIndex(emb, centroids, path)
+    path
+  }
+
+  private def successExists(spark: SparkSession, path: String): Boolean = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
-      writeLshIndex(emb, path, bBits, lTables, dim, seed)
-    }
-    path
+    fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))
   }
 }

@@ -223,10 +223,19 @@ object PipelineQueries {
   /** IVF-style ANN — inverted-list probe + exact re-rank. The coarse
     * centroids are the committed k-means model (the production "offline
     * training job" at fixture scale); both engines read the same parquet,
-    * so the oracle replays assignment/probe/re-rank exactly. */
-  def annIvf(s: SparkSession, d: String): DataFrame =
-    Similarity.ivfTopK(embeddings(s, d), s.read.parquet(ivfCentroidsPath),
-      queryId = 0L, k = 10, nProbe = 4)
+    * so the oracle replays assignment/probe/re-rank exactly.
+    *
+    * Served from MATERIALIZED inverted lists ([[graft.ops.Indexes]]): cell
+    * assignment is written once partitioned by cell; the probe ranks cells
+    * driver-side from the tiny centroid model and partition-prunes to its
+    * nProbe cells — output-identical to the inline [[Similarity.ivfTopK]]
+    * (IndexesSpec asserts equality). */
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val cent = s.read.parquet(ivfCentroidsPath)
+    val idx = graft.ops.Indexes.ensureIvfIndex(s, emb, cent, d, nCells = 16)
+    graft.ops.Indexes.ivfTopKIndexed(emb, cent, idx, queryId = 0L, k = 10, nProbe = 4)
+  }
 
   val annIvfSql: String =
     s"""WITH $duckNormed,

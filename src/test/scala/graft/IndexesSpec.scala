@@ -55,6 +55,29 @@ class IndexesSpec extends AnyFunSuite {
     assert(dots <= 6, s"probe plan has $dots graft_dot calls — bucketing leaked in:\n$plan")
   }
 
+  test("IVF indexed probe output == inline ivfTopK output (row-exact)") {
+    val cent = spark.read.parquet(graft.queries.PipelineQueries.ivfCentroidsPath)
+    val dir = Files.createTempDirectory("ivf_idx_spec").toString + "/idx"
+    Indexes.writeIvfIndex(emb, cent, dir)
+    val inline = Similarity.ivfTopK(emb, cent, 0L, 10, nProbe = 4).collect().toSeq
+    val indexed = Indexes.ivfTopKIndexed(emb, cent, dir, 0L, 10, nProbe = 4).collect().toSeq
+    assert(indexed === inline)
+  }
+
+  test("IVF probe plan: partition-pruned cell read, no assignment pass") {
+    val cent = spark.read.parquet(graft.queries.PipelineQueries.ivfCentroidsPath)
+    val dir = Files.createTempDirectory("ivf_idx_spec2").toString + "/idx"
+    Indexes.writeIvfIndex(emb, cent, dir)
+    val probe = Indexes.ivfTopKIndexed(emb, cent, dir, 0L, 10, nProbe = 4)
+    val plan = probe.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters"))
+    // assignment would need the centroid broadcast join + max_by aggregate;
+    // the probe must have neither (re-rank aggregates nothing).
+    assert(!plan.contains("max_by"), "probe plan re-assigns cells")
+    val dots = "graft_dot".r.findAllIn(plan).size
+    assert(dots <= 6, s"probe plan has $dots graft_dot calls — assignment leaked in:\n$plan")
+  }
+
   test("ensureLshIndex builds once, then reuses (same path, _SUCCESS-keyed)") {
     val p1 = Indexes.ensureLshIndex(spark, emb, sf)
     val marker = new java.io.File(p1, "_SUCCESS")
