@@ -61,6 +61,9 @@ object SparkEntry {
     "q_multimodal_features" -> (PipelineQueries.multimodalFeatures _),
     "q_multimodal_frames"   -> (PipelineQueries.multimodalFrames _),
     "q_image_decode"        -> (PipelineQueries.imageDecode _),
+    "q_hash_split"          -> (PipelineQueries.hashSplit _),
+    "q_pii_scrub"           -> (PipelineQueries.piiScrub _),
+    "q_pack_sequences"      -> (PipelineQueries.packSequences _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -108,5 +111,8 @@ object SparkEntry {
     "q_multimodal_features" -> PipelineQueries.multimodalFeaturesSql,
     "q_multimodal_frames"   -> PipelineQueries.multimodalFramesSql,
     "q_image_decode"        -> PipelineQueries.imageDecodeSql,
+    "q_hash_split"          -> PipelineQueries.hashSplitSql,
+    "q_pii_scrub"           -> PipelineQueries.piiScrubSql,
+    "q_pack_sequences"      -> PipelineQueries.packSequencesSql,
   )
 }

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators: deterministic corpus splits, PII
+  * scrubbing, and context-window sequence packing — the steps between
+  * "deduped corpus" and "training shards" in an LLM data pipeline.
+  *
+  * Everything is a pure Column chain over md5/regex/window primitives with
+  * exact DuckDB equivalents, so each registered query is hash-verified, and
+  * everything is deterministic in the DATA (no RNG state, no
+  * `monotonically_increasing_id`), so results are reproducible across runs,
+  * retries, and engines.
+  */
+object Curation {
+
+  /** Deterministic hash bucket in [0, 100): the 48-bit md5 prefix of the
+    * stringified id, mod 100. The standard alternative to `randomSplit` for
+    * corpus splits — membership is a pure function of the id, so a document
+    * lands in the same split on every run, on any engine, at any scale, and
+    * adding data never reshuffles existing assignments (DuckDB mirror:
+    * `('0x' || substr(md5(id::VARCHAR), 1, 12))::BIGINT % 100`). */
+  def hashBucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 12), 16, 10).cast("long") % 100
+
+  /** Split label from cumulative percentage weights, e.g.
+    * `Seq("train" -> 90, "val" -> 5, "test" -> 5)`. Weights must sum to
+    * 100; assignment is a narrow map (no shuffle, no sampling pass). */
+  def splitLabel(id: Column, weights: Seq[(String, Int)]): Column = {
+    require(weights.map(_._2).sum == 100, "split weights must sum to 100")
+    val b = hashBucket(id)
+    val cuts = weights.scanLeft(0)(_ + _._2).tail
+    weights.zip(cuts).init.foldRight(lit(weights.last._1): Column) {
+      case (((name, _), cut), rest) => when(b < cut, lit(name)).otherwise(rest)
+    }
+  }
+
+  /** Email/phone patterns kept to syntax with identical semantics in Java
+    * regex and DuckDB's RE2: character classes, bounded quantifiers,
+    * alternation — no backreferences, no lookaround. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9]{2,3}[ -][0-9]{3}[ -][0-9]{3,4}"
+
+  /** PII-scrubbed text: emails then phones replaced by typed placeholders.
+    * Pure per-row `regexp_replace` — codegen'd, no shuffle; at corpus scale
+    * this runs in the same stage as the scan. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(coalesce(text, lit("")), EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
+  /** Per-source PII audit: document counts, how many matched each pattern,
+    * and the net character delta from scrubbing (placeholders can be longer
+    * than short matches, so the delta may be negative). */
+  def piiAudit(docs: DataFrame): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    docs.select(col("source"), t.as("t"), scrubPii(col("text")).as("s"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("s").contains("<EMAIL>"), 1L).otherwise(0L)).as("docs_with_email"),
+        sum(when(col("s").contains("<PHONE>"), 1L).otherwise(0L)).as("docs_with_phone"),
+        sum(length(col("t")) - length(col("s"))).as("chars_removed"))
+  }
+
+  /** Context-window sequence packing: concatenate each source's documents
+    * in doc_id order and assign every document to the `capacity`-token bin
+    * its FIRST token falls in (the GPT-style concat-then-chunk shard
+    * layout; a document whose tokens straddle a boundary is owned by its
+    * starting bin).
+    *
+    * bin = (running token count BEFORE this doc) div capacity, from ONE
+    * window cumsum partitioned by source — packing parallelizes across
+    * sources/shards (the window never sees more than one source's rows),
+    * which is how a 100 TB corpus packs: per-shard streams, not a global
+    * sort. Output: one row per (source, bin) with its doc/token load. */
+  def packBins(docs: DataFrame, capacity: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val toks = size(TextOps.words(coalesce(col("text"), lit("")))).cast("long")
+    docs.select(col("source"), col("doc_id"), toks.as("tokens"))
+      .withColumn("bin_id",
+        floor(coalesce(sum(col("tokens")).over(w), lit(0L)) / capacity).cast("long"))
+      .groupBy(col("source"), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("bin_tokens"))
+  }
+}

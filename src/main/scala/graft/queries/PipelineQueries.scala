@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.Tables._
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators as driver-contract queries.
   *
@@ -346,6 +346,71 @@ object PipelineQueries {
       |       count(DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_unique,
       |       min(md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS min_fp
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- curation ------------------------------------------------------------
+
+  /** Deterministic hash-based train/val/test split (90/5/5): membership is
+    * a pure function of doc_id, so the split is stable across runs, engines
+    * and corpus growth — no sampling pass, no RNG state, no shuffle for the
+    * assignment itself. */
+  def hashSplit(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(Curation.splitLabel(col("doc_id"),
+          Seq("train" -> 90, "val" -> 5, "test" -> 5)).as("split"),
+        col("doc_id"), length(coalesce(col("text"), lit(""))).as("chars"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("chars")).as("total_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy(col("split"))
+
+  val hashSplitSql: String =
+    """WITH b AS (SELECT doc_id, length(coalesce(text, '')) AS chars,
+      |                  ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT % 100 AS bucket
+      |           FROM documents)
+      |SELECT CASE WHEN bucket < 90 THEN 'train'
+      |            WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+      |       count(*) AS n_docs, CAST(sum(chars) AS BIGINT) AS total_chars,
+      |       min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM b GROUP BY split ORDER BY split""".stripMargin
+
+  /** PII scrub audit: per source, how many documents matched the email /
+    * phone patterns and the net character delta after placeholder
+    * substitution. The scrub itself is a codegen'd per-row regexp_replace
+    * (patterns restricted to Java-regex ∩ RE2 syntax so the oracle replays
+    * them verbatim). */
+  def piiScrub(s: SparkSession, d: String): DataFrame =
+    Curation.piiAudit(documents(s, d)).orderBy(col("source"))
+
+  val piiScrubSql: String =
+    s"""WITH t AS (SELECT source, coalesce(text, '') AS t,
+       |             regexp_replace(regexp_replace(coalesce(text, ''),
+       |               '${Curation.EmailRe}', '<EMAIL>', 'g'),
+       |               '${Curation.PhoneRe}', '<PHONE>', 'g') AS s
+       |           FROM documents)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN contains(s, '<EMAIL>') THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+       |       CAST(sum(CASE WHEN contains(s, '<PHONE>') THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_phone,
+       |       CAST(sum(length(t) - length(s)) AS BIGINT) AS chars_removed
+       |FROM t GROUP BY source ORDER BY source""".stripMargin
+
+  /** Context-window sequence packing (512-token bins): concat-then-chunk
+    * shard layout, one window cumsum partitioned by source — packing
+    * parallelizes across sources, never a global sort. */
+  def packSequences(s: SparkSession, d: String): DataFrame =
+    Curation.packBins(documents(s, d), capacity = 512)
+      .orderBy(col("source"), col("bin_id"))
+
+  val packSequencesSql: String =
+    """WITH t AS (SELECT source, doc_id,
+      |             len(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'))::BIGINT AS tokens
+      |           FROM documents),
+      |c AS (SELECT source, tokens,
+      |        coalesce(sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      |      FROM t)
+      |SELECT source, CAST(floor(cum / 512) AS BIGINT) AS bin_id,
+      |       count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS bin_tokens
+      |FROM c GROUP BY source, bin_id ORDER BY source, bin_id""".stripMargin
 
   // ---- multimodal ----------------------------------------------------------
 

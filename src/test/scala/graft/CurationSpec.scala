@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Curation
+
+class CurationSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("hash split: deterministic, exhaustive, roughly proportional") {
+    val ids = (0L until 1000L).toDF("doc_id")
+    val w = Seq("train" -> 90, "val" -> 5, "test" -> 5)
+    val got = ids.select(col("doc_id"), Curation.splitLabel(col("doc_id"), w).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(got.size === 1000)
+    val counts = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(counts("train") > 800 && counts("train") < 950) // md5 is uniform-ish
+    // stable: recomputing yields the identical assignment
+    val again = ids.select(col("doc_id"), Curation.splitLabel(col("doc_id"), w).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(again === got)
+    // growth never reshuffles: the first 1000 keep their labels in a bigger set
+    val grown = (0L until 2000L).toDF("doc_id")
+      .select(col("doc_id"), Curation.splitLabel(col("doc_id"), w).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(got.forall { case (id, s) => grown(id) == s })
+  }
+
+  test("hash split: weights must sum to 100") {
+    intercept[IllegalArgumentException] {
+      Curation.splitLabel(col("doc_id"), Seq("a" -> 50, "b" -> 40))
+    }
+  }
+
+  test("PII scrub: plants are redacted, clean text untouched, NULL safe") {
+    val docs = Seq(
+      (0L, "s1", "contact me at jan.kowalski+spam@example.co.uk for details"),
+      (1L, "s1", "call +48 123 456-789 or 22 555 1234 today"),
+      (2L, "s1", "no pii here at all"),
+      (3L, "s2", null.asInstanceOf[String]),
+      (4L, "s2", "two mails: a@b.io and c.d@e-f.org")
+    ).toDF("doc_id", "source", "text")
+    val scrubbed = docs.select(col("doc_id"), Curation.scrubPii(col("text")).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(scrubbed(0L) === "contact me at <EMAIL> for details")
+    assert(scrubbed(1L).contains("<PHONE>"))
+    assert(scrubbed(2L) === "no pii here at all")
+    assert(scrubbed(3L) === "")
+    assert(scrubbed(4L) === "two mails: <EMAIL> and <EMAIL>")
+    val audit = Curation.piiAudit(docs).orderBy("source").collect()
+    val s1 = audit(0)
+    assert(s1.getAs[Long]("docs_with_email") === 1L)
+    assert(s1.getAs[Long]("docs_with_phone") === 1L)
+    val s2 = audit(1)
+    assert(s2.getAs[Long]("docs_with_email") === 1L)
+  }
+
+  test("packing: bins fill in doc_id order per source, counts add up") {
+    // 10-token docs, capacity 25 → first-token bins: 0,0,0 (cum 0,10,20),
+    // then 1,1 (cum 30,40), then 2 (cum 50)...
+    val docs = (0L until 6L).map(i => (i, "s", ("w " * 10).trim)).toDF("doc_id", "source", "text")
+    val bins = Curation.packBins(docs, capacity = 25)
+      .orderBy("bin_id").as[(String, Long, Long, Long)].collect()
+    assert(bins.toSeq === Seq(("s", 0L, 3L, 30L), ("s", 1L, 2L, 20L), ("s", 2L, 1L, 10L)))
+    // total docs/tokens conserved
+    assert(bins.map(_._3).sum === 6L)
+    assert(bins.map(_._4).sum === 60L)
+  }
+
+  test("packing: independent per source (window never crosses sources)") {
+    val docs = Seq((0L, "a", "x y z"), (1L, "b", "x y z"), (2L, "a", "x y z"))
+      .toDF("doc_id", "source", "text")
+    val bins = Curation.packBins(docs, capacity = 4)
+      .orderBy("source", "bin_id").as[(String, Long, Long, Long)].collect().toSeq
+    // each source restarts at bin 0: a has docs at cum 0 and 3 (both bin 0), b at cum 0
+    assert(bins === Seq(("a", 0L, 2L, 6L), ("b", 0L, 1L, 3L)))
+  }
+}
