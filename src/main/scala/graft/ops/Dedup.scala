@@ -192,12 +192,23 @@ object Dedup {
     *  - cluster (`checkpointDir = Some(dir)`): reliable `checkpoint` to a
     *    (HDFS/object-store) directory — each round survives executor loss;
     *    the in-memory copy is dropped as soon as the checkpoint files exist.
+    *    Checkpoint hygiene: `setCheckpointDir` already places every file
+    *    under a per-call UUID subdirectory, each superseded round's files
+    *    are DELETED as soon as the next round is safely checkpointed
+    *    (`spark.cleaner.referenceTracking.cleanCheckpoints` defaults to
+    *    false, so nothing else would ever reclaim them), and the context's
+    *    prior checkpoint dir is restored on return — repeated invocations
+    *    accumulate only the FINAL round's (result-sized) files, which must
+    *    outlive the call because the returned frame is served from them.
+    *    Concurrent invocations on one context still race on the shared
+    *    `setCheckpointDir` state; serialize reliable-mode calls per context.
     *
     * Output: (doc_id, rep) for every doc appearing in ≥1 pair. */
   def connectedComponents(pairs: DataFrame,
                           checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    val priorCkptDir = spark.sparkContext.getCheckpointDir
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     val reliable = checkpointDir.isDefined
 
@@ -209,6 +220,10 @@ object Dedup {
     }
     def release(rdd: org.apache.spark.rdd.RDD[_]): Unit =
       if (!reliable) rdd.unpersist(false) // reliable blocks were already dropped
+      else rdd.getCheckpointFile.foreach { f => // superseded round: reclaim now
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
 
     // Edge list materialized ONCE: the upstream (LSH+refine) pipeline must
     // not re-execute in the per-round joins, and the edge count sizes the
@@ -258,6 +273,7 @@ object Dedup {
     }
     byDst.unpersist(false)
     release(e0)
+    priorCkptDir.foreach(spark.sparkContext.setCheckpointDir)
     labels.toDF("doc_id", "rep")
   }
 

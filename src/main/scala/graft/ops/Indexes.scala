@@ -31,10 +31,33 @@ object Indexes {
   val indexRoot: String = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
     s"${System.getProperty("java.io.tmpdir")}/graft_indexes")
 
-  /** Deterministic index location for a corpus dir + LSH parameters. */
-  def lshIndexPath(sfDir: String, bBits: Int, lTables: Int, seed: Long): String = {
+  /** Cheap corpus fingerprint from the frame's input-file METADATA — path,
+    * length, modification time; no data scan, driver-side only. Folded into
+    * every index path so that regenerating the fixture data at the SAME
+    * directory (new seed, new rows, same name) changes the path and forces a
+    * rebuild — without it, presence keyed on `_SUCCESS` alone would silently
+    * probe a stale index built from the old corpus.
+    *
+    * Derived frames with no scan (`inputFiles` empty) fingerprint to the
+    * constant empty-digest prefix — callers passing such frames get
+    * name+param keying only, which is the pre-fingerprint behavior. */
+  def corpusFingerprint(df: DataFrame): String = {
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val md = java.security.MessageDigest.getInstance("MD5")
+    df.inputFiles.sorted.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      md.update(s"$f:${st.getLen}:${st.getModificationTime}\n".getBytes("UTF-8"))
+    }
+    md.digest().map(b => f"$b%02x").mkString.take(12)
+  }
+
+  /** Deterministic index location for a corpus dir + content fingerprint +
+    * LSH parameters. */
+  def lshIndexPath(sfDir: String, fp: String, bBits: Int, lTables: Int,
+                   seed: Long): String = {
     val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"$indexRoot/$tag/lsh_b${bBits}_L${lTables}_s$seed"
+    s"$indexRoot/$tag/lsh_b${bBits}_L${lTables}_s${seed}_$fp"
   }
 
   /** Build the banded-LSH index: per vector, `lTables` rows of
@@ -116,22 +139,31 @@ object Indexes {
   /** Build-if-missing convenience for the registered query path: the first
     * caller pays the one-time bucketing write (in the bench that is the
     * untimed warm-up run); every later query probes the stored index.
-    * Presence is keyed on parquet's `_SUCCESS` marker, so a torn write is
-    * rebuilt rather than probed. */
+    * Presence is keyed on parquet's `_SUCCESS` marker AT a path that embeds
+    * the corpus [[corpusFingerprint]], so a torn write is rebuilt rather
+    * than probed, and a REGENERATED corpus (same directory, new files) maps
+    * to a fresh path instead of silently probing the stale index.
+    *
+    * CONCURRENCY: two sessions ensure-ing the same missing index race — both
+    * build, last overwrite wins. The write is deterministic (same planes,
+    * same corpus ⇒ same index), so the race wastes work but cannot corrupt
+    * results; a production deployment would serialize builds with an
+    * external lock or a rename-into-place commit. */
   def ensureLshIndex(spark: SparkSession, emb: DataFrame, sfDir: String,
                      bBits: Int = 4, lTables: Int = 16, dim: Int = 64,
                      seed: Long = 42L): String = {
-    val path = lshIndexPath(sfDir, bBits, lTables, seed)
+    val path = lshIndexPath(sfDir, corpusFingerprint(emb), bBits, lTables, seed)
     if (!successExists(spark, path)) writeLshIndex(emb, path, bBits, lTables, dim, seed)
     path
   }
 
   // ---- IVF inverted lists ---------------------------------------------------
 
-  /** Deterministic IVF index location for a corpus dir + cell count. */
-  def ivfIndexPath(sfDir: String, nCells: Int): String = {
+  /** Deterministic IVF index location for a corpus dir + content
+    * fingerprint + cell count. */
+  def ivfIndexPath(sfDir: String, fp: String, nCells: Int): String = {
     val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"$indexRoot/$tag/ivf_k$nCells"
+    s"$indexRoot/$tag/ivf_k${nCells}_$fp"
   }
 
   /** Materialize the IVF inverted lists: every vector's cell assignment
@@ -183,7 +215,13 @@ object Indexes {
       i = 0
       while (i < cv.length) { cn += cv(i) * cv(i); i += 1 }
       (dot / (qn * math.sqrt(cn)), cell)
-    }.sortBy { case (ccos, cell) => (-ccos, cell) }.take(nProbe).map(_._2)
+    }.sortBy { case (ccos, cell) =>
+      // NaN parity with the inline path: Spark's `orderBy(ccos.desc)` sorts
+      // NaN as LARGEST (probed first), while Scala's total ordering on the
+      // negated key would sort it last — canonicalize NaN to -∞ here so a
+      // zero-norm vector/centroid probes the same cells on both paths.
+      (if (ccos.isNaN) Double.NegativeInfinity else -ccos, cell)
+    }.take(nProbe).map(_._2)
     val candIds = spark.read.parquet(indexPath)
       .where(col("cell").isin(probes: _*))
       .where(col("vec_id") =!= queryId)
@@ -199,10 +237,14 @@ object Indexes {
       .limit(k)
   }
 
-  /** Build-if-missing IVF inverted lists (see [[ensureLshIndex]]). */
+  /** Build-if-missing IVF inverted lists (see [[ensureLshIndex]] for the
+    * fingerprint-keyed presence check and the concurrent-build caveat). The
+    * fingerprint covers `emb` only: the centroids are a deterministic seeded
+    * k-means of the same corpus, so a corpus change already rotates the path,
+    * and the cell count is a path parameter. */
   def ensureIvfIndex(spark: SparkSession, emb: DataFrame, centroids: DataFrame,
                      sfDir: String, nCells: Int): String = {
-    val path = ivfIndexPath(sfDir, nCells)
+    val path = ivfIndexPath(sfDir, corpusFingerprint(emb), nCells)
     if (!successExists(spark, path)) writeIvfIndex(emb, centroids, path)
     path
   }

@@ -90,7 +90,15 @@ object Multimodal {
     * (formula-generated fixture PNGs whose true sums are computed without
     * any codec — see graft.tools.GenImageFixture). Undecodable payloads
     * yield a (-1, -1) sentinel row rather than killing the job (at 100 TB
-    * some corrupt files are a certainty). */
+    * some corrupt files are a certainty): the catch is `NonFatal`, not just
+    * `IOException`, because malformed headers route ImageIO into
+    * `IllegalArgumentException` / `CMMException` / reader index errors too.
+    * A dimensions-from-header pre-check rejects rasters above `maxPixels`
+    * BEFORE any full-image allocation, so a decompression bomb (tiny file,
+    * huge declared raster) degrades to a sentinel instead of an executor
+    * OOM. */
+  val maxPixels: Long = 64L * 1024 * 1024 // 64 MP ≈ 256 MB ARGB raster
+
   def decodeImages(images: DataFrame): Dataset[ImageFeatures] = {
     val spark = images.sparkSession
     import spark.implicits._
@@ -102,8 +110,22 @@ object Multimodal {
         javax.imageio.ImageIO.setUseCache(false) // no temp-file spooling
         rows.map { case (name, bytes) =>
           val img =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: java.io.IOException => null }
+            try {
+              val iis = javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              val readers = javax.imageio.ImageIO.getImageReaders(iis)
+              if (!readers.hasNext) null
+              else {
+                val reader = readers.next()
+                try {
+                  reader.setInput(iis, true, true)
+                  // header-declared dimensions — no raster allocated yet
+                  val (dw, dh) = (reader.getWidth(0).toLong, reader.getHeight(0).toLong)
+                  if (dw <= 0 || dh <= 0 || dw * dh > maxPixels) null
+                  else reader.read(0)
+                } finally reader.dispose()
+              }
+            } catch { case scala.util.control.NonFatal(_) => null }
           if (img == null) ImageFeatures(name, -1, -1, 0L, 0L, 0L, 0L)
           else {
             val (w, h) = (img.getWidth, img.getHeight)

@@ -54,9 +54,17 @@ object Skew {
     * NOTE Spark's partial aggregation (map-side combine) already handles
     * most group-by skew; salting matters when per-key state is too large to
     * combine map-side (exact distincts, collect-style accumulators). */
+  /** A caller-supplied salt column is re-modded into [0, salt): without
+    * this, `saltFromCols(32, ...)` passed alongside `salt = 16` would emit
+    * salt values ≥ 16 — harmless for the salted AGG (extra partials merge in
+    * phase 2) but silently row-dropping for the salted JOIN (no replica
+    * matches) — so both entry points normalize the modulus identically. */
+  private def normSalt(salt: Int, saltSource: Option[Column]): Column =
+    saltSource.map(s => pmod(s, lit(salt.toLong))).getOrElse(saltExpr(salt))
+
   def saltedCounts(df: DataFrame, key: String, salt: Int = 16,
                    saltSource: Option[Column] = None): DataFrame =
-    df.select(col(key), saltSource.getOrElse(saltExpr(salt)).as(SaltCol))
+    df.select(col(key), normSalt(salt, saltSource).as(SaltCol))
       .groupBy(col(key), col(SaltCol))
       .agg(count(lit(1)).as("partial_cnt"))
       .groupBy(col(key))
@@ -70,7 +78,7 @@ object Skew {
     * `probe.join(build, key)` (every probe row meets exactly one replica). */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
                  salt: Int = 16, saltSource: Option[Column] = None): DataFrame = {
-    val saltedProbe = probe.withColumn(SaltCol, saltSource.getOrElse(saltExpr(salt)))
+    val saltedProbe = probe.withColumn(SaltCol, normSalt(salt, saltSource))
     val replicatedBuild = build.withColumn(
       SaltCol, explode(sequence(lit(0L), lit(salt.toLong - 1))))
     saltedProbe.join(replicatedBuild, Seq(key, SaltCol)).drop(SaltCol)

@@ -75,6 +75,14 @@ class DedupSpec extends AnyFunSuite {
       assert(reliable === local)
       // the checkpoint files were really written to the reliable dir
       assert(new java.io.File(dir).listFiles().nonEmpty)
+      // superseded rounds were reclaimed: only the FINAL labels' rdd-* dir
+      // survives (it backs the returned frame); e0 and every intermediate
+      // round were deleted on release.
+      val rddDirs = new java.io.File(dir).listFiles().flatMap(uuidDir =>
+        Option(uuidDir.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith("rdd-")))
+      assert(rddDirs.length === 1,
+        s"expected 1 surviving checkpoint rdd dir, got: ${rddDirs.map(_.getName).mkString(",")}")
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(dir)).deleteRecursively()

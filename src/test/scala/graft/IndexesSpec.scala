@@ -86,5 +86,21 @@ class IndexesSpec extends AnyFunSuite {
     val p2 = Indexes.ensureLshIndex(spark, emb, sf)
     assert(p2 === p1)
     assert(marker.lastModified() === before, "index was rebuilt on second ensure")
+    assert(p1.contains(Indexes.corpusFingerprint(emb)),
+      "ensure path must embed the corpus fingerprint")
+  }
+
+  test("regenerated corpus at the same path rotates the index location") {
+    val dir = Files.createTempDirectory("fp_spec").toString
+    emb.limit(20).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def reread = spark.read.parquet(s"$dir/embeddings.parquet")
+    val fp1 = Indexes.corpusFingerprint(reread)
+    val path1 = Indexes.ensureLshIndex(spark, reread, dir)
+    // regenerate IN PLACE: same directory name, different files
+    emb.limit(25).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val fp2 = Indexes.corpusFingerprint(reread)
+    val path2 = Indexes.ensureLshIndex(spark, reread, dir)
+    assert(fp1 !== fp2, "fingerprint must change when the files change")
+    assert(path1 !== path2, "stale index path must not be reused")
   }
 }

@@ -74,6 +74,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(junk.name === "junk.png" && junk.width === -1 && junk.height === -1)
   }
 
+  test("decompression-bomb header degrades to a sentinel, no raster alloc") {
+    // A syntactically valid PNG signature + IHDR declaring a 10⁶×10⁶ raster
+    // (10¹² pixels ≈ 4 TB ARGB) with a CORRECT chunk CRC, so the reader
+    // parses the header fine and only the maxPixels guard can stop it
+    // before allocation.
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    val ihdr = new java.io.ByteArrayOutputStream()
+    ihdr.write("IHDR".getBytes("US-ASCII"))
+    val dim = 1000000
+    Seq(dim, dim).foreach { d =>
+      ihdr.write(Array((d >>> 24), (d >>> 16) & 0xff, (d >>> 8) & 0xff, d & 0xff).map(_.toByte))
+    }
+    ihdr.write(Array[Byte](8, 6, 0, 0, 0)) // depth 8, RGBA, deflate, none, no interlace
+    val body = ihdr.toByteArray
+    bos.write(Array[Byte](0, 0, 0, 13)) // IHDR data length
+    bos.write(body)
+    val crc = new java.util.zip.CRC32(); crc.update(body)
+    val c = crc.getValue
+    bos.write(Array((c >>> 24) & 0xff, (c >>> 16) & 0xff, (c >>> 8) & 0xff, c & 0xff)
+      .map(_.toInt.toByte))
+    val frame = Seq(("file:/x/bomb.png", bos.toByteArray)).toDF("path", "content")
+    val got = Multimodal.decodeImages(frame).collect()
+    assert(got.length === 1 && got.head.width === -1 && got.head.height === -1)
+  }
+
   test("fixture decode matches the analytic manifest (q_image_decode path)") {
     import graft.queries.PipelineQueries
     val decoded = PipelineQueries.imageDecode(spark, "")

@@ -53,4 +53,21 @@ class SkewSpec extends AnyFunSuite {
     assert(salted == plain)
     assert(!Skew.saltedJoin(skewed, dim, "k").columns.contains("__graft_salt"))
   }
+
+  test("divergent saltSource modulus is re-modded — no silent row drops") {
+    // saltFromCols(32, ...) alongside salt = 16: without the internal
+    // pmod, probe salts ≥ 16 would match no build replica and those rows
+    // would vanish from the join.
+    val dim = Seq(("hot", "H"), ("k1", "A"), ("k3", "B")).toDF("k", "label")
+    val src = Some(Skew.saltFromCols(32, col("v")))
+    val plain = skewed.join(dim, "k").groupBy("k", "label").count()
+      .as[(String, String, Long)].collect().toSet
+    val salted = Skew.saltedJoin(skewed, dim, "k", salt = 16, saltSource = src)
+      .groupBy("k", "label").count()
+      .as[(String, String, Long)].collect().toSet
+    assert(salted == plain)
+    val counts = Skew.saltedCounts(skewed, "k", salt = 16, saltSource = src)
+      .as[(String, Long)].collect().toMap
+    assert(counts == skewed.groupBy("k").count().as[(String, Long)].collect().toMap)
+  }
 }
