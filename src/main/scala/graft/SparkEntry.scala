@@ -64,6 +64,10 @@ object SparkEntry {
     "q_hash_split"          -> (PipelineQueries.hashSplit _),
     "q_pii_scrub"           -> (PipelineQueries.piiScrub _),
     "q_pack_sequences"      -> (PipelineQueries.packSequences _),
+    "q_decontaminate"       -> (PipelineQueries.decontaminate _),
+    "q_repetition_filter"   -> (PipelineQueries.repetitionFilter _),
+    "q_ngram_docfreq"       -> (PipelineQueries.ngramDocFreq _),
+    "q_domain_mix"          -> (PipelineQueries.domainMix _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -114,5 +118,9 @@ object SparkEntry {
     "q_hash_split"          -> PipelineQueries.hashSplitSql,
     "q_pii_scrub"           -> PipelineQueries.piiScrubSql,
     "q_pack_sequences"      -> PipelineQueries.packSequencesSql,
+    "q_decontaminate"       -> PipelineQueries.decontaminateSql,
+    "q_repetition_filter"   -> PipelineQueries.repetitionFilterSql,
+    "q_ngram_docfreq"       -> PipelineQueries.ngramDocFreqSql,
+    "q_domain_mix"          -> PipelineQueries.domainMixSql,
   )
 }

@@ -63,6 +63,40 @@ object Curation {
         sum(length(col("t")) - length(col("s"))).as("chars_removed"))
   }
 
+  /** Per-source sampling rate in [0, 100] from a (source → pct) table with a
+    * default — the mixture-weights column for [[sampleByDomain]]. */
+  private def rateFor(rates: Seq[(String, Int)], default: Int): Column = {
+    require((default +: rates.map(_._2)).forall(r => r >= 0 && r <= 100),
+      "sampling rates are percentages in [0, 100]")
+    rates.foldRight(lit(default): Column) { case ((src, r), rest) =>
+      when(col("source") === src, lit(r)).otherwise(rest)
+    }
+  }
+
+  /** Deterministic domain-mixture downsampling: keep a document iff its
+    * [[hashBucket]] falls under its source's target rate — how a training
+    * mix ("keep 100% of wiki, 25% of crawl") is applied at corpus scale.
+    * Membership is a pure function of doc_id, so the sample is stable
+    * across runs/engines, composes with [[splitLabel]] (same bucket ⇒ a
+    * kept doc keeps its split), and needs no sampling pass, RNG state, or
+    * shuffle — the filter runs inside the scan stage. */
+  def sampleByDomain(docs: DataFrame, rates: Seq[(String, Int)],
+                     default: Int = 100): DataFrame =
+    docs.where(hashBucket(col("doc_id")) < rateFor(rates, default))
+
+  /** Mixture audit in ONE corpus scan (no join against the sampled frame):
+    * per source, total docs, kept docs under the target rates, and the
+    * realized rate. Bucket membership is re-derived per row, so this agrees
+    * exactly with [[sampleByDomain]]'s filter by construction. */
+  def domainMixAudit(docs: DataFrame, rates: Seq[(String, Int)],
+                     default: Int = 100): DataFrame = {
+    val kept = when(hashBucket(col("doc_id")) < rateFor(rates, default), 1L).otherwise(0L)
+    docs.select(col("source"), kept.as("kept"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"),
+        round(sum(col("kept")).cast("double") / count(lit(1)), 6).as("realized_rate"))
+  }
+
   /** Context-window sequence packing: concatenate each source's documents
     * in doc_id order and assign every document to the `capacity`-token bin
     * its FIRST token falls in (the GPT-style concat-then-chunk shard

@@ -66,6 +66,47 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Per-document repetition metrics (the Gopher-style repetition filters,
+    * adapted to one-line documents): duplicate word-2-gram fraction and
+    * most-frequent-word fraction. High values mean boilerplate / degenerate
+    * text a training pipeline drops.
+    *
+    * Scale shape: the 2-gram duplicate fraction is ARRAY-ONLY (distinct vs
+    * total 2-gram counts inside one projection — zero shuffle); the top-word
+    * fraction is one explode + two hash aggregates keyed by doc_id, then a
+    * doc_id equi-join back — everything shuffles (doc_id, word, count)
+    * triples, never document bodies. The words array materializes in its own
+    * projection before any lambda touches it (see
+    * [[TextOps.shingleSetFromWords]] for the O(words²) trap). */
+  def repetitionMetrics(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"),
+      TextOps.words(coalesce(col("text"), lit(""))).as("w"))
+    val dup = base
+      .select(col("doc_id"), col("source"), TextOps.shingles(col("w"), 2).as("g"))
+      .select(col("doc_id"), col("source"),
+        (lit(1.0) - size(array_distinct(col("g"))).cast("double") /
+          greatest(size(col("g")), lit(1)).cast("double")).as("dup_2gram_frac"))
+    val topw = base.select(col("doc_id"), explode(col("w")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("c")).cast("double") / sum(col("c")).cast("double"))
+        .as("top_word_frac"))
+    dup.join(topw, Seq("doc_id"))
+  }
+
+  /** Corpus n-gram document frequency: the `k` word n-grams appearing in the
+    * most documents, with total occurrence counts — the corpus-statistics
+    * pass behind stopword lists, boilerplate detection, and contamination
+    * triage. One explode + one hash aggregate (partial map-side) + a
+    * TakeOrderedAndProject top-k; the shuffle carries (ngram, doc_id). */
+  def ngramDocFreq(docs: DataFrame, n: Int = 2, k: Int = 15): DataFrame =
+    docs.select(col("doc_id"), TextOps.words(coalesce(col("text"), lit(""))).as("w"))
+      .select(col("doc_id"), explode(TextOps.shingles(col("w"), n)).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("occurrences"), countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("ngram").asc)
+      .limit(k)
+
   /** Per-language token statistics over a documents table. */
   def tokenStats(docs: DataFrame): DataFrame =
     docs.select(col("lang"), tokenCount(col("text")).as("tokens"),

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.Tables._
-import graft.ops.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Curation, Decontamination, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators as driver-contract queries.
   *
@@ -411,6 +411,97 @@ object PipelineQueries {
       |SELECT source, CAST(floor(cum / 512) AS BIGINT) AS bin_id,
       |       count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS bin_tokens
       |FROM c GROUP BY source, bin_id ORDER BY source, bin_id""".stripMargin
+
+  /** Benchmark decontamination audit: `src0` plays the held-out benchmark,
+    * every other source is the training corpus; a training doc sharing any
+    * 3-gram shingle with an eval doc counts as contaminated. Join keys are
+    * 48-bit hashed shingle ids; the eval side is broadcast (see
+    * [[graft.ops.Decontamination]]). */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    Decontamination.contaminationSummary(
+        docs.where(col("source") =!= "src0"),
+        docs.where(col("source") === "src0"))
+      .orderBy(col("source"))
+  }
+
+  val decontaminateSql: String =
+    s"""WITH w AS (SELECT doc_id, source, $duckWords AS w FROM documents),
+       |sh AS (SELECT doc_id, source, unnest(${duckHashedShingleSet("w")}) AS s FROM w),
+       |trs AS (SELECT doc_id, s FROM sh WHERE source <> 'src0'),
+       |evs AS (SELECT doc_id AS eval_id, s FROM sh WHERE source = 'src0'),
+       |hits AS (SELECT trs.doc_id, count(DISTINCT trs.s) AS nh, count(DISTINCT eval_id) AS ne
+       |         FROM trs JOIN evs USING (s) GROUP BY trs.doc_id)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN hits.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       |       CAST(coalesce(sum(nh), 0) AS BIGINT) AS total_hit_shingles,
+       |       CAST(coalesce(max(ne), 0) AS BIGINT) AS max_eval_docs_hit
+       |FROM documents dd LEFT JOIN hits ON dd.doc_id = hits.doc_id
+       |WHERE dd.source <> 'src0'
+       |GROUP BY source ORDER BY source""".stripMargin
+
+  // DuckDB word-2-gram list (mirrors TextOps.shingles(w, 2): [] below 2 words).
+  private val duck2grams =
+    "CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) ELSE []::VARCHAR[] END"
+
+  /** Gopher-style repetition audit: per source, how many docs trip the
+    * duplicate-2-gram (> 0.05) or top-word (> 0.12) repetition filters
+    * (thresholds sit between the fixture corpus's median and max, so both
+    * filters discriminate). */
+  def repetitionFilter(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.repetitionMetrics(documents(s, d))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dup_2gram_frac") > 0.05 || col("top_word_frac") > 0.12, 1L)
+          .otherwise(0L)).as("n_flagged"),
+        round(avg(col("dup_2gram_frac")), 6).as("avg_dup_2gram_frac"),
+        round(avg(col("top_word_frac")), 6).as("avg_top_word_frac"))
+      .orderBy(col("source"))
+
+  val repetitionFilterSql: String =
+    s"""WITH w AS (SELECT doc_id, source, $duckWords AS w FROM documents),
+       |dup AS (SELECT doc_id, source,
+       |          1.0 - len(list_distinct(g))::DOUBLE / greatest(len(g), 1) AS dup_frac
+       |        FROM (SELECT doc_id, source, $duck2grams AS g FROM w)),
+       |cnt AS (SELECT doc_id, word, count(*) AS c
+       |        FROM (SELECT doc_id, unnest(w) AS word FROM w) GROUP BY doc_id, word),
+       |topw AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_frac FROM cnt GROUP BY doc_id)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN dup_frac > 0.05 OR top_frac > 0.12 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       |       round(avg(dup_frac), 6) AS avg_dup_2gram_frac,
+       |       round(avg(top_frac), 6) AS avg_top_word_frac
+       |FROM dup JOIN topw USING (doc_id)
+       |GROUP BY source ORDER BY source""".stripMargin
+
+  /** Corpus 2-gram document frequency, top 15 (ngram asc tiebreak ⇒ total
+    * order). */
+  def ngramDocFreq(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.ngramDocFreq(documents(s, d), n = 2, k = 15)
+
+  val ngramDocFreqSql: String =
+    s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |g AS (SELECT doc_id, unnest($duck2grams) AS ngram FROM w)
+       |SELECT ngram, count(*) AS occurrences, count(DISTINCT doc_id) AS doc_freq
+       |FROM g GROUP BY ngram ORDER BY doc_freq DESC, ngram ASC LIMIT 15""".stripMargin
+
+  /** Deterministic domain-mixture audit: target rates src0 100%, src1 50%,
+    * src2 25%, src3 10%, everything else 75% — one corpus scan, membership a
+    * pure md5 function of doc_id (composes with the hash split). */
+  def domainMix(s: SparkSession, d: String): DataFrame =
+    Curation.domainMixAudit(documents(s, d),
+        Seq("src0" -> 100, "src1" -> 50, "src2" -> 25, "src3" -> 10), default = 75)
+      .orderBy(col("source"))
+
+  val domainMixSql: String =
+    """WITH b AS (SELECT source,
+      |             ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT % 100 AS bucket,
+      |             CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
+      |                         WHEN 'src2' THEN 25 WHEN 'src3' THEN 10 ELSE 75 END AS rate
+      |           FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |       CAST(sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |       round(sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS realized_rate
+      |FROM b GROUP BY source ORDER BY source""".stripMargin
 
   // ---- multimodal ----------------------------------------------------------
 

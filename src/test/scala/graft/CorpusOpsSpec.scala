@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Curation, Decontamination, TextAnalysis}
+
+/** Corpus-curation operators added round 4: benchmark decontamination,
+  * repetition filters, n-gram document frequency, domain-mixture sampling. */
+class CorpusOpsSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // Eval doc 100 leaks verbatim into train doc 1; train doc 2 shares a
+  // 3-gram window; train doc 3 is clean (disjoint vocabulary).
+  private lazy val train = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "srcA"),
+    (2L, "something quick brown fox entirely different here today", "srcA"),
+    (3L, "alpha beta gamma delta epsilon zeta eta theta", "srcB")
+  ).toDF("doc_id", "text", "source")
+  private lazy val evalSet = Seq(
+    (100L, "the quick brown fox jumps over the lazy dog", "eval")
+  ).toDF("doc_id", "text", "source")
+
+  test("decontamination flags exactly the overlapping train docs") {
+    val hits = Decontamination.contaminatedDocs(train, evalSet)
+      .as[(Long, Long, Long)].collect().map { case (id, n, e) => id -> ((n, e)) }.toMap
+    assert(hits.keySet === Set(1L, 2L))
+    assert(hits(1L)._1 === 7L, "verbatim copy shares all 7 distinct 3-grams")
+    assert(hits(2L)._1 === 1L, "one shared window: 'quick brown fox'")
+    assert(hits.values.forall(_._2 === 1L), "single eval doc hit")
+    val clean = Decontamination.removeContaminated(train, evalSet)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean === Set(3L))
+  }
+
+  test("contamination summary aggregates per source") {
+    val sum = Decontamination.contaminationSummary(train, evalSet)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(sum === Seq(("srcA", 2L, 2L, 8L, 1L), ("srcB", 1L, 0L, 0L, 0L)))
+  }
+
+  test("repetition metrics: exact fractions on constructed docs") {
+    val docs = Seq(
+      (1L, "a b a b a b", "s"),          // 2-grams: ab ba ab ba ab → dup 1-2/5
+      (2L, "u v w x y z", "s")           // all distinct → dup 0, top 1/6
+    ).toDF("doc_id", "text", "source")
+    val m = TextAnalysis.repetitionMetrics(docs)
+      .select("doc_id", "dup_2gram_frac", "top_word_frac")
+      .as[(Long, Double, Double)].collect().map { case (id, d, t) => id -> ((d, t)) }.toMap
+    assert(math.abs(m(1L)._1 - (1.0 - 2.0 / 5.0)) < 1e-12)
+    assert(math.abs(m(1L)._2 - 0.5) < 1e-12) // 'a' 3 of 6
+    assert(m(2L)._1 === 0.0)
+    assert(math.abs(m(2L)._2 - 1.0 / 6.0) < 1e-12)
+  }
+
+  test("ngram doc frequency ranks by distinct-doc count with total order") {
+    val docs = Seq(
+      (1L, "x y x y", "s"), (2L, "x y z", "s"), (3L, "x y q", "s")
+    ).toDF("doc_id", "text", "source")
+    val top = TextAnalysis.ngramDocFreq(docs, n = 2, k = 3)
+      .as[(String, Long, Long)].collect().toSeq
+    // "x y" in all 3 docs (4 occurrences: twice in doc 1)
+    assert(top.head === ("x y", 4L, 3L))
+    assert(top.map(_._1) === top.map(_._1).distinct)
+  }
+
+  test("domain mix: audit agrees with the sampled frame; bounds exact") {
+    val docs = spark.range(1000)
+      .select(col("id").as("doc_id"),
+        concat(lit("src"), (col("id") % 4).cast("string")).as("source"),
+        lit("w w w").as("text"))
+    val rates = Seq("src0" -> 100, "src1" -> 0, "src2" -> 25)
+    val audit = Curation.domainMixAudit(docs, rates, default = 75)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(audit("src0")._1 === audit("src0")._2, "rate 100 keeps everything")
+    assert(audit("src1")._2 === 0L, "rate 0 keeps nothing")
+    val sampled = Curation.sampleByDomain(docs, rates, default = 75)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(sampled.getOrElse("src1", 0L) === 0L)
+    assert(audit.view.mapValues(_._2).toMap ===
+      audit.keySet.map(s => s -> sampled.getOrElse(s, 0L)).toMap)
+    // deterministic: same doc kept on every evaluation
+    val again = Curation.sampleByDomain(docs, rates, default = 75)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(again === sampled)
+  }
+}

@@ -46,6 +46,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(h.contains("BroadcastExchange IdentityBroadcastMode"))
   }
 
+  test("decontamination broadcasts the eval side — no corpus shuffle join") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), "eval shingles must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus side must never sort-merge against the eval set")
+  }
+
+  test("ngram doc-freq top-k is TakeOrderedAndProject, domain mix is one scan") {
+    assert(plan("q_ngram_docfreq").contains("TakeOrderedAndProject(limit=15"))
+    // the mixture audit derives kept-ness per row: exactly one scan of
+    // documents, no self-join against a sampled frame
+    val mix = plan("q_domain_mix")
+    assert("FileScan parquet".r.findAllIn(mix).size === 1)
+    assert(!mix.contains("Join"))
+  }
+
   test("no registered query plans a CartesianProduct") {
     // Theta joins in the documented quadratic baselines become
     // BroadcastNestedLoopJoin (bounded side); an unconditional
