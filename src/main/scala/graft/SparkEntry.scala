@@ -35,6 +35,7 @@ object SparkEntry {
     "q_parse_money_stats"   -> (CoreQueries.parseMoneyStats _),
     "q_parse_regex_group"   -> (CoreQueries.parseRegexGroup _),
     "q_hourly_window"       -> (CoreQueries.hourlyWindow _),
+    "q_sessionize"          -> (CoreQueries.sessionize _),
     "q_location_parse"      -> (RentalQueries.locationParse _),
     "q_clean_layer"         -> (RentalQueries.cleanLayer _),
     "q_raw_profile"         -> (RentalQueries.rawProfile _),
@@ -90,6 +91,7 @@ object SparkEntry {
     "q_parse_money_stats"   -> CoreQueries.parseMoneyStatsSql,
     "q_parse_regex_group"   -> CoreQueries.parseRegexGroupSql,
     "q_hourly_window"       -> CoreQueries.hourlyWindowSql,
+    "q_sessionize"          -> CoreQueries.sessionizeSql,
     "q_location_parse"      -> RentalQueries.locationParseSql,
     "q_clean_layer"         -> RentalQueries.cleanLayerSql,
     "q_raw_profile"         -> RentalQueries.rawProfileSql,

@@ -377,4 +377,38 @@ object CoreQueries {
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
       |       count(*) AS cnt, round(sum(value), 2) AS sum_value
       |FROM events GROUP BY hour_start ORDER BY hour_start""".stripMargin
+
+  /** §2.9 extension — gap-based sessionization (240-minute silence closes a
+    * session), top 20 sessions by event count. Batch lag/cumsum form; the
+    * exactly-once streaming twin is [[graft.ops.Sessionize.stream]]
+    * (`flatMapGroupsWithState`, event-time timeout). Timestamps format to
+    * strings at the output edge (engine/timezone-neutral), and the ordering
+    * uses the formatted string on BOTH engines so the top-20 cut is total. */
+  def sessionize(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sessionize.batch(events(s, d), gapMinutes = 240)
+      .select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("n_events").desc, col("user_id").asc, col("session_start").asc)
+      .limit(20)
+
+  val sessionizeSql: String =
+    """WITH l AS (SELECT user_id, ts, value,
+      |             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |                    OR epoch_us(ts::TIMESTAMP)
+      |                       - epoch_us((lag(ts) OVER (PARTITION BY user_id ORDER BY ts))::TIMESTAMP)
+      |                       > 240::BIGINT*60*1000000
+      |                  THEN 1 ELSE 0 END AS ns
+      |           FROM events),
+      |s AS (SELECT user_id, ts, value,
+      |        sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM l),
+      |sess AS (SELECT user_id,
+      |           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+      |           count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |         FROM s GROUP BY user_id, sid)
+      |SELECT user_id, session_start, session_end, n_events, sum_value FROM sess
+      |ORDER BY n_events DESC, user_id ASC, session_start ASC LIMIT 20""".stripMargin
 }
