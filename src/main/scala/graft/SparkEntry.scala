@@ -36,6 +36,7 @@ object SparkEntry {
     "q_parse_regex_group"   -> (CoreQueries.parseRegexGroup _),
     "q_hourly_window"       -> (CoreQueries.hourlyWindow _),
     "q_sessionize"          -> (CoreQueries.sessionize _),
+    "q_asof_join"           -> (CoreQueries.asofJoin _),
     "q_location_parse"      -> (RentalQueries.locationParse _),
     "q_clean_layer"         -> (RentalQueries.cleanLayer _),
     "q_raw_profile"         -> (RentalQueries.rawProfile _),
@@ -92,6 +93,7 @@ object SparkEntry {
     "q_parse_regex_group"   -> CoreQueries.parseRegexGroupSql,
     "q_hourly_window"       -> CoreQueries.hourlyWindowSql,
     "q_sessionize"          -> CoreQueries.sessionizeSql,
+    "q_asof_join"           -> CoreQueries.asofJoinSql,
     "q_location_parse"      -> RentalQueries.locationParseSql,
     "q_clean_layer"         -> RentalQueries.cleanLayerSql,
     "q_raw_profile"         -> RentalQueries.rawProfileSql,

@@ -411,4 +411,40 @@ object CoreQueries {
       |         FROM s GROUP BY user_id, sid)
       |SELECT user_id, session_start, session_end, n_events, sum_value FROM sess
       |ORDER BY n_events DESC, user_id ASC, session_start ASC LIMIT 20""".stripMargin
+
+  /** §2.9 extension — as-of join (purchase attribution): every purchase
+    * event matched to the user's most recent at-or-before view event. The
+    * Spark side is [[graft.ops.AsofJoin]]'s union+window composition; the
+    * oracle is DuckDB's NATIVE `ASOF LEFT JOIN`, so the check proves the
+    * composition implements the standard operator semantics, not a mirror
+    * of itself. Timestamps exit as formatted strings; the match lag stays
+    * in exact integer micros. */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value"))
+    graft.ops.AsofJoin.asofJoin(purchases, views, key = "user_id",
+        payload = Seq("ts", "value"), prefix = "view_")
+      .select(col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        col("value").as("purchase_value"),
+        date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+        col("view_value"),
+        (unix_micros(col("ts")) - unix_micros(col("view_ts"))).as("lag_us"))
+      .orderBy(col("user_id"), col("purchase_ts"))
+  }
+
+  val asofJoinSql: String =
+    """WITH p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
+      |SELECT p.user_id,
+      |       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+      |       p.value AS purchase_value,
+      |       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+      |       v.value AS view_value,
+      |       epoch_us(p.ts::TIMESTAMP) - epoch_us(v.ts::TIMESTAMP) AS lag_us
+      |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+      |ORDER BY p.user_id, purchase_ts""".stripMargin
 }
