@@ -37,6 +37,7 @@ object SparkEntry {
     "q_hourly_window"       -> (CoreQueries.hourlyWindow _),
     "q_sessionize"          -> (CoreQueries.sessionize _),
     "q_asof_join"           -> (CoreQueries.asofJoin _),
+    "q_range_join"          -> (CoreQueries.rangeJoin _),
     "q_location_parse"      -> (RentalQueries.locationParse _),
     "q_clean_layer"         -> (RentalQueries.cleanLayer _),
     "q_raw_profile"         -> (RentalQueries.rawProfile _),
@@ -70,6 +71,8 @@ object SparkEntry {
     "q_repetition_filter"   -> (PipelineQueries.repetitionFilter _),
     "q_ngram_docfreq"       -> (PipelineQueries.ngramDocFreq _),
     "q_domain_mix"          -> (PipelineQueries.domainMix _),
+    "q_cms_counts"          -> (PipelineQueries.cmsCounts _),
+    "q_hll_distinct"        -> (PipelineQueries.hllDistinct _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -94,6 +97,7 @@ object SparkEntry {
     "q_hourly_window"       -> CoreQueries.hourlyWindowSql,
     "q_sessionize"          -> CoreQueries.sessionizeSql,
     "q_asof_join"           -> CoreQueries.asofJoinSql,
+    "q_range_join"          -> CoreQueries.rangeJoinSql,
     "q_location_parse"      -> RentalQueries.locationParseSql,
     "q_clean_layer"         -> RentalQueries.cleanLayerSql,
     "q_raw_profile"         -> RentalQueries.rawProfileSql,
@@ -126,5 +130,7 @@ object SparkEntry {
     "q_repetition_filter"   -> PipelineQueries.repetitionFilterSql,
     "q_ngram_docfreq"       -> PipelineQueries.ngramDocFreqSql,
     "q_domain_mix"          -> PipelineQueries.domainMixSql,
+    "q_cms_counts"          -> PipelineQueries.cmsCountsSql,
+    "q_hll_distinct"        -> PipelineQueries.hllDistinctSql,
   )
 }

@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed probabilistic sketches built as plain aggregates — Count-Min
+  * (frequency) and HyperLogLog (cardinality) — with every hash md5-derived
+  * and every merge an integer sum/max, so a sketch built by Spark and one
+  * built by the DuckDB oracle are IDENTICAL tables, not merely similar
+  * estimates.
+  *
+  * Why build sketches as DataFrames at 100 TB:
+  *  - the build is one explode + one hash-aggregate — partial (map-side)
+  *    combine does almost all the work, the shuffle carries (row, col) /
+  *    (bucket, rank) integer pairs, and the result is a TINY table (d·w
+  *    counters / m buckets) that broadcasts anywhere;
+  *  - sketch merge across corpora/shards = union + the same aggregate
+  *    (counter add / rank max) — associative, so incremental maintenance is
+  *    the same code path;
+  *  - estimates read the sketch, never the corpus.
+  *
+  * The hash family is the [[Dedup.minhashConsts]] universal family over the
+  * 48-bit md5 prefix ([[TextOps.shingleHash]]) — one digest per item, k
+  * multiply-adds, overflow-free under 2^60, replayable in SQL.
+  */
+object Sketches {
+
+  private val P = Dedup.MinhashP
+
+  /** 48-bit md5-prefix base hash of an item, reduced mod P (the universal
+    * family's domain). */
+  private def baseHash(item: Column): Column = TextOps.shingleHash(item) % P
+
+  // ---- Count-Min ----------------------------------------------------------
+
+  /** Build a depth×width Count-Min sketch over `itemCol`: row i holds
+    * counters indexed by h_i(x) = (base(x)·A_i + B_i) mod P mod width. The
+    * result has one row per NON-ZERO counter (row, col, cnt) — absent
+    * counters are zero. */
+  def cmsBuild(items: DataFrame, itemCol: String, depth: Int = 4,
+               width: Int = 256): DataFrame = {
+    val cells = Dedup.minhashConsts(depth).zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i).as("row"), ((col("hb") * a + b) % P % width).as("col"))
+    }
+    items.select(baseHash(col(itemCol)).as("hb"))
+      .select(explode(array(cells: _*)).as("rc"))
+      .groupBy(col("rc.row").as("row"), col("rc.col").as("col"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Driver-side replica of the cell index chain for ONE item — bit-exact
+    * with the Column form (pure integer arithmetic on the md5 hex prefix),
+    * so probe keys are computed without touching the cluster. */
+  def cmsCellsLocal(item: String, depth: Int, width: Int): Seq[(Int, Long)] = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(item.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
+    val hb = java.lang.Long.parseLong(hex, 16) % P
+    Dedup.minhashConsts(depth).zipWithIndex.map { case ((a, b), i) =>
+      i -> ((hb * a + b) % P % width)
+    }
+  }
+
+  /** Point-estimate frequencies for `probes` from a built sketch:
+    * min over the depth counters (the classic CM overestimate — never under,
+    * over only on collision). The probe keys are literals, so the lookup is
+    * a broadcast hash join against the tiny sketch — no corpus access. */
+  def cmsEstimate(sketch: DataFrame, probes: Seq[String], depth: Int = 4,
+                  width: Int = 256): DataFrame = {
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val keys = probes.flatMap(w => cmsCellsLocal(w, depth, width)
+      .map { case (i, c) => (w, i, c.toLong) })
+      .toDF("item", "row", "col")
+    keys.join(broadcast(sketch), Seq("row", "col"), "left")
+      .groupBy(col("item"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+  }
+
+  // ---- HyperLogLog --------------------------------------------------------
+
+  /** HLL bucket/rank pairs for an item hash: bucket = low `bBits` bits,
+    * rank = 1-based position of the leftmost 1 in the remaining 48−bBits
+    * bits (0 remainder ⇒ maximal rank). `length(bin(w))−1` is floor(log2)
+    * in both engines — integer-only, no float log. */
+  private def rankExpr(bBits: Int): Column = {
+    val rem = 48 - bBits
+    val w = shiftrightunsigned(col("hb48"), bBits)
+    when(w === 0L, lit(rem + 1))
+      .otherwise(lit(rem) - (length(bin(w)) - 1))
+  }
+
+  /** Per-bucket max rank — the HLL register table (one row per non-empty
+    * bucket; empty buckets are rank 0). Merge of two register tables =
+    * union + the same max — associative, shard-friendly. */
+  def hllRegisters(items: DataFrame, itemCol: String, bBits: Int): DataFrame =
+    items.select(TextOps.shingleHash(col(itemCol)).as("hb48"))
+      .select(pmod(col("hb48"), lit(1L << bBits)).as("bucket"), rankExpr(bBits).as("rank"))
+      .groupBy(col("bucket"))
+      .agg(max(col("rank")).as("max_rank"))
+
+  /** Cardinality estimate from the registers. The harmonic sum is EXACT
+    * integer arithmetic: Σ 2^(−M_j) is scaled by 2^49 (max rank is 43 at
+    * bBits = 6, so every weight 2^(49−M) fits a long), summed as longs —
+    * order-independent, engine-exact — and only the final α·m²·2^49 / S
+    * division is floating point (one IEEE op chain, bit-stable). Output:
+    * (m, n_empty_buckets, est) — raw HLL estimator, documented ±1.04/√m;
+    * the small-range linear-counting correction is deliberately omitted
+    * because its ln() is not bit-portable across engines. */
+  def hllEstimate(items: DataFrame, itemCol: String, bBits: Int = 6): DataFrame = {
+    val m = 1L << bBits
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    hllRegisters(items, itemCol, bBits)
+      .agg(count(lit(1)).as("n_filled"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - max_rank AS INT))")).as("s_filled"))
+      .select(lit(m).as("m"), (lit(m) - col("n_filled")).as("n_empty_buckets"),
+        round(lit(alpha * m * m) * lit(math.pow(2.0, 49)) /
+          (col("s_filled") + (lit(m) - col("n_filled")) * lit(1L << 49)).cast("double"), 2)
+          .as("est"))
+  }
+}

@@ -447,4 +447,32 @@ object CoreQueries {
       |       epoch_us(p.ts::TIMESTAMP) - epoch_us(v.ts::TIMESTAMP) AS lag_us
       |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
       |ORDER BY p.user_id, purchase_ts""".stripMargin
+
+  /** §2.9 extension — keyless range join: every (purchase, error) event
+    * pair within 60 seconds of each other, across ALL users. The Spark side
+    * is [[graft.ops.RangeJoin]]'s bucket-then-refine equi-join (a naive
+    * formulation can only plan a nested-loop); the oracle IS the naive
+    * theta join in DuckDB, so the check proves the bucketing loses no pair
+    * and invents none. event_ids make the ordering total. */
+  def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts"))
+    val e = ev.where(col("event_type") === "error")
+      .select(col("event_id"), col("ts"))
+    graft.ops.RangeJoin.withinTolerance(p, e, toleranceSec = 60,
+        payload = Seq("event_id"), prefix = "error_")
+      .select(col("purchase_id"), col("error_event_id").as("error_id"),
+        (unix_micros(col("error_ts")) - unix_micros(col("ts"))).as("delta_us"))
+      .orderBy(col("purchase_id"), col("error_id"))
+  }
+
+  val rangeJoinSql: String =
+    """WITH p AS (SELECT event_id AS purchase_id, ts FROM events WHERE event_type = 'purchase'),
+      |e AS (SELECT event_id AS error_id, ts AS ets FROM events WHERE event_type = 'error')
+      |SELECT purchase_id, error_id,
+      |       epoch_us(ets::TIMESTAMP) - epoch_us(p.ts::TIMESTAMP) AS delta_us
+      |FROM p JOIN e
+      |  ON abs(epoch_us(ets::TIMESTAMP) - epoch_us(p.ts::TIMESTAMP)) <= 60::BIGINT*1000000
+      |ORDER BY purchase_id, error_id""".stripMargin
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.Tables._
-import graft.ops.{Curation, Decontamination, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Curation, Decontamination, Dedup, Multimodal, Similarity, Sketches, TextAnalysis, TextOps}
 
 /** LLM-training-data pipeline operators as driver-contract queries.
   *
@@ -502,6 +502,76 @@ object PipelineQueries {
       |       CAST(sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
       |       round(sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS realized_rate
       |FROM b GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- sketches ------------------------------------------------------------
+
+  private val cmsProbes =
+    Seq("batch", "hash", "scan", "stream", "the", "window", "zzz-absent")
+
+  /** Count-Min frequency estimates for a fixed probe vocabulary vs exact
+    * counts. The sketch is built distributed (one explode + one aggregate),
+    * estimates read ONLY the 4×256 counter table; both engines build the
+    * identical table (md5-derived hashes), so even the sketch itself is
+    * hash-verified, not just the estimates. */
+  def cmsCounts(s: SparkSession, d: String): DataFrame = {
+    val words = documents(s, d)
+      .select(explode(TextOps.words(coalesce(col("text"), lit("")))).as("w"))
+    val est = Sketches.cmsEstimate(Sketches.cmsBuild(words, "w"), cmsProbes)
+    val exact = words.where(col("w").isin(cmsProbes: _*))
+      .groupBy(col("w").as("item")).agg(count(lit(1)).as("exact_count"))
+    est.join(exact, Seq("item"), "left")
+      .select(col("item"), col("est_count"),
+        coalesce(col("exact_count"), lit(0L)).as("exact_count"))
+      .orderBy(col("item"))
+  }
+
+  val cmsCountsSql: String = {
+    val probeValues = cmsProbes.map(w => s"('$w')").mkString(", ")
+    s"""WITH wd AS (SELECT unnest($duckWords) AS w FROM documents),
+       |hb AS (SELECT w, ('0x' || substr(md5(w), 1, 12))::BIGINT % ${Dedup.MinhashP} AS hb FROM wd),
+       |cells AS (SELECT i, (hb * a + b) % ${Dedup.MinhashP} % 256 AS cl, count(*) AS cnt
+       |          FROM hb, ${Dedup.minhashConstsSqlValues(4)} GROUP BY i, cl),
+       |probes(item) AS (VALUES $probeValues),
+       |pk AS (SELECT item, i,
+       |         (('0x' || substr(md5(item), 1, 12))::BIGINT % ${Dedup.MinhashP} * a + b)
+       |           % ${Dedup.MinhashP} % 256 AS cl
+       |       FROM probes, ${Dedup.minhashConstsSqlValues(4)}),
+       |est AS (SELECT item, min(coalesce(cnt, 0)) AS est_count
+       |        FROM pk LEFT JOIN cells USING (i, cl) GROUP BY item),
+       |ex AS (SELECT w AS item, count(*) AS exact_count FROM wd GROUP BY w)
+       |SELECT item, est_count, coalesce(exact_count, 0) AS exact_count
+       |FROM est LEFT JOIN ex USING (item) ORDER BY item""".stripMargin
+  }
+
+  /** HyperLogLog cardinality estimate over distinct document texts (m = 64
+    * registers) vs the exact distinct count. The harmonic sum is scaled to
+    * exact integer arithmetic on both engines (see
+    * [[graft.ops.Sketches.hllEstimate]]); only the final α·m²·2⁴⁹/S division
+    * is floating point, with the numerator embedded as one double literal in
+    * both engines. */
+  def hllDistinct(s: SparkSession, d: String): DataFrame = {
+    val items = documents(s, d).select(coalesce(col("text"), lit("")).as("item"))
+    Sketches.hllEstimate(items, "item", bBits = 6)
+      .join(items.agg(countDistinct(col("item")).as("exact_distinct")))
+  }
+
+  val hllDistinctSql: String = {
+    val m = 64L
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val numerator = alpha * m * m * math.pow(2.0, 49) // same literal both engines
+    s"""WITH it AS (SELECT coalesce(text, '') AS item FROM documents),
+       |h AS (SELECT ('0x' || substr(md5(item), 1, 12))::BIGINT AS hb48 FROM it),
+       |br AS (SELECT hb48 % 64 AS bucket,
+       |              CASE WHEN (hb48 >> 6) = 0 THEN 43
+       |                   ELSE 42 - (length(bin(hb48 >> 6)) - 1) END AS rank
+       |       FROM h),
+       |reg AS (SELECT bucket, max(rank) AS mr FROM br GROUP BY bucket),
+       |agg AS (SELECT count(*) AS nf, CAST(sum(1::BIGINT << (49 - mr)) AS BIGINT) AS sf FROM reg)
+       |SELECT 64::BIGINT AS m, (64 - nf)::BIGINT AS n_empty_buckets,
+       |       round($numerator / (sf + (64 - nf) * (1::BIGINT << 49))::DOUBLE, 2) AS est,
+       |       (SELECT count(DISTINCT item) FROM it) AS exact_distinct
+       |FROM agg""".stripMargin
+  }
 
   // ---- multimodal ----------------------------------------------------------
 

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Sketches
+
+/** Count-Min and HyperLogLog as deterministic DataFrame aggregates. */
+class SketchesSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // 100×"a", 10×"b", 1×"c", plus 50 distinct one-off items.
+  private lazy val items = (Seq.fill(100)("a") ++ Seq.fill(10)("b") ++ Seq("c")
+    ++ (0 until 50).map(i => s"item$i")).toDF("item")
+
+  test("CMS: exact at ample width, never underestimates when squeezed") {
+    val wide = Sketches.cmsEstimate(
+      Sketches.cmsBuild(items, "item", depth = 4, width = 1024),
+      Seq("a", "b", "c", "nope"), depth = 4, width = 1024)
+      .as[(String, Long)].collect().toMap
+    assert(wide === Map("a" -> 100L, "b" -> 10L, "c" -> 1L, "nope" -> 0L))
+    // width 4 forces collisions: estimates may rise, never fall
+    val tight = Sketches.cmsEstimate(
+      Sketches.cmsBuild(items, "item", depth = 4, width = 4),
+      Seq("a", "b", "c"), depth = 4, width = 4)
+      .as[(String, Long)].collect().toMap
+    assert(tight("a") >= 100L && tight("b") >= 10L && tight("c") >= 1L)
+  }
+
+  test("CMS: driver-side probe keys equal the executor-side cell chain") {
+    val sketch = Sketches.cmsBuild(Seq("zeta").toDF("item"), "item",
+      depth = 4, width = 256).as[(Int, Long, Long)].collect()
+      .map { case (r, c, n) => (r, c) -> n }.toMap
+    val local = Sketches.cmsCellsLocal("zeta", depth = 4, width = 256)
+    local.foreach { case (i, c) =>
+      assert(sketch((i, c)) === 1L, s"row $i col $c must hold the single item")
+    }
+  }
+
+  test("HLL: estimate within the documented error envelope; empties counted") {
+    val n = 2000
+    val distinct = spark.range(n).select(concat(lit("doc-"), col("id")).as("item"))
+    val row = Sketches.hllEstimate(distinct, "item", bBits = 6)
+      .as[(Long, Long, Double)].collect().head
+    val (m, _, est) = row
+    assert(m === 64L)
+    // raw HLL stderr is 1.04/√m ≈ 13%; allow 3σ
+    assert(math.abs(est - n) / n < 0.4, s"est $est too far from $n")
+    // duplicates must not move the estimate (cardinality, not count)
+    val withDups = distinct.union(distinct).union(distinct)
+    val est2 = Sketches.hllEstimate(withDups, "item", bBits = 6)
+      .as[(Long, Long, Double)].collect().head._3
+    assert(est2 === est)
+  }
+
+  test("HLL: register merge (union + max) equals single-pass registers") {
+    val a = spark.range(1000).select(concat(lit("x"), col("id")).as("item"))
+    val b = spark.range(500, 1500).select(concat(lit("x"), col("id")).as("item"))
+    val whole = Sketches.hllRegisters(a.union(b), "item", 6)
+      .as[(Long, Int)].collect().toMap
+    val merged = Sketches.hllRegisters(a, "item", 6)
+      .union(Sketches.hllRegisters(b, "item", 6))
+      .groupBy("bucket").agg(max("max_rank").as("max_rank"))
+      .as[(Long, Int)].collect().toMap
+    assert(merged === whole)
+  }
+}
