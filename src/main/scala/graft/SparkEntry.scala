@@ -38,6 +38,7 @@ object SparkEntry {
     "q_sessionize"          -> (CoreQueries.sessionize _),
     "q_asof_join"           -> (CoreQueries.asofJoin _),
     "q_range_join"          -> (CoreQueries.rangeJoin _),
+    "q_grouped_topk"        -> (CoreQueries.groupedTopK _),
     "q_location_parse"      -> (RentalQueries.locationParse _),
     "q_clean_layer"         -> (RentalQueries.cleanLayer _),
     "q_raw_profile"         -> (RentalQueries.rawProfile _),
@@ -98,6 +99,7 @@ object SparkEntry {
     "q_sessionize"          -> CoreQueries.sessionizeSql,
     "q_asof_join"           -> CoreQueries.asofJoinSql,
     "q_range_join"          -> CoreQueries.rangeJoinSql,
+    "q_grouped_topk"        -> CoreQueries.groupedTopKSql,
     "q_location_parse"      -> RentalQueries.locationParseSql,
     "q_clean_layer"         -> RentalQueries.cleanLayerSql,
     "q_raw_profile"         -> RentalQueries.rawProfileSql,

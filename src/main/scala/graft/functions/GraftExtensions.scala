@@ -11,6 +11,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * [[DotProduct.dot]] builds the Column directly. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // custom operator planning: GroupedTopKNode → partial/final bounded-heap
+    // execs (see graft.plans.GroupedTopK)
+    ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

@@ -475,4 +475,30 @@ object CoreQueries {
       |FROM p JOIN e
       |  ON abs(epoch_us(ets::TIMESTAMP) - epoch_us(p.ts::TIMESTAMP)) <= 60::BIGINT*1000000
       |ORDER BY purchase_id, error_id""".stripMargin
+
+  /** W1 via the CUSTOM grouped-top-k operator ([[graft.plans.GroupedTopK]]
+    * — LogicalPlan node + planner strategy + bounded-heap SparkPlan pair,
+    * injected by GraftExtensions): top-3 nations by customer count per
+    * region, row_number semantics under a total order. Same answer as
+    * `q_window_rank` minus the rank column; the oracle replays it with a
+    * window, so the check proves the custom physical operator implements
+    * the declarative semantics. */
+  def groupedTopK(s: SparkSession, d: String): DataFrame = {
+    val cnt = customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_regionkey"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"))
+    graft.plans.GroupedTopK.topK(cnt, Seq("n_regionkey"),
+        Seq("n_cust" -> true, "n_name" -> false), k = 3)
+      .orderBy(col("n_regionkey"), col("n_cust").desc, col("n_name"))
+  }
+
+  val groupedTopKSql: String =
+    """SELECT n_regionkey, n_name, n_cust FROM (
+      |  SELECT n_regionkey, n_name, count(*) AS n_cust,
+      |         row_number() OVER (PARTITION BY n_regionkey
+      |                            ORDER BY count(*) DESC, n_name ASC) AS rn
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_regionkey, n_name)
+      |WHERE rn <= 3 ORDER BY n_regionkey, n_cust DESC, n_name""".stripMargin
 }
