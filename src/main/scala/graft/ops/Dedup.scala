@@ -65,7 +65,15 @@ object Dedup {
     * partial-aggregated mins over the stored 48-bit shingle id (md5 was
     * evaluated once, at shingle-set build). Taking the sets frame as input
     * lets [[nearDupPairs]] shingle the corpus exactly ONCE for both the
-    * signature pass and the exact-Jaccard refine. */
+    * signature pass and the exact-Jaccard refine.
+    *
+    * MEASURED ALTERNATIVE (round 4, rejected): the shuffle-free
+    * `array_min(transform(sh, ...))` per-row fold — k narrow array
+    * traversals, no explode, no aggregate — benched ~2.4× SLOWER at sf0.1
+    * (q_minhash_lsh_pairs 1.05 s → 2.53 s): 16 allocated intermediate
+    * arrays per document lose to the codegen'd explode + partial hash
+    * aggregate, whose map-side combine already collapses each doc's
+    * shingles before the (tiny) doc_id shuffle. Keep the explode form. */
   def minhashSignaturesFromSets(sets: DataFrame, numHashes: Int = 16): DataFrame = {
     val sh = sets
       .select(col("doc_id"), explode(col("sh")).as("s"))
