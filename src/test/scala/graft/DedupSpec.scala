@@ -62,6 +62,11 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // the distributed pointer-jumping loop (forced via threshold 0) must
+    // reach the identical fixpoint as the small-graph union-find path
+    val distributed = Dedup.connectedComponents(edges, localEdgeThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(distributed == got)
   }
 
   test("connected components: reliable-checkpoint mode gives identical labels") {
