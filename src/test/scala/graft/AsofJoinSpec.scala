@@ -67,6 +67,29 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(got.columns.toSeq === Seq("user_id", "ts", "value", "view_ts", "view_value"))
   }
 
+  test("agrees with the naive greatest-at-or-before formulation on dense data") {
+    // 300 left / 300 right rows over interleaved deterministic timelines —
+    // many candidates per left row, so a last-picks-wrong bug can't hide.
+    val l = spark.range(300).select(col("id").as("lid"), (col("id") % 7).as("user_id"),
+      timestamp_micros(col("id") * 13001L * 1000L).as("ts"))
+    val r = spark.range(300).select(col("id").as("rid"), (col("id") % 7).as("user_id"),
+      timestamp_micros(col("id") * 11003L * 1000L + 500L * 1000L).as("ts"))
+    val fast = graft.ops.AsofJoin.asofJoin(l, r, "user_id", payload = Seq("rid"))
+      .select(col("lid"), col("asof_rid")).as[(Long, Option[Long])].collect().toMap
+    // naive: max right ts at-or-before, then its rid (rid strictly increases
+    // with ts here, so argmax-by-ts == max rid among eligible)
+    val naive = l.join(r.select(col("user_id"), col("rid"),
+          col("ts").as("rts")), Seq("user_id"), "left")
+      .where(col("rts") <= col("ts"))
+      .groupBy(col("lid")).agg(max(col("rid")).as("best"))
+      .as[(Long, Long)].collect().toMap
+    l.select(col("lid")).as[Long].collect().foreach { lid =>
+      assert(fast(lid) === naive.get(lid), s"lid $lid")
+    }
+    assert(naive.nonEmpty && naive.size < 300,
+      "fixture must exercise both matched and unmatched left rows")
+  }
+
   test("plan: one window over a co-shuffle — no join node, no cartesian") {
     val plan = AsofJoin.asofJoin(left, right, "user_id")
       .queryExecution.executedPlan.toString
