@@ -62,6 +62,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!mix.contains("Join"))
   }
 
+  test("sessionize: lag, cumsum, and the session aggregate share ONE exchange") {
+    // window partitions by user_id; the (user_id, sess_id) aggregate's
+    // clustered distribution is satisfied by that same hash partitioning,
+    // so the whole chain must plan a single hash exchange.
+    val p = plan("q_sessionize")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size === 1, p)
+  }
+
+  test("asof join: union + running-last plans one hash exchange, no join") {
+    val p = plan("q_asof_join")
+    assert(!p.contains("Join"), s"asof must be join-free:\n$p")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size === 1, p)
+  }
+
   test("no registered query plans a CartesianProduct") {
     // Theta joins in the documented quadratic baselines become
     // BroadcastNestedLoopJoin (bounded side); an unconditional
