@@ -55,9 +55,10 @@ object Indexes {
   /** Deterministic index location for a corpus dir + content fingerprint +
     * LSH parameters. */
   def lshIndexPath(sfDir: String, fp: String, bBits: Int, lTables: Int,
-                   seed: Long): String = {
+                   seed: Long, partitionByBucket: Boolean = true): String = {
     val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"$indexRoot/$tag/lsh_b${bBits}_L${lTables}_s${seed}_$fp"
+    val layout = if (partitionByBucket) "" else "_flat"
+    s"$indexRoot/$tag/lsh_b${bBits}_L${lTables}_s${seed}_$fp$layout"
   }
 
   /** Build the banded-LSH index: per vector, `lTables` rows of
@@ -68,19 +69,35 @@ object Indexes {
     * `repartition(t, key)` before the partitioned write co-locates each
     * output directory's rows into one task, so the write emits one file per
     * non-empty (t, key) — no small-file explosion, and the files arrive
-    * sorted by the shuffle's hash order (deterministic layout). */
+    * sorted by the shuffle's hash order (deterministic layout).
+    *
+    * Two layouts for two access patterns:
+    *  - `partitionByBucket = true` (default): one directory per (t, key) —
+    *    point PROBES ([[lshTopKIndexed]]) statically prune to `lTables`
+    *    directories of the `lTables · 2^bBits`;
+    *  - `partitionByBucket = false`: flat parquet clustered by (t, key) —
+    *    for FULL-INDEX consumers ([[bandedNearDupPairsIndexed]]'s
+    *    self-join), where the partitioned layout's
+    *    one-small-file-per-bucket listing overhead exceeds the whole
+    *    bucketing pass it saves (measured at sf0.1: 512 dirs made the
+    *    indexed near-dup join SLOWER than inline re-bucketing). */
   def writeLshIndex(emb: DataFrame, path: String, bBits: Int = 4,
-                    lTables: Int = 16, dim: Int = 64, seed: Long = 42L): Unit = {
+                    lTables: Int = 16, dim: Int = 64, seed: Long = 42L,
+                    partitionByBucket: Boolean = true): Unit = {
     val ps = Similarity.planes(bBits * lTables, dim, seed)
     val tables = (0 until lTables).map { t =>
       struct(lit(t).as("t"),
         Similarity.bucketFromPlanes(col("embedding"),
           ps.slice(t * bBits, (t + 1) * bBits)).as("key"))
     }
-    emb.select(col("vec_id"), explode(array(tables: _*)).as("b"))
+    val rows = emb.select(col("vec_id"), explode(array(tables: _*)).as("b"))
       .select(col("vec_id"), col("b.t").as("t"), col("b.key").as("key"))
-      .repartition(col("t"), col("key"))
-      .write.mode("overwrite").partitionBy("t", "key").parquet(path)
+    if (partitionByBucket)
+      rows.repartition(col("t"), col("key"))
+        .write.mode("overwrite").partitionBy("t", "key").parquet(path)
+    else
+      rows.repartition(col("t"), col("key")).sortWithinPartitions(col("t"), col("key"))
+        .write.mode("overwrite").parquet(path)
   }
 
   /** Driver-side replica of [[Similarity.bucketFromPlanes]] for ONE vector:
@@ -151,10 +168,40 @@ object Indexes {
     * external lock or a rename-into-place commit. */
   def ensureLshIndex(spark: SparkSession, emb: DataFrame, sfDir: String,
                      bBits: Int = 4, lTables: Int = 16, dim: Int = 64,
-                     seed: Long = 42L): String = {
-    val path = lshIndexPath(sfDir, corpusFingerprint(emb), bBits, lTables, seed)
-    if (!successExists(spark, path)) writeLshIndex(emb, path, bBits, lTables, dim, seed)
+                     seed: Long = 42L, partitionByBucket: Boolean = true): String = {
+    val path = lshIndexPath(sfDir, corpusFingerprint(emb), bBits, lTables, seed,
+      partitionByBucket)
+    if (!successExists(spark, path))
+      writeLshIndex(emb, path, bBits, lTables, dim, seed, partitionByBucket)
     path
+  }
+
+  /** All-pairs embedding near-dups served from a prebuilt banded-LSH index
+    * — output-identical to [[Similarity.bandedNearDupPairs]] with the same
+    * (bBits, lTables, seed): the candidate SELF-join reads the stored
+    * (vec_id, t, key) parquet on both sides, so the steady-state cost drops
+    * the entire bucketing pass (b·L plane dots × corpus + the explode +
+    * the persist) and keeps only candidate-join + exact re-rank. At scale
+    * this is the standard shape: the bucket assignment is write-once index
+    * state, re-ranks are per-query work. */
+  def bandedNearDupPairsIndexed(emb: DataFrame, indexPath: String,
+                                threshold: Double): DataFrame = {
+    val spark = emb.sparkSession
+    val idx = spark.read.parquet(indexPath)
+    val e = emb.select(col("vec_id"), col("embedding"),
+      Similarity.norm(col("embedding")).as("nrm"))
+    idx.select(col("t"), col("key"), col("vec_id").as("vec_a"))
+      .join(idx.select(col("t"), col("key"), col("vec_id").as("vec_b")), Seq("t", "key"))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+        col("nrm").as("nrm_a")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+        col("nrm").as("nrm_b")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(graft.functions.DotProduct.dot(col("emb_a"), col("emb_b")) /
+          (col("nrm_a") * col("nrm_b")), 6).as("cos"))
+      .where(col("cos") > threshold)
   }
 
   // ---- IVF inverted lists ---------------------------------------------------

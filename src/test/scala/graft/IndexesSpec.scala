@@ -90,6 +90,17 @@ class IndexesSpec extends AnyFunSuite {
       "ensure path must embed the corpus fingerprint")
   }
 
+  test("indexed near-dup pairs == inline bandedNearDupPairs (row-exact)") {
+    val dir = Files.createTempDirectory("nd_idx_spec").toString + "/idx"
+    Indexes.writeLshIndex(emb, dir, bBits = 6, lTables = 8)
+    val inline = Similarity.bandedNearDupPairs(emb, threshold = 0.4)
+      .orderBy("vec_a", "vec_b").collect().toSeq
+    val indexed = Indexes.bandedNearDupPairsIndexed(emb, dir, threshold = 0.4)
+      .orderBy("vec_a", "vec_b").collect().toSeq
+    assert(indexed === inline)
+    assert(inline.nonEmpty, "fixture must contain near-dup pairs")
+  }
+
   test("regenerated corpus at the same path rotates the index location") {
     val dir = Files.createTempDirectory("fp_spec").toString
     emb.limit(20).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
