@@ -204,6 +204,96 @@ object Indexes {
       .where(col("cos") > threshold)
   }
 
+  // ---- text dedup indexes ---------------------------------------------------
+
+  /** Materialized MinHash dedup state for a documents corpus: the hashed
+    * shingle-set table (`sets/`: doc_id, sh) and the LSH band-key table
+    * (`bands/`: doc_id, band, key) — the two derived tables every text
+    * near-dup consumer needs, written ONCE per corpus fingerprint. At
+    * 100 TB this is exactly the production shape: shingling + signatures
+    * are a write-once pass over the corpus; candidate joins and Jaccard
+    * refines run entirely off the (narrow) derived tables and never
+    * re-tokenize a document. Flat layout — every consumer is a full-scan
+    * join ([[writeLshIndex]]'s layout note). */
+  def ensureMinhashIndex(spark: SparkSession, docs: DataFrame, sfDir: String,
+                         numHashes: Int = 16, bandRows: Int = 2,
+                         shingleN: Int = 3): (String, String) = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val fp = corpusFingerprint(docs)
+    val base = s"$indexRoot/$tag/minhash_k${numHashes}_r${bandRows}_n${shingleN}_$fp"
+    val (sets, bands) = (s"$base/sets", s"$base/bands")
+    if (!successExists(spark, sets) || !successExists(spark, bands)) {
+      val s = Dedup.shingleSets(docs, shingleN).persist()
+      s.write.mode("overwrite").parquet(sets)
+      Dedup.lshBandKeys(Dedup.minhashSignaturesFromSets(s, numHashes),
+          numHashes, bandRows)
+        .repartition(col("band"), col("key"))
+        .write.mode("overwrite").parquet(bands)
+      s.unpersist()
+    }
+    (sets, bands)
+  }
+
+  /** LSH candidate pairs from the stored band-key table — output-identical
+    * to [[Dedup.lshCandidatePairsFromSigs]] over the same corpus. */
+  def minhashCandidatePairsIndexed(spark: SparkSession, bandsPath: String): DataFrame = {
+    val bk = spark.read.parquet(bandsPath)
+    bk.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+      .join(bk.select(col("band"), col("key"), col("doc_id").as("doc_b")),
+        Seq("band", "key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** Near-dup pairs from the stored tables: candidates off `bands/`, exact
+    * Jaccard off `sets/` — output-identical to [[Dedup.nearDupPairs]], with
+    * zero document tokenization in the query path. */
+  def minhashNearDupsIndexed(spark: SparkSession, setsPath: String,
+                             bandsPath: String, threshold: Double): DataFrame = {
+    val sets = spark.read.parquet(setsPath)
+    minhashCandidatePairsIndexed(spark, bandsPath)
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        TextOps.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Materialized SimHash signature table (doc_id, simhash) — the one-pass
+    * 60-bit majority vote is write-once corpus state; near-dup banding
+    * reads 16 bytes per doc. */
+  def ensureSimhashIndex(spark: SparkSession, docs: DataFrame,
+                         sfDir: String): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"$indexRoot/$tag/simhash_${corpusFingerprint(docs)}"
+    if (!successExists(spark, path))
+      Dedup.simhash(docs).write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** SimHash near-dup pairs off the stored signature table —
+    * output-identical to [[Dedup.simhashNearDups]] (same chunking and
+    * hamming filter, minus the signature computation). */
+  def simhashNearDupsIndexed(spark: SparkSession, indexPath: String,
+                             maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    val sh = spark.read.parquet(indexPath)
+    val chunkBits = 60 / bands
+    val chunks = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * chunkBits)
+          .bitwiseAND(lit((1L << chunkBits) - 1)).as("key"))
+    }
+    val bk = sh.select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("c"))
+      .select(col("doc_id"), col("simhash"), col("c.band").as("band"), col("c.key").as("key"))
+    val a = bk.select(col("band"), col("key"), col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+    val b = bk.select(col("band"), col("key"), col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+    a.join(b, Seq("band", "key")).where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   // ---- IVF inverted lists ---------------------------------------------------
 
   /** Deterministic IVF index location for a corpus dir + content

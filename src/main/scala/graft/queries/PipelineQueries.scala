@@ -40,9 +40,15 @@ object PipelineQueries {
   val dedupExactSql: String =
     "SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique FROM documents"
 
-  def minhashLshPairs(s: SparkSession, d: String): DataFrame =
-    Dedup.lshCandidatePairs(documents(s, d), numHashes = 16, bandRows = 2)
+  /** LSH candidates off the MATERIALIZED band-key table (the shingle +
+    * signature pass is write-once corpus state — see
+    * [[graft.ops.Indexes.ensureMinhashIndex]]); output-identical to the
+    * inline [[Dedup.lshCandidatePairs]] (DedupIndexSpec asserts it). */
+  def minhashLshPairs(s: SparkSession, d: String): DataFrame = {
+    val (_, bands) = graft.ops.Indexes.ensureMinhashIndex(s, documents(s, d), d)
+    graft.ops.Indexes.minhashCandidatePairsIndexed(s, bands)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
 
   private val duckMinhashBands =
     s"""w AS (SELECT doc_id, $duckWords AS w FROM documents),
@@ -59,11 +65,15 @@ object PipelineQueries {
        |FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** LSH candidates refined by exact Jaccard — the production near-dup op. */
-  def minhashNearDups(s: SparkSession, d: String): DataFrame =
-    Dedup.nearDupPairs(documents(s, d), threshold = 0.3, numHashes = 16, bandRows = 2)
+  /** LSH candidates refined by exact Jaccard — the production near-dup op,
+    * served from the materialized sets/bands tables (zero tokenization in
+    * the query path). */
+  def minhashNearDups(s: SparkSession, d: String): DataFrame = {
+    val (sets, bands) = graft.ops.Indexes.ensureMinhashIndex(s, documents(s, d), d)
+    graft.ops.Indexes.minhashNearDupsIndexed(s, sets, bands, threshold = 0.3)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
 
   /** Shared CTE chain ending in `scored(doc_a, doc_b, jacc)` — LSH
     * candidates with UNROUNDED exact Jaccard (the Spark side also filters
@@ -87,12 +97,13 @@ object PipelineQueries {
   /** Near-dup cluster assignment: connected components over the LSH+refine
     * pair set; the oracle computes the same components via a recursive
     * transitive-closure CTE over the identical pairs. */
-  def dedupComponents(s: SparkSession, d: String): DataFrame =
+  def dedupComponents(s: SparkSession, d: String): DataFrame = {
+    val (sets, bands) = graft.ops.Indexes.ensureMinhashIndex(s, documents(s, d), d)
     Dedup.connectedComponents(
-        Dedup.nearDupPairs(documents(s, d), threshold = 0.3,
-          numHashes = 16, bandRows = 2)
+        graft.ops.Indexes.minhashNearDupsIndexed(s, sets, bands, threshold = 0.3)
           .select(col("doc_a"), col("doc_b")))
       .orderBy(col("doc_id"))
+  }
 
   val dedupComponentsSql: String =
     s"""WITH RECURSIVE $duckNearDupCtes,
@@ -150,10 +161,12 @@ object PipelineQueries {
   /** SimHash near-dup pairs via banded hamming (pigeonhole: distance ≤ 3
     * with 4 bands ⇒ at least one identical 15-bit chunk, so the chunk
     * equi-join finds every such pair — never an all-pairs compare). */
-  def simhashNearDups(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashNearDups(documents(s, d), maxHamming = 3, bands = 4)
+  def simhashNearDups(s: SparkSession, d: String): DataFrame = {
+    val idx = graft.ops.Indexes.ensureSimhashIndex(s, documents(s, d), d)
+    graft.ops.Indexes.simhashNearDupsIndexed(s, idx, maxHamming = 3, bands = 4)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
 
   val simhashNearDupsSql: String =
     s"""WITH $duckSimhashCtes,

@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Indexes}
+
+/** Indexed text-dedup paths must be output-identical to the inline
+  * operators they replace — candidates, refined pairs, and simhash
+  * near-dups all served from the materialized derived tables. */
+class DedupIndexSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = graft.engine.Tables.documents(spark, sf)
+
+  test("indexed MinHash candidates == inline lshCandidatePairs") {
+    val (_, bands) = Indexes.ensureMinhashIndex(spark, docs, sf)
+    val indexed = Indexes.minhashCandidatePairsIndexed(spark, bands)
+      .as[(Long, Long)].collect().toSet
+    val inline = Dedup.lshCandidatePairs(docs)
+      .as[(Long, Long)].collect().toSet
+    assert(indexed === inline)
+    assert(inline.nonEmpty)
+  }
+
+  test("indexed near-dups == inline nearDupPairs, jaccard-exact") {
+    val (sets, bands) = Indexes.ensureMinhashIndex(spark, docs, sf)
+    val indexed = Indexes.minhashNearDupsIndexed(spark, sets, bands, 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    val inline = Dedup.nearDupPairs(docs, 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(indexed === inline)
+  }
+
+  test("indexed simhash near-dups == inline simhashNearDups") {
+    val idx = Indexes.ensureSimhashIndex(spark, docs, sf)
+    val indexed = Indexes.simhashNearDupsIndexed(spark, idx)
+      .as[(Long, Long, Int)].collect().toSet
+    val inline = Dedup.simhashNearDups(docs)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(indexed === inline)
+  }
+}
