@@ -102,8 +102,9 @@ object TextAnalysis {
   def ngramDocFreq(docs: DataFrame, n: Int = 2, k: Int = 15): DataFrame =
     docs.select(col("doc_id"), TextOps.words(coalesce(col("text"), lit(""))).as("w"))
       .select(col("doc_id"), explode(TextOps.shingles(col("w"), n)).as("ngram"))
+      .groupBy(col("ngram"), col("doc_id")).agg(count(lit(1)).as("c"))
       .groupBy(col("ngram"))
-      .agg(count(lit(1)).as("occurrences"), countDistinct(col("doc_id")).as("doc_freq"))
+      .agg(sum(col("c")).as("occurrences"), count(lit(1)).as("doc_freq"))
       .orderBy(col("doc_freq").desc, col("ngram").asc)
       .limit(k)
 
