@@ -26,10 +26,17 @@ import org.apache.spark.sql.functions._
   */
 object Indexes {
 
+  /** Bump when any index-producing ALGORITHM changes (plane generation,
+    * shingling, signature family, simhash votes, layout) — the corpus
+    * fingerprint only guards against DATA changes; without this tag an
+    * algorithm change with unchanged parameters would silently probe a
+    * stale index built by the old code. */
+  val IndexFormatVersion = "v1"
+
   /** Root for on-demand local indexes (env-overridable; on a cluster this
     * would be a shared filesystem/object-store prefix). */
   val indexRoot: String = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
-    s"${System.getProperty("java.io.tmpdir")}/graft_indexes")
+    s"${System.getProperty("java.io.tmpdir")}/graft_indexes") + s"/$IndexFormatVersion"
 
   /** Cheap corpus fingerprint from the frame's input-file METADATA — path,
     * length, modification time; no data scan, driver-side only. Folded into
