@@ -56,6 +56,7 @@ object SparkEntry {
     "q_ann_brute_force"     -> (PipelineQueries.annBruteForce _),
     "q_ann_lsh"             -> (PipelineQueries.annLsh _),
     "q_ann_ivf"             -> (PipelineQueries.annIvf _),
+    "q_ann_pq"              -> (PipelineQueries.annPq _),
     "q_embedding_near_dups" -> (PipelineQueries.embeddingNearDups _),
     "q_token_stats"         -> (PipelineQueries.tokenStats _),
     "q_lang_id_counts"      -> (PipelineQueries.langIdCounts _),
@@ -109,6 +110,7 @@ object SparkEntry {
     "q_dedup_exact"         -> PipelineQueries.dedupExactSql,
     "q_ann_lsh"             -> PipelineQueries.annLshSql,
     "q_ann_ivf"             -> PipelineQueries.annIvfSql,
+    "q_ann_pq"              -> PipelineQueries.annPqSql,
     "q_minhash_lsh_pairs"   -> PipelineQueries.minhashLshPairsSql,
     "q_minhash_near_dups"   -> PipelineQueries.minhashNearDupsSql,
     "q_dedup_components"    -> PipelineQueries.dedupComponentsSql,

@@ -211,6 +211,79 @@ object Indexes {
       .where(col("cos") > threshold)
   }
 
+  // ---- PQ codes -------------------------------------------------------------
+
+  /** Materialized PQ code table (vec_id, c0..c{nSub-1}) — each vector's
+    * per-subspace argmin-L2 code against the committed codebooks. This is
+    * the 32×-compressed form of the corpus ([[Similarity.pqCodebooks]]):
+    * written once per corpus fingerprint, and the ADC query path reads ONLY
+    * this narrow table for candidate scoring. */
+  def ensurePqIndex(spark: SparkSession, emb: DataFrame, codebooks: DataFrame,
+                    sfDir: String, nSub: Int = 8, dim: Int = 64): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"$indexRoot/$tag/pq_m${nSub}_${corpusFingerprint(emb)}"
+    if (!successExists(spark, path)) {
+      val subDim = dim / nSub
+      val cbs = collectCodebooks(codebooks)
+      val codeCols = (0 until nSub).map { m =>
+        Similarity.pqCodeExpr(
+          slice(col("embedding"), m * subDim + 1, subDim), cbs(m)).as(s"c$m")
+      }
+      emb.select(col("vec_id") +: codeCols: _*)
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  private def collectCodebooks(codebooks: DataFrame): Map[Int, Array[Array[Double]]] =
+    codebooks.select(col("m").cast("int"), col("code").cast("int"), col("centroid"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (m, rs) =>
+        m -> rs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+      }
+
+  /** PQ ADC top-k served from the stored code table — output-identical to
+    * [[Similarity.pqTopK]]: the query's 128-entry dot table is computed on
+    * the DRIVER with the same left-to-right IEEE fold as the codegen'd
+    * expression (the [[bucketKeyLocal]] precedent), embedded as literals,
+    * so candidate scoring is 8 array lookups + 7 adds per corpus vector
+    * over a (vec_id, 8×int) scan — no raw-vector math until the exact
+    * re-rank of the `rerank` survivors. */
+  def pqTopKIndexed(emb: DataFrame, codebooks: DataFrame, indexPath: String,
+                    queryId: Long, k: Int, rerank: Int = 100, nSub: Int = 8,
+                    dim: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    val subDim = dim / nSub
+    val cbs = collectCodebooks(codebooks)
+    val qv: Array[Float] = emb.where(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    def dotLocal(off: Int, c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < subDim) { s += qv(off + i).toDouble * c(i); i += 1 }
+      s
+    }
+    val est = (0 until nSub).map { m =>
+      val table = cbs(m).map(c => dotLocal(m * subDim, c)).toSeq
+      element_at(typedlit(table), col(s"c$m") + 1)
+    }.reduceLeft(_ + _)
+    val cand = spark.read.parquet(indexPath)
+      .where(col("vec_id") =!= queryId)
+      .select(col("vec_id"), est.as("est"))
+      .orderBy(col("est").desc, col("vec_id").asc)
+      .limit(rerank)
+      .select(col("vec_id"))
+    val q = emb.where(col("vec_id") === queryId)
+      .select(col("embedding").as("qv"), Similarity.norm(col("embedding")).as("qn"))
+    emb.join(broadcast(cand), Seq("vec_id"), "left_semi")
+      .join(broadcast(q))
+      .select(col("vec_id"),
+        round(graft.functions.DotProduct.dot(col("embedding"), col("qv")) /
+          (Similarity.norm(col("embedding")) * col("qn")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   // ---- text dedup indexes ---------------------------------------------------
 
   /** Materialized MinHash dedup state for a documents corpus: the hashed

@@ -172,6 +172,110 @@ object Similarity {
     } finally e.unpersist()
   }
 
+  // ---- product quantization (PQ) -------------------------------------------
+
+  /** PQ codebooks: the embedding space splits into `nSub` contiguous
+    * subspaces of dim/nSub dimensions, and each subspace gets its own
+    * seeded Lloyd's k-means codebook of `k` codes (L2 objective — the
+    * standard PQ formulation). Output (m, code, centroid: array<double>),
+    * trained OFFLINE and committed (tools.TrainPqCodebooks →
+    * `fixtures/pq_codebooks.parquet`) for the same bit-stability reason as
+    * the IVF model ([[kMeansCentroids]] scaladoc).
+    *
+    * Compression story at scale: a dim-64 float vector (256 B) becomes
+    * nSub=8 4-bit-addressable codes (8 B) — 32× — and the asymmetric
+    * distance computation ([[pqTopK]]) scores candidates from a 128-entry
+    * lookup table without touching raw vectors. */
+  def pqCodebooks(emb: DataFrame, nSub: Int = 8, k: Int = 16, dim: Int = 64,
+                  iters: Int = 10, seed: Long = 42L): DataFrame = {
+    val spark = emb.sparkSession
+    val subDim = dim / nSub
+    require(subDim * nSub == dim, s"dim $dim must split evenly into $nSub subspaces")
+    val rows = (0 until nSub).flatMap { m =>
+      val sub = emb.select(col("vec_id"),
+        slice(col("embedding"), m * subDim + 1, subDim).as("sv")).persist()
+      try {
+        var cent: Array[Array[Double]] = sub
+          .orderBy(xxhash64(col("vec_id"), lit(seed + m)), col("vec_id")).limit(k)
+          .select(col("sv")).collect()
+          .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+        require(cent.length == k, s"corpus has fewer than k=$k vectors")
+        for (_ <- 0 until iters) {
+          val assigned = sub.select(
+            pqCodeExpr(col("sv"), cent).as("code"),
+            posexplode(col("sv")).as(Seq("pos", "v")))
+          val means = assigned.groupBy(col("code"), col("pos"))
+            .agg(avg(col("v")).as("mv"))
+            .groupBy(col("code"))
+            .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+              x => x.getField("mv")).as("cv"))
+            .collect()
+            .map(r => r.getAs[Number]("code").intValue() ->
+              r.getSeq[Double](1).toArray).toMap
+          cent = cent.indices.map(j => means.getOrElse(j, cent(j))).toArray
+        }
+        cent.zipWithIndex.map { case (c, j) => (m, j, c.toSeq) }
+      } finally sub.unpersist()
+    }
+    import spark.implicits._
+    rows.toDF("m", "code", "centroid")
+  }
+
+  /** Argmin-L2 code for one subvector over driver-held subcentroids as ONE
+    * codegen'd expression. argmin |v−c|² == argmax (2·v·c − c²) (v² is
+    * constant per row); ties break to the smallest code via the (score,
+    * −code) struct max — the identical convention as [[assignCell]] and the
+    * oracle's `ORDER BY score DESC, code ASC`. c² is a driver-side
+    * left-to-right fold — the same IEEE order as DuckDB's
+    * `list_dot_product(centroid, centroid)`. */
+  private[graft] def pqCodeExpr(sv: Column, cent: Array[Array[Double]]): Column = {
+    val scored = cent.zipWithIndex.map { case (c, j) =>
+      val c2 = c.foldLeft(0.0)((s, x) => s + x * x)
+      struct((lit(2.0) * dotU(sv, typedlit(c.toSeq)) - lit(c2)).as("s"),
+        lit(-j).as("nc"))
+    }
+    (-array_max(array(scored.toIndexedSeq: _*)).getField("nc")).cast("int")
+  }
+
+  /** PQ asymmetric-distance top-k: every corpus vector is scored from its
+    * per-subspace codes against the QUERY's 128-entry dot-product table —
+    * est(v) = Σₘ q_m · c_{m,code_m(v)} ≈ q·v — entirely as codegen'd
+    * expressions (no raw-vector pairwise math), then the best `rerank`
+    * candidates get an exact cosine re-rank. The estimate's additions run
+    * in ascending-m order (left-associated), matching the oracle's
+    * `sum(t ORDER BY m)` ordered aggregate bit-for-bit, so the candidate
+    * cut is deterministic across engines. */
+  def pqTopK(emb: DataFrame, codebooks: DataFrame, queryId: Long, k: Int,
+             rerank: Int = 50, nSub: Int = 8, dim: Int = 64): DataFrame = {
+    val subDim = dim / nSub
+    val cbs: Map[Int, Array[Array[Double]]] = codebooks
+      .select(col("m").cast("int"), col("code").cast("int"), col("centroid"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (m, rs) =>
+        m -> rs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+      }
+    val q = emb.where(col("vec_id") === queryId)
+      .select(col("embedding").as("qv"), norm(col("embedding")).as("qn"))
+    // per-subspace estimate: element_at over the 16 query-side dot exprs,
+    // indexed by this vector's code for subspace m
+    val est = (0 until nSub).map { m =>
+      val sv = slice(col("embedding"), m * subDim + 1, subDim)
+      val qsv = slice(col("qv"), m * subDim + 1, subDim)
+      val table = array(cbs(m).toIndexedSeq.map(c => dotU(qsv, typedlit(c.toSeq))): _*)
+      element_at(table, pqCodeExpr(sv, cbs(m)) + 1)
+    }.reduceLeft(_ + _)
+    val cand = emb.where(col("vec_id") =!= queryId)
+      .join(broadcast(q))
+      .select(col("vec_id"), col("embedding"), col("qv"), col("qn"), est.as("est"))
+      .orderBy(col("est").desc, col("vec_id").asc)
+      .limit(rerank)
+    cand.select(col("vec_id"),
+        round(dotU(col("embedding"), col("qv")) / (norm(col("embedding")) * col("qn")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Argmax cell over driver-held centroids as ONE codegen'd expression:
     * k fused dot products + `array_max` over (ccos, -cell) structs — ties
     * break to the smallest cell, identical to [[ivfTopK]]'s `max_by` and

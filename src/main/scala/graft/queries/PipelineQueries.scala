@@ -269,6 +269,50 @@ object PipelineQueries {
        |FROM e JOIN cand ON e.vec_id = cand.vec_id, q
        |ORDER BY cos DESC, e.vec_id ASC LIMIT 10""".stripMargin
 
+  /** Committed PQ subquantizer model (trained offline by
+    * graft.tools.TrainPqCodebooks — 8 subspaces × 16 codes, seeded Lloyd's
+    * at sf0.01). */
+  val pqCodebooksPath: String = sys.env.getOrElse("SPARK_GRAFT_PQ_CODEBOOKS",
+    "/root/repo/fixtures/pq_codebooks.parquet")
+
+  /** PQ asymmetric-distance ANN: candidates scored from per-subspace codes
+    * against the query's 128-entry dot table (32× vector compression at
+    * scale), exact cosine re-rank of the top 100. The estimate's additions
+    * are left-associated in ascending subspace order on BOTH engines (an
+    * explicit `t0+t1+...+t7` chain in the oracle — an unordered SUM would
+    * be bit-nondeterministic), so the candidate cut replays exactly. */
+  def annPq(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val cb = s.read.parquet(pqCodebooksPath)
+    val idx = graft.ops.Indexes.ensurePqIndex(s, emb, cb, d)
+    graft.ops.Indexes.pqTopKIndexed(emb, cb, idx, queryId = 0L, k = 10, rerank = 100)
+  }
+
+  val annPqSql: String = {
+    val tCols = (0 until 8).map(m => s"max(CASE WHEN m = $m THEN t END) AS t$m").mkString(", ")
+    val tChain = (0 until 8).map(m => s"t$m").mkString(" + ")
+    s"""WITH $duckNormed,
+       |cb AS (SELECT m, code, centroid, list_dot_product(centroid, centroid) AS c2
+       |       FROM read_parquet('$pqCodebooksPath/*.parquet')),
+       |sc AS (SELECT e.vec_id, cb.m, cb.code,
+       |              2*list_dot_product(list_slice(e.v, cb.m*8+1, cb.m*8+8), cb.centroid) - cb.c2 AS s
+       |       FROM e CROSS JOIN cb),
+       |codes AS (SELECT vec_id, m, code FROM sc
+       |          QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY s DESC, code ASC) = 1),
+       |q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 0),
+       |tbl AS (SELECT cb.m, cb.code,
+       |               list_dot_product(list_slice(q.qv, cb.m*8+1, cb.m*8+8), cb.centroid) AS t
+       |        FROM cb, q),
+       |pivoted AS (SELECT vec_id, $tCols
+       |            FROM codes JOIN tbl USING (m, code)
+       |            WHERE vec_id != 0 GROUP BY vec_id),
+       |cand AS (SELECT vec_id FROM (SELECT vec_id, $tChain AS est FROM pivoted)
+       |         ORDER BY est DESC, vec_id ASC LIMIT 100)
+       |SELECT e.vec_id, round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 4) AS cos
+       |FROM e JOIN cand ON e.vec_id = cand.vec_id, q
+       |ORDER BY cos DESC, e.vec_id ASC LIMIT 10""".stripMargin
+  }
+
   /** Production near-dup pairs: banded LSH candidates + exact re-rank
     * (replaces the O(n²) all-pairs theta join; identical plane constants
     * replayed in the oracle). Served from the MATERIALIZED (b=6, L=8)

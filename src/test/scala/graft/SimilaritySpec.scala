@@ -57,6 +57,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.7, s"recall=$recall")
   }
 
+  test("PQ ADC top-k with committed codebooks: recall vs brute force") {
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    val cb = spark.read.parquet(graft.queries.PipelineQueries.pqCodebooksPath)
+    assert(cb.count() === 128, "8 subspaces x 16 codes")
+    val exact = Similarity.bruteForceTopK(emb, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val approx = Similarity.pqTopK(emb, cb, 0L, 10, rerank = 100)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(approx.size === 10 && !approx.contains(0L))
+    assert(approx.toSet.size === 10, "no duplicate candidates")
+    val recall = (exact & approx.toSet).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall")
+    // deterministic: the ADC estimate chain + tiebreaks admit exactly one answer
+    val again = Similarity.pqTopK(emb, cb, 0L, 10, rerank = 100)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(again === approx)
+    // the indexed path (stored codes + driver-computed dot table) must be
+    // output-identical to the inline expression form
+    val idx = graft.ops.Indexes.ensurePqIndex(spark, emb, cb, sf)
+    val indexed = graft.ops.Indexes.pqTopKIndexed(emb, cb, idx, 0L, 10, rerank = 100)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(indexed === approx)
+  }
+
   test("k-means: recovers planted clusters; empty-cell and determinism") {
     // 4 well-separated direction clusters in 8-d, 40 vectors each.
     val rnd = new scala.util.Random(7)
