@@ -105,6 +105,23 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("digest")
 
+  /** Streaming decontamination — the STREAM-STATIC join pattern: incoming
+    * documents (a landing-zone stream) are shingled statelessly and
+    * semi-joined against the STATIC eval-set shingle frame, which Spark
+    * re-plans per micro-batch with the broadcast on the static side — no
+    * state store, no watermark, exactly the batch operator's join shape
+    * ([[graft.ops.Decontamination]]) run incrementally. Emits one row per
+    * (doc_id, shingle) hit; per-doc dedup is the caller's choice of
+    * `dropDuplicates` scope (unbounded without a watermark — bound it with
+    * the ingest-time watermark in production). */
+  def contaminationHitsStream(docs: DataFrame, evalDocs: DataFrame): DataFrame = {
+    val evShingles = graft.ops.Dedup.shingleSets(evalDocs)
+      .select(explode(col("sh")).as("s")).distinct()
+    graft.ops.Dedup.shingleSets(docs)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(broadcast(evShingles), Seq("s"), "left_semi")
+  }
+
   /** Convenience: run the hourly-window stream over a directory to an
     * in-memory table and block until all currently-available files are
     * processed (complete mode: re-emits all windows each batch — used by

@@ -88,6 +88,31 @@ class EventStreamsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("stream-static decontamination finds exactly the batch operator's docs") {
+    val evalSet = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val q = EventStreams.contaminationHitsStream(
+        in.toDF().toDF("doc_id", "text"), evalSet)
+      .writeStream.outputMode("append").format("memory").queryName("decon").start()
+    in.addData((1L, "the quick brown fox jumps over the lazy dog"), // verbatim leak
+               (3L, "alpha beta gamma delta epsilon zeta"))         // clean
+    q.processAllAvailable()
+    in.addData((2L, "something quick brown fox entirely different")) // 1 window
+    q.processAllAvailable()
+    val hitDocs = spark.table("decon").select("doc_id").as[Long].collect().toSet
+    assert(hitDocs === Set(1L, 2L))
+    // parity with the batch operator over the same rows
+    val batchDocs = graft.ops.Decontamination.contaminatedDocs(
+        Seq((1L, "the quick brown fox jumps over the lazy dog"),
+            (3L, "alpha beta gamma delta epsilon zeta"),
+            (2L, "something quick brown fox entirely different")).toDF("doc_id", "text"),
+        evalSet)
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchDocs === hitDocs)
+    q.stop()
+  }
+
   test("streaming clean layer equals the batch clean layer on the raw CSV") {
     // Stage the committed fixture into a landing dir (glob the file so the
     // parent resolves as basePath).
