@@ -30,8 +30,9 @@ import org.apache.spark.sql.functions._
   *
   * Semantics notes:
   *  - left rows with no earlier right row get a NULL payload (LEFT asof);
-  *  - NULL keys never match (right NULL-key rows are filtered; left
-  *    NULL-key rows keep a NULL payload) — standard join-key semantics;
+  *  - NULL keys and NULL right timestamps never match (such right rows are
+  *    filtered; left NULL-key rows keep a NULL payload) — standard
+  *    join-condition semantics;
   *  - duplicate right rows at one (key, ts) resolve to the MAX payload
   *    struct (explicit tiebreak in the window order), so the result is
   *    deterministic where engines with unspecified ASOF tie behavior are
@@ -49,7 +50,10 @@ object AsofJoin {
     val tag = "__graft_tag"
     val ts = "__graft_ts"
     val p = "__graft_p"
-    val r = right.where(col(key).isNotNull)
+    // NULL keys AND NULL timestamps never match (ASOF's `l.ts >= r.ts` is
+    // false for NULL; an unfiltered null-ts row would sort to the partition
+    // start and pollute every left row's running last)
+    val r = right.where(col(key).isNotNull && col(rightTs).isNotNull)
       .select(col(key), col(rightTs).as(ts),
         struct(payload.map(col): _*).as(p), lit(0).as(tag))
     val l = left

@@ -367,8 +367,15 @@ object Dedup {
     * chunks; docs sharing any chunk are candidates (hamming-distance
     * pigeonhole: distance < bands ⇒ at least one identical chunk), then the
     * exact hamming filter keeps pairs within `maxHamming`. */
-  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3, bands: Int = 4): DataFrame = {
-    val sh = simhash(docs)
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3, bands: Int = 4): DataFrame =
+    simhashNearDupsFromSigs(simhash(docs), maxHamming, bands)
+
+  /** The banding/join/hamming pass over a precomputed (doc_id, simhash)
+    * frame — the ONE implementation behind both the inline path above and
+    * the stored-signature path ([[Indexes.simhashNearDupsIndexed]]), so the
+    * two can never drift apart. */
+  def simhashNearDupsFromSigs(sh: DataFrame, maxHamming: Int = 3,
+                              bands: Int = 4): DataFrame = {
     val chunkBits = 60 / bands
     val chunks = (0 until bands).map { b =>
       struct(lit(b).as("band"),

@@ -221,7 +221,11 @@ object Indexes {
   def ensurePqIndex(spark: SparkSession, emb: DataFrame, codebooks: DataFrame,
                     sfDir: String, nSub: Int = 8, dim: Int = 64): String = {
     val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val path = s"$indexRoot/$tag/pq_m${nSub}_${corpusFingerprint(emb)}"
+    // BOTH inputs fingerprint into the path: the codebooks are an
+    // independent committed fixture, so retraining them must rotate the
+    // code table too — codes scored against a different model are garbage.
+    val path = s"$indexRoot/$tag/pq_m${nSub}_${corpusFingerprint(emb)}" +
+      s"_cb${corpusFingerprint(codebooks)}"
     if (!successExists(spark, path)) {
       val subDim = dim / nSub
       val cbs = collectCodebooks(codebooks)
@@ -236,12 +240,7 @@ object Indexes {
   }
 
   private def collectCodebooks(codebooks: DataFrame): Map[Int, Array[Array[Double]]] =
-    codebooks.select(col("m").cast("int"), col("code").cast("int"), col("centroid"))
-      .collect()
-      .groupBy(_.getInt(0))
-      .map { case (m, rs) =>
-        m -> rs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
-      }
+    Similarity.collectCodebooks(codebooks)
 
   /** PQ ADC top-k served from the stored code table — output-identical to
     * [[Similarity.pqTopK]]: the query's 128-entry dot table is computed on
@@ -352,27 +351,12 @@ object Indexes {
   }
 
   /** SimHash near-dup pairs off the stored signature table —
-    * output-identical to [[Dedup.simhashNearDups]] (same chunking and
-    * hamming filter, minus the signature computation). */
+    * output-identical to [[Dedup.simhashNearDups]] because both delegate to
+    * the SAME banding/join/hamming implementation
+    * ([[Dedup.simhashNearDupsFromSigs]]). */
   def simhashNearDupsIndexed(spark: SparkSession, indexPath: String,
-                             maxHamming: Int = 3, bands: Int = 4): DataFrame = {
-    val sh = spark.read.parquet(indexPath)
-    val chunkBits = 60 / bands
-    val chunks = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * chunkBits)
-          .bitwiseAND(lit((1L << chunkBits) - 1)).as("key"))
-    }
-    val bk = sh.select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("c"))
-      .select(col("doc_id"), col("simhash"), col("c.band").as("band"), col("c.key").as("key"))
-    val a = bk.select(col("band"), col("key"), col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
-    val b = bk.select(col("band"), col("key"), col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
-    a.join(b, Seq("band", "key")).where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .where(col("hamming") <= maxHamming)
-      .distinct()
-  }
+                             maxHamming: Int = 3, bands: Int = 4): DataFrame =
+    Dedup.simhashNearDupsFromSigs(spark.read.parquet(indexPath), maxHamming, bands)
 
   // ---- IVF inverted lists ---------------------------------------------------
 
@@ -455,13 +439,15 @@ object Indexes {
   }
 
   /** Build-if-missing IVF inverted lists (see [[ensureLshIndex]] for the
-    * fingerprint-keyed presence check and the concurrent-build caveat). The
-    * fingerprint covers `emb` only: the centroids are a deterministic seeded
-    * k-means of the same corpus, so a corpus change already rotates the path,
-    * and the cell count is a path parameter. */
+    * fingerprint-keyed presence check and the concurrent-build caveat).
+    * BOTH inputs fingerprint into the path: the centroids are a FROZEN
+    * committed fixture (trained once at sf0.01 — NOT re-derived from the
+    * query corpus), so retraining the model must rotate the inverted
+    * lists. */
   def ensureIvfIndex(spark: SparkSession, emb: DataFrame, centroids: DataFrame,
                      sfDir: String, nCells: Int): String = {
-    val path = ivfIndexPath(sfDir, corpusFingerprint(emb), nCells)
+    val path = ivfIndexPath(sfDir,
+      s"${corpusFingerprint(emb)}_cb${corpusFingerprint(centroids)}", nCells)
     if (!successExists(spark, path)) writeIvfIndex(emb, centroids, path)
     path
   }

@@ -35,6 +35,7 @@ object RangeJoin {
                       leftTs: String = "ts", rightTs: String = "ts",
                       payload: Seq[String] = Seq("value"),
                       prefix: String = "near_"): DataFrame = {
+    require(toleranceSec > 0, s"toleranceSec must be positive, got $toleranceSec")
     val tolUs = toleranceSec * 1000000L
     val lb = "__graft_lb"
     val rb = "__graft_rb"

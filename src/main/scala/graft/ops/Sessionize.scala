@@ -58,13 +58,34 @@ object Sessionize {
       .drop("sess_id")
   }
 
+  /** Epoch MICROS of a Timestamp — the streaming state works in the same
+    * micros domain as [[batch]]'s `unix_micros` (a millis `getTime`
+    * comparison would merge sub-second gaps the batch form splits). */
+  private def usOf(t: Timestamp): Long =
+    t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+
+  private def tsOf(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000000L * 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** Streaming sessionization (append mode): emits each CLOSED session
     * exactly once. `events` must carry (user_id, ts, value); the watermark
-    * governs both late-data tolerance and idle-session timeout. */
+    * governs both late-data tolerance and idle-session timeout.
+    *
+    * LATE (out-of-order, above-watermark) events merge into the user's open
+    * session, extending `session_start` backward if needed — the open
+    * session is the only state held, so an event that "should" have formed
+    * its own earlier session (possible only when it arrives more than `gap`
+    * before the open session's span) is absorbed rather than emitted
+    * retroactively. Configure `watermark <= gap` and this case cannot
+    * occur: every admitted event is within `gap` of the open session's
+    * last event, which is exactly [[batch]]'s merge rule. */
   def stream(events: DataFrame, gapMinutes: Int,
              watermark: String = "2 hours"): Dataset[Session] = {
     import events.sparkSession.implicits._
-    val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60L * 1000000L
     events
       .select(col("user_id").cast("long"), col("ts"), col("value").cast("double"))
       .withWatermark("ts", watermark)
@@ -75,7 +96,7 @@ object Sessionize {
         (uid: Long, rows: Iterator[(Long, Timestamp, Double)],
          state: GroupState[OpenSession]) =>
           def close(s: OpenSession) =
-            Session(uid, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum)
+            Session(uid, tsOf(s.start), tsOf(s.last), s.n, s.sum)
           if (state.hasTimedOut) {
             // idle close: the watermark passed last-event + gap with no new
             // events — the session can never be extended again.
@@ -85,14 +106,15 @@ object Sessionize {
           } else {
             // batches deliver a group's rows unordered; sessionization is
             // order-sensitive, so sort the (tiny) per-user batch slice.
-            val sorted = rows.map { case (_, t, v) => (t.getTime, v) }
+            val sorted = rows.map { case (_, t, v) => (usOf(t), v) }
               .toArray.sortBy(_._1)
             var closed = List.empty[Session]
             var cur = state.getOption
             sorted.foreach { case (t, v) =>
               cur = cur match {
-                case Some(s) if t - s.last <= gapMs =>
-                  Some(OpenSession(s.start, math.max(s.last, t), s.n + 1, s.sum + v))
+                case Some(s) if t - s.last <= gapUs => // in-gap OR late event
+                  Some(OpenSession(math.min(s.start, t), math.max(s.last, t),
+                    s.n + 1, s.sum + v))
                 case Some(s) => // in-batch close: gap exceeded by this event
                   closed ::= close(s)
                   Some(OpenSession(t, t, 1L, v))
@@ -102,10 +124,13 @@ object Sessionize {
             }
             cur.foreach { s =>
               state.update(s)
-              // the timeout must be ahead of the current watermark; an
-              // already-expired deadline fires on the next trigger.
+              // ms-domain deadline (the state API is ms): round UP so the
+              // timeout never fires a fraction of a ms before last + gap,
+              // and keep it ahead of the current watermark — an expired
+              // deadline fires on the next trigger.
+              val deadlineMs = (s.last + gapUs + 999L) / 1000L
               state.setTimeoutTimestamp(
-                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
+                math.max(deadlineMs, state.getCurrentWatermarkMs() + 1))
             }
             closed.reverseIterator
           }

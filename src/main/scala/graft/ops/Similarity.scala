@@ -245,16 +245,23 @@ object Similarity {
     * in ascending-m order (left-associated), matching the oracle's
     * `sum(t ORDER BY m)` ordered aggregate bit-for-bit, so the candidate
     * cut is deterministic across engines. */
-  def pqTopK(emb: DataFrame, codebooks: DataFrame, queryId: Long, k: Int,
-             rerank: Int = 50, nSub: Int = 8, dim: Int = 64): DataFrame = {
-    val subDim = dim / nSub
-    val cbs: Map[Int, Array[Array[Double]]] = codebooks
+  /** Collect a (m, code, centroid) codebook frame to the driver as
+    * m → code-ordered centroid arrays — the ONE implementation shared by
+    * [[pqTopK]] and the indexed path ([[Indexes.ensurePqIndex]] /
+    * [[Indexes.pqTopKIndexed]]). */
+  private[graft] def collectCodebooks(codebooks: DataFrame): Map[Int, Array[Array[Double]]] =
+    codebooks
       .select(col("m").cast("int"), col("code").cast("int"), col("centroid"))
       .collect()
       .groupBy(_.getInt(0))
       .map { case (m, rs) =>
         m -> rs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
       }
+
+  def pqTopK(emb: DataFrame, codebooks: DataFrame, queryId: Long, k: Int,
+             rerank: Int = 50, nSub: Int = 8, dim: Int = 64): DataFrame = {
+    val subDim = dim / nSub
+    val cbs = collectCodebooks(codebooks)
     val q = emb.where(col("vec_id") === queryId)
       .select(col("embedding").as("qv"), norm(col("embedding")).as("qn"))
     // per-subspace estimate: element_at over the 16 query-side dot exprs,

@@ -84,8 +84,11 @@ object TextAnalysis {
     val dup = base
       .select(col("doc_id"), col("source"), TextOps.shingles(col("w"), 2).as("g"))
       .select(col("doc_id"), col("source"),
-        (lit(1.0) - size(array_distinct(col("g"))).cast("double") /
-          greatest(size(col("g")), lit(1)).cast("double")).as("dup_2gram_frac"))
+        // a <2-word doc has NO 2-grams and therefore no repetition — the
+        // bare 1 - 0/1 formula would score it 1.0 (maximally repetitive)
+        when(size(col("g")) === 0, lit(0.0))
+          .otherwise(lit(1.0) - size(array_distinct(col("g"))).cast("double") /
+            size(col("g")).cast("double")).as("dup_2gram_frac"))
     val topw = base.select(col("doc_id"), explode(col("w")).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))

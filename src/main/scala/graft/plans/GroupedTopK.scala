@@ -70,8 +70,14 @@ case class GroupedTopKExec(keys: Seq[Expression], order: Seq[SortOrder],
       // heap head = WORST kept row (reverse ordering), so replacement is O(log k)
       val heaps = mutable.HashMap.empty[UnsafeRow, java.util.PriorityQueue[InternalRow]]
       iter.foreach { row =>
-        val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
-          new java.util.PriorityQueue[InternalRow](limit, ord.reverse))
+        // probe with the REUSED projection row; copy the key only on first
+        // insert — getOrElseUpdate would evaluate .copy() for every row
+        val key = keyProj(row)
+        var heap = heaps.getOrElse(key, null)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[InternalRow](limit, ord.reverse)
+          heaps.put(key.copy(), heap)
+        }
         if (heap.size < limit) heap.add(row.copy())
         else if (ord.compare(row, heap.peek()) < 0) {
           heap.poll(); heap.add(row.copy())

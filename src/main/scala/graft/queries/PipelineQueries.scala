@@ -525,7 +525,8 @@ object PipelineQueries {
   val repetitionFilterSql: String =
     s"""WITH w AS (SELECT doc_id, source, $duckWords AS w FROM documents),
        |dup AS (SELECT doc_id, source,
-       |          1.0 - len(list_distinct(g))::DOUBLE / greatest(len(g), 1) AS dup_frac
+       |          CASE WHEN len(g) = 0 THEN 0.0
+       |               ELSE 1.0 - len(list_distinct(g))::DOUBLE / len(g) END AS dup_frac
        |        FROM (SELECT doc_id, source, $duck2grams AS g FROM w)),
        |cnt AS (SELECT doc_id, word, count(*) AS c
        |        FROM (SELECT doc_id, unnest(w) AS word FROM w) GROUP BY doc_id, word),

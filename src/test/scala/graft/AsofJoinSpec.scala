@@ -52,6 +52,17 @@ class AsofJoinSpec extends AnyFunSuite {
       "a NULL-key left row must survive with a NULL match")
   }
 
+  test("right rows with NULL timestamps never match") {
+    val r = right.unionByName(Seq((2L, null.asInstanceOf[Timestamp], 99.0))
+      .toDF("user_id", "ts", "value"))
+    // user 2's left row at 09:00 has no legitimate earlier right row; the
+    // null-ts row must not be picked up as a phantom "earliest" match
+    val got = AsofJoin.asofJoin(left, r, "user_id")
+      .where(col("user_id") === 2L)
+      .select(col("asof_value")).as[Option[Double]].collect().toSeq
+    assert(got === Seq(None))
+  }
+
   test("duplicate right rows at one (key, ts) resolve to the max payload") {
     val dupR = right.unionByName(
       Seq((1L, ts("2026-01-01T09:50:00Z"), 5.0)).toDF("user_id", "ts", "value"))

@@ -44,7 +44,8 @@ class CorpusOpsSpec extends AnyFunSuite {
   test("repetition metrics: exact fractions on constructed docs") {
     val docs = Seq(
       (1L, "a b a b a b", "s"),          // 2-grams: ab ba ab ba ab → dup 1-2/5
-      (2L, "u v w x y z", "s")           // all distinct → dup 0, top 1/6
+      (2L, "u v w x y z", "s"),          // all distinct → dup 0, top 1/6
+      (3L, "solo", "s")                  // <2 words: NO 2-grams → dup 0, not 1
     ).toDF("doc_id", "text", "source")
     val m = TextAnalysis.repetitionMetrics(docs)
       .select("doc_id", "dup_2gram_frac", "top_word_frac")
@@ -53,6 +54,8 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(math.abs(m(1L)._2 - 0.5) < 1e-12) // 'a' 3 of 6
     assert(m(2L)._1 === 0.0)
     assert(math.abs(m(2L)._2 - 1.0 / 6.0) < 1e-12)
+    assert(m(3L)._1 === 0.0, "a doc with no 2-grams has no repetition")
+    assert(m(3L)._2 === 1.0)
   }
 
   test("ngram doc frequency ranks by distinct-doc count with total order") {

@@ -42,6 +42,28 @@ class SessionizeSpec extends AnyFunSuite {
     assert(Sessionize.batch(events, gapMinutes = 30).count() === 1)
   }
 
+  test("streaming: late above-watermark event merges, extending start backward") {
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val q = Sessionize.stream(in.toDF().toDF("user_id", "ts", "value"),
+        gapMinutes = 30, watermark = "2 hours")
+      .writeStream.outputMode("append").format("memory").queryName("sess_late").start()
+    in.addData((1L, ts("2026-01-01T10:00:00Z"), 1.0),
+               (1L, ts("2026-01-01T10:10:00Z"), 2.0))
+    q.processAllAvailable()
+    // late but within the 2 h watermark: must merge and extend the start
+    in.addData((1L, ts("2026-01-01T09:50:00Z"), 4.0))
+    q.processAllAvailable()
+    // far-future event closes the session in-batch
+    in.addData((1L, ts("2026-01-01T15:00:00Z"), 0.0))
+    q.processAllAvailable()
+    val got = spark.table("sess_late")
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+    assert(got.contains(
+      (1L, ts("2026-01-01T09:50:00Z"), ts("2026-01-01T10:10:00Z"), 3L, 7.0)),
+      s"late event must extend the open session backward, got $got")
+    q.stop()
+  }
+
   test("streaming: in-batch close, idle timeout close, exactly-once append") {
     val in = MemoryStream[(Long, Timestamp, Double)]
     val q = Sessionize.stream(in.toDF().toDF("user_id", "ts", "value"),
