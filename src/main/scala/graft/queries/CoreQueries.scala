@@ -501,4 +501,96 @@ object CoreQueries {
       |  FROM customer JOIN nation ON c_nationkey = n_nationkey
       |  GROUP BY n_regionkey, n_name)
       |WHERE rn <= 3 ORDER BY n_regionkey, n_cust DESC, n_name""".stripMargin
+
+  /** Hierarchical subtotals — `ROLLUP(l_returnflag, l_linestatus)`: detail
+    * rows, per-flag subtotals, and a grand total in ONE pass. `grouping()`
+    * flags disambiguate a subtotal's synthetic NULL key from a real NULL.
+    *
+    * Scale: Catalyst plans rollup as Expand (×3 here) feeding ONE hash
+    * aggregate — one shuffle carrying ~|distinct grouping sets| rows per
+    * mapper after partial aggregation, not one job per level. The sort
+    * leads with the grouping flags so levels never interleave and the
+    * NULL-ordering difference between engines can never matter (keys
+    * within a level are uniformly all-NULL or all-present). */
+  def rollupSummary(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).as("g_rf"),
+           grouping(col("l_linestatus")).as("g_ls"),
+           round(sum(col("l_quantity")), 2).as("sum_qty"),
+           count(lit(1)).as("n"))
+      .select(col("g_rf"), col("g_ls"), col("l_returnflag"),
+        col("l_linestatus"), col("sum_qty"), col("n"))
+      .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))
+
+  val rollupSummarySql: String =
+    """SELECT grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+      |       l_returnflag, l_linestatus,
+      |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin
+
+  /** Full cross-dimensional subtotals — `CUBE(o_orderstatus,
+    * o_orderpriority)`: all four grouping sets in one Expand(×4) + single
+    * hash aggregate (same one-shuffle shape as [[rollupSummary]], one more
+    * expansion row per input row). */
+  def cubeSummary(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping(col("o_orderstatus")).as("g_st"),
+           grouping(col("o_orderpriority")).as("g_pr"),
+           round(sum(col("o_totalprice")), 2).as("sum_price"),
+           count(lit(1)).as("n"))
+      .select(col("g_st"), col("g_pr"), col("o_orderstatus"),
+        col("o_orderpriority"), col("sum_price"), col("n"))
+      .orderBy(col("g_st"), col("g_pr"), col("o_orderstatus"), col("o_orderpriority"))
+
+  val cubeSummarySql: String =
+    """SELECT grouping(o_orderstatus) AS g_st, grouping(o_orderpriority) AS g_pr,
+      |       o_orderstatus, o_orderpriority,
+      |       round(sum(o_totalprice), 2) AS sum_price, count(*) AS n
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY g_st, g_pr, o_orderstatus, o_orderpriority""".stripMargin
+
+  /** Pivot — order priorities × status columns via [[graft.ops.Reshape]]'s
+    * single-shuffle conditional-aggregation lowering (see Reshape's scaladoc
+    * for why Spark's native `pivot` — which plans a second pivotfirst
+    * exchange — is not used). The output cell is `round(sum(price) FILTER
+    * (status = v), 2)`, exactly the oracle's form; the plan is asserted to
+    * one exchange in PlanAuditSpec. */
+  def pivotStatus(s: SparkSession, d: String): DataFrame =
+    graft.ops.Reshape.pivot(orders(s, d), "o_orderpriority", "o_orderstatus",
+        domain = Seq("F", "O", "P"),
+        aggs = Seq("price" -> (c => round(sum(c), 2))),
+        valueCol = "o_totalprice")
+      .orderBy(col("o_orderpriority"))
+
+  val pivotStatusSql: String =
+    """SELECT o_orderpriority,
+      |       round(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 2) AS f_price,
+      |       round(sum(o_totalprice) FILTER (o_orderstatus = 'O'), 2) AS o_price,
+      |       round(sum(o_totalprice) FILTER (o_orderstatus = 'P'), 2) AS p_price
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Melt (pandas-style wide→long) — the inverse reshape: lineitem's three
+    * charge columns unpivot to (key, variable, value) rows, then a grouped
+    * mean per variable. The unpivot is a narrow Expand — no shuffle of its
+    * own; the only exchange is the final tiny group-by. */
+  def meltCharges(s: SparkSession, d: String): DataFrame =
+    graft.ops.Reshape.melt(lineitem(s, d), ids = Seq("l_orderkey"),
+        values = Seq("l_extendedprice", "l_discount", "l_tax"))
+      .groupBy(col("variable"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value"))
+      .orderBy(col("variable"))
+
+  val meltChargesSql: String =
+    """SELECT variable, count(*) AS n, round(avg(value), 6) AS avg_value
+      |FROM (
+      |  SELECT l_orderkey, 'l_extendedprice' AS variable, l_extendedprice AS value FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, 'l_discount', l_discount FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, 'l_tax', l_tax FROM lineitem)
+      |WHERE value IS NOT NULL
+      |GROUP BY variable ORDER BY variable""".stripMargin
 }

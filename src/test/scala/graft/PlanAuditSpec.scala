@@ -76,6 +76,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size === 1, p)
   }
 
+  test("rollup/cube plan one Expand feeding one aggregate — not a job per level") {
+    val r = plan("q_rollup")
+    assert("Expand".r.findAllIn(r).size === 1, r)
+    assert("Exchange hashpartitioning".r.findAllIn(r).size === 1, r)
+    val c = plan("q_cube")
+    assert("Expand".r.findAllIn(c).size === 1, c)
+    assert("Exchange hashpartitioning".r.findAllIn(c).size === 1, c)
+  }
+
+  test("pivot lowers to one conditional aggregate — not pivotfirst's two exchanges") {
+    val p = plan("q_pivot")
+    // the pivot-values discovery pass would show as a second scan/aggregate
+    assert("FileScan parquet".r.findAllIn(p).size === 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("pivotfirst"), p)
+  }
+
+  test("melt is a narrow Expand — the group-by owns the only exchange") {
+    val p = plan("q_melt")
+    assert("Expand".r.findAllIn(p).size === 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
   test("no registered query plans a CartesianProduct") {
     // Theta joins in the documented quadratic baselines become
     // BroadcastNestedLoopJoin (bounded side); an unconditional
