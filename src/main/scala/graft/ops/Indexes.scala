@@ -38,12 +38,16 @@ object Indexes {
   val indexRoot: String = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
     s"${System.getProperty("java.io.tmpdir")}/graft_indexes") + s"/$IndexFormatVersion"
 
-  /** Cheap corpus fingerprint from the frame's input-file METADATA — path,
-    * length, modification time; no data scan, driver-side only. Folded into
-    * every index path so that regenerating the fixture data at the SAME
-    * directory (new seed, new rows, same name) changes the path and forces a
-    * rebuild — without it, presence keyed on `_SUCCESS` alone would silently
-    * probe a stale index built from the old corpus.
+  /** Cheap corpus fingerprint from the frame's input files — path, length,
+    * modification time, PLUS each file's last ≤4 KiB (for parquet that is
+    * the footer: row-group offsets and column min/max stats, so any content
+    * change rotates the digest even when lengths collide within the
+    * filesystem's mtime granularity). Driver-side only, one bounded pread
+    * per file — no data scan, no Spark job. Folded into every index path so
+    * that regenerating the fixture data at the SAME directory (new seed,
+    * new rows, same name) changes the path and forces a rebuild — without
+    * it, presence keyed on `_SUCCESS` alone would silently probe a stale
+    * index built from the old corpus.
     *
     * Derived frames with no scan (`inputFiles` empty) fingerprint to the
     * constant empty-digest prefix — callers passing such frames get
@@ -53,10 +57,56 @@ object Indexes {
     val md = java.security.MessageDigest.getInstance("MD5")
     df.inputFiles.sorted.foreach { f =>
       val p = new org.apache.hadoop.fs.Path(f)
-      val st = p.getFileSystem(conf).getFileStatus(p)
+      val fs = p.getFileSystem(conf)
+      val st = fs.getFileStatus(p)
       md.update(s"$f:${st.getLen}:${st.getModificationTime}\n".getBytes("UTF-8"))
+      val tail = math.min(st.getLen, 4096L)
+      if (tail > 0) {
+        val in = fs.open(p)
+        try {
+          in.seek(st.getLen - tail)
+          val buf = new Array[Byte](tail.toInt)
+          in.readFully(buf)
+          md.update(buf)
+        } finally in.close()
+      }
     }
     md.digest().map(b => f"$b%02x").mkString.take(12)
+  }
+
+  /** One point lookup of a query vector (min/max + dictionary pushdown on
+    * vec_id); a missing id fails with a named error instead of a bare
+    * NoSuchElementException from `head()`. */
+  private def queryVector(emb: DataFrame, queryId: Long): Array[Float] =
+    emb.where(col("vec_id") === queryId).select(col("embedding"))
+      .head(1).headOption
+      .getOrElse(throw new NoSuchElementException(
+        s"query vec_id=$queryId not found in the embeddings corpus"))
+      .getSeq[Float](0).toArray
+
+  /** Driver-side memo for tiny committed MODELS (IVF centroid tables, PQ
+    * codebooks) keyed by their content fingerprint: the model is static
+    * write-once state, so the steady-state query path skips the per-call
+    * collect job, while a retrained model (new fingerprint) re-collects.
+    * Derived frames with no input files (empty fingerprint basis) are never
+    * memoized — their constant fingerprint would alias distinct models. */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  private def memoModel[T <: AnyRef](df: DataFrame, family: String)(load: => T): T =
+    if (df.inputFiles.isEmpty) load
+    else modelCache.computeIfAbsent(s"$family:${corpusFingerprint(df)}",
+      _ => load).asInstanceOf[T]
+
+  /** Family prefix for an LSH index (everything but the fingerprint): the
+    * layout tag precedes the fingerprint so flat/partitioned variants are
+    * distinct GC families. */
+  private def lshFamily(bBits: Int, lTables: Int, seed: Long,
+                        partitionByBucket: Boolean): String = {
+    // both layouts get an explicit tag — neither family name may be a
+    // string prefix of the other, or GC would cross-reclaim them
+    val layout = if (partitionByBucket) "part_" else "flat_"
+    s"lsh_b${bBits}_L${lTables}_s${seed}_$layout"
   }
 
   /** Deterministic index location for a corpus dir + content fingerprint +
@@ -64,8 +114,30 @@ object Indexes {
   def lshIndexPath(sfDir: String, fp: String, bBits: Int, lTables: Int,
                    seed: Long, partitionByBucket: Boolean = true): String = {
     val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val layout = if (partitionByBucket) "" else "_flat"
-    s"$indexRoot/$tag/lsh_b${bBits}_L${lTables}_s${seed}_$fp$layout"
+    s"$indexRoot/$tag/${lshFamily(bBits, lTables, seed, partitionByBucket)}$fp"
+  }
+
+  /** Reclaim superseded generations of one index family: siblings of `path`
+    * whose name shares `familyPrefix` but carries a DIFFERENT fingerprint
+    * suffix. Runs once per successful build, so repeated corpus/model
+    * regeneration keeps exactly one generation per family instead of
+    * growing the index root without bound. (Same caveat as concurrent
+    * ensure builds: two sessions racing on different fingerprints can
+    * reclaim each other's fresh build; the loser rebuilds — wasted work,
+    * never a wrong result, since presence is re-checked per ensure call.) */
+  private def gcSiblings(spark: SparkSession, path: String,
+                         familyPrefix: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val parent = p.getParent
+    if (parent != null && fs.exists(parent)) {
+      fs.listStatus(parent).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith(familyPrefix) && name != p.getName)
+          fs.delete(st.getPath, true)
+      }
+    }
   }
 
   /** Build the banded-LSH index: per vector, `lTables` rows of
@@ -137,8 +209,7 @@ object Indexes {
                      seed: Long = 42L): DataFrame = {
     val spark = emb.sparkSession
     val ps = Similarity.planes(bBits * lTables, dim, seed)
-    val qv: Array[Float] = emb.where(col("vec_id") === queryId)
-      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val qv = queryVector(emb, queryId)
     val qKeys: Seq[(Int, Long)] = (0 until lTables).map { t =>
       t -> bucketKeyLocal(qv, ps.slice(t * bBits, (t + 1) * bBits))
     }
@@ -178,8 +249,10 @@ object Indexes {
                      seed: Long = 42L, partitionByBucket: Boolean = true): String = {
     val path = lshIndexPath(sfDir, corpusFingerprint(emb), bBits, lTables, seed,
       partitionByBucket)
-    if (!successExists(spark, path))
+    if (!successExists(spark, path)) {
       writeLshIndex(emb, path, bBits, lTables, dim, seed, partitionByBucket)
+      gcSiblings(spark, path, lshFamily(bBits, lTables, seed, partitionByBucket))
+    }
     path
   }
 
@@ -235,12 +308,13 @@ object Indexes {
       }
       emb.select(col("vec_id") +: codeCols: _*)
         .write.mode("overwrite").parquet(path)
+      gcSiblings(spark, path, s"pq_m${nSub}_")
     }
     path
   }
 
   private def collectCodebooks(codebooks: DataFrame): Map[Int, Array[Array[Double]]] =
-    Similarity.collectCodebooks(codebooks)
+    memoModel(codebooks, "pq")(Similarity.collectCodebooks(codebooks))
 
   /** PQ ADC top-k served from the stored code table — output-identical to
     * [[Similarity.pqTopK]]: the query's 128-entry dot table is computed on
@@ -255,8 +329,7 @@ object Indexes {
     val spark = emb.sparkSession
     val subDim = dim / nSub
     val cbs = collectCodebooks(codebooks)
-    val qv: Array[Float] = emb.where(col("vec_id") === queryId)
-      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val qv = queryVector(emb, queryId)
     def dotLocal(off: Int, c: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < subDim) { s += qv(off + i).toDouble * c(i); i += 1 }
@@ -309,6 +382,8 @@ object Indexes {
         .repartition(col("band"), col("key"))
         .write.mode("overwrite").parquet(bands)
       s.unpersist()
+      gcSiblings(spark, base,
+        s"minhash_k${numHashes}_r${bandRows}_n${shingleN}_")
     }
     (sets, bands)
   }
@@ -345,8 +420,10 @@ object Indexes {
                          sfDir: String): String = {
     val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
     val path = s"$indexRoot/$tag/simhash_${corpusFingerprint(docs)}"
-    if (!successExists(spark, path))
+    if (!successExists(spark, path)) {
       Dedup.simhash(docs).write.mode("overwrite").parquet(path)
+      gcSiblings(spark, path, "simhash_")
+    }
     path
   }
 
@@ -398,16 +475,16 @@ object Indexes {
   def ivfTopKIndexed(emb: DataFrame, centroids: DataFrame, indexPath: String,
                      queryId: Long, k: Int, nProbe: Int): DataFrame = {
     val spark = emb.sparkSession
-    val qv: Array[Float] = emb.where(col("vec_id") === queryId)
-      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val qv = queryVector(emb, queryId)
     val qn: Double = {
       var s = 0.0; var i = 0
       while (i < qv.length) { s += qv(i).toDouble * qv(i).toDouble; i += 1 }
       math.sqrt(s)
     }
-    val cents: Seq[(Int, Array[Double])] =
+    val cents: Seq[(Int, Array[Double])] = memoModel(centroids, "ivf") {
       centroids.select(col("cell").cast("int"), col("centroid"))
         .collect().toSeq.map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    }
     val probes: Seq[Int] = cents.map { case (cell, cv) =>
       val n = math.min(qv.length, cv.length)
       var dot = 0.0; var cn = 0.0
@@ -448,7 +525,10 @@ object Indexes {
                      sfDir: String, nCells: Int): String = {
     val path = ivfIndexPath(sfDir,
       s"${corpusFingerprint(emb)}_cb${corpusFingerprint(centroids)}", nCells)
-    if (!successExists(spark, path)) writeIvfIndex(emb, centroids, path)
+    if (!successExists(spark, path)) {
+      writeIvfIndex(emb, centroids, path)
+      gcSiblings(spark, path, s"ivf_k${nCells}_")
+    }
     path
   }
 

@@ -113,18 +113,20 @@ object Multimodal {
             try {
               val iis = javax.imageio.ImageIO.createImageInputStream(
                 new java.io.ByteArrayInputStream(bytes))
-              val readers = javax.imageio.ImageIO.getImageReaders(iis)
-              if (!readers.hasNext) null
-              else {
-                val reader = readers.next()
-                try {
-                  reader.setInput(iis, true, true)
-                  // header-declared dimensions — no raster allocated yet
-                  val (dw, dh) = (reader.getWidth(0).toLong, reader.getHeight(0).toLong)
-                  if (dw <= 0 || dh <= 0 || dw * dh > maxPixels) null
-                  else reader.read(0)
-                } finally reader.dispose()
-              }
+              try {
+                val readers = javax.imageio.ImageIO.getImageReaders(iis)
+                if (!readers.hasNext) null
+                else {
+                  val reader = readers.next()
+                  try {
+                    reader.setInput(iis, true, true)
+                    // header-declared dimensions — no raster allocated yet
+                    val (dw, dh) = (reader.getWidth(0).toLong, reader.getHeight(0).toLong)
+                    if (dw <= 0 || dh <= 0 || dw * dh > maxPixels) null
+                    else reader.read(0)
+                  } finally reader.dispose()
+                }
+              } finally if (iis != null) iis.close() // release stream buffers on the hot path
             } catch { case scala.util.control.NonFatal(_) => null }
           if (img == null) ImageFeatures(name, -1, -1, 0L, 0L, 0L, 0L)
           else {

@@ -433,7 +433,11 @@ object CoreQueries {
         date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
         col("view_value"),
         (unix_micros(col("ts")) - unix_micros(col("view_ts"))).as("lag_us"))
-      .orderBy(col("user_id"), col("purchase_ts"))
+      // purchase_ts formats to SECOND granularity while event times carry
+      // micros — lag_us (exact micros, nulls-first on both engines) plus
+      // purchase_value break same-second ties so the order stays total.
+      .orderBy(col("user_id"), col("purchase_ts"),
+        col("lag_us").asc_nulls_first, col("purchase_value"))
   }
 
   val asofJoinSql: String =
@@ -446,7 +450,7 @@ object CoreQueries {
       |       v.value AS view_value,
       |       epoch_us(p.ts::TIMESTAMP) - epoch_us(v.ts::TIMESTAMP) AS lag_us
       |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
-      |ORDER BY p.user_id, purchase_ts""".stripMargin
+      |ORDER BY p.user_id, purchase_ts, lag_us ASC NULLS FIRST, purchase_value""".stripMargin
 
   /** §2.9 extension — keyless range join: every (purchase, error) event
     * pair within 60 seconds of each other, across ALL users. The Spark side

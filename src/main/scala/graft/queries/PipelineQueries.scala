@@ -134,11 +134,18 @@ object PipelineQueries {
        |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
        |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin
 
-  def simhashStats(s: SparkSession, d: String): DataFrame =
-    Dedup.simhash(documents(s, d))
+  /** Corpus-level simhash distribution stats, served from the MATERIALIZED
+    * signature table ([[graft.ops.Indexes.ensureSimhashIndex]]) — the same
+    * table [[simhashNearDups]] probes, so the steady-state cost is an
+    * aggregate over (doc_id, simhash), never the explode+60-vote pass
+    * (DedupIndexSpec asserts indexed/inline parity). */
+  def simhashStats(s: SparkSession, d: String): DataFrame = {
+    val idx = graft.ops.Indexes.ensureSimhashIndex(s, documents(s, d), d)
+    s.read.parquet(idx)
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("simhash")).as("n_distinct"),
         round(avg(bit_count(col("simhash"))), 4).as("avg_bits"))
+  }
 
   /** DuckDB replay of [[Dedup.simhash]] (shared by the stats and near-dup
     * oracles): per-word 60-bit md5 hash, per-bit signed majority vote.

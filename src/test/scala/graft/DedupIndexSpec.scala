@@ -40,4 +40,14 @@ class DedupIndexSpec extends AnyFunSuite {
       .as[(Long, Long, Int)].collect().toSet
     assert(indexed === inline)
   }
+
+  test("indexed simhash signature table == inline Dedup.simhash") {
+    val idx = Indexes.ensureSimhashIndex(spark, docs, sf)
+    val indexed = spark.read.parquet(idx)
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toSet
+    val inline = Dedup.simhash(docs)
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toSet
+    assert(indexed === inline)
+    assert(inline.nonEmpty)
+  }
 }

@@ -114,4 +114,26 @@ class IndexesSpec extends AnyFunSuite {
     assert(fp1 !== fp2, "fingerprint must change when the files change")
     assert(path1 !== path2, "stale index path must not be reused")
   }
+
+  test("superseded index generations are garbage-collected on build") {
+    val dir = Files.createTempDirectory("gc_spec").toString
+    emb.limit(20).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def reread = spark.read.parquet(s"$dir/embeddings.parquet")
+    val path1 = Indexes.ensureLshIndex(spark, reread, dir)
+    // regenerate twice: each rebuild must reclaim the superseded generation
+    emb.limit(25).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val path2 = Indexes.ensureLshIndex(spark, reread, dir)
+    emb.limit(30).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val path3 = Indexes.ensureLshIndex(spark, reread, dir)
+    assert(Set(path1, path2, path3).size === 3)
+    assert(!new java.io.File(path1).exists(), "generation 1 must be reclaimed")
+    assert(!new java.io.File(path2).exists(), "generation 2 must be reclaimed")
+    assert(new java.io.File(path3, "_SUCCESS").exists())
+    // a DIFFERENT family (flat layout) in the same parent is untouched
+    val flat = Indexes.ensureLshIndex(spark, reread, dir, partitionByBucket = false)
+    val again = Indexes.ensureLshIndex(spark, reread, dir)
+    assert(again === path3)
+    assert(new java.io.File(flat, "_SUCCESS").exists())
+    assert(new java.io.File(path3, "_SUCCESS").exists())
+  }
 }
