@@ -97,26 +97,35 @@ object Curation {
         round(sum(col("kept")).cast("double") / count(lit(1)), 6).as("realized_rate"))
   }
 
-  /** Context-window sequence packing: concatenate each source's documents
+  /** Context-window sequence packing: concatenate each shard's documents
     * in doc_id order and assign every document to the `capacity`-token bin
     * its FIRST token falls in (the GPT-style concat-then-chunk shard
     * layout; a document whose tokens straddle a boundary is owned by its
     * starting bin).
     *
     * bin = (running token count BEFORE this doc) div capacity, from ONE
-    * window cumsum partitioned by source — packing parallelizes across
-    * sources/shards (the window never sees more than one source's rows),
-    * which is how a 100 TB corpus packs: per-shard streams, not a global
-    * sort. Output: one row per (source, bin) with its doc/token load. */
-  def packBins(docs: DataFrame, capacity: Int): DataFrame = {
+    * window cumsum partitioned by (source, shard) where
+    * shard = doc_id div `shardDocs` — the window's sort unit is a BOUNDED
+    * shard, so one giant source (the realistic 100 TB case: "crawl" is 90%
+    * of the corpus) splits into doc-count-bounded streams instead of
+    * serializing into a single sort partition. Each shard packs
+    * independently (bin ids restart per shard), which is exactly how
+    * training shards are laid out — packing never needs cross-shard order.
+    * The default `shardDocs = Long.MaxValue` keeps the per-source layout
+    * (shard_id 0 everywhere) for corpora whose sources ARE the shards.
+    * Output: one row per (source, shard, bin) with its doc/token load. */
+  def packBins(docs: DataFrame, capacity: Int,
+               shardDocs: Long = Long.MaxValue): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .partitionBy(col("source"), col("shard_id")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val toks = size(TextOps.words(coalesce(col("text"), lit("")))).cast("long")
-    docs.select(col("source"), col("doc_id"), toks.as("tokens"))
+    docs.select(col("source"),
+        floor(col("doc_id") / shardDocs).cast("long").as("shard_id"),
+        col("doc_id"), toks.as("tokens"))
       .withColumn("bin_id",
         floor(coalesce(sum(col("tokens")).over(w), lit(0L)) / capacity).cast("long"))
-      .groupBy(col("source"), col("bin_id"))
+      .groupBy(col("source"), col("shard_id"), col("bin_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("bin_tokens"))
   }
 }

@@ -256,6 +256,91 @@ object Indexes {
     path
   }
 
+  /** BATCHED multi-query ANN over the same stored LSH index as
+    * [[lshTopKIndexed]] — the production vector-store access pattern: the
+    * probe side is a FRAME of (query_id, embedding) rows, not one driver
+    * round-trip per query.
+    *
+    *  - band keys are computed EXECUTOR-side per query row with the
+    *    identical [[Similarity.bucketFromPlanes]] expressions the index was
+    *    built with (no driver `head()`, no per-query job);
+    *  - the (query_id, t, key) probe frame is broadcast against the index,
+    *    so the index is scanned ONCE for the whole batch and — with the
+    *    bucket-partitioned layout — the broadcast join keys on the
+    *    partition columns, making the scan eligible for dynamic partition
+    *    pruning to the union of probed buckets;
+    *  - the exact re-rank touches candidates only, and the per-query top-k
+    *    cut runs through the custom bounded-heap operator
+    *    ([[graft.plans.GroupedTopK]]) — O(n log k), k·|queries| shuffle —
+    *    instead of a full window sort.
+    *
+    * Per query the output is row-identical to [[lshTopKIndexed]]
+    * (IndexesSpec asserts it). Queries whose id appears in the corpus are
+    * excluded from their own results, matching the single-query contract. */
+  def lshTopKBatch(emb: DataFrame, indexPath: String, queries: DataFrame,
+                   k: Int, bBits: Int = 4, lTables: Int = 16, dim: Int = 64,
+                   seed: Long = 42L): DataFrame = {
+    val spark = emb.sparkSession
+    val ps = Similarity.planes(bBits * lTables, dim, seed)
+    val tables = (0 until lTables).map { t =>
+      struct(lit(t).as("t"),
+        Similarity.bucketFromPlanes(col("embedding"),
+          ps.slice(t * bBits, (t + 1) * bBits)).as("key"))
+    }
+    val qKeys = queries.select(col("query_id"), explode(array(tables: _*)).as("b"))
+      .select(col("query_id"), col("b.t").as("t"), col("b.key").as("key"))
+    val cand = spark.read.parquet(indexPath)
+      .join(broadcast(qKeys), Seq("t", "key"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id")).distinct()
+    val q = queries.select(col("query_id"), col("embedding").as("qv"),
+      Similarity.norm(col("embedding")).as("qn"))
+    val rescored = emb.join(cand, Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(graft.functions.DotProduct.dot(col("embedding"), col("qv")) /
+          (Similarity.norm(col("embedding")) * col("qn")), 4).as("cos"))
+    graft.plans.GroupedTopK.topK(rescored, Seq("query_id"),
+      Seq("cos" -> true, "vec_id" -> false), k)
+  }
+
+  /** Batched IVF ANN over the stored inverted lists — the [[ivfTopKBatch]]
+    * twin of [[lshTopKBatch]]: per-query cell ranking happens as a tiny
+    * |queries|·|cells| broadcast join reduced by the bounded-heap top-k
+    * operator (no driver centroid math per query), the probed (query_id,
+    * cell) pairs broadcast against the cell-partitioned index, and the
+    * exact re-rank + per-query cut mirror the LSH batch path. Per query
+    * the output is row-identical to [[ivfTopKIndexed]] (IndexesSpec). */
+  def ivfTopKBatch(emb: DataFrame, centroids: DataFrame, indexPath: String,
+                   queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val q = queries.select(col("query_id"), col("embedding").as("qv"),
+      Similarity.norm(col("embedding")).as("qn"))
+    val cent = centroids.select(col("cell").cast("int").as("cell"),
+      col("centroid").as("cv"), Similarity.norm(col("centroid")).as("cn"))
+    val cellScores = q.join(broadcast(cent))
+      .select(col("query_id"), col("cell"),
+        (graft.functions.DotProduct.dot(col("qv"), col("cv")) /
+          (col("qn") * col("cn"))).as("ccos"))
+    // NaN parity with the inline/indexed paths: desc ordering sorts NaN
+    // first on both the heap comparator and Spark's orderBy.
+    val probes = graft.plans.GroupedTopK.topK(cellScores, Seq("query_id"),
+        Seq("ccos" -> true, "cell" -> false), nProbe)
+      .select(col("query_id"), col("cell"))
+    val cand = spark.read.parquet(indexPath)
+      .withColumn("cell", col("cell").cast("int"))
+      .join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val rescored = emb.join(cand, Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(graft.functions.DotProduct.dot(col("embedding"), col("qv")) /
+          (Similarity.norm(col("embedding")) * col("qn")), 4).as("cos"))
+    graft.plans.GroupedTopK.topK(rescored, Seq("query_id"),
+      Seq("cos" -> true, "vec_id" -> false), k)
+  }
+
   /** All-pairs embedding near-dups served from a prebuilt banded-LSH index
     * — output-identical to [[Similarity.bandedNearDupPairs]] with the same
     * (bBits, lTables, seed): the candidate SELF-join reads the stored

@@ -506,6 +506,26 @@ object CoreQueries {
       |  GROUP BY n_regionkey, n_name)
       |WHERE rn <= 3 ORDER BY n_regionkey, n_cust DESC, n_name""".stripMargin
 
+  /** Skewed-key aggregation through the SALTED two-phase shape
+    * ([[graft.ops.Skew.saltedCounts]]): phase 1 shuffles on
+    * (user_id, salt) so a hot user's rows split across 16 reducers, phase
+    * 2 merges the tiny per-key partials. The salt is
+    * [[graft.ops.Skew.saltFromCols]] over event_id — a pure function of
+    * row content, so a recomputed row lands on the same reducer
+    * (retry-safe on a real cluster). Salting is output-invariant, so the
+    * oracle is the PLAIN group-by — the check proves the rewrite changes
+    * the plan, not the answer. PlanAuditSpec asserts the two-phase shape
+    * (salted exchange + salt-free final aggregate). */
+  def skewSaltedAgg(s: SparkSession, d: String): DataFrame =
+    graft.ops.Skew.saltedCounts(events(s, d), "user_id", salt = 16,
+        saltSource = Some(graft.ops.Skew.saltFromCols(16, col("event_id"))))
+      .orderBy(col("cnt").desc, col("user_id"))
+      .limit(20)
+
+  val skewSaltedAggSql: String =
+    """SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+      |ORDER BY cnt DESC, user_id LIMIT 20""".stripMargin
+
   /** Hierarchical subtotals — `ROLLUP(l_returnflag, l_linestatus)`: detail
     * rows, per-flag subtotals, and a grand total in ONE pass. `grouping()`
     * flags disambiguate a subtotal's synthetic NULL key from a real NULL.

@@ -234,6 +234,40 @@ object PipelineQueries {
        |FROM e JOIN cand ON e.vec_id = cand.vec_id, q
        |ORDER BY cos DESC, e.vec_id ASC LIMIT 10""".stripMargin
 
+  /** BATCHED multi-query ANN — five query vectors answered in ONE pass over
+    * the stored LSH index ([[graft.ops.Indexes.lshTopKBatch]]): band keys
+    * per query row computed executor-side, probe frame broadcast against
+    * the index, per-query top-k via the custom bounded-heap operator. Each
+    * query's rows are identical to the single-query [[annLsh]] contract
+    * (IndexesSpec asserts batch == per-query indexed). */
+  def annLshBatch(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val idx = graft.ops.Indexes.ensureLshIndex(s, emb, d)
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    graft.ops.Indexes.lshTopKBatch(emb, idx, queries, k = 10)
+      .orderBy(col("query_id"), col("cos").desc, col("vec_id"))
+  }
+
+  val annLshBatchSql: String =
+    s"""WITH $duckNormed,
+       |pl AS (SELECT j // 4 AS t, j % 4 AS bit, p FROM ${Similarity.planesSqlValues(64, 64, 42L)}),
+       |bk AS (SELECT e.vec_id, pl.t,
+       |         sum(CASE WHEN list_dot_product(e.v, pl.p) > 0 THEN (1::BIGINT << pl.bit) ELSE 0 END)::BIGINT AS key
+       |       FROM e CROSS JOIN pl GROUP BY e.vec_id, pl.t),
+       |qk AS (SELECT vec_id AS query_id, t, key FROM bk WHERE vec_id < 5),
+       |cand AS (SELECT DISTINCT qk.query_id, bk.vec_id
+       |         FROM bk JOIN qk ON bk.t = qk.t AND bk.key = qk.key
+       |         WHERE bk.vec_id != qk.query_id),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id < 5),
+       |sc AS (SELECT cand.query_id, e.vec_id,
+       |              round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 4) AS cos
+       |       FROM cand JOIN e ON cand.vec_id = e.vec_id
+       |                 JOIN q ON cand.query_id = q.query_id)
+       |SELECT query_id, vec_id, cos FROM sc
+       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) <= 10
+       |ORDER BY query_id, cos DESC, vec_id""".stripMargin
+
   /** Committed IVF quantizer model (trained offline by
     * graft.tools.TrainIvfCentroids — seeded Lloyd's k-means at sf0.01).
     * Env override mirrors the image fixture's convention. */
@@ -275,6 +309,44 @@ object PipelineQueries {
        |SELECT e.vec_id, round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 4) AS cos
        |FROM e JOIN cand ON e.vec_id = cand.vec_id, q
        |ORDER BY cos DESC, e.vec_id ASC LIMIT 10""".stripMargin
+
+  /** Batched IVF ANN — the [[annLshBatch]] twin over the stored inverted
+    * lists: per-query cell ranking as a broadcast join + bounded-heap cut,
+    * probed (query_id, cell) pairs broadcast against the cell-partitioned
+    * index, exact re-rank of probed members only. */
+  def annIvfBatch(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val cent = s.read.parquet(ivfCentroidsPath)
+    val idx = graft.ops.Indexes.ensureIvfIndex(s, emb, cent, d, nCells = 16)
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    graft.ops.Indexes.ivfTopKBatch(emb, cent, idx, queries, k = 10, nProbe = 4)
+      .orderBy(col("query_id"), col("cos").desc, col("vec_id"))
+  }
+
+  val annIvfBatchSql: String =
+    s"""WITH $duckNormed,
+       |cent AS (SELECT cell, centroid AS cv,
+       |                sqrt(list_dot_product(centroid, centroid)) AS cn
+       |         FROM read_parquet('$ivfCentroidsPath/*.parquet')),
+       |asg AS (SELECT e.vec_id, cent.cell,
+       |               list_dot_product(e.v, cent.cv) / (e.nrm * cent.cn) AS ccos
+       |        FROM e CROSS JOIN cent),
+       |cells AS (SELECT vec_id, cell FROM asg
+       |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) = 1),
+       |probes AS (SELECT vec_id AS query_id, cell FROM asg WHERE vec_id < 5
+       |           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) <= 4),
+       |cand AS (SELECT probes.query_id, cells.vec_id
+       |         FROM cells JOIN probes ON cells.cell = probes.cell
+       |         WHERE cells.vec_id != probes.query_id),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id < 5),
+       |sc AS (SELECT cand.query_id, e.vec_id,
+       |              round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 4) AS cos
+       |       FROM cand JOIN e ON cand.vec_id = e.vec_id
+       |                 JOIN q ON cand.query_id = q.query_id)
+       |SELECT query_id, vec_id, cos FROM sc
+       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) <= 10
+       |ORDER BY query_id, cos DESC, vec_id""".stripMargin
 
   /** Committed PQ subquantizer model (trained offline by
     * graft.tools.TrainPqCodebooks — 8 subspaces × 16 codes, seeded Lloyd's
@@ -466,9 +538,12 @@ object PipelineQueries {
 
   /** Context-window sequence packing (512-token bins): concat-then-chunk
     * shard layout, one window cumsum partitioned by source — packing
-    * parallelizes across sources, never a global sort. */
+    * parallelizes across sources, never a global sort. (shard = ∞ default:
+    * shard_id is the constant 0 and drops out of the output, preserving
+    * the per-source contract; [[packShards]] is the bounded-shard form.) */
   def packSequences(s: SparkSession, d: String): DataFrame =
     Curation.packBins(documents(s, d), capacity = 512)
+      .select(col("source"), col("bin_id"), col("n_docs"), col("bin_tokens"))
       .orderBy(col("source"), col("bin_id"))
 
   val packSequencesSql: String =
@@ -482,6 +557,29 @@ object PipelineQueries {
       |SELECT source, CAST(floor(cum / 512) AS BIGINT) AS bin_id,
       |       count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS bin_tokens
       |FROM c GROUP BY source, bin_id ORDER BY source, bin_id""".stripMargin
+
+  /** Bounded-shard sequence packing: the cumsum window partitions by
+    * (source, doc_id div 100), so the packing sort unit is a ≤100-doc shard
+    * no matter how skewed the source mix is — the shape that survives one
+    * source being 90% of a 100 TB corpus. Bin ids restart per shard
+    * (training-shard layout); PlanAuditSpec asserts the window key carries
+    * the shard column. */
+  def packShards(s: SparkSession, d: String): DataFrame =
+    Curation.packBins(documents(s, d), capacity = 512, shardDocs = 100L)
+      .orderBy(col("source"), col("shard_id"), col("bin_id"))
+
+  val packShardsSql: String =
+    """WITH t AS (SELECT source, doc_id, doc_id // 100 AS shard_id,
+      |             len(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'))::BIGINT AS tokens
+      |           FROM documents),
+      |c AS (SELECT source, shard_id, tokens,
+      |        coalesce(sum(tokens) OVER (PARTITION BY source, shard_id ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      |      FROM t)
+      |SELECT source, shard_id, CAST(floor(cum / 512) AS BIGINT) AS bin_id,
+      |       count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS bin_tokens
+      |FROM c GROUP BY source, shard_id, bin_id
+      |ORDER BY source, shard_id, bin_id""".stripMargin
 
   /** Benchmark decontamination audit: `src0` plays the held-out benchmark,
     * every other source is the training corpus; a training doc sharing any

@@ -62,19 +62,30 @@ class CurationSpec extends AnyFunSuite {
     // then 1,1 (cum 30,40), then 2 (cum 50)...
     val docs = (0L until 6L).map(i => (i, "s", ("w " * 10).trim)).toDF("doc_id", "source", "text")
     val bins = Curation.packBins(docs, capacity = 25)
-      .orderBy("bin_id").as[(String, Long, Long, Long)].collect()
-    assert(bins.toSeq === Seq(("s", 0L, 3L, 30L), ("s", 1L, 2L, 20L), ("s", 2L, 1L, 10L)))
+      .orderBy("bin_id").as[(String, Long, Long, Long, Long)].collect()
+    assert(bins.toSeq === Seq(("s", 0L, 0L, 3L, 30L), ("s", 0L, 1L, 2L, 20L), ("s", 0L, 2L, 1L, 10L)))
     // total docs/tokens conserved
-    assert(bins.map(_._3).sum === 6L)
-    assert(bins.map(_._4).sum === 60L)
+    assert(bins.map(_._4).sum === 6L)
+    assert(bins.map(_._5).sum === 60L)
   }
 
   test("packing: independent per source (window never crosses sources)") {
     val docs = Seq((0L, "a", "x y z"), (1L, "b", "x y z"), (2L, "a", "x y z"))
       .toDF("doc_id", "source", "text")
     val bins = Curation.packBins(docs, capacity = 4)
-      .orderBy("source", "bin_id").as[(String, Long, Long, Long)].collect().toSeq
+      .orderBy("source", "bin_id").as[(String, Long, Long, Long, Long)].collect().toSeq
     // each source restarts at bin 0: a has docs at cum 0 and 3 (both bin 0), b at cum 0
-    assert(bins === Seq(("a", 0L, 2L, 6L), ("b", 0L, 1L, 3L)))
+    assert(bins === Seq(("a", 0L, 0L, 2L, 6L), ("b", 0L, 0L, 1L, 3L)))
+  }
+
+  test("packing: bounded shards pack independently, bin ids restart per shard") {
+    // 4 docs of 10 tokens in one source; shardDocs = 2 -> shards {0,1},
+    // each packing its own 2 docs from cum 0 (cum 0 and 10 both land in
+    // bin 0 at capacity 15) — bin ids restart per shard
+    val docs = (0L until 4L).map(i => (i, "s", ("w " * 10).trim)).toDF("doc_id", "source", "text")
+    val bins = Curation.packBins(docs, capacity = 15, shardDocs = 2L)
+      .orderBy("shard_id", "bin_id").as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(bins === Seq(
+      ("s", 0L, 0L, 2L, 20L), ("s", 1L, 0L, 2L, 20L)))
   }
 }

@@ -115,6 +115,37 @@ class IndexesSpec extends AnyFunSuite {
     assert(path1 !== path2, "stale index path must not be reused")
   }
 
+  test("batched LSH ANN == per-query indexed probes, and uses GroupedTopK") {
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val batch = Indexes.lshTopKBatch(emb, idxPath, queries, k = 10)
+    val plan = batch.queryExecution.executedPlan.toString()
+    assert(plan.contains("GroupedTopK"), "batch cut must use the bounded-heap operator")
+    val got = batch.as[(Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(r => (r._2, r._3)).toSet }
+    (0L until 5L).foreach { qid =>
+      val single = Indexes.lshTopKIndexed(emb, idxPath, qid, 10)
+        .as[(Long, Double)].collect().toSet
+      assert(got(qid) === single, s"query $qid")
+    }
+  }
+
+  test("batched IVF ANN == per-query indexed probes") {
+    val cent = spark.read.parquet(graft.queries.PipelineQueries.ivfCentroidsPath)
+    val dir = Files.createTempDirectory("ivf_batch_spec").toString + "/idx"
+    Indexes.writeIvfIndex(emb, cent, dir)
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val got = Indexes.ivfTopKBatch(emb, cent, dir, queries, k = 10, nProbe = 4)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(r => (r._2, r._3)).toSet }
+    (0L until 5L).foreach { qid =>
+      val single = Indexes.ivfTopKIndexed(emb, cent, dir, qid, 10, nProbe = 4)
+        .as[(Long, Double)].collect().toSet
+      assert(got(qid) === single, s"query $qid")
+    }
+  }
+
   test("superseded index generations are garbage-collected on build") {
     val dir = Files.createTempDirectory("gc_spec").toString
     emb.limit(20).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")

@@ -99,6 +99,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
   }
 
+  test("salted agg: phase-1 exchange carries the salt, final agg drops it") {
+    val p = plan("q_skew_salted_agg")
+    // phase 1 shuffles on (user_id, salt): the hot key splits 16 ways
+    assert("""Exchange hashpartitioning\(user_id#\d+L, __graft_salt""".r
+      .findFirstIn(p).isDefined, p)
+    // phase 2 merges partials per bare key — a second, salt-free aggregate
+    assert("""HashAggregate\(keys=\[user_id#\d+L\]""".r
+      .findFirstIn(p).isDefined, p)
+  }
+
+  test("sharded packing: the cumsum window partitions by (source, shard)") {
+    val p = plan("q_pack_shards")
+    assert("""Window .*partitionbyexpr.*""".r.findFirstIn(p).isDefined ||
+      """hashpartitioning\(source#\d+, shard_id#\d+L""".r.findFirstIn(p).isDefined,
+      p)
+    // the window's sort key must include the shard column, so one giant
+    // source can never serialize into a single sort partition
+    assert("""Sort \[source#\d+ ASC NULLS FIRST, shard_id#\d+L ASC NULLS FIRST, doc_id#\d+L ASC NULLS FIRST\]""".r
+      .findFirstIn(p).isDefined, p)
+  }
+
   test("no registered query plans a CartesianProduct") {
     // Theta joins in the documented quadratic baselines become
     // BroadcastNestedLoopJoin (bounded side); an unconditional
