@@ -135,6 +135,45 @@ class EventStreamsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("crash recovery: restart from checkpoint is exactly-once to a file sink") {
+    import org.apache.spark.sql.types._
+    val landing = java.nio.file.Files.createTempDirectory("cr_landing").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cr_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("cr_out").toString + "/sink"
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("value", DoubleType)))
+    def land(rows: Seq[(Timestamp, Double)]): Unit =
+      rows.toDF("ts", "value").coalesce(1).write.mode("append").parquet(landing)
+    // append mode + parquet sink: the sink's commit log is what makes the
+    // restart exactly-once — a replayed micro-batch overwrites, never dups
+    def start() = EventStreams.hourlyWindowStream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(landing), watermark = "30 minutes")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+
+    // phase 1: the 10:00 window finalizes (watermark 11:30); the 12:00
+    // window holds one row of STATE when the query stops
+    land(Seq((ts("2026-01-01T10:05:00Z"), 1.0), (ts("2026-01-01T10:20:00Z"), 2.0),
+      (ts("2026-01-01T12:00:00Z"), 9.0)))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    val phase1 = spark.read.parquet(out)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(phase1 == Seq(("2026-01-01 10:00:00", 2L, 3.0)))
+
+    // files land while the query is DOWN; the restart must recover the
+    // 12:00 window's partial state (9.0) from the checkpoint — losing it
+    // would finalize the window as (1, 4.0); replaying from scratch would
+    // re-emit the 10:00 window
+    land(Seq((ts("2026-01-01T12:05:00Z"), 4.0), (ts("2026-01-01T14:00:00Z"), 1.5)))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(out)
+      .as[(String, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(
+      ("2026-01-01 10:00:00", 2L, 3.0),
+      ("2026-01-01 12:00:00", 2L, 13.0)))
+  }
+
   test("file stream over the events fixture equals the batch hourlyWindow") {
     val d = "/root/testdata/sf0.001"
     // Glob (not a bare file path): FileStreamSource requires basePath to be
