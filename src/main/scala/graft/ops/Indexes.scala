@@ -441,6 +441,51 @@ object Indexes {
       .limit(k)
   }
 
+  /** Batched PQ ADC top-k over the stored code table — completes the batch
+    * triad ([[lshTopKBatch]], [[ivfTopKBatch]]): each query row carries its
+    * 8×16 ADC dot tables as array columns, computed EXECUTOR-side with the
+    * same codegen'd left-to-right fold the driver-side single-query path
+    * uses (bit-identical — the [[bucketKeyLocal]] invariant), so scoring
+    * the whole batch is one broadcast of |queries|·128 doubles against ONE
+    * scan of the (vec_id, 8×int) code table. Candidate cut and exact
+    * re-rank are per-query bounded-heap passes. Per query the output is
+    * row-identical to [[pqTopKIndexed]] (IndexesSpec asserts it). */
+  def pqTopKBatch(emb: DataFrame, codebooks: DataFrame, indexPath: String,
+                  queries: DataFrame, k: Int, rerank: Int = 100, nSub: Int = 8,
+                  dim: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    val subDim = dim / nSub
+    val cbs = collectCodebooks(codebooks)
+    val qTabs = (0 until nSub).map { m =>
+      array(cbs(m).toIndexedSeq.map(c =>
+        graft.functions.DotProduct.dot(
+          slice(col("embedding"), m * subDim + 1, subDim),
+          typedlit(c.toSeq))): _*).as(s"qt$m")
+    }
+    val q = queries.select(col("query_id") +: col("embedding").as("qv") +:
+      Similarity.norm(col("embedding")).as("qn") +: qTabs: _*)
+    // ascending-m left-associated adds — the same deterministic chain as
+    // the single-query path and the oracle's explicit t0+...+t7
+    val est = (0 until nSub)
+      .map(m => element_at(col(s"qt$m"), col(s"c$m") + 1))
+      .reduceLeft(_ + _)
+    val scored = spark.read.parquet(indexPath)
+      .join(broadcast(q.select(col("query_id") +:
+        (0 until nSub).map(m => col(s"qt$m")): _*)))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), est.as("est"))
+    val cand = graft.plans.GroupedTopK.topK(scored, Seq("query_id"),
+        Seq("est" -> true, "vec_id" -> false), rerank)
+      .select(col("query_id"), col("vec_id"))
+    val rescored = emb.join(cand, Seq("vec_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(graft.functions.DotProduct.dot(col("embedding"), col("qv")) /
+          (Similarity.norm(col("embedding")) * col("qn")), 4).as("cos"))
+    graft.plans.GroupedTopK.topK(rescored, Seq("query_id"),
+      Seq("cos" -> true, "vec_id" -> false), k)
+  }
+
   // ---- text dedup indexes ---------------------------------------------------
 
   /** Materialized MinHash dedup state for a documents corpus: the hashed

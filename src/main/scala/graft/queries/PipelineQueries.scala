@@ -392,6 +392,51 @@ object PipelineQueries {
        |ORDER BY cos DESC, e.vec_id ASC LIMIT 10""".stripMargin
   }
 
+  /** Batched PQ ADC ANN — completes the batch triad: per-query dot tables
+    * ride the broadcast as array columns, the code table is scanned once
+    * for the whole batch, candidate cut + exact re-rank per query through
+    * the bounded-heap operator. */
+  def annPqBatch(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val cb = s.read.parquet(pqCodebooksPath)
+    val idx = graft.ops.Indexes.ensurePqIndex(s, emb, cb, d)
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    graft.ops.Indexes.pqTopKBatch(emb, cb, idx, queries, k = 10, rerank = 100)
+      .orderBy(col("query_id"), col("cos").desc, col("vec_id"))
+  }
+
+  val annPqBatchSql: String = {
+    val tCols = (0 until 8).map(m => s"max(CASE WHEN m = $m THEN t END) AS t$m").mkString(", ")
+    val tChain = (0 until 8).map(m => s"t$m").mkString(" + ")
+    s"""WITH $duckNormed,
+       |cb AS (SELECT m, code, centroid, list_dot_product(centroid, centroid) AS c2
+       |       FROM read_parquet('$pqCodebooksPath/*.parquet')),
+       |sc AS (SELECT e.vec_id, cb.m, cb.code,
+       |              2*list_dot_product(list_slice(e.v, cb.m*8+1, cb.m*8+8), cb.centroid) - cb.c2 AS s
+       |       FROM e CROSS JOIN cb),
+       |codes AS (SELECT vec_id, m, code FROM sc
+       |          QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY s DESC, code ASC) = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id < 5),
+       |tbl AS (SELECT q.query_id, cb.m, cb.code,
+       |               list_dot_product(list_slice(q.qv, cb.m*8+1, cb.m*8+8), cb.centroid) AS t
+       |        FROM cb, q),
+       |pivoted AS (SELECT tbl.query_id, codes.vec_id, $tCols
+       |            FROM codes JOIN tbl USING (m, code)
+       |            WHERE codes.vec_id != tbl.query_id
+       |            GROUP BY tbl.query_id, codes.vec_id),
+       |cand AS (SELECT query_id, vec_id
+       |         FROM (SELECT query_id, vec_id, $tChain AS est FROM pivoted)
+       |         QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY est DESC, vec_id ASC) <= 100),
+       |sc2 AS (SELECT cand.query_id, e.vec_id,
+       |               round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 4) AS cos
+       |        FROM cand JOIN e ON cand.vec_id = e.vec_id
+       |                  JOIN q ON cand.query_id = q.query_id)
+       |SELECT query_id, vec_id, cos FROM sc2
+       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) <= 10
+       |ORDER BY query_id, cos DESC, vec_id""".stripMargin
+  }
+
   /** Production near-dup pairs: banded LSH candidates + exact re-rank
     * (replaces the O(n²) all-pairs theta join; identical plane constants
     * replayed in the oracle). Served from the MATERIALIZED (b=6, L=8)

@@ -146,6 +146,24 @@ class IndexesSpec extends AnyFunSuite {
     }
   }
 
+  test("batched PQ ANN == per-query indexed probes") {
+    val cb = spark.read.parquet(graft.queries.PipelineQueries.pqCodebooksPath)
+    val dir = Files.createTempDirectory("pq_batch_spec").toString
+    emb.write.mode("overwrite").parquet(s"$dir/emb.parquet")
+    val stable = spark.read.parquet(s"$dir/emb.parquet")
+    val idx = Indexes.ensurePqIndex(spark, stable, cb, dir)
+    val queries = stable.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val got = Indexes.pqTopKBatch(stable, cb, idx, queries, k = 10, rerank = 100)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(r => (r._2, r._3)).toSet }
+    (0L until 5L).foreach { qid =>
+      val single = Indexes.pqTopKIndexed(stable, cb, idx, qid, 10, rerank = 100)
+        .as[(Long, Double)].collect().toSet
+      assert(got(qid) === single, s"query $qid")
+    }
+  }
+
   test("superseded index generations are garbage-collected on build") {
     val dir = Files.createTempDirectory("gc_spec").toString
     emb.limit(20).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
