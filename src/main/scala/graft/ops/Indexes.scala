@@ -543,6 +543,46 @@ object Indexes {
       .where(col("jaccard") >= threshold)
   }
 
+  /** INCREMENTAL near-dup check — the daily-ingest access pattern: a NEW
+    * batch of documents checked against the EXISTING corpus's materialized
+    * dedup state without touching corpus text. Only the new batch is
+    * shingled/signed (it is the small side, eagerly materialized once);
+    * its band keys BROADCAST against the stored `bands/` table, and the
+    * exact-Jaccard refine joins the broadcast candidates against the
+    * stored `sets/` table — so per-increment cost is O(|batch|)
+    * tokenization plus one scan of write-once index state, never a corpus
+    * re-scan or shuffle. This is what makes continuous ingestion
+    * affordable at 100 TB: the corpus-sized work was paid once at index
+    * build, every increment pays only for itself.
+    *
+    * NOTE [[corpusFingerprint]] keys on input FILES — `ensureMinhashIndex`
+    * must be given the raw table scan (a filtered frame of the same files
+    * would alias to the full-corpus index path). Returns (new_id,
+    * corpus_id, jaccard ≥ threshold). */
+  def minhashNearDupsIncremental(spark: SparkSession, newDocs: DataFrame,
+                                 setsPath: String, bandsPath: String,
+                                 threshold: Double, numHashes: Int = 16,
+                                 bandRows: Int = 2, shingleN: Int = 3): DataFrame = {
+    val newSets = Dedup.shingleSets(newDocs, shingleN).localCheckpoint(true)
+    val newBands = Dedup.lshBandKeys(
+        Dedup.minhashSignaturesFromSets(newSets, numHashes), numHashes, bandRows)
+      .select(col("doc_id").as("new_id"), col("band"), col("key"))
+    val cand = spark.read.parquet(bandsPath)
+      .select(col("doc_id").as("corpus_id"), col("band"), col("key"))
+      .join(broadcast(newBands), Seq("band", "key"))
+      .where(col("corpus_id") =!= col("new_id")) // idempotent re-ingest guard
+      .select(col("new_id"), col("corpus_id")).distinct()
+    val candNew = cand.join(
+      broadcast(newSets.select(col("doc_id").as("new_id"), col("sh").as("sh_new"))),
+      Seq("new_id"))
+    spark.read.parquet(setsPath)
+      .select(col("doc_id").as("corpus_id"), col("sh").as("sh_old"))
+      .join(broadcast(candNew), Seq("corpus_id"))
+      .select(col("new_id"), col("corpus_id"),
+        TextOps.jaccard(col("sh_new"), col("sh_old")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Materialized SimHash signature table (doc_id, simhash) — the one-pass
     * 60-bit majority vote is write-once corpus state; near-dup banding
     * reads 16 bytes per doc. */

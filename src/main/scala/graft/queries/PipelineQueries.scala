@@ -94,6 +94,42 @@ object PipelineQueries {
        |SELECT doc_a, doc_b, round(jacc, 6) AS jaccard FROM scored
        |WHERE jacc >= 0.3 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Incremental near-dup check: `src0` replayed as a fresh ingest batch
+    * (doc_id + 100000) against the corpus's materialized sets/bands state
+    * — only the batch is tokenized; the corpus side is served entirely
+    * from the index ([[graft.ops.Indexes.minhashNearDupsIncremental]]).
+    * Every re-ingested doc finds at least its own original (jaccard 1). */
+  def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val (sets, bands) = graft.ops.Indexes.ensureMinhashIndex(s, docs, d)
+    val newBatch = docs.where(col("source") === "src0")
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    graft.ops.Indexes.minhashNearDupsIncremental(s, newBatch, sets, bands,
+        threshold = 0.3)
+      .select(col("new_id"), col("corpus_id"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("new_id"), col("corpus_id"))
+  }
+
+  /** The oracle replays the increment EXACTLY: the re-ingested docs carry
+    * identical text, so their shingle sets and band keys equal the
+    * originals' — the corpus CTEs serve both sides, with new ids offset. */
+  val incrementalDedupSql: String =
+    s"""WITH $duckMinhashBands,
+       |sets AS (SELECT doc_id, ${duckHashedShingleSet("w")} AS sh FROM w),
+       |src0 AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+       |nb AS (SELECT b.doc_id + 100000 AS new_id, b.band, b.bkey
+       |       FROM bands b JOIN src0 USING (doc_id)),
+       |cand AS (SELECT DISTINCT nb.new_id, c.doc_id AS corpus_id
+       |         FROM bands c JOIN nb ON c.band = nb.band AND c.bkey = nb.bkey
+       |         WHERE c.doc_id != nb.new_id),
+       |sc AS (SELECT new_id, corpus_id,
+       |         len(list_intersect(x.sh, y.sh))::DOUBLE
+       |           / greatest(len(list_distinct(x.sh || y.sh)), 1) AS jacc
+       |       FROM cand JOIN sets x ON cand.new_id - 100000 = x.doc_id
+       |                 JOIN sets y ON cand.corpus_id = y.doc_id)
+       |SELECT new_id, corpus_id, round(jacc, 6) AS jaccard FROM sc
+       |WHERE jacc >= 0.3 ORDER BY new_id, corpus_id""".stripMargin
+
   /** Near-dup cluster assignment: connected components over the LSH+refine
     * pair set; the oracle computes the same components via a recursive
     * transitive-closure CTE over the identical pairs. */

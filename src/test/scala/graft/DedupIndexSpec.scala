@@ -41,6 +41,24 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(indexed === inline)
   }
 
+  test("incremental near-dups == inline near-dups over the union (crossing pairs)") {
+    import org.apache.spark.sql.functions._
+    val (sets, bands) = Indexes.ensureMinhashIndex(spark, docs, sf)
+    val newBatch = docs.where(col("source") === "src0")
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val inc = Indexes.minhashNearDupsIncremental(spark, newBatch, sets, bands, 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    // ground truth: inline near-dups over corpus ∪ batch, batch-vs-corpus
+    // pairs only (new ids sort above every corpus id)
+    val union = docs.select(col("doc_id"), col("text")).unionByName(newBatch)
+    val inline = graft.ops.Dedup.nearDupPairs(union, 0.3)
+      .where(col("doc_b") >= 100000L && col("doc_a") < 100000L)
+      .select(col("doc_b"), col("doc_a"), col("jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inc === inline)
+    assert(inc.nonEmpty, "every re-ingested doc must at least match its original")
+  }
+
   test("indexed simhash signature table == inline Dedup.simhash") {
     val idx = Indexes.ensureSimhashIndex(spark, docs, sf)
     val indexed = spark.read.parquet(idx)
