@@ -27,6 +27,12 @@ object Bench {
     // timed query isn't charged several seconds of JVM warm-up.
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().count()
+    // Per-query MIN of 3 steady-state iterations: one steady run per round
+    // produced two false regression alarms across rounds 3-5 (machine
+    // contention inflates untouched queries in lockstep); the min is the
+    // contention-free estimate of the plan's real cost, which is what a
+    // cross-round comparison needs.
+    val steadyIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val results = SparkEntry.queries.toSeq
       .filterNot { case (name, _) => excludedBaselines(name) }
       .map { case (name, fn) =>
@@ -34,18 +40,21 @@ object Bench {
         // as `cold` — compiles this query's generated code (Janino + JIT —
         // measured ~5.5 s of a 7.7 s cold run for the LSH dedup plan, pure
         // compile, amortized per-executor-process on a real cluster).
-        // Caches are then CLEARED so the timed run re-does all data work:
-        // queries persist intermediates (shingle sets, band keys) and
-        // Spark's cache manager matches plan subtrees, so without the clear
-        // the timed run would skip whole stages and bench 3-10× faster than
-        // its real plan.
+        // Caches are CLEARED before every timed run so each re-does all
+        // data work: queries persist intermediates (shingle sets, band
+        // keys) and Spark's cache manager matches plan subtrees, so without
+        // the clear a timed run would skip whole stages and bench 3-10×
+        // faster than its real plan.
         val c0 = System.nanoTime()
         fn(spark, sfDir).count()
         val cold = (System.nanoTime() - c0) / 1e9
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        (name, (System.nanoTime() - t0) / 1e9, cold)
+        val best = (1 to steadyIters).map { _ =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        (name, best, cold)
       }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -55,7 +64,7 @@ object Bench {
     // cold-run mode (the headline `value` stays steady-state).
     val coldTotal = results.map(_._3).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"excluded":$excl,"mode":"steady_state_2nd_run","cold_total":$coldTotal,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"excluded":$excl,"mode":"steady_state_min_of_$steadyIters","cold_total":$coldTotal,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_result.json"), line + "\n")
     // The metric line goes out LAST, after spark.stop(), so no executor/
     // shutdown logging can interleave with it and a last-JSON-line parse

@@ -65,6 +65,14 @@ object Curation {
 
   /** Per-source sampling rate in [0, 100] from a (source → pct) table with a
     * default — the mixture-weights column for [[sampleByDomain]]. */
+  /** Exact long floor-division (DuckDB `//` semantics for ALL longs):
+    * `floor(a / n)` in doubles loses exactness above 2^53 and Spark's `div`
+    * truncates toward zero (a negative `doc_id` would shard differently
+    * from the oracle) — subtracting the positive `pmod` first makes the
+    * dividend an exact multiple of `n`, so integral `div` IS the floor. */
+  private def floorDivLong(a: Column, n: Long): Column =
+    call_function("div", a - pmod(a, lit(n)), lit(n))
+
   private def rateFor(rates: Seq[(String, Int)], default: Int): Column = {
     require((default +: rates.map(_._2)).forall(r => r >= 0 && r <= 100),
       "sampling rates are percentages in [0, 100]")
@@ -121,10 +129,10 @@ object Curation {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val toks = size(TextOps.words(coalesce(col("text"), lit("")))).cast("long")
     docs.select(col("source"),
-        floor(col("doc_id") / shardDocs).cast("long").as("shard_id"),
+        floorDivLong(col("doc_id"), shardDocs).as("shard_id"),
         col("doc_id"), toks.as("tokens"))
       .withColumn("bin_id",
-        floor(coalesce(sum(col("tokens")).over(w), lit(0L)) / capacity).cast("long"))
+        floorDivLong(coalesce(sum(col("tokens")).over(w), lit(0L)), capacity))
       .groupBy(col("source"), col("shard_id"), col("bin_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("bin_tokens"))
   }

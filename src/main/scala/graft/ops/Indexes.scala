@@ -42,37 +42,81 @@ object Indexes {
     * modification time, PLUS each file's last ≤4 KiB (for parquet that is
     * the footer: row-group offsets and column min/max stats, so any content
     * change rotates the digest even when lengths collide within the
-    * filesystem's mtime granularity). Driver-side only, one bounded pread
-    * per file — no data scan, no Spark job. Folded into every index path so
-    * that regenerating the fixture data at the SAME directory (new seed,
-    * new rows, same name) changes the path and forces a rebuild — without
-    * it, presence keyed on `_SUCCESS` alone would silently probe a stale
-    * index built from the old corpus.
+    * filesystem's mtime granularity). Driver-side only — no data scan, no
+    * Spark job. Folded into every index path so that regenerating the
+    * fixture data at the SAME directory (new seed, new rows, same name)
+    * changes the path and forces a rebuild — without it, presence keyed on
+    * `_SUCCESS` alone would silently probe a stale index built from the old
+    * corpus.
+    *
+    * STEADY-STATE COST: the warm path is ONE `listStatus` per distinct
+    * parent directory and zero file opens — the tail-read pass is memoized
+    * per session, keyed on the (sorted path, length, mtime) status vector,
+    * and re-runs only when that metadata changes. Without the memo every
+    * indexed query re-preads every corpus file serially on the driver —
+    * at 100 TB file counts that is an O(n_files) RPC storm per query.
+    * (The memo trusts mtime+length to detect change WITHIN a session;
+    * a brand-new session always pays one tail-read pass, so cross-session
+    * staleness is still caught by content. Parquet rewrites also always
+    * generate fresh part-file names, which rotates the key by itself.)
     *
     * Derived frames with no scan (`inputFiles` empty) fingerprint to the
     * constant empty-digest prefix — callers passing such frames get
     * name+param keying only, which is the pre-fingerprint behavior. */
   def corpusFingerprint(df: DataFrame): String = {
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
-    val md = java.security.MessageDigest.getInstance("MD5")
-    df.inputFiles.sorted.foreach { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      val fs = p.getFileSystem(conf)
-      val st = fs.getFileStatus(p)
-      md.update(s"$f:${st.getLen}:${st.getModificationTime}\n".getBytes("UTF-8"))
-      val tail = math.min(st.getLen, 4096L)
-      if (tail > 0) {
-        val in = fs.open(p)
-        try {
-          in.seek(st.getLen - tail)
-          val buf = new Array[Byte](tail.toInt)
-          in.readFully(buf)
-          md.update(buf)
-        } finally in.close()
-      }
+    val files = df.inputFiles.sorted
+    if (files.isEmpty) return md5Hex(Array.emptyByteArray).take(12)
+    // metadata pass: one listStatus per parent dir, never one RPC per file
+    val paths = files.map(new org.apache.hadoop.fs.Path(_))
+    val statusOf = scala.collection.mutable.HashMap.empty[
+      String, org.apache.hadoop.fs.FileStatus]
+    paths.map(_.getParent).distinct.foreach { parent =>
+      val fs = parent.getFileSystem(conf)
+      fs.listStatus(parent).foreach(st =>
+        statusOf(st.getPath.toUri.getPath) = st)
     }
-    md.digest().map(b => f"$b%02x").mkString.take(12)
+    val metas: Seq[(org.apache.hadoop.fs.Path, Long, Long)] =
+      files.zip(paths).map { case (f, p) =>
+        val st = statusOf.getOrElse(p.toUri.getPath,
+          p.getFileSystem(conf).getFileStatus(p))
+        (p, st.getLen, st.getModificationTime)
+      }
+    val metaKey = md5Hex(metas.map { case (p, len, mt) => s"$p:$len:$mt" }
+      .mkString("\n").getBytes("UTF-8"))
+    fingerprintCache.computeIfAbsent(metaKey, { _ =>
+      fingerprintTailReads.incrementAndGet()
+      val md = java.security.MessageDigest.getInstance("MD5")
+      metas.foreach { case (p, len, mt) =>
+        md.update(s"$p:$len:$mt\n".getBytes("UTF-8"))
+        val tail = math.min(len, 4096L)
+        if (tail > 0) {
+          val in = p.getFileSystem(conf).open(p)
+          try {
+            in.seek(len - tail)
+            val buf = new Array[Byte](tail.toInt)
+            in.readFully(buf)
+            md.update(buf)
+          } finally in.close()
+        }
+      }
+      md.digest().map(b => f"$b%02x").mkString.take(12)
+    })
   }
+
+  private def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map(b => f"$b%02x").mkString
+
+  /** metadata key → content digest; session-lifetime (the index root is
+    * also session-keyed state, so the lifetimes match). */
+  private val fingerprintCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Counts fingerprint TAIL-READ passes (cache misses) — test hook proving
+    * the warm query path performs zero file opens. */
+  private[graft] val fingerprintTailReads =
+    new java.util.concurrent.atomic.AtomicLong()
 
   /** One point lookup of a query vector (min/max + dictionary pushdown on
     * vec_id); a missing id fails with a named error instead of a bare
@@ -85,9 +129,11 @@ object Indexes {
       .getSeq[Float](0).toArray
 
   /** Driver-side memo for tiny committed MODELS (IVF centroid tables, PQ
-    * codebooks) keyed by their content fingerprint: the model is static
-    * write-once state, so the steady-state query path skips the per-call
-    * collect job, while a retrained model (new fingerprint) re-collects.
+    * codebooks) keyed by content fingerprint PLUS the frame's canonicalized
+    * logical plan: the fingerprint alone would alias a filtered/projected
+    * frame over the same model files to the raw scan's cached model (the
+    * plan hash separates them), while the fingerprint keeps a retrained
+    * model (new files, same plan shape) from serving the stale collect.
     * Derived frames with no input files (empty fingerprint basis) are never
     * memoized — their constant fingerprint would alias distinct models. */
   private val modelCache =
@@ -95,8 +141,12 @@ object Indexes {
 
   private def memoModel[T <: AnyRef](df: DataFrame, family: String)(load: => T): T =
     if (df.inputFiles.isEmpty) load
-    else modelCache.computeIfAbsent(s"$family:${corpusFingerprint(df)}",
-      _ => load).asInstanceOf[T]
+    else {
+      val planKey = md5Hex(df.queryExecution.analyzed.canonicalized
+        .toString.getBytes("UTF-8")).take(12)
+      modelCache.computeIfAbsent(
+        s"$family:$planKey:${corpusFingerprint(df)}", _ => load).asInstanceOf[T]
+    }
 
   /** Family prefix for an LSH index (everything but the fingerprint): the
     * layout tag precedes the fingerprint so flat/partitioned variants are
@@ -117,14 +167,24 @@ object Indexes {
     s"$indexRoot/$tag/${lshFamily(bBits, lTables, seed, partitionByBucket)}$fp"
   }
 
+  /** Grace period before a superseded index generation is reclaimed.
+    * Mark-then-sweep with an age gate instead of delete-on-supersede: a
+    * generation another live session is mid-query on stays readable until
+    * its directory mtime falls `gcGraceMs` behind the sweep — in-flight
+    * reads finish, and only genuinely stale generations (and orphaned tmp
+    * dirs from crashed builds) are reclaimed. Test hook: package-visible
+    * so specs can force immediate (0) or never (MaxValue) reclamation. */
+  private[graft] var gcGraceMs: Long =
+    sys.env.get("SPARK_GRAFT_INDEX_GC_GRACE_MS").map(_.toLong)
+      .getOrElse(15L * 60L * 1000L)
+
   /** Reclaim superseded generations of one index family: siblings of `path`
     * whose name shares `familyPrefix` but carries a DIFFERENT fingerprint
-    * suffix. Runs once per successful build, so repeated corpus/model
-    * regeneration keeps exactly one generation per family instead of
-    * growing the index root without bound. (Same caveat as concurrent
-    * ensure builds: two sessions racing on different fingerprints can
-    * reclaim each other's fresh build; the loser rebuilds — wasted work,
-    * never a wrong result, since presence is re-checked per ensure call.) */
+    * suffix (including `.tmp-*` leftovers of crashed builds), and whose
+    * mtime is older than [[gcGraceMs]]. Runs once per successful build, so
+    * repeated corpus/model regeneration keeps one generation per family
+    * (plus any inside the grace window) instead of growing the index root
+    * without bound. */
   private def gcSiblings(spark: SparkSession, path: String,
                          familyPrefix: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -132,13 +192,38 @@ object Indexes {
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val parent = p.getParent
     if (parent != null && fs.exists(parent)) {
+      val cutoff = System.currentTimeMillis() - gcGraceMs
       fs.listStatus(parent).foreach { st =>
         val name = st.getPath.getName
-        if (name.startsWith(familyPrefix) && name != p.getName)
+        if (name.startsWith(familyPrefix) && name != p.getName &&
+            st.getModificationTime < cutoff)
           fs.delete(st.getPath, true)
       }
     }
   }
+
+  /** Publish a finished index build atomically: the build wrote to a
+    * session-unique `<dest>.tmp-<nonce>` directory; one rename makes it
+    * visible, so a reader can NEVER observe a half-written generation at
+    * `dest`, and two sessions racing on the same missing index are safe —
+    * the loser finds `dest` already present (or its rename refused) and
+    * discards its own tmp. Builds are deterministic (same corpus, same
+    * params ⇒ same bytes), so either winner serves both. */
+  private[graft] def commitIndexDir(spark: SparkSession, tmp: String,
+                                    dest: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dest), spark.sparkContext.hadoopConfiguration)
+    val (tmpP, destP) =
+      (new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(dest))
+    if (fs.exists(destP) || !fs.rename(tmpP, destP)) fs.delete(tmpP, true)
+    // a rename racing a just-committed dest can land tmp INSIDE it (hadoop
+    // local rename moves src into an existing dst directory) — scrub that
+    val nested = new org.apache.hadoop.fs.Path(destP, tmpP.getName)
+    if (fs.exists(nested)) fs.delete(nested, true)
+  }
+
+  private[graft] def tmpBuildPath(dest: String): String =
+    s"$dest.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
 
   /** Build the banded-LSH index: per vector, `lTables` rows of
     * (vec_id, t, key) where `key` is the table's `bBits`-bit sign bucket —
@@ -239,18 +324,20 @@ object Indexes {
     * than probed, and a REGENERATED corpus (same directory, new files) maps
     * to a fresh path instead of silently probing the stale index.
     *
-    * CONCURRENCY: two sessions ensure-ing the same missing index race — both
-    * build, last overwrite wins. The write is deterministic (same planes,
-    * same corpus ⇒ same index), so the race wastes work but cannot corrupt
-    * results; a production deployment would serialize builds with an
-    * external lock or a rename-into-place commit. */
+    * CONCURRENCY: builds land via [[commitIndexDir]] (tmp dir + atomic
+    * rename), so a reader never sees a partial index and racing builders
+    * resolve to one committed generation; superseded generations survive
+    * [[gcGraceMs]] past their replacement, so another session's in-flight
+    * read of the old generation completes before reclamation. */
   def ensureLshIndex(spark: SparkSession, emb: DataFrame, sfDir: String,
                      bBits: Int = 4, lTables: Int = 16, dim: Int = 64,
                      seed: Long = 42L, partitionByBucket: Boolean = true): String = {
     val path = lshIndexPath(sfDir, corpusFingerprint(emb), bBits, lTables, seed,
       partitionByBucket)
     if (!successExists(spark, path)) {
-      writeLshIndex(emb, path, bBits, lTables, dim, seed, partitionByBucket)
+      val tmp = tmpBuildPath(path)
+      writeLshIndex(emb, tmp, bBits, lTables, dim, seed, partitionByBucket)
+      commitIndexDir(spark, tmp, path)
       gcSiblings(spark, path, lshFamily(bBits, lTables, seed, partitionByBucket))
     }
     path
@@ -391,8 +478,10 @@ object Indexes {
         Similarity.pqCodeExpr(
           slice(col("embedding"), m * subDim + 1, subDim), cbs(m)).as(s"c$m")
       }
+      val tmp = tmpBuildPath(path)
       emb.select(col("vec_id") +: codeCols: _*)
-        .write.mode("overwrite").parquet(path)
+        .write.mode("overwrite").parquet(tmp)
+      commitIndexDir(spark, tmp, path)
       gcSiblings(spark, path, s"pq_m${nSub}_")
     }
     path
@@ -505,13 +594,17 @@ object Indexes {
     val base = s"$indexRoot/$tag/minhash_k${numHashes}_r${bandRows}_n${shingleN}_$fp"
     val (sets, bands) = (s"$base/sets", s"$base/bands")
     if (!successExists(spark, sets) || !successExists(spark, bands)) {
+      // both derived tables build under ONE tmp base and publish with one
+      // rename — a reader can never see sets/ without its matching bands/
+      val tmp = tmpBuildPath(base)
       val s = Dedup.shingleSets(docs, shingleN).persist()
-      s.write.mode("overwrite").parquet(sets)
+      s.write.mode("overwrite").parquet(s"$tmp/sets")
       Dedup.lshBandKeys(Dedup.minhashSignaturesFromSets(s, numHashes),
           numHashes, bandRows)
         .repartition(col("band"), col("key"))
-        .write.mode("overwrite").parquet(bands)
+        .write.mode("overwrite").parquet(s"$tmp/bands")
       s.unpersist()
+      commitIndexDir(spark, tmp, base)
       gcSiblings(spark, base,
         s"minhash_k${numHashes}_r${bandRows}_n${shingleN}_")
     }
@@ -546,14 +639,26 @@ object Indexes {
   /** INCREMENTAL near-dup check — the daily-ingest access pattern: a NEW
     * batch of documents checked against the EXISTING corpus's materialized
     * dedup state without touching corpus text. Only the new batch is
-    * shingled/signed (it is the small side, eagerly materialized once);
-    * its band keys BROADCAST against the stored `bands/` table, and the
-    * exact-Jaccard refine joins the broadcast candidates against the
-    * stored `sets/` table — so per-increment cost is O(|batch|)
+    * shingled/signed; the corpus side is served entirely from the stored
+    * `bands/` and `sets/` tables — so per-increment cost is O(|batch|)
     * tokenization plus one scan of write-once index state, never a corpus
-    * re-scan or shuffle. This is what makes continuous ingestion
-    * affordable at 100 TB: the corpus-sized work was paid once at index
-    * build, every increment pays only for itself.
+    * re-scan. This is what makes continuous ingestion affordable at
+    * 100 TB: the corpus-sized work was paid once at index build, every
+    * increment pays only for itself.
+    *
+    * PHYSICAL SHAPE — only NARROW frames ever broadcast (bounded by
+    * construction, asserted in IndexesSpec):
+    *   1. the batch's (new_id, band, key) band keys broadcast against the
+    *      stored bands table → candidate (new_id, corpus_id) pairs;
+    *   2. those bare id pairs broadcast against the stored sets table →
+    *      the corpus side of the refine, WITHOUT shuffling the corpus;
+    *   3. the refine then shuffle-joins the candidate-bounded corpus rows
+    *      against the batch's shingle sets on new_id (`shuffle_hash`
+    *      hint, so the planner can never promote the array-carrying batch
+    *      sets to a broadcast — the round-5 scale defect: a real ingest
+    *      batch's shingle sets do not fit in a broadcast).
+    * The batch sets are lazily persisted (used by both the signature pass
+    * and the refine), never eagerly checkpointed — no blocking pre-job.
     *
     * NOTE [[corpusFingerprint]] keys on input FILES — `ensureMinhashIndex`
     * must be given the raw table scan (a filtered frame of the same files
@@ -563,7 +668,7 @@ object Indexes {
                                  setsPath: String, bandsPath: String,
                                  threshold: Double, numHashes: Int = 16,
                                  bandRows: Int = 2, shingleN: Int = 3): DataFrame = {
-    val newSets = Dedup.shingleSets(newDocs, shingleN).localCheckpoint(true)
+    val newSets = Dedup.shingleSets(newDocs, shingleN).persist()
     val newBands = Dedup.lshBandKeys(
         Dedup.minhashSignaturesFromSets(newSets, numHashes), numHashes, bandRows)
       .select(col("doc_id").as("new_id"), col("band"), col("key"))
@@ -572,12 +677,12 @@ object Indexes {
       .join(broadcast(newBands), Seq("band", "key"))
       .where(col("corpus_id") =!= col("new_id")) // idempotent re-ingest guard
       .select(col("new_id"), col("corpus_id")).distinct()
-    val candNew = cand.join(
-      broadcast(newSets.select(col("doc_id").as("new_id"), col("sh").as("sh_new"))),
-      Seq("new_id"))
-    spark.read.parquet(setsPath)
+    val corpusSide = spark.read.parquet(setsPath)
       .select(col("doc_id").as("corpus_id"), col("sh").as("sh_old"))
-      .join(broadcast(candNew), Seq("corpus_id"))
+      .join(broadcast(cand), Seq("corpus_id"))
+    corpusSide
+      .join(newSets.select(col("doc_id").as("new_id"), col("sh").as("sh_new"))
+        .hint("shuffle_hash"), Seq("new_id"))
       .select(col("new_id"), col("corpus_id"),
         TextOps.jaccard(col("sh_new"), col("sh_old")).as("jaccard"))
       .where(col("jaccard") >= threshold)
@@ -591,7 +696,9 @@ object Indexes {
     val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
     val path = s"$indexRoot/$tag/simhash_${corpusFingerprint(docs)}"
     if (!successExists(spark, path)) {
-      Dedup.simhash(docs).write.mode("overwrite").parquet(path)
+      val tmp = tmpBuildPath(path)
+      Dedup.simhash(docs).write.mode("overwrite").parquet(tmp)
+      commitIndexDir(spark, tmp, path)
       gcSiblings(spark, path, "simhash_")
     }
     path
@@ -686,7 +793,7 @@ object Indexes {
   }
 
   /** Build-if-missing IVF inverted lists (see [[ensureLshIndex]] for the
-    * fingerprint-keyed presence check and the concurrent-build caveat).
+    * fingerprint-keyed presence check and the atomic tmp-dir commit).
     * BOTH inputs fingerprint into the path: the centroids are a FROZEN
     * committed fixture (trained once at sf0.01 — NOT re-derived from the
     * query corpus), so retraining the model must rotate the inverted
@@ -696,7 +803,9 @@ object Indexes {
     val path = ivfIndexPath(sfDir,
       s"${corpusFingerprint(emb)}_cb${corpusFingerprint(centroids)}", nCells)
     if (!successExists(spark, path)) {
-      writeIvfIndex(emb, centroids, path)
+      val tmp = tmpBuildPath(path)
+      writeIvfIndex(emb, centroids, tmp)
+      commitIndexDir(spark, tmp, path)
       gcSiblings(spark, path, s"ivf_k${nCells}_")
     }
     path

@@ -168,21 +168,147 @@ class IndexesSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("gc_spec").toString
     emb.limit(20).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     def reread = spark.read.parquet(s"$dir/embeddings.parquet")
-    val path1 = Indexes.ensureLshIndex(spark, reread, dir)
-    // regenerate twice: each rebuild must reclaim the superseded generation
-    emb.limit(25).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    val path2 = Indexes.ensureLshIndex(spark, reread, dir)
-    emb.limit(30).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    val path3 = Indexes.ensureLshIndex(spark, reread, dir)
-    assert(Set(path1, path2, path3).size === 3)
-    assert(!new java.io.File(path1).exists(), "generation 1 must be reclaimed")
-    assert(!new java.io.File(path2).exists(), "generation 2 must be reclaimed")
-    assert(new java.io.File(path3, "_SUCCESS").exists())
-    // a DIFFERENT family (flat layout) in the same parent is untouched
-    val flat = Indexes.ensureLshIndex(spark, reread, dir, partitionByBucket = false)
-    val again = Indexes.ensureLshIndex(spark, reread, dir)
-    assert(again === path3)
-    assert(new java.io.File(flat, "_SUCCESS").exists())
-    assert(new java.io.File(path3, "_SUCCESS").exists())
+    val grace0 = Indexes.gcGraceMs
+    Indexes.gcGraceMs = 0L // immediate reclamation for this test
+    try {
+      val path1 = Indexes.ensureLshIndex(spark, reread, dir)
+      // regenerate twice: each rebuild must reclaim the superseded generation
+      emb.limit(25).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val path2 = Indexes.ensureLshIndex(spark, reread, dir)
+      emb.limit(30).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val path3 = Indexes.ensureLshIndex(spark, reread, dir)
+      assert(Set(path1, path2, path3).size === 3)
+      assert(!new java.io.File(path1).exists(), "generation 1 must be reclaimed")
+      assert(!new java.io.File(path2).exists(), "generation 2 must be reclaimed")
+      assert(new java.io.File(path3, "_SUCCESS").exists())
+      // a DIFFERENT family (flat layout) in the same parent is untouched
+      val flat = Indexes.ensureLshIndex(spark, reread, dir, partitionByBucket = false)
+      val again = Indexes.ensureLshIndex(spark, reread, dir)
+      assert(again === path3)
+      assert(new java.io.File(flat, "_SUCCESS").exists())
+      assert(new java.io.File(path3, "_SUCCESS").exists())
+      // no tmp build dirs survive a successful commit cycle
+      val leftovers = new java.io.File(path3).getParentFile.listFiles()
+        .filter(_.getName.contains(".tmp-"))
+      assert(leftovers.isEmpty, s"orphan tmp dirs: ${leftovers.mkString(", ")}")
+    } finally Indexes.gcGraceMs = grace0
+  }
+
+  test("GC grace: a superseded generation stays readable for in-flight queries") {
+    val dir = Files.createTempDirectory("gc_grace_spec").toString
+    emb.limit(20).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def reread = spark.read.parquet(s"$dir/embeddings.parquet")
+    val grace0 = Indexes.gcGraceMs
+    Indexes.gcGraceMs = 60L * 60L * 1000L // 1 h — nothing reclaims mid-test
+    try {
+      val path1 = Indexes.ensureLshIndex(spark, reread, dir)
+      // a lazily-planned reader on generation 1 — another session mid-query
+      val inflight = spark.read.parquet(path1)
+      emb.limit(25).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val path2 = Indexes.ensureLshIndex(spark, reread, dir)
+      assert(path2 !== path1)
+      // the rebuild must NOT have deleted generation 1 under the reader
+      assert(inflight.count() > 0, "superseded generation vanished mid-read")
+      assert(new java.io.File(path1, "_SUCCESS").exists())
+      assert(new java.io.File(path2, "_SUCCESS").exists())
+    } finally Indexes.gcGraceMs = grace0
+  }
+
+  test("racing builders: both commit paths converge on one intact generation") {
+    val dir = Files.createTempDirectory("race_spec").toString
+    emb.limit(20).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val stable = spark.read.parquet(s"$dir/embeddings.parquet")
+    val dest = s"$dir/idx_${Indexes.corpusFingerprint(stable)}"
+    // two sessions interleave: both observed `dest` missing, both built
+    val tmpA = Indexes.tmpBuildPath(dest)
+    val tmpB = Indexes.tmpBuildPath(dest)
+    Indexes.writeLshIndex(stable, tmpA)
+    Indexes.writeLshIndex(stable, tmpB)
+    Indexes.commitIndexDir(spark, tmpA, dest) // A wins
+    Indexes.commitIndexDir(spark, tmpB, dest) // B loses, discards its tmp
+    assert(new java.io.File(dest, "_SUCCESS").exists())
+    assert(!new java.io.File(tmpA).exists() && !new java.io.File(tmpB).exists(),
+      "loser tmp must be discarded")
+    // the committed generation contains no nested tmp dir and reads clean
+    val nested = new java.io.File(dest).listFiles().filter(_.getName.contains(".tmp-"))
+    assert(nested.isEmpty, s"nested tmp in committed index: ${nested.mkString(", ")}")
+    assert(spark.read.parquet(dest).count() > 0)
+  }
+
+  test("warm corpusFingerprint is metadata-only: zero tail-read passes") {
+    val dir = Files.createTempDirectory("fp_memo_spec").toString
+    emb.limit(20).write.mode("overwrite").parquet(s"$dir/e.parquet")
+    def reread = spark.read.parquet(s"$dir/e.parquet")
+    val fp1 = Indexes.corpusFingerprint(reread)
+    val warmBefore = Indexes.fingerprintTailReads.get()
+    val fp2 = Indexes.corpusFingerprint(reread)
+    val fp3 = Indexes.corpusFingerprint(reread)
+    assert(fp2 === fp1 && fp3 === fp1)
+    assert(Indexes.fingerprintTailReads.get() === warmBefore,
+      "warm fingerprint re-read file tails — the per-query driver pread loop is back")
+    // changed files: the memo must MISS and the digest must rotate
+    emb.limit(25).write.mode("overwrite").parquet(s"$dir/e.parquet")
+    val fp4 = Indexes.corpusFingerprint(reread)
+    assert(fp4 !== fp1)
+    assert(Indexes.fingerprintTailReads.get() === warmBefore + 1)
+  }
+
+  /** Walk a physical plan INCLUDING adaptive query stages and subqueries —
+    * `collect` alone stops at the AQE/stage leaf wrappers. */
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val inner = p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: QueryStageExec => allNodes(q.plan)
+      case _ => p.children.flatMap(allNodes)
+    }
+    (p +: inner) ++ p.subqueries.flatMap(allNodes)
+  }
+
+  test("batch LSH probe: dynamic partition pruning fires on the index scan") {
+    import org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val batch = Indexes.lshTopKBatch(emb, idxPath, queries, k = 10)
+    batch.collect() // finalize the adaptive plan, stages included
+    val idxScans = allNodes(batch.queryExecution.executedPlan).collect {
+      case s: FileSourceScanExec if s.relation.partitionSchema.nonEmpty => s
+    }
+    assert(idxScans.nonEmpty, "no partitioned scan found — index layout changed?")
+    assert(idxScans.forall(_.partitionFilters.exists(
+        _.exists(_.isInstanceOf[DynamicPruningExpression]))),
+      "the batch probe full-scans the bucket-partitioned index: DPP stopped firing\n" +
+        idxScans.map(_.toString).mkString("\n"))
+  }
+
+  test("incremental near-dup: no broadcast carries arrays; refine is a shuffle join") {
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    import org.apache.spark.sql.types.ArrayType
+    val docs = graft.engine.Tables.documents(spark, sf)
+    val (sets, bands) = Indexes.ensureMinhashIndex(spark, docs, sf)
+    val newBatch = docs.where(col("source") === "src0")
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val inc = Indexes.minhashNearDupsIncremental(spark, newBatch, sets, bands, 0.3)
+    val rows = inc.collect()
+    // every re-ingested doc finds at least its own original at jaccard 1.0
+    val selfPairs = rows.filter(r => r.getLong(0) - 100000L == r.getLong(1))
+    assert(selfPairs.nonEmpty && selfPairs.forall(_.getDouble(2) == 1.0))
+    val nodes = allNodes(inc.queryExecution.executedPlan)
+    // the round-5 scale defect: shingle-set ARRAYS must never broadcast —
+    // a real ingest batch's sets don't fit in a broadcast
+    val arrayBroadcasts = nodes.collect {
+      case b: BroadcastExchangeExec
+        if b.output.exists(_.dataType.isInstanceOf[ArrayType]) => b
+    }
+    assert(arrayBroadcasts.isEmpty,
+      s"broadcast exchange carries an array column:\n${arrayBroadcasts.mkString("\n")}")
+    // the refine joins batch sets by SHUFFLE on new_id (hint-pinned)
+    assert(nodes.exists {
+      case j: ShuffledHashJoinExec => j.leftKeys.exists(_.toString.contains("new_id"))
+      case _ => false
+    }, "refine must shuffle-join the batch sets on new_id")
   }
 }
