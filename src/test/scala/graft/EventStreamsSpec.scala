@@ -174,6 +174,47 @@ class EventStreamsSpec extends AnyFunSuite {
       ("2026-01-01 12:00:00", 2L, 13.0)))
   }
 
+  test("crash recovery: sessionize custom state survives a restart exactly-once") {
+    import org.apache.spark.sql.types._
+    val landing = java.nio.file.Files.createTempDirectory("sess_cr_landing").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sess_cr_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("sess_cr_out").toString + "/sink"
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("ts", TimestampType), StructField("value", DoubleType)))
+    def land(rows: Seq[(Long, Timestamp, Double)]): Unit =
+      rows.toDF("user_id", "ts", "value").coalesce(1)
+        .write.mode("append").parquet(landing)
+    def start() = graft.ops.Sessionize.stream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(landing), gapMinutes = 30, watermark = "30 minutes")
+      .toDF()
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+
+    // phase 1: user 1 accumulates TWO events of flatMapGroupsWithState
+    // state (an OpenSession), user 2 one; watermark 9:45 — nothing closes,
+    // everything the operator knows lives in the state store when it stops
+    land(Seq((1L, ts("2026-01-01T10:00:00Z"), 1.0),
+      (1L, ts("2026-01-01T10:10:00Z"), 2.0),
+      (2L, ts("2026-01-01T10:15:00Z"), 8.0)))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(out).count() === 0, "open sessions must not emit")
+
+    // while DOWN: an in-gap event extends user 1's session, and a far
+    // event pushes the watermark to 11:30, past both idle deadlines
+    land(Seq((1L, ts("2026-01-01T10:20:00Z"), 4.0),
+      (3L, ts("2026-01-01T12:00:00Z"), 0.5)))
+    val q2 = start(); q2.processAllAvailable(); q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(out)
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+    // user 1's session must carry its PRE-CRASH accumulation (losing the
+    // recovered state would emit (10:20, 10:20, 1, 4.0)); user 2 closes by
+    // timeout from recovered state alone; user 3 stays open; nothing dups
+    assert(got === Set(
+      (1L, ts("2026-01-01T10:00:00Z"), ts("2026-01-01T10:20:00Z"), 3L, 7.0),
+      (2L, ts("2026-01-01T10:15:00Z"), ts("2026-01-01T10:15:00Z"), 1L, 8.0)))
+  }
+
   test("file stream over the events fixture equals the batch hourlyWindow") {
     val d = "/root/testdata/sf0.001"
     // Glob (not a bare file path): FileStreamSource requires basePath to be
