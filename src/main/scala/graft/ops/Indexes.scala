@@ -667,8 +667,14 @@ object Indexes {
   def minhashNearDupsIncremental(spark: SparkSession, newDocs: DataFrame,
                                  setsPath: String, bandsPath: String,
                                  threshold: Double, numHashes: Int = 16,
-                                 bandRows: Int = 2, shingleN: Int = 3): DataFrame = {
-    val newSets = Dedup.shingleSets(newDocs, shingleN).persist()
+                                 bandRows: Int = 2, shingleN: Int = 3,
+                                 cacheBatchSets: Boolean = true): DataFrame = {
+    // `cacheBatchSets = false` is for per-micro-batch callers (the
+    // streaming ingest wrapper): a persist per micro-batch would grow the
+    // cache without bound across a long-running stream, while recomputing
+    // the batch's (batch-bounded) tokenization twice is self-cleaning.
+    val sets0 = Dedup.shingleSets(newDocs, shingleN)
+    val newSets = if (cacheBatchSets) sets0.persist() else sets0
     val newBands = Dedup.lshBandKeys(
         Dedup.minhashSignaturesFromSets(newSets, numHashes), numHashes, bandRows)
       .select(col("doc_id").as("new_id"), col("band"), col("key"))

@@ -122,6 +122,44 @@ object EventStreams {
       .join(broadcast(evShingles), Seq("s"), "left_semi")
   }
 
+  /** Continuous-ingest near-dup gate — the streaming twin of
+    * [[graft.ops.Indexes.minhashNearDupsIncremental]]: each micro-batch of
+    * landing documents is checked against the corpus's MATERIALIZED dedup
+    * state (stored `sets/` + `bands/` tables) with the batch operator
+    * itself via `foreachBatch`, so the stream inherits its scale shape
+    * verbatim — only the micro-batch is tokenized, only narrow band-key /
+    * id-pair frames broadcast, the refine shuffle-joins the stored sets.
+    * This is the standard production pattern for per-batch logic richer
+    * than a streaming plan can express: stream-static joins would reshape
+    * the refine around the (corpus-sized) static side per batch, while
+    * `foreachBatch` reuses the batch plan that is already right.
+    *
+    * EXACTLY-ONCE: `foreachBatch` replays a micro-batch after a failure,
+    * so the sink write is made idempotent — each batch overwrites ONLY its
+    * own `batch_id=` partition (dynamic partition overwrite); a replayed
+    * batch rewrites identical rows instead of appending duplicates.
+    *
+    * `cacheBatchSets = false` on the inner operator: a `persist` per
+    * micro-batch would grow the block-manager cache without bound over a
+    * long-running stream. */
+  def incrementalDedupStream(docs: DataFrame, setsPath: String,
+                             bandsPath: String, threshold: Double,
+                             outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.Indexes.minhashNearDupsIncremental(
+            batch.sparkSession, batch.toDF(), setsPath, bandsPath, threshold,
+            cacheBatchSets = false)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outPath)
+      }
+      .start()
+
   /** Convenience: run the hourly-window stream over a directory to an
     * in-memory table and block until all currently-available files are
     * processed (complete mode: re-emits all windows each batch — used by

@@ -4,9 +4,15 @@ import java.sql.Timestamp
 import java.time.Instant
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.udf
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.EventStreams
+
+/** Armed/disarmed flag for the injected mid-batch crash — a top-level object
+  * so the executor-side UDF closure and the test assert on the SAME static
+  * field (local mode: one JVM). */
+object CrashInjector { @volatile var armed = true }
 
 /** Structured Streaming twins (SURVEY §2.9): incremental results must agree
   * with the batch plans over the same rows, and watermark semantics must hold
@@ -174,6 +180,60 @@ class EventStreamsSpec extends AnyFunSuite {
       ("2026-01-01 12:00:00", 2L, 13.0)))
   }
 
+  test("hard failure: a batch that DIES mid-flight replays exactly-once on restart") {
+    import org.apache.spark.sql.types._
+    val landing = java.nio.file.Files.createTempDirectory("hf_landing").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("hf_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("hf_out").toString + "/sink"
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("value", DoubleType)))
+    def land(rows: Seq[(Timestamp, Double)]): Unit =
+      rows.toDF("ts", "value").coalesce(1).write.mode("append").parquet(landing)
+    // poison pill: the first task to see value 99.0 throws, killing the
+    // micro-batch AFTER its offsets hit the WAL but BEFORE the sink commit
+    // — the hard-failure window the graceful stop() tests never enter
+    CrashInjector.armed = true
+    val poison = udf { (v: Double) =>
+      if (v == 99.0 && CrashInjector.armed) {
+        CrashInjector.armed = false
+        throw new RuntimeException("injected mid-batch crash")
+      }
+      v
+    }
+    def start() = EventStreams.hourlyWindowStream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(landing)
+          .withColumn("value", poison(org.apache.spark.sql.functions.col("value"))),
+        watermark = "30 minutes")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+
+    // healthy prefix: the 10:00 window finalizes and is IN the sink
+    land(Seq((ts("2026-01-01T10:05:00Z"), 1.0), (ts("2026-01-01T10:20:00Z"), 2.0)))
+    land(Seq((ts("2026-01-01T12:00:00Z"), 9.0)))
+    val q1 = start(); q1.processAllAvailable()
+    assert(spark.read.parquet(out).count() === 1)
+
+    // the poison batch: crashes mid-flight on first attempt
+    land(Seq((ts("2026-01-01T12:05:00Z"), 99.0), (ts("2026-01-01T14:30:00Z"), 1.5)))
+    val died = intercept[Throwable] { q1.processAllAvailable() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(died).exists(_.contains("injected mid-batch crash")), died.toString)
+    assert(!CrashInjector.armed, "the injected crash never fired")
+    try q1.stop() catch { case _: Throwable => () }
+
+    // restart from the same checkpoint: the UNCOMMITTED batch replays (pill
+    // disarmed), and the sink must show the 10:00 window exactly once and
+    // the poison row counted exactly once (12:00 window = 9.0 + 99.0)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(out)
+      .as[(String, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(got === Seq(
+      ("2026-01-01 10:00:00", 2L, 3.0),
+      ("2026-01-01 12:00:00", 2L, 108.0)))
+  }
+
   test("crash recovery: sessionize custom state survives a restart exactly-once") {
     import org.apache.spark.sql.types._
     val landing = java.nio.file.Files.createTempDirectory("sess_cr_landing").toString
@@ -213,6 +273,36 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got === Set(
       (1L, ts("2026-01-01T10:00:00Z"), ts("2026-01-01T10:20:00Z"), 3L, 7.0),
       (2L, ts("2026-01-01T10:15:00Z"), ts("2026-01-01T10:15:00Z"), 1L, 8.0)))
+  }
+
+  test("streaming incremental dedup equals the batch operator, batch-partitioned sink") {
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.engine.Tables.documents(spark, d)
+    val (sets, bands) = graft.ops.Indexes.ensureMinhashIndex(spark, docs, d)
+    val reingest = docs.where(org.apache.spark.sql.functions.col("source") === "src0")
+      .select((org.apache.spark.sql.functions.col("doc_id") + 100000L).as("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .as[(Long, String)].collect().toSeq
+    assert(reingest.nonEmpty)
+    val (b1, b2) = reingest.partition(_._1 % 2 == 0)
+    val out = java.nio.file.Files.createTempDirectory("inc_stream_out").toString + "/sink"
+    val ckpt = java.nio.file.Files.createTempDirectory("inc_stream_ckpt").toString
+    val in = MemoryStream[(Long, String)]
+    val q = EventStreams.incrementalDedupStream(
+      in.toDF().toDF("doc_id", "text"), sets, bands, 0.3, out, ckpt)
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(out)
+      .select("new_id", "corpus_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    // per-doc independence (pairs are batch×corpus, never intra-batch):
+    // the union over micro-batches must equal one batch-operator pass
+    val batch = graft.ops.Indexes.minhashNearDupsIncremental(spark,
+        reingest.toDF("doc_id", "text"), sets, bands, 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
   }
 
   test("file stream over the events fixture equals the batch hourlyWindow") {
