@@ -65,6 +65,24 @@ object Curation {
 
   /** Per-source sampling rate in [0, 100] from a (source → pct) table with a
     * default — the mixture-weights column for [[sampleByDomain]]. */
+  /** Deterministic per-source reservoir sample: keep exactly `k` documents
+    * per source, ranked by a content-derived md5 of (source, doc_id) — the
+    * downsampling step for over-represented sources in a corpus mixture
+    * when [[domainMixAudit]]'s RATE-based thinning isn't enough and a hard
+    * per-source COUNT is the contract (e.g. "at most k docs of src0 per
+    * shard"). No RNG, no sampling pass: membership is a pure function of
+    * the ids, so the sample is identical across runs, retries, and engines,
+    * and growing the corpus only evicts rows at the rank boundary instead
+    * of reshuffling the whole sample. The per-group cut runs through the
+    * bounded-heap [[graft.plans.GroupedTopK]] operator — O(n log k) heap
+    * memory and a k·|sources| shuffle, never a full per-group window sort
+    * (the shape that survives one source being 90% of a 100 TB corpus). */
+  def reservoirPerSource(docs: DataFrame, k: Int): DataFrame =
+    graft.plans.GroupedTopK.topK(
+      docs.select(col("source"), col("doc_id"),
+        md5(concat_ws(":", col("source"), col("doc_id"))).as("rnk")),
+      Seq("source"), Seq("rnk" -> false, "doc_id" -> false), k)
+
   /** Exact long floor-division (DuckDB `//` semantics for ALL longs):
     * `floor(a / n)` in doubles loses exactness above 2^53 and Spark's `div`
     * truncates toward zero (a negative `doc_id` would shard differently

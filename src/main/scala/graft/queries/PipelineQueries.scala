@@ -743,6 +743,22 @@ object PipelineQueries {
         Seq("src0" -> 100, "src1" -> 50, "src2" -> 25, "src3" -> 10), default = 75)
       .orderBy(col("source"))
 
+  /** Deterministic per-source reservoir: exactly 10 docs per source, chosen
+    * by md5 rank ([[Curation.reservoirPerSource]]); the cut is the custom
+    * bounded-heap operator, the oracle a DuckDB row_number window. */
+  def reservoirSample(s: SparkSession, d: String): DataFrame =
+    Curation.reservoirPerSource(documents(s, d), k = 10)
+      .orderBy(col("source"), col("rnk"), col("doc_id"))
+
+  val reservoirSampleSql: String =
+    """WITH r AS (SELECT source, doc_id,
+      |             md5(source || ':' || doc_id::VARCHAR) AS rnk,
+      |             row_number() OVER (PARTITION BY source
+      |               ORDER BY md5(source || ':' || doc_id::VARCHAR) ASC, doc_id ASC) AS rn
+      |           FROM documents)
+      |SELECT source, doc_id, rnk FROM r WHERE rn <= 10
+      |ORDER BY source, rnk, doc_id""".stripMargin
+
   val domainMixSql: String =
     """WITH b AS (SELECT source,
       |             ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT % 100 AS bucket,

@@ -78,6 +78,29 @@ class CurationSpec extends AnyFunSuite {
     assert(bins === Seq(("a", 0L, 0L, 2L, 6L), ("b", 0L, 0L, 1L, 3L)))
   }
 
+  test("reservoir: exactly k per source, deterministic, rank-stable under growth") {
+    val docs = (0L until 40L).map(i => (i, s"src${i % 2}", s"doc $i")).toDF("doc_id", "source", "text")
+    val s1 = Curation.reservoirPerSource(docs, k = 5)
+      .as[(String, Long, String)].collect().toSeq.sorted
+    // exactly k per group, and a rerun picks the identical rows (no RNG)
+    assert(s1.groupBy(_._1).view.mapValues(_.size).toMap === Map("src0" -> 5, "src1" -> 5))
+    val s2 = Curation.reservoirPerSource(docs, k = 5)
+      .as[(String, Long, String)].collect().toSeq.sorted
+    assert(s2 === s1)
+    // a group smaller than k is kept whole
+    val tiny = Seq((1L, "only", "x"), (2L, "only", "y")).toDF("doc_id", "source", "text")
+    assert(Curation.reservoirPerSource(tiny, k = 5).count() === 2)
+    // growing the corpus only evicts at the rank boundary: survivors of the
+    // grown sample that existed before must be a subset of the old sample
+    val grown = (0L until 80L).map(i => (i, s"src${i % 2}", s"doc $i")).toDF("doc_id", "source", "text")
+    val s3 = Curation.reservoirPerSource(grown, k = 5)
+      .as[(String, Long, String)].collect().toSeq
+    val oldIds = s1.map(_._2).toSet
+    val surviving = s3.filter(_._2 < 40L).map(_._2).toSet
+    assert(surviving.subsetOf(oldIds),
+      s"grown sample re-ranked pre-existing docs: ${surviving -- oldIds}")
+  }
+
   test("packing: bounded shards pack independently, bin ids restart per shard") {
     // 4 docs of 10 tokens in one source; shardDocs = 2 -> shards {0,1},
     // each packing its own 2 docs from cum 0 (cum 0 and 10 both land in

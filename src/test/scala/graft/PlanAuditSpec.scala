@@ -120,6 +120,12 @@ class PlanAuditSpec extends AnyFunSuite {
       .findFirstIn(p).isDefined, p)
   }
 
+  test("reservoir sample cuts via GroupedTopK — no per-group window sort") {
+    val p = plan("q_reservoir_sample")
+    assert(p.contains("GroupedTopK"), p)
+    assert(!p.contains("Window"), s"reservoir fell back to a window sort:\n$p")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // Theta joins in the documented quadratic baselines become
     // BroadcastNestedLoopJoin (bounded side); an unconditional
