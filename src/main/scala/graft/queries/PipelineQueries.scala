@@ -346,6 +346,30 @@ object PipelineQueries {
        |FROM e JOIN cand ON e.vec_id = cand.vec_id, q
        |ORDER BY cos DESC, e.vec_id ASC LIMIT 10""".stripMargin
 
+  /** One distributed k-means (Lloyd) step refining the committed IVF
+    * centroids against the corpus — index model TRAINING as a verified
+    * operator ([[graft.ops.Similarity.kmeansStep]]). Long-form output so
+    * the oracle compares scalar means, never array encodings. */
+  def kmeansStep(s: SparkSession, d: String): DataFrame =
+    graft.ops.Similarity.kmeansStep(embeddings(s, d),
+        s.read.parquet(ivfCentroidsPath))
+      .orderBy(col("cell"), col("dim"))
+
+  val kmeansStepSql: String =
+    s"""WITH $duckNormed,
+       |cent AS (SELECT cell::INT AS cell, centroid AS cv,
+       |                sqrt(list_dot_product(centroid, centroid)) AS cn
+       |         FROM read_parquet('$ivfCentroidsPath/*.parquet')),
+       |asg AS (SELECT e.vec_id, cent.cell,
+       |               list_dot_product(e.v, cent.cv) / (e.nrm * cent.cn) AS ccos
+       |        FROM e CROSS JOIN cent),
+       |cells AS (SELECT vec_id, cell FROM asg
+       |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) = 1)
+       |SELECT c.cell, count(*)::BIGINT AS n_members, d.dim::INT AS dim,
+       |       round(avg(e.v[d.dim + 1]), 6) AS val
+       |FROM cells c JOIN e ON c.vec_id = e.vec_id CROSS JOIN range(64) AS d(dim)
+       |GROUP BY c.cell, d.dim ORDER BY c.cell, d.dim""".stripMargin
+
   /** Batched IVF ANN — the [[annLshBatch]] twin over the stored inverted
     * lists: per-query cell ranking as a broadcast join + bounded-heap cut,
     * probed (query_id, cell) pairs broadcast against the cell-partitioned

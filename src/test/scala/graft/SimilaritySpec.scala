@@ -119,6 +119,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cs.sameElements(cs.sortBy(-_)))
   }
 
+  test("kmeans step: conserves members, agrees with the index build's assignment") {
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    val cent = spark.read.parquet(graft.queries.PipelineQueries.ivfCentroidsPath)
+    val step = Similarity.kmeansStep(emb, cent).collect()
+    val byCell = step.map(r => (r.getInt(0), r.getLong(1))).distinct.toMap
+    // every vector assigned to exactly one cell; 64 dims per cell
+    assert(byCell.values.sum === emb.count())
+    assert(step.length === byCell.size * 64)
+    // the assignment must be the SAME argmax/tie-break writeIvfIndex uses
+    val dir = java.nio.file.Files.createTempDirectory("km_spec").toString + "/idx"
+    graft.ops.Indexes.writeIvfIndex(emb, cent, dir)
+    val idxSizes = spark.read.parquet(dir)
+      .groupBy(col("cell").cast("int").as("cell")).count()
+      .as[(Int, Long)].collect().toMap
+    assert(byCell === idxSizes)
+    // refined means are finite and rounded (6 dp)
+    assert(step.forall { r =>
+      val v = r.getDouble(3)
+      !v.isNaN && !v.isInfinite && math.abs(v * 1e6 - math.rint(v * 1e6)) < 1e-6
+    })
+  }
+
   test("banded near-dups: non-empty strict subset machinery of all-pairs") {
     val emb = graft.engine.Tables.embeddings(spark, sf)
     val all = Similarity.embeddingNearDupPairs(emb, 0.4, Long.MaxValue)
