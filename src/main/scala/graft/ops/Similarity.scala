@@ -421,17 +421,25 @@ object Similarity {
     * driver; this step takes the model as a committed centroid FRAME (the
     * serving-path representation `ensureIvfIndex`/`ivfTopK` consume), so a
     * pipeline can refresh a deployed model against a drifted corpus without
-    * retraining from scratch — and because one step is join-shaped rather
-    * than driver-iterated, it is DuckDB-oracle-verified end to end
-    * (q_kmeans_step), which the iterative trainer cannot be.
-    * Assigns every vector to its argmax-cosine centroid with the
-    * IDENTICAL broadcast + `max_by` tie-break the index build uses
-    * ([[graft.ops.Indexes.writeIvfIndex]] — ties go to the smallest cell),
-    * then recompute each cell's per-dimension mean. Two exchanges total
-    * (vec_id for the assignment dedup, cell for the means); the centroid
-    * model broadcasts, the corpus never re-shuffles its embedding payload
-    * beyond the members-by-cell aggregate — the shape that scales to a
-    * 100 TB corpus with a model that fits on the driver.
+    * retraining from scratch — and because one step is a plain
+    * assign-then-aggregate rather than driver-iterated, it is
+    * DuckDB-oracle-verified end to end (q_kmeans_step), which the
+    * iterative trainer cannot be.
+    *
+    * Execution shape: the tiny model is collected once and embedded as
+    * literals, so assignment is k codegen'd [[assignCell]] dot products
+    * per row — NO join, NO row fan-out, NO corpus shuffle — with the
+    * IDENTICAL argmax tie-break the index build and the oracle use (ties
+    * to the smallest cell). The means aggregate directly on the assigned
+    * cell with one `avg` per dimension, so the partial aggregate collapses
+    * to ≤ k rows per partition map-side and the ONLY exchange carries
+    * k·(dim+1) partial sums per partition — independent of corpus size.
+    * (Deliberately NOT `posexplode` + (cell, dim) aggregation: ColumnPruning
+    * hoists the assignment expression ABOVE a Generate, re-evaluating the
+    * k dot products once per exploded ELEMENT — measured 2× slower at
+    * sf0.1, the [[graft.engine.Sessions]] InferFiltersFromGenerate trap's
+    * sibling. The per-dim fan-out here touches only the k aggregated
+    * rows.)
     *
     * Output is LONG form, one row per (cell, dim) — (cell, n_members, dim,
     * val) with `val` the mean rounded to 6 — so the DuckDB oracle compares
@@ -439,21 +447,16 @@ object Similarity {
     * documented partial-aggregation round-half risk (CoreQueries note);
     * never observed at round(6). */
   def kmeansStep(emb: DataFrame, centroids: DataFrame, dim: Int = 64): DataFrame = {
-    val e = emb.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    val cent = centroids.select(col("cell").cast("int").as("cell"),
-      col("centroid").as("cv"), norm(col("centroid")).as("cn"))
-    val assigned = e.join(broadcast(cent))
-      .select(col("vec_id"), col("embedding"),
-        (dotU(col("embedding"), col("cv")) / (col("nrm") * col("cn"))).as("ccos"),
-        col("cell"))
-      .groupBy(col("vec_id"))
-      // first(embedding) is value-deterministic: every row of a vec_id
-      // group carries the identical embedding, so no re-join is needed to
-      // recover the vector after the argmax
-      .agg(max_by(col("cell"), struct(col("ccos"), -col("cell"))).as("cell"),
-        first(col("embedding")).as("embedding"))
+    val byCell = centroids.select(col("cell").cast("int"), col("centroid"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    require(byCell.nonEmpty && (0 until byCell.size).forall(byCell.contains),
+      s"centroid cells must be contiguous 0..k-1, got ${byCell.keys.toSeq.sorted}")
+    val cents = Array.tabulate(byCell.size)(byCell)
     val avgs = (0 until dim).map(i => avg(col("embedding").getItem(i)).as(s"d$i"))
-    assigned.groupBy(col("cell"))
+    emb.select(col("embedding"), norm(col("embedding")).as("nrm"))
+      .select(assignCell(col("embedding"), col("nrm"), cents).as("cell"),
+        col("embedding"))
+      .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_members"), avgs: _*)
       .select(col("cell"), col("n_members"),
         posexplode(array((0 until dim).map(i => round(col(s"d$i"), 6)): _*))
