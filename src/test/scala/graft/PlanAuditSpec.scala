@@ -126,6 +126,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"reservoir fell back to a window sort:\n$p")
   }
 
+  test("kmeans step: one cell exchange, no generate below the aggregate") {
+    val p = plan("q_kmeans_step")
+    assert("Exchange hashpartitioning\\(cell".r.findAllIn(p).size >= 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    // the output fan-out (posexplode of k aggregated rows) must sit ABOVE
+    // the aggregate — a Generate below it re-evaluates the k-dot-product
+    // assignment per exploded element (measured 2× slower)
+    val gen = p.indexOf("Generate")
+    val agg = p.indexOf("HashAggregate")
+    assert(gen >= 0 && agg >= 0 && gen < agg,
+      s"posexplode must be above the aggregate (gen@$gen, agg@$agg):\n$p")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // Theta joins in the documented quadratic baselines become
     // BroadcastNestedLoopJoin (bounded side); an unconditional
