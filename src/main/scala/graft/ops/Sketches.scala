@@ -98,18 +98,40 @@ object Sketches {
       .groupBy(col("bucket"))
       .agg(max(col("rank")).as("max_rank"))
 
-  /** Cardinality estimate from the registers. The harmonic sum is EXACT
-    * integer arithmetic: Σ 2^(−M_j) is scaled by 2^49 (max rank is 43 at
-    * bBits = 6, so every weight 2^(49−M) fits a long), summed as longs —
-    * order-independent, engine-exact — and only the final α·m²·2^49 / S
-    * division is floating point (one IEEE op chain, bit-stable). Output:
-    * (m, n_empty_buckets, est) — raw HLL estimator, documented ±1.04/√m;
-    * the small-range linear-counting correction is deliberately omitted
-    * because its ln() is not bit-portable across engines. */
-  def hllEstimate(items: DataFrame, itemCol: String, bBits: Int = 6): DataFrame = {
+  /** Merge HLL register tables: union + the same per-bucket max. The max
+    * is associative and commutative, so per-shard register tables — each
+    * built by ONE pass over its own shard — roll up into the corpus
+    * registers without ever touching items again: merge(registers(A),
+    * registers(B)) ≡ registers(A ∪ B), exactly (SketchesSpec asserts table
+    * equality; q_hll_merge hash-verifies the merged ESTIMATE against the
+    * oracle's single-pass build). This is the sketch contract that matters
+    * at 100 TB: distinct-count state is k·shards tiny rows, recomputed
+    * never. */
+  def hllMergeRegisters(tables: Seq[DataFrame]): DataFrame =
+    tables.reduce(_ unionByName _)
+      .groupBy(col("bucket")).agg(max(col("max_rank")).as("max_rank"))
+
+  /** Merge Count-Min sketches: union + per-cell SUM — CM counters are
+    * linear, so shard sketches add cell-wise into the corpus sketch
+    * (merge(cms(A), cms(B)) ≡ cms(A ∪ B), table-exact). */
+  def cmsMerge(tables: Seq[DataFrame]): DataFrame =
+    tables.reduce(_ unionByName _)
+      .groupBy(col("row"), col("col")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Cardinality estimate from a register table ([[hllRegisters]] output,
+    * or any [[hllMergeRegisters]] roll-up of shard tables). The harmonic
+    * sum is EXACT integer arithmetic: Σ 2^(−M_j) is scaled by 2^49 (max
+    * rank is 43 at bBits = 6, so every weight 2^(49−M) fits a long),
+    * summed as longs — order-independent, engine-exact — and only the
+    * final α·m²·2^49 / S division is floating point (one IEEE op chain,
+    * bit-stable). Output: (m, n_empty_buckets, est) — raw HLL estimator,
+    * documented ±1.04/√m; the small-range linear-counting correction is
+    * deliberately omitted because its ln() is not bit-portable across
+    * engines. */
+  def hllEstimateFromRegisters(registers: DataFrame, bBits: Int = 6): DataFrame = {
     val m = 1L << bBits
     val alpha = 0.7213 / (1.0 + 1.079 / m)
-    hllRegisters(items, itemCol, bBits)
+    registers
       .agg(count(lit(1)).as("n_filled"),
         sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - max_rank AS INT))")).as("s_filled"))
       .select(lit(m).as("m"), (lit(m) - col("n_filled")).as("n_empty_buckets"),
@@ -117,4 +139,8 @@ object Sketches {
           (col("s_filled") + (lit(m) - col("n_filled")) * lit(1L << 49)).cast("double"), 2)
           .as("est"))
   }
+
+  /** One-pass build + estimate (see [[hllEstimateFromRegisters]]). */
+  def hllEstimate(items: DataFrame, itemCol: String, bBits: Int = 6): DataFrame =
+    hllEstimateFromRegisters(hllRegisters(items, itemCol, bBits), bBits)
 }

@@ -864,6 +864,28 @@ object PipelineQueries {
        |FROM agg""".stripMargin
   }
 
+  /** Sketch MERGE algebra, hash-verified: the corpus splits into two
+    * doc_id-parity shards, each shard builds its own HLL register table in
+    * one pass, and the rolled-up registers
+    * ([[Sketches.hllMergeRegisters]]) feed the estimator. The oracle is
+    * the SINGLE-PASS build over the whole table ([[hllDistinctSql]]), so a
+    * hash match PROVES merge(registers(A), registers(B)) ≡
+    * registers(A ∪ B) across engines — the roll-up contract that lets
+    * 100 TB distinct-count state live as tiny per-shard tables. */
+  def hllMerge(s: SparkSession, d: String): DataFrame = {
+    val items = documents(s, d)
+      .select(coalesce(col("text"), lit("")).as("item"), col("doc_id"))
+    def shard(parity: Int) = Sketches.hllRegisters(
+      items.where(pmod(col("doc_id"), lit(2)) === parity), "item", bBits = 6)
+    Sketches.hllEstimateFromRegisters(
+        Sketches.hllMergeRegisters(Seq(shard(0), shard(1))), bBits = 6)
+      .join(items.agg(countDistinct(col("item")).as("exact_distinct")))
+  }
+
+  /** Identical oracle to [[hllDistinctSql]]: the merged shard registers
+    * must reproduce the one-pass build bit-for-bit. */
+  val hllMergeSql: String = hllDistinctSql
+
   // ---- multimodal ----------------------------------------------------------
 
   def multimodalMeta(s: SparkSession, d: String): DataFrame =

@@ -59,10 +59,28 @@ class SketchesSpec extends AnyFunSuite {
     val b = spark.range(500, 1500).select(concat(lit("x"), col("id")).as("item"))
     val whole = Sketches.hllRegisters(a.union(b), "item", 6)
       .as[(Long, Int)].collect().toMap
-    val merged = Sketches.hllRegisters(a, "item", 6)
-      .union(Sketches.hllRegisters(b, "item", 6))
-      .groupBy("bucket").agg(max("max_rank").as("max_rank"))
+    val merged = Sketches.hllMergeRegisters(Seq(
+        Sketches.hllRegisters(a, "item", 6), Sketches.hllRegisters(b, "item", 6)))
       .as[(Long, Int)].collect().toMap
     assert(merged === whole)
+    // and the estimate off the merged registers equals the one-pass estimate
+    val estWhole = Sketches.hllEstimate(a.union(b), "item", 6)
+      .as[(Long, Long, Double)].collect().head
+    val estMerged = Sketches.hllEstimateFromRegisters(Sketches.hllMergeRegisters(Seq(
+        Sketches.hllRegisters(a, "item", 6), Sketches.hllRegisters(b, "item", 6))), 6)
+      .as[(Long, Long, Double)].collect().head
+    assert(estMerged === estWhole)
+  }
+
+  test("CMS: shard merge (union + sum) equals the single-pass sketch, 3 shards") {
+    val shards = Seq(0, 1, 2).map(p =>
+      spark.range(900).where(pmod(col("id"), lit(3)) === p)
+        .select(concat(lit("w"), pmod(col("id"), lit(37))).as("item")))
+    val whole = Sketches.cmsBuild(shards.reduce(_ union _), "item")
+      .as[(Int, Long, Long)].collect().map { case (r, c, n) => (r, c) -> n }.toMap
+    val merged = Sketches.cmsMerge(shards.map(Sketches.cmsBuild(_, "item")))
+      .as[(Int, Long, Long)].collect().map { case (r, c, n) => (r, c) -> n }.toMap
+    assert(merged === whole)
+    assert(whole.nonEmpty)
   }
 }
