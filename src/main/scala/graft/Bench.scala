@@ -33,8 +33,11 @@ object Bench {
     // contention-free estimate of the plan's real cost, which is what a
     // cross-round comparison needs.
     val steadyIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // Dev-only iteration filter (comma-separated names); driver leaves unset.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries.toSeq
       .filterNot { case (name, _) => excludedBaselines(name) }
+      .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         // Steady-state timing (JMH-style): the first run — timed separately
         // as `cold` — compiles this query's generated code (Janino + JIT —

@@ -324,6 +324,24 @@ object Dedup {
     labels.toDF("doc_id", "rep")
   }
 
+  /** The dedup MATERIALIZATION: the corpus with every near-dup cluster
+    * reduced to its canonical member (the cluster's minimum doc_id — the
+    * [[connectedComponents]] representative), singletons untouched. This is
+    * the step that actually SHRINKS a training corpus after pair finding:
+    * keep a doc iff it has no component label (never appeared in a pair)
+    * or it IS its component's representative.
+    *
+    * Scale shape: the component frame holds only docs that appeared in a
+    * near-dup pair (≪ corpus at production dup rates, but NOT bounded by
+    * construction — a dup-heavy corpus makes it corpus-scale), so the join
+    * strategy is left to AQE: small component frames promote to a runtime
+    * broadcast, pathological ones stay a shuffle join instead of OOMing a
+    * forced broadcast. The filter is a pure null/equality predicate. */
+  def survivors(docs: DataFrame, pairs: DataFrame): DataFrame =
+    docs.join(connectedComponents(pairs), Seq("doc_id"), "left")
+      .where(col("rep").isNull || col("rep") === col("doc_id"))
+      .drop("rep")
+
   /** Correctness baseline: exact all-pairs n-gram Jaccard above a threshold.
     * Quadratic — only for verification scale / bounded id ranges; the LSH
     * path is the 100 TB answer. */

@@ -139,7 +139,7 @@ object Indexes {
   private val modelCache =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
 
-  private def memoModel[T <: AnyRef](df: DataFrame, family: String)(load: => T): T =
+  private[ops] def memoModel[T <: AnyRef](df: DataFrame, family: String)(load: => T): T =
     if (df.inputFiles.isEmpty) load
     else {
       val planKey = md5Hex(df.queryExecution.analyzed.canonicalized

@@ -111,6 +111,40 @@ object TextAnalysis {
       .orderBy(col("doc_freq").desc, col("ngram").asc)
       .limit(k)
 
+  /** Per-document top-`k` characteristic terms by TF-IDF — the term-weighting
+    * pass behind keyword extraction, topic labeling, and quality triage.
+    *
+    * IDF variant: `score = tf · N / df` (raw inverse document frequency,
+    * no logarithm) — deliberate determinism choice: multiplication of
+    * longs is exact and one IEEE division is correctly rounded, so Spark
+    * and the DuckDB oracle produce BIT-IDENTICAL doubles, whereas `ln` is
+    * a libm call with engine-specific last-ulp rounding that would make
+    * hash verification flaky. The ranking this produces per document is
+    * tf-weighted rarity, the same shape the log variant orders.
+    *
+    * Scale shape: one explode + two hash aggregates (tf keyed by
+    * (doc_id, term), df keyed by term — both map-side combined), the
+    * corpus-size scalar rides a broadcast of a 1-row aggregate, the
+    * tf⋈df join shuffles (term, counts) pairs only (vocabulary-sized,
+    * never document bodies), and the per-doc cut is the bounded-heap
+    * [[graft.plans.GroupedTopK]] operator — O(n log k), k·|docs| shuffle,
+    * no full window sort. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"),
+        explode(TextOps.words(coalesce(col("text"), lit("")))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        ((col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+          .as("score"))
+    graft.plans.GroupedTopK.topK(scored, Seq("doc_id"),
+      Seq("score" -> true, "term" -> false), k)
+  }
+
   /** Per-language token statistics over a documents table. */
   def tokenStats(docs: DataFrame): DataFrame =
     docs.select(col("lang"), tokenCount(col("text")).as("tokens"),

@@ -153,6 +153,45 @@ object PipelineQueries {
        |SELECT src AS doc_id, least(src, min(dst)) AS rep
        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
+  /** The dedup MATERIALIZATION audit: per source, how many docs survive
+    * collapsing every near-dup cluster to its canonical (minimum-id) member
+    * — [[Dedup.survivors]] over the indexed LSH+refine pair set; the oracle
+    * replays the components via the recursive transitive-closure CTE and
+    * counts representatives. */
+  def dedupSurvivors(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val (sets, bands) = graft.ops.Indexes.ensureMinhashIndex(s, docs, d)
+    val pairs = graft.ops.Indexes.minhashNearDupsIndexed(s, sets, bands, threshold = 0.3)
+      .select(col("doc_a"), col("doc_b"))
+    val kept = Dedup.survivors(docs.select(col("doc_id"), col("source")), pairs)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_survivors"))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_survivors"), lit(0L)).as("n_survivors"),
+        (col("n_docs") - coalesce(col("n_survivors"), lit(0L))).as("n_dropped"))
+      .orderBy(col("source"))
+  }
+
+  val dedupSurvivorsSql: String =
+    s"""WITH RECURSIVE $duckNearDupCtes,
+       |pairs AS (SELECT doc_a, doc_b FROM scored WHERE jacc >= 0.3),
+       |sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |        UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM sym
+       |  UNION
+       |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+       |rep AS (SELECT src AS doc_id, least(src, min(dst)) AS rep
+       |        FROM reach GROUP BY src)
+       |SELECT d.source AS source, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN rep.rep IS NULL OR rep.rep = d.doc_id
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+       |       CAST(sum(CASE WHEN rep.rep IS NOT NULL AND rep.rep <> d.doc_id
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+       |FROM documents d LEFT JOIN rep ON d.doc_id = rep.doc_id
+       |GROUP BY d.source ORDER BY source""".stripMargin
+
   /** Exact all-pairs Jaccard baseline (bounded id range — quadratic by
     * design; the cap keeps the verification yardstick cheap in the bench). */
   def jaccardAllPairs(s: SparkSession, d: String): DataFrame =
@@ -699,11 +738,15 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
-  val decontaminateSql: String =
+  /** Exact-contamination oracle, parameterized on the eval split: shared by
+    * the exact query (src0) and the bloom-prefiltered query (src1) — the
+    * bloom path's confirm join makes its output EXACTLY the exact-join
+    * result, so the oracle never replays the hash family. */
+  private def decontaminateSqlFor(evalSrc: String): String =
     s"""WITH w AS (SELECT doc_id, source, $duckWords AS w FROM documents),
        |sh AS (SELECT doc_id, source, unnest(${duckHashedShingleSet("w")}) AS s FROM w),
-       |trs AS (SELECT doc_id, s FROM sh WHERE source <> 'src0'),
-       |evs AS (SELECT doc_id AS eval_id, s FROM sh WHERE source = 'src0'),
+       |trs AS (SELECT doc_id, s FROM sh WHERE source <> '$evalSrc'),
+       |evs AS (SELECT doc_id AS eval_id, s FROM sh WHERE source = '$evalSrc'),
        |hits AS (SELECT trs.doc_id, count(DISTINCT trs.s) AS nh, count(DISTINCT eval_id) AS ne
        |         FROM trs JOIN evs USING (s) GROUP BY trs.doc_id)
        |SELECT source, count(*) AS n_docs,
@@ -711,8 +754,26 @@ object PipelineQueries {
        |       CAST(coalesce(sum(nh), 0) AS BIGINT) AS total_hit_shingles,
        |       CAST(coalesce(max(ne), 0) AS BIGINT) AS max_eval_docs_hit
        |FROM documents dd LEFT JOIN hits ON dd.doc_id = hits.doc_id
-       |WHERE dd.source <> 'src0'
+       |WHERE dd.source <> '$evalSrc'
        |GROUP BY source ORDER BY source""".stripMargin
+
+  val decontaminateSql: String = decontaminateSqlFor("src0")
+
+  /** [[decontaminate]]'s 100 TB shape: a fixed-size [[graft.ops.Bloom]]
+    * bitset over the eval shingles prefilters the corpus scan (a codegen'd
+    * bit-test Filter — join-free, broadcast state is ~64 KiB regardless of
+    * eval size) and only the survivors reach the exact confirm join, so the
+    * output contract is identical to the exact pass. Eval split here is
+    * `src1` so the two registered queries audit different partitions. */
+  def bloomDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    Decontamination.contaminationSummaryBloom(
+        docs.where(col("source") =!= "src1"),
+        docs.where(col("source") === "src1"))
+      .orderBy(col("source"))
+  }
+
+  val bloomDecontaminateSql: String = decontaminateSqlFor("src1")
 
   // DuckDB word-2-gram list (mirrors TextOps.shingles(w, 2): [] below 2 words).
   private val duck2grams =
@@ -758,6 +819,30 @@ object PipelineQueries {
        |g AS (SELECT doc_id, unnest($duck2grams) AS ngram FROM w)
        |SELECT ngram, count(*) AS occurrences, count(DISTINCT doc_id) AS doc_freq
        |FROM g GROUP BY ngram ORDER BY doc_freq DESC, ngram ASC LIMIT 15""".stripMargin
+
+  /** Per-document top-3 characteristic terms by the division-only TF-IDF
+    * variant (bit-identical doubles on both engines — see
+    * [[TextAnalysis.tfidfTopTerms]]); corpus statistics (df, N) computed
+    * over the FULL corpus, output bounded to the doc_id < 40 slice. */
+  def tfidfTopTerms(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tfidfTopTerms(documents(s, d), k = 3)
+      .where(col("doc_id") < 40)
+      .orderBy(col("doc_id"), col("score").desc, col("term"))
+
+  val tfidfTopTermsSql: String =
+    s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |tok AS (SELECT doc_id, unnest(w) AS term FROM w),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (SELECT tf.doc_id, tf.term, tf.tf AS tf, df.df AS df,
+       |             (tf.tf * n_docs)::DOUBLE / df.df::DOUBLE AS score
+       |           FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |             ORDER BY score DESC, term ASC) AS rn FROM scored)
+       |SELECT doc_id, term, tf, df, score FROM ranked
+       |WHERE rn <= 3 AND doc_id < 40
+       |ORDER BY doc_id, score DESC, term ASC""".stripMargin
 
   /** Deterministic domain-mixture audit: target rates src0 100%, src1 50%,
     * src2 25%, src3 10%, everything else 75% — one corpus scan, membership a

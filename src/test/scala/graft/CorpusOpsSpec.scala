@@ -34,6 +34,41 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(clean === Set(3L))
   }
 
+  test("bloom-prefiltered decontamination equals the exact pass") {
+    // tiny fixture: exact frame equality, row for row
+    val exact = Decontamination.contaminatedDocs(train, evalSet)
+      .as[(Long, Long, Long)].collect().toSet
+    val bloom = Decontamination.contaminatedDocsBloom(train, evalSet)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(bloom === exact,
+      "confirm join must scrub every bloom false positive")
+    // real corpus: the registered query's summary matches the exact summary
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val exactSum = Decontamination.contaminationSummary(
+        docs.where(col("source") =!= "src1"), docs.where(col("source") === "src1"))
+      .orderBy("source").collect().toSeq
+    val bloomSum = graft.queries.PipelineQueries
+      .bloomDecontaminate(spark, "/root/testdata/sf0.001").collect().toSeq
+    assert(bloomSum === exactSum)
+  }
+
+  test("bloom prefilter prunes the corpus-side join input") {
+    // the whole point of the prefilter: fewer shingle rows reach the
+    // confirm join than the corpus emits (clean docs drop at the Filter)
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val trainD = docs.where(col("source") =!= "src1")
+    val evalD = docs.where(col("source") === "src1")
+    val ev = graft.ops.Dedup.shingleSets(evalD)
+      .select(explode(col("sh")).as("s"))
+    val bits = graft.ops.Bloom.buildBitset(ev, "s", 1 << 19, 5)
+    val corpus = graft.ops.Dedup.shingleSets(trainD)
+      .select(explode(col("sh")).as("s"))
+    val total = corpus.count()
+    val surviving = corpus.where(graft.ops.Bloom.mightContain(col("s"), bits, 5)).count()
+    assert(surviving < total,
+      s"bloom should prune join probes: $surviving of $total survived")
+  }
+
   test("contamination summary aggregates per source") {
     val sum = Decontamination.contaminationSummary(train, evalSet)
       .orderBy("source")

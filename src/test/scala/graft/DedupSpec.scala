@@ -53,6 +53,17 @@ class DedupSpec extends AnyFunSuite {
     assert(kept === Array(0L, 2L, 3L, 4L))  // docs 1,5 removed, min doc_id kept
   }
 
+  test("survivors: one canonical doc per near-dup cluster, singletons kept") {
+    // clusters from the fixture: {0,1,2} (exact+near dups), {4,5} (short
+    // dups); doc 3 never pairs. Survivors = min of each cluster + singleton.
+    val pairs = Dedup.nearDupPairs(docs, 0.3).select("doc_a", "doc_b")
+    val kept = Dedup.survivors(docs, pairs).select("doc_id")
+      .as[Long].collect().sorted
+    assert(kept === Array(0L, 3L, 4L))
+    // the survivor frame keeps the full row, not just ids
+    assert(Dedup.survivors(docs, pairs).columns.toSeq === Seq("doc_id", "text"))
+  }
+
   test("connected components: chain, triangle, disjoint pair, min label wins") {
     // chain 1-2-3-4 (diameter 3, needs >1 round), triangle 10-11-12,
     // disjoint pair 20-21

@@ -53,6 +53,21 @@ class PlanAuditSpec extends AnyFunSuite {
       "corpus side must never sort-merge against the eval set")
   }
 
+  test("bloom decontamination: bit-test Filter on the corpus side, no sort-merge") {
+    val p = plan("q_bloom_decontaminate")
+    // the prefilter is a plain codegen'd Filter carrying the hash probes —
+    // it must plan as a Filter, never as a join against a bitset table
+    assert(p.contains("xxhash64"), "bloom bit test missing from the plan")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus side must never sort-merge against the eval set")
+  }
+
+  test("tfidf per-doc cut runs through the bounded-heap operator") {
+    val p = plan("q_tfidf_topterms")
+    assert(p.contains("GroupedTopK"), "per-doc top-k must use the custom operator")
+    assert(!p.contains("Window"), "no full window sort in the tf-idf cut")
+  }
+
   test("ngram doc-freq top-k is TakeOrderedAndProject, domain mix is one scan") {
     assert(plan("q_ngram_docfreq").contains("TakeOrderedAndProject(limit=15"))
     // the mixture audit derives kept-ness per row: exactly one scan of

@@ -38,6 +38,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(q("good") > q("junk"))
   }
 
+  test("tfidf top terms: rare terms outrank common ones, ties break on term") {
+    // 4 docs; "the" appears in all (df=4), each doc has one unique term
+    // (df=1). score = tf·N/df: doc 0's "alpha" scores 1·4/1 = 4, its
+    // "the" (tf=2) scores 2·4/4 = 2 — the rare term must win rank 1.
+    val docs = Seq(
+      (0L, "the alpha the"),
+      (1L, "the beta"),
+      (2L, "the gamma"),
+      (3L, "the delta")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopTerms(docs, k = 2)
+      .as[(Long, String, Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (id, rows) =>
+        id -> rows.sortBy(r => (-r._5, r._2)).map(r => (r._2, r._5)).toSeq
+      }
+    assert(top(0L) === Seq(("alpha", 4.0), ("the", 2.0)))
+    assert(top(1L) === Seq(("beta", 4.0), ("the", 1.0)))
+    assert(top.keySet === Set(0L, 1L, 2L, 3L))
+  }
+
   test("fingerprint: whitespace-insensitive, case-insensitive") {
     val fps = Seq("The  quick\tfox", "the quick fox", "the quick cat")
       .toDF("text").select(TextAnalysis.fingerprint(col("text")).as("f"))
