@@ -123,6 +123,38 @@ object Curation {
         round(sum(col("kept")).cast("double") / count(lit(1)), 6).as("realized_rate"))
   }
 
+  /** Data MIXING to per-source token budgets — the sampling pass that turns
+    * a curated corpus into a training mixture ("5 000 tokens of src0,
+    * 2 000 of src1, 1 000 of everything else"): per source, documents are
+    * taken in deterministic md5-rank order (the [[reservoirPerSource]]
+    * rank, so the mixture composes with the reservoir and is stable under
+    * corpus growth — new docs only displace at the rank boundary) until
+    * the running token total reaches the source's budget. The document
+    * that CROSSES the boundary is included — its preceding total is still
+    * under budget — so every positive budget yields at least one doc.
+    *
+    * Scale shape: one window cumsum per source over (rank, doc_id) — the
+    * shuffle carries (source, doc_id, rank, tokens), never text; the sort
+    * unit is a source (compose with [[packBins]]'s shard key for a
+    * pathologically dominant source). Output rows are budget-bounded
+    * regardless of corpus size. */
+  def tokenBudgetMix(docs: DataFrame, budgets: Seq[(String, Long)],
+                     defaultBudget: Long): DataFrame = {
+    require((defaultBudget +: budgets.map(_._2)).forall(_ >= 0),
+      "token budgets must be non-negative")
+    val budget = budgets.foldRight(lit(defaultBudget): Column) {
+      case ((src, b), rest) => when(col("source") === src, lit(b)).otherwise(rest)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("rnk"), col("doc_id"))
+    docs.select(col("source"), col("doc_id"),
+        md5(concat_ws(":", col("source"), col("doc_id"))).as("rnk"),
+        size(TextOps.words(coalesce(col("text"), lit("")))).cast("long").as("tokens"))
+      .withColumn("cum_tokens", sum(col("tokens")).over(w))
+      .where(col("cum_tokens") - col("tokens") < budget)
+      .select(col("source"), col("doc_id"), col("tokens"), col("cum_tokens"))
+  }
+
   /** Context-window sequence packing: concatenate each shard's documents
     * in doc_id order and assign every document to the `capacity`-token bin
     * its FIRST token falls in (the GPT-style concat-then-chunk shard

@@ -143,4 +143,26 @@ object Sketches {
   /** One-pass build + estimate (see [[hllEstimateFromRegisters]]). */
   def hllEstimate(items: DataFrame, itemCol: String, bBits: Int = 6): DataFrame =
     hllEstimateFromRegisters(hllRegisters(items, itemCol, bBits), bBits)
+
+  /** Set-INTERSECTION estimate from two register tables via
+    * inclusion–exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), where the
+    * union estimate comes from [[hllMergeRegisters]] — so the whole
+    * three-way answer is computed from the two sketches alone, never the
+    * items. This is the sketch-algebra payoff at 100 TB: overlap between
+    * any two corpus slices (two crawls, two snapshots, train vs eval) is
+    * answerable from per-slice register tables that already exist. Error
+    * compounds (three ±1.04/√m estimates), and small true intersections
+    * can estimate negative — standard HLL inclusion–exclusion behavior,
+    * reported as-is rather than clamped so callers see the raw algebra.
+    * All arithmetic after the integer harmonic sums is one IEEE add/sub
+    * chain on identical doubles — engine-exact, hash-verifiable. */
+  def hllIntersectEstimate(a: DataFrame, b: DataFrame, bBits: Int = 6): DataFrame = {
+    val ea = hllEstimateFromRegisters(a, bBits).select(col("est").as("est_a"))
+    val eb = hllEstimateFromRegisters(b, bBits).select(col("est").as("est_b"))
+    val eu = hllEstimateFromRegisters(hllMergeRegisters(Seq(a, b)), bBits)
+      .select(col("est").as("est_union"))
+    ea.join(eb).join(eu)
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        round(col("est_a") + col("est_b") - col("est_union"), 2).as("est_intersect"))
+  }
 }

@@ -852,6 +852,28 @@ object PipelineQueries {
         Seq("src0" -> 100, "src1" -> 50, "src2" -> 25, "src3" -> 10), default = 75)
       .orderBy(col("source"))
 
+  /** Data mixing to per-source token budgets: src0 gets 5 000 tokens, src1
+    * 2 000, everything else 1 000, filled in deterministic md5-rank order
+    * with the boundary-crossing doc included ([[Curation.tokenBudgetMix]]).
+    * Output rows are budget-bounded regardless of corpus size. */
+  def tokenBudgetMix(s: SparkSession, d: String): DataFrame =
+    Curation.tokenBudgetMix(documents(s, d),
+        Seq("src0" -> 5000L, "src1" -> 2000L), defaultBudget = 1000L)
+      .orderBy(col("source"), col("cum_tokens"), col("doc_id"))
+
+  val tokenBudgetMixSql: String =
+    """WITH r AS (SELECT source, doc_id,
+      |             md5(source || ':' || doc_id::VARCHAR) AS rnk,
+      |             len(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'))::BIGINT AS tokens
+      |           FROM documents),
+      |c AS (SELECT source, doc_id, tokens,
+      |        CAST(sum(tokens) OVER (PARTITION BY source ORDER BY rnk, doc_id) AS BIGINT) AS cum_tokens
+      |      FROM r)
+      |SELECT source, doc_id, tokens, cum_tokens FROM c
+      |WHERE cum_tokens - tokens <
+      |      CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 2000 ELSE 1000 END
+      |ORDER BY source, cum_tokens, doc_id""".stripMargin
+
   /** Deterministic per-source reservoir: exactly 10 docs per source, chosen
     * by md5 rank ([[Curation.reservoirPerSource]]); the cut is the custom
     * bounded-heap operator, the oracle a DuckDB row_number window. */
@@ -970,6 +992,54 @@ object PipelineQueries {
   /** Identical oracle to [[hllDistinctSql]]: the merged shard registers
     * must reproduce the one-pass build bit-for-bit. */
   val hllMergeSql: String = hllDistinctSql
+
+  /** Sketch-algebra intersection: overlap between two corpus slices
+    * (doc_id ≡ 0 mod 2 vs mod 3) estimated PURELY from their HLL register
+    * tables via inclusion–exclusion ([[Sketches.hllIntersectEstimate]]),
+    * with the exact intersection alongside — the "how much do two crawls
+    * share" question answered from per-slice sketch state. */
+  def hllIntersect(s: SparkSession, d: String): DataFrame = {
+    val items = documents(s, d)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("item"))
+    val a = items.where(pmod(col("doc_id"), lit(2)) === 0)
+    val b = items.where(pmod(col("doc_id"), lit(3)) === 0)
+    val exact = a.select(col("item")).intersect(b.select(col("item")))
+      .agg(count(lit(1)).as("exact_intersect"))
+    Sketches.hllIntersectEstimate(
+        Sketches.hllRegisters(a, "item", bBits = 6),
+        Sketches.hllRegisters(b, "item", bBits = 6), bBits = 6)
+      .join(exact)
+  }
+
+  val hllIntersectSql: String = {
+    val m = 64L
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val num = alpha * m * m * math.pow(2.0, 49)
+    // one register-build + estimator block per set (same math as
+    // hllDistinctSql), over the a / b / union slice predicates
+    def est(tag: String, where: String): String =
+      s"""h$tag AS (SELECT ('0x' || substr(md5(item), 1, 12))::BIGINT AS hb48
+         |          FROM it WHERE $where),
+         |r$tag AS (SELECT hb48 % 64 AS bucket,
+         |                 CASE WHEN (hb48 >> 6) = 0 THEN 43
+         |                      ELSE 42 - (length(bin(hb48 >> 6)) - 1) END AS rank
+         |          FROM h$tag),
+         |g$tag AS (SELECT bucket, max(rank) AS mr FROM r$tag GROUP BY bucket),
+         |e$tag AS (SELECT round($num /
+         |            (CAST(sum(1::BIGINT << (49 - mr)) AS BIGINT)
+         |             + (64 - count(*)) * (1::BIGINT << 49))::DOUBLE, 2) AS est
+         |          FROM g$tag)""".stripMargin
+    s"""WITH it AS (SELECT doc_id, coalesce(text, '') AS item FROM documents),
+       |${est("a", "doc_id % 2 = 0")},
+       |${est("b", "doc_id % 3 = 0")},
+       |${est("u", "doc_id % 2 = 0 OR doc_id % 3 = 0")}
+       |SELECT ea.est AS est_a, eb.est AS est_b, eu.est AS est_union,
+       |       round(ea.est + eb.est - eu.est, 2) AS est_intersect,
+       |       (SELECT count(*) FROM
+       |          (SELECT item FROM it WHERE doc_id % 2 = 0
+       |           INTERSECT SELECT item FROM it WHERE doc_id % 3 = 0)) AS exact_intersect
+       |FROM ea, eb, eu""".stripMargin
+  }
 
   // ---- multimodal ----------------------------------------------------------
 

@@ -101,6 +101,32 @@ class CurationSpec extends AnyFunSuite {
       s"grown sample re-ranked pre-existing docs: ${surviving -- oldIds}")
   }
 
+  test("token budget mix: fills in rank order, includes the boundary doc") {
+    // every doc is 4 tokens; budget 10 → kept docs are the first 3 in rank
+    // order (cum 4, 8, 12 — the 12 crosses the boundary and is included)
+    val docs = (0L until 10L).map(i => (i, "a b c d", "srcX")).toDF("doc_id", "text", "source")
+    val got = Curation.tokenBudgetMix(docs, Seq.empty, defaultBudget = 10L)
+      .orderBy(col("cum_tokens"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.length === 3)
+    assert(got.map(_._4).toSeq === Seq(4L, 8L, 12L))
+    // the kept set is the rank-order prefix: re-running the reservoir rank
+    // over the same ids yields the same leading docs
+    val rankOrder = docs.select(col("doc_id"),
+        md5(concat_ws(":", col("source"), col("doc_id"))).as("rnk"))
+      .orderBy(col("rnk")).as[(Long, String)].collect().map(_._1).take(3).toSet
+    assert(got.map(_._2).toSet === rankOrder)
+    // zero budget keeps nothing; a giant budget keeps everything
+    assert(Curation.tokenBudgetMix(docs, Seq.empty, 0L).count() === 0)
+    assert(Curation.tokenBudgetMix(docs, Seq.empty, 1000L).count() === 10)
+    // per-source budgets apply independently
+    val two = docs.union((100L until 110L).map(i => (i, "a b c d", "srcY"))
+      .toDF("doc_id", "text", "source"))
+    val bySource = Curation.tokenBudgetMix(two, Seq("srcY" -> 4L), 10L)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySource === Map("srcX" -> 3L, "srcY" -> 1L))
+  }
+
   test("packing: bounded shards pack independently, bin ids restart per shard") {
     // 4 docs of 10 tokens in one source; shardDocs = 2 -> shards {0,1},
     // each packing its own 2 docs from cum 0 (cum 0 and 10 both land in

@@ -72,6 +72,24 @@ class SketchesSpec extends AnyFunSuite {
     assert(estMerged === estWhole)
   }
 
+  test("HLL: inclusion-exclusion intersection estimate tracks true overlap") {
+    val a = spark.range(1000).select(concat(lit("x"), col("id")).as("item"))
+    val b = spark.range(500, 1500).select(concat(lit("x"), col("id")).as("item"))
+    val ra = Sketches.hllRegisters(a, "item", 6)
+    val rb = Sketches.hllRegisters(b, "item", 6)
+    val row = Sketches.hllIntersectEstimate(ra, rb, 6)
+      .as[(Double, Double, Double, Double)].collect().head
+    val (ea, eb, eu, ei) = row
+    // the algebra must hold exactly (same doubles on both sides)
+    assert(ei === math.rint((ea + eb - eu) * 100) / 100)
+    // true |A∩B| = 500; three compounding ±13% estimates — allow wide slack
+    assert(ei > 0 && ei < 1500, s"intersect estimate $ei wildly off 500")
+    // self-intersection: est(A∩A) = est(A) because merge(A,A) = A
+    val self = Sketches.hllIntersectEstimate(ra, ra, 6)
+      .as[(Double, Double, Double, Double)].collect().head
+    assert(self._4 === self._1 && self._3 === self._1)
+  }
+
   test("CMS: shard merge (union + sum) equals the single-pass sketch, 3 shards") {
     val shards = Seq(0, 1, 2).map(p =>
       spark.range(900).where(pmod(col("id"), lit(3)) === p)
