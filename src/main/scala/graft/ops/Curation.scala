@@ -123,6 +123,26 @@ object Curation {
         round(sum(col("kept")).cast("double") / count(lit(1)), 6).as("realized_rate"))
   }
 
+  /** Materialize TRAINING SHARDS — the sink side of the curation pipeline:
+    * the corpus written as parquet partitioned by deterministic split label
+    * ([[splitLabel]] over doc_id, so assignment is reproducible and a doc
+    * never migrates between splits on rewrite), clustered by doc_id within
+    * each file, with a hard per-file record cap. `maxRecordsPerFile` is the
+    * writer-level knob that bounds shard size no matter how skewed the
+    * split partitioning is — the property that matters when "train" is 90%
+    * of a 100 TB corpus and one task's partition would otherwise emit one
+    * giant file. One shuffle (the split repartition), one sort per task,
+    * no driver involvement. */
+  def writeTrainingShards(docs: DataFrame, path: String,
+                          weights: Seq[(String, Int)],
+                          maxRecordsPerFile: Long): Unit =
+    docs.withColumn("split", splitLabel(col("doc_id"), weights))
+      .repartition(col("split"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("split").parquet(path)
+
   /** Data MIXING to per-source token budgets — the sampling pass that turns
     * a curated corpus into a training mixture ("5 000 tokens of src0,
     * 2 000 of src1, 1 000 of everything else"): per source, documents are

@@ -144,6 +144,24 @@ object Sketches {
   def hllEstimate(items: DataFrame, itemCol: String, bBits: Int = 6): DataFrame =
     hllEstimateFromRegisters(hllRegisters(items, itemCol, bBits), bBits)
 
+  /** Deterministic bottom-k hash sample — the mergeable uniform-sample
+    * sketch behind sample-based quantiles (and any "look at k
+    * representative rows" pass): keep the k rows whose md5 rank over the
+    * row id is SMALLEST. Membership is a pure function of the id, so the
+    * sample is identical across runs/engines, and it is mergeable:
+    * re-cutting the union of two shard samples equals the sample of the
+    * shard union (min-rank is associative — SketchesSpec asserts it), so
+    * per-shard samples roll up without touching rows again. Globally the
+    * cut is `orderBy(rank).limit(k)` which plans as TakeOrderedAndProject:
+    * a per-partition bounded cut + a k·partitions driver merge — never a
+    * full sort. At 100 TB this is how you answer "p95 of a column" without
+    * sorting the column: maintain the k-sample as write-once state,
+    * estimate quantiles from it ([[graft.queries.PipelineQueries]]'s
+    * q_sample_quantiles measures the estimate against the exact answer). */
+  def bottomKSample(rows: DataFrame, idCol: String, k: Int): DataFrame =
+    rows.withColumn("rnk", md5(col(idCol).cast("string")))
+      .orderBy(col("rnk"), col(idCol)).limit(k)
+
   /** Set-INTERSECTION estimate from two register tables via
     * inclusion–exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), where the
     * union estimate comes from [[hllMergeRegisters]] — so the whole

@@ -993,6 +993,40 @@ object PipelineQueries {
     * must reproduce the one-pass build bit-for-bit. */
   val hllMergeSql: String = hllDistinctSql
 
+  /** Sample-based quantiles: p05/p50/p95 of o_totalprice estimated from a
+    * 500-row deterministic bottom-k hash sample ([[Sketches.bottomKSample]]
+    * — TakeOrderedAndProject cut, never a full sort) next to the exact
+    * percentiles — the scale answer to q_quantile_trim's full-column
+    * percentile: at 100 TB the sample is write-once mergeable state and
+    * the estimate touches k rows. Both engines compute from the IDENTICAL
+    * sample (membership is a pure md5 function of o_orderkey), so the
+    * estimate — not just the exact reference — is hash-verified. */
+  def sampleQuantiles(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    def ps(df: DataFrame, tag: String) =
+      df.agg(percentile(col("o_totalprice"),
+          array(lit(0.05), lit(0.5), lit(0.95))).as("p"))
+        .select(round(element_at(col("p"), 1), 4).as(s"${tag}_p05"),
+          round(element_at(col("p"), 2), 4).as(s"${tag}_p50"),
+          round(element_at(col("p"), 3), 4).as(s"${tag}_p95"))
+    ps(Sketches.bottomKSample(
+        o.select(col("o_orderkey"), col("o_totalprice")), "o_orderkey", 500), "est")
+      .join(ps(o, "exact"))
+  }
+
+  val sampleQuantilesSql: String =
+    """WITH s AS (SELECT o_totalprice FROM
+      |             (SELECT o_totalprice, md5(o_orderkey::VARCHAR) AS rnk, o_orderkey
+      |              FROM orders ORDER BY rnk, o_orderkey LIMIT 500)),
+      |e AS (SELECT round(quantile_cont(o_totalprice, 0.05), 4) AS est_p05,
+      |             round(quantile_cont(o_totalprice, 0.5), 4) AS est_p50,
+      |             round(quantile_cont(o_totalprice, 0.95), 4) AS est_p95 FROM s),
+      |x AS (SELECT round(quantile_cont(o_totalprice, 0.05), 4) AS exact_p05,
+      |             round(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50,
+      |             round(quantile_cont(o_totalprice, 0.95), 4) AS exact_p95 FROM orders)
+      |SELECT est_p05, est_p50, est_p95, exact_p05, exact_p50, exact_p95
+      |FROM e, x""".stripMargin
+
   /** Sketch-algebra intersection: overlap between two corpus slices
     * (doc_id ≡ 0 mod 2 vs mod 3) estimated PURELY from their HLL register
     * tables via inclusion–exclusion ([[Sketches.hllIntersectEstimate]]),

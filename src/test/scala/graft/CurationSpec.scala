@@ -101,6 +101,37 @@ class CurationSpec extends AnyFunSuite {
       s"grown sample re-ranked pre-existing docs: ${surviving -- oldIds}")
   }
 
+  test("training-shard writer: split dirs, record caps, clustered, lossless") {
+    val docs = (0L until 500L).map(i => (i, s"doc $i text")).toDF("doc_id", "text")
+    val w = Seq("train" -> 80, "val" -> 20)
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    try {
+      Curation.writeTrainingShards(docs, out, w, maxRecordsPerFile = 50L)
+      val back = spark.read.parquet(out)
+      // lossless and split-faithful: read-back equals input + its label
+      val expected = docs.select(col("doc_id"),
+        Curation.splitLabel(col("doc_id"), w).as("split")).as[(Long, String)].collect().toSet
+      assert(back.select(col("doc_id"), col("split").cast("string"))
+        .as[(Long, String)].collect().toSet === expected)
+      // one directory per split, every data file within the record cap and
+      // sorted by doc_id (the scan-locality contract)
+      val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).sorted
+      assert(dirs.toSeq === Seq("split=train", "split=val"))
+      for (d <- dirs; f <- new java.io.File(s"$out/$d").listFiles()
+           if f.getName.endsWith(".parquet")) {
+        val ids = spark.read.parquet(f.getAbsolutePath)
+          .select(col("doc_id")).as[Long].collect()
+        assert(ids.length <= 50, s"${f.getName} exceeds the record cap")
+        assert(ids.toSeq === ids.sorted.toSeq, s"${f.getName} not clustered")
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(out))
+    }
+  }
+
   test("token budget mix: fills in rank order, includes the boundary doc") {
     // every doc is 4 tokens; budget 10 → kept docs are the first 3 in rank
     // order (cum 4, 8, 12 — the 12 crosses the boundary and is included)

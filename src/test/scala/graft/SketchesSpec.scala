@@ -72,6 +72,30 @@ class SketchesSpec extends AnyFunSuite {
     assert(estMerged === estWhole)
   }
 
+  test("bottom-k sample: deterministic, mergeable, quantile estimate tracks exact") {
+    val rows = spark.range(5000).select(col("id"), (col("id") % 1000).cast("double").as("v"))
+    val s1 = Sketches.bottomKSample(rows, "id", 200).as[(Long, Double, String)].collect().toSet
+    val s2 = Sketches.bottomKSample(rows, "id", 200).as[(Long, Double, String)].collect().toSet
+    assert(s1 === s2 && s1.size === 200)
+    // merge: re-cutting the union of two shard samples = sample of the union
+    val a = rows.where(col("id") < 2500)
+    val b = rows.where(col("id") >= 2500)
+    val merged = Sketches.bottomKSample(
+        Sketches.bottomKSample(a, "id", 200).unionByName(Sketches.bottomKSample(b, "id", 200))
+          .drop("rnk"), "id", 200)
+      .as[(Long, Double, String)].collect().toSet
+    assert(merged === s1)
+    // quantile estimate from the sample lands near the exact value
+    // (v is uniform on [0, 1000) — exact p50 = 499.5)
+    val est = Sketches.bottomKSample(rows, "id", 200)
+      .agg(percentile(col("v"), lit(0.5)).as("p")).as[Double].collect().head
+    assert(math.abs(est - 499.5) < 150, s"sample p50 $est too far from 499.5")
+    // the global cut is TakeOrderedAndProject — never a full sort
+    val plan = Sketches.bottomKSample(rows, "id", 200)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject(limit=200"), plan.take(500))
+  }
+
   test("HLL: inclusion-exclusion intersection estimate tracks true overlap") {
     val a = spark.range(1000).select(concat(lit("x"), col("id")).as("item"))
     val b = spark.range(500, 1500).select(concat(lit("x"), col("id")).as("item"))
