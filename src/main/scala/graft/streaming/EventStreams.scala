@@ -122,6 +122,26 @@ object EventStreams {
       .join(broadcast(evShingles), Seq("s"), "left_semi")
   }
 
+  /** [[contaminationHitsStream]] with the [[graft.ops.Bloom]] prefilter on
+    * the stream side — the shape for an eval set too large to broadcast
+    * raw per micro-batch: the bitset is built ONCE from the static eval
+    * frame at stream-construction time (it is a pure expression literal,
+    * so it needs no re-planning, no state store, and costs each
+    * micro-batch only the codegen'd bit test), and only bloom survivors
+    * reach the exact confirm semi-join. Output-identical to the exact
+    * stream (zero false negatives + exact confirm; EventStreamsSpec
+    * asserts parity). */
+  def contaminationHitsStreamBloom(docs: DataFrame, evalDocs: DataFrame,
+                                   mBits: Int = 1 << 19, kHashes: Int = 5): DataFrame = {
+    val evShingles = graft.ops.Dedup.shingleSets(evalDocs)
+      .select(explode(col("sh")).as("s")).distinct()
+    val bits = graft.ops.Bloom.buildBitset(evShingles, "s", mBits, kHashes)
+    graft.ops.Dedup.shingleSets(docs)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .where(graft.ops.Bloom.mightContain(col("s"), bits, kHashes))
+      .join(broadcast(evShingles), Seq("s"), "left_semi")
+  }
+
   /** Continuous-ingest near-dup gate — the streaming twin of
     * [[graft.ops.Indexes.minhashNearDupsIncremental]]: each micro-batch of
     * landing documents is checked against the corpus's MATERIALIZED dedup

@@ -119,6 +119,23 @@ class EventStreamsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("bloom-prefiltered decontamination stream equals the exact stream") {
+    val evalSet = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val q = EventStreams.contaminationHitsStreamBloom(
+        in.toDF().toDF("doc_id", "text"), evalSet)
+      .writeStream.outputMode("append").format("memory").queryName("deconb").start()
+    in.addData((1L, "the quick brown fox jumps over the lazy dog"),
+               (3L, "alpha beta gamma delta epsilon zeta"))
+    q.processAllAvailable()
+    in.addData((2L, "something quick brown fox entirely different"))
+    q.processAllAvailable()
+    val hitDocs = spark.table("deconb").select("doc_id").as[Long].collect().toSet
+    assert(hitDocs === Set(1L, 2L), "bloom gate must pass exactly the true hits")
+    q.stop()
+  }
+
   test("streaming clean layer equals the batch clean layer on the raw CSV") {
     // Stage the committed fixture into a landing dir (glob the file so the
     // parent resolves as basePath).
