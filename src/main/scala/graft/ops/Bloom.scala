@@ -23,8 +23,11 @@ object Bloom {
 
   /** The k bit positions of `key` in an `mBits`-bit filter: position_i =
     * xxhash64(i, key) mod mBits (pmod — xxhash64 is signed). */
-  def bitPositions(key: Column, mBits: Int, k: Int): Seq[Column] =
+  def bitPositions(key: Column, mBits: Int, k: Int): Seq[Column] = {
+    require(k >= 1 && k <= 16, s"bloom hash count k must be in [1, 16], got $k")
+    require(mBits >= 64, s"bloom bitset needs at least one word, got $mBits bits")
     (0 until k).map(i => pmod(xxhash64(lit(i), key), lit(mBits.toLong)))
+  }
 
   /** Build the bitset DISTRIBUTED: explode each key's k positions, fold
     * into 64-bit words with a map-side-combined `bit_or` aggregate (the
