@@ -162,6 +162,21 @@ object Sketches {
     rows.withColumn("rnk", md5(col(idCol).cast("string")))
       .orderBy(col("rnk"), col(idCol)).limit(k)
 
+  /** Per-GROUP bottom-k hash sample — [[bottomKSample]] with the cut run
+    * through the bounded-heap [[graft.plans.GroupedTopK]] operator (k rows
+    * per group, O(n log k), k·|groups| shuffle, no per-group sort). The
+    * rank hashes (group, id) together so each group draws an independent
+    * sample; all input columns ride along, so per-group statistics
+    * (quantiles, means) can be estimated directly from the sample frame.
+    * This is the grouped generalization of
+    * [[graft.ops.Curation.reservoirPerSource]] with the payload kept. */
+  def bottomKSamplePerGroup(rows: DataFrame, groupCol: String, idCol: String,
+                            k: Int): DataFrame =
+    graft.plans.GroupedTopK.topK(
+      rows.withColumn("rnk",
+        md5(concat_ws(":", col(groupCol), col(idCol).cast("string")))),
+      Seq(groupCol), Seq("rnk" -> false, idCol -> false), k)
+
   /** Set-INTERSECTION estimate from two register tables via
     * inclusion–exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), where the
     * union estimate comes from [[hllMergeRegisters]] — so the whole

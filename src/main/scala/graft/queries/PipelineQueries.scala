@@ -1027,6 +1027,43 @@ object PipelineQueries {
       |SELECT est_p05, est_p50, est_p95, exact_p05, exact_p50, exact_p95
       |FROM e, x""".stripMargin
 
+  /** Grouped sample quantiles — the per-group twin of
+    * [[sampleQuantiles]]: a 100-row bottom-k hash sample PER
+    * o_orderpriority (cut by the bounded-heap GroupedTopK operator, no
+    * per-group sort) estimates each group's median next to the exact
+    * value. Both engines draw the identical per-group sample, so the
+    * estimates hash-match. */
+  def groupSampleQuantiles(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(col("o_orderpriority"), col("o_orderkey"),
+      col("o_totalprice"))
+    val est = Sketches.bottomKSamplePerGroup(o, "o_orderpriority", "o_orderkey", 100)
+      .groupBy(col("o_orderpriority"))
+      .agg(round(percentile(col("o_totalprice"), lit(0.5)), 4).as("est_p50"),
+        count(lit(1)).as("sample_n"))
+    val exact = o.groupBy(col("o_orderpriority"))
+      .agg(round(percentile(col("o_totalprice"), lit(0.5)), 4).as("exact_p50"),
+        count(lit(1)).as("group_n"))
+    est.join(exact, Seq("o_orderpriority")).orderBy(col("o_orderpriority"))
+  }
+
+  val groupSampleQuantilesSql: String =
+    """WITH r AS (SELECT o_orderpriority, o_totalprice,
+      |             row_number() OVER (PARTITION BY o_orderpriority
+      |               ORDER BY md5(o_orderpriority || ':' || o_orderkey::VARCHAR) ASC,
+      |                        o_orderkey ASC) AS rn
+      |           FROM orders),
+      |e AS (SELECT o_orderpriority,
+      |             round(quantile_cont(o_totalprice, 0.5), 4) AS est_p50,
+      |             count(*) AS sample_n
+      |      FROM r WHERE rn <= 100 GROUP BY o_orderpriority),
+      |x AS (SELECT o_orderpriority,
+      |             round(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50,
+      |             count(*) AS group_n
+      |      FROM orders GROUP BY o_orderpriority)
+      |SELECT o_orderpriority, est_p50, sample_n, exact_p50, group_n
+      |FROM e JOIN x USING (o_orderpriority)
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** Sketch-algebra intersection: overlap between two corpus slices
     * (doc_id ≡ 0 mod 2 vs mod 3) estimated PURELY from their HLL register
     * tables via inclusion–exclusion ([[Sketches.hllIntersectEstimate]]),

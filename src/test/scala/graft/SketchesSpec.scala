@@ -96,6 +96,22 @@ class SketchesSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject(limit=200"), plan.take(500))
   }
 
+  test("per-group bottom-k sample: k rows per group, payload kept, no window sort") {
+    val rows = spark.range(3000).select(col("id"),
+      (col("id") % 3).cast("string").as("g"), (col("id") * 2).cast("double").as("v"))
+    val sampled = Sketches.bottomKSamplePerGroup(rows, "g", "id", 50)
+    val counts = sampled.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(counts === Map("0" -> 50L, "1" -> 50L, "2" -> 50L))
+    // payload column rides along and is consistent with the id
+    assert(sampled.where(col("v") =!= col("id") * 2).count() === 0)
+    // deterministic across invocations
+    val again = Sketches.bottomKSamplePerGroup(rows, "g", "id", 50)
+      .select("id").as[Long].collect().toSet
+    assert(again === sampled.select("id").as[Long].collect().toSet)
+    val plan = sampled.queryExecution.executedPlan.toString
+    assert(plan.contains("GroupedTopK") && !plan.contains("Window"))
+  }
+
   test("HLL: inclusion-exclusion intersection estimate tracks true overlap") {
     val a = spark.range(1000).select(concat(lit("x"), col("id")).as("item"))
     val b = spark.range(500, 1500).select(concat(lit("x"), col("id")).as("item"))
