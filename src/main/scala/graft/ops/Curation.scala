@@ -123,6 +123,34 @@ object Curation {
         round(sum(col("kept")).cast("double") / count(lit(1)), 6).as("realized_rate"))
   }
 
+  /** Context-window document CHUNKING — the pass that turns documents into
+    * fixed-size token windows for embedding or training: chunk c of a doc
+    * covers tokens [c·stride, c·stride + window); starts run 0, stride, …
+    * while they remain inside the document, so trailing chunks may be
+    * short (min 1 token) and every document yields ≥ 1 chunk. Output is
+    * (doc_id, chunk_id, chunk_tokens, chunk_md5) — the md5 of the
+    * space-joined window proves content equality against the oracle
+    * without materializing chunk text in the result.
+    *
+    * Scale shape: tokenize ONCE per document in a projection BELOW the
+    * Generate (plan-asserted — the repo's third-Generate-trap note: a
+    * hoisted projection would re-split the document per chunk), explode
+    * only the start offsets, and slice the carried token array per chunk.
+    * Narrow per-row work, zero shuffles. */
+  def chunkDocuments(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    docs.select(col("doc_id"),
+        TextOps.words(coalesce(col("text"), lit(""))).as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).as("n"))
+      .select(col("doc_id"), col("w"), col("n"),
+        explode(sequence(lit(0), col("n") - 1, lit(stride))).as("start"))
+      .select(col("doc_id"),
+        call_function("div", col("start"), lit(stride)).as("chunk_id"),
+        least(lit(window), col("n") - col("start")).as("chunk_tokens"),
+        md5(concat_ws(" ", slice(col("w"), col("start") + 1, lit(window)))).as("chunk_md5"))
+  }
+
   /** Materialize TRAINING SHARDS — the sink side of the curation pipeline:
     * the corpus written as parquet partitioned by deterministic split label
     * ([[splitLabel]] over doc_id, so assignment is reproducible and a doc

@@ -874,6 +874,25 @@ object PipelineQueries {
       |      CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 2000 ELSE 1000 END
       |ORDER BY source, cum_tokens, doc_id""".stripMargin
 
+  /** Context-window chunking audit: every doc_id < 30 document split into
+    * 8-token windows at stride 4 ([[Curation.chunkDocuments]]); the chunk
+    * md5 hash-verifies window CONTENT, not just counts. */
+  def chunkDocs(s: SparkSession, d: String): DataFrame =
+    Curation.chunkDocuments(
+        documents(s, d).where(col("doc_id") < 30), window = 8, stride = 4)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  val chunkDocsSql: String =
+    """WITH w AS (SELECT doc_id,
+      |             string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS w
+      |           FROM documents WHERE doc_id < 30),
+      |n AS (SELECT doc_id, w, len(w) AS n FROM w),
+      |st AS (SELECT doc_id, w, n, unnest(range(0, n, 4)) AS start FROM n)
+      |SELECT doc_id, start // 4 AS chunk_id,
+      |       least(8, n - start) AS chunk_tokens,
+      |       md5(array_to_string(w[start + 1 : start + 8], ' ')) AS chunk_md5
+      |FROM st ORDER BY doc_id, chunk_id""".stripMargin
+
   /** Deterministic per-source reservoir: exactly 10 docs per source, chosen
     * by md5 rank ([[Curation.reservoirPerSource]]); the cut is the custom
     * bounded-heap operator, the oracle a DuckDB row_number window. */

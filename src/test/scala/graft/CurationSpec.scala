@@ -101,6 +101,35 @@ class CurationSpec extends AnyFunSuite {
       s"grown sample re-ranked pre-existing docs: ${surviving -- oldIds}")
   }
 
+  test("chunking: window/stride coverage, trailing short chunk, one tokenize") {
+    // 10 tokens, window 4, stride 3 → starts 0,3,6,9; last chunk 1 token
+    val docs = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2L, "solo"))
+      .toDF("doc_id", "text")
+    val got = Curation.chunkDocuments(docs, window = 4, stride = 3)
+      .orderBy(col("doc_id"), col("chunk_id"))
+      .as[(Long, Long, Int, String)].collect()
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.map(_._2).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(d1.map(_._3).toSeq === Seq(4, 4, 4, 1))
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(d1.head._4 === h("t0 t1 t2 t3"))
+    assert(d1.last._4 === h("t9"))
+    assert(got.filter(_._1 == 2L).toSeq === Seq((2L, 0L, 1, h("solo"))))
+    // the third-Generate-trap guard: tokenization must run ONCE per doc,
+    // below the Generate — a hoisted projection would re-split per chunk.
+    // Parquet-backed frame: a local Seq constant-folds split() away
+    // (ConvertToLocalRelation) and leaves nothing to assert on.
+    val real = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = Curation.chunkDocuments(real, 4, 3)
+      .queryExecution.executedPlan.toString
+    assert("split\\(".r.findAllIn(plan).size === 1, plan.take(1500))
+    val genIdx = plan.indexOf("Generate")
+    val splitIdx = plan.indexOf("split(")
+    assert(genIdx >= 0 && splitIdx > genIdx,
+      "split() must appear in the child (printed below/after Generate)")
+  }
+
   test("training-shard writer: split dirs, record caps, clustered, lossless") {
     val docs = (0L until 500L).map(i => (i, s"doc $i text")).toDF("doc_id", "text")
     val w = Seq("train" -> 80, "val" -> 20)
