@@ -526,6 +526,34 @@ object CoreQueries {
     """SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
       |ORDER BY cnt DESC, user_id LIMIT 20""".stripMargin
 
+  /** Skewed equi-JOIN through the salted shape
+    * ([[graft.ops.Skew.saltedJoin]]): the skewed probe (lineitem on
+    * l_suppkey — hot suppliers) salts on row content, the build side
+    * (supplier) replicates once per salt value, and the join key becomes
+    * (key, salt) — a hot key's rows split across 8 reducers instead of
+    * one straggler. Salting is output-invariant, so the oracle is the
+    * PLAIN join+aggregate: the check proves the rewrite changes the plan,
+    * not the answer. The aggregate after the join collapses the result to
+    * a verifiable 10-row summary. */
+  def skewSaltedJoin(s: SparkSession, d: String): DataFrame =
+    graft.ops.Skew.saltedJoin(
+        lineitem(s, d).select(col("l_suppkey"), col("l_extendedprice")),
+        supplier(s, d).select(col("s_suppkey").as("l_suppkey"), col("s_name")),
+        "l_suppkey", salt = 8,
+        saltSource = Some(graft.ops.Skew.saltFromCols(8, col("l_extendedprice"))))
+      .groupBy(col("l_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_suppkey"))
+      .limit(10)
+
+  val skewSaltedJoinSql: String =
+    """SELECT l_suppkey, s_name, count(*) AS n_items,
+      |       round(sum(l_extendedprice), 2) AS revenue
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY l_suppkey, s_name
+      |ORDER BY revenue DESC, l_suppkey LIMIT 10""".stripMargin
+
   /** Hierarchical subtotals — `ROLLUP(l_returnflag, l_linestatus)`: detail
     * rows, per-flag subtotals, and a grand total in ONE pass. `grouping()`
     * flags disambiguate a subtotal's synthetic NULL key from a real NULL.

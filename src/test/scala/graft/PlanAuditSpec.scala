@@ -53,6 +53,15 @@ class PlanAuditSpec extends AnyFunSuite {
       "corpus side must never sort-merge against the eval set")
   }
 
+  test("salted join: salt in the join keys, gone from the output") {
+    val p = plan("q_skew_salted_join")
+    // the rewrite's signature: the physical join condition carries the
+    // salt column (whatever strategy AQE picks), the result does not
+    assert(p.contains("__graft_salt"), "salt must appear in the join keys")
+    val out = SparkEntry.queries("q_skew_salted_join")(spark, d).columns.toSeq
+    assert(!out.contains("__graft_salt"))
+  }
+
   test("bloom decontamination: bit-test Filter on the corpus side, no sort-merge") {
     val p = plan("q_bloom_decontaminate")
     // the prefilter is a plain codegen'd Filter carrying the hash probes —
