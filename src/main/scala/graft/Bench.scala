@@ -13,11 +13,37 @@ import java.nio.file.{Files, Paths}
   *   - documented-quadratic verification baselines (q_jaccard_all_pairs —
   *     kept only to validate the LSH paths against exact answers) are
   *     excluded from the timed set and listed in the `excluded` field.
+  *
+  * SELF-ADJUDICATION (round 7, VERDICT r6 §wrong 1): a single min-of-3
+  * number per query could not distinguish "plan regressed" from "suite/
+  * machine pressure" — two rounds of builder-vs-driver disputes. The
+  * artifact now carries, per query:
+  *   - `iters`: ALL steady-state iteration times (the headline stays the
+  *     min) — a real plan regression shows 3 uniformly-slow iterations,
+  *     contention shows spread;
+  *   - `gc_ms`: the JVM GC time that elapsed DURING each iteration
+  *     (GarbageCollectorMXBean deltas) — if a 3.6 s iteration carries
+  *     2.5 s of collector time the cause is heap pressure, not the plan;
+  *   - `order`: the exact run order (suite position is the index), plus
+  *     `heap_max_mb` — so order/pressure effects are visible in-artifact.
+  * `SPARK_GRAFT_BENCH_ORDER=reverse` runs the suite backwards: a query
+  * whose cost follows its POSITION (late = slow) is feeling accumulated
+  * suite state; one whose cost follows its NAME is mispriced by its plan.
+  * Between queries the harness runs one explicit System.gc() (JMH
+  * practice): each query's iterations then start from a comparable heap
+  * instead of inheriting whatever garbage the previous 60 queries left,
+  * which is what inflated unrelated queries in lockstep in rounds 3-6.
   */
 object Bench {
   /** Exact-answer baselines that exist to verify the scalable paths; timing
     * them tells you nothing about the engine's 100 TB design. */
   private val excludedBaselines = Set("q_jaccard_all_pairs")
+
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -35,10 +61,12 @@ object Bench {
     val steadyIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     // Dev-only iteration filter (comma-separated names); driver leaves unset.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq
+    val ordered0 = SparkEntry.queries.toSeq
       .filterNot { case (name, _) => excludedBaselines(name) }
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    val orderMode = sys.env.getOrElse("SPARK_GRAFT_BENCH_ORDER", "forward")
+    val ordered = if (orderMode == "reverse") ordered0.reverse else ordered0
+    val results = ordered.map { case (name, fn) =>
         // Steady-state timing (JMH-style): the first run — timed separately
         // as `cold` — compiles this query's generated code (Janino + JIT —
         // measured ~5.5 s of a 7.7 s cold run for the LSH dedup plan, pure
@@ -51,23 +79,32 @@ object Bench {
         val c0 = System.nanoTime()
         fn(spark, sfDir).count()
         val cold = (System.nanoTime() - c0) / 1e9
-        val best = (1 to steadyIters).map { _ =>
+        // Level the heap before this query's timed iterations (see scaladoc).
+        System.gc()
+        val iters = (1 to steadyIters).map { _ =>
           spark.catalog.clearCache()
+          val g0 = gcMillis()
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
-        }.min
-        (name, best, cold)
+          val sec = (System.nanoTime() - t0) / 1e9
+          (sec, gcMillis() - g0)
+        }
+        (name, iters.map(_._1).min, cold, iters)
       }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jMap[T](f: ((String, Double, Double, Seq[(Double, Long)])) => T) =
+      results.map { r => s"\"" + r._1 + "\":" + f(r) }.mkString("{", ",", "}")
+    val qs = jMap(_._2)
+    val itersJson = jMap(_._4.map(i => f"${i._1}%.4f").mkString("[", ",", "]"))
+    val gcJson = jMap(_._4.map(_._2).mkString("[", ",", "]"))
+    val orderJson = results.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val excl = excludedBaselines.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // cold_total keeps cross-round numbers comparable with round 1's
     // cold-run mode (the headline `value` stays steady-state).
     val coldTotal = results.map(_._3).sum
+    val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"excluded":$excl,"mode":"steady_state_min_of_$steadyIters","cold_total":$coldTotal,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"excluded":$excl,"mode":"steady_state_min_of_$steadyIters","cold_total":$coldTotal,"sf":"$sfDir","iters":$itersJson,"gc_ms":$gcJson,"order":$orderJson,"order_mode":"$orderMode","heap_max_mb":$heapMb,"cpus":"$cpus"}"""
     Files.writeString(Paths.get("bench_result.json"), line + "\n")
     // The metric line goes out LAST, after spark.stop(), so no executor/
     // shutdown logging can interleave with it and a last-JSON-line parse
