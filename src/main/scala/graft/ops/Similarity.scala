@@ -129,10 +129,17 @@ object Similarity {
     *  - assignment is a pure narrow map: the k centroids are embedded as
     *    literals, so each vector evaluates k codegen'd [[DotProduct]] loops
     *    and an `array_max` argmax — NO join, NO shuffle;
-    *  - update: `posexplode` fans each vector into (cell, dim, value) and a
-    *    two-level aggregation takes per-(cell,dim) means — `avg` partially
-    *    aggregates map-side, so the shuffle carries ≤ k·dim·partitions sum
-    *    rows, independent of corpus size;
+    *  - update: per-dimension `avg(embedding[i])` aggregates DIRECTLY on
+    *    the assigned cell ([[lloydMeansFrame]] — the [[kmeansStep]] shape:
+    *    partial aggregation collapses each partition to ≤ k rows map-side,
+    *    so the one exchange carries k·(dim+1) partial sums per partition,
+    *    independent of corpus size). Deliberately NOT `posexplode` +
+    *    (cell, dim) aggregation: ColumnPruning hoists the assignment
+    *    expression ABOVE the Generate and re-evaluates the k dot products
+    *    once per exploded ELEMENT — measured 2× slower at sf0.1 (the
+    *    round-6 `kmeansStep` finding; the trainers carried the same trap
+    *    for one more round — fixed round 7, plan-asserted in
+    *    PlanAuditSpec);
     *  - per-iteration the k·dim doubles are collected to the driver (the
     *    only collect — the model, not the data) and re-embedded as literals
     *    for the next round. Empty cells keep their previous centroid.
@@ -152,18 +159,13 @@ object Similarity {
         .select(col("embedding")).collect()
         .map(_.getSeq[Float](0).toArray.map(_.toDouble))
       require(cent.length == k, s"corpus has fewer than k=$k vectors")
+      // dimensionality comes from the data (the seed vectors are already on
+      // the driver) — fixed-dim corpus contract, same as every ANN path
+      val dim = cent.head.length
       for (_ <- 0 until iters) {
-        val assigned = e.select(
+        val means = lloydMeans(e.select(
           assignCell(col("embedding"), col("nrm"), cent).as("cell"),
-          posexplode(col("embedding")).as(Seq("pos", "v")))
-        val means = assigned.groupBy(col("cell"), col("pos"))
-          .agg(avg(col("v")).as("m"))
-          .groupBy(col("cell"))
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-            x => x.getField("m")).as("cv"))
-          .collect()
-          .map(r => r.getAs[Number]("cell").intValue() ->
-            r.getSeq[Double](1).toArray).toMap
+          col("embedding")), "embedding", dim)
         cent = cent.indices.map(j => means.getOrElse(j, cent(j))).toArray
       }
       import spark.implicits._
@@ -171,6 +173,30 @@ object Similarity {
         .toDF("cell", "centroid")
     } finally e.unpersist()
   }
+
+  /** One Lloyd update over an assignment frame (cell, vector): per-dimension
+    * means aggregated directly on the cell — the [[kmeansStep]] physical
+    * shape shared by both offline trainers, exposed for the plan audit
+    * (PlanAuditSpec asserts NO Generate anywhere in it: the posexplode
+    * variant pays the ColumnPruning assignment-hoist 2× tax).
+    *
+    * Determinism note: the per-partition partial (sum, count) for dimension
+    * i folds the same values in the same row order as the old exploded
+    * shape did for group (cell, pos=i), and partials merge in the same
+    * map-output order — so the re-shape reproduces the committed fixture
+    * models bit-for-bit (verified on retrain against both committed
+    * parquets). */
+  private[graft] def lloydMeansFrame(assigned: DataFrame, vecCol: String,
+                                     dim: Int): DataFrame = {
+    val avgs = (0 until dim).map(i => avg(col(vecCol).getItem(i)).as(s"d$i"))
+    assigned.groupBy(col("cell")).agg(avgs.head, avgs.tail: _*)
+  }
+
+  private def lloydMeans(assigned: DataFrame, vecCol: String,
+                         dim: Int): Map[Int, Array[Double]] =
+    lloydMeansFrame(assigned, vecCol, dim).collect()
+      .map(r => r.getAs[Number]("cell").intValue() ->
+        Array.tabulate(dim)(i => r.getDouble(i + 1))).toMap
 
   // ---- product quantization (PQ) -------------------------------------------
 
@@ -201,17 +227,10 @@ object Similarity {
           .map(_.getSeq[Float](0).toArray.map(_.toDouble))
         require(cent.length == k, s"corpus has fewer than k=$k vectors")
         for (_ <- 0 until iters) {
-          val assigned = sub.select(
-            pqCodeExpr(col("sv"), cent).as("code"),
-            posexplode(col("sv")).as(Seq("pos", "v")))
-          val means = assigned.groupBy(col("code"), col("pos"))
-            .agg(avg(col("v")).as("mv"))
-            .groupBy(col("code"))
-            .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
-              x => x.getField("mv")).as("cv"))
-            .collect()
-            .map(r => r.getAs[Number]("code").intValue() ->
-              r.getSeq[Double](1).toArray).toMap
+          // same [[lloydMeansFrame]] shape as the IVF trainer: per-dim avg
+          // on the assigned code, no Generate (assignment-hoist trap)
+          val means = lloydMeans(sub.select(
+            pqCodeExpr(col("sv"), cent).as("cell"), col("sv")), "sv", subDim)
           cent = cent.indices.map(j => means.getOrElse(j, cent(j))).toArray
         }
         cent.zipWithIndex.map { case (c, j) => (m, j, c.toSeq) }
@@ -287,7 +306,7 @@ object Similarity {
     * k fused dot products + `array_max` over (ccos, -cell) structs — ties
     * break to the smallest cell, identical to [[ivfTopK]]'s `max_by` and
     * the oracle's `row_number() ... ORDER BY ccos DESC, cell ASC`. */
-  private def assignCell(v: Column, nrm: Column, cent: Array[Array[Double]]): Column = {
+  private[graft] def assignCell(v: Column, nrm: Column, cent: Array[Array[Double]]): Column = {
     val scored = cent.zipWithIndex.map { case (c, j) =>
       val cn = math.sqrt(c.foldLeft(0.0)((s, x) => s + x * x))
       struct((dotU(v, typedlit(c.toSeq)) / (nrm * lit(cn))).as("ccos"),

@@ -163,6 +163,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"posexplode must be above the aggregate (gen@$gen, agg@$agg):\n$p")
   }
 
+  test("trainer Lloyd iteration: per-dim means on the cell, NO Generate") {
+    // the offline k-means/PQ trainers iterate this exact frame shape; a
+    // posexplode variant re-evaluates the k-dot-product assignment per
+    // exploded ELEMENT (ColumnPruning hoist — measured 2×, round 6)
+    import org.apache.spark.sql.functions._
+    val emb = graft.engine.Tables.embeddings(spark, d)
+    val cent = Array.tabulate(4)(i => Array.tabulate(64)(j => (i + j) / 64.0))
+    val assigned = emb.select(
+      graft.ops.Similarity.assignCell(col("embedding"),
+        graft.ops.Similarity.norm(col("embedding")), cent).as("cell"),
+      col("embedding"))
+    val p = graft.ops.Similarity.lloydMeansFrame(assigned, "embedding", 64)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Generate"), s"trainer iteration must not explode:\n$p")
+    assert("Exchange hashpartitioning\\(cell".r.findAllIn(p).size === 1, p)
+  }
+
   test("no registered query plans a CartesianProduct") {
     // Theta joins in the documented quadratic baselines become
     // BroadcastNestedLoopJoin (bounded side); an unconditional
