@@ -21,6 +21,21 @@ import org.apache.spark.sql.functions._
   */
 object Bloom {
 
+  /** Bitset + its build-time hash count, bundled so probe parameters can
+    * never drift from build parameters: a `mightContain` probed with a k
+    * larger than the build k silently yields false negatives, defeating
+    * the zero-false-negative contract the decontamination composition
+    * relies on. Prefer [[buildSketch]] + [[BloomSketch.mightContain]];
+    * the raw (bits, k) overloads remain for tests and for callers that
+    * serialize the two parts separately — those callers own the invariant. */
+  final case class BloomSketch(bits: Array[Long], k: Int) {
+    def mightContain(key: Column): Column = Bloom.mightContain(key, bits, k)
+  }
+
+  /** [[buildBitset]] with the hash count captured alongside the bits. */
+  def buildSketch(keys: DataFrame, keyCol: String, mBits: Int, k: Int): BloomSketch =
+    BloomSketch(buildBitset(keys, keyCol, mBits, k), k)
+
   /** The k bit positions of `key` in an `mBits`-bit filter: position_i =
     * xxhash64(i, key) mod mBits (pmod — xxhash64 is signed). */
   def bitPositions(key: Column, mBits: Int, k: Int): Seq[Column] = {
@@ -51,7 +66,12 @@ object Bloom {
     * k bits are set (i.e. `key` MAY be in the build set; definitely-absent
     * keys always test false — zero false negatives). The bitset rides the
     * plan as one array literal, so the test is a plain codegen'd Filter
-    * that pushes below joins and survives whole-stage codegen. */
+    * that pushes below joins and survives whole-stage codegen.
+    *
+    * INVARIANT: `k` must equal the k the bitset was BUILT with — probing
+    * with a larger k tests bits that were never set and produces false
+    * negatives; a smaller k only loosens the filter. Use [[BloomSketch]]
+    * to carry the pair together. */
   def mightContain(key: Column, bits: Array[Long], k: Int): Column = {
     val arr = typedlit(bits.toSeq)
     bitPositions(key, bits.length * 64, k).map { p =>

@@ -158,9 +158,18 @@ object Sketches {
     * sorting the column: maintain the k-sample as write-once state,
     * estimate quantiles from it ([[graft.queries.PipelineQueries]]'s
     * q_sample_quantiles measures the estimate against the exact answer). */
-  def bottomKSample(rows: DataFrame, idCol: String, k: Int): DataFrame =
+  def bottomKSample(rows: DataFrame, idCol: String, k: Int): DataFrame = {
+    // `rnk` is part of the returned sample-frame contract (consumers re-cut
+    // and order by it), so it cannot be renamed away — but a caller column
+    // of the same name would be SILENTLY overwritten by withColumn. Fail
+    // fast instead; callers merging sample frames drop `rnk` before
+    // re-cutting (the union of two bottom-k frames re-cuts to the true
+    // bottom-k of the union — SketchesSpec asserts it).
+    require(!rows.columns.contains("rnk"),
+      "input already has a 'rnk' column; drop or rename it before sampling")
     rows.withColumn("rnk", md5(col(idCol).cast("string")))
       .orderBy(col("rnk"), col(idCol)).limit(k)
+  }
 
   /** Per-GROUP bottom-k hash sample — [[bottomKSample]] with the cut run
     * through the bounded-heap [[graft.plans.GroupedTopK]] operator (k rows
@@ -171,11 +180,14 @@ object Sketches {
     * This is the grouped generalization of
     * [[graft.ops.Curation.reservoirPerSource]] with the payload kept. */
   def bottomKSamplePerGroup(rows: DataFrame, groupCol: String, idCol: String,
-                            k: Int): DataFrame =
+                            k: Int): DataFrame = {
+    require(!rows.columns.contains("rnk"),
+      "input already has a 'rnk' column; drop or rename it before sampling")
     graft.plans.GroupedTopK.topK(
       rows.withColumn("rnk",
         md5(concat_ws(":", col(groupCol), col(idCol).cast("string")))),
       Seq(groupCol), Seq("rnk" -> false, idCol -> false), k)
+  }
 
   /** Set-INTERSECTION estimate from two register tables via
     * inclusion–exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), where the

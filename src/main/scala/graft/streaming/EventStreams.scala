@@ -135,10 +135,10 @@ object EventStreams {
                                    mBits: Int = 1 << 19, kHashes: Int = 5): DataFrame = {
     val evShingles = graft.ops.Dedup.shingleSets(evalDocs)
       .select(explode(col("sh")).as("s")).distinct()
-    val bits = graft.ops.Bloom.buildBitset(evShingles, "s", mBits, kHashes)
+    val sk = graft.ops.Bloom.buildSketch(evShingles, "s", mBits, kHashes)
     graft.ops.Dedup.shingleSets(docs)
       .select(col("doc_id"), explode(col("sh")).as("s"))
-      .where(graft.ops.Bloom.mightContain(col("s"), bits, kHashes))
+      .where(sk.mightContain(col("s")))
       .join(broadcast(evShingles), Seq("s"), "left_semi")
   }
 
