@@ -88,14 +88,54 @@ object Decontamination {
     // per session on (plan, content fingerprint) like the IVF/PQ models, so
     // the steady-state query pays only the corpus-side scan: without the
     // memo every invocation re-runs the eval shingling job + collect.
-    val bits = Indexes.memoModel(evalDocs, s"bloom_m${mBits}_k$kHashes")(
-      Bloom.buildBitset(ev.select(col("s")), "s", mBits, kHashes))
+    // shingleN is part of the family key: the bitset is built from
+    // shingleN-shingles, so a same-session call with a different shingleN
+    // must not reuse a stale bitset (false negatives past the prefilter
+    // would break the exactness contract before the confirm join).
+    val sk = Indexes.memoModel(evalDocs, s"bloom_n${shingleN}_m${mBits}_k$kHashes")(
+      Bloom.buildSketch(ev.select(col("s")), "s", mBits, kHashes))
     Dedup.shingleSets(train, shingleN)
       .select(col("doc_id"), explode(col("sh")).as("s"))
-      .where(Bloom.mightContain(col("s"), bits, kHashes))
+      .where(sk.mightContain(col("s")))
       .join(ev, Seq("s"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("s")).as("n_hit_shingles"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+  }
+
+  /** WINDOWED min-overlap decontamination — the production form: a
+    * training doc is flagged only when it shares at least `windowN`
+    * CONSECUTIVE tokens with an eval doc (the "N-token window" rule of
+    * standard eval-hygiene pipelines), not merely any short shingle. The
+    * rolling windowN-token window hashes ARE windowN-gram shingles, so the
+    * key derivation is [[Dedup.shingleSets]] with shingleN = windowN and
+    * the [[contaminatedDocsBloom]] composition carries over unchanged —
+    * only the window width generalizes.
+    *
+    * The Bloom bitset is the ONLY broadcast state (plan-asserted): the
+    * corpus pass is scan → codegen'd bit-test Filter, and the exact
+    * confirm join is PINNED `shuffle_hash` — at this operator's design
+    * point the eval window set is too large to broadcast (that is why the
+    * bitset exists), so the plan must not silently rely on a broadcast
+    * that stops existing at scale. Zero false negatives through the
+    * prefilter ([[Bloom.mightContain]]); the confirm join removes false
+    * positives, so output is exact.
+    *
+    * Output: (doc_id, n_hit_windows, n_eval_docs) for contaminated docs
+    * only — the sparse contract of [[contaminatedDocs]]. */
+  def contaminatedDocsWindowed(train: DataFrame, evalDocs: DataFrame,
+                               windowN: Int = 5, mBits: Int = 1 << 19,
+                               kHashes: Int = 5): DataFrame = {
+    val ev = Dedup.shingleSets(evalDocs, windowN)
+      .select(col("doc_id").as("eval_id"), explode(col("sh")).as("s"))
+    val sk = Indexes.memoModel(evalDocs, s"bloom_n${windowN}_m${mBits}_k$kHashes")(
+      Bloom.buildSketch(ev.select(col("s")), "s", mBits, kHashes))
+    Dedup.shingleSets(train, windowN)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .where(sk.mightContain(col("s")))
+      .join(ev.hint("shuffle_hash"), Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("s")).as("n_hit_windows"),
         countDistinct(col("eval_id")).as("n_eval_docs"))
   }
 

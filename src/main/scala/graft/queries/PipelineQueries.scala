@@ -20,16 +20,20 @@ object PipelineQueries {
     * but [NULL] in DuckDB — normalizing to '' keeps both at [""]. */
   private val duckWords =
     "string_split_regex(lower(trim(coalesce(text, ''))), '\\s+')"
-  // Mirrors TextOps.shingleSet incl. the whole-text fallback for short docs.
-  private def duckShingleSet(wordsExpr: String) =
-    s"CASE WHEN len($wordsExpr) >= 3 THEN " +
-      s"list_distinct(list_transform(range(1, len($wordsExpr)-1), " +
-      s"i -> $wordsExpr[i] || ' ' || $wordsExpr[i+1] || ' ' || $wordsExpr[i+2])) " +
+  // Mirrors TextOps.shingleSet incl. the whole-text fallback for short docs
+  // (n-gram general form; the dedup family uses n = 3, windowed
+  // decontamination n = 5).
+  private def duckShingleSet(wordsExpr: String, n: Int = 3) = {
+    val gram = (0 until n).map(k => s"$wordsExpr[i+$k]").mkString(" || ' ' || ")
+    s"CASE WHEN len($wordsExpr) >= $n THEN " +
+      s"list_distinct(list_transform(range(1, len($wordsExpr)-${n - 2}), " +
+      s"i -> $gram)) " +
       s"ELSE [array_to_string($wordsExpr, ' ')] END"
+  }
 
   // Mirrors TextOps.hashedShingleSet: distinct 48-bit md5-prefix shingle ids.
-  private def duckHashedShingleSet(wordsExpr: String) =
-    s"list_distinct(list_transform(${duckShingleSet(wordsExpr)}, " +
+  private def duckHashedShingleSet(wordsExpr: String, n: Int = 3) =
+    s"list_distinct(list_transform(${duckShingleSet(wordsExpr, n)}, " +
       s"s -> ('0x' || substr(md5(s), 1, 12))::BIGINT))"
 
   // ---- dedup -------------------------------------------------------------
@@ -774,6 +778,115 @@ object PipelineQueries {
   }
 
   val bloomDecontaminateSql: String = decontaminateSqlFor("src1")
+
+  /** Windowed min-overlap decontamination: a training doc (source ≠ src0)
+    * is flagged only when it shares ≥ 5 CONSECUTIVE tokens with an eval
+    * (src0) doc — rolling 5-token window hashes through the Bloom
+    * prefilter + pinned shuffle_hash exact confirm
+    * ([[graft.ops.Decontamination.contaminatedDocsWindowed]]); the Bloom
+    * bitset is the only broadcast state (plan-asserted). */
+  def windowDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    Decontamination.contaminatedDocsWindowed(
+        docs.where(col("source") =!= "src0"),
+        docs.where(col("source") === "src0"), windowN = 5)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The oracle replays the exact windowed semantics (the bloom prefilter
+    * is transparent: zero false negatives + exact confirm ⇒ output equals
+    * the plain 5-gram-overlap join). */
+  val windowDecontaminateSql: String =
+    s"""WITH w AS (SELECT doc_id, source, $duckWords AS w FROM documents),
+       |sh AS (SELECT doc_id, source, unnest(${duckHashedShingleSet("w", 5)}) AS s FROM w),
+       |trs AS (SELECT doc_id, s FROM sh WHERE source <> 'src0'),
+       |evs AS (SELECT doc_id AS eval_id, s FROM sh WHERE source = 'src0')
+       |SELECT trs.doc_id, count(DISTINCT trs.s) AS n_hit_windows,
+       |       count(DISTINCT eval_id) AS n_eval_docs
+       |FROM trs JOIN evs USING (s)
+       |GROUP BY trs.doc_id ORDER BY doc_id""".stripMargin
+
+  /** Cross-document line dedup (boilerplate removal,
+    * [[graft.ops.LineDedup]]): per doc, total vs surviving lines after
+    * dropping lines whose hash appears in > 25 distinct docs, plus the
+    * md5-over-surviving-line-hashes fingerprint that proves deterministic
+    * reconstruction. The fixture corpus has no newlines, so the query
+    * first derives deterministic pseudo-lines (2-word windows — the
+    * fixture's ~45-word vocabulary makes 2-grams repeat across documents
+    * the way boilerplate lines do in a real crawl; longer windows almost
+    * never collide in synthetic word-soup). The dedup decision path
+    * shuffles line HASHES only; line text never leaves its scan stage. */
+  def lineDedup(s: SparkSession, d: String): DataFrame = {
+    val lined = documents(s, d)
+      .select(col("doc_id"), TextOps.words(coalesce(col("text"), lit(""))).as("w"))
+      .select(col("doc_id"), concat_ws("\n", transform(
+          sequence(lit(0), call_function("div", size(col("w")) - 1, lit(2))),
+          p => concat_ws(" ", slice(col("w"), p * 2 + 1, lit(2))))).as("text"))
+    graft.ops.LineDedup.audit(lined, maxDocFreq = 25).orderBy(col("doc_id"))
+  }
+
+  val lineDedupSql: String =
+    s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |l AS (SELECT doc_id, unnest(range(0, (len(w)+1)//2)) AS pos, w FROM w),
+       |ln AS (SELECT doc_id, pos,
+       |         md5(array_to_string(w[pos*2+1 : pos*2+2], ' ')) AS lh FROM l),
+       |df AS (SELECT lh, count(DISTINCT doc_id) AS df FROM ln GROUP BY lh),
+       |boiler AS (SELECT lh FROM df WHERE df > 25),
+       |f AS (SELECT doc_id, pos, ln.lh, boiler.lh IS NOT NULL AS bp
+       |      FROM ln LEFT JOIN boiler ON ln.lh = boiler.lh)
+       |SELECT doc_id, count(*) AS n_lines,
+       |       CAST(sum(CASE WHEN NOT bp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       md5(coalesce(string_agg(CASE WHEN NOT bp THEN lh END, ','
+       |         ORDER BY pos), '')) AS clean_md5
+       |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Audit of the [[graft.ops.Curation.writeTrainingShards]] OUTPUT: the
+    * query writes the shard tree (80/10/10 split, 100-row file cap,
+    * doc_id-clustered) and reads it back per file — files per split, row
+    * totals, the per-file cap, and whether file doc_id ranges are disjoint
+    * when ordered (the clustering invariant). The oracle audits the SAME
+    * written tree via read_parquet(filename), so both engines grade one
+    * artifact — the sink finally gets a CORRECTNESS row. */
+  def shardAudit(s: SparkSession, d: String): DataFrame = {
+    val path = shardAuditPath(d)
+    Curation.writeTrainingShards(documents(s, d), path,
+      Seq("train" -> 80, "val" -> 10, "test" -> 10), maxRecordsPerFile = 100L)
+    val perFile = s.read.parquet(path)
+      .select(col("split"), col("_metadata.file_path").as("f"), col("doc_id"))
+      .groupBy(col("split"), col("f"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("lo"),
+        max(col("doc_id")).as("hi"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("split")).orderBy(col("lo"))
+    perFile.withColumn("prev_hi", lag(col("hi"), 1).over(w))
+      .groupBy(col("split"))
+      .agg(countDistinct(col("f")).as("n_files"), sum(col("n")).as("n_rows"),
+        max(col("n")).as("max_file_rows"),
+        min(when(col("prev_hi").isNull || col("prev_hi") < col("lo"), 1L)
+          .otherwise(0L)).as("files_disjoint"))
+      .orderBy(col("split"))
+  }
+
+  /** Deterministic, overwrite-per-run audit location (fingerprint-free on
+    * purpose: the oracle SQL is a static string and must glob the same
+    * tree the query just wrote). */
+  private def shardAuditPath(d: String): String =
+    s"${graft.ops.Indexes.indexRoot}/shard_audit/" +
+      d.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** Verify runs at sf0.01 (driver contract), so the oracle globs the
+    * sf0.01 tree; resolved at dump time from the same [[shardAuditPath]]. */
+  val shardAuditSql: String =
+    s"""WITH r AS (SELECT split, filename AS f, doc_id
+       |           FROM read_parquet('${shardAuditPath("/root/testdata/sf0.01")}/split=*/*.parquet',
+       |                             hive_partitioning=true, filename=true)),
+       |pf AS (SELECT split, f, count(*) AS n, min(doc_id) AS lo, max(doc_id) AS hi
+       |       FROM r GROUP BY split, f),
+       |x AS (SELECT *, lag(hi) OVER (PARTITION BY split ORDER BY lo) AS prev_hi FROM pf)
+       |SELECT split, count(DISTINCT f) AS n_files, CAST(sum(n) AS BIGINT) AS n_rows,
+       |       CAST(max(n) AS BIGINT) AS max_file_rows,
+       |       CAST(min(CASE WHEN prev_hi IS NULL OR prev_hi < lo THEN 1 ELSE 0 END) AS BIGINT) AS files_disjoint
+       |FROM x GROUP BY split ORDER BY split""".stripMargin
 
   // DuckDB word-2-gram list (mirrors TextOps.shingles(w, 2): [] below 2 words).
   private val duck2grams =
