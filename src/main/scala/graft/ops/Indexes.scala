@@ -694,6 +694,47 @@ object Indexes {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Append a new batch's derived dedup state to an EXISTING minhash index
+    * — the index-MAINTENANCE half of continuous ingest
+    * ([[minhashNearDupsIncremental]] is the query half): after a batch
+    * clears the near-dup gate, its shingle sets and band keys join the
+    * stored tables so the NEXT batch dedups against it too. Only the batch
+    * is tokenized (one pass, shared by both writes); each parquet append is
+    * job-atomic (files commit at job end), so concurrent readers never see
+    * partial task output.
+    *
+    * MUST be given the same (numHashes, bandRows, shingleN) the index was
+    * built with — mixed-parameter rows would silently corrupt candidate
+    * generation; callers own that invariant (the managed paths encode it).
+    *
+    * CONTENT-ADDRESSING CAVEAT: the fingerprint-keyed paths
+    * [[ensureMinhashIndex]] manages are WRITE-ONCE — appending there would
+    * desynchronize path and content (a regenerated corpus would reuse the
+    * stale appended generation). This op targets explicitly-managed index
+    * locations (a production store with its own lifecycle manifest).
+    *
+    * Failure contract: the two appends are separate jobs; a crash between
+    * them leaves sets-without-bands (the batch invisible to candidate
+    * generation, sets rows harmless to the refine) — degraded to MISSED
+    * pairs, never wrong ones. Re-running a partially-failed append would
+    * duplicate rows (duplicate output pairs downstream), so recovery is
+    * rebuild-from-corpus (the tables are derived state) or the
+    * batch_id-partitioned idempotent-sink pattern
+    * ([[graft.streaming.EventStreams]]) for streaming ingest. */
+  def appendMinhashIndex(spark: SparkSession, newDocs: DataFrame,
+                         setsPath: String, bandsPath: String,
+                         numHashes: Int = 16, bandRows: Int = 2,
+                         shingleN: Int = 3): Unit = {
+    val sets = Dedup.shingleSets(newDocs, shingleN).persist()
+    try {
+      sets.write.mode("append").parquet(setsPath)
+      Dedup.lshBandKeys(Dedup.minhashSignaturesFromSets(sets, numHashes),
+          numHashes, bandRows)
+        .repartition(col("band"), col("key"))
+        .write.mode("append").parquet(bandsPath)
+    } finally sets.unpersist()
+  }
+
   /** Materialized SimHash signature table (doc_id, simhash) — the one-pass
     * 60-bit majority vote is write-once corpus state; near-dup banding
     * reads 16 bytes per doc. */

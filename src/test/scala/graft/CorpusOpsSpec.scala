@@ -69,6 +69,25 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"bloom should prune join probes: $surviving of $total survived")
   }
 
+  test("bloom bitset memo keys on shingleN — no stale reuse across widths") {
+    // regression (round-7 ADVICE): the memo family once omitted shingleN,
+    // so a same-session call with a different width reused the stale
+    // bitset and produced false negatives ahead of the confirm join. The
+    // memo only engages for file-backed frames, so this must run on the
+    // fixture corpus, not a local Seq.
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val trainD = docs.where(col("source") =!= "src0")
+    val evalD = docs.where(col("source") === "src0")
+    // warm the memo at the default width first
+    Decontamination.contaminatedDocsBloom(trainD, evalD, shingleN = 3).count()
+    val exact2 = Decontamination.contaminatedDocs(trainD, evalD, shingleN = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val bloom2 = Decontamination.contaminatedDocsBloom(trainD, evalD, shingleN = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(bloom2 === exact2,
+      "a 2-shingle call must not serve from the 3-shingle bitset")
+  }
+
   test("contamination summary aggregates per source") {
     val sum = Decontamination.contaminationSummary(train, evalSet)
       .orderBy("source")

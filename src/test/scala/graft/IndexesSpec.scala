@@ -311,4 +311,32 @@ class IndexesSpec extends AnyFunSuite {
       case _ => false
     }, "refine must shuffle-join the batch sets on new_id")
   }
+
+  test("appendMinhashIndex: post-append index equals a from-scratch rebuild") {
+    val docs = graft.engine.Tables.documents(spark, sf)
+    val a = docs.where(col("doc_id") % 2 === 0)
+    val b = docs.where(col("doc_id") % 2 === 1)
+    // explicitly-managed index location (NOT an ensureMinhashIndex path —
+    // those are write-once content-addressed; see the op's caveat)
+    val base = Files.createTempDirectory("mh_append_spec").toString
+    val (sets, bands) = (s"$base/sets", s"$base/bands")
+    graft.ops.Dedup.shingleSets(a).write.parquet(sets)
+    graft.ops.Dedup.lshBandKeys(
+        graft.ops.Dedup.minhashSignaturesFromSets(
+          graft.ops.Dedup.shingleSets(a), 16), 16, 2)
+      .write.parquet(bands)
+    Indexes.appendMinhashIndex(spark, b, sets, bands)
+    val got = Indexes.minhashNearDupsIndexed(spark, sets, bands, 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    val want = graft.ops.Dedup.nearDupPairs(docs, 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === want, "appended index must serve the union corpus")
+    // the appended batch is now discoverable by the NEXT increment
+    val reprobe = b.limit(5)
+      .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+    val hits = Indexes.minhashNearDupsIncremental(spark, reprobe, sets, bands, 0.3)
+      .as[(Long, Long, Double)].collect()
+    assert(hits.exists { case (nid, cid, j) => nid - 200000L == cid && j == 1.0 },
+      "re-ingested copy of an appended doc must find its original")
+  }
 }
