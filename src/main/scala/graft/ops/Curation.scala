@@ -203,6 +203,34 @@ object Curation {
       .select(col("source"), col("doc_id"), col("tokens"), col("cum_tokens"))
   }
 
+  /** Token-PROVENANCE spans for the concat-then-chunk training layout: per
+    * document, the exact range of `capacity`-token bins its tokens occupy
+    * after concatenation in doc_id order within its (source, shard) stream.
+    * [[packBins]] assigns whole-doc ownership by starting bin; this is the
+    * split-across-boundary accounting — a doc whose tokens straddle bin
+    * edges reports every bin it touches — i.e. the attribution map a
+    * training pipeline needs to trace a context window back to its source
+    * documents (and the only way to answer "which docs fed window #k" when
+    * packing splits documents). Same window shape and scale contract as
+    * [[packBins]]: one cumsum per bounded (source, shard) sort unit, the
+    * shuffle carries ids and token counts only, never text. Every doc has
+    * ≥ 1 token ([[TextOps.words]] of '' is ['']), so end_bin ≥ start_bin
+    * always holds. */
+  def packSpans(docs: DataFrame, capacity: Int,
+                shardDocs: Long = Long.MaxValue): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("shard_id")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val toks = size(TextOps.words(coalesce(col("text"), lit("")))).cast("long")
+    docs.select(col("source"),
+        floorDivLong(col("doc_id"), shardDocs).as("shard_id"),
+        col("doc_id"), toks.as("tokens"))
+      .withColumn("start_off", coalesce(sum(col("tokens")).over(w), lit(0L)))
+      .select(col("source"), col("shard_id"), col("doc_id"), col("tokens"),
+        floorDivLong(col("start_off"), capacity).as("start_bin"),
+        floorDivLong(col("start_off") + col("tokens") - 1, capacity).as("end_bin"))
+  }
+
   /** Context-window sequence packing: concatenate each shard's documents
     * in doc_id order and assign every document to the `capacity`-token bin
     * its FIRST token falls in (the GPT-style concat-then-chunk shard

@@ -342,6 +342,26 @@ object Dedup {
       .where(col("rep").isNull || col("rep") === col("doc_id"))
       .drop("rep")
 
+  /** [[survivors]] with a caller-chosen RETENTION PRIORITY: each near-dup
+    * cluster keeps the member maximizing (priority, −doc_id) — production
+    * dedup retains the BEST copy (longest text, highest quality score),
+    * not the smallest id; ties still break deterministically to the
+    * smallest id, so the output is execution-independent and
+    * oracle-replayable. Same scale shape as [[survivors]] (the component
+    * frame covers only docs that appeared in a pair; join strategy left to
+    * AQE); the winner election is ONE `max_by` aggregate over the
+    * clustered docs — no per-cluster sort, no window. `priority` is any
+    * deterministic Column over the doc row. */
+  def survivorsBy(docs: DataFrame, pairs: DataFrame, priority: Column): DataFrame = {
+    val comp = connectedComponents(pairs)
+    val winners = docs.join(comp, Seq("doc_id"))
+      .groupBy(col("rep"))
+      .agg(max_by(col("doc_id"), struct(priority, -col("doc_id"))).as("doc_id"))
+      .select(col("doc_id"))
+    docs.join(comp.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .unionByName(docs.join(winners, Seq("doc_id"), "left_semi"))
+  }
+
   /** Correctness baseline: exact all-pairs n-gram Jaccard above a threshold.
     * Quadratic — only for verification scale / bounded id ranges; the LSH
     * path is the 100 TB answer. */

@@ -197,4 +197,33 @@ class CurationSpec extends AnyFunSuite {
     assert(bins === Seq(
       ("s", 0L, 0L, 2L, 20L), ("s", 1L, 0L, 2L, 20L)))
   }
+
+  test("packSpans: exact split-across-boundary ranges, agrees with packBins") {
+    // 3 docs of 10 tokens at capacity 8: doc0 spans bins 0-1 (tokens 0-9),
+    // doc1 bins 1-2 (10-19), doc2 bins 2-3 (20-29)
+    val docs = (0L until 3L).map(i => (i, "s", ("w " * 10).trim)).toDF("doc_id", "source", "text")
+    val spans = Curation.packSpans(docs, capacity = 8)
+      .orderBy("doc_id").as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(spans === Seq(
+      ("s", 0L, 0L, 10L, 0L, 1L),
+      ("s", 0L, 1L, 10L, 1L, 2L),
+      ("s", 0L, 2L, 10L, 2L, 3L)))
+    // start_bin always equals packBins' whole-doc bin ownership
+    val fixture = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val own = Curation.packBins(fixture, capacity = 512, shardDocs = 100L)
+    val sp = Curation.packSpans(fixture, capacity = 512, shardDocs = 100L)
+    val ownTotal = own.agg(sum("bin_tokens")).as[Long].head()
+    val spTotal = sp.agg(sum("tokens")).as[Long].head()
+    assert(ownTotal === spTotal, "token conservation across the two layouts")
+    val badSpan = sp.where(col("end_bin") < col("start_bin")).count()
+    assert(badSpan === 0L)
+    // every doc's starting bin matches the ownership layout's assignment:
+    // both derive from the same cumsum, so the min start_bin per
+    // (source, shard, bin) group must equal the group's bin id
+    val joined = sp.join(own,
+        sp("source") === own("source") && sp("shard_id") === own("shard_id") &&
+          sp("start_bin") === own("bin_id"))
+      .count()
+    assert(joined === sp.count(), "every span's start bin exists in packBins")
+  }
 }

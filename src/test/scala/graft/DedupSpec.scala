@@ -64,6 +64,21 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.survivors(docs, pairs).columns.toSeq === Seq("doc_id", "text"))
   }
 
+  test("survivorsBy: priority elects the best copy, ties to the smallest id") {
+    val pairs = Dedup.nearDupPairs(docs, 0.3).select("doc_a", "doc_b")
+    // longest-text priority: cluster {0,1,2} keeps 2 ("sleepy" is one char
+    // longer than "lazy"); {4,5} ties on length → smaller id 4; singleton 3.
+    val byLen = Dedup.survivorsBy(docs, pairs,
+        org.apache.spark.sql.functions.length(col("text")))
+      .select("doc_id").as[Long].collect().sorted
+    assert(byLen === Array(2L, 3L, 4L))
+    // inverted priority flips the election inside clusters, never singletons
+    val byNegLen = Dedup.survivorsBy(docs, pairs,
+        -org.apache.spark.sql.functions.length(col("text")))
+      .select("doc_id").as[Long].collect().sorted
+    assert(byNegLen === Array(0L, 3L, 4L))
+  }
+
   test("connected components: chain, triangle, disjoint pair, min label wins") {
     // chain 1-2-3-4 (diameter 3, needs >1 round), triangle 10-11-12,
     // disjoint pair 20-21
