@@ -247,7 +247,26 @@ object Indexes {
     *    indexed near-dup join SLOWER than inline re-bucketing). */
   def writeLshIndex(emb: DataFrame, path: String, bBits: Int = 4,
                     lTables: Int = 16, dim: Int = 64, seed: Long = 42L,
-                    partitionByBucket: Boolean = true): Unit = {
+                    partitionByBucket: Boolean = true): Unit =
+    writeLshRows(emb, path, "overwrite", bBits, lTables, dim, seed, partitionByBucket)
+
+  /** Append an ingested batch's vectors to an EXISTING LSH index — the
+    * vector twin of [[appendMinhashIndex]] (same job-atomicity, same
+    * content-addressing caveat: never append to the write-once
+    * fingerprint-keyed paths [[ensureLshIndex]] manages; this targets
+    * explicitly-managed production index locations). The batch buckets
+    * with the index's OWN (bBits, lTables, seed) — the caller owns that
+    * invariant — and the bucketed layout appends new part files inside the
+    * existing (t, key) partition directories, so probes keep pruning
+    * statically and pick up the appended vectors on their next listing. */
+  def appendLshIndex(emb: DataFrame, path: String, bBits: Int = 4,
+                     lTables: Int = 16, dim: Int = 64, seed: Long = 42L,
+                     partitionByBucket: Boolean = true): Unit =
+    writeLshRows(emb, path, "append", bBits, lTables, dim, seed, partitionByBucket)
+
+  private def writeLshRows(emb: DataFrame, path: String, mode: String,
+                           bBits: Int, lTables: Int, dim: Int, seed: Long,
+                           partitionByBucket: Boolean): Unit = {
     val ps = Similarity.planes(bBits * lTables, dim, seed)
     val tables = (0 until lTables).map { t =>
       struct(lit(t).as("t"),
@@ -258,10 +277,10 @@ object Indexes {
       .select(col("vec_id"), col("b.t").as("t"), col("b.key").as("key"))
     if (partitionByBucket)
       rows.repartition(col("t"), col("key"))
-        .write.mode("overwrite").partitionBy("t", "key").parquet(path)
+        .write.mode(mode).partitionBy("t", "key").parquet(path)
     else
       rows.repartition(col("t"), col("key")).sortWithinPartitions(col("t"), col("key"))
-        .write.mode("overwrite").parquet(path)
+        .write.mode(mode).parquet(path)
   }
 
   /** Driver-side replica of [[Similarity.bucketFromPlanes]] for ONE vector:
@@ -694,6 +713,32 @@ object Indexes {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Materialized n-gram shingle-set table for a corpus slice — the
+    * serving state of windowed decontamination
+    * ([[Decontamination.contaminatedDocsWindowedIndexed]]): tokenizing a
+    * corpus into rolling N-token window hashes is write-once work, exactly
+    * like the minhash `sets/` table (which IS this table at n = 3, built
+    * jointly with its bands). `label` is part of the path because a
+    * FILTERED slice of a corpus (e.g. "everything but the eval split")
+    * carries the same input files — and therefore the same content
+    * fingerprint — as the full corpus; without the label the two would
+    * alias to one index ([[minhashNearDupsIncremental]]'s raw-scan caveat,
+    * handled here instead of pushed to callers). */
+  def ensureShingleSets(spark: SparkSession, docs: DataFrame, sfDir: String,
+                        shingleN: Int, label: String): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val lbl = label.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path =
+      s"$indexRoot/$tag/shingles_n${shingleN}_${lbl}_${corpusFingerprint(docs)}"
+    if (!successExists(spark, path)) {
+      val tmp = tmpBuildPath(path)
+      Dedup.shingleSets(docs, shingleN).write.mode("overwrite").parquet(tmp)
+      commitIndexDir(spark, tmp, path)
+      gcSiblings(spark, path, s"shingles_n${shingleN}_${lbl}_")
+    }
+    path
+  }
+
   /** Append a new batch's derived dedup state to an EXISTING minhash index
     * — the index-MAINTENANCE half of continuous ingest
     * ([[minhashNearDupsIncremental]] is the query half): after a batch
@@ -775,7 +820,19 @@ object Indexes {
     * so candidate generation reads ~nProbe/nCells of the index — the
     * precomputed form of the "only shuffle carries (vec_id, cell)" design
     * note on [[Similarity.ivfTopK]]. */
-  def writeIvfIndex(emb: DataFrame, centroids: DataFrame, path: String): Unit = {
+  def writeIvfIndex(emb: DataFrame, centroids: DataFrame, path: String): Unit =
+    writeIvfRows(emb, centroids, path, "overwrite")
+
+  /** Append a batch's inverted-list rows to an EXISTING IVF index — the
+    * IVF twin of [[appendLshIndex]] (same job-atomicity and
+    * content-addressing caveats). Assignment MUST use the index's own
+    * frozen centroid model; new part files land inside the existing
+    * cell partition directories, so probes keep pruning statically. */
+  def appendIvfIndex(emb: DataFrame, centroids: DataFrame, path: String): Unit =
+    writeIvfRows(emb, centroids, path, "append")
+
+  private def writeIvfRows(emb: DataFrame, centroids: DataFrame, path: String,
+                           mode: String): Unit = {
     val e = emb.select(col("vec_id"), col("embedding"),
       Similarity.norm(col("embedding")).as("nrm"))
     val cent = centroids.select(col("cell"), col("centroid").as("cv"),
@@ -787,7 +844,7 @@ object Indexes {
       .groupBy(col("vec_id"))
       .agg(max_by(col("cell"), struct(col("ccos"), -col("cell"))).as("cell"))
       .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+      .write.mode(mode).partitionBy("cell").parquet(path)
   }
 
   /** IVF ANN top-k served from prebuilt inverted lists — output-identical to

@@ -312,6 +312,32 @@ class IndexesSpec extends AnyFunSuite {
     }, "refine must shuffle-join the batch sets on new_id")
   }
 
+  test("appendLshIndex / appendIvfIndex: appended index equals a rebuild") {
+    val half1 = emb.where(col("vec_id") % 2 === 0)
+    val half2 = emb.where(col("vec_id") % 2 === 1)
+    val grown = Files.createTempDirectory("lsh_append_spec").toString + "/idx"
+    Indexes.writeLshIndex(half1, grown)
+    Indexes.appendLshIndex(half2, grown)
+    val full = Files.createTempDirectory("lsh_append_full").toString + "/idx"
+    Indexes.writeLshIndex(emb, full)
+    val got = Indexes.lshTopKIndexed(emb, grown, 7L, 10)
+      .as[(Long, Double)].collect().toSeq
+    val want = Indexes.lshTopKIndexed(emb, full, 7L, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(got === want, "LSH probe over the appended index must match a rebuild")
+    val cent = spark.read.parquet(graft.queries.PipelineQueries.ivfCentroidsPath)
+    val grownIvf = Files.createTempDirectory("ivf_append_spec").toString + "/idx"
+    Indexes.writeIvfIndex(half1, cent, grownIvf)
+    Indexes.appendIvfIndex(half2, cent, grownIvf)
+    val fullIvf = Files.createTempDirectory("ivf_append_full").toString + "/idx"
+    Indexes.writeIvfIndex(emb, cent, fullIvf)
+    val gi = Indexes.ivfTopKIndexed(emb, cent, grownIvf, 7L, 10, nProbe = 4)
+      .as[(Long, Double)].collect().toSeq
+    val wi = Indexes.ivfTopKIndexed(emb, cent, fullIvf, 7L, 10, nProbe = 4)
+      .as[(Long, Double)].collect().toSeq
+    assert(gi === wi, "IVF probe over the appended index must match a rebuild")
+  }
+
   test("appendMinhashIndex: post-append index equals a from-scratch rebuild") {
     val docs = graft.engine.Tables.documents(spark, sf)
     val a = docs.where(col("doc_id") % 2 === 0)
