@@ -125,12 +125,32 @@ object Decontamination {
     * only — the sparse contract of [[contaminatedDocs]]. */
   def contaminatedDocsWindowed(train: DataFrame, evalDocs: DataFrame,
                                windowN: Int = 5, mBits: Int = 1 << 19,
-                               kHashes: Int = 5): DataFrame = {
+                               kHashes: Int = 5): DataFrame =
+    windowedConfirm(Dedup.shingleSets(train, windowN), evalDocs, windowN,
+      mBits, kHashes)
+
+  /** [[contaminatedDocsWindowed]] served from a MATERIALIZED train-side
+    * shingle table ([[Indexes.ensureShingleSets]]) — the steady-state
+    * shape: rolling-window hashing of the training corpus is write-once
+    * index work, so the query path is a narrow (doc_id, sh) scan →
+    * explode → bit-test Filter → confirm join, with zero train-side
+    * tokenization (only the much smaller eval side is shingled per call,
+    * and its bitset is memoized). Output-identical to the inline form —
+    * both delegate to the same confirm pipeline. */
+  def contaminatedDocsWindowedIndexed(spark: org.apache.spark.sql.SparkSession,
+                                      trainSetsPath: String, evalDocs: DataFrame,
+                                      windowN: Int = 5, mBits: Int = 1 << 19,
+                                      kHashes: Int = 5): DataFrame =
+    windowedConfirm(spark.read.parquet(trainSetsPath), evalDocs, windowN,
+      mBits, kHashes)
+
+  private def windowedConfirm(trainSets: DataFrame, evalDocs: DataFrame,
+                              windowN: Int, mBits: Int, kHashes: Int): DataFrame = {
     val ev = Dedup.shingleSets(evalDocs, windowN)
       .select(col("doc_id").as("eval_id"), explode(col("sh")).as("s"))
     val sk = Indexes.memoModel(evalDocs, s"bloom_n${windowN}_m${mBits}_k$kHashes")(
       Bloom.buildSketch(ev.select(col("s")), "s", mBits, kHashes))
-    Dedup.shingleSets(train, windowN)
+    trainSets
       .select(col("doc_id"), explode(col("sh")).as("s"))
       .where(sk.mightContain(col("s")))
       .join(ev.hint("shuffle_hash"), Seq("s"))

@@ -92,8 +92,18 @@ object LineDedup {
     * the only stage carrying text is the one producing the output (at
     * scale, co-partition both sides on doc_id — bucketed corpus tables
     * make the join zero-shuffle). */
-  def cleanDocs(docs: DataFrame, maxDocFreq: Long): DataFrame = {
-    val boiler = broadcast(boilerplateLines(docs, maxDocFreq))
+  def cleanDocs(docs: DataFrame, maxDocFreq: Long): DataFrame =
+    cleanDocsAgainst(docs, boilerplateLines(docs, maxDocFreq))
+
+  /** [[cleanDocs]] against an EXTERNALLY-supplied boilerplate line-hash
+    * frame (one `lh` column) — corpus-derived state a batch
+    * [[lineDocFreq]] pass produces offline. This is the continuous-ingest
+    * decomposition: boilerplate is corpus-frequency state (a per-batch
+    * count would miss cross-batch repeats), so the streaming path
+    * ([[graft.streaming.EventStreams.lineDedupStream]]) pins it static
+    * and cleans each micro-batch against it. */
+  def cleanDocsAgainst(docs: DataFrame, boilerplate: DataFrame): DataFrame = {
+    val boiler = broadcast(boilerplate.select(col("lh")))
     val keep = lineHashes(docs)
       .join(boiler, Seq("lh"), "left_anti")
       .groupBy(col("doc_id"))

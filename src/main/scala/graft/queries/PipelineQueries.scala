@@ -860,8 +860,14 @@ object PipelineQueries {
     * bitset is the only broadcast state (plan-asserted). */
   def windowDecontaminate(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    Decontamination.contaminatedDocsWindowed(
-        docs.where(col("source") =!= "src0"),
+    // train-side window hashes served from the materialized shingle table
+    // (write-once, fingerprint-keyed; `label` disambiguates the filtered
+    // slice from the full corpus) — the query path has ZERO train-side
+    // tokenization (plan-asserted in LineDedupSpec)
+    val trainSets = graft.ops.Indexes.ensureShingleSets(s,
+      docs.where(col("source") =!= "src0"), d, shingleN = 5,
+      label = "train_excl_src0")
+    Decontamination.contaminatedDocsWindowedIndexed(s, trainSets,
         docs.where(col("source") === "src0"), windowN = 5)
       .orderBy(col("doc_id"))
   }

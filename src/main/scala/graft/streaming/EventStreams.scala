@@ -132,11 +132,16 @@ object EventStreams {
     * stream (zero false negatives + exact confirm; EventStreamsSpec
     * asserts parity). */
   def contaminationHitsStreamBloom(docs: DataFrame, evalDocs: DataFrame,
-                                   mBits: Int = 1 << 19, kHashes: Int = 5): DataFrame = {
-    val evShingles = graft.ops.Dedup.shingleSets(evalDocs)
+                                   mBits: Int = 1 << 19, kHashes: Int = 5,
+                                   shingleN: Int = 3): DataFrame = {
+    // shingleN generalizes the stream to WINDOWED decontamination
+    // ([[graft.ops.Decontamination.contaminatedDocsWindowed]]): at n = 5+
+    // a hit means the streaming doc shares n consecutive tokens with the
+    // eval set, not merely a short shingle.
+    val evShingles = graft.ops.Dedup.shingleSets(evalDocs, shingleN)
       .select(explode(col("sh")).as("s")).distinct()
     val sk = graft.ops.Bloom.buildSketch(evShingles, "s", mBits, kHashes)
-    graft.ops.Dedup.shingleSets(docs)
+    graft.ops.Dedup.shingleSets(docs, shingleN)
       .select(col("doc_id"), explode(col("sh")).as("s"))
       .where(sk.mightContain(col("s")))
       .join(broadcast(evShingles), Seq("s"), "left_semi")
@@ -179,6 +184,38 @@ object EventStreams {
           .parquet(outPath)
       }
       .start()
+
+  /** Streaming boilerplate-line removal — the stream twin of
+    * [[graft.ops.LineDedup.cleanDocs]]: each micro-batch of landing
+    * documents is cleaned against a STATIC boilerplate line-hash frame
+    * (corpus-derived state a batch [[graft.ops.LineDedup.lineDocFreq]]
+    * pass produces offline, exactly like the minhash `sets/`/`bands/`
+    * tables) via `foreachBatch`, because per-doc line reassembly is a
+    * batch aggregate, not a streaming-plan shape. The batch operator's
+    * scale contract carries over: line text never enters the dedup
+    * decision (hash-only broadcast anti-join), and the sink is the same
+    * batch_id-partitioned idempotent overwrite as
+    * [[incrementalDedupStream]] — a replayed micro-batch rewrites
+    * identical rows. Boilerplate is inherently corpus-frequency state, so
+    * a pure per-batch frequency count would miss cross-batch repeats;
+    * pinning the boilerplate table as static state is the correct
+    * streaming decomposition (refresh it offline as the corpus grows). */
+  def lineDedupStream(docs: DataFrame, boilerplate: DataFrame,
+                      outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val boiler = boilerplate.select(col("lh"))
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.LineDedup.cleanDocsAgainst(batch.toDF(), boiler)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outPath)
+      }
+      .start()
+  }
 
   /** Convenience: run the hourly-window stream over a directory to an
     * in-memory table and block until all currently-available files are

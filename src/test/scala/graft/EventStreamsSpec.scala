@@ -136,6 +136,44 @@ class EventStreamsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("windowed decontamination stream: 5-token runs flag, shorter don't") {
+    val evalSet = Seq((100L, "bb cc dd ee ff qq rr")).toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val q = EventStreams.contaminationHitsStreamBloom(
+        in.toDF().toDF("doc_id", "text"), evalSet, shingleN = 5)
+      .writeStream.outputMode("append").format("memory").queryName("deconw").start()
+    in.addData((1L, "aa bb cc dd ee ff gg"),  // shares the 5-run bb..ff
+               (2L, "xx bb cc dd ee yy zz"))  // only a 4-run: must pass
+    q.processAllAvailable()
+    val hitDocs = spark.table("deconw").select("doc_id").as[Long].collect().toSet
+    assert(hitDocs === Set(1L), "only the >= 5-consecutive-token match flags")
+    q.stop()
+  }
+
+  test("line-dedup stream cleans each batch against static boilerplate state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-linededup")
+    // corpus-derived state: 'cookie notice' is boilerplate
+    val corpus = Seq(
+      (10L, "cookie notice\nbody a"), (11L, "cookie notice\nbody b"),
+      (12L, "cookie notice\nbody c")).toDF("doc_id", "text")
+    val boiler = graft.ops.LineDedup.boilerplateLines(corpus, maxDocFreq = 2)
+    val in = MemoryStream[(Long, String)]
+    val q = EventStreams.lineDedupStream(
+      in.toDF().toDF("doc_id", "text"), boiler,
+      s"$dir/out", s"$dir/ckpt")
+    in.addData((1L, "cookie notice\nfresh content one"))
+    q.processAllAvailable()
+    in.addData((2L, "fresh content two\ncookie notice\ntail"), (3L, "cookie notice"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$dir/out")
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    assert(out === Map(
+      1L -> "fresh content one",
+      2L -> "fresh content two\ntail",
+      3L -> ""))
+  }
+
   test("streaming clean layer equals the batch clean layer on the raw CSV") {
     // Stage the committed fixture into a landing dir (glob the file so the
     // parent resolves as basePath).

@@ -107,5 +107,9 @@ class LineDedupSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastExchange"),
       s"confirm join must stay shuffle_hash — eval side does not broadcast at scale:\n$p")
     assert(p.contains("ShuffledHashJoin"), p)
+    // train side serves from the materialized shingle table: the scan reads
+    // the index, and no tokenization (regex split) touches the train path
+    assert(p.contains("shingles_n5"),
+      s"train windows must come from the materialized shingle index:\n$p")
   }
 }
