@@ -203,6 +203,32 @@ object Curation {
       .select(col("source"), col("doc_id"), col("tokens"), col("cum_tokens"))
   }
 
+  /** SKETCH-DRIVEN quality threshold: the quality score below which the
+    * lowest `frac` of the corpus falls, estimated from the deterministic
+    * bottom-k hash sample ([[Sketches.bottomKSample]]) instead of a
+    * full-column percentile sort — the 100 TB way to answer "cut the worst
+    * quartile". The scalar is a MODEL (one bounded driver value from a
+    * k-row sample, like the IVF centroids), and because the sample
+    * membership is a pure md5 function of doc_id, both engines — and any
+    * two runs — derive the identical threshold. */
+  def qualityThreshold(docs: DataFrame, frac: Double = 0.25,
+                       sampleK: Int = 200): Double =
+    graft.ops.Sketches.bottomKSample(
+        docs.select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("q")),
+        "doc_id", sampleK)
+      .agg(percentile(col("q"), lit(frac)).as("t"))
+      .head().getDouble(0)
+
+  /** The corpus with its lowest-quality `frac` dropped, per the
+    * sample-estimated [[qualityThreshold]] — one narrow filter over the
+    * scan (the score is a pure expression chain), zero shuffles beyond
+    * the k-row sample cut. */
+  def qualityGate(docs: DataFrame, frac: Double = 0.25,
+                  sampleK: Int = 200): DataFrame =
+    docs.where(TextAnalysis.qualityScore(col("text")) >=
+      qualityThreshold(docs, frac, sampleK))
+
   /** Token-PROVENANCE spans for the concat-then-chunk training layout: per
     * document, the exact range of `capacity`-token bins its tokens occupy
     * after concatenation in doc_id order within its (source, shard) stream.

@@ -375,6 +375,66 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Exact duplicated-SUBSTRING spans — window-granular substring dedup
+    * (the "dedup repeated sequences, not just documents/lines" pass of
+    * published training-data pipelines): for every document, the maximal
+    * token spans in which EVERY k-token window occurs at least `minCount`
+    * times corpus-wide (within-doc repeats count — a doc repeating its own
+    * chorus is duplication too). Verbatim re-use shows up as long spans
+    * even when the documents as wholes are unique, which is exactly the
+    * case whole-doc MinHash and line-hash dedup both miss.
+    *
+    * Scale shape:
+    *  - windows are 48-bit rolling hashes (one row per (doc, pos), hash of
+    *    the k-token slice) — the corpus-wide frequency pass and the
+    *    self-join both move (hash, doc_id, pos) longs, never token text;
+    *  - duplicated windows merge into maximal spans with one
+    *    gaps-and-islands window function PARTITIONED BY doc_id — the sort
+    *    unit is a single document, so the pass parallelizes per doc and
+    *    no global sort exists;
+    *  - docs shorter than k tokens have no k-window and drop out (they are
+    *    [[exactStats]]/[[nearDupPairs]] territory).
+    * Output: (doc_id, start_pos, end_pos, n_windows), positions 0-based
+    * token offsets, end inclusive; span length = end_pos - start_pos + 1. */
+  def duplicatedSpans(docs: DataFrame, k: Int = 5, minCount: Long = 2L): DataFrame =
+    duplicatedSpansFromWindows(windowHashes(docs, k), k, minCount)
+
+  /** The positional rolling-window hash table (doc_id, pos, h) — one row
+    * per k-window start, h the 48-bit hash of the k-token slice. This is
+    * write-once derived corpus state ([[Indexes.ensureWindowHashes]]
+    * materializes it); [[duplicatedSpansFromWindows]] and any future
+    * window-level consumer read it instead of re-tokenizing. */
+  def windowHashes(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"window width must be >= 2 tokens, got $k")
+    docs.select(col("doc_id"),
+        TextOps.words(coalesce(col("text"), lit(""))).as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(when(size(col("w")) >= k,
+            sequence(lit(0), size(col("w")) - k))
+          .otherwise(array().cast("array<int>"))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        TextOps.shingleHash(
+          concat_ws(" ", slice(col("w"), col("pos") + 1, lit(k)))).as("h"))
+  }
+
+  /** [[duplicatedSpans]] over a precomputed (doc_id, pos, h) window table
+    * — the serving form. */
+  def duplicatedSpansFromWindows(win: DataFrame, k: Int,
+                                 minCount: Long = 2L): DataFrame = {
+    val dupHashes = win.groupBy(col("h"))
+      .agg(count(lit(1)).as("c")).where(col("c") >= minCount)
+      .select(col("h"))
+    val rn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    win.join(dupHashes, Seq("h"), "left_semi")
+      .withColumn("grp", col("pos") - row_number().over(rn))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).cast("long").as("start_pos"),
+        (max(col("pos")) + (k - 1)).cast("long").as("end_pos"),
+        count(lit(1)).as("n_windows"))
+      .drop("grp")
+  }
+
   /** 60-bit SimHash over word unigrams: per-word hash from md5 hex (60 bits
     * fit a signed long safely), then a per-bit signed majority vote.
     *

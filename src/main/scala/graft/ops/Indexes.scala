@@ -739,6 +739,27 @@ object Indexes {
     path
   }
 
+  /** Materialized positional window-hash table (doc_id, pos, h) for one
+    * corpus slice + window width ([[Dedup.windowHashes]]) — the serving
+    * state of duplicated-span detection: tokenizing the corpus into
+    * per-position rolling hashes is write-once work; the span query is
+    * then scan → frequency aggregate → islands merge. Same `label`
+    * rationale as [[ensureShingleSets]]. */
+  def ensureWindowHashes(spark: SparkSession, docs: DataFrame, sfDir: String,
+                         k: Int, label: String): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val lbl = label.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path =
+      s"$indexRoot/$tag/winhash_k${k}_${lbl}_${corpusFingerprint(docs)}"
+    if (!successExists(spark, path)) {
+      val tmp = tmpBuildPath(path)
+      Dedup.windowHashes(docs, k).write.mode("overwrite").parquet(tmp)
+      commitIndexDir(spark, tmp, path)
+      gcSiblings(spark, path, s"winhash_k${k}_${lbl}_")
+    }
+    path
+  }
+
   /** Append a new batch's derived dedup state to an EXISTING minhash index
     * — the index-MAINTENANCE half of continuous ingest
     * ([[minhashNearDupsIncremental]] is the query half): after a batch

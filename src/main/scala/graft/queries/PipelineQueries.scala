@@ -269,6 +269,35 @@ object PipelineQueries {
       |       CAST((start_off + tokens - 1) // 512 AS BIGINT) AS end_bin
       |FROM c ORDER BY source, shard_id, doc_id""".stripMargin
 
+  /** Exact duplicated-substring spans ([[Dedup.duplicatedSpans]], k = 5):
+    * maximal token ranges whose every 5-token window repeats corpus-wide —
+    * the window-granular dedup whole-doc MinHash and line hashing both
+    * miss. Hash-only frequency pass + per-doc gaps-and-islands merge. */
+  def dupSpans(s: SparkSession, d: String): DataFrame = {
+    // the positional window-hash table is write-once corpus state — the
+    // steady-state query never re-tokenizes
+    val win = graft.ops.Indexes.ensureWindowHashes(s, documents(s, d), d,
+      k = 5, label = "full")
+    Dedup.duplicatedSpansFromWindows(s.read.parquet(win), k = 5)
+      .orderBy(col("doc_id"), col("start_pos"))
+  }
+
+  val dupSpansSql: String =
+    s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |l AS (SELECT doc_id, unnest(range(1, len(w)-3)) AS i, w FROM w),
+       |win AS (SELECT doc_id, i - 1 AS pos,
+       |          ('0x' || substr(md5(array_to_string(w[i : i+4], ' ')), 1, 12))::BIGINT AS h
+       |        FROM l),
+       |c AS (SELECT h FROM win GROUP BY h HAVING count(*) >= 2),
+       |dup AS (SELECT doc_id, pos FROM win JOIN c USING (h)),
+       |isl AS (SELECT doc_id, pos,
+       |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |        FROM dup)
+       |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_pos,
+       |       CAST(max(pos) + 4 AS BIGINT) AS end_pos,
+       |       count(*) AS n_windows
+       |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, start_pos""".stripMargin
+
   /** Exact all-pairs Jaccard baseline (bounded id range — quadratic by
     * design; the cap keeps the verification yardstick cheap in the bench). */
   def jaccardAllPairs(s: SparkSession, d: String): DataFrame =
@@ -696,6 +725,41 @@ object PipelineQueries {
       |       round(avg(greatest(0.0, least(1.0,
       |         least(tokens/100.0, 1.0)*0.4 + stop_ratio*2.0*0.4 + (1.0-punct)*0.2))), 6) AS avg_quality
       |FROM t GROUP BY source ORDER BY source""".stripMargin
+
+  /** Sketch-driven quality gate audit ([[Curation.qualityThreshold]]):
+    * the p25 quality cut estimated from the 200-doc deterministic hash
+    * sample, applied per source — how much survives, and the threshold
+    * itself (both engines derive the identical sample, so the scalar
+    * hash-matches too). */
+  def qualityGate(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val thr = Curation.qualityThreshold(docs, frac = 0.25, sampleK = 200)
+    docs.select(col("source"), TextAnalysis.qualityScore(col("text")).as("q"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("q") >= thr, 1L).otherwise(0L)).as("n_kept"),
+        round(lit(thr), 6).as("threshold"))
+      .orderBy(col("source"))
+  }
+
+  private val duckQualityScore =
+    """greatest(0.0, least(1.0,
+      |  least(len(string_split_regex(lower(trim(text)), '\s+')) / 100.0, 1.0) * 0.4
+      |  + (len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |       x -> x IN ('the','a','of','and','to','in','is')))::DOUBLE
+      |     / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1)) * 2.0 * 0.4
+      |  + (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))::DOUBLE
+      |     / greatest(length(text), 1)) * 0.2))""".stripMargin
+
+  val qualityGateSql: String =
+    s"""WITH t AS (SELECT doc_id, source, $duckQualityScore AS q FROM documents),
+       |s AS (SELECT q FROM (SELECT q, md5(doc_id::VARCHAR) AS rnk, doc_id FROM t
+       |                     ORDER BY rnk, doc_id LIMIT 200)),
+       |thr AS (SELECT quantile_cont(q, 0.25) AS t FROM s)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN q >= t THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       round(t, 6) AS threshold
+       |FROM t, thr GROUP BY source, t ORDER BY source""".stripMargin
 
   def fingerprints(s: SparkSession, d: String): DataFrame =
     documents(s, d)

@@ -198,6 +198,22 @@ class CurationSpec extends AnyFunSuite {
       ("s", 0L, 0L, 2L, 20L), ("s", 1L, 0L, 2L, 20L)))
   }
 
+  test("quality gate: sample-derived threshold is stable and actually cuts") {
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val t1 = Curation.qualityThreshold(docs)
+    val t2 = Curation.qualityThreshold(docs)
+    assert(t1 === t2, "threshold must be deterministic (md5 sample, no RNG)")
+    assert(t1 > 0.0 && t1 < 1.0)
+    val total = docs.count()
+    val kept = Curation.qualityGate(docs).count()
+    assert(kept < total, "a p25 cut must drop something")
+    assert(kept > total / 2, "a p25 cut must keep well over half")
+    // every survivor clears the threshold
+    val below = Curation.qualityGate(docs)
+      .where(graft.ops.TextAnalysis.qualityScore(col("text")) < t1).count()
+    assert(below === 0L)
+  }
+
   test("packSpans: exact split-across-boundary ranges, agrees with packBins") {
     // 3 docs of 10 tokens at capacity 8: doc0 spans bins 0-1 (tokens 0-9),
     // doc1 bins 1-2 (10-19), doc2 bins 2-3 (20-29)

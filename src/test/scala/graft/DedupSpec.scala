@@ -79,6 +79,23 @@ class DedupSpec extends AnyFunSuite {
     assert(byNegLen === Array(0L, 3L, 4L))
   }
 
+  test("duplicated spans: cross-doc, within-doc, maximal merge, short docs drop") {
+    val fixture = Seq(
+      (1L, "p q r s t u v"),           // shares the 5-run "q r s t u" with 2
+      (2L, "x q r s t u y"),
+      (3L, "a b c d e a b c d e"),     // within-doc repeat: two disjoint spans
+      (4L, "m n o p q r"),             // exact dup pair: full-doc span
+      (5L, "m n o p q r"),
+      (6L, "one two")                  // < k tokens: no window, absent
+    ).toDF("doc_id", "text")
+    val spans = graft.ops.Dedup.duplicatedSpans(fixture, k = 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(spans === Set(
+      (1L, 1L, 5L, 1L), (2L, 1L, 5L, 1L),
+      (3L, 0L, 4L, 1L), (3L, 5L, 9L, 1L),
+      (4L, 0L, 5L, 2L), (5L, 0L, 5L, 2L)))
+  }
+
   test("connected components: chain, triangle, disjoint pair, min label wins") {
     // chain 1-2-3-4 (diameter 3, needs >1 round), triangle 10-11-12,
     // disjoint pair 20-21
