@@ -94,7 +94,10 @@ object Bench {
     def jMap[T](f: ((String, Double, Double, Seq[(Double, Long)])) => T) =
       results.map { r => s"\"" + r._1 + "\":" + f(r) }.mkString("{", ",", "}")
     val qs = jMap(_._2)
-    val itersJson = jMap(_._4.map(i => f"${i._1}%.4f").mkString("[", ",", "]"))
+    // Locale.ROOT: the f interpolator is default-locale-sensitive — a
+    // comma-decimal locale would render 3,6700 and corrupt the JSON line.
+    val itersJson = jMap(_._4.map(i => String.format(java.util.Locale.ROOT,
+      "%.4f", Double.box(i._1))).mkString("[", ",", "]"))
     val gcJson = jMap(_._4.map(_._2).mkString("[", ",", "]"))
     val orderJson = results.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val excl = excludedBaselines.map("\"" + _ + "\"").mkString("[", ",", "]")

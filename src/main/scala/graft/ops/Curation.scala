@@ -213,12 +213,21 @@ object Curation {
     * two runs — derive the identical threshold. */
   def qualityThreshold(docs: DataFrame, frac: Double = 0.25,
                        sampleK: Int = 200): Double =
-    graft.ops.Sketches.bottomKSample(
-        docs.select(col("doc_id"),
-          TextAnalysis.qualityScore(col("text")).as("q")),
-        "doc_id", sampleK)
-      .agg(percentile(col("q"), lit(frac)).as("t"))
-      .head().getDouble(0)
+    // memoized per (plan, corpus fingerprint) like the other session
+    // models: without this every caller pays the sample's corpus scan +
+    // top-k cut per invocation (the registered query would re-derive the
+    // identical scalar 4× per bench run)
+    Indexes.memoModel(docs, s"qthr_${frac}_$sampleK") {
+      val row = graft.ops.Sketches.bottomKSample(
+          docs.select(col("doc_id"),
+            TextAnalysis.qualityScore(col("text")).as("q")),
+          "doc_id", sampleK)
+        .agg(percentile(col("q"), lit(frac)).as("t"))
+        .head()
+      require(!row.isNullAt(0),
+        "quality threshold undefined: empty corpus slice or all-null text")
+      Double.box(row.getDouble(0))
+    }.doubleValue()
 
   /** The corpus with its lowest-quality `frac` dropped, per the
     * sample-estimated [[qualityThreshold]] — one narrow filter over the

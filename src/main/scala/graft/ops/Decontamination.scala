@@ -121,13 +121,21 @@ object Decontamination {
     * prefilter ([[Bloom.mightContain]]); the confirm join removes false
     * positives, so output is exact.
     *
+    * SHORT-DOC RULE: a doc with fewer than `windowN` tokens has no
+    * N-window; [[Dedup.shingleSets]]'s whole-text fallback makes such a
+    * doc match only a short eval doc with IDENTICAL full text — i.e. for
+    * sub-window documents the rule tightens from "shares an N-run" to
+    * "is a verbatim copy", which is the contamination policy production
+    * pipelines want for short eval items (and the oracle replays the
+    * same fallback, so the behavior is verified, not incidental).
+    *
     * Output: (doc_id, n_hit_windows, n_eval_docs) for contaminated docs
     * only — the sparse contract of [[contaminatedDocs]]. */
   def contaminatedDocsWindowed(train: DataFrame, evalDocs: DataFrame,
                                windowN: Int = 5, mBits: Int = 1 << 19,
                                kHashes: Int = 5): DataFrame =
-    windowedConfirm(Dedup.shingleSets(train, windowN), evalDocs, windowN,
-      mBits, kHashes)
+    windowedConfirm(Dedup.shingleSets(train, windowN),
+      Dedup.shingleSets(evalDocs, windowN), windowN, mBits, kHashes)
 
   /** [[contaminatedDocsWindowed]] served from a MATERIALIZED train-side
     * shingle table ([[Indexes.ensureShingleSets]]) — the steady-state
@@ -138,17 +146,22 @@ object Decontamination {
     * and its bitset is memoized). Output-identical to the inline form —
     * both delegate to the same confirm pipeline. */
   def contaminatedDocsWindowedIndexed(spark: org.apache.spark.sql.SparkSession,
-                                      trainSetsPath: String, evalDocs: DataFrame,
+                                      trainSetsPath: String, evalSetsPath: String,
                                       windowN: Int = 5, mBits: Int = 1 << 19,
                                       kHashes: Int = 5): DataFrame =
-    windowedConfirm(spark.read.parquet(trainSetsPath), evalDocs, windowN,
-      mBits, kHashes)
+    windowedConfirm(spark.read.parquet(trainSetsPath),
+      spark.read.parquet(evalSetsPath), windowN, mBits, kHashes)
 
-  private def windowedConfirm(trainSets: DataFrame, evalDocs: DataFrame,
+  /** Both sides arrive as (doc_id, sh) shingle-set frames — inline or
+    * index-served; the bloom bitset memo keys on the eval frame's plan +
+    * content fingerprint ([[Indexes.memoModel]] — `inputFiles` resolves
+    * through derived frames to the underlying scan, so both forms
+    * memoize). */
+  private def windowedConfirm(trainSets: DataFrame, evalSets: DataFrame,
                               windowN: Int, mBits: Int, kHashes: Int): DataFrame = {
-    val ev = Dedup.shingleSets(evalDocs, windowN)
+    val ev = evalSets
       .select(col("doc_id").as("eval_id"), explode(col("sh")).as("s"))
-    val sk = Indexes.memoModel(evalDocs, s"bloom_n${windowN}_m${mBits}_k$kHashes")(
+    val sk = Indexes.memoModel(evalSets, s"bloom_n${windowN}_m${mBits}_k$kHashes")(
       Bloom.buildSketch(ev.select(col("s")), "s", mBits, kHashes))
     trainSets
       .select(col("doc_id"), explode(col("sh")).as("s"))

@@ -406,15 +406,14 @@ object Dedup {
     * window-level consumer read it instead of re-tokenizing. */
   def windowHashes(docs: DataFrame, k: Int): DataFrame = {
     require(k >= 2, s"window width must be >= 2 tokens, got $k")
+    // the k-gram construction IS TextOps.shingles (same element_at
+    // arithmetic the DuckDB oracles mirror) — posexplode supplies the
+    // 0-based start position; docs shorter than k explode to nothing
     docs.select(col("doc_id"),
         TextOps.words(coalesce(col("text"), lit(""))).as("w"))
-      .select(col("doc_id"), col("w"),
-        explode(when(size(col("w")) >= k,
-            sequence(lit(0), size(col("w")) - k))
-          .otherwise(array().cast("array<int>"))).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        TextOps.shingleHash(
-          concat_ws(" ", slice(col("w"), col("pos") + 1, lit(k)))).as("h"))
+      .select(col("doc_id"),
+        posexplode(TextOps.shingles(col("w"), k)).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"), TextOps.shingleHash(col("g")).as("h"))
   }
 
   /** [[duplicatedSpans]] over a precomputed (doc_id, pos, h) window table

@@ -724,10 +724,21 @@ object Indexes {
     * fingerprint — as the full corpus; without the label the two would
     * alias to one index ([[minhashNearDupsIncremental]]'s raw-scan caveat,
     * handled here instead of pushed to callers). */
+  /** Label → path segment with a LENGTH prefix, so no two distinct labels
+    * can ever produce families where one is a string prefix of the other
+    * (lshFamily's no-prefix-overlap invariant: gcSiblings matches by
+    * prefix, and a label "train" must never be able to reclaim
+    * "train_excl_src0"'s live generation). */
+  private def labelSegment(label: String): String = {
+    val lbl = label.replaceAll("[^A-Za-z0-9._-]", "_")
+    require(lbl.nonEmpty && lbl.length <= 999, s"unusable index label: '$label'")
+    f"${lbl.length}%03d$lbl"
+  }
+
   def ensureShingleSets(spark: SparkSession, docs: DataFrame, sfDir: String,
                         shingleN: Int, label: String): String = {
     val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val lbl = label.replaceAll("[^A-Za-z0-9._-]", "_")
+    val lbl = labelSegment(label)
     val path =
       s"$indexRoot/$tag/shingles_n${shingleN}_${lbl}_${corpusFingerprint(docs)}"
     if (!successExists(spark, path)) {
@@ -748,7 +759,7 @@ object Indexes {
   def ensureWindowHashes(spark: SparkSession, docs: DataFrame, sfDir: String,
                          k: Int, label: String): String = {
     val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val lbl = label.replaceAll("[^A-Za-z0-9._-]", "_")
+    val lbl = labelSegment(label)
     val path =
       s"$indexRoot/$tag/winhash_k${k}_${lbl}_${corpusFingerprint(docs)}"
     if (!successExists(spark, path)) {
@@ -787,7 +798,7 @@ object Indexes {
     * rebuild-from-corpus (the tables are derived state) or the
     * batch_id-partitioned idempotent-sink pattern
     * ([[graft.streaming.EventStreams]]) for streaming ingest. */
-  def appendMinhashIndex(spark: SparkSession, newDocs: DataFrame,
+  def appendMinhashIndex(newDocs: DataFrame,
                          setsPath: String, bandsPath: String,
                          numHashes: Int = 16, bandRows: Int = 2,
                          shingleN: Int = 3): Unit = {

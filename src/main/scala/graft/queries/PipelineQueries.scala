@@ -931,8 +931,11 @@ object PipelineQueries {
     val trainSets = graft.ops.Indexes.ensureShingleSets(s,
       docs.where(col("source") =!= "src0"), d, shingleN = 5,
       label = "train_excl_src0")
-    Decontamination.contaminatedDocsWindowedIndexed(s, trainSets,
-        docs.where(col("source") === "src0"), windowN = 5)
+    val evalSets = graft.ops.Indexes.ensureShingleSets(s,
+      docs.where(col("source") === "src0"), d, shingleN = 5,
+      label = "eval_src0")
+    Decontamination.contaminatedDocsWindowedIndexed(s, trainSets, evalSets,
+        windowN = 5)
       .orderBy(col("doc_id"))
   }
 

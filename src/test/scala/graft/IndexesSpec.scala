@@ -351,7 +351,7 @@ class IndexesSpec extends AnyFunSuite {
         graft.ops.Dedup.minhashSignaturesFromSets(
           graft.ops.Dedup.shingleSets(a), 16), 16, 2)
       .write.parquet(bands)
-    Indexes.appendMinhashIndex(spark, b, sets, bands)
+    Indexes.appendMinhashIndex(b, sets, bands)
     val got = Indexes.minhashNearDupsIndexed(spark, sets, bands, 0.3)
       .as[(Long, Long, Double)].collect().toSet
     val want = graft.ops.Dedup.nearDupPairs(docs, 0.3)
