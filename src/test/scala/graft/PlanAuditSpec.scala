@@ -180,6 +180,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning\\(cell".r.findAllIn(p).size === 1, p)
   }
 
+  test("dup spans + windowed decontamination plans contain ZERO tokenization") {
+    // both serve every side from materialized hash tables — if a regex
+    // split appears anywhere in the executed plan, an index stopped
+    // serving and the corpus is being re-tokenized per query
+    val p1 = plan("q_dup_spans")
+    assert(p1.contains("winhash_k5"), s"dup spans must scan the window index:\n$p1")
+    assert(!p1.contains("split("), s"dup spans re-tokenizes:\n$p1")
+    val p2 = plan("q_window_decontaminate")
+    assert(p2.contains("shingles_n5"), s"windowed decon must scan the shingle index:\n$p2")
+    assert(!p2.contains("split("), s"windowed decon re-tokenizes:\n$p2")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // Theta joins in the documented quadratic baselines become
     // BroadcastNestedLoopJoin (bounded side); an unconditional
