@@ -378,9 +378,16 @@ object Dedup {
   /** Exact duplicated-SUBSTRING spans — window-granular substring dedup
     * (the "dedup repeated sequences, not just documents/lines" pass of
     * published training-data pipelines): for every document, the maximal
-    * token spans in which EVERY k-token window occurs at least `minCount`
-    * times corpus-wide (within-doc repeats count — a doc repeating its own
-    * chorus is duplication too). Verbatim re-use shows up as long spans
+    * DISJOINT token spans covered by k-token windows that occur at least
+    * `minCount` times corpus-wide (within-doc repeats count — a doc
+    * repeating its own chorus is duplication too). Every token in a span
+    * lies inside ≥ 1 duplicated window; spans merge while their window
+    * token ranges overlap (position gap ≤ k−1) and split only across a
+    * genuine ≥ 1-token un-duplicated gap — so span token counts are
+    * ADDITIVE (the [[graft.queries.PipelineQueries.dupFraction]] coverage
+    * metric cannot double-count; a consecutive-positions-only merge would
+    * emit overlapping token ranges for gapped window runs — caught by
+    * CorpusPropertySpec). Verbatim re-use shows up as long spans
     * even when the documents as wholes are unique, which is exactly the
     * case whole-doc MinHash and line-hash dedup both miss.
     *
@@ -423,10 +430,15 @@ object Dedup {
     val dupHashes = win.groupBy(col("h"))
       .agg(count(lit(1)).as("c")).where(col("c") >= minCount)
       .select(col("h"))
-    val rn = org.apache.spark.sql.expressions.Window
+    // gaps-and-islands on TOKEN coverage: a new island starts only when
+    // the previous duplicated window's token range (k tokens from its
+    // start) no longer reaches this one — position gap > k-1
+    val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     win.join(dupHashes, Seq("h"), "left_semi")
-      .withColumn("grp", col("pos") - row_number().over(rn))
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= k - 1, 0L).otherwise(1L))
+      .withColumn("grp", sum(col("brk")).over(w))
       .groupBy(col("doc_id"), col("grp"))
       .agg(min(col("pos")).cast("long").as("start_pos"),
         (max(col("pos")) + (k - 1)).cast("long").as("end_pos"),

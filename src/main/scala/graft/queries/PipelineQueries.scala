@@ -291,12 +291,72 @@ object PipelineQueries {
        |c AS (SELECT h FROM win GROUP BY h HAVING count(*) >= 2),
        |dup AS (SELECT doc_id, pos FROM win JOIN c USING (h)),
        |isl AS (SELECT doc_id, pos,
-       |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-       |        FROM dup)
+       |          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 4
+       |               THEN 0 ELSE 1 END AS brk
+       |        FROM dup),
+       |g AS (SELECT doc_id, pos,
+       |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM isl)
        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_pos,
        |       CAST(max(pos) + 4 AS BIGINT) AS end_pos,
        |       count(*) AS n_windows
-       |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, start_pos""".stripMargin
+       |FROM g GROUP BY doc_id, grp ORDER BY doc_id, start_pos""".stripMargin
+
+  /** Duplicated-token FRACTION per source — the decision metric of the
+    * drop-documents-that-are-mostly-duplicate rule: per doc (≥ 5 tokens,
+    * the window width), the share of its tokens covered by
+    * [[Dedup.duplicatedSpans]] spans (maximal spans are disjoint, so the
+    * covered count is a plain sum), aggregated per source with the > 50%
+    * flag count. Every input is served from the materialized window
+    * table; token counts derive from the table itself (max window start
+    * + k), so the query tokenizes nothing. */
+  def dupFraction(s: SparkSession, d: String): DataFrame = {
+    val winPath = graft.ops.Indexes.ensureWindowHashes(s, documents(s, d), d,
+      k = 5, label = "full")
+    val win = s.read.parquet(winPath)
+    val docTokens = win.groupBy(col("doc_id"))
+      .agg((max(col("pos")) + lit(5)).cast("long").as("tokens"))
+    val dupTokens = Dedup.duplicatedSpansFromWindows(win, k = 5)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("end_pos") - col("start_pos") + 1).as("dup_tokens"))
+    docTokens
+      .join(dupTokens, Seq("doc_id"), "left")
+      .join(documents(s, d).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("tokens")).as("frac"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_measured"),
+        sum(when(col("frac") > 0.5, 1L).otherwise(0L)).as("n_flagged"),
+        round(avg(col("frac")), 6).as("avg_dup_frac"))
+      .orderBy(col("source"))
+  }
+
+  val dupFractionSql: String =
+    s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |l AS (SELECT doc_id, unnest(range(1, len(w)-3)) AS i, w FROM w),
+       |win AS (SELECT doc_id, i - 1 AS pos,
+       |          ('0x' || substr(md5(array_to_string(w[i : i+4], ' ')), 1, 12))::BIGINT AS h
+       |        FROM l),
+       |c AS (SELECT h FROM win GROUP BY h HAVING count(*) >= 2),
+       |dup AS (SELECT doc_id, pos FROM win JOIN c USING (h)),
+       |isl AS (SELECT doc_id, pos,
+       |          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 4
+       |               THEN 0 ELSE 1 END AS brk
+       |        FROM dup),
+       |g AS (SELECT doc_id, pos,
+       |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM isl),
+       |sp AS (SELECT doc_id, min(pos) AS st, max(pos) + 4 AS en
+       |       FROM g GROUP BY doc_id, grp),
+       |dt AS (SELECT doc_id, max(pos) + 5 AS tokens FROM win GROUP BY doc_id),
+       |sd AS (SELECT doc_id, sum(en - st + 1) AS dup_tokens FROM sp GROUP BY doc_id),
+       |f AS (SELECT d.source,
+       |        coalesce(sd.dup_tokens, 0)::DOUBLE / dt.tokens AS frac
+       |      FROM dt LEFT JOIN sd ON dt.doc_id = sd.doc_id
+       |      JOIN documents d ON dt.doc_id = d.doc_id)
+       |SELECT source, count(*) AS n_docs_measured,
+       |       CAST(sum(CASE WHEN frac > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       |       round(avg(frac), 6) AS avg_dup_frac
+       |FROM f GROUP BY source ORDER BY source""".stripMargin
 
   /** Exact all-pairs Jaccard baseline (bounded id range — quadratic by
     * design; the cap keeps the verification yardstick cheap in the bench). */
