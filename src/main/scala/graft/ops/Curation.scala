@@ -218,16 +218,28 @@ object Curation {
     // top-k cut per invocation (the registered query would re-derive the
     // identical scalar 4× per bench run)
     Indexes.memoModel(docs, s"qthr_${frac}_$sampleK") {
-      val row = graft.ops.Sketches.bottomKSample(
-          docs.select(col("doc_id"),
-            TextAnalysis.qualityScore(col("text")).as("q")),
-          "doc_id", sampleK)
-        .agg(percentile(col("q"), lit(frac)).as("t"))
-        .head()
-      require(!row.isNullAt(0),
-        "quality threshold undefined: empty corpus slice or all-null text")
-      Double.box(row.getDouble(0))
+      Double.box(qualityThresholdUnmemoized(docs, frac, sampleK))
     }.doubleValue()
+
+  /** The raw derivation (no memo) — exposed for the determinism spec,
+    * which must prove two independent derivations agree (the memo would
+    * make that assertion tautological). Sample MEMBERSHIP is decided on
+    * doc_id alone, then only the k sampled docs are scored — scoring is
+    * three regex passes per doc, and evaluating it corpus-wide just to
+    * keep k rows would put the expensive half of the full-column
+    * percentile right back. */
+  private[graft] def qualityThresholdUnmemoized(docs: DataFrame, frac: Double,
+                                                sampleK: Int): Double = {
+    val ids = graft.ops.Sketches.bottomKSample(
+      docs.select(col("doc_id")), "doc_id", sampleK).select(col("doc_id"))
+    val row = docs.join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .select(TextAnalysis.qualityScore(col("text")).as("q"))
+      .agg(percentile(col("q"), lit(frac)).as("t"))
+      .head()
+    require(!row.isNullAt(0),
+      "quality threshold undefined: empty corpus slice or all-null text")
+    row.getDouble(0)
+  }
 
   /** The corpus with its lowest-quality `frac` dropped, per the
     * sample-estimated [[qualityThreshold]] — one narrow filter over the

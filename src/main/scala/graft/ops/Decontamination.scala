@@ -148,9 +148,19 @@ object Decontamination {
   def contaminatedDocsWindowedIndexed(spark: org.apache.spark.sql.SparkSession,
                                       trainSetsPath: String, evalSetsPath: String,
                                       windowN: Int = 5, mBits: Int = 1 << 19,
-                                      kHashes: Int = 5): DataFrame =
+                                      kHashes: Int = 5): DataFrame = {
+    // the stored tables MUST be shingled at windowN — a mismatched index
+    // would silently report windowM overlaps as windowN contamination.
+    // ensureShingleSets paths encode their width; reject a recognizable
+    // mismatch instead of producing wrong answers (custom paths without
+    // the marker are the caller's responsibility, as documented).
+    Seq(trainSetsPath, evalSetsPath).foreach { p =>
+      require(!p.contains("shingles_n") || p.contains(s"shingles_n${windowN}_"),
+        s"shingle table $p was not built at windowN=$windowN")
+    }
     windowedConfirm(spark.read.parquet(trainSetsPath),
       spark.read.parquet(evalSetsPath), windowN, mBits, kHashes)
+  }
 
   /** Both sides arrive as (doc_id, sh) shingle-set frames — inline or
     * index-served; the bloom bitset memo keys on the eval frame's plan +

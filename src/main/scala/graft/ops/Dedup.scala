@@ -382,8 +382,8 @@ object Dedup {
     * `minCount` times corpus-wide (within-doc repeats count — a doc
     * repeating its own chorus is duplication too). Every token in a span
     * lies inside ≥ 1 duplicated window; spans merge while their window
-    * token ranges overlap (position gap ≤ k−1) and split only across a
-    * genuine ≥ 1-token un-duplicated gap — so span token counts are
+    * token ranges overlap or touch (position gap ≤ k) and split only
+    * across a genuine ≥ 1-token un-duplicated gap — so span token counts are
     * ADDITIVE (the [[graft.queries.PipelineQueries.dupFraction]] coverage
     * metric cannot double-count; a consecutive-positions-only merge would
     * emit overlapping token ranges for gapped window runs — caught by
@@ -430,14 +430,16 @@ object Dedup {
     val dupHashes = win.groupBy(col("h"))
       .agg(count(lit(1)).as("c")).where(col("c") >= minCount)
       .select(col("h"))
-    // gaps-and-islands on TOKEN coverage: a new island starts only when
-    // the previous duplicated window's token range (k tokens from its
-    // start) no longer reaches this one — position gap > k-1
+    // gaps-and-islands on TOKEN coverage: a new island starts only when at
+    // least one un-duplicated token separates it from the previous
+    // window's range — position gap > k (gap == k means the ranges are
+    // ADJACENT with zero tokens between them, which is still one maximal
+    // covered span)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     win.join(dupHashes, Seq("h"), "left_semi")
       .withColumn("brk",
-        when(col("pos") - lag(col("pos"), 1).over(w) <= k - 1, 0L).otherwise(1L))
+        when(col("pos") - lag(col("pos"), 1).over(w) <= k, 0L).otherwise(1L))
       .withColumn("grp", sum(col("brk")).over(w))
       .groupBy(col("doc_id"), col("grp"))
       .agg(min(col("pos")).cast("long").as("start_pos"),

@@ -713,6 +713,21 @@ object Indexes {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Label → path segment with a LENGTH prefix, so no two distinct labels
+    * can ever produce families where one is a string prefix of the other
+    * (lshFamily's no-prefix-overlap invariant: gcSiblings matches by
+    * prefix, and a label "train" must never be able to reclaim
+    * "train_excl_src0"'s live generation). The length prefix shipped in
+    * the same round that introduced labeled families, so no deployed
+    * index root holds pre-rename generations; any FUTURE family rename
+    * must bump [[IndexFormatVersion]] or old-format directories escape
+    * every sweep. */
+  private def labelSegment(label: String): String = {
+    val lbl = label.replaceAll("[^A-Za-z0-9._-]", "_")
+    require(lbl.nonEmpty && lbl.length <= 999, s"unusable index label: '$label'")
+    f"${lbl.length}%03d$lbl"
+  }
+
   /** Materialized n-gram shingle-set table for a corpus slice — the
     * serving state of windowed decontamination
     * ([[Decontamination.contaminatedDocsWindowedIndexed]]): tokenizing a
@@ -724,17 +739,6 @@ object Indexes {
     * fingerprint — as the full corpus; without the label the two would
     * alias to one index ([[minhashNearDupsIncremental]]'s raw-scan caveat,
     * handled here instead of pushed to callers). */
-  /** Label → path segment with a LENGTH prefix, so no two distinct labels
-    * can ever produce families where one is a string prefix of the other
-    * (lshFamily's no-prefix-overlap invariant: gcSiblings matches by
-    * prefix, and a label "train" must never be able to reclaim
-    * "train_excl_src0"'s live generation). */
-  private def labelSegment(label: String): String = {
-    val lbl = label.replaceAll("[^A-Za-z0-9._-]", "_")
-    require(lbl.nonEmpty && lbl.length <= 999, s"unusable index label: '$label'")
-    f"${lbl.length}%03d$lbl"
-  }
-
   def ensureShingleSets(spark: SparkSession, docs: DataFrame, sfDir: String,
                         shingleN: Int, label: String): String = {
     val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")

@@ -282,8 +282,12 @@ object PipelineQueries {
       .orderBy(col("doc_id"), col("start_pos"))
   }
 
-  val dupSpansSql: String =
-    s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM documents),
+  /** Shared CTE chain for the k=5 window-hash + gaps-and-islands replay,
+    * ending in `g(doc_id, pos, grp)` — one definition so the span and
+    * fraction oracles can never diverge on the merge rule (islands split
+    * at position gap > k: gap == k means the token ranges touch). */
+  private val duckDupIslandCtes: String =
+    s"""w AS (SELECT doc_id, $duckWords AS w FROM documents),
        |l AS (SELECT doc_id, unnest(range(1, len(w)-3)) AS i, w FROM w),
        |win AS (SELECT doc_id, i - 1 AS pos,
        |          ('0x' || substr(md5(array_to_string(w[i : i+4], ' ')), 1, 12))::BIGINT AS h
@@ -291,11 +295,14 @@ object PipelineQueries {
        |c AS (SELECT h FROM win GROUP BY h HAVING count(*) >= 2),
        |dup AS (SELECT doc_id, pos FROM win JOIN c USING (h)),
        |isl AS (SELECT doc_id, pos,
-       |          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 4
+       |          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
        |               THEN 0 ELSE 1 END AS brk
        |        FROM dup),
        |g AS (SELECT doc_id, pos,
-       |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM isl)
+       |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM isl)""".stripMargin
+
+  val dupSpansSql: String =
+    s"""WITH $duckDupIslandCtes
        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_pos,
        |       CAST(max(pos) + 4 AS BIGINT) AS end_pos,
        |       count(*) AS n_windows
@@ -332,19 +339,7 @@ object PipelineQueries {
   }
 
   val dupFractionSql: String =
-    s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM documents),
-       |l AS (SELECT doc_id, unnest(range(1, len(w)-3)) AS i, w FROM w),
-       |win AS (SELECT doc_id, i - 1 AS pos,
-       |          ('0x' || substr(md5(array_to_string(w[i : i+4], ' ')), 1, 12))::BIGINT AS h
-       |        FROM l),
-       |c AS (SELECT h FROM win GROUP BY h HAVING count(*) >= 2),
-       |dup AS (SELECT doc_id, pos FROM win JOIN c USING (h)),
-       |isl AS (SELECT doc_id, pos,
-       |          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 4
-       |               THEN 0 ELSE 1 END AS brk
-       |        FROM dup),
-       |g AS (SELECT doc_id, pos,
-       |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM isl),
+    s"""WITH $duckDupIslandCtes,
        |sp AS (SELECT doc_id, min(pos) AS st, max(pos) + 4 AS en
        |       FROM g GROUP BY doc_id, grp),
        |dt AS (SELECT doc_id, max(pos) + 5 AS tokens FROM win GROUP BY doc_id),

@@ -79,7 +79,8 @@ class CorpusPropertySpec extends AnyFunSuite {
         val sorted = ss.sortBy(_._2)
         sorted.sliding(2).foreach {
           case Array((_, _, e1, _), (_, s2, _, _)) =>
-            assert(e1 < s2, s"seed=$seed doc=$id overlapping/adjacent spans")
+            assert(e1 + 1 < s2,
+              s"seed=$seed doc=$id spans must be separated by >= 1 token")
           case _ =>
         }
       }

@@ -201,7 +201,9 @@ class CurationSpec extends AnyFunSuite {
   test("quality gate: sample-derived threshold is stable and actually cuts") {
     val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
     val t1 = Curation.qualityThreshold(docs)
-    val t2 = Curation.qualityThreshold(docs)
+    // determinism must hold across INDEPENDENT derivations — the memoized
+    // entry point would make a repeat call tautologically equal
+    val t2 = Curation.qualityThresholdUnmemoized(docs, 0.25, 200)
     assert(t1 === t2, "threshold must be deterministic (md5 sample, no RNG)")
     assert(t1 > 0.0 && t1 < 1.0)
     val total = docs.count()

@@ -83,7 +83,7 @@ class DedupSpec extends AnyFunSuite {
     val fixture = Seq(
       (1L, "p q r s t u v"),           // shares the 5-run "q r s t u" with 2
       (2L, "x q r s t u y"),
-      (3L, "a b c d e a b c d e"),     // within-doc repeat: two disjoint spans
+      (3L, "a b c d e a b c d e"),     // within-doc repeat: ranges touch → ONE span
       (4L, "m n o p q r"),             // exact dup pair: full-doc span
       (5L, "m n o p q r"),
       (6L, "one two")                  // < k tokens: no window, absent
@@ -92,7 +92,7 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(spans === Set(
       (1L, 1L, 5L, 1L), (2L, 1L, 5L, 1L),
-      (3L, 0L, 4L, 1L), (3L, 5L, 9L, 1L),
+      (3L, 0L, 9L, 2L), // [0,4] and [5,9] touch with zero tokens between
       (4L, 0L, 5L, 2L), (5L, 0L, 5L, 2L)))
   }
 
