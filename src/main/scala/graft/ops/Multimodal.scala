@@ -15,6 +15,12 @@ case class Frame(doc_id: Long, frame_idx: Long, n_bytes: Long, frame_md5: String
 case class ImageFeatures(name: String, width: Int, height: Int,
                          n_pixels: Long, sum_r: Long, sum_g: Long, sum_b: Long)
 
+/** Real decoded-audio features (JDK javax.sound.sampled decode — see
+  * [[Multimodal.decodeAudio]]). */
+case class AudioFeatures(name: String, channels: Int, sample_rate: Int,
+                         bits: Int, n_samples: Long, duration_us: Long,
+                         abs_sum: Long)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, and a per-partition decode/feature-extract pass.
   *
@@ -146,6 +152,67 @@ object Multimodal {
             }
             ImageFeatures(name, w, h, w.toLong * h, sr, sg, sb)
           }
+        }
+      }
+  }
+
+  /** REAL audio decode (the image path's twin for sound): per-partition
+    * `javax.sound.sampled` decode of WAV/AU/AIFF payloads from a
+    * binaryFile scan into exact PCM amplitude features — format fields
+    * (channels, rate, bits), sample count, integer-exact duration_us, and
+    * the sum of |amplitude| over signed 16-bit samples. PCM is lossless,
+    * so the features must reproduce the fixture generator's analytic
+    * manifest exactly ([[graft.tools.GenAudioFixture]] — the oracle never
+    * runs a decoder).
+    *
+    * Same hardening as [[decodeImages]]: one decoder init per PARTITION;
+    * a header-declared `frameLength × frameSize` bomb guard BEFORE any
+    * buffer allocation (`maxPcmBytes`); undecodable or non-16-bit-PCM
+    * payloads yield a (-1) sentinel row under `NonFatal` instead of
+    * killing the job. */
+  val maxPcmBytes: Long = 64L * 1024 * 1024
+
+  def decodeAudio(audio: DataFrame): Dataset[AudioFeatures] = {
+    val spark = audio.sparkSession
+    import spark.implicits._
+    val sentinel = (name: String) => AudioFeatures(name, -1, -1, -1, 0L, 0L, 0L)
+    audio.select(
+        element_at(split(col("path"), "/"), -1).as("name"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (name, bytes) =>
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            try {
+              val fmt = in.getFormat
+              val frames = in.getFrameLength
+              val frameSize = fmt.getFrameSize
+              if (fmt.getEncoding !=
+                    javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+                  fmt.getSampleSizeInBits != 16 || frames <= 0 ||
+                  frameSize <= 0 || frames * frameSize > maxPcmBytes)
+                sentinel(name)
+              else {
+                val buf = in.readAllBytes()
+                val channels = fmt.getChannels
+                val nSamples = buf.length / 2
+                var absSum = 0L
+                var i = 0
+                while (i + 1 < buf.length) {
+                  val b0 = buf(i).toInt // WAV is LE, AU/AIFF are BE
+                  val b1 = buf(i + 1).toInt
+                  val s = (if (fmt.isBigEndian) (b0 << 8) | (b1 & 0xff)
+                           else (b1 << 8) | (b0 & 0xff)).toShort
+                  absSum += math.abs(s.toLong)
+                  i += 2
+                }
+                val rate = fmt.getSampleRate.toLong
+                AudioFeatures(name, channels, rate.toInt, 16, nSamples.toLong,
+                  (nSamples.toLong / channels) * 1000000L / rate, absSum)
+              }
+            } finally in.close()
+          } catch { case scala.util.control.NonFatal(_) => sentinel(name) }
         }
       }
   }

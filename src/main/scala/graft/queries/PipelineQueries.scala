@@ -1516,6 +1516,25 @@ object PipelineQueries {
     s"""SELECT name, width, height, n_pixels, sum_r, sum_g, sum_b
        |FROM read_parquet('$imageManifestPath/*.parquet') ORDER BY name""".stripMargin
 
+  /** Committed audio fixture (see graft.tools.GenAudioFixture): 12
+    * formula-generated 16-bit PCM WAVs with analytic ground truth. */
+  val audioFixtureDir: String =
+    sys.env.getOrElse("SPARK_GRAFT_AUDIO", "/root/repo/fixtures/audio")
+  val audioManifestPath: String = sys.env.getOrElse("SPARK_GRAFT_AUDIO_MANIFEST",
+    "/root/repo/fixtures/audio_manifest.parquet")
+
+  /** REAL audio decode end-to-end: binaryFile scan → per-partition
+    * javax.sound decode → exact PCM amplitude sums, verified against the
+    * analytic manifest (PCM is lossless; the oracle never runs a
+    * decoder — the image-decode contract, for sound). */
+  def audioDecode(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeAudio(s.read.format("binaryFile").load(audioFixtureDir))
+      .toDF().orderBy(col("name"))
+
+  val audioDecodeSql: String =
+    s"""SELECT name, channels, sample_rate, bits, n_samples, duration_us, abs_sum
+       |FROM read_parquet('$audioManifestPath/*.parquet') ORDER BY name""".stripMargin
+
   /** Video-style frame sampling (1→N decode): every 2nd 256-byte frame of
     * the payload, fingerprinted per frame. The oracle replays the identical
     * hex-domain slicing, so the mapPartitions path is hash-verified. */

@@ -111,6 +111,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(decoded.nonEmpty && decoded === manifest)
   }
 
+  test("real audio decode matches the analytic manifest; corrupt → sentinel") {
+    import graft.queries.PipelineQueries
+    val decoded = PipelineQueries.audioDecode(spark, "")
+      .collect().map(_.toSeq).toSeq
+    val manifest = spark.read.parquet(PipelineQueries.audioManifestPath)
+      .orderBy(col("name"))
+      .select("name", "channels", "sample_rate", "bits", "n_samples",
+        "duration_us", "abs_sum")
+      .collect().map(_.toSeq).toSeq
+    assert(decoded.nonEmpty && decoded === manifest,
+      "javax.sound PCM decode must reproduce the generator's exact sums")
+    // corrupt payload and a header-declared bomb both degrade to sentinels
+    import spark.implicits._
+    val bomb = {
+      // valid RIFF/fmt header claiming ~2 GiB of PCM data, no actual data
+      val b = java.io.File.createTempFile("bomb", ".wav")
+      val o = new java.io.DataOutputStream(new java.io.FileOutputStream(b))
+      o.writeBytes("RIFF"); o.writeInt(Integer.reverseBytes(36 + 0x7fff0000))
+      o.writeBytes("WAVE"); o.writeBytes("fmt ")
+      o.writeInt(Integer.reverseBytes(16))
+      o.writeShort(java.lang.Short.reverseBytes(1).toInt)
+      o.writeShort(java.lang.Short.reverseBytes(1).toInt)
+      o.writeInt(Integer.reverseBytes(8000)); o.writeInt(Integer.reverseBytes(16000))
+      o.writeShort(java.lang.Short.reverseBytes(2).toInt)
+      o.writeShort(java.lang.Short.reverseBytes(16).toInt)
+      o.writeBytes("data"); o.writeInt(Integer.reverseBytes(0x7fff0000))
+      o.close()
+      b
+    }
+    val junk = Seq(
+      ("/x/garbage.wav", Array[Byte](1, 2, 3, 4)),
+      ("/x/" + bomb.getName, java.nio.file.Files.readAllBytes(bomb.toPath)))
+      .toDF("path", "content")
+    val got = Multimodal.decodeAudio(junk).collect()
+    assert(got.length === 2 && got.forall(_.channels === -1),
+      s"junk/bomb payloads must degrade to sentinels: ${got.toSeq}")
+  }
+
   test("metadata-only query does not need payload decode (column pruning)") {
     val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
     val plan = Multimodal.attachPayload(docs).select("doc_id", "source")
