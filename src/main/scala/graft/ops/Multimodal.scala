@@ -165,11 +165,13 @@ object Multimodal {
     * manifest exactly ([[graft.tools.GenAudioFixture]] — the oracle never
     * runs a decoder).
     *
-    * Same hardening as [[decodeImages]]: one decoder init per PARTITION;
-    * a header-declared `frameLength × frameSize` bomb guard BEFORE any
-    * buffer allocation (`maxPcmBytes`); undecodable or non-16-bit-PCM
-    * payloads yield a (-1) sentinel row under `NonFatal` instead of
-    * killing the job. */
+    * Same hardening as [[decodeImages]]: a header-declared
+    * `frameLength × frameSize` bomb guard BEFORE any buffer allocation
+    * (`maxPcmBytes`); undecodable or non-16-bit-PCM payloads yield a
+    * (-1) sentinel row under `NonFatal` instead of killing the job.
+    * (Unlike ImageIO there is no per-partition reader state to
+    * initialize — `AudioSystem`'s provider lookup consults a static,
+    * JVM-cached SPI registry per payload.) */
   val maxPcmBytes: Long = 64L * 1024 * 1024
 
   def decodeAudio(audio: DataFrame): Dataset[AudioFeatures] = {

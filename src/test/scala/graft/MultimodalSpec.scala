@@ -124,10 +124,10 @@ class MultimodalSpec extends AnyFunSuite {
       "javax.sound PCM decode must reproduce the generator's exact sums")
     // corrupt payload and a header-declared bomb both degrade to sentinels
     import spark.implicits._
-    val bomb = {
+    val bomb: Array[Byte] = {
       // valid RIFF/fmt header claiming ~2 GiB of PCM data, no actual data
-      val b = java.io.File.createTempFile("bomb", ".wav")
-      val o = new java.io.DataOutputStream(new java.io.FileOutputStream(b))
+      val bos = new java.io.ByteArrayOutputStream()
+      val o = new java.io.DataOutputStream(bos)
       o.writeBytes("RIFF"); o.writeInt(Integer.reverseBytes(36 + 0x7fff0000))
       o.writeBytes("WAVE"); o.writeBytes("fmt ")
       o.writeInt(Integer.reverseBytes(16))
@@ -138,11 +138,11 @@ class MultimodalSpec extends AnyFunSuite {
       o.writeShort(java.lang.Short.reverseBytes(16).toInt)
       o.writeBytes("data"); o.writeInt(Integer.reverseBytes(0x7fff0000))
       o.close()
-      b
+      bos.toByteArray
     }
     val junk = Seq(
       ("/x/garbage.wav", Array[Byte](1, 2, 3, 4)),
-      ("/x/" + bomb.getName, java.nio.file.Files.readAllBytes(bomb.toPath)))
+      ("/x/bomb.wav", bomb))
       .toDF("path", "content")
     val got = Multimodal.decodeAudio(junk).collect()
     assert(got.length === 2 && got.forall(_.channels === -1),
