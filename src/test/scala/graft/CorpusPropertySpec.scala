@@ -93,6 +93,34 @@ class CorpusPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("survivor election: one winner per component, max (priority, -id)") {
+    for (seed <- 30L to 33L) {
+      // flatten newlines so near-dup pairs arise from shared 2-word lines
+      val docs = corpus(seed).map { case (i, t) => (i, t.replace("\n", " ")) }
+        .toDF("doc_id", "text")
+      val pairs = graft.ops.Dedup.nearDupPairs(docs, 0.5).select("doc_a", "doc_b")
+      val kept = graft.ops.Dedup.survivorsBy(docs, pairs,
+          org.apache.spark.sql.functions.length(col("text")))
+        .select("doc_id").as[Long].collect().toSet
+      val comp = graft.ops.Dedup.connectedComponents(pairs)
+        .as[(Long, Long)].collect()
+      val lens = docs.select(col("doc_id"),
+          org.apache.spark.sql.functions.length(col("text")))
+        .as[(Long, Int)].collect().toMap
+      val clustered = comp.map(_._1).toSet
+      // singletons always survive
+      val singles = lens.keySet -- clustered
+      assert(singles.subsetOf(kept), s"seed=$seed: singletons must survive")
+      // exactly one survivor per component: the (maxLen, minId) member
+      comp.groupBy(_._2).foreach { case (rep, members) =>
+        val ids = members.map(_._1)
+        val winner = ids.maxBy(id => (lens(id), -id))
+        assert(ids.toSet.intersect(kept) === Set(winner),
+          s"seed=$seed rep=$rep: expected winner $winner of ${ids.toSeq}")
+      }
+    }
+  }
+
   test("pack spans: chained offsets, bin order, whole-stream conservation") {
     for (seed <- 20L to 23L) {
       val docs = corpus(seed)

@@ -338,6 +338,29 @@ class IndexesSpec extends AnyFunSuite {
     assert(gi === wi, "IVF probe over the appended index must match a rebuild")
   }
 
+  test("racing ensureShingleSets builders converge on one committed generation") {
+    val docs = graft.engine.Tables.documents(spark, sf)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val paths = Await.result(Future.sequence((1 to 4).map(_ => Future {
+      Indexes.ensureShingleSets(spark, docs, sf, shingleN = 4, label = "race_spec")
+    })), 120.seconds)
+    assert(paths.distinct.size === 1, s"racers must agree on the path: $paths")
+    val p = new java.io.File(paths.head)
+    assert(new java.io.File(p, "_SUCCESS").exists())
+    // no racer's tmp dir survives, and exactly one committed generation
+    val siblings = p.getParentFile.listFiles()
+      .filter(_.getName.startsWith("shingles_n4_009race_spec_"))
+    assert(siblings.map(_.getName).count(!_.contains(".tmp-")) === 1,
+      s"one generation expected: ${siblings.map(_.getName).toSeq}")
+    assert(!siblings.exists(_.getName.contains(".tmp-")),
+      "loser tmp dirs must be discarded")
+    // the committed table is complete and readable
+    assert(spark.read.parquet(paths.head).count() ===
+      graft.ops.Dedup.shingleSets(docs, 4).count())
+  }
+
   test("appendMinhashIndex: post-append index equals a from-scratch rebuild") {
     val docs = graft.engine.Tables.documents(spark, sf)
     val a = docs.where(col("doc_id") % 2 === 0)
