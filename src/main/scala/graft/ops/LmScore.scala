@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** CCNet-style n-gram language-model quality scoring: train a bigram LM on
+  * a trusted reference slice, score every corpus document by its average
+  * negative log-likelihood under that model, and gate on the score — the
+  * standard "does this crawl page read like the reference corpus?" signal
+  * (the published pipelines score against a Wikipedia-trained LM; here the
+  * reference is whichever slice the caller trusts).
+  *
+  * 100 TB design — the model is a SKETCH, not a table:
+  *  - bigram and prefix-unigram frequencies live in two Count-Min counter
+  *    tables ([[Sketches.cmsBuild]]), so the model is `2·depth·width` longs
+  *    REGARDLESS of reference size (a real-corpus bigram table has hundreds
+  *    of millions of rows and cannot broadcast; the CMS always can);
+  *  - the build is one explode + one map-side-combined aggregate over the
+  *    reference — the corpus itself is never touched;
+  *  - scoring embeds the counters as plan literals ([[Sketches
+  *    .cmsLookupHashed]]) and runs as a pure codegen'd scan-stage fold:
+  *    per document, words → bigram hashes → CMS lookups → one left-to-right
+  *    `aggregate` — NO join, NO shuffle, NO UDF anywhere on the corpus path
+  *    (LmScoreSpec machine-asserts the scoring plan is join- and
+  *    exchange-free). CMS overestimates only on collision, so a noisy cell
+  *    can make a rare bigram look common — the classic sketch trade; width
+  *    sizes the error exactly as in q_cms_counts.
+  *
+  * Cross-engine exactness: counts, hashes, and the smoothing vocabulary are
+  * integers (the CMS tables are hash-identical in DuckDB — q_cms_counts
+  * proves the family), so the quantized score `q2_nll` — per-position
+  * `floor(log2)` of the smoothed probability via `length(bin(x))`, the HLL
+  * rank trick — is INTEGER-EXACT across engines and anchors the hash
+  * verification. The float `nll` (natural-log average, rounded to 6) rides
+  * alongside for consumers who want the conventional units; its double sum
+  * carries the same accepted round-half risk as every other float aggregate
+  * (CoreQueries preamble).
+  *
+  * No reference-repo counterpart (the reference has no LM scoring); the
+  * operator generalizes its quality-filter family (SURVEY §2 F-rows) the
+  * way Bloom decontamination generalizes its membership filters.
+  */
+object LmScore {
+
+  /** Fixed-size bigram LM state: two flat CMS counter tables (row-major
+    * depth×width, [[Sketches.cmsFlat]]) plus the exact reference vocabulary
+    * size (the add-one smoothing denominator). Bundling (depth, width) with
+    * the counters keeps probe arithmetic from drifting from build
+    * arithmetic — the [[Bloom.BloomSketch]] lesson. */
+  final case class BigramLm(big: Array[Long], uni: Array[Long],
+                            depth: Int, width: Int, vocab: Long) {
+    require(big.length == depth * width && uni.length == depth * width,
+      s"counter tables must be depth*width = ${depth * width} long")
+  }
+
+  /** Train the bigram LM over `ref`'s `textCol`: CMS over all word bigrams,
+    * CMS over their prefix words (the conditional's denominator counts
+    * OCCURRENCES, not distinct docs), and the exact distinct-word count.
+    * Driver-memoized per (params, reference plan, content fingerprint) like
+    * the IVF/PQ models — steady-state reruns reuse the collected counters
+    * without touching the reference. */
+  def trainBigramLm(ref: DataFrame, textCol: String = "text",
+                    depth: Int = 4, width: Int = 1024): BigramLm =
+    Indexes.memoModel(ref, s"lm_d${depth}_w$width") {
+      val w = ref.select(TextOps.words(coalesce(col(textCol), lit(""))).as("w"))
+      val bigrams = w.select(explode(TextOps.shingles(col("w"), 2)).as("g"))
+      val prefixes = w.where(size(col("w")) >= 2)
+        .select(explode(slice(col("w"), lit(1), size(col("w")) - 1)).as("g"))
+      BigramLm(
+        Sketches.cmsFlat(Sketches.cmsBuild(bigrams, "g", depth, width), depth, width),
+        Sketches.cmsFlat(Sketches.cmsBuild(prefixes, "g", depth, width), depth, width),
+        depth, width,
+        w.select(explode(col("w")).as("g"))
+          .agg(countDistinct(col("g"))).head().getLong(0))
+    }
+
+  /** Per-position CMS estimate arrays for each document — `__graft_eb`
+    * (bigram count) and `__graft_eu` (prefix-word count) appended to the
+    * input columns, from which both score forms derive. Each stage is its
+    * own materialized projection so every regex split, md5, and CMS lookup
+    * evaluates exactly once (the Generate/CSE discipline of
+    * [[TextOps.shingleSetFromWords]]); `__graft_`-prefixed intermediates
+    * keep caller columns safe from collision. */
+  private def estimates(docs: DataFrame, lm: BigramLm, textCol: String) =
+    docs
+      .withColumn("__graft_w", TextOps.words(coalesce(col(textCol), lit(""))))
+      .withColumn("__graft_bh",
+        transform(TextOps.shingles(col("__graft_w"), 2), TextOps.shingleHash(_)))
+      .withColumn("__graft_uh",
+        transform(when(size(col("__graft_w")) >= 2,
+            slice(col("__graft_w"), lit(1), size(col("__graft_w")) - 1))
+          .otherwise(array().cast("array<string>")), TextOps.shingleHash(_)))
+      .withColumn("__graft_eb", transform(col("__graft_bh"),
+        b => Sketches.cmsLookupHashed(b, lm.big, lm.depth, lm.width)))
+      .withColumn("__graft_eu", transform(col("__graft_uh"),
+        u => Sketches.cmsLookupHashed(u, lm.uni, lm.depth, lm.width)))
+      .drop("__graft_w", "__graft_bh", "__graft_uh")
+
+  private def nllCol(lm: BigramLm): Column =
+    round(aggregate(zip_with(col("__graft_eb"), col("__graft_eu"), (b, u) =>
+        log((u + lm.vocab).cast("double") / (b + lit(1L)).cast("double"))),
+      lit(0.0), _ + _) / greatest(size(col("__graft_eb")), lit(1)).cast("double"), 6)
+
+  /** Score `docs` under the model: one row per document —
+    *  - `n_bigrams`: scored positions (0 for docs under two words);
+    *  - `q2_nll`: Σ floor-log2-quantized NLL terms, integer-exact
+    *    (`length(bin(eu+V)) − length(bin(eb+1))` per position — add-one
+    *    smoothing P = (eb+1)/(eu+V) in bit-length space);
+    *  - `nll`: average natural-log NLL, left-to-right fold, rounded to 6.
+    * Join-free and shuffle-free by construction — the model is three plan
+    * literals. */
+  def lmScores(docs: DataFrame, lm: BigramLm, textCol: String = "text"): DataFrame =
+    estimates(docs, lm, textCol).select(col("doc_id"),
+      size(col("__graft_eb")).cast("long").as("n_bigrams"),
+      aggregate(zip_with(col("__graft_eb"), col("__graft_eu"), (b, u) =>
+          (length(bin(u + lm.vocab)) - length(bin(b + lit(1L)))).cast("long")),
+        lit(0L), _ + _).as("q2_nll"),
+      nllCol(lm).as("nll"))
+
+  /** Keep documents whose average NLL is at most `maxNll` (plus everything
+    * too short to score — a two-word doc is not evidence of junk). The gate
+    * is computed INLINE on the corpus scan — same join-free scan-stage
+    * filter shape as [[Curation.qualityGate]], no self-join. */
+  def lmGate(docs: DataFrame, lm: BigramLm, maxNll: Double,
+             textCol: String = "text"): DataFrame = {
+    val keep = docs.columns.map(col)
+    estimates(docs, lm, textCol)
+      .where(size(col("__graft_eb")) === 0 || nllCol(lm) <= maxNll)
+      .select(keep.toIndexedSeq: _*)
+  }
+}

@@ -76,6 +76,39 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
   }
 
+  /** Collect a built CMS into ONE flat row-major depth×width array (absent
+    * cells zero) — the literal-embeddable form for scan-stage lookups
+    * ([[cmsLookupHashed]]): depth·width longs regardless of how many items
+    * the sketch counted, the same "fixed-size state rides the plan" shape
+    * as the [[Bloom]] bitset. */
+  def cmsFlat(sketch: DataFrame, depth: Int, width: Int): Array[Long] = {
+    val arr = new Array[Long](depth * width)
+    sketch.select(col("row"), col("col"), col("cnt")).collect().foreach { r =>
+      arr(r.getInt(0) * width + r.getLong(1).toInt) = r.getLong(2)
+    }
+    arr
+  }
+
+  /** Point-estimate column against a literal-embedded flat sketch for an
+    * item whose 48-bit md5-prefix hash ([[TextOps.shingleHash]]) is already
+    * a column: min over the depth counters. Pure codegen'd arithmetic +
+    * array indexing — no join, no UDF — so a CMS frequency lookup can sit
+    * inside a per-row `transform` on a full-corpus scan. The caller must
+    * pass the SAME (depth, width) the sketch was built with ([[graft.ops
+    * .LmScore.BigramLm]] bundles them for the LM case). */
+  def cmsLookupHashed(hb48: Column, flat: Array[Long], depth: Int,
+                      width: Int): Column = {
+    require(flat.length == depth * width,
+      s"flat sketch length ${flat.length} != depth $depth * width $width")
+    val arr = typedlit(flat.toSeq)
+    val hb = hb48 % P
+    val cells = Dedup.minhashConsts(depth).zipWithIndex.map { case ((a, b), i) =>
+      element_at(arr, (lit(i.toLong * width) + (hb * a + b) % P % width)
+        .cast("int") + 1)
+    }
+    if (cells.sizeIs == 1) cells.head else least(cells: _*)
+  }
+
   // ---- HyperLogLog --------------------------------------------------------
 
   /** HLL bucket/rank pairs for an item hash: bucket = low `bBits` bits,

@@ -816,6 +816,64 @@ object PipelineQueries {
        |       round(t, 6) AS threshold
        |FROM t, thr GROUP BY source, t ORDER BY source""".stripMargin
 
+  /** CCNet-style bigram-LM perplexity scoring ([[graft.ops.LmScore]]): a
+    * bigram LM is trained on the trusted `src0` slice as two Count-Min
+    * counter tables + the exact vocabulary size, then every OTHER document
+    * is scored scan-stage (the three model pieces ride the plan as
+    * literals — no join, no shuffle on the scored corpus; LmScoreSpec
+    * machine-asserts it). `q2_nll` is the integer-exact bit-length-
+    * quantized NLL (the hash-verification anchor); `nll` the conventional
+    * natural-log average. The oracle replays the identical CMS build and
+    * per-position min-of-depth lookups in SQL. */
+  def lmPerplexity(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val lm = graft.ops.LmScore.trainBigramLm(docs.where(col("source") === "src0"))
+    graft.ops.LmScore.lmScores(docs.where(col("source") =!= "src0"), lm)
+      .orderBy(col("doc_id"))
+  }
+
+  val lmPerplexitySql: String = {
+    val P = Dedup.MinhashP
+    val W = 1024
+    val consts = Dedup.minhashConstsSqlValues(4)
+    s"""WITH w AS (SELECT doc_id, source, $duckWords AS w FROM documents),
+       |refw AS (SELECT w FROM w WHERE source = 'src0'),
+       |refbig AS (SELECT unnest(CASE WHEN len(w) >= 2
+       |             THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+       |             ELSE []::VARCHAR[] END) AS g FROM refw),
+       |refuni AS (SELECT unnest(w[1:len(w)-1]) AS g FROM refw WHERE len(w) >= 2),
+       |vocab AS (SELECT count(DISTINCT g) AS v
+       |          FROM (SELECT unnest(w) AS g FROM refw)),
+       |cb AS (SELECT i, (hb * a + b) % $P % $W AS cl, count(*) AS cnt
+       |       FROM (SELECT ('0x' || substr(md5(g), 1, 12))::BIGINT % $P AS hb
+       |             FROM refbig) CROSS JOIN $consts GROUP BY i, cl),
+       |cu AS (SELECT i, (hb * a + b) % $P % $W AS cl, count(*) AS cnt
+       |       FROM (SELECT ('0x' || substr(md5(g), 1, 12))::BIGINT % $P AS hb
+       |             FROM refuni) CROSS JOIN $consts GROUP BY i, cl),
+       |pos AS (SELECT doc_id, unnest(range(1, len(w))) AS p, w
+       |        FROM w WHERE source <> 'src0' AND len(w) >= 2),
+       |ph AS (SELECT doc_id, p,
+       |         ('0x' || substr(md5(w[p] || ' ' || w[p+1]), 1, 12))::BIGINT % $P AS bh,
+       |         ('0x' || substr(md5(w[p]), 1, 12))::BIGINT % $P AS uh FROM pos),
+       |pcell AS (SELECT doc_id, p, i, (bh * a + b) % $P % $W AS bcl,
+       |                 (uh * a + b) % $P % $W AS ucl
+       |          FROM ph CROSS JOIN $consts),
+       |eb AS (SELECT doc_id, p, min(coalesce(cb.cnt, 0)) AS ebv
+       |       FROM pcell LEFT JOIN cb ON cb.i = pcell.i AND cb.cl = pcell.bcl
+       |       GROUP BY doc_id, p),
+       |eu AS (SELECT doc_id, p, min(coalesce(cu.cnt, 0)) AS euv
+       |       FROM pcell LEFT JOIN cu ON cu.i = pcell.i AND cu.cl = pcell.ucl
+       |       GROUP BY doc_id, p),
+       |agg AS (SELECT doc_id, count(*) AS n,
+       |          CAST(sum(length(bin(euv + v)) - length(bin(ebv + 1))) AS BIGINT) AS q2,
+       |          round(sum(ln((euv + v)::DOUBLE / (ebv + 1)::DOUBLE)) / count(*), 6) AS nll
+       |        FROM eb JOIN eu USING (doc_id, p), vocab GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(coalesce(n, 0) AS BIGINT) AS n_bigrams,
+       |       coalesce(q2, 0) AS q2_nll, coalesce(nll, 0.0) AS nll
+       |FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+       |LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
   def fingerprints(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("source"), TextAnalysis.fingerprint(col("text")).as("fp"))

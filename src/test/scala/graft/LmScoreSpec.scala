@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{LmScore, Sketches, TextOps}
+
+/** Bigram-LM perplexity scoring ([[graft.ops.LmScore]]): model exactness at
+  * ample sketch width, scoring semantics at the edges, determinism, the
+  * gate, and the join-free scan-stage plan contract. */
+class LmScoreSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // Reference corpus: "the cat sat" patterns repeated, so its bigrams are
+  // frequent; vocabulary = {the, cat, sat, on, mat}.
+  private lazy val ref = (Seq.fill(20)("the cat sat on the mat")
+    ++ Seq.fill(5)("the cat sat")).toDF("text")
+    .withColumn("doc_id", monotonically_increasing_id())
+
+  private lazy val lm = LmScore.trainBigramLm(ref, depth = 4, width = 1024)
+
+  test("model: exact counts at ample width, exact vocabulary") {
+    assert(lm.vocab === 5L)
+    // "the cat" occurs once per doc in all 25 docs; "on the" in 20.
+    def est(flat: Array[Long], item: String): Long =
+      Sketches.cmsCellsLocal(item, lm.depth, lm.width)
+        .map { case (i, c) => flat(i * lm.width + c.toInt) }.min
+    assert(est(lm.big, "the cat") === 25L)
+    assert(est(lm.big, "on the") === 20L)
+    assert(est(lm.big, "mat the") === 0L)
+    // prefix-word occurrences count POSITIONS (last word of a doc excluded):
+    // "the" prefixes "the cat"×25 and "the mat"×20.
+    assert(est(lm.uni, "the") === 45L)
+  }
+
+  test("scores: frequent text scores low, unseen text scores high, edges are zero") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"), // all bigrams frequent under the model
+      (2L, "zebra quark fizz bang"),  // no bigram ever seen
+      (3L, "single"),                 // too short to score
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val s = LmScore.lmScores(docs, lm).orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(s.map(_._2).toSeq === Seq(5L, 3L, 0L, 0L))
+    val byId = s.map(r => r._1 -> r).toMap
+    assert(byId(1L)._4 < byId(2L)._4, "in-distribution text must score lower NLL")
+    assert(byId(1L)._3 < byId(2L)._3, "quantized score must agree on the ordering")
+    assert(byId(3L)._4 === 0.0 && byId(4L)._4 === 0.0)
+    // q2_nll is the integer quantization of the float term chain: for the
+    // unseen doc every estimate is 0, so each of the 3 terms is exactly
+    // length(bin(0+5)) - length(bin(0+1)) = 3 - 1 = 2.
+    assert(byId(2L)._3 === 6L)
+  }
+
+  test("scores agree with a hand-computed NLL at ample width") {
+    val docs = Seq((1L, "the cat sat")).toDF("doc_id", "text")
+    val row = LmScore.lmScores(docs, lm).head()
+    // P(cat|the) = (25+1)/(45+5); P(sat|cat) = (25+1)/(25+5)
+    val expected = -(math.log(26.0 / 50.0) + math.log(26.0 / 30.0)) / 2.0
+    assert(math.abs(row.getDouble(3) - math.rint(expected * 1e6) / 1e6) < 1e-9)
+  }
+
+  test("training is deterministic: two independent models are identical") {
+    val again = LmScore.trainBigramLm(
+      ref.where(lit(true)), depth = 4, width = 1024) // distinct plan -> no memo hit
+    assert(again.big.toSeq === lm.big.toSeq)
+    assert(again.uni.toSeq === lm.uni.toSeq)
+    assert(again.vocab === lm.vocab)
+  }
+
+  test("gate keeps in-distribution and too-short docs, drops junk, preserves columns") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "a"),
+      (2L, "zebra quark fizz bang", "b"),
+      (3L, "single", "c")).toDF("doc_id", "text", "extra")
+    // junk scores ln((0+V)/1) = ln 5 ~ 1.609 per position; in-distribution
+    // text averages ~0.40 — the gate sits between
+    val kept = LmScore.lmGate(docs, lm, maxNll = 1.0)
+    assert(kept.columns.toSeq === Seq("doc_id", "text", "extra"))
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+  }
+
+  test("plan: scoring a corpus scan is join-free and exchange-free") {
+    val dir = java.nio.file.Files.createTempDirectory("lm_plan").toString
+    (0 until 64).map(i => (i.toLong, s"the cat sat on doc $i"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val plan = LmScore.lmScores(spark.read.parquet(dir), lm)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"scoring must not join:\n$plan")
+    assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"scoring must stay codegen'd:\n$plan")
+  }
+
+  test("CMS lookup column equals the exact count for every reference bigram") {
+    // ample width => the literal-embedded lookup reproduces exact counts for
+    // ALL bigrams of the reference (not just spot probes)
+    val bigs = ref.select(explode(TextOps.shingles(
+        TextOps.words(col("text")), 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("exact"))
+    val checked = bigs.select(col("g"), col("exact"),
+      Sketches.cmsLookupHashed(TextOps.shingleHash(col("g")),
+        lm.big, lm.depth, lm.width).as("est"))
+    assert(checked.where(col("est") =!= col("exact")).count() === 0L)
+  }
+}
