@@ -147,6 +147,19 @@ object EventStreams {
       .join(broadcast(evShingles), Seq("s"), "left_semi")
   }
 
+  /** Streaming LM quality gate — [[graft.ops.LmScore.lmGate]] applied to
+    * the streaming frame DIRECTLY: the trained model is three plan
+    * literals (two CMS counter tables + the vocabulary size), so the gate
+    * is a stateless codegen'd per-row filter — no state store, no
+    * stream-static join, no foreachBatch, and every streaming output mode
+    * composes. Train offline on the trusted reference
+    * ([[graft.ops.LmScore.trainBigramLm]]); refresh the model by
+    * restarting the stream — the same lifecycle as the Bloom bitset in
+    * [[contaminationHitsStreamBloom]]. */
+  def lmGateStream(docs: DataFrame, lm: graft.ops.LmScore.BigramLm,
+                   maxNll: Double): DataFrame =
+    graft.ops.LmScore.lmGate(docs, lm, maxNll)
+
   /** Continuous-ingest near-dup gate — the streaming twin of
     * [[graft.ops.Indexes.minhashNearDupsIncremental]]: each micro-batch of
     * landing documents is checked against the corpus's MATERIALIZED dedup

@@ -150,6 +150,24 @@ class EventStreamsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("LM-gate stream drops junk per batch with zero streaming state") {
+    val ref = Seq.tabulate(20)(i => (100L + i, "the cat sat on the mat"))
+      .toDF("doc_id", "text")
+    val lm = graft.ops.LmScore.trainBigramLm(ref)
+    val in = MemoryStream[(Long, String)]
+    val q = EventStreams.lmGateStream(
+        in.toDF().toDF("doc_id", "text"), lm, maxNll = 1.0)
+      .writeStream.outputMode("append").format("memory").queryName("lmg").start()
+    in.addData((1L, "the cat sat on the mat"), (2L, "zebra quark fizz bang"))
+    q.processAllAvailable()
+    in.addData((3L, "short"), (4L, "quux zork blee frob"))
+    q.processAllAvailable()
+    val kept = spark.table("lmg").select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L),
+      "in-distribution and too-short docs pass; junk drops in every batch")
+    q.stop()
+  }
+
   test("line-dedup stream cleans each batch against static boilerplate state") {
     val dir = java.nio.file.Files.createTempDirectory("graft-linededup")
     // corpus-derived state: 'cookie notice' is boilerplate

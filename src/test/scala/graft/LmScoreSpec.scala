@@ -93,6 +93,29 @@ class LmScoreSpec extends AnyFunSuite {
       s"scoring must stay codegen'd:\n$plan")
   }
 
+  test("literal-embedded CMS lookup equals the join-based estimate on arbitrary corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val corpusGen = Gen.choose(1, 300).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf((0 until 40).map(i => s"tok$i"))))
+    for (seed <- 1L to 4L) {
+      val items = sample(corpusGen, seed)
+      val (depth, width) = sample(Gen.oneOf((1, 64), (2, 16), (4, 256)), seed + 50)
+      val probes = items.distinct.take(10) :+ "never-seen"
+      val sketch = Sketches.cmsBuild(items.toDF("item"), "item", depth, width)
+      val viaJoin = Sketches.cmsEstimate(sketch, probes, depth, width)
+        .as[(String, Long)].collect().toMap
+      val flat = Sketches.cmsFlat(sketch, depth, width)
+      val viaLiteral = probes.toDF("item")
+        .select(col("item"), Sketches.cmsLookupHashed(
+          TextOps.shingleHash(col("item")), flat, depth, width).as("est"))
+        .as[(String, Long)].collect().toMap
+      assert(viaLiteral === viaJoin, s"seed $seed d=$depth w=$width")
+    }
+  }
+
   test("CMS lookup column equals the exact count for every reference bigram") {
     // ample width => the literal-embedded lookup reproduces exact counts for
     // ALL bigrams of the reference (not just spot probes)
