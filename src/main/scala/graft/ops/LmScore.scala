@@ -61,17 +61,25 @@ object LmScore {
     * without touching the reference. */
   def trainBigramLm(ref: DataFrame, textCol: String = "text",
                     depth: Int = 4, width: Int = 1024): BigramLm =
-    Indexes.memoModel(ref, s"lm_d${depth}_w$width") {
+    // textCol is part of the memo family: the same reference frame trained
+    // on a different column is a DIFFERENT model (the shingleN lesson from
+    // the bloom memo key — same plan, same fingerprint, distinct state).
+    Indexes.memoModel(ref, s"lm_${textCol}_d${depth}_w$width") {
       val w = ref.select(TextOps.words(coalesce(col(textCol), lit(""))).as("w"))
       val bigrams = w.select(explode(TextOps.shingles(col("w"), 2)).as("g"))
       val prefixes = w.where(size(col("w")) >= 2)
         .select(explode(slice(col("w"), lit(1), size(col("w")) - 1)).as("g"))
+      val vocab = w.select(explode(col("w")).as("g"))
+        .agg(countDistinct(col("g"))).head().getLong(0)
+      // an empty reference has no distribution to score against, and
+      // vocab = 0 would make every smoothed probability (eb+1)/(eu+0)
+      // degenerate (ln 0 = -Inf for unseen text) — fail loudly instead
+      require(vocab >= 1L,
+        "LM reference corpus is empty (zero distinct words) — train on a non-empty slice")
       BigramLm(
         Sketches.cmsFlat(Sketches.cmsBuild(bigrams, "g", depth, width), depth, width),
         Sketches.cmsFlat(Sketches.cmsBuild(prefixes, "g", depth, width), depth, width),
-        depth, width,
-        w.select(explode(col("w")).as("g"))
-          .agg(countDistinct(col("g"))).head().getLong(0))
+        depth, width, vocab)
     }
 
   /** Per-position CMS estimate arrays for each document — `__graft_eb`

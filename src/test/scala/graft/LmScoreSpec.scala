@@ -61,6 +61,13 @@ class LmScoreSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(3) - math.rint(expected * 1e6) / 1e6) < 1e-9)
   }
 
+  test("training on an empty reference fails fast instead of scoring with ln 0") {
+    val e = intercept[IllegalArgumentException] {
+      LmScore.trainBigramLm(ref.where(lit(false)))
+    }
+    assert(e.getMessage.contains("empty"))
+  }
+
   test("training is deterministic: two independent models are identical") {
     val again = LmScore.trainBigramLm(
       ref.where(lit(true)), depth = 4, width = 1024) // distinct plan -> no memo hit
