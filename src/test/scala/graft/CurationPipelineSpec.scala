@@ -9,7 +9,8 @@ import graft.ops.{Curation, Decontamination, Dedup, LineDedup}
 /** END-TO-END curation pipeline: the library's operators chained the way a
   * production training-data pass chains them — exact dedup → near-dup
   * survivor election → boilerplate line removal → windowed
-  * decontamination → domain mixing → token budgets → packing. This is the
+  * decontamination → LM quality gate → domain mixing → token budgets →
+  * packing. This is the
   * "switch to this library and run your whole pipeline" proof: every
   * stage consumes the previous stage's frame, stage invariants hold, and
   * the WHOLE chain is deterministic (two independent runs produce
@@ -63,31 +64,43 @@ class CurationPipelineSpec extends AnyFunSuite {
     val decon = Decontamination.removeContaminated(train, evalD, shingleN = 5)
     val n4 = decon.count()
 
-    // 5. deterministic domain mix + per-source token budgets
-    val mixed = Curation.sampleByDomain(decon, Seq("src1" -> 50), default = 100)
-    val n5 = mixed.count()
-    val budgeted = Curation.tokenBudgetMix(mixed, Seq.empty, defaultBudget = 2000L)
-    val n6 = budgeted.count()
+    // 5. LM quality gate against the trusted slice: score every surviving
+    //    training doc under a bigram LM trained on the eval/reference
+    //    split and cut the worst decile (threshold derived from the exact
+    //    score distribution, so the stage provably discriminates)
+    val lmModel = graft.ops.LmScore.trainBigramLm(evalD)
+    val thr = graft.ops.LmScore.lmScores(decon, lmModel)
+      .where(col("n_bigrams") > 0)
+      .agg(expr("percentile(nll, 0.9)")).as[Double].head()
+    val gated = graft.ops.LmScore.lmGate(decon, lmModel, thr)
+    val n5 = gated.count()
 
-    // 6. pack the budget-selected docs into 512-token shard bins
+    // 6. deterministic domain mix + per-source token budgets
+    val mixed = Curation.sampleByDomain(gated, Seq("src1" -> 50), default = 100)
+    val n6 = mixed.count()
+    val budgeted = Curation.tokenBudgetMix(mixed, Seq.empty, defaultBudget = 2000L)
+    val n7 = budgeted.count()
+
+    // 7. pack the budget-selected docs into 512-token shard bins
     val finalDocs = mixed.join(budgeted.select(col("doc_id")), Seq("doc_id"), "left_semi")
     val packed = Curation.packSpans(finalDocs, capacity = 512, shardDocs = 100L)
-    PipelineOut(Seq(n0, n1, n2, n3, n4, n5, n6), decon, evalD, packed)
+    PipelineOut(Seq(n0, n1, n2, n3, n4, n5, n6, n7), decon, evalD, packed)
   }
 
   test("the full chain composes: monotone counts, clean output, exact packing") {
     val out = runPipeline()
-    val Seq(n0, n1, n2, n3, n4, n5, n6) = out.counts
+    val Seq(n0, n1, n2, n3, n4, n5, n6, n7) = out.counts
     assert(n0 > 0)
     assert(n1 <= n0, "exact dedup never grows the corpus")
     assert(n2 <= n1, "survivor election never grows the corpus")
     assert(n2 < n0, "fixture must exercise at least one dedup stage")
     assert(n3 === n2, "line cleaning rewrites text, never drops docs")
     assert(n4 < n3, "decontamination must remove the eval split + hits")
-    assert(n5 <= n4 && n6 <= n5 && n6 > 0)
+    assert(n5 < n4, "the LM gate must drop the above-threshold tail")
+    assert(n6 <= n5 && n7 <= n6 && n7 > 0)
     // packing conserves every selected doc exactly once
-    assert(out.packed.count() === n6)
-    assert(out.packed.select(countDistinct(col("doc_id"))).as[Long].head() === n6)
+    assert(out.packed.count() === n7)
+    assert(out.packed.select(countDistinct(col("doc_id"))).as[Long].head() === n7)
     // no contaminated doc survives: re-checking the decontaminated train
     // side against the SAME eval frame finds nothing (the removal is exact)
     val residual = Decontamination.contaminatedDocs(
