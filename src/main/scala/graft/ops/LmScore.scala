@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   *    tables ([[Sketches.cmsBuild]]), so the model is `2·depth·width` longs
   *    REGARDLESS of reference size (a real-corpus bigram table has hundreds
   *    of millions of rows and cannot broadcast; the CMS always can);
-  *  - the build is one explode + one map-side-combined aggregate over the
-  *    reference — the corpus itself is never touched;
+  *  - the build is three map-side-combined aggregates (bigram CMS, prefix
+  *    CMS, vocabulary) over the reference, tokenized once behind a
+  *    persist — the corpus itself is never touched;
   *  - scoring embeds the counters as plan literals ([[Sketches
   *    .cmsLookupHashed]]) and runs as a pure codegen'd scan-stage fold:
   *    per document, words → bigram hashes → CMS lookups → one left-to-right
@@ -65,21 +66,27 @@ object LmScore {
     // on a different column is a DIFFERENT model (the shingleN lesson from
     // the bloom memo key — same plan, same fingerprint, distinct state).
     Indexes.memoModel(ref, s"lm_${textCol}_d${depth}_w$width") {
+      // three aggregates consume the tokenized reference (bigram CMS,
+      // prefix CMS, vocabulary) — pin the words frame so the reference is
+      // scanned and regex-split ONCE, not once per aggregate
       val w = ref.select(TextOps.words(coalesce(col(textCol), lit(""))).as("w"))
-      val bigrams = w.select(explode(TextOps.shingles(col("w"), 2)).as("g"))
-      val prefixes = w.where(size(col("w")) >= 2)
-        .select(explode(slice(col("w"), lit(1), size(col("w")) - 1)).as("g"))
-      val vocab = w.select(explode(col("w")).as("g"))
-        .agg(countDistinct(col("g"))).head().getLong(0)
-      // an empty reference has no distribution to score against, and
-      // vocab = 0 would make every smoothed probability (eb+1)/(eu+0)
-      // degenerate (ln 0 = -Inf for unseen text) — fail loudly instead
-      require(vocab >= 1L,
-        "LM reference corpus is empty (zero distinct words) — train on a non-empty slice")
-      BigramLm(
-        Sketches.cmsFlat(Sketches.cmsBuild(bigrams, "g", depth, width), depth, width),
-        Sketches.cmsFlat(Sketches.cmsBuild(prefixes, "g", depth, width), depth, width),
-        depth, width, vocab)
+        .persist()
+      try {
+        val bigrams = w.select(explode(TextOps.shingles(col("w"), 2)).as("g"))
+        val prefixes = w.where(size(col("w")) >= 2)
+          .select(explode(slice(col("w"), lit(1), size(col("w")) - 1)).as("g"))
+        val vocab = w.select(explode(col("w")).as("g"))
+          .agg(countDistinct(col("g"))).head().getLong(0)
+        // an empty reference has no distribution to score against, and
+        // vocab = 0 would make every smoothed probability (eb+1)/(eu+0)
+        // degenerate (ln 0 = -Inf for unseen text) — fail loudly instead
+        require(vocab >= 1L,
+          "LM reference corpus is empty (zero distinct words) — train on a non-empty slice")
+        BigramLm(
+          Sketches.cmsFlat(Sketches.cmsBuild(bigrams, "g", depth, width), depth, width),
+          Sketches.cmsFlat(Sketches.cmsBuild(prefixes, "g", depth, width), depth, width),
+          depth, width, vocab)
+      } finally w.unpersist()
     }
 
   /** Per-position CMS estimate arrays for each document — `__graft_eb`
@@ -89,7 +96,13 @@ object LmScore {
     * evaluates exactly once (the Generate/CSE discipline of
     * [[TextOps.shingleSetFromWords]]); `__graft_`-prefixed intermediates
     * keep caller columns safe from collision. */
-  private def estimates(docs: DataFrame, lm: BigramLm, textCol: String) =
+  private def estimates(docs: DataFrame, lm: BigramLm, textCol: String) = {
+    // reserved intermediates: clobbering a caller column of the same name
+    // would silently return computed arrays in place of caller data (the
+    // bottomKSample `rnk` fail-fast precedent)
+    val reserved = docs.columns.filter(_.startsWith("__graft_"))
+    require(reserved.isEmpty,
+      s"input already has reserved column(s) ${reserved.mkString(", ")}; rename them first")
     docs
       .withColumn("__graft_w", TextOps.words(coalesce(col(textCol), lit(""))))
       .withColumn("__graft_bh",
@@ -103,6 +116,7 @@ object LmScore {
       .withColumn("__graft_eu", transform(col("__graft_uh"),
         u => Sketches.cmsLookupHashed(u, lm.uni, lm.depth, lm.width)))
       .drop("__graft_w", "__graft_bh", "__graft_uh")
+  }
 
   private def nllCol(lm: BigramLm): Column =
     round(aggregate(zip_with(col("__graft_eb"), col("__graft_eu"), (b, u) =>
@@ -128,12 +142,30 @@ object LmScore {
   /** Keep documents whose average NLL is at most `maxNll` (plus everything
     * too short to score — a two-word doc is not evidence of junk). The gate
     * is computed INLINE on the corpus scan — same join-free scan-stage
-    * filter shape as [[Curation.qualityGate]], no self-join. */
+    * filter shape as [[Curation.qualityGate]], no self-join.
+    *
+    * The filter carries a nondeterministic PUSHDOWN BARRIER column:
+    * without it, PushPredicateThroughNonJoin substitutes the gate
+    * predicate through every projection down to the scan, inlining the
+    * whole tokenize→md5→CMS chain into one Filter expression — where the
+    * regex split re-executes inside each per-element lambda, the measured
+    * O(words²) trap [[TextOps.shingleSetFromWords]] documents (a plan
+    * dump showed 15 copies of the split vs [[lmScores]]'s one). A
+    * nondeterministic projection field that the predicate references
+    * blocks the rule on both of its guards; the tautological conjunct
+    * costs one double comparison per row. The barrier is seeded `rand`
+    * (not `monotonically_increasing_id`, which streaming plans reject —
+    * [[graft.streaming.EventStreams.lmGateStream]] filters a streaming
+    * frame with this exact code); its value never influences the output,
+    * so the gate stays deterministic. LmScoreSpec pins the plan to a
+    * single split. */
   def lmGate(docs: DataFrame, lm: BigramLm, maxNll: Double,
              textCol: String = "text"): DataFrame = {
     val keep = docs.columns.map(col)
     estimates(docs, lm, textCol)
-      .where(size(col("__graft_eb")) === 0 || nllCol(lm) <= maxNll)
+      .withColumn("__graft_nd", rand(42L))
+      .where((size(col("__graft_eb")) === 0 || nllCol(lm) <= maxNll) &&
+        col("__graft_nd") >= 0.0)
       .select(keep.toIndexedSeq: _*)
   }
 }

@@ -100,6 +100,31 @@ class LmScoreSpec extends AnyFunSuite {
       s"scoring must stay codegen'd:\n$plan")
   }
 
+  test("plan: the gate tokenizes once — predicate pushdown must not inline the chain") {
+    val dir = java.nio.file.Files.createTempDirectory("lm_gate_plan").toString
+    (0 until 64).map(i => (i.toLong, s"the cat sat on doc $i"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    def splits(plan: String): Int = "split\\(".r.findAllIn(plan).length
+    val scorePlan = LmScore.lmScores(spark.read.parquet(dir), lm)
+      .queryExecution.optimizedPlan.toString
+    val gatePlan = LmScore.lmGate(spark.read.parquet(dir), lm, maxNll = 1.0)
+      .queryExecution.optimizedPlan.toString
+    // without the barrier, pushdown inlined the tokenize->md5->CMS chain
+    // into the Filter: 15 split copies, each re-executed per array element
+    assert(splits(scorePlan) === 1, s"scoring must split once:\n$scorePlan")
+    assert(splits(gatePlan) === 1, s"gate must split once:\n$gatePlan")
+    assert(!gatePlan.contains("Join") && !gatePlan.contains("Exchange"),
+      s"the gate stays a scan-stage filter:\n$gatePlan")
+  }
+
+  test("reserved intermediate columns in the input fail fast instead of clobbering") {
+    val docs = Seq((1L, "the cat", "x")).toDF("doc_id", "text", "__graft_eb")
+    val e = intercept[IllegalArgumentException] {
+      LmScore.lmScores(docs, lm)
+    }
+    assert(e.getMessage.contains("__graft_eb"))
+  }
+
   test("literal-embedded CMS lookup equals the join-based estimate on arbitrary corpora") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
