@@ -3,28 +3,30 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** CCNet-style n-gram language-model quality scoring: train a bigram LM on
+/** CCNet-style n-gram language-model quality scoring: train an n-gram LM on
   * a trusted reference slice, score every corpus document by its average
   * negative log-likelihood under that model, and gate on the score — the
   * standard "does this crawl page read like the reference corpus?" signal
-  * (the published pipelines score against a Wikipedia-trained LM; here the
-  * reference is whichever slice the caller trusts).
+  * (the published pipelines score against a Wikipedia-trained 5-gram LM;
+  * here the reference slice and the order n are the caller's choice, with
+  * bigram defaults for the registered query).
   *
   * 100 TB design — the model is a SKETCH, not a table:
-  *  - bigram and prefix-unigram frequencies live in two Count-Min counter
-  *    tables ([[Sketches.cmsBuild]]), so the model is `2·depth·width` longs
-  *    REGARDLESS of reference size (a real-corpus bigram table has hundreds
-  *    of millions of rows and cannot broadcast; the CMS always can);
-  *  - the build is three map-side-combined aggregates (bigram CMS, prefix
+  *  - n-gram and (n−1)-gram-prefix frequencies live in two Count-Min
+  *    counter tables ([[Sketches.cmsBuild]]), so the model is
+  *    `2·depth·width` longs REGARDLESS of reference size or order (a
+  *    real-corpus 5-gram table has billions of rows and cannot broadcast;
+  *    the CMS always can);
+  *  - the build is three map-side-combined aggregates (n-gram CMS, prefix
   *    CMS, vocabulary) over the reference, tokenized once behind a
   *    persist — the corpus itself is never touched;
   *  - scoring embeds the counters as plan literals ([[Sketches
   *    .cmsLookupHashed]]) and runs as a pure codegen'd scan-stage fold:
-  *    per document, words → bigram hashes → CMS lookups → one left-to-right
+  *    per document, words → gram hashes → CMS lookups → one left-to-right
   *    `aggregate` — NO join, NO shuffle, NO UDF anywhere on the corpus path
   *    (LmScoreSpec machine-asserts the scoring plan is join- and
   *    exchange-free). CMS overestimates only on collision, so a noisy cell
-  *    can make a rare bigram look common — the classic sketch trade; width
+  *    can make a rare gram look common — the classic sketch trade; width
   *    sizes the error exactly as in q_cms_counts.
   *
   * Cross-engine exactness: counts, hashes, and the smoothing vocabulary are
@@ -43,38 +45,49 @@ import org.apache.spark.sql.functions._
   */
 object LmScore {
 
-  /** Fixed-size bigram LM state: two flat CMS counter tables (row-major
+  /** Fixed-size n-gram LM state: two flat CMS counter tables (row-major
     * depth×width, [[Sketches.cmsFlat]]) plus the exact reference vocabulary
-    * size (the add-one smoothing denominator). Bundling (depth, width) with
-    * the counters keeps probe arithmetic from drifting from build
-    * arithmetic — the [[Bloom.BloomSketch]] lesson. */
-  final case class BigramLm(big: Array[Long], uni: Array[Long],
-                            depth: Int, width: Int, vocab: Long) {
-    require(big.length == depth * width && uni.length == depth * width,
+    * size (the add-one smoothing denominator). Bundling (n, depth, width)
+    * with the counters keeps probe arithmetic from drifting from build
+    * arithmetic — the [[Bloom.BloomSketch]] lesson. `gram` counts n-grams;
+    * `prefix` counts (n−1)-gram occurrences in n-gram-START positions
+    * (the conditional's denominator counts occurrences, not docs). */
+  final case class NgramLm(n: Int, gram: Array[Long], prefix: Array[Long],
+                           depth: Int, width: Int, vocab: Long) {
+    require(n >= 2, s"an n-gram LM needs n >= 2, got $n")
+    require(gram.length == depth * width && prefix.length == depth * width,
       s"counter tables must be depth*width = ${depth * width} long")
   }
 
-  /** Train the bigram LM over `ref`'s `textCol`: CMS over all word bigrams,
-    * CMS over their prefix words (the conditional's denominator counts
-    * OCCURRENCES, not distinct docs), and the exact distinct-word count.
-    * Driver-memoized per (params, reference plan, content fingerprint) like
-    * the IVF/PQ models — steady-state reruns reuse the collected counters
-    * without touching the reference. */
-  def trainBigramLm(ref: DataFrame, textCol: String = "text",
-                    depth: Int = 4, width: Int = 1024): BigramLm =
-    // textCol is part of the memo family: the same reference frame trained
-    // on a different column is a DIFFERENT model (the shingleN lesson from
-    // the bloom memo key — same plan, same fingerprint, distinct state).
-    Indexes.memoModel(ref, s"lm_${textCol}_d${depth}_w$width") {
-      // three aggregates consume the tokenized reference (bigram CMS,
-      // prefix CMS, vocabulary) — pin the words frame so the reference is
-      // scanned and regex-split ONCE, not once per aggregate
+  /** The (n−1)-gram prefixes aligned to n-gram start positions: positions
+    * 1..L−n+1 of the (n−1)-gram array (the last (n−1)-gram starts no
+    * n-gram). For n = 2 this is exactly "every word except the last" —
+    * 1-gram shingles ARE the words, so hashes stay identical to the
+    * original bigram formulation (the registered oracle depends on it). */
+  private def prefixGrams(w: Column, n: Int): Column =
+    when(size(w) >= n,
+      slice(TextOps.shingles(w, n - 1), lit(1), size(w) - (n - 1)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Train an order-`n` LM over `ref`'s `textCol`. Driver-memoized per
+    * (params, reference plan, content fingerprint) like the IVF/PQ models —
+    * steady-state reruns reuse the collected counters without touching the
+    * reference. */
+  def trainNgramLm(ref: DataFrame, n: Int = 2, textCol: String = "text",
+                   depth: Int = 4, width: Int = 1024): NgramLm =
+    // textCol and n are part of the memo family: the same reference frame
+    // trained on a different column or order is a DIFFERENT model (the
+    // shingleN lesson from the bloom memo key — same plan, same
+    // fingerprint, distinct state).
+    Indexes.memoModel(ref, s"lm_${textCol}_n${n}_d${depth}_w$width") {
+      // three aggregates consume the tokenized reference (gram CMS, prefix
+      // CMS, vocabulary) — pin the words frame so the reference is scanned
+      // and regex-split ONCE, not once per aggregate
       val w = ref.select(TextOps.words(coalesce(col(textCol), lit(""))).as("w"))
         .persist()
       try {
-        val bigrams = w.select(explode(TextOps.shingles(col("w"), 2)).as("g"))
-        val prefixes = w.where(size(col("w")) >= 2)
-          .select(explode(slice(col("w"), lit(1), size(col("w")) - 1)).as("g"))
+        val grams = w.select(explode(TextOps.shingles(col("w"), n)).as("g"))
+        val prefixes = w.select(explode(prefixGrams(col("w"), n)).as("g"))
         val vocab = w.select(explode(col("w")).as("g"))
           .agg(countDistinct(col("g"))).head().getLong(0)
         // an empty reference has no distribution to score against, and
@@ -82,21 +95,26 @@ object LmScore {
         // degenerate (ln 0 = -Inf for unseen text) — fail loudly instead
         require(vocab >= 1L,
           "LM reference corpus is empty (zero distinct words) — train on a non-empty slice")
-        BigramLm(
-          Sketches.cmsFlat(Sketches.cmsBuild(bigrams, "g", depth, width), depth, width),
+        NgramLm(n,
+          Sketches.cmsFlat(Sketches.cmsBuild(grams, "g", depth, width), depth, width),
           Sketches.cmsFlat(Sketches.cmsBuild(prefixes, "g", depth, width), depth, width),
           depth, width, vocab)
       } finally w.unpersist()
     }
 
+  /** Bigram convenience — the registered q_lm_perplexity order. */
+  def trainBigramLm(ref: DataFrame, textCol: String = "text",
+                    depth: Int = 4, width: Int = 1024): NgramLm =
+    trainNgramLm(ref, 2, textCol, depth, width)
+
   /** Per-position CMS estimate arrays for each document — `__graft_eb`
-    * (bigram count) and `__graft_eu` (prefix-word count) appended to the
+    * (n-gram count) and `__graft_eu` (prefix count) appended to the
     * input columns, from which both score forms derive. Each stage is its
     * own materialized projection so every regex split, md5, and CMS lookup
     * evaluates exactly once (the Generate/CSE discipline of
     * [[TextOps.shingleSetFromWords]]); `__graft_`-prefixed intermediates
     * keep caller columns safe from collision. */
-  private def estimates(docs: DataFrame, lm: BigramLm, textCol: String) = {
+  private def estimates(docs: DataFrame, lm: NgramLm, textCol: String) = {
     // reserved intermediates: clobbering a caller column of the same name
     // would silently return computed arrays in place of caller data (the
     // bottomKSample `rnk` fail-fast precedent)
@@ -106,32 +124,32 @@ object LmScore {
     docs
       .withColumn("__graft_w", TextOps.words(coalesce(col(textCol), lit(""))))
       .withColumn("__graft_bh",
-        transform(TextOps.shingles(col("__graft_w"), 2), TextOps.shingleHash(_)))
+        transform(TextOps.shingles(col("__graft_w"), lm.n), TextOps.shingleHash(_)))
       .withColumn("__graft_uh",
-        transform(when(size(col("__graft_w")) >= 2,
-            slice(col("__graft_w"), lit(1), size(col("__graft_w")) - 1))
-          .otherwise(array().cast("array<string>")), TextOps.shingleHash(_)))
+        transform(prefixGrams(col("__graft_w"), lm.n), TextOps.shingleHash(_)))
       .withColumn("__graft_eb", transform(col("__graft_bh"),
-        b => Sketches.cmsLookupHashed(b, lm.big, lm.depth, lm.width)))
+        b => Sketches.cmsLookupHashed(b, lm.gram, lm.depth, lm.width)))
       .withColumn("__graft_eu", transform(col("__graft_uh"),
-        u => Sketches.cmsLookupHashed(u, lm.uni, lm.depth, lm.width)))
+        u => Sketches.cmsLookupHashed(u, lm.prefix, lm.depth, lm.width)))
       .drop("__graft_w", "__graft_bh", "__graft_uh")
   }
 
-  private def nllCol(lm: BigramLm): Column =
+  private def nllCol(lm: NgramLm): Column =
     round(aggregate(zip_with(col("__graft_eb"), col("__graft_eu"), (b, u) =>
         log((u + lm.vocab).cast("double") / (b + lit(1L)).cast("double"))),
       lit(0.0), _ + _) / greatest(size(col("__graft_eb")), lit(1)).cast("double"), 6)
 
   /** Score `docs` under the model: one row per document —
-    *  - `n_bigrams`: scored positions (0 for docs under two words);
+    *  - `n_bigrams`: scored positions, L−n+1 (0 for docs under n words;
+    *    the column name is the registered-query contract, fixed at the
+    *    bigram default);
     *  - `q2_nll`: Σ floor-log2-quantized NLL terms, integer-exact
     *    (`length(bin(eu+V)) − length(bin(eb+1))` per position — add-one
     *    smoothing P = (eb+1)/(eu+V) in bit-length space);
     *  - `nll`: average natural-log NLL, left-to-right fold, rounded to 6.
     * Join-free and shuffle-free by construction — the model is three plan
     * literals. */
-  def lmScores(docs: DataFrame, lm: BigramLm, textCol: String = "text"): DataFrame =
+  def lmScores(docs: DataFrame, lm: NgramLm, textCol: String = "text"): DataFrame =
     estimates(docs, lm, textCol).select(col("doc_id"),
       size(col("__graft_eb")).cast("long").as("n_bigrams"),
       aggregate(zip_with(col("__graft_eb"), col("__graft_eu"), (b, u) =>
@@ -140,8 +158,8 @@ object LmScore {
       nllCol(lm).as("nll"))
 
   /** Keep documents whose average NLL is at most `maxNll` (plus everything
-    * too short to score — a two-word doc is not evidence of junk). The gate
-    * is computed INLINE on the corpus scan — same join-free scan-stage
+    * too short to score — a doc under n words is not evidence of junk). The
+    * gate is computed INLINE on the corpus scan — same join-free scan-stage
     * filter shape as [[Curation.qualityGate]], no self-join.
     *
     * The filter carries a nondeterministic PUSHDOWN BARRIER column:
@@ -159,7 +177,7 @@ object LmScore {
     * frame with this exact code); its value never influences the output,
     * so the gate stays deterministic. LmScoreSpec pins the plan to a
     * single split. */
-  def lmGate(docs: DataFrame, lm: BigramLm, maxNll: Double,
+  def lmGate(docs: DataFrame, lm: NgramLm, maxNll: Double,
              textCol: String = "text"): DataFrame = {
     val keep = docs.columns.map(col)
     estimates(docs, lm, textCol)

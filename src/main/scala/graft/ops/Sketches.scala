@@ -95,7 +95,7 @@ object Sketches {
     * array indexing — no join, no UDF — so a CMS frequency lookup can sit
     * inside a per-row `transform` on a full-corpus scan. The caller must
     * pass the SAME (depth, width) the sketch was built with ([[graft.ops
-    * .LmScore.BigramLm]] bundles them for the LM case). */
+    * .LmScore.NgramLm]] bundles them for the LM case). */
   def cmsLookupHashed(hb48: Column, flat: Array[Long], depth: Int,
                       width: Int): Column = {
     require(flat.length == depth * width,

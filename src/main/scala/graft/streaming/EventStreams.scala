@@ -156,7 +156,7 @@ object EventStreams {
     * ([[graft.ops.LmScore.trainBigramLm]]); refresh the model by
     * restarting the stream — the same lifecycle as the Bloom bitset in
     * [[contaminationHitsStreamBloom]]. */
-  def lmGateStream(docs: DataFrame, lm: graft.ops.LmScore.BigramLm,
+  def lmGateStream(docs: DataFrame, lm: graft.ops.LmScore.NgramLm,
                    maxNll: Double): DataFrame =
     graft.ops.LmScore.lmGate(docs, lm, maxNll)
 

@@ -26,12 +26,12 @@ class LmScoreSpec extends AnyFunSuite {
     def est(flat: Array[Long], item: String): Long =
       Sketches.cmsCellsLocal(item, lm.depth, lm.width)
         .map { case (i, c) => flat(i * lm.width + c.toInt) }.min
-    assert(est(lm.big, "the cat") === 25L)
-    assert(est(lm.big, "on the") === 20L)
-    assert(est(lm.big, "mat the") === 0L)
+    assert(est(lm.gram, "the cat") === 25L)
+    assert(est(lm.gram, "on the") === 20L)
+    assert(est(lm.gram, "mat the") === 0L)
     // prefix-word occurrences count POSITIONS (last word of a doc excluded):
     // "the" prefixes "the cat"×25 and "the mat"×20.
-    assert(est(lm.uni, "the") === 45L)
+    assert(est(lm.prefix, "the") === 45L)
   }
 
   test("scores: frequent text scores low, unseen text scores high, edges are zero") {
@@ -61,6 +61,30 @@ class LmScoreSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(3) - math.rint(expected * 1e6) / 1e6) < 1e-9)
   }
 
+  test("trigram order: prefix counts align to n-gram starts, NLL hand-checks") {
+    val lm3 = LmScore.trainNgramLm(ref, n = 3)
+    assert(lm3.vocab === 5L)
+    def est(flat: Array[Long], item: String): Long =
+      Sketches.cmsCellsLocal(item, lm3.depth, lm3.width)
+        .map { case (i, c) => flat(i * lm3.width + c.toInt) }.min
+    // "the cat sat" opens all 25 docs; "sat on the" only the 20 6-word ones
+    assert(est(lm3.gram, "the cat sat") === 25L)
+    assert(est(lm3.gram, "sat on the") === 20L)
+    // "the mat" closes the 6-word docs, so it starts NO trigram: prefix
+    // occurrences must exclude trailing (n-1)-grams
+    assert(est(lm3.prefix, "the cat") === 25L)
+    assert(est(lm3.prefix, "the mat") === 0L)
+    val row = LmScore.lmScores(
+      Seq((1L, "the cat sat")).toDF("doc_id", "text"), lm3).head()
+    // one scored position: P(sat | the cat) = (25+1)/(25+5)
+    assert(row.getLong(1) === 1L)
+    val expected = -math.log(26.0 / 30.0)
+    assert(math.abs(row.getDouble(3) - math.rint(expected * 1e6) / 1e6) < 1e-9)
+    // and a doc shorter than n scores zero positions
+    assert(LmScore.lmScores(Seq((2L, "the cat")).toDF("doc_id", "text"), lm3)
+      .head().getLong(1) === 0L)
+  }
+
   test("training on an empty reference fails fast instead of scoring with ln 0") {
     val e = intercept[IllegalArgumentException] {
       LmScore.trainBigramLm(ref.where(lit(false)))
@@ -71,8 +95,8 @@ class LmScoreSpec extends AnyFunSuite {
   test("training is deterministic: two independent models are identical") {
     val again = LmScore.trainBigramLm(
       ref.where(lit(true)), depth = 4, width = 1024) // distinct plan -> no memo hit
-    assert(again.big.toSeq === lm.big.toSeq)
-    assert(again.uni.toSeq === lm.uni.toSeq)
+    assert(again.gram.toSeq === lm.gram.toSeq)
+    assert(again.prefix.toSeq === lm.prefix.toSeq)
     assert(again.vocab === lm.vocab)
   }
 
@@ -156,7 +180,7 @@ class LmScoreSpec extends AnyFunSuite {
       .groupBy("g").agg(count(lit(1)).as("exact"))
     val checked = bigs.select(col("g"), col("exact"),
       Sketches.cmsLookupHashed(TextOps.shingleHash(col("g")),
-        lm.big, lm.depth, lm.width).as("est"))
+        lm.gram, lm.depth, lm.width).as("est"))
     assert(checked.where(col("est") =!= col("exact")).count() === 0L)
   }
 }
