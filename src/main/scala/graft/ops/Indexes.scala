@@ -932,6 +932,50 @@ object Indexes {
       .limit(k)
   }
 
+  /** SemDeDup-style semantic dedup groups served from the IVF inverted
+    * lists (Abbas et al. 2023, "SemDeDup"): candidate pairs come from a
+    * self-join of the STORED (vec_id, cell) table — each vector is
+    * compared only against its own coarse k-means cell, the SemDeDup
+    * design point (semantic duplicates overwhelmingly co-locate in
+    * embedding clusters; cross-cell pairs are sacrificed by construction,
+    * exactly as LSH sacrifices cross-bucket pairs — the two blockings are
+    * complementary, like [[ivfTopKIndexed]] vs the banded path). Survivor
+    * pairs exact-re-rank with the codegen'd dot product, group via the
+    * pointer-jumping [[Dedup.connectedComponents]], and reduce to the
+    * min-id representative per group (oracle-replayable via the recursive
+    * transitive-closure CTE, like q_dedup_survivors).
+    *
+    * Scale shape: the candidate join reads the narrow stored lists on both
+    * sides (two longs per row, cell-partitioned so the self-join
+    * co-partitions); embeddings join in only for the bounded surviving
+    * candidates; the quadratic blow-up is per-cell, which is the operator's
+    * documented contract — size nCells so cells stay rerank-able, the same
+    * knob the ANN path tunes.
+    *
+    * Returns one row per multi-member group: (rep, n_members). */
+  def semanticDedupGroups(emb: DataFrame, indexPath: String,
+                          threshold: Double): DataFrame = {
+    val spark = emb.sparkSession
+    val idx = spark.read.parquet(indexPath).select(col("cell"), col("vec_id"))
+    val e = emb.select(col("vec_id"), col("embedding"),
+      Similarity.norm(col("embedding")).as("nrm"))
+    val pairs = idx.select(col("cell"), col("vec_id").as("vec_a"))
+      .join(idx.select(col("cell"), col("vec_id").as("vec_b")), Seq("cell"))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+        col("nrm").as("nrm_a")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+        col("nrm").as("nrm_b")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(graft.functions.DotProduct.dot(col("emb_a"), col("emb_b")) /
+          (col("nrm_a") * col("nrm_b")), 6).as("cos"))
+      .where(col("cos") > threshold)
+    Dedup.connectedComponents(
+        pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .groupBy(col("rep")).agg(count(lit(1)).as("n_members"))
+  }
+
   /** Build-if-missing IVF inverted lists (see [[ensureLshIndex]] for the
     * fingerprint-keyed presence check and the atomic tmp-dir commit).
     * BOTH inputs fingerprint into the path: the centroids are a FROZEN

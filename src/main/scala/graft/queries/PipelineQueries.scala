@@ -703,6 +703,45 @@ object PipelineQueries {
     * index — the bucketing pass is write-once warm-up state, the timed
     * query is candidate-join + re-rank only; output-identical to the
     * inline [[Similarity.bandedNearDupPairs]] (IndexesSpec asserts it). */
+  /** SemDeDup-style semantic dedup ([[graft.ops.Indexes
+    * .semanticDedupGroups]]): embedding near-dup groups blocked by the
+    * committed IVF k-means cells (served from the same materialized
+    * inverted lists as q_ann_ivf — zero extra index cost), connected
+    * components, min-id representative. The oracle replays cell
+    * assignment from the same centroid parquet and the grouping via the
+    * recursive transitive-closure CTE. */
+  def semanticDedup(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val cent = s.read.parquet(ivfCentroidsPath)
+    val idx = graft.ops.Indexes.ensureIvfIndex(s, emb, cent, d, nCells = 16)
+    graft.ops.Indexes.semanticDedupGroups(emb, idx, threshold = 0.4)
+      .orderBy(col("rep"))
+  }
+
+  val semanticDedupSql: String =
+    s"""WITH RECURSIVE $duckNormed,
+       |cent AS (SELECT cell, centroid AS cv,
+       |                sqrt(list_dot_product(centroid, centroid)) AS cn
+       |         FROM read_parquet('$ivfCentroidsPath/*.parquet')),
+       |asg AS (SELECT e.vec_id, cent.cell,
+       |               list_dot_product(e.v, cent.cv) / (e.nrm * cent.cn) AS ccos
+       |        FROM e CROSS JOIN cent),
+       |cells AS (SELECT vec_id, cell FROM asg
+       |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) = 1),
+       |wc AS (SELECT e.vec_id, e.v, e.nrm, cells.cell FROM e JOIN cells USING (vec_id)),
+       |p AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |      FROM wc a JOIN wc b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |      WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) > 0.4),
+       |sym AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |        UNION SELECT doc_b, doc_a FROM p),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM sym
+       |  UNION
+       |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+       |rep AS (SELECT src AS doc_id, least(src, min(dst)) AS rep
+       |        FROM reach GROUP BY src)
+       |SELECT rep, count(*) AS n_members FROM rep GROUP BY rep ORDER BY rep""".stripMargin
+
   def embeddingNearDups(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     val idx = graft.ops.Indexes.ensureLshIndex(s, emb, d, bBits = 6, lTables = 8,

@@ -388,4 +388,24 @@ class IndexesSpec extends AnyFunSuite {
     assert(hits.exists { case (nid, cid, j) => nid - 200000L == cid && j == 1.0 },
       "re-ingested copy of an appended doc must find its original")
   }
+
+  test("semantic dedup: within-cell groups elect min-id reps, cross-cell stays apart") {
+    val vecs = Seq(
+      (1L, Array(1.00f, 0.00f, 0f, 0f)),  // cluster A
+      (2L, Array(0.99f, 0.01f, 0f, 0f)),
+      (3L, Array(0.95f, 0.05f, 0f, 0f)),
+      (10L, Array(0.00f, 1.00f, 0f, 0f)), // cluster B
+      (11L, Array(0.01f, 0.99f, 0f, 0f)),
+      (20L, Array(0f, 0f, 1f, 0f))        // orthogonal: shares a cell, no pair
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((0, Array(1.0, 0.0, 0.0, 0.0)), (1, Array(0.0, 1.0, 0.0, 0.0)))
+      .toDF("cell", "centroid")
+    val dir = Files.createTempDirectory("semdedup_spec").toString + "/idx"
+    Indexes.writeIvfIndex(vecs, cents, dir)
+    val groups = Indexes.semanticDedupGroups(vecs, dir, threshold = 0.9)
+      .as[(Long, Long)].collect().toMap
+    // A groups to rep 1 with 3 members, B to rep 10 with 2; the orthogonal
+    // vector lands in cell 0 (tie -> min cell) but pairs with nothing
+    assert(groups === Map(1L -> 3L, 10L -> 2L))
+  }
 }
