@@ -31,4 +31,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // Keep the committed heap STABLE under a large -Xmx (the round-8 bench
+  // investigation): G1 uncommits after every explicit System.gc() the bench
+  // runs between queries, and the re-expansion's first-touch page faults
+  // serialize across 32 executor threads (measured: iterations with a
+  // heap-growth event carried ~250k minor faults and ran 3-6x slower with
+  // near-zero GC time — the BENCH_r07 "monotone iteration growth"). A 4g
+  // floor plus never-shrink pins the committed heap at its steady state, so
+  // timed iterations reuse already-faulted pages instead of re-paying the
+  // commit churn.
+  "-Xms4g", "-XX:MaxHeapFreeRatio=100",
+) ++ sys.env.get("SPARK_GRAFT_JVM_EXTRA").toSeq.flatMap(_.split("\\s+"))
