@@ -18,11 +18,15 @@ import org.apache.spark.sql.functions._
   *    shuffles (line_hash, doc_id) pairs — 40 bytes/line regardless of line
   *    length — and partial aggregation collapses each partition's repeats
   *    map-side;
-  *  - the boilerplate set (lines with df > maxDocFreq) is SMALL by
-  *    construction — each member appears in many documents, so
-  *    |boilerplate| ≤ total_lines / maxDocFreq — and broadcasts back
-  *    against the corpus as a hash-only anti-join: the corpus-side pass
-  *    stays narrow (no shuffle);
+  *  - the boilerplate set (lines with df > maxDocFreq) is small at
+  *    PRODUCTION thresholds — each member appears in many documents, so
+  *    |boilerplate| ≤ total_lines / maxDocFreq — but that bound is itself
+  *    corpus-scale when maxDocFreq is small relative to the corpus (a
+  *    trillion lines at df > 100 still admits 10B boilerplate hashes), so
+  *    the join strategy is left to AQE, mirroring [[Dedup.survivors]]: a
+  *    small runtime frame promotes to a broadcast hash join (asserted at
+  *    test scale in LineDedupSpec), a pathological one stays a shuffle
+  *    join instead of OOMing a forced broadcast;
   *  - document reconstruction is deterministic: surviving lines keep their
   *    original position order, and the audit fingerprints each cleaned
   *    document as md5 over the position-ordered surviving line HASHES — so
@@ -62,16 +66,15 @@ object LineDedup {
   /** Per-document line-dedup audit: total lines, surviving lines, and the
     * cleaned document's deterministic fingerprint — md5 over the
     * position-ordered surviving line hashes, comma-joined. The whole
-    * computation is hash-only: the boilerplate set broadcasts (left join
-    * marks rather than drops, so fully-boilerplate docs still report
-    * n_kept = 0 instead of vanishing), and `collect_list` of
+    * computation is hash-only: the boilerplate set joins back AQE-adjudicated
+    * (left join marks rather than drops, so fully-boilerplate docs still
+    * report n_kept = 0 instead of vanishing), and `collect_list` of
     * (pos, lh) structs sorts by position inside the aggregate — positions
     * are unique per document, so the order (and the fingerprint) is total.
     * An empty survivor set fingerprints md5('') — the cross-engine fixed
     * point. */
   def audit(docs: DataFrame, maxDocFreq: Long): DataFrame = {
-    val boiler = broadcast(
-      boilerplateLines(docs, maxDocFreq).withColumn("bp", lit(1)))
+    val boiler = boilerplateLines(docs, maxDocFreq).withColumn("bp", lit(1))
     lineHashes(docs)
       .join(boiler, Seq("lh"), "left")
       .groupBy(col("doc_id"))
@@ -85,7 +88,8 @@ object LineDedup {
 
   /** The cleaned corpus: (doc_id, clean_text) with boilerplate lines
     * removed and survivors rejoined by '\n' in original order. Decision
-    * path identical to [[audit]] (hash-only, broadcast boilerplate); the
+    * path identical to [[audit]] (hash-only, AQE-adjudicated boilerplate
+    * join); the
     * survivor positions aggregate as an int array per doc and the final
     * doc_id join slices the original line array — so the only shuffles are
     * the (doc_id, pos) position aggregate and the doc_id join itself, and
@@ -103,7 +107,7 @@ object LineDedup {
     * ([[graft.streaming.EventStreams.lineDedupStream]]) pins it static
     * and cleans each micro-batch against it. */
   def cleanDocsAgainst(docs: DataFrame, boilerplate: DataFrame): DataFrame = {
-    val boiler = broadcast(boilerplate.select(col("lh")))
+    val boiler = boilerplate.select(col("lh"))
     val keep = lineHashes(docs)
       .join(boiler, Seq("lh"), "left_anti")
       .groupBy(col("doc_id"))

@@ -62,11 +62,18 @@ class LineDedupSpec extends AnyFunSuite {
     }
   }
 
-  test("decision path shuffles hashes only; boilerplate side broadcasts") {
-    val p = graft.queries.PipelineQueries
+  test("decision path shuffles hashes only; AQE promotes the boilerplate join") {
+    // The boilerplate join carries no broadcast HINT (a small-maxDocFreq run
+    // over a big corpus makes the set corpus-scale — see LineDedup scaladoc);
+    // at test scale AQE must still promote the runtime-small frame to a
+    // broadcast hash join. Execute first: the promotion only exists in the
+    // FINAL adaptive plan.
+    val q = graft.queries.PipelineQueries
       .lineDedup(spark, "/root/testdata/sf0.001")
-      .queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastHashJoin"), p)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"AQE did not promote the small boilerplate frame to a broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), p)
   }
 
