@@ -945,20 +945,48 @@ object Indexes {
     * min-id representative per group (oracle-replayable via the recursive
     * transitive-closure CTE, like q_dedup_survivors).
     *
-    * Scale shape: the candidate join reads the narrow stored lists on both
-    * sides (two longs per row, cell-partitioned so the self-join
-    * co-partitions); embeddings join in only for the bounded surviving
-    * candidates; the quadratic blow-up is per-cell, which is the operator's
-    * documented contract — size nCells so cells stay rerank-able, the same
-    * knob the ANN path tunes.
+    * Scale shape — the BOUNDED-CELL contract: the candidate join reads the
+    * narrow stored lists on both sides (two longs per row, cell-partitioned
+    * so the self-join co-partitions); embeddings join in only for the
+    * bounded surviving candidates. Candidate pairs are O(Σ cell²), so the
+    * operator is quadratic PER CELL and the quantizer's k is the knob that
+    * bounds it: expected cell size is N/k, and the real SemDeDup recipe
+    * sizes k so cells hold ~100-1000 docs (tens of thousands of cells at
+    * corpus scale — retrain the committed quantizer as the corpus grows;
+    * the registered query uses the k=256 fixture trained at the bench SF).
+    * `maxCellSize` makes the contract LOUD instead of aspirational: the
+    * one cheap aggregate over the stored lists (cells only, no vectors)
+    * fails the query when a degenerate centroid table would otherwise
+    * detonate a runaway join (a collapsed k-means run can put most of the
+    * corpus in one cell — that is a model bug, and silently running an
+    * O(N²) join over it would hide the bug inside a hot loop).
+    *
+    * Recall trade, explicit like the LSH banding notes
+    * (Similarity.scala banding scaladoc): cross-cell true-dup pairs are
+    * sacrificed by construction; raising k tightens cells (cheaper, lower
+    * recall), lowering k loosens them (costlier, higher recall). Zero-norm
+    * embeddings cannot cosine-pair (cos would be NaN) and are dropped from
+    * pairing on BOTH engines by the `nrm > 0` guard — without it Spark's
+    * `NaN > t` = false and DuckDB's NaN-sorts-high would diverge.
     *
     * Returns one row per multi-member group: (rep, n_members). */
   def semanticDedupGroups(emb: DataFrame, indexPath: String,
-                          threshold: Double): DataFrame = {
+                          threshold: Double,
+                          maxCellSize: Long = 1L << 16): DataFrame = {
     val spark = emb.sparkSession
     val idx = spark.read.parquet(indexPath).select(col("cell"), col("vec_id"))
+    val biggest = idx.groupBy(col("cell")).count()
+      .agg(max(col("count"))).head()
+    if (!biggest.isNullAt(0)) {
+      val big = biggest.getLong(0)
+      require(big <= maxCellSize,
+        s"semantic-dedup cell bound violated: largest IVF cell holds $big vectors " +
+          s"(> maxCellSize=$maxCellSize) — the candidate self-join would be " +
+          s"O($big²); retrain the quantizer with more cells or raise the bound")
+    }
     val e = emb.select(col("vec_id"), col("embedding"),
       Similarity.norm(col("embedding")).as("nrm"))
+      .where(col("nrm") > 0d)
     val pairs = idx.select(col("cell"), col("vec_id").as("vec_a"))
       .join(idx.select(col("cell"), col("vec_id").as("vec_b")), Seq("cell"))
       .where(col("vec_a") < col("vec_b"))

@@ -88,7 +88,11 @@ object LmScore {
       try {
         val grams = w.select(explode(TextOps.shingles(col("w"), n)).as("g"))
         val prefixes = w.select(explode(prefixGrams(col("w"), n)).as("g"))
+        // empty/whitespace-only docs tokenize to [""] (the NULL-parity
+        // convention) — "" is a split artifact, not a vocabulary item, and
+        // counting it would inflate the add-one smoothing denominator
         val vocab = w.select(explode(col("w")).as("g"))
+          .where(col("g") =!= "")
           .agg(countDistinct(col("g"))).head().getLong(0)
         // an empty reference has no distribution to score against, and
         // vocab = 0 would make every smoothed probability (eb+1)/(eu+0)

@@ -703,17 +703,29 @@ object PipelineQueries {
     * index — the bucketing pass is write-once warm-up state, the timed
     * query is candidate-join + re-rank only; output-identical to the
     * inline [[Similarity.bandedNearDupPairs]] (IndexesSpec asserts it). */
+  /** Corpus-scaled SemDeDup quantizer (k = 256, trained offline at the
+    * bench SF by TrainIvfCentroids — 8 vectors/cell expected at sf0.1):
+    * the blocking quantizer is a SEPARATE model from the k=16 ANN coarse
+    * quantizer because the two tune opposite knobs — ANN wants few cells
+    * so nProbe/k recall stays high; dedup blocking wants MANY cells so
+    * the per-cell candidate join stays bounded (the
+    * [[graft.ops.Indexes.semanticDedupGroups]] cell contract). */
+  val semanticCentroidsPath: String = sys.env.getOrElse(
+    "SPARK_GRAFT_SEMANTIC_CENTROIDS",
+    "/root/repo/fixtures/ivf_centroids_k256.parquet")
+
   /** SemDeDup-style semantic dedup ([[graft.ops.Indexes
     * .semanticDedupGroups]]): embedding near-dup groups blocked by the
-    * committed IVF k-means cells (served from the same materialized
-    * inverted lists as q_ann_ivf — zero extra index cost), connected
-    * components, min-id representative. The oracle replays cell
-    * assignment from the same centroid parquet and the grouping via the
-    * recursive transitive-closure CTE. */
+    * corpus-scaled k=256 k-means cells (its inverted lists build once
+    * through the same [[graft.ops.Indexes.ensureIvfIndex]] lifecycle),
+    * connected components, min-id representative. The oracle replays
+    * cell assignment from the same centroid parquet and the grouping via
+    * the recursive transitive-closure CTE. Zero-norm vectors drop from
+    * pairing on both engines (`nrm > 0` — NaN-comparison parity). */
   def semanticDedup(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
-    val cent = s.read.parquet(ivfCentroidsPath)
-    val idx = graft.ops.Indexes.ensureIvfIndex(s, emb, cent, d, nCells = 16)
+    val cent = s.read.parquet(semanticCentroidsPath)
+    val idx = graft.ops.Indexes.ensureIvfIndex(s, emb, cent, d, nCells = 256)
     graft.ops.Indexes.semanticDedupGroups(emb, idx, threshold = 0.4)
       .orderBy(col("rep"))
   }
@@ -722,13 +734,14 @@ object PipelineQueries {
     s"""WITH RECURSIVE $duckNormed,
        |cent AS (SELECT cell, centroid AS cv,
        |                sqrt(list_dot_product(centroid, centroid)) AS cn
-       |         FROM read_parquet('$ivfCentroidsPath/*.parquet')),
+       |         FROM read_parquet('$semanticCentroidsPath/*.parquet')),
        |asg AS (SELECT e.vec_id, cent.cell,
        |               list_dot_product(e.v, cent.cv) / (e.nrm * cent.cn) AS ccos
        |        FROM e CROSS JOIN cent),
        |cells AS (SELECT vec_id, cell FROM asg
        |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) = 1),
-       |wc AS (SELECT e.vec_id, e.v, e.nrm, cells.cell FROM e JOIN cells USING (vec_id)),
+       |wc AS (SELECT e.vec_id, e.v, e.nrm, cells.cell FROM e JOIN cells USING (vec_id)
+       |       WHERE e.nrm > 0),
        |p AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
        |      FROM wc a JOIN wc b ON a.cell = b.cell AND a.vec_id < b.vec_id
        |      WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) > 0.4),
@@ -871,29 +884,44 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
-  val lmPerplexitySql: String = {
+  /** Parametric DuckDB replay of the order-`n` CMS-LM scoring pipeline —
+    * identical arithmetic for every order (the n = 2 instance reproduces
+    * the round-7 handwritten bigram oracle): reference n-grams and their
+    * aligned (n−1)-gram prefixes feed two depth-4 CMS builds, the corpus
+    * side replays per-position min-of-depth lookups, and the vocabulary
+    * excludes the "" split artifact exactly as [[graft.ops.LmScore
+    * .trainNgramLm]] does. */
+  private def lmPerplexitySqlFor(n: Int, countCol: String): String = {
     val P = Dedup.MinhashP
     val W = 1024
     val consts = Dedup.minhashConstsSqlValues(4)
+    // w[i] || ' ' || ... || w[i+k-1]: the space-joined k-gram at position i
+    def cat(from: String, k: Int) =
+      (0 until k).map(j => if (j == 0) s"w[$from]" else s"w[$from+$j]")
+        .mkString(" || ' ' || ")
+    // n-gram count is len-n+1, so positions run range(1, len(w)-(n-2))
+    val hi = s"len(w) - ${n - 2}"
     s"""WITH w AS (SELECT doc_id, source, $duckWords AS w FROM documents),
        |refw AS (SELECT w FROM w WHERE source = 'src0'),
-       |refbig AS (SELECT unnest(CASE WHEN len(w) >= 2
-       |             THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
-       |             ELSE []::VARCHAR[] END) AS g FROM refw),
-       |refuni AS (SELECT unnest(w[1:len(w)-1]) AS g FROM refw WHERE len(w) >= 2),
+       |refg AS (SELECT unnest(CASE WHEN len(w) >= $n
+       |           THEN list_transform(range(1, $hi), i -> ${cat("i", n)})
+       |           ELSE []::VARCHAR[] END) AS g FROM refw),
+       |refp AS (SELECT unnest(CASE WHEN len(w) >= $n
+       |           THEN list_transform(range(1, $hi), i -> ${cat("i", n - 1)})
+       |           ELSE []::VARCHAR[] END) AS g FROM refw),
        |vocab AS (SELECT count(DISTINCT g) AS v
-       |          FROM (SELECT unnest(w) AS g FROM refw)),
+       |          FROM (SELECT unnest(w) AS g FROM refw) WHERE g <> ''),
        |cb AS (SELECT i, (hb * a + b) % $P % $W AS cl, count(*) AS cnt
        |       FROM (SELECT ('0x' || substr(md5(g), 1, 12))::BIGINT % $P AS hb
-       |             FROM refbig) CROSS JOIN $consts GROUP BY i, cl),
+       |             FROM refg) CROSS JOIN $consts GROUP BY i, cl),
        |cu AS (SELECT i, (hb * a + b) % $P % $W AS cl, count(*) AS cnt
        |       FROM (SELECT ('0x' || substr(md5(g), 1, 12))::BIGINT % $P AS hb
-       |             FROM refuni) CROSS JOIN $consts GROUP BY i, cl),
-       |pos AS (SELECT doc_id, unnest(range(1, len(w))) AS p, w
-       |        FROM w WHERE source <> 'src0' AND len(w) >= 2),
+       |             FROM refp) CROSS JOIN $consts GROUP BY i, cl),
+       |pos AS (SELECT doc_id, unnest(range(1, $hi)) AS p, w
+       |        FROM w WHERE source <> 'src0' AND len(w) >= $n),
        |ph AS (SELECT doc_id, p,
-       |         ('0x' || substr(md5(w[p] || ' ' || w[p+1]), 1, 12))::BIGINT % $P AS bh,
-       |         ('0x' || substr(md5(w[p]), 1, 12))::BIGINT % $P AS uh FROM pos),
+       |         ('0x' || substr(md5(${cat("p", n)}), 1, 12))::BIGINT % $P AS bh,
+       |         ('0x' || substr(md5(${cat("p", n - 1)}), 1, 12))::BIGINT % $P AS uh FROM pos),
        |pcell AS (SELECT doc_id, p, i, (bh * a + b) % $P % $W AS bcl,
        |                 (uh * a + b) % $P % $W AS ucl
        |          FROM ph CROSS JOIN $consts),
@@ -907,11 +935,28 @@ object PipelineQueries {
        |          CAST(sum(length(bin(euv + v)) - length(bin(ebv + 1))) AS BIGINT) AS q2,
        |          round(sum(ln((euv + v)::DOUBLE / (ebv + 1)::DOUBLE)) / count(*), 6) AS nll
        |        FROM eb JOIN eu USING (doc_id, p), vocab GROUP BY doc_id)
-       |SELECT d.doc_id, CAST(coalesce(n, 0) AS BIGINT) AS n_bigrams,
+       |SELECT d.doc_id, CAST(coalesce(n, 0) AS BIGINT) AS $countCol,
        |       coalesce(q2, 0) AS q2_nll, coalesce(nll, 0.0) AS nll
        |FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
        |LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
   }
+
+  val lmPerplexitySql: String = lmPerplexitySqlFor(2, "n_bigrams")
+
+  /** 5-gram LM perplexity — the published-pipeline order (CCNet scores
+    * against a Wikipedia-trained 5-GRAM KenLM): same operator, same CMS
+    * model shape, `trainNgramLm(ref, n = 5)`. Exercises the prefix/gram
+    * alignment at an order where the n = 2 specializations (words ARE the
+    * prefixes) no longer hold. */
+  def lmPerplexity5(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val lm = graft.ops.LmScore.trainNgramLm(docs.where(col("source") === "src0"), n = 5)
+    graft.ops.LmScore.lmScores(docs.where(col("source") =!= "src0"), lm)
+      .select(col("doc_id"), col("n_bigrams").as("n_grams"), col("q2_nll"), col("nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lmPerplexity5Sql: String = lmPerplexitySqlFor(5, "n_grams")
 
   def fingerprints(s: SparkSession, d: String): DataFrame =
     documents(s, d)

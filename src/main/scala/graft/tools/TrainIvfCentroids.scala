@@ -22,12 +22,16 @@ package graft.tools
 object TrainIvfCentroids {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    // round 8: optional k + output path, so the corpus-scaled SemDeDup
+    // quantizer (k=256 at the bench SF) trains with the same job as the
+    // ANN coarse quantizer (k=16) without disturbing the frozen original
+    val k = args.lift(1).map(_.toInt).getOrElse(16)
+    val out = args.lift(2).getOrElse("fixtures/ivf_centroids.parquet")
     val spark = graft.engine.Sessions.local("8", "graft-train-ivf")
     val cent = graft.ops.Similarity.kMeansCentroids(
-      graft.engine.Tables.embeddings(spark, sfDir), k = 16, iters = 10, seed = 42L)
-    cent.coalesce(1).write.mode("overwrite")
-      .parquet("fixtures/ivf_centroids.parquet")
-    println(s"trained ${cent.count()} centroids from $sfDir")
+      graft.engine.Tables.embeddings(spark, sfDir), k = k, iters = 10, seed = 42L)
+    cent.coalesce(1).write.mode("overwrite").parquet(out)
+    println(s"trained ${cent.count()} centroids from $sfDir -> $out")
     spark.stop()
   }
 }
