@@ -816,6 +816,53 @@ object Indexes {
     } finally sets.unpersist()
   }
 
+  /** Build-if-missing INGEST-LIFECYCLE minhash index: the base corpus's
+    * derived tables built fresh, then `batch`'s state added THROUGH the
+    * real [[appendMinhashIndex]] maintenance path (parquet appends into the
+    * existing sets/bands layout), all inside one tmp generation that
+    * commits atomically. This is the registered-query bridge between the
+    * append-maintenance unit proofs (appended == rebuild, IndexesSpec) and
+    * the driver's oracle gate: a query probing this index grades the
+    * append → probe lifecycle end-to-end against an oracle computed on the
+    * UNION corpus.
+    *
+    * Why build+append inside tmp rather than appending to a committed
+    * generation: registered queries re-execute (Verify, every bench
+    * iteration), and appending per execution would grow the index without
+    * bound and desynchronize content from its fingerprint key — the
+    * [[appendMinhashIndex]] content-addressing caveat. The tmp-then-commit
+    * shape keeps the query idempotent while still exercising the append
+    * path's physical layout (new part files inside existing table dirs,
+    * batch-only tokenization). Keyed on the BASE scan's fingerprint
+    * (`batch` must derive from the same corpus files — callers re-keying a
+    * slice, as q_ingest_lifecycle does, satisfy this by construction). */
+  def ensureLifecycleMinhashIndex(spark: SparkSession, base: DataFrame,
+                                  batch: DataFrame, sfDir: String,
+                                  numHashes: Int = 16, bandRows: Int = 2,
+                                  shingleN: Int = 3): (String, String) = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val fp = corpusFingerprint(base)
+    val dir =
+      s"$indexRoot/$tag/minhash_lc_k${numHashes}_r${bandRows}_n${shingleN}_$fp"
+    val (sets, bands) = (s"$dir/sets", s"$dir/bands")
+    if (!successExists(spark, sets) || !successExists(spark, bands)) {
+      val tmp = tmpBuildPath(dir)
+      val s = Dedup.shingleSets(base, shingleN).persist()
+      s.write.mode("overwrite").parquet(s"$tmp/sets")
+      Dedup.lshBandKeys(Dedup.minhashSignaturesFromSets(s, numHashes),
+          numHashes, bandRows)
+        .repartition(col("band"), col("key"))
+        .write.mode("overwrite").parquet(s"$tmp/bands")
+      s.unpersist()
+      appendMinhashIndex(batch, s"$tmp/sets", s"$tmp/bands",
+        numHashes, bandRows, shingleN)
+      commitIndexDir(spark, tmp, dir)
+      gcSiblings(spark, dir,
+        s"minhash_lc_k${numHashes}_r${bandRows}_n${shingleN}_")
+    }
+    (sets, bands)
+  }
+
   /** Materialized SimHash signature table (doc_id, simhash) — the one-pass
     * 60-bit majority vote is write-once corpus state; near-dup banding
     * reads 16 bytes per doc. */

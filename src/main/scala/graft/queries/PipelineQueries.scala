@@ -54,14 +54,16 @@ object PipelineQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  private val duckMinhashBands =
-    s"""w AS (SELECT doc_id, $duckWords AS w FROM documents),
+  private def duckMinhashBandsFrom(tbl: String) =
+    s"""w AS (SELECT doc_id, $duckWords AS w FROM $tbl),
        |shg AS (SELECT doc_id, unnest(${duckHashedShingleSet("w")}) AS s FROM w),
        |hb AS (SELECT doc_id, s % ${Dedup.MinhashP} AS hb FROM shg),
        |mh AS (SELECT doc_id, i, min((hb * a + b) % ${Dedup.MinhashP}) AS h
        |       FROM hb, ${Dedup.minhashConstsSqlValues(16)} GROUP BY doc_id, i),
        |bands AS (SELECT doc_id, i // 2 AS band, md5(string_agg(h::VARCHAR, ',' ORDER BY i)) AS bkey
        |          FROM mh GROUP BY doc_id, band)""".stripMargin
+
+  private val duckMinhashBands = duckMinhashBandsFrom("documents")
 
   val minhashLshPairsSql: String =
     s"""WITH $duckMinhashBands
@@ -133,6 +135,41 @@ object PipelineQueries {
        |                 JOIN sets y ON cand.corpus_id = y.doc_id)
        |SELECT new_id, corpus_id, round(jacc, 6) AS jaccard FROM sc
        |WHERE jacc >= 0.3 ORDER BY new_id, corpus_id""".stripMargin
+
+  /** INGEST LIFECYCLE, append → probe under the oracle ([[graft.ops
+    * .Indexes.ensureLifecycleMinhashIndex]]): the base corpus's minhash
+    * index is built, the re-keyed `src0` slice is APPENDED through the
+    * real index-maintenance path (the q_incremental_dedup batch after it
+    * cleared the gate), and the full near-dup query probes the GROWN
+    * index. Every appended doc finds its original at jaccard 1.0 — absent
+    * append visibility those pairs vanish, so the oracle (the same
+    * near-dup replay over the UNION corpus) grades the append itself. */
+  def ingestLifecycle(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val batch = docs.where(col("source") === "src0")
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val (sets, bands) =
+      graft.ops.Indexes.ensureLifecycleMinhashIndex(s, docs, batch, d)
+    graft.ops.Indexes.minhashNearDupsIndexed(s, sets, bands, threshold = 0.3)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val ingestLifecycleSql: String =
+    s"""WITH u AS (SELECT doc_id, text FROM documents
+       |           UNION ALL
+       |           SELECT doc_id + 100000, text FROM documents WHERE source = 'src0'),
+       |${duckMinhashBandsFrom("u")},
+       |sets AS (SELECT doc_id, ${duckHashedShingleSet("w")} AS sh FROM w),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |scored AS (SELECT doc_a, doc_b,
+       |             len(list_intersect(x.sh, y.sh))::DOUBLE
+       |               / greatest(len(list_distinct(x.sh || y.sh)), 1) AS jacc
+       |           FROM cand JOIN sets x ON cand.doc_a = x.doc_id
+       |                     JOIN sets y ON cand.doc_b = y.doc_id)
+       |SELECT doc_a, doc_b, round(jacc, 6) AS jaccard FROM scored
+       |WHERE jacc >= 0.3 ORDER BY doc_a, doc_b""".stripMargin
 
   /** Near-dup cluster assignment: connected components over the LSH+refine
     * pair set; the oracle computes the same components via a recursive

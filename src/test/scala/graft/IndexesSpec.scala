@@ -389,6 +389,28 @@ class IndexesSpec extends AnyFunSuite {
       "re-ingested copy of an appended doc must find its original")
   }
 
+  test("ensureLifecycleMinhashIndex: append → probe serves the union corpus") {
+    val docs = graft.engine.Tables.documents(spark, sf)
+    val batch = docs.where(col("source") === "src0")
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val (sets, bands) = Indexes.ensureLifecycleMinhashIndex(spark, docs, batch, sf)
+    val got = Indexes.minhashNearDupsIndexed(spark, sets, bands, 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    val union = docs.select(col("doc_id"), col("text"))
+      .unionAll(batch.select(col("doc_id"), col("text")))
+    val want = graft.ops.Dedup.nearDupPairs(union, 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === want, "lifecycle index must serve the union corpus")
+    // the append is visible: every appended doc pairs with its original at 1.0
+    val batchIds = batch.select(col("doc_id")).as[Long].collect()
+    assert(batchIds.nonEmpty &&
+      batchIds.forall(id => got.contains((id - 100000L, id, 1.0))),
+      "appended docs must find their originals through the grown index")
+    // re-execution reuses the committed generation (idempotent query path)
+    val again = Indexes.ensureLifecycleMinhashIndex(spark, docs, batch, sf)
+    assert(again === ((sets, bands)), "second call must hit the committed index")
+  }
+
   test("semantic dedup: within-cell groups elect min-id reps, cross-cell stays apart") {
     val vecs = Seq(
       (1L, Array(1.00f, 0.00f, 0f, 0f)),  // cluster A
