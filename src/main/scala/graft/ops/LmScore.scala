@@ -190,4 +190,28 @@ object LmScore {
         col("__graft_nd") >= 0.0)
       .select(keep.toIndexedSeq: _*)
   }
+
+  /** Gate threshold from the corpus itself: the exact `p`-quantile of
+    * [[lmScores]] NLL over scoreable documents (n_bigrams > 0) — "cut the
+    * worst decile" as a derived scalar rather than a hand-picked constant.
+    * The scalar is a MODEL (one bounded driver double, like
+    * [[Curation.qualityThreshold]]'s), memoized per (corpus plan, content
+    * fingerprint, p, model instance) so steady-state reruns reuse it; the
+    * model discriminator is per-JVM object identity, which is stable
+    * because [[trainNgramLm]] memoizes the model itself. Scores are
+    * rounded to 6 decimals before the quantile (the [[lmScores]] output
+    * contract), so the input set — and with it the interpolated threshold
+    * — is reproducible cross-engine. An unscoreable corpus (no doc with
+    * n ≥ `lm.n` words) yields +∞: a gate with no evidence keeps
+    * everything rather than dropping blind. */
+  def lmNllPercentile(docs: DataFrame, lm: NgramLm, p: Double,
+                      textCol: String = "text"): Double = {
+    require(p >= 0.0 && p <= 1.0, s"quantile p must be in [0, 1], got $p")
+    Indexes.memoModel(docs,
+        s"lm_thr_${p}_${textCol}_${System.identityHashCode(lm)}") {
+      val r = lmScores(docs, lm, textCol).where(col("n_bigrams") > 0)
+        .agg(expr(s"percentile(nll, $p)")).head()
+      Double.box(if (r.isNullAt(0)) Double.PositiveInfinity else r.getDouble(0))
+    }.doubleValue()
+  }
 }

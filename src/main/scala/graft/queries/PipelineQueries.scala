@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.Tables._
 import graft.ops.{Curation, Decontamination, Dedup, Multimodal, Similarity, Sketches, TextAnalysis, TextOps}
@@ -18,8 +18,10 @@ object PipelineQueries {
     * `coalesce(text, '')` mirrors Dedup.shingleSets: a NULL text would
     * otherwise produce [""] on the Spark side (concat_ws over a null array)
     * but [NULL] in DuckDB — normalizing to '' keeps both at [""]. */
-  private val duckWords =
-    "string_split_regex(lower(trim(coalesce(text, ''))), '\\s+')"
+  private def duckWordsOf(expr: String) =
+    s"string_split_regex(lower(trim(coalesce($expr, ''))), '\\s+')"
+
+  private val duckWords = duckWordsOf("text")
   // Mirrors TextOps.shingleSet incl. the whole-text fallback for short docs
   // (n-gram general form; the dedup family uses n = 3, windowed
   // decontamination n = 5).
@@ -35,6 +37,18 @@ object PipelineQueries {
   private def duckHashedShingleSet(wordsExpr: String, n: Int = 3) =
     s"list_distinct(list_transform(${duckShingleSet(wordsExpr, n)}, " +
       s"s -> ('0x' || substr(md5(s), 1, 12))::BIGINT))"
+
+  /** Force every plain CTE in an assembled oracle to `AS MATERIALIZED`.
+    * DuckDB inlines single-reference CTEs, so a long stage-chained oracle
+    * (each stage's CTE built on the previous one, final SELECT probing
+    * many stages) re-evaluates shared prefixes multiplicatively — the
+    * q_pipeline_e2e oracle goes from a >9-minute timeout to ~1 s with
+    * materialization. Matches only line-leading bare `name AS (` heads, so
+    * recursive CTEs with column lists (`reach(src, dst) AS (`) — which
+    * reject MATERIALIZED — and inline `VALUES ... AS t(...)` aliases are
+    * left untouched. */
+  private def materializeCtes(sql: String): String =
+    sql.replaceAll("(?m)^(\\w+) AS \\(", "$1 AS MATERIALIZED (")
 
   // ---- dedup -------------------------------------------------------------
 
@@ -170,6 +184,248 @@ object PipelineQueries {
        |                     JOIN sets y ON cand.doc_b = y.doc_id)
        |SELECT doc_a, doc_b, round(jacc, 6) AS jaccard FROM scored
        |WHERE jacc >= 0.3 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** One stage audit row: document count + order-independent content
+    * fingerprint (bit-XOR of per-item 48-bit md5 prefixes — commutative,
+    * so the aggregate is bounded map-side-combined state with no sort and
+    * no collected list, the shape that still works when a stage holds
+    * billions of rows; the count column plus eight chained stages make an
+    * accidental XOR cancellation vanishingly unlikely for an audit). */
+  private def stageRow(id: Int, name: String, df: DataFrame,
+                       item: Column): DataFrame =
+    df.select(conv(substring(md5(item), 1, 12), 16, 10).cast("long").as("h"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(h)"), lit(0L)).cast("string").as("fp"))
+      .select(lit(id).as("stage_id"), lit(name).as("stage"), col("n"),
+        col("fp"))
+
+  /** END-TO-END curation pipeline under the oracle — the
+    * CurationPipelineSpec chain as ONE registered query, so the driver's
+    * gate grades operator COMPOSITION, not just operators in isolation:
+    * exact dedup → near-dup survivor election (keep the longest copy) →
+    * cross-document boilerplate line removal → windowed decontamination
+    * against the src0 eval split → LM quality gate (bigram LM trained on
+    * the cleaned eval slice, cut the worst decile at the exact 0.9
+    * NLL-quantile) → deterministic domain mix → per-source token budgets →
+    * span packing. Output: one row per stage with its surviving-document
+    * count and content fingerprint; the oracle replays every stage in
+    * DuckDB, so a drift anywhere in the chain (a survivor elected
+    * differently, a line cleaned differently, one extra gated doc) breaks
+    * the hash at that stage and every stage downstream.
+    *
+    * Scale notes: near-dup pairs are SERVED from the committed full-corpus
+    * minhash index and restricted to exact-dedup survivors (banding and
+    * Jaccard are per-pair properties, so full-corpus pairs restricted to a
+    * subset equal pairs computed on the subset — no second index for the
+    * deduped slice); the LM threshold is a memoized bounded driver scalar
+    * ([[graft.ops.LmScore.lmNllPercentile]]).
+    *
+    * Each stage is materialized ONCE via eager `localCheckpoint`, which
+    * also TRUNCATES LINEAGE between stages. Without truncation the
+    * composed plan is the product of every stage's plan: analysis,
+    * optimization, and cache-lookup canonicalization re-walk the
+    * full-depth megaplan for each of the 9 audit branches, and measured
+    * driver time (~12 s) dwarfed executor time (2.3 s over 33 stages) at
+    * sf0.1 — a pure planning bottleneck that only worsens as stages are
+    * added, independent of data volume. Truncation resets every stage's
+    * plan to scan-of-materialized-result + one operator, the same shape a
+    * production 100 TB run gets by materializing each stage to durable
+    * storage (there you'd swap `localCheckpoint` — executor-local, lost
+    * with an executor — for `write.parquet` + read-back, e.g. via
+    * [[graft.ops.Curation.writeTrainingShards]]; single-JVM local mode
+    * cannot lose blocks, so the cheaper form is correct here). */
+  def pipelineE2e(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("source"), col("text"))
+
+    // stage 1: exact dedup (min doc_id per text digest)
+    val exact = Dedup.dropExactDuplicates(docs).localCheckpoint()
+
+    // stage 2: near-dup clusters keep their LONGEST member; pairs come from
+    // the committed corpus index restricted to exact survivors
+    val ids = exact.select(col("doc_id"))
+    val (sets, bands) = graft.ops.Indexes.ensureMinhashIndex(s, documents(s, d), d)
+    val pairs = graft.ops.Indexes
+      .minhashNearDupsIndexed(s, sets, bands, threshold = 0.3)
+      .join(ids.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+      .join(ids.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+      .select(col("doc_a"), col("doc_b"))
+    val best = Dedup.survivorsBy(exact, pairs,
+      length(coalesce(col("text"), lit("")))).localCheckpoint()
+
+    // stage 3: boilerplate line removal over deterministic 2-word
+    // pseudo-lines (the q_line_dedup derivation; the fixture has no '\n')
+    val lined = best
+      .select(col("doc_id"), col("source"),
+        TextOps.words(coalesce(col("text"), lit(""))).as("w"))
+      .select(col("doc_id"), col("source"), concat_ws("\n", transform(
+          sequence(lit(0), call_function("div", size(col("w")) - 1, lit(2))),
+          p => concat_ws(" ", slice(col("w"), p * 2 + 1, lit(2))))).as("text"))
+    val cleaned = graft.ops.LineDedup
+      .cleanDocs(lined.select(col("doc_id"), col("text")), maxDocFreq = 25)
+      .join(lined.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("clean_text").as("text"))
+      .localCheckpoint()
+
+    // stage 4: windowed decontamination (≥ 5 consecutive shared tokens)
+    val train = cleaned.where(col("source") =!= "src0")
+    val evalD = cleaned.where(col("source") === "src0")
+    val decon = Decontamination.removeContaminated(train, evalD, shingleN = 5)
+      .localCheckpoint()
+
+    // stage 5: LM gate — bigram LM on the cleaned eval slice, cut the
+    // worst decile at the exact 0.9 NLL-quantile
+    val lm = graft.ops.LmScore.trainBigramLm(evalD)
+    val thr = graft.ops.LmScore.lmNllPercentile(decon, lm, 0.9)
+    val gated = graft.ops.LmScore.lmGate(decon, lm, thr).localCheckpoint()
+
+    // stages 6-7: domain mix + per-source token budgets
+    val mixed = Curation.sampleByDomain(gated, Seq("src1" -> 50), default = 100)
+      .localCheckpoint()
+    val budgeted = Curation.tokenBudgetMix(mixed, Seq.empty,
+      defaultBudget = 2000L).localCheckpoint()
+
+    // stage 8: pack the budget-selected docs into 512-token bins
+    val finalDocs = mixed.join(budgeted.select(col("doc_id")), Seq("doc_id"),
+      "left_semi")
+    val packed = Curation.packSpans(finalDocs, capacity = 512, shardDocs = 100L)
+
+    val idItem = col("doc_id").cast("string")
+    stageRow(0, "raw", docs, idItem)
+      .unionByName(stageRow(1, "exact_dedup", exact, idItem))
+      .unionByName(stageRow(2, "near_dedup", best, idItem))
+      .unionByName(stageRow(3, "line_clean", cleaned,
+        concat_ws(":", col("doc_id"), md5(coalesce(col("text"), lit(""))))))
+      .unionByName(stageRow(4, "decontaminate", decon, idItem))
+      .unionByName(stageRow(5, "lm_gate", gated, idItem))
+      .unionByName(stageRow(6, "domain_mix", mixed, idItem))
+      .unionByName(stageRow(7, "token_budget", budgeted, idItem))
+      .unionByName(stageRow(8, "packed", packed,
+        concat_ws(":", col("source"), col("shard_id"), col("doc_id"),
+          col("tokens"), col("start_bin"), col("end_bin"))))
+      .orderBy(col("stage_id"))
+  }
+
+  /** The full-chain DuckDB replay: every stage of [[pipelineE2e]] as a CTE
+    * over the previous stage's CTE — the one oracle that grades the
+    * operators composed. */
+  val pipelineE2eSql: String = {
+    val P = Dedup.MinhashP
+    val lmConsts = Dedup.minhashConstsSqlValues(4)
+    def fpOf(item: String) =
+      s"coalesce(bit_xor(('0x' || substr(md5($item), 1, 12))::BIGINT), 0)::VARCHAR"
+    val idFp = fpOf("doc_id::VARCHAR")
+    materializeCtes(s"""WITH RECURSIVE
+       |ek AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |$duckNearDupCtes,
+       |pairs AS (SELECT doc_a, doc_b FROM scored WHERE jacc >= 0.3
+       |          AND doc_a IN (SELECT doc_id FROM ek)
+       |          AND doc_b IN (SELECT doc_id FROM ek)),
+       |sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |        UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM sym
+       |  UNION
+       |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+       |rep AS (SELECT src AS doc_id, least(src, min(dst)) AS rep
+       |        FROM reach GROUP BY src),
+       |win AS (SELECT rep.rep, rep.doc_id,
+       |          row_number() OVER (PARTITION BY rep.rep
+       |            ORDER BY length(coalesce(d.text, '')) DESC, rep.doc_id ASC) AS rn
+       |        FROM rep JOIN documents d ON rep.doc_id = d.doc_id),
+       |bst AS (SELECT d.doc_id, d.source, d.text
+       |      FROM documents d JOIN ek USING (doc_id)
+       |      LEFT JOIN rep ON d.doc_id = rep.doc_id
+       |      LEFT JOIN win ON d.doc_id = win.doc_id
+       |      WHERE rep.doc_id IS NULL OR win.rn = 1),
+       |lw AS (SELECT doc_id, source, ${duckWordsOf("text")} AS w FROM bst),
+       |l AS (SELECT doc_id, source, unnest(range(0, (len(w)+1)//2)) AS pos, w FROM lw),
+       |ln0 AS (SELECT doc_id, source, pos,
+       |          array_to_string(w[pos*2+1 : pos*2+2], ' ') AS line FROM l),
+       |ldf AS (SELECT md5(line) AS lh, count(DISTINCT doc_id) AS df
+       |        FROM ln0 GROUP BY md5(line)),
+       |boiler AS (SELECT lh FROM ldf WHERE df > 25),
+       |c AS (SELECT doc_id, source,
+       |        coalesce(string_agg(CASE WHEN boiler.lh IS NULL THEN line END,
+       |          chr(10) ORDER BY pos), '') AS text
+       |      FROM ln0 LEFT JOIN boiler ON md5(ln0.line) = boiler.lh
+       |      GROUP BY doc_id, source),
+       |cw AS (SELECT doc_id, source, ${duckWordsOf("text")} AS w FROM c),
+       |tsh AS (SELECT doc_id, unnest(${duckHashedShingleSet("w", 5)}) AS s5
+       |        FROM cw WHERE source <> 'src0'),
+       |esh AS (SELECT unnest(${duckHashedShingleSet("w", 5)}) AS s5
+       |        FROM cw WHERE source = 'src0'),
+       |contam AS (SELECT DISTINCT doc_id FROM tsh JOIN esh USING (s5)),
+       |dec AS (SELECT cw.* FROM cw WHERE source <> 'src0'
+       |        AND doc_id NOT IN (SELECT doc_id FROM contam)),
+       |refw AS (SELECT w FROM cw WHERE source = 'src0'),
+       |refg AS (SELECT unnest(CASE WHEN len(w) >= 2
+       |           THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+       |           ELSE []::VARCHAR[] END) AS g FROM refw),
+       |refp AS (SELECT unnest(CASE WHEN len(w) >= 2
+       |           THEN list_transform(range(1, len(w)), i -> w[i])
+       |           ELSE []::VARCHAR[] END) AS g FROM refw),
+       |vocab AS (SELECT count(DISTINCT g) AS v
+       |          FROM (SELECT unnest(w) AS g FROM refw) WHERE g <> ''),
+       |cb AS (SELECT i, (hb * a + b) % $P % 1024 AS cl, count(*) AS cnt
+       |       FROM (SELECT ('0x' || substr(md5(g), 1, 12))::BIGINT % $P AS hb
+       |             FROM refg) CROSS JOIN $lmConsts GROUP BY i, cl),
+       |cu AS (SELECT i, (hb * a + b) % $P % 1024 AS cl, count(*) AS cnt
+       |       FROM (SELECT ('0x' || substr(md5(g), 1, 12))::BIGINT % $P AS hb
+       |             FROM refp) CROSS JOIN $lmConsts GROUP BY i, cl),
+       |pos2 AS (SELECT doc_id, unnest(range(1, len(w))) AS p, w
+       |         FROM dec WHERE len(w) >= 2),
+       |ph AS (SELECT doc_id, p,
+       |         ('0x' || substr(md5(w[p] || ' ' || w[p+1]), 1, 12))::BIGINT % $P AS bh,
+       |         ('0x' || substr(md5(w[p]), 1, 12))::BIGINT % $P AS uh FROM pos2),
+       |pcell AS (SELECT doc_id, p, i, (bh * a + b) % $P % 1024 AS bcl,
+       |                 (uh * a + b) % $P % 1024 AS ucl
+       |          FROM ph CROSS JOIN $lmConsts),
+       |eb AS (SELECT doc_id, p, min(coalesce(cb.cnt, 0)) AS ebv
+       |       FROM pcell LEFT JOIN cb ON cb.i = pcell.i AND cb.cl = pcell.bcl
+       |       GROUP BY doc_id, p),
+       |eu AS (SELECT doc_id, p, min(coalesce(cu.cnt, 0)) AS euv
+       |       FROM pcell LEFT JOIN cu ON cu.i = pcell.i AND cu.cl = pcell.ucl
+       |       GROUP BY doc_id, p),
+       |sc AS (SELECT doc_id, count(*) AS nb,
+       |         round(sum(ln((euv + v)::DOUBLE / (ebv + 1)::DOUBLE)) / count(*), 6) AS nll
+       |       FROM eb JOIN eu USING (doc_id, p), vocab GROUP BY doc_id),
+       |thr AS (SELECT coalesce(quantile_cont(nll, 0.9), 1e308) AS t
+       |        FROM sc WHERE nb > 0),
+       |g AS (SELECT dec.* FROM dec LEFT JOIN sc ON dec.doc_id = sc.doc_id
+       |      CROSS JOIN thr
+       |      WHERE sc.doc_id IS NULL OR sc.nll <= thr.t),
+       |m AS (SELECT * FROM g
+       |      WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT % 100 <
+       |            CASE source WHEN 'src1' THEN 50 ELSE 100 END),
+       |r AS (SELECT source, doc_id, md5(source || ':' || doc_id::VARCHAR) AS rnk,
+       |        len(w)::BIGINT AS tokens FROM m),
+       |cum AS (SELECT source, doc_id, tokens,
+       |          CAST(sum(tokens) OVER (PARTITION BY source ORDER BY rnk, doc_id)
+       |            AS BIGINT) AS cum_tokens FROM r),
+       |bu AS (SELECT * FROM cum WHERE cum_tokens - tokens < 2000),
+       |f AS (SELECT m.source, m.doc_id, m.doc_id // 100 AS shard_id,
+       |        len(m.w)::BIGINT AS tokens FROM m JOIN bu ON m.doc_id = bu.doc_id),
+       |pk AS (SELECT source, shard_id, doc_id, tokens,
+       |         CAST(coalesce(sum(tokens) OVER (PARTITION BY source, shard_id
+       |           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |           0) AS BIGINT) AS start_off FROM f),
+       |p AS (SELECT source, shard_id, doc_id, tokens,
+       |        CAST(start_off // 512 AS BIGINT) AS start_bin,
+       |        CAST((start_off + tokens - 1) // 512 AS BIGINT) AS end_bin FROM pk)
+       |SELECT 0 AS stage_id, 'raw' AS stage, count(*)::BIGINT AS n, $idFp AS fp FROM documents
+       |UNION ALL SELECT 1, 'exact_dedup', count(*)::BIGINT, $idFp FROM ek
+       |UNION ALL SELECT 2, 'near_dedup', count(*)::BIGINT, $idFp FROM bst
+       |UNION ALL SELECT 3, 'line_clean', count(*)::BIGINT,
+       |  ${fpOf("doc_id::VARCHAR || ':' || md5(text)")} FROM c
+       |UNION ALL SELECT 4, 'decontaminate', count(*)::BIGINT, $idFp FROM dec
+       |UNION ALL SELECT 5, 'lm_gate', count(*)::BIGINT, $idFp FROM g
+       |UNION ALL SELECT 6, 'domain_mix', count(*)::BIGINT, $idFp FROM m
+       |UNION ALL SELECT 7, 'token_budget', count(*)::BIGINT, $idFp FROM bu
+       |UNION ALL SELECT 8, 'packed', count(*)::BIGINT,
+       |  ${fpOf("source || ':' || shard_id::VARCHAR || ':' || doc_id::VARCHAR || " +
+           "':' || tokens::VARCHAR || ':' || start_bin::VARCHAR || ':' || end_bin::VARCHAR")} FROM p
+       |ORDER BY stage_id""".stripMargin)
+  }
 
   /** Near-dup cluster assignment: connected components over the LSH+refine
     * pair set; the oracle computes the same components via a recursive

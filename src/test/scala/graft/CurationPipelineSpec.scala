@@ -108,6 +108,22 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(residual === 0L, "decontaminated output must re-check clean")
   }
 
+  test("registered q_pipeline_e2e audit: 9 stages, monotone counts, live fps") {
+    val rows = graft.queries.PipelineQueries.pipelineE2e(spark, d)
+      .orderBy(col("stage_id")).collect()
+    assert(rows.length === 9)
+    assert(rows.map(_.getInt(0)).toSeq === (0 to 8))
+    val n = rows.map(_.getLong(2))
+    // stages 0-5 only ever drop documents; mix/budget (6-7) also only drop
+    assert((1 to 7).forall(i => n(i) <= n(i - 1)), n.toSeq)
+    assert(n(8) === n(7), "packing conserves every budget-selected doc")
+    assert(n.forall(_ > 0), "a dead stage would make the oracle vacuous")
+    // every non-empty stage carries a content fingerprint (bit_xor of 48-bit
+    // hashes over >0 rows is 0 only on accidental cancellation — not with
+    // this fixture)
+    assert(rows.forall(r => r.getString(3) !== "0"), rows.map(_.getString(3)).toSeq)
+  }
+
   test("the whole pipeline is deterministic: two runs, identical bytes") {
     val a = runPipeline()
     val b = runPipeline()
