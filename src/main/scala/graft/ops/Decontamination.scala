@@ -182,6 +182,115 @@ object Decontamination {
         countDistinct(col("eval_id")).as("n_eval_docs"))
   }
 
+  /** Rolling windowN-token window hashes WITH their 0-based start
+    * positions: (doc_id, ntok, pos, s). The windows keep duplicates and
+    * order — unlike [[Dedup.shingleSets]] — because position evidence is
+    * the point. Sub-window docs fall back to ONE whole-text window at
+    * pos 0 (the verbatim-copy rule of [[contaminatedDocsWindowed]]). The
+    * words array and the window-string array are each materialized in
+    * their own projection before the explode, keeping the per-row
+    * tokenization out of the Generate (the Generate-hoist trap). */
+  def positionedWindows(docs: DataFrame, windowN: Int): DataFrame =
+    docs.select(col("doc_id"),
+        TextOps.words(coalesce(col("text"), lit(""))).as("w"))
+      .select(col("doc_id"), size(col("w")).as("ntok"),
+        when(size(col("w")) >= windowN, TextOps.shingles(col("w"), windowN))
+          .otherwise(array(concat_ws(" ", col("w")))).as("sg"))
+      .select(col("doc_id"), col("ntok"),
+        posexplode(col("sg")).as(Seq("pos", "sstr")))
+      .select(col("doc_id"), col("ntok"), col("pos"),
+        TextOps.shingleHash(col("sstr")).as("s"))
+
+  /** Contamination EVIDENCE, not just a verdict: for every contaminated
+    * (train doc, eval doc) PAIR, the report a hygiene reviewer acts on —
+    * how many distinct windows collide, where the leak starts on each
+    * side, and the longest CONTIGUOUS leaked token run (merged from
+    * consecutive matched window positions; a run of R consecutive
+    * windowN-windows spans R + windowN − 1 tokens, capped at the doc's
+    * token count so the sub-window verbatim-copy fallback reports the
+    * doc's true length instead of a phantom windowN-token span).
+    *
+    * Scale shape: same serving skeleton as [[contaminatedDocsWindowed]] —
+    * the eval side's Bloom bitset is the only broadcast state, the
+    * corpus-side pass is scan → bit-test Filter, and only bloom survivors
+    * reach the pinned shuffle_hash confirm join. Positions ride as one
+    * extra int per surviving window row; the run merge folds each pair's
+    * sorted matched-position array — bounded by the shorter doc's window
+    * count, never corpus-scale. Output rows exist only for contaminated
+    * pairs (sparse, like every decontamination surface).
+    *
+    * Output: (doc_id, eval_id, n_shared_windows, first_train_pos,
+    * first_eval_pos, longest_run_tokens), positions 0-based. */
+  def contaminationReport(train: DataFrame, evalDocs: DataFrame,
+                          windowN: Int = 5, mBits: Int = 1 << 19,
+                          kHashes: Int = 5): DataFrame =
+    reportFromWindows(positionedWindows(train, windowN),
+      positionedWindows(evalDocs, windowN), windowN, mBits, kHashes)
+
+  /** [[contaminationReport]] served from MATERIALIZED positioned-window
+    * tables on BOTH sides ([[Indexes.ensurePositionedWindows]]) — the
+    * steady-state shape: rolling-window hashing with positions is
+    * write-once index work, so the recurring hygiene query is two narrow
+    * (doc_id, ntok, pos, s) scans → bit-test Filter → confirm join.
+    * Output-identical to the inline form (same confirm pipeline). */
+  def contaminationReportIndexed(spark: org.apache.spark.sql.SparkSession,
+                                 trainWinPath: String, evalWinPath: String,
+                                 windowN: Int = 5, mBits: Int = 1 << 19,
+                                 kHashes: Int = 5): DataFrame = {
+    Seq(trainWinPath, evalWinPath).foreach { p =>
+      require(!p.contains("poswin_n") || p.contains(s"poswin_n${windowN}_"),
+        s"positioned-window table $p was not built at windowN=$windowN")
+    }
+    reportFromWindows(spark.read.parquet(trainWinPath),
+      spark.read.parquet(evalWinPath), windowN, mBits, kHashes)
+  }
+
+  /** Both sides arrive as (doc_id, ntok, pos, s) positioned-window frames
+    * — inline or index-served. Bloom memo family must encode every
+    * parameter (the shingleN lesson); it keys on the eval frame's plan +
+    * content fingerprint, so inline and indexed forms memoize
+    * independently and correctly. */
+  private def reportFromWindows(trainWin: DataFrame, evalWin: DataFrame,
+                                windowN: Int, mBits: Int,
+                                kHashes: Int): DataFrame = {
+    val ev = evalWin
+      .select(col("doc_id").as("eval_id"), col("pos").as("epos"), col("s"))
+    val sk = Indexes.memoModel(evalWin,
+      s"bloomrpt_n${windowN}_m${mBits}_k$kHashes")(
+      Bloom.buildSketch(ev.select(col("s")), "s", mBits, kHashes))
+    val hits = trainWin
+      .where(sk.mightContain(col("s")))
+      .join(ev.hint("shuffle_hash"), Seq("s"))
+    // ONE aggregation computes every pair statistic: the matched-position
+    // set rides as a sorted array (bounded by one document's window count
+    // — never corpus-scale) and the longest consecutive run falls out of
+    // a codegen'd array fold. The alternative — a row_number islands pass
+    // feeding a second aggregate joined back to the pair stats — costs a
+    // second evaluation of the bloom-scan+join and an extra
+    // shuffle+sort; measured ~1.8× the sibling decontamination query
+    // before this shape, ~parity after.
+    val run = aggregate(
+      expr("slice(ps, 2, greatest(size(ps) - 1, 0))"),
+      struct(lit(1).as("run"), lit(1).as("best"),
+        element_at(col("ps"), 1).as("prev")),
+      (acc, x) => {
+        val r = when(x === acc.getField("prev") + 1, acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(r.as("run"), greatest(acc.getField("best"), r).as("best"),
+          x.as("prev"))
+      }).getField("best")
+    hits.groupBy(col("doc_id"), col("eval_id"))
+      .agg(countDistinct(col("s")).as("n_shared_windows"),
+        min(col("pos")).cast("long").as("first_train_pos"),
+        min(col("epos")).cast("long").as("first_eval_pos"),
+        min(col("ntok")).as("ntok"),
+        sort_array(collect_set(col("pos"))).as("ps"))
+      .select(col("doc_id"), col("eval_id"), col("n_shared_windows"),
+        col("first_train_pos"), col("first_eval_pos"),
+        least(run + lit(windowN - 1), col("ntok").cast("long"))
+          .as("longest_run_tokens"))
+  }
+
   /** Per-source audit over [[contaminatedDocsBloom]] — same output contract
     * as [[contaminationSummary]], bloom-prefiltered corpus pass. */
   def contaminationSummaryBloom(train: DataFrame, evalDocs: DataFrame,

@@ -775,6 +775,34 @@ object Indexes {
     path
   }
 
+  /** Materialized POSITIONED window table (doc_id, ntok, pos, s) for one
+    * corpus slice + window width
+    * ([[Decontamination.positionedWindows]]) — the serving state of the
+    * contamination evidence report
+    * ([[Decontamination.contaminationReportIndexed]]). Differs from
+    * [[ensureWindowHashes]] in exactly the two ways the report's
+    * semantics need: it carries the doc's token count (for the
+    * sub-window run cap) and keeps the whole-text fallback window for
+    * sub-window docs (the verbatim-copy rule), so the indexed report
+    * equals the inline one on every doc, not just those with ≥ N
+    * tokens. Same `label` rationale as [[ensureShingleSets]]. */
+  def ensurePositionedWindows(spark: SparkSession, docs: DataFrame,
+                              sfDir: String, windowN: Int,
+                              label: String): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val lbl = labelSegment(label)
+    val path =
+      s"$indexRoot/$tag/poswin_n${windowN}_${lbl}_${corpusFingerprint(docs)}"
+    if (!successExists(spark, path)) {
+      val tmp = tmpBuildPath(path)
+      Decontamination.positionedWindows(docs, windowN)
+        .write.mode("overwrite").parquet(tmp)
+      commitIndexDir(spark, tmp, path)
+      gcSiblings(spark, path, s"poswin_n${windowN}_${lbl}_")
+    }
+    path
+  }
+
   /** Append a new batch's derived dedup state to an EXISTING minhash index
     * — the index-MAINTENANCE half of continuous ingest
     * ([[minhashNearDupsIncremental]] is the query half): after a batch

@@ -1442,6 +1442,62 @@ object PipelineQueries {
        |FROM trs JOIN evs USING (s)
        |GROUP BY trs.doc_id ORDER BY doc_id""".stripMargin
 
+  /** Contamination evidence report
+    * ([[graft.ops.Decontamination.contaminationReport]]): for each
+    * contaminated (train, eval) doc pair — distinct shared 5-token
+    * windows, first matched window position on each side, and the longest
+    * contiguous leaked token run (consecutive matched positions merged;
+    * capped at the doc's token count for sub-window verbatim copies). */
+  def contaminationReport(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    // both sides served from write-once positioned-window tables — the
+    // recurring-hygiene-query shape (zero tokenization on the query path)
+    val trainWin = graft.ops.Indexes.ensurePositionedWindows(s,
+      docs.where(col("source") =!= "src0"), d, windowN = 5,
+      label = "train_excl_src0")
+    val evalWin = graft.ops.Indexes.ensurePositionedWindows(s,
+      docs.where(col("source") === "src0"), d, windowN = 5,
+      label = "eval_src0")
+    Decontamination.contaminationReportIndexed(s, trainWin, evalWin,
+        windowN = 5)
+      .orderBy(col("doc_id"), col("eval_id"))
+  }
+
+  /** Replays positioned 5-token windows (0-based starts, whole-text
+    * fallback under 5 tokens), the hash join, and the gaps-and-islands
+    * run merge. */
+  val contaminationReportSql: String =
+    s"""WITH lw AS (SELECT doc_id, source, $duckWords AS w FROM documents),
+       |pw AS (SELECT doc_id, source, len(w) AS ntok,
+       |         unnest(CASE WHEN len(w) >= 5 THEN range(0, len(w) - 4)
+       |                ELSE [0] END) AS pos, w FROM lw),
+       |ph AS (SELECT doc_id, source, ntok, pos,
+       |         ('0x' || substr(md5(CASE WHEN ntok >= 5
+       |            THEN array_to_string(w[pos+1 : pos+5], ' ')
+       |            ELSE array_to_string(w, ' ') END), 1, 12))::BIGINT AS s
+       |       FROM pw),
+       |th AS (SELECT doc_id, ntok, pos, s FROM ph WHERE source <> 'src0'),
+       |eh AS (SELECT doc_id AS eval_id, pos AS epos, s FROM ph
+       |       WHERE source = 'src0'),
+       |hits AS (SELECT th.doc_id, th.ntok, th.pos, eh.eval_id, eh.epos, th.s
+       |         FROM th JOIN eh USING (s)),
+       |tpos AS (SELECT DISTINCT doc_id, eval_id, pos FROM hits),
+       |runs AS (SELECT doc_id, eval_id,
+       |           pos - row_number() OVER (PARTITION BY doc_id, eval_id
+       |             ORDER BY pos) AS isl FROM tpos),
+       |rl AS (SELECT doc_id, eval_id, isl, count(*) AS runlen FROM runs
+       |       GROUP BY doc_id, eval_id, isl),
+       |mr AS (SELECT doc_id, eval_id, max(runlen) AS maxrun FROM rl
+       |       GROUP BY doc_id, eval_id),
+       |pa AS (SELECT doc_id, eval_id, count(DISTINCT s) AS n_shared_windows,
+       |         min(pos) AS first_train_pos, min(epos) AS first_eval_pos,
+       |         min(ntok) AS ntok FROM hits GROUP BY doc_id, eval_id)
+       |SELECT pa.doc_id, pa.eval_id, n_shared_windows, first_train_pos,
+       |       first_eval_pos,
+       |       least(maxrun + 4, ntok)::BIGINT AS longest_run_tokens
+       |FROM pa JOIN mr USING (doc_id, eval_id)
+       |ORDER BY doc_id, eval_id""".stripMargin
+
   /** Cross-document line dedup (boilerplate removal,
     * [[graft.ops.LineDedup]]): per doc, total vs surviving lines after
     * dropping lines whose hash appears in > 25 distinct docs, plus the

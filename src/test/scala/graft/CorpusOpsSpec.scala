@@ -34,6 +34,34 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(clean === Set(3L))
   }
 
+  test("contamination report: run merge, positions, sub-window cap") {
+    // eval 100 = "a b c d e f g h"; train 10 contains the 5-token run
+    // "a b c d e" (window positions 2,3,4) and a detached "e f g" (pos 10);
+    // train 11 is a 2-token verbatim copy of eval 101 (sub-window fallback)
+    val tr = Seq(
+      (10L, "x y a b c d e q r s e f g", "srcA"),
+      (11L, "c d", "srcA"),
+      (12L, "alpha beta gamma delta epsilon", "srcB")
+    ).toDF("doc_id", "text", "source")
+    val ev = Seq(
+      (100L, "a b c d e f g h", "eval"),
+      (101L, "c d", "eval")
+    ).toDF("doc_id", "text", "source")
+    val rpt = Decontamination.contaminationReport(tr, ev, windowN = 3)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(rpt.keySet === Set((10L, 100L), (11L, 101L)))
+    // windows "a b c","b c d","c d e","e f g" → 4 distinct; leak starts at
+    // train pos 2 / eval pos 0; runs {2,3,4} and {10} → longest 3+3-1=5
+    assert(rpt((10L, 100L)) === ((4L, 2L, 0L, 5L)))
+    // sub-window verbatim copy: 1 fallback window, capped at 2 real tokens
+    assert(rpt((11L, 101L)) === ((1L, 0L, 0L, 2L)))
+    // evidence and verdict agree: report pairs cover exactly the flagged docs
+    val flagged = Decontamination.contaminatedDocsWindowed(tr, ev, windowN = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(rpt.keySet.map(_._1) === flagged)
+  }
+
   test("bloom-prefiltered decontamination equals the exact pass") {
     // tiny fixture: exact frame equality, row for row
     val exact = Decontamination.contaminatedDocs(train, evalSet)

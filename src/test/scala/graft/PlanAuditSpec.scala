@@ -190,6 +190,9 @@ class PlanAuditSpec extends AnyFunSuite {
     val p2 = plan("q_window_decontaminate")
     assert(p2.contains("shingles_n5"), s"windowed decon must scan the shingle index:\n$p2")
     assert(!p2.contains("split("), s"windowed decon re-tokenizes:\n$p2")
+    val p3 = plan("q_contamination_report")
+    assert(p3.contains("poswin_n5"), s"report must scan the positioned-window index:\n$p3")
+    assert(!p3.contains("split("), s"contamination report re-tokenizes:\n$p3")
   }
 
   test("no registered query plans a CartesianProduct") {
