@@ -645,4 +645,56 @@ object CoreQueries {
       |  SELECT l_orderkey, 'l_tax', l_tax FROM lineitem)
       |WHERE value IS NOT NULL
       |GROUP BY variable ORDER BY variable""".stripMargin
+
+  private val ZBits = 8 // per-dim z resolution; bucket = top 8 z-bits
+
+  /** Z-order layout audit ([[graft.ops.Layout]]): normalize the two
+    * INDEPENDENT keys (l_orderkey, l_partkey) into 8-bit ranks,
+    * Morton-interleave them, and group rows by the top 8 z-bits (= the
+    * leading 4 bits of EACH dimension — 256 buckets). Each bucket's
+    * per-dimension span is the bounding box a z-clustered file would
+    * advertise in its parquet footer; the locality guarantee under audit
+    * is span ≤ range/16 per dimension per bucket (+ rounding), which
+    * LayoutSpec asserts and the oracle's replayed bit math confirms
+    * value-exactly. min/max ride a broadcast one-row frame (no driver
+    * scalars, no model state); the z-value itself is an unrolled
+    * constant-shift expression generated from the same description on
+    * both engines. */
+  def zorderLocality(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Layout
+    val li = lineitem(s, d).select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("pk"))
+    val mm = li.agg(min(col("ok")).as("oklo"), max(col("ok")).as("okhi"),
+      min(col("pk")).as("pklo"), max(col("pk")).as("pkhi"))
+    val z = Layout.interleaveBits(Seq(
+      Layout.normalizeToBits(col("ok"), col("oklo"), col("okhi"), ZBits),
+      Layout.normalizeToBits(col("pk"), col("pklo"), col("pkhi"), ZBits)),
+      ZBits)
+    li.join(broadcast(mm))
+      .select(shiftright(z, ZBits).as("bucket"), col("ok"), col("pk"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        (max(col("ok")) - min(col("ok"))).cast("long").as("ok_span"),
+        (max(col("pk")) - min(col("pk"))).cast("long").as("pk_span"))
+      .orderBy(col("bucket"))
+  }
+
+  val zorderLocalitySql: String = {
+    val m = (1L << ZBits) - 1
+    val z = graft.ops.Layout.interleaveSqlExpr(Seq("no", "np"), ZBits)
+    s"""WITH mm AS (SELECT min(l_orderkey) AS oklo, max(l_orderkey) AS okhi,
+       |              min(l_partkey) AS pklo, max(l_partkey) AS pkhi
+       |            FROM lineitem),
+       |nv AS (SELECT l_orderkey AS ok, l_partkey AS pk,
+       |         CASE WHEN okhi > oklo
+       |           THEN (l_orderkey - oklo) * $m // (okhi - oklo) ELSE 0 END AS no,
+       |         CASE WHEN pkhi > pklo
+       |           THEN (l_partkey - pklo) * $m // (pkhi - pklo) ELSE 0 END AS np
+       |       FROM lineitem, mm),
+       |z AS (SELECT ok, pk, $z >> $ZBits AS bucket FROM nv)
+       |SELECT bucket, count(*) AS n,
+       |       (max(ok) - min(ok))::BIGINT AS ok_span,
+       |       (max(pk) - min(pk))::BIGINT AS pk_span
+       |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
 }

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Layout
+
+/** Z-order layout: the bit math against a reference implementation, the
+  * locality bound the registered audit advertises, and the actual payoff
+  * — per-FILE bounding boxes of a z-clustered write vs a single-column
+  * sort's. */
+class LayoutSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Reference Morton interleave in plain Scala. */
+  private def mortonRef(vals: Seq[Long], bits: Int): Long =
+    (0 until bits).foldLeft(0L) { (acc, i) =>
+      vals.zipWithIndex.foldLeft(acc) { case (a, (v, j)) =>
+        a | (((v >> i) & 1L) << (i * vals.size + j))
+      }
+    }
+
+  test("interleaveBits matches the reference on 2 and 3 dims") {
+    val xs = Seq(0L, 1L, 5L, 127L, 128L, 200L, 255L)
+    val rows2 = for (a <- xs; b <- xs) yield (a, b)
+    val got2 = rows2.toDF("a", "b")
+      .select(Layout.interleaveBits(Seq(col("a"), col("b")), 8).as("z"))
+      .as[Long].collect()
+    assert(got2.toSeq === rows2.map { case (a, b) => mortonRef(Seq(a, b), 8) })
+    val rows3 = for (a <- xs.take(4); b <- xs.take(4); c <- xs.take(4))
+      yield (a, b, c)
+    val got3 = rows3.toDF("a", "b", "c")
+      .select(Layout.interleaveBits(Seq(col("a"), col("b"), col("c")), 8).as("z"))
+      .as[Long].collect()
+    assert(got3.toSeq ===
+      rows3.map { case (a, b, c) => mortonRef(Seq(a, b, c), 8) })
+  }
+
+  test("interleave z-curve basics: dimension bits land where they should") {
+    // z(x=all-ones, y=0) has exactly the even bits set; swapping sets odd
+    val df = Seq((255L, 0L)).toDF("x", "y")
+    val Seq(zx, zy) = Seq(("x", "y"), ("y", "x")).map { case (a, b) =>
+      df.select(Layout.interleaveBits(Seq(col(a), col(b)), 8).as("z"))
+        .as[Long].head()
+    }
+    assert(zx === (0 until 8).map(i => 1L << (2 * i)).sum)
+    assert(zy === (0 until 8).map(i => 1L << (2 * i + 1)).sum)
+  }
+
+  test("registered audit holds its locality bound: span <= range/16 + rounding") {
+    val rows = graft.queries.CoreQueries
+      .zorderLocality(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length > 1)
+    val li = graft.engine.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val (okRange, pkRange) = li
+      .agg((max("l_orderkey") - min("l_orderkey")).cast("long"),
+        (max("l_partkey") - min("l_partkey")).cast("long"))
+      .as[(Long, Long)].head()
+    // top 4 normalized bits fixed per dim ⇒ normalized span < 16 of 256;
+    // raw span ≤ range * 16/255 + rounding slack
+    def bound(range: Long) = range * 16L / 255L + 2L
+    rows.foreach { r =>
+      assert(r.getLong(2) <= bound(okRange),
+        s"bucket ${r.getLong(0)} ok_span ${r.getLong(2)} > ${bound(okRange)}")
+      assert(r.getLong(3) <= bound(pkRange),
+        s"bucket ${r.getLong(0)} pk_span ${r.getLong(3)} > ${bound(pkRange)}")
+    }
+  }
+
+  test("a non-sort-dim predicate skips z-ordered files but hits every linear file") {
+    // The file-skipping payoff, measured on footer-equivalent boxes: with a
+    // linear sort on ok, a predicate on pk alone overlaps EVERY file's
+    // (min,max) box; z-order bounds both dims, so the same predicate
+    // prunes most files — and ok-predicates still prune too.
+    val d = "/root/testdata/sf0.001"
+    val li = graft.engine.Tables.lineitem(spark, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val mm = li.agg(min(col("ok")).as("oklo"), max(col("ok")).as("okhi"),
+      min(col("pk")).as("pklo"), max(col("pk")).as("pkhi"))
+    val z = Layout.interleaveBits(Seq(
+      Layout.normalizeToBits(col("ok"), col("oklo"), col("okhi"), 8),
+      Layout.normalizeToBits(col("pk"), col("pklo"), col("pkhi"), 8)), 8)
+    val withZ = li.join(broadcast(mm)).select(col("ok"), col("pk"), z.as("zv"))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    Layout.writeZordered(withZ, col("zv"), s"$dir/zord", numFiles = 16)
+    // baseline: same data, same file count, single-column range sort on ok
+    li.repartitionByRange(16, col("ok")).sortWithinPartitions(col("ok"))
+      .write.mode("overwrite").parquet(s"$dir/linear")
+
+    // per-file bounding boxes — what parquet footer min/max stats advertise
+    def boxes(path: String): Array[(Long, Long, Long, Long)] =
+      spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(min(col("ok")).cast("long").as("oklo"),
+          max(col("ok")).cast("long").as("okhi"),
+          min(col("pk")).cast("long").as("pklo"),
+          max(col("pk")).cast("long").as("pkhi"))
+        .select(col("oklo"), col("okhi"), col("pklo"), col("pkhi"))
+        .as[(Long, Long, Long, Long)].collect()
+    val zb = boxes(s"$dir/zord")
+    val lb = boxes(s"$dir/linear")
+    assert(zb.length >= 8 && lb.length >= 8)
+
+    // pk ∈ [100, 120] (~10% of the 0..199 range), no ok constraint
+    def hitsPk(bs: Array[(Long, Long, Long, Long)]) =
+      bs.count { case (_, _, plo, phi) => phi >= 100 && plo <= 120 }
+    assert(hitsPk(lb) === lb.length,
+      s"ok-sorted files should all intersect a pk-only predicate")
+    assert(hitsPk(zb) * 2 <= zb.length,
+      s"z-order should skip >= half the files: ${hitsPk(zb)}/${zb.length}")
+
+    // ok ∈ [0, 90] (~6% of 0..1499): both layouts prune, z keeps pruning
+    def hitsOk(bs: Array[(Long, Long, Long, Long)]) =
+      bs.count { case (olo, ohi, _, _) => ohi >= 0 && olo <= 90 }
+    assert(hitsOk(zb) * 2 <= zb.length,
+      s"z-order must stay selective on ok too: ${hitsOk(zb)}/${zb.length}")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+}
