@@ -844,6 +844,40 @@ object Indexes {
     } finally sets.unpersist()
   }
 
+  /** Idempotent, batch-addressed [[appendMinhashIndex]] — the streaming
+    * half of index maintenance ([[graft.streaming.EventStreams
+    * .indexMaintenanceStream]] wires it under `foreachBatch`): the batch's
+    * derived rows land in `batch_id=<id>/` partitions via dynamic
+    * overwrite, so a REPLAYED micro-batch — crash between the two writes,
+    * restart from checkpoint — rewrites its own partitions instead of
+    * duplicating rows. This closes the torn-append recovery gap the plain
+    * append path documents (its failure contract is rebuild-from-corpus;
+    * here recovery is "replay the batch", which streaming gives for free).
+    *
+    * A streaming-maintained index is batch-addressed from birth: parquet
+    * partition discovery rejects a layout that mixes flat files with
+    * `batch_id=` dirs, so seed the base corpus through this same path
+    * (batch 0) rather than appending partitions onto a flat committed
+    * table. Readers are unaffected — every index consumer selects its
+    * columns explicitly, so the extra partition column is transparent. */
+  def appendMinhashIndexIdempotent(newDocs: DataFrame, batchId: Long,
+                                   setsPath: String, bandsPath: String,
+                                   numHashes: Int = 16, bandRows: Int = 2,
+                                   shingleN: Int = 3): Unit = {
+    val sets = Dedup.shingleSets(newDocs, shingleN).persist()
+    try {
+      sets.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(setsPath)
+      Dedup.lshBandKeys(Dedup.minhashSignaturesFromSets(sets, numHashes),
+          numHashes, bandRows)
+        .withColumn("batch_id", lit(batchId))
+        .repartition(col("band"), col("key"))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(bandsPath)
+    } finally sets.unpersist()
+  }
+
   /** Build-if-missing INGEST-LIFECYCLE minhash index: the base corpus's
     * derived tables built fresh, then `batch`'s state added THROUGH the
     * real [[appendMinhashIndex]] maintenance path (parquet appends into the

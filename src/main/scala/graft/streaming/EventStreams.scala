@@ -198,6 +198,32 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming index MAINTENANCE — the missing half of continuous ingest:
+    * [[incrementalDedupStream]] checks each landing batch against the
+    * stored dedup state; this stream GROWS that state, so the next batch
+    * dedups against everything before it. Each micro-batch's shingle sets
+    * and band keys land through
+    * [[graft.ops.Indexes.appendMinhashIndexIdempotent]] — batch_id
+    * partitions, dynamic overwrite — so the exactly-once story is the
+    * sink's own idempotence: a batch replayed after a crash (even one
+    * that died between the sets and bands writes, the plain append path's
+    * documented torn state) rewrites its partitions bit-identically.
+    * Tokenization happens once per document ever, at ingest — the
+    * 100 TB property that makes the maintained index cheaper than any
+    * periodic rebuild. */
+  def indexMaintenanceStream(docs: DataFrame, setsPath: String,
+                             bandsPath: String, checkpoint: String,
+                             numHashes: Int = 16, bandRows: Int = 2,
+                             shingleN: Int = 3)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.Indexes.appendMinhashIndexIdempotent(batch.toDF(), batchId,
+          setsPath, bandsPath, numHashes, bandRows, shingleN)
+      }
+      .start()
+
   /** Streaming boilerplate-line removal — the stream twin of
     * [[graft.ops.LineDedup.cleanDocs]]: each micro-batch of landing
     * documents is cleaned against a STATIC boilerplate line-hash frame

@@ -378,6 +378,50 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming index maintenance: stream-built index == rebuild; replay is a no-op") {
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.engine.Tables.documents(spark, d)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .as[(Long, String)].collect().toSeq
+    val (b1, rest) = docs.partition(_._1 % 3 == 0)
+    val (b2, b3) = rest.partition(_._1 % 3 == 1)
+    val base = java.nio.file.Files.createTempDirectory("mh_stream_idx").toString
+    val (sets, bands) = (s"$base/sets", s"$base/bands")
+    val ckpt = s"$base/ckpt"
+
+    val in = MemoryStream[(Long, String)]
+    val q = EventStreams.indexMaintenanceStream(
+      in.toDF().toDF("doc_id", "text"), sets, bands, ckpt)
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    in.addData(b3: _*); q.processAllAvailable()
+    q.stop()
+
+    // the maintained index serves the full corpus exactly like a rebuild
+    val got = graft.ops.Indexes.minhashNearDupsIndexed(spark, sets, bands, 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    val want = graft.ops.Dedup.nearDupPairs(docs.toDF("doc_id", "text"), 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === want, "stream-maintained index must equal a rebuild")
+    assert(got.nonEmpty)
+
+    // replay: re-running a batch under its original batch_id — including
+    // after the documented torn state (sets written, bands missing) —
+    // restores the exact table, never duplicates
+    val setsBefore = spark.read.parquet(sets).count()
+    java.nio.file.Files.walk(java.nio.file.Paths.get(s"$bands/batch_id=2"))
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => java.nio.file.Files.delete(p)) // simulate the torn write
+    graft.ops.Indexes.appendMinhashIndexIdempotent(
+      b3.toDF("doc_id", "text"), 2L, sets, bands)
+    assert(spark.read.parquet(sets).count() === setsBefore,
+      "replay must not duplicate sets rows")
+    val again = graft.ops.Indexes.minhashNearDupsIndexed(spark, sets, bands, 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(again === want, "post-replay index must still equal the rebuild")
+  }
+
   test("file stream over the events fixture equals the batch hourlyWindow") {
     val d = "/root/testdata/sf0.001"
     // Glob (not a bare file path): FileStreamSource requires basePath to be
