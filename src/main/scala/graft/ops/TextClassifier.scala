@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Seed-classifier quality scoring — the other standard curation signal
+  * next to LM perplexity ([[LmScore]]): train a multinomial Naive Bayes
+  * log-odds model from a POSITIVE seed slice (curated/trusted docs) and a
+  * NEGATIVE seed slice (random crawl), then score every corpus document
+  * by Σ per-token log-odds + class prior. Production pipelines run
+  * exactly this shape (a linear bag-of-words classifier over hashed
+  * features) to rank crawl pages by "reads like the seed"; NB is its
+  * closed-form-trainable instance — training is ONE grouped count per
+  * class, no gradient loop, so the whole trainer is two map-side-combined
+  * aggregates.
+  *
+  * 100 TB design, mirroring the LM scorer:
+  *  - features are HASHED buckets (the hashing trick): the model is
+  *    `2 * buckets` longs + four scalars REGARDLESS of vocabulary size —
+  *    a real crawl vocabulary is billions of terms and cannot broadcast;
+  *    the bucket table always can. Collisions merge terms identically on
+  *    both engines (48-bit md5 base, the corpus-wide hash convention);
+  *  - the trainer consumes only the two SEED slices (small by
+  *    construction); the corpus is never touched at train time. Counts
+  *    are memoized per (params, seed plan, content fingerprint);
+  *  - scoring embeds the count tables as plan literals and runs as a
+  *    codegen'd scan-stage fold — no join, no shuffle, no UDF on the
+  *    corpus path (same machine-asserted contract as [[LmScore]]);
+  *  - ln() evaluates IN-PLAN on integer-exact literal counts in both
+  *    engines (the [[LmScore]] cross-engine parity precedent); `q2_odds`
+  *    — the floor-log2 bit-length form — is integer-exact and anchors
+  *    the hash check.
+  */
+object TextClassifier {
+
+  /** Fixed-size NB state: per-bucket token-occurrence counts for each
+    * class, class token totals (the multinomial denominators), and class
+    * doc counts (the prior). Empty-string tokens (the `words("")` → [""]
+    * NULL-parity artifact) are excluded from counts AND scoring — a blank
+    * doc carries no evidence ([[LmScore.trainNgramLm]]'s vocab lesson). */
+  final case class NbModel(pos: Array[Long], neg: Array[Long],
+                           posTokens: Long, negTokens: Long,
+                           posDocs: Long, negDocs: Long, buckets: Int) {
+    require(buckets >= 2 && pos.length == buckets && neg.length == buckets,
+      s"bucket tables must be exactly $buckets long")
+    require(posDocs >= 1 && negDocs >= 1,
+      "both seed classes need at least one document")
+  }
+
+  private def bucketOf(w: Column, buckets: Int): Column =
+    TextOps.shingleHash(w) % buckets // 48-bit hash is non-negative
+
+  /** One grouped count per class over the seed slices, collected into the
+    * bounded bucket arrays (2·buckets longs — driver model state, like
+    * the CMS/IVF/PQ collects). Memoized on the UNION of the seeds so a
+    * changed seed slice retrains. */
+  def trainNaiveBayes(pos: DataFrame, neg: DataFrame, buckets: Int = 1024,
+                      textCol: String = "text"): NbModel = {
+    val tagged = pos.select(lit(1).as("__graft_cls"), col(textCol))
+      .unionByName(neg.select(lit(0).as("__graft_cls"), col(textCol)))
+    Indexes.memoModel(tagged, s"nb_${textCol}_b$buckets") {
+      val toks = tagged
+        .select(col("__graft_cls"),
+          TextOps.words(coalesce(col(textCol), lit(""))).as("__graft_w"))
+        .select(col("__graft_cls"), explode(col("__graft_w")).as("w"))
+        .where(col("w") =!= "")
+      val cells = toks
+        .groupBy(col("__graft_cls"), bucketOf(col("w"), buckets).as("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect() // ≤ 2·buckets rows by construction
+      val (p, n) = (Array.fill(buckets)(0L), Array.fill(buckets)(0L))
+      cells.foreach { r =>
+        val t = if (r.getInt(0) == 1) p else n
+        t(r.getLong(1).toInt) = r.getLong(2)
+      }
+      val docs = tagged.groupBy(col("__graft_cls")).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      NbModel(p, n, p.sum, n.sum, docs.getOrElse(1, 0L), docs.getOrElse(0, 0L),
+        buckets)
+    }
+  }
+
+  /** Score `docs`: one row per document —
+    *  - `n_tokens`: non-empty tokens scored;
+    *  - `q2_odds`: Σ per-token (bitlen(pos[b]+1) − bitlen(neg[b]+1)) —
+    *    the floor-log2 anchor, integer-exact across engines;
+    *  - `nb_logodds`: ln(posDocs/negDocs) + Σ per-token
+    *    [ln((pos[b]+1)/(posTokens+B)) − ln((neg[b]+1)/(negTokens+B))],
+    *    add-one smoothed, left-to-right fold, rounded to 6.
+    * The model rides as two literal arrays; each projection stage
+    * materializes once (the Generate/CSE discipline). */
+  def nbScores(docs: DataFrame, model: NbModel,
+               textCol: String = "text"): DataFrame = {
+    val reserved = docs.columns.filter(_.startsWith("__graft_"))
+    require(reserved.isEmpty,
+      s"input already has reserved column(s) ${reserved.mkString(", ")}; rename them first")
+    val (pArr, nArr) = (typedlit(model.pos.toSeq), typedlit(model.neg.toSeq))
+    val prior = log(lit(model.posDocs.toDouble) / lit(model.negDocs.toDouble))
+    docs
+      .withColumn("__graft_w",
+        filter(TextOps.words(coalesce(col(textCol), lit(""))), _ =!= ""))
+      .withColumn("__graft_b",
+        transform(col("__graft_w"), w => bucketOf(w, model.buckets).cast("int")))
+      .withColumn("__graft_pc",
+        transform(col("__graft_b"), b => element_at(pArr, b + 1)))
+      .withColumn("__graft_nc",
+        transform(col("__graft_b"), b => element_at(nArr, b + 1)))
+      .select(col("doc_id"),
+        size(col("__graft_b")).cast("long").as("n_tokens"),
+        aggregate(zip_with(col("__graft_pc"), col("__graft_nc"), (p, n) =>
+            (length(bin(p + 1L)) - length(bin(n + 1L))).cast("long")),
+          lit(0L), _ + _).as("q2_odds"),
+        round(aggregate(zip_with(col("__graft_pc"), col("__graft_nc"), (p, n) =>
+            log((p + 1L).cast("double") /
+              lit((model.posTokens + model.buckets).toDouble)) -
+            log((n + 1L).cast("double") /
+              lit((model.negTokens + model.buckets).toDouble))),
+          prior, _ + _), 6).as("nb_logodds"))
+  }
+}

@@ -646,6 +646,85 @@ object CoreQueries {
       |WHERE value IS NOT NULL
       |GROUP BY variable ORDER BY variable""".stripMargin
 
+  /** TPC-H Q3-shape: unshipped-revenue top-10 for one market segment —
+    * the canonical fact-to-fact join with selective dim filters. Spark
+    * shape to care about: both date predicates push to the parquet scans,
+    * the filtered customer dim broadcasts (AQE-adjudicated — at 100 TB
+    * orders⨝lineitem stays a shuffle join on o_orderkey and the plan
+    * survives unchanged), and the final top-10 is a
+    * TakeOrderedAndProject, never a global sort. */
+  def segmentTopRevenue(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .where(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      .join(orders(s, d)
+        .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d).where(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6)
+        .as("revenue"))
+      .select(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd")
+        .as("o_date"), col("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+
+  val segmentTopRevenueSql: String =
+    """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+      |       round(sum(l_extendedprice * (1.0 - l_discount)), 6) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-shape: local-supplier revenue by nation for one region —
+    * the 6-way join workout. The region→nation→customer dim chain
+    * broadcasts stage by stage; the "supplier is in the customer's
+    * nation" rule is the extra equi-condition on the supplier join (NOT a
+    * post-filter — as a join key it keeps the join hash-based; filtering
+    * after would inflate the join output |lineitem|×|suppliers_per_key|
+    * first). */
+  def regionRevenue(s: SparkSession, d: String): DataFrame = {
+    val nat = nation(s, d)
+      .join(broadcast(region(s, d).where(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = customer(s, d).join(broadcast(nat),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    lineitem(s, d)
+      .join(orders(s, d)
+          .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supplier(s, d),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val regionRevenueSql: String =
+    """SELECT n_name,
+      |       round(sum(l_extendedprice * (1.0 - l_discount)), 6) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'EUROPE'
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
   private val ZBits = 8 // per-dim z resolution; bucket = top 8 z-bits
 
   /** Z-order layout audit ([[graft.ops.Layout]]): normalize the two

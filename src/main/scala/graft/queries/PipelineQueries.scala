@@ -1442,6 +1442,55 @@ object PipelineQueries {
        |FROM trs JOIN evs USING (s)
        |GROUP BY trs.doc_id ORDER BY doc_id""".stripMargin
 
+  /** Seed-classifier quality scoring
+    * ([[graft.ops.TextClassifier]]): Naive-Bayes log-odds trained from
+    * the src1 (positive) and src2 (negative) seed slices over 1024
+    * hashed-token buckets, then EVERY corpus document scored by the
+    * literal-embedded model — scan-stage fold, join-/shuffle-free.
+    * `q2_odds` (bit-length log2 form) is the integer-exact anchor;
+    * `nb_logodds` carries the conventional units. */
+  def nbQualityScore(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val model = graft.ops.TextClassifier.trainNaiveBayes(
+      docs.where(col("source") === "src1"),
+      docs.where(col("source") === "src2"))
+    graft.ops.TextClassifier.nbScores(docs, model).orderBy(col("doc_id"))
+  }
+
+  /** The oracle retrains in SQL (grouped counts are exact) and rescores
+    * via LEFT JOINs against the count tables — structurally different
+    * from the Spark side's literal-array lookups, same numbers. */
+  val nbQualityScoreSql: String =
+    s"""WITH tw AS (SELECT doc_id, source, $duckWords AS w FROM documents),
+       |tok AS (SELECT doc_id, source, unnest(w) AS t FROM tw),
+       |nz AS (SELECT doc_id, source, t,
+       |         ('0x' || substr(md5(t), 1, 12))::BIGINT % 1024 AS b
+       |       FROM tok WHERE t <> ''),
+       |pc AS (SELECT b, count(*) AS c FROM nz WHERE source = 'src1' GROUP BY b),
+       |nc AS (SELECT b, count(*) AS c FROM nz WHERE source = 'src2' GROUP BY b),
+       |tot AS (SELECT (SELECT coalesce(sum(c), 0) FROM pc) AS pt,
+       |               (SELECT coalesce(sum(c), 0) FROM nc) AS nt,
+       |               (SELECT count(*) FROM documents WHERE source = 'src1') AS pd,
+       |               (SELECT count(*) FROM documents WHERE source = 'src2') AS nd),
+       |terms AS (SELECT nz.doc_id,
+       |    (length(bin(coalesce(pc.c, 0) + 1)) -
+       |     length(bin(coalesce(nc.c, 0) + 1)))::BIGINT AS q2t,
+       |    ln((coalesce(pc.c, 0) + 1)::DOUBLE / (tot.pt + 1024)) -
+       |    ln((coalesce(nc.c, 0) + 1)::DOUBLE / (tot.nt + 1024)) AS lnt
+       |  FROM nz
+       |  LEFT JOIN pc ON nz.b = pc.b
+       |  LEFT JOIN nc ON nz.b = nc.b
+       |  CROSS JOIN tot),
+       |perdoc AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       |    sum(q2t)::BIGINT AS q2_odds, sum(lnt) AS s FROM terms GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(perdoc.n_tokens, 0)::BIGINT AS n_tokens,
+       |       coalesce(perdoc.q2_odds, 0)::BIGINT AS q2_odds,
+       |       round(ln(tot.pd::DOUBLE / tot.nd) + coalesce(perdoc.s, 0.0), 6)
+       |         AS nb_logodds
+       |FROM documents d LEFT JOIN perdoc ON d.doc_id = perdoc.doc_id
+       |CROSS JOIN tot
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Contamination evidence report
     * ([[graft.ops.Decontamination.contaminationReport]]): for each
     * contaminated (train, eval) doc pair — distinct shared 5-token

@@ -12,6 +12,18 @@ class PlanAuditSpec extends AnyFunSuite {
   private def plan(q: String): String =
     SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
 
+  test("TPC-H-shape joins: pushed date filters, hash joins only, top-k cut") {
+    val q3 = plan("q_segment_top_revenue")
+    assert(q3.contains("TakeOrderedAndProject(limit=10"), s"Q3 must top-k:\n$q3")
+    assert(q3.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"),
+      s"ship-date filter must reach the lineitem scan:\n$q3")
+    val q5 = plan("q_region_revenue")
+    assert(!q5.contains("BroadcastNestedLoop") && !q5.contains("CartesianProduct"),
+      s"the 6-way join must stay hash-based (both supplier conditions are keys):\n$q5")
+    assert(q5.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      s"order-date range must reach the orders scan:\n$q5")
+  }
+
   test("top-k queries use TakeOrderedAndProject, never a global sort") {
     assert(plan("q_flagship_top_median").contains("TakeOrderedAndProject(limit=20"))
     assert(plan("q_ann_brute_force").contains("TakeOrderedAndProject(limit=10"))
