@@ -15,6 +15,10 @@ case class Frame(doc_id: Long, frame_idx: Long, n_bytes: Long, frame_md5: String
 case class ImageFeatures(name: String, width: Int, height: Int,
                          n_pixels: Long, sum_r: Long, sum_g: Long, sum_b: Long)
 
+/** Decoded-content perceptual fingerprint ([[Multimodal.aHash64]]). */
+case class ImagePHash(name: String, width: Int, height: Int,
+                      ahash_hex: String)
+
 /** Real decoded-audio features (JDK javax.sound.sampled decode — see
   * [[Multimodal.decodeAudio]]). */
 case class AudioFeatures(name: String, channels: Int, sample_rate: Int,
@@ -105,6 +109,30 @@ object Multimodal {
     * OOM. */
   val maxPixels: Long = 64L * 1024 * 1024 // 64 MP ≈ 256 MB ARGB raster
 
+  /** Bomb-guarded decode shared by every image consumer: header-declared
+    * dimensions are checked against [[maxPixels]] BEFORE any raster
+    * allocation; undecodable/oversized payloads return null (callers emit
+    * their sentinel row). */
+  private def readImageGuarded(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) null
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            // header-declared dimensions — no raster allocated yet
+            val (dw, dh) = (reader.getWidth(0).toLong, reader.getHeight(0).toLong)
+            if (dw <= 0 || dh <= 0 || dw * dh > maxPixels) null
+            else reader.read(0)
+          } finally reader.dispose()
+        }
+      } finally if (iis != null) iis.close() // release stream buffers on the hot path
+    } catch { case scala.util.control.NonFatal(_) => null }
+
   def decodeImages(images: DataFrame): Dataset[ImageFeatures] = {
     val spark = images.sparkSession
     import spark.implicits._
@@ -115,25 +143,7 @@ object Multimodal {
         // per-partition init: ImageIO scans the reader SPI registry once
         javax.imageio.ImageIO.setUseCache(false) // no temp-file spooling
         rows.map { case (name, bytes) =>
-          val img =
-            try {
-              val iis = javax.imageio.ImageIO.createImageInputStream(
-                new java.io.ByteArrayInputStream(bytes))
-              try {
-                val readers = javax.imageio.ImageIO.getImageReaders(iis)
-                if (!readers.hasNext) null
-                else {
-                  val reader = readers.next()
-                  try {
-                    reader.setInput(iis, true, true)
-                    // header-declared dimensions — no raster allocated yet
-                    val (dw, dh) = (reader.getWidth(0).toLong, reader.getHeight(0).toLong)
-                    if (dw <= 0 || dh <= 0 || dw * dh > maxPixels) null
-                    else reader.read(0)
-                  } finally reader.dispose()
-                }
-              } finally if (iis != null) iis.close() // release stream buffers on the hot path
-            } catch { case scala.util.control.NonFatal(_) => null }
+          val img = readImageGuarded(bytes)
           if (img == null) ImageFeatures(name, -1, -1, 0L, 0L, 0L, 0L)
           else {
             val (w, h) = (img.getWidth, img.getHeight)
@@ -151,6 +161,83 @@ object Multimodal {
               y += 1
             }
             ImageFeatures(name, w, h, w.toLong * h, sr, sg, sb)
+          }
+        }
+      }
+  }
+
+  /** 64-bit average-hash (aHash) over an 8×8 block grid — the perceptual
+    * fingerprint multimodal dedup groups on: re-encoded, renamed, or
+    * metadata-tweaked copies of the same picture decode to (nearly) the
+    * same pixels, so they collide here even when every byte hash differs.
+    *
+    * Exactness contract (the analytic-manifest oracle depends on it):
+    * pure integer arithmetic end-to-end. Per pixel gray = (r+g+b)/3
+    * (integer division); block (bx, by) covers x ∈ [bx·w/8, (bx+1)·w/8)
+    * (floor boundaries, same for y); bit by·8+bx is set iff
+    * blockSum · totalPixels > totalSum · blockPixels — the cross-multiplied
+    * form of "block mean > global mean", division-free so there is no
+    * float to disagree across implementations. Images narrower/shorter
+    * than 8 px leave their empty blocks at 0. `grayRow(y)` supplies one
+    * row of grays — the decoder passes a getRGB row, the fixture
+    * generator its formula — so both sides run literally this loop. */
+  def aHash64(w: Int, h: Int, grayRow: Int => Array[Int]): Long = {
+    val blockSum = new Array[Long](64)
+    val blockN = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      val row = grayRow(y)
+      var x = 0
+      while (x < w) {
+        val b = by * 8 + x * 8 / w
+        blockSum(b) += row(x); blockN(b) += 1; total += row(x)
+        x += 1
+      }
+      y += 1
+    }
+    val nPix = w.toLong * h
+    var hash = 0L
+    var b = 0
+    while (b < 64) {
+      if (blockN(b) > 0 && blockSum(b) * nPix > total * blockN(b))
+        hash |= 1L << b
+      b += 1
+    }
+    hash
+  }
+
+  /** Per-image perceptual hash from a binaryFile scan: decode (same bomb
+    * guard as [[decodeImages]]) → [[aHash64]] → zero-padded hex. Sentinel
+    * rows carry width/height −1 and an empty hash so a corrupt payload
+    * can never collide into a real dup group. */
+  def imagePHashes(images: DataFrame): Dataset[ImagePHash] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select(
+        element_at(split(col("path"), "/"), -1).as("name"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (name, bytes) =>
+          val img = readImageGuarded(bytes)
+          if (img == null) ImagePHash(name, -1, -1, "")
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val rowBuf = new Array[Int](w)
+            val grays = new Array[Int](w)
+            val hash = aHash64(w, h, { y =>
+              img.getRGB(0, y, w, 1, rowBuf, 0, w)
+              var x = 0
+              while (x < w) {
+                val p = rowBuf(x)
+                grays(x) = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+                x += 1
+              }
+              grays
+            })
+            ImagePHash(name, w, h, f"$hash%016x")
           }
         }
       }

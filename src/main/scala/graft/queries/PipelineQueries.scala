@@ -2056,6 +2056,34 @@ object PipelineQueries {
     s"""SELECT name, width, height, n_pixels, sum_r, sum_g, sum_b
        |FROM read_parquet('$imageManifestPath/*.parquet') ORDER BY name""".stripMargin
 
+  /** Perceptual-hash image dedup: decode → [[graft.ops.Multimodal.aHash64]]
+    * → group by the 64-bit fingerprint. The fixture's genv_* variants
+    * differ from their gen_* originals in file BYTES (one corner pixel)
+    * but decode to the same perceptual content, so they land in one dup
+    * group — the multimodal twin of text near-dup dedup, catching
+    * re-encoded/renamed copies no byte digest can. The oracle never runs
+    * a decoder: ground-truth hashes come from the generator formula
+    * (synthetic) or the frozen one-time decode (real charts), so a wrong
+    * decode or drifted bit math cannot hash-match. */
+  def imagePHash(s: SparkSession, d: String): DataFrame = {
+    val ph = Multimodal.imagePHashes(
+      s.read.format("binaryFile").load(imageFixtureDir)).toDF()
+    ph.join(ph.groupBy(col("ahash_hex"))
+        .agg(min(col("name")).as("dup_rep"), count(lit(1)).as("group_size")),
+      Seq("ahash_hex"))
+      .select(col("name"), col("width"), col("height"), col("ahash_hex"),
+        col("dup_rep"), col("group_size"))
+      .orderBy(col("name"))
+  }
+
+  val imagePHashSql: String =
+    s"""WITH m AS (SELECT name, width, height, ahash_hex
+       |           FROM read_parquet('$imageManifestPath/*.parquet'))
+       |SELECT name, width, height, ahash_hex,
+       |       min(name) OVER (PARTITION BY ahash_hex) AS dup_rep,
+       |       count(*) OVER (PARTITION BY ahash_hex)::BIGINT AS group_size
+       |FROM m ORDER BY name""".stripMargin
+
   /** Committed audio fixture (see graft.tools.GenAudioFixture): 12
     * formula-generated 16-bit PCM WAVs with analytic ground truth. */
   val audioFixtureDir: String =

@@ -36,19 +36,48 @@ object GenImageFixture {
     val imagesDir = new File("fixtures/images")
     imagesDir.mkdirs()
 
-    val synthetic = (0 until 16).map { i =>
+    // variant images (near-dup fixtures for the perceptual-hash path):
+    // the SAME formula with one corner pixel's red +3 — different file
+    // bytes, perceptually identical content. The +3 never clamps for
+    // i < 4 (r(0,0,i) = 11·i ≤ 33).
+    def variantBump(i: Int, x: Int, y: Int): Int =
+      if (x == 0 && y == 0) 3 else 0
+    def aHashOf(i: Int, w: Int, h: Int, bump: Boolean): String = {
+      val hash = graft.ops.Multimodal.aHash64(w, h, { y =>
+        Array.tabulate(w) { x =>
+          val (r, g, b) = rgb(i, x, y)
+          (r + (if (bump) variantBump(i, x, y) else 0) + g + b) / 3
+        }
+      })
+      f"$hash%016x"
+    }
+
+    val synthetic = (0 until 16).flatMap { i =>
       val (w, h) = (32 + 7 * i, 24 + 5 * i)
-      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-      var (sr, sg, sb) = (0L, 0L, 0L)
-      for (y <- 0 until h; x <- 0 until w) {
-        val (r, g, b) = rgb(i, x, y)
-        img.setRGB(x, y, (r << 16) | (g << 8) | b)
-        sr += r; sg += g; sb += b
+      val isVariant = Seq(false) ++ (if (i < 4) Seq(true) else Nil)
+      isVariant.map { v =>
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        for (y <- 0 until h; x <- 0 until w) {
+          val (r0, g, b) = rgb(i, x, y)
+          val r = r0 + (if (v) variantBump(i, x, y) else 0)
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          sr += r; sg += g; sb += b
+        }
+        val name = if (v) f"genv_$i%02d.png" else f"gen_$i%02d.png"
+        require(ImageIO.write(img, "png", new File(imagesDir, name)),
+          s"no PNG writer for $name")
+        val ah = aHashOf(i, w, h, v)
+        if (v) {
+          // the near-dup contract the phash spec asserts: a one-pixel
+          // tweak must stay within hamming distance 1 of its original
+          val d = java.lang.Long.bitCount(
+            java.lang.Long.parseUnsignedLong(ah, 16) ^
+              java.lang.Long.parseUnsignedLong(aHashOf(i, w, h, bump = false), 16))
+          require(d <= 1, s"variant $name drifted $d bits from its original")
+        }
+        (name, w, h, w.toLong * h, sr, sg, sb, ah)
       }
-      val name = f"gen_$i%02d.png"
-      require(ImageIO.write(img, "png", new File(imagesDir, name)),
-        s"no PNG writer for $name")
-      (name, w, h, w.toLong * h, sr, sg, sb)
     }
 
     // Real-world PNGs already in the dir: IHDR-parsed dims + frozen sums.
@@ -68,13 +97,21 @@ object GenImageFixture {
         px.foreach { p =>
           sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
         }
-        (f.getName, wHdr, hHdr, wHdr.toLong * hHdr, sr, sg, sb)
+        // perceptual hash frozen from the same one-time decode as the sums
+        val hash = graft.ops.Multimodal.aHash64(wHdr, hHdr, { y =>
+          Array.tabulate(wHdr) { x =>
+            val p = px(y * wHdr + x)
+            (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+          }
+        })
+        (f.getName, wHdr, hHdr, wHdr.toLong * hHdr, sr, sg, sb, f"$hash%016x")
       }
 
     val spark = graft.engine.Sessions.local("4", "graft-gen-image-fixture")
     import spark.implicits._
     (synthetic ++ real)
-      .toDF("name", "width", "height", "n_pixels", "sum_r", "sum_g", "sum_b")
+      .toDF("name", "width", "height", "n_pixels", "sum_r", "sum_g", "sum_b",
+        "ahash_hex")
       .coalesce(1)
       .write.mode("overwrite").parquet("fixtures/image_manifest.parquet")
     println(s"wrote ${synthetic.size} synthetic + ${real.size} real images + manifest")

@@ -111,6 +111,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(decoded.nonEmpty && decoded === manifest)
   }
 
+  test("aHash64: uniform image hashes 0; half-split sets exactly one half") {
+    // uniform: no block mean exceeds the global mean (strict >) → 0
+    assert(Multimodal.aHash64(16, 16, _ => Array.fill(16)(77)) === 0L)
+    // top half bright, bottom dark → exactly the top 4 block rows set
+    val split = Multimodal.aHash64(16, 16,
+      y => Array.fill(16)(if (y < 8) 200 else 10))
+    assert(split === 0x00000000ffffffffL)
+  }
+
+  test("perceptual dedup: byte-different variants land in one dup group") {
+    import graft.queries.PipelineQueries
+    val rows = PipelineQueries.imagePHash(spark, "").collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(3), r.getString(4), r.getLong(5)))).toMap
+    // every genv_* groups with its gen_* original, under the original's name
+    (0 until 4).foreach { i =>
+      val (orig, variant) = (f"gen_$i%02d.png", f"genv_$i%02d.png")
+      assert(rows(variant)._1 === rows(orig)._1, s"$variant hash differs")
+      assert(rows(variant)._2 === orig && rows(orig)._2 === orig)
+      assert(rows(variant)._3 === 2L)
+    }
+    // distinct formulas do NOT collapse: every non-variant image is its
+    // own group of 1
+    val singles = rows.filterKeys(k => !k.startsWith("genv_")).values
+    assert(singles.forall(_._3 <= 2L))
+    assert(rows.values.map(_._1).toSet.size === rows.size - 4,
+      "exactly the 4 variants share a hash")
+    // decoder-side hashes equal the analytic manifest (never-decodes oracle)
+    val manifest = spark.read.parquet(PipelineQueries.imageManifestPath)
+      .select("name", "ahash_hex").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    rows.foreach { case (n, (h, _, _)) => assert(manifest(n) === h, n) }
+  }
+
   test("real audio decode matches the analytic manifest; corrupt → sentinel") {
     import graft.queries.PipelineQueries
     val decoded = PipelineQueries.audioDecode(spark, "")
