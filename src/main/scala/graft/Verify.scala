@@ -10,13 +10,23 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Dev-only iteration filter (comma-separated names); driver leaves unset.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // A failed query must leave a VISIBLE artifact: in round 8 a fixture
+    // schema change broke 9 queries, each wrote nothing, and the driver's
+    // comparator silently graded only the surviving dumps. `_FAILED` markers
+    // plus errors.json make absence impossible to mistake for success.
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(2000)}"
+        System.err.println(s"[verify] $name failed: $msg")
+        failures(name) = msg
+        val d = Paths.get(s"$outDir/$name")
+        Files.createDirectories(d)
+        Files.writeString(d.resolve("_FAILED"), msg)
       }
       // Operators persist intermediates (shingle sets, band keys) and leave
       // lifetime to the caller; release between queries so 40 dumps don't
@@ -38,6 +48,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} queries FAILED: ${failures.keys.mkString(", ")}")
+    // Exit 0 even with failures: the driver must still grade the queries
+    // that DID dump (a non-zero rc could void the whole round, as the
+    // bench's rc=1 did in round 8) — the _FAILED markers and errors.json
+    // carry the red.
     spark.stop()
   }
 }

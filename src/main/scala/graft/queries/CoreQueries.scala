@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.engine.{Parse, Tables}
+import graft.engine.{Guards, Parse, Tables}
 
 /** The reference's analytical operator inventory (SURVEY.md §2) re-expressed
   * as declarative Spark plans over the fixture tables.
@@ -35,14 +35,16 @@ object CoreQueries {
     *
     * Scale: the group-by shuffles once on `l_suppkey` with map-side partial
     * aggregation for `count`; exact median needs the full value multiset per
-    * group, which is fine while group count ≪ rows (here: suppliers). The
-    * top-20 is `TakeOrderedAndProject` — O(k) per partition, no global sort.
+    * group — a per-group memory contract enforced loudly via
+    * [[graft.engine.Guards.boundedMedian]] (here the key is a supplier
+    * dimension, far inside the bound). The top-20 is
+    * `TakeOrderedAndProject` — O(k) per partition, no global sort.
     */
   def flagshipTopGroupsMedian(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d)
     li.groupBy(col("l_suppkey"))
       .agg(count(col("l_extendedprice")).as("n"),
-           median(col("l_extendedprice")).as("med_raw"))
+           Guards.boundedMedian(col("l_extendedprice")).as("med_raw"))
       .orderBy(col("n").desc, col("l_suppkey").asc)
       .limit(20)
       .select(col("l_suppkey"), col("n"), round(col("med_raw"), 2).as("med"))
@@ -293,9 +295,10 @@ object CoreQueries {
     val top = cust.groupBy(col("city")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("city").asc).limit(10).select("city")
     val sel = cust.join(broadcast(top), Seq("city"), "left_semi")
-    val cityMed = sel.groupBy(col("city")).agg(median(col("v")).as("city_med_raw"))
+    val cityMed = sel.groupBy(col("city"))
+      .agg(Guards.boundedMedian(col("v")).as("city_med_raw"))
     val detail = sel.groupBy(col("city"), col("district"))
-      .agg(count(col("v")).as("n"), median(col("v")).as("med_raw"))
+      .agg(count(col("v")).as("n"), Guards.boundedMedian(col("v")).as("med_raw"))
     detail
       .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("city"))))
       .where(col("nd") >= 2) // group-size guard (test.py:102)

@@ -22,26 +22,23 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Schema of the driver's `events` fixture as a stream source (`ts` read as
-    * raw TIMESTAMP(NANOS) nanoseconds — see [[graft.engine.Tables.events]]). */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("ts", LongType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** File-based stream over an events parquet directory. On a cluster this is
     * the same code path as a cloud-storage landing zone: each micro-batch
     * picks up newly-arrived files, and `maxFilesPerTrigger` bounds batch
-    * size. */
-  def readEvents(s: SparkSession, dir: String): DataFrame =
-    s.readStream
-      .schema(eventsRawSchema)
-      .option("maxFilesPerTrigger", "8")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    * size. Stream sources need a declared schema, so we peek it from the
+    * existing files with a one-time batch footer read — the same
+    * schema-adaptive normalization as the batch loader
+    * ([[graft.engine.Tables.normalizeEventTs]]) then canonicalizes `ts`
+    * to session-TZ `TimestampType` whether the fixture generation wrote
+    * TIMESTAMP(NANOS)-as-long or TIMESTAMP(MICROS). */
+  def readEvents(s: SparkSession, dir: String): DataFrame = {
+    val fixtureSchema = s.read.parquet(dir).schema
+    graft.engine.Tables.normalizeEventTs(
+      s.readStream
+        .schema(fixtureSchema)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(dir))
+  }
 
   /** Streaming twin of [[graft.queries.CoreQueries.hourlyWindow]]: 1-hour
     * tumbling windows of count + sum(value), watermarked so state for windows
