@@ -184,6 +184,16 @@ object Bench {
         System.gc()
         val iters = (1 to steadyIters).map { _ =>
           spark.catalog.clearCache()
+          // clearCache drops DATASET cache entries but NOT the persistent
+          // RDD blocks behind localCheckpoint (q_pipeline_e2e materializes
+          // 7 stages per run): those wait for a driver GC + async
+          // ContextCleaner round, so successive iterations ran against a
+          // block manager still holding earlier iterations' checkpoints
+          // (measured: monotone 6.3→4.8 s decline across 6 iterations,
+          // gc_ms≈0, as the cleaner caught up). Blocking unpersist makes
+          // every timed run start from the same empty block manager.
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
           // Flush dirty page-cache writes NOW, outside the timed region:
           // the cold run builds multi-hundred-MB on-disk indexes and every
           // timed run leaves its own shuffle files dirty — the
@@ -197,14 +207,19 @@ object Bench {
           val s0 = osSnap()
           val st0 = stealMillis()
           val g0 = gcMillis()
+          val jit0 = java.lang.management.ManagementFactory.getCompilationMXBean.getTotalCompilationTime
+          val cg0 = org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
           val sec = (System.nanoTime() - t0) / 1e9
           if (benchDebug) {
             val s1 = osSnap()
+            val jit1 = java.lang.management.ManagementFactory.getCompilationMXBean.getTotalCompilationTime
+            val cg1 = org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
             System.err.println(f"[bench-debug] $name $sec%8.3f s minflt=${s1._1 - s0._1}%9d " +
               f"stealMs=${(s1._2 - s0._2) * 10}%8d ioWaitMs=${s1._3 - s0._3}%8d " +
-              f"wrMb=${(s1._4 - s0._4) >> 11}%6d heapMb=${Runtime.getRuntime.totalMemory() >> 20}%6d")
+              f"wrMb=${(s1._4 - s0._4) >> 11}%6d heapMb=${Runtime.getRuntime.totalMemory() >> 20}%6d " +
+              f"jitMs=${jit1 - jit0}%7d janinoCompiles=${cg1 - cg0}%4d")
           }
           (sec, gcMillis() - g0, stealMillis() - st0)
         }

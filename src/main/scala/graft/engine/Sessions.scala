@@ -31,6 +31,14 @@ object Sessions {
       // only costs.
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // The whole-stage-codegen class cache holds 100 entries by default;
+      // the 9-stage composed pipeline alone generates ~186 codegen units
+      // per execution, so EVERY run of a big plan evicted the entire cache
+      // and re-paid ~5-10 s of Janino+JIT (measured per-iteration
+      // janinoCompiles=186, jitMs 5-11k on q_pipeline_e2e — the BENCH r7/r8
+      // iteration variance). One executor JVM serving many composed
+      // queries wants the cache sized to the working set, not the default.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // getOrCreate silently IGNORES creation-time configs when a session

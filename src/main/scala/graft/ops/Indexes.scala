@@ -1063,12 +1063,26 @@ object Indexes {
     * sizes k so cells hold ~100-1000 docs (tens of thousands of cells at
     * corpus scale — retrain the committed quantizer as the corpus grows;
     * the registered query uses the k=256 fixture trained at the bench SF).
-    * `maxCellSize` makes the contract LOUD instead of aspirational: the
-    * one cheap aggregate over the stored lists (cells only, no vectors)
-    * fails the query when a degenerate centroid table would otherwise
-    * detonate a runaway join (a collapsed k-means run can put most of the
-    * corpus in one cell — that is a model bug, and silently running an
-    * O(N²) join over it would hide the bug inside a hot loop).
+    * `maxCellSize` is the contract knob, and an OVERSIZED cell now gets a
+    * scale path instead of only a loud failure: members of cells past the
+    * bound are SUB-BLOCKED by `b` deterministic hyperplane sign bits
+    * (SimHash-style, seeded planes — the [[Similarity.planes]] machinery),
+    * where `b` is the smallest integer with `maxCell·2^b ≥ largest cell`
+    * (computed with integer arithmetic so the DuckDB oracle derives the
+    * identical `b`). Pairing then joins on `(cell, subkey)`: expected
+    * sub-block size halves per bit, restoring the bounded-quadratic
+    * contract. The recall trade is the hyperplane one — a same-cell pair
+    * at angle θ survives sub-blocking with probability `(1 − θ/π)^b`
+    * (≈0.9^b at cos 0.95, ≈0.63^b at the 0.4 threshold boundary) — so a
+    * firing sub-block is a degraded-recall mode that keeps the job alive
+    * and bounded; the durable fix remains retraining the quantizer with
+    * more cells. In-bound cells take today's exact path (subkey 0, keys
+    * come from the narrow stored lists with NO embedding join). A final
+    * guard still fails loudly if sub-blocking cannot split a block (4×
+    * slack for hyperplane imbalance): the residual case is a mass of
+    * near-identical embeddings, which no sign bit separates — at that
+    * point the data IS one giant duplicate clique and needs an operator
+    * with clique semantics, not a bigger join.
     *
     * Recall trade, explicit like the LSH banding notes
     * (Similarity.scala banding scaladoc): cross-cell true-dup pairs are
@@ -1081,23 +1095,49 @@ object Indexes {
     * Returns one row per multi-member group: (rep, n_members). */
   def semanticDedupGroups(emb: DataFrame, indexPath: String,
                           threshold: Double,
-                          maxCellSize: Long = 1L << 16): DataFrame = {
+                          maxCellSize: Long = 1L << 16,
+                          subBlockSeed: Long = 4242L): DataFrame = {
     val spark = emb.sparkSession
     val idx = spark.read.parquet(indexPath).select(col("cell"), col("vec_id"))
-    val biggest = idx.groupBy(col("cell")).count()
-      .agg(max(col("count"))).head()
-    if (!biggest.isNullAt(0)) {
-      val big = biggest.getLong(0)
-      require(big <= maxCellSize,
-        s"semantic-dedup cell bound violated: largest IVF cell holds $big vectors " +
-          s"(> maxCellSize=$maxCellSize) — the candidate self-join would be " +
-          s"O($big²); retrain the quantizer with more cells or raise the bound")
-    }
+    val cellSizes = idx.groupBy(col("cell")).count()
+    val biggest = cellSizes.agg(max(col("count"))).head()
+    val big = if (biggest.isNullAt(0)) 0L else biggest.getLong(0)
     val e = emb.select(col("vec_id"), col("embedding"),
       Similarity.norm(col("embedding")).as("nrm"))
       .where(col("nrm") > 0d)
-    val pairs = idx.select(col("cell"), col("vec_id").as("vec_a"))
-      .join(idx.select(col("cell"), col("vec_id").as("vec_b")), Seq("cell"))
+    // Blocking keys: in-bound corpora stay on the narrow stored lists
+    // (no embedding join); an oversized cell engages hyperplane
+    // sub-blocking (scaladoc above).
+    val keyed: DataFrame =
+      if (big <= maxCellSize)
+        idx.withColumn("sub", lit(0L))
+      else {
+        // Smallest b with maxCellSize·2^b ≥ big — pure integer arithmetic
+        // (no log2 floating point) so the oracle derives the identical b.
+        val b = (0 to 32).find(i => (maxCellSize << i) >= big).getOrElse(32)
+        val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        val subKeyed = idx
+          .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+          .join(broadcast(cellSizes), Seq("cell")) // |quantizer cells| rows
+          .withColumn("sub",
+            when(col("count") > maxCellSize,
+              Similarity.lshBucket(col("embedding"), b, dim, subBlockSeed))
+              .otherwise(lit(0L)))
+          .select(col("cell"), col("vec_id"), col("sub"))
+        val worst = subKeyed.groupBy(col("cell"), col("sub")).count()
+          .agg(max(col("count"))).head().getLong(0)
+        require(worst <= 4 * maxCellSize,
+          s"semantic-dedup sub-block bound violated: a (cell, subkey) block " +
+            s"still holds $worst vectors after $b sign bits (> 4×" +
+            s"maxCellSize=$maxCellSize) — the embeddings are near-identical " +
+            "at mass (no hyperplane separates them); this is a duplicate " +
+            "CLIQUE, not a blocking problem — handle it with clique " +
+            "semantics (keep-one-per-cell) or retrain the quantizer")
+        subKeyed
+      }
+    val pairs = keyed.select(col("cell"), col("sub"), col("vec_id").as("vec_a"))
+      .join(keyed.select(col("cell"), col("sub"), col("vec_id").as("vec_b")),
+        Seq("cell", "sub"))
       .where(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"))
       .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),

@@ -1048,6 +1048,64 @@ object PipelineQueries {
        |        FROM reach GROUP BY src)
        |SELECT rep, count(*) AS n_members FROM rep GROUP BY rep ORDER BY rep""".stripMargin
 
+  /** The semantic-dedup OVERSIZED-CELL scale path, exercised for real: the
+    * same operator pointed at the COARSE k=16 ANN quantizer (whose cells
+    * hold ~30-200 members at fixture SFs — exactly the degenerate-for-
+    * dedup shape) with `maxCellSize = 8`, forcing every cell through the
+    * hyperplane sub-blocking of [[graft.ops.Indexes.semanticDedupGroups]].
+    * The oracle replays the whole derivation — integer-derived bit count
+    * `b`, seeded plane constants as literal VALUES, per-member sign-bit
+    * subkeys, in-block pairing, transitive closure — so the degraded-
+    * recall mode is hash-verified, not rows-only. Results legitimately
+    * differ from q_semantic_dedup: sub-blocking sacrifices cross-block
+    * pairs by construction (the documented recall trade). */
+  def semanticDedupBlocked(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val cent = s.read.parquet(ivfCentroidsPath)
+    val idx = graft.ops.Indexes.ensureIvfIndex(s, emb, cent, d, nCells = 16)
+    graft.ops.Indexes.semanticDedupGroups(emb, idx, threshold = 0.4,
+        maxCellSize = 8L)
+      .orderBy(col("rep"))
+  }
+
+  val semanticDedupBlockedSql: String =
+    s"""WITH RECURSIVE $duckNormed,
+       |cent AS (SELECT cell, centroid AS cv,
+       |                sqrt(list_dot_product(centroid, centroid)) AS cn
+       |         FROM read_parquet('$ivfCentroidsPath/*.parquet')),
+       |asg AS (SELECT e.vec_id, cent.cell,
+       |               list_dot_product(e.v, cent.cv) / (e.nrm * cent.cn) AS ccos
+       |        FROM e CROSS JOIN cent),
+       |cells AS (SELECT vec_id, cell FROM asg
+       |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) = 1),
+       |sizes AS (SELECT cell, count(*) AS csz FROM cells GROUP BY cell),
+       |b AS (SELECT min(i)::INTEGER AS bits FROM range(0, 33) t(i), (SELECT max(csz) AS mx FROM sizes)
+       |      WHERE (8::BIGINT << i) >= mx),
+       |pl AS (SELECT j, p FROM ${graft.ops.Similarity.planesSqlValues(16, 64, 4242L)}),
+       |wc AS (SELECT e.vec_id, e.v, e.nrm, cells.cell, sizes.csz
+       |       FROM e JOIN cells USING (vec_id) JOIN sizes USING (cell)
+       |       WHERE e.nrm > 0),
+       |keyed AS (SELECT wc.vec_id, wc.v, wc.nrm, wc.cell,
+       |            CASE WHEN wc.csz > 8 THEN
+       |              (SELECT coalesce(sum(CASE WHEN list_dot_product(wc.v, pl.p) > 0
+       |                        THEN (1::BIGINT << pl.j) ELSE 0 END), 0)
+       |               FROM pl, b WHERE pl.j < b.bits)
+       |            ELSE 0 END AS sub
+       |          FROM wc),
+       |p AS (SELECT a.vec_id AS doc_a, b2.vec_id AS doc_b
+       |      FROM keyed a JOIN keyed b2
+       |        ON a.cell = b2.cell AND a.sub = b2.sub AND a.vec_id < b2.vec_id
+       |      WHERE round(list_dot_product(a.v, b2.v) / (a.nrm * b2.nrm), 6) > 0.4),
+       |sym AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |        UNION SELECT doc_b, doc_a FROM p),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM sym
+       |  UNION
+       |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+       |rep AS (SELECT src AS doc_id, least(src, min(dst)) AS rep
+       |        FROM reach GROUP BY src)
+       |SELECT rep, count(*) AS n_members FROM rep GROUP BY rep ORDER BY rep""".stripMargin
+
   def embeddingNearDups(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     val idx = graft.ops.Indexes.ensureLshIndex(s, emb, d, bBits = 6, lTables = 8,

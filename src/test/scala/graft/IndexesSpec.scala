@@ -430,4 +430,52 @@ class IndexesSpec extends AnyFunSuite {
     // vector lands in cell 0 (tie -> min cell) but pairs with nothing
     assert(groups === Map(1L -> 3L, 10L -> 2L))
   }
+
+  test("semantic dedup: oversized cell sub-blocks and still finds tight dup pairs") {
+    // One centroid -> ONE cell holding all 40 vectors: the degenerate
+    // quantizer that used to require-fail. 20 well-separated directions,
+    // each with a tight duplicate (cos ≈ 1 within a pair, far below the
+    // 0.9 threshold across pairs). Sub-blocking (maxCellSize=8 -> b>=1)
+    // must keep every within-pair candidate that shares its sign bucket —
+    // for antipodal-free tight pairs the hyperplane rarely splits them —
+    // and the job must complete bounded instead of dying on the bound.
+    val base = (0 until 20).map { i =>
+      val v = Array.fill(32)(0f); v(i) = 1f; v
+    }
+    val vecs = base.zipWithIndex.flatMap { case (v, i) =>
+      Seq((i * 2L, v), (i * 2L + 1L, v.map(x => x * 0.999f + 0.0005f)))
+    }.toDF("vec_id", "embedding")
+    val cents = Seq((0, Array.fill(32)(1.0))).toDF("cell", "centroid")
+    val dir = Files.createTempDirectory("semdedup_block_spec").toString + "/idx"
+    Indexes.writeIvfIndex(vecs, cents, dir)
+    val groups = Indexes.semanticDedupGroups(vecs, dir, threshold = 0.9,
+        maxCellSize = 8L)
+      .as[(Long, Long)].collect().toMap
+    // Every found group must be a genuine (even, even+1) duplicate pair;
+    // sub-blocking may drop pairs split by a plane but must not invent any.
+    assert(groups.nonEmpty, "sub-blocked dedup found nothing")
+    groups.foreach { case (rep, n) =>
+      assert(rep % 2 == 0 && n == 2L, s"unexpected group ($rep, $n)")
+    }
+    // Exact same-corpus reference: with a fine quantizer there are 20 pairs;
+    // sub-blocking must keep the large majority (tight pairs co-bucket).
+    assert(groups.size >= 15, s"sub-blocking lost too many pairs: ${groups.size}/20")
+  }
+
+  test("semantic dedup: an unsplittable near-identical clique fails loudly") {
+    // 40 copies of one direction: no hyperplane separates them, so the
+    // post-sub-blocking guard must raise the named error instead of
+    // silently running the quadratic join.
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array(1f, 0.001f * i, 0f, 0f))
+    }.toDF("vec_id", "embedding")
+    val cents = Seq((0, Array(1.0, 0.0, 0.0, 0.0))).toDF("cell", "centroid")
+    val dir = Files.createTempDirectory("semdedup_clique_spec").toString + "/idx"
+    Indexes.writeIvfIndex(vecs, cents, dir)
+    val e = intercept[IllegalArgumentException] {
+      Indexes.semanticDedupGroups(vecs, dir, threshold = 0.9, maxCellSize = 4L)
+        .collect()
+    }
+    assert(e.getMessage.contains("sub-block bound violated"), e.getMessage)
+  }
 }
