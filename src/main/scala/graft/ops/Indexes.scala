@@ -1124,16 +1124,26 @@ object Indexes {
               Similarity.lshBucket(col("embedding"), b, dim, subBlockSeed))
               .otherwise(lit(0L)))
           .select(col("cell"), col("vec_id"), col("sub"))
-        val worst = subKeyed.groupBy(col("cell"), col("sub")).count()
-          .agg(max(col("count"))).head().getLong(0)
-        require(worst <= 4 * maxCellSize,
-          s"semantic-dedup sub-block bound violated: a (cell, subkey) block " +
-            s"still holds $worst vectors after $b sign bits (> 4×" +
-            s"maxCellSize=$maxCellSize) — the embeddings are near-identical " +
-            "at mass (no hyperplane separates them); this is a duplicate " +
-            "CLIQUE, not a blocking problem — handle it with clique " +
-            "semantics (keep-one-per-cell) or retrain the quantizer")
+        // The unsplittable-clique guard rides IN-PLAN (the boundedMedian
+        // pattern): a window count over (cell, sub) — the same hash
+        // partitioning the pair self-join needs, so the exchange is
+        // reused, not an extra driver-side aggregation job. Block sizes
+        // are corpus-scaled (up to N/maxCellSize blocks), so a broadcast
+        // join would NOT survive 100 TB; the window does.
+        val wn = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cell"), col("sub"))
         subKeyed
+          .withColumn("block_n", count(lit(1)).over(wn))
+          .select(col("cell"), col("vec_id"),
+            when(col("block_n") > 4 * maxCellSize,
+              raise_error(concat(
+                lit("semantic-dedup sub-block bound violated: a (cell, subkey) " +
+                  "block still holds "), col("block_n"),
+                lit(s" vectors after $b sign bits (> 4x maxCellSize=" +
+                  s"$maxCellSize) - near-identical embeddings at mass form a " +
+                  "duplicate CLIQUE no hyperplane separates; handle with " +
+                  "clique semantics or retrain the quantizer"))))
+              .otherwise(col("sub")).as("sub"))
       }
     val pairs = keyed.select(col("cell"), col("sub"), col("vec_id").as("vec_a"))
       .join(keyed.select(col("cell"), col("sub"), col("vec_id").as("vec_b")),

@@ -472,10 +472,13 @@ class IndexesSpec extends AnyFunSuite {
     val cents = Seq((0, Array(1.0, 0.0, 0.0, 0.0))).toDF("cell", "centroid")
     val dir = Files.createTempDirectory("semdedup_clique_spec").toString + "/idx"
     Indexes.writeIvfIndex(vecs, cents, dir)
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[Exception] {
       Indexes.semanticDedupGroups(vecs, dir, threshold = 0.9, maxCellSize = 4L)
         .collect()
     }
-    assert(e.getMessage.contains("sub-block bound violated"), e.getMessage)
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => String.valueOf(x.getMessage) +: messages(x.getCause))
+    assert(messages(e).exists(_.contains("sub-block bound violated")),
+      s"expected the named guard error, got: $e")
   }
 }
