@@ -106,12 +106,14 @@ object Bench {
     try new ProcessBuilder("sync").inheritIO().start().waitFor()
     catch { case _: java.io.IOException => () } // no /bin/sync: skip
 
-  /** Dev-only (SPARK_GRAFT_BENCH_DEBUG=1): per-iteration OS/JVM counters on
-    * stderr — minor faults, disk write sectors + io-wait, dirty page-cache,
-    * committed heap. The round-8 instrumentation that named the r7 growth. */
+  /** Per-iteration OS counters — minor faults, disk write sectors + io-wait.
+    * The round-8 instrumentation that named the r7 growth; ALWAYS on since
+    * round 10 (VERDICT r9 #1: the counters that adjudicate iteration spread
+    * must live in the committed artifact, not behind a debug flag). Three
+    * sub-millisecond /proc reads per iteration — negligible vs the timed run.
+    * SPARK_GRAFT_BENCH_DEBUG=1 additionally prints them per-iteration. */
   private val benchDebug = sys.env.get("SPARK_GRAFT_BENCH_DEBUG").contains("1")
-  private def osSnap(): (Long, Long, Long, Long) = {
-    if (!benchDebug) return (0L, 0L, 0L, 0L)
+  private def osSnap(): (Long, Long, Long, Long) = try {
     val stat = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/proc/self/stat")))
     val mf = stat.substring(stat.lastIndexOf(')') + 2).split(" ")(7).toLong
@@ -124,7 +126,7 @@ object Bench {
       java.nio.file.Paths.get("/proc/stat"))).linesIterator.next().split("\\s+")
     val stealTicks = cpu(8).toLong // host CPU stolen from this VM
     (mf, stealTicks, dsk._2, dsk._1)
-  }
+  } catch { case _: Throwable => (0L, 0L, 0L, 0L) }
 
   private def gcMillis(): Long = {
     import scala.jdk.CollectionConverters._
@@ -144,6 +146,24 @@ object Bench {
         java.nio.file.Paths.get("/proc/stat"))).linesIterator.next().split("\\s+")
       cpu(8).toLong * 10L
     } catch { case _: Throwable => 0L }
+
+  /** One timed iteration with its attribution counters. All recorded in the
+    * artifact (round 10): `jitMs` (HotSpot compiler-thread time that elapsed
+    * during the run — background C2 churn shows up here), `janino` (Spark
+    * codegen compile COUNT; nonzero on a warm run means cache thrash),
+    * `minorFaults` (first-touch page faults — heap-growth storms), and
+    * `ioWaitMs` (device-queue time — dirty-writeback interference). These are
+    * exactly the counters that adjudicated rounds 7-9's variance disputes;
+    * VERDICT r9 #1 required them in the committed artifact, not debug logs. */
+  private final case class Iter(sec: Double, gcMs: Long, stealMs: Long,
+      jitMs: Long, janino: Long, minorFaults: Long, ioWaitMs: Long)
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) 0.0
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
 
   def main(args: Array[String]): Unit = {
     ensureBenchHeap(args)
@@ -192,6 +212,10 @@ object Bench {
           // (measured: monotone 6.3→4.8 s decline across 6 iterations,
           // gc_ms≈0, as the cleaner caught up). Blocking unpersist makes
           // every timed run start from the same empty block manager.
+          // CONTRACT for query authors: this is a blanket unpersist of the
+          // whole shared session — a query function must NOT rely on RDD
+          // blocks persisted in an earlier iteration (disk-backed index
+          // state is fine; that's where all current cross-run state lives).
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = true))
           // Flush dirty page-cache writes NOW, outside the timed region:
@@ -212,37 +236,49 @@ object Bench {
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
           val sec = (System.nanoTime() - t0) / 1e9
-          if (benchDebug) {
-            val s1 = osSnap()
-            val jit1 = java.lang.management.ManagementFactory.getCompilationMXBean.getTotalCompilationTime
-            val cg1 = org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
-            System.err.println(f"[bench-debug] $name $sec%8.3f s minflt=${s1._1 - s0._1}%9d " +
-              f"stealMs=${(s1._2 - s0._2) * 10}%8d ioWaitMs=${s1._3 - s0._3}%8d " +
+          val s1 = osSnap()
+          val jit1 = java.lang.management.ManagementFactory.getCompilationMXBean.getTotalCompilationTime
+          val cg1 = org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+          val it = Iter(sec, gcMillis() - g0, stealMillis() - st0,
+            jit1 - jit0, cg1 - cg0, s1._1 - s0._1, s1._3 - s0._3)
+          if (benchDebug)
+            System.err.println(f"[bench-debug] $name $sec%8.3f s minflt=${it.minorFaults}%9d " +
+              f"stealMs=${it.stealMs}%8d ioWaitMs=${it.ioWaitMs}%8d " +
               f"wrMb=${(s1._4 - s0._4) >> 11}%6d heapMb=${Runtime.getRuntime.totalMemory() >> 20}%6d " +
-              f"jitMs=${jit1 - jit0}%7d janinoCompiles=${cg1 - cg0}%4d")
-          }
-          (sec, gcMillis() - g0, stealMillis() - st0)
+              f"jitMs=${it.jitMs}%7d janinoCompiles=${it.janino}%4d")
+          it
         }
-        (name, iters.map(_._1).min, cold, iters)
+        (name, iters.map(_.sec).min, cold, iters)
       }
-    def jMap[T](f: ((String, Double, Double, Seq[(Double, Long, Long)])) => T) =
+    def jMap[T](f: ((String, Double, Double, Seq[Iter])) => T) =
       results.map { r => s"\"" + r._1 + "\":" + f(r) }.mkString("{", ",", "}")
-    val qs = jMap(_._2)
     // Locale.ROOT: the f interpolator is default-locale-sensitive — a
     // comma-decimal locale would render 3,6700 and corrupt the JSON line.
-    val itersJson = jMap(_._4.map(i => String.format(java.util.Locale.ROOT,
-      "%.4f", Double.box(i._1))).mkString("[", ",", "]"))
-    val gcJson = jMap(_._4.map(_._2).mkString("[", ",", "]"))
-    val stealJson = jMap(_._4.map(_._3).mkString("[", ",", "]"))
+    def fmt(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
+    val qs = jMap(_._2)
+    // Median alongside min (VERDICT r9 #6): min is the contention-free plan
+    // cost; median makes variance a first-class, zero-extra-runtime signal
+    // in every round's artifact instead of something a reader reconstructs
+    // from `iters`.
+    val qsMedian = jMap(r => fmt(median(r._4.map(_.sec))))
+    val itersJson = jMap(_._4.map(i => fmt(i.sec)).mkString("[", ",", "]"))
+    val gcJson = jMap(_._4.map(_.gcMs).mkString("[", ",", "]"))
+    val stealJson = jMap(_._4.map(_.stealMs).mkString("[", ",", "]"))
+    val jitJson = jMap(_._4.map(_.jitMs).mkString("[", ",", "]"))
+    val janinoJson = jMap(_._4.map(_.janino).mkString("[", ",", "]"))
+    val minfltJson = jMap(_._4.map(_.minorFaults).mkString("[", ",", "]"))
+    val ioWaitJson = jMap(_._4.map(_.ioWaitMs).mkString("[", ",", "]"))
     val orderJson = results.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val excl = excludedBaselines.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    val totalMedian = results.map(r => median(r._4.map(_.sec))).sum
     // cold_total keeps cross-round numbers comparable with round 1's
     // cold-run mode (the headline `value` stays steady-state).
     val coldTotal = results.map(_._3).sum
     val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"excluded":$excl,"mode":"steady_state_min_of_$steadyIters","cold_total":$coldTotal,"sf":"$sfDir","iters":$itersJson,"gc_ms":$gcJson,"steal_ms":$stealJson,"order":$orderJson,"order_mode":"$orderMode","heap_max_mb":$heapMb,"cpus":"$cpus"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMedian,"total_median":${fmt(totalMedian)},"excluded":$excl,"mode":"steady_state_min_of_$steadyIters","cold_total":$coldTotal,"sf":"$sfDir","iters":$itersJson,"gc_ms":$gcJson,"steal_ms":$stealJson,"jit_ms":$jitJson,"janino_compiles":$janinoJson,"minor_faults":$minfltJson,"io_wait_ms":$ioWaitJson,"order":$orderJson,"order_mode":"$orderMode","heap_max_mb":$heapMb,"cpus":"$cpus"}"""
     Files.writeString(Paths.get("bench_result.json"), line + "\n")
     // The metric line goes out LAST, after spark.stop(), so no executor/
     // shutdown logging can interleave with it and a last-JSON-line parse

@@ -30,14 +30,38 @@ object EventStreams {
     * schema-adaptive normalization as the batch loader
     * ([[graft.engine.Tables.normalizeEventTs]]) then canonicalizes `ts`
     * to session-TZ `TimestampType` whether the fixture generation wrote
-    * TIMESTAMP(NANOS)-as-long or TIMESTAMP(MICROS). */
+    * TIMESTAMP(NANOS)-as-long or TIMESTAMP(MICROS). An EMPTY landing zone
+    * (no files yet — the normal cold start for the cloud use case this
+    * scaladoc describes) cannot be peeked, so it falls back to the declared
+    * canonical schema; once files land they must match it, which is
+    * exactly the contract a production landing zone declares up front. */
   def readEvents(s: SparkSession, dir: String): DataFrame = {
-    val fixtureSchema = s.read.parquet(dir).schema
+    val fixtureSchema =
+      try s.read.parquet(dir).schema
+      catch { case e: org.apache.spark.sql.AnalysisException
+          if String.valueOf(e.getMessage).contains("UNABLE_TO_INFER_SCHEMA")
+            || String.valueOf(e.getMessage).contains("PATH_NOT_FOUND") =>
+        declaredEventSchema
+      }
     graft.engine.Tables.normalizeEventTs(
       s.readStream
         .schema(fixtureSchema)
         .option("maxFilesPerTrigger", "8")
         .parquet(dir))
+  }
+
+  /** Canonical events schema (TESTDATA.md fixture shape, MICROS branch of
+    * [[graft.engine.Tables.normalizeEventTs]]) — the cold-start fallback
+    * when the landing zone has no files to peek yet. */
+  private[graft] val declaredEventSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
   }
 
   /** Streaming twin of [[graft.queries.CoreQueries.hourlyWindow]]: 1-hour

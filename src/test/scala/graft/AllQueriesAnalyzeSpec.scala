@@ -11,8 +11,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * silently shrank. This spec forces `queryExecution.executedPlan` (resolve +
   * optimize + plan, no execution) for all of `SparkEntry.queries` against the
   * sf0.001 fixtures, so any fixture-schema drift, renamed column, or broken
-  * registration is a red test the day it lands, at plan-time cost (~seconds
-  * per query, no shuffles run).
+  * registration is a red test the day it lands, with no RESULT
+  * materialization. Not purely plan-time, though: several query constructors
+  * run real driver-side jobs while building (semanticDedupGroups probes cell
+  * sizes and the embedding dim with `.head()`; `ensure*Index` builds and
+  * writes index parquet on first run) — so a failure here can be an
+  * index-build failure surfacing through query construction, and the suite
+  * costs index-build time on a cold target dir, not just analysis seconds.
   */
 class AllQueriesAnalyzeSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
