@@ -433,4 +433,37 @@ class EventStreamsSpec extends AnyFunSuite {
       .as[(String, Long, Double)].collect().toSeq
     assert(streamed == batch)
   }
+
+  test("readEvents cold-starts on an EMPTY landing zone and picks up files that land later") {
+    // The cloud-landing-zone case the readEvents scaladoc names: the stream
+    // must start with zero files present (declared-schema fallback), then
+    // process files that arrive afterwards. Regression net for the round-10
+    // empty-dir fallback — previously the batch schema peek threw at start.
+    val zone = java.nio.file.Files.createTempDirectory("landing-zone").toString
+    val events = EventStreams.readEvents(spark, zone)
+    assert(events.isStreaming)
+    assert(events.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val q = EventStreams.hourlyWindowStream(events)
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .format("memory")
+      .queryName("hw_cold_start")
+      .start()
+    try {
+      q.processAllAvailable() // zero-file micro-batch: must not throw
+      assert(spark.table("hw_cold_start").count() == 0L)
+      // First files land after stream start; schema matches the declared one.
+      graft.engine.Tables.events(spark, "/root/testdata/sf0.001")
+        .write.mode("append").parquet(zone)
+      q.processAllAvailable()
+      val streamed = spark.table("hw_cold_start").orderBy("hour_start")
+        .as[(String, Long, Double)].collect().toSeq
+      val batch = graft.queries.CoreQueries
+        .hourlyWindow(spark, "/root/testdata/sf0.001")
+        .as[(String, Long, Double)].collect().toSeq
+      assert(streamed == batch,
+        "post-cold-start stream must equal the batch twin once files land")
+    } finally q.stop()
+  }
 }
