@@ -1257,6 +1257,111 @@ object PipelineQueries {
        |       round(n_blocked::DOUBLE / n_brute, 4) AS recall_vs_brute
        |FROM brute, cellp, blocked""".stripMargin
 
+  /** The SCALE path of [[semanticDedupRecall]]: the same audit over a
+    * deterministic md5-bucket sample of the corpus ([[Curation.hashBucket]]
+    * < 50), which is what actually runs at 100 TB — the brute-force truth
+    * side is then quadratic only in the SAMPLE (bounded by construction),
+    * while the cell-blocked and sub-blocked pair sets keep their
+    * full-production blocking keys (same cells, same derived b, same
+    * planes) and are merely restricted to in-sample endpoints. Membership
+    * is a pure hash of vec_id, so the restriction is a narrow FILTER on
+    * each pair side — no sample join, no shuffle added to the production
+    * derivations. This is the timed variant (q_semantic_dedup_recall stays
+    * the untimed full-truth baseline, the same split as
+    * q_minhash_lsh_pairs vs q_jaccard_all_pairs). Small-sample ratios are
+    * noisier — counts shrink ~pct² — which is the standard sampling trade;
+    * the ratio columns go NULL rather than divide by zero when the sample
+    * holds no qualifying pairs. */
+  def semanticDedupRecallSampled(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val cent = s.read.parquet(ivfCentroidsPath)
+    val idx = graft.ops.Indexes.ensureIvfIndex(s, emb, cent, d, nCells = 16)
+    val pct = 50
+    def inSample(c: Column): Column = Curation.hashBucket(c) < pct
+    val e = emb.select(col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"))
+      .where(col("nrm") > 0d).where(inSample(col("vec_id")))
+    val brute = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("nrm").as("na"))
+      .crossJoin(e.select(col("vec_id").as("vec_b"),
+        col("embedding").as("eb"), col("nrm").as("nb")))
+      .where(col("vec_a") < col("vec_b"))
+      .where(round(graft.functions.DotProduct.dot(col("ea"), col("eb")) /
+        (col("na") * col("nb")), 6) > 0.4)
+    val cellPairs = graft.ops.Indexes.semanticDedupPairs(emb, idx,
+        threshold = 0.4, maxCellSize = 1L << 16)
+      .where(inSample(col("vec_a")) && inSample(col("vec_b")))
+    val blocked = graft.ops.Indexes.semanticDedupPairs(emb, idx,
+        threshold = 0.4, maxCellSize = 8L)
+      .where(inSample(col("vec_a")) && inSample(col("vec_b")))
+    e.agg(count(lit(1)).as("n_sample"))
+      .crossJoin(brute.agg(count(lit(1)).as("n_brute")))
+      .crossJoin(cellPairs.agg(count(lit(1)).as("n_cell")))
+      .crossJoin(blocked.agg(count(lit(1)).as("n_blocked")))
+      .select(col("n_sample"), col("n_brute"), col("n_cell"), col("n_blocked"),
+        when(col("n_cell") > 0,
+          round(col("n_blocked").cast("double") / col("n_cell"), 4))
+          .as("recall_same_cell"),
+        when(col("n_brute") > 0,
+          round(col("n_blocked").cast("double") / col("n_brute"), 4))
+          .as("recall_vs_brute"))
+  }
+
+  /** Oracle twin of [[semanticDedupRecallSampled]] — the recall oracle with
+    * the md5-bucket sample predicate applied to every pair side (and the
+    * sample size counted over nrm>0 members, matching the Spark `e`). */
+  val semanticDedupRecallSampledSql: String = {
+    val smp = "(('0x' || substr(md5(vec_id::VARCHAR), 1, 12))::BIGINT % 100) < 50"
+    s"""WITH $duckNormed,
+       |cent AS (SELECT cell, centroid AS cv,
+       |                sqrt(list_dot_product(centroid, centroid)) AS cn
+       |         FROM read_parquet('$ivfCentroidsPath/*.parquet')),
+       |asg AS (SELECT e.vec_id, cent.cell,
+       |               list_dot_product(e.v, cent.cv) / (e.nrm * cent.cn) AS ccos
+       |        FROM e CROSS JOIN cent),
+       |cells AS (SELECT vec_id, cell FROM asg
+       |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) = 1),
+       |sizes AS (SELECT cell, count(*) AS csz FROM cells GROUP BY cell),
+       |b AS (SELECT min(i)::INTEGER AS bits FROM range(0, 33) t(i), (SELECT max(csz) AS mx FROM sizes)
+       |      WHERE (8::BIGINT << i) >= mx),
+       |pl AS (SELECT j, p FROM ${graft.ops.Similarity.planesSqlValues(33, 64, 4242L)}),
+       |wc AS (SELECT e.vec_id, e.v, e.nrm, cells.cell, sizes.csz
+       |       FROM e JOIN cells USING (vec_id) JOIN sizes USING (cell)
+       |       WHERE e.nrm > 0),
+       |keyed AS (SELECT wc.vec_id, wc.v, wc.nrm, wc.cell,
+       |            CASE WHEN wc.csz > 8 THEN
+       |              (SELECT coalesce(sum(CASE WHEN list_dot_product(wc.v, pl.p) > 0
+       |                        THEN (1::BIGINT << pl.j) ELSE 0 END), 0)
+       |               FROM pl, b WHERE pl.j < b.bits)
+       |            ELSE 0 END AS sub
+       |          FROM wc),
+       |smpl AS (SELECT count(*) AS n_sample FROM e WHERE e.nrm > 0 AND $smp),
+       |blocked AS (SELECT count(*) AS n_blocked
+       |            FROM keyed a JOIN keyed b2
+       |              ON a.cell = b2.cell AND a.sub = b2.sub AND a.vec_id < b2.vec_id
+       |            WHERE round(list_dot_product(a.v, b2.v) / (a.nrm * b2.nrm), 6) > 0.4
+       |              AND (('0x' || substr(md5(a.vec_id::VARCHAR), 1, 12))::BIGINT % 100) < 50
+       |              AND (('0x' || substr(md5(b2.vec_id::VARCHAR), 1, 12))::BIGINT % 100) < 50),
+       |cellp AS (SELECT count(*) AS n_cell
+       |          FROM wc a JOIN wc b2
+       |            ON a.cell = b2.cell AND a.vec_id < b2.vec_id
+       |          WHERE round(list_dot_product(a.v, b2.v) / (a.nrm * b2.nrm), 6) > 0.4
+       |            AND (('0x' || substr(md5(a.vec_id::VARCHAR), 1, 12))::BIGINT % 100) < 50
+       |            AND (('0x' || substr(md5(b2.vec_id::VARCHAR), 1, 12))::BIGINT % 100) < 50),
+       |brute AS (SELECT count(*) AS n_brute
+       |          FROM e a JOIN e b2 ON a.vec_id < b2.vec_id
+       |          WHERE a.nrm > 0 AND b2.nrm > 0
+       |            AND (('0x' || substr(md5(a.vec_id::VARCHAR), 1, 12))::BIGINT % 100) < 50
+       |            AND (('0x' || substr(md5(b2.vec_id::VARCHAR), 1, 12))::BIGINT % 100) < 50
+       |            AND round(list_dot_product(a.v, b2.v) / (a.nrm * b2.nrm), 6) > 0.4)
+       |SELECT n_sample, n_brute, n_cell, n_blocked,
+       |       CASE WHEN n_cell > 0
+       |            THEN round(n_blocked::DOUBLE / n_cell, 4) END AS recall_same_cell,
+       |       CASE WHEN n_brute > 0
+       |            THEN round(n_blocked::DOUBLE / n_brute, 4) END AS recall_vs_brute
+       |FROM smpl, brute, cellp, blocked""".stripMargin
+  }
+
   def embeddingNearDups(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     val idx = graft.ops.Indexes.ensureLshIndex(s, emb, d, bBits = 6, lTables = 8,
