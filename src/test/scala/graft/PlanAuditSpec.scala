@@ -52,6 +52,24 @@ class PlanAuditSpec extends AnyFunSuite {
       .findFirstIn(plan("q_multimodal_frames")).isDefined)
   }
 
+  test("sampled recall audit: the md5-bucket sample predicate reaches every embeddings scan") {
+    // The scale contract of q_semantic_dedup_recall_sampled: sample
+    // membership is a pure hash of vec_id, so Catalyst must push it into
+    // the parquet scans on EVERY pair side — the brute-force truth side
+    // then reads only the sample, and the production pair derivations
+    // prune at the source instead of filtering post-join.
+    val p = plan("q_semantic_dedup_recall_sampled")
+    val sampledScans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("DataFilters") &&
+        l.contains("conv(substring(md5("))
+    assert(sampledScans >= 6,
+      s"expected the sample predicate in >= 6 FileScan DataFilters " +
+        s"(both sides of brute, cell-pair, and sub-blocked joins), " +
+        s"found $sampledScans:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"sampled brute force must not plan an unconditional cartesian:\n$p")
+  }
+
   test("scalar bounds broadcast onto the scan instead of a driver collect") {
     // histogram joins the 1-row (min,max) frame via IdentityBroadcastMode.
     val h = plan("q_histogram")
