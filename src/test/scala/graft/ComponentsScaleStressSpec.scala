@@ -68,4 +68,31 @@ class ComponentsScaleStressSpec extends AnyFunSuite {
     assert(chainReps == Seq(minId),
       s"expected the cross-copy chain to share rep $minId, got $chainReps")
   }
+
+  test("reliable-checkpoint mode matches and keeps only final-round files") {
+    // The cluster fault-tolerance mode (checkpointDir set) documented in the
+    // connectedComponents scaladoc, exercised on real fixture pairs for the
+    // first time: it must always take the distributed loop, produce the same
+    // fixpoint, and reclaim every superseded round's checkpoint files —
+    // only the final labels round (which serves the returned frame) and the
+    // still-referenced edge materialization may remain on disk.
+    val pairs = fixturePairs()
+    val ckpt = java.nio.file.Files.createTempDirectory("cc-reliable").toString
+    val viaReliable = labels(
+      Dedup.connectedComponents(pairs, checkpointDir = Some(ckpt)))
+    val viaDriver = labels(Dedup.connectedComponents(pairs))
+    assert(viaReliable == viaDriver,
+      "reliable-checkpoint mode diverged from the driver union-find fixpoint")
+
+    val rddDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+      .filter(p => p.getFileName.toString.startsWith("rdd-"))
+      .filter(p => java.nio.file.Files.isDirectory(p))
+      .count()
+    assert(rddDirs >= 1, "the final round's checkpoint files must remain " +
+      "(the returned frame is served from them)")
+    assert(rddDirs <= 2,
+      s"superseded rounds' checkpoint files were not reclaimed: $rddDirs " +
+        "rdd-* dirs remain (expected only the final labels round, plus at " +
+        "most the released edge RDD's dir if deletion is async)")
+  }
 }
