@@ -246,7 +246,13 @@ object PipelineQueries {
     * premium that buys executor-death durability, which is why local mode
     * keeps the cheap form and a cluster run takes the storage mode. */
   def pipelineE2e(s: SparkSession, d: String): DataFrame =
-    pipelineE2e(s, d, LocalStage)
+    // SPARK_GRAFT_E2E_STAGE_DIR flips the registered query to durable
+    // storage-backed stages without a code change — the cluster deployment
+    // sets it to a shared-filesystem/object-store prefix; unset (the local
+    // driver contract) keeps the cheaper executor-resident form. Both modes
+    // are fingerprint-identical (PipelineCheckpointModeSpec).
+    pipelineE2e(s, d,
+      sys.env.get("SPARK_GRAFT_E2E_STAGE_DIR").map(StorageStage).getOrElse(LocalStage))
 
   /** How [[pipelineE2e]] stages are materialized + lineage-truncated. */
   sealed trait StageStore
