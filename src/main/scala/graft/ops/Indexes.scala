@@ -170,13 +170,23 @@ object Indexes {
   /** Grace period before a superseded index generation is reclaimed.
     * Mark-then-sweep with an age gate instead of delete-on-supersede: a
     * generation another live session is mid-query on stays readable until
-    * its directory mtime falls `gcGraceMs` behind the sweep — in-flight
-    * reads finish, and only genuinely stale generations (and orphaned tmp
-    * dirs from crashed builds) are reclaimed. Test hook: package-visible
-    * so specs can force immediate (0) or never (MaxValue) reclamation. */
-  private[graft] var gcGraceMs: Long =
+    * its directory mtime falls the grace period behind the sweep —
+    * in-flight reads finish, and only genuinely stale generations (and
+    * orphaned tmp dirs from crashed builds) are reclaimed. */
+  private[graft] val gcGraceMsDefault: Long =
     sys.env.get("SPARK_GRAFT_INDEX_GC_GRACE_MS").map(_.toLong)
       .getOrElse(15L * 60L * 1000L)
+
+  /** Test hook, THREAD-SCOPED (ADVICE r10: the old global `var` let one
+    * suite's forced-immediate grace leak into a concurrently-running suite's
+    * `ensure*` sweep, reclaiming a generation its reader still held). A
+    * `DynamicVariable` override applies only to sweeps the wrapped body
+    * itself triggers on this thread; every other caller keeps the default. */
+  private val gcGraceOverride =
+    new scala.util.DynamicVariable[Option[Long]](None)
+  private[graft] def withGcGrace[T](ms: Long)(body: => T): T =
+    gcGraceOverride.withValue(Some(ms))(body)
+  private def gcGraceMs: Long = gcGraceOverride.value.getOrElse(gcGraceMsDefault)
 
   /** Reclaim superseded generations of one index family: siblings of `path`
     * whose name shares `familyPrefix` but carries a DIFFERENT fingerprint

@@ -36,11 +36,17 @@ object EventStreams {
     * canonical schema; once files land they must match it, which is
     * exactly the contract a production landing zone declares up front. */
   def readEvents(s: SparkSession, dir: String): DataFrame = {
+    // Cold-start detection matches the STRUCTURED error condition
+    // (SparkThrowable.getCondition, the stable cross-locale identifier Spark
+    // 3.4+ assigns every AnalysisException), not message substrings — a
+    // wording/locale change can rewrite the message but not the condition,
+    // and an unrelated error whose text happened to embed these tokens can
+    // no longer masquerade as an empty landing zone (ADVICE r10).
+    val coldStartConditions = Set("UNABLE_TO_INFER_SCHEMA", "PATH_NOT_FOUND")
     val fixtureSchema =
       try s.read.parquet(dir).schema
       catch { case e: org.apache.spark.sql.AnalysisException
-          if String.valueOf(e.getMessage).contains("UNABLE_TO_INFER_SCHEMA")
-            || String.valueOf(e.getMessage).contains("PATH_NOT_FOUND") =>
+          if coldStartConditions.contains(String.valueOf(e.getCondition)) =>
         declaredEventSchema
       }
     graft.engine.Tables.normalizeEventTs(

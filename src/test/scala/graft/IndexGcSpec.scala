@@ -29,39 +29,41 @@ class IndexGcSpec extends AnyFunSuite {
   test("aged superseded generations and orphan tmp dirs are swept; fresh ones survive") {
     val base = Files.createTempDirectory("idxgc").toString
     val sfTag = s"$base/corpus" // distinct tag isolates this test's index subdir
-    val saved = Indexes.gcGraceMs
-    try {
-      val p1 = Indexes.ensureLshIndex(spark, writeCorpus(s"$base/data", 0),
-        sfTag, bBits = 3, lTables = 2, dim = 8, partitionByBucket = false)
-      assert(Files.exists(Paths.get(p1, "_SUCCESS")))
+    val p1 = Indexes.ensureLshIndex(spark, writeCorpus(s"$base/data", 0),
+      sfTag, bBits = 3, lTables = 2, dim = 8, partitionByBucket = false)
+    assert(Files.exists(Paths.get(p1, "_SUCCESS")))
 
-      // An orphaned tmp dir, as a crashed build would leave behind.
-      val parent = Paths.get(p1).getParent
-      val orphan = parent.resolve("lsh_b3_L2_s42_flat_deadbeef.tmp-123")
-      Files.createDirectories(orphan)
-      // Age both past the grace period.
-      val old = FileTime.fromMillis(System.currentTimeMillis() - 3600 * 1000L)
-      Files.setLastModifiedTime(Paths.get(p1), old)
-      Files.setLastModifiedTime(orphan, old)
+    // An orphaned tmp dir, as a crashed build would leave behind.
+    val parent = Paths.get(p1).getParent
+    val orphan = parent.resolve("lsh_b3_L2_s42_flat_deadbeef.tmp-123")
+    Files.createDirectories(orphan)
+    // Age both past the grace period.
+    val old = FileTime.fromMillis(System.currentTimeMillis() - 3600 * 1000L)
+    Files.setLastModifiedTime(Paths.get(p1), old)
+    Files.setLastModifiedTime(orphan, old)
 
-      Indexes.gcGraceMs = 1000L
-      // New corpus content at the same path → new fingerprint → rebuild+sweep.
-      val p2 = Indexes.ensureLshIndex(spark, writeCorpus(s"$base/data", 7),
+    // withGcGrace scopes the forced grace to THIS thread's sweeps only
+    // (ADVICE r10: the old global-var hook could reclaim a generation a
+    // concurrently-running suite was still reading).
+    // New corpus content at the same path → new fingerprint → rebuild+sweep.
+    val p2 = Indexes.withGcGrace(1000L) {
+      Indexes.ensureLshIndex(spark, writeCorpus(s"$base/data", 7),
         sfTag, bBits = 3, lTables = 2, dim = 8, partitionByBucket = false)
-      assert(p2 != p1, "new corpus content must rotate the index path")
-      assert(!Files.exists(Paths.get(p1)),
-        "aged superseded generation must be reclaimed by the sweep")
-      assert(!Files.exists(orphan),
-        "orphaned crashed-build tmp dir must be reclaimed by the sweep")
-      assert(Files.exists(Paths.get(p2, "_SUCCESS")))
+    }
+    assert(p2 != p1, "new corpus content must rotate the index path")
+    assert(!Files.exists(Paths.get(p1)),
+      "aged superseded generation must be reclaimed by the sweep")
+    assert(!Files.exists(orphan),
+      "orphaned crashed-build tmp dir must be reclaimed by the sweep")
+    assert(Files.exists(Paths.get(p2, "_SUCCESS")))
 
-      // A generation still inside the grace window must survive the sweep.
-      Indexes.gcGraceMs = Long.MaxValue
-      val p3 = Indexes.ensureLshIndex(spark, writeCorpus(s"$base/data", 13),
+    // A generation still inside the grace window must survive the sweep.
+    val p3 = Indexes.withGcGrace(Long.MaxValue) {
+      Indexes.ensureLshIndex(spark, writeCorpus(s"$base/data", 13),
         sfTag, bBits = 3, lTables = 2, dim = 8, partitionByBucket = false)
-      assert(p3 != p2)
-      assert(Files.exists(Paths.get(p2)),
-        "generation inside the grace window must survive (in-flight readers)")
-    } finally Indexes.gcGraceMs = saved
+    }
+    assert(p3 != p2)
+    assert(Files.exists(Paths.get(p2)),
+      "generation inside the grace window must survive (in-flight readers)")
   }
 }

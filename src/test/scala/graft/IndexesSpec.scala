@@ -168,9 +168,8 @@ class IndexesSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("gc_spec").toString
     emb.limit(20).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     def reread = spark.read.parquet(s"$dir/embeddings.parquet")
-    val grace0 = Indexes.gcGraceMs
-    Indexes.gcGraceMs = 0L // immediate reclamation for this test
-    try {
+    // thread-scoped immediate reclamation (cannot leak into other suites)
+    Indexes.withGcGrace(0L) {
       val path1 = Indexes.ensureLshIndex(spark, reread, dir)
       // regenerate twice: each rebuild must reclaim the superseded generation
       emb.limit(25).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
@@ -191,16 +190,14 @@ class IndexesSpec extends AnyFunSuite {
       val leftovers = new java.io.File(path3).getParentFile.listFiles()
         .filter(_.getName.contains(".tmp-"))
       assert(leftovers.isEmpty, s"orphan tmp dirs: ${leftovers.mkString(", ")}")
-    } finally Indexes.gcGraceMs = grace0
+    }
   }
 
   test("GC grace: a superseded generation stays readable for in-flight queries") {
     val dir = Files.createTempDirectory("gc_grace_spec").toString
     emb.limit(20).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     def reread = spark.read.parquet(s"$dir/embeddings.parquet")
-    val grace0 = Indexes.gcGraceMs
-    Indexes.gcGraceMs = 60L * 60L * 1000L // 1 h — nothing reclaims mid-test
-    try {
+    Indexes.withGcGrace(60L * 60L * 1000L) { // 1 h — nothing reclaims mid-test
       val path1 = Indexes.ensureLshIndex(spark, reread, dir)
       // a lazily-planned reader on generation 1 — another session mid-query
       val inflight = spark.read.parquet(path1)
@@ -211,7 +208,7 @@ class IndexesSpec extends AnyFunSuite {
       assert(inflight.count() > 0, "superseded generation vanished mid-read")
       assert(new java.io.File(path1, "_SUCCESS").exists())
       assert(new java.io.File(path2, "_SUCCESS").exists())
-    } finally Indexes.gcGraceMs = grace0
+    }
   }
 
   test("racing builders: both commit paths converge on one intact generation") {
