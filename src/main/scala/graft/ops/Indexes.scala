@@ -519,6 +519,27 @@ object Indexes {
   private def collectCodebooks(codebooks: DataFrame): Map[Int, Array[Array[Double]]] =
     memoModel(codebooks, "pq")(Similarity.collectCodebooks(codebooks))
 
+  /** ADC estimate column over stored code columns c0..c{nSub-1}: the query's
+    * per-subspace dot tables are computed on the DRIVER (same left-to-right
+    * IEEE fold as the codegen'd dot product — the [[bucketKeyLocal]]
+    * precedent) and embedded as literal arrays indexed by each row's code;
+    * the per-subspace terms add LEFT-ASSOCIATED in ascending subspace order,
+    * matching the oracle's explicit `t0+t1+...` chain bit-for-bit (an
+    * unordered SUM would be IEEE-nondeterministic and break the candidate
+    * cut's hash parity). */
+  private def adcEstimate(qv: Array[Float], cbs: Map[Int, Array[Array[Double]]],
+                          nSub: Int, subDim: Int): org.apache.spark.sql.Column = {
+    def dotLocal(off: Int, c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < subDim) { s += qv(off + i).toDouble * c(i); i += 1 }
+      s
+    }
+    (0 until nSub).map { m =>
+      val table = cbs(m).map(c => dotLocal(m * subDim, c)).toSeq
+      element_at(typedlit(table), col(s"c$m") + 1)
+    }.reduceLeft(_ + _)
+  }
+
   /** PQ ADC top-k served from the stored code table — output-identical to
     * [[Similarity.pqTopK]]: the query's 128-entry dot table is computed on
     * the DRIVER with the same left-to-right IEEE fold as the codegen'd
@@ -530,18 +551,9 @@ object Indexes {
                     queryId: Long, k: Int, rerank: Int = 100, nSub: Int = 8,
                     dim: Int = 64): DataFrame = {
     val spark = emb.sparkSession
-    val subDim = dim / nSub
     val cbs = collectCodebooks(codebooks)
     val qv = queryVector(emb, queryId)
-    def dotLocal(off: Int, c: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < subDim) { s += qv(off + i).toDouble * c(i); i += 1 }
-      s
-    }
-    val est = (0 until nSub).map { m =>
-      val table = cbs(m).map(c => dotLocal(m * subDim, c)).toSeq
-      element_at(typedlit(table), col(s"c$m") + 1)
-    }.reduceLeft(_ + _)
+    val est = adcEstimate(qv, cbs, nSub, dim / nSub)
     val cand = spark.read.parquet(indexPath)
       .where(col("vec_id") =!= queryId)
       .select(col("vec_id"), est.as("est"))
@@ -1002,16 +1014,17 @@ object Indexes {
       .write.mode(mode).partitionBy("cell").parquet(path)
   }
 
-  /** IVF ANN top-k served from prebuilt inverted lists — output-identical to
-    * [[Similarity.ivfTopK]] with the same centroids. The probe ranks cells
-    * on the DRIVER (the centroid model is tiny and the scoring fold is the
-    * same IEEE order as the codegen'd dot product), turns the `nProbe` cell
-    * ids into literal filters (static partition pruning on the index), and
-    * exact-re-ranks only the probed cells' members. */
-  def ivfTopKIndexed(emb: DataFrame, centroids: DataFrame, indexPath: String,
-                     queryId: Long, k: Int, nProbe: Int): DataFrame = {
-    val spark = emb.sparkSession
-    val qv = queryVector(emb, queryId)
+  /** Rank every coarse cell by query↔centroid cosine ON THE DRIVER and
+    * return the top-`nProbe` cell ids. The centroid model is tiny (collected
+    * through [[memoModel]]) and the scoring fold is the same IEEE order as
+    * the codegen'd dot product, so the returned ids are literal filters —
+    * static partition pruning on a cell-partitioned index. NaN parity with
+    * the inline path: Spark's `orderBy(ccos.desc)` sorts NaN as LARGEST
+    * (probed first), while Scala's total ordering on the negated key would
+    * sort it last — canonicalized to -∞ here so a zero-norm vector/centroid
+    * probes the same cells on both paths. */
+  private def rankProbes(qv: Array[Float], centroids: DataFrame,
+                         nProbe: Int): Seq[Int] = {
     val qn: Double = {
       var s = 0.0; var i = 0
       while (i < qv.length) { s += qv(i).toDouble * qv(i).toDouble; i += 1 }
@@ -1021,7 +1034,7 @@ object Indexes {
       centroids.select(col("cell").cast("int"), col("centroid"))
         .collect().toSeq.map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
     }
-    val probes: Seq[Int] = cents.map { case (cell, cv) =>
+    cents.map { case (cell, cv) =>
       val n = math.min(qv.length, cv.length)
       var dot = 0.0; var cn = 0.0
       var i = 0
@@ -1030,12 +1043,20 @@ object Indexes {
       while (i < cv.length) { cn += cv(i) * cv(i); i += 1 }
       (dot / (qn * math.sqrt(cn)), cell)
     }.sortBy { case (ccos, cell) =>
-      // NaN parity with the inline path: Spark's `orderBy(ccos.desc)` sorts
-      // NaN as LARGEST (probed first), while Scala's total ordering on the
-      // negated key would sort it last — canonicalize NaN to -∞ here so a
-      // zero-norm vector/centroid probes the same cells on both paths.
       (if (ccos.isNaN) Double.NegativeInfinity else -ccos, cell)
     }.take(nProbe).map(_._2)
+  }
+
+  /** IVF ANN top-k served from prebuilt inverted lists — output-identical to
+    * [[Similarity.ivfTopK]] with the same centroids. The probe ranks cells
+    * on the DRIVER ([[rankProbes]]), turns the `nProbe` cell ids into
+    * literal filters (static partition pruning on the index), and
+    * exact-re-ranks only the probed cells' members. */
+  def ivfTopKIndexed(emb: DataFrame, centroids: DataFrame, indexPath: String,
+                     queryId: Long, k: Int, nProbe: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val qv = queryVector(emb, queryId)
+    val probes = rankProbes(qv, centroids, nProbe)
     val candIds = spark.read.parquet(indexPath)
       .where(col("cell").isin(probes: _*))
       .where(col("vec_id") =!= queryId)
@@ -1049,6 +1070,159 @@ object Indexes {
           (Similarity.norm(col("embedding")) * col("qn")), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
+  }
+
+  // ---- IVF-PQ (IVFADC) ------------------------------------------------------
+
+  /** Materialized IVF-PQ index — the IVFADC layout (Jégou et al. 2011,
+    * "Product Quantization for Nearest Neighbor Search", §V): every vector's
+    * PQ codes are stored INSIDE its inverted list, i.e. (vec_id,
+    * c0..c{nSub-1}) partitioned by coarse cell. A probe partition-prunes to
+    * its `nProbe` cells and scores candidates from the 32×-compressed codes
+    * in the SAME pruned scan — unlike composing [[ivfTopKIndexed]] with the
+    * flat code table, there is no id-list↔code-table join, and no raw
+    * vector is read until the exact re-rank. This is the layout that serves
+    * billion-vector corpora: bytes scanned per query ≈ (nProbe/nCells) ×
+    * corpus × ~(8 + nSub) bytes, independent of the embedding dimension.
+    *
+    * All THREE inputs fingerprint into the path — corpus, coarse centroids,
+    * and PQ codebooks — so retraining either model rotates the index
+    * (the [[ensurePqIndex]] invariant, extended). Cell assignment replays
+    * [[writeIvfRows]]'s argmax-cosine `max_by` tie-break exactly; codes are
+    * computed once per vector BEFORE the assignment join fans rows out
+    * across cells. */
+  def ensureIvfPqIndex(spark: SparkSession, emb: DataFrame,
+                       centroids: DataFrame, codebooks: DataFrame,
+                       sfDir: String, nCells: Int, nSub: Int = 8,
+                       dim: Int = 64): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"$indexRoot/$tag/ivfpq_k${nCells}_m${nSub}_" +
+      s"${corpusFingerprint(emb)}_cc${corpusFingerprint(centroids)}" +
+      s"_cb${corpusFingerprint(codebooks)}"
+    if (!successExists(spark, path)) {
+      val subDim = dim / nSub
+      val cbs = collectCodebooks(codebooks)
+      val codeCols = (0 until nSub).map { m =>
+        Similarity.pqCodeExpr(
+          slice(col("embedding"), m * subDim + 1, subDim), cbs(m)).as(s"c$m")
+      }
+      val cent = centroids.select(col("cell"), col("centroid").as("cv"),
+        Similarity.norm(col("centroid")).as("cn"))
+      // one corpus pass: codes ride the row through the broadcast
+      // centroid fan-out, the groupBy keeps the argmax cell and (identical
+      // per vec_id) codes — ONE shuffle for assignment, then the
+      // partitioned-layout repartition; no second corpus join.
+      val assigned = emb
+        .select(col("vec_id") +: col("embedding") +:
+          Similarity.norm(col("embedding")).as("nrm") +: codeCols: _*)
+        .join(broadcast(cent))
+        .select(col("vec_id") +: col("cell") +:
+          (graft.functions.DotProduct.dot(col("embedding"), col("cv")) /
+            (col("nrm") * col("cn"))).as("ccos") +:
+          (0 until nSub).map(m => col(s"c$m")): _*)
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cell"), struct(col("ccos"), -col("cell"))).as("cell"),
+          (0 until nSub).map(m => max(col(s"c$m")).as(s"c$m")): _*)
+      val tmp = tmpBuildPath(path)
+      assigned.repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+      commitIndexDir(spark, tmp, path)
+      gcSiblings(spark, path, s"ivfpq_k${nCells}_m${nSub}_")
+    }
+    path
+  }
+
+  /** IVF-PQ ADC top-k over the combined index: coarse probe ranked on the
+    * driver ([[rankProbes]] → literal cell filters → static partition
+    * pruning), ADC estimate folded over the stored codes inside the pruned
+    * scan ([[adcEstimate]]), exact cosine re-rank of the `rerank` survivors
+    * only. Recall composes multiplicatively — cells never probed (the IVF
+    * trade) × true neighbors the 8-byte estimate misprices out of the
+    * candidate cut (the PQ trade); at nProbe = nCells and rerank ≥ corpus
+    * size it degrades to exact brute force (IndexesSpec asserts that
+    * boundary identity, the recall analogue of the LSH banding notes). */
+  def ivfPqTopKIndexed(emb: DataFrame, centroids: DataFrame,
+                       codebooks: DataFrame, indexPath: String, queryId: Long,
+                       k: Int, nProbe: Int, rerank: Int = 100, nSub: Int = 8,
+                       dim: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    val qv = queryVector(emb, queryId)
+    val probes = rankProbes(qv, centroids, nProbe)
+    val est = adcEstimate(qv, collectCodebooks(codebooks), nSub, dim / nSub)
+    val cand = spark.read.parquet(indexPath)
+      .where(col("cell").isin(probes: _*))
+      .where(col("vec_id") =!= queryId)
+      .select(col("vec_id"), est.as("est"))
+      .orderBy(col("est").desc, col("vec_id").asc)
+      .limit(rerank)
+      .select(col("vec_id"))
+    val q = emb.where(col("vec_id") === queryId)
+      .select(col("embedding").as("qv"), Similarity.norm(col("embedding")).as("qn"))
+    emb.join(broadcast(cand), Seq("vec_id"), "left_semi")
+      .join(broadcast(q))
+      .select(col("vec_id"),
+        round(graft.functions.DotProduct.dot(col("embedding"), col("qv")) /
+          (Similarity.norm(col("embedding")) * col("qn")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Batched IVF-PQ ADC top-k — the combined-index member of the batch
+    * family ([[lshTopKBatch]], [[ivfTopKBatch]], [[pqTopKBatch]]): per-query
+    * cell ranking via a broadcast of the tiny centroid model + bounded-heap
+    * cut, then ONE scan of the code table joined against the broadcast
+    * (query, probed-cell) pairs — AQE prunes the unprobed cells via the
+    * broadcast join's runtime filter, each candidate row scores as 8 array
+    * lookups + 7 adds from the query's broadcast ADC tables, and only the
+    * per-query `rerank` survivors touch raw vectors. Per query the output is
+    * row-identical to [[ivfPqTopKIndexed]] (IndexesSpec asserts it). */
+  def ivfPqTopKBatch(emb: DataFrame, centroids: DataFrame,
+                     codebooks: DataFrame, indexPath: String,
+                     queries: DataFrame, k: Int, nProbe: Int,
+                     rerank: Int = 100, nSub: Int = 8,
+                     dim: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    val subDim = dim / nSub
+    val cbs = collectCodebooks(codebooks)
+    // per-query ADC dot tables, computed EXECUTOR-side with the codegen'd
+    // fold (bit-identical to the driver-side single-query tables)
+    val qTabs = (0 until nSub).map { m =>
+      array(cbs(m).toIndexedSeq.map(c =>
+        graft.functions.DotProduct.dot(
+          slice(col("embedding"), m * subDim + 1, subDim),
+          typedlit(c.toSeq))): _*).as(s"qt$m")
+    }
+    val q = queries.select(col("query_id") +: col("embedding").as("qv") +:
+      Similarity.norm(col("embedding")).as("qn") +: qTabs: _*)
+    val cent = centroids.select(col("cell").cast("int").as("cell"),
+      col("centroid").as("cv"), Similarity.norm(col("centroid")).as("cn"))
+    val cellScores = q.join(broadcast(cent))
+      .select(col("query_id"), col("cell"),
+        (graft.functions.DotProduct.dot(col("qv"), col("cv")) /
+          (col("qn") * col("cn"))).as("ccos"))
+    val probes = graft.plans.GroupedTopK.topK(cellScores, Seq("query_id"),
+        Seq("ccos" -> true, "cell" -> false), nProbe)
+      .select(col("query_id"), col("cell"))
+    val est = (0 until nSub)
+      .map(m => element_at(col(s"qt$m"), col(s"c$m") + 1))
+      .reduceLeft(_ + _)
+    val scored = spark.read.parquet(indexPath)
+      .withColumn("cell", col("cell").cast("int"))
+      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(q.select(col("query_id") +:
+        (0 until nSub).map(m => col(s"qt$m")): _*)), Seq("query_id"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), est.as("est"))
+    val cand = graft.plans.GroupedTopK.topK(scored, Seq("query_id"),
+        Seq("est" -> true, "vec_id" -> false), rerank)
+      .select(col("query_id"), col("vec_id"))
+    val rescored = emb.join(cand, Seq("vec_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(graft.functions.DotProduct.dot(col("embedding"), col("qv")) /
+          (Similarity.norm(col("embedding")) * col("qn")), 4).as("cos"))
+    graft.plans.GroupedTopK.topK(rescored, Seq("query_id"),
+      Seq("cos" -> true, "vec_id" -> false), k)
   }
 
   /** SemDeDup-style semantic dedup groups served from the IVF inverted

@@ -1076,6 +1076,122 @@ object PipelineQueries {
        |ORDER BY query_id, cos DESC, vec_id""".stripMargin
   }
 
+  /** Combined IVF-PQ ANN over the IVFADC index ([[graft.ops.Indexes
+    * .ensureIvfPqIndex]]): PQ codes stored inside cell-partitioned inverted
+    * lists, so one partition-pruned scan does both candidate generation and
+    * 32×-compressed ADC scoring — the billion-vector serving layout (codes
+    * travel WITH the lists; no id↔code join, raw vectors only at the exact
+    * re-rank). Same committed coarse quantizer as [[annIvf]] and the same
+    * committed codebooks as [[annPq]], so the oracle replays probe ranking,
+    * code assignment, the left-associated estimate chain, and both cuts
+    * exactly. */
+  def annIvfPq(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val cent = s.read.parquet(ivfCentroidsPath)
+    val cb = s.read.parquet(pqCodebooksPath)
+    val idx = graft.ops.Indexes.ensureIvfPqIndex(s, emb, cent, cb, d, nCells = 16)
+    graft.ops.Indexes.ivfPqTopKIndexed(emb, cent, cb, idx, queryId = 0L,
+      k = 10, nProbe = 4, rerank = 100)
+  }
+
+  val annIvfPqSql: String = {
+    val tCols = (0 until 8).map(m => s"max(CASE WHEN m = $m THEN t END) AS t$m").mkString(", ")
+    val tChain = (0 until 8).map(m => s"t$m").mkString(" + ")
+    s"""WITH $duckNormed,
+       |cent AS (SELECT cell, centroid AS cv,
+       |                sqrt(list_dot_product(centroid, centroid)) AS cn
+       |         FROM read_parquet('$ivfCentroidsPath/*.parquet')),
+       |asg AS (SELECT e.vec_id, cent.cell,
+       |               list_dot_product(e.v, cent.cv) / (e.nrm * cent.cn) AS ccos
+       |        FROM e CROSS JOIN cent),
+       |cells AS (SELECT vec_id, cell FROM asg
+       |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) = 1),
+       |probes AS (SELECT cell FROM asg WHERE vec_id = 0
+       |           QUALIFY row_number() OVER (ORDER BY ccos DESC, cell ASC) <= 4),
+       |cb AS (SELECT m, code, centroid, list_dot_product(centroid, centroid) AS c2
+       |       FROM read_parquet('$pqCodebooksPath/*.parquet')),
+       |sc AS (SELECT e.vec_id, cb.m, cb.code,
+       |              2*list_dot_product(list_slice(e.v, cb.m*8+1, cb.m*8+8), cb.centroid) - cb.c2 AS s
+       |       FROM e CROSS JOIN cb),
+       |codes AS (SELECT vec_id, m, code FROM sc
+       |          QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY s DESC, code ASC) = 1),
+       |q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 0),
+       |tbl AS (SELECT cb.m, cb.code,
+       |               list_dot_product(list_slice(q.qv, cb.m*8+1, cb.m*8+8), cb.centroid) AS t
+       |        FROM cb, q),
+       |incell AS (SELECT vec_id FROM cells
+       |           WHERE cell IN (SELECT cell FROM probes) AND vec_id != 0),
+       |pivoted AS (SELECT vec_id, $tCols
+       |            FROM codes JOIN tbl USING (m, code)
+       |            WHERE vec_id IN (SELECT vec_id FROM incell) GROUP BY vec_id),
+       |cand AS (SELECT vec_id FROM (SELECT vec_id, $tChain AS est FROM pivoted)
+       |         ORDER BY est DESC, vec_id ASC LIMIT 100)
+       |SELECT e.vec_id, round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 4) AS cos
+       |FROM e JOIN cand ON e.vec_id = cand.vec_id, q
+       |ORDER BY cos DESC, e.vec_id ASC LIMIT 10""".stripMargin
+  }
+
+  /** Batched IVF-PQ ADC ANN — completes the batch family over the combined
+    * index: probed (query, cell) pairs and per-query ADC tables ride
+    * broadcasts against ONE scan of the cell-partitioned code table. */
+  def annIvfPqBatch(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val cent = s.read.parquet(ivfCentroidsPath)
+    val cb = s.read.parquet(pqCodebooksPath)
+    val idx = graft.ops.Indexes.ensureIvfPqIndex(s, emb, cent, cb, d, nCells = 16)
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    graft.ops.Indexes.ivfPqTopKBatch(emb, cent, cb, idx, queries,
+        k = 10, nProbe = 4, rerank = 100)
+      .orderBy(col("query_id"), col("cos").desc, col("vec_id"))
+  }
+
+  val annIvfPqBatchSql: String = {
+    val tCols = (0 until 8).map(m => s"max(CASE WHEN codes.m = $m THEN tbl.t END) AS t$m").mkString(", ")
+    val tChain = (0 until 8).map(m => s"t$m").mkString(" + ")
+    s"""WITH $duckNormed,
+       |cent AS (SELECT cell, centroid AS cv,
+       |                sqrt(list_dot_product(centroid, centroid)) AS cn
+       |         FROM read_parquet('$ivfCentroidsPath/*.parquet')),
+       |asg AS (SELECT e.vec_id, cent.cell,
+       |               list_dot_product(e.v, cent.cv) / (e.nrm * cent.cn) AS ccos
+       |        FROM e CROSS JOIN cent),
+       |cells AS (SELECT vec_id, cell FROM asg
+       |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) = 1),
+       |probes AS (SELECT vec_id AS query_id, cell FROM asg WHERE vec_id < 5
+       |           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) <= 4),
+       |cb AS (SELECT m, code, centroid, list_dot_product(centroid, centroid) AS c2
+       |       FROM read_parquet('$pqCodebooksPath/*.parquet')),
+       |sc AS (SELECT e.vec_id, cb.m, cb.code,
+       |              2*list_dot_product(list_slice(e.v, cb.m*8+1, cb.m*8+8), cb.centroid) - cb.c2 AS s
+       |       FROM e CROSS JOIN cb),
+       |codes AS (SELECT vec_id, m, code FROM sc
+       |          QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY s DESC, code ASC) = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id < 5),
+       |tbl AS (SELECT q.query_id, cb.m, cb.code,
+       |               list_dot_product(list_slice(q.qv, cb.m*8+1, cb.m*8+8), cb.centroid) AS t
+       |        FROM cb, q),
+       |incell AS (SELECT probes.query_id, cells.vec_id
+       |           FROM cells JOIN probes ON cells.cell = probes.cell
+       |           WHERE cells.vec_id != probes.query_id),
+       |pivoted AS (SELECT incell.query_id, incell.vec_id, $tCols
+       |            FROM incell
+       |            JOIN codes ON codes.vec_id = incell.vec_id
+       |            JOIN tbl ON tbl.query_id = incell.query_id
+       |                    AND tbl.m = codes.m AND tbl.code = codes.code
+       |            GROUP BY incell.query_id, incell.vec_id),
+       |cand AS (SELECT query_id, vec_id
+       |         FROM (SELECT query_id, vec_id, $tChain AS est FROM pivoted)
+       |         QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY est DESC, vec_id ASC) <= 100),
+       |sc2 AS (SELECT cand.query_id, e.vec_id,
+       |               round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 4) AS cos
+       |        FROM cand JOIN e ON cand.vec_id = e.vec_id
+       |                  JOIN q ON cand.query_id = q.query_id)
+       |SELECT query_id, vec_id, cos FROM sc2
+       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) <= 10
+       |ORDER BY query_id, cos DESC, vec_id""".stripMargin
+  }
+
   /** Production near-dup pairs: banded LSH candidates + exact re-rank
     * (replaces the O(n²) all-pairs theta join; identical plane constants
     * replayed in the oracle). Served from the MATERIALIZED (b=6, L=8)

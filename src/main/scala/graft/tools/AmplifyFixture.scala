@@ -19,12 +19,21 @@ import org.apache.spark.sql.functions._
   *    any fixture key, so referential integrity (orders→customer,
   *    lineitem→{orders,part,supplier}, events→user) is preserved per copy and
   *    key spaces never collide across copies;
-  *  - `documents.text` gets a per-copy suffix token and `embeddings.embedding`
-  *    a small deterministic per-copy jitter: byte-identical replicas would
-  *    make every row an exact duplicate of its 9 clones, collapsing dedup
-  *    stages to 1/10 size and exploding near-dup/semantic-dedup pair counts
-  *    O(copies²) per cluster — a 10× corpus does NOT look like 10 carbon
-  *    copies, and the probe must scale the WORK 10×, not the clique sizes;
+  *  - `documents.text` gets a per-copy suffix on EVERY token and
+  *    `embeddings.embedding` a per-copy SIGNED COORDINATE PERMUTATION:
+  *    byte-identical replicas would make every row an exact duplicate of its
+  *    9 clones, and the first attempt's small perturbations (one trailing
+  *    token, ±0.05 jitter) still left cross-copy Jaccard ≈ 0.97 and
+  *    near-identical embedding cliques that no hyperplane sub-block can
+  *    separate (the 10× bench died on the semantic-dedup clique guard —
+  *    working as designed, wrong corpus). The per-token suffix keeps every
+  *    intra-copy shingle Jaccard EXACTLY as the original while making
+  *    cross-copy shingle sets disjoint; the signed permutation is an
+  *    orthogonal transform, so intra-copy cosines/distances are preserved
+  *    bit-for-bit in structure while cross-copy vectors decorrelate to
+  *    near-orthogonal. Each copy therefore reproduces the original
+  *    fixture's dedup/ANN geometry and the corpus scales WORK 10×, not
+  *    clique sizes;
   *  - timestamps are untouched: a 10× corpus over the same time range grows
   *    each window's rowcount 10× with the same window count — the aggregate
   *    scaling shape the windowed queries face in production.
@@ -67,14 +76,20 @@ object AmplifyFixture {
       val s0 = shifted("doc_id")(df, i)
       if (i == 0) s0
       else s0
-        .withColumn("text", concat(coalesce(col("text"), lit("")), lit(s" copy$i")))
+        .withColumn("text",
+          regexp_replace(coalesce(col("text"), lit("")), "(\\S+)", s"$$1c$i"))
         .withColumn("n_chars", length(col("text")).cast("long"))
     }
     amplify("embeddings") { (df, i) =>
       val s0 = shifted("vec_id")(df, i)
       if (i == 0) s0
-      else s0.withColumn("embedding",
-        expr(s"transform(embedding, (x, k) -> cast(x + 0.01d * ((vec_id % 97 + k * 7 + $i * 13) % 11 - 5) as float))"))
+      else {
+        val rnd = new scala.util.Random(7700L + i)
+        val perm = rnd.shuffle((0 until 64).toVector)
+        val sign = Vector.fill(64)(if (rnd.nextBoolean()) 1.0f else -1.0f)
+        s0.withColumn("embedding", array((0 until 64).map(k =>
+          (col("embedding").getItem(perm(k)) * lit(sign(k))).cast("float")): _*))
+      }
     }
     spark.stop()
   }

@@ -164,6 +164,63 @@ class IndexesSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ at full probe width and corpus-wide rerank equals brute force") {
+    // the recall boundary identity: with every cell probed and the ADC cut
+    // wider than the corpus, both approximation layers are no-ops and the
+    // combined index must reproduce exact brute-force top-k row-for-row
+    val cent = spark.read.parquet(graft.queries.PipelineQueries.ivfCentroidsPath)
+    val cb = spark.read.parquet(graft.queries.PipelineQueries.pqCodebooksPath)
+    val dir = Files.createTempDirectory("ivfpq_spec").toString
+    emb.write.mode("overwrite").parquet(s"$dir/emb.parquet")
+    val stable = spark.read.parquet(s"$dir/emb.parquet")
+    val idx = Indexes.ensureIvfPqIndex(spark, stable, cent, cb, dir, nCells = 16)
+    val n = stable.count().toInt
+    val exact = Similarity.bruteForceTopK(stable, 0L, 10).collect().toSeq
+    val got = Indexes.ivfPqTopKIndexed(stable, cent, cb, idx, 0L, 10,
+      nProbe = 16, rerank = n).collect().toSeq
+    assert(got === exact)
+  }
+
+  test("IVF-PQ probe plan: one pruned scan, no assignment, no code recompute") {
+    val cent = spark.read.parquet(graft.queries.PipelineQueries.ivfCentroidsPath)
+    val cb = spark.read.parquet(graft.queries.PipelineQueries.pqCodebooksPath)
+    val dir = Files.createTempDirectory("ivfpq_plan_spec").toString
+    emb.write.mode("overwrite").parquet(s"$dir/emb.parquet")
+    val stable = spark.read.parquet(s"$dir/emb.parquet")
+    val idx = Indexes.ensureIvfPqIndex(spark, stable, cent, cb, dir, nCells = 16)
+    val probe = Indexes.ivfPqTopKIndexed(stable, cent, cb, idx, 0L, 10, nProbe = 4)
+    val plan = probe.queryExecution.executedPlan.toString()
+    // candidate generation + ADC scoring is ONE statically pruned scan of
+    // the cell-partitioned code table
+    assert(plan.contains("PartitionFilters"))
+    // cell assignment (centroid broadcast + max_by) and code assignment
+    // (pqCodeExpr's per-subspace argmin) must both stay at index-build time
+    assert(!plan.contains("max_by"), "probe plan re-assigns cells")
+    val dots = "graft_dot".r.findAllIn(plan).size
+    assert(dots <= 6, s"probe plan has $dots graft_dot calls — model math leaked in:\n$plan")
+  }
+
+  test("batched IVF-PQ ANN == per-query indexed probes") {
+    val cent = spark.read.parquet(graft.queries.PipelineQueries.ivfCentroidsPath)
+    val cb = spark.read.parquet(graft.queries.PipelineQueries.pqCodebooksPath)
+    val dir = Files.createTempDirectory("ivfpq_batch_spec").toString
+    emb.write.mode("overwrite").parquet(s"$dir/emb.parquet")
+    val stable = spark.read.parquet(s"$dir/emb.parquet")
+    val idx = Indexes.ensureIvfPqIndex(spark, stable, cent, cb, dir, nCells = 16)
+    val queries = stable.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val got = Indexes.ivfPqTopKBatch(stable, cent, cb, idx, queries,
+        k = 10, nProbe = 4, rerank = 100)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(r => (r._2, r._3)).toSet }
+    (0L until 5L).foreach { qid =>
+      val single = Indexes.ivfPqTopKIndexed(stable, cent, cb, idx, qid, 10,
+          nProbe = 4, rerank = 100)
+        .as[(Long, Double)].collect().toSet
+      assert(got(qid) === single, s"query $qid")
+    }
+  }
+
   test("superseded index generations are garbage-collected on build") {
     val dir = Files.createTempDirectory("gc_spec").toString
     emb.limit(20).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
