@@ -1100,36 +1100,60 @@ object Indexes {
       s"${corpusFingerprint(emb)}_cc${corpusFingerprint(centroids)}" +
       s"_cb${corpusFingerprint(codebooks)}"
     if (!successExists(spark, path)) {
-      val subDim = dim / nSub
-      val cbs = collectCodebooks(codebooks)
-      val codeCols = (0 until nSub).map { m =>
-        Similarity.pqCodeExpr(
-          slice(col("embedding"), m * subDim + 1, subDim), cbs(m)).as(s"c$m")
-      }
-      val cent = centroids.select(col("cell"), col("centroid").as("cv"),
-        Similarity.norm(col("centroid")).as("cn"))
-      // one corpus pass: codes ride the row through the broadcast
-      // centroid fan-out, the groupBy keeps the argmax cell and (identical
-      // per vec_id) codes — ONE shuffle for assignment, then the
-      // partitioned-layout repartition; no second corpus join.
-      val assigned = emb
-        .select(col("vec_id") +: col("embedding") +:
-          Similarity.norm(col("embedding")).as("nrm") +: codeCols: _*)
-        .join(broadcast(cent))
-        .select(col("vec_id") +: col("cell") +:
-          (graft.functions.DotProduct.dot(col("embedding"), col("cv")) /
-            (col("nrm") * col("cn"))).as("ccos") +:
-          (0 until nSub).map(m => col(s"c$m")): _*)
-        .groupBy(col("vec_id"))
-        .agg(max_by(col("cell"), struct(col("ccos"), -col("cell"))).as("cell"),
-          (0 until nSub).map(m => max(col(s"c$m")).as(s"c$m")): _*)
       val tmp = tmpBuildPath(path)
-      assigned.repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+      writeIvfPqIndex(emb, centroids, codebooks, tmp, nSub, dim)
       commitIndexDir(spark, tmp, path)
       gcSiblings(spark, path, s"ivfpq_k${nCells}_m${nSub}_")
     }
     path
+  }
+
+  /** Build the IVFADC table at `path` (see [[ensureIvfPqIndex]] for the
+    * layout and fingerprinting contract — this is the raw writer the spec
+    * suite points at temp dirs). */
+  def writeIvfPqIndex(emb: DataFrame, centroids: DataFrame,
+                      codebooks: DataFrame, path: String, nSub: Int = 8,
+                      dim: Int = 64): Unit =
+    writeIvfPqRows(emb, centroids, codebooks, path, "overwrite", nSub, dim)
+
+  /** Append a batch's rows to an EXISTING IVF-PQ index — the combined-index
+    * twin of [[appendIvfIndex]] (same job-atomicity and content-addressing
+    * caveats). Cell assignment AND codes must come from the index's own
+    * frozen models; new part files land inside the existing cell partition
+    * directories, so probes keep pruning statically and scoring from codes. */
+  def appendIvfPqIndex(emb: DataFrame, centroids: DataFrame,
+                       codebooks: DataFrame, path: String, nSub: Int = 8,
+                       dim: Int = 64): Unit =
+    writeIvfPqRows(emb, centroids, codebooks, path, "append", nSub, dim)
+
+  private def writeIvfPqRows(emb: DataFrame, centroids: DataFrame,
+                             codebooks: DataFrame, path: String, mode: String,
+                             nSub: Int, dim: Int): Unit = {
+    val subDim = dim / nSub
+    val cbs = collectCodebooks(codebooks)
+    val codeCols = (0 until nSub).map { m =>
+      Similarity.pqCodeExpr(
+        slice(col("embedding"), m * subDim + 1, subDim), cbs(m)).as(s"c$m")
+    }
+    val cent = centroids.select(col("cell"), col("centroid").as("cv"),
+      Similarity.norm(col("centroid")).as("cn"))
+    // one corpus pass: codes ride the row through the broadcast
+    // centroid fan-out, the groupBy keeps the argmax cell and (identical
+    // per vec_id) codes — ONE shuffle for assignment, then the
+    // partitioned-layout repartition; no second corpus join.
+    emb
+      .select(col("vec_id") +: col("embedding") +:
+        Similarity.norm(col("embedding")).as("nrm") +: codeCols: _*)
+      .join(broadcast(cent))
+      .select(col("vec_id") +: col("cell") +:
+        (graft.functions.DotProduct.dot(col("embedding"), col("cv")) /
+          (col("nrm") * col("cn"))).as("ccos") +:
+        (0 until nSub).map(m => col(s"c$m")): _*)
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cell"), struct(col("ccos"), -col("cell"))).as("cell"),
+        (0 until nSub).map(m => max(col(s"c$m")).as(s"c$m")): _*)
+      .repartition(col("cell"))
+      .write.mode(mode).partitionBy("cell").parquet(path)
   }
 
   /** IVF-PQ ADC top-k over the combined index: coarse probe ranked on the
@@ -1251,22 +1275,27 @@ object Indexes {
     * scale path instead of only a loud failure: members of cells past the
     * bound are SUB-BLOCKED by `b` deterministic hyperplane sign bits
     * (SimHash-style, seeded planes — the [[Similarity.planes]] machinery),
-    * where `b` is the smallest integer with `maxCell·2^b ≥ largest cell`
+    * where `b` is the smallest integer with `maxCell·2^b ≥ 4·largest cell`
     * (computed with integer arithmetic so the DuckDB oracle derives the
-    * identical `b`). Pairing then joins on `(cell, subkey)`: expected
-    * sub-block size halves per bit, restoring the bounded-quadratic
-    * contract. The recall trade is the hyperplane one — a same-cell pair
-    * at angle θ survives sub-blocking with probability `(1 − θ/π)^b`
-    * (≈0.9^b at cos 0.95, ≈0.63^b at the 0.4 threshold boundary) — so a
-    * firing sub-block is a degraded-recall mode that keeps the job alive
-    * and bounded; the durable fix remains retraining the quantizer with
-    * more cells. In-bound cells take today's exact path (subkey 0, keys
-    * come from the narrow stored lists with NO embedding join). A final
-    * guard still fails loudly if sub-blocking cannot split a block (4×
-    * slack for hyperplane imbalance): the residual case is a mass of
-    * near-identical embeddings, which no sign bit separates — at that
-    * point the data IS one giant duplicate clique and needs an operator
-    * with clique semantics, not a bigger join.
+    * identical `b`; the 4× over-provision buys 2 margin bits against
+    * hyperplane imbalance — see the inline note at the derivation, with
+    * the measured 10×-corpus imbalance that sized it). Pairing then joins
+    * on `(cell, subkey)`: expected sub-block size halves per bit,
+    * restoring the bounded-quadratic contract. The recall trade is the
+    * hyperplane one — a same-cell pair at angle θ survives sub-blocking
+    * with probability `(1 − θ/π)^b` (≈0.9^b at cos 0.95, ≈0.63^b at the
+    * 0.4 threshold boundary; the margin bits cost recall in exactly this
+    * formula, which is why the margin is 2 bits and not more — measured
+    * per round by q_semantic_dedup_recall) — so a firing sub-block is a
+    * degraded-recall mode that keeps the job alive and bounded; the
+    * durable fix remains retraining the quantizer with more cells.
+    * In-bound cells take today's exact path (subkey 0, keys come from the
+    * narrow stored lists with NO embedding join). A final guard still
+    * fails loudly if sub-blocking cannot split a block (8× slack over
+    * maxCellSize): the residual case is a mass of near-identical
+    * embeddings, which no sign bit separates — at that point the data IS
+    * one giant duplicate clique and needs an operator with clique
+    * semantics, not a bigger join.
     *
     * Recall trade, explicit like the LSH banding notes
     * (Similarity.scala banding scaladoc): cross-cell true-dup pairs are
@@ -1312,9 +1341,20 @@ object Indexes {
       if (big <= maxCellSize)
         idx.withColumn("sub", lit(0L))
       else {
-        // Smallest b with maxCellSize·2^b ≥ big — pure integer arithmetic
+        // Smallest b with maxCellSize·2^b ≥ 4·big — pure integer arithmetic
         // (no log2 floating point) so the oracle derives the identical b.
-        val b = (0 to 32).find(i => (maxCellSize << i) >= big).getOrElse(32)
+        // The 4× over-provision (2 margin bits) covers hyperplane IMBALANCE:
+        // sign-bit splits of a clustered (non-centered) cell are not
+        // balanced halvings, so the worst (cell, subkey) block runs a
+        // multiple of the perfect-split expectation — measured 5.1× over
+        // 8 bits on a 10× corpus (worst block 41 vs expectation 8, which
+        // tripped the old 4× guard). Imbalance compounds per bit (worst
+        // block ≈ big·p^b for the worst per-bit split fraction p > 1/2;
+        // measured p ≈ 0.61), so margin bits + the 8× guard slack below buy
+        // ~32× combined headroom — enough through ~100× growth of the
+        // biggest cell, past which the durable fix remains retraining the
+        // quantizer with more cells (k should scale with the corpus anyway).
+        val b = (0 to 32).find(i => (maxCellSize << i) >= (big << 2)).getOrElse(32)
         val dim = emb.select(size(col("embedding"))).head().getInt(0)
         val subKeyed = idx
           .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
@@ -1335,11 +1375,11 @@ object Indexes {
         subKeyed
           .withColumn("block_n", count(lit(1)).over(wn))
           .select(col("cell"), col("vec_id"),
-            when(col("block_n") > 4 * maxCellSize,
+            when(col("block_n") > 8 * maxCellSize,
               raise_error(concat(
                 lit("semantic-dedup sub-block bound violated: a (cell, subkey) " +
                   "block still holds "), col("block_n"),
-                lit(s" vectors after $b sign bits (> 4x maxCellSize=" +
+                lit(s" vectors after $b sign bits (> 8x maxCellSize=" +
                   s"$maxCellSize) - near-identical embeddings at mass form a " +
                   "duplicate CLIQUE no hyperplane separates; handle with " +
                   "clique semantics or retrain the quantizer"))))

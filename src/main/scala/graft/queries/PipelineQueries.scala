@@ -1260,12 +1260,18 @@ object PipelineQueries {
     * subkeys, in-block pairing, transitive closure — so the degraded-
     * recall mode is hash-verified, not rows-only. Results legitimately
     * differ from q_semantic_dedup: sub-blocking sacrifices cross-block
-    * pairs by construction (the documented recall trade). */
+    * pairs by construction (the documented recall trade). Threshold is
+    * 0.35 here (vs the family's 0.4): the fixture's pairs crowd the cos
+    * 0.40-0.48 decision boundary where sub-block survival is lowest, and
+    * after the round-11 margin bits the 0.4 cut left ZERO survivors at the
+    * verify SF — a hash-matching-empty gate verifies nothing, so the audit
+    * widens the true-pair pool enough that the degraded mode demonstrably
+    * KEEPS pairs (rows > 0) while every derivation stays oracle-replayed. */
   def semanticDedupBlocked(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     val cent = s.read.parquet(ivfCentroidsPath)
     val idx = graft.ops.Indexes.ensureIvfIndex(s, emb, cent, d, nCells = 16)
-    graft.ops.Indexes.semanticDedupGroups(emb, idx, threshold = 0.4,
+    graft.ops.Indexes.semanticDedupGroups(emb, idx, threshold = 0.35,
         maxCellSize = 8L)
       .orderBy(col("rep"))
   }
@@ -1295,7 +1301,7 @@ object PipelineQueries {
        |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) = 1),
        |sizes AS (SELECT cell, count(*) AS csz FROM cells GROUP BY cell),
        |b AS (SELECT min(i)::INTEGER AS bits FROM range(0, 33) t(i), (SELECT max(csz) AS mx FROM sizes)
-       |      WHERE (8::BIGINT << i) >= mx),
+       |      WHERE (8::BIGINT << i) >= (mx << 2)),
        |pl AS (SELECT j, p FROM ${graft.ops.Similarity.planesSqlValues(33, 64, 4242L)}),
        |wc AS (SELECT e.vec_id, e.v, e.nrm, cells.cell, sizes.csz
        |       FROM e JOIN cells USING (vec_id) JOIN sizes USING (cell)
@@ -1310,7 +1316,7 @@ object PipelineQueries {
        |p AS (SELECT a.vec_id AS doc_a, b2.vec_id AS doc_b
        |      FROM keyed a JOIN keyed b2
        |        ON a.cell = b2.cell AND a.sub = b2.sub AND a.vec_id < b2.vec_id
-       |      WHERE round(list_dot_product(a.v, b2.v) / (a.nrm * b2.nrm), 6) > 0.4),
+       |      WHERE round(list_dot_product(a.v, b2.v) / (a.nrm * b2.nrm), 6) > 0.35),
        |sym AS (SELECT doc_a AS src, doc_b AS dst FROM p
        |        UNION SELECT doc_b, doc_a FROM p),
        |reach(src, dst) AS (
@@ -1377,7 +1383,7 @@ object PipelineQueries {
        |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) = 1),
        |sizes AS (SELECT cell, count(*) AS csz FROM cells GROUP BY cell),
        |b AS (SELECT min(i)::INTEGER AS bits FROM range(0, 33) t(i), (SELECT max(csz) AS mx FROM sizes)
-       |      WHERE (8::BIGINT << i) >= mx),
+       |      WHERE (8::BIGINT << i) >= (mx << 2)),
        |pl AS (SELECT j, p FROM ${graft.ops.Similarity.planesSqlValues(33, 64, 4242L)}),
        |wc AS (SELECT e.vec_id, e.v, e.nrm, cells.cell, sizes.csz
        |       FROM e JOIN cells USING (vec_id) JOIN sizes USING (cell)
@@ -1498,7 +1504,7 @@ object PipelineQueries {
        |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) = 1),
        |sizes AS (SELECT cell, count(*) AS csz FROM cells GROUP BY cell),
        |b AS (SELECT min(i)::INTEGER AS bits FROM range(0, 33) t(i), (SELECT max(csz) AS mx FROM sizes)
-       |      WHERE (8::BIGINT << i) >= mx),
+       |      WHERE (8::BIGINT << i) >= (mx << 2)),
        |pl AS (SELECT j, p FROM ${graft.ops.Similarity.planesSqlValues(33, 64, 4242L)}),
        |wc AS (SELECT e.vec_id, e.v, e.nrm, cells.cell, sizes.csz
        |       FROM e JOIN cells USING (vec_id) JOIN sizes USING (cell)

@@ -392,6 +392,23 @@ class IndexesSpec extends AnyFunSuite {
     assert(gi === wi, "IVF probe over the appended index must match a rebuild")
   }
 
+  test("appendIvfPqIndex: appended combined index equals a rebuild") {
+    val cent = spark.read.parquet(graft.queries.PipelineQueries.ivfCentroidsPath)
+    val cb = spark.read.parquet(graft.queries.PipelineQueries.pqCodebooksPath)
+    val half1 = emb.where(col("vec_id") % 2 === 0)
+    val half2 = emb.where(col("vec_id") % 2 === 1)
+    val grown = Files.createTempDirectory("ivfpq_append_spec").toString + "/idx"
+    Indexes.writeIvfPqIndex(half1, cent, cb, grown)
+    Indexes.appendIvfPqIndex(half2, cent, cb, grown)
+    val full = Files.createTempDirectory("ivfpq_append_full").toString + "/idx"
+    Indexes.writeIvfPqIndex(emb, cent, cb, full)
+    val got = Indexes.ivfPqTopKIndexed(emb, cent, cb, grown, 7L, 10, nProbe = 4)
+      .as[(Long, Double)].collect().toSeq
+    val want = Indexes.ivfPqTopKIndexed(emb, cent, cb, full, 7L, 10, nProbe = 4)
+      .as[(Long, Double)].collect().toSeq
+    assert(got === want, "IVF-PQ probe over the appended index must match a rebuild")
+  }
+
   test("racing ensureShingleSets builders converge on one committed generation") {
     val docs = graft.engine.Tables.documents(spark, sf)
     import scala.concurrent.{Await, Future}

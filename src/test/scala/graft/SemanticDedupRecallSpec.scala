@@ -16,14 +16,15 @@ import graft.queries.PipelineQueries
   * MEASURED (sf0.001, deterministic — fixed fixture, seed, and planes):
   * all 66 brute-force true pairs sit at cos 0.40–0.48, the decision-boundary
   * worst case (the near-uniform fixture is the documented adversarial shape
-  * for sign-LSH, same as the ANN banding note in Similarity.scala); at the
-  * derived b = 3 sign bits the formula predicts mean survival ≈ 0.26, and
-  * the measured same-cell recall is 3/13 ≈ 0.231 — the formula holds. So
-  * the honest floors are: same-cell recall ≥ 0.2 on the boundary-cosine
-  * fixture (NOT the 0.8 a high-cosine corpus would show), plus a synthetic
-  * high-cosine check demonstrating the ≥ 0.7 regime the operator actually
-  * targets (SemDeDup prunes near-duplicates, cos ≥ 0.9, where per-bit
-  * survival is ≈ 0.9).
+  * for sign-LSH, same as the ANN banding note in Similarity.scala). Round 11
+  * added 2 margin bits to the b derivation (hyperplane-imbalance headroom,
+  * sized from a measured 10×-corpus block overflow — see semanticDedupPairs),
+  * so the derived b here rose 3 → 5 and the formula's predicted mean
+  * survival dropped ≈ 0.26 → ≈ 0.13; the primary check is formula-vs-
+  * measurement consistency (±0.25), with a 0.05 floor against a silently
+  * broken derivation. The synthetic high-cosine check demonstrates the
+  * regime the operator actually targets (SemDeDup prunes near-duplicates,
+  * cos ≥ 0.9, where per-bit survival is ≈ 0.9).
   *
   * Two recall numbers, separating the two documented sacrifice mechanisms:
   *  - same-cell recall: of the true cosine pairs that share a coarse cell
@@ -84,10 +85,12 @@ class SemanticDedupRecallSpec extends AnyFunSuite {
 
     // Formula prediction for THESE pairs: mean (1 − θ/π)^b over the
     // same-cell true pair set, at the operator's derived b (smallest i with
-    // 8 << i ≥ biggest cell — recomputed here the same way).
+    // 8 << i ≥ 4 × biggest cell — recomputed here the same way).
     val cellCounts = spark.read.parquet(idx).groupBy(col("cell")).count()
       .agg(max(col("count"))).head().getLong(0)
-    val b = (0 to 32).find(i => (8L << i) >= cellCounts).getOrElse(32)
+    // same derivation as the operator: 2 margin bits (4× over-provision)
+    // against hyperplane imbalance — see semanticDedupPairs
+    val b = (0 to 32).find(i => (8L << i) >= (cellCounts << 2)).getOrElse(32)
     val cosOf = brute.collect().map(r => (r.getLong(0), r.getLong(1)) ->
       r.getDouble(2)).toMap
     val predicted = cellSet.toSeq.map { p =>
@@ -108,10 +111,13 @@ class SemanticDedupRecallSpec extends AnyFunSuite {
       f"measured same-cell recall $sameCellRecall%.3f is inconsistent with " +
         f"the formula's $predicted%.3f at b=$b")
     // The honest fixture floor (deterministic: fixed seed, fixed fixture):
-    // measured 0.231 on boundary-cosine pairs; 0.2 guards against any
-    // silent derivation regression without overfitting to one pair.
-    assert(sameCellRecall >= 0.2,
-      f"sub-blocking recall $sameCellRecall%.3f fell below the 0.2 floor " +
+    // the fixture's pairs all sit at the cos 0.40-0.48 decision boundary,
+    // the worst case for sign-LSH, and the round-11 margin bits (b 3 → 5
+    // here) lowered the formula's prediction to ~0.13 — the 0.05 floor
+    // guards against a silently broken derivation (recall ≈ 0) while the
+    // ±0.25 formula-consistency band above stays the primary check.
+    assert(sameCellRecall >= 0.05,
+      f"sub-blocking recall $sameCellRecall%.3f fell below the 0.05 floor " +
         f"(${blockedSet.size} of ${cellSet.size} same-cell pairs survived)")
   }
 
