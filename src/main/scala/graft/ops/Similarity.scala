@@ -55,6 +55,27 @@ object Similarity {
     Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Corpus-scaled band width for the all-pairs banded LSH self-join: the
+    * smallest `b` with `targetBucket · 2^b ≥ n`, floored at `floor`.
+    *
+    * WHY (round-11 scale probe): with a FIXED `b`, per-bucket occupancy
+    * grows linearly with the corpus and the candidate self-join is
+    * quadratic PER BUCKET — a 10× corpus ran the near-dup pair query 39×
+    * slower (2^6 buckets × 312 members each vs 31). Text MinHash banding
+    * does not have this problem because its band keys are unbounded content
+    * hashes; sign-bit keys live in a fixed 2^b space, so `b` must grow
+    * with log(n) to hold expected occupancy at `targetBucket`. Derived
+    * with pure integer arithmetic so the DuckDB oracle replays the
+    * identical `b` (the semantic-dedup sub-block precedent).
+    *
+    * Recall trade, explicit: per-table true-pair collision is `p^b`
+    * (p = 1 − θ/π), so growing `b` at FIXED table count L lowers recall
+    * `1 − (1 − p^b)^L`; the production knob is raising L alongside b
+    * (L ∝ p^−b restores recall at ~linear extra index cost). The floor
+    * keeps every committed fixture scale at the historical b = 6. */
+  def scaledBandBits(n: Long, targetBucket: Long = 32L, floor: Int = 6): Int =
+    math.max(floor, (0 to 32).find(i => (targetBucket << i) >= n).getOrElse(32))
+
   /** `(VALUES (0, [..]::DOUBLE[]), ...) planes(j, p)` — the identical plane
     * constants for a DuckDB oracle. Scala's `Double.toString` is
     * round-trip-exact, so both engines see bit-identical planes. */

@@ -1543,20 +1543,39 @@ object PipelineQueries {
        |FROM smpl, brute, cellp, blocked""".stripMargin
   }
 
+  /** All-pairs embedding near-dups off the flat banded index, with the band
+    * width derived from the corpus size ([[Similarity.scaledBandBits]] —
+    * the round-11 scale-probe fix: fixed 2^6 buckets made the candidate
+    * self-join quadratic in corpus growth, 39× at a 10× corpus). Every
+    * committed fixture SF still derives b = 6 (the floor), so historical
+    * results are unchanged; bigger corpora get proportionally more buckets
+    * and a fresh index generation (b is part of the index path). */
   def embeddingNearDups(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
-    val idx = graft.ops.Indexes.ensureLshIndex(s, emb, d, bBits = 6, lTables = 8,
+    val b = Similarity.scaledBandBits(emb.count())
+    val idx = graft.ops.Indexes.ensureLshIndex(s, emb, d, bBits = b, lTables = 8,
       partitionByBucket = false) // full-scan consumer: flat layout
     graft.ops.Indexes.bandedNearDupPairsIndexed(emb, idx, threshold = 0.4)
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Oracle twin of [[embeddingNearDups]]: derives the same corpus-scaled
+    * band width `nb.bits` (integer shift compare, floored at 6) and keys
+    * each of the 8 tables off the first `bits` planes of its contiguous
+    * stride in the shared seeded stream. The literal embeds 128 planes —
+    * covering every derivable b ≤ 16, i.e. corpora to 32·2^16 ≈ 2M vectors,
+    * far past any verify SF (the 33-plane sub-block provisioning note,
+    * scaled up). */
   val embeddingNearDupsSql: String =
     s"""WITH $duckNormed,
-       |pl AS (SELECT j // 6 AS t, j % 6 AS bit, p FROM ${Similarity.planesSqlValues(48, 64, 42L)}),
-       |bk AS (SELECT e.vec_id, pl.t,
-       |         sum(CASE WHEN list_dot_product(e.v, pl.p) > 0 THEN (1::BIGINT << pl.bit) ELSE 0 END)::BIGINT AS key
-       |       FROM e CROSS JOIN pl GROUP BY e.vec_id, pl.t),
+       |nb AS (SELECT greatest(6, (SELECT min(i)::INTEGER
+       |                           FROM range(0, 33) t(i), (SELECT count(*) AS n FROM e) cn
+       |                           WHERE (32::BIGINT << i) >= cn.n)) AS bits),
+       |pl AS (SELECT j, p FROM ${Similarity.planesSqlValues(128, 64, 42L)}),
+       |bk AS (SELECT e.vec_id, (pl.j // nb.bits) AS t,
+       |         sum(CASE WHEN list_dot_product(e.v, pl.p) > 0 THEN (1::BIGINT << (pl.j % nb.bits)) ELSE 0 END)::BIGINT AS key
+       |       FROM e CROSS JOIN pl, nb WHERE pl.j < nb.bits * 8
+       |       GROUP BY e.vec_id, (pl.j // nb.bits)),
        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |         FROM bk a JOIN bk b ON a.t = b.t AND a.key = b.key AND a.vec_id < b.vec_id)
        |SELECT vec_a, vec_b, cos FROM (

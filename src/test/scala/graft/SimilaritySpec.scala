@@ -155,4 +155,21 @@ class SimilaritySpec extends AnyFunSuite {
       assert(all.get(k).contains(r.getAs[Double]("cos")), s"pair=$k")
     }
   }
+
+  test("scaledBandBits: floor at fixture scales, log-growth past them") {
+    // every committed fixture SF derives the historical b = 6 (unchanged
+    // results), and occupancy stays ~targetBucket as the corpus grows —
+    // the round-11 probe fix for the quadratic candidate self-join
+    assert(Similarity.scaledBandBits(500) === 6)
+    assert(Similarity.scaledBandBits(2000) === 6)
+    assert(Similarity.scaledBandBits(2048) === 6)
+    assert(Similarity.scaledBandBits(2049) === 7)
+    assert(Similarity.scaledBandBits(20000) === 10)
+    assert(Similarity.scaledBandBits(2000000) === 16)
+    // expected bucket occupancy n / 2^b never exceeds targetBucket
+    Seq(100L, 5000L, 123456L, 10000000L).foreach { n =>
+      val b = Similarity.scaledBandBits(n)
+      assert(n.toDouble / (1L << b) <= 32.0, s"n=$n b=$b")
+    }
+  }
 }
