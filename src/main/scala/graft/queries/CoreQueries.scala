@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.engine.{Guards, Parse, Tables}
+import graft.engine.{Guards, Medians, Parse, Tables}
 
 /** The reference's analytical operator inventory (SURVEY.md §2) re-expressed
   * as declarative Spark plans over the fixture tables.
@@ -58,6 +58,30 @@ object CoreQueries {
       |  FROM lineitem GROUP BY l_suppkey
       |  ORDER BY n DESC, l_suppkey ASC LIMIT 20
       |) ORDER BY med DESC, l_suppkey ASC""".stripMargin
+
+  /** Exact per-group median in the SPILL-SAFE window shape
+    * ([[graft.engine.Medians.exactMedianByKey]]) — the registered scale
+    * path for FACT-keyed medians that [[graft.engine.Guards.boundedMedian]]'s
+    * loud contract points at: here the key is `l_returnflag` (3-4 groups ×
+    * the whole fact table — exactly the shape the buffered median aggregate
+    * is wrong for). Shuffle + external sort + rank selection; no group
+    * buffer, no size contract. The oracle replays the identical rank
+    * arithmetic, so neither engine's built-in median interpolation is
+    * trusted for hash parity. */
+  def medianScalable(s: SparkSession, d: String): DataFrame =
+    Medians.exactMedianByKey(lineitem(s, d), Seq("l_returnflag"),
+        "l_extendedprice", out = "med_raw")
+      .select(col("l_returnflag"), round(col("med_raw"), 4).as("med"))
+      .orderBy(col("l_returnflag"))
+
+  val medianScalableSql: String =
+    """WITH r AS (SELECT l_returnflag, l_extendedprice AS v,
+      |                  row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+      |                  count(*) OVER (PARTITION BY l_returnflag) AS n
+      |           FROM lineitem WHERE l_extendedprice IS NOT NULL)
+      |SELECT l_returnflag, round(avg(v), 4) AS med
+      |FROM r WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** A1/A2-style grouped means with deterministic rounding (TPC-H Q1 shape).
     * One shuffle on the two low-cardinality keys; partial aggregation makes

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.Medians
+
+/** The spill-safe exact median ([[graft.engine.Medians.exactMedianByKey]])
+  * must agree with Spark's buffered `median` aggregate everywhere the
+  * buffered one is usable — same interpolating exact semantics, different
+  * memory contract. */
+class MediansSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("window-shape median == buffered median on the fixture (per key)") {
+    val li = graft.engine.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val want = li.groupBy(col("l_returnflag"))
+      .agg(median(col("l_extendedprice")).as("med"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val got = Medians.exactMedianByKey(li, Seq("l_returnflag"), "l_extendedprice")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, v) =>
+      // (a+b)/2 vs Spark's a+(b-a)*0.5 interpolation can differ in the last
+      // ulp; the values here are parquet doubles, so a tiny relative band
+      assert(math.abs(v - want(k)) <= math.abs(want(k)) * 1e-12 + 1e-12,
+        s"key $k: window $v vs buffered ${want(k)}")
+    }
+  }
+
+  test("odd and even group sizes, nulls excluded, interpolation exact") {
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(3.0)), ("a", Some(2.0)),              // odd: 2.0
+      ("b", Some(1.0)), ("b", Some(2.0)), ("b", Some(30.0)), ("b", Some(4.0)), // even: 3.0
+      ("c", Some(5.0)), ("c", None)                                      // null dropped: 5.0
+    ).toDF("k", "v")
+    val got = Medians.exactMedianByKey(df, Seq("k"), "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === Map("a" -> 2.0, "b" -> 3.0, "c" -> 5.0))
+  }
+
+  test("plan shape: Window rank selection, no buffered median aggregate") {
+    val li = graft.engine.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val plan = Medians.exactMedianByKey(li, Seq("l_returnflag"), "l_extendedprice")
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("Window"), "median must go through WindowExec")
+    assert(!plan.contains("median("),
+      "the buffered median aggregate leaked into the spill-safe path")
+    // both window specs (ordered row_number, frame-less count) must ride ONE
+    // exchange on the group key — the operator's single-shuffle contract
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected the windows + final agg to reuse one " +
+      s"key exchange, found $exchanges hash exchanges:\n$plan")
+  }
+}
