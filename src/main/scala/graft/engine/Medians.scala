@@ -37,7 +37,14 @@ import org.apache.spark.sql.functions._
 object Medians {
 
   /** (keys..., median_<value>) — one row per group, exact interpolated
-    * median of `value`. */
+    * median of `value`.
+    *
+    * PARALLELISM CONTRACT (measured at a 30× fixture): a window partition is
+    * one task, so wall-clock parallelism is min(|groups|, cores) — with 3
+    * giant groups, 3 tasks sort everything while 29 cores idle. Memory-safe
+    * at any group size (that is this shape's point), but for FEWER groups
+    * than cores use [[exactMedianSelect]], which trades one sort for
+    * ~log_B(n) fully-parallel scans. */
   def exactMedianByKey(df: DataFrame, keys: Seq[String], value: String,
                        out: String = "med"): DataFrame = {
     val byKey = Window.partitionBy(keys.map(col): _*)
@@ -51,5 +58,156 @@ object Medians {
       .where(expr("_rn = (_n + 1) div 2 OR _rn = _n div 2 + 1"))
       .groupBy(keys.map(col): _*)
       .agg(avg(col(value)).as(out))
+  }
+
+  /** Exact interpolated median by DISTRIBUTED RANK SELECTION — the
+    * few-giant-groups twin of [[exactMedianByKey]] (the classic parallel
+    * selection algorithm: iterative histogram refinement, the shape
+    * warehouse engines use for exact percentiles over non-partitionable
+    * keys).
+    *
+    * Each round broadcasts the per-(group, target-rank) search state
+    * (lo, hi, rank offset), histograms the in-range values into `buckets`
+    * equi-width cells IN PARALLEL over the whole cluster (a filter +
+    * group-by, no sort, no window), and the driver walks the tiny
+    * cumulative counts to pick the cell containing the target rank. The
+    * next round's range is the chosen cell's ACTUAL (min, max) — so each
+    * round either resolves the rank (all-equal cell: lo == hi) or strictly
+    * splits, giving ~log_B(n) rounds (3 rounds covers n = 10^11 at the
+    * default B = 4096). A cell down to `collectLimit` rows short-circuits:
+    * those values collect and the driver selects directly. Duplicate-heavy
+    * spikes resolve in one round (the spike cell's min == max).
+    *
+    * Exactness does not depend on float bucket boundaries: the bucket index
+    * is weakly monotone in the value, counts and per-cell min/max are
+    * exact, and rank arithmetic is integer — boundary rounding can only
+    * shift WHERE the range splits, never the selected value. Interpolation
+    * replays [[exactMedianByKey]]'s integer rank rule ((n+1) div 2 and
+    * n div 2 + 1, averaged), so both shapes — and the shared DuckDB oracle
+    * — agree exactly.
+    *
+    * Contracts: driver holds |groups|·2 states and collects ≤
+    * |groups|·2·buckets histogram rows per round — the operator is FOR few
+    * giant groups (use the window shape when groups are many); values must
+    * be NaN-free (NaN has no rank in an equi-width histogram); nulls are
+    * excluded like every exact-median path. ~1 + rounds + 1 scans of the
+    * fact, each embarrassingly parallel. */
+  def exactMedianSelect(df: DataFrame, keys: Seq[String], value: String,
+                        out: String = "med", buckets: Int = 4096,
+                        collectLimit: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    val kCols = keys.map(col)
+    val base = df.where(col(value).isNotNull)
+      .select(kCols :+ col(value).cast("double").as("_v"): _*)
+
+    // round 0: per-group count/min/max → two target ranks per group
+    val stats = base.groupBy(kCols: _*)
+      .agg(count(lit(1)).as("_n"), min(col("_v")).as("_lo"), max(col("_v")).as("_hi"))
+      .collect()
+    // state: groupKey -> per-target (rank, lo, hi, offset, resolved value)
+    final case class St(rank: Long, var lo: Double, var hi: Double,
+                        var offset: Long, var value: Option[Double] = None)
+    val states: Seq[(Row, Seq[St])] = stats.toSeq.map { r =>
+      val n = r.getLong(keys.size)
+      val (lo, hi) = (r.getDouble(keys.size + 1), r.getDouble(keys.size + 2))
+      val ranks = Seq((n + 1) / 2, n / 2 + 1).distinct
+      val key = Row.fromSeq(r.toSeq.take(keys.size))
+      key -> ranks.map { rk =>
+        val st = St(rk, lo, hi, 0L)
+        if (lo == hi) st.value = Some(lo)
+        st
+      }
+    }
+    val keySchema = org.apache.spark.sql.types.StructType(
+      base.schema.fields.take(keys.size))
+
+    def openStates = states.flatMap { case (k, sts) =>
+      sts.filter(_.value.isEmpty).map(k -> _)
+    }
+    // broadcast the open search ranges; one row per (group, target)
+    def stateDf(open: Seq[(Row, St)]) = {
+      val rows = open.zipWithIndex.map { case ((k, st), i) =>
+        // Seq[Any]: a bare Seq(i, lo, hi) would numeric-widen the Int to
+        // Double and break the IntegerType row encoder
+        Row.fromSeq(k.toSeq ++ Seq[Any](i, st.lo, st.hi))
+      }
+      val schema = org.apache.spark.sql.types.StructType(
+        keySchema.fields.map(f => f.copy(name = "_k_" + f.name)) ++ Seq(
+          org.apache.spark.sql.types.StructField("_sid", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("_slo", org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("_shi", org.apache.spark.sql.types.DoubleType)))
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    }
+    def joined(open: Seq[(Row, St)]) = {
+      // null-safe key equality: a null group key is a real group for the
+      // window shape (partitionBy groups nulls), so it must be here too
+      val cond = keys.map(k => col(k) <=> col("_k_" + k)).reduce(_ && _) &&
+        col("_v") >= col("_slo") && col("_v") <= col("_shi")
+      base.join(broadcast(stateDf(open)), cond)
+    }
+
+    var open = openStates
+    var round = 0
+    while (open.nonEmpty && round < 64) { // 64 = paranoia bound; ~log_B(n) real
+      round += 1
+      // histogram the in-range rows of every open (group, target) at once
+      val bkt = least(lit(buckets - 1),
+        floor((col("_v") - col("_slo")) * buckets / (col("_shi") - col("_slo"))))
+        .cast("int")
+      val hist = joined(open)
+        .groupBy(col("_sid"), bkt.as("_b"))
+        .agg(count(lit(1)).as("_c"), min(col("_v")).as("_bmin"), max(col("_v")).as("_bmax"))
+        .collect()
+        .groupBy(_.getInt(0))
+      open.zipWithIndex.foreach { case ((_, st), sid) =>
+        val cells = hist.getOrElse(sid, Array.empty[Row]).sortBy(_.getInt(1))
+        var cum = st.offset
+        var done = false
+        cells.foreach { c =>
+          if (!done) {
+            val (cnt, bmin, bmax) = (c.getLong(2), c.getDouble(3), c.getDouble(4))
+            if (st.rank <= cum + cnt) {
+              done = true
+              if (bmin == bmax) st.value = Some(bmin) // all-equal cell: resolved
+              else { st.lo = bmin; st.hi = bmax; st.offset = cum }
+            } else cum += cnt
+          }
+        }
+        require(done, s"selection rank ${st.rank} not found (state $sid) — " +
+          "values mutated between rounds?")
+      }
+      open = openStates
+      // collect-finish for narrow states: when a range is tiny, pull its
+      // values and select on the driver instead of another full round
+      if (open.nonEmpty) {
+        val counts = joined(open).groupBy(col("_sid")).agg(count(lit(1)).as("_c"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val finals = open.zipWithIndex.filter { case ((_, st), sid) =>
+          counts.getOrElse(sid, 0L) <= collectLimit
+        }
+        if (finals.nonEmpty) {
+          val fOpen = finals.map(_._1)
+          val vals = joined(fOpen)
+            .select(col("_sid"), col("_v")).collect()
+            .groupBy(_.getInt(0))
+          fOpen.zipWithIndex.foreach { case ((_, st), sid) =>
+            val vs = vals(sid).map(_.getDouble(1)).sorted
+            st.value = Some(vs((st.rank - st.offset - 1).toInt))
+          }
+          open = openStates
+        }
+      }
+    }
+    require(open.isEmpty, s"median selection did not converge in $round rounds")
+
+    val outRows = states.map { case (k, sts) =>
+      val med = sts.map(_.value.get).sum / sts.size
+      Row.fromSeq(k.toSeq :+ med)
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(
+      keySchema.fields :+
+        org.apache.spark.sql.types.StructField(out, org.apache.spark.sql.types.DoubleType))
+    spark.createDataFrame(spark.sparkContext.parallelize(outRows, 1), outSchema)
   }
 }

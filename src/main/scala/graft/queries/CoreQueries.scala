@@ -83,6 +83,24 @@ object CoreQueries {
       |FROM r WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** The same fact-keyed exact median through DISTRIBUTED RANK SELECTION
+    * ([[graft.engine.Medians.exactMedianSelect]]): iterative histogram
+    * refinement — filter + group-by per round, no sort, no window — so
+    * wall-clock parallelism is the CLUSTER's, not the group count's (the
+    * window shape above serializes onto |groups| tasks; measured 19 s vs
+    * this shape at a 30× fixture with 3 groups). Result-identical to
+    * [[medianScalable]] by construction, so both registered queries share
+    * one oracle: the median is a deterministic function of the multiset,
+    * and the oracle verifies SEMANTICS — the algorithm is pinned by the
+    * equality spec (MediansSpec) instead. */
+  def medianSelect(s: SparkSession, d: String): DataFrame =
+    Medians.exactMedianSelect(lineitem(s, d), Seq("l_returnflag"),
+        "l_extendedprice", out = "med_raw")
+      .select(col("l_returnflag"), round(col("med_raw"), 4).as("med"))
+      .orderBy(col("l_returnflag"))
+
+  val medianSelectSql: String = medianScalableSql
+
   /** A1/A2-style grouped means with deterministic rounding (TPC-H Q1 shape).
     * One shuffle on the two low-cardinality keys; partial aggregation makes
     * the exchange carry ~|groups| rows per mapper regardless of input size. */

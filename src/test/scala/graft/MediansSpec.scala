@@ -39,6 +39,35 @@ class MediansSpec extends AnyFunSuite {
     assert(got === Map("a" -> 2.0, "b" -> 3.0, "c" -> 5.0))
   }
 
+  test("selection shape == window shape == buffered median on the fixture") {
+    val li = graft.engine.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val want = li.groupBy(col("l_returnflag"))
+      .agg(median(col("l_extendedprice")).as("med"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val got = Medians.exactMedianSelect(li, Seq("l_returnflag"), "l_extendedprice")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) <= math.abs(want(k)) * 1e-12 + 1e-12,
+        s"key $k: selection $v vs buffered ${want(k)}")
+    }
+  }
+
+  test("selection shape: duplicate spike, odd/even, null-only group excluded") {
+    // a 10k-row spike of one value forces the all-equal-cell fast path;
+    // the odd/even groups exercise both interpolation arms through the
+    // iterative machinery; the null-only group must vanish (window parity)
+    val spike = Seq.fill(10000)(("s", Some(7.5))) ++
+      Seq(("s", Some(1.0)), ("s", Some(99.0))) ++                       // 10002 rows: median 7.5
+      Seq(("o", Some(5.0)), ("o", Some(1.0)), ("o", Some(3.0))) ++      // odd: 3.0
+      Seq(("e", Some(1.0)), ("e", Some(2.0)), ("e", Some(8.0)), ("e", Some(10.0))) ++ // even: 5.0
+      Seq(("z", Option.empty[Double]))
+    val df = spike.toDF("k", "v")
+    val got = Medians.exactMedianSelect(df, Seq("k"), "v", collectLimit = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === Map("s" -> 7.5, "o" -> 3.0, "e" -> 5.0))
+  }
+
   test("plan shape: Window rank selection, no buffered median aggregate") {
     val li = graft.engine.Tables.lineitem(spark, "/root/testdata/sf0.001")
     val plan = Medians.exactMedianByKey(li, Seq("l_returnflag"), "l_extendedprice")
