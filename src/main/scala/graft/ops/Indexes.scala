@@ -1072,6 +1072,45 @@ object Indexes {
       .limit(k)
   }
 
+  /** FILTERED ANN over the IVF inverted lists — vector search under a
+    * metadata predicate, the production "filtered search" shape (every
+    * vector store's hardest mode): candidates come from the statically
+    * pruned probe cells as in [[ivfTopKIndexed]], then PRE-FILTER against
+    * the caller's eligible-id frame BEFORE the exact re-rank, so the top-k
+    * cut ranks only rows satisfying the predicate — exact filtering, not
+    * the post-filter-with-over-fetch approximation (which can return < k
+    * rows or rank ineligible vectors into the cut).
+    *
+    * Scale shape: `eligible` is typically a pushed-down predicate scan of
+    * the corpus (its filter reaches the parquet scan); the semi-join
+    * shuffles only the PROBED cells' ids (~nProbe/nCells of the corpus)
+    * against it, and AQE picks a broadcast when the predicate is
+    * selective. The recall knob interaction is the documented one: a
+    * selective filter thins every probe cell, so callers widen `nProbe`
+    * proportionally (the registered query probes 8 of 16 cells at a ~10%
+    * filter vs the unfiltered query's 4). */
+  def ivfTopKFilteredIndexed(emb: DataFrame, centroids: DataFrame,
+                             indexPath: String, eligible: DataFrame,
+                             queryId: Long, k: Int, nProbe: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val qv = queryVector(emb, queryId)
+    val probes = rankProbes(qv, centroids, nProbe)
+    val candIds = spark.read.parquet(indexPath)
+      .where(col("cell").isin(probes: _*))
+      .where(col("vec_id") =!= queryId)
+      .join(eligible.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"))
+    val q = emb.where(col("vec_id") === queryId)
+      .select(col("embedding").as("qv"), Similarity.norm(col("embedding")).as("qn"))
+    emb.join(candIds, Seq("vec_id"), "left_semi")
+      .join(broadcast(q))
+      .select(col("vec_id"),
+        round(graft.functions.DotProduct.dot(col("embedding"), col("qv")) /
+          (Similarity.norm(col("embedding")) * col("qn")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   // ---- IVF-PQ (IVFADC) ------------------------------------------------------
 
   /** Materialized IVF-PQ index — the IVFADC layout (Jégou et al. 2011,

@@ -1131,6 +1131,45 @@ object PipelineQueries {
        |ORDER BY cos DESC, e.vec_id ASC LIMIT 10""".stripMargin
   }
 
+  /** FILTERED ANN — top-k under a metadata predicate (`label = 2`, ~10%
+    * selective), served from the IVF inverted lists with EXACT pre-filter
+    * semantics ([[graft.ops.Indexes.ivfTopKFilteredIndexed]]): the
+    * eligible-id filter lands between candidate generation and the exact
+    * re-rank, so every returned row satisfies the predicate and the cut
+    * ranks nothing else. nProbe widens 4 → 8 to compensate the filter
+    * thinning each probe cell (the documented filtered-search recall
+    * knob). The oracle replays assignment, probe ranking, the id filter,
+    * and the cut. */
+  def annFiltered(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val cent = s.read.parquet(ivfCentroidsPath)
+    val idx = graft.ops.Indexes.ensureIvfIndex(s, emb, cent, d, nCells = 16)
+    val eligible = emb.where(col("label") === 2).select(col("vec_id"))
+    graft.ops.Indexes.ivfTopKFilteredIndexed(emb, cent, idx, eligible,
+      queryId = 0L, k = 10, nProbe = 8)
+  }
+
+  val annFilteredSql: String =
+    s"""WITH $duckNormed,
+       |cent AS (SELECT cell, centroid AS cv,
+       |                sqrt(list_dot_product(centroid, centroid)) AS cn
+       |         FROM read_parquet('$ivfCentroidsPath/*.parquet')),
+       |asg AS (SELECT e.vec_id, cent.cell,
+       |               list_dot_product(e.v, cent.cv) / (e.nrm * cent.cn) AS ccos
+       |        FROM e CROSS JOIN cent),
+       |cells AS (SELECT vec_id, cell FROM asg
+       |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) = 1),
+       |probes AS (SELECT cell FROM asg WHERE vec_id = 0
+       |           QUALIFY row_number() OVER (ORDER BY ccos DESC, cell ASC) <= 8),
+       |elig AS (SELECT vec_id FROM embeddings WHERE label = 2),
+       |cand AS (SELECT vec_id FROM cells
+       |         WHERE cell IN (SELECT cell FROM probes) AND vec_id != 0
+       |           AND vec_id IN (SELECT vec_id FROM elig)),
+       |q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 0)
+       |SELECT e.vec_id, round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 4) AS cos
+       |FROM e JOIN cand ON e.vec_id = cand.vec_id, q
+       |ORDER BY cos DESC, e.vec_id ASC LIMIT 10""".stripMargin
+
   /** Batched IVF-PQ ADC ANN — completes the batch family over the combined
     * index: probed (query, cell) pairs and per-query ADC tables ride
     * broadcasts against ONE scan of the cell-partitioned code table. */

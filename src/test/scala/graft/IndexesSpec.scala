@@ -164,6 +164,23 @@ class IndexesSpec extends AnyFunSuite {
     }
   }
 
+  test("filtered ANN at full probe width == brute force over the filtered corpus") {
+    // exact pre-filter semantics: with every cell probed, the filtered
+    // top-k must equal brute force restricted to eligible rows (the query
+    // vector rides along for qv extraction; it is excluded from candidates)
+    val cent = spark.read.parquet(graft.queries.PipelineQueries.ivfCentroidsPath)
+    val dir = Files.createTempDirectory("ivf_filter_spec").toString + "/idx"
+    Indexes.writeIvfIndex(emb, cent, dir)
+    val eligible = emb.where(col("vec_id") % 3 === 1).select(col("vec_id"))
+    val got = Indexes.ivfTopKFilteredIndexed(emb, cent, dir, eligible,
+      queryId = 0L, k = 10, nProbe = 16).collect().toSeq
+    val restricted = emb.where(col("vec_id") % 3 === 1 || col("vec_id") === 0)
+    val want = Similarity.bruteForceTopK(restricted, 0L, 10).collect().toSeq
+    assert(got === want)
+    // and every returned row satisfies the predicate — no post-filter leak
+    got.foreach(r => assert(r.getLong(0) % 3 === 1, r.toString))
+  }
+
   test("IVF-PQ at full probe width and corpus-wide rerank equals brute force") {
     // the recall boundary identity: with every cell probed and the ADC cut
     // wider than the corpus, both approximation layers are no-ops and the
