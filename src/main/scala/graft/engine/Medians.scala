@@ -95,34 +95,97 @@ object Medians {
   def exactMedianSelect(df: DataFrame, keys: Seq[String], value: String,
                         out: String = "med", buckets: Int = 4096,
                         collectLimit: Int = 64): DataFrame = {
+    import org.apache.spark.sql.Row
+    val (keySchema, results) = selectByRank(df, keys, value, buckets,
+      collectLimit)(n => Seq((n + 1) / 2, n / 2 + 1).distinct)
+    val outRows = results.map { case (k, _, byRank) =>
+      Row.fromSeq(k.toSeq :+ byRank.values.sum / byRank.size)
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(
+      keySchema.fields :+
+        org.apache.spark.sql.types.StructField(out, org.apache.spark.sql.types.DoubleType))
+    df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(outRows, 1), outSchema)
+  }
+
+  /** Exact linear-interpolated quantiles (`quantile_cont`/pandas rule:
+    * pos = (n−1)·p, v = v[m+1] + g·(v[m+2] − v[m+1])) through the SAME
+    * distributed rank-selection engine — every requested p of every group
+    * refines concurrently, so the round count stays ~log_B(n) regardless
+    * of how many quantiles ride along. Long-form output
+    * (keys..., p, <out>) with the interpolation arithmetic written
+    * identically in the oracle SQL. Same contracts as
+    * [[exactMedianSelect]]: few giant groups, NaN-free, nulls excluded. */
+  def exactQuantilesSelect(df: DataFrame, keys: Seq[String], value: String,
+                           ps: Seq[Double], out: String = "q",
+                           buckets: Int = 4096,
+                           collectLimit: Int = 64): DataFrame = {
+    import org.apache.spark.sql.Row
+    def ranksOf(n: Long, p: Double): Seq[Long] = {
+      val pos = (n - 1) * p
+      val m = math.floor(pos).toLong
+      val g = pos - m
+      if (g == 0d) Seq(m + 1) else Seq(m + 1, m + 2)
+    }
+    val (keySchema, results) = selectByRank(df, keys, value, buckets,
+      collectLimit)(n => ps.flatMap(p => ranksOf(n, p)).distinct)
+    val outRows = results.flatMap { case (k, n, byRank) =>
+      ps.map { p =>
+        val pos = (n - 1) * p
+        val m = math.floor(pos).toLong
+        val g = pos - m
+        val v1 = byRank(m + 1)
+        val v = if (g == 0d) v1 else v1 + g * (byRank(m + 2) - v1)
+        Row.fromSeq(k.toSeq ++ Seq[Any](p, v))
+      }
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(
+      keySchema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField(out, org.apache.spark.sql.types.DoubleType)))
+    df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(outRows, 1), outSchema)
+  }
+
+  /** The shared selection engine: resolves, for every group, the value at
+    * each rank `ranksFor(n)` requests. Returns (key schema, per-group
+    * (key row, n, rank → value)). Groups with zero non-null values are
+    * absent (parity with the window shape, which filters them out). */
+  private def selectByRank(df: DataFrame, keys: Seq[String], value: String,
+                           buckets: Int, collectLimit: Int)
+                          (ranksFor: Long => Seq[Long])
+      : (org.apache.spark.sql.types.StructType,
+         Seq[(org.apache.spark.sql.Row, Long, Map[Long, Double])]) = {
     val spark = df.sparkSession
     import org.apache.spark.sql.Row
     val kCols = keys.map(col)
     val base = df.where(col(value).isNotNull)
       .select(kCols :+ col(value).cast("double").as("_v"): _*)
 
-    // round 0: per-group count/min/max → two target ranks per group
+    // round 0: per-group count/min/max → target ranks per group
     val stats = base.groupBy(kCols: _*)
       .agg(count(lit(1)).as("_n"), min(col("_v")).as("_lo"), max(col("_v")).as("_hi"))
       .collect()
     // state: groupKey -> per-target (rank, lo, hi, offset, resolved value)
     final case class St(rank: Long, var lo: Double, var hi: Double,
                         var offset: Long, var value: Option[Double] = None)
-    val states: Seq[(Row, Seq[St])] = stats.toSeq.map { r =>
+    val states: Seq[(Row, Long, Seq[St])] = stats.toSeq.map { r =>
       val n = r.getLong(keys.size)
       val (lo, hi) = (r.getDouble(keys.size + 1), r.getDouble(keys.size + 2))
-      val ranks = Seq((n + 1) / 2, n / 2 + 1).distinct
+      val ranks = ranksFor(n)
+      require(ranks.forall(rk => rk >= 1 && rk <= n),
+        s"requested ranks $ranks outside [1, $n]")
       val key = Row.fromSeq(r.toSeq.take(keys.size))
-      key -> ranks.map { rk =>
+      (key, n, ranks.map { rk =>
         val st = St(rk, lo, hi, 0L)
         if (lo == hi) st.value = Some(lo)
         st
-      }
+      })
     }
     val keySchema = org.apache.spark.sql.types.StructType(
       base.schema.fields.take(keys.size))
 
-    def openStates = states.flatMap { case (k, sts) =>
+    def openStates = states.flatMap { case (k, _, sts) =>
       sts.filter(_.value.isEmpty).map(k -> _)
     }
     // broadcast the open search ranges; one row per (group, target)
@@ -199,15 +262,10 @@ object Medians {
         }
       }
     }
-    require(open.isEmpty, s"median selection did not converge in $round rounds")
+    require(open.isEmpty, s"rank selection did not converge in $round rounds")
 
-    val outRows = states.map { case (k, sts) =>
-      val med = sts.map(_.value.get).sum / sts.size
-      Row.fromSeq(k.toSeq :+ med)
-    }
-    val outSchema = org.apache.spark.sql.types.StructType(
-      keySchema.fields :+
-        org.apache.spark.sql.types.StructField(out, org.apache.spark.sql.types.DoubleType))
-    spark.createDataFrame(spark.sparkContext.parallelize(outRows, 1), outSchema)
+    (keySchema, states.map { case (k, n, sts) =>
+      (k, n, sts.map(st => st.rank -> st.value.get).toMap)
+    })
   }
 }

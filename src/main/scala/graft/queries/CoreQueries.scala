@@ -101,6 +101,41 @@ object CoreQueries {
 
   val medianSelectSql: String = medianScalableSql
 
+  /** Exact per-group {p05, p50, p95} at FACT scale through the same
+    * rank-selection engine ([[graft.engine.Medians.exactQuantilesSelect]])
+    * — the scalable form of the exact-percentile operators (A7/F1), which
+    * buffer the group multiset in the `percentile` aggregate today. All
+    * three quantiles of all groups refine concurrently (one histogram pass
+    * per round serves every open rank), and the `quantile_cont`
+    * interpolation arithmetic (pos = (n−1)·p, v1 + g·(v2−v1)) is written
+    * identically in the oracle, which selects v1/v2 by the same window
+    * ranks. */
+  def quantilesSelect(s: SparkSession, d: String): DataFrame =
+    Medians.exactQuantilesSelect(lineitem(s, d), Seq("l_returnflag"),
+        "l_extendedprice", ps = Seq(0.05, 0.5, 0.95), out = "q_raw")
+      .select(col("l_returnflag"), col("p"), round(col("q_raw"), 4).as("q"))
+      .orderBy(col("l_returnflag"), col("p"))
+
+  val quantilesSelectSql: String =
+    """WITH r AS (SELECT l_returnflag, l_extendedprice AS v,
+      |                  row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+      |                  count(*) OVER (PARTITION BY l_returnflag) AS n
+      |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      |ps AS (SELECT * FROM (VALUES (0.05), (0.5), (0.95)) t(p)),
+      |pos AS (SELECT g.l_returnflag, ps.p, g.n,
+      |               CAST(floor((g.n - 1) * ps.p) AS BIGINT) AS m,
+      |               (g.n - 1) * ps.p - floor((g.n - 1) * ps.p) AS g
+      |        FROM (SELECT DISTINCT l_returnflag, n FROM r) g, ps),
+      |sel AS (SELECT pos.l_returnflag, pos.p, pos.g,
+      |               max(CASE WHEN r.rn = pos.m + 1 THEN r.v END) AS v1,
+      |               max(CASE WHEN r.rn = pos.m + 2 THEN r.v END) AS v2
+      |        FROM pos JOIN r ON r.l_returnflag = pos.l_returnflag
+      |                       AND r.rn BETWEEN pos.m + 1 AND pos.m + 2
+      |        GROUP BY pos.l_returnflag, pos.p, pos.g)
+      |SELECT l_returnflag, p,
+      |       round(CASE WHEN g = 0 THEN v1 ELSE v1 + g * (v2 - v1) END, 4) AS q
+      |FROM sel ORDER BY l_returnflag, p""".stripMargin
+
   /** A1/A2-style grouped means with deterministic rounding (TPC-H Q1 shape).
     * One shuffle on the two low-cardinality keys; partial aggregation makes
     * the exchange carry ~|groups| rows per mapper regardless of input size. */

@@ -68,6 +68,28 @@ class MediansSpec extends AnyFunSuite {
     assert(got === Map("s" -> 7.5, "o" -> 3.0, "e" -> 5.0))
   }
 
+  test("selection quantiles == buffered percentile (quantile_cont rule)") {
+    val li = graft.engine.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val ps = Seq(0.05, 0.5, 0.95)
+    val want = li.groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_extendedprice"),
+        array(ps.map(lit(_)): _*)).as("qs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val got = Medians.exactQuantilesSelect(li, Seq("l_returnflag"),
+        "l_extendedprice", ps)
+      .collect().groupBy(_.getString(0))
+      .map { case (k, rs) =>
+        k -> rs.sortBy(_.getDouble(1)).map(_.getDouble(2)).toSeq
+      }
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, vs) =>
+      vs.zip(want(k)).zip(ps).foreach { case ((v, w), p) =>
+        assert(math.abs(v - w) <= math.abs(w) * 1e-12 + 1e-12,
+          s"key $k p=$p: selection $v vs buffered $w")
+      }
+    }
+  }
+
   test("plan shape: Window rank selection, no buffered median aggregate") {
     val li = graft.engine.Tables.lineitem(spark, "/root/testdata/sf0.001")
     val plan = Medians.exactMedianByKey(li, Seq("l_returnflag"), "l_extendedprice")
