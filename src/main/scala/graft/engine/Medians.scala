@@ -204,8 +204,12 @@ object Medians {
     }
     def joined(open: Seq[(Row, St)]) = {
       // null-safe key equality: a null group key is a real group for the
-      // window shape (partitionBy groups nulls), so it must be here too
-      val cond = keys.map(k => col(k) <=> col("_k_" + k)).reduce(_ && _) &&
+      // window shape (partitionBy groups nulls), so it must be here too.
+      // Empty keys = GLOBAL selection (one group): the ungrouped exact
+      // quantile over the whole fact table — the F1 trim shape at scale.
+      val keyCond = if (keys.isEmpty) lit(true)
+        else keys.map(k => col(k) <=> col("_k_" + k)).reduce(_ && _)
+      val cond = keyCond &&
         col("_v") >= col("_slo") && col("_v") <= col("_shi")
       base.join(broadcast(stateDf(open)), cond)
     }

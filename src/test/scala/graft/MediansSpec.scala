@@ -90,6 +90,19 @@ class MediansSpec extends AnyFunSuite {
     }
   }
 
+  test("global (ungrouped) selection quantiles — the F1 trim shape at scale") {
+    val o = graft.engine.Tables.orders(spark, "/root/testdata/sf0.001")
+    val want = o.agg(percentile(col("o_totalprice"),
+        array(lit(0.05), lit(0.95))).as("b"))
+      .head().getSeq[Double](0)
+    val got = Medians.exactQuantilesSelect(o, Seq.empty, "o_totalprice",
+        Seq(0.05, 0.95))
+      .collect().sortBy(_.getDouble(0)).map(_.getDouble(1)).toSeq
+    got.zip(want).foreach { case (v, w) =>
+      assert(math.abs(v - w) <= math.abs(w) * 1e-12 + 1e-12, s"$v vs $w")
+    }
+  }
+
   test("plan shape: Window rank selection, no buffered median aggregate") {
     val li = graft.engine.Tables.lineitem(spark, "/root/testdata/sf0.001")
     val plan = Medians.exactMedianByKey(li, Seq("l_returnflag"), "l_extendedprice")
