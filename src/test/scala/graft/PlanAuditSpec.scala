@@ -225,6 +225,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p3.contains("split("), s"contamination report re-tokenizes:\n$p3")
   }
 
+  test("filtered ANN: the metadata predicate reaches the parquet scan") {
+    // exact pre-filter semantics ride on the eligible-id scan being a
+    // PUSHED predicate, not a post-scan filter — at 100 TB the predicate
+    // scan is the cheap side and must stay column-pruned + pushed
+    val p = plan("q_ann_filtered")
+    assert(p.contains("EqualTo(label,2)"),
+      s"label predicate must reach the embeddings scan:\n$p")
+    assert(p.contains("PartitionFilters"),
+      s"probe must statically prune the cell-partitioned index:\n$p")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // Theta joins in the documented quadratic baselines become
     // BroadcastNestedLoopJoin (bounded side); an unconditional
