@@ -1111,6 +1111,41 @@ object Indexes {
       .limit(k)
   }
 
+  /** Batched [[ivfTopKFilteredIndexed]] — one predicate, many queries, one
+    * scan of the inverted lists: probed (query, cell) pairs broadcast
+    * against the index as in [[ivfTopKBatch]], the eligible-id semi-join
+    * lands before the per-query bounded-heap cut, so every query's top-k
+    * ranks only predicate-satisfying vectors. */
+  def ivfTopKFilteredBatch(emb: DataFrame, centroids: DataFrame,
+                           indexPath: String, eligible: DataFrame,
+                           queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val q = queries.select(col("query_id"), col("embedding").as("qv"),
+      Similarity.norm(col("embedding")).as("qn"))
+    val cent = centroids.select(col("cell").cast("int").as("cell"),
+      col("centroid").as("cv"), Similarity.norm(col("centroid")).as("cn"))
+    val cellScores = q.join(broadcast(cent))
+      .select(col("query_id"), col("cell"),
+        (graft.functions.DotProduct.dot(col("qv"), col("cv")) /
+          (col("qn") * col("cn"))).as("ccos"))
+    val probes = graft.plans.GroupedTopK.topK(cellScores, Seq("query_id"),
+        Seq("ccos" -> true, "cell" -> false), nProbe)
+      .select(col("query_id"), col("cell"))
+    val cand = spark.read.parquet(indexPath)
+      .withColumn("cell", col("cell").cast("int"))
+      .join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .join(eligible.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .select(col("query_id"), col("vec_id"))
+    val rescored = emb.join(cand, Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(graft.functions.DotProduct.dot(col("embedding"), col("qv")) /
+          (Similarity.norm(col("embedding")) * col("qn")), 4).as("cos"))
+    graft.plans.GroupedTopK.topK(rescored, Seq("query_id"),
+      Seq("cos" -> true, "vec_id" -> false), k)
+  }
+
   // ---- IVF-PQ (IVFADC) ------------------------------------------------------
 
   /** Materialized IVF-PQ index — the IVFADC layout (Jégou et al. 2011,

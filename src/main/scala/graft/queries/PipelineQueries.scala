@@ -1170,6 +1170,48 @@ object PipelineQueries {
        |FROM e JOIN cand ON e.vec_id = cand.vec_id, q
        |ORDER BY cos DESC, e.vec_id ASC LIMIT 10""".stripMargin
 
+  /** Batched filtered ANN — the [[annFiltered]] predicate served to five
+    * query vectors in one index scan ([[graft.ops.Indexes
+    * .ivfTopKFilteredBatch]]); per query row-identical semantics to the
+    * single-query path. */
+  def annFilteredBatch(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val cent = s.read.parquet(ivfCentroidsPath)
+    val idx = graft.ops.Indexes.ensureIvfIndex(s, emb, cent, d, nCells = 16)
+    val eligible = emb.where(col("label") === 2).select(col("vec_id"))
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    graft.ops.Indexes.ivfTopKFilteredBatch(emb, cent, idx, eligible, queries,
+        k = 10, nProbe = 8)
+      .orderBy(col("query_id"), col("cos").desc, col("vec_id"))
+  }
+
+  val annFilteredBatchSql: String =
+    s"""WITH $duckNormed,
+       |cent AS (SELECT cell, centroid AS cv,
+       |                sqrt(list_dot_product(centroid, centroid)) AS cn
+       |         FROM read_parquet('$ivfCentroidsPath/*.parquet')),
+       |asg AS (SELECT e.vec_id, cent.cell,
+       |               list_dot_product(e.v, cent.cv) / (e.nrm * cent.cn) AS ccos
+       |        FROM e CROSS JOIN cent),
+       |cells AS (SELECT vec_id, cell FROM asg
+       |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) = 1),
+       |probes AS (SELECT vec_id AS query_id, cell FROM asg WHERE vec_id < 5
+       |           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) <= 8),
+       |elig AS (SELECT vec_id FROM embeddings WHERE label = 2),
+       |cand AS (SELECT probes.query_id, cells.vec_id
+       |         FROM cells JOIN probes ON cells.cell = probes.cell
+       |         WHERE cells.vec_id != probes.query_id
+       |           AND cells.vec_id IN (SELECT vec_id FROM elig)),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id < 5),
+       |sc AS (SELECT cand.query_id, e.vec_id,
+       |              round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 4) AS cos
+       |       FROM cand JOIN e ON cand.vec_id = e.vec_id
+       |                 JOIN q ON cand.query_id = q.query_id)
+       |SELECT query_id, vec_id, cos FROM sc
+       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) <= 10
+       |ORDER BY query_id, cos DESC, vec_id""".stripMargin
+
   /** Batched IVF-PQ ADC ANN — completes the batch family over the combined
     * index: probed (query, cell) pairs and per-query ADC tables ride
     * broadcasts against ONE scan of the cell-partitioned code table. */

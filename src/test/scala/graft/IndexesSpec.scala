@@ -181,6 +181,25 @@ class IndexesSpec extends AnyFunSuite {
     got.foreach(r => assert(r.getLong(0) % 3 === 1, r.toString))
   }
 
+  test("batched filtered ANN == per-query filtered probes") {
+    val cent = spark.read.parquet(graft.queries.PipelineQueries.ivfCentroidsPath)
+    val dir = Files.createTempDirectory("ivf_fbatch_spec").toString + "/idx"
+    Indexes.writeIvfIndex(emb, cent, dir)
+    val eligible = emb.where(col("vec_id") % 3 === 1).select(col("vec_id"))
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val got = Indexes.ivfTopKFilteredBatch(emb, cent, dir, eligible, queries,
+        k = 10, nProbe = 8)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(r => (r._2, r._3)).toSet }
+    (0L until 5L).foreach { qid =>
+      val single = Indexes.ivfTopKFilteredIndexed(emb, cent, dir, eligible,
+          qid, 10, nProbe = 8)
+        .as[(Long, Double)].collect().toSet
+      assert(got(qid) === single, s"query $qid")
+    }
+  }
+
   test("IVF-PQ at full probe width and corpus-wide rerank equals brute force") {
     // the recall boundary identity: with every cell probed and the ADC cut
     // wider than the corpus, both approximation layers are no-ops and the
