@@ -1737,6 +1737,20 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** Per-domain cap — the C4/RefinedWeb-style curation step: keep at most
+    * `cap` documents per source, selected by quality score (doc_id
+    * tie-break), through the bounded-heap [[graft.plans.GroupedTopK]]
+    * operator — O(cap) state per source, no per-group sort, regardless of
+    * how many documents a dominant domain contributes. The per-doc quality
+    * expression is the engine-exact one q_quality_gate already
+    * hash-verifies per document, so the ranking replays exactly. */
+  def domainCap(s: SparkSession, d: String): DataFrame =
+    graft.plans.GroupedTopK.topK(
+      documents(s, d).select(col("doc_id"), col("source"),
+        round(TextAnalysis.qualityScore(col("text")), 6).as("q")),
+      Seq("source"), Seq("q" -> true, "doc_id" -> false), 5)
+      .orderBy(col("source"), col("q").desc, col("doc_id"))
+
   private val duckQualityScore =
     """greatest(0.0, least(1.0,
       |  least(len(string_split_regex(lower(trim(text)), '\s+')) / 100.0, 1.0) * 0.4
@@ -1745,6 +1759,15 @@ object PipelineQueries {
       |     / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1)) * 2.0 * 0.4
       |  + (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))::DOUBLE
       |     / greatest(length(text), 1)) * 0.2))""".stripMargin
+
+  /** Oracle twin of [[domainCap]] — the same engine-exact per-doc quality
+    * expression, cut by the identical (q desc, doc_id asc) window rank. */
+  val domainCapSql: String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |             round($duckQualityScore, 6) AS q FROM documents)
+       |SELECT doc_id, source, q FROM t
+       |QUALIFY row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id ASC) <= 5
+       |ORDER BY source, q DESC, doc_id""".stripMargin
 
   val qualityGateSql: String =
     s"""WITH t AS (SELECT doc_id, source, $duckQualityScore AS q FROM documents),
