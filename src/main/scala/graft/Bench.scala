@@ -254,7 +254,8 @@ object Bench {
     // contended iterations can no longer drag the median, and the runq_ms
     // counter attributes any residual spread.
     val itersFor: String => Int =
-      name => if (name == "q_pipeline_e2e") math.max(steadyIters, 5) else steadyIters
+      name => if (name.startsWith("q_pipeline_e2e")) math.max(steadyIters, 5)
+              else steadyIters
     val countersAvailable = Map(
       "minor_faults" -> (minorFaults() >= 0),
       "steal_ms"     -> (stealMillis() >= 0),
