@@ -108,7 +108,11 @@ object Similarity {
     * keys — no corpus shuffle, no full scan. Recall for a neighbour at
     * angle θ (p = 1 − θ/π) is 1 − (1 − p^bBits)^lTables — (bBits, lTables)
     * trade candidate volume against recall, and bBits is the knob that
-    * grows with corpus size. The fixture corpus is near-uniform (true
+    * grows with corpus size (derive it with [[scaledBandBits]] to hold
+    * per-bucket occupancy — hence per-probe candidate volume — constant
+    * as the corpus grows, raising lTables alongside when the recall
+    * target must hold; the registered near-dup self-join does exactly
+    * this). The fixture corpus is near-uniform (true
     * top-10 sit at cos ≈ 0.3, p ≈ 0.6), the adversarial case for sign-LSH,
     * so defaults favour recall; on a real near-dup corpus (cos ≥ 0.8) the
     * identical machinery prunes ~40× harder. */

@@ -829,18 +829,37 @@ object PipelineQueries {
     * re-ranks candidates only — output-identical to the inline
     * [[Similarity.lshTopK]] (IndexesSpec asserts hash equality and the
     * absence of a bucketing pass in the probe plan). */
+  /** Band width derived from the corpus ([[Similarity.scaledBandBits]],
+    * floor 4 = the historical fixture b): per-probe candidate volume is
+    * L·(n/2^b) ≈ L·targetBucket — CONSTANT as the corpus grows, instead of
+    * a fixed corpus fraction (the round-11 near-dup lesson applied to the
+    * probe path; sign bits are free, unlike the IVF/PQ models which must
+    * retrain to re-provision). Recall at growing b is the banding formula
+    * trade — production raises lTables alongside (lshTopK scaladoc). */
+  private def annLshBits(emb: DataFrame): Int =
+    Similarity.scaledBandBits(emb.count(), targetBucket = 32L, floor = 4)
+
   def annLsh(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
-    val idx = graft.ops.Indexes.ensureLshIndex(s, emb, d)
-    graft.ops.Indexes.lshTopKIndexed(emb, idx, queryId = 0L, k = 10)
+    val b = annLshBits(emb)
+    val idx = graft.ops.Indexes.ensureLshIndex(s, emb, d, bBits = b, lTables = 16)
+    graft.ops.Indexes.lshTopKIndexed(emb, idx, queryId = 0L, k = 10, bBits = b)
   }
 
+  /** Oracle: derives the identical corpus-scaled b (floor 4) and keys its
+    * 16 tables off the first b planes of each contiguous stride. 128
+    * embedded planes cover b ≤ 8, i.e. corpora to 32·2^8 = 8192 vectors —
+    * every verify SF (the near-dup provisioning note, L=16 form). */
   val annLshSql: String =
     s"""WITH $duckNormed,
-       |pl AS (SELECT j // 4 AS t, j % 4 AS bit, p FROM ${Similarity.planesSqlValues(64, 64, 42L)}),
-       |bk AS (SELECT e.vec_id, pl.t,
-       |         sum(CASE WHEN list_dot_product(e.v, pl.p) > 0 THEN (1::BIGINT << pl.bit) ELSE 0 END)::BIGINT AS key
-       |       FROM e CROSS JOIN pl GROUP BY e.vec_id, pl.t),
+       |nb AS (SELECT greatest(4, (SELECT min(i)::INTEGER
+       |                           FROM range(0, 33) t(i), (SELECT count(*) AS n FROM e) cn
+       |                           WHERE (32::BIGINT << i) >= cn.n)) AS bits),
+       |pl AS (SELECT j, p FROM ${Similarity.planesSqlValues(128, 64, 42L)}),
+       |bk AS (SELECT e.vec_id, (pl.j // nb.bits) AS t,
+       |         sum(CASE WHEN list_dot_product(e.v, pl.p) > 0 THEN (1::BIGINT << (pl.j % nb.bits)) ELSE 0 END)::BIGINT AS key
+       |       FROM e CROSS JOIN pl, nb WHERE pl.j < nb.bits * 16
+       |       GROUP BY e.vec_id, (pl.j // nb.bits)),
        |qk AS (SELECT t, key FROM bk WHERE vec_id = 0),
        |cand AS (SELECT DISTINCT bk.vec_id FROM bk JOIN qk ON bk.t = qk.t AND bk.key = qk.key
        |         WHERE bk.vec_id != 0),
@@ -857,19 +876,24 @@ object PipelineQueries {
     * (IndexesSpec asserts batch == per-query indexed). */
   def annLshBatch(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
-    val idx = graft.ops.Indexes.ensureLshIndex(s, emb, d)
+    val b = annLshBits(emb)
+    val idx = graft.ops.Indexes.ensureLshIndex(s, emb, d, bBits = b, lTables = 16)
     val queries = emb.where(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding"))
-    graft.ops.Indexes.lshTopKBatch(emb, idx, queries, k = 10)
+    graft.ops.Indexes.lshTopKBatch(emb, idx, queries, k = 10, bBits = b)
       .orderBy(col("query_id"), col("cos").desc, col("vec_id"))
   }
 
   val annLshBatchSql: String =
     s"""WITH $duckNormed,
-       |pl AS (SELECT j // 4 AS t, j % 4 AS bit, p FROM ${Similarity.planesSqlValues(64, 64, 42L)}),
-       |bk AS (SELECT e.vec_id, pl.t,
-       |         sum(CASE WHEN list_dot_product(e.v, pl.p) > 0 THEN (1::BIGINT << pl.bit) ELSE 0 END)::BIGINT AS key
-       |       FROM e CROSS JOIN pl GROUP BY e.vec_id, pl.t),
+       |nb AS (SELECT greatest(4, (SELECT min(i)::INTEGER
+       |                           FROM range(0, 33) t(i), (SELECT count(*) AS n FROM e) cn
+       |                           WHERE (32::BIGINT << i) >= cn.n)) AS bits),
+       |pl AS (SELECT j, p FROM ${Similarity.planesSqlValues(128, 64, 42L)}),
+       |bk AS (SELECT e.vec_id, (pl.j // nb.bits) AS t,
+       |         sum(CASE WHEN list_dot_product(e.v, pl.p) > 0 THEN (1::BIGINT << (pl.j % nb.bits)) ELSE 0 END)::BIGINT AS key
+       |       FROM e CROSS JOIN pl, nb WHERE pl.j < nb.bits * 16
+       |       GROUP BY e.vec_id, (pl.j // nb.bits)),
        |qk AS (SELECT vec_id AS query_id, t, key FROM bk WHERE vec_id < 5),
        |cand AS (SELECT DISTINCT qk.query_id, bk.vec_id
        |         FROM bk JOIN qk ON bk.t = qk.t AND bk.key = qk.key
