@@ -309,4 +309,95 @@ object Curation {
       .groupBy(col("source"), col("shard_id"), col("bin_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("bin_tokens"))
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement, `k` docs per
+    * source, inclusion probability ∝ weight (token count): the
+    * Efraimidis–Spirakis A-ES scheme with the RNG replaced by the corpus's
+    * standard md5-derived uniform — u = (h48(doc_id)+1)/2⁴⁸ ∈ (0, 1],
+    * sample = top-k by ln(u)/w. Because u is a pure function of doc_id,
+    * the sample is reproducible across runs, engines, and retries, and
+    * adding documents never flips existing keys (only the top-k cut).
+    * ln(u)/w is the standard numerically-safe monotone transform of
+    * u^(1/w); w is floored at 1 token so empty docs stay sample-able.
+    *
+    * Scale shape: the key is a narrow per-row expression in the scan
+    * stage; the per-source cut is the bounded-heap
+    * [[graft.plans.GroupedTopK]] operator — map-side partials reduce each
+    * input partition to ≤ k rows per source before the shuffle, so the
+    * exchange carries ≤ k·|sources| rows total regardless of corpus size.
+    * The reported key is rounded to 6 (ln is libm; same contract as
+    * [[graft.ops.LmScore]]'s `nll`) — the CUT itself compares unrounded
+    * doubles, where a last-ulp flip would need two 48-bit-hash-derived
+    * keys within 1 ulp of each other. */
+  def weightedSample(docs: DataFrame, k: Int): DataFrame = {
+    val h48 = conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    val wgt = greatest(
+      size(TextOps.words(coalesce(col("text"), lit("")))), lit(1)).cast("double")
+    val u = (h48.cast("double") + lit(1.0)) / lit(281474976710656.0) // 2^48
+    val scored = docs.select(col("source"), col("doc_id"),
+      wgt.as("weight"), (log(u) / wgt).as("skey"))
+    graft.plans.GroupedTopK.topK(scored, Seq("source"),
+        Seq("skey" -> true, "doc_id" -> false), k)
+      .select(col("source"), col("doc_id"), col("weight").cast("long").as("weight"),
+        round(col("skey"), 6).as("skey"))
+  }
+
+  /** Per-group quantile-bucket (ntile) profile: assign every row to one of
+    * `n` equal-count buckets of `valueCol` within its `partCol` group
+    * (ties broken by `idCol` for a total, engine-portable order), then
+    * profile each bucket (count, min/max/avg of the value). The
+    * percentile-bucketed-feature pass: length deciles per source, quality
+    * quartiles per domain, …
+    *
+    * Scale shape: ONE window over `partitionBy(partCol)` — parallel across
+    * groups, and Spark's WindowExec buffers spill to disk, so a giant
+    * group degrades to out-of-core sort rather than OOM. For the
+    * pathological single-monster-group corpus, derive cut points with the
+    * exact-percentile aggregate and assign by comparison instead (the
+    * [[lengthOutliers]] shape) — different tie semantics (ties land in one
+    * bucket instead of splitting by position), which is why this operator
+    * keeps the standard ntile definition and leaves that rewrite to the
+    * caller. The bucket aggregate is map-side combined; the shuffle
+    * carries (group, value) pairs, never payloads. */
+  def ntileStats(df: DataFrame, partCol: String, valueCol: String,
+                 idCol: String, n: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(partCol)).orderBy(col(valueCol), col(idCol))
+    df.select(col(partCol), col(idCol), col(valueCol))
+      .withColumn("bucket", ntile(n).over(w))
+      .groupBy(col(partCol), col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(valueCol)).as("min_v"), max(col(valueCol)).as("max_v"),
+        round(avg(col(valueCol)), 6).as("avg_v"))
+  }
+
+  /** Per-source token-length outlier extraction (Tukey fences): exact Q1/Q3
+    * of the per-doc token count per source, flag docs outside
+    * [Q1 − fence·IQR, Q3 + fence·IQR]. The classic `fence = 1.5` suits
+    * heavy-tailed real corpora; near-uniform length distributions (like the
+    * fixture's) put the 1.5 fences outside min/max, so callers probing such
+    * data pass a tighter fence — the parameter is the operator.
+    *
+    * Scale shape: pass 1 is a per-source exact `percentile` aggregate —
+    * |sources| rows, riding the same bounded-group contract as the exact
+    * medians (one group per source; the fences broadcast back). Pass 2
+    * re-scans and filters narrowly — no sort, no window, and the join adds
+    * no shuffle on the big side (broadcast hash join against |sources|
+    * rows). Output rows are the outliers only. */
+  def lengthOutliers(docs: DataFrame, fence: Double = 1.5): DataFrame = {
+    val base = docs.select(col("source"), col("doc_id"),
+      size(TextOps.words(coalesce(col("text"), lit("")))).cast("long").as("tokens"))
+    val bounds = base.groupBy(col("source"))
+      .agg(percentile(col("tokens"), array(lit(0.25), lit(0.75))).as("q"))
+      .select(col("source"), col("q").getItem(0).as("q1"),
+        col("q").getItem(1).as("q3"))
+      .select(col("source"),
+        (col("q1") - (col("q3") - col("q1")) * lit(fence)).as("lo"),
+        (col("q3") + (col("q3") - col("q1")) * lit(fence)).as("hi"))
+    base.join(broadcast(bounds), Seq("source"))
+      .where(col("tokens") < col("lo") || col("tokens") > col("hi"))
+      .select(col("source"), col("doc_id"), col("tokens"),
+        round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"))
+  }
 }

@@ -145,6 +145,116 @@ object TextAnalysis {
       Seq("score" -> true, "term" -> false), k)
   }
 
+  /** BM25 retrieval: top-`k` documents for a FIXED literal query-term set
+    * (Okapi BM25, `k1`/`b` defaults 1.2/0.75; idf = ln((N − df + ½)/(df + ½)
+    * + 1), the Lucene non-negative variant).
+    *
+    * Determinism: per-document term frequencies are array-filter counts
+    * inside ONE projection (no explode), the per-doc score is a FIXED
+    * left-to-right sum over the query terms (no nondeterministic float
+    * merge order), document length enters as `dl·N/Σdl` — a ratio of exact
+    * integer aggregates, so "avgdl" never exists as an order-dependent
+    * float — and the one libm call (`ln`) is absorbed by the documented
+    * round-to-6 (same contract as [[graft.ops.LmScore]]'s `nll`).
+    *
+    * Scale shape: pass 1 is a single 1-ROW aggregate over the corpus
+    * (N, Σdl, df per query term — map-side combined, ~|terms| counters);
+    * pass 2 re-scans, scores narrowly against that broadcast row, and cuts
+    * with `orderBy(...).limit(k)` = TakeOrderedAndProject (per-partition
+    * bounded heap + driver merge of k·|partitions| rows — no global sort).
+    * The shuffle carries nothing but the 1-row stats and the k winners. */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 20,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms,
+      "bm25TopK expects a non-empty, duplicate-free query-term list")
+    // words array materialized in its own projection: referenced |terms|+1
+    // times below, and an inlined split would re-run per reference (the
+    // [[TextOps.shingleSetFromWords]] O(words²) trap).
+    val base = docs
+      .select(col("doc_id"),
+        TextOps.words(coalesce(col("text"), lit(""))).as("w"))
+      .select(
+        col("doc_id") +: size(col("w")).as("dl") +:
+          terms.zipWithIndex.map { case (t, i) =>
+            size(filter(col("w"), w => w === lit(t))).as(s"tf_$i")
+          }: _*)
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).cast("long").as("total_dl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i")): _*)
+    val norm = lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") *
+      col("n_docs").cast("double") / col("total_dl").cast("double"))
+    val contribs = terms.indices.map { i =>
+      val tf = col(s"tf_$i").cast("double")
+      val idf = log((col("n_docs").cast("double") - col(s"df_$i").cast("double") +
+        lit(0.5)) / (col(s"df_$i").cast("double") + lit(0.5)) + lit(1.0))
+      idf * (tf * lit(k1 + 1.0)) / (tf + norm)
+    }
+    val matched = terms.indices.map(i => col(s"tf_$i")).reduceLeft(_ + _)
+    base.crossJoin(broadcast(stats))
+      .where(matched > 0)
+      .select(col("doc_id"), col("dl").cast("long").as("dl"),
+        round(contribs.reduceLeft(_ + _), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Per-source unigram-distribution health: Shannon entropy and KL
+    * divergence from the corpus distribution — the mixing-QA pass that
+    * tells a pipeline which source is degenerate (low entropy ⇒
+    * boilerplate) or off-distribution (high KL ⇒ reweight before
+    * training).
+    *
+    * Determinism under distribution: a float Σ p·ln p over an unbounded
+    * vocabulary would inherit Spark's nondeterministic partial-agg merge
+    * order, so each TERM's contribution is quantized to a 1e-6 fixed-point
+    * BIGINT first (`round(c·ln(...)·1e6)`) and the per-source reduction is
+    * an EXACT integer sum — order-free, overflow-safe to ~9·10^12 nats.
+    * The entropy identity used is H = ln(T) − (Σ c·ln c)/T and
+    * KL(s‖corpus) = (Σ c·ln(c·C /(T·Cₜ)))/T, so every ln argument is a
+    * ratio of exact integers (same value in any engine); quantization and
+    * final round-to-6 absorb the libm last-ulp. Precision trade: ≤ 5·10⁻⁷
+    * nats per distinct term, stated here rather than hidden.
+    *
+    * Scale shape: one explode + a (source, term) hash aggregate (map-side
+    * combined), a vocabulary-keyed equi-join of per-source counts against
+    * corpus counts (shuffles (term, count) pairs — never text), per-source
+    * totals and the corpus total ride broadcasts of bounded aggregates
+    * (|sources| rows and 1 row). Nothing driver-side. */
+  def sourceEntropy(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("source"),
+        explode(TextOps.words(coalesce(col("text"), lit("")))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+    val srcTot = tf.groupBy(col("source")).agg(sum(col("c")).as("t"))
+    val corpus = tf.groupBy(col("term")).agg(sum(col("c")).as("ct"))
+    val corpusTot = corpus.agg(sum(col("ct")).as("ctot"))
+    val entTerm = round(col("c").cast("double") *
+      log(col("c").cast("double")) * lit(1e6)).cast("long")
+    // casts BEFORE the products: c·C and T·Cₜ overflow a long at corpus
+    // scale (c ~ 1e9 × C ~ 1e13 tokens); IEEE double multiply is correctly
+    // rounded, so the double-domain products are engine-identical.
+    val klTerm = round(col("c").cast("double") *
+      log(col("c").cast("double") * col("ctot").cast("double") /
+        (col("t").cast("double") * col("ct").cast("double"))) * lit(1e6))
+      .cast("long")
+    tf.join(corpus, Seq("term"))
+      .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(corpusTot))
+      .select(col("source"), col("t"), entTerm.as("eq"), klTerm.as("kq"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"), max(col("t")).as("tokens"),
+        sum(col("eq")).as("s_ent"), sum(col("kq")).as("s_kl"))
+      .select(col("source"), col("n_terms"), col("tokens"),
+        round(log(col("tokens").cast("double")) -
+          col("s_ent").cast("double") / lit(1e6) / col("tokens").cast("double"), 6)
+          .as("entropy"),
+        round(col("s_kl").cast("double") / lit(1e6) / col("tokens").cast("double"), 6)
+          .as("kl_vs_corpus"))
+      .orderBy(col("source"))
+  }
+
   /** Per-language token statistics over a documents table. */
   def tokenStats(docs: DataFrame): DataFrame =
     docs.select(col("lang"), tokenCount(col("text")).as("tokens"),

@@ -2766,4 +2766,124 @@ object PipelineQueries {
       |      WHERE i*512 < length(hx) AND i % 2 = 0)
       |SELECT doc_id, frame_idx, n_bytes, frame_md5 FROM f
       |ORDER BY doc_id, frame_idx""".stripMargin
+
+  // ---- retrieval & distribution QA ---------------------------------------
+
+  /** BM25 top-25 for a 4-term query (one term absent from the corpus —
+    * exercises the df = 0 idf branch contributing exactly 0). The oracle
+    * replays the identical fixed-order float fold; see
+    * [[graft.ops.TextAnalysis.bm25TopK]] for the determinism contract. */
+  def bm25TopK(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bm25TopK(documents(s, d),
+      Seq("vector", "stream", "merge", "quantum"), k = 25)
+
+  val bm25TopKSql: String = {
+    val terms = Seq("vector", "stream", "merge", "quantum")
+    val tfCols = terms.indices.map(i =>
+      s"len(list_filter(w, x -> x = '${terms(i)}')) AS tf_$i").mkString(",\n       |           ")
+    val dfCols = terms.indices.map(i =>
+      s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END)::BIGINT AS df_$i").mkString(",\n       |         ")
+    val contribs = terms.indices.map(i =>
+      s"ln((n_docs::DOUBLE - df_$i::DOUBLE + 0.5) / (df_$i::DOUBLE + 0.5) + 1.0)" +
+        s" * (tf_$i::DOUBLE * 2.2) / (tf_$i::DOUBLE + 1.2 * (0.25 + 0.75 * " +
+        s"dl::DOUBLE * n_docs::DOUBLE / total_dl::DOUBLE))").mkString("\n       |         + ")
+    val matched = terms.indices.map(i => s"tf_$i").mkString(" + ")
+    s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |base AS (SELECT doc_id, len(w)::BIGINT AS dl,
+       |           $tfCols
+       |         FROM w),
+       |st AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_dl,
+       |         $dfCols
+       |       FROM base)
+       |SELECT doc_id, dl,
+       |       round($contribs, 6) AS score
+       |FROM base CROSS JOIN st
+       |WHERE $matched > 0
+       |ORDER BY score DESC, doc_id ASC LIMIT 25""".stripMargin
+  }
+
+  /** Per-source unigram entropy + KL from the corpus distribution
+    * ([[graft.ops.TextAnalysis.sourceEntropy]]): the data-mixing QA pass.
+    * Float sums are 1e-6 fixed-point-quantized per term so the per-source
+    * reduction is an exact integer sum — the oracle replays the identical
+    * quantization. */
+  def sourceEntropy(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.sourceEntropy(documents(s, d))
+
+  val sourceEntropySql: String =
+    s"""WITH w AS (SELECT source, $duckWords AS w FROM documents),
+       |tok AS (SELECT source, unnest(w) AS term FROM w),
+       |tf AS (SELECT source, term, count(*)::BIGINT AS c FROM tok GROUP BY source, term),
+       |st AS (SELECT source, sum(c)::BIGINT AS t FROM tf GROUP BY source),
+       |cp AS (SELECT term, sum(c)::BIGINT AS ct FROM tf GROUP BY term),
+       |ctot AS (SELECT sum(ct)::BIGINT AS ctot FROM cp),
+       |q AS (SELECT tf.source, st.t,
+       |        round(c::DOUBLE * ln(c::DOUBLE) * 1e6)::BIGINT AS eq,
+       |        round(c::DOUBLE * ln(c::DOUBLE * ctot::DOUBLE /
+       |          (t::DOUBLE * ct::DOUBLE)) * 1e6)::BIGINT AS kq
+       |      FROM tf JOIN cp USING (term) JOIN st USING (source) CROSS JOIN ctot)
+       |SELECT source, count(*)::BIGINT AS n_terms, max(t) AS tokens,
+       |       round(ln(max(t)::DOUBLE) - sum(eq)::DOUBLE / 1e6 / max(t)::DOUBLE, 6) AS entropy,
+       |       round(sum(kq)::DOUBLE / 1e6 / max(t)::DOUBLE, 6) AS kl_vs_corpus
+       |FROM q GROUP BY source ORDER BY source""".stripMargin
+
+  /** Per-source length deciles ([[graft.ops.Curation.ntileStats]] over
+    * `n_chars`, ties broken by doc_id — total order, so ntile assignment
+    * is engine-identical). */
+  def decileStats(s: SparkSession, d: String): DataFrame =
+    Curation.ntileStats(documents(s, d), "source", "n_chars", "doc_id", n = 10)
+      .orderBy(col("source"), col("bucket"))
+
+  val decileStatsSql: String =
+    """WITH b AS (SELECT source, doc_id, n_chars,
+      |             ntile(10) OVER (PARTITION BY source
+      |                             ORDER BY n_chars, doc_id) AS bucket
+      |           FROM documents)
+      |SELECT source, bucket, count(*)::BIGINT AS n_rows,
+      |       min(n_chars) AS min_v, max(n_chars) AS max_v,
+      |       round(avg(n_chars), 6) AS avg_v
+      |FROM b GROUP BY source, bucket ORDER BY source, bucket""".stripMargin
+
+  /** Per-source token-length outliers under Tukey fences
+    * ([[graft.ops.Curation.lengthOutliers]]). The fixture's lengths are
+    * near-uniform (no 1.5-fence outliers by construction), so the query
+    * probes with the aggressive fence = 0.3 — flagging ~the length tails —
+    * to keep the operator's filter path exercised with non-empty output. */
+  def iqrOutliers(s: SparkSession, d: String): DataFrame =
+    Curation.lengthOutliers(documents(s, d), fence = 0.3)
+      .orderBy(col("source"), col("doc_id"))
+
+  val iqrOutliersSql: String =
+    s"""WITH base AS (SELECT source, doc_id, len($duckWords)::BIGINT AS tokens
+       |              FROM documents),
+       |b AS (SELECT source, quantile_cont(tokens, 0.25) AS q1,
+       |             quantile_cont(tokens, 0.75) AS q3
+       |      FROM base GROUP BY source),
+       |f AS (SELECT source, q1 - (q3 - q1) * 0.3 AS lo,
+       |             q3 + (q3 - q1) * 0.3 AS hi FROM b)
+       |SELECT base.source AS source, doc_id, tokens,
+       |       round(lo, 6) AS lo, round(hi, 6) AS hi
+       |FROM base JOIN f ON base.source = f.source
+       |WHERE tokens < lo OR tokens > hi
+       |ORDER BY source, doc_id""".stripMargin
+
+  /** Deterministic weighted sample (A-ES, weight = token count), 15 docs
+    * per source ([[graft.ops.Curation.weightedSample]]); output re-sorted
+    * by (source, doc_id) for a hash-stable row order. */
+  def weightedSample(s: SparkSession, d: String): DataFrame =
+    Curation.weightedSample(documents(s, d), k = 15)
+      .orderBy(col("source"), col("doc_id"))
+
+  val weightedSampleSql: String =
+    s"""WITH b AS (SELECT source, doc_id,
+       |             greatest(len($duckWords), 1)::DOUBLE AS w,
+       |             (('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT::DOUBLE
+       |               + 1.0) / 281474976710656.0 AS u
+       |           FROM documents),
+       |r AS (SELECT source, doc_id, w, ln(u) / w AS skey,
+       |        row_number() OVER (PARTITION BY source
+       |                           ORDER BY ln(u) / w DESC, doc_id ASC) AS rn
+       |      FROM b)
+       |SELECT source, doc_id, w::BIGINT AS weight, round(skey, 6) AS skey
+       |FROM r WHERE rn <= 15 ORDER BY source, doc_id""".stripMargin
 }

@@ -244,4 +244,53 @@ class CurationSpec extends AnyFunSuite {
       .count()
     assert(joined === sp.count(), "every span's start bin exists in packBins")
   }
+
+  test("weighted sample: deterministic, k per source, degenerates to identity") {
+    val docs = (0L until 20L).map { i =>
+      (i, ("w " * (i.toInt % 7 + 1)).trim, if (i < 10) "sA" else "sB")
+    }.toDF("doc_id", "text", "source")
+    val s1 = Curation.weightedSample(docs, k = 3).collect().toSet
+    val s2 = Curation.weightedSample(docs, k = 3).collect().toSet
+    assert(s1 === s2, "pure function of doc_id — identical across runs")
+    val perSrc = s1.groupBy(_.getString(0)).map { case (k, v) => k -> v.size }
+    assert(perSrc === Map("sA" -> 3, "sB" -> 3))
+    // k ≥ stratum size returns the whole stratum
+    assert(Curation.weightedSample(docs, k = 50).count() === 20L)
+    // sampled ids come from the input
+    assert(s1.map(_.getLong(1)).subsetOf((0L until 20L).toSet))
+  }
+
+  test("weighted sample: growing the corpus never flips surviving keys") {
+    val mk = (n: Long) => (0L until n).map(i =>
+      (i, "w w w", "s")).toDF("doc_id", "text", "source")
+    val small = Curation.weightedSample(mk(10), k = 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).toMap
+    val big = Curation.weightedSample(mk(30), k = 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).toMap
+    // every doc surviving in BOTH samples kept its exact key
+    big.keySet.intersect(small.keySet).foreach { id =>
+      assert(small(id) === big(id), s"doc $id key changed with corpus growth")
+    }
+  }
+
+  test("length outliers: zero-IQR uniform core flags exactly the tails") {
+    val docs = (Seq.fill(8)(10) ++ Seq(1, 100)).zipWithIndex.map {
+      case (toks, i) => (i.toLong, ("w " * toks).trim, "s")
+    }.toDF("doc_id", "text", "source")
+    // Q1 = Q3 = 10 → lo = hi = 10 at any fence: only 1 and 100 escape
+    val out = Curation.lengthOutliers(docs)
+      .collect().map(r => r.getLong(2)).sorted
+    assert(out.toSeq === Seq(1L, 100L))
+  }
+
+  test("ntile stats: equal-count buckets with standard remainder split") {
+    val df = (1 to 11).map(i => (i.toLong, i.toLong, "s"))
+      .toDF("id", "v", "source")
+    val got = Curation.ntileStats(df, "source", "v", "id", n = 5)
+      .orderBy("bucket")
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // 11 rows into 5 buckets: the first 11 mod 5 = 1 bucket gets 3 rows
+    assert(got.toSeq === Seq((1, 3L, 1L, 3L), (2, 2L, 4L, 5L),
+      (3, 2L, 6L, 7L), (4, 2L, 8L, 9L), (5, 2L, 10L, 11L)))
+  }
 }

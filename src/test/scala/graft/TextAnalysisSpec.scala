@@ -57,6 +57,61 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(top.keySet === Set(0L, 1L, 2L, 3L))
   }
 
+  test("bm25: hand-computed scores, rare term outranks, non-matches dropped") {
+    // N=4, Σdl=10; df(cat)=2, df(fish)=1, so idf(cat)=ln 2, idf(fish)=ln 10/3.
+    val docs = Seq(
+      (0L, "cat dog cat"),
+      (1L, "cat mouse"),
+      (2L, "dog bird"),
+      (3L, "fish fish fish")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, Seq("cat", "fish"), k = 3)
+      .as[(Long, Long, Double)].collect()
+    assert(got.map(_._1).toSeq === Seq(3L, 0L, 1L), "rank order")
+    val byId = got.map(r => r._1 -> r._3).toMap
+    // doc 3: ln(10/3)·(3·2.2)/(3 + 1.2·(0.25+0.75·3·4/10))
+    assert(math.abs(byId(3L) - 1.814272) < 1e-4)
+    // doc 0: ln(2)·(2·2.2)/(2 + 1.38)
+    assert(math.abs(byId(0L) - 0.902376) < 1e-4)
+    // doc 1: ln(2)·2.2/(1 + 1.2·(0.25+0.75·2·4/10))
+    assert(math.abs(byId(1L) - 0.754933) < 1e-4)
+  }
+
+  test("bm25: absent query term contributes exactly zero") {
+    val docs = Seq((0L, "cat dog"), (1L, "cat cat")).toDF("doc_id", "text")
+    val base = TextAnalysis.bm25TopK(docs, Seq("cat"), k = 2)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val withGhost = TextAnalysis.bm25TopK(docs, Seq("cat", "zzzz"), k = 2)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(base === withGhost, "df=0 term must not perturb any score")
+  }
+
+  test("source entropy + KL: hand-computed distributions") {
+    val docs = Seq(
+      (0L, "a a b", "srcA"),
+      (1L, "a b c d", "srcB")).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.sourceEntropy(docs)
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // srcA: {a:2, b:1}, T=3 → H = ln3 − (2·ln2)/3
+    assert(got("srcA")._2 === 2L && got("srcA")._3 === 3L)
+    assert(math.abs(got("srcA")._4 - 0.636514) < 1e-4)
+    // KL(srcA‖corpus{a:3,b:2,c:1,d:1}) = (2·ln(14/9) + ln(7/6))/3
+    assert(math.abs(got("srcA")._5 - 0.345939) < 1e-4)
+    // srcB: uniform over 4 → H = ln 4
+    assert(math.abs(got("srcB")._4 - 1.386294) < 1e-4)
+    assert(math.abs(got("srcB")._5 - 0.111676) < 1e-4)
+  }
+
+  test("source entropy: degenerate one-term source has entropy 0") {
+    val docs = Seq((0L, "x x x x", "boiler"), (1L, "p q r", "varied"))
+      .toDF("doc_id", "text", "source")
+    val h = TextAnalysis.sourceEntropy(docs)
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(h("boiler") === 0.0)
+    assert(h("varied") > 1.0)
+  }
+
   test("fingerprint: whitespace-insensitive, case-insensitive") {
     val fps = Seq("The  quick\tfox", "the quick fox", "the quick cat")
       .toDF("text").select(TextAnalysis.fingerprint(col("text")).as("f"))
