@@ -60,7 +60,13 @@ object Probe {
     val sumDeser = new java.util.concurrent.atomic.AtomicLong()
     val sumResultSer = new java.util.concurrent.atomic.AtomicLong()
     val sumSchedDelayProxy = new java.util.concurrent.atomic.AtomicLong()
+    val perStage = new java.util.concurrent.ConcurrentHashMap[Int, (String, java.util.concurrent.atomic.AtomicLong, java.util.concurrent.atomic.AtomicLong)]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageSubmitted(e: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        perStage.putIfAbsent(e.stageInfo.stageId,
+          (e.stageInfo.name.takeWhile(_ != '\n').take(80),
+            new java.util.concurrent.atomic.AtomicLong(),
+            new java.util.concurrent.atomic.AtomicLong()))
       override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         nTasks.incrementAndGet()
         val m = e.taskMetrics
@@ -71,6 +77,8 @@ object Probe {
           val wall = e.taskInfo.finishTime - e.taskInfo.launchTime
           sumSchedDelayProxy.addAndGet(math.max(0L,
             wall - m.executorRunTime - m.executorDeserializeTime - m.resultSerializationTime))
+          val st = perStage.get(e.stageId)
+          if (st != null) { st._2.addAndGet(m.executorRunTime); st._3.incrementAndGet() }
         }
       }
       override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
@@ -139,6 +147,11 @@ object Probe {
       counts.asScala.toSeq.sortBy(-_._2.get()).take(6).foreach { case (k, v) =>
         println(f"      ${v.get()}%6d  $k")
       }
+      perStage.asScala.toSeq.sortBy(-_._2._2.get()).take(8).foreach {
+        case (sid, (nm, run, nt)) =>
+          println(f"      STAGE $sid%4d runMs=${run.get()}%7d tasks=${nt.get()}%4d  $nm")
+      }
+      perStage.clear()
       if (i == iters) { // dump captured full stacks from the last iteration
         fullStacks.asScala.take(6).foreach(println)
       }

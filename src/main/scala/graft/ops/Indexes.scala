@@ -31,7 +31,21 @@ object Indexes {
     * fingerprint only guards against DATA changes; without this tag an
     * algorithm change with unchanged parameters would silently probe a
     * stale index built by the old code. */
-  val IndexFormatVersion = "v1"
+  val IndexFormatVersion = "v2"
+
+  /** Cap on partition-directory fan-out per LSH table: the bucketed layout
+    * partitions by the key's TOP `min(bBits, PartDirBits)` bits only, so
+    * the directory count is bounded at `lTables · 2^PartDirBits` FOREVER —
+    * a corpus-scaled band width (bBits grows as log n) would otherwise
+    * create `lTables · n/targetBucket` directories of ~targetBucket-row
+    * files, and the per-probe file-listing + footer cost grows linearly
+    * with the corpus (measured at sf0.1: b 4→6 exploded 256 dirs into
+    * 1041 and a 0.43 s probe into 2.5 s). The FULL key stays a key-sorted
+    * DATA column inside each directory's file, so parquet row-group
+    * min/max stats prune the probe to the ~targetBucket matching rows —
+    * two-level pruning: static partition pruning to `lTables` dirs, then
+    * footer-stat pruning to the bucket. */
+  val PartDirBits = 4
 
   /** Root for on-demand local indexes (env-overridable; on a cluster this
     * would be a shared filesystem/object-store prefix). */
@@ -246,9 +260,14 @@ object Indexes {
     * sorted by the shuffle's hash order (deterministic layout).
     *
     * Two layouts for two access patterns:
-    *  - `partitionByBucket = true` (default): one directory per (t, key) —
-    *    point PROBES ([[lshTopKIndexed]]) statically prune to `lTables`
-    *    directories of the `lTables · 2^bBits`;
+    *  - `partitionByBucket = true` (default): TWO-LEVEL — one directory
+    *    per (t, top-[[PartDirBits]]-bits-of-key), full key a key-sorted
+    *    data column inside. Point PROBES ([[lshTopKIndexed]]) statically
+    *    prune to `lTables` directories of the bounded
+    *    `lTables · 2^PartDirBits`, then parquet footer stats prune the
+    *    key-sorted file to the ~bucket-sized matching row range — so
+    *    probe cost stays flat as a corpus-scaled bBits grows, instead of
+    *    the directory count growing with the corpus (see [[PartDirBits]]);
     *  - `partitionByBucket = false`: flat parquet clustered by (t, key) —
     *    for FULL-INDEX consumers ([[bandedNearDupPairsIndexed]]'s
     *    self-join), where the partitioned layout's
@@ -285,10 +304,16 @@ object Indexes {
     }
     val rows = emb.select(col("vec_id"), explode(array(tables: _*)).as("b"))
       .select(col("vec_id"), col("b.t").as("t"), col("b.key").as("key"))
-    if (partitionByBucket)
-      rows.repartition(col("t"), col("key"))
-        .write.mode(mode).partitionBy("t", "key").parquet(path)
-    else
+    if (partitionByBucket) {
+      // two-level layout ([[PartDirBits]]): dirs keyed by the key's top
+      // bits (bounded fan-out), full key kept as a key-SORTED data column
+      // so footer stats prune within the dir's single file
+      val shift = bBits - math.min(bBits, PartDirBits)
+      rows.withColumn("pkey", shiftright(col("key"), shift))
+        .repartition(col("t"), col("pkey"))
+        .sortWithinPartitions(col("key"), col("vec_id"))
+        .write.mode(mode).partitionBy("t", "pkey").parquet(path)
+    } else
       rows.repartition(col("t"), col("key")).sortWithinPartitions(col("t"), col("key"))
         .write.mode(mode).parquet(path)
   }
@@ -313,11 +338,13 @@ object Indexes {
     * for (a) one point lookup of the query vector (min/max pushdown on
     * vec_id) and (b) the exact re-rank of candidates only.
     *
-    * The `lTables` probed (t, key) pairs become literal filters, so the
-    * index scan partition-prunes statically — `.explain` shows the pruned
-    * `PartitionFilters`, and IndexesSpec machine-asserts both the pruning
-    * and the absence of any bucketing pass (no Generate/explode, no plane
-    * dots over the corpus). */
+    * The `lTables` probed (t, pkey, key) triples become literal filters,
+    * so the index scan partition-prunes statically on (t, pkey) and
+    * footer-stat-prunes on the key-sorted data column — `.explain` shows
+    * the pruned `PartitionFilters` plus the pushed key filter, and
+    * IndexesSpec machine-asserts both the pruning and the absence of any
+    * bucketing pass (no Generate/explode, no plane dots over the
+    * corpus). */
   def lshTopKIndexed(emb: DataFrame, indexPath: String, queryId: Long, k: Int,
                      bBits: Int = 4, lTables: Int = 16, dim: Int = 64,
                      seed: Long = 42L): DataFrame = {
@@ -327,8 +354,9 @@ object Indexes {
     val qKeys: Seq[(Int, Long)] = (0 until lTables).map { t =>
       t -> bucketKeyLocal(qv, ps.slice(t * bBits, (t + 1) * bBits))
     }
+    val shift = bBits - math.min(bBits, PartDirBits)
     val probe = qKeys.map { case (t, key) =>
-      col("t") === t && col("key") === key
+      col("t") === t && col("pkey") === (key >> shift) && col("key") === key
     }.reduce(_ || _)
     val candIds = spark.read.parquet(indexPath)
       .where(probe)
@@ -377,14 +405,20 @@ object Indexes {
     * probe side is a FRAME of (query_id, embedding) rows, not one driver
     * round-trip per query.
     *
-    *  - band keys are computed EXECUTOR-side per query row with the
-    *    identical [[Similarity.bucketFromPlanes]] expressions the index was
-    *    built with (no driver `head()`, no per-query job);
-    *  - the (query_id, t, key) probe frame is broadcast against the index,
-    *    so the index is scanned ONCE for the whole batch and — with the
-    *    bucket-partitioned layout — the broadcast join keys on the
-    *    partition columns, making the scan eligible for dynamic partition
-    *    pruning to the union of probed buckets;
+    *  - band keys are computed in ONE distributed pass over the query
+    *    frame with the identical [[Similarity.bucketFromPlanes]]
+    *    expressions the index was built with (no per-query driver
+    *    round-trip), then materialized — the broadcast pulls exactly these
+    *    |queries|·lTables rows to the driver regardless, and re-planting
+    *    them as a LocalRelation keeps the plane-literal expression tree
+    *    out of every downstream task closure;
+    *  - the (query_id, t, pkey, key) probe frame is broadcast against the
+    *    index, so the index is scanned ONCE for the whole batch, and the
+    *    union of probed (t, pkey) pairs — literals, thanks to the
+    *    materialization — rides the scan as a STATIC partition filter:
+    *    plan-time pruning, strictly stronger than the dynamic pruning the
+    *    join alone would need, and bounded at lTables·2^[[PartDirBits]]
+    *    disjuncts regardless of batch size;
     *  - the exact re-rank touches candidates only, and the per-query top-k
     *    cut runs through the custom bounded-heap operator
     *    ([[graft.plans.GroupedTopK]]) — O(n log k), k·|queries| shuffle —
@@ -403,10 +437,33 @@ object Indexes {
         Similarity.bucketFromPlanes(col("embedding"),
           ps.slice(t * bBits, (t + 1) * bBits)).as("key"))
     }
-    val qKeys = queries.select(col("query_id"), explode(array(tables: _*)).as("b"))
-      .select(col("query_id"), col("b.t").as("t"), col("b.key").as("key"))
+    val shift = bBits - math.min(bBits, PartDirBits)
+    // ONE distributed bucketing pass over the query frame, then an explicit
+    // materialization: `broadcast(qKeys)` pulls exactly these rows to the
+    // driver anyway, and re-planting them as a LocalRelation keeps the
+    // bBits·lTables plane-literal expression tree out of the broadcast/DPP
+    // subplans that every downstream task deserializes (measured at sf0.1,
+    // b=6: task-closure deserialization alone was 0.5-1.4 s per run).
+    import spark.implicits._
+    val qKeyRows = queries
+      .select(col("query_id"), explode(array(tables: _*)).as("b"))
+      .select(col("query_id"), col("b.t").as("t"), col("b.key").as("key"),
+        shiftright(col("b.key"), shift).as("pkey"))
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    val qKeys = qKeyRows.toDF("query_id", "t", "key", "pkey")
+    // STATIC partition pruning from the materialized keys: the probed
+    // (t, pkey) pairs are literals, so the scan prunes at PLAN time — no
+    // DPP subquery stage, no reliance on the optimizer finding the build
+    // side selective (a bare LocalRelation doesn't qualify for DPP). The
+    // pair count is bounded by lTables·2^PartDirBits regardless of batch
+    // size, so the literal disjunction never grows past 256 terms.
+    val probedPairs = qKeyRows.map(r => (r._2, r._4)).distinct
+    val probeFilter = probedPairs
+      .map { case (t, pk) => col("t") === t && col("pkey") === pk }
+      .reduce(_ || _)
     val cand = spark.read.parquet(indexPath)
-      .join(broadcast(qKeys), Seq("t", "key"))
+      .where(probeFilter)
+      .join(broadcast(qKeys), Seq("t", "pkey", "key"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id")).distinct()
     val q = queries.select(col("query_id"), col("embedding").as("qv"),

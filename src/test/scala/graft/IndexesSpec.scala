@@ -356,8 +356,7 @@ class IndexesSpec extends AnyFunSuite {
     (p +: inner) ++ p.subqueries.flatMap(allNodes)
   }
 
-  test("batch LSH probe: dynamic partition pruning fires on the index scan") {
-    import org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression
+  test("batch LSH probe: index scan statically prunes to the probed buckets") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val queries = emb.where(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding"))
@@ -367,10 +366,24 @@ class IndexesSpec extends AnyFunSuite {
       case s: FileSourceScanExec if s.relation.partitionSchema.nonEmpty => s
     }
     assert(idxScans.nonEmpty, "no partitioned scan found — index layout changed?")
-    assert(idxScans.forall(_.partitionFilters.exists(
-        _.exists(_.isInstanceOf[DynamicPruningExpression]))),
-      "the batch probe full-scans the bucket-partitioned index: DPP stopped firing\n" +
+    // the probed (t, pkey) pairs ride the scan as LITERAL partition
+    // filters (plan-time pruning — no DPP subquery needed since the
+    // materialized qKeys made the pairs constants)
+    assert(idxScans.forall(_.partitionFilters.nonEmpty),
+      "the batch probe full-scans the bucket-partitioned index\n" +
         idxScans.map(_.toString).mkString("\n"))
+    // and the pruning is real: the scan must read strictly fewer files
+    // than the index holds (5 queries × 16 tables cannot probe every
+    // bucket of the near-uniform fixture corpus)
+    val readFiles = idxScans.map(_.metrics("numFiles").value).sum
+    val allParquet = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(idxPath)).size
+    }
+    assert(readFiles > 0 && readFiles < allParquet,
+      s"static pruning ineffective: read $readFiles of $allParquet index files")
   }
 
   test("incremental near-dup: no broadcast carries arrays; refine is a shuffle join") {
