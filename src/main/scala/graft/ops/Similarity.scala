@@ -340,6 +340,59 @@ object Similarity {
     (-array_max(array(scored.toIndexedSeq: _*)).getField("nc")).cast("int")
   }
 
+  /** FULL Lloyd training loop — `iters` distributed assign+mean rounds
+    * from an explicit initial centroid table, auditing the whole
+    * trajectory: one output row per (iter, cell, dim) with the cell's
+    * member count and the post-iteration centroid component.
+    *
+    * Determinism contract (what makes a multi-round float loop
+    * oracle-verifiable at all): each round's means are quantized to 6
+    * decimals BEFORE becoming the next round's centroids, so the values
+    * the next assignment sees are engine-identical — without the
+    * quantization, a last-ulp difference in Spark's merge-order-dependent
+    * `avg` would flip a boundary assignment in round 2 and diverge the
+    * engines arbitrarily. Assignment is cosine-argmax with the fixed
+    * smallest-cell tie-break ([[assignCell]]); an EMPTIED cell carries
+    * its previous centroid forward (n_members 0) — the standard Lloyd
+    * convention, mirrored exactly by the oracle's unrolled iterations.
+    *
+    * Scale shape: per round, ONE distributed job — the k·dim plane
+    * literals ride the task closure, the aggregate is map-side combined
+    * (k·dim running sums per task), and only the k×(dim+2) model rows
+    * come back to the driver (the bounded-model-collect contract every
+    * trainer here follows). Rounds are inherently sequential (Lloyd);
+    * driver state between rounds is the k×dim centroid array. */
+  def kmeansTrain(emb: DataFrame, centroids: DataFrame, iters: Int,
+                  dim: Int = 64): DataFrame = {
+    require(iters >= 1 && iters <= 16, s"1 <= iters <= 16, got $iters")
+    val spark = emb.sparkSession
+    val byCell = centroids.select(col("cell").cast("int"), col("centroid"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    require(byCell.nonEmpty && (0 until byCell.size).forall(byCell.contains),
+      s"centroid cells must be contiguous 0..k-1, got ${byCell.keys.toSeq.sorted}")
+    var cents = Array.tabulate(byCell.size)(byCell)
+    val k = cents.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Int, Double)]
+    val base = emb.select(col("embedding"), norm(col("embedding")).as("nrm"))
+    val avgs = (0 until dim).map(i =>
+      round(avg(col("embedding").getItem(i)), 6).as(s"d$i"))
+    for (it <- 1 to iters) {
+      val rows = base
+        .select(assignCell(col("embedding"), col("nrm"), cents).as("cell"),
+          col("embedding"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_members"), avgs: _*)
+        .collect()
+      val got = rows.map(r => r.getInt(0) ->
+        (r.getLong(1), Array.tabulate(dim)(i => r.getDouble(2 + i)))).toMap
+      cents = Array.tabulate(k)(c => got.get(c).map(_._2).getOrElse(cents(c)))
+      for (c <- 0 until k; i <- 0 until dim)
+        out += ((it, c, got.get(c).map(_._1).getOrElse(0L), i, cents(c)(i)))
+    }
+    import spark.implicits._
+    out.toSeq.toDF("iter", "cell", "n_members", "dim", "val")
+  }
+
   /** First-n untrained quantizer — the bootstrap [[ivfTopK]] ran on before
     * training existed; kept as the comparison baseline for k-means recall
     * (SimilaritySpec) and as a zero-cost init when no trained model is at

@@ -973,6 +973,54 @@ object PipelineQueries {
        |FROM cells c JOIN e ON c.vec_id = e.vec_id CROSS JOIN range(64) AS d(dim)
        |GROUP BY c.cell, d.dim ORDER BY c.cell, d.dim""".stripMargin
 
+  /** FULL k-means training loop, 3 Lloyd rounds from the committed IVF
+    * centroids ([[graft.ops.Similarity.kmeansTrain]]) — the oracle unrolls
+    * the identical three iterations in SQL (assign → mean → requantize),
+    * so the driver hash-verifies the whole training TRAJECTORY, not one
+    * step: round-6 centroid quantization between rounds is what keeps a
+    * multi-round float loop engine-identical (scaladoc there). */
+  def kmeansTrain(s: SparkSession, d: String): DataFrame =
+    graft.ops.Similarity.kmeansTrain(embeddings(s, d),
+        s.read.parquet(ivfCentroidsPath), iters = 3)
+      .orderBy(col("iter"), col("cell"), col("dim"))
+
+  val kmeansTrainSql: String = {
+    val iters = 3
+    val dim = 64
+    val sb = new StringBuilder
+    sb ++= s"WITH $duckNormed,\n"
+    sb ++= s"cent1 AS (SELECT cell::INT AS cell, centroid AS cv\n" +
+      s"          FROM read_parquet('$ivfCentroidsPath/*.parquet'))"
+    for (i <- 1 to iters) {
+      sb ++= s""",
+        |nrm$i AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cent$i),
+        |asg$i AS (SELECT e.vec_id, nrm$i.cell,
+        |            list_dot_product(e.v, nrm$i.cv) / (e.nrm * nrm$i.cn) AS ccos
+        |          FROM e CROSS JOIN nrm$i),
+        |win$i AS (SELECT vec_id, cell FROM asg$i
+        |          QUALIFY row_number() OVER (PARTITION BY vec_id
+        |                                     ORDER BY ccos DESC, cell ASC) = 1),
+        |mean$i AS (SELECT w.cell, d.dim::INT AS dim, count(*)::BIGINT AS nm,
+        |             round(avg(e.v[d.dim + 1]), 6) AS val
+        |           FROM win$i w JOIN e ON w.vec_id = e.vec_id
+        |                CROSS JOIN range($dim) AS d(dim)
+        |           GROUP BY w.cell, d.dim),
+        |out$i AS (SELECT $i AS iter, c.cell, coalesce(m.nm, 0)::BIGINT AS n_members,
+        |            d.dim::INT AS dim, coalesce(m.val, c.cv[d.dim + 1]) AS val
+        |          FROM cent$i c CROSS JOIN range($dim) AS d(dim)
+        |               LEFT JOIN mean$i m ON m.cell = c.cell AND m.dim = d.dim)""".stripMargin
+      if (i < iters)
+        sb ++= s""",
+          |cent${i + 1} AS (SELECT cell, list(val ORDER BY dim) AS cv
+          |           FROM out$i GROUP BY cell)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT iter, cell, n_members, dim, val FROM (
+      |${(1 to iters).map(i => s"  SELECT * FROM out$i").mkString(" UNION ALL\n")}
+      |) ORDER BY iter, cell, dim""".stripMargin
+    materializeCtes(sb.toString)
+  }
+
   /** Batched IVF ANN — the [[annLshBatch]] twin over the stored inverted
     * lists: per-query cell ranking as a broadcast join + bounded-heap cut,
     * probed (query_id, cell) pairs broadcast against the cell-partitioned

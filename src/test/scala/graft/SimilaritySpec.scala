@@ -141,6 +141,41 @@ class SimilaritySpec extends AnyFunSuite {
     })
   }
 
+  test("kmeans train loop: hand-computed 2-round trajectory, fixed point") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val init = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
+      .toDF("cell", "centroid")
+    val got = Similarity.kmeansTrain(emb, init, iters = 2, dim = 2)
+      .orderBy("iter", "cell", "dim")
+      .as[(Int, Int, Long, Int, Double)].collect()
+    assert(got.length === 2 * 2 * 2)
+    val iter1 = got.filter(_._1 == 1)
+    // cosine assignment splits {0,1} vs {2,3}; float means round-6 cleanly
+    assert(iter1.map(_._3).toSeq === Seq(2L, 2L, 2L, 2L))
+    assert(iter1.map(_._5).toSeq === Seq(0.95, 0.05, 0.05, 0.95))
+    // round 2 re-assigns identically off the new centroids → fixed point
+    val iter2 = got.filter(_._1 == 2)
+    assert(iter2.map(r => (r._2, r._3, r._4, r._5)).toSeq ===
+      iter1.map(r => (r._2, r._3, r._4, r._5)).toSeq)
+  }
+
+  test("kmeans train loop: emptied cell carries its centroid, n_members 0") {
+    // both vectors sit on cell 0's axis — cell 1 empties immediately
+    val emb = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val init = Seq((0, Seq(1.0, 0.0)), (1, Seq(-1.0, 0.5)))
+      .toDF("cell", "centroid")
+    val got = Similarity.kmeansTrain(emb, init, iters = 1, dim = 2)
+      .orderBy("cell", "dim")
+      .as[(Int, Int, Long, Int, Double)].collect()
+    assert(got.filter(_._2 == 0).map(_._3).toSeq === Seq(2L, 2L))
+    assert(got.filter(_._2 == 1).map(r => (r._3, r._5)).toSeq ===
+      Seq((0L, -1.0), (0L, 0.5)))
+  }
+
   test("banded near-dups: non-empty strict subset machinery of all-pairs") {
     val emb = graft.engine.Tables.embeddings(spark, sf)
     val all = Similarity.embeddingNearDupPairs(emb, 0.4, Long.MaxValue)
