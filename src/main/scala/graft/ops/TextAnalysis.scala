@@ -255,6 +255,47 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Collocation extraction: top-`k` adjacent word pairs by pointwise
+    * mutual information, `pmi = ln(P(ab) / (P(a)·P(b)))` with bigram and
+    * unigram probabilities from their own totals — the phrase-detection
+    * pass (word2vec-style "new_york" merging) and a boilerplate smell
+    * (high-PMI high-count pairs are templates). `minCount` suppresses the
+    * low-support noise PMI is notorious for.
+    *
+    * Determinism: one `ln` per surviving pair (no float accumulation),
+    * arguments are products of exact integer counts cast to double BEFORE
+    * multiplying (overflow-safe, correctly-rounded, engine-identical),
+    * output rounded to 6 with a (pmi, w1, w2) total order.
+    *
+    * Scale shape: two explode + hash-aggregate passes (bigrams, unigrams —
+    * both map-side combined, shuffling (gram, count) pairs only), the two
+    * scalar totals ride broadcast 1-row aggregates, the bigram⟕unigram
+    * joins shuffle vocabulary-sized count tables, and the cut is
+    * `orderBy(...).limit(k)` = TakeOrderedAndProject. */
+  def pmiTopPairs(docs: DataFrame, k: Int = 20, minCount: Long = 5): DataFrame = {
+    val w = docs.select(TextOps.words(coalesce(col("text"), lit(""))).as("w"))
+    val bi = w.select(explode(TextOps.shingles(col("w"), 2)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c_ab"))
+      .select(substring_index(col("g"), " ", 1).as("w1"),
+        substring_index(col("g"), " ", -1).as("w2"), col("c_ab"))
+    val uni = w.select(explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val nu = uni.agg(sum(col("c")).as("nu"))
+    val nb = bi.agg(sum(col("c_ab")).as("nb"))
+    val ua = uni.select(col("t").as("w1"), col("c").as("ca"))
+    val ub = uni.select(col("t").as("w2"), col("c").as("cb"))
+    bi.where(col("c_ab") >= minCount)
+      .join(ua, Seq("w1")).join(ub, Seq("w2"))
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        round(log(col("c_ab").cast("double") * col("nu").cast("double") *
+          col("nu").cast("double") /
+          (col("nb").cast("double") * col("ca").cast("double") *
+            col("cb").cast("double"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
   /** Per-language token statistics over a documents table. */
   def tokenStats(docs: DataFrame): DataFrame =
     docs.select(col("lang"), tokenCount(col("text")).as("tokens"),

@@ -2850,6 +2850,32 @@ object PipelineQueries {
        |ORDER BY score DESC, doc_id ASC LIMIT 25""".stripMargin
   }
 
+  /** Top-20 adjacent-pair collocations by PMI, support ≥ 5
+    * ([[graft.ops.TextAnalysis.pmiTopPairs]]): one ln per surviving pair
+    * over exact-integer-count ratios — no float accumulation anywhere. */
+  def pmiPairs(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.pmiTopPairs(documents(s, d), k = 20, minCount = 5)
+
+  val pmiPairsSql: String =
+    s"""WITH w AS (SELECT $duckWords AS w FROM documents),
+       |bi0 AS (SELECT unnest(list_transform(range(1, len(w)),
+       |                                     i -> w[i] || ' ' || w[i + 1])) AS g
+       |        FROM w),
+       |bi AS (SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2,
+       |              count(*)::BIGINT AS c_ab
+       |       FROM bi0 GROUP BY g),
+       |uni AS (SELECT unnest(w) AS t FROM w),
+       |u AS (SELECT t, count(*)::BIGINT AS c FROM uni GROUP BY t),
+       |nu AS (SELECT sum(c)::BIGINT AS nu FROM u),
+       |nb AS (SELECT sum(c_ab)::BIGINT AS nb FROM bi)
+       |SELECT w1, w2, c_ab,
+       |       round(ln(c_ab::DOUBLE * nu::DOUBLE * nu::DOUBLE /
+       |                (nb::DOUBLE * a.c::DOUBLE * b.c::DOUBLE)), 6) AS pmi
+       |FROM bi JOIN u a ON bi.w1 = a.t JOIN u b ON bi.w2 = b.t
+       |     CROSS JOIN nu CROSS JOIN nb
+       |WHERE c_ab >= 5
+       |ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin
+
   /** Per-source unigram entropy + KL from the corpus distribution
     * ([[graft.ops.TextAnalysis.sourceEntropy]]): the data-mixing QA pass.
     * Float sums are 1e-6 fixed-point-quantized per term so the per-source

@@ -112,6 +112,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(h("varied") > 1.0)
   }
 
+  test("pmi pairs: hand-computed collocations, tie-broken lexically") {
+    // unigrams a:3 b:2 c:1 (Nu=6); bigrams "a b":2 "b a":1 "a c":1 (Nb=4)
+    val docs = Seq((0L, "a b a b"), (1L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.pmiTopPairs(docs, k = 10, minCount = 1)
+      .as[(String, String, Long, Double)].collect()
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq ===
+      Seq(("a", "b", 2L), ("a", "c", 1L), ("b", "a", 1L)))
+    assert(math.abs(got(0)._4 - math.log(3.0)) < 1e-6)    // ln(2·36/(4·3·2))
+    assert(math.abs(got(1)._4 - math.log(3.0)) < 1e-6)    // ln(1·36/(4·3·1))
+    assert(math.abs(got(2)._4 - math.log(1.5)) < 1e-6)
+    // minCount suppresses the singletons
+    assert(TextAnalysis.pmiTopPairs(docs, k = 10, minCount = 2).count() === 1L)
+  }
+
   test("fingerprint: whitespace-insensitive, case-insensitive") {
     val fps = Seq("The  quick\tfox", "the quick fox", "the quick cat")
       .toDF("text").select(TextAnalysis.fingerprint(col("text")).as("f"))
