@@ -254,10 +254,10 @@ object Indexes {
     * the IDENTICAL bucketing [[Similarity.lshTopK]] computes inline (same
     * planes, same seed), so an indexed probe returns the same candidates.
     *
-    * `repartition(t, key)` before the partitioned write co-locates each
-    * output directory's rows into one task, so the write emits one file per
-    * non-empty (t, key) — no small-file explosion, and the files arrive
-    * sorted by the shuffle's hash order (deterministic layout).
+    * `repartition(t, pkey)` before the partitioned write co-locates each
+    * output directory's rows into one task, so the write emits one file
+    * per non-empty (t, pkey) — no small-file explosion, and each file is
+    * key-sorted for footer-stat pruning (deterministic layout).
     *
     * Two layouts for two access patterns:
     *  - `partitionByBucket = true` (default): TWO-LEVEL — one directory
@@ -304,18 +304,53 @@ object Indexes {
     }
     val rows = emb.select(col("vec_id"), explode(array(tables: _*)).as("b"))
       .select(col("vec_id"), col("b.t").as("t"), col("b.key").as("key"))
-    if (partitionByBucket) {
-      // two-level layout ([[PartDirBits]]): dirs keyed by the key's top
-      // bits (bounded fan-out), full key kept as a key-SORTED data column
-      // so footer stats prune within the dir's single file
-      val shift = bBits - math.min(bBits, PartDirBits)
-      rows.withColumn("pkey", shiftright(col("key"), shift))
-        .repartition(col("t"), col("pkey"))
-        .sortWithinPartitions(col("key"), col("vec_id"))
-        .write.mode(mode).partitionBy("t", "pkey").parquet(path)
-    } else
+    if (partitionByBucket)
+      writeBucketedLshRows(rows, path, mode, bBits)
+    else
       rows.repartition(col("t"), col("key")).sortWithinPartitions(col("t"), col("key"))
         .write.mode(mode).parquet(path)
+  }
+
+  /** The canonical two-level bucketed layout from raw (vec_id, t, key)
+    * rows ([[PartDirBits]]): dirs keyed by the key's top bits (bounded
+    * fan-out), full key a key-SORTED data column so footer stats prune
+    * within the dir's single file. */
+  private def writeBucketedLshRows(rows: DataFrame, path: String,
+                                   mode: String, bBits: Int): Unit = {
+    val shift = bBits - math.min(bBits, PartDirBits)
+    rows.withColumn("pkey", shiftright(col("key"), shift))
+      .repartition(col("t"), col("pkey"))
+      .sortWithinPartitions(col("key"), col("vec_id"))
+      .write.mode(mode).partitionBy("t", "pkey").parquet(path)
+  }
+
+  /** COMPACT an append-grown bucketed LSH index into a fresh canonical
+    * generation at `dest` — the missing lifecycle verb between
+    * [[appendLshIndex]] and [[gcSiblings]]: every append lands one more
+    * small file inside each touched (t, pkey) directory, so probe cost
+    * creeps up with append count (footer-per-file, not rows) until a
+    * compaction folds the accumulated files back into the
+    * one-sorted-file-per-directory layout a fresh build produces.
+    *
+    * No re-bucketing: the signatures are already in the index (keys are a
+    * pure function of the vectors and the index's own planes), so
+    * compaction is a pure shuffle-and-rewrite of (vec_id, t, key) rows —
+    * it never touches the corpus, works at any bBits, and costs one pass
+    * over index rows (≪ the original bucketing pass over embeddings).
+    *
+    * Write-once semantics: `dest` must be a NEW path (tmp build + atomic
+    * [[commitIndexDir]] rename; a pre-existing dest wins any race and the
+    * loser's tmp is discarded). The caller owns the reader flip and the
+    * old generation's retirement — same contract as every committed
+    * generation here ([[gcGraceMs]] protects in-flight readers). Probe
+    * results are bit-identical pre/post compaction (IndexesSpec). */
+  def compactLshIndex(spark: SparkSession, src: String, dest: String,
+                      bBits: Int = 4): Unit = {
+    val rows = spark.read.parquet(src)
+      .select(col("vec_id"), col("t"), col("key"))
+    val tmp = tmpBuildPath(dest)
+    writeBucketedLshRows(rows, tmp, "overwrite", bBits)
+    commitIndexDir(spark, tmp, dest)
   }
 
   /** Driver-side replica of [[Similarity.bucketFromPlanes]] for ONE vector:

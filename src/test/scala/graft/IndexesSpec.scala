@@ -415,6 +415,34 @@ class IndexesSpec extends AnyFunSuite {
     }, "refine must shuffle-join the batch sets on new_id")
   }
 
+  test("compactLshIndex: folds append-grown files, probe bit-identical") {
+    def parquetFiles(p: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(p)).size
+    }
+    val grown = Files.createTempDirectory("lsh_compact_spec").toString + "/idx"
+    // build from one slice, then three appends — each lands extra files
+    // inside the touched (t, pkey) dirs
+    Indexes.writeLshIndex(emb.where(col("vec_id") % 4 === 0), grown)
+    (1 to 3).foreach(m =>
+      Indexes.appendLshIndex(emb.where(col("vec_id") % 4 === m), grown))
+    val before = Indexes.lshTopKIndexed(emb, grown, 7L, 10)
+      .as[(Long, Double)].collect().toSeq
+    val compacted = Files.createTempDirectory("lsh_compact_dst").toString + "/idx"
+    Indexes.compactLshIndex(spark, grown, compacted)
+    val after = Indexes.lshTopKIndexed(emb, compacted, 7L, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(after === before, "compaction must not change probe results")
+    assert(parquetFiles(compacted) < parquetFiles(grown),
+      s"compaction must shrink the file count " +
+        s"(${parquetFiles(grown)} -> ${parquetFiles(compacted)})")
+    // same row multiset, canonical layout
+    assert(spark.read.parquet(compacted).count() ===
+      spark.read.parquet(grown).count())
+  }
+
   test("appendLshIndex / appendIvfIndex: appended index equals a rebuild") {
     val half1 = emb.where(col("vec_id") % 2 === 0)
     val half2 = emb.where(col("vec_id") % 2 === 1)
