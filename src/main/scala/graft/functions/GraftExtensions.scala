@@ -24,5 +24,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         DotProduct(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cos"),
+      new ExpressionInfo(classOf[CosineSim].getName, "graft_cos"),
+      (children: Seq[Expression]) => {
+        if (children.length != 2) {
+          throw new IllegalArgumentException(
+            s"graft_cos requires exactly 2 arguments, got ${children.length}")
+        }
+        CosineSim(children.head, children(1))
+      }))
   }
 }

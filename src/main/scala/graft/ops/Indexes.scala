@@ -402,8 +402,7 @@ object Indexes {
     emb.join(candIds, Seq("vec_id"), "left_semi")
       .join(broadcast(q))
       .select(col("vec_id"),
-        round(graft.functions.DotProduct.dot(col("embedding"), col("qv")) /
-          (Similarity.norm(col("embedding")) * col("qn")), 4).as("cos"))
+        Similarity.cosRound(col("embedding"), col("qv"), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
   }
@@ -506,8 +505,7 @@ object Indexes {
     val rescored = emb.join(cand, Seq("vec_id"))
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(graft.functions.DotProduct.dot(col("embedding"), col("qv")) /
-          (Similarity.norm(col("embedding")) * col("qn")), 4).as("cos"))
+        Similarity.cosRound(col("embedding"), col("qv"), 4).as("cos"))
     graft.plans.GroupedTopK.topK(rescored, Seq("query_id"),
       Seq("cos" -> true, "vec_id" -> false), k)
   }
@@ -543,8 +541,7 @@ object Indexes {
     val rescored = emb.join(cand, Seq("vec_id"))
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(graft.functions.DotProduct.dot(col("embedding"), col("qv")) /
-          (Similarity.norm(col("embedding")) * col("qn")), 4).as("cos"))
+        Similarity.cosRound(col("embedding"), col("qv"), 4).as("cos"))
     graft.plans.GroupedTopK.topK(rescored, Seq("query_id"),
       Seq("cos" -> true, "vec_id" -> false), k)
   }
@@ -572,8 +569,7 @@ object Indexes {
       .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
         col("nrm").as("nrm_b")), Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(graft.functions.DotProduct.dot(col("emb_a"), col("emb_b")) /
-          (col("nrm_a") * col("nrm_b")), 6).as("cos"))
+        Similarity.cosRound(col("emb_a"), col("emb_b"), 6).as("cos"))
       .where(col("cos") > threshold)
   }
 
@@ -657,8 +653,7 @@ object Indexes {
     emb.join(broadcast(cand), Seq("vec_id"), "left_semi")
       .join(broadcast(q))
       .select(col("vec_id"),
-        round(graft.functions.DotProduct.dot(col("embedding"), col("qv")) /
-          (Similarity.norm(col("embedding")) * col("qn")), 4).as("cos"))
+        Similarity.cosRound(col("embedding"), col("qv"), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
   }
@@ -702,8 +697,7 @@ object Indexes {
     val rescored = emb.join(cand, Seq("vec_id"))
       .join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(graft.functions.DotProduct.dot(col("embedding"), col("qv")) /
-          (Similarity.norm(col("embedding")) * col("qn")), 4).as("cos"))
+        Similarity.cosRound(col("embedding"), col("qv"), 4).as("cos"))
     graft.plans.GroupedTopK.topK(rescored, Seq("query_id"),
       Seq("cos" -> true, "vec_id" -> false), k)
   }
@@ -1158,8 +1152,7 @@ object Indexes {
     emb.join(candIds, Seq("vec_id"), "left_semi")
       .join(broadcast(q))
       .select(col("vec_id"),
-        round(graft.functions.DotProduct.dot(col("embedding"), col("qv")) /
-          (Similarity.norm(col("embedding")) * col("qn")), 4).as("cos"))
+        Similarity.cosRound(col("embedding"), col("qv"), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
   }
@@ -1197,8 +1190,7 @@ object Indexes {
     emb.join(candIds, Seq("vec_id"), "left_semi")
       .join(broadcast(q))
       .select(col("vec_id"),
-        round(graft.functions.DotProduct.dot(col("embedding"), col("qv")) /
-          (Similarity.norm(col("embedding")) * col("qn")), 4).as("cos"))
+        Similarity.cosRound(col("embedding"), col("qv"), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
   }
@@ -1232,8 +1224,7 @@ object Indexes {
     val rescored = emb.join(cand, Seq("vec_id"))
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(graft.functions.DotProduct.dot(col("embedding"), col("qv")) /
-          (Similarity.norm(col("embedding")) * col("qn")), 4).as("cos"))
+        Similarity.cosRound(col("embedding"), col("qv"), 4).as("cos"))
     graft.plans.GroupedTopK.topK(rescored, Seq("query_id"),
       Seq("cos" -> true, "vec_id" -> false), k)
   }
@@ -1351,8 +1342,7 @@ object Indexes {
     emb.join(broadcast(cand), Seq("vec_id"), "left_semi")
       .join(broadcast(q))
       .select(col("vec_id"),
-        round(graft.functions.DotProduct.dot(col("embedding"), col("qv")) /
-          (Similarity.norm(col("embedding")) * col("qn")), 4).as("cos"))
+        Similarity.cosRound(col("embedding"), col("qv"), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
   }
@@ -1409,8 +1399,7 @@ object Indexes {
     val rescored = emb.join(cand, Seq("vec_id"))
       .join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(graft.functions.DotProduct.dot(col("embedding"), col("qv")) /
-          (Similarity.norm(col("embedding")) * col("qn")), 4).as("cos"))
+        Similarity.cosRound(col("embedding"), col("qv"), 4).as("cos"))
     graft.plans.GroupedTopK.topK(rescored, Seq("query_id"),
       Seq("cos" -> true, "vec_id" -> false), k)
   }
@@ -1561,8 +1550,7 @@ object Indexes {
       .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
         col("nrm").as("nrm_b")), Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(graft.functions.DotProduct.dot(col("emb_a"), col("emb_b")) /
-          (col("nrm_a") * col("nrm_b")), 6).as("cos"))
+        Similarity.cosRound(col("emb_a"), col("emb_b"), 6).as("cos"))
       .where(col("cos") > threshold)
   }
 

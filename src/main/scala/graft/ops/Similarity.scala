@@ -27,9 +27,18 @@ object Similarity {
   /** sqrt(v·v) — precompute ONCE per vector before any pairwise op. */
   def norm(v: Column): Column = sqrt(dotU(v, v))
 
-  /** Cosine similarity of two `array<float>` columns (self-contained form;
-    * pairwise operators below precompute norms instead of calling this). */
-  def cosine(a: Column, b: Column): Column = dotU(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity of two `array<float>` columns — the FUSED native
+    * expression [[graft.functions.CosineSim]]: one primitive loop
+    * accumulating a·b, a·a, b·b together, bit-identical to
+    * `dot/(norm·norm)` by construction (same per-accumulator fold order,
+    * same final combine), so every DuckDB oracle keeps its decomposed
+    * `list_dot_product` form. */
+  def cosine(a: Column, b: Column): Column = graft.functions.CosineSim.cos(a, b)
+
+  /** Fused cosine rounded for hash-stable ordering/output — the exact
+    * re-rank expression every ANN probe shares. */
+  def cosRound(a: Column, b: Column, scale: Int): Column =
+    round(cosine(a, b), scale)
 
   /** Brute-force cosine top-k neighbours of `queryId`. Ordering and
     * selection use the rounded score (+ id tie-break) so the output is
@@ -40,8 +49,7 @@ object Similarity {
     emb.join(broadcast(q))
       .where(col("vec_id") =!= queryId)
       .select(col("vec_id"),
-        round(dotU(col("embedding"), col("qv")) /
-          (norm(col("embedding")) * col("qn")), 4).as("cos"))
+        cosRound(col("embedding"), col("qv"), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
   }
@@ -135,8 +143,7 @@ object Similarity {
     emb.join(candIds, Seq("vec_id"), "left_semi")
       .join(broadcast(q))
       .select(col("vec_id"),
-        round(dotU(col("embedding"), col("qv")) /
-          (norm(col("embedding")) * col("qn")), 4).as("cos"))
+        cosRound(col("embedding"), col("qv"), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
   }
@@ -322,7 +329,7 @@ object Similarity {
       .orderBy(col("est").desc, col("vec_id").asc)
       .limit(rerank)
     cand.select(col("vec_id"),
-        round(dotU(col("embedding"), col("qv")) / (norm(col("embedding")) * col("qn")), 4).as("cos"))
+        cosRound(col("embedding"), col("qv"), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
   }
@@ -443,7 +450,7 @@ object Similarity {
     e.join(candIds, Seq("vec_id"), "left_semi")
       .join(broadcast(q))
       .select(col("vec_id"),
-        round(dotU(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 4).as("cos"))
+        cosRound(col("embedding"), col("qv"), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
   }
@@ -459,7 +466,7 @@ object Similarity {
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
     a.join(b, col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(dotU(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 6).as("cos"))
+        cosRound(col("emb_a"), col("emb_b"), 6).as("cos"))
       .where(col("cos") > threshold)
   }
 
@@ -504,7 +511,7 @@ object Similarity {
       .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a")), Seq("vec_a"))
       .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b")), Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(dotU(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 6).as("cos"))
+        cosRound(col("emb_a"), col("emb_b"), 6).as("cos"))
       .where(col("cos") > threshold)
       .localCheckpoint(true)
     bk.unpersist()
