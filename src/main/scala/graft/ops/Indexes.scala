@@ -353,6 +353,21 @@ object Indexes {
     commitIndexDir(spark, tmp, dest)
   }
 
+  /** [[compactLshIndex]]'s twin for the CELL-partitioned families (IVF
+    * inverted lists and the IVF-PQ IVFADC layout share it — the schema
+    * rides through untouched, so PQ code columns survive): fold the
+    * one-file-per-append accumulation back to one vec_id-sorted file per
+    * cell directory. Same write-once contract: `dest` is a new
+    * generation, committed atomically; the caller flips readers. */
+  def compactCellIndex(spark: SparkSession, src: String, dest: String): Unit = {
+    val tmp = tmpBuildPath(dest)
+    spark.read.parquet(src)
+      .repartition(col("cell"))
+      .sortWithinPartitions(col("vec_id"))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    commitIndexDir(spark, tmp, dest)
+  }
+
   /** Driver-side replica of [[Similarity.bucketFromPlanes]] for ONE vector:
     * bit j of the key is set iff v·pⱼ > 0, with the dot product folded
     * left-to-right over exactly-widened floats — the same IEEE operation

@@ -441,6 +441,21 @@ class IndexesSpec extends AnyFunSuite {
     // same row multiset, canonical layout
     assert(spark.read.parquet(compacted).count() ===
       spark.read.parquet(grown).count())
+
+    // cell-partitioned twin: IVF-PQ (codes must survive compaction)
+    val cent = spark.read.parquet(graft.queries.PipelineQueries.ivfCentroidsPath)
+    val cbs = spark.read.parquet(graft.queries.PipelineQueries.pqCodebooksPath)
+    val grownPq = Files.createTempDirectory("ivfpq_compact_spec").toString + "/idx"
+    Indexes.writeIvfPqIndex(emb.where(col("vec_id") % 2 === 0), cent, cbs, grownPq)
+    Indexes.appendIvfPqIndex(emb.where(col("vec_id") % 2 === 1), cent, cbs, grownPq)
+    val beforePq = Indexes.ivfPqTopKIndexed(emb, cent, cbs, grownPq, 7L, 10,
+      nProbe = 4, rerank = 32).as[(Long, Double)].collect().toSeq
+    val compactedPq = Files.createTempDirectory("ivfpq_compact_dst").toString + "/idx"
+    Indexes.compactCellIndex(spark, grownPq, compactedPq)
+    val afterPq = Indexes.ivfPqTopKIndexed(emb, cent, cbs, compactedPq, 7L, 10,
+      nProbe = 4, rerank = 32).as[(Long, Double)].collect().toSeq
+    assert(afterPq === beforePq, "IVF-PQ probe must survive compaction")
+    assert(parquetFiles(compactedPq) < parquetFiles(grownPq))
   }
 
   test("appendLshIndex / appendIvfIndex: appended index equals a rebuild") {
