@@ -223,10 +223,18 @@ object TextAnalysis {
     * totals and the corpus total ride broadcasts of bounded aggregates
     * (|sources| rows and 1 row). Nothing driver-side. */
   def sourceEntropy(docs: DataFrame): DataFrame = {
+    // The (source, term) count table feeds FOUR downstream consumers
+    // (per-source totals, corpus counts, corpus total, and the scored
+    // join); Spark re-executes an unmaterialized subplan per reference —
+    // four full corpus scans + explodes (plan-audited). One eager
+    // localCheckpoint pins the vocabulary×|sources|-bounded table after a
+    // SINGLE corpus pass; callers release it with the standard
+    // between-queries unpersist (Verify/Bench loop contract).
     val tf = docs
       .select(col("source"),
         explode(TextOps.words(coalesce(col("text"), lit("")))).as("term"))
       .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val srcTot = tf.groupBy(col("source")).agg(sum(col("c")).as("t"))
     val corpus = tf.groupBy(col("term")).agg(sum(col("c")).as("ct"))
     val corpusTot = corpus.agg(sum(col("ct")).as("ctot"))

@@ -236,6 +236,43 @@ class PlanAuditSpec extends AnyFunSuite {
       s"probe must statically prune the cell-partitioned index:\n$p")
   }
 
+  test("bm25: no token explode, 1-row stats broadcast, top-k cut") {
+    val p = plan("q_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject(limit=25"),
+      s"bm25 must cut with a bounded top-k, not a global sort:\n$p")
+    // per-doc tf is an array-filter count inside one projection — an
+    // explode would shuffle every token of the corpus
+    assert(!p.contains("Generate"), s"bm25 explodes tokens:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 1-row stats aggregate must broadcast back:\n$p")
+  }
+
+  test("weighted sample: bounded-heap cut, no window sort") {
+    val p = plan("q_weighted_sample")
+    assert(p.contains("GroupedTopK"),
+      s"the per-source cut must be the bounded-heap operator:\n$p")
+    assert(!p.contains("Window"), s"weighted sample must not window-sort:\n$p")
+  }
+
+  test("iqr outliers: per-source fences broadcast back onto a narrow re-scan") {
+    val p = plan("q_iqr_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      s"fences must broadcast (|sources| rows), not shuffle the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus side must not sort-merge:\n$p")
+  }
+
+  test("entropy/KL: ONE corpus pass, then counts only") {
+    // the (source, term) table feeds four consumers — without the eager
+    // materialization Spark re-executes the scan+explode per reference
+    // (four corpus passes); with it, the final plan reads the pinned
+    // table and never touches documents or text again
+    val p = plan("q_source_entropy")
+    assert(!p.contains("documents.parquet"),
+      s"entropy re-scans the corpus instead of the materialized counts:\n$p")
+    assert(!p.contains("text#"), s"document text leaks into the plan:\n$p")
+    assert(!p.contains("Generate"), s"tokenization re-runs downstream:\n$p")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // Theta joins in the documented quadratic baselines become
     // BroadcastNestedLoopJoin (bounded side); an unconditional
