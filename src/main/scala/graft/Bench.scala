@@ -268,19 +268,47 @@ object Bench {
         s"[bench] WARNING: counter source(s) unavailable on this host: " +
           s"${missing.mkString(", ")} — recorded as -1, not 0")
     }
+    // PHASE 1 — cold pass over EVERY query first (JMH-style): each first
+    // run compiles its generated code (Janino + JIT — measured ~5.5 s of a
+    // 7.7 s cold run for the LSH dedup plan) and, collectively, the pass
+    // triggers the JVM's whole C2 storm ONCE before anything is timed.
+    // Interleaving cold-then-iterate per query (the pre-r11 shape) let the
+    // queries at shuffled-order positions 0-2 absorb that storm in their
+    // TIMED iterations: r11 final3 measured q_histogram at position 0
+    // reading 3× its mid-suite min across all its iterations with
+    // jit_ms ≈ 1 s/iter and 4× cpu_ms — attributed in-artifact by the
+    // counters, but the min is what cross-round comparisons read, so the
+    // bias is removed at the source. `cold` keeps its meaning (this
+    // query's first execution in the JVM).
+    val colds: Map[String, Double] = ordered.map { case (name, fn) =>
+      val c0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      val cold = (System.nanoTime() - c0) / 1e9
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      name -> cold
+    }.toMap
+    // Bounded C2 quiesce between the phases: wait until total JIT compile
+    // time stops moving (3 consecutive quiet 500 ms windows, 15 s cap).
+    locally {
+      val jit = java.lang.management.ManagementFactory.getCompilationMXBean
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      var last = jit.getTotalCompilationTime
+      var stable = 0
+      while (stable < 3 && System.nanoTime() < deadline) {
+        Thread.sleep(500)
+        val j = jit.getTotalCompilationTime
+        if (j - last < 50) stable += 1 else stable = 0
+        last = j
+      }
+    }
+    // PHASE 2 — timed iterations per query. Caches are CLEARED before
+    // every timed run so each re-does all data work: queries persist
+    // intermediates (shingle sets, band keys) and Spark's cache manager
+    // matches plan subtrees, so without the clear a timed run would skip
+    // whole stages and bench 3-10× faster than its real plan.
     val results = ordered.map { case (name, fn) =>
-        // Steady-state timing (JMH-style): the first run — timed separately
-        // as `cold` — compiles this query's generated code (Janino + JIT —
-        // measured ~5.5 s of a 7.7 s cold run for the LSH dedup plan, pure
-        // compile, amortized per-executor-process on a real cluster).
-        // Caches are CLEARED before every timed run so each re-does all
-        // data work: queries persist intermediates (shingle sets, band
-        // keys) and Spark's cache manager matches plan subtrees, so without
-        // the clear a timed run would skip whole stages and bench 3-10×
-        // faster than its real plan.
-        val c0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        val cold = (System.nanoTime() - c0) / 1e9
         // Level the heap before this query's timed iterations (see scaladoc).
         System.gc()
         val iters = (1 to itersFor(name)).map { _ =>
@@ -335,7 +363,7 @@ object Bench {
               f"jitMs=${it.jitMs}%7d janinoCompiles=${it.janino}%4d")
           it
         }
-        (name, iters.map(_.sec).min, cold, iters)
+        (name, iters.map(_.sec).min, colds(name), iters)
       }
     def jMap[T](f: ((String, Double, Double, Seq[Iter])) => T) =
       results.map { r => s"\"" + r._1 + "\":" + f(r) }.mkString("{", ",", "}")
