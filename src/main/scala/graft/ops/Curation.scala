@@ -329,14 +329,23 @@ object Curation {
     * [[graft.ops.LmScore]]'s `nll`) — the CUT itself compares unrounded
     * doubles, where a last-ulp flip would need two 48-bit-hash-derived
     * keys within 1 ulp of each other. */
-  def weightedSample(docs: DataFrame, k: Int): DataFrame = {
-    val h48 = conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+  /** The A-ES (weight, key) scoring columns — shared by [[weightedSample]]
+    * and the streaming twin ([[graft.streaming.EventStreams
+    * .weightedSampleStream]]), so both paths score a row identically by
+    * construction. */
+  private[graft] def aesScore(docId: Column, text: Column): (Column, Column) = {
+    val h48 = conv(substring(md5(docId.cast("string")), 1, 12), 16, 10)
       .cast("long")
     val wgt = greatest(
-      size(TextOps.words(coalesce(col("text"), lit("")))), lit(1)).cast("double")
+      size(TextOps.words(coalesce(text, lit("")))), lit(1)).cast("double")
     val u = (h48.cast("double") + lit(1.0)) / lit(281474976710656.0) // 2^48
+    (wgt, log(u) / wgt)
+  }
+
+  def weightedSample(docs: DataFrame, k: Int): DataFrame = {
+    val (wgt, skey) = aesScore(col("doc_id"), col("text"))
     val scored = docs.select(col("source"), col("doc_id"),
-      wgt.as("weight"), (log(u) / wgt).as("skey"))
+      wgt.as("weight"), skey.as("skey"))
     graft.plans.GroupedTopK.topK(scored, Seq("source"),
         Seq("skey" -> true, "doc_id" -> false), k)
       .select(col("source"), col("doc_id"), col("weight").cast("long").as("weight"),

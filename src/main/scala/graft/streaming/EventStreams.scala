@@ -283,6 +283,51 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming weighted sample — the continuous-ingest twin of
+    * [[graft.ops.Curation.weightedSample]]: maintain each source's
+    * current top-`k` A-ES sample across micro-batches in
+    * `flatMapGroupsWithState`. Rows are scored with the IDENTICAL
+    * [[graft.ops.Curation.aesScore]] columns the batch operator uses (a
+    * pure function of doc_id and token count), and a top-k under a TOTAL
+    * (key desc, doc_id asc) order is merge-order-independent — so after
+    * ANY prefix of micro-batches the maintained state equals the batch
+    * operator over exactly the rows ingested so far (EventStreamsSpec
+    * asserts it per batch). The A-ES property this inherits: the sample
+    * stays a without-replacement weighted sample of everything EVER seen,
+    * using O(k) state per source — the streaming reservoir problem with
+    * determinism.
+    *
+    * Each batch emits the group's full current sample tagged with a
+    * per-group version; consumers keep the max-version rows per source
+    * (update-mode sinks see every revision). Scale: state is k tuples per
+    * source, the state store partitions by source exactly like the batch
+    * operator's final exchange. */
+  def weightedSampleStream(docs: DataFrame, k: Int)
+      : Dataset[(String, Long, Long, Double, Long)] = {
+    import docs.sparkSession.implicits._
+    val (wgt, skey) = graft.ops.Curation.aesScore(col("doc_id"), col("text"))
+    def round6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    docs.select(col("source"), col("doc_id"), wgt.as("w"), skey.as("skey"))
+      .as[(String, Long, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Seq[(Double, Long, Double)]),
+          (String, Long, Long, Double, Long)](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[(String, Long, Double, Double)],
+         state: GroupState[(Long, Seq[(Double, Long, Double)])]) =>
+          val (ver0, cur) = state.getOption.getOrElse((0L, Seq.empty))
+          val merged = (cur ++ rows.map(r => (r._4, r._2, r._3)))
+            .sortBy { case (key, id, _) => (-key, id) }
+            .take(k)
+          val ver = ver0 + 1
+          state.update((ver, merged))
+          merged.iterator.map { case (key, id, w) =>
+            (src, id, w.toLong, round6(key), ver)
+          }
+      }
+  }
+
   /** Convenience: run the hourly-window stream over a directory to an
     * in-memory table and block until all currently-available files are
     * processed (complete mode: re-emits all windows each batch — used by

@@ -79,6 +79,41 @@ class EventStreamsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming weighted sample: state after every batch equals the batch operator") {
+    val in = MemoryStream[(Long, String, String)]
+    val q = EventStreams.weightedSampleStream(
+        in.toDF().toDF("doc_id", "text", "source"), k = 3)
+      .toDF("source", "doc_id", "weight", "skey", "ver")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("ws_stream").start()
+    val all = (0L until 20L).map(i =>
+      (i, ("w " * (i.toInt % 7 + 1)).trim, if (i < 10) "sA" else "sB"))
+    def currentSample(): Set[(String, Long, Long, Double)] = {
+      // update mode re-emits the group's whole sample each batch with a
+      // bumped version — the max-version rows per source are the state
+      val rows = spark.table("ws_stream")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getLong(4)))
+      val maxVer = rows.groupBy(_._1).view.mapValues(_.map(_._5).max)
+      rows.filter(r => r._5 == maxVer(r._1)).map(r => (r._1, r._2, r._3, r._4)).toSet
+    }
+    def batchSample(prefix: Seq[(Long, String, String)]): Set[(String, Long, Long, Double)] =
+      graft.ops.Curation.weightedSample(
+          prefix.toDF("doc_id", "text", "source"), k = 3)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    try {
+      // batch 1: first 12 docs; batch 2: the rest — batch 2 must be able
+      // to evict batch-1 survivors (the merge path, not just the fill path)
+      in.addData(all.take(12): _*); q.processAllAvailable()
+      assert(currentSample() === batchSample(all.take(12)),
+        "after batch 1 the stream state must equal the batch operator on the prefix")
+      in.addData(all.drop(12): _*); q.processAllAvailable()
+      assert(currentSample() === batchSample(all),
+        "after batch 2 the stream state must equal the batch operator on everything")
+    } finally q.stop()
+  }
+
   test("streaming dedup: first occurrence kept across batches, dup dropped") {
     val in = MemoryStream[(Timestamp, String)]
     val q = EventStreams.dedupStream(in.toDF().toDF("ts", "text"), "1 hour")
