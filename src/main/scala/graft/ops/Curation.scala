@@ -381,6 +381,38 @@ object Curation {
         round(avg(col(valueCol)), 6).as("avg_v"))
   }
 
+  /** Length-grouped batching — the padding-minimization pass before
+    * batched inference or training: within each source, documents sort by
+    * (token count, doc_id) and fill fixed-size batches of `batchSize` in
+    * that order, so each batch holds near-equal-length documents and the
+    * padded waste `max_len·n − Σlen` stays small (random batching pads
+    * every short doc up to the batch's longest). Output is the per-batch
+    * audit: sizes, token load, padding waste absolute and as a fraction
+    * of the padded volume.
+    *
+    * Scale shape: ONE window (row_number over the per-source length sort
+    * — parallel across sources, spilling WindowExec within one), then a
+    * map-side-combined aggregate; the shuffle carries (source, tokens)
+    * pairs. Same single-monster-source caveat as [[ntileStats]], same
+    * answer (shard first). */
+  def lengthBatches(docs: DataFrame, batchSize: Int): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be positive, got $batchSize")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("tokens"), col("doc_id"))
+    val padded = col("max_tokens") * col("n_docs")
+    docs.select(col("source"), col("doc_id"),
+        size(TextOps.words(coalesce(col("text"), lit("")))).cast("long").as("tokens"))
+      .withColumn("batch_id", call_function("div",
+        (row_number().over(w) - 1).cast("long"), lit(batchSize.toLong)))
+      .groupBy(col("source"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"), max(col("tokens")).as("max_tokens"),
+        sum(col("tokens")).as("sum_tokens"))
+      .select(col("source"), col("batch_id"), col("n_docs"), col("max_tokens"),
+        col("sum_tokens"), (padded - col("sum_tokens")).as("pad_tokens"),
+        round((padded - col("sum_tokens")).cast("double") /
+          padded.cast("double"), 6).as("pad_frac"))
+  }
+
   /** Per-source token-length outlier extraction (Tukey fences): exact Q1/Q3
     * of the per-doc token count per source, flag docs outside
     * [Q1 − fence·IQR, Q3 + fence·IQR]. The classic `fence = 1.5` suits

@@ -2941,6 +2941,29 @@ object PipelineQueries {
        |WHERE tokens < lo OR tokens > hi
        |ORDER BY source, doc_id""".stripMargin
 
+  /** Length-grouped batches of 16 per source
+    * ([[graft.ops.Curation.lengthBatches]]) with the padding-waste audit
+    * — near-equal-length batches are the point, pad_frac measures it. */
+  def lengthBatches(s: SparkSession, d: String): DataFrame =
+    Curation.lengthBatches(documents(s, d), batchSize = 16)
+      .orderBy(col("source"), col("batch_id"))
+
+  val lengthBatchesSql: String =
+    s"""WITH b AS (SELECT source, doc_id, len($duckWords)::BIGINT AS tokens
+       |           FROM documents),
+       |r AS (SELECT source, doc_id, tokens,
+       |        row_number() OVER (PARTITION BY source
+       |                           ORDER BY tokens, doc_id) AS rn FROM b),
+       |g AS (SELECT source, ((rn - 1) // 16)::BIGINT AS batch_id,
+       |        count(*)::BIGINT AS n_docs, max(tokens) AS max_tokens,
+       |        sum(tokens)::BIGINT AS sum_tokens
+       |      FROM r GROUP BY source, (rn - 1) // 16)
+       |SELECT source, batch_id, n_docs, max_tokens, sum_tokens,
+       |       (max_tokens * n_docs - sum_tokens)::BIGINT AS pad_tokens,
+       |       round((max_tokens * n_docs - sum_tokens)::DOUBLE /
+       |             (max_tokens * n_docs)::DOUBLE, 6) AS pad_frac
+       |FROM g ORDER BY source, batch_id""".stripMargin
+
   /** Deterministic weighted sample (A-ES, weight = token count), 15 docs
     * per source ([[graft.ops.Curation.weightedSample]]); output re-sorted
     * by (source, doc_id) for a hash-stable row order. */

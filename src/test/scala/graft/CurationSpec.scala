@@ -283,6 +283,23 @@ class CurationSpec extends AnyFunSuite {
     assert(out.toSeq === Seq(1L, 100L))
   }
 
+  test("length batching: sorted fill, hand-computed padding, conservation") {
+    // lengths 1,2,3,4,5 in one source, batches of 2 (sorted order):
+    // [1,2] pad 1, [3,4] pad 1, [5] pad 0
+    val docs = (1 to 5).map(n => (n.toLong, ("w " * n).trim, "s"))
+      .toDF("doc_id", "text", "source")
+    val got = Curation.lengthBatches(docs, batchSize = 2)
+      .orderBy("batch_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === Seq((0L, 2L, 2L, 3L, 1L), (1L, 2L, 4L, 7L, 1L),
+      (2L, 1L, 5L, 5L, 0L)))
+    // token conservation: batches partition the corpus
+    val totals = Curation.lengthBatches(docs, batchSize = 2)
+      .agg(sum("sum_tokens"), sum("n_docs")).collect().head
+    assert(totals.getLong(0) === 15L && totals.getLong(1) === 5L)
+  }
+
   test("ntile stats: equal-count buckets with standard remainder split") {
     val df = (1 to 11).map(i => (i.toLong, i.toLong, "s"))
       .toDF("id", "v", "source")
