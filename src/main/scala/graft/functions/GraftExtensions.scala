@@ -34,5 +34,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         CosineSim(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => {
+        if (children.length != 1) {
+          throw new IllegalArgumentException(
+            s"graft_nfc requires exactly 1 argument, got ${children.length}")
+        }
+        NfcNormalize(children.head)
+      }))
   }
 }

@@ -2941,6 +2941,36 @@ object PipelineQueries {
        |WHERE tokens < lo OR tokens > hi
        |ORDER BY source, doc_id""".stripMargin
 
+  /** Unicode-canonical dedup audit per source: NFC-normalized fingerprint
+    * distinct counts plus how many documents NFC actually rewrites
+    * ([[graft.functions.NfcNormalize]] — composed vs decomposed accents
+    * are byte-different, render-identical; a dedup without
+    * canonicalization misses them). The fixture corpus is ASCII so
+    * n_changed is 0 and n_norm_unique equals the plain fingerprint count
+    * — the row proves ENGINE parity of the normalizer over real data;
+    * the semantic cases live in NfcNormalizeSpec's composed/decomposed
+    * literals. */
+  def unicodeFingerprints(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.NfcNormalize
+    documents(s, d)
+      .select(col("source"), coalesce(col("text"), lit("")).as("t"))
+      .select(col("source"),
+        (NfcNormalize(col("t")) === col("t")).as("same"),
+        md5(NfcNormalize(lower(col("t")))).as("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("same"), 0L).otherwise(1L)).as("n_changed"),
+        countDistinct(col("fp")).as("n_norm_unique"))
+      .orderBy(col("source"))
+  }
+
+  val unicodeFingerprintsSql: String =
+    """WITH t AS (SELECT source, coalesce(text, '') AS t FROM documents)
+      |SELECT source, count(*)::BIGINT AS n_docs,
+      |       sum(CASE WHEN nfc_normalize(t) = t THEN 0 ELSE 1 END)::BIGINT AS n_changed,
+      |       count(DISTINCT md5(nfc_normalize(lower(t))))::BIGINT AS n_norm_unique
+      |FROM t GROUP BY source ORDER BY source""".stripMargin
+
   /** Length-grouped batches of 16 per source
     * ([[graft.ops.Curation.lengthBatches]]) with the padding-waste audit
     * — near-equal-length batches are the point, pad_frac measures it. */
