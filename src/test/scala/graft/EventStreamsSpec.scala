@@ -114,6 +114,45 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("crash recovery: weighted-sample reservoir survives a restart") {
+    import org.apache.spark.sql.types._
+    val landing = java.nio.file.Files.createTempDirectory("ws_cr_landing").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ws_cr_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("ws_cr_out").toString + "/sink"
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("source", StringType)))
+    val all = (0L until 20L).map(i =>
+      (i, ("w " * (i.toInt % 7 + 1)).trim, "s"))
+    def land(rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("doc_id", "text", "source").coalesce(1)
+        .write.mode("append").parquet(landing)
+    def start() = EventStreams.weightedSampleStream(
+        spark.readStream.schema(schema).parquet(landing), k = 4)
+      .toDF("source", "doc_id", "weight", "skey", "ver")
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        df.withColumn("epoch", org.apache.spark.sql.functions.lit(id))
+          .write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", ckpt).start()
+    land(all.take(10))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    land(all.drop(10))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val sink = spark.read.parquet(out).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(5)))
+    val lastEpoch = sink.map(_._5).max
+    val got = sink.filter(_._5 == lastEpoch).map(r => (r._1, r._2, r._3, r._4)).toSet
+    // a lost reservoir would make the post-restart emission the top-4 of
+    // the SECOND file alone; recovered state must merge across the crash
+    val want = graft.ops.Curation.weightedSample(
+        all.toDF("doc_id", "text", "source"), k = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got === want, "post-restart sample must equal batch over all rows")
+  }
+
   test("streaming dedup: first occurrence kept across batches, dup dropped") {
     val in = MemoryStream[(Timestamp, String)]
     val q = EventStreams.dedupStream(in.toDF().toDF("ts", "text"), "1 hour")
