@@ -381,6 +381,33 @@ object Curation {
         round(avg(col(valueCol)), 6).as("avg_v"))
   }
 
+  /** Corpus snapshot diff — the ingest-monitoring pass between two corpus
+    * versions: per source, how many documents were ADDED (id only in
+    * current), REMOVED (id only in previous), CHANGED (same id, different
+    * content fingerprint), or UNCHANGED. The sanity gate before a
+    * retraining run: an unexpected `removed` or `changed` spike names a
+    * broken upstream ingest before it poisons a training corpus.
+    *
+    * Scale shape: both sides reduce to (doc_id, source, md5) in their
+    * scan stage — the full-outer join shuffles 3 narrow columns, never
+    * text — and the status aggregate is map-side combined. At 100 TB
+    * this is the cheapest possible two-corpus comparison: one shuffle of
+    * fingerprints. */
+  def corpusDiff(current: DataFrame, previous: DataFrame): DataFrame = {
+    def fingerprints(df: DataFrame, tag: String) =
+      df.select(col("doc_id"), col("source").as(s"src_$tag"),
+        md5(coalesce(col("text"), lit(""))).as(s"fp_$tag"))
+    fingerprints(current, "c")
+      .join(fingerprints(previous, "p"), Seq("doc_id"), "full_outer")
+      .select(coalesce(col("src_c"), col("src_p")).as("source"),
+        when(col("fp_p").isNull, "added")
+          .when(col("fp_c").isNull, "removed")
+          .when(col("fp_c") === col("fp_p"), "unchanged")
+          .otherwise("changed").as("status"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Length-grouped batching — the padding-minimization pass before
     * batched inference or training: within each source, documents sort by
     * (token count, doc_id) and fill fixed-size batches of `batchSize` in

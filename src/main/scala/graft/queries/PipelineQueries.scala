@@ -836,8 +836,19 @@ object PipelineQueries {
     * probe path; sign bits are free, unlike the IVF/PQ models which must
     * retrain to re-provision). Recall at growing b is the banding formula
     * trade — production raises lTables alongside (lshTopK scaladoc). */
-  private def annLshBits(emb: DataFrame): Int =
-    Similarity.scaledBandBits(emb.count(), targetBucket = 32L, floor = 4)
+  private val corpusCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def annLshBits(emb: DataFrame): Int = {
+    // memoized on the corpus CONTENT fingerprint (a metadata-only pass —
+    // file names/sizes/mtimes, no job), so the b-derivation count job runs
+    // once per corpus generation instead of once per probe invocation; a
+    // regenerated fixture maps to a new key and re-counts. Same pattern as
+    // the session-model memoization (SURVEY traps list).
+    val n = corpusCountCache.computeIfAbsent(
+      graft.ops.Indexes.corpusFingerprint(emb), _ => emb.count()).longValue
+    Similarity.scaledBandBits(n, targetBucket = 32L, floor = 4)
+  }
 
   def annLsh(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
@@ -2940,6 +2951,41 @@ object PipelineQueries {
        |FROM base JOIN f ON base.source = f.source
        |WHERE tokens < lo OR tokens > hi
        |ORDER BY source, doc_id""".stripMargin
+
+  /** Snapshot diff against a deterministic simulated PREVIOUS corpus
+    * ([[graft.ops.Curation.corpusDiff]]): previous = docs with
+    * hashBucket < 90 (so ~10% read as `added`), with the text of
+    * bucket < 5 docs rewritten (those read as `changed`), rest
+    * `unchanged`; nothing is `removed` (previous ⊆ current by
+    * construction — the absent status is itself part of the expected
+    * answer). Membership and rewrite are pure md5 functions of doc_id,
+    * so the oracle replays the exact same "previous" corpus. */
+  def corpusDiff(s: SparkSession, d: String): DataFrame = {
+    val cur = documents(s, d)
+    val prev = cur.where(Curation.hashBucket(col("doc_id")) < 90)
+      .select(col("doc_id"), col("source"),
+        when(Curation.hashBucket(col("doc_id")) < 5, lit("OLD VERSION"))
+          .otherwise(col("text")).as("text"))
+    Curation.corpusDiff(cur, prev)
+      .orderBy(col("source"), col("status"))
+  }
+
+  val corpusDiffSql: String =
+    """WITH hb AS (SELECT doc_id, source, coalesce(text, '') AS t,
+      |              ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT % 100 AS b
+      |            FROM documents),
+      |c AS (SELECT doc_id, source AS src_c, md5(t) AS fp_c FROM hb),
+      |p AS (SELECT doc_id, source AS src_p,
+      |        md5(CASE WHEN b < 5 THEN 'OLD VERSION' ELSE t END) AS fp_p
+      |      FROM hb WHERE b < 90)
+      |SELECT coalesce(src_c, src_p) AS source,
+      |       CASE WHEN fp_p IS NULL THEN 'added'
+      |            WHEN fp_c IS NULL THEN 'removed'
+      |            WHEN fp_c = fp_p THEN 'unchanged'
+      |            ELSE 'changed' END AS status,
+      |       count(*)::BIGINT AS n
+      |FROM c FULL OUTER JOIN p USING (doc_id)
+      |GROUP BY 1, 2 ORDER BY source, status""".stripMargin
 
   /** Unicode-canonical dedup audit per source: NFC-normalized fingerprint
     * distinct counts plus how many documents NFC actually rewrites

@@ -283,6 +283,17 @@ class CurationSpec extends AnyFunSuite {
     assert(out.toSeq === Seq(1L, 100L))
   }
 
+  test("corpus diff: added/removed/changed/unchanged all classified") {
+    val cur = Seq((1L, "same", "s"), (2L, "new text", "s"), (4L, "added", "s"))
+      .toDF("doc_id", "text", "source")
+    val prev = Seq((1L, "same", "s"), (2L, "old text", "s"), (3L, "gone", "s"))
+      .toDF("doc_id", "text", "source")
+    val got = Curation.corpusDiff(cur, prev)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(got === Map("unchanged" -> 1L, "changed" -> 1L,
+      "added" -> 1L, "removed" -> 1L))
+  }
+
   test("length batching: sorted fill, hand-computed padding, conservation") {
     // lengths 1,2,3,4,5 in one source, batches of 2 (sorted order):
     // [1,2] pad 1, [3,4] pad 1, [5] pad 0
