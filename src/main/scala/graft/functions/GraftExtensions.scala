@@ -14,6 +14,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // custom operator planning: GroupedTopKNode → partial/final bounded-heap
     // execs (see graft.plans.GroupedTopK)
     ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
+    // optimizer rule: the row_number()<=k window-filter idiom becomes a
+    // GroupedTopKNode automatically (see graft.plans.RankLimitRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.RankLimitRewrite)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
