@@ -586,6 +586,27 @@ object CoreQueries {
       |  GROUP BY n_regionkey, n_name)
       |WHERE rn <= 3 ORDER BY n_regionkey, n_cust DESC, n_name""".stripMargin
 
+  /** The SAME computation as [[groupedTopK]] written in the window IDIOM
+    * (`withColumn(row_number) / where(rn <= 3) / drop(rn)`): the
+    * [[graft.plans.RankLimitRewrite]] optimizer rule must turn this into
+    * the bounded-heap operator — so the rule's rewrite is oracle-gated
+    * every round, not just spec-asserted (PlanAuditSpec checks the plan
+    * actually contains GroupedTopK and no Window). */
+  def rankIdiom(s: SparkSession, d: String): DataFrame = {
+    val cnt = customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_regionkey"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("n_regionkey"))
+      .orderBy(col("n_cust").desc, col("n_name").asc)
+    cnt.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3).drop("rn")
+      .orderBy(col("n_regionkey"), col("n_cust").desc, col("n_name"))
+  }
+
+  val rankIdiomSql: String = groupedTopKSql
+
   /** Skewed-key aggregation through the SALTED two-phase shape
     * ([[graft.ops.Skew.saltedCounts]]): phase 1 shuffles on
     * (user_id, salt) so a hot user's rows split across 16 reducers, phase

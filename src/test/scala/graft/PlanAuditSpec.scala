@@ -273,6 +273,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Generate"), s"tokenization re-runs downstream:\n$p")
   }
 
+  test("rank idiom rewrites to GroupedTopK (the optimizer rule, per round)") {
+    val p = plan("q_rank_idiom")
+    assert(p.contains("GroupedTopK"),
+      s"RankLimitRewrite did not fire on the registered idiom query:\n$p")
+    assert(!p.contains("Window"), s"window survived the rewrite:\n$p")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // Theta joins in the documented quadratic baselines become
     // BroadcastNestedLoopJoin (bounded side); an unconditional
