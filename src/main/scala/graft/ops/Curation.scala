@@ -141,7 +141,7 @@ object Curation {
     require(window >= 1 && stride >= 1 && stride <= window,
       s"need 1 <= stride <= window, got window=$window stride=$stride")
     docs.select(col("doc_id"),
-        TextOps.words(coalesce(col("text"), lit(""))).as("w"))
+        TextOps.wordsSafe(col("text")).as("w"))
       .select(col("doc_id"), col("w"), size(col("w")).as("n"))
       .select(col("doc_id"), col("w"), col("n"),
         explode(sequence(lit(0), col("n") - 1, lit(stride))).as("start"))
@@ -197,7 +197,7 @@ object Curation {
       .partitionBy(col("source")).orderBy(col("rnk"), col("doc_id"))
     docs.select(col("source"), col("doc_id"),
         md5(concat_ws(":", col("source"), col("doc_id"))).as("rnk"),
-        size(TextOps.words(coalesce(col("text"), lit("")))).cast("long").as("tokens"))
+        size(TextOps.wordsSafe(col("text"))).cast("long").as("tokens"))
       .withColumn("cum_tokens", sum(col("tokens")).over(w))
       .where(col("cum_tokens") - col("tokens") < budget)
       .select(col("source"), col("doc_id"), col("tokens"), col("cum_tokens"))
@@ -268,7 +268,7 @@ object Curation {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"), col("shard_id")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val toks = size(TextOps.words(coalesce(col("text"), lit("")))).cast("long")
+    val toks = size(TextOps.wordsSafe(col("text"))).cast("long")
     docs.select(col("source"),
         floorDivLong(col("doc_id"), shardDocs).as("shard_id"),
         col("doc_id"), toks.as("tokens"))
@@ -300,7 +300,7 @@ object Curation {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"), col("shard_id")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val toks = size(TextOps.words(coalesce(col("text"), lit("")))).cast("long")
+    val toks = size(TextOps.wordsSafe(col("text"))).cast("long")
     docs.select(col("source"),
         floorDivLong(col("doc_id"), shardDocs).as("shard_id"),
         col("doc_id"), toks.as("tokens"))
@@ -337,7 +337,7 @@ object Curation {
     val h48 = conv(substring(md5(docId.cast("string")), 1, 12), 16, 10)
       .cast("long")
     val wgt = greatest(
-      size(TextOps.words(coalesce(text, lit("")))), lit(1)).cast("double")
+      size(TextOps.wordsSafe(text)), lit(1)).cast("double")
     val u = (h48.cast("double") + lit(1.0)) / lit(281474976710656.0) // 2^48
     (wgt, log(u) / wgt)
   }
@@ -428,7 +428,7 @@ object Curation {
       .partitionBy(col("source")).orderBy(col("tokens"), col("doc_id"))
     val padded = col("max_tokens") * col("n_docs")
     docs.select(col("source"), col("doc_id"),
-        size(TextOps.words(coalesce(col("text"), lit("")))).cast("long").as("tokens"))
+        size(TextOps.wordsSafe(col("text"))).cast("long").as("tokens"))
       .withColumn("batch_id", call_function("div",
         (row_number().over(w) - 1).cast("long"), lit(batchSize.toLong)))
       .groupBy(col("source"), col("batch_id"))
@@ -455,7 +455,7 @@ object Curation {
     * rows). Output rows are the outliers only. */
   def lengthOutliers(docs: DataFrame, fence: Double = 1.5): DataFrame = {
     val base = docs.select(col("source"), col("doc_id"),
-      size(TextOps.words(coalesce(col("text"), lit("")))).cast("long").as("tokens"))
+      size(TextOps.wordsSafe(col("text"))).cast("long").as("tokens"))
     val bounds = base.groupBy(col("source"))
       .agg(percentile(col("tokens"), array(lit(0.25), lit(0.75))).as("q"))
       .select(col("source"), col("q").getItem(0).as("q1"),

@@ -192,7 +192,7 @@ object Decontamination {
     * tokenization out of the Generate (the Generate-hoist trap). */
   def positionedWindows(docs: DataFrame, windowN: Int): DataFrame =
     docs.select(col("doc_id"),
-        TextOps.words(coalesce(col("text"), lit(""))).as("w"))
+        TextOps.wordsSafe(col("text")).as("w"))
       .select(col("doc_id"), size(col("w")).as("ntok"),
         when(size(col("w")) >= windowN, TextOps.shingles(col("w"), windowN))
           .otherwise(array(concat_ws(" ", col("w")))).as("sg"))

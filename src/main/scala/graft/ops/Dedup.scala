@@ -99,7 +99,7 @@ object Dedup {
     * would silently drop from the signature min()s). */
   def shingleSets(docs: DataFrame, shingleN: Int = 3): DataFrame =
     docs.select(col("doc_id"),
-        TextOps.words(coalesce(col("text"), lit(""))).as("w"))
+        TextOps.wordsSafe(col("text")).as("w"))
       .select(col("doc_id"), TextOps.shingleSetFromWords(col("w"), shingleN).as("shs"))
       .select(col("doc_id"), TextOps.hashedShingleSet(col("shs")).as("sh"))
 
@@ -417,7 +417,7 @@ object Dedup {
     // arithmetic the DuckDB oracles mirror) — posexplode supplies the
     // 0-based start position; docs shorter than k explode to nothing
     docs.select(col("doc_id"),
-        TextOps.words(coalesce(col("text"), lit(""))).as("w"))
+        TextOps.wordsSafe(col("text")).as("w"))
       .select(col("doc_id"),
         posexplode(TextOps.shingles(col("w"), k)).as(Seq("pos", "g")))
       .select(col("doc_id"), col("pos"), TextOps.shingleHash(col("g")).as("h"))
@@ -461,7 +461,7 @@ object Dedup {
     // from the simhash universe, making MinHash and SimHash disagree on
     // which documents exist. With '' the doc contributes one "" word.
     val wh = docs.select(col("doc_id"),
-        explode(TextOps.words(coalesce(col("text"), lit("")))).as("w"))
+        explode(TextOps.wordsSafe(col("text"))).as("w"))
       .select(col("doc_id"), wordHash.as("h"))
     val votes = (0 until 60).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$j")

@@ -335,8 +335,13 @@ object Indexes {
     * No re-bucketing: the signatures are already in the index (keys are a
     * pure function of the vectors and the index's own planes), so
     * compaction is a pure shuffle-and-rewrite of (vec_id, t, key) rows —
-    * it never touches the corpus, works at any bBits, and costs one pass
-    * over index rows (≪ the original bucketing pass over embeddings).
+    * it never touches the corpus, works at any band width, and costs one
+    * pass over index rows (≪ the original bucketing pass over embeddings).
+    * The source's OWN pkey partition values are preserved verbatim —
+    * compaction never re-derives the key→pkey mapping, so there is no
+    * band-width parameter to get wrong (an earlier draft took a caller-
+    * supplied bBits; a mismatch with the index's actual width would have
+    * silently re-bucketed pkey and every later probe would return empty).
     *
     * Write-once semantics: `dest` must be a NEW path (tmp build + atomic
     * [[commitIndexDir]] rename; a pre-existing dest wins any race and the
@@ -344,12 +349,13 @@ object Indexes {
     * old generation's retirement — same contract as every committed
     * generation here ([[gcGraceMs]] protects in-flight readers). Probe
     * results are bit-identical pre/post compaction (IndexesSpec). */
-  def compactLshIndex(spark: SparkSession, src: String, dest: String,
-                      bBits: Int = 4): Unit = {
-    val rows = spark.read.parquet(src)
-      .select(col("vec_id"), col("t"), col("key"))
+  def compactLshIndex(spark: SparkSession, src: String, dest: String): Unit = {
     val tmp = tmpBuildPath(dest)
-    writeBucketedLshRows(rows, tmp, "overwrite", bBits)
+    spark.read.parquet(src)
+      .select(col("vec_id"), col("t"), col("key"), col("pkey"))
+      .repartition(col("t"), col("pkey"))
+      .sortWithinPartitions(col("key"), col("vec_id"))
+      .write.mode("overwrite").partitionBy("t", "pkey").parquet(tmp)
     commitIndexDir(spark, tmp, dest)
   }
 
@@ -413,7 +419,7 @@ object Indexes {
       .where(col("vec_id") =!= queryId)
       .select(col("vec_id")).distinct()
     val q = emb.where(col("vec_id") === queryId)
-      .select(col("embedding").as("qv"), Similarity.norm(col("embedding")).as("qn"))
+      .select(col("embedding").as("qv"))
     emb.join(candIds, Seq("vec_id"), "left_semi")
       .join(broadcast(q))
       .select(col("vec_id"),
@@ -507,16 +513,18 @@ object Indexes {
     // pair count is bounded by lTables·2^PartDirBits regardless of batch
     // size, so the literal disjunction never grows past 256 terms.
     val probedPairs = qKeyRows.map(r => (r._2, r._4)).distinct
+    // reduceOption: an EMPTY query frame (an upstream filter matched
+    // nothing) must yield an empty result, not an empty.reduce crash —
+    // lit(false) keeps the plan shape and prunes everything
     val probeFilter = probedPairs
       .map { case (t, pk) => col("t") === t && col("pkey") === pk }
-      .reduce(_ || _)
+      .reduceOption(_ || _).getOrElse(lit(false))
     val cand = spark.read.parquet(indexPath)
       .where(probeFilter)
       .join(broadcast(qKeys), Seq("t", "pkey", "key"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id")).distinct()
-    val q = queries.select(col("query_id"), col("embedding").as("qv"),
-      Similarity.norm(col("embedding")).as("qn"))
+    val q = queries.select(col("query_id"), col("embedding").as("qv"))
     val rescored = emb.join(cand, Seq("vec_id"))
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
@@ -573,16 +581,15 @@ object Indexes {
                                 threshold: Double): DataFrame = {
     val spark = emb.sparkSession
     val idx = spark.read.parquet(indexPath)
-    val e = emb.select(col("vec_id"), col("embedding"),
-      Similarity.norm(col("embedding")).as("nrm"))
+    val e = emb.select(col("vec_id"), col("embedding"))
     idx.select(col("t"), col("key"), col("vec_id").as("vec_a"))
       .join(idx.select(col("t"), col("key"), col("vec_id").as("vec_b")), Seq("t", "key"))
       .where(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b")).distinct()
-      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
-        col("nrm").as("nrm_a")), Seq("vec_a"))
-      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
-        col("nrm").as("nrm_b")), Seq("vec_b"))
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")),
+        Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")),
+        Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         Similarity.cosRound(col("emb_a"), col("emb_b"), 6).as("cos"))
       .where(col("cos") > threshold)
@@ -664,7 +671,7 @@ object Indexes {
       .limit(rerank)
       .select(col("vec_id"))
     val q = emb.where(col("vec_id") === queryId)
-      .select(col("embedding").as("qv"), Similarity.norm(col("embedding")).as("qn"))
+      .select(col("embedding").as("qv"))
     emb.join(broadcast(cand), Seq("vec_id"), "left_semi")
       .join(broadcast(q))
       .select(col("vec_id"),
@@ -695,7 +702,7 @@ object Indexes {
           typedlit(c.toSeq))): _*).as(s"qt$m")
     }
     val q = queries.select(col("query_id") +: col("embedding").as("qv") +:
-      Similarity.norm(col("embedding")).as("qn") +: qTabs: _*)
+      qTabs: _*)
     // ascending-m left-associated adds — the same deterministic chain as
     // the single-query path and the oracle's explicit t0+...+t7
     val est = (0 until nSub)
@@ -710,7 +717,7 @@ object Indexes {
         Seq("est" -> true, "vec_id" -> false), rerank)
       .select(col("query_id"), col("vec_id"))
     val rescored = emb.join(cand, Seq("vec_id"))
-      .join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))), Seq("query_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"))), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
         Similarity.cosRound(col("embedding"), col("qv"), 4).as("cos"))
     graft.plans.GroupedTopK.topK(rescored, Seq("query_id"),
@@ -1163,7 +1170,7 @@ object Indexes {
       .where(col("vec_id") =!= queryId)
       .select(col("vec_id"))
     val q = emb.where(col("vec_id") === queryId)
-      .select(col("embedding").as("qv"), Similarity.norm(col("embedding")).as("qn"))
+      .select(col("embedding").as("qv"))
     emb.join(candIds, Seq("vec_id"), "left_semi")
       .join(broadcast(q))
       .select(col("vec_id"),
@@ -1201,7 +1208,7 @@ object Indexes {
       .join(eligible.select(col("vec_id")), Seq("vec_id"), "left_semi")
       .select(col("vec_id"))
     val q = emb.where(col("vec_id") === queryId)
-      .select(col("embedding").as("qv"), Similarity.norm(col("embedding")).as("qn"))
+      .select(col("embedding").as("qv"))
     emb.join(candIds, Seq("vec_id"), "left_semi")
       .join(broadcast(q))
       .select(col("vec_id"),
@@ -1353,7 +1360,7 @@ object Indexes {
       .limit(rerank)
       .select(col("vec_id"))
     val q = emb.where(col("vec_id") === queryId)
-      .select(col("embedding").as("qv"), Similarity.norm(col("embedding")).as("qn"))
+      .select(col("embedding").as("qv"))
     emb.join(broadcast(cand), Seq("vec_id"), "left_semi")
       .join(broadcast(q))
       .select(col("vec_id"),
@@ -1412,7 +1419,7 @@ object Indexes {
         Seq("est" -> true, "vec_id" -> false), rerank)
       .select(col("query_id"), col("vec_id"))
     val rescored = emb.join(cand, Seq("vec_id"))
-      .join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))), Seq("query_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"))), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
         Similarity.cosRound(col("embedding"), col("qv"), 4).as("cos"))
     graft.plans.GroupedTopK.topK(rescored, Seq("query_id"),
@@ -1560,10 +1567,10 @@ object Indexes {
         Seq("cell", "sub"))
       .where(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"))
-      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
-        col("nrm").as("nrm_a")), Seq("vec_a"))
-      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
-        col("nrm").as("nrm_b")), Seq("vec_b"))
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")),
+        Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")),
+        Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         Similarity.cosRound(col("emb_a"), col("emb_b"), 6).as("cos"))
       .where(col("cos") > threshold)

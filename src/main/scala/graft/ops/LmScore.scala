@@ -83,7 +83,7 @@ object LmScore {
       // three aggregates consume the tokenized reference (gram CMS, prefix
       // CMS, vocabulary) — pin the words frame so the reference is scanned
       // and regex-split ONCE, not once per aggregate
-      val w = ref.select(TextOps.words(coalesce(col(textCol), lit(""))).as("w"))
+      val w = ref.select(TextOps.wordsSafe(col(textCol)).as("w"))
         .persist()
       try {
         val grams = w.select(explode(TextOps.shingles(col("w"), n)).as("g"))
@@ -126,7 +126,7 @@ object LmScore {
     require(reserved.isEmpty,
       s"input already has reserved column(s) ${reserved.mkString(", ")}; rename them first")
     docs
-      .withColumn("__graft_w", TextOps.words(coalesce(col(textCol), lit(""))))
+      .withColumn("__graft_w", TextOps.wordsSafe(col(textCol)))
       .withColumn("__graft_bh",
         transform(TextOps.shingles(col("__graft_w"), lm.n), TextOps.shingleHash(_)))
       .withColumn("__graft_uh",

@@ -45,7 +45,7 @@ object Similarity {
     * totally ordered and hash-stable. */
   def bruteForceTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
     val q = emb.where(col("vec_id") === queryId)
-      .select(col("embedding").as("qv"), norm(col("embedding")).as("qn"))
+      .select(col("embedding").as("qv"))
     emb.join(broadcast(q))
       .where(col("vec_id") =!= queryId)
       .select(col("vec_id"),
@@ -139,7 +139,7 @@ object Similarity {
       .where(col("vec_id") =!= queryId)
       .select(col("vec_id")).distinct()
     val q = emb.where(col("vec_id") === queryId)
-      .select(col("embedding").as("qv"), norm(col("embedding")).as("qn"))
+      .select(col("embedding").as("qv"))
     emb.join(candIds, Seq("vec_id"), "left_semi")
       .join(broadcast(q))
       .select(col("vec_id"),
@@ -314,7 +314,7 @@ object Similarity {
     val subDim = dim / nSub
     val cbs = collectCodebooks(codebooks)
     val q = emb.where(col("vec_id") === queryId)
-      .select(col("embedding").as("qv"), norm(col("embedding")).as("qn"))
+      .select(col("embedding").as("qv"))
     // per-subspace estimate: element_at over the 16 query-side dot exprs,
     // indexed by this vector's code for subspace m
     val est = (0 until nSub).map { m =>
@@ -325,7 +325,7 @@ object Similarity {
     }.reduceLeft(_ + _)
     val cand = emb.where(col("vec_id") =!= queryId)
       .join(broadcast(q))
-      .select(col("vec_id"), col("embedding"), col("qv"), col("qn"), est.as("est"))
+      .select(col("vec_id"), col("embedding"), col("qv"), est.as("est"))
       .orderBy(col("est").desc, col("vec_id").asc)
       .limit(rerank)
     cand.select(col("vec_id"),
@@ -446,7 +446,7 @@ object Similarity {
       .where(col("vec_id") =!= queryId)
       .select(col("vec_id"))
     val q = e.where(col("vec_id") === queryId)
-      .select(col("embedding").as("qv"), col("nrm").as("qn"))
+      .select(col("embedding").as("qv"))
     e.join(candIds, Seq("vec_id"), "left_semi")
       .join(broadcast(q))
       .select(col("vec_id"),

@@ -80,7 +80,7 @@ object TextAnalysis {
     * [[TextOps.shingleSetFromWords]] for the O(words²) trap). */
   def repetitionMetrics(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), col("source"),
-      TextOps.words(coalesce(col("text"), lit(""))).as("w"))
+      TextOps.wordsSafe(col("text")).as("w"))
     val dup = base
       .select(col("doc_id"), col("source"), TextOps.shingles(col("w"), 2).as("g"))
       .select(col("doc_id"), col("source"),
@@ -103,7 +103,7 @@ object TextAnalysis {
     * triage. One explode + one hash aggregate (partial map-side) + a
     * TakeOrderedAndProject top-k; the shuffle carries (ngram, doc_id). */
   def ngramDocFreq(docs: DataFrame, n: Int = 2, k: Int = 15): DataFrame =
-    docs.select(col("doc_id"), TextOps.words(coalesce(col("text"), lit(""))).as("w"))
+    docs.select(col("doc_id"), TextOps.wordsSafe(col("text")).as("w"))
       .select(col("doc_id"), explode(TextOps.shingles(col("w"), n)).as("ngram"))
       .groupBy(col("ngram"), col("doc_id")).agg(count(lit(1)).as("c"))
       .groupBy(col("ngram"))
@@ -132,7 +132,7 @@ object TextAnalysis {
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     val tf = docs
       .select(col("doc_id"),
-        explode(TextOps.words(coalesce(col("text"), lit("")))).as("term"))
+        explode(TextOps.wordsSafe(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
@@ -172,7 +172,7 @@ object TextAnalysis {
     // [[TextOps.shingleSetFromWords]] O(words²) trap).
     val base = docs
       .select(col("doc_id"),
-        TextOps.words(coalesce(col("text"), lit(""))).as("w"))
+        TextOps.wordsSafe(col("text")).as("w"))
       .select(
         col("doc_id") +: size(col("w")).as("dl") +:
           terms.zipWithIndex.map { case (t, i) =>
@@ -232,7 +232,7 @@ object TextAnalysis {
     // between-queries unpersist (Verify/Bench loop contract).
     val tf = docs
       .select(col("source"),
-        explode(TextOps.words(coalesce(col("text"), lit("")))).as("term"))
+        explode(TextOps.wordsSafe(col("text"))).as("term"))
       .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
       .localCheckpoint(true)
     val srcTot = tf.groupBy(col("source")).agg(sum(col("c")).as("t"))
@@ -281,7 +281,7 @@ object TextAnalysis {
     * joins shuffle vocabulary-sized count tables, and the cut is
     * `orderBy(...).limit(k)` = TakeOrderedAndProject. */
   def pmiTopPairs(docs: DataFrame, k: Int = 20, minCount: Long = 5): DataFrame = {
-    val w = docs.select(TextOps.words(coalesce(col("text"), lit(""))).as("w"))
+    val w = docs.select(TextOps.wordsSafe(col("text")).as("w"))
     val bi = w.select(explode(TextOps.shingles(col("w"), 2)).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("c_ab"))
       .select(substring_index(col("g"), " ", 1).as("w1"),

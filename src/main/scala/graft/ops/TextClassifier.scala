@@ -61,7 +61,7 @@ object TextClassifier {
     Indexes.memoModel(tagged, s"nb_${textCol}_b$buckets") {
       val toks = tagged
         .select(col("__graft_cls"),
-          TextOps.words(coalesce(col(textCol), lit(""))).as("__graft_w"))
+          TextOps.wordsSafe(col(textCol)).as("__graft_w"))
         .select(col("__graft_cls"), explode(col("__graft_w")).as("w"))
         .where(col("w") =!= "")
       val cells = toks
@@ -98,7 +98,7 @@ object TextClassifier {
     val prior = log(lit(model.posDocs.toDouble) / lit(model.negDocs.toDouble))
     docs
       .withColumn("__graft_w",
-        filter(TextOps.words(coalesce(col(textCol), lit(""))), _ =!= ""))
+        filter(TextOps.wordsSafe(col(textCol)), _ =!= ""))
       .withColumn("__graft_b",
         transform(col("__graft_w"), w => bucketOf(w, model.buckets).cast("int")))
       .withColumn("__graft_pc",

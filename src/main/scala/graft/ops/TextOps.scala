@@ -16,6 +16,12 @@ object TextOps {
     * `string_split_regex(lower(trim(x)), '\s+')`). */
   def words(c: Column): Column = split(lower(trim(c)), "\\s+")
 
+  /** Null-safe [[words]]: NULL text tokenizes like '' → [''] — the ONE
+    * shared definition of that convention (it must match the oracles'
+    * `coalesce($expr, '')` in duckWordsOf; re-implementing the coalesce
+    * at call sites invites the variants drifting apart). */
+  def wordsSafe(c: Column): Column = words(coalesce(c, lit("")))
+
   /** Word n-gram shingles; `[]` when fewer than n words. 1-based
     * `element_at` keeps index arithmetic identical to DuckDB lists.
     * Indices are always in range, so this is ANSI-safe. */

@@ -320,7 +320,7 @@ object PipelineQueries {
     // pseudo-lines (the q_line_dedup derivation; the fixture has no '\n')
     val lined = best
       .select(col("doc_id"), col("source"),
-        TextOps.words(coalesce(col("text"), lit(""))).as("w"))
+        TextOps.wordsSafe(col("text")).as("w"))
       .select(col("doc_id"), col("source"), concat_ws("\n", transform(
           sequence(lit(0), call_function("div", size(col("w")) - 1, lit(2))),
           p => concat_ws(" ", slice(col("w"), p * 2 + 1, lit(2))))).as("text"))
@@ -2260,7 +2260,7 @@ object PipelineQueries {
     * shuffles line HASHES only; line text never leaves its scan stage. */
   def lineDedup(s: SparkSession, d: String): DataFrame = {
     val lined = documents(s, d)
-      .select(col("doc_id"), TextOps.words(coalesce(col("text"), lit(""))).as("w"))
+      .select(col("doc_id"), TextOps.wordsSafe(col("text")).as("w"))
       .select(col("doc_id"), concat_ws("\n", transform(
           sequence(lit(0), call_function("div", size(col("w")) - 1, lit(2))),
           p => concat_ws(" ", slice(col("w"), p * 2 + 1, lit(2))))).as("text"))
@@ -2501,7 +2501,7 @@ object PipelineQueries {
     * hash-verified, not just the estimates. */
   def cmsCounts(s: SparkSession, d: String): DataFrame = {
     val words = documents(s, d)
-      .select(explode(TextOps.words(coalesce(col("text"), lit("")))).as("w"))
+      .select(explode(TextOps.wordsSafe(col("text"))).as("w"))
     val est = Sketches.cmsEstimate(Sketches.cmsBuild(words, "w"), cmsProbes)
     val exact = words.where(col("w").isin(cmsProbes: _*))
       .groupBy(col("w").as("item")).agg(count(lit(1)).as("exact_count"))

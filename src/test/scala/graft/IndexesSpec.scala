@@ -18,6 +18,15 @@ class IndexesSpec extends AnyFunSuite {
     dir
   }
 
+  /** Recursive .parquet count under a path (shared by the pruning and
+    * compaction tests). */
+  private def parquetFiles(p: String): Int = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles.toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    walk(new java.io.File(p)).size
+  }
+
   test("driver bucket keys are bit-identical to the executor expression") {
     val ps = Similarity.planes(64, 64, 42L)
     val sparkKeys = spark.read.parquet(idxPath)
@@ -376,12 +385,7 @@ class IndexesSpec extends AnyFunSuite {
     // than the index holds (5 queries × 16 tables cannot probe every
     // bucket of the near-uniform fixture corpus)
     val readFiles = idxScans.map(_.metrics("numFiles").value).sum
-    val allParquet = {
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk)
-        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
-      walk(new java.io.File(idxPath)).size
-    }
+    val allParquet = parquetFiles(idxPath)
     assert(readFiles > 0 && readFiles < allParquet,
       s"static pruning ineffective: read $readFiles of $allParquet index files")
   }
@@ -416,12 +420,6 @@ class IndexesSpec extends AnyFunSuite {
   }
 
   test("compactLshIndex: folds append-grown files, probe bit-identical") {
-    def parquetFiles(p: String): Int = {
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk)
-        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
-      walk(new java.io.File(p)).size
-    }
     val grown = Files.createTempDirectory("lsh_compact_spec").toString + "/idx"
     // build from one slice, then three appends — each lands extra files
     // inside the touched (t, pkey) dirs
@@ -442,6 +440,22 @@ class IndexesSpec extends AnyFunSuite {
     assert(spark.read.parquet(compacted).count() ===
       spark.read.parquet(grown).count())
 
+    // corpus-scaled band width (bBits=6): compaction preserves the
+    // source's own pkey values, so there is NO band-width parameter to
+    // mismatch (the bug class a caller-supplied bBits default invited:
+    // shift=0 re-bucketing would silently empty every probe)
+    val grown6 = Files.createTempDirectory("lsh_compact6_spec").toString + "/idx"
+    Indexes.writeLshIndex(emb.where(col("vec_id") % 2 === 0), grown6, bBits = 6)
+    Indexes.appendLshIndex(emb.where(col("vec_id") % 2 === 1), grown6, bBits = 6)
+    val before6 = Indexes.lshTopKIndexed(emb, grown6, 7L, 10, bBits = 6)
+      .as[(Long, Double)].collect().toSeq
+    assert(before6.nonEmpty)
+    val compacted6 = Files.createTempDirectory("lsh_compact6_dst").toString + "/idx"
+    Indexes.compactLshIndex(spark, grown6, compacted6)
+    val after6 = Indexes.lshTopKIndexed(emb, compacted6, 7L, 10, bBits = 6)
+      .as[(Long, Double)].collect().toSeq
+    assert(after6 === before6, "b=6 probe must survive compaction unchanged")
+
     // cell-partitioned twin: IVF-PQ (codes must survive compaction)
     val cent = spark.read.parquet(graft.queries.PipelineQueries.ivfCentroidsPath)
     val cbs = spark.read.parquet(graft.queries.PipelineQueries.pqCodebooksPath)
@@ -456,6 +470,13 @@ class IndexesSpec extends AnyFunSuite {
       nProbe = 4, rerank = 32).as[(Long, Double)].collect().toSeq
     assert(afterPq === beforePq, "IVF-PQ probe must survive compaction")
     assert(parquetFiles(compactedPq) < parquetFiles(grownPq))
+  }
+
+  test("batch LSH probe: an EMPTY query frame returns empty, not a crash") {
+    val none = emb.where(col("vec_id") < 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val got = Indexes.lshTopKBatch(emb, idxPath, none, k = 10)
+    assert(got.count() === 0L)
   }
 
   test("appendLshIndex / appendIvfIndex: appended index equals a rebuild") {
