@@ -359,6 +359,44 @@ object Indexes {
     commitIndexDir(spark, tmp, dest)
   }
 
+  /** Distributed kNN-GRAPH construction — [[bandedNearDupPairsIndexed]]
+    * generalized from a threshold to a PER-POINT top-`j`: every vector's
+    * `j` most-cosine-similar neighbours among its banded-LSH candidates.
+    * The construction pass behind graph-based ANN serving, SemDeDup-style
+    * cluster refinement, and label-propagation dedup — the operator that
+    * turns "an index over the corpus" into "a neighbourhood structure of
+    * the corpus".
+    *
+    * Scale shape: the candidate generation is the flat index's (t, key)
+    * self-join — LINEAR candidate volume under the corpus-scaled band
+    * width ([[graft.ops.Similarity.scaledBandBits]]), the r11 scale-probe
+    * lesson — the exact re-rank touches candidate pairs only, and the
+    * per-point cut is the bounded-heap [[graft.plans.GroupedTopK]]
+    * (map-side partials, k·n shuffle rows, no per-point sort). Pairs are
+    * DIRECTED (both (a,b) and (b,a) score), so each point gets its own
+    * top-j — the kNN graph is not symmetric. Recall is the banding
+    * formula's (the near-dup scaladoc); points sharing no bucket with j
+    * neighbours emit fewer than j rows rather than wrong ones. */
+  def knnGraphIndexed(emb: DataFrame, indexPath: String, j: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val idx = spark.read.parquet(indexPath)
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val pairs = idx.select(col("t"), col("key"), col("vec_id").as("vec_a"))
+      .join(idx.select(col("t"), col("key"), col("vec_id").as("vec_b")),
+        Seq("t", "key"))
+      .where(col("vec_a") =!= col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+    val scored = pairs
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")),
+        Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")),
+        Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        Similarity.cosRound(col("emb_a"), col("emb_b"), 6).as("cos"))
+    graft.plans.GroupedTopK.topK(scored, Seq("vec_a"),
+      Seq("cos" -> true, "vec_b" -> false), j)
+  }
+
   /** [[compactLshIndex]]'s twin for the CELL-partitioned families (IVF
     * inverted lists and the IVF-PQ IVFADC layout share it — the schema
     * rides through untouched, so PQ code columns survive): fold the

@@ -839,16 +839,17 @@ object PipelineQueries {
   private val corpusCountCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
-  private def annLshBits(emb: DataFrame): Int = {
-    // memoized on the corpus CONTENT fingerprint (a metadata-only pass —
-    // file names/sizes/mtimes, no job), so the b-derivation count job runs
-    // once per corpus generation instead of once per probe invocation; a
-    // regenerated fixture maps to a new key and re-counts. Same pattern as
-    // the session-model memoization (SURVEY traps list).
-    val n = corpusCountCache.computeIfAbsent(
+  /** Corpus row count memoized on the CONTENT fingerprint (a metadata-only
+    * pass — file names/sizes/mtimes, no job), so the band-width derivation
+    * count runs once per corpus generation instead of once per query
+    * invocation; a regenerated fixture maps to a new key and re-counts.
+    * Same pattern as the session-model memoization (SURVEY traps list). */
+  private def corpusCount(emb: DataFrame): Long =
+    corpusCountCache.computeIfAbsent(
       graft.ops.Indexes.corpusFingerprint(emb), _ => emb.count()).longValue
-    Similarity.scaledBandBits(n, targetBucket = 32L, floor = 4)
-  }
+
+  private def annLshBits(emb: DataFrame): Int =
+    Similarity.scaledBandBits(corpusCount(emb), targetBucket = 32L, floor = 4)
 
   def annLsh(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
@@ -1716,7 +1717,7 @@ object PipelineQueries {
     * and a fresh index generation (b is part of the index path). */
   def embeddingNearDups(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
-    val b = Similarity.scaledBandBits(emb.count())
+    val b = Similarity.scaledBandBits(corpusCount(emb))
     val idx = graft.ops.Indexes.ensureLshIndex(s, emb, d, bBits = b, lTables = 8,
       partitionByBucket = false) // full-scan consumer: flat layout
     graft.ops.Indexes.bandedNearDupPairsIndexed(emb, idx, threshold = 0.4)
@@ -1747,6 +1748,42 @@ object PipelineQueries {
        |         round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS cos
        |  FROM cand JOIN e x ON cand.vec_a = x.vec_id JOIN e y ON cand.vec_b = y.vec_id)
        |WHERE cos > 0.4 ORDER BY vec_a, vec_b""".stripMargin
+
+  /** Per-point kNN graph (top-3 banded-LSH neighbours per vector,
+    * [[graft.ops.Indexes.knnGraphIndexed]]) — reuses the SAME flat
+    * corpus-scaled-b index as q_embedding_near_dups; the oracle replays
+    * the identical banding and takes each point's top-3 with the
+    * row_number tie-break the bounded-heap operator implements. */
+  def knnGraph(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val b = Similarity.scaledBandBits(corpusCount(emb))
+    val idx = graft.ops.Indexes.ensureLshIndex(s, emb, d, bBits = b, lTables = 8,
+      partitionByBucket = false)
+    graft.ops.Indexes.knnGraphIndexed(emb, idx, j = 3)
+      .orderBy(col("vec_a"), col("cos").desc, col("vec_b"))
+  }
+
+  val knnGraphSql: String =
+    s"""WITH $duckNormed,
+       |nb AS (SELECT greatest(6, (SELECT min(i)::INTEGER
+       |                           FROM range(0, 33) t(i), (SELECT count(*) AS n FROM e) cn
+       |                           WHERE (32::BIGINT << i) >= cn.n)) AS bits),
+       |pl AS (SELECT j, p FROM ${Similarity.planesSqlValues(128, 64, 42L)}),
+       |bk AS (SELECT e.vec_id, (pl.j // nb.bits) AS t,
+       |         sum(CASE WHEN list_dot_product(e.v, pl.p) > 0 THEN (1::BIGINT << (pl.j % nb.bits)) ELSE 0 END)::BIGINT AS key
+       |       FROM e CROSS JOIN pl, nb WHERE pl.j < nb.bits * 8
+       |       GROUP BY e.vec_id, (pl.j // nb.bits)),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |         FROM bk a JOIN bk b ON a.t = b.t AND a.key = b.key
+       |                            AND a.vec_id != b.vec_id),
+       |scored AS (SELECT cand.vec_a, cand.vec_b,
+       |             round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS cos
+       |           FROM cand JOIN e x ON cand.vec_a = x.vec_id
+       |                     JOIN e y ON cand.vec_b = y.vec_id)
+       |SELECT vec_a, vec_b, cos FROM scored
+       |QUALIFY row_number() OVER (PARTITION BY vec_a
+       |                           ORDER BY cos DESC, vec_b ASC) <= 3
+       |ORDER BY vec_a, cos DESC, vec_b""".stripMargin
 
   // ---- text analysis -------------------------------------------------------
 

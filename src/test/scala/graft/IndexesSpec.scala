@@ -472,6 +472,37 @@ class IndexesSpec extends AnyFunSuite {
     assert(parquetFiles(compactedPq) < parquetFiles(grownPq))
   }
 
+  test("knn graph: per-point top-j equals a window reference over the candidates") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Indexes.knnGraphIndexed(emb, idxPath, j = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got.nonEmpty)
+    // every point emits at most j neighbours, all distinct
+    got.groupBy(_._1).foreach { case (a, rows) =>
+      assert(rows.size <= 3, s"point $a has ${rows.size} neighbours")
+      assert(rows.map(_._2).size === rows.size)
+    }
+    // reference: identical candidate derivation, cut by a window instead
+    // of the bounded heap — row_number semantics must agree exactly
+    val idx = spark.read.parquet(idxPath)
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val pairs = idx.select(col("t"), col("key"), col("vec_id").as("vec_a"))
+      .join(idx.select(col("t"), col("key"), col("vec_id").as("vec_b")), Seq("t", "key"))
+      .where(col("vec_a") =!= col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+    val scored = pairs
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        graft.ops.Similarity.cosRound(col("emb_a"), col("emb_b"), 6).as("cos"))
+    val w = Window.partitionBy(col("vec_a")).orderBy(col("cos").desc, col("vec_b").asc)
+    // rn stays in the output so RankLimitRewrite cannot fire — the
+    // reference must run a REAL window, not the operator under test
+    val want = scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === want)
+  }
+
   test("batch LSH probe: an EMPTY query frame returns empty, not a crash") {
     val none = emb.where(col("vec_id") < 0)
       .select(col("vec_id").as("query_id"), col("embedding"))
