@@ -1785,6 +1785,71 @@ object PipelineQueries {
        |                           ORDER BY cos DESC, vec_b ASC) <= 3
        |ORDER BY vec_a, cos DESC, vec_b""".stripMargin
 
+  /** MUTUAL-kNN clustering — the operator COMPOSITION the kNN graph
+    * exists for: keep an edge iff both endpoints rank each other in
+    * their top-3 (the standard symmetrization that suppresses hub
+    * points), then run the engine's connected-components machinery over
+    * the mutual edges and report the cluster-size histogram. A
+    * SemDeDup-adjacent clustering that needs no quantizer — structure
+    * comes from the banded index alone. Output is bounded
+    * (|distinct sizes| rows) regardless of corpus size; the oracle
+    * replays banding → top-3 → mutualization → recursive transitive
+    * closure. */
+  def knnClusters(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val b = Similarity.scaledBandBits(corpusCount(emb))
+    val idx = graft.ops.Indexes.ensureLshIndex(s, emb, d, bBits = b, lTables = 8,
+      partitionByBucket = false)
+    val g = graft.ops.Indexes.knnGraphIndexed(emb, idx, j = 3)
+      .select(col("vec_a"), col("vec_b"))
+    val mutual = g.intersect(
+        g.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
+      .where(col("vec_a") < col("vec_b"))
+    Dedup.connectedComponents(
+        mutual.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+  }
+
+  val knnClustersSql: String =
+    s"""WITH RECURSIVE $duckNormed,
+       |nb AS (SELECT greatest(6, (SELECT min(i)::INTEGER
+       |                           FROM range(0, 33) t(i), (SELECT count(*) AS n FROM e) cn
+       |                           WHERE (32::BIGINT << i) >= cn.n)) AS bits),
+       |pl AS (SELECT j, p FROM ${Similarity.planesSqlValues(128, 64, 42L)}),
+       |bk AS (SELECT e.vec_id, (pl.j // nb.bits) AS t,
+       |         sum(CASE WHEN list_dot_product(e.v, pl.p) > 0 THEN (1::BIGINT << (pl.j % nb.bits)) ELSE 0 END)::BIGINT AS key
+       |       FROM e CROSS JOIN pl, nb WHERE pl.j < nb.bits * 8
+       |       GROUP BY e.vec_id, (pl.j // nb.bits)),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |         FROM bk a JOIN bk b ON a.t = b.t AND a.key = b.key
+       |                            AND a.vec_id != b.vec_id),
+       |scored AS (SELECT cand.vec_a, cand.vec_b,
+       |             round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS cos
+       |           FROM cand JOIN e x ON cand.vec_a = x.vec_id
+       |                     JOIN e y ON cand.vec_b = y.vec_id),
+       |knn AS (SELECT vec_a, vec_b FROM scored
+       |        QUALIFY row_number() OVER (PARTITION BY vec_a
+       |                                   ORDER BY cos DESC, vec_b ASC) <= 3),
+       |-- join-based mutualization: DuckDB's WITH RECURSIVE block rejects
+       |-- INTERSECT in member CTEs (only UNION [ALL] allowed there)
+       |mutual AS (SELECT k1.vec_a, k1.vec_b FROM knn k1
+       |           JOIN knn k2 ON k1.vec_a = k2.vec_b AND k1.vec_b = k2.vec_a
+       |           WHERE k1.vec_a < k1.vec_b),
+       |sym AS (SELECT vec_a AS src, vec_b AS dst FROM mutual
+       |        UNION SELECT vec_b, vec_a FROM mutual),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM sym
+       |  UNION
+       |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+       |comp AS (SELECT src AS id, least(src, min(dst)) AS rep
+       |         FROM reach GROUP BY src),
+       |sizes AS (SELECT rep, count(*)::BIGINT AS cluster_size
+       |          FROM comp GROUP BY rep)
+       |SELECT cluster_size, count(*)::BIGINT AS n_clusters
+       |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+
   // ---- text analysis -------------------------------------------------------
 
   def tokenStats(s: SparkSession, d: String): DataFrame =
