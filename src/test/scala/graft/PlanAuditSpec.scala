@@ -280,6 +280,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"window survived the rewrite:\n$p")
   }
 
+  test("knn graph: bounded-heap cut, no window, no corpus re-bucketing") {
+    val p = plan("q_knn_graph")
+    assert(p.contains("GroupedTopK"),
+      s"per-point cut must be the bounded-heap operator:\n$p")
+    assert(!p.contains("Window"), s"knn graph must not window-sort:\n$p")
+    // candidates come from the stored index — bucketing must not re-run
+    assert(!p.contains("Generate"), s"knn graph re-buckets via explode:\n$p")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // Theta joins in the documented quadratic baselines become
     // BroadcastNestedLoopJoin (bounded side); an unconditional
