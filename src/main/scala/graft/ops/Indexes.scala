@@ -397,6 +397,61 @@ object Indexes {
       Seq("cos" -> true, "vec_b" -> false), j)
   }
 
+  /** INCREMENTAL kNN-graph maintenance — the production story for a
+    * continuously-ingested embedding store: after a batch appends to the
+    * banded index ([[appendLshIndex]]), only the points whose
+    * NEIGHBOURHOOD could have changed need re-ranking. Those are exactly
+    * (a) the new vectors themselves and (b) the existing vectors sharing
+    * at least one (t, key) bucket with a new vector — an appended vector
+    * can enter an old point's top-j only by being its banded candidate,
+    * and bucket sharing IS the candidate relation. Everything else keeps
+    * its rows from `prevGraph` verbatim.
+    *
+    * EQUALS A FULL REBUILD by construction (the append-== -rebuild
+    * argument, graph edition): unaffected points' candidate sets are
+    * untouched by the append, affected points re-rank over their full
+    * post-append candidate sets. The registered query's oracle exploits
+    * this — it verifies the incremental path against the plain
+    * full-graph derivation. Work is proportional to the CHANGED
+    * neighbourhood (|new| + |bucket-mates of new|), not the corpus. */
+  def knnGraphIncremental(emb: DataFrame, indexPath: String,
+                          newIds: DataFrame, prevGraph: DataFrame,
+                          j: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val idx = spark.read.parquet(indexPath)
+    val newKeyed = idx.join(broadcast(newIds), Seq("vec_id"), "left_semi")
+    // old points sharing a bucket with any new vector, plus the new ones
+    // (the batch's whole changed neighbourhood — bounded by batch size ×
+    // bucket occupancy, NOT the corpus; joins on it stay unhinted so AQE
+    // picks broadcast only while it actually fits)
+    val affected = idx
+      .join(newKeyed.select(col("t"), col("key")).distinct(), Seq("t", "key"),
+        "left_semi")
+      .select(col("vec_id")).distinct()
+      .union(newIds.select(col("vec_id"))).distinct()
+    // pair GENERATION is restricted to affected vec_a up front — filtering
+    // a full-graph recompute afterwards would be corpus-proportional work
+    val aIdx = idx.join(affected, Seq("vec_id"), "left_semi")
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val pairs = aIdx.select(col("t"), col("key"), col("vec_id").as("vec_a"))
+      .join(idx.select(col("t"), col("key"), col("vec_id").as("vec_b")),
+        Seq("t", "key"))
+      .where(col("vec_a") =!= col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+    val refreshed = graft.plans.GroupedTopK.topK(
+      pairs
+        .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")),
+          Seq("vec_a"))
+        .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")),
+          Seq("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          Similarity.cosRound(col("emb_a"), col("emb_b"), 6).as("cos")),
+      Seq("vec_a"), Seq("cos" -> true, "vec_b" -> false), j)
+    prevGraph
+      .join(affected.select(col("vec_id").as("vec_a")), Seq("vec_a"), "left_anti")
+      .unionByName(refreshed)
+  }
+
   /** [[compactLshIndex]]'s twin for the CELL-partitioned families (IVF
     * inverted lists and the IVF-PQ IVFADC layout share it — the schema
     * rides through untouched, so PQ code columns survive): fold the

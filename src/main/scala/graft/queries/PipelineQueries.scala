@@ -1785,6 +1785,39 @@ object PipelineQueries {
        |                           ORDER BY cos DESC, vec_b ASC) <= 3
        |ORDER BY vec_a, cos DESC, vec_b""".stripMargin
 
+  /** INCREMENTAL kNN-graph maintenance, oracle-gated by EQUIVALENCE: the
+    * corpus splits into an "already indexed" half and an "appended batch"
+    * (by vec_id parity), the previous graph is built on the old half
+    * alone (materialized BEFORE the append mutates the index dir), the
+    * batch appends via [[graft.ops.Indexes.appendLshIndex]], and
+    * [[graft.ops.Indexes.knnGraphIncremental]] refreshes only the changed
+    * neighbourhood — while the ORACLE is simply the full-rebuild graph
+    * derivation, so the driver hash-verifies the incremental ==
+    * rebuild contract itself every round. The index builds at an
+    * explicit demo path (overwrite + append) each invocation — fixture-
+    * sized, not the write-once ensure family. */
+  def knnGraphIncremental(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val b = Similarity.scaledBandBits(corpusCount(emb))
+    val oldEmb = emb.where(col("vec_id") % 2 === 0)
+    val newEmb = emb.where(col("vec_id") % 2 === 1)
+    val path = graft.ops.Indexes.indexRoot +
+      s"/incr_knn_demo_${graft.ops.Indexes.corpusFingerprint(emb)}"
+    graft.ops.Indexes.writeLshIndex(oldEmb, path, bBits = b, lTables = 8,
+      partitionByBucket = false)
+    val prev = graft.ops.Indexes.knnGraphIndexed(oldEmb, path, j = 3)
+      .localCheckpoint(true) // pin BEFORE the append mutates the dir
+    graft.ops.Indexes.appendLshIndex(newEmb, path, bBits = b, lTables = 8,
+      partitionByBucket = false)
+    graft.ops.Indexes.knnGraphIncremental(emb, path,
+        newEmb.select(col("vec_id")), prev, j = 3)
+      .orderBy(col("vec_a"), col("cos").desc, col("vec_b"))
+  }
+
+  /** Oracle: the FULL-graph derivation — the whole point: incremental
+    * maintenance must be indistinguishable from a rebuild. */
+  val knnGraphIncrementalSql: String = knnGraphSql
+
   /** MUTUAL-kNN clustering — the operator COMPOSITION the kNN graph
     * exists for: keep an edge iff both endpoints rank each other in
     * their top-3 (the standard symmetrization that suppresses hub
