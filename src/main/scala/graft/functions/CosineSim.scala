@@ -30,10 +30,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * degenerate rows a re-rank can meet (the decomposed form fails the
   * whole query). Caveat, stated not hidden: Spark orders NaN ABOVE every
   * double, so a zero vector would surface at the head of a descending
-  * re-rank — callers guarding against zero-norm corpora should filter
-  * `isnan(cos)`; the fixtures have none. Null array → null; null
-  * ELEMENTS are skipped per-accumulator, the exact decomposed
-  * behavior.
+  * re-rank on the RAW expression — which is why the shared re-rank
+  * wrapper [[graft.ops.Similarity.cosRound]] nan-to-nulls the result so
+  * degenerate rows sort LAST (ADVICE r11; SimilaritySpec pins it).
+  * Callers using `cos` directly own that guard themselves. Null array →
+  * null; null ELEMENTS are skipped per-accumulator, the exact decomposed
+  * behavior (CosineSimPropertySpec asserts raw-bits equality on interior
+  * nulls in both interpreted and codegen forms).
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -36,9 +36,20 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = graft.functions.CosineSim.cos(a, b)
 
   /** Fused cosine rounded for hash-stable ordering/output — the exact
-    * re-rank expression every ANN probe shares. */
+    * re-rank expression every ANN probe shares.
+    *
+    * Degenerate rows sort LAST, not first (ADVICE r11): a zero-norm or
+    * empty embedding makes the fused [[cosine]] yield IEEE NaN, and Spark
+    * orders NaN ABOVE every double — so a corrupt all-zero row would
+    * silently head EVERY descending re-rank in the ANN family. The shared
+    * `nanvl(·, null)` guard maps NaN → null instead; both `orderBy(desc)`
+    * and the bounded-heap [[graft.plans.GroupedTopK]] comparator default
+    * descending nulls LAST, so degenerate rows rank behind every real
+    * score (SimilaritySpec pins this). Oracles are unaffected: the
+    * fixtures contain no zero-norm embeddings, and a NaN-free input takes
+    * the guard's identity path bit-for-bit. */
   def cosRound(a: Column, b: Column, scale: Int): Column =
-    round(cosine(a, b), scale)
+    nanvl(round(cosine(a, b), scale), lit(null).cast("double"))
 
   /** Brute-force cosine top-k neighbours of `queryId`. Ordering and
     * selection use the rounded score (+ id tie-break) so the output is

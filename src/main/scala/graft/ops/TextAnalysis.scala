@@ -226,15 +226,41 @@ object TextAnalysis {
     // The (source, term) count table feeds FOUR downstream consumers
     // (per-source totals, corpus counts, corpus total, and the scored
     // join); Spark re-executes an unmaterialized subplan per reference —
-    // four full corpus scans + explodes (plan-audited). One eager
-    // localCheckpoint pins the vocabulary×|sources|-bounded table after a
-    // SINGLE corpus pass; callers release it with the standard
-    // between-queries unpersist (Verify/Bench loop contract).
-    val tf = docs
+    // four full corpus scans + explodes (plan-audited). The table is
+    // pinned for ONE corpus pass and RELEASED before returning (ADVICE
+    // r11: the old localCheckpoint leaked a pinned RDD per invocation,
+    // delegating cleanup to the Bench/Verify blanket unpersist that a
+    // library caller never runs): the result is |sources| rows, so it is
+    // materialized eagerly and returned as a local frame, with the pinned
+    // tf table unpersisted in the finally. Consequence, stated: calling
+    // this runs the Spark job at construction time. Callers who need the
+    // lazy plan (or already hold a materialized tf) use
+    // [[sourceEntropyFromTf]] and own the tf lifecycle themselves.
+    val spark = docs.sparkSession
+    val tf = termFrequencies(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val plan = sourceEntropyFromTf(tf)
+      val rows = plan.collect() // |sources| rows — bounded
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), plan.schema)
+    } finally tf.unpersist(blocking = false)
+  }
+
+  /** The (source, term, c) unigram count table [[sourceEntropy]] pins —
+    * exposed so callers maintaining their own materialized term counts
+    * (a production stats store) can feed [[sourceEntropyFromTf]]
+    * directly and skip the corpus pass. */
+  def termFrequencies(docs: DataFrame): DataFrame =
+    docs
       .select(col("source"),
         explode(TextOps.wordsSafe(col("text"))).as("term"))
       .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+
+  /** Lazy scoring plan over a caller-owned (source, term, c) table. The
+    * caller MUST pass a materialized/cached `tf` (the plan references it
+    * four times; unmaterialized, that is four corpus scans) and owns its
+    * release. */
+  def sourceEntropyFromTf(tf: DataFrame): DataFrame = {
     val srcTot = tf.groupBy(col("source")).agg(sum(col("c")).as("t"))
     val corpus = tf.groupBy(col("term")).agg(sum(col("c")).as("ct"))
     val corpusTot = corpus.agg(sum(col("ct")).as("ctot"))

@@ -46,6 +46,7 @@ object RankLimitRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case LessThanOrEqual(a: Attribute, IntegerLiteral(k)) if a.exprId == rn.exprId => Some(k)
     case LessThan(a: Attribute, IntegerLiteral(k)) if a.exprId == rn.exprId => Some(k - 1)
     case EqualTo(a: Attribute, IntegerLiteral(1)) if a.exprId == rn.exprId => Some(1)
+    case EqualTo(IntegerLiteral(1), a: Attribute) if a.exprId == rn.exprId => Some(1)
     case GreaterThanOrEqual(IntegerLiteral(k), a: Attribute) if a.exprId == rn.exprId => Some(k)
     case GreaterThan(IntegerLiteral(k), a: Attribute) if a.exprId == rn.exprId => Some(k - 1)
     case _ => None

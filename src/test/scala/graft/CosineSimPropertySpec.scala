@@ -90,4 +90,38 @@ class CosineSimPropertySpec extends AnyFunSuite {
     val want = (1.0 * 3 + 2.0 * 4) / (math.sqrt(5.0) * math.sqrt(25.0))
     assert(got(2).contains(want))
   }
+
+  test("interior null elements: fused == decomposed raw-bits, interpreted and codegen") {
+    // ADVICE r11: the skip-per-accumulator claim was untested on interior
+    // nulls. a = [1, null, 2] vs b = [3, 4, 5]: saa skips slot 1 (=5),
+    // sbb sees all of b (=50), sab pairs surviving slots only (=13) — and
+    // the decomposed dot/(√·√) makes the identical skips, so the equality
+    // must hold to the last bit in BOTH evaluation modes.
+    val df = Seq(
+      (1, Seq[java.lang.Float](1.0f, null, 2.0f), Seq[java.lang.Float](3.0f, 4.0f, 5.0f)),
+      (2, Seq[java.lang.Float](null, 7.5f), Seq[java.lang.Float](2.0f, null))
+    ).toDF("i", "a", "b")
+    val both = df.select(col("i"),
+        CosineSim.cos(col("a"), col("b")).as("fused"),
+        (DotProduct.dot(col("a"), col("b")) /
+          (sqrt(DotProduct.dot(col("a"), col("a"))) *
+            sqrt(DotProduct.dot(col("b"), col("b"))))).as("decomposed"))
+      .as[(Int, Double, Double)].collect()
+    assert(both.length == 2)
+    both.foreach { case (i, f, d) =>
+      assert(java.lang.Double.doubleToRawLongBits(f) ==
+        java.lang.Double.doubleToRawLongBits(d), s"row $i: fused=$f decomposed=$d")
+    }
+    // row 1 by hand: 13 / (√5 · √50)
+    val want = 13.0 / (math.sqrt(5.0) * math.sqrt(50.0))
+    assert(both.find(_._1 == 1).get._2 == want)
+    // codegen form through the SQL registry must match the interpreted bits
+    df.createOrReplaceTempView("cos_null_elem_v")
+    val viaSql = spark.sql("SELECT i, graft_cos(a, b) AS c FROM cos_null_elem_v")
+      .as[(Int, Double)].collect().toMap
+    both.foreach { case (i, f, _) =>
+      assert(java.lang.Double.doubleToRawLongBits(f) ==
+        java.lang.Double.doubleToRawLongBits(viaSql(i)), s"codegen row $i")
+    }
+  }
 }

@@ -54,6 +54,22 @@ class RankLimitRewriteSpec extends AnyFunSuite {
     assert(q.count() === 7L)
   }
 
+  test("1 = rn (reversed-equality argmax spelling) also rewrites (ADVICE r11)") {
+    // every inequality already matched its literal-on-the-left mirror; the
+    // equality arm was the one asymmetric case, silently keeping the full
+    // window sort for this spelling
+    val q = base.withColumn("rn", row_number().over(w))
+      .where(lit(1) === col("rn")).drop("rn")
+    val plan = planOf(q)
+    assert(plan.contains("GroupedTopK"), s"reversed equality did not fire:\n$plan")
+    val want = base.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      === want)
+    assert(q.count() === 7L)
+  }
+
   test("does NOT fire: rank(), rn kept in output, global window") {
     val ranked = base.withColumn("rn", rank().over(w))
       .where(col("rn") <= 3).drop("rn")

@@ -30,6 +30,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cs.sameElements(cs.sortBy(-_)))
   }
 
+  test("cosRound: zero-norm rows rank LAST (null), not first (ADVICE r11)") {
+    // a corrupt all-zero embedding yields IEEE NaN from the raw fused
+    // cosine, and Spark sorts NaN above every double — the cosRound guard
+    // maps it to null so the degenerate row falls BEHIND every real score
+    // in both descending-sort idioms the re-ranks use
+    val df = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.5f, 0.5f)),
+                 (3L, Seq(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq(Tuple1(Seq(1.0f, 1.0f))).toDF("qv")
+    val scored = df.crossJoin(broadcast(q))
+      .select(col("vec_id"), Similarity.cosRound(col("embedding"), col("qv"), 4).as("cos"))
+    val ordered = scored.orderBy(col("cos").desc, col("vec_id").asc)
+      .select("vec_id").as[Long].collect()
+    assert(ordered.last == 3L, s"orderBy ranked ${ordered.toSeq}")
+    assert(scored.where(col("vec_id") === 3L).collect().head.isNullAt(1))
+    val viaHeap = graft.plans.GroupedTopK.topK(
+        scored.withColumn("g", lit(1)), Seq("g"),
+        Seq("cos" -> true, "vec_id" -> false), 3)
+      .select("vec_id").as[Long].collect()
+    assert(viaHeap.toSet == Set(1L, 2L, 3L) &&
+      graft.plans.GroupedTopK.topK(scored.withColumn("g", lit(1)), Seq("g"),
+        Seq("cos" -> true, "vec_id" -> false), 2)
+        .select("vec_id").as[Long].collect().toSet == Set(1L, 2L),
+      "bounded-heap cut must also leave the null-scored row behind")
+  }
+
   test("banded LSH top-k: high recall vs brute force (seed-deterministic)") {
     val emb = graft.engine.Tables.embeddings(spark, sf)
     val exact = Similarity.bruteForceTopK(emb, 0L, 10)
