@@ -47,6 +47,16 @@ object Indexes {
     * footer-stat pruning to the bucket. */
   val PartDirBits = 4
 
+  /** Driver-side bound on the batched-probe collect in [[lshTopKBatch]]:
+    * the batch pattern materializes |queries|·lTables (query_id, t, key,
+    * pkey) tuples on the driver (so the probed partitions become plan-time
+    * literals). 1M tuples ≈ tens of MB — far below any sane driver heap,
+    * and 65k queries per batch at the default lTables=16; a production
+    * caller with more splits into multiple batches (each still one index
+    * scan). The bound makes the documented contract LOUD instead of an
+    * eventual driver OOM. */
+  val MaxBatchProbeRows = 1 << 20
+
   /** Root for on-demand local indexes (env-overridable; on a cluster this
     * would be a shared filesystem/object-store prefix). */
   val indexRoot: String = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
@@ -351,7 +361,11 @@ object Indexes {
     * results are bit-identical pre/post compaction (IndexesSpec). */
   def compactLshIndex(spark: SparkSession, src: String, dest: String): Unit = {
     val tmp = tmpBuildPath(dest)
-    spark.read.parquet(src)
+    // readLshIndex folds src's delete tombstones, so the new generation
+    // is physically delete-free and carries NO sidecar — compaction is
+    // where logical deletes become physical (no sidecar ⇒ identical plan
+    // to the plain read, preserving the bit-identical pre/post claim)
+    readLshIndex(spark, src)
       .select(col("vec_id"), col("t"), col("key"), col("pkey"))
       .repartition(col("t"), col("pkey"))
       .sortWithinPartitions(col("key"), col("vec_id"))
@@ -450,6 +464,104 @@ object Indexes {
     prevGraph
       .join(affected.select(col("vec_id").as("vec_a")), Seq("vec_a"), "left_anti")
       .unionByName(refreshed)
+  }
+
+  /** DELETE-aware kNN-graph maintenance — the other half of the
+    * production ingest story ([[knnGraphIncremental]] handles appends):
+    * after a delete batch (re-filtering, right-to-be-forgotten), the
+    * points whose current top-`j` cites a deleted id must re-rank over
+    * their SURVIVING banded candidates, the deleted points' own graph
+    * rows drop, and every other row carries over verbatim.
+    *
+    * EQUALS A FULL REBUILD on the post-delete corpus, by the dual of the
+    * append argument: deletion only REMOVES candidates, so a survivor
+    * whose top-j contains no deleted id keeps exactly its previous best
+    * j (all of them survive, and no new candidate appeared) — while an
+    * affected survivor re-ranks over its full surviving candidate set,
+    * which is precisely what a rebuild would score. The registered
+    * query's oracle IS the full-rebuild derivation on the surviving
+    * corpus, so the driver hash-verifies the equivalence every round.
+    *
+    * Work is proportional to the CHANGED neighbourhood (|points citing a
+    * deleted id| ≤ |deleted| · in-degree), not the corpus: pair
+    * generation is restricted to affected vec_a BEFORE the bucket join.
+    * Joins on the delete batch and affected set stay unhinted — AQE
+    * broadcasts them only while they actually fit ([[knnGraphIncremental]]'s
+    * convention). The index is read through [[readLshIndex]], so rows
+    * already tombstoned by [[tombstoneLshIndex]] are excluded even if
+    * the caller passes an empty `deletedIds` (the two delete channels
+    * compose; anti-joining an id through both is idempotent). */
+  def knnGraphDelete(emb: DataFrame, indexPath: String,
+                     deletedIds: DataFrame, prevGraph: DataFrame,
+                     j: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val del = deletedIds.select(col("vec_id"))
+    val idx = readLshIndex(spark, indexPath)
+      .join(del, Seq("vec_id"), "left_anti")
+    // survivors whose prior top-j cites a deleted id — the only points
+    // whose neighbourhood a delete can change
+    val affected = prevGraph
+      .join(del.select(col("vec_id").as("vec_b")), Seq("vec_b"), "left_semi")
+      .select(col("vec_a").as("vec_id")).distinct()
+      .join(del, Seq("vec_id"), "left_anti")
+    val aIdx = idx.join(affected, Seq("vec_id"), "left_semi")
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val pairs = aIdx.select(col("t"), col("key"), col("vec_id").as("vec_a"))
+      .join(idx.select(col("t"), col("key"), col("vec_id").as("vec_b")),
+        Seq("t", "key"))
+      .where(col("vec_a") =!= col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+    val refreshed = graft.plans.GroupedTopK.topK(
+      pairs
+        .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")),
+          Seq("vec_a"))
+        .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")),
+          Seq("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          Similarity.cosRound(col("emb_a"), col("emb_b"), 6).as("cos")),
+      Seq("vec_a"), Seq("cos" -> true, "vec_b" -> false), j)
+    // carry-over = survivor rows of unaffected points: drop deleted
+    // points' rows, drop affected points' rows (refreshed above); what
+    // remains cites no deleted id by the definition of `affected`
+    prevGraph
+      .join(del.select(col("vec_id").as("vec_a")), Seq("vec_a"), "left_anti")
+      .join(affected.select(col("vec_id").as("vec_a")), Seq("vec_a"), "left_anti")
+      .unionByName(refreshed)
+  }
+
+  /** Tombstone sidecar for an LSH index generation: a plain parquet of
+    * deleted vec_ids NEXT TO the index dir (never inside the partitioned
+    * layout — a foreign file in a (t, key)/(t, pkey) directory would break
+    * schema inference and partition listing). */
+  private def tombstonePath(indexPath: String): String = s"$indexPath.tombstones"
+
+  /** Record a delete batch against an existing LSH index WITHOUT
+    * rewriting it: a full physical delete is a corpus-index-proportional
+    * rewrite (every (t, pkey) file containing a deleted row), so deletes
+    * accumulate as a tombstone sidecar that [[readLshIndex]] folds at
+    * read time and [[compactLshIndex]] folds physically at the next
+    * generation — the standard LSM/iceberg-style delete lifecycle.
+    * Append-atomic like [[appendLshIndex]]: each batch is one parquet
+    * append job. */
+  def tombstoneLshIndex(spark: SparkSession, indexPath: String,
+                        deletedIds: DataFrame): Unit =
+    deletedIds.select(col("vec_id")).distinct()
+      .coalesce(1)
+      .write.mode("append").parquet(tombstonePath(indexPath))
+
+  /** Read an LSH index generation with its delete tombstones folded:
+    * the visible rows are exactly a rebuild on the surviving corpus
+    * (same planes ⇒ same keys; deletion removes rows, never changes
+    * one). No sidecar ⇒ the plain read, byte-identical plan. The
+    * anti-join stays unhinted: tombstone volume is bounded by delete
+    * traffic since the last compaction, which a production deployment
+    * bounds by compaction cadence — AQE broadcasts while it fits. */
+  def readLshIndex(spark: SparkSession, indexPath: String): DataFrame = {
+    val idx = spark.read.parquet(indexPath)
+    val ts = tombstonePath(indexPath)
+    if (successExists(spark, ts))
+      idx.join(spark.read.parquet(ts).distinct(), Seq("vec_id"), "left_anti")
+    else idx
   }
 
   /** [[compactLshIndex]]'s twin for the CELL-partitioned families (IVF
@@ -553,6 +665,20 @@ object Indexes {
     * probe side is a FRAME of (query_id, embedding) rows, not one driver
     * round-trip per query.
     *
+    * EAGER-EXECUTION CONTRACT (ADVICE r11, promoted from an inline note):
+    * calling this method runs a Spark job — the query frame is bucketed
+    * and collected to the driver AT CONSTRUCTION TIME, and the returned
+    * DataFrame bakes those keys in as literals. Consequences a caller
+    * must own: (a) the result is a SNAPSHOT — if the query frame's
+    * underlying data changes between this call and the result's
+    * execution, the probe still uses the keys collected here; (b) the
+    * builder is not lazy — even `.explain` on the result has already
+    * paid the bucketing job. The collect is bounded at
+    * [[MaxBatchProbeRows]] (query_id, t, key, pkey) tuples
+    * (|queries|·lTables); a larger batch fails loudly with the bound in
+    * the message rather than exhausting driver memory — split the batch
+    * or probe per-partition at that scale.
+    *
     *  - band keys are computed in ONE distributed pass over the query
     *    frame with the identical [[Similarity.bucketFromPlanes]]
     *    expressions the index was built with (no per-query driver
@@ -597,7 +723,12 @@ object Indexes {
       .select(col("query_id"), explode(array(tables: _*)).as("b"))
       .select(col("query_id"), col("b.t").as("t"), col("b.key").as("key"),
         shiftright(col("b.key"), shift).as("pkey"))
-      .as[(Long, Int, Long, Long)].collect().toSeq
+      .as[(Long, Int, Long, Long)].take(MaxBatchProbeRows + 1).toSeq
+    // take(N+1), not collect(): bounds the driver transfer BEFORE the
+    // contract check, so an oversized batch costs one extra row, not an OOM
+    require(qKeyRows.size <= MaxBatchProbeRows,
+      s"lshTopKBatch probe frame exceeds MaxBatchProbeRows=$MaxBatchProbeRows " +
+        s"(|queries|·lTables rows collect to the driver — split the batch)")
     val qKeys = qKeyRows.toDF("query_id", "t", "key", "pkey")
     // STATIC partition pruning from the materialized keys: the probed
     // (t, pkey) pairs are literals, so the scan prunes at PLAN time — no
@@ -1688,7 +1819,7 @@ object Indexes {
     path
   }
 
-  private def successExists(spark: SparkSession, path: String): Boolean = {
+  private[graft] def successExists(spark: SparkSession, path: String): Boolean = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))

@@ -1785,38 +1785,124 @@ object PipelineQueries {
        |                           ORDER BY cos DESC, vec_b ASC) <= 3
        |ORDER BY vec_a, cos DESC, vec_b""".stripMargin
 
+  private def demoFs(s: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+
+  private def demoMarker(dir: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(dir, "_DEMO_READY")
+
+  /** Memoized demo-state builder for the graph-maintenance queries
+    * (VERDICT r11 #2: the old shape re-ran the index write + prior-graph
+    * build inside every TIMED bench iteration, so the artifact measured
+    * ~95% setup and a planted O(corpus) regression in the refresh path
+    * would have been invisible). State (index dir at `path`, prior graph
+    * parquet at `<path>_prevgraph`) is keyed by corpus fingerprint + band
+    * width in the dir name and guarded by a `_DEMO_READY` marker written
+    * only after `build` completes — a crash mid-setup leaves no marker
+    * and the next caller wipes and rebuilds. The timed query body then
+    * touches ONLY the maintenance operator under test. */
+  private def ensureKnnDemo(s: SparkSession, path: String)
+                           (build: String => Unit): String = {
+    val fs = demoFs(s, path)
+    if (!fs.exists(demoMarker(path))) {
+      for (stale <- Seq(path, s"$path.tombstones", s"${path}_prevgraph"))
+        fs.delete(new org.apache.hadoop.fs.Path(stale), true)
+      build(path)
+      fs.create(demoMarker(path), true).close()
+    }
+    path
+  }
+
   /** INCREMENTAL kNN-graph maintenance, oracle-gated by EQUIVALENCE: the
     * corpus splits into an "already indexed" half and an "appended batch"
     * (by vec_id parity), the previous graph is built on the old half
-    * alone (materialized BEFORE the append mutates the index dir), the
+    * alone (persisted BEFORE the append mutates the index dir), the
     * batch appends via [[graft.ops.Indexes.appendLshIndex]], and
     * [[graft.ops.Indexes.knnGraphIncremental]] refreshes only the changed
     * neighbourhood — while the ORACLE is simply the full-rebuild graph
     * derivation, so the driver hash-verifies the incremental ==
-    * rebuild contract itself every round. The index builds at an
-    * explicit demo path (overwrite + append) each invocation — fixture-
-    * sized, not the write-once ensure family. */
+    * rebuild contract itself every round. The index+prior-graph setup is
+    * MEMOIZED via [[ensureKnnDemo]] (fingerprint-keyed, marker-gated), so
+    * the timed body is the refresh alone. */
   def knnGraphIncremental(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     val b = Similarity.scaledBandBits(corpusCount(emb))
-    val oldEmb = emb.where(col("vec_id") % 2 === 0)
-    val newEmb = emb.where(col("vec_id") % 2 === 1)
-    val path = graft.ops.Indexes.indexRoot +
-      s"/incr_knn_demo_${graft.ops.Indexes.corpusFingerprint(emb)}"
-    graft.ops.Indexes.writeLshIndex(oldEmb, path, bBits = b, lTables = 8,
-      partitionByBucket = false)
-    val prev = graft.ops.Indexes.knnGraphIndexed(oldEmb, path, j = 3)
-      .localCheckpoint(true) // pin BEFORE the append mutates the dir
-    graft.ops.Indexes.appendLshIndex(newEmb, path, bBits = b, lTables = 8,
-      partitionByBucket = false)
+    val path = ensureKnnDemo(s, graft.ops.Indexes.indexRoot +
+        s"/incr_knn_demo_${graft.ops.Indexes.corpusFingerprint(emb)}_b$b") { p =>
+      val oldEmb = emb.where(col("vec_id") % 2 === 0)
+      graft.ops.Indexes.writeLshIndex(oldEmb, p, bBits = b, lTables = 8,
+        partitionByBucket = false)
+      graft.ops.Indexes.knnGraphIndexed(oldEmb, p, j = 3)
+        .write.mode("overwrite").parquet(s"${p}_prevgraph")
+      graft.ops.Indexes.appendLshIndex(emb.where(col("vec_id") % 2 === 1), p,
+        bBits = b, lTables = 8, partitionByBucket = false)
+    }
     graft.ops.Indexes.knnGraphIncremental(emb, path,
-        newEmb.select(col("vec_id")), prev, j = 3)
+        emb.where(col("vec_id") % 2 === 1).select(col("vec_id")),
+        s.read.parquet(s"${path}_prevgraph"), j = 3)
       .orderBy(col("vec_a"), col("cos").desc, col("vec_b"))
   }
 
   /** Oracle: the FULL-graph derivation — the whole point: incremental
     * maintenance must be indistinguishable from a rebuild. */
   val knnGraphIncrementalSql: String = knnGraphSql
+
+  /** DELETE-aware kNN-graph maintenance ([[graft.ops.Indexes.knnGraphDelete]])
+    * — the other half of production ingest, oracle-gated the same way:
+    * the demo state is the FULL-corpus index plus its full graph (the
+    * "previous" state), a ~1/7 slice of vec_ids is deleted (tombstoned
+    * against the index in setup, passed as the delete batch to the
+    * operator), and the ORACLE is the full-rebuild graph on the
+    * SURVIVING corpus — driver-hash-verifying delete-refresh == rebuild
+    * every round. Setup (index, prior graph, tombstones) is memoized;
+    * the timed body is tombstone-folded read + affected-set derivation +
+    * changed-neighbourhood re-rank only. */
+  def knnGraphDelete(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val b = Similarity.scaledBandBits(corpusCount(emb))
+    val deleted = emb.where(col("vec_id") % 7 === 3).select(col("vec_id"))
+    val path = ensureKnnDemo(s, graft.ops.Indexes.indexRoot +
+        s"/del_knn_demo_${graft.ops.Indexes.corpusFingerprint(emb)}_b$b") { p =>
+      graft.ops.Indexes.writeLshIndex(emb, p, bBits = b, lTables = 8,
+        partitionByBucket = false)
+      graft.ops.Indexes.knnGraphIndexed(emb, p, j = 3)
+        .write.mode("overwrite").parquet(s"${p}_prevgraph")
+      graft.ops.Indexes.tombstoneLshIndex(s, p, deleted)
+    }
+    graft.ops.Indexes.knnGraphDelete(emb, path, deleted,
+        s.read.parquet(s"${path}_prevgraph"), j = 3)
+      .orderBy(col("vec_a"), col("cos").desc, col("vec_b"))
+  }
+
+  /** Oracle: full rebuild on the surviving corpus. Band width still
+    * derives from the FULL corpus count (nb reads unfiltered `e`) — the
+    * incremental path keeps the existing index's banding; a from-scratch
+    * rebuild at the post-delete count would re-derive b only when the
+    * count crosses a power-of-two boundary, and re-indexing is
+    * compaction's job, not delete maintenance's. */
+  val knnGraphDeleteSql: String =
+    s"""WITH $duckNormed,
+       |nb AS (SELECT greatest(6, (SELECT min(i)::INTEGER
+       |                           FROM range(0, 33) t(i), (SELECT count(*) AS n FROM e) cn
+       |                           WHERE (32::BIGINT << i) >= cn.n)) AS bits),
+       |pl AS (SELECT j, p FROM ${Similarity.planesSqlValues(128, 64, 42L)}),
+       |bk AS (SELECT e.vec_id, (pl.j // nb.bits) AS t,
+       |         sum(CASE WHEN list_dot_product(e.v, pl.p) > 0 THEN (1::BIGINT << (pl.j % nb.bits)) ELSE 0 END)::BIGINT AS key
+       |       FROM e CROSS JOIN pl, nb
+       |       WHERE pl.j < nb.bits * 8 AND e.vec_id % 7 != 3
+       |       GROUP BY e.vec_id, (pl.j // nb.bits)),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |         FROM bk a JOIN bk b ON a.t = b.t AND a.key = b.key
+       |                            AND a.vec_id != b.vec_id),
+       |scored AS (SELECT cand.vec_a, cand.vec_b,
+       |             round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS cos
+       |           FROM cand JOIN e x ON cand.vec_a = x.vec_id
+       |                     JOIN e y ON cand.vec_b = y.vec_id)
+       |SELECT vec_a, vec_b, cos FROM scored
+       |QUALIFY row_number() OVER (PARTITION BY vec_a
+       |                           ORDER BY cos DESC, vec_b ASC) <= 3
+       |ORDER BY vec_a, cos DESC, vec_b""".stripMargin
 
   /** MUTUAL-kNN clustering — the operator COMPOSITION the kNN graph
     * exists for: keep an edge iff both endpoints rank each other in

@@ -503,6 +503,67 @@ class IndexesSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("knnGraphDelete: delete-refresh equals a full rebuild on survivors") {
+    val path = Files.createTempDirectory("knn_del_spec").toString + "/idx"
+    Indexes.writeLshIndex(emb, path, partitionByBucket = false)
+    val prev = Indexes.knnGraphIndexed(emb, path, j = 3).localCheckpoint(true)
+    val del = emb.where(col("vec_id") % 5 === 1).select(col("vec_id"))
+    val delIds = del.as[Long].collect().toSet
+    assert(delIds.nonEmpty)
+    val got = Indexes.knnGraphDelete(emb, path, del, prev, j = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    // oracle: rebuild index + graph from scratch on the surviving corpus
+    // with the identical banding params
+    val survivors = emb.join(del, Seq("vec_id"), "left_anti")
+    val rb = Files.createTempDirectory("knn_del_rebuild").toString + "/idx"
+    Indexes.writeLshIndex(survivors, rb, partitionByBucket = false)
+    val want = Indexes.knnGraphIndexed(survivors, rb, j = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === want, "delete-refresh must be indistinguishable from a rebuild")
+    assert(got.forall { case (a, b, _) => !delIds(a) && !delIds(b) },
+      "no deleted id may survive on either edge end")
+    // the empty delete batch is the identity (given no tombstones)
+    val none = emb.where(col("vec_id") < 0).select(col("vec_id"))
+    val idGot = Indexes.knnGraphDelete(emb, path, none, prev, j = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    val prevSet = prev.as[(Long, Long, Double)].collect().toSet
+    assert(idGot === prevSet, "empty delete batch must be a no-op")
+  }
+
+  test("tombstoneLshIndex: logical delete at read, physical at compaction") {
+    val path = Files.createTempDirectory("lsh_tomb_spec").toString + "/idx"
+    Indexes.writeLshIndex(emb, path) // bucketed default layout
+    val del = emb.where(col("vec_id") % 3 === 0).select(col("vec_id"))
+    val delIds = del.as[Long].collect().toSet
+    // two batches through the sidecar (append-mode accumulation)
+    Indexes.tombstoneLshIndex(spark, path,
+      del.where(col("vec_id") % 2 === 0))
+    Indexes.tombstoneLshIndex(spark, path,
+      del.where(col("vec_id") % 2 === 1))
+    val visible = Indexes.readLshIndex(spark, path)
+      .select(col("vec_id")).distinct().as[Long].collect().toSet
+    assert(visible.intersect(delIds).isEmpty, "tombstoned ids still visible")
+    assert(visible.nonEmpty)
+    // physical fold: compaction drops tombstoned rows and carries NO
+    // sidecar into the new generation
+    val compacted = Files.createTempDirectory("lsh_tomb_dst").toString + "/idx"
+    Indexes.compactLshIndex(spark, path, compacted)
+    assert(!new java.io.File(s"$compacted.tombstones").exists(),
+      "compacted generation must not carry a tombstone sidecar")
+    val physIds = spark.read.parquet(compacted)
+      .select(col("vec_id")).distinct().as[Long].collect().toSet
+    assert(physIds === visible, "compaction must fold exactly the tombstones")
+    // probe over the compacted survivors == probe over a from-scratch
+    // survivor rebuild (query vec 7 survives: 7 % 3 != 0)
+    val rb = Files.createTempDirectory("lsh_tomb_rebuild").toString + "/idx"
+    Indexes.writeLshIndex(emb.join(del, Seq("vec_id"), "left_anti"), rb)
+    val got = Indexes.lshTopKIndexed(emb, compacted, 7L, 10)
+      .as[(Long, Double)].collect().toSeq
+    val want = Indexes.lshTopKIndexed(emb, rb, 7L, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(got === want, "post-compaction probe must match survivor rebuild")
+  }
+
   test("batch LSH probe: an EMPTY query frame returns empty, not a crash") {
     val none = emb.where(col("vec_id") < 0)
       .select(col("vec_id").as("query_id"), col("embedding"))
