@@ -200,6 +200,79 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** BATCHED BM25 — [[bm25TopK]]'s many-queries twin (the retrieval
+    * analogue of the ANN family's batch-over-one-scan pattern): N queries
+    * cost the SAME two corpus passes as one query, not N.
+    *
+    * `queries` is a FRAME of (query_id, terms array) — no driver
+    * round-trip anywhere: the corpus token stream is restricted to the
+    * union query vocabulary by a broadcast semi-join (hash containment
+    * per token, O(1) regardless of vocabulary size), per-(doc, term)
+    * frequencies aggregate once, per-term document frequency rides a
+    * vocabulary-partitioned window COUNT over that tf table (no second
+    * corpus pass, no tf re-execution), the (N, Σdl) scalars broadcast
+    * from a 1-row aggregate, and the per-query cut is the bounded-heap
+    * [[graft.plans.GroupedTopK]] — k·|queries| shuffle rows, no window
+    * sort. Corpus scans: exactly 2 (tf pass + stats pass), independent of
+    * |queries| — plan-audited.
+    *
+    * Determinism under distribution: the per-(query, doc) score is a SUM
+    * over matched terms, which under Spark's partial-aggregate merge
+    * would be an order-dependent float fold — so each (query, doc, term)
+    * contribution is quantized to a 1e-6 fixed-point BIGINT first and the
+    * reduction is an exact integer sum (the [[sourceEntropy]] contract;
+    * ≤ 5·10⁻⁷ absolute per term, stated not hidden). Scoring constants
+    * must be BIT-identical across engines: the oracle interpolates the
+    * same Scala-computed doubles ([[graft.queries.PipelineQueries]]
+    * builds its SQL from `(k1 + 1.0).toString` etc., which DuckDB parses
+    * back to the identical bits — `1.2 + 1.0` is NOT the double the
+    * literal `2.2` parses to, a last-ulp trap the single-query op's
+    * round-to-6 silently absorbed).
+    *
+    * Semantics per query match [[bm25TopK]]: duplicate terms in a query's
+    * array are collapsed (`array_distinct`), terms absent from the corpus
+    * contribute exactly 0 (they simply have no tf rows — the idf·0 branch
+    * made explicit), and only documents matching ≥ 1 query term score. */
+  def bm25TopKBatch(docs: DataFrame, queries: DataFrame, k: Int = 20,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qterms = queries.select(col("query_id"),
+      explode(array_distinct(col("terms"))).as("term"))
+    val vocab = qterms.select(col("term")).distinct()
+    val tf = docs
+      .select(col("doc_id"), TextOps.wordsSafe(col("text")).as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+        explode(col("w")).as("term"))
+      .join(broadcast(vocab), Seq("term"), "left_semi")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"))
+    // df per term WITHOUT re-executing the tf subplan (a plain
+    // tf.groupBy(term) reference would re-run the corpus scan+explode):
+    // an unordered window COUNT over the term partition counts exactly
+    // the docs containing the term, in one extra vocabulary-keyed
+    // exchange over the already-aggregated tf rows
+    val tfd = tf.withColumn("df",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("term"))))
+    val stats = docs
+      .select(size(TextOps.wordsSafe(col("text"))).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).cast("long").as("total_dl"))
+    val nD = col("n_docs").cast("double")
+    val dfD = col("df").cast("double")
+    val tfD = col("tf").cast("double")
+    val norm = lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") *
+      nD / col("total_dl").cast("double"))
+    val idf = log((nD - dfD + lit(0.5)) / (dfD + lit(0.5)) + lit(1.0))
+    val contribFp = round(idf * (tfD * lit(k1 + 1.0)) / (tfD + norm) * lit(1e6), 0)
+      .cast("long")
+    val scored = qterms.join(tfd, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"), contribFp.as("fp"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("fp")).cast("double") / lit(1e6), 6).as("score"))
+    graft.plans.GroupedTopK.topK(scored, Seq("query_id"),
+      Seq("score" -> true, "doc_id" -> false), k)
+  }
+
   /** Per-source unigram-distribution health: Shannon entropy and KL
     * divergence from the corpus distribution — the mixing-QA pass that
     * tells a pipeline which source is degenerate (low entropy ⇒

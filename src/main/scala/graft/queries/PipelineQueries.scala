@@ -3082,6 +3082,59 @@ object PipelineQueries {
        |ORDER BY score DESC, doc_id ASC LIMIT 25""".stripMargin
   }
 
+  /** BATCHED BM25 ([[graft.ops.TextAnalysis.bm25TopKBatch]]): five queries
+    * scored in the same two corpus passes one query costs — covering the
+    * df = 0 branch (absent 'quantum'), a mostly-absent query (q3), and an
+    * in-query duplicate ('data' twice, collapsed by array_distinct; the
+    * oracle lists it once). Constants are interpolated from the SAME
+    * Scala doubles the operator folds (`(k1+1.0).toString`), because
+    * `1.2 + 1.0` is NOT the double a literal `2.2` parses to and the
+    * fixed-point quantization would expose the last-ulp difference. */
+  def bm25Batch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qs = Seq(
+      (0L, Seq("vector", "stream", "merge", "quantum")),
+      (1L, Seq("join", "hash", "filter")),
+      (2L, Seq("spark", "window")),
+      (3L, Seq("customer", "quantum")),
+      (4L, Seq("table", "data", "data"))
+    ).toDF("query_id", "terms")
+    TextAnalysis.bm25TopKBatch(documents(s, d), qs, k = 10)
+      .orderBy(col("query_id"), col("score").desc, col("doc_id"))
+  }
+
+  val bm25BatchSql: String = {
+    val (k1, b) = (1.2, 0.75)
+    val (k1s, k1p1, oneMb, bs) =
+      (k1.toString, (k1 + 1.0).toString, (1.0 - b).toString, b.toString)
+    s"""WITH q(query_id, term) AS (VALUES
+       |  (0::BIGINT, 'vector'), (0, 'stream'), (0, 'merge'), (0, 'quantum'),
+       |  (1, 'join'), (1, 'hash'), (1, 'filter'),
+       |  (2, 'spark'), (2, 'window'),
+       |  (3, 'customer'), (3, 'quantum'),
+       |  (4, 'table'), (4, 'data')),
+       |w AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |tok AS (SELECT doc_id, len(w)::BIGINT AS dl, unnest(w) AS term FROM w),
+       |tf AS (SELECT doc_id, term, max(dl) AS dl, count(*)::BIGINT AS tf
+       |       FROM tok WHERE term IN (SELECT term FROM q)
+       |       GROUP BY doc_id, term),
+       |tfd AS (SELECT tf.*, (count(*) OVER (PARTITION BY term))::BIGINT AS df
+       |        FROM tf),
+       |st AS (SELECT count(*)::BIGINT AS n_docs, sum(len(w))::BIGINT AS total_dl
+       |       FROM w),
+       |c AS (SELECT q.query_id, tfd.doc_id,
+       |        round(ln((n_docs::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5) + 1.0)
+       |          * (tf::DOUBLE * $k1p1) / (tf::DOUBLE + $k1s * ($oneMb + $bs * dl::DOUBLE * n_docs::DOUBLE / total_dl::DOUBLE))
+       |          * 1000000.0)::BIGINT AS fp
+       |      FROM q JOIN tfd ON q.term = tfd.term CROSS JOIN st),
+       |s AS (SELECT query_id, doc_id, round(sum(fp)::DOUBLE / 1000000.0, 6) AS score
+       |      FROM c GROUP BY query_id, doc_id)
+       |SELECT query_id, doc_id, score FROM s
+       |QUALIFY row_number() OVER (PARTITION BY query_id
+       |                           ORDER BY score DESC, doc_id ASC) <= 10
+       |ORDER BY query_id, score DESC, doc_id""".stripMargin
+  }
+
   /** Top-20 adjacent-pair collocations by PMI, support ≥ 5
     * ([[graft.ops.TextAnalysis.pmiTopPairs]]): one ln per surviving pair
     * over exact-integer-count ratios — no float accumulation anywhere. */

@@ -306,6 +306,29 @@ class PlanAuditSpec extends AnyFunSuite {
       s"sourceEntropy leaked pinned RDDs: ${after -- before}")
   }
 
+  test("batched bm25: corpus scans independent of |queries|, heap cut per query") {
+    // the batch contract: N queries cost the same TWO corpus passes as
+    // one (tf pass + stats pass) — the scan count must not move with
+    // the query count, and the per-query cut is the bounded heap
+    import spark.implicits._
+    val docs = graft.engine.Tables.documents(spark, d)
+    def corpusScans(n: Int): (Int, String) = {
+      val qs = (0L until n.toLong).map(i =>
+          (i, Seq("vector", "stream", "join", "hash")(i.toInt % 4) :: "table" :: Nil))
+        .toDF("query_id", "terms")
+      val p = graft.ops.TextAnalysis.bm25TopKBatch(docs, qs, k = 5)
+        .queryExecution.executedPlan.toString
+      (p.linesIterator.count(l =>
+        l.contains("FileScan parquet") && l.contains("documents.parquet")), p)
+    }
+    val (two, p2) = corpusScans(2)
+    val (twenty, p20) = corpusScans(20)
+    assert(two === 2, s"expected exactly 2 corpus scans:\n$p2")
+    assert(twenty === two,
+      s"corpus scan count moved with |queries| ($two -> $twenty):\n$p20")
+    assert(p20.contains("GroupedTopK"), s"per-query cut must be the heap:\n$p20")
+  }
+
   test("rank idiom rewrites to GroupedTopK (the optimizer rule, per round)") {
     val p = plan("q_rank_idiom")
     assert(p.contains("GroupedTopK"),

@@ -85,6 +85,50 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(base === withGhost, "df=0 term must not perturb any score")
   }
 
+  test("bm25 batch: hand scores per query, duplicate collapse, absent terms") {
+    val docs = Seq(
+      (0L, "cat dog cat"),
+      (1L, "cat mouse"),
+      (2L, "dog bird"),
+      (3L, "fish fish fish")).toDF("doc_id", "text")
+    val qs = Seq(
+      (0L, Seq("cat", "fish")),
+      (1L, Seq("dog", "dog")),      // in-query duplicate collapses
+      (2L, Seq("zzzz"))             // fully absent: no rows, not a crash
+    ).toDF("query_id", "terms")
+    val got = TextAnalysis.bm25TopKBatch(docs, qs, k = 3)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3)
+        .sortBy { case (id, s) => (-s, id) }.toSeq).toMap
+    // query 0 replays the single-query hand computation (same math,
+    // integer-quantized fold — agreement to the 1e-6 grain)
+    assert(got(0L).map(_._1) === Seq(3L, 0L, 1L))
+    assert(math.abs(got(0L).head._2 - 1.814272) < 1e-4)
+    assert(math.abs(got(0L)(1)._2 - 0.902376) < 1e-4)
+    // query 1: duplicate 'dog' counts once — same scores as a dedup'd query
+    val single = TextAnalysis.bm25TopKBatch(docs,
+        Seq((9L, Seq("dog"))).toDF("query_id", "terms"), k = 3)
+      .as[(Long, Long, Double)].collect().map(r => r._2 -> r._3).toSet
+    assert(got(1L).toSet === single, "duplicate term must collapse")
+    // query 2: absent everywhere → zero result rows for that query
+    assert(!got.contains(2L))
+    // cross-check against the fixture corpus: per-query scores agree with
+    // the single-query operator within the quantization grain
+    val corpus = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val batch0 = TextAnalysis.bm25TopKBatch(corpus,
+        Seq((0L, Seq("vector", "stream", "merge", "quantum")))
+          .toDF("query_id", "terms"), k = 25)
+      .as[(Long, Long, Double)].collect().map(r => r._2 -> r._3).toMap
+    val single0 = TextAnalysis.bm25TopK(corpus,
+        Seq("vector", "stream", "merge", "quantum"), k = 25)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(batch0.keySet === single0.keySet,
+      "batch-of-one must select the same top documents as the single op")
+    batch0.foreach { case (id, s) =>
+      assert(math.abs(s - single0(id)) <= 2e-6, s"doc $id: $s vs ${single0(id)}")
+    }
+  }
+
   test("source entropy + KL: hand-computed distributions") {
     val docs = Seq(
       (0L, "a a b", "srcA"),
