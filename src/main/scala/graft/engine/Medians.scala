@@ -36,6 +36,18 @@ import org.apache.spark.sql.functions._
   */
 object Medians {
 
+  /** Default bound on |groups| for the rank-SELECTION shapes (r11 VERDICT
+    * #5: the driver contract was scaladoc-only — a misuse with fact-keyed
+    * groups OOM'd the driver with a generic error instead of the named
+    * contract). The driver holds |groups|·|targets| search states and
+    * collects up to |groups|·|targets|·buckets non-empty histogram cells
+    * per round; 1024 groups × 2 targets × 4096 buckets ≈ 8M cells worst
+    * case ≈ low hundreds of MB — the edge of sane. MORE groups than this
+    * means the operator is the wrong shape: use [[exactMedianByKey]],
+    * whose parallelism IMPROVES with group count. Overridable per call for
+    * deployments that know their driver heap. */
+  val DefaultMaxGroups: Int = 1024
+
   /** (keys..., median_<value>) — one row per group, exact interpolated
     * median of `value`.
     *
@@ -86,18 +98,23 @@ object Medians {
     * n div 2 + 1, averaged), so both shapes — and the shared DuckDB oracle
     * — agree exactly.
     *
-    * Contracts: driver holds |groups|·2 states and collects ≤
-    * |groups|·2·buckets histogram rows per round — the operator is FOR few
-    * giant groups (use the window shape when groups are many); values must
-    * be NaN-free (NaN has no rank in an equi-width histogram); nulls are
-    * excluded like every exact-median path. ~1 + rounds + 1 scans of the
-    * fact, each embarrassingly parallel. */
+    * Contracts — LOUD, not scaladoc-only (r11 VERDICT #5): driver holds
+    * |groups|·2 states and collects ≤ |groups|·2·buckets histogram rows
+    * per round, so group cardinality is bounded by `maxGroups`
+    * ([[DefaultMaxGroups]]; a bounded `take` trips the named require
+    * BEFORE any unbounded driver transfer) — the operator is FOR few
+    * giant groups (use the window shape when groups are many); values
+    * must be NaN-free, checked per group off the same round-0 aggregate
+    * (max is NaN iff any value is); nulls are excluded like every
+    * exact-median path. ~1 + rounds + 1 scans of the fact, each
+    * embarrassingly parallel. */
   def exactMedianSelect(df: DataFrame, keys: Seq[String], value: String,
                         out: String = "med", buckets: Int = 4096,
-                        collectLimit: Int = 64): DataFrame = {
+                        collectLimit: Int = 64,
+                        maxGroups: Int = DefaultMaxGroups): DataFrame = {
     import org.apache.spark.sql.Row
     val (keySchema, results) = selectByRank(df, keys, value, buckets,
-      collectLimit)(n => Seq((n + 1) / 2, n / 2 + 1).distinct)
+      collectLimit, maxGroups)(n => Seq((n + 1) / 2, n / 2 + 1).distinct)
     val outRows = results.map { case (k, _, byRank) =>
       Row.fromSeq(k.toSeq :+ byRank.values.sum / byRank.size)
     }
@@ -119,7 +136,8 @@ object Medians {
   def exactQuantilesSelect(df: DataFrame, keys: Seq[String], value: String,
                            ps: Seq[Double], out: String = "q",
                            buckets: Int = 4096,
-                           collectLimit: Int = 64): DataFrame = {
+                           collectLimit: Int = 64,
+                           maxGroups: Int = DefaultMaxGroups): DataFrame = {
     import org.apache.spark.sql.Row
     def ranksOf(n: Long, p: Double): Seq[Long] = {
       val pos = (n - 1) * p
@@ -128,7 +146,7 @@ object Medians {
       if (g == 0d) Seq(m + 1) else Seq(m + 1, m + 2)
     }
     val (keySchema, results) = selectByRank(df, keys, value, buckets,
-      collectLimit)(n => ps.flatMap(p => ranksOf(n, p)).distinct)
+      collectLimit, maxGroups)(n => ps.flatMap(p => ranksOf(n, p)).distinct)
     val outRows = results.flatMap { case (k, n, byRank) =>
       ps.map { p =>
         val pos = (n - 1) * p
@@ -152,7 +170,7 @@ object Medians {
     * (key row, n, rank → value)). Groups with zero non-null values are
     * absent (parity with the window shape, which filters them out). */
   private def selectByRank(df: DataFrame, keys: Seq[String], value: String,
-                           buckets: Int, collectLimit: Int)
+                           buckets: Int, collectLimit: Int, maxGroups: Int)
                           (ranksFor: Long => Seq[Long])
       : (org.apache.spark.sql.types.StructType,
          Seq[(org.apache.spark.sql.Row, Long, Map[Long, Double])]) = {
@@ -162,16 +180,33 @@ object Medians {
     val base = df.where(col(value).isNotNull)
       .select(kCols :+ col(value).cast("double").as("_v"): _*)
 
-    // round 0: per-group count/min/max → target ranks per group
+    // round 0: per-group count/min/max → target ranks per group.
+    // take(maxGroups + 1), not collect(): the group-cardinality contract
+    // trips BEFORE an unbounded driver transfer (one sentinel row of
+    // overshoot, never an OOM — the lshTopKBatch bound pattern)
     val stats = base.groupBy(kCols: _*)
       .agg(count(lit(1)).as("_n"), min(col("_v")).as("_lo"), max(col("_v")).as("_hi"))
-      .collect()
+      .take(maxGroups + 1)
+    require(stats.length <= maxGroups,
+      s"rank selection saw more than maxGroups=$maxGroups groups — this " +
+        "shape holds per-group search state on the driver and is for FEW " +
+        "giant groups; use exactMedianByKey (spill-safe window rank " +
+        "selection) for many groups, or raise maxGroups deliberately")
     // state: groupKey -> per-target (rank, lo, hi, offset, resolved value)
     final case class St(rank: Long, var lo: Double, var hi: Double,
                         var offset: Long, var value: Option[Double] = None)
     val states: Seq[(Row, Long, Seq[St])] = stats.toSeq.map { r =>
       val n = r.getLong(keys.size)
       val (lo, hi) = (r.getDouble(keys.size + 1), r.getDouble(keys.size + 2))
+      // NaN detection is FREE here: Spark's double ordering places NaN
+      // above every value, so max(_v) is NaN iff the group contains one.
+      // Unchecked, a NaN has no histogram bucket (floor(NaN) → null cell)
+      // and would silently drop from cumulative counts, shifting every
+      // later rank — the documented NaN-free requirement, now loud.
+      require(!hi.isNaN,
+        s"rank selection requires NaN-free values: group ${r.toSeq.take(keys.size)} " +
+          s"contains NaN in '$value' — filter or nanvl them first (NaN has " +
+          "no rank in an equi-width histogram)")
       val ranks = ranksFor(n)
       require(ranks.forall(rk => rk >= 1 && rk <= n),
         s"requested ranks $ranks outside [1, $n]")

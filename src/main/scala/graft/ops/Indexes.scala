@@ -212,6 +212,12 @@ object Indexes {
     gcGraceOverride.withValue(Some(ms))(body)
   private def gcGraceMs: Long = gcGraceOverride.value.getOrElse(gcGraceMsDefault)
 
+  /** The effective (possibly test-overridden) grace window — shared with
+    * the other mark-then-sweep reclaimers in the engine (the durable-e2e
+    * run-dir GC), so one knob and one [[withGcGrace]] hook govern every
+    * sweep. */
+  private[graft] def effectiveGcGraceMs: Long = gcGraceMs
+
   /** Reclaim superseded generations of one index family: siblings of `path`
     * whose name shares `familyPrefix` but carries a DIFFERENT fingerprint
     * suffix (including `.tmp-*` leftovers of crashed builds), and whose

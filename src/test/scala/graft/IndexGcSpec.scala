@@ -66,4 +66,34 @@ class IndexGcSpec extends AnyFunSuite {
     assert(Files.exists(Paths.get(p2)),
       "generation inside the grace window must survive (in-flight readers)")
   }
+
+  test("durable e2e run dirs: aged sibling runs reclaimed; current and fresh survive") {
+    // VERDICT r11 #6: applicationId namespacing left one permanent dir per
+    // run under SPARK_GRAFT_E2E_STAGE_DIR — the run-dir chokepoint now
+    // sweeps aged siblings with the shared grace knob/hook
+    val base = Files.createTempDirectory("e2egc").toString + "/stages"
+    val aged = Paths.get(base, "app-superseded-run")
+    val fresh = Paths.get(base, "app-concurrent-run")
+    Files.createDirectories(aged)
+    Files.createDirectories(fresh)
+    Files.setLastModifiedTime(aged,
+      FileTime.fromMillis(System.currentTimeMillis() - 3600 * 1000L))
+    val dir = Indexes.withGcGrace(1000L) {
+      graft.queries.PipelineQueries.runScopedStageDir(spark, base)
+    }
+    assert(dir.endsWith(spark.sparkContext.applicationId))
+    assert(!Files.exists(aged), "aged superseded run dir must be reclaimed")
+    assert(Files.exists(fresh),
+      "run dir inside the grace window must survive (may be mid-run)")
+    // the CURRENT application's own dir is never swept, even when aged —
+    // a long-running app re-entering the pipeline must not eat its state
+    val mine = Paths.get(base, spark.sparkContext.applicationId)
+    Files.createDirectories(mine)
+    Files.setLastModifiedTime(mine,
+      FileTime.fromMillis(System.currentTimeMillis() - 3600 * 1000L))
+    Indexes.withGcGrace(1000L) {
+      graft.queries.PipelineQueries.runScopedStageDir(spark, base)
+    }
+    assert(Files.exists(mine), "the current run's own dir must never be swept")
+  }
 }

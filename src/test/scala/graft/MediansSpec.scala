@@ -103,6 +103,34 @@ class MediansSpec extends AnyFunSuite {
     }
   }
 
+  test("selection contracts are LOUD: group-cardinality bound and NaN values") {
+    // (1) more groups than maxGroups must trip the named contract BEFORE
+    // any unbounded driver collect — a misuse with fact-keyed groups
+    // previously OOM'd with a generic error (r11 VERDICT #5)
+    val many = spark.range(0, 500)
+      .selectExpr("id as k", "cast(id as double) as v")
+    val eMany = intercept[IllegalArgumentException] {
+      Medians.exactMedianSelect(many, Seq("k"), "v", maxGroups = 100)
+    }
+    assert(eMany.getMessage.contains("maxGroups"), eMany.getMessage)
+    assert(eMany.getMessage.contains("exactMedianByKey"),
+      "the contract must point at the many-groups escape hatch")
+    // ...and exactly maxGroups groups still works
+    val ok = Medians.exactMedianSelect(many.where(col("k") < 100),
+      Seq("k"), "v", maxGroups = 100)
+    assert(ok.count() === 100L)
+    // (2) NaN values must trip the named contract, not corrupt ranks —
+    // spark.range keeps the NaN out of a ConvertToLocalRelation constant
+    // fold, and the quantiles path shares the same guard
+    val withNaN = spark.range(0, 50)
+      .selectExpr("'g' as k",
+        "case when id = 17 then cast('NaN' as double) else cast(id as double) end as v")
+    val eNaN = intercept[IllegalArgumentException] {
+      Medians.exactQuantilesSelect(withNaN, Seq("k"), "v", Seq(0.5))
+    }
+    assert(eNaN.getMessage.contains("NaN-free"), eNaN.getMessage)
+  }
+
   test("plan shape: Window rank selection, no buffered median aggregate") {
     val li = graft.engine.Tables.lineitem(spark, "/root/testdata/sf0.001")
     val plan = Medians.exactMedianByKey(li, Seq("l_returnflag"), "l_extendedprice")
