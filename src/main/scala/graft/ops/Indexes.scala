@@ -309,23 +309,52 @@ object Indexes {
                      partitionByBucket: Boolean = true): Unit =
     writeLshRows(emb, path, "append", bBits, lTables, dim, seed, partitionByBucket)
 
-  private def writeLshRows(emb: DataFrame, path: String, mode: String,
-                           bBits: Int, lTables: Int, dim: Int, seed: Long,
-                           partitionByBucket: Boolean): Unit = {
+  /** The (vec_id, t, key) banded rows for a vector frame — the single
+    * bucketing derivation every LSH write path shares (same planes, same
+    * seed ⇒ same keys as every probe). */
+  private def lshRows(emb: DataFrame, bBits: Int, lTables: Int, dim: Int,
+                      seed: Long): DataFrame = {
     val ps = Similarity.planes(bBits * lTables, dim, seed)
     val tables = (0 until lTables).map { t =>
       struct(lit(t).as("t"),
         Similarity.bucketFromPlanes(col("embedding"),
           ps.slice(t * bBits, (t + 1) * bBits)).as("key"))
     }
-    val rows = emb.select(col("vec_id"), explode(array(tables: _*)).as("b"))
+    emb.select(col("vec_id"), explode(array(tables: _*)).as("b"))
       .select(col("vec_id"), col("b.t").as("t"), col("b.key").as("key"))
+  }
+
+  private def writeLshRows(emb: DataFrame, path: String, mode: String,
+                           bBits: Int, lTables: Int, dim: Int, seed: Long,
+                           partitionByBucket: Boolean): Unit = {
+    val rows = lshRows(emb, bBits, lTables, dim, seed)
     if (partitionByBucket)
       writeBucketedLshRows(rows, path, mode, bBits)
     else
       rows.repartition(col("t"), col("key")).sortWithinPartitions(col("t"), col("key"))
         .write.mode(mode).parquet(path)
   }
+
+  /** [[appendLshIndex]]'s exactly-once twin for STREAMING maintenance —
+    * the vector analogue of [[appendMinhashIndexIdempotent]]: the batch's
+    * banded rows land in a `batch_id=<id>` partition via dynamic
+    * overwrite, so a micro-batch replayed after a crash REWRITES its own
+    * partition bit-identically instead of duplicating rows (keys are a
+    * pure function of the vectors and the planes — same batch, same
+    * bytes). The layout is batch-partitioned flat parquet: full-index
+    * consumers ([[knnGraphIndexed]]/[[knnGraphIncremental]]'s self-join)
+    * read it unchanged (the extra batch_id column is ignored by their
+    * (t, key, vec_id) projection); point-probe deployments periodically
+    * fold generations through [[compactLshIndex]]'s lifecycle instead. */
+  def appendLshIndexIdempotent(emb: DataFrame, batchId: Long, path: String,
+                               bBits: Int = 4, lTables: Int = 16,
+                               dim: Int = 64, seed: Long = 42L): Unit =
+    lshRows(emb, bBits, lTables, dim, seed)
+      .withColumn("batch_id", lit(batchId))
+      .repartition(col("t"), col("key"))
+      .sortWithinPartitions(col("t"), col("key"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(path)
 
   /** The canonical two-level bucketed layout from raw (vec_id, t, key)
     * rows ([[PartDirBits]]): dirs keyed by the key's top bits (bounded

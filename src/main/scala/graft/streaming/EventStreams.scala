@@ -283,6 +283,82 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming kNN-GRAPH maintenance — VERDICT r11 #3: compose the
+    * idempotent index-append family with
+    * [[graft.ops.Indexes.knnGraphIncremental]] so the neighbourhood graph
+    * stays current under continuous vector ingest, the way
+    * [[weightedSampleStream]] twins its batch operator.
+    *
+    * Per micro-batch, three idempotent steps: (1) the batch's embeddings
+    * land in a `batch_id` partition of the embedding store (dynamic
+    * overwrite — a replay rewrites, never duplicates); (2) its banded
+    * rows land the same way via
+    * [[graft.ops.Indexes.appendLshIndexIdempotent]]; (3) the graph
+    * refreshes with the incremental operator — only |batch| + bucket-mates
+    * re-rank — and the result lands as a NEW `gen=<batchId>` partition of
+    * the graph store, with the PREVIOUS generation (max gen < batchId)
+    * as the carry-over input. Exactly-once falls out structurally: all
+    * three writes are keyed by batchId, and the refresh itself is a pure
+    * function of (embedding store, index, previous generation), all of
+    * which a replay sees in the identical state — the crashed attempt's
+    * own gen partition, if any, is simply overwritten and was never read
+    * (prev strictly excludes gen == batchId).
+    *
+    * Invariant the spec asserts after EVERY micro-batch prefix and across
+    * a checkpoint restart: the latest generation equals
+    * [[graft.ops.Indexes.knnGraphIndexed]] rebuilt from scratch over
+    * exactly the vectors ingested so far — the same equivalence gate the
+    * registered incremental/delete queries carry.
+    *
+    * Retention: generations before `batchId - 2` are swept after the new
+    * generation lands (foreachBatch replays at most the last uncommitted
+    * batch, so gen b-1 is the only one a recovery can need; one extra is
+    * kept for in-flight readers). Band width is FIXED for the stream's
+    * lifetime — re-banding a grown corpus is the offline compaction
+    * lifecycle's job, not the ingest path's. */
+  def knnGraphMaintenanceStream(emb: DataFrame, embPath: String,
+                                indexPath: String, graphPath: String,
+                                checkpoint: String, j: Int = 3,
+                                bBits: Int = 4, lTables: Int = 8,
+                                dim: Int = 64, seed: Long = 42L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    emb.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        val b = batch.toDF().select(col("vec_id"), col("embedding")).persist()
+        try {
+          b.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(embPath)
+          graft.ops.Indexes.appendLshIndexIdempotent(b, batchId, indexPath,
+            bBits, lTables, dim, seed)
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            new java.net.URI(graphPath), s.sparkContext.hadoopConfiguration)
+          val gPath = new org.apache.hadoop.fs.Path(graphPath)
+          def gens(): Seq[Long] =
+            if (!fs.exists(gPath)) Seq.empty
+            else fs.listStatus(gPath).toSeq.map(_.getPath.getName)
+              .filter(_.startsWith("gen=")).map(_.drop(4).toLong)
+          val prevGens = gens().filter(_ < batchId)
+          val prev =
+            if (prevGens.isEmpty) Seq.empty[(Long, Long, Double)]
+              .toDF("vec_a", "vec_b", "cos")
+            else s.read.parquet(s"$graphPath/gen=${prevGens.max}")
+          val embAll = s.read.parquet(embPath)
+            .select(col("vec_id"), col("embedding"))
+          graft.ops.Indexes.knnGraphIncremental(embAll, indexPath,
+              b.select(col("vec_id")), prev, j)
+            .withColumn("gen", lit(batchId))
+            .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+            .partitionBy("gen").parquet(graphPath)
+          gens().filter(_ < batchId - 2).foreach(g =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$graphPath/gen=$g"), true))
+        } finally b.unpersist(blocking = false)
+      }
+      .start()
+
   /** Streaming weighted sample — the continuous-ingest twin of
     * [[graft.ops.Curation.weightedSample]]: maintain each source's
     * current top-`k` A-ES sample across micro-batches in

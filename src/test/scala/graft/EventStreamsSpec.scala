@@ -114,6 +114,56 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming kNN-graph maintenance equals a batch rebuild after every prefix, across a restart") {
+    import org.apache.spark.sql.types._
+    val landing = java.nio.file.Files.createTempDirectory("kg_landing").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("kg_ckpt").toString
+    val root = java.nio.file.Files.createTempDirectory("kg_stores").toString
+    val (embStore, idxStore, graphStore) =
+      (s"$root/emb", s"$root/idx", s"$root/graph")
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def vecs(ids: Range): Seq[(Long, Array[Float])] = ids.map(i =>
+      (i.toLong, Array.tabulate(8)(k => math.sin(i * 31 + k).toFloat)))
+    def land(ids: Range): Unit =
+      vecs(ids).toDF("vec_id", "embedding").coalesce(1)
+        .write.mode("append").parquet(landing)
+    def start() = EventStreams.knnGraphMaintenanceStream(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(landing),
+      embStore, idxStore, graphStore, ckpt,
+      j = 3, bBits = 3, lTables = 2, dim = 8)
+    def latestGen(): Long = new java.io.File(graphStore).listFiles()
+      .map(_.getName).filter(_.startsWith("gen=")).map(_.drop(4).toLong).max
+    def assertEqualsRebuild(clue: String): Unit = {
+      val ingested = spark.read.parquet(embStore)
+        .select("vec_id", "embedding")
+      val tmp = java.nio.file.Files.createTempDirectory("kg_rebuild").toString + "/idx"
+      graft.ops.Indexes.writeLshIndex(ingested, tmp, bBits = 3, lTables = 2,
+        dim = 8, partitionByBucket = false)
+      val want = graft.ops.Indexes.knnGraphIndexed(ingested, tmp, j = 3)
+        .as[(Long, Long, Double)].collect().toSet
+      val got = spark.read.parquet(s"$graphStore/gen=${latestGen()}")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got === want, clue)
+    }
+    // two batches through one query: the maintained graph must equal a
+    // from-scratch rebuild over exactly the ingested prefix after EACH
+    land(0 until 24)
+    val q1 = start(); q1.processAllAvailable()
+    assertEqualsRebuild("after batch 0")
+    land(24 until 48)
+    q1.processAllAvailable(); q1.stop()
+    assertEqualsRebuild("after batch 1")
+    // recovery: a batch lands while the query is DOWN; the restart resumes
+    // from the checkpoint and must keep the incremental == rebuild
+    // equivalence (a lost or doubled index/graph write would break it)
+    land(48 until 64)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    assertEqualsRebuild("after the post-restart batch")
+    assert(latestGen() === 2L, "three micro-batches must have committed")
+  }
+
   test("crash recovery: weighted-sample reservoir survives a restart") {
     import org.apache.spark.sql.types._
     val landing = java.nio.file.Files.createTempDirectory("ws_cr_landing").toString
