@@ -564,6 +564,101 @@ object Indexes {
       .unionByName(refreshed)
   }
 
+  /** Write-once committed kNN GRAPH for a corpus — [[knnGraphIndexed]]
+    * materialized under the [[ensureLshIndex]] lifecycle (fingerprint-
+    * keyed path, tmp build + atomic commit, sibling GC), so graph-based
+    * ANN serving ([[annGraphSearch]]) reads a stored adjacency table
+    * instead of rebuilding the graph per query — the HNSW-style "index
+    * build offline, navigate online" split. */
+  def ensureKnnGraph(spark: SparkSession, emb: DataFrame, sfDir: String,
+                     j: Int, bBits: Int, lTables: Int = 8): String = {
+    val idxPath = ensureLshIndex(spark, emb, sfDir, bBits, lTables,
+      partitionByBucket = false)
+    val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val family = s"knng_j${j}_b${bBits}_L${lTables}_"
+    val path = s"$indexRoot/$tag/$family${corpusFingerprint(emb)}"
+    if (!successExists(spark, path)) {
+      val tmp = tmpBuildPath(path)
+      knnGraphIndexed(emb, idxPath, j)
+        .repartition(col("vec_a")).sortWithinPartitions(col("vec_a"))
+        .write.mode("overwrite").parquet(tmp)
+      commitIndexDir(spark, tmp, path)
+      gcSiblings(spark, path, family)
+    }
+    path
+  }
+
+  /** GRAPH-BASED ANN SERVING — navigate the committed kNN graph instead
+    * of probing buckets: hop-bounded breadth-first expansion from
+    * IVF-cell entry points, then one exact re-rank of the visited set.
+    * The structural bet of every graph-ANN system (HNSW/NSG): a handful
+    * of adjacency hops from decent entries reaches the query's true
+    * neighbourhood, so candidate volume is nProbe·Σjʰ — independent of
+    * corpus size — while bucket probes must widen with density.
+    *
+    * Deterministic and oracle-replayable end to end: entry points are
+    * each probed cell's MINIMUM vec_id (an arbitrary-but-fixed
+    * representative per cell, the HNSW entry-point policy; cells rank on
+    * the driver from the committed centroid model exactly like
+    * [[ivfTopKIndexed]]), expansion follows the graph's directed edges
+    * for exactly `hops` rounds, and the re-rank is the shared
+    * [[Similarity.cosRound]]-at-4 cut. The registered oracle replays
+    * banding → top-j graph → cell assignment → expansion → re-rank in
+    * SQL; at saturation (hops ≥ graph diameter, all cells probed) the
+    * visited set is the full entry-reachable component, which the spec
+    * pins against a driver-side reference BFS.
+    *
+    * Scale shape — the frontier lives on the DRIVER, deliberately: it is
+    * ≤ nProbe·Σjʰ ids BY CONSTRUCTION (the graph-ANN bet), so each hop
+    * turns it into a literal IN filter over the vec_a-sorted adjacency
+    * table — predicate pushdown + footer pruning fetch just the frontier
+    * rows, the Spark analogue of a serving tier's adjacency point
+    * lookups, and the re-rank filter pushes the visited ids into the
+    * embedding scan the same way. (A DataFrame-chained BFS was tried
+    * first: each hop references the previous visited/frontier frames
+    * twice, so Catalyst's plan TREE doubles per hop — 2ʰ subplan copies
+    * had analysis alone hanging at hops = 10.) The collects are bounded
+    * loudly at [[MaxBatchProbeRows]] ids; eager-execution contract as
+    * [[lshTopKBatch]]: construction runs `hops` tiny Spark jobs. */
+  def annGraphSearch(emb: DataFrame, centroids: DataFrame,
+                     ivfIndexPath: String, graphPath: String,
+                     queryId: Long, k: Int, nProbe: Int,
+                     hops: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qv = queryVector(emb, queryId)
+    val probes = rankProbes(qv, centroids, nProbe)
+    val entries = spark.read.parquet(ivfIndexPath)
+      .where(col("cell").isin(probes: _*))
+      .groupBy(col("cell")).agg(min(col("vec_id")).as("vec_id"))
+      .select(col("vec_id")).as[Long].collect().toSet
+    val graph = spark.read.parquet(graphPath)
+      .select(col("vec_a"), col("vec_b"))
+    var visited = entries
+    var frontier = entries
+    var h = 0
+    while (h < hops && frontier.nonEmpty) {
+      h += 1
+      val next = graph.where(col("vec_a").isin(frontier.toSeq: _*))
+        .select(col("vec_b")).distinct().as[Long].collect().toSet
+      frontier = next -- visited
+      visited = visited ++ frontier
+      require(visited.size <= MaxBatchProbeRows,
+        s"graph search visited more than MaxBatchProbeRows=$MaxBatchProbeRows " +
+          s"ids at hop $h — shrink hops/nProbe (the frontier is meant to be " +
+          "neighbourhood-sized, not corpus-sized)")
+    }
+    val q = emb.where(col("vec_id") === queryId)
+      .select(col("embedding").as("qv"))
+    emb.where(col("vec_id").isin(visited.toSeq: _*))
+      .where(col("vec_id") =!= queryId)
+      .join(broadcast(q))
+      .select(col("vec_id"),
+        Similarity.cosRound(col("embedding"), col("qv"), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Tombstone sidecar for an LSH index generation: a plain parquet of
     * deleted vec_ids NEXT TO the index dir (never inside the partitioned
     * layout — a foreign file in a (t, key)/(t, pkey) directory would break

@@ -1922,6 +1922,67 @@ object PipelineQueries {
        |                           ORDER BY cos DESC, vec_b ASC) <= 3
        |ORDER BY vec_a, cos DESC, vec_b""".stripMargin
 
+  /** GRAPH-BASED ANN SERVING ([[graft.ops.Indexes.annGraphSearch]]):
+    * 2-hop expansion over the committed j=3 kNN graph from the 4 probed
+    * IVF cells' entry points, exact re-rank of the visited set — the
+    * round-11 graph turned from analysis artifact into query structure.
+    * The oracle replays every stage (banding → top-3 graph → cell
+    * assignment → min-id entries → 2 hops → re-rank), so the driver
+    * hash-verifies the whole navigation, not just the final cut. */
+  def annGraphSearch(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val b = Similarity.scaledBandBits(corpusCount(emb))
+    val graphPath = graft.ops.Indexes.ensureKnnGraph(s, emb, d, j = 3, bBits = b)
+    val cent = s.read.parquet(ivfCentroidsPath)
+    val ivfIdx = graft.ops.Indexes.ensureIvfIndex(s, emb, cent, d, nCells = 16)
+    graft.ops.Indexes.annGraphSearch(emb, cent, ivfIdx, graphPath,
+      queryId = 0L, k = 10, nProbe = 4, hops = 2)
+  }
+
+  val annGraphSearchSql: String =
+    s"""WITH $duckNormed,
+       |nb AS (SELECT greatest(6, (SELECT min(i)::INTEGER
+       |                           FROM range(0, 33) t(i), (SELECT count(*) AS n FROM e) cn
+       |                           WHERE (32::BIGINT << i) >= cn.n)) AS bits),
+       |pl AS (SELECT j, p FROM ${Similarity.planesSqlValues(128, 64, 42L)}),
+       |bk AS (SELECT e.vec_id, (pl.j // nb.bits) AS t,
+       |         sum(CASE WHEN list_dot_product(e.v, pl.p) > 0 THEN (1::BIGINT << (pl.j % nb.bits)) ELSE 0 END)::BIGINT AS key
+       |       FROM e CROSS JOIN pl, nb WHERE pl.j < nb.bits * 8
+       |       GROUP BY e.vec_id, (pl.j // nb.bits)),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |         FROM bk a JOIN bk b ON a.t = b.t AND a.key = b.key
+       |                            AND a.vec_id != b.vec_id),
+       |scored AS (SELECT cand.vec_a, cand.vec_b,
+       |             round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS cos
+       |           FROM cand JOIN e x ON cand.vec_a = x.vec_id
+       |                     JOIN e y ON cand.vec_b = y.vec_id),
+       |knn AS (SELECT vec_a, vec_b FROM scored
+       |        QUALIFY row_number() OVER (PARTITION BY vec_a
+       |                                   ORDER BY cos DESC, vec_b ASC) <= 3),
+       |cent AS (SELECT cell, centroid AS cv,
+       |                sqrt(list_dot_product(centroid, centroid)) AS cn
+       |         FROM read_parquet('$ivfCentroidsPath/*.parquet')),
+       |asg AS (SELECT e.vec_id, cent.cell,
+       |               list_dot_product(e.v, cent.cv) / (e.nrm * cent.cn) AS ccos
+       |        FROM e CROSS JOIN cent),
+       |cells AS (SELECT vec_id, cell FROM asg
+       |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) = 1),
+       |probes AS (SELECT cell FROM asg WHERE vec_id = 0
+       |           QUALIFY row_number() OVER (ORDER BY ccos DESC, cell ASC) <= 4),
+       |entries AS (SELECT min(vec_id) AS vec_id FROM cells
+       |            WHERE cell IN (SELECT cell FROM probes) GROUP BY cell),
+       |vis1 AS (SELECT vec_id FROM entries
+       |         UNION SELECT vec_b FROM knn
+       |               WHERE vec_a IN (SELECT vec_id FROM entries)),
+       |vis AS (SELECT vec_id FROM vis1
+       |        UNION SELECT vec_b FROM knn
+       |              WHERE vec_a IN (SELECT vec_id FROM vis1)),
+       |q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 0)
+       |SELECT e.vec_id, round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 4) AS cos
+       |FROM e JOIN vis ON e.vec_id = vis.vec_id, q
+       |WHERE e.vec_id != 0
+       |ORDER BY cos DESC, e.vec_id ASC LIMIT 10""".stripMargin
+
   /** MUTUAL-kNN clustering — the operator COMPOSITION the kNN graph
     * exists for: keep an edge iff both endpoints rank each other in
     * their top-3 (the standard symmetrization that suppresses hub

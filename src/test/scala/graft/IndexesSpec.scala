@@ -530,6 +530,37 @@ class IndexesSpec extends AnyFunSuite {
     assert(idGot === prevSet, "empty delete batch must be a no-op")
   }
 
+  test("graph ANN navigation: entries, hop expansion, and re-rank are exact") {
+    // a hand-built store makes every stage hand-checkable: 6 dim-2
+    // vectors, 2 cells, a directed edge chain 0→1→5→3→2→4
+    val root = Files.createTempDirectory("graphann").toString
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.5f, 0.5f)), (4L, Seq(-1.0f, 0.2f)), (5L, Seq(0.8f, 0.3f))
+    ).toDF("vec_id", "embedding")
+    Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0))).toDF("cell", "centroid")
+      .write.parquet(s"$root/cent")
+    val cent = spark.read.parquet(s"$root/cent")
+    Seq((0L, 0), (1L, 0), (5L, 0), (2L, 1), (3L, 1), (4L, 1))
+      .toDF("vec_id", "cell").write.parquet(s"$root/ivf")
+    Seq((0L, 1L), (1L, 5L), (5L, 3L), (3L, 2L), (2L, 4L))
+      .toDF("vec_a", "vec_b").write.parquet(s"$root/graph")
+    def search(nProbe: Int, hops: Int): Seq[Long] =
+      Indexes.annGraphSearch(e, cent, s"$root/ivf", s"$root/graph",
+          queryId = 0L, k = 10, nProbe = nProbe, hops = hops)
+        .select("vec_id").as[Long].collect().toSeq
+    // query 0 ranks cell 0 first (cos 1.0 vs 0.0); entry = min id = 0
+    assert(search(1, 0) === Seq.empty, "hops=0: only the query itself visited")
+    assert(search(1, 1) === Seq(1L), "one hop reaches 0→1")
+    assert(search(1, 2) === Seq(1L, 5L), "two hops add 5; cos orders 1 first")
+    assert(search(1, 3) === Seq(1L, 5L, 3L))
+    // saturation: the full reachable chain, re-ranked by cosine to q —
+    // hand order: cos(1)≈.994 > cos(5)≈.937 > cos(3)≈.707 > cos(2)=0 > cos(4)≈-.98
+    assert(search(1, 10) === Seq(1L, 5L, 3L, 2L, 4L))
+    // probing the second cell adds entry min(2,3,4)=2 at zero hops
+    assert(search(2, 0) === Seq(2L), "second cell's entry joins the visited set")
+  }
+
   test("tombstoneLshIndex: logical delete at read, physical at compaction") {
     val path = Files.createTempDirectory("lsh_tomb_spec").toString + "/idx"
     Indexes.writeLshIndex(emb, path) // bucketed default layout
