@@ -659,6 +659,78 @@ object Indexes {
       .limit(k)
   }
 
+  /** BATCHED graph-ANN serving — [[annGraphSearch]]'s many-queries twin,
+    * completing the batch family (LSH/IVF/PQ/IVF-PQ/filtered/BM25 all
+    * have one): N queries share every scan. The union probed-cell set
+    * resolves entries in ONE pruned index read; each hop expands the
+    * UNION frontier in ONE literal-IN adjacency fetch (per-query visited
+    * sets are maintained on the driver from the returned edge pairs —
+    * total driver state is Σ per-query visited, bounded loudly at
+    * [[MaxBatchProbeRows]] like every batch collect); the re-rank scans
+    * the union visited set once (pushed-down IN) and cuts per query with
+    * the bounded-heap [[graft.plans.GroupedTopK]].
+    *
+    * Same eager-execution contract as [[lshTopKBatch]]: the query frame
+    * collects at construction time and the hops run as tiny jobs.
+    * Per-query results are IDENTICAL to [[annGraphSearch]] run alone
+    * (spec-asserted): expansion is per-query BFS over the same edges —
+    * batching shares I/O, never candidates. */
+  def annGraphSearchBatch(emb: DataFrame, centroids: DataFrame,
+                          ivfIndexPath: String, graphPath: String,
+                          queries: DataFrame, k: Int, nProbe: Int,
+                          hops: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qs: Seq[(Long, Array[Float])] = queries
+      .select(col("query_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq.map { case (i, v) => (i, v.toArray) }
+    require(qs.size <= MaxBatchProbeRows,
+      s"annGraphSearchBatch query frame exceeds MaxBatchProbeRows — split it")
+    val probesPerQ: Seq[(Long, Seq[Int])] =
+      qs.map { case (qid, qv) => qid -> rankProbes(qv, centroids, nProbe) }
+    val cellUnion = probesPerQ.flatMap(_._2).distinct
+    val entryByCell: Map[Int, Long] = spark.read.parquet(ivfIndexPath)
+      .where(col("cell").isin(cellUnion: _*))
+      .groupBy(col("cell")).agg(min(col("vec_id")).as("vec_id"))
+      .as[(Int, Long)].collect().toMap
+    val graph = spark.read.parquet(graphPath)
+      .select(col("vec_a"), col("vec_b"))
+    var visited: Map[Long, Set[Long]] = probesPerQ.map { case (qid, cells) =>
+      qid -> cells.flatMap(entryByCell.get).toSet
+    }.toMap
+    var frontier: Map[Long, Set[Long]] = visited
+    var h = 0
+    while (h < hops && frontier.valuesIterator.exists(_.nonEmpty)) {
+      h += 1
+      val union = frontier.valuesIterator.flatten.toSet
+      val edges: Map[Long, Seq[Long]] =
+        if (union.isEmpty) Map.empty
+        else graph.where(col("vec_a").isin(union.toSeq: _*))
+          .as[(Long, Long)].collect().toSeq
+          .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      frontier = frontier.map { case (qid, f) =>
+        qid -> (f.flatMap(edges.getOrElse(_, Seq.empty)) -- visited(qid))
+      }
+      visited = visited.map { case (qid, v) => qid -> (v ++ frontier(qid)) }
+      require(visited.valuesIterator.map(_.size).sum <= MaxBatchProbeRows,
+        s"batched graph search visited more than MaxBatchProbeRows ids at " +
+          s"hop $h — shrink hops/nProbe or split the batch")
+    }
+    val cand = visited.toSeq
+      .flatMap { case (qid, v) => v.toSeq.map(qid -> _) }
+      .toDF("query_id", "vec_id")
+    val unionIds = visited.valuesIterator.flatten.toSet
+    val qEmb = qs.toDF("query_id", "qv")
+    val scored = emb.where(col("vec_id").isin(unionIds.toSeq: _*))
+      .join(broadcast(cand), Seq("vec_id"))
+      .where(col("vec_id") =!= col("query_id"))
+      .join(broadcast(qEmb), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Similarity.cosRound(col("embedding"), col("qv"), 4).as("cos"))
+    graft.plans.GroupedTopK.topK(scored, Seq("query_id"),
+      Seq("cos" -> true, "vec_id" -> false), k)
+  }
+
   /** Tombstone sidecar for an LSH index generation: a plain parquet of
     * deleted vec_ids NEXT TO the index dir (never inside the partitioned
     * layout — a foreign file in a (t, key)/(t, pkey) directory would break

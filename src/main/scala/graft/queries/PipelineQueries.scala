@@ -1983,6 +1983,75 @@ object PipelineQueries {
        |WHERE e.vec_id != 0
        |ORDER BY cos DESC, e.vec_id ASC LIMIT 10""".stripMargin
 
+  /** BATCHED graph-ANN serving ([[graft.ops.Indexes.annGraphSearchBatch]]):
+    * three queries navigate the same committed graph sharing every scan —
+    * one entry resolution, one adjacency fetch per hop over the union
+    * frontier, one re-rank pass, GroupedTopK per query. Per-query output
+    * is identical to [[annGraphSearch]] run alone (spec-asserted). */
+  def annGraphSearchBatch(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val b = Similarity.scaledBandBits(corpusCount(emb))
+    val graphPath = graft.ops.Indexes.ensureKnnGraph(s, emb, d, j = 3, bBits = b)
+    val cent = s.read.parquet(ivfCentroidsPath)
+    val ivfIdx = graft.ops.Indexes.ensureIvfIndex(s, emb, cent, d, nCells = 16)
+    val qs = emb.where(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    graft.ops.Indexes.annGraphSearchBatch(emb, cent, ivfIdx, graphPath,
+        qs, k = 10, nProbe = 4, hops = 2)
+      .orderBy(col("query_id"), col("cos").desc, col("vec_id"))
+  }
+
+  val annGraphSearchBatchSql: String =
+    s"""WITH $duckNormed,
+       |nb AS (SELECT greatest(6, (SELECT min(i)::INTEGER
+       |                           FROM range(0, 33) t(i), (SELECT count(*) AS n FROM e) cn
+       |                           WHERE (32::BIGINT << i) >= cn.n)) AS bits),
+       |pl AS (SELECT j, p FROM ${Similarity.planesSqlValues(128, 64, 42L)}),
+       |bk AS (SELECT e.vec_id, (pl.j // nb.bits) AS t,
+       |         sum(CASE WHEN list_dot_product(e.v, pl.p) > 0 THEN (1::BIGINT << (pl.j % nb.bits)) ELSE 0 END)::BIGINT AS key
+       |       FROM e CROSS JOIN pl, nb WHERE pl.j < nb.bits * 8
+       |       GROUP BY e.vec_id, (pl.j // nb.bits)),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |         FROM bk a JOIN bk b ON a.t = b.t AND a.key = b.key
+       |                            AND a.vec_id != b.vec_id),
+       |scored AS (SELECT cand.vec_a, cand.vec_b,
+       |             round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS cos
+       |           FROM cand JOIN e x ON cand.vec_a = x.vec_id
+       |                     JOIN e y ON cand.vec_b = y.vec_id),
+       |knn AS (SELECT vec_a, vec_b FROM scored
+       |        QUALIFY row_number() OVER (PARTITION BY vec_a
+       |                                   ORDER BY cos DESC, vec_b ASC) <= 3),
+       |cent AS (SELECT cell, centroid AS cv,
+       |                sqrt(list_dot_product(centroid, centroid)) AS cn
+       |         FROM read_parquet('$ivfCentroidsPath/*.parquet')),
+       |asg AS (SELECT e.vec_id, cent.cell,
+       |               list_dot_product(e.v, cent.cv) / (e.nrm * cent.cn) AS ccos
+       |        FROM e CROSS JOIN cent),
+       |cells AS (SELECT vec_id, cell FROM asg
+       |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) = 1),
+       |probes AS (SELECT vec_id AS query_id, cell FROM asg WHERE vec_id < 3
+       |           QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                                      ORDER BY ccos DESC, cell ASC) <= 4),
+       |ent AS (SELECT cell, min(vec_id) AS vec_id FROM cells GROUP BY cell),
+       |v0 AS (SELECT p.query_id, ent.vec_id FROM probes p
+       |       JOIN ent ON p.cell = ent.cell),
+       |vis1 AS (SELECT query_id, vec_id FROM v0
+       |         UNION SELECT v0.query_id, knn.vec_b FROM v0
+       |               JOIN knn ON knn.vec_a = v0.vec_id),
+       |vis AS (SELECT query_id, vec_id FROM vis1
+       |        UNION SELECT vis1.query_id, knn.vec_b FROM vis1
+       |              JOIN knn ON knn.vec_a = vis1.vec_id),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id < 3),
+       |sc AS (SELECT vis.query_id, e.vec_id,
+       |              round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 4) AS cos
+       |       FROM vis JOIN e ON vis.vec_id = e.vec_id
+       |                JOIN q ON vis.query_id = q.query_id
+       |       WHERE e.vec_id != vis.query_id)
+       |SELECT query_id, vec_id, cos FROM sc
+       |QUALIFY row_number() OVER (PARTITION BY query_id
+       |                           ORDER BY cos DESC, vec_id ASC) <= 10
+       |ORDER BY query_id, cos DESC, vec_id""".stripMargin
+
   /** MUTUAL-kNN clustering — the operator COMPOSITION the kNN graph
     * exists for: keep an edge iff both endpoints rank each other in
     * their top-3 (the standard symmetrization that suppresses hub

@@ -559,6 +559,23 @@ class IndexesSpec extends AnyFunSuite {
     assert(search(1, 10) === Seq(1L, 5L, 3L, 2L, 4L))
     // probing the second cell adds entry min(2,3,4)=2 at zero hops
     assert(search(2, 0) === Seq(2L), "second cell's entry joins the visited set")
+
+    // batched navigation == per-query single search (batching shares
+    // I/O, never candidates) — three queries with distinct neighbourhoods
+    val qs = e.where(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val batch = Indexes.annGraphSearchBatch(e, cent, s"$root/ivf",
+        s"$root/graph", qs, k = 10, nProbe = 2, hops = 2)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(r => (-r._3, r._2)).map(r => (r._2, r._3)).toSeq).toMap
+    (0L until 3L).foreach { qid =>
+      val single = Indexes.annGraphSearch(e, cent, s"$root/ivf",
+          s"$root/graph", qid, k = 10, nProbe = 2, hops = 2)
+        .as[(Long, Double)].collect().toSeq
+      assert(batch.getOrElse(qid, Seq.empty) === single,
+        s"batch result for query $qid must equal the single search")
+    }
   }
 
   test("tombstoneLshIndex: logical delete at read, physical at compaction") {

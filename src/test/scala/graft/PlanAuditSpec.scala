@@ -329,6 +329,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p20.contains("GroupedTopK"), s"per-query cut must be the heap:\n$p20")
   }
 
+  test("graph ANN search: visited ids push into the embedding scan as literals") {
+    // the navigation result is a driver-bounded id set BY DESIGN — the
+    // re-rank must reach the parquet scan as an In/InSet filter (point
+    // fetch), not materialize the corpus and filter downstream
+    val p = plan("q_ann_graph_search")
+    val scanLines = p.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("embeddings.parquet"))
+      .toSeq
+    assert(scanLines.nonEmpty, s"no embeddings scan found:\n$p")
+    assert(scanLines.exists(_.contains("In(vec_id")),
+      s"visited-id IN filter must push into the embeddings scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject(limit=10"),
+      s"the re-rank cut must be a bounded top-k:\n$p")
+  }
+
   test("rank idiom rewrites to GroupedTopK (the optimizer rule, per round)") {
     val p = plan("q_rank_idiom")
     assert(p.contains("GroupedTopK"),
