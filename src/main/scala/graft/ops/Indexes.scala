@@ -428,7 +428,7 @@ object Indexes {
     * neighbours emit fewer than j rows rather than wrong ones. */
   def knnGraphIndexed(emb: DataFrame, indexPath: String, j: Int): DataFrame = {
     val spark = emb.sparkSession
-    val idx = spark.read.parquet(indexPath)
+    val idx = readLshIndex(spark, indexPath) // tombstone-aware; identical plan without a sidecar
     val e = emb.select(col("vec_id"), col("embedding"))
     val pairs = idx.select(col("t"), col("key"), col("vec_id").as("vec_a"))
       .join(idx.select(col("t"), col("key"), col("vec_id").as("vec_b")),
@@ -467,7 +467,10 @@ object Indexes {
                           newIds: DataFrame, prevGraph: DataFrame,
                           j: Int): DataFrame = {
     val spark = emb.sparkSession
-    val idx = spark.read.parquet(indexPath)
+    // tombstone-aware read (identical plan when no sidecar exists): under
+    // mixed add/delete ingest an earlier batch's deleted vectors must not
+    // resurface as candidates for this batch's bucket-mates
+    val idx = readLshIndex(spark, indexPath)
     val newKeyed = idx.join(broadcast(newIds), Seq("vec_id"), "left_semi")
     // old points sharing a bucket with any new vector, plus the new ones
     // (the batch's whole changed neighbourhood — bounded by batch size ×
@@ -751,6 +754,22 @@ object Indexes {
       .coalesce(1)
       .write.mode("append").parquet(tombstonePath(indexPath))
 
+  /** [[tombstoneLshIndex]]'s exactly-once twin for streaming delete
+    * ingest: the batch's ids land in a `batch_id` partition of the
+    * sidecar via dynamic overwrite, so a replayed micro-batch rewrites
+    * its own partition instead of appending duplicate files (duplicates
+    * were already SEMANTICALLY harmless — the read-side anti-join
+    * dedups — but the sidecar would grow per replay). A store uses ONE
+    * tombstone channel, not both: the plain append and the partitioned
+    * layout do not mix in one directory. */
+  def tombstoneLshIndexIdempotent(spark: SparkSession, indexPath: String,
+                                  deletedIds: DataFrame, batchId: Long): Unit =
+    deletedIds.select(col("vec_id")).distinct()
+      .withColumn("batch_id", lit(batchId))
+      .coalesce(1)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(tombstonePath(indexPath))
+
   /** Read an LSH index generation with its delete tombstones folded:
     * the visible rows are exactly a rebuild on the surviving corpus
     * (same planes ⇒ same keys; deletion removes rows, never changes
@@ -761,8 +780,20 @@ object Indexes {
   def readLshIndex(spark: SparkSession, indexPath: String): DataFrame = {
     val idx = spark.read.parquet(indexPath)
     val ts = tombstonePath(indexPath)
-    if (successExists(spark, ts))
-      idx.join(spark.read.parquet(ts).distinct(), Seq("vec_id"), "left_anti")
+    // presence = actual parquet files, NOT the _SUCCESS marker: the
+    // idempotent (dynamic-partition-overwrite) tombstone channel commits
+    // WITHOUT a root _SUCCESS, and gating on the marker silently skipped
+    // the fold — deleted vectors resurfaced in the first CDC-stream spec
+    // run. Glob covers both channel layouts (flat files / batch_id dirs).
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(ts), spark.sparkContext.hadoopConfiguration)
+    val tsPath = new org.apache.hadoop.fs.Path(ts)
+    val hasTombstones = fs.exists(tsPath) &&
+      (fs.globStatus(new org.apache.hadoop.fs.Path(tsPath, "*.parquet")).nonEmpty ||
+       fs.globStatus(new org.apache.hadoop.fs.Path(tsPath, "*/*.parquet")).nonEmpty)
+    if (hasTombstones)
+      idx.join(spark.read.parquet(ts).select(col("vec_id")).distinct(),
+        Seq("vec_id"), "left_anti")
     else idx
   }
 

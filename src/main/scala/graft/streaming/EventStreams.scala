@@ -359,6 +359,91 @@ object EventStreams {
       }
       .start()
 
+  /** CDC-STYLE kNN-graph maintenance — [[knnGraphMaintenanceStream]]
+    * generalized to MIXED change batches: rows are (op, vec_id,
+    * embedding) with op ∈ {add, delete} (embedding ignored for deletes),
+    * the full change-data-capture ingest shape. Per micro-batch: adds
+    * land idempotently (embedding store + banded index, batch_id
+    * partitions), deletes land as idempotent index tombstones
+    * ([[graft.ops.Indexes.tombstoneLshIndexIdempotent]]), and the graph
+    * refresh COMPOSES the two maintenance operators — incremental for
+    * the adds' changed neighbourhood (its index read folds tombstones,
+    * so earlier batches' deleted vectors never resurface as candidates),
+    * then delete-refresh for the points citing this batch's deleted ids
+    * — committing one new gen=batchId graph partition. The composition
+    * equals a rebuild over (all adds so far − all deletes so far),
+    * spec-asserted per prefix and across a checkpoint restart, by
+    * chaining the two operators' individual rebuild-equivalence
+    * arguments: incremental gives rebuild-on-(corpus ∪ adds) [deleted
+    * ids already absent via tombstoned reads], delete-refresh gives
+    * rebuild-on-survivors of that.
+    *
+    * Loud contracts: a batch adding AND deleting the same vec_id is
+    * rejected (the composition order would silently decide which wins),
+    * and the first batch must contain adds unless the index already
+    * exists (there is no store to delete from). Exactly-once is
+    * structural as in the append-only stream: every write is keyed by
+    * batchId, and a replay reads the identical store state. */
+  def knnGraphCdcStream(changes: DataFrame, embPath: String,
+                        indexPath: String, graphPath: String,
+                        checkpoint: String, j: Int = 3,
+                        bBits: Int = 4, lTables: Int = 8,
+                        dim: Int = 64, seed: Long = 42L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        val b = batch.toDF()
+          .select(col("op"), col("vec_id"), col("embedding")).persist()
+        try {
+          val adds = b.where(col("op") === "add")
+            .select(col("vec_id"), col("embedding"))
+          val dels = b.where(col("op") === "delete").select(col("vec_id"))
+          require(adds.join(dels, Seq("vec_id"), "left_semi").isEmpty,
+            s"CDC batch $batchId adds and deletes the same vec_id — " +
+              "ambiguous; split the operations across batches")
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            new java.net.URI(indexPath), s.sparkContext.hadoopConfiguration)
+          val hasIndex = fs.exists(new org.apache.hadoop.fs.Path(indexPath))
+          val hasAdds = !adds.isEmpty
+          require(hasIndex || hasAdds,
+            s"CDC batch $batchId deletes from a store that does not exist yet")
+          if (hasAdds) {
+            adds.withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id").parquet(embPath)
+            graft.ops.Indexes.appendLshIndexIdempotent(adds, batchId, indexPath,
+              bBits, lTables, dim, seed)
+          }
+          graft.ops.Indexes.tombstoneLshIndexIdempotent(s, indexPath, dels, batchId)
+          val gfs = org.apache.hadoop.fs.FileSystem.get(
+            new java.net.URI(graphPath), s.sparkContext.hadoopConfiguration)
+          val gPath = new org.apache.hadoop.fs.Path(graphPath)
+          def gens(): Seq[Long] =
+            if (!gfs.exists(gPath)) Seq.empty
+            else gfs.listStatus(gPath).toSeq.map(_.getPath.getName)
+              .filter(_.startsWith("gen=")).map(_.drop(4).toLong)
+          val prevGens = gens().filter(_ < batchId)
+          val prev =
+            if (prevGens.isEmpty) Seq.empty[(Long, Long, Double)]
+              .toDF("vec_a", "vec_b", "cos")
+            else s.read.parquet(s"$graphPath/gen=${prevGens.max}")
+          val embAll = s.read.parquet(embPath)
+            .select(col("vec_id"), col("embedding"))
+          val afterAdds = graft.ops.Indexes.knnGraphIncremental(embAll,
+            indexPath, adds.select(col("vec_id")), prev, j)
+          graft.ops.Indexes.knnGraphDelete(embAll, indexPath, dels, afterAdds, j)
+            .withColumn("gen", lit(batchId))
+            .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+            .partitionBy("gen").parquet(graphPath)
+          gens().filter(_ < batchId - 2).foreach(g =>
+            gfs.delete(new org.apache.hadoop.fs.Path(s"$graphPath/gen=$g"), true))
+        } finally b.unpersist(blocking = false)
+      }
+      .start()
+
   /** Streaming weighted sample — the continuous-ingest twin of
     * [[graft.ops.Curation.weightedSample]]: maintain each source's
     * current top-`k` A-ES sample across micro-batches in

@@ -164,6 +164,65 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(latestGen() === 2L, "three micro-batches must have committed")
   }
 
+  test("CDC kNN-graph stream: mixed add/delete batches equal a rebuild on survivors, across a restart") {
+    import org.apache.spark.sql.types._
+    val landing = java.nio.file.Files.createTempDirectory("cdc_landing").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cdc_ckpt").toString
+    val root = java.nio.file.Files.createTempDirectory("cdc_stores").toString
+    val (embStore, idxStore, graphStore) =
+      (s"$root/emb", s"$root/idx", s"$root/graph")
+    val schema = StructType(Seq(StructField("op", StringType),
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def vec(i: Long): Seq[Float] =
+      Seq.tabulate(8)(k => math.sin(i * 31 + k).toFloat)
+    def land(rows: Seq[(String, Long)]): Unit =
+      rows.map { case (op, id) =>
+          (op, id, if (op == "add") vec(id) else null)
+        }.toDF("op", "vec_id", "embedding").coalesce(1)
+        .write.mode("append").parquet(landing)
+    def start() = EventStreams.knnGraphCdcStream(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(landing),
+      embStore, idxStore, graphStore, ckpt,
+      j = 3, bBits = 3, lTables = 2, dim = 8)
+    var live = Set.empty[Long]
+    def latestGen(): Long = new java.io.File(graphStore).listFiles()
+      .map(_.getName).filter(_.startsWith("gen=")).map(_.drop(4).toLong).max
+    def assertEqualsRebuild(clue: String): Unit = {
+      val survivors = live.toSeq.map(i => (i, vec(i)))
+        .toDF("vec_id", "embedding")
+      val tmp = java.nio.file.Files.createTempDirectory("cdc_rb").toString + "/idx"
+      graft.ops.Indexes.writeLshIndex(survivors, tmp, bBits = 3, lTables = 2,
+        dim = 8, partitionByBucket = false)
+      val want = graft.ops.Indexes.knnGraphIndexed(survivors, tmp, j = 3)
+        .as[(Long, Long, Double)].collect().toSet
+      val got = spark.read.parquet(s"$graphStore/gen=${latestGen()}")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got === want, clue)
+    }
+    // batch 0: pure adds
+    land((0L until 24L).map("add" -> _)); live ++= (0L until 24L)
+    val q1 = start(); q1.processAllAvailable()
+    assertEqualsRebuild("after the pure-add batch")
+    // batch 1: adds AND deletes of earlier ids in one batch
+    land((24L until 40L).map("add" -> _) ++ Seq(3L, 7L, 11L).map("delete" -> _))
+    live ++= (24L until 40L); live --= Set(3L, 7L, 11L)
+    q1.processAllAvailable(); q1.stop()
+    assertEqualsRebuild("after the mixed batch")
+    // recovery: a delete-heavy batch lands while the stream is DOWN —
+    // the restart must fold it against the tombstoned index state
+    land(Seq(0L, 24L, 30L).map("delete" -> _) ++ Seq("add" -> 40L))
+    live --= Set(0L, 24L, 30L); live += 40L
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    assertEqualsRebuild("after the post-restart delete batch")
+    // the deleted ids must appear on NO edge end in the final graph
+    val finalG = spark.read.parquet(s"$graphStore/gen=${latestGen()}")
+      .as[(Long, Long, Double)].collect()
+    val dead = Set(3L, 7L, 11L, 0L, 24L, 30L)
+    assert(finalG.forall { case (a, b2, _) => !dead(a) && !dead(b2) })
+  }
+
   test("crash recovery: weighted-sample reservoir survives a restart") {
     import org.apache.spark.sql.types._
     val landing = java.nio.file.Files.createTempDirectory("ws_cr_landing").toString
