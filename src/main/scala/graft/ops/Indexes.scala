@@ -777,21 +777,25 @@ object Indexes {
     * anti-join stays unhinted: tombstone volume is bounded by delete
     * traffic since the last compaction, which a production deployment
     * bounds by compaction cadence — AQE broadcasts while it fits. */
+  /** Sidecar presence = actual parquet files, NOT the _SUCCESS marker:
+    * the idempotent (dynamic-partition-overwrite) tombstone channel
+    * commits WITHOUT a root _SUCCESS, and gating on the marker silently
+    * skipped the fold — deleted vectors resurfaced in the first
+    * CDC-stream spec run. Glob covers both channel layouts (flat files /
+    * batch_id dirs). */
+  private def hasParquetFiles(spark: SparkSession, dir: String): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    fs.exists(p) &&
+      (fs.globStatus(new org.apache.hadoop.fs.Path(p, "*.parquet")).nonEmpty ||
+       fs.globStatus(new org.apache.hadoop.fs.Path(p, "*/*.parquet")).nonEmpty)
+  }
+
   def readLshIndex(spark: SparkSession, indexPath: String): DataFrame = {
     val idx = spark.read.parquet(indexPath)
     val ts = tombstonePath(indexPath)
-    // presence = actual parquet files, NOT the _SUCCESS marker: the
-    // idempotent (dynamic-partition-overwrite) tombstone channel commits
-    // WITHOUT a root _SUCCESS, and gating on the marker silently skipped
-    // the fold — deleted vectors resurfaced in the first CDC-stream spec
-    // run. Glob covers both channel layouts (flat files / batch_id dirs).
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(ts), spark.sparkContext.hadoopConfiguration)
-    val tsPath = new org.apache.hadoop.fs.Path(ts)
-    val hasTombstones = fs.exists(tsPath) &&
-      (fs.globStatus(new org.apache.hadoop.fs.Path(tsPath, "*.parquet")).nonEmpty ||
-       fs.globStatus(new org.apache.hadoop.fs.Path(tsPath, "*/*.parquet")).nonEmpty)
-    if (hasTombstones)
+    if (hasParquetFiles(spark, ts))
       idx.join(spark.read.parquet(ts).select(col("vec_id")).distinct(),
         Seq("vec_id"), "left_anti")
     else idx
@@ -1217,10 +1221,45 @@ object Indexes {
     (sets, bands)
   }
 
+  /** The minhash families' delete sidecar lives at the committed BASE dir
+    * (sibling of `sets/` and `bands/`), so ONE delete batch covers both
+    * derived tables — they share the doc_id key, and tombstoning one but
+    * not the other would let a deleted doc refine pairs it can no longer
+    * candidate for (or vice versa). */
+  private def minhashTombstonePath(setsOrBandsPath: String): String =
+    s"${new org.apache.hadoop.fs.Path(setsOrBandsPath).getParent.toString}/tombstones"
+
+  /** Record deleted documents against a minhash index generation — the
+    * TEXT twin of [[tombstoneLshIndex]], same LSM lifecycle: logical at
+    * read ([[readMinhashTable]]), physical at the next compaction or
+    * rebuild. `setsPath` (or the bands path) names the generation; the
+    * sidecar covers both tables. */
+  def tombstoneMinhashIndex(spark: SparkSession, setsPath: String,
+                            deletedIds: DataFrame): Unit =
+    deletedIds.select(col("doc_id")).distinct()
+      .coalesce(1)
+      .write.mode("append").parquet(minhashTombstonePath(setsPath))
+
+  /** Read a minhash-derived table (`sets/` or `bands/`) with the
+    * generation's delete tombstones folded — visible rows are exactly a
+    * rebuild on the surviving corpus (signatures are per-document;
+    * deletion removes rows, never changes one). No sidecar ⇒ the plain
+    * read, identical plan. */
+  def readMinhashTable(spark: SparkSession, tablePath: String): DataFrame = {
+    val idx = spark.read.parquet(tablePath)
+    val ts = minhashTombstonePath(tablePath)
+    if (hasParquetFiles(spark, ts))
+      idx.join(spark.read.parquet(ts).select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+    else idx
+  }
+
   /** LSH candidate pairs from the stored band-key table — output-identical
-    * to [[Dedup.lshCandidatePairsFromSigs]] over the same corpus. */
+    * to [[Dedup.lshCandidatePairsFromSigs]] over the same corpus.
+    * Tombstone-aware ([[readMinhashTable]]): deleted documents neither
+    * generate nor receive candidates. */
   def minhashCandidatePairsIndexed(spark: SparkSession, bandsPath: String): DataFrame = {
-    val bk = spark.read.parquet(bandsPath)
+    val bk = readMinhashTable(spark, bandsPath)
     bk.select(col("band"), col("key"), col("doc_id").as("doc_a"))
       .join(bk.select(col("band"), col("key"), col("doc_id").as("doc_b")),
         Seq("band", "key"))
@@ -1233,7 +1272,7 @@ object Indexes {
     * zero document tokenization in the query path. */
   def minhashNearDupsIndexed(spark: SparkSession, setsPath: String,
                              bandsPath: String, threshold: Double): DataFrame = {
-    val sets = spark.read.parquet(setsPath)
+    val sets = readMinhashTable(spark, setsPath)
     minhashCandidatePairsIndexed(spark, bandsPath)
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
@@ -1284,12 +1323,12 @@ object Indexes {
     val newBands = Dedup.lshBandKeys(
         Dedup.minhashSignaturesFromSets(newSets, numHashes), numHashes, bandRows)
       .select(col("doc_id").as("new_id"), col("band"), col("key"))
-    val cand = spark.read.parquet(bandsPath)
+    val cand = readMinhashTable(spark, bandsPath)
       .select(col("doc_id").as("corpus_id"), col("band"), col("key"))
       .join(broadcast(newBands), Seq("band", "key"))
       .where(col("corpus_id") =!= col("new_id")) // idempotent re-ingest guard
       .select(col("new_id"), col("corpus_id")).distinct()
-    val corpusSide = spark.read.parquet(setsPath)
+    val corpusSide = readMinhashTable(spark, setsPath)
       .select(col("doc_id").as("corpus_id"), col("sh").as("sh_old"))
       .join(broadcast(cand), Seq("corpus_id"))
     corpusSide

@@ -114,6 +114,36 @@ object PipelineQueries {
        |SELECT doc_a, doc_b, round(jacc, 6) AS jaccard FROM scored
        |WHERE jacc >= 0.3 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** DELETE-aware text near-dups ([[graft.ops.Indexes.tombstoneMinhashIndex]]
+    * + tombstone-folding reads — the text twin of q_knn_graph_delete's
+    * LSM delete lifecycle): a ~1/9 doc slice is tombstoned against a
+    * demo-path minhash index, and the near-dup derivation must equal a
+    * rebuild on the surviving corpus. The oracle exploits that both
+    * candidate generation and Jaccard are PAIRWISE: survivors-only
+    * derivation == full derivation with both endpoints filtered. The
+    * shared write-once ensure-generation is never tombstoned — other
+    * queries read it; deletes target an explicitly-managed demo store
+    * (the [[ensureKnnDemo]] marker pattern). */
+  def minhashDelete(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val deleted = docs.where(col("doc_id") % 9 === 4).select(col("doc_id"))
+    val base = ensureKnnDemo(s, graft.ops.Indexes.indexRoot +
+        s"/del_minhash_demo_${graft.ops.Indexes.corpusFingerprint(docs)}") { p =>
+      graft.ops.Indexes.appendMinhashIndex(docs, s"$p/sets", s"$p/bands")
+      graft.ops.Indexes.tombstoneMinhashIndex(s, s"$p/sets", deleted)
+    }
+    graft.ops.Indexes.minhashNearDupsIndexed(s, s"$base/sets", s"$base/bands",
+        threshold = 0.3)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val minhashDeleteSql: String =
+    s"""WITH $duckNearDupCtes
+       |SELECT doc_a, doc_b, round(jacc, 6) AS jaccard FROM scored
+       |WHERE jacc >= 0.3 AND doc_a % 9 != 4 AND doc_b % 9 != 4
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Incremental near-dup check: `src0` replayed as a fresh ingest batch
     * (doc_id + 100000) against the corpus's materialized sets/bands state
     * — only the batch is tokenized; the corpus side is served entirely

@@ -612,6 +612,35 @@ class IndexesSpec extends AnyFunSuite {
     assert(got === want, "post-compaction probe must match survivor rebuild")
   }
 
+  test("minhash delete lifecycle: tombstoned near-dups equal a survivor rebuild") {
+    val docs = graft.engine.Tables.documents(spark, sf)
+    val base = Files.createTempDirectory("mh_tomb").toString
+    Indexes.appendMinhashIndex(docs, s"$base/sets", s"$base/bands")
+    val del = docs.where(col("doc_id") % 4 === 1).select(col("doc_id"))
+    val delIds = del.as[Long].collect().toSet
+    Indexes.tombstoneMinhashIndex(spark, s"$base/sets", del)
+    val got = Indexes.minhashNearDupsIndexed(spark, s"$base/sets",
+        s"$base/bands", threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    val rb = Files.createTempDirectory("mh_tomb_rb").toString
+    Indexes.appendMinhashIndex(docs.join(del, Seq("doc_id"), "left_anti"),
+      s"$rb/sets", s"$rb/bands")
+    val want = Indexes.minhashNearDupsIndexed(spark, s"$rb/sets",
+        s"$rb/bands", threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === want, "tombstoned derivation must equal a survivor rebuild")
+    assert(got.nonEmpty && got.forall { case (a, b2, _) => !delIds(a) && !delIds(b2) })
+    // incremental ingest against the tombstoned state must not match
+    // deleted corpus docs (a re-ingest of deleted content is NEW, not dup)
+    val reingest = docs.where(col("doc_id") % 4 === 1)
+      .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+    val inc = Indexes.minhashNearDupsIncremental(spark, reingest,
+        s"$base/sets", s"$base/bands", threshold = 0.3)
+      .select(col("corpus_id")).as[Long].collect().toSet
+    assert(inc.intersect(delIds).isEmpty,
+      "deleted corpus docs must not surface as incremental matches")
+  }
+
   test("batch LSH probe: an EMPTY query frame returns empty, not a crash") {
     val none = emb.where(col("vec_id") < 0)
       .select(col("vec_id").as("query_id"), col("embedding"))
