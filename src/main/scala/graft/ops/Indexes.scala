@@ -662,6 +662,73 @@ object Indexes {
       .limit(k)
   }
 
+  /** BEAM-limited graph-ANN serving — [[annGraphSearch]] with the
+    * best-first cost bound every production graph-ANN system carries
+    * (HNSW's ef-search): instead of expanding the WHOLE frontier each
+    * hop (cost nProbe·Σjʰ — fine for small j·hops, exponential in
+    * principle), only the current `beamWidth` best-scored visited nodes
+    * expand. Per-hop cost is then beamWidth·j scored candidates flat in
+    * `hops`, the knob production tunes for recall-vs-latency.
+    *
+    * Fully deterministic and oracle-replayable: candidates score with
+    * the shared fused cosine ROUNDED TO 6 (the graph family's internal
+    * scale), the beam is the top-`beamWidth` of ALL visited nodes by
+    * (score desc, vec_id asc) — the query's own node may occupy a slot
+    * if visited (it scores 1.0); that is the honest greedy behaviour,
+    * and the final re-rank excludes it — and expansion stops early when
+    * a hop yields nothing new (the oracle's unrolled hops see empty
+    * EXCEPTs, same answer). The final cut re-scores the visited set from
+    * raw embeddings at the ANN family's output scale 4, exactly like
+    * the unbounded variant. Same driver-frontier design and loud
+    * [[MaxBatchProbeRows]] bound. */
+  def annGraphSearchBeam(emb: DataFrame, centroids: DataFrame,
+                         ivfIndexPath: String, graphPath: String,
+                         queryId: Long, k: Int, nProbe: Int,
+                         hops: Int, beamWidth: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qv = queryVector(emb, queryId)
+    val probes = rankProbes(qv, centroids, nProbe)
+    val q = emb.where(col("vec_id") === queryId)
+      .select(col("embedding").as("qv"))
+    def score(ids: Set[Long]): Map[Long, Double] =
+      if (ids.isEmpty) Map.empty
+      else emb.where(col("vec_id").isin(ids.toSeq: _*))
+        .join(broadcast(q))
+        .select(col("vec_id"),
+          Similarity.cosRound(col("embedding"), col("qv"), 6).as("c"))
+        .where(col("c").isNotNull) // zero-norm rows can't hold a beam slot
+        .as[(Long, Double)].collect().toMap
+    val entries = spark.read.parquet(ivfIndexPath)
+      .where(col("cell").isin(probes: _*))
+      .groupBy(col("cell")).agg(min(col("vec_id")).as("vec_id"))
+      .select(col("vec_id")).as[Long].collect().toSet
+    val graph = spark.read.parquet(graphPath)
+      .select(col("vec_a"), col("vec_b"))
+    var scored: Map[Long, Double] = score(entries)
+    def beam: Seq[Long] = scored.toSeq
+      .sortBy { case (id, c) => (-c, id) }.take(beamWidth).map(_._1)
+    var h = 0
+    var grew = true
+    while (h < hops && grew) {
+      h += 1
+      val nbrs = graph.where(col("vec_a").isin(beam: _*))
+        .select(col("vec_b")).distinct().as[Long].collect().toSet
+      val fresh = nbrs -- scored.keySet
+      grew = fresh.nonEmpty
+      scored = scored ++ score(fresh)
+      require(scored.size <= MaxBatchProbeRows,
+        s"beam search visited more than MaxBatchProbeRows ids at hop $h")
+    }
+    emb.where(col("vec_id").isin(scored.keySet.toSeq: _*))
+      .where(col("vec_id") =!= queryId)
+      .join(broadcast(q))
+      .select(col("vec_id"),
+        Similarity.cosRound(col("embedding"), col("qv"), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** BATCHED graph-ANN serving — [[annGraphSearch]]'s many-queries twin,
     * completing the batch family (LSH/IVF/PQ/IVF-PQ/filtered/BM25 all
     * have one): N queries share every scan. The union probed-cell set

@@ -2013,6 +2013,84 @@ object PipelineQueries {
        |WHERE e.vec_id != 0
        |ORDER BY cos DESC, e.vec_id ASC LIMIT 10""".stripMargin
 
+  /** BEAM-limited graph-ANN serving
+    * ([[graft.ops.Indexes.annGraphSearchBeam]], HNSW's ef-search knob):
+    * only the 4 best-scored visited nodes expand per hop, so per-hop
+    * cost is beam·j flat in depth. The oracle unrolls both hops —
+    * entry scoring at the internal scale 6, per-hop top-4 beam cut,
+    * EXCEPT-deduped candidate sets, final re-rank from raw embeddings
+    * at the ANN output scale 4. */
+  def annGraphBeam(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val b = Similarity.scaledBandBits(corpusCount(emb))
+    val graphPath = graft.ops.Indexes.ensureKnnGraph(s, emb, d, j = 3, bBits = b)
+    val cent = s.read.parquet(ivfCentroidsPath)
+    val ivfIdx = graft.ops.Indexes.ensureIvfIndex(s, emb, cent, d, nCells = 16)
+    graft.ops.Indexes.annGraphSearchBeam(emb, cent, ivfIdx, graphPath,
+      queryId = 0L, k = 10, nProbe = 4, hops = 2, beamWidth = 4)
+  }
+
+  val annGraphBeamSql: String =
+    s"""WITH $duckNormed,
+       |nb AS (SELECT greatest(6, (SELECT min(i)::INTEGER
+       |                           FROM range(0, 33) t(i), (SELECT count(*) AS n FROM e) cn
+       |                           WHERE (32::BIGINT << i) >= cn.n)) AS bits),
+       |pl AS (SELECT j, p FROM ${Similarity.planesSqlValues(128, 64, 42L)}),
+       |bk AS (SELECT e.vec_id, (pl.j // nb.bits) AS t,
+       |         sum(CASE WHEN list_dot_product(e.v, pl.p) > 0 THEN (1::BIGINT << (pl.j % nb.bits)) ELSE 0 END)::BIGINT AS key
+       |       FROM e CROSS JOIN pl, nb WHERE pl.j < nb.bits * 8
+       |       GROUP BY e.vec_id, (pl.j // nb.bits)),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |         FROM bk a JOIN bk b ON a.t = b.t AND a.key = b.key
+       |                            AND a.vec_id != b.vec_id),
+       |gsc AS (SELECT cand.vec_a, cand.vec_b,
+       |             round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS cos
+       |           FROM cand JOIN e x ON cand.vec_a = x.vec_id
+       |                     JOIN e y ON cand.vec_b = y.vec_id),
+       |knn AS (SELECT vec_a, vec_b FROM gsc
+       |        QUALIFY row_number() OVER (PARTITION BY vec_a
+       |                                   ORDER BY cos DESC, vec_b ASC) <= 3),
+       |cent AS (SELECT cell, centroid AS cv,
+       |                sqrt(list_dot_product(centroid, centroid)) AS cn
+       |         FROM read_parquet('$ivfCentroidsPath/*.parquet')),
+       |asg AS (SELECT e.vec_id, cent.cell,
+       |               list_dot_product(e.v, cent.cv) / (e.nrm * cent.cn) AS ccos
+       |        FROM e CROSS JOIN cent),
+       |cells AS (SELECT vec_id, cell FROM asg
+       |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) = 1),
+       |probes AS (SELECT cell FROM asg WHERE vec_id = 0
+       |           QUALIFY row_number() OVER (ORDER BY ccos DESC, cell ASC) <= 4),
+       |ent AS (SELECT cell, min(vec_id) AS vec_id FROM cells GROUP BY cell),
+       |q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 0),
+       |e0 AS (SELECT DISTINCT ent.vec_id FROM probes p
+       |       JOIN ent ON p.cell = ent.cell),
+       |s0 AS (SELECT e.vec_id,
+       |              round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 6) AS c
+       |       FROM e JOIN e0 ON e.vec_id = e0.vec_id, q),
+       |b0 AS (SELECT vec_id FROM s0
+       |       QUALIFY row_number() OVER (ORDER BY c DESC, vec_id ASC) <= 4),
+       |n1 AS ((SELECT DISTINCT vec_b AS vec_id FROM knn
+       |        WHERE vec_a IN (SELECT vec_id FROM b0))
+       |       EXCEPT (SELECT vec_id FROM s0)),
+       |s1 AS (SELECT vec_id, c FROM s0 UNION ALL
+       |       SELECT e.vec_id,
+       |              round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 6)
+       |       FROM e JOIN n1 ON e.vec_id = n1.vec_id, q),
+       |b1 AS (SELECT vec_id FROM s1
+       |       QUALIFY row_number() OVER (ORDER BY c DESC, vec_id ASC) <= 4),
+       |n2 AS ((SELECT DISTINCT vec_b AS vec_id FROM knn
+       |        WHERE vec_a IN (SELECT vec_id FROM b1))
+       |       EXCEPT (SELECT vec_id FROM s1)),
+       |s2 AS (SELECT vec_id, c FROM s1 UNION ALL
+       |       SELECT e.vec_id,
+       |              round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 6)
+       |       FROM e JOIN n2 ON e.vec_id = n2.vec_id, q)
+       |SELECT e.vec_id,
+       |       round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 4) AS cos
+       |FROM e JOIN (SELECT DISTINCT vec_id FROM s2) v ON e.vec_id = v.vec_id, q
+       |WHERE e.vec_id != 0
+       |ORDER BY cos DESC, e.vec_id ASC LIMIT 10""".stripMargin
+
   /** BATCHED graph-ANN serving ([[graft.ops.Indexes.annGraphSearchBatch]]):
     * three queries navigate the same committed graph sharing every scan —
     * one entry resolution, one adjacency fetch per hop over the union

@@ -560,6 +560,20 @@ class IndexesSpec extends AnyFunSuite {
     // probing the second cell adds entry min(2,3,4)=2 at zero hops
     assert(search(2, 0) === Seq(2L), "second cell's entry joins the visited set")
 
+    // BEAM variant: with a beam at least as wide as the visited set the
+    // cut never binds — identical to the unbounded BFS at every depth
+    def beam(nProbe: Int, hops: Int, w: Int): Seq[Long] =
+      Indexes.annGraphSearchBeam(e, cent, s"$root/ivf", s"$root/graph",
+          queryId = 0L, k = 10, nProbe = nProbe, hops = hops, beamWidth = w)
+        .select("vec_id").as[Long].collect().toSeq
+    assert(beam(1, 10, 100) === search(1, 10), "wide beam must equal BFS")
+    assert(beam(1, 2, 100) === search(1, 2))
+    // narrow beam converges greedily: the query's own node (cos 1.0) and
+    // its best neighbour hold the two slots — the walk reaches 5 via 1
+    // but 5 never enters the beam, so the chain stops at {1, 5}
+    assert(beam(1, 10, 2) === Seq(1L, 5L),
+      "beam=2 must stall on the query-local optimum")
+
     // batched navigation == per-query single search (batching shares
     // I/O, never candidates) — three queries with distinct neighbourhoods
     val qs = e.where(col("vec_id") < 3)
