@@ -807,12 +807,16 @@ object Indexes {
     * schema inference and partition listing). */
   private def tombstonePath(indexPath: String): String = s"$indexPath.tombstones"
 
-  /** Record a delete batch against an existing LSH index WITHOUT
+  /** Record a delete batch against an existing vector index WITHOUT
     * rewriting it: a full physical delete is a corpus-index-proportional
-    * rewrite (every (t, pkey) file containing a deleted row), so deletes
+    * rewrite (every partition file containing a deleted row), so deletes
     * accumulate as a tombstone sidecar that [[readLshIndex]] folds at
-    * read time and [[compactLshIndex]] folds physically at the next
-    * generation — the standard LSM/iceberg-style delete lifecycle.
+    * read time and [[compactLshIndex]]/[[compactCellIndex]] fold
+    * physically at the next generation — the standard LSM/iceberg-style
+    * delete lifecycle. FAMILY-GENERIC despite the name: any
+    * vec_id-keyed index table (flat/bucketed LSH, IVF inverted lists,
+    * IVF-PQ code lists) shares the sidecar convention, so one delete
+    * batch covers every index generation it is recorded against.
     * Append-atomic like [[appendLshIndex]]: each batch is one parquet
     * append job. */
   def tombstoneLshIndex(spark: SparkSession, indexPath: String,
@@ -837,13 +841,19 @@ object Indexes {
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(tombstonePath(indexPath))
 
-  /** Read an LSH index generation with its delete tombstones folded:
+  /** Read a vector-index generation with its delete tombstones folded:
     * the visible rows are exactly a rebuild on the surviving corpus
-    * (same planes ⇒ same keys; deletion removes rows, never changes
-    * one). No sidecar ⇒ the plain read, byte-identical plan. The
-    * anti-join stays unhinted: tombstone volume is bounded by delete
-    * traffic since the last compaction, which a production deployment
-    * bounds by compaction cadence — AQE broadcasts while it fits. */
+    * (signatures/cells are per-vector; deletion removes rows, never
+    * changes one). FAMILY-GENERIC ([[tombstoneLshIndex]]); EVERY probe
+    * path reads through this — LSH point/batch, IVF, PQ, IVF-PQ,
+    * filtered, near-dup pair generation, semantic dedup, and the kNN
+    * graph family — so a recorded delete disappears from the whole ANN
+    * surface at once. No sidecar ⇒ the plain read, byte-identical plan
+    * (partition filters still push below the anti-join, so pruned
+    * probes stay pruned). The anti-join stays unhinted: tombstone
+    * volume is bounded by delete traffic since the last compaction,
+    * which a production deployment bounds by compaction cadence — AQE
+    * broadcasts while it fits. */
   /** Sidecar presence = actual parquet files, NOT the _SUCCESS marker:
     * the idempotent (dynamic-partition-overwrite) tombstone channel
     * commits WITHOUT a root _SUCCESS, and gating on the marker silently
@@ -876,7 +886,9 @@ object Indexes {
     * generation, committed atomically; the caller flips readers. */
   def compactCellIndex(spark: SparkSession, src: String, dest: String): Unit = {
     val tmp = tmpBuildPath(dest)
-    spark.read.parquet(src)
+    // readLshIndex (family-generic) folds src's delete tombstones — the
+    // new generation is physically delete-free, same as the LSH compactor
+    readLshIndex(spark, src)
       .repartition(col("cell"))
       .sortWithinPartitions(col("vec_id"))
       .write.mode("overwrite").partitionBy("cell").parquet(tmp)
@@ -923,7 +935,7 @@ object Indexes {
     val probe = qKeys.map { case (t, key) =>
       col("t") === t && col("pkey") === (key >> shift) && col("key") === key
     }.reduce(_ || _)
-    val candIds = spark.read.parquet(indexPath)
+    val candIds = readLshIndex(spark, indexPath)
       .where(probe)
       .where(col("vec_id") =!= queryId)
       .select(col("vec_id")).distinct()
@@ -1047,7 +1059,7 @@ object Indexes {
     val probeFilter = probedPairs
       .map { case (t, pk) => col("t") === t && col("pkey") === pk }
       .reduceOption(_ || _).getOrElse(lit(false))
-    val cand = spark.read.parquet(indexPath)
+    val cand = readLshIndex(spark, indexPath)
       .where(probeFilter)
       .join(broadcast(qKeys), Seq("t", "pkey", "key"))
       .where(col("vec_id") =!= col("query_id"))
@@ -1084,7 +1096,7 @@ object Indexes {
     val probes = graft.plans.GroupedTopK.topK(cellScores, Seq("query_id"),
         Seq("ccos" -> true, "cell" -> false), nProbe)
       .select(col("query_id"), col("cell"))
-    val cand = spark.read.parquet(indexPath)
+    val cand = readLshIndex(spark, indexPath)
       .withColumn("cell", col("cell").cast("int"))
       .join(broadcast(probes), Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
@@ -1108,7 +1120,7 @@ object Indexes {
   def bandedNearDupPairsIndexed(emb: DataFrame, indexPath: String,
                                 threshold: Double): DataFrame = {
     val spark = emb.sparkSession
-    val idx = spark.read.parquet(indexPath)
+    val idx = readLshIndex(spark, indexPath)
     val e = emb.select(col("vec_id"), col("embedding"))
     idx.select(col("t"), col("key"), col("vec_id").as("vec_a"))
       .join(idx.select(col("t"), col("key"), col("vec_id").as("vec_b")), Seq("t", "key"))
@@ -1192,7 +1204,7 @@ object Indexes {
     val cbs = collectCodebooks(codebooks)
     val qv = queryVector(emb, queryId)
     val est = adcEstimate(qv, cbs, nSub, dim / nSub)
-    val cand = spark.read.parquet(indexPath)
+    val cand = readLshIndex(spark, indexPath)
       .where(col("vec_id") =!= queryId)
       .select(col("vec_id"), est.as("est"))
       .orderBy(col("est").desc, col("vec_id").asc)
@@ -1236,7 +1248,7 @@ object Indexes {
     val est = (0 until nSub)
       .map(m => element_at(col(s"qt$m"), col(s"c$m") + 1))
       .reduceLeft(_ + _)
-    val scored = spark.read.parquet(indexPath)
+    val scored = readLshIndex(spark, indexPath)
       .join(broadcast(q.select(col("query_id") +:
         (0 until nSub).map(m => col(s"qt$m")): _*)))
       .where(col("vec_id") =!= col("query_id"))
@@ -1728,7 +1740,7 @@ object Indexes {
     val spark = emb.sparkSession
     val qv = queryVector(emb, queryId)
     val probes = rankProbes(qv, centroids, nProbe)
-    val candIds = spark.read.parquet(indexPath)
+    val candIds = readLshIndex(spark, indexPath)
       .where(col("cell").isin(probes: _*))
       .where(col("vec_id") =!= queryId)
       .select(col("vec_id"))
@@ -1765,7 +1777,7 @@ object Indexes {
     val spark = emb.sparkSession
     val qv = queryVector(emb, queryId)
     val probes = rankProbes(qv, centroids, nProbe)
-    val candIds = spark.read.parquet(indexPath)
+    val candIds = readLshIndex(spark, indexPath)
       .where(col("cell").isin(probes: _*))
       .where(col("vec_id") =!= queryId)
       .join(eligible.select(col("vec_id")), Seq("vec_id"), "left_semi")
@@ -1800,7 +1812,7 @@ object Indexes {
     val probes = graft.plans.GroupedTopK.topK(cellScores, Seq("query_id"),
         Seq("ccos" -> true, "cell" -> false), nProbe)
       .select(col("query_id"), col("cell"))
-    val cand = spark.read.parquet(indexPath)
+    val cand = readLshIndex(spark, indexPath)
       .withColumn("cell", col("cell").cast("int"))
       .join(broadcast(probes), Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
@@ -1915,7 +1927,7 @@ object Indexes {
     val qv = queryVector(emb, queryId)
     val probes = rankProbes(qv, centroids, nProbe)
     val est = adcEstimate(qv, collectCodebooks(codebooks), nSub, dim / nSub)
-    val cand = spark.read.parquet(indexPath)
+    val cand = readLshIndex(spark, indexPath)
       .where(col("cell").isin(probes: _*))
       .where(col("vec_id") =!= queryId)
       .select(col("vec_id"), est.as("est"))
@@ -1971,7 +1983,7 @@ object Indexes {
     val est = (0 until nSub)
       .map(m => element_at(col(s"qt$m"), col(s"c$m") + 1))
       .reduceLeft(_ + _)
-    val scored = spark.read.parquet(indexPath)
+    val scored = readLshIndex(spark, indexPath)
       .withColumn("cell", col("cell").cast("int"))
       .join(broadcast(probes), Seq("cell"))
       .join(broadcast(q.select(col("query_id") +:
@@ -2067,7 +2079,7 @@ object Indexes {
                          maxCellSize: Long = 1L << 16,
                          subBlockSeed: Long = 4242L): DataFrame = {
     val spark = emb.sparkSession
-    val idx = spark.read.parquet(indexPath).select(col("cell"), col("vec_id"))
+    val idx = readLshIndex(spark, indexPath).select(col("cell"), col("vec_id"))
     val cellSizes = idx.groupBy(col("cell")).count()
     val biggest = cellSizes.agg(max(col("count"))).head()
     val big = if (biggest.isNullAt(0)) 0L else biggest.getLong(0)

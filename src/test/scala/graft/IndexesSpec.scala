@@ -626,6 +626,53 @@ class IndexesSpec extends AnyFunSuite {
     assert(got === want, "post-compaction probe must match survivor rebuild")
   }
 
+  test("unified deletes: one tombstone batch covers IVF, IVF-PQ, and LSH probes") {
+    val cent = spark.read.parquet(graft.queries.PipelineQueries.ivfCentroidsPath)
+    val cbs = spark.read.parquet(graft.queries.PipelineQueries.pqCodebooksPath)
+    val del = emb.where(col("vec_id") % 6 === 2).select(col("vec_id"))
+    val delIds = del.as[Long].collect().toSet
+    val survivors = emb.join(del, Seq("vec_id"), "left_anti")
+    // IVF inverted lists
+    val ivf = Files.createTempDirectory("uni_ivf").toString + "/idx"
+    Indexes.writeIvfIndex(emb, cent, ivf)
+    Indexes.tombstoneLshIndex(spark, ivf, del)
+    val gotIvf = Indexes.ivfTopKIndexed(emb, cent, ivf, 7L, 10, nProbe = 4)
+      .as[(Long, Double)].collect().toSeq
+    val rbIvf = Files.createTempDirectory("uni_ivf_rb").toString + "/idx"
+    Indexes.writeIvfIndex(survivors, cent, rbIvf)
+    val wantIvf = Indexes.ivfTopKIndexed(emb, cent, rbIvf, 7L, 10, nProbe = 4)
+      .as[(Long, Double)].collect().toSeq
+    assert(gotIvf === wantIvf, "tombstoned IVF probe must equal survivor rebuild")
+    assert(gotIvf.nonEmpty && gotIvf.forall { case (id, _) => !delIds(id) })
+    // the probe's static cell pruning must survive the anti-join
+    val plan = Indexes.ivfTopKIndexed(emb, cent, ivf, 7L, 10, nProbe = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"cell pruning lost below the tombstone fold:\n${plan.take(3000)}")
+    // IVF-PQ code lists share the sidecar convention
+    val pq = Files.createTempDirectory("uni_pq").toString + "/idx"
+    Indexes.writeIvfPqIndex(emb, cent, cbs, pq)
+    Indexes.tombstoneLshIndex(spark, pq, del)
+    val gotPq = Indexes.ivfPqTopKIndexed(emb, cent, cbs, pq, 7L, 10,
+      nProbe = 4, rerank = 32).as[(Long, Double)].collect().toSeq
+    assert(gotPq.nonEmpty && gotPq.forall { case (id, _) => !delIds(id) },
+      "tombstoned ids surfaced from the IVF-PQ probe")
+    // cell compaction folds physically, like the LSH compactor
+    val pqc = Files.createTempDirectory("uni_pq_c").toString + "/idx"
+    Indexes.compactCellIndex(spark, pq, pqc)
+    assert(!new java.io.File(s"$pqc.tombstones").exists())
+    val physIds = spark.read.parquet(pqc)
+      .select(col("vec_id")).distinct().as[Long].collect().toSet
+    assert(physIds.intersect(delIds).isEmpty)
+    // LSH point probe (the original family) through the same verb
+    val lsh = Files.createTempDirectory("uni_lsh").toString + "/idx"
+    Indexes.writeLshIndex(emb, lsh)
+    Indexes.tombstoneLshIndex(spark, lsh, del)
+    val gotLsh = Indexes.lshTopKIndexed(emb, lsh, 7L, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(gotLsh.nonEmpty && gotLsh.forall { case (id, _) => !delIds(id) })
+  }
+
   test("minhash delete lifecycle: tombstoned near-dups equal a survivor rebuild") {
     val docs = graft.engine.Tables.documents(spark, sf)
     val base = Files.createTempDirectory("mh_tomb").toString
