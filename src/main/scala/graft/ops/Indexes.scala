@@ -233,10 +233,29 @@ object Indexes {
     val parent = p.getParent
     if (parent != null && fs.exists(parent)) {
       val cutoff = System.currentTimeMillis() - gcGraceMs
-      fs.listStatus(parent).foreach { st =>
+      val family = fs.listStatus(parent)
+        .filter(_.getPath.getName.startsWith(familyPrefix))
+      // Pass 1 — generations and orphaned `.tmp-*` build dirs: aged and
+      // not current → reclaim. Delete-tombstone sidecars are EXCLUDED
+      // here: `<gen>.tombstones` shares the family prefix, so the plain
+      // prefix match would reclaim an aged sidecar while its generation
+      // lives — silently resurrecting every deleted row after the grace
+      // period (round-12 latent-bug catch).
+      family.foreach { st =>
         val name = st.getPath.getName
-        if (name.startsWith(familyPrefix) && name != p.getName &&
+        if (!name.endsWith(".tombstones") && name != p.getName &&
             st.getModificationTime < cutoff)
+          fs.delete(st.getPath, true)
+      }
+      // Pass 2 — sidecars: a sidecar lives exactly as long as its OWN
+      // generation directory; age is irrelevant (the orphan check is
+      // precise). Runs after pass 1 so a superseded generation and its
+      // sidecar are reclaimed in the same sweep.
+      family.foreach { st =>
+        val name = st.getPath.getName
+        if (name.endsWith(".tombstones") &&
+            !fs.exists(new org.apache.hadoop.fs.Path(parent,
+              name.stripSuffix(".tombstones"))))
           fs.delete(st.getPath, true)
       }
     }
@@ -1646,13 +1665,33 @@ object Indexes {
     path
   }
 
+  /** Doc-keyed delete verbs for the simhash signature table — the fourth
+    * index family on the shared LSM delete lifecycle (sidecar naming as
+    * [[tombstoneLshIndex]], doc_id key as [[tombstoneMinhashIndex]]). */
+  def tombstoneSimhashIndex(spark: SparkSession, indexPath: String,
+                            deletedIds: DataFrame): Unit =
+    deletedIds.select(col("doc_id")).distinct()
+      .coalesce(1)
+      .write.mode("append").parquet(tombstonePath(indexPath))
+
+  def readSimhashIndex(spark: SparkSession, indexPath: String): DataFrame = {
+    val idx = spark.read.parquet(indexPath)
+    val ts = tombstonePath(indexPath)
+    if (hasParquetFiles(spark, ts))
+      idx.join(spark.read.parquet(ts).select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+    else idx
+  }
+
   /** SimHash near-dup pairs off the stored signature table —
     * output-identical to [[Dedup.simhashNearDups]] because both delegate to
     * the SAME banding/join/hamming implementation
-    * ([[Dedup.simhashNearDupsFromSigs]]). */
+    * ([[Dedup.simhashNearDupsFromSigs]]). Tombstone-aware
+    * ([[readSimhashIndex]]). */
   def simhashNearDupsIndexed(spark: SparkSession, indexPath: String,
                              maxHamming: Int = 3, bands: Int = 4): DataFrame =
-    Dedup.simhashNearDupsFromSigs(spark.read.parquet(indexPath), maxHamming, bands)
+    Dedup.simhashNearDupsFromSigs(readSimhashIndex(spark, indexPath),
+      maxHamming, bands)
 
   // ---- IVF inverted lists ---------------------------------------------------
 

@@ -67,6 +67,48 @@ class IndexGcSpec extends AnyFunSuite {
       "generation inside the grace window must survive (in-flight readers)")
   }
 
+  test("the current generation's tombstone sidecar survives the sibling sweep") {
+    // latent bug caught in round 12: `<gen>.tombstones` shares the family
+    // prefix and differs from the generation name, so the prefix-match
+    // sweep reclaimed an AGED sidecar while its generation lived —
+    // silently resurrecting every deleted row after the grace period
+    val base = Files.createTempDirectory("idxgc_ts").toString
+    val sfTag = s"$base/corpus"
+    val p1 = Indexes.ensureLshIndex(spark, writeCorpus(s"$base/data", 0),
+      sfTag, bBits = 3, lTables = 2, dim = 8, partitionByBucket = false)
+    // tombstone the LIVE generation, then age the sidecar past the grace
+    Indexes.tombstoneLshIndex(spark, p1,
+      spark.range(0, 4).selectExpr("id as vec_id"))
+    val sidecar = Paths.get(s"$p1.tombstones")
+    assert(Files.exists(sidecar))
+    val old = FileTime.fromMillis(System.currentTimeMillis() - 3600 * 1000L)
+    Files.setLastModifiedTime(sidecar, old)
+    // an unrelated corpus of the family triggers a sweep at the same
+    // parent; grace = 10 min, so the seconds-old p1 generation is safe
+    // while the hour-aged sidecar is sweep-eligible — exactly the bug
+    Indexes.withGcGrace(10L * 60L * 1000L) {
+      Indexes.ensureLshIndex(spark, writeCorpus(s"$base/data2", 3),
+        sfTag, bBits = 3, lTables = 2, dim = 8, partitionByBucket = false)
+    }
+    assert(Files.exists(sidecar),
+      "the live generation's delete sidecar must survive the sweep")
+    // ...and the fold still applies after the sweep
+    val visible = Indexes.readLshIndex(spark, p1)
+      .select(org.apache.spark.sql.functions.col("vec_id"))
+      .distinct().as[Long].collect().toSet
+    assert(visible.intersect(Set(0L, 1L, 2L, 3L)).isEmpty)
+    // when the generation itself is superseded and reclaimed, its sidecar
+    // goes with it in the same sweep (orphan check, age-independent)
+    Files.setLastModifiedTime(Paths.get(p1), old)
+    Indexes.withGcGrace(10L * 60L * 1000L) {
+      Indexes.ensureLshIndex(spark, writeCorpus(s"$base/data", 9),
+        sfTag, bBits = 3, lTables = 2, dim = 8, partitionByBucket = false)
+    }
+    assert(!Files.exists(Paths.get(p1)), "aged superseded generation reclaimed")
+    assert(!Files.exists(sidecar),
+      "the superseded generation's sidecar must be reclaimed with it")
+  }
+
   test("durable e2e run dirs: aged sibling runs reclaimed; current and fresh survive") {
     // VERDICT r11 #6: applicationId namespacing left one permanent dir per
     // run under SPARK_GRAFT_E2E_STAGE_DIR — the run-dir chokepoint now

@@ -700,6 +700,18 @@ class IndexesSpec extends AnyFunSuite {
       .select(col("corpus_id")).as[Long].collect().toSet
     assert(inc.intersect(delIds).isEmpty,
       "deleted corpus docs must not surface as incremental matches")
+    // simhash — the fourth family on the same lifecycle (doc-keyed sigs)
+    val sh = Files.createTempDirectory("sh_tomb").toString + "/idx"
+    graft.ops.Dedup.simhash(docs).write.mode("overwrite").parquet(sh)
+    Indexes.tombstoneSimhashIndex(spark, sh, del)
+    val gotSh = Indexes.simhashNearDupsIndexed(spark, sh)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    val shRb = Files.createTempDirectory("sh_tomb_rb").toString + "/idx"
+    graft.ops.Dedup.simhash(docs.join(del, Seq("doc_id"), "left_anti"))
+      .write.mode("overwrite").parquet(shRb)
+    val wantSh = Indexes.simhashNearDupsIndexed(spark, shRb)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    assert(gotSh === wantSh, "tombstoned simhash pairs must equal survivor rebuild")
   }
 
   test("batch LSH probe: an EMPTY query frame returns empty, not a crash") {
