@@ -897,6 +897,26 @@ object Indexes {
     else idx
   }
 
+  /** Index OBSERVABILITY: per-table bucket-occupancy statistics of a
+    * banded LSH generation — the monitoring twin of the round-11 scale
+    * lesson (fixed-width band keys made occupancy grow linearly with the
+    * corpus and the candidate self-join quadratically; the probe caught
+    * it at 39×). `imbalance` = max/mean occupancy: the early-warning
+    * number a deployment alerts on BEFORE a near-dup or kNN-graph job
+    * goes quadratic — re-derive b ([[graft.ops.Similarity.scaledBandBits]])
+    * and rebuild when it trends up. Tombstone-aware, so the stats
+    * describe what probes actually see; output is lTables rows. */
+  def lshIndexStats(spark: SparkSession, indexPath: String): DataFrame =
+    readLshIndex(spark, indexPath)
+      .groupBy(col("t"), col("key")).agg(count(lit(1)).as("c"))
+      .groupBy(col("t")).agg(
+        count(lit(1)).as("n_buckets"),
+        sum(col("c")).as("n_rows"),
+        max(col("c")).as("max_bucket"),
+        round(max(col("c")).cast("double") * count(lit(1)).cast("double") /
+          sum(col("c")).cast("double"), 4).as("imbalance"))
+      .orderBy(col("t"))
+
   /** [[compactLshIndex]]'s twin for the CELL-partitioned families (IVF
     * inverted lists and the IVF-PQ IVFADC layout share it — the schema
     * rides through untouched, so PQ code columns survive): fold the

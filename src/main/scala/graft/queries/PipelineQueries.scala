@@ -1797,6 +1797,35 @@ object PipelineQueries {
        |  FROM cand JOIN e x ON cand.vec_a = x.vec_id JOIN e y ON cand.vec_b = y.vec_id)
        |WHERE cos > 0.4 ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Index observability ([[graft.ops.Indexes.lshIndexStats]]): bucket
+    * occupancy per table of the shared corpus-scaled flat index — the
+    * `imbalance` (max/mean occupancy) column is the alert line for the
+    * r11 quadratic-candidates failure class. Oracle replays the banding
+    * and the identical integer aggregation. */
+  def indexStats(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val b = Similarity.scaledBandBits(corpusCount(emb))
+    val idx = graft.ops.Indexes.ensureLshIndex(s, emb, d, bBits = b, lTables = 8,
+      partitionByBucket = false)
+    graft.ops.Indexes.lshIndexStats(s, idx)
+  }
+
+  val indexStatsSql: String =
+    s"""WITH $duckNormed,
+       |nb AS (SELECT greatest(6, (SELECT min(i)::INTEGER
+       |                           FROM range(0, 33) t(i), (SELECT count(*) AS n FROM e) cn
+       |                           WHERE (32::BIGINT << i) >= cn.n)) AS bits),
+       |pl AS (SELECT j, p FROM ${Similarity.planesSqlValues(128, 64, 42L)}),
+       |bk AS (SELECT e.vec_id, (pl.j // nb.bits) AS t,
+       |         sum(CASE WHEN list_dot_product(e.v, pl.p) > 0 THEN (1::BIGINT << (pl.j % nb.bits)) ELSE 0 END)::BIGINT AS key
+       |       FROM e CROSS JOIN pl, nb WHERE pl.j < nb.bits * 8
+       |       GROUP BY e.vec_id, (pl.j // nb.bits)),
+       |occ AS (SELECT t, key, count(*)::BIGINT AS c FROM bk GROUP BY t, key)
+       |SELECT t, count(*)::BIGINT AS n_buckets, sum(c)::BIGINT AS n_rows,
+       |       max(c)::BIGINT AS max_bucket,
+       |       round(max(c)::DOUBLE * count(*)::DOUBLE / sum(c)::DOUBLE, 4) AS imbalance
+       |FROM occ GROUP BY t ORDER BY t""".stripMargin
+
   /** Per-point kNN graph (top-3 banded-LSH neighbours per vector,
     * [[graft.ops.Indexes.knnGraphIndexed]]) — reuses the SAME flat
     * corpus-scaled-b index as q_embedding_near_dups; the oracle replays

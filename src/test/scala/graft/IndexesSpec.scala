@@ -671,6 +671,11 @@ class IndexesSpec extends AnyFunSuite {
     val gotLsh = Indexes.lshTopKIndexed(emb, lsh, 7L, 10)
       .as[(Long, Double)].collect().toSeq
     assert(gotLsh.nonEmpty && gotLsh.forall { case (id, _) => !delIds(id) })
+    // observability describes what probes see: row counts post-delete
+    val statRows = Indexes.lshIndexStats(spark, lsh)
+      .agg(sum(col("n_rows"))).head().getLong(0)
+    assert(statRows === survivors.count() * 16,
+      "index stats must reflect the tombstone-folded view (lTables=16 rows/vec)")
   }
 
   test("minhash delete lifecycle: tombstoned near-dups equal a survivor rebuild") {
