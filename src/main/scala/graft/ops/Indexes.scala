@@ -419,11 +419,22 @@ object Indexes {
     // is physically delete-free and carries NO sidecar — compaction is
     // where logical deletes become physical (no sidecar ⇒ identical plan
     // to the plain read, preserving the bit-identical pre/post claim)
-    readLshIndex(spark, src)
-      .select(col("vec_id"), col("t"), col("key"), col("pkey"))
-      .repartition(col("t"), col("pkey"))
-      .sortWithinPartitions(col("key"), col("vec_id"))
-      .write.mode("overwrite").partitionBy("t", "pkey").parquet(tmp)
+    val folded = readLshIndex(spark, src)
+    if (folded.columns.contains("pkey"))
+      folded.select(col("vec_id"), col("t"), col("key"), col("pkey"))
+        .repartition(col("t"), col("pkey"))
+        .sortWithinPartitions(col("key"), col("vec_id"))
+        .write.mode("overwrite").partitionBy("t", "pkey").parquet(tmp)
+    else
+      // FLAT layouts (writeLshIndex(partitionByBucket = false) and the
+      // streaming batch_id-partitioned appends — review catch: the
+      // unconditional pkey select threw on exactly the deployments the
+      // append doc sends here): fold to clustered flat parquet, dropping
+      // the batch_id lineage column — compaction IS the generation cut
+      folded.select(col("vec_id"), col("t"), col("key"))
+        .repartition(col("t"), col("key"))
+        .sortWithinPartitions(col("t"), col("key"))
+        .write.mode("overwrite").parquet(tmp)
     commitIndexDir(spark, tmp, dest)
   }
 
@@ -610,6 +621,26 @@ object Indexes {
     path
   }
 
+  /** The index's tombstoned ids as a driver set (bounded by delete
+    * traffic since the last compaction, loudly capped) — the graph
+    * SERVING ops subtract these from the visited set: adjacency edges
+    * may predate a delete the graph store's own maintenance has not yet
+    * folded, and the review caught that entry points + re-rank otherwise
+    * served recorded deletes the bucket probes already hide. */
+  private def tombstonedIds(spark: SparkSession, indexPath: String): Set[Long] = {
+    val ts = tombstonePath(indexPath)
+    if (!hasParquetFiles(spark, ts)) Set.empty
+    else {
+      import spark.implicits._
+      val ids = spark.read.parquet(ts).select(col("vec_id")).distinct()
+        .as[Long].take(MaxBatchProbeRows + 1)
+      require(ids.length <= MaxBatchProbeRows,
+        "tombstone sidecar exceeds MaxBatchProbeRows — compact the index " +
+          "(fold deletes physically) before graph serving")
+      ids.toSet
+    }
+  }
+
   /** GRAPH-BASED ANN SERVING — navigate the committed kNN graph instead
     * of probing buckets: hop-bounded breadth-first expansion from
     * IVF-cell entry points, then one exact re-rank of the visited set.
@@ -650,7 +681,8 @@ object Indexes {
     import spark.implicits._
     val qv = queryVector(emb, queryId)
     val probes = rankProbes(qv, centroids, nProbe)
-    val entries = spark.read.parquet(ivfIndexPath)
+    val dead = tombstonedIds(spark, ivfIndexPath)
+    val entries = readLshIndex(spark, ivfIndexPath)
       .where(col("cell").isin(probes: _*))
       .groupBy(col("cell")).agg(min(col("vec_id")).as("vec_id"))
       .select(col("vec_id")).as[Long].collect().toSet
@@ -662,7 +694,7 @@ object Indexes {
     while (h < hops && frontier.nonEmpty) {
       h += 1
       val next = graph.where(col("vec_a").isin(frontier.toSeq: _*))
-        .select(col("vec_b")).distinct().as[Long].collect().toSet
+        .select(col("vec_b")).distinct().as[Long].collect().toSet -- dead
       frontier = next -- visited
       visited = visited ++ frontier
       require(visited.size <= MaxBatchProbeRows,
@@ -708,6 +740,7 @@ object Indexes {
     import spark.implicits._
     val qv = queryVector(emb, queryId)
     val probes = rankProbes(qv, centroids, nProbe)
+    val dead = tombstonedIds(spark, ivfIndexPath)
     val q = emb.where(col("vec_id") === queryId)
       .select(col("embedding").as("qv"))
     def score(ids: Set[Long]): Map[Long, Double] =
@@ -718,12 +751,19 @@ object Indexes {
           Similarity.cosRound(col("embedding"), col("qv"), 6).as("c"))
         .where(col("c").isNotNull) // zero-norm rows can't hold a beam slot
         .as[(Long, Double)].collect().toMap
-    val entries = spark.read.parquet(ivfIndexPath)
+    val entries = readLshIndex(spark, ivfIndexPath)
       .where(col("cell").isin(probes: _*))
       .groupBy(col("cell")).agg(min(col("vec_id")).as("vec_id"))
       .select(col("vec_id")).as[Long].collect().toSet
     val graph = spark.read.parquet(graphPath)
       .select(col("vec_a"), col("vec_b"))
+    // visited (seen) and scored are tracked SEPARATELY: a zero-norm
+    // neighbour scores null and never enters `scored`, and deduping
+    // fresh ids against scored alone would re-fetch it every hop —
+    // defeating early termination with a redundant job per remaining
+    // hop (review catch). It still counts as visited, so the final
+    // re-rank ranks it last (null), identical to the BFS variant.
+    var seen: Set[Long] = entries
     var scored: Map[Long, Double] = score(entries)
     def beam: Seq[Long] = scored.toSeq
       .sortBy { case (id, c) => (-c, id) }.take(beamWidth).map(_._1)
@@ -732,14 +772,15 @@ object Indexes {
     while (h < hops && grew) {
       h += 1
       val nbrs = graph.where(col("vec_a").isin(beam: _*))
-        .select(col("vec_b")).distinct().as[Long].collect().toSet
-      val fresh = nbrs -- scored.keySet
+        .select(col("vec_b")).distinct().as[Long].collect().toSet -- dead
+      val fresh = nbrs -- seen
       grew = fresh.nonEmpty
+      seen = seen ++ fresh
       scored = scored ++ score(fresh)
-      require(scored.size <= MaxBatchProbeRows,
+      require(seen.size <= MaxBatchProbeRows,
         s"beam search visited more than MaxBatchProbeRows ids at hop $h")
     }
-    emb.where(col("vec_id").isin(scored.keySet.toSeq: _*))
+    emb.where(col("vec_id").isin(seen.toSeq: _*))
       .where(col("vec_id") =!= queryId)
       .join(broadcast(q))
       .select(col("vec_id"),
@@ -770,15 +811,20 @@ object Indexes {
                           hops: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // take(N+1), not collect(): the bound trips BEFORE an unbounded
+    // driver transfer of embedding-carrying rows (the lshTopKBatch
+    // pattern; review catch — a collect() here OOMs before the require)
     val qs: Seq[(Long, Array[Float])] = queries
       .select(col("query_id"), col("embedding"))
-      .as[(Long, Seq[Float])].collect().toSeq.map { case (i, v) => (i, v.toArray) }
+      .as[(Long, Seq[Float])].take(MaxBatchProbeRows + 1)
+      .toSeq.map { case (i, v) => (i, v.toArray) }
     require(qs.size <= MaxBatchProbeRows,
       s"annGraphSearchBatch query frame exceeds MaxBatchProbeRows — split it")
     val probesPerQ: Seq[(Long, Seq[Int])] =
       qs.map { case (qid, qv) => qid -> rankProbes(qv, centroids, nProbe) }
+    val dead = tombstonedIds(spark, ivfIndexPath)
     val cellUnion = probesPerQ.flatMap(_._2).distinct
-    val entryByCell: Map[Int, Long] = spark.read.parquet(ivfIndexPath)
+    val entryByCell: Map[Int, Long] = readLshIndex(spark, ivfIndexPath)
       .where(col("cell").isin(cellUnion: _*))
       .groupBy(col("cell")).agg(min(col("vec_id")).as("vec_id"))
       .as[(Int, Long)].collect().toMap
@@ -798,7 +844,7 @@ object Indexes {
           .as[(Long, Long)].collect().toSeq
           .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
       frontier = frontier.map { case (qid, f) =>
-        qid -> (f.flatMap(edges.getOrElse(_, Seq.empty)) -- visited(qid))
+        qid -> (f.flatMap(edges.getOrElse(_, Seq.empty)) -- visited(qid) -- dead)
       }
       visited = visited.map { case (qid, v) => qid -> (v ++ frontier(qid)) }
       require(visited.valuesIterator.map(_.size).sum <= MaxBatchProbeRows,

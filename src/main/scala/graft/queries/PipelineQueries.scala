@@ -127,7 +127,7 @@ object PipelineQueries {
   def minhashDelete(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val deleted = docs.where(col("doc_id") % 9 === 4).select(col("doc_id"))
-    val base = ensureKnnDemo(s, graft.ops.Indexes.indexRoot +
+    val base = ensureKnnDemo(s, "del_minhash_demo_", graft.ops.Indexes.indexRoot +
         s"/del_minhash_demo_${graft.ops.Indexes.corpusFingerprint(docs)}") { p =>
       graft.ops.Indexes.appendMinhashIndex(docs, s"$p/sets", s"$p/bands")
       graft.ops.Indexes.tombstoneMinhashIndex(s, s"$p/sets", deleted)
@@ -1879,7 +1879,7 @@ object PipelineQueries {
     * only after `build` completes — a crash mid-setup leaves no marker
     * and the next caller wipes and rebuilds. The timed query body then
     * touches ONLY the maintenance operator under test. */
-  private def ensureKnnDemo(s: SparkSession, path: String)
+  private def ensureKnnDemo(s: SparkSession, family: String, path: String)
                            (build: String => Unit): String = {
     val fs = demoFs(s, path)
     if (!fs.exists(demoMarker(path))) {
@@ -1887,6 +1887,24 @@ object PipelineQueries {
         fs.delete(new org.apache.hadoop.fs.Path(stale), true)
       build(path)
       fs.create(demoMarker(path), true).close()
+      // sibling sweep (review catch: fingerprint rotation leaked one
+      // permanent demo-state group per fixture generation — the same
+      // leak class the run-dir GC closes): aged `family`-prefixed
+      // entries reclaim unless they belong to the CURRENT generation
+      // (its own name prefixes its _prevgraph / .tombstones
+      // companions). Shares the grace knob + test hook.
+      val p = new org.apache.hadoop.fs.Path(path)
+      val parent = p.getParent
+      if (parent != null && fs.exists(parent)) {
+        val cutoff = System.currentTimeMillis() -
+          graft.ops.Indexes.effectiveGcGraceMs
+        fs.listStatus(parent).foreach { st =>
+          val name = st.getPath.getName
+          if (name.startsWith(family) && !name.startsWith(p.getName) &&
+              st.getModificationTime < cutoff)
+            fs.delete(st.getPath, true)
+        }
+      }
     }
     path
   }
@@ -1905,7 +1923,7 @@ object PipelineQueries {
   def knnGraphIncremental(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     val b = Similarity.scaledBandBits(corpusCount(emb))
-    val path = ensureKnnDemo(s, graft.ops.Indexes.indexRoot +
+    val path = ensureKnnDemo(s, "incr_knn_demo_", graft.ops.Indexes.indexRoot +
         s"/incr_knn_demo_${graft.ops.Indexes.corpusFingerprint(emb)}_b$b") { p =>
       val oldEmb = emb.where(col("vec_id") % 2 === 0)
       graft.ops.Indexes.writeLshIndex(oldEmb, p, bBits = b, lTables = 8,
@@ -1939,7 +1957,7 @@ object PipelineQueries {
     val emb = embeddings(s, d)
     val b = Similarity.scaledBandBits(corpusCount(emb))
     val deleted = emb.where(col("vec_id") % 7 === 3).select(col("vec_id"))
-    val path = ensureKnnDemo(s, graft.ops.Indexes.indexRoot +
+    val path = ensureKnnDemo(s, "del_knn_demo_", graft.ops.Indexes.indexRoot +
         s"/del_knn_demo_${graft.ops.Indexes.corpusFingerprint(emb)}_b$b") { p =>
       graft.ops.Indexes.writeLshIndex(emb, p, bBits = b, lTables = 8,
         partitionByBucket = false)

@@ -408,8 +408,38 @@ object EventStreams {
             new java.net.URI(indexPath), s.sparkContext.hadoopConfiguration)
           val hasIndex = fs.exists(new org.apache.hadoop.fs.Path(indexPath))
           val hasAdds = !adds.isEmpty
+          val hasDels = !dels.isEmpty
+          // a fully EMPTY batch before any store exists is a no-op, not an
+          // error (availableNow/no-data micro-batches are normal; review
+          // catch: the old require killed the stream on one). NOTE: guard,
+          // not `return` — a non-local return from a foreachBatch closure
+          // throws at stream runtime.
+          if (hasIndex || hasAdds || hasDels) {
           require(hasIndex || hasAdds,
             s"CDC batch $batchId deletes from a store that does not exist yet")
+          // IDs ARE IDENTITIES, loudly: re-adding a tombstoned id would be
+          // silently swallowed (every read folds the accumulated sidecar),
+          // and re-using a live id would duplicate store rows — both are
+          // upsert semantics this stream does not implement. Upstream CDC
+          // emits content under fresh ids; the tombstone-collision half is
+          // CHECKED here (the sidecar is small), the live-collision half
+          // is the documented id-uniqueness contract.
+          if (hasAdds && hasIndex) {
+            val ts = s"$indexPath.tombstones"
+            val tsPath = new org.apache.hadoop.fs.Path(ts)
+            if (fs.exists(tsPath) && fs.globStatus(
+                new org.apache.hadoop.fs.Path(tsPath, "*/*.parquet")).nonEmpty) {
+              val clash = adds.select(col("vec_id"))
+                .join(s.read.parquet(ts).select(col("vec_id")), Seq("vec_id"),
+                  "left_semi")
+              require(clash.isEmpty,
+                s"CDC batch $batchId re-adds tombstoned vec_id(s) " +
+                  s"${clash.limit(5).as[Long].collect().mkString(", ")} — " +
+                  "ids are permanent identities here; emit re-added content " +
+                  "under a fresh id, or compact the store to retire the " +
+                  "tombstones first")
+            }
+          }
           if (hasAdds) {
             adds.withColumn("batch_id", lit(batchId))
               .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
@@ -440,6 +470,7 @@ object EventStreams {
             .partitionBy("gen").parquet(graphPath)
           gens().filter(_ < batchId - 2).foreach(g =>
             gfs.delete(new org.apache.hadoop.fs.Path(s"$graphPath/gen=$g"), true))
+          }
         } finally b.unpersist(blocking = false)
       }
       .start()

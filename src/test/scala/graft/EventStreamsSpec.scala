@@ -201,7 +201,11 @@ class EventStreamsSpec extends AnyFunSuite {
         .as[(Long, Long, Double)].collect().toSet
       assert(got === want, clue)
     }
-    // batch 0: pure adds
+    // an EMPTY first micro-batch (no store exists yet) must be a no-op,
+    // not a stream kill (review catch: the old require threw on it)
+    Seq.empty[(String, Long, Seq[Float])].toDF("op", "vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(landing)
+    // batch 0 (well, 1 after the empty file): pure adds
     land((0L until 24L).map("add" -> _)); live ++= (0L until 24L)
     val q1 = start(); q1.processAllAvailable()
     assertEqualsRebuild("after the pure-add batch")
@@ -221,6 +225,17 @@ class EventStreamsSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect()
     val dead = Set(3L, 7L, 11L, 0L, 24L, 30L)
     assert(finalG.forall { case (a, b2, _) => !dead(a) && !dead(b2) })
+    // re-adding a tombstoned id is REJECTED loudly, not silently
+    // swallowed (review catch: every read folds the sidecar forever, so
+    // the re-add would never surface — ids are permanent identities)
+    land(Seq("add" -> 3L))
+    val q3 = start()
+    val died = intercept[Throwable] { q3.processAllAvailable() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(died).exists(_.contains("re-adds tombstoned")),
+      s"expected the loud re-add contract, got: $died")
+    try q3.stop() catch { case _: Throwable => () }
   }
 
   test("crash recovery: weighted-sample reservoir survives a restart") {

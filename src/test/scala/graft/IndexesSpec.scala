@@ -676,6 +676,49 @@ class IndexesSpec extends AnyFunSuite {
       .agg(sum(col("n_rows"))).head().getLong(0)
     assert(statRows === survivors.count() * 16,
       "index stats must reflect the tombstone-folded view (lTables=16 rows/vec)")
+    // graph SERVING honors the same tombstones (review catch: entries +
+    // re-rank read the IVF index raw, serving recorded deletes): build a
+    // graph over everything, tombstone against the IVF index, and no
+    // deleted id may be visited or returned
+    val g = Files.createTempDirectory("uni_graph").toString + "/g"
+    val flatIdx = Files.createTempDirectory("uni_graph_idx").toString + "/idx"
+    Indexes.writeLshIndex(emb, flatIdx, partitionByBucket = false)
+    Indexes.knnGraphIndexed(emb, flatIdx, j = 3)
+      .write.mode("overwrite").parquet(g)
+    for (qid <- Seq(7L, 11L)) {
+      val served = Indexes.annGraphSearch(emb, cent, ivf, g, qid, 10,
+        nProbe = 16, hops = 3).as[(Long, Double)].collect()
+      assert(served.nonEmpty && served.forall { case (id, _) => !delIds(id) },
+        s"graph search served a tombstoned id for query $qid")
+      val beamServed = Indexes.annGraphSearchBeam(emb, cent, ivf, g, qid, 10,
+        nProbe = 16, hops = 3, beamWidth = 8).as[(Long, Double)].collect()
+      assert(beamServed.forall { case (id, _) => !delIds(id) },
+        s"beam search served a tombstoned id for query $qid")
+    }
+  }
+
+  test("flat-layout compaction: batch_id appends fold to clustered flat parquet") {
+    // review catch: compactLshIndex unconditionally selected pkey, which
+    // the flat and streaming (batch_id-partitioned) layouts lack — the
+    // documented compaction lifecycle for exactly those deployments threw
+    val grown = Files.createTempDirectory("flat_compact").toString + "/idx"
+    Indexes.appendLshIndexIdempotent(emb.where(col("vec_id") % 2 === 0), 0L, grown)
+    Indexes.appendLshIndexIdempotent(emb.where(col("vec_id") % 2 === 1), 1L, grown)
+    val del = emb.where(col("vec_id") % 5 === 0).select(col("vec_id"))
+    Indexes.tombstoneLshIndex(spark, grown, del)
+    val compacted = Files.createTempDirectory("flat_compact_dst").toString + "/idx"
+    Indexes.compactLshIndex(spark, grown, compacted)
+    val out = spark.read.parquet(compacted)
+    assert(!out.columns.contains("batch_id"),
+      "compaction must drop the batch lineage column")
+    assert(!out.columns.contains("pkey"), "flat stays flat")
+    val delIds = del.as[Long].collect().toSet
+    val ids = out.select(col("vec_id")).distinct().as[Long].collect().toSet
+    assert(ids.nonEmpty && ids.intersect(delIds).isEmpty,
+      "compaction must fold the tombstones physically")
+    assert(out.count() ===
+      Indexes.readLshIndex(spark, grown).count(),
+      "row multiset must match the folded source")
   }
 
   test("minhash delete lifecycle: tombstoned near-dups equal a survivor rebuild") {
