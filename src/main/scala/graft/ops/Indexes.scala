@@ -225,7 +225,7 @@ object Indexes {
     * repeated corpus/model regeneration keeps one generation per family
     * (plus any inside the grace window) instead of growing the index root
     * without bound. */
-  private def gcSiblings(spark: SparkSession, path: String,
+  private[graft] def gcSiblings(spark: SparkSession, path: String,
                          familyPrefix: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = org.apache.hadoop.fs.FileSystem.get(

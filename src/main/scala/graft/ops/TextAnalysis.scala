@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline: language ID,
@@ -271,6 +271,139 @@ object TextAnalysis {
       .agg(round(sum(col("fp")).cast("double") / lit(1e6), 6).as("score"))
     graft.plans.GroupedTopK.topK(scored, Seq("query_id"),
       Seq("score" -> true, "doc_id" -> false), k)
+  }
+
+  // ---- maintained inverted retrieval index ---------------------------------
+
+  /** Term-bucket fan-out of the inverted index (partition dirs per
+    * batch). 64 dirs bound filesystem metadata while a query's handful
+    * of terms prunes to ≤ |terms| of them. */
+  val TermBuckets = 64
+
+  private def termBucket(term: Column): Column =
+    TextOps.shingleHash(term) % TermBuckets
+
+  /** Driver-side replica of [[termBucket]] (md5-hex-prefix % buckets) —
+    * probe buckets become PLAN-TIME literals, the [[graft.ops.Indexes]]
+    * bucketKeyLocal pattern; bit-identical to the executor expression
+    * and to DuckDB's `('0x' || substr(md5(t),1,12))::BIGINT`. */
+  private[graft] def termBucketLocal(term: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(12), 16) % TermBuckets
+  }
+
+  /** MAINTAINED INVERTED INDEX — the retrieval structure that takes BM25
+    * from two-corpus-scans-per-query ([[bm25TopK]]/[[bm25TopKBatch]]) to
+    * ZERO: postings (term, doc_id, tf, dl) live partitioned by a 64-way
+    * term bucket, so a query's terms prune statically to ≤ |terms| dirs;
+    * per-term df is a count over the probed postings themselves (postings
+    * ARE one row per containing doc); and the corpus scalars (N, Σdl)
+    * ride a store of 1-row per-build partials summed at probe time —
+    * tokenization happens once per document ever, at ingest, exactly the
+    * minhash index family's 100 TB property, applied to retrieval.
+    *
+    * Two write modes, one schema: the batch build (`writeInvertedIndex`)
+    * overwrites canonically; the streaming append
+    * ([[appendInvertedIndexIdempotent]]) lands each micro-batch in
+    * (batch_id, tb) partitions via dynamic overwrite — replays rewrite
+    * their own partitions (docs are batch-disjoint, so postings from
+    * different batches never merge rows; df/scalars derive at read).
+    * Deletes: not folded here — retrieval stats tolerate staleness until
+    * the next rebuild/compaction (stated, not hidden; the dedup/ANN
+    * families carry the strict tombstone lifecycle instead). */
+  def writeInvertedIndex(docs: DataFrame, path: String): Unit =
+    writeInvertedRows(docs, path, None)
+
+  def appendInvertedIndexIdempotent(docs: DataFrame, batchId: Long,
+                                    path: String): Unit =
+    writeInvertedRows(docs, path, Some(batchId))
+
+  private def writeInvertedRows(docs: DataFrame, path: String,
+                                batch: Option[Long]): Unit = {
+    val post = docs
+      .select(col("doc_id"), TextOps.wordsSafe(col("text")).as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+        explode(col("w")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"))
+      .withColumn("tb", termBucket(col("term")))
+    val scal = docs
+      .select(size(TextOps.wordsSafe(col("text"))).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).cast("long").as("total_dl"))
+    batch match {
+      case None =>
+        post.repartition(col("tb"))
+          .sortWithinPartitions(col("term"), col("doc_id"))
+          .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
+        scal.coalesce(1).write.mode("overwrite").parquet(s"$path/scalars")
+      case Some(b) =>
+        post.withColumn("batch_id", lit(b))
+          .repartition(col("tb"))
+          .sortWithinPartitions(col("term"), col("doc_id"))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id", "tb").parquet(s"$path/postings")
+        scal.withColumn("batch_id", lit(b)).coalesce(1)
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(s"$path/scalars")
+    }
+  }
+
+  /** Write-once build-if-missing for the registered query path — the
+    * [[graft.ops.Indexes.ensureMinhashIndex]] lifecycle (fingerprint-
+    * keyed, tmp build + atomic commit, sibling GC). */
+  def ensureInvertedIndex(spark: SparkSession, docs: DataFrame,
+                          sfDir: String): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val base = s"${graft.ops.Indexes.indexRoot}/$tag/" +
+      s"inverted_b${TermBuckets}_${graft.ops.Indexes.corpusFingerprint(docs)}"
+    if (!graft.ops.Indexes.successExists(spark, s"$base/postings")) {
+      val tmp = graft.ops.Indexes.tmpBuildPath(base)
+      writeInvertedIndex(docs, tmp)
+      graft.ops.Indexes.commitIndexDir(spark, tmp, base)
+      graft.ops.Indexes.gcSiblings(spark, base, s"inverted_b${TermBuckets}_")
+    }
+    base
+  }
+
+  /** BM25 top-`k` served from the inverted index — ZERO corpus scans:
+    * the probe reads ≤ |terms| postings partitions (static pruning on
+    * the driver-computed term buckets), df is a term-partition window
+    * count over the probed rows, the corpus scalars sum a store of
+    * 1-row partials, and candidates are exactly the probed postings
+    * (only docs containing ≥ 1 query term score — [[bm25TopK]]'s
+    * semantics). Scoring matches [[bm25TopKBatch]]'s fixed-point
+    * contract: per-(doc, term) contributions quantize to 1e-6 BIGINTs,
+    * the per-doc reduction is an exact integer sum, constants must be
+    * interpolated into the oracle from the same Scala doubles. */
+  def bm25TopKIndexed(spark: SparkSession, indexPath: String,
+                      terms: Seq[String], k: Int = 20,
+                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms,
+      "bm25TopKIndexed expects a non-empty, duplicate-free query-term list")
+    val tbs = terms.map(termBucketLocal).distinct
+    val post = spark.read.parquet(s"$indexPath/postings")
+      .where(col("tb").isin(tbs: _*))
+      .where(col("term").isin(terms: _*))
+    val stats = spark.read.parquet(s"$indexPath/scalars")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_dl")).as("total_dl"))
+    val tfd = post.withColumn("df",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("term"))))
+    val nD = col("n_docs").cast("double")
+    val dfD = col("df").cast("double")
+    val tfD = col("tf").cast("double")
+    val norm = lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") *
+      nD / col("total_dl").cast("double"))
+    val idf = log((nD - dfD + lit(0.5)) / (dfD + lit(0.5)) + lit(1.0))
+    val contribFp = round(idf * (tfD * lit(k1 + 1.0)) / (tfD + norm) * lit(1e6), 0)
+      .cast("long")
+    tfd.crossJoin(broadcast(stats))
+      .select(col("doc_id"), contribFp.as("fp"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("fp")).cast("double") / lit(1e6), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
   }
 
   /** Per-source unigram-distribution health: Shannon entropy and KL

@@ -3447,6 +3447,44 @@ object PipelineQueries {
        |ORDER BY query_id, score DESC, doc_id""".stripMargin
   }
 
+  /** BM25 from the MAINTAINED INVERTED INDEX
+    * ([[graft.ops.TextAnalysis.bm25TopKIndexed]]) — zero corpus scans at
+    * query time: postings prune statically to the query terms' buckets,
+    * df counts the probed postings, scalars sum 1-row partials. Same
+    * terms as q_bm25_topk; the oracle replays the identical fixed-point
+    * scoring from the documents table (DuckDB never sees the index —
+    * the equality IS the proof the index serves exactly the corpus
+    * derivation). */
+  def bm25Indexed(s: SparkSession, d: String): DataFrame = {
+    val idx = TextAnalysis.ensureInvertedIndex(s, documents(s, d), d)
+    TextAnalysis.bm25TopKIndexed(s, idx,
+      Seq("vector", "stream", "merge", "quantum"), k = 25)
+  }
+
+  val bm25IndexedSql: String = {
+    val (k1, b) = (1.2, 0.75)
+    val (k1s, k1p1, oneMb, bs) =
+      (k1.toString, (k1 + 1.0).toString, (1.0 - b).toString, b.toString)
+    s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |tok AS (SELECT doc_id, len(w)::BIGINT AS dl, unnest(w) AS term FROM w),
+       |tf AS (SELECT doc_id, term, max(dl) AS dl, count(*)::BIGINT AS tf
+       |       FROM tok
+       |       WHERE term IN ('vector', 'stream', 'merge', 'quantum')
+       |       GROUP BY doc_id, term),
+       |tfd AS (SELECT tf.*, (count(*) OVER (PARTITION BY term))::BIGINT AS df
+       |        FROM tf),
+       |st AS (SELECT count(*)::BIGINT AS n_docs, sum(len(w))::BIGINT AS total_dl
+       |       FROM w),
+       |c AS (SELECT tfd.doc_id,
+       |        round(ln((n_docs::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5) + 1.0)
+       |          * (tf::DOUBLE * $k1p1) / (tf::DOUBLE + $k1s * ($oneMb + $bs * dl::DOUBLE * n_docs::DOUBLE / total_dl::DOUBLE))
+       |          * 1000000.0)::BIGINT AS fp
+       |      FROM tfd CROSS JOIN st)
+       |SELECT doc_id, round(sum(fp)::DOUBLE / 1000000.0, 6) AS score
+       |FROM c GROUP BY doc_id
+       |ORDER BY score DESC, doc_id ASC LIMIT 25""".stripMargin
+  }
+
   /** Top-20 adjacent-pair collocations by PMI, support ≥ 5
     * ([[graft.ops.TextAnalysis.pmiTopPairs]]): one ln per surviving pair
     * over exact-integer-count ratios — no float accumulation anywhere. */

@@ -359,6 +359,27 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming INVERTED-INDEX maintenance — the retrieval twin of
+    * [[indexMaintenanceStream]]: each micro-batch of landing documents
+    * tokenizes once and lands its postings + scalar partials in
+    * batch_id-keyed partitions
+    * ([[graft.ops.TextAnalysis.appendInvertedIndexIdempotent]] — dynamic
+    * overwrite, so replays rewrite bit-identically), and every
+    * [[graft.ops.TextAnalysis.bm25TopKIndexed]] probe immediately serves
+    * the grown corpus with zero corpus scans. Spec-asserted: the
+    * maintained index answers queries identically to a from-scratch
+    * build over every ingested prefix, across a checkpoint restart. */
+  def invertedIndexMaintenanceStream(docs: DataFrame, indexPath: String,
+                                     checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.TextAnalysis.appendInvertedIndexIdempotent(batch.toDF(),
+          batchId, indexPath)
+      }
+      .start()
+
   /** CDC-STYLE kNN-graph maintenance — [[knnGraphMaintenanceStream]]
     * generalized to MIXED change batches: rows are (op, vec_id,
     * embedding) with op ∈ {add, delete} (embedding ignored for deletes),

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 import java.time.Instant
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.functions.{col, udf}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.EventStreams
@@ -236,6 +236,46 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(msgs(died).exists(_.contains("re-adds tombstoned")),
       s"expected the loud re-add contract, got: $died")
     try q3.stop() catch { case _: Throwable => () }
+  }
+
+  test("streaming inverted-index maintenance: probes equal a rebuild per prefix, across a restart") {
+    import org.apache.spark.sql.types._
+    val landing = java.nio.file.Files.createTempDirectory("inv_landing").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("inv_ckpt").toString
+    val idx = java.nio.file.Files.createTempDirectory("inv_store").toString + "/idx"
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val corpus = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    def land(m: Int): Unit =
+      corpus.where(col("doc_id") % 3 === m).coalesce(1)
+        .write.mode("append").parquet(landing)
+    def start() = EventStreams.invertedIndexMaintenanceStream(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(landing), idx, ckpt)
+    val terms = Seq("vector", "stream", "merge", "quantum")
+    def check(mods: Seq[Int], clue: String): Unit = {
+      val ingested = corpus.where(
+        mods.map(m => col("doc_id") % 3 === m).reduce(_ || _))
+      val rb = java.nio.file.Files.createTempDirectory("inv_rb").toString + "/idx"
+      graft.ops.TextAnalysis.writeInvertedIndex(ingested, rb)
+      val want = graft.ops.TextAnalysis.bm25TopKIndexed(spark, rb, terms, k = 25)
+        .as[(Long, Double)].collect().toSeq
+      val got = graft.ops.TextAnalysis.bm25TopKIndexed(spark, idx, terms, k = 25)
+        .as[(Long, Double)].collect().toSeq
+      assert(got === want, clue)
+    }
+    land(0)
+    val q1 = start(); q1.processAllAvailable()
+    check(Seq(0), "after batch 0")
+    land(1)
+    q1.processAllAvailable(); q1.stop()
+    check(Seq(0, 1), "after batch 1")
+    // a batch lands while the stream is DOWN; restart resumes from the
+    // checkpoint and the maintained index keeps answering like a rebuild
+    land(2)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    check(Seq(0, 1, 2), "after the post-restart batch")
   }
 
   test("crash recovery: weighted-sample reservoir survives a restart") {

@@ -329,6 +329,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p20.contains("GroupedTopK"), s"per-query cut must be the heap:\n$p20")
   }
 
+  test("indexed bm25: zero corpus scans, postings prune to the terms' buckets") {
+    val p = plan("q_bm25_indexed")
+    assert(!p.contains("documents.parquet"),
+      s"the indexed probe must never touch the corpus:\n$p")
+    assert(p.contains("PartitionFilters: [tb"),
+      s"term-bucket pruning must reach the postings scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject(limit=25"),
+      s"the cut must be a bounded top-k:\n$p")
+  }
+
   test("graph ANN search: visited ids push into the embedding scan as literals") {
     // the navigation result is a driver-bounded id set BY DESIGN — the
     // re-rank must reach the parquet scan as an In/InSet filter (point

@@ -129,6 +129,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("inverted index: probe equals the corpus derivation; appends equal a rebuild") {
+    val corpus = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val terms = Seq("vector", "stream", "merge", "quantum")
+    val base = java.nio.file.Files.createTempDirectory("inv_idx").toString + "/idx"
+    TextAnalysis.writeInvertedIndex(corpus, base)
+    val got = TextAnalysis.bm25TopKIndexed(spark, base, terms, k = 25)
+      .as[(Long, Double)].collect().toSeq
+    // reference: the corpus-scanning batch operator with the IDENTICAL
+    // fixed-point scoring (batch of one query) — scores must be EXACT
+    val want = TextAnalysis.bm25TopKBatch(corpus,
+        Seq((0L, terms)).toDF("query_id", "terms"), k = 25)
+      .as[(Long, Long, Double)].collect().toSeq
+      .sortBy { case (_, id, s) => (-s, id) }.map { case (_, id, s) => (id, s) }
+    assert(got === want, "indexed probe must equal the corpus derivation exactly")
+    // idempotent appends == rebuild, including a replayed batch
+    val grown = java.nio.file.Files.createTempDirectory("inv_grow").toString + "/idx"
+    TextAnalysis.appendInvertedIndexIdempotent(
+      corpus.where(col("doc_id") % 2 === 0), 0L, grown)
+    TextAnalysis.appendInvertedIndexIdempotent(
+      corpus.where(col("doc_id") % 2 === 1), 1L, grown)
+    TextAnalysis.appendInvertedIndexIdempotent(
+      corpus.where(col("doc_id") % 2 === 1), 1L, grown) // replay: rewrites, never dups
+    val gotGrown = TextAnalysis.bm25TopKIndexed(spark, grown, terms, k = 25)
+      .as[(Long, Double)].collect().toSeq
+    assert(gotGrown === got, "append-grown index must answer like the rebuild")
+  }
+
   test("source entropy + KL: hand-computed distributions") {
     val docs = Seq(
       (0L, "a a b", "srcA"),
