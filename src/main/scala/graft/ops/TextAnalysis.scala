@@ -406,6 +406,51 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** [[bm25TopKIndexed]]'s many-queries twin — N queries, still zero
+    * corpus scans: ONE probe of the union query vocabulary's buckets
+    * serves every query (df per term computed once over the probed
+    * postings), scoring joins the (query_id, term) pairs, and the
+    * per-query cut is the bounded-heap [[graft.plans.GroupedTopK]]. The
+    * full family is now closed under {single, batch} × {scan, index}. */
+  def bm25TopKIndexedBatch(spark: SparkSession, indexPath: String,
+                           queries: DataFrame, k: Int = 20,
+                           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qterms = queries.select(col("query_id"),
+      explode(array_distinct(col("terms"))).as("term"))
+    val vocab = qterms.select(col("term")).distinct()
+    // buckets of the union vocabulary as plan-time literals — a driver
+    // round-trip bounded by the vocabulary (take + require, the batch
+    // family's loud-collect pattern)
+    import spark.implicits._
+    val termList = vocab.as[String].take(graft.ops.Indexes.MaxBatchProbeRows + 1)
+    require(termList.length <= graft.ops.Indexes.MaxBatchProbeRows,
+      "bm25TopKIndexedBatch union vocabulary exceeds MaxBatchProbeRows — split")
+    val tbs = termList.map(termBucketLocal).distinct.toSeq
+    val post = spark.read.parquet(s"$indexPath/postings")
+      .where(col("tb").isin(tbs: _*))
+      .join(broadcast(vocab), Seq("term"), "left_semi")
+    val stats = spark.read.parquet(s"$indexPath/scalars")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_dl")).as("total_dl"))
+    val tfd = post.withColumn("df",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("term"))))
+    val nD = col("n_docs").cast("double")
+    val dfD = col("df").cast("double")
+    val tfD = col("tf").cast("double")
+    val norm = lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") *
+      nD / col("total_dl").cast("double"))
+    val idf = log((nD - dfD + lit(0.5)) / (dfD + lit(0.5)) + lit(1.0))
+    val contribFp = round(idf * (tfD * lit(k1 + 1.0)) / (tfD + norm) * lit(1e6), 0)
+      .cast("long")
+    val scored = qterms.join(tfd, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"), contribFp.as("fp"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("fp")).cast("double") / lit(1e6), 6).as("score"))
+    graft.plans.GroupedTopK.topK(scored, Seq("query_id"),
+      Seq("score" -> true, "doc_id" -> false), k)
+  }
+
   /** Per-source unigram-distribution health: Shannon entropy and KL
     * divergence from the corpus distribution — the mixing-QA pass that
     * tells a pipeline which source is degenerate (low entropy ⇒

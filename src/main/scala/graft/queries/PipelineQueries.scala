@@ -3485,6 +3485,28 @@ object PipelineQueries {
        |ORDER BY score DESC, doc_id ASC LIMIT 25""".stripMargin
   }
 
+  /** Batched BM25 from the maintained inverted index — the same five
+    * queries as q_bm25_batch, zero corpus scans; the scoring is the
+    * identical fixed-point derivation, so the oracle IS q_bm25_batch's
+    * (the index must be indistinguishable from the scan). */
+  def bm25IndexedBatch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val idx = TextAnalysis.ensureInvertedIndex(s, documents(s, d), d)
+    val qs = Seq(
+      (0L, Seq("vector", "stream", "merge", "quantum")),
+      (1L, Seq("join", "hash", "filter")),
+      (2L, Seq("spark", "window")),
+      (3L, Seq("customer", "quantum")),
+      (4L, Seq("table", "data", "data"))
+    ).toDF("query_id", "terms")
+    TextAnalysis.bm25TopKIndexedBatch(s, idx, qs, k = 10)
+      .orderBy(col("query_id"), col("score").desc, col("doc_id"))
+  }
+
+  /** The scan-path batch oracle verbatim: indexed == scanned is the
+    * registered claim. */
+  val bm25IndexedBatchSql: String = bm25BatchSql
+
   /** Top-20 adjacent-pair collocations by PMI, support ≥ 5
     * ([[graft.ops.TextAnalysis.pmiTopPairs]]): one ln per surviving pair
     * over exact-integer-count ratios — no float accumulation anywhere. */
