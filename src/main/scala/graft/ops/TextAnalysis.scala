@@ -366,6 +366,28 @@ object TextAnalysis {
     base
   }
 
+  /** Fold an append-grown (batch_id-partitioned) inverted index into a
+    * fresh canonical generation — the [[graft.ops.Indexes.compactLshIndex]]
+    * lifecycle verb for the retrieval store: one sorted file per term
+    * bucket, batch lineage dropped, scalars re-summed to one row. Pure
+    * shuffle-and-rewrite of postings rows (never re-tokenizes); probes
+    * answer identically pre/post (spec-asserted). Write-once: `dest` is
+    * a new generation committed atomically. */
+  def compactInvertedIndex(spark: SparkSession, src: String,
+                           dest: String): Unit = {
+    val tmp = graft.ops.Indexes.tmpBuildPath(dest)
+    spark.read.parquet(s"$src/postings")
+      .select(col("doc_id"), col("term"), col("dl"), col("tf"), col("tb"))
+      .repartition(col("tb"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$tmp/postings")
+    spark.read.parquet(s"$src/scalars")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_dl")).cast("long").as("total_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/scalars")
+    graft.ops.Indexes.commitIndexDir(spark, tmp, dest)
+  }
+
   /** BM25 top-`k` served from the inverted index — ZERO corpus scans:
     * the probe reads ≤ |terms| postings partitions (static pruning on
     * the driver-computed term buckets), df is a term-partition window

@@ -154,6 +154,14 @@ class TextAnalysisSpec extends AnyFunSuite {
     val gotGrown = TextAnalysis.bm25TopKIndexed(spark, grown, terms, k = 25)
       .as[(Long, Double)].collect().toSeq
     assert(gotGrown === got, "append-grown index must answer like the rebuild")
+    // compaction folds the batch partitions; probes identical, lineage gone
+    val compacted = java.nio.file.Files.createTempDirectory("inv_compact")
+      .toString + "/idx"
+    TextAnalysis.compactInvertedIndex(spark, grown, compacted)
+    assert(!spark.read.parquet(s"$compacted/postings").columns.contains("batch_id"))
+    val gotCompacted = TextAnalysis.bm25TopKIndexed(spark, compacted, terms, k = 25)
+      .as[(Long, Double)].collect().toSeq
+    assert(gotCompacted === got, "probe must survive compaction unchanged")
   }
 
   test("source entropy + KL: hand-computed distributions") {
