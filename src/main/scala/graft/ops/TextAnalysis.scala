@@ -256,14 +256,7 @@ object TextAnalysis {
     val stats = docs
       .select(size(TextOps.wordsSafe(col("text"))).cast("long").as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).cast("long").as("total_dl"))
-    val nD = col("n_docs").cast("double")
-    val dfD = col("df").cast("double")
-    val tfD = col("tf").cast("double")
-    val norm = lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") *
-      nD / col("total_dl").cast("double"))
-    val idf = log((nD - dfD + lit(0.5)) / (dfD + lit(0.5)) + lit(1.0))
-    val contribFp = round(idf * (tfD * lit(k1 + 1.0)) / (tfD + norm) * lit(1e6), 0)
-      .cast("long")
+    val contribFp = bm25ContribFp(k1, b)
     val scored = qterms.join(tfd, Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"), contribFp.as("fp"))
@@ -319,6 +312,21 @@ object TextAnalysis {
                                     path: String): Unit =
     writeInvertedRows(docs, path, Some(batchId))
 
+  /** (N, Σdl) from a POSTINGS frame — every doc has ≥ 1 posting row
+    * ([[TextOps.wordsSafe]] yields [""] even for null text) with its dl
+    * carried on each row, so the scalars derive from postings without a
+    * second tokenization pass (review catch: the old shape re-tokenized
+    * the corpus for the scalar aggregate — 2× ingest cost at scale). */
+  private def scalarsFromPostings(post: DataFrame): DataFrame =
+    post.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).cast("long").as("total_dl"))
+
+  /** ONE on-disk layout for both write modes (review catch: a tb-only
+    * batch build next to (batch_id, tb) streaming appends made partition
+    * discovery throw at the first probe): every store is
+    * (batch_id, tb)-partitioned — the batch build IS batch 0, written
+    * with a plain overwrite (which commits a root _SUCCESS for the
+    * ensure gate); streaming appends land via dynamic overwrite. */
   private def writeInvertedRows(docs: DataFrame, path: String,
                                 batch: Option[Long]): Unit = {
     val post = docs
@@ -328,24 +336,34 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("term"))
       .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"))
       .withColumn("tb", termBucket(col("term")))
-    val scal = docs
-      .select(size(TextOps.wordsSafe(col("text"))).cast("long").as("dl"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).cast("long").as("total_dl"))
+      .withColumn("batch_id", lit(batch.getOrElse(0L)))
+    val spark = docs.sparkSession
     batch match {
       case None =>
         post.repartition(col("tb"))
           .sortWithinPartitions(col("term"), col("doc_id"))
-          .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
-        scal.coalesce(1).write.mode("overwrite").parquet(s"$path/scalars")
+          .write.mode("overwrite").partitionBy("batch_id", "tb")
+          .parquet(s"$path/postings")
+        scalarsFromPostings(spark.read.parquet(s"$path/postings"))
+          .withColumn("batch_id", lit(0L)).coalesce(1)
+          .write.mode("overwrite").partitionBy("batch_id")
+          .parquet(s"$path/scalars")
       case Some(b) =>
-        post.withColumn("batch_id", lit(b))
-          .repartition(col("tb"))
+        post.repartition(col("tb"))
           .sortWithinPartitions(col("term"), col("doc_id"))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id", "tb").parquet(s"$path/postings")
-        scal.withColumn("batch_id", lit(b)).coalesce(1)
-          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id").parquet(s"$path/scalars")
+        // an EMPTY first batch on a fresh path writes no postings files —
+        // skip the scalar read-back rather than fail schema inference
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+        if (fs.globStatus(new org.apache.hadoop.fs.Path(
+            s"$path/postings", "*/*/*.parquet")).nonEmpty)
+          scalarsFromPostings(
+              spark.read.parquet(s"$path/postings").where(col("batch_id") === b))
+            .withColumn("batch_id", lit(b)).coalesce(1)
+            .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(s"$path/scalars")
     }
   }
 
@@ -366,6 +384,21 @@ object TextAnalysis {
     base
   }
 
+  /** The ONE fixed-point BM25 contribution expression all scoring paths
+    * share (review catch: three verbatim copies enforced the bit-identity
+    * contract by hand): reads tf/df/dl/n_docs/total_dl columns, yields
+    * the 1e-6-quantized BIGINT contribution. Constants fold from the
+    * SAME Scala doubles the oracles interpolate. */
+  private def bm25ContribFp(k1: Double, b: Double): Column = {
+    val nD = col("n_docs").cast("double")
+    val dfD = col("df").cast("double")
+    val tfD = col("tf").cast("double")
+    val norm = lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") *
+      nD / col("total_dl").cast("double"))
+    val idf = log((nD - dfD + lit(0.5)) / (dfD + lit(0.5)) + lit(1.0))
+    round(idf * (tfD * lit(k1 + 1.0)) / (tfD + norm) * lit(1e6), 0).cast("long")
+  }
+
   /** Fold an append-grown (batch_id-partitioned) inverted index into a
     * fresh canonical generation — the [[graft.ops.Indexes.compactLshIndex]]
     * lifecycle verb for the retrieval store: one sorted file per term
@@ -376,15 +409,22 @@ object TextAnalysis {
   def compactInvertedIndex(spark: SparkSession, src: String,
                            dest: String): Unit = {
     val tmp = graft.ops.Indexes.tmpBuildPath(dest)
+    // output keeps the ONE unified (batch_id, tb) layout — everything
+    // folds into generation batch 0, so a compacted store accepts
+    // further streaming appends without a layout conflict
     spark.read.parquet(s"$src/postings")
       .select(col("doc_id"), col("term"), col("dl"), col("tf"), col("tb"))
+      .withColumn("batch_id", lit(0L))
       .repartition(col("tb"))
       .sortWithinPartitions(col("term"), col("doc_id"))
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$tmp/postings")
+      .write.mode("overwrite").partitionBy("batch_id", "tb")
+      .parquet(s"$tmp/postings")
     spark.read.parquet(s"$src/scalars")
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("total_dl")).cast("long").as("total_dl"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/scalars")
+      .withColumn("batch_id", lit(0L))
+      .coalesce(1).write.mode("overwrite").partitionBy("batch_id")
+      .parquet(s"$tmp/scalars")
     graft.ops.Indexes.commitIndexDir(spark, tmp, dest)
   }
 
@@ -412,14 +452,7 @@ object TextAnalysis {
     val tfd = post.withColumn("df",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("term"))))
-    val nD = col("n_docs").cast("double")
-    val dfD = col("df").cast("double")
-    val tfD = col("tf").cast("double")
-    val norm = lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") *
-      nD / col("total_dl").cast("double"))
-    val idf = log((nD - dfD + lit(0.5)) / (dfD + lit(0.5)) + lit(1.0))
-    val contribFp = round(idf * (tfD * lit(k1 + 1.0)) / (tfD + norm) * lit(1e6), 0)
-      .cast("long")
+    val contribFp = bm25ContribFp(k1, b)
     tfd.crossJoin(broadcast(stats))
       .select(col("doc_id"), contribFp.as("fp"))
       .groupBy(col("doc_id"))
@@ -444,26 +477,26 @@ object TextAnalysis {
     // round-trip bounded by the vocabulary (take + require, the batch
     // family's loud-collect pattern)
     import spark.implicits._
+    // null terms are dropped like the scan twin's equi-join drops them
+    // (review catch: termBucketLocal(null) NPE'd where bm25TopKBatch
+    // tolerated the same frame)
     val termList = vocab.as[String].take(graft.ops.Indexes.MaxBatchProbeRows + 1)
+      .filter(_ != null)
     require(termList.length <= graft.ops.Indexes.MaxBatchProbeRows,
       "bm25TopKIndexedBatch union vocabulary exceeds MaxBatchProbeRows — split")
     val tbs = termList.map(termBucketLocal).distinct.toSeq
+    // term filter as LITERALS, not a semi-join (review catch): the
+    // postings files are term-sorted precisely so the isin pushes to the
+    // scan and footer stats prune — the join read every probed bucket
     val post = spark.read.parquet(s"$indexPath/postings")
       .where(col("tb").isin(tbs: _*))
-      .join(broadcast(vocab), Seq("term"), "left_semi")
+      .where(col("term").isin(termList.toSeq: _*))
     val stats = spark.read.parquet(s"$indexPath/scalars")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_dl")).as("total_dl"))
     val tfd = post.withColumn("df",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("term"))))
-    val nD = col("n_docs").cast("double")
-    val dfD = col("df").cast("double")
-    val tfD = col("tf").cast("double")
-    val norm = lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") *
-      nD / col("total_dl").cast("double"))
-    val idf = log((nD - dfD + lit(0.5)) / (dfD + lit(0.5)) + lit(1.0))
-    val contribFp = round(idf * (tfD * lit(k1 + 1.0)) / (tfD + norm) * lit(1e6), 0)
-      .cast("long")
+    val contribFp = bm25ContribFp(k1, b)
     val scored = qterms.join(tfd, Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"), contribFp.as("fp"))

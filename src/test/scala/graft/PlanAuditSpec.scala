@@ -339,6 +339,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the cut must be a bounded top-k:\n$p")
   }
 
+  test("indexed bm25 BATCH: zero corpus scans, literal term pushdown, heap cut") {
+    // the batch twin makes the same zero-scan claim — audit it separately
+    // (review catch: a silent corpus-scan regression would keep the
+    // oracle green)
+    val p = plan("q_bm25_indexed_batch")
+    assert(!p.contains("documents.parquet"),
+      s"the batch indexed probe must never touch the corpus:\n$p")
+    assert(p.contains("PartitionFilters: [tb"),
+      s"term-bucket pruning must reach the postings scan:\n$p")
+    // the scan line's path truncates at the family prefix — match on it
+    assert(p.linesIterator.exists(l =>
+        l.contains("FileScan parquet") && l.contains("inverted_b") &&
+          l.contains("In(term")),
+      s"the term filter must push into the postings scan as literals:\n$p")
+    assert(p.contains("GroupedTopK"),
+      s"the per-query cut must be the bounded heap:\n$p")
+  }
+
   test("graph ANN search: visited ids push into the embedding scan as literals") {
     // the navigation result is a driver-bounded id set BY DESIGN — the
     // re-rank must reach the parquet scan as an In/InSet filter (point

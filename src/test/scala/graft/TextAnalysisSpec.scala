@@ -158,10 +158,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     val compacted = java.nio.file.Files.createTempDirectory("inv_compact")
       .toString + "/idx"
     TextAnalysis.compactInvertedIndex(spark, grown, compacted)
-    assert(!spark.read.parquet(s"$compacted/postings").columns.contains("batch_id"))
+    // ONE unified layout: everything folds into generation batch 0, so a
+    // compacted store keeps accepting streaming appends
+    val gens = spark.read.parquet(s"$compacted/postings")
+      .select(col("batch_id")).distinct().as[Long].collect().toSeq
+    assert(gens === Seq(0L), s"compaction must fold to generation 0, got $gens")
     val gotCompacted = TextAnalysis.bm25TopKIndexed(spark, compacted, terms, k = 25)
       .as[(Long, Double)].collect().toSeq
     assert(gotCompacted === got, "probe must survive compaction unchanged")
+    // ...and a post-compaction append composes (the bootstrap-then-stream
+    // lifecycle the unified layout exists for)
+    TextAnalysis.appendInvertedIndexIdempotent(
+      corpus.where(col("doc_id") < 0), 7L, compacted) // empty batch: layout-compatible
+    val gotAfterAppend = TextAnalysis.bm25TopKIndexed(spark, compacted, terms, k = 25)
+      .as[(Long, Double)].collect().toSeq
+    assert(gotAfterAppend === got)
   }
 
   test("source entropy + KL: hand-computed distributions") {
