@@ -276,14 +276,53 @@ object TextAnalysis {
   private def termBucket(term: Column): Column =
     TextOps.shingleHash(term) % TermBuckets
 
-  /** Driver-side replica of [[termBucket]] (md5-hex-prefix % buckets) —
-    * probe buckets become PLAN-TIME literals, the [[graft.ops.Indexes]]
-    * bucketKeyLocal pattern; bit-identical to the executor expression
-    * and to DuckDB's `('0x' || substr(md5(t),1,12))::BIGINT`. */
-  private[graft] def termBucketLocal(term: String): Long = {
+  /** Driver-side replica of [[TextOps.shingleHash]] (48-bit md5-hex
+    * prefix) — bit-identical to the executor expression and to DuckDB's
+    * `('0x' || substr(md5(s),1,12))::BIGINT`, so driver-computed keys
+    * are PLAN-TIME literals (the [[graft.ops.Indexes]] bucketKeyLocal
+    * pattern). */
+  private[graft] def md5Prefix48(s: String): Long = {
     val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(term.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.take(12), 16) % TermBuckets
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(12), 16)
+  }
+
+  /** Driver-side replica of [[termBucket]]. */
+  private[graft] def termBucketLocal(term: String): Long =
+    md5Prefix48(term) % TermBuckets
+
+  /** EXACT-PHRASE SEARCH served from the positioned-window index
+    * ([[graft.ops.Indexes.ensurePositionedWindows]] — the decontamination
+    * family's state, reused as a retrieval structure): the phrase's
+    * windowN-word windows hash on the DRIVER, the index scan filters to
+    * those literal keys (pushdown), and a phrase occurrence is an ANCHOR
+    * position where every window matches at its offset —
+    * `pos − offset` groups, `countDistinct(offset) == |windows|` filters —
+    * so multi-window phrases resolve in ONE pass over the matching rows,
+    * no self-join chain, no re-tokenization, no corpus scan. Output:
+    * (doc_id, n_hits, first_pos). Same 48-bit-collision caveat as every
+    * consumer of the window hashes (±2⁻⁴⁸ per pair, documented there);
+    * docs shorter than windowN cannot contain a ≥ windowN-word phrase and
+    * produce no rows on either engine. */
+  def phraseSearch(spark: SparkSession, posWinPath: String,
+                   phrase: Seq[String], windowN: Int): DataFrame = {
+    require(phrase.size >= windowN,
+      s"phrase must span at least windowN=$windowN words")
+    val wins = phrase.map(_.toLowerCase.trim)
+      .sliding(windowN).map(_.mkString(" ")).toSeq
+    val hs = wins.map(md5Prefix48)
+    import spark.implicits._
+    val lookup = hs.zipWithIndex.toDF("s", "off")
+    spark.read.parquet(posWinPath)
+      .where(col("s").isin(hs.distinct: _*))
+      .join(broadcast(lookup), Seq("s"))
+      .select(col("doc_id"), (col("pos") - col("off")).as("anchor"), col("off"))
+      .groupBy(col("doc_id"), col("anchor"))
+      .agg(countDistinct(col("off")).as("n_off"))
+      .where(col("n_off") === wins.size)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("anchor")).as("first_pos"))
+      .orderBy(col("doc_id"))
   }
 
   /** MAINTAINED INVERTED INDEX — the retrieval structure that takes BM25

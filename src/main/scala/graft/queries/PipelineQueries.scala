@@ -3507,6 +3507,37 @@ object PipelineQueries {
     * registered claim. */
   val bm25IndexedBatchSql: String = bm25BatchSql
 
+  /** Exact-phrase search ([[graft.ops.TextAnalysis.phraseSearch]]) for a
+    * 3-word phrase over the windowN=2 positioned index — two windows,
+    * so the anchor-join path (pos − offset grouping) is what the oracle
+    * gates, not just a single-key lookup. The oracle replays windows,
+    * hashes, anchors, and the distinct-offset filter from the documents
+    * table. */
+  def phraseSearch(s: SparkSession, d: String): DataFrame = {
+    val idx = graft.ops.Indexes.ensurePositionedWindows(s, documents(s, d), d,
+      windowN = 2, label = "phrase")
+    TextAnalysis.phraseSearch(s, idx, Seq("join", "part", "filter"), windowN = 2)
+  }
+
+  val phraseSearchSql: String =
+    s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |sg0 AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+       |                 i -> {'pos': i - 1, 'sstr': w[i] || ' ' || w[i + 1]})) AS u
+       |        FROM w WHERE len(w) >= 2),
+       |sg AS (SELECT doc_id, u.pos AS pos, u.sstr AS sstr FROM sg0),
+       |h AS (SELECT doc_id, pos,
+       |             ('0x' || substr(md5(sstr), 1, 12))::BIGINT AS s FROM sg),
+       |ph(s, off) AS (VALUES
+       |  (('0x' || substr(md5('join part'), 1, 12))::BIGINT, 0),
+       |  (('0x' || substr(md5('part filter'), 1, 12))::BIGINT, 1)),
+       |m AS (SELECT h.doc_id, h.pos - ph.off AS anchor, ph.off
+       |      FROM h JOIN ph ON h.s = ph.s),
+       |occ AS (SELECT doc_id, anchor FROM m
+       |        GROUP BY doc_id, anchor HAVING count(DISTINCT off) = 2)
+       |SELECT doc_id, count(*)::BIGINT AS n_hits,
+       |       min(anchor)::INTEGER AS first_pos
+       |FROM occ GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Top-20 adjacent-pair collocations by PMI, support ≥ 5
     * ([[graft.ops.TextAnalysis.pmiTopPairs]]): one ln per surviving pair
     * over exact-integer-count ratios — no float accumulation anywhere. */

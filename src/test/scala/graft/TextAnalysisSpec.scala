@@ -175,6 +175,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(gotAfterAppend === got)
   }
 
+  test("phrase search: anchors, multi-hit counts, no partial-window matches") {
+    val docs = Seq(
+      (0L, "a b c d a b c"), // "a b c" at anchors 0 and 4
+      (1L, "a b x b c"),     // both windows present, never consecutive
+      (2L, "b c a b"),       // windows in the wrong order
+      (3L, "x y z")
+    ).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("phrase").toString + "/idx"
+    graft.ops.Decontamination.positionedWindows(docs, windowN = 2)
+      .write.mode("overwrite").parquet(idx)
+    val got = TextAnalysis.phraseSearch(spark, idx, Seq("a", "b", "c"), windowN = 2)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got === Seq((0L, 2L, 0)),
+      s"only doc 0 contains the phrase, twice, first at 0 — got $got")
+    // a single-window phrase degenerates to a positioned lookup
+    val one = TextAnalysis.phraseSearch(spark, idx, Seq("b", "c"), windowN = 2)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(one === Seq((0L, 2L, 1L), (1L, 1L, 3L), (2L, 1L, 0L))
+      .map { case (d, n, p) => (d, n, p.toInt) })
+  }
+
   test("source entropy + KL: hand-computed distributions") {
     val docs = Seq(
       (0L, "a a b", "srcA"),
