@@ -218,6 +218,20 @@ object Indexes {
     * sweep. */
   private[graft] def effectiveGcGraceMs: Long = gcGraceMs
 
+  /** Run-dir GC gets its OWN, much larger default grace (ADVICE r12: the
+    * 15-min index knob made it easy for a sweep to reclaim a concurrent
+    * application's LIVE intermediate stages when one stage ran longer
+    * than the grace — index generations are content-addressed and
+    * rebuildable, run dirs are in-flight state, so they do not share a
+    * liveness budget). Floor is 6 h or the index grace, whichever is
+    * larger; `SPARK_GRAFT_RUNDIR_GC_GRACE_MS` overrides, and the
+    * [[withGcGrace]] test hook still governs (thread-scoped). */
+  private[graft] val runDirGcGraceMsDefault: Long =
+    sys.env.get("SPARK_GRAFT_RUNDIR_GC_GRACE_MS").map(_.toLong)
+      .getOrElse(math.max(gcGraceMsDefault, 6L * 60L * 60L * 1000L))
+  private[graft] def effectiveRunDirGcGraceMs: Long =
+    gcGraceOverride.value.getOrElse(runDirGcGraceMsDefault)
+
   /** Reclaim superseded generations of one index family: siblings of `path`
     * whose name shares `familyPrefix` but carries a DIFFERENT fingerprint
     * suffix (including `.tmp-*` leftovers of crashed builds), and whose
@@ -248,12 +262,20 @@ object Indexes {
           fs.delete(st.getPath, true)
       }
       // Pass 2 — sidecars: a sidecar lives exactly as long as its OWN
-      // generation directory; age is irrelevant (the orphan check is
-      // precise). Runs after pass 1 so a superseded generation and its
-      // sidecar are reclaimed in the same sweep.
+      // generation directory, so reclamation keys on the orphan check —
+      // AND on the same mtime grace as pass 1 (ADVICE r12: a bare
+      // point-in-time existence probe can race a [[commitIndexDir]]
+      // rename that an object store implements as copy+delete, or a
+      // commit in flight — sweeping a LIVE generation's sidecar during
+      // that visibility window silently resurrects every deleted row; a
+      // young sidecar is never orphaned-for-longer-than-grace, so the
+      // age gate closes the race at the cost of aged garbage living one
+      // extra sweep). Runs after pass 1 so a superseded generation and
+      // its sidecar are reclaimed in the same sweep.
       family.foreach { st =>
         val name = st.getPath.getName
         if (name.endsWith(".tombstones") &&
+            st.getModificationTime < cutoff &&
             !fs.exists(new org.apache.hadoop.fs.Path(parent,
               name.stripSuffix(".tombstones"))))
           fs.delete(st.getPath, true)
@@ -363,8 +385,11 @@ object Indexes {
     * bytes). The layout is batch-partitioned flat parquet: full-index
     * consumers ([[knnGraphIndexed]]/[[knnGraphIncremental]]'s self-join)
     * read it unchanged (the extra batch_id column is ignored by their
-    * (t, key, vec_id) projection); point-probe deployments periodically
-    * fold generations through [[compactLshIndex]]'s lifecycle instead. */
+    * (t, key, vec_id) projection). Lifecycle: [[compactLshIndex]] folds
+    * an append-grown store into one batch_id=0 generation (layout
+    * preserved, so the stream keeps appending); point-probe deployments
+    * additionally cut a two-level serving generation with
+    * [[rebucketLshIndex]] (which takes the index's own bBits, checked). */
   def appendLshIndexIdempotent(emb: DataFrame, batchId: Long, path: String,
                                bBits: Int = 4, lTables: Int = 16,
                                dim: Int = 64, seed: Long = 42L): Unit =
@@ -425,16 +450,54 @@ object Indexes {
         .repartition(col("t"), col("pkey"))
         .sortWithinPartitions(col("key"), col("vec_id"))
         .write.mode("overwrite").partitionBy("t", "pkey").parquet(tmp)
+    else if (folded.columns.contains("batch_id"))
+      // STREAMING (batch_id-partitioned) layouts fold into generation
+      // batch 0 and KEEP the partitioned layout (the
+      // [[graft.ops.TextAnalysis.compactInvertedIndex]] precedent —
+      // ADVICE r12: the old flat fold dropped batch_id, so the compacted
+      // generation could neither accept further
+      // [[appendLshIndexIdempotent]] appends — flat files next to
+      // batch_id= dirs break partition discovery at the next read — nor
+      // stay layout-compatible with the maintenance stream that feeds it)
+      folded.select(col("vec_id"), col("t"), col("key"))
+        .withColumn("batch_id", lit(0L))
+        .repartition(col("t"), col("key"))
+        .sortWithinPartitions(col("t"), col("key"))
+        .write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
     else
-      // FLAT layouts (writeLshIndex(partitionByBucket = false) and the
-      // streaming batch_id-partitioned appends — review catch: the
-      // unconditional pkey select threw on exactly the deployments the
-      // append doc sends here): fold to clustered flat parquet, dropping
-      // the batch_id lineage column — compaction IS the generation cut
+      // FLAT layouts (writeLshIndex(partitionByBucket = false) — review
+      // catch: the unconditional pkey select threw on exactly the
+      // deployments the append doc sends here): fold to clustered flat
+      // parquet — compaction IS the generation cut
       folded.select(col("vec_id"), col("t"), col("key"))
         .repartition(col("t"), col("key"))
         .sortWithinPartitions(col("t"), col("key"))
         .write.mode("overwrite").parquet(tmp)
+    commitIndexDir(spark, tmp, dest)
+  }
+
+  /** REBUCKET any LSH generation into the canonical two-level
+    * (t, pkey)-partitioned serving layout ([[PartDirBits]]) — the bridge
+    * from the streaming/flat layouts to POINT-PROBE serving
+    * ([[lshTopKIndexed]] needs the static pkey pruning; the streaming
+    * batch_id layout has none). Unlike [[compactLshIndex]], this MUST be
+    * given the index's own band width to re-derive pkey — a wrong bBits
+    * would silently re-bucket and every later probe would return empty —
+    * so the mismatch is CHECKED: every key must fit in bBits bits.
+    * Tombstones fold (the new generation is physically delete-free);
+    * write-once tmp build + atomic commit, same as every compactor. */
+  def rebucketLshIndex(spark: SparkSession, src: String, dest: String,
+                       bBits: Int): Unit = {
+    val tmp = tmpBuildPath(dest)
+    val folded = readLshIndex(spark, src)
+      .select(col("vec_id"), col("t"), col("key"))
+    val maxRow = folded.agg(max(col("key")).cast("long")).collect()(0)
+    if (!maxRow.isNullAt(0)) // an all-deleted store rebuckets to empty
+      require(maxRow.getLong(0) < (1L << bBits),
+        s"rebucketLshIndex: key ${maxRow.getLong(0)} does not fit in " +
+          s"bBits=$bBits — band-width mismatch with the index's own build " +
+          "parameters")
+    writeBucketedLshRows(folded, tmp, "overwrite", bBits)
     commitIndexDir(spark, tmp, dest)
   }
 
@@ -1589,6 +1652,51 @@ object Indexes {
         .write.mode("overwrite").parquet(tmp)
       commitIndexDir(spark, tmp, path)
       gcSiblings(spark, path, s"poswin_n${windowN}_${lbl}_")
+    }
+    path
+  }
+
+  /** Partition-dir bits for the SERVING copy of the positioned-window
+    * store: 2^6 = 64 dirs (the TermBuckets precedent) keyed on the top
+    * bits of the 48-bit window hash `s`. Bounded fan-out forever — the
+    * within-dir file is s-sorted, so footer stats do the fine pruning. */
+  val PosWinDirBits = 6
+
+  /** SERVING copy of the positioned-window store, bucketed for POINT
+    * PROBES — the round-12 `weak` fix: [[ensurePositionedWindows]] writes
+    * doc-ordered parquet for its full-scan consumer (the contamination
+    * evidence report), but a phrase probe
+    * ([[graft.ops.TextAnalysis.phraseSearch]]) filters on the md5-derived
+    * hash column `s`, whose row-group min/max stats span the whole key
+    * space in doc order — footer pruning does nothing and the probe READ
+    * every corpus window regardless of phrase rarity (measured 1.92× at
+    * 10× data). This copy gets the exact two-level treatment the LSH
+    * family got in r11 ([[PartDirBits]]): partition dirs on the top
+    * [[PosWinDirBits]] bits of `s` (bounded at 64 forever), rows s-sorted
+    * inside one file per dir, so a probe prunes STATICALLY to
+    * ≤ |phrase windows| dirs and footer stats cut the file to the
+    * matching s-runs — probe cost tracks the phrase's document frequency,
+    * not the corpus. Projection drops `ntok` (the report's sub-window cap
+    * column; a phrase probe never reads it). Two layouts per consumer is
+    * the family's established precedent (writeLshIndex's
+    * partitionByBucket). */
+  def ensurePositionedWindowsServing(spark: SparkSession, docs: DataFrame,
+                                     sfDir: String, windowN: Int,
+                                     label: String): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val lbl = labelSegment(label)
+    val path =
+      s"$indexRoot/$tag/poswinsrv_n${windowN}_${lbl}_${corpusFingerprint(docs)}"
+    if (!successExists(spark, path)) {
+      val tmp = tmpBuildPath(path)
+      Decontamination.positionedWindows(docs, windowN)
+        .select(col("doc_id"), col("pos"), col("s"))
+        .withColumn("sb", shiftright(col("s"), 48 - PosWinDirBits))
+        .repartition(col("sb"))
+        .sortWithinPartitions(col("s"), col("doc_id"), col("pos"))
+        .write.mode("overwrite").partitionBy("sb").parquet(tmp)
+      commitIndexDir(spark, tmp, path)
+      gcSiblings(spark, path, s"poswinsrv_n${windowN}_${lbl}_")
     }
     path
   }

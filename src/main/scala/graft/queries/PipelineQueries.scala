@@ -308,25 +308,44 @@ object PipelineQueries {
     *
     * Superseded run dirs are RECLAIMED here (VERDICT r11 #6: the
     * namespacing fix left a permanent directory per run), with the index
-    * family's mark-then-sweep + grace pattern: every new run sweeps
-    * sibling run dirs older than [[graft.ops.Indexes.effectiveGcGraceMs]]
-    * (same knob, same [[graft.ops.Indexes.withGcGrace]] test hook), never
-    * its own. The grace window must exceed the longest expected run —
-    * stage writes keep refreshing the run dir's mtime, but a cluster
-    * deployment with multi-hour gaps between stages should raise
-    * SPARK_GRAFT_INDEX_GC_GRACE_MS accordingly (stated, not hidden). */
+    * family's mark-then-sweep pattern but run-dir GC's OWN grace
+    * ([[graft.ops.Indexes.effectiveRunDirGcGraceMs]], default ≥ 6 h —
+    * ADVICE r12: reusing the 15-min index knob let a sweep reclaim a
+    * concurrent application's LIVE stages whenever one stage outran the
+    * grace; the [[graft.ops.Indexes.withGcGrace]] test hook still
+    * applies). Liveness keys on max(dir mtime, `.heartbeat` mtime):
+    * [[materializeStage]] touches the heartbeat file at every stage
+    * boundary, so a long multi-stage run keeps proving liveness even on
+    * filesystems where directory mtime only moves on child creation. A
+    * run never sweeps its own dir. */
   private[graft] def runScopedStageDir(s: SparkSession, base: String): String = {
     val mine = s.sparkContext.applicationId
     val basePath = new org.apache.hadoop.fs.Path(base)
     val fs = demoFs(s, base)
     if (fs.exists(basePath)) {
-      val cutoff = System.currentTimeMillis() - graft.ops.Indexes.effectiveGcGraceMs
+      val cutoff =
+        System.currentTimeMillis() - graft.ops.Indexes.effectiveRunDirGcGraceMs
       fs.listStatus(basePath).foreach { st =>
-        if (st.getPath.getName != mine && st.getModificationTime < cutoff)
+        val hb = new org.apache.hadoop.fs.Path(st.getPath, HeartbeatName)
+        val lastAlive = math.max(st.getModificationTime,
+          if (fs.exists(hb)) fs.getFileStatus(hb).getModificationTime else 0L)
+        if (st.getPath.getName != mine && lastAlive < cutoff)
           fs.delete(st.getPath, true)
       }
     }
     s"$base/$mine"
+  }
+
+  private val HeartbeatName = ".heartbeat"
+
+  /** Prove the run dir alive at a stage boundary — an overwrite of the
+    * tiny heartbeat file refreshes ITS mtime even where the run dir's
+    * own mtime would not move (no new direct child). */
+  private def touchHeartbeat(s: SparkSession, dir: String): Unit = {
+    val fs = demoFs(s, dir)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(dir, HeartbeatName), true)
+    out.close()
   }
 
   /** How [[pipelineE2e]] stages are materialized + lineage-truncated. */
@@ -340,6 +359,7 @@ object PipelineQueries {
       name: String): DataFrame = store match {
     case LocalStage => df.localCheckpoint()
     case StorageStage(dir) =>
+      touchHeartbeat(df.sparkSession, dir)
       val p = s"$dir/$name"
       df.write.mode("overwrite").parquet(p)
       df.sparkSession.read.parquet(p)

@@ -329,6 +329,17 @@ object EventStreams {
         import s.implicits._
         val b = batch.toDF().select(col("vec_id"), col("embedding")).persist()
         try {
+          // an EMPTY micro-batch is a no-op (availableNow/no-data batches
+          // are normal — the CDC twin's guard, mirrored here after ADVICE
+          // r12: on a FIRST empty batch the three writes would land
+          // file-less directories and the read-back below would die on
+          // 'Unable to infer schema'; on a later one the refresh would
+          // rewrite the previous generation verbatim). The graph is
+          // unchanged by zero new vectors, so skipping the whole body
+          // preserves the latest-gen == rebuild invariant. Guard, not
+          // `return` — a non-local return from a foreachBatch closure
+          // throws at stream runtime.
+          if (!b.isEmpty) {
           b.withColumn("batch_id", lit(batchId))
             .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id").parquet(embPath)
@@ -355,6 +366,7 @@ object EventStreams {
             .partitionBy("gen").parquet(graphPath)
           gens().filter(_ < batchId - 2).foreach(g =>
             fs.delete(new org.apache.hadoop.fs.Path(s"$graphPath/gen=$g"), true))
+          }
         } finally b.unpersist(blocking = false)
       }
       .start()

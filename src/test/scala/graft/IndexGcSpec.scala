@@ -97,8 +97,11 @@ class IndexGcSpec extends AnyFunSuite {
       .select(org.apache.spark.sql.functions.col("vec_id"))
       .distinct().as[Long].collect().toSet
     assert(visible.intersect(Set(0L, 1L, 2L, 3L)).isEmpty)
-    // when the generation itself is superseded and reclaimed, its sidecar
-    // goes with it in the same sweep (orphan check, age-independent)
+    // when the generation itself is superseded and reclaimed, its (aged)
+    // sidecar goes with it in the same sweep — sidecars reclaim only when
+    // BOTH orphaned and past the grace (ADVICE r12: the bare existence
+    // probe could race a non-atomic commit rename and sweep a live
+    // generation's sidecar)
     Files.setLastModifiedTime(Paths.get(p1), old)
     Indexes.withGcGrace(10L * 60L * 1000L) {
       Indexes.ensureLshIndex(spark, writeCorpus(s"$base/data", 9),
@@ -116,9 +119,17 @@ class IndexGcSpec extends AnyFunSuite {
     val base = Files.createTempDirectory("e2egc").toString + "/stages"
     val aged = Paths.get(base, "app-superseded-run")
     val fresh = Paths.get(base, "app-concurrent-run")
+    val beating = Paths.get(base, "app-long-stage-run")
     Files.createDirectories(aged)
     Files.createDirectories(fresh)
+    // ADVICE r12 shape: a run dir whose MTIME is stale (no new direct
+    // child for longer than the grace — one long stage) but whose
+    // heartbeat file is fresh is LIVE and must survive the sweep
+    Files.createDirectories(beating)
+    Files.write(beating.resolve(".heartbeat"), Array.empty[Byte])
     Files.setLastModifiedTime(aged,
+      FileTime.fromMillis(System.currentTimeMillis() - 3600 * 1000L))
+    Files.setLastModifiedTime(beating,
       FileTime.fromMillis(System.currentTimeMillis() - 3600 * 1000L))
     val dir = Indexes.withGcGrace(1000L) {
       graft.queries.PipelineQueries.runScopedStageDir(spark, base)
@@ -127,6 +138,8 @@ class IndexGcSpec extends AnyFunSuite {
     assert(!Files.exists(aged), "aged superseded run dir must be reclaimed")
     assert(Files.exists(fresh),
       "run dir inside the grace window must survive (may be mid-run)")
+    assert(Files.exists(beating),
+      "stale-mtime run dir with a fresh heartbeat is live and must survive")
     // the CURRENT application's own dir is never swept, even when aged —
     // a long-running app re-entering the pipeline must not eat its state
     val mine = Paths.get(base, spark.sparkContext.applicationId)

@@ -697,10 +697,12 @@ class IndexesSpec extends AnyFunSuite {
     }
   }
 
-  test("flat-layout compaction: batch_id appends fold to clustered flat parquet") {
-    // review catch: compactLshIndex unconditionally selected pkey, which
-    // the flat and streaming (batch_id-partitioned) layouts lack — the
-    // documented compaction lifecycle for exactly those deployments threw
+  test("streaming-layout compaction folds into batch 0 and stays append-capable") {
+    // ADVICE r12: the old flat fold DROPPED batch_id, so a compacted
+    // streaming store could not accept further idempotent appends (flat
+    // files next to batch_id= dirs break partition discovery) — the
+    // compacted generation now keeps the unified batch_id layout, folded
+    // into generation batch 0 (the compactInvertedIndex precedent)
     val grown = Files.createTempDirectory("flat_compact").toString + "/idx"
     Indexes.appendLshIndexIdempotent(emb.where(col("vec_id") % 2 === 0), 0L, grown)
     Indexes.appendLshIndexIdempotent(emb.where(col("vec_id") % 2 === 1), 1L, grown)
@@ -709,9 +711,11 @@ class IndexesSpec extends AnyFunSuite {
     val compacted = Files.createTempDirectory("flat_compact_dst").toString + "/idx"
     Indexes.compactLshIndex(spark, grown, compacted)
     val out = spark.read.parquet(compacted)
-    assert(!out.columns.contains("batch_id"),
-      "compaction must drop the batch lineage column")
-    assert(!out.columns.contains("pkey"), "flat stays flat")
+    assert(out.columns.contains("batch_id"),
+      "compacted streaming store must keep the unified batch_id layout")
+    assert(out.select(col("batch_id")).distinct().as[Long].collect().toSeq ===
+      Seq(0L), "everything folds into generation batch 0")
+    assert(!out.columns.contains("pkey"), "no silent re-bucketing")
     val delIds = del.as[Long].collect().toSet
     val ids = out.select(col("vec_id")).distinct().as[Long].collect().toSet
     assert(ids.nonEmpty && ids.intersect(delIds).isEmpty,
@@ -719,6 +723,36 @@ class IndexesSpec extends AnyFunSuite {
     assert(out.count() ===
       Indexes.readLshIndex(spark, grown).count(),
       "row multiset must match the folded source")
+    // the compacted generation ACCEPTS the next micro-batch — partition
+    // discovery reads the mixed (folded + fresh) store without error
+    Indexes.appendLshIndexIdempotent(emb.limit(2), 7L, compacted)
+    val after = spark.read.parquet(compacted)
+    assert(after.select(col("batch_id")).distinct().as[Long].collect().toSet ===
+      Set(0L, 7L), "post-compaction appends land next to the folded batch")
+  }
+
+  test("rebucketLshIndex cuts a probe-capable two-level generation from a streaming store") {
+    val grown = Files.createTempDirectory("rebucket").toString + "/idx"
+    Indexes.appendLshIndexIdempotent(emb.where(col("vec_id") % 2 === 0), 0L, grown,
+      bBits = 4, lTables = 8)
+    Indexes.appendLshIndexIdempotent(emb.where(col("vec_id") % 2 === 1), 1L, grown,
+      bBits = 4, lTables = 8)
+    val dest = Files.createTempDirectory("rebucket_dst").toString + "/idx"
+    Indexes.rebucketLshIndex(spark, grown, dest, bBits = 4)
+    // the canonical two-level serving layout: pkey partition dirs, no
+    // batch lineage, and the point probe answers from it
+    val out = spark.read.parquet(dest)
+    assert(out.columns.contains("pkey") && !out.columns.contains("batch_id"))
+    val got = Indexes.lshTopKIndexed(emb, dest, 0L, 10, bBits = 4, lTables = 8)
+    val want = Similarity.lshTopK(emb, 0L, 10, bBits = 4, lTables = 8)
+    assert(got.collect().toSeq === want.collect().toSeq,
+      "rebucketed generation must serve point probes identically to inline")
+    // a wrong band width is caught loudly, never silently re-bucketed
+    val bad = Files.createTempDirectory("rebucket_bad").toString + "/idx"
+    val e = intercept[IllegalArgumentException] {
+      Indexes.rebucketLshIndex(spark, grown, bad, bBits = 2)
+    }
+    assert(e.getMessage.contains("band-width mismatch"))
   }
 
   test("minhash delete lifecycle: tombstoned near-dups equal a survivor rebuild") {
