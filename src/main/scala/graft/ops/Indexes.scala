@@ -31,7 +31,7 @@ object Indexes {
     * fingerprint only guards against DATA changes; without this tag an
     * algorithm change with unchanged parameters would silently probe a
     * stale index built by the old code. */
-  val IndexFormatVersion = "v2"
+  val IndexFormatVersion = "v3" // v3: inverted index gains doclens/termstats stores (r13)
 
   /** Cap on partition-directory fan-out per LSH table: the bucketed layout
     * partitions by the key's TOP `min(bBits, PartDirBits)` bits only, so
@@ -739,7 +739,43 @@ object Indexes {
   def annGraphSearch(emb: DataFrame, centroids: DataFrame,
                      ivfIndexPath: String, graphPath: String,
                      queryId: Long, k: Int, nProbe: Int,
-                     hops: Int): DataFrame = {
+                     hops: Int): DataFrame =
+    graphRerank(emb,
+      graphVisitedSet(emb, centroids, ivfIndexPath, graphPath, queryId,
+        nProbe, hops),
+      queryId, k, eligible = None)
+
+  /** FILTERED graph-ANN serving — [[annGraphSearch]] under a metadata
+    * predicate (`eligible`: the allowed vec_ids, the
+    * [[ivfTopKFilteredIndexed]] convention), completing the serving
+    * matrix under {bucket, graph} × {plain, batch, beam, filtered}.
+    * The navigation is UNFILTERED by design: routing through ineligible
+    * nodes preserves graph connectivity (the standard filtered-graph-ANN
+    * semantics — a selective predicate would otherwise shatter the
+    * traversal into islands and collapse recall); the predicate applies
+    * at the exact re-rank, where the visited set meets the metadata.
+    * Same frontier bound; recall under selective filters is bounded by
+    * |eligible ∩ visited| — production raises nProbe/hops with filter
+    * selectivity (stated, measured in GraphAnnRecallSpec's filtered
+    * case rather than assumed). */
+  def annGraphSearchFiltered(emb: DataFrame, centroids: DataFrame,
+                             ivfIndexPath: String, graphPath: String,
+                             eligible: DataFrame,
+                             queryId: Long, k: Int, nProbe: Int,
+                             hops: Int): DataFrame =
+    graphRerank(emb,
+      graphVisitedSet(emb, centroids, ivfIndexPath, graphPath, queryId,
+        nProbe, hops),
+      queryId, k, eligible = Some(eligible))
+
+  /** The shared frontier navigation of the unbounded graph family:
+    * entries = min-id per probed IVF cell, `hops` rounds of pushed-down
+    * literal-IN adjacency expansion, tombstones folded per hop, loud
+    * [[MaxBatchProbeRows]] bound. */
+  private def graphVisitedSet(emb: DataFrame, centroids: DataFrame,
+                              ivfIndexPath: String, graphPath: String,
+                              queryId: Long, nProbe: Int,
+                              hops: Int): Set[Long] = {
     val spark = emb.sparkSession
     import spark.implicits._
     val qv = queryVector(emb, queryId)
@@ -765,10 +801,21 @@ object Indexes {
           s"ids at hop $h — shrink hops/nProbe (the frontier is meant to be " +
           "neighbourhood-sized, not corpus-sized)")
     }
+    visited
+  }
+
+  /** The shared exact re-rank: visited ids point-fetched (literal IN —
+    * the plan-audited no-corpus-scan shape), optional eligibility
+    * semi-join, cosine at the ANN family's output scale 4, bounded
+    * top-k. */
+  private def graphRerank(emb: DataFrame, visited: Set[Long], queryId: Long,
+                          k: Int, eligible: Option[DataFrame]): DataFrame = {
     val q = emb.where(col("vec_id") === queryId)
       .select(col("embedding").as("qv"))
-    emb.where(col("vec_id").isin(visited.toSeq: _*))
+    val base = emb.where(col("vec_id").isin(visited.toSeq: _*))
       .where(col("vec_id") =!= queryId)
+    eligible.fold(base)(e =>
+        base.join(e.select(col("vec_id")), Seq("vec_id"), "left_semi"))
       .join(broadcast(q))
       .select(col("vec_id"),
         Similarity.cosRound(col("embedding"), col("qv"), 4).as("cos"))
@@ -988,7 +1035,7 @@ object Indexes {
     * skipped the fold — deleted vectors resurfaced in the first
     * CDC-stream spec run. Glob covers both channel layouts (flat files /
     * batch_id dirs). */
-  private def hasParquetFiles(spark: SparkSession, dir: String): Boolean = {
+  private[graft] def hasParquetFiles(spark: SparkSession, dir: String): Boolean = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -1025,6 +1072,174 @@ object Indexes {
         round(max(col("c")).cast("double") * count(lit(1)).cast("double") /
           sum(col("c")).cast("double"), 4).as("imbalance"))
       .orderBy(col("t"))
+
+  /** One observed-state row + the action taken by [[compactionPolicy]]. */
+  final case class CompactionDecision(nFiles: Long, imbalance: Double,
+                                      compacted: Boolean, rebandAdvised: Boolean,
+                                      dest: Option[String])
+
+  /** STATS-DRIVEN compaction (VERDICT r12 #6) — the decision logic that
+    * turns [[lshIndexStats]]-style observability into the maintenance
+    * trigger a production store needs, as code with explicit thresholds
+    * instead of a runbook:
+    *  - FILE COUNT: every idempotent append lands ≥ 1 more file per
+    *    touched partition dir, so probe cost creeps with append count
+    *    (footer-per-file, not rows); past `maxFiles` the store compacts
+    *    into a fresh generation at `dest` via the layout's own compactor
+    *    ([[compactCellIndex]] for cell-partitioned stores,
+    *    [[compactLshIndex]] otherwise — probes bit-identical pre/post,
+    *    their existing contract). Deletes fold physically as a side
+    *    effect, retiring the tombstone sidecar.
+    *  - IMBALANCE: max/mean bucket occupancy. Compaction cannot fix a
+    *    hot bucket — that needs re-deriving the band width
+    *    ([[graft.ops.Similarity.scaledBandBits]]) and re-bucketing the
+    *    corpus — so past `maxImbalance` the decision only ADVISES a
+    *    reband (the caller owns the rebuild; this operator never
+    *    re-buckets implicitly, the [[compactLshIndex]] no-silent-rebucket
+    *    rule).
+    * Returns what it saw and did; when it compacts, the caller owns the
+    * reader flip + old-generation retirement (every compactor's
+    * write-once contract). */
+  def compactionPolicy(spark: SparkSession, src: String, dest: String,
+                       maxFiles: Int = 64,
+                       maxImbalance: Double = 8.0): CompactionDecision = {
+    def countParquet(dir: String): Long = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      var n = 0L
+      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
+    val nFiles = countParquet(src)
+    val idx = readLshIndex(spark, src)
+    val bucketCols: Seq[org.apache.spark.sql.Column] =
+      if (idx.columns.contains("key")) Seq(col("t"), col("key"))
+      else if (idx.columns.contains("cell")) Seq(col("cell"))
+      else Seq.empty
+    val imbalance =
+      if (bucketCols.isEmpty) 1.0
+      else {
+        val row = idx.groupBy(bucketCols: _*).agg(count(lit(1)).as("c"))
+          .agg((max(col("c")).cast("double") * count(lit(1)).cast("double") /
+            sum(col("c")).cast("double")).as("imb")).collect()(0)
+        if (row.isNullAt(0)) 1.0 else row.getDouble(0)
+      }
+    val compact = nFiles > maxFiles
+    if (compact) {
+      if (idx.columns.contains("cell")) compactCellIndex(spark, src, dest)
+      else compactLshIndex(spark, src, dest)
+    }
+    CompactionDecision(nFiles, imbalance, compact,
+      rebandAdvised = imbalance > maxImbalance,
+      dest = if (compact) Some(dest) else None)
+  }
+
+  /** GENERATION MANIFEST — the atomic READER FLIP every compactor's
+    * scaladoc previously punted to the caller ("the caller owns the
+    * reader flip + old-generation retirement"), now a first-class verb:
+    * an explicitly-managed production store is addressed through a tiny
+    * manifest directory of monotonically-numbered pointer files
+    * (`gen-<seq12>`, content = one generation path), and readers resolve
+    * [[currentGeneration]] — the highest sequence — instead of a
+    * hard-coded path. [[publishGeneration]] writes the pointer
+    * tmp-then-rename (one atomic metadata op on HDFS/local; on
+    * rename-as-copy object stores the pointer file is a single small
+    * object, so the PUT itself is the atomic op — the same caveat
+    * [[commitIndexDir]] carries, but manifest-sized instead of
+    * store-sized, which is exactly why production table formats flip
+    * pointers rather than directories). A reader that resolved the old
+    * generation mid-flip keeps reading it — generations are write-once
+    * and retirement is grace-gated, the standard snapshot-isolation
+    * shape.
+    *
+    * [[retireGenerations]] deletes superseded generation DIRS (and their
+    * `.tombstones` sidecars) whose pointer is both superseded by ≥
+    * `keep` newer generations and older than the grace window
+    * ([[effectiveGcGraceMs]] unless overridden) — in-flight readers
+    * finish inside the grace, the [[gcSiblings]] rationale. The pointer
+    * files themselves stay (a complete, tiny flip history — the
+    * manifest's audit log); only the data dirs go. Returns the retired
+    * generation paths. */
+  def publishGeneration(spark: SparkSession, manifestDir: String,
+                        generationPath: String): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(manifestDir), spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(manifestDir)
+    fs.mkdirs(dir)
+    val seq = manifestEntries(fs, dir).lastOption.map(_._1 + 1L).getOrElse(0L)
+    val name = f"gen-$seq%012d"
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(generationPath.getBytes("UTF-8")) finally out.close()
+    val dest = new org.apache.hadoop.fs.Path(dir, name)
+    if (!fs.rename(tmp, dest)) {
+      fs.delete(tmp, false)
+      // two publishers raced on one sequence number: the loser retries on
+      // the next — publish order is then rename order, still a total order
+      return publishGeneration(spark, manifestDir, generationPath)
+    }
+    seq
+  }
+
+  /** The path readers serve from: the highest-sequence manifest pointer,
+    * or None on an empty/absent manifest. One driver listing + one tiny
+    * file read — never touches generation data. */
+  def currentGeneration(spark: SparkSession, manifestDir: String): Option[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(manifestDir), spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(manifestDir)
+    if (!fs.exists(dir)) return None
+    manifestEntries(fs, dir).lastOption.map { case (_, p) => readPointer(fs, p) }
+  }
+
+  /** See [[publishGeneration]]. `keep` ≥ 1 latest generations always
+    * survive regardless of age. */
+  def retireGenerations(spark: SparkSession, manifestDir: String,
+                        keep: Int = 1): Seq[String] = {
+    require(keep >= 1, "retireGenerations must keep at least the current generation")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(manifestDir), spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(manifestDir)
+    if (!fs.exists(dir)) return Seq.empty
+    val entries = manifestEntries(fs, dir)
+    val cutoff = System.currentTimeMillis() - effectiveGcGraceMs
+    val live = entries.takeRight(keep).map { case (_, p) => readPointer(fs, p) }.toSet
+    entries.dropRight(keep).flatMap { case (_, ptr) =>
+      val gen = readPointer(fs, ptr)
+      val genP = new org.apache.hadoop.fs.Path(gen)
+      // a re-published path (rollback flips BACK to an old generation)
+      // must survive retirement of its superseded pointer
+      if (!live.contains(gen) && fs.exists(genP) &&
+          fs.getFileStatus(genP).getModificationTime < cutoff &&
+          fs.getFileStatus(ptr).getModificationTime < cutoff) {
+        fs.delete(genP, true)
+        val ts = new org.apache.hadoop.fs.Path(s"$gen.tombstones")
+        if (fs.exists(ts)) fs.delete(ts, true)
+        Some(gen)
+      } else None
+    }
+  }
+
+  private def manifestEntries(fs: org.apache.hadoop.fs.FileSystem,
+                              dir: org.apache.hadoop.fs.Path)
+      : Seq[(Long, org.apache.hadoop.fs.Path)] =
+    Option(fs.listStatus(dir)).getOrElse(Array.empty).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("gen-"))
+      .map(st => (st.getPath.getName.stripPrefix("gen-").toLong, st.getPath))
+      .sortBy(_._1)
+
+  private def readPointer(fs: org.apache.hadoop.fs.FileSystem,
+                          p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](4096)
+      var n = in.read(tmp)
+      while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+      new String(buf.toByteArray, "UTF-8")
+    } finally in.close()
+  }
 
   /** [[compactLshIndex]]'s twin for the CELL-partitioned families (IVF
     * inverted lists and the IVF-PQ IVFADC layout share it — the schema
@@ -1699,6 +1914,64 @@ object Indexes {
       gcSiblings(spark, path, s"poswinsrv_n${windowN}_${lbl}_")
     }
     path
+  }
+
+  /** Delete lifecycle for the positioned-window stores (round 13 — the
+    * one store the r13 serving layout introduced without the family-wide
+    * tombstone rule): a doc_id sidecar at `<path>.tombstones`, folded at
+    * read by [[graft.ops.TextAnalysis.phraseSearch]] (anti-join below
+    * the pruned probe) and physically by [[compactPositionedWindows]].
+    * Same CONTENT-ADDRESSING CAVEAT as every family: never tombstone the
+    * write-once fingerprint-keyed generations the ensure* verbs manage —
+    * deletes target explicitly-managed production stores. Append-atomic;
+    * the idempotent twin is the streaming channel (one store uses ONE
+    * channel, never both). */
+  def tombstonePositionedWindows(spark: SparkSession, storePath: String,
+                                 docIds: DataFrame): Unit =
+    docIds.select(col("doc_id")).distinct()
+      .coalesce(1)
+      .write.mode("append").parquet(tombstonePath(storePath))
+
+  /** [[tombstonePositionedWindows]]'s exactly-once twin for streaming
+    * delete ingest — batch_id-partitioned dynamic overwrite, so a
+    * replayed micro-batch rewrites its own partition (the
+    * [[tombstoneLshIndexIdempotent]] contract). */
+  def tombstonePositionedWindowsIdempotent(spark: SparkSession,
+                                           storePath: String,
+                                           docIds: DataFrame,
+                                           batchId: Long): Unit =
+    docIds.select(col("doc_id")).distinct()
+      .withColumn("batch_id", lit(batchId))
+      .coalesce(1)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(tombstonePath(storePath))
+
+  /** Fold a positioned-window store's delete sidecar PHYSICALLY into a
+    * fresh generation — the compaction verb where logical deletes become
+    * physical (the family-wide contract; the new generation carries no
+    * sidecar). LAYOUT-PRESERVING: a serving store (sb= partition dirs)
+    * compacts back to the bucketed s-sorted layout so probes stay
+    * statically pruned; a doc-ordered report store compacts flat. Pure
+    * shuffle-and-rewrite — never re-tokenizes; probes answer identically
+    * pre/post (spec-asserted). Write-once: `dest` is a new generation
+    * committed atomically. */
+  def compactPositionedWindows(spark: SparkSession, src: String,
+                               dest: String): Unit = {
+    val tmp = tmpBuildPath(dest)
+    val ts = tombstonePath(src)
+    val rows0 = spark.read.parquet(src)
+    val rows =
+      if (hasParquetFiles(spark, ts))
+        rows0.join(spark.read.parquet(ts).select(col("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+      else rows0
+    if (rows0.columns.contains("sb"))
+      rows.repartition(col("sb"))
+        .sortWithinPartitions(col("s"), col("doc_id"), col("pos"))
+        .write.mode("overwrite").partitionBy("sb").parquet(tmp)
+    else
+      rows.write.mode("overwrite").parquet(tmp)
+    commitIndexDir(spark, tmp, dest)
   }
 
   /** Append a new batch's derived dedup state to an EXISTING minhash index

@@ -2167,6 +2167,44 @@ object PipelineQueries {
        |WHERE e.vec_id != 0
        |ORDER BY cos DESC, e.vec_id ASC LIMIT 10""".stripMargin
 
+  /** FILTERED graph-ANN serving ([[graft.ops.Indexes
+    * .annGraphSearchFiltered]] — round 13, completing the serving matrix
+    * under {bucket, graph} × {plain, batch, beam, filtered}): the same
+    * j=3 graph navigation as q_ann_graph_search — traversal UNFILTERED so
+    * connectivity survives a selective predicate — with q_ann_filtered's
+    * eligibility cut (label = 2) applied at the exact re-rank. The
+    * oracle is the graph oracle's navigation verbatim plus the same
+    * WHERE the filtered-IVF oracle carries. */
+  def annGraphFiltered(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val b = Similarity.scaledBandBits(corpusCount(emb))
+    val graphPath = graft.ops.Indexes.ensureKnnGraph(s, emb, d, j = 3, bBits = b)
+    val cent = s.read.parquet(ivfCentroidsPath)
+    val ivfIdx = graft.ops.Indexes.ensureIvfIndex(s, emb, cent, d, nCells = 16)
+    val eligible = emb.where(col("label") === 2).select(col("vec_id"))
+    // nProbe 8 (vs the plain demo's 4): a selective filter thins the
+    // visited set, so the filtered demo widens the probe — exactly the
+    // production dial the operator doc states
+    graft.ops.Indexes.annGraphSearchFiltered(emb, cent, ivfIdx, graphPath,
+      eligible, queryId = 0L, k = 10, nProbe = 8, hops = 2)
+  }
+
+  /** The navigation replays verbatim; the re-rank gains the eligibility
+    * predicate and the probe widens to nProbe 8. Derived from
+    * [[annGraphSearchSql]] by anchored rewrites so the oracles can never
+    * drift; the requires guard the anchors. */
+  val annGraphFilteredSql: String = {
+    val rerank = "WHERE e.vec_id != 0"
+    val probe = "(ORDER BY ccos DESC, cell ASC) <= 4"
+    require(annGraphSearchSql.contains(rerank) &&
+        annGraphSearchSql.contains(probe),
+      "annGraphFilteredSql: an anchor vanished from annGraphSearchSql")
+    annGraphSearchSql
+      .replace(probe, "(ORDER BY ccos DESC, cell ASC) <= 8")
+      .replace(rerank,
+        rerank + " AND e.vec_id IN (SELECT vec_id FROM embeddings WHERE label = 2)")
+  }
+
   /** BATCHED graph-ANN serving ([[graft.ops.Indexes.annGraphSearchBatch]]):
     * three queries navigate the same committed graph sharing every scan —
     * one entry resolution, one adjacency fetch per hop over the union
@@ -3505,6 +3543,158 @@ object PipelineQueries {
        |ORDER BY score DESC, doc_id ASC LIMIT 25""".stripMargin
   }
 
+  /** MAX-SCORE-PRUNED indexed BM25 ([[graft.ops.TextAnalysis
+    * .bm25TopKIndexedPruned]] engaging inside bm25TopKIndexed): the query
+    * mixes the corpus's one selective term ('dup', df 5%) with two
+    * stop-word-adjacent ones (df ~79%), so the probe reads the rare
+    * postings fully, bounds the common terms by their stored score
+    * ceilings, and fetches common postings ONLY for the surviving
+    * candidates (literal doc_id pushdown into the (term, doc_id)-sorted
+    * files) — the WAND-family answer to "a common term re-linearizes the
+    * probe at 100 TB". The oracle is the plain corpus BM25 replay:
+    * pruning must be output-invisible. */
+  def bm25Pruned(s: SparkSession, d: String): DataFrame = {
+    val idx = TextAnalysis.ensureInvertedIndex(s, documents(s, d), d)
+    TextAnalysis.bm25TopKIndexed(s, idx, Seq("dup", "scan", "small"), k = 10)
+  }
+
+  val bm25PrunedSql: String = {
+    val (k1, b) = (1.2, 0.75)
+    val (k1s, k1p1, oneMb, bs) =
+      (k1.toString, (k1 + 1.0).toString, (1.0 - b).toString, b.toString)
+    s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |tok AS (SELECT doc_id, len(w)::BIGINT AS dl, unnest(w) AS term FROM w),
+       |tf AS (SELECT doc_id, term, max(dl) AS dl, count(*)::BIGINT AS tf
+       |       FROM tok
+       |       WHERE term IN ('dup', 'scan', 'small')
+       |       GROUP BY doc_id, term),
+       |tfd AS (SELECT tf.*, (count(*) OVER (PARTITION BY term))::BIGINT AS df
+       |        FROM tf),
+       |st AS (SELECT count(*)::BIGINT AS n_docs, sum(len(w))::BIGINT AS total_dl
+       |       FROM w),
+       |c AS (SELECT tfd.doc_id,
+       |        round(ln((n_docs::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5) + 1.0)
+       |          * (tf::DOUBLE * $k1p1) / (tf::DOUBLE + $k1s * ($oneMb + $bs * dl::DOUBLE * n_docs::DOUBLE / total_dl::DOUBLE))
+       |          * 1000000.0)::BIGINT AS fp
+       |      FROM tfd CROSS JOIN st)
+       |SELECT doc_id, round(sum(fp)::DOUBLE / 1000000.0, 6) AS score
+       |FROM c GROUP BY doc_id
+       |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
+  }
+
+  /** DELETE lifecycle for the retrieval index ([[graft.ops.TextAnalysis
+    * .tombstoneInvertedIndex]] — round 13, closing the ONE index family
+    * that previously served deleted documents until a full rebuild): a
+    * ~1/9 doc slice is tombstoned against a demo-path inverted index and
+    * the BM25 probe must equal a rebuild on the surviving corpus — df,
+    * the corpus scalars (corrected from the sidecar's captured (1, dl)
+    * partials), and the candidate set all fold. Same demo-store marker
+    * pattern as q_minhash_delete; the shared write-once ensure
+    * generation is never tombstoned. */
+  def bm25IndexedDelete(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val deleted = docs.where(col("doc_id") % 9 === 4).select(col("doc_id"))
+    val base = ensureKnnDemo(s, "del_inverted_demo_", graft.ops.Indexes.indexRoot +
+        s"/del_inverted_demo_${graft.ops.Indexes.corpusFingerprint(docs)}") { p =>
+      TextAnalysis.writeInvertedIndex(docs, p)
+      TextAnalysis.tombstoneInvertedIndex(s, p, deleted)
+    }
+    TextAnalysis.bm25TopKIndexed(s, base,
+      Seq("vector", "stream", "merge", "quantum"), k = 25)
+  }
+
+  /** The scan-path BM25 replay over the SURVIVING corpus — every stat
+    * (df, n_docs, total_dl) derives from the filtered documents, exactly
+    * what the sidecar fold must reproduce. */
+  val bm25IndexedDeleteSql: String = {
+    val (k1, b) = (1.2, 0.75)
+    val (k1s, k1p1, oneMb, bs) =
+      (k1.toString, (k1 + 1.0).toString, (1.0 - b).toString, b.toString)
+    s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM documents
+       |           WHERE doc_id % 9 != 4),
+       |tok AS (SELECT doc_id, len(w)::BIGINT AS dl, unnest(w) AS term FROM w),
+       |tf AS (SELECT doc_id, term, max(dl) AS dl, count(*)::BIGINT AS tf
+       |       FROM tok
+       |       WHERE term IN ('vector', 'stream', 'merge', 'quantum')
+       |       GROUP BY doc_id, term),
+       |tfd AS (SELECT tf.*, (count(*) OVER (PARTITION BY term))::BIGINT AS df
+       |        FROM tf),
+       |st AS (SELECT count(*)::BIGINT AS n_docs, sum(len(w))::BIGINT AS total_dl
+       |       FROM w),
+       |c AS (SELECT tfd.doc_id,
+       |        round(ln((n_docs::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5) + 1.0)
+       |          * (tf::DOUBLE * $k1p1) / (tf::DOUBLE + $k1s * ($oneMb + $bs * dl::DOUBLE * n_docs::DOUBLE / total_dl::DOUBLE))
+       |          * 1000000.0)::BIGINT AS fp
+       |      FROM tfd CROSS JOIN st)
+       |SELECT doc_id, round(sum(fp)::DOUBLE / 1000000.0, 6) AS score
+       |FROM c GROUP BY doc_id
+       |ORDER BY score DESC, doc_id ASC LIMIT 25""".stripMargin
+  }
+
+  /** HYBRID retrieval ([[graft.ops.TextAnalysis.hybridSearchRrf]] —
+    * VERDICT r12 #4): RRF-fuse the indexed BM25 top-25 (q_bm25_indexed's
+    * exact probe) with the graph-ANN top-10 (q_ann_graph_search's exact
+    * navigation) for a query that has both a term set and an embedding
+    * (doc_id ≡ vec_id in the fixture). Both sub-probes stay on their
+    * INDEXED paths — zero corpus scans, plan-audited — and the fusion is
+    * integer rank arithmetic, so the oracle replays both rankings and
+    * the fusion exactly. */
+  def hybridSearch(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.hybridSearchRrf(
+      bm25Indexed(s, d), "score",
+      annGraphSearch(s, d).select(col("vec_id").as("doc_id"), col("cos")), "cos",
+      k = 10)
+
+  /** Both sub-rankings replay verbatim as nested CTE subqueries (DuckDB
+    * allows a WITH inside a CTE body), then the fusion: ranks by each
+    * ranking's total order, one two-term IEEE sum per doc, round 6. */
+  val hybridSearchSql: String =
+    s"""WITH lex AS ($bm25IndexedSql),
+       |vec0 AS ($annGraphSearchSql),
+       |lrk AS (SELECT doc_id,
+       |          row_number() OVER (ORDER BY score DESC, doc_id ASC) AS lr
+       |        FROM lex),
+       |vrk AS (SELECT vec_id AS doc_id,
+       |          row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS vr
+       |        FROM vec0),
+       |f AS (SELECT doc_id,
+       |        round(coalesce(1.0 / (60 + lr), 0) +
+       |              coalesce(1.0 / (60 + vr), 0), 6) AS rrf
+       |      FROM lrk FULL JOIN vrk USING (doc_id))
+       |SELECT doc_id, rrf FROM f
+       |ORDER BY rrf DESC, doc_id ASC LIMIT 10""".stripMargin
+
+  /** WEIGHTED-SUM hybrid fusion ([[graft.ops.TextAnalysis
+    * .hybridSearchWeighted]]) — q_hybrid_search's score-aware twin over
+    * the same two indexed sub-probes: min-max-normalize each bounded
+    * ranking, fuse at wLex = 0.5 (exact in IEEE — both weights
+    * representable), round 6. Same zero-corpus-scan property; the
+    * oracle replays both rankings, both normalizations, and the fusion. */
+  def hybridWeighted(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.hybridSearchWeighted(
+      bm25Indexed(s, d), "score",
+      annGraphSearch(s, d).select(col("vec_id").as("doc_id"), col("cos")), "cos",
+      k = 10, wLex = 0.5)
+
+  val hybridWeightedSql: String =
+    s"""WITH lex AS ($bm25IndexedSql),
+       |vec0 AS ($annGraphSearchSql),
+       |nl AS (SELECT doc_id,
+       |         CASE WHEN max(score) OVER () = min(score) OVER () THEN 1.0
+       |              ELSE (score - min(score) OVER ()) /
+       |                   (max(score) OVER () - min(score) OVER ()) END AS nl
+       |       FROM lex),
+       |nv AS (SELECT vec_id AS doc_id,
+       |         CASE WHEN max(cos) OVER () = min(cos) OVER () THEN 1.0
+       |              ELSE (cos - min(cos) OVER ()) /
+       |                   (max(cos) OVER () - min(cos) OVER ()) END AS nv
+       |       FROM vec0),
+       |f AS (SELECT doc_id,
+       |        round(coalesce(nl, 0) * 0.5 + coalesce(nv, 0) * 0.5, 6) AS fused
+       |      FROM nl FULL JOIN nv USING (doc_id))
+       |SELECT doc_id, fused FROM f
+       |ORDER BY fused DESC, doc_id ASC LIMIT 10""".stripMargin
+
   /** Batched BM25 from the maintained inverted index — the same five
     * queries as q_bm25_batch, zero corpus scans; the scoring is the
     * identical fixed-point derivation, so the oracle IS q_bm25_batch's
@@ -3534,8 +3724,11 @@ object PipelineQueries {
     * hashes, anchors, and the distinct-offset filter from the documents
     * table. */
   def phraseSearch(s: SparkSession, d: String): DataFrame = {
-    val idx = graft.ops.Indexes.ensurePositionedWindows(s, documents(s, d), d,
-      windowN = 2, label = "phrase")
+    // the BUCKETED serving copy (round-12 `weak` fix): the probe prunes
+    // statically on the sb partition dirs instead of scanning every
+    // corpus window — same derivation, same oracle
+    val idx = graft.ops.Indexes.ensurePositionedWindowsServing(s,
+      documents(s, d), d, windowN = 2, label = "phrase")
     TextAnalysis.phraseSearch(s, idx, Seq("join", "part", "filter"), windowN = 2)
   }
 

@@ -278,6 +278,68 @@ class EventStreamsSpec extends AnyFunSuite {
     check(Seq(0, 1, 2), "after the post-restart batch")
   }
 
+  test("CDC inverted-index stream: add/delete batches equal a survivor rebuild, across a restart") {
+    import org.apache.spark.sql.types._
+    val landing = java.nio.file.Files.createTempDirectory("invcdc_landing").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("invcdc_ckpt").toString
+    val idx = java.nio.file.Files.createTempDirectory("invcdc_store").toString + "/idx"
+    val schema = StructType(Seq(StructField("op", StringType),
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val corpus = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val textOf = corpus.as[(Long, String)].collect().toMap
+    def land(rows: Seq[(String, Long)]): Unit =
+      rows.map { case (op, id) =>
+          (op, id, if (op == "add") textOf(id) else null)
+        }.toDF("op", "doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(landing)
+    def start() = EventStreams.invertedIndexCdcStream(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(landing), idx, ckpt)
+    val terms = Seq("vector", "stream", "merge", "quantum")
+    var live = Set.empty[Long]
+    def check(clue: String): Unit = {
+      val survivors = live.toSeq.sorted.map(i => (i, textOf(i)))
+        .toDF("doc_id", "text")
+      val rb = java.nio.file.Files.createTempDirectory("invcdc_rb").toString + "/idx"
+      graft.ops.TextAnalysis.writeInvertedIndex(survivors, rb)
+      val want = graft.ops.TextAnalysis.bm25TopKIndexed(spark, rb, terms, k = 25)
+        .as[(Long, Double)].collect().toSeq
+      val got = graft.ops.TextAnalysis.bm25TopKIndexed(spark, idx, terms, k = 25)
+        .as[(Long, Double)].collect().toSeq
+      assert(got === want, clue)
+    }
+    // an EMPTY first micro-batch (no store yet) is a no-op, not a kill
+    Seq.empty[(String, Long, String)].toDF("op", "doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(landing)
+    val add0 = (0L until 60L).filter(textOf.contains)
+    land(add0.map("add" -> _)); live ++= add0
+    val q1 = start(); q1.processAllAvailable()
+    check("after the pure-add batch")
+    // mixed batch: more adds plus deletes of earlier docs
+    val add1 = (60L until 120L).filter(textOf.contains)
+    val del1 = add0.take(7)
+    land(add1.map("add" -> _) ++ del1.map("delete" -> _))
+    live ++= add1; live --= del1.toSet
+    q1.processAllAvailable(); q1.stop()
+    check("after the mixed batch")
+    // recovery: a delete-heavy batch lands while the stream is DOWN
+    val del2 = add1.take(5)
+    land(del2.map("delete" -> _))
+    live --= del2.toSet
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    check("after the post-restart delete batch")
+    // re-adding a tombstoned doc_id is rejected loudly
+    land(Seq("add" -> del1.head))
+    val q3 = start()
+    val died = intercept[Throwable] { q3.processAllAvailable() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(died).exists(_.contains("re-adds tombstoned")),
+      s"expected the loud re-add contract, got: $died")
+    try q3.stop() catch { case _: Throwable => () }
+  }
+
   test("crash recovery: weighted-sample reservoir survives a restart") {
     import org.apache.spark.sql.types._
     val landing = java.nio.file.Files.createTempDirectory("ws_cr_landing").toString

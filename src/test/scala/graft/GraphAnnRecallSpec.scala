@@ -44,4 +44,40 @@ class GraphAnnRecallSpec extends AnyFunSuite {
     assert(prod.sum / prod.size >= sparse.sum / sparse.size,
       s"recall must not degrade as the graph densifies: j16=$prod j3=$sparse")
   }
+
+  test("filtered graph search: recall vs FILTERED brute force, measured not assumed") {
+    // the filtered variant routes through ineligible nodes and cuts at
+    // the re-rank; its recall target is brute force over the eligible
+    // subset (what a user of the filter actually wants), measured at the
+    // unbounded-frontier config so the number reflects the filter, not
+    // the beam
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val emb = graft.engine.Tables.embeddings(spark, d)
+    val b = graft.ops.Similarity.scaledBandBits(emb.count())
+    val cent = spark.read.parquet(graft.queries.PipelineQueries.ivfCentroidsPath)
+    val ivfIdx = graft.ops.Indexes.ensureIvfIndex(spark, emb, cent, d, nCells = 16)
+    val graphPath = graft.ops.Indexes.ensureKnnGraph(spark, emb, d, j = 16, bBits = b)
+    val eligible = emb.where(col("label") === 2).select(col("vec_id"))
+    val qids = Seq(0L, 1L, 2L, 7L, 11L)
+    val rs = qids.map { q =>
+      val truth = graft.ops.Similarity.bruteForceTopK(
+          emb.join(eligible.union(Seq(q).toDF("vec_id")), Seq("vec_id"),
+            "left_semi"), q, 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val got = graft.ops.Indexes.annGraphSearchFiltered(emb, cent, ivfIdx,
+          graphPath, eligible, q, 10, 4, 3)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      truth.intersect(got).size.toDouble / truth.size
+    }
+    info(f"filtered recall per query: ${rs.map(r => f"$r%.2f").mkString(", ")}")
+    assert(rs.sum / rs.size >= 0.6,
+      s"filtered-config mean recall too low: $rs")
+    // the filter really applies: every served id is eligible
+    val elig = eligible.collect().map(_.getLong(0)).toSet
+    val served = graft.ops.Indexes.annGraphSearchFiltered(emb, cent, ivfIdx,
+        graphPath, eligible, 0L, 10, 4, 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(served.subsetOf(elig), "filtered search served an ineligible id")
+  }
 }

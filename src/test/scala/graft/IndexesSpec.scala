@@ -731,6 +731,142 @@ class IndexesSpec extends AnyFunSuite {
       Set(0L, 7L), "post-compaction appends land next to the folded batch")
   }
 
+  test("compaction policy: file-count threshold trips the compactor, imbalance advises reband") {
+    // VERDICT r12 #6: the observability table becomes the maintenance
+    // trigger — thresholds as code, not a runbook
+    val grown = Files.createTempDirectory("policy").toString + "/idx"
+    (0 until 6).foreach(i =>
+      Indexes.appendLshIndexIdempotent(emb.where(col("vec_id") % 6 === i),
+        i.toLong, grown))
+    val filesBefore = parquetFiles(grown)
+    assert(filesBefore >= 6, "six appends must land at least six files")
+    // below threshold: observed, not touched
+    val calm = Indexes.compactionPolicy(spark, grown,
+      Files.createTempDirectory("policy_no").toString + "/idx",
+      maxFiles = filesBefore + 10)
+    assert(!calm.compacted && calm.dest.isEmpty && calm.nFiles === filesBefore)
+    // above threshold: compacts, store rows identical (lineage folded)
+    val dest = Files.createTempDirectory("policy_dst").toString + "/idx"
+    val hot = Indexes.compactionPolicy(spark, grown, dest, maxFiles = 5)
+    assert(hot.compacted && hot.dest === Some(dest))
+    val want = Indexes.readLshIndex(spark, grown)
+      .select(col("vec_id"), col("t"), col("key"))
+      .as[(Long, Int, Long)].collect().toSet
+    val got = Indexes.readLshIndex(spark, dest)
+      .select(col("vec_id"), col("t"), col("key"))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got === want, "the policy-triggered compaction must preserve rows")
+    assert(parquetFiles(dest) < filesBefore, "compaction must shrink file count")
+    // a skewed store (half the corpus identical → one hot bucket) trips
+    // the reband advisory — which compaction alone cannot fix
+    val skewed = (0 until 24).map(i => (i.toLong,
+        if (i < 16) Array.tabulate(8)(_.toFloat)
+        else Array.tabulate(8)(k => math.sin(i * 31 + k).toFloat)))
+      .toDF("vec_id", "embedding")
+    val skewIdx = Files.createTempDirectory("policy_skew").toString + "/idx"
+    Indexes.writeLshIndex(skewed, skewIdx, bBits = 3, lTables = 2, dim = 8,
+      partitionByBucket = false)
+    val adv = Indexes.compactionPolicy(spark, skewIdx,
+      Files.createTempDirectory("policy_skew_dst").toString + "/idx",
+      maxFiles = 10000, maxImbalance = 1.3)
+    assert(adv.rebandAdvised, s"hot bucket must advise a reband: $adv")
+    assert(!adv.compacted, "imbalance alone must never trigger a re-bucket")
+  }
+
+  test("generation manifest: atomic reader flip, rollback-safe grace-gated retirement") {
+    val root = Files.createTempDirectory("manifest").toString
+    val manifest = s"$root/manifest"
+    // no manifest yet: nothing to serve, nothing to retire
+    assert(Indexes.currentGeneration(spark, manifest).isEmpty)
+    assert(Indexes.retireGenerations(spark, manifest).isEmpty)
+    def mkGen(n: Int): String = {
+      val g = s"$root/gen$n"
+      emb.limit(n + 1).write.parquet(g)
+      g
+    }
+    val g0 = mkGen(0); val g1 = mkGen(1); val g2 = mkGen(2)
+    assert(Indexes.publishGeneration(spark, manifest, g0) === 0L)
+    assert(Indexes.currentGeneration(spark, manifest) === Some(g0))
+    assert(Indexes.publishGeneration(spark, manifest, g1) === 1L)
+    assert(Indexes.currentGeneration(spark, manifest) === Some(g1))
+    // retirement respects the grace window: a young superseded generation
+    // survives (in-flight readers), an aged one goes
+    Indexes.withGcGrace(Long.MaxValue) {
+      assert(Indexes.retireGenerations(spark, manifest).isEmpty)
+      assert(new java.io.File(g0).exists())
+    }
+    Indexes.withGcGrace(0L) {
+      assert(Indexes.retireGenerations(spark, manifest) === Seq(g0))
+    }
+    assert(!new java.io.File(g0).exists(), "aged superseded generation retires")
+    assert(new java.io.File(g1).exists(), "the current generation never retires")
+    // the flip history survives retirement (pointer files stay)
+    assert(Indexes.currentGeneration(spark, manifest) === Some(g1))
+    // rollback: RE-publishing an old path flips back; its superseded
+    // pointer must then never retire the live data dir
+    Indexes.publishGeneration(spark, manifest, g2)
+    Indexes.publishGeneration(spark, manifest, g1) // roll back to g1
+    assert(Indexes.currentGeneration(spark, manifest) === Some(g1))
+    Indexes.withGcGrace(0L) {
+      val retired = Indexes.retireGenerations(spark, manifest)
+      assert(retired === Seq(g2), s"only the abandoned g2 retires: $retired")
+    }
+    assert(new java.io.File(g1).exists(),
+      "a rolled-back-to generation survives retirement of its old pointer")
+    assert(spark.read.parquet(Indexes.currentGeneration(spark, manifest).get)
+      .count() === 2L)
+  }
+
+  test("positioned-window delete lifecycle: fold at probe, physical fold at compaction") {
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (0L, "a b c d a b c"),
+      (1L, "x a b c y"),
+      (2L, "a b c"),
+      (3L, "b c a b c")).toDF("doc_id", "text")
+    val srv = Files.createTempDirectory("poswin_del").toString + "/idx"
+    graft.ops.Decontamination.positionedWindows(docs, windowN = 2)
+      .select(col("doc_id"), col("pos"), col("s"))
+      .withColumn("sb", shiftright(col("s"), 48 - Indexes.PosWinDirBits))
+      .write.mode("overwrite").partitionBy("sb").parquet(srv)
+    val before = TextAnalysis.phraseSearch(spark, srv, Seq("a", "b", "c"), 2)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(before.map(_._1) === Seq(0L, 1L, 2L, 3L))
+    // tombstone docs 1 and 3 (replayed: the fold dedups) — probe must
+    // equal a store built without them
+    val del = Seq(1L, 3L).toDF("doc_id")
+    Indexes.tombstonePositionedWindows(spark, srv, del)
+    Indexes.tombstonePositionedWindows(spark, srv, del)
+    val got = TextAnalysis.phraseSearch(spark, srv, Seq("a", "b", "c"), 2)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got === before.filter(r => r._1 == 0L || r._1 == 2L),
+      "tombstoned docs must stop being served by phrase search")
+    // physical fold: compacted generation has no sidecar, no deleted
+    // rows, identical probe; serving layout (sb dirs) preserved
+    val dest = Files.createTempDirectory("poswin_del_c").toString + "/idx"
+    Indexes.compactPositionedWindows(spark, srv, dest)
+    assert(!new java.io.File(s"$dest.tombstones").exists())
+    assert(new java.io.File(dest).listFiles().exists(_.getName.startsWith("sb=")),
+      "compaction must preserve the bucketed serving layout")
+    val left = spark.read.parquet(dest).select(col("doc_id")).distinct()
+      .as[Long].collect().toSet
+    assert(left === Set(0L, 2L))
+    val gotC = TextAnalysis.phraseSearch(spark, dest, Seq("a", "b", "c"), 2)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(gotC === got, "probe must survive physical delete folding")
+    // the idempotent streaming channel: replay rewrites its partition
+    val srv2 = Files.createTempDirectory("poswin_del_s").toString + "/idx"
+    graft.ops.Decontamination.positionedWindows(docs, windowN = 2)
+      .select(col("doc_id"), col("pos"), col("s"))
+      .withColumn("sb", shiftright(col("s"), 48 - Indexes.PosWinDirBits))
+      .write.mode("overwrite").partitionBy("sb").parquet(srv2)
+    Indexes.tombstonePositionedWindowsIdempotent(spark, srv2, del, 5L)
+    Indexes.tombstonePositionedWindowsIdempotent(spark, srv2, del, 5L)
+    val gotS = TextAnalysis.phraseSearch(spark, srv2, Seq("a", "b", "c"), 2)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(gotS === got)
+  }
+
   test("rebucketLshIndex cuts a probe-capable two-level generation from a streaming store") {
     val grown = Files.createTempDirectory("rebucket").toString + "/idx"
     Indexes.appendLshIndexIdempotent(emb.where(col("vec_id") % 2 === 0), 0L, grown,

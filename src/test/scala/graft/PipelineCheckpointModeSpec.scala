@@ -43,7 +43,10 @@ class PipelineCheckpointModeSpec extends AnyFunSuite {
         s"  local : $local\n  stored: $stored")
 
     // The storage mode really did materialize durable per-stage parquet.
-    val stageDirs = new java.io.File(workDir).list().toSeq.sorted
+    // (dot-prefixed entries are the run-dir GC heartbeat marker + its crc
+    // sidecar — liveness metadata, not stage output)
+    val stageDirs = new java.io.File(workDir).list().toSeq
+      .filterNot(_.startsWith(".")).sorted
     assert(stageDirs.size == 7, s"expected 7 stage dirs, got $stageDirs")
     assert(stageDirs.forall(n =>
       new java.io.File(s"$workDir/$n/_SUCCESS").exists()),

@@ -388,6 +388,57 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Generate"), s"knn graph re-buckets via explode:\n$p")
   }
 
+  test("hybrid search: both sub-probes stay indexed — no corpus scan, literal pushdown") {
+    val p = plan("q_hybrid_search")
+    assert(!p.contains("documents.parquet"),
+      s"the lexical side must serve from the inverted index:\n$p")
+    assert(p.contains("PartitionFilters: [tb"),
+      s"term-bucket pruning must reach the postings scan:\n$p")
+    assert(p.linesIterator.exists(l =>
+        l.contains("FileScan parquet") && l.contains("embeddings.parquet") &&
+          l.contains("In(vec_id")),
+      s"the vector side must point-fetch visited ids, not scan the corpus:\n$p")
+    assert(p.contains("TakeOrderedAndProject(limit=10"),
+      s"the fused cut must be a bounded top-k:\n$p")
+  }
+
+  test("phrase search: static sb pruning, files read < files in the serving store") {
+    // the round-12 `weak` fix: the probe must prune STATICALLY to the
+    // phrase windows' sb dirs of the bucketed serving store, never scan
+    // every corpus window (the old doc-ordered layout's cost shape)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+        case q: QueryStageExec => allNodes(q.plan)
+        case _ => p.children.flatMap(allNodes)
+      }
+      (p +: inner) ++ p.subqueries.flatMap(allNodes)
+    }
+    val df = SparkEntry.queries("q_phrase_search")(spark, d)
+    df.collect() // finalize the adaptive plan so scan metrics are real
+    val scans = allNodes(df.queryExecution.executedPlan).collect {
+      case s: FileSourceScanExec if s.relation.partitionSchema.nonEmpty => s
+    }
+    assert(scans.nonEmpty,
+      "no partitioned scan — q_phrase_search no longer probes the serving store?")
+    assert(scans.forall(_.partitionFilters.nonEmpty),
+      "the phrase probe full-scans the sb-partitioned window store")
+    val srvPath = graft.ops.Indexes.ensurePositionedWindowsServing(spark,
+      graft.engine.Tables.documents(spark, d), d, windowN = 2, label = "phrase")
+    def parquetFiles(p: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(p)).size
+    }
+    val readFiles = scans.map(_.metrics("numFiles").value).sum
+    val storeFiles = parquetFiles(srvPath)
+    assert(readFiles > 0 && readFiles < storeFiles,
+      s"static pruning ineffective: read $readFiles of $storeFiles store files")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // Theta joins in the documented quadratic baselines become
     // BroadcastNestedLoopJoin (bounded side); an unconditional

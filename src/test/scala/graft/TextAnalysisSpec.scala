@@ -175,6 +175,125 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(gotAfterAppend === got)
   }
 
+  test("inverted index delete lifecycle: tombstoned probes equal a survivor rebuild") {
+    val corpus = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val terms = Seq("vector", "stream", "merge", "quantum")
+    val del = corpus.where(col("doc_id") % 9 === 4).select(col("doc_id"))
+    val base = java.nio.file.Files.createTempDirectory("inv_del").toString + "/idx"
+    TextAnalysis.writeInvertedIndex(corpus, base)
+    TextAnalysis.tombstoneInvertedIndex(spark, base, del)
+    TextAnalysis.tombstoneInvertedIndex(spark, base, del) // replay: distinct fold
+    val got = TextAnalysis.bm25TopKIndexed(spark, base, terms, k = 25)
+      .as[(Long, Double)].collect().toSeq
+    val rebuilt = java.nio.file.Files.createTempDirectory("inv_del_rb")
+      .toString + "/idx"
+    TextAnalysis.writeInvertedIndex(
+      corpus.join(del, Seq("doc_id"), "left_anti"), rebuilt)
+    val want = TextAnalysis.bm25TopKIndexed(spark, rebuilt, terms, k = 25)
+      .as[(Long, Double)].collect().toSeq
+    assert(got === want,
+      "tombstone-folded probe must equal a rebuild on the surviving corpus")
+    // the batch probe folds the same sidecar
+    val gotB = TextAnalysis.bm25TopKIndexedBatch(spark, base,
+        Seq((0L, terms)).toDF("query_id", "terms"), k = 25)
+      .as[(Long, Long, Double)].collect().toSeq.map(r => (r._2, r._3))
+      .sortBy { case (id, s) => (-s, id) }
+    assert(gotB === want)
+    // compaction folds PHYSICALLY: no sidecar at dest, no deleted rows,
+    // probe unchanged
+    val compacted = java.nio.file.Files.createTempDirectory("inv_del_c")
+      .toString + "/idx"
+    TextAnalysis.compactInvertedIndex(spark, base, compacted)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$compacted.tombstones")))
+    val delIds = del.as[Long].collect().toSet
+    val left = spark.read.parquet(s"$compacted/postings")
+      .select(col("doc_id")).distinct().as[Long].collect().toSet
+    assert(left.intersect(delIds).isEmpty, "compaction must drop deleted postings")
+    val dlLeft = spark.read.parquet(s"$compacted/doclens")
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(dlLeft === left, "doclens must hold exactly the surviving docs")
+    val gotC = TextAnalysis.bm25TopKIndexed(spark, compacted, terms, k = 25)
+      .as[(Long, Double)].collect().toSeq
+    assert(gotC === want, "probe must survive physical delete folding")
+    // idempotent streaming tombstones: replay rewrites its partition
+    val grown = java.nio.file.Files.createTempDirectory("inv_del_s").toString + "/idx"
+    TextAnalysis.appendInvertedIndexIdempotent(corpus, 0L, grown)
+    TextAnalysis.tombstoneInvertedIndexIdempotent(spark, grown, del, 1L)
+    TextAnalysis.tombstoneInvertedIndexIdempotent(spark, grown, del, 1L)
+    val gotS = TextAnalysis.bm25TopKIndexed(spark, grown, terms, k = 25)
+      .as[(Long, Double)].collect().toSeq
+    assert(gotS === want)
+  }
+
+  test("max-score pruned probe: byte-identical to the full read, candidate pushdown") {
+    val corpus = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    // one selective term + two stop-word-adjacent ones: the pruning shape
+    val terms = Seq("dup", "scan", "small")
+    val base = java.nio.file.Files.createTempDirectory("inv_wand").toString + "/idx"
+    TextAnalysis.writeInvertedIndex(corpus, base)
+    val pruned = TextAnalysis.bm25TopKIndexedPruned(spark, base, terms,
+      k = 10, k1 = 1.2, b = 0.75)
+    assert(pruned.isDefined,
+      "the pruned path must ENGAGE on the fixture (rare 'dup' + common rest)")
+    val got = pruned.get.as[(Long, Double)].collect().toSeq
+    val want = TextAnalysis.bm25TopKIndexedFull(spark, base, terms,
+        k = 10, k1 = 1.2, b = 0.75, ts = None)
+      .as[(Long, Double)].collect().toSeq
+    assert(got === want, "pruning must be output-invisible")
+    // the final fetch pushes candidate ids into the postings scan
+    val p = pruned.get.queryExecution.executedPlan.toString
+    assert(p.contains("In(doc_id") || p.contains("doc_id#"),
+      s"candidate-id pushdown missing from the final fetch:\n$p")
+    // an all-common query declines (falls back) rather than mis-pruning
+    assert(TextAnalysis.bm25TopKIndexedPruned(spark, base,
+      Seq("scan", "small"), k = 10, k1 = 1.2, b = 0.75).isEmpty)
+    // and the public probe returns the same rows either way
+    val pub = TextAnalysis.bm25TopKIndexed(spark, base, terms, k = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(pub === want)
+  }
+
+  test("RRF fusion: hand-computed ranks, one-sided docs, total order") {
+    val lex = Seq((10L, 5.0), (11L, 4.0), (12L, 3.0)).toDF("doc_id", "score")
+    val vec = Seq((11L, 0.9), (13L, 0.8)).toDF("doc_id", "cos")
+    val got = TextAnalysis.hybridSearchRrf(lex, "score", vec, "cos", k = 10)
+      .as[(Long, Double)].collect().toSeq
+    def r6(d: Double) =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 11: rank 2 lexical + rank 1 vector; others one-sided
+    val want = Seq(
+      11L -> r6(1.0 / 62 + 1.0 / 61),
+      10L -> r6(1.0 / 61),
+      13L -> r6(1.0 / 62),
+      12L -> r6(1.0 / 63))
+    assert(got === want, s"got $got")
+    // score ties break on doc_id: two docs at the same rank in disjoint
+    // rankings fuse to the same rrf — order must still be total
+    val lex2 = Seq((1L, 5.0)).toDF("doc_id", "score")
+    val vec2 = Seq((2L, 0.9)).toDF("doc_id", "cos")
+    val tied = TextAnalysis.hybridSearchRrf(lex2, "score", vec2, "cos", k = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(tied === Seq(1L -> r6(1.0 / 61), 2L -> r6(1.0 / 61)))
+  }
+
+  test("weighted fusion: hand-computed normalization, degenerate side, one-sided docs") {
+    val lex = Seq((10L, 6.0), (11L, 4.0), (12L, 2.0)).toDF("doc_id", "score")
+    val vec = Seq((11L, 0.9), (13L, 0.5)).toDF("doc_id", "cos")
+    val got = TextAnalysis.hybridSearchWeighted(lex, "score", vec, "cos",
+        k = 10, wLex = 0.5)
+      .as[(Long, Double)].collect().toSeq
+    // nl: 10→1.0, 11→0.5, 12→0.0; nv: 11→1.0, 13→0.0
+    val want = Seq(11L -> 0.75, 10L -> 0.5, 12L -> 0.0, 13L -> 0.0)
+    assert(got === want, s"got $got")
+    // a one-row (degenerate) side normalizes to 1.0, not NaN
+    val one = TextAnalysis.hybridSearchWeighted(
+        Seq((1L, 3.3)).toDF("doc_id", "score"), "score",
+        Seq((2L, 0.4)).toDF("doc_id", "cos"), "cos", k = 10, wLex = 0.5)
+      .as[(Long, Double)].collect().toSeq
+    assert(one === Seq(1L -> 0.5, 2L -> 0.5))
+  }
+
   test("phrase search: anchors, multi-hit counts, no partial-window matches") {
     val docs = Seq(
       (0L, "a b c d a b c"), // "a b c" at anchors 0 and 4
@@ -194,6 +313,21 @@ class TextAnalysisSpec extends AnyFunSuite {
       .as[(Long, Long, Int)].collect().toSeq
     assert(one === Seq((0L, 2L, 1L), (1L, 1L, 3L), (2L, 1L, 0L))
       .map { case (d, n, p) => (d, n, p.toInt) })
+    // the BUCKETED serving layout (sb partition dirs, s-sorted files)
+    // answers identically to the doc-ordered store — the r12 `weak` fix
+    // changed the probe's layout, never its semantics
+    val srv = java.nio.file.Files.createTempDirectory("phrase_srv").toString + "/idx"
+    graft.ops.Decontamination.positionedWindows(docs, windowN = 2)
+      .select(col("doc_id"), col("pos"), col("s"))
+      .withColumn("sb", org.apache.spark.sql.functions.shiftright(col("s"),
+        48 - graft.ops.Indexes.PosWinDirBits))
+      .write.mode("overwrite").partitionBy("sb").parquet(srv)
+    val gotSrv = TextAnalysis.phraseSearch(spark, srv, Seq("a", "b", "c"), windowN = 2)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(gotSrv === got, "serving layout must answer identically")
+    val oneSrv = TextAnalysis.phraseSearch(spark, srv, Seq("b", "c"), windowN = 2)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(oneSrv === one)
   }
 
   test("source entropy + KL: hand-computed distributions") {
@@ -211,6 +345,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     // srcB: uniform over 4 → H = ln 4
     assert(math.abs(got("srcB")._4 - 1.386294) < 1e-4)
     assert(math.abs(got("srcB")._5 - 0.111676) < 1e-4)
+  }
+
+  test("source entropy: repeat invocation over the same corpus runs ZERO jobs") {
+    // VERDICT r12 #7: the eager leak fix re-ran the corpus pass per call;
+    // the session memo (keyed on plan + content fingerprint) must make
+    // the second call free. Counter assertion, not timing.
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    TextAnalysis.sourceEntropy(docs).count() // warm the memo
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val again = TextAnalysis.sourceEntropy(docs)
+      Thread.sleep(1000) // listener events are async; the memo path is sync
+      assert(jobs.get() === 0,
+        s"memoized sourceEntropy must not launch a corpus job, saw ${jobs.get()}")
+      assert(again.count() > 0) // the local frame still answers
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("source entropy: degenerate one-term source has entropy 0") {
