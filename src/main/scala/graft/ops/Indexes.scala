@@ -1033,15 +1033,17 @@ object Indexes {
     * the idempotent (dynamic-partition-overwrite) tombstone channel
     * commits WITHOUT a root _SUCCESS, and gating on the marker silently
     * skipped the fold — deleted vectors resurfaced in the first
-    * CDC-stream spec run. Glob covers both channel layouts (flat files /
-    * batch_id dirs). */
+    * CDC-stream spec run. Glob covers every channel layout: flat files,
+    * batch_id dirs, and the two-level (sb, batch_id) streaming window
+    * stores. */
   private[graft] def hasParquetFiles(spark: SparkSession, dir: String): Boolean = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(dir)
     fs.exists(p) &&
       (fs.globStatus(new org.apache.hadoop.fs.Path(p, "*.parquet")).nonEmpty ||
-       fs.globStatus(new org.apache.hadoop.fs.Path(p, "*/*.parquet")).nonEmpty)
+       fs.globStatus(new org.apache.hadoop.fs.Path(p, "*/*.parquet")).nonEmpty ||
+       fs.globStatus(new org.apache.hadoop.fs.Path(p, "*/*/*.parquet")).nonEmpty)
   }
 
   def readLshIndex(spark: SparkSession, indexPath: String): DataFrame = {
@@ -1086,10 +1088,14 @@ object Indexes {
     *    touched partition dir, so probe cost creeps with append count
     *    (footer-per-file, not rows); past `maxFiles` the store compacts
     *    into a fresh generation at `dest` via the layout's own compactor
-    *    ([[compactCellIndex]] for cell-partitioned stores,
-    *    [[compactLshIndex]] otherwise — probes bit-identical pre/post,
-    *    their existing contract). Deletes fold physically as a side
-    *    effect, retiring the tombstone sidecar.
+    *    — ONE trigger dispatching across every maintained family:
+    *    [[graft.ops.TextAnalysis.compactInvertedIndex]] for inverted
+    *    retrieval stores (detected structurally by the postings/
+    *    subdir), [[compactCellIndex]] for cell-partitioned stores,
+    *    [[compactPositionedWindows]] for sb-bucketed window stores,
+    *    [[compactLshIndex]] otherwise; probes bit-identical pre/post,
+    *    each compactor's existing contract. Deletes fold physically as
+    *    a side effect, retiring the tombstone sidecar.
     *  - IMBALANCE: max/mean bucket occupancy. Compaction cannot fix a
     *    hot bucket — that needs re-deriving the band width
     *    ([[graft.ops.Similarity.scaledBandBits]]) and re-bucketing the
@@ -1112,10 +1118,22 @@ object Indexes {
       n
     }
     val nFiles = countParquet(src)
-    val idx = readLshIndex(spark, src)
+    // family dispatch: the policy is ONE trigger for every maintained
+    // store, each compacting through its own layout-preserving verb.
+    // The inverted retrieval store is detected structurally (postings/
+    // subdir) BEFORE any read — its root is not a single parquet table.
+    val fsRoot = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(src), spark.sparkContext.hadoopConfiguration)
+    val isInverted =
+      fsRoot.exists(new org.apache.hadoop.fs.Path(s"$src/postings"))
+    val idx =
+      if (isInverted) spark.read.parquet(s"$src/postings")
+      else readLshIndex(spark, src)
     val bucketCols: Seq[org.apache.spark.sql.Column] =
-      if (idx.columns.contains("key")) Seq(col("t"), col("key"))
+      if (isInverted) Seq(col("tb"))
+      else if (idx.columns.contains("key")) Seq(col("t"), col("key"))
       else if (idx.columns.contains("cell")) Seq(col("cell"))
+      else if (idx.columns.contains("sb")) Seq(col("sb"))
       else Seq.empty
     val imbalance =
       if (bucketCols.isEmpty) 1.0
@@ -1127,11 +1145,17 @@ object Indexes {
       }
     val compact = nFiles > maxFiles
     if (compact) {
-      if (idx.columns.contains("cell")) compactCellIndex(spark, src, dest)
+      if (isInverted) graft.ops.TextAnalysis.compactInvertedIndex(spark, src, dest)
+      else if (idx.columns.contains("cell")) compactCellIndex(spark, src, dest)
+      else if (idx.columns.contains("sb")) compactPositionedWindows(spark, src, dest)
       else compactLshIndex(spark, src, dest)
     }
     CompactionDecision(nFiles, imbalance, compact,
-      rebandAdvised = imbalance > maxImbalance,
+      // fixed-fan-out layouts (term buckets, window-hash buckets) expect
+      // skew to track term/window frequency — a reband cannot fix them,
+      // so the advisory is a bucket-key-family dial only
+      rebandAdvised = !isInverted && !idx.columns.contains("sb") &&
+        imbalance > maxImbalance,
       dest = if (compact) Some(dest) else None)
   }
 
@@ -1951,10 +1975,14 @@ object Indexes {
     * physical (the family-wide contract; the new generation carries no
     * sidecar). LAYOUT-PRESERVING: a serving store (sb= partition dirs)
     * compacts back to the bucketed s-sorted layout so probes stay
-    * statically pruned; a doc-ordered report store compacts flat. Pure
-    * shuffle-and-rewrite — never re-tokenizes; probes answer identically
-    * pre/post (spec-asserted). Write-once: `dest` is a new generation
-    * committed atomically. */
+    * statically pruned — a STREAMING serving store ((sb, batch_id)
+    * dirs) folds its batch lineage into generation batch 0 and keeps
+    * the unified layout, so the compacted store accepts further
+    * idempotent appends without a partition-discovery conflict (the
+    * compactLshIndex lesson); a doc-ordered report store compacts flat.
+    * Pure shuffle-and-rewrite — never re-tokenizes; probes answer
+    * identically pre/post (spec-asserted). Write-once: `dest` is a new
+    * generation committed atomically. */
   def compactPositionedWindows(spark: SparkSession, src: String,
                                dest: String): Unit = {
     val tmp = tmpBuildPath(dest)
@@ -1965,7 +1993,12 @@ object Indexes {
         rows0.join(spark.read.parquet(ts).select(col("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
       else rows0
-    if (rows0.columns.contains("sb"))
+    if (rows0.columns.contains("batch_id"))
+      rows.withColumn("batch_id", lit(0L))
+        .repartition(col("sb"))
+        .sortWithinPartitions(col("s"), col("doc_id"), col("pos"))
+        .write.mode("overwrite").partitionBy("sb", "batch_id").parquet(tmp)
+    else if (rows0.columns.contains("sb"))
       rows.repartition(col("sb"))
         .sortWithinPartitions(col("s"), col("doc_id"), col("pos"))
         .write.mode("overwrite").partitionBy("sb").parquet(tmp)
@@ -1973,6 +2006,28 @@ object Indexes {
       rows.write.mode("overwrite").parquet(tmp)
     commitIndexDir(spark, tmp, dest)
   }
+
+  /** Idempotent streaming append of a doc batch's positioned windows to
+    * an explicitly-managed SERVING store — the ingest half of
+    * [[graft.streaming.EventStreams.positionedWindowsCdcStream]]. Layout:
+    * (sb, batch_id) partition dirs — sb OUTER so
+    * [[graft.ops.TextAnalysis.phraseSearch]]'s static `sb={...}` pruning
+    * addresses a streaming store unchanged, batch_id inner so a replayed
+    * micro-batch dynamically overwrites exactly its own leaf dirs (the
+    * derivation is deterministic, so a replay recomputes the same sb
+    * set). Tokenizes the BATCH only — once per document ever, the
+    * family-wide ingest property. */
+  def appendPositionedWindowsIdempotent(docs: DataFrame, batchId: Long,
+                                        storePath: String,
+                                        windowN: Int): Unit =
+    Decontamination.positionedWindows(docs, windowN)
+      .select(col("doc_id"), col("pos"), col("s"))
+      .withColumn("sb", shiftright(col("s"), 48 - PosWinDirBits))
+      .withColumn("batch_id", lit(batchId))
+      .repartition(col("sb"))
+      .sortWithinPartitions(col("s"), col("doc_id"), col("pos"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("sb", "batch_id").parquet(storePath)
 
   /** Append a new batch's derived dedup state to an EXISTING minhash index
     * — the index-MAINTENANCE half of continuous ingest

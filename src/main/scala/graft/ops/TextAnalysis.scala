@@ -336,32 +336,7 @@ object TextAnalysis {
     val hs = wins.map(md5Prefix48)
     import spark.implicits._
     val lookup = hs.zipWithIndex.toDF("s", "off")
-    // serving layout detected on the FILESYSTEM (sb= partition dirs), so
-    // the probe addresses exactly the phrase windows' dirs — no
-    // whole-store partition discovery, no schema-inference job (the
-    // readPartDirs rationale above)
-    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(posWinPath),
-      spark.sparkContext.hadoopConfiguration)
-    val isServing = Option(fs.globStatus(
-      new org.apache.hadoop.fs.Path(s"$posWinPath/sb=*"))).exists(_.nonEmpty)
-    val probed =
-      if (isServing) {
-        val sbs = hs.map(_ >> (48 - graft.ops.Indexes.PosWinDirBits)).distinct
-        readPartDirs(spark, posWinPath, s"sb={${sbs.mkString(",")}}",
-            poswinSrvSchema)
-          .where(col("sb").isin(sbs: _*))
-          .where(col("s").isin(hs.distinct: _*))
-      } else
-        spark.read.parquet(posWinPath).where(col("s").isin(hs.distinct: _*))
-    // the delete fold: tombstoned docs' windows never become anchors
-    val tsPath = s"$posWinPath.tombstones"
-    val folded =
-      if (graft.ops.Indexes.hasParquetFiles(spark, tsPath))
-        probed.join(
-          spark.read.parquet(tsPath).select(col("doc_id")).distinct(),
-          Seq("doc_id"), "left_anti")
-      else probed
-    folded
+    probeFoldedWindows(spark, posWinPath, hs)
       .join(broadcast(lookup), Seq("s"))
       .select(col("doc_id"), (col("pos") - col("off")).as("anchor"), col("off"))
       .groupBy(col("doc_id"), col("anchor"))
@@ -370,6 +345,80 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"), min(col("anchor")).as("first_pos"))
       .orderBy(col("doc_id"))
+  }
+
+  /** [[phraseSearch]]'s many-phrases twin — N phrases, ONE probe: the
+    * union of every phrase's window hashes addresses the serving dirs
+    * once (shared I/O, the batch family's contract), the broadcast
+    * lookup carries (phrase_id, s, off, n_wins), and the anchor
+    * derivation groups per phrase — a window hash shared by two
+    * phrases joins into both groups, each scored under its own offset
+    * set. Per-phrase output is identical to [[phraseSearch]] run alone
+    * (spec-asserted). Phrases may have different lengths; each needs
+    * ≥ windowN words. */
+  def phraseSearchBatch(spark: SparkSession, posWinPath: String,
+                        phrases: Seq[(Long, Seq[String])],
+                        windowN: Int): DataFrame = {
+    require(phrases.nonEmpty && phrases.map(_._1).distinct.size == phrases.size,
+      "phraseSearchBatch expects a non-empty, duplicate-free phrase_id list")
+    val entries = phrases.flatMap { case (pid, phrase) =>
+      require(phrase.size >= windowN,
+        s"phrase $pid must span at least windowN=$windowN words")
+      val wins = phrase.map(_.toLowerCase.trim)
+        .sliding(windowN).map(_.mkString(" ")).toSeq
+      wins.zipWithIndex.map { case (w, off) =>
+        (pid, md5Prefix48(w), off, wins.size) }
+    }
+    import spark.implicits._
+    val lookup = entries.toDF("phrase_id", "s", "off", "n_wins")
+    probeFoldedWindows(spark, posWinPath, entries.map(_._2).distinct)
+      .join(broadcast(lookup), Seq("s"))
+      .select(col("phrase_id"), col("doc_id"),
+        (col("pos") - col("off")).as("anchor"), col("off"), col("n_wins"))
+      .groupBy(col("phrase_id"), col("doc_id"), col("anchor"))
+      .agg(countDistinct(col("off")).as("n_off"), max(col("n_wins")).as("nw"))
+      .where(col("n_off") === col("nw"))
+      .groupBy(col("phrase_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("anchor")).as("first_pos"))
+      .orderBy(col("phrase_id"), col("doc_id"))
+  }
+
+  /** The shared positioned-window probe of the phrase family: serving
+    * layout detected on the FILESYSTEM (sb= partition dirs), so the
+    * probe addresses exactly the phrase windows' dirs — no whole-store
+    * partition discovery, no schema-inference job (the readPartDirs
+    * rationale above); delete sidecar folded below the pruned read. */
+  private def probeFoldedWindows(spark: SparkSession, posWinPath: String,
+                                 hs: Seq[Long]): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(posWinPath),
+      spark.sparkContext.hadoopConfiguration)
+    val isServing = Option(fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$posWinPath/sb=*"))).exists(_.nonEmpty)
+    // a STREAMING serving store nests idempotent batch lineage inside
+    // the sb dirs ((sb, batch_id) — appendPositionedWindowsIdempotent);
+    // same static sb pruning, one extra pinned partition column
+    val isStreaming = isServing && Option(fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$posWinPath/sb=*/batch_id=*")))
+      .exists(_.nonEmpty)
+    val probed =
+      if (isServing) {
+        val sbs = hs.map(_ >> (48 - graft.ops.Indexes.PosWinDirBits)).distinct
+        val schema =
+          if (isStreaming) poswinSrvSchema.add("batch_id", LongType)
+          else poswinSrvSchema
+        readPartDirs(spark, posWinPath, s"sb={${sbs.mkString(",")}}", schema)
+          .select(col("doc_id"), col("pos"), col("s"), col("sb"))
+          .where(col("sb").isin(sbs: _*))
+          .where(col("s").isin(hs.distinct: _*))
+      } else
+        spark.read.parquet(posWinPath).where(col("s").isin(hs.distinct: _*))
+    // the delete fold: tombstoned docs' windows never become anchors
+    val tsPath = s"$posWinPath.tombstones"
+    if (graft.ops.Indexes.hasParquetFiles(spark, tsPath))
+      probed.join(
+        spark.read.parquet(tsPath).select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+    else probed
   }
 
   /** MAINTAINED INVERTED INDEX — the retrieval structure that takes BM25
@@ -794,21 +843,22 @@ object TextAnalysis {
     * terms are common or all essential, fewer than k essential docs
     * exist, the common ceiling reaches θ, or candidates exceed
     * [[PrunedCandidateCap]]. */
-  private[graft] def bm25TopKIndexedPruned(spark: SparkSession,
-                                           indexPath: String,
-                                           terms: Seq[String], k: Int,
-                                           k1: Double, b: Double): Option[DataFrame] = {
+  /** The metadata inputs both max-score paths share: the per-term
+    * (df, max_tf) map over `terms` and the corpus scalars — METADATA-
+    * scale (≤ |terms| + 1 rows), pure functions of the store's files,
+    * memoized per (plan, store fingerprint) in the session model cache
+    * so a repeat probe's pruning DECISION costs zero jobs (without
+    * this, a query whose terms are all common paid two driver jobs
+    * just to decline — a measured 1.5× on q_bm25_indexed). A store
+    * append/compaction rewrites the files and rotates the fingerprint.
+    * None when the store predates termstats or is empty. */
+  private def maxScoreInputs(spark: SparkSession, indexPath: String,
+                             terms: Seq[String])
+      : Option[(Map[String, (Long, Long)], Long, Long)] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(indexPath), spark.sparkContext.hadoopConfiguration)
     if (fs.globStatus(new org.apache.hadoop.fs.Path(
         s"$indexPath/termstats", "*/*/*.parquet")).isEmpty) return None
-    // the (df, max_tf) stats and the corpus scalars are METADATA-scale
-    // (≤ |terms| + 1 rows) and pure functions of the store's files —
-    // memoized per (plan, store fingerprint) in the session model cache
-    // so a repeat probe's pruning DECISION costs zero jobs (without
-    // this, a query whose terms are all common paid two driver jobs
-    // just to decline — a measured 1.5× on q_bm25_indexed). A store
-    // append/compaction rewrites the files and rotates the fingerprint.
     val tbs = terms.map(termBucketLocal).distinct
     val statFrame = readPartDirs(spark, s"$indexPath/termstats",
         s"batch_id=*/tb={${tbs.mkString(",")}}", termstatsSchema)
@@ -829,19 +879,35 @@ object TextAnalysis {
     }
     if (sc.isNullAt(0) || sc.isNullAt(1)) return None // empty store
     val (nDocs, totalDl) = (sc.getLong(0), sc.getLong(1))
-    if (nDocs == 0L) return None
-    def ubFp(df: Long, maxTf: Long): Long =
-      if (df <= 0L) 0L
-      else {
-        val idf = math.log((nDocs.toDouble - df + 0.5) / (df + 0.5) + 1.0)
-        math.ceil(idf * (maxTf * (k1 + 1.0)) / (maxTf + k1 * (1.0 - b)) * 1e6)
-          .toLong + 1L
-      }
+    if (nDocs == 0L) None else Some((stat, nDocs, totalDl))
+  }
+
+  /** A term's score CEILING, sound for any dl:
+    * contrib = idf·tf(k1+1)/(tf + k1((1−b) + b·dl/avgdl))
+    *        ≤ idf(df)·max_tf(k1+1)/(max_tf + k1(1−b))
+    * (x/(x+c) increases in x; norm ≥ k1(1−b) at dl = 0), quantized UP
+    * with +1 slack over the fixed-point round. */
+  private def ubFp(nDocs: Long, k1: Double, b: Double)(df: Long,
+                                                       maxTf: Long): Long =
+    if (df <= 0L) 0L
+    else {
+      val idf = math.log((nDocs.toDouble - df + 0.5) / (df + 0.5) + 1.0)
+      math.ceil(idf * (maxTf * (k1 + 1.0)) / (maxTf + k1 * (1.0 - b)) * 1e6)
+        .toLong + 1L
+    }
+
+  private[graft] def bm25TopKIndexedPruned(spark: SparkSession,
+                                           indexPath: String,
+                                           terms: Seq[String], k: Int,
+                                           k1: Double, b: Double): Option[DataFrame] = {
+    val (stat, nDocs, totalDl) =
+      maxScoreInputs(spark, indexPath, terms).getOrElse(return None)
+    val ub = ubFp(nDocs, k1, b) _
     val present = terms.filter(stat.contains)
     val common = present.filter(t => stat(t)._1.toDouble > CommonDfFraction * nDocs)
     val essential = present.filterNot(common.toSet)
     if (common.isEmpty || essential.isEmpty) return None
-    val sumUbCommon = common.map(t => ubFp(stat(t)._1, stat(t)._2)).sum
+    val sumUbCommon = common.map(t => ub(stat(t)._1, stat(t)._2)).sum
     import spark.implicits._
     val dfLookup = broadcast(
       present.map(t => (t, stat(t)._1)).toDF("term", "df"))
@@ -887,6 +953,23 @@ object TextAnalysis {
   def bm25TopKIndexedBatch(spark: SparkSession, indexPath: String,
                            queries: DataFrame, k: Int = 20,
                            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // max-score pruning engages under the single-path conditions
+    // (delete-free store — termstats df exact — and a sound per-query
+    // θ/ceiling split); either way the output is byte-identical
+    val pruned =
+      if (invertedTombstones(spark, indexPath).isEmpty)
+        bm25TopKIndexedBatchPruned(spark, indexPath, queries, k, k1, b)
+      else None
+    pruned.getOrElse(bm25TopKIndexedBatchFull(spark, indexPath, queries, k, k1, b))
+  }
+
+  /** The read-every-probed-posting batch path (the pre-r13 shape) —
+    * correct under ANY sidecar state; [[bm25TopKIndexedBatch]] falls
+    * back here whenever batch max-score pruning cannot engage. */
+  private[graft] def bm25TopKIndexedBatchFull(spark: SparkSession,
+                                              indexPath: String,
+                                              queries: DataFrame, k: Int,
+                                              k1: Double, b: Double): DataFrame = {
     val qterms = queries.select(col("query_id"),
       explode(array_distinct(col("terms"))).as("term"))
     val vocab = qterms.select(col("term")).distinct()
@@ -928,6 +1011,102 @@ object TextAnalysis {
       Seq("score" -> true, "doc_id" -> false), k)
   }
 
+  /** MAX-SCORE pruning for the BATCH probe — [[bm25TopKIndexedPruned]]'s
+    * many-queries twin, closing the family under
+    * {single, batch} × {full, pruned}. The common/essential split is a
+    * pure function of (df, N), so it is GLOBAL across queries (one term
+    * classifies once); what is per-query is θ and the ceiling sum. The
+    * derivation stays DISTRIBUTED — no per-query driver prefix collects:
+    *  1. ONE essential-postings probe over the union essential
+    *     vocabulary scores per-(query, doc) partials (shared I/O, the
+    *     batch family's contract);
+    *  2. θ(q) = min of [[graft.plans.GroupedTopK]]'s per-query top-k of
+    *     the partials — a |queries|-row collect;
+    *  3. candidates(q) = partials with pfp + Σub(common(q)) ≥ θ(q), cut
+    *     by a broadcast of the |queries|-row (θ, Σub) table; the probe
+    *     declines when any query has < k essential-scored docs or a
+    *     ceiling reaching θ (per-query soundness is all-or-nothing —
+    *     a half-pruned batch would lose the shared-fetch property);
+    *  4. ONE candidate fetch over the union candidate ids (literal
+    *     pushdown, capped at [[PrunedCandidateCap]]) re-scores all
+    *     present terms. A doc fetched for query q' scores for q too —
+    *     harmless: its final is < θ(q) ≤ the k-th, it cannot displace
+    *     (the single path's θ argument per query).
+    * Output is byte-identical to [[bm25TopKIndexedBatchFull]] (same
+    * [[bm25ContribFp]], df from termstats = the window count on a
+    * delete-free store). */
+  private[graft] def bm25TopKIndexedBatchPruned(spark: SparkSession,
+                                                indexPath: String,
+                                                queries: DataFrame, k: Int,
+                                                k1: Double, b: Double)
+      : Option[DataFrame] = {
+    import spark.implicits._
+    val qlist = queries.select(col("query_id"), col("terms"))
+      .as[(Long, Seq[String])].take(graft.ops.Indexes.MaxBatchProbeRows + 1)
+      .map { case (q, ts) => (q, Option(ts).getOrElse(Seq.empty)
+        .filter(_ != null).distinct) }
+    if (qlist.length > graft.ops.Indexes.MaxBatchProbeRows) return None
+    val vocab = qlist.flatMap(_._2).distinct.toSeq
+    if (vocab.isEmpty) return None
+    val (stat, nDocs, totalDl) =
+      maxScoreInputs(spark, indexPath, vocab).getOrElse(return None)
+    val ub = ubFp(nDocs, k1, b) _
+    val isCommon: String => Boolean =
+      t => stat.get(t).exists(_._1.toDouble > CommonDfFraction * nDocs)
+    val commonAll = vocab.filter(isCommon)
+    if (commonAll.isEmpty) return None // nothing to bound: full path is optimal
+    val essAll = vocab.filter(t => stat.contains(t) && !isCommon(t))
+    if (essAll.isEmpty) return None // an all-common query cannot prune soundly
+    // per-query ceiling sums; a query with NO essential term can never
+    // establish θ — decline (all-or-nothing, step 3)
+    if (qlist.exists(_._2.count(t => stat.contains(t) && !isCommon(t)) == 0))
+      return None
+    val sumUb = qlist.map { case (q, ts) =>
+      (q, ts.filter(isCommon).map(t => ub(stat(t)._1, stat(t)._2)).sum) }.toMap
+    val dfLookup = broadcast(vocab.filter(stat.contains)
+      .map(t => (t, stat(t)._1)).toDF("term", "df"))
+    val contribFp = bm25ContribFp(k1, b)
+    def postingsOf(qs: Seq[String]): DataFrame = {
+      val qtbs = qs.map(termBucketLocal).distinct
+      readPartDirs(spark, s"$indexPath/postings",
+          s"batch_id=*/tb={${qtbs.mkString(",")}}", postingsSchema)
+        .where(col("tb").isin(qtbs: _*))
+        .where(col("term").isin(qs: _*))
+    }
+    val qtermPairs = qlist.flatMap { case (q, ts) => ts.map((q, _)) }.toSeq
+      .toDF("query_id", "term")
+    def scoreFp(post: DataFrame): DataFrame = post
+      .join(dfLookup, Seq("term"))
+      .join(broadcast(qtermPairs), Seq("term"))
+      .withColumn("n_docs", lit(nDocs)).withColumn("total_dl", lit(totalDl))
+      .select(col("query_id"), col("doc_id"), contribFp.as("fp"))
+      .groupBy(col("query_id"), col("doc_id")).agg(sum(col("fp")).as("pfp"))
+    val partials = scoreFp(postingsOf(essAll))
+    val thetaRows = graft.plans.GroupedTopK.topK(partials, Seq("query_id"),
+        Seq("pfp" -> true, "doc_id" -> false), k)
+      .groupBy(col("query_id"))
+      .agg(min(col("pfp")).as("theta"), count(lit(1)).as("cnt"))
+      .collect() // |queries| rows
+    if (thetaRows.length < qlist.length) return None // a query scored no docs
+    if (thetaRows.exists(_.getAs[Long]("cnt") < k)) return None
+    val theta = thetaRows.map(r =>
+      r.getAs[Long]("query_id") -> r.getAs[Long]("theta")).toMap
+    if (qlist.exists { case (q, _) => sumUb(q) >= theta(q) }) return None
+    val cutoff = broadcast(qlist.map { case (q, _) =>
+      (q, theta(q) - sumUb(q)) }.toSeq.toDF("query_id", "floor"))
+    val candIds = partials.join(cutoff, Seq("query_id"))
+      .where(col("pfp") >= col("floor"))
+      .select(col("doc_id")).distinct()
+      .as[Long].take(PrunedCandidateCap + 1)
+    if (candIds.length > PrunedCandidateCap) return None
+    Some(graft.plans.GroupedTopK.topK(
+      scoreFp(postingsOf(vocab.filter(stat.contains))
+          .where(col("doc_id").isin(candIds.toSeq: _*)))
+        .select(col("query_id"), col("doc_id"),
+          round(col("pfp").cast("double") / lit(1e6), 6).as("score")),
+      Seq("query_id"), Seq("score" -> true, "doc_id" -> false), k))
+  }
+
   /** HYBRID lexical+vector retrieval fusion — reciprocal-rank fusion
     * (RRF, Cormack et al.: score(d) = Σ 1/(rrfK + rank_i(d))) of two
     * ALREADY-CUT top-k rankings, the way an LLM-data-curation pipeline
@@ -956,6 +1135,31 @@ object TextAnalysis {
           coalesce(lit(1.0) / (lit(rrfK) + col("vr")), lit(0.0)), 6).as("rrf"))
       .orderBy(col("rrf").desc, col("doc_id").asc)
       .limit(k)
+  }
+
+  /** [[hybridSearchRrf]]'s many-queries twin, closing hybrid retrieval
+    * under {single, batch}: inputs are per-query bounded top-k rankings
+    * (query_id, doc_id, score) — the BATCH serving probes' own cuts —
+    * so the rank windows partition per query over ≤ k rows each, and
+    * the fused cut is the bounded-heap [[graft.plans.GroupedTopK]].
+    * Same integer-rank determinism and one fixed two-term IEEE fusion
+    * expression as the single-query twin. */
+  def hybridSearchRrfBatch(lexical: DataFrame, lexScore: String,
+                           vector: DataFrame, vecScore: String,
+                           k: Int, rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lr = lexical.select(col("query_id"), col("doc_id"), row_number()
+      .over(Window.partitionBy(col("query_id"))
+        .orderBy(col(lexScore).desc, col("doc_id").asc)).as("lr"))
+    val vr = vector.select(col("query_id"), col("doc_id"), row_number()
+      .over(Window.partitionBy(col("query_id"))
+        .orderBy(col(vecScore).desc, col("doc_id").asc)).as("vr"))
+    graft.plans.GroupedTopK.topK(
+      lr.join(vr, Seq("query_id", "doc_id"), "full_outer")
+        .select(col("query_id"), col("doc_id"),
+          round(coalesce(lit(1.0) / (lit(rrfK) + col("lr")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(rrfK) + col("vr")), lit(0.0)), 6).as("rrf")),
+      Seq("query_id"), Seq("rrf" -> true, "doc_id" -> false), k)
   }
 
   /** [[hybridSearchRrf]]'s score-aware twin — WEIGHTED-SUM fusion over

@@ -3582,6 +3582,56 @@ object PipelineQueries {
        |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
   }
 
+  /** BATCH max-score pruning ([[graft.ops.TextAnalysis
+    * .bm25TopKIndexedBatchPruned]] engaging inside bm25TopKIndexedBatch):
+    * three queries, each mixing the corpus's one selective term ('dup',
+    * df 5%) with stop-word-adjacent ones — the batch derives per-query
+    * θ floors distributedly (GroupedTopK over the shared essential
+    * probe), bounds every common term by its stored ceiling, and fetches
+    * common postings once for the union candidate set. Oracle = the
+    * scan-path batch replay; pruning must be output-invisible. */
+  def bm25PrunedBatch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val idx = TextAnalysis.ensureInvertedIndex(s, documents(s, d), d)
+    val qs = Seq(
+      (0L, Seq("dup", "scan", "small")),
+      (1L, Seq("dup", "merge", "vector")),
+      (2L, Seq("dup", "stream", "part"))
+    ).toDF("query_id", "terms")
+    TextAnalysis.bm25TopKIndexedBatch(s, idx, qs, k = 10)
+      .orderBy(col("query_id"), col("score").desc, col("doc_id"))
+  }
+
+  val bm25PrunedBatchSql: String = {
+    val (k1, b) = (1.2, 0.75)
+    val (k1s, k1p1, oneMb, bs) =
+      (k1.toString, (k1 + 1.0).toString, (1.0 - b).toString, b.toString)
+    s"""WITH q(query_id, term) AS (VALUES
+       |  (0::BIGINT, 'dup'), (0, 'scan'), (0, 'small'),
+       |  (1, 'dup'), (1, 'merge'), (1, 'vector'),
+       |  (2, 'dup'), (2, 'stream'), (2, 'part')),
+       |w AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |tok AS (SELECT doc_id, len(w)::BIGINT AS dl, unnest(w) AS term FROM w),
+       |tf AS (SELECT doc_id, term, max(dl) AS dl, count(*)::BIGINT AS tf
+       |       FROM tok WHERE term IN (SELECT term FROM q)
+       |       GROUP BY doc_id, term),
+       |tfd AS (SELECT tf.*, (count(*) OVER (PARTITION BY term))::BIGINT AS df
+       |        FROM tf),
+       |st AS (SELECT count(*)::BIGINT AS n_docs, sum(len(w))::BIGINT AS total_dl
+       |       FROM w),
+       |c AS (SELECT q.query_id, tfd.doc_id,
+       |        round(ln((n_docs::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5) + 1.0)
+       |          * (tf::DOUBLE * $k1p1) / (tf::DOUBLE + $k1s * ($oneMb + $bs * dl::DOUBLE * n_docs::DOUBLE / total_dl::DOUBLE))
+       |          * 1000000.0)::BIGINT AS fp
+       |      FROM q JOIN tfd ON q.term = tfd.term CROSS JOIN st),
+       |s AS (SELECT query_id, doc_id, round(sum(fp)::DOUBLE / 1000000.0, 6) AS score
+       |      FROM c GROUP BY query_id, doc_id)
+       |SELECT query_id, doc_id, score FROM s
+       |QUALIFY row_number() OVER (PARTITION BY query_id
+       |                           ORDER BY score DESC, doc_id ASC) <= 10
+       |ORDER BY query_id, score DESC, doc_id""".stripMargin
+  }
+
   /** DELETE lifecycle for the retrieval index ([[graft.ops.TextAnalysis
     * .tombstoneInvertedIndex]] — round 13, closing the ONE index family
     * that previously served deleted documents until a full rebuild): a
@@ -3695,6 +3745,44 @@ object PipelineQueries {
        |SELECT doc_id, fused FROM f
        |ORDER BY fused DESC, doc_id ASC LIMIT 10""".stripMargin
 
+  /** BATCHED hybrid retrieval ([[graft.ops.TextAnalysis
+    * .hybridSearchRrfBatch]]) — RRF-fuses the two BATCH serving probes
+    * per query: the indexed BM25 batch (queries 0-4) with the graph-ANN
+    * batch (queries 0-2; doc_id ≡ vec_id). Queries 3-4 exercise the
+    * one-sided (lexical-only) fusion path. Both sub-probes stay on
+    * their indexed batch paths; the oracle replays both batch rankings
+    * and the per-query fusion. */
+  def hybridBatch(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.hybridSearchRrfBatch(
+      bm25IndexedBatch(s, d), "score",
+      annGraphSearchBatch(s, d)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("cos")), "cos",
+      k = 10)
+      .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
+
+  // lazy: interpolates bm25IndexedBatchSql, declared LATER in this object
+  // — a plain val would capture null at init order (the driver's parse
+  // error caught exactly that)
+  lazy val hybridBatchSql: String =
+    s"""WITH lex AS ($bm25IndexedBatchSql),
+       |vec0 AS ($annGraphSearchBatchSql),
+       |lrk AS (SELECT query_id, doc_id,
+       |          row_number() OVER (PARTITION BY query_id
+       |                             ORDER BY score DESC, doc_id ASC) AS lr
+       |        FROM lex),
+       |vrk AS (SELECT query_id, vec_id AS doc_id,
+       |          row_number() OVER (PARTITION BY query_id
+       |                             ORDER BY cos DESC, vec_id ASC) AS vr
+       |        FROM vec0),
+       |f AS (SELECT query_id, doc_id,
+       |        round(coalesce(1.0 / (60 + lr), 0) +
+       |              coalesce(1.0 / (60 + vr), 0), 6) AS rrf
+       |      FROM lrk FULL JOIN vrk USING (query_id, doc_id))
+       |SELECT query_id, doc_id, rrf FROM f
+       |QUALIFY row_number() OVER (PARTITION BY query_id
+       |                           ORDER BY rrf DESC, doc_id ASC) <= 10
+       |ORDER BY query_id, rrf DESC, doc_id""".stripMargin
+
   /** Batched BM25 from the maintained inverted index — the same five
     * queries as q_bm25_batch, zero corpus scans; the scoring is the
     * identical fixed-point derivation, so the oracle IS q_bm25_batch's
@@ -3750,6 +3838,46 @@ object PipelineQueries {
        |SELECT doc_id, count(*)::BIGINT AS n_hits,
        |       min(anchor)::INTEGER AS first_pos
        |FROM occ GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** BATCHED exact-phrase search ([[graft.ops.TextAnalysis
+    * .phraseSearchBatch]]) — three phrases of mixed window counts
+    * (2, 2, 1) served by ONE probe of the union window hashes over the
+    * bucketed serving store; per-phrase anchors group under their own
+    * offset sets. The oracle generalizes the single-phrase replay with
+    * a phrase_id column through every stage. */
+  def phraseSearchBatch(s: SparkSession, d: String): DataFrame = {
+    val idx = graft.ops.Indexes.ensurePositionedWindowsServing(s,
+      documents(s, d), d, windowN = 2, label = "phrase")
+    TextAnalysis.phraseSearchBatch(s, idx, Seq(
+      (0L, Seq("join", "part", "filter")),
+      (1L, Seq("slow", "hash", "batch")),
+      (2L, Seq("vector", "small"))), windowN = 2)
+  }
+
+  val phraseSearchBatchSql: String =
+    s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |sg0 AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+       |                 i -> {'pos': i - 1, 'sstr': w[i] || ' ' || w[i + 1]})) AS u
+       |        FROM w WHERE len(w) >= 2),
+       |sg AS (SELECT doc_id, u.pos AS pos, u.sstr AS sstr FROM sg0),
+       |h AS (SELECT doc_id, pos,
+       |             ('0x' || substr(md5(sstr), 1, 12))::BIGINT AS s FROM sg),
+       |ph(phrase_id, s, off, nw) AS (VALUES
+       |  (0::BIGINT, ('0x' || substr(md5('join part'), 1, 12))::BIGINT, 0, 2),
+       |  (0, ('0x' || substr(md5('part filter'), 1, 12))::BIGINT, 1, 2),
+       |  (1, ('0x' || substr(md5('slow hash'), 1, 12))::BIGINT, 0, 2),
+       |  (1, ('0x' || substr(md5('hash batch'), 1, 12))::BIGINT, 1, 2),
+       |  (2, ('0x' || substr(md5('vector small'), 1, 12))::BIGINT, 0, 1)),
+       |m AS (SELECT ph.phrase_id, h.doc_id, h.pos - ph.off AS anchor,
+       |             ph.off, ph.nw
+       |      FROM h JOIN ph ON h.s = ph.s),
+       |occ AS (SELECT phrase_id, doc_id, anchor FROM m
+       |        GROUP BY phrase_id, doc_id, anchor
+       |        HAVING count(DISTINCT off) = max(nw))
+       |SELECT phrase_id, doc_id, count(*)::BIGINT AS n_hits,
+       |       min(anchor)::INTEGER AS first_pos
+       |FROM occ GROUP BY phrase_id, doc_id
+       |ORDER BY phrase_id, doc_id""".stripMargin
 
   /** Top-20 adjacent-pair collocations by PMI, support ≥ 5
     * ([[graft.ops.TextAnalysis.pmiTopPairs]]): one ln per surviving pair

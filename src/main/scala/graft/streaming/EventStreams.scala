@@ -469,6 +469,68 @@ object EventStreams {
       }
       .start()
 
+  /** CDC-STYLE phrase-store maintenance — [[invertedIndexCdcStream]]'s
+    * twin for the positioned-window SERVING store, closing the round-13
+    * serving family under streaming: (op, doc_id, text) batches, adds as
+    * idempotent (sb, batch_id) window partitions
+    * ([[graft.ops.Indexes.appendPositionedWindowsIdempotent]] — sb outer,
+    * so [[graft.ops.TextAnalysis.phraseSearch]]'s static pruning serves
+    * a streaming store unchanged), deletes as idempotent doc_id
+    * tombstones ([[graft.ops.Indexes
+    * .tombstonePositionedWindowsIdempotent]]). Every phrase probe then
+    * equals one over a from-scratch build on (all adds so far − all
+    * deletes so far), spec-asserted per prefix and across a checkpoint
+    * restart. Same loud contracts as the inverted CDC twin: add+delete
+    * of one doc_id in one batch rejected; first batch must contain adds
+    * unless the store exists; re-adding a tombstoned doc_id rejected
+    * (compact first — ids are permanent identities); a delete for a doc
+    * never ingested is a silent no-op; exactly-once is structural
+    * (batchId-keyed writes). */
+  def positionedWindowsCdcStream(changes: DataFrame, storePath: String,
+                                 checkpoint: String, windowN: Int)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        val b = batch.toDF().select(col("op"), col("doc_id"), col("text")).persist()
+        try {
+          val adds = b.where(col("op") === "add")
+            .select(col("doc_id"), col("text"))
+          val dels = b.where(col("op") === "delete").select(col("doc_id"))
+          require(adds.join(dels, Seq("doc_id"), "left_semi").isEmpty,
+            s"CDC batch $batchId adds and deletes the same doc_id — " +
+              "ambiguous; split the operations across batches")
+          val hasStore = graft.ops.Indexes.hasParquetFiles(s, storePath)
+          val hasAdds = !adds.isEmpty
+          val hasDels = !dels.isEmpty
+          if (hasStore || hasAdds || hasDels) {
+            require(hasStore || hasAdds,
+              s"CDC batch $batchId deletes from a store that does not exist yet")
+            val ts = s"$storePath.tombstones"
+            if (hasAdds && graft.ops.Indexes.hasParquetFiles(s, ts)) {
+              val clash = adds.select(col("doc_id"))
+                .join(s.read.parquet(ts).select(col("doc_id")), Seq("doc_id"),
+                  "left_semi")
+              require(clash.isEmpty,
+                s"CDC batch $batchId re-adds tombstoned doc_id(s) " +
+                  s"${clash.limit(5).as[Long].collect().mkString(", ")} — " +
+                  "ids are permanent identities here; emit re-added content " +
+                  "under a fresh id, or compact the store to retire the " +
+                  "tombstones first")
+            }
+            if (hasAdds)
+              graft.ops.Indexes.appendPositionedWindowsIdempotent(adds, batchId,
+                storePath, windowN)
+            if (hasDels)
+              graft.ops.Indexes.tombstonePositionedWindowsIdempotent(s,
+                storePath, dels, batchId)
+          }
+        } finally b.unpersist(blocking = false)
+      }
+      .start()
+
   /** CDC-STYLE kNN-graph maintenance — [[knnGraphMaintenanceStream]]
     * generalized to MIXED change batches: rows are (op, vec_id,
     * embedding) with op ∈ {add, delete} (embedding ignored for deletes),

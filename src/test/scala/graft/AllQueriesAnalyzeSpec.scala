@@ -46,5 +46,14 @@ class AllQueriesAnalyzeSpec extends AnyFunSuite {
     val orphanOracles = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphanOracles.isEmpty, s"oracleSql entries without a query: $orphanOracles")
     assert(noOracle.isEmpty, s"queries without an oracle (add SQL or document): $noOracle")
+    // an oracle that interpolates a val declared LATER in its object
+    // captures null at init order and reaches DuckDB as the literal
+    // string "null" (caught live on q_hybrid_batch — the fix is `lazy`)
+    val nulled = SparkEntry.oracleSql.collect {
+      case (name, sql) if sql == null || sql.contains("(null)") ||
+        sql.contains(" null\n") => name
+    }
+    assert(nulled.isEmpty,
+      s"oracle SQL captured a null interpolation (declare it lazy): $nulled")
   }
 }

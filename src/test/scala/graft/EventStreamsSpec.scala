@@ -340,6 +340,85 @@ class EventStreamsSpec extends AnyFunSuite {
     try q3.stop() catch { case _: Throwable => () }
   }
 
+  test("CDC phrase-store stream: add/delete batches equal a survivor rebuild, across a restart") {
+    import org.apache.spark.sql.types._
+    val landing = java.nio.file.Files.createTempDirectory("pwcdc_landing").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("pwcdc_ckpt").toString
+    val store = java.nio.file.Files.createTempDirectory("pwcdc_store").toString + "/idx"
+    val schema = StructType(Seq(StructField("op", StringType),
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val corpus = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val textOf = corpus.as[(Long, String)].collect().toMap
+    def land(rows: Seq[(String, Long)]): Unit =
+      rows.map { case (op, id) =>
+          (op, id, if (op == "add") textOf(id) else null)
+        }.toDF("op", "doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(landing)
+    def start() = EventStreams.positionedWindowsCdcStream(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(landing), store, ckpt, windowN = 2)
+    val phrase = Seq("join", "part", "filter")
+    var live = Set.empty[Long]
+    def check(clue: String): Unit = {
+      val survivors = live.toSeq.sorted.map(i => (i, textOf(i)))
+        .toDF("doc_id", "text")
+      val rb = java.nio.file.Files.createTempDirectory("pwcdc_rb").toString + "/idx"
+      graft.ops.Decontamination.positionedWindows(survivors, windowN = 2)
+        .select(col("doc_id"), col("pos"), col("s"))
+        .withColumn("sb", org.apache.spark.sql.functions.shiftright(col("s"),
+          48 - graft.ops.Indexes.PosWinDirBits))
+        .write.mode("overwrite").partitionBy("sb").parquet(rb)
+      val want = graft.ops.TextAnalysis.phraseSearch(spark, rb, phrase, 2)
+        .as[(Long, Long, Int)].collect().toSeq
+      val got = graft.ops.TextAnalysis.phraseSearch(spark, store, phrase, 2)
+        .as[(Long, Long, Int)].collect().toSeq
+      assert(got === want, clue)
+    }
+    val add0 = (0L until 80L).filter(textOf.contains)
+    land(add0.map("add" -> _)); live ++= add0
+    val q1 = start(); q1.processAllAvailable()
+    check("after the pure-add batch")
+    val add1 = (80L until 160L).filter(textOf.contains)
+    val del1 = add0.take(9)
+    land(add1.map("add" -> _) ++ del1.map("delete" -> _))
+    live ++= add1; live --= del1.toSet
+    q1.processAllAvailable(); q1.stop()
+    check("after the mixed batch")
+    // a delete lands while the stream is DOWN; restart replays cleanly
+    val del2 = add1.take(4)
+    land(del2.map("delete" -> _)); live --= del2.toSet
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    check("after the post-restart delete batch")
+    // compaction folds the streaming store (lineage -> batch 0, deletes
+    // physical) and the probe answers identically
+    val dest = java.nio.file.Files.createTempDirectory("pwcdc_c").toString + "/idx"
+    graft.ops.Indexes.compactPositionedWindows(spark, store, dest)
+    assert(!new java.io.File(s"$dest.tombstones").exists())
+    val gotC = graft.ops.TextAnalysis.phraseSearch(spark, dest, phrase, 2)
+      .as[(Long, Long, Int)].collect().toSeq
+    val gotS = graft.ops.TextAnalysis.phraseSearch(spark, store, phrase, 2)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(gotC === gotS, "compacted streaming store must answer identically")
+    // and the compacted generation still accepts idempotent appends
+    val extra = (160L until 170L).filter(textOf.contains)
+    graft.ops.Indexes.appendPositionedWindowsIdempotent(
+      extra.toSeq.map(i => (i, textOf(i))).toDF("doc_id", "text"), 99L, dest, 2)
+    live = live ++ extra
+    val rb2 = java.nio.file.Files.createTempDirectory("pwcdc_rb2").toString + "/idx"
+    graft.ops.Decontamination.positionedWindows(
+        live.toSeq.sorted.map(i => (i, textOf(i))).toDF("doc_id", "text"), 2)
+      .select(col("doc_id"), col("pos"), col("s"))
+      .withColumn("sb", org.apache.spark.sql.functions.shiftright(col("s"),
+        48 - graft.ops.Indexes.PosWinDirBits))
+      .write.mode("overwrite").partitionBy("sb").parquet(rb2)
+    assert(graft.ops.TextAnalysis.phraseSearch(spark, dest, phrase, 2)
+        .as[(Long, Long, Int)].collect().toSeq ===
+      graft.ops.TextAnalysis.phraseSearch(spark, rb2, phrase, 2)
+        .as[(Long, Long, Int)].collect().toSeq,
+      "post-compaction appends must land next to the folded batch")
+  }
+
   test("crash recovery: weighted-sample reservoir survives a restart") {
     import org.apache.spark.sql.types._
     val landing = java.nio.file.Files.createTempDirectory("ws_cr_landing").toString

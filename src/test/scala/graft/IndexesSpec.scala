@@ -773,6 +773,39 @@ class IndexesSpec extends AnyFunSuite {
     assert(!adv.compacted, "imbalance alone must never trigger a re-bucket")
   }
 
+  test("compaction policy dispatches per family: inverted and window stores") {
+    import graft.ops.TextAnalysis
+    val docs = graft.engine.Tables.documents(spark, sf).limit(60)
+    // inverted store: grown by appends, tombstoned; the policy must
+    // route to compactInvertedIndex (postings survive, sidecar folds)
+    val inv = Files.createTempDirectory("policy_inv").toString + "/idx"
+    (0 until 3).foreach(i => TextAnalysis.appendInvertedIndexIdempotent(
+      docs.where(col("doc_id") % 3 === i), i.toLong, inv))
+    TextAnalysis.tombstoneInvertedIndex(spark, inv,
+      docs.where(col("doc_id") % 5 === 0).select(col("doc_id")))
+    val invDest = Files.createTempDirectory("policy_inv_dst").toString + "/idx"
+    val dInv = Indexes.compactionPolicy(spark, inv, invDest, maxFiles = 1)
+    assert(dInv.compacted && dInv.dest === Some(invDest))
+    assert(new java.io.File(s"$invDest/postings").exists(),
+      "inverted store must compact through its own verb (postings kept)")
+    assert(!new java.io.File(s"$invDest.tombstones").exists(),
+      "compaction folds the delete sidecar physically")
+    assert(!dInv.rebandAdvised,
+      "term buckets track term frequency — never a reband target")
+    // sb-bucketed window store routes to compactPositionedWindows
+    val win = Files.createTempDirectory("policy_win").toString + "/idx"
+    graft.ops.Decontamination.positionedWindows(docs, windowN = 2)
+      .select(col("doc_id"), col("pos"), col("s"))
+      .withColumn("sb", shiftright(col("s"), 48 - Indexes.PosWinDirBits))
+      .write.mode("overwrite").partitionBy("sb").parquet(win)
+    val winDest = Files.createTempDirectory("policy_win_dst").toString + "/idx"
+    val dWin = Indexes.compactionPolicy(spark, win, winDest, maxFiles = 1)
+    assert(dWin.compacted)
+    assert(new java.io.File(winDest).listFiles()
+        .exists(_.getName.startsWith("sb=")),
+      "window store must compact back to its bucketed serving layout")
+  }
+
   test("generation manifest: atomic reader flip, rollback-safe grace-gated retirement") {
     val root = Files.createTempDirectory("manifest").toString
     val manifest = s"$root/manifest"
@@ -865,6 +898,41 @@ class IndexesSpec extends AnyFunSuite {
     val gotS = TextAnalysis.phraseSearch(spark, srv2, Seq("a", "b", "c"), 2)
       .as[(Long, Long, Int)].collect().toSeq
     assert(gotS === got)
+  }
+
+  test("maintenance cycle: append -> policy compacts -> manifest flips -> retire -> probe identical") {
+    // the production loop the round-13 verbs compose: a store grows by
+    // idempotent appends, the stats-driven policy compacts it into a
+    // fresh generation, the manifest flips readers atomically, grace
+    // retires the old generation — and the probe answers identically
+    // through every step
+    val root = Files.createTempDirectory("cycle").toString
+    val gen0 = s"$root/gen0"
+    (0 until 4).foreach(i =>
+      Indexes.appendLshIndexIdempotent(emb.where(col("vec_id") % 4 === i),
+        i.toLong, gen0))
+    val manifest = s"$root/manifest"
+    Indexes.publishGeneration(spark, manifest, gen0)
+    def probeRows(path: String): Set[(Long, Int, Long)] =
+      Indexes.readLshIndex(spark, path)
+        .select(col("vec_id"), col("t"), col("key"))
+        .as[(Long, Int, Long)].collect().toSet
+    val before = probeRows(Indexes.currentGeneration(spark, manifest).get)
+    // the policy trips on file count and compacts into gen1
+    val gen1 = s"$root/gen1"
+    val d = Indexes.compactionPolicy(spark,
+      Indexes.currentGeneration(spark, manifest).get, gen1, maxFiles = 3)
+    assert(d.compacted, s"4 appended batches must trip maxFiles=3: $d")
+    Indexes.publishGeneration(spark, manifest, gen1)
+    assert(probeRows(Indexes.currentGeneration(spark, manifest).get) === before,
+      "the flipped-to generation must answer identically")
+    // retirement reclaims the superseded generation, current survives
+    Indexes.withGcGrace(0L) {
+      assert(Indexes.retireGenerations(spark, manifest) === Seq(gen0))
+    }
+    assert(!new java.io.File(gen0).exists())
+    assert(probeRows(Indexes.currentGeneration(spark, manifest).get) === before,
+      "the probe must survive old-generation retirement")
   }
 
   test("rebucketLshIndex cuts a probe-capable two-level generation from a streaming store") {

@@ -402,6 +402,28 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the fused cut must be a bounded top-k:\n$p")
   }
 
+  test("weighted hybrid + filtered graph search stay on their indexed paths") {
+    // the weighted twin must inherit q_hybrid_search's zero-corpus-scan
+    // property — normalization is a window over the bounded sub-results,
+    // never a reason to rescan
+    val pw = plan("q_hybrid_weighted")
+    assert(!pw.contains("documents.parquet"),
+      s"the lexical side must serve from the inverted index:\n$pw")
+    assert(pw.contains("PartitionFilters: [tb"),
+      s"term-bucket pruning must reach the postings scan:\n$pw")
+    assert(pw.contains("TakeOrderedAndProject(limit=10"),
+      s"the fused cut must be a bounded top-k:\n$pw")
+    // the filtered graph probe point-fetches visited ids like the plain
+    // one — the eligibility semi-join must not widen the fetch to a scan
+    val pf = plan("q_ann_graph_filtered")
+    assert(pf.linesIterator.exists(l =>
+        l.contains("FileScan parquet") && l.contains("embeddings.parquet") &&
+          l.contains("In(vec_id")),
+      s"filtered graph search must point-fetch visited ids:\n$pf")
+    assert(pf.contains("TakeOrderedAndProject(limit=10"),
+      s"the filtered cut must be a bounded top-k:\n$pf")
+  }
+
   test("phrase search: static sb pruning, files read < files in the serving store") {
     // the round-12 `weak` fix: the probe must prune STATICALLY to the
     // phrase windows' sb dirs of the bucketed serving store, never scan

@@ -254,6 +254,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(pub === want)
   }
 
+  test("batch max-score pruning: engages, byte-identical to the full batch read") {
+    val corpus = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val base = java.nio.file.Files.createTempDirectory("inv_bwand").toString + "/idx"
+    TextAnalysis.writeInvertedIndex(corpus, base)
+    val qs = Seq(
+      (0L, Seq("dup", "scan", "small")),
+      (1L, Seq("dup", "merge", "vector")),
+      (2L, Seq("dup", "stream", "part"))
+    ).toDF("query_id", "terms")
+    val pruned = TextAnalysis.bm25TopKIndexedBatchPruned(spark, base, qs,
+      k = 10, k1 = 1.2, b = 0.75)
+    assert(pruned.isDefined,
+      "batch pruning must ENGAGE on the fixture (each query: rare 'dup' + common rest)")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy(col("query_id"), col("score").desc, col("doc_id"))
+      .as[(Long, Long, Double)].collect().toSeq
+    val got = rows(pruned.get)
+    val want = rows(TextAnalysis.bm25TopKIndexedBatchFull(spark, base, qs,
+      k = 10, k1 = 1.2, b = 0.75))
+    assert(got === want, "batch pruning must be output-invisible")
+    // an all-common query in the batch declines the WHOLE batch
+    // (all-or-nothing: a half-pruned batch loses the shared fetch)
+    val qsBad = qs.union(Seq((3L, Seq("scan", "merge"))).toDF("query_id", "terms"))
+    assert(TextAnalysis.bm25TopKIndexedBatchPruned(spark, base, qsBad,
+      k = 10, k1 = 1.2, b = 0.75).isEmpty)
+    // and the public batch probe returns identical rows either way
+    assert(rows(TextAnalysis.bm25TopKIndexedBatch(spark, base, qs, k = 10)) === want)
+  }
+
   test("RRF fusion: hand-computed ranks, one-sided docs, total order") {
     val lex = Seq((10L, 5.0), (11L, 4.0), (12L, 3.0)).toDF("doc_id", "score")
     val vec = Seq((11L, 0.9), (13L, 0.8)).toDF("doc_id", "cos")
@@ -275,6 +304,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     val tied = TextAnalysis.hybridSearchRrf(lex2, "score", vec2, "cos", k = 10)
       .as[(Long, Double)].collect().toSeq
     assert(tied === Seq(1L -> r6(1.0 / 61), 2L -> r6(1.0 / 61)))
+  }
+
+  test("batch RRF fusion equals per-query singles, including a lexical-only query") {
+    val lex = Seq((0L, 10L, 5.0), (0L, 11L, 4.0), (1L, 20L, 9.0), (1L, 21L, 8.0),
+        (2L, 30L, 1.0))
+      .toDF("query_id", "doc_id", "score")
+    val vec = Seq((0L, 11L, 0.9), (0L, 13L, 0.8), (1L, 21L, 0.7))
+      .toDF("query_id", "doc_id", "cos")
+    val got = TextAnalysis.hybridSearchRrfBatch(lex, "score", vec, "cos", k = 10)
+      .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
+      .as[(Long, Long, Double)].collect().toSeq
+    val want = Seq(0L, 1L, 2L).flatMap { q =>
+      TextAnalysis.hybridSearchRrf(
+          lex.where(col("query_id") === q).select(col("doc_id"), col("score")),
+          "score",
+          vec.where(col("query_id") === q).select(col("doc_id"), col("cos")),
+          "cos", k = 10)
+        .as[(Long, Double)].collect().toSeq.map(r => (q, r._1, r._2))
+    }
+    assert(got === want, s"batch fusion must equal per-query singles: $got")
   }
 
   test("weighted fusion: hand-computed normalization, degenerate side, one-sided docs") {
@@ -328,6 +377,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     val oneSrv = TextAnalysis.phraseSearch(spark, srv, Seq("b", "c"), windowN = 2)
       .as[(Long, Long, Int)].collect().toSeq
     assert(oneSrv === one)
+    // the batch twin: one probe, per-phrase outputs identical to the
+    // singles — including phrases of DIFFERENT window counts and a
+    // window hash shared across phrases ("a b" appears in both)
+    val batch = TextAnalysis.phraseSearchBatch(spark, srv, Seq(
+        (7L, Seq("a", "b", "c")), (8L, Seq("b", "c")), (9L, Seq("a", "b"))),
+        windowN = 2)
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    def single(p: Seq[String]) =
+      TextAnalysis.phraseSearch(spark, srv, p, windowN = 2)
+        .as[(Long, Long, Int)].collect().toSeq
+    val want = Seq(7L -> Seq("a", "b", "c"), 8L -> Seq("b", "c"),
+        9L -> Seq("a", "b"))
+      .flatMap { case (pid, p) => single(p).map(r => (pid, r._1, r._2, r._3)) }
+    assert(batch === want, "batch phrase search must equal per-phrase singles")
   }
 
   test("source entropy + KL: hand-computed distributions") {
