@@ -2019,7 +2019,25 @@ object Indexes {
     * family-wide ingest property. */
   def appendPositionedWindowsIdempotent(docs: DataFrame, batchId: Long,
                                         storePath: String,
-                                        windowN: Int): Unit =
+                                        windowN: Int): Unit = {
+    // loud layout guard: appending (sb, batch_id) leaves next to a
+    // NON-streaming serving store's flat sb= files would break partition
+    // discovery at the next read (the mixed-layout failure the LSH
+    // family hit in r12) — a streaming store is born streaming, or cut
+    // from a compaction that kept the unified layout
+    val spark = docs.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(storePath),
+      spark.sparkContext.hadoopConfiguration)
+    val hasSb = Option(fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$storePath/sb=*"))).exists(_.nonEmpty)
+    val hasBatch = Option(fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$storePath/sb=*/batch_id=*")))
+      .exists(_.nonEmpty)
+    require(!hasSb || hasBatch,
+      s"appendPositionedWindowsIdempotent: $storePath is a non-streaming " +
+        "serving store (flat sb= layout) — appending batch partitions would " +
+        "mix layouts; compact it through compactPositionedWindows from a " +
+        "streaming source, or start a fresh streaming store")
     Decontamination.positionedWindows(docs, windowN)
       .select(col("doc_id"), col("pos"), col("s"))
       .withColumn("sb", shiftright(col("s"), 48 - PosWinDirBits))
@@ -2028,6 +2046,7 @@ object Indexes {
       .sortWithinPartitions(col("s"), col("doc_id"), col("pos"))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("sb", "batch_id").parquet(storePath)
+  }
 
   /** Append a new batch's derived dedup state to an EXISTING minhash index
     * — the index-MAINTENANCE half of continuous ingest

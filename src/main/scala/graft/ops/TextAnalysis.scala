@@ -1046,6 +1046,10 @@ object TextAnalysis {
       .map { case (q, ts) => (q, Option(ts).getOrElse(Seq.empty)
         .filter(_ != null).distinct) }
     if (qlist.length > graft.ops.Indexes.MaxBatchProbeRows) return None
+    // duplicate query_ids would collapse the per-query θ/ceiling maps —
+    // decline to the full path, whose per-row semantics the caller gets
+    // either way
+    if (qlist.map(_._1).distinct.length != qlist.length) return None
     val vocab = qlist.flatMap(_._2).distinct.toSeq
     if (vocab.isEmpty) return None
     val (stat, nDocs, totalDl) =

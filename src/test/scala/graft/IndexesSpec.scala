@@ -898,6 +898,12 @@ class IndexesSpec extends AnyFunSuite {
     val gotS = TextAnalysis.phraseSearch(spark, srv2, Seq("a", "b", "c"), 2)
       .as[(Long, Long, Int)].collect().toSeq
     assert(gotS === got)
+    // layout guard: a streaming append onto a NON-streaming serving
+    // store (flat sb= files) must fail loudly, not mix layouts
+    val boom = intercept[IllegalArgumentException] {
+      Indexes.appendPositionedWindowsIdempotent(docs, 7L, srv, 2)
+    }
+    assert(boom.getMessage.contains("non-streaming"), boom.getMessage)
   }
 
   test("maintenance cycle: append -> policy compacts -> manifest flips -> retire -> probe identical") {
