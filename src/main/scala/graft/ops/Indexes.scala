@@ -1128,7 +1128,19 @@ object Indexes {
       fsRoot.exists(new org.apache.hadoop.fs.Path(s"$src/postings"))
     val idx =
       if (isInverted) spark.read.parquet(s"$src/postings")
-      else readLshIndex(spark, src)
+      else {
+        val raw = spark.read.parquet(src)
+        // window stores tombstone on doc_id, not vec_id — readLshIndex's
+        // fold would throw on their sidecar (review catch); fold on the
+        // store's own key so tombstone-aware stats hold family-wide
+        if (raw.columns.contains("sb")) {
+          val ts = s"$src.tombstones"
+          if (hasParquetFiles(spark, ts))
+            raw.join(spark.read.parquet(ts).select(col("doc_id")).distinct(),
+              Seq("doc_id"), "left_anti")
+          else raw
+        } else readLshIndex(spark, src)
+      }
     val bucketCols: Seq[org.apache.spark.sql.Column] =
       if (isInverted) Seq(col("tb"))
       else if (idx.columns.contains("key")) Seq(col("t"), col("key"))
@@ -1193,7 +1205,11 @@ object Indexes {
     fs.mkdirs(dir)
     val seq = manifestEntries(fs, dir).lastOption.map(_._1 + 1L).getOrElse(0L)
     val name = f"gen-$seq%012d"
-    val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.tmp")
+    // per-publisher-unique tmp (review catch: a shared .gen-N.tmp let a
+    // racing loser's create TRUNCATE the winner's content before the
+    // winner's rename — one generation silently never published)
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s".$name.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
     try out.write(generationPath.getBytes("UTF-8")) finally out.close()
     val dest = new org.apache.hadoop.fs.Path(dir, name)
@@ -1218,7 +1234,12 @@ object Indexes {
   }
 
   /** See [[publishGeneration]]. `keep` ≥ 1 latest generations always
-    * survive regardless of age. */
+    * survive regardless of age. The grace clock runs from SUPERSESSION,
+    * not publication: a superseded generation retires only when its
+    * SUCCESSOR pointer is older than the grace window (review catch:
+    * gating on the generation's own mtime deleted a long-lived current
+    * generation the instant a compaction superseded it — under the
+    * in-flight readers the grace exists to protect). */
   def retireGenerations(spark: SparkSession, manifestDir: String,
                         keep: Int = 1): Seq[String] = {
     require(keep >= 1, "retireGenerations must keep at least the current generation")
@@ -1228,15 +1249,21 @@ object Indexes {
     if (!fs.exists(dir)) return Seq.empty
     val entries = manifestEntries(fs, dir)
     val cutoff = System.currentTimeMillis() - effectiveGcGraceMs
-    val live = entries.takeRight(keep).map { case (_, p) => readPointer(fs, p) }.toSet
-    entries.dropRight(keep).flatMap { case (_, ptr) =>
-      val gen = readPointer(fs, ptr)
+    val gens = entries.map { case (_, p) => readPointer(fs, p) }
+    val live = gens.takeRight(keep).toSet
+    // a re-published path (rollback flips BACK to an old generation)
+    // must survive retirement of its earlier superseded pointers, and a
+    // twice-pointed generation's clock runs from its LAST supersession —
+    // the pointer after its final occurrence (an earlier occurrence's
+    // successor may be arbitrarily old while the generation was current
+    // again until just now)
+    gens.dropRight(keep).distinct.filterNot(live.contains).flatMap { gen =>
       val genP = new org.apache.hadoop.fs.Path(gen)
-      // a re-published path (rollback flips BACK to an old generation)
-      // must survive retirement of its superseded pointer
-      if (!live.contains(gen) && fs.exists(genP) &&
-          fs.getFileStatus(genP).getModificationTime < cutoff &&
-          fs.getFileStatus(ptr).getModificationTime < cutoff) {
+      // last occurrence is outside the live tail (filtered above), so the
+      // successor index always exists
+      val supersededAt = fs.getFileStatus(
+        entries(gens.lastIndexOf(gen) + 1)._2).getModificationTime
+      if (fs.exists(genP) && supersededAt < cutoff) {
         fs.delete(genP, true)
         val ts = new org.apache.hadoop.fs.Path(s"$gen.tombstones")
         if (fs.exists(ts)) fs.delete(ts, true)
@@ -2026,18 +2053,20 @@ object Indexes {
     // family hit in r12) — a streaming store is born streaming, or cut
     // from a compaction that kept the unified layout
     val spark = docs.sparkSession
-    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(storePath),
-      spark.sparkContext.hadoopConfiguration)
-    val hasSb = Option(fs.globStatus(
-      new org.apache.hadoop.fs.Path(s"$storePath/sb=*"))).exists(_.nonEmpty)
-    val hasBatch = Option(fs.globStatus(
-      new org.apache.hadoop.fs.Path(s"$storePath/sb=*/batch_id=*")))
+    val hasBatch = Option(org.apache.hadoop.fs.FileSystem
+        .get(new java.net.URI(storePath), spark.sparkContext.hadoopConfiguration)
+        .globStatus(new org.apache.hadoop.fs.Path(s"$storePath/sb=*/batch_id=*")))
       .exists(_.nonEmpty)
-    require(!hasSb || hasBatch,
-      s"appendPositionedWindowsIdempotent: $storePath is a non-streaming " +
-        "serving store (flat sb= layout) — appending batch partitions would " +
-        "mix layouts; compact it through compactPositionedWindows from a " +
-        "streaming source, or start a fresh streaming store")
+    // accepts only an EMPTY/new store or one already streaming — a flat
+    // sb= serving store AND a doc-ordered report store both reject
+    // (review catch: the first guard only checked sb=, letting the
+    // report layout take nested partition dirs beside flat part files)
+    require(!hasParquetFiles(spark, storePath) || hasBatch,
+      s"appendPositionedWindowsIdempotent: $storePath holds a non-streaming " +
+        "layout (flat sb= serving files or a doc-ordered report store) — " +
+        "appending batch partitions would mix layouts; compact through " +
+        "compactPositionedWindows from a streaming source, or start a " +
+        "fresh streaming store")
     Decontamination.positionedWindows(docs, windowN)
       .select(col("doc_id"), col("pos"), col("s"))
       .withColumn("sb", shiftright(col("s"), 48 - PosWinDirBits))

@@ -955,12 +955,17 @@ object TextAnalysis {
                            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     // max-score pruning engages under the single-path conditions
     // (delete-free store — termstats df exact — and a sound per-query
-    // θ/ceiling split); either way the output is byte-identical
+    // θ/ceiling split); either way the output is byte-identical. The
+    // sidecar view derives ONCE and threads through (the single-query
+    // wrapper's shape — recomputing it in the full path paid the
+    // sidecar globs twice per probe).
+    val ts = invertedTombstones(spark, indexPath)
     val pruned =
-      if (invertedTombstones(spark, indexPath).isEmpty)
+      if (ts.isEmpty)
         bm25TopKIndexedBatchPruned(spark, indexPath, queries, k, k1, b)
       else None
-    pruned.getOrElse(bm25TopKIndexedBatchFull(spark, indexPath, queries, k, k1, b))
+    pruned.getOrElse(
+      bm25TopKIndexedBatchFull(spark, indexPath, queries, k, k1, b, ts))
   }
 
   /** The read-every-probed-posting batch path (the pre-r13 shape) —
@@ -969,7 +974,8 @@ object TextAnalysis {
   private[graft] def bm25TopKIndexedBatchFull(spark: SparkSession,
                                               indexPath: String,
                                               queries: DataFrame, k: Int,
-                                              k1: Double, b: Double): DataFrame = {
+                                              k1: Double, b: Double,
+                                              ts: Option[DataFrame]): DataFrame = {
     val qterms = queries.select(col("query_id"),
       explode(array_distinct(col("terms"))).as("term"))
     val vocab = qterms.select(col("term")).distinct()
@@ -994,10 +1000,9 @@ object TextAnalysis {
       .where(col("term").isin(termList.toSeq: _*))
     // delete fold, shared with the single-query probe: surviving
     // postings only, sidecar-corrected scalars
-    val tsDel = invertedTombstones(spark, indexPath)
-    val post = tsDel.fold(post0)(t =>
+    val post = ts.fold(post0)(t =>
       post0.join(t.select(col("doc_id")), Seq("doc_id"), "left_anti"))
-    val stats = invertedScalars(spark, indexPath, tsDel)
+    val stats = invertedScalars(spark, indexPath, ts)
     val tfd = post.withColumn("df",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("term"))))

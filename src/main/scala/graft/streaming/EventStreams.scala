@@ -419,6 +419,35 @@ object EventStreams {
   def invertedIndexCdcStream(changes: DataFrame, indexPath: String,
                              checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
+    cdcDocStream(changes, checkpoint, indexPath,
+      // postings files, not fs.exists (review catch: a dir left by a
+      // crashed first append read as "store exists" and let a
+      // delete-only batch fall into a missing-doclens read)
+      hasStore = s => graft.ops.Indexes.hasParquetFiles(s,
+        s"$indexPath/postings"),
+      append = (adds, bid) =>
+        graft.ops.TextAnalysis.appendInvertedIndexIdempotent(adds, bid,
+          indexPath),
+      tombstone = (s, dels, bid) =>
+        graft.ops.TextAnalysis.tombstoneInvertedIndexIdempotent(s, indexPath,
+          dels, bid))
+
+  /** The ONE foreachBatch body both document CDC streams share
+    * ([[invertedIndexCdcStream]] / [[positionedWindowsCdcStream]] — a
+    * review catch: two verbatim copies had already drifted on the
+    * store-existence and re-add-guard checks): add/delete split, the
+    * same-id/first-batch/re-add contracts, then the two store verbs the
+    * caller binds. Tombstone presence uses [[graft.ops.Indexes
+    * .hasParquetFiles]] so BOTH sidecar channel layouts (flat append
+    * files / batch_id dirs) arm the re-add guard. Guard-not-`return`:
+    * a non-local return from a foreachBatch closure throws at stream
+    * runtime. */
+  private def cdcDocStream(changes: DataFrame, checkpoint: String,
+                           storePath: String,
+                           hasStore: SparkSession => Boolean,
+                           append: (DataFrame, Long) => Unit,
+                           tombstone: (SparkSession, DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -432,21 +461,14 @@ object EventStreams {
           require(adds.join(dels, Seq("doc_id"), "left_semi").isEmpty,
             s"CDC batch $batchId adds and deletes the same doc_id — " +
               "ambiguous; split the operations across batches")
-          val fs = org.apache.hadoop.fs.FileSystem.get(
-            new java.net.URI(indexPath), s.sparkContext.hadoopConfiguration)
-          val hasIndex = fs.exists(new org.apache.hadoop.fs.Path(indexPath))
+          val store = hasStore(s)
           val hasAdds = !adds.isEmpty
           val hasDels = !dels.isEmpty
-          // guard, not `return` — a non-local return from a foreachBatch
-          // closure throws at stream runtime
-          if (hasIndex || hasAdds || hasDels) {
-          require(hasIndex || hasAdds,
-            s"CDC batch $batchId deletes from a store that does not exist yet")
-          if (hasAdds && hasIndex) {
-            val ts = s"$indexPath.tombstones"
-            val tsPath = new org.apache.hadoop.fs.Path(ts)
-            if (fs.exists(tsPath) && fs.globStatus(
-                new org.apache.hadoop.fs.Path(tsPath, "*/*.parquet")).nonEmpty) {
+          if (store || hasAdds || hasDels) {
+            require(store || hasAdds,
+              s"CDC batch $batchId deletes from a store that does not exist yet")
+            val ts = s"$storePath.tombstones"
+            if (hasAdds && graft.ops.Indexes.hasParquetFiles(s, ts)) {
               val clash = adds.select(col("doc_id"))
                 .join(s.read.parquet(ts).select(col("doc_id")), Seq("doc_id"),
                   "left_semi")
@@ -457,13 +479,8 @@ object EventStreams {
                   "under a fresh id, or compact the store to retire the " +
                   "tombstones first")
             }
-          }
-          if (hasAdds)
-            graft.ops.TextAnalysis.appendInvertedIndexIdempotent(adds, batchId,
-              indexPath)
-          if (hasDels)
-            graft.ops.TextAnalysis.tombstoneInvertedIndexIdempotent(s, indexPath,
-              dels, batchId)
+            if (hasAdds) append(adds, batchId)
+            if (hasDels) tombstone(s, dels, batchId)
           }
         } finally b.unpersist(blocking = false)
       }
@@ -489,47 +506,14 @@ object EventStreams {
   def positionedWindowsCdcStream(changes: DataFrame, storePath: String,
                                  checkpoint: String, windowN: Int)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    changes.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val s = batch.sparkSession
-        import s.implicits._
-        val b = batch.toDF().select(col("op"), col("doc_id"), col("text")).persist()
-        try {
-          val adds = b.where(col("op") === "add")
-            .select(col("doc_id"), col("text"))
-          val dels = b.where(col("op") === "delete").select(col("doc_id"))
-          require(adds.join(dels, Seq("doc_id"), "left_semi").isEmpty,
-            s"CDC batch $batchId adds and deletes the same doc_id — " +
-              "ambiguous; split the operations across batches")
-          val hasStore = graft.ops.Indexes.hasParquetFiles(s, storePath)
-          val hasAdds = !adds.isEmpty
-          val hasDels = !dels.isEmpty
-          if (hasStore || hasAdds || hasDels) {
-            require(hasStore || hasAdds,
-              s"CDC batch $batchId deletes from a store that does not exist yet")
-            val ts = s"$storePath.tombstones"
-            if (hasAdds && graft.ops.Indexes.hasParquetFiles(s, ts)) {
-              val clash = adds.select(col("doc_id"))
-                .join(s.read.parquet(ts).select(col("doc_id")), Seq("doc_id"),
-                  "left_semi")
-              require(clash.isEmpty,
-                s"CDC batch $batchId re-adds tombstoned doc_id(s) " +
-                  s"${clash.limit(5).as[Long].collect().mkString(", ")} — " +
-                  "ids are permanent identities here; emit re-added content " +
-                  "under a fresh id, or compact the store to retire the " +
-                  "tombstones first")
-            }
-            if (hasAdds)
-              graft.ops.Indexes.appendPositionedWindowsIdempotent(adds, batchId,
-                storePath, windowN)
-            if (hasDels)
-              graft.ops.Indexes.tombstonePositionedWindowsIdempotent(s,
-                storePath, dels, batchId)
-          }
-        } finally b.unpersist(blocking = false)
-      }
-      .start()
+    cdcDocStream(changes, checkpoint, storePath,
+      hasStore = s => graft.ops.Indexes.hasParquetFiles(s, storePath),
+      append = (adds, bid) =>
+        graft.ops.Indexes.appendPositionedWindowsIdempotent(adds, bid,
+          storePath, windowN),
+      tombstone = (s, dels, bid) =>
+        graft.ops.Indexes.tombstonePositionedWindowsIdempotent(s, storePath,
+          dels, bid))
 
   /** CDC-STYLE kNN-graph maintenance — [[knnGraphMaintenanceStream]]
     * generalized to MIXED change batches: rows are (op, vec_id,

@@ -828,6 +828,7 @@ class IndexesSpec extends AnyFunSuite {
       assert(Indexes.retireGenerations(spark, manifest).isEmpty)
       assert(new java.io.File(g0).exists())
     }
+    Thread.sleep(5) // grace clock runs from SUPERSESSION (successor mtime)
     Indexes.withGcGrace(0L) {
       assert(Indexes.retireGenerations(spark, manifest) === Seq(g0))
     }
@@ -840,6 +841,7 @@ class IndexesSpec extends AnyFunSuite {
     Indexes.publishGeneration(spark, manifest, g2)
     Indexes.publishGeneration(spark, manifest, g1) // roll back to g1
     assert(Indexes.currentGeneration(spark, manifest) === Some(g1))
+    Thread.sleep(5)
     Indexes.withGcGrace(0L) {
       val retired = Indexes.retireGenerations(spark, manifest)
       assert(retired === Seq(g2), s"only the abandoned g2 retires: $retired")
@@ -848,6 +850,28 @@ class IndexesSpec extends AnyFunSuite {
       "a rolled-back-to generation survives retirement of its old pointer")
     assert(spark.read.parquet(Indexes.currentGeneration(spark, manifest).get)
       .count() === 2L)
+    // the review-caught race, pinned: an OLD generation superseded JUST
+    // NOW must survive a grace larger than the supersession age — the
+    // clock runs from supersession, not publication (else a long-lived
+    // current generation is deleted under its in-flight readers the
+    // instant a compaction flips past it)
+    val m2 = s"$root/manifest2"
+    val gOld = mkGen(3)
+    Indexes.publishGeneration(spark, m2, gOld)
+    val hourAgo = System.currentTimeMillis() - 60L * 60L * 1000L
+    assert(new java.io.File(gOld).setLastModified(hourAgo))
+    new java.io.File(m2).listFiles().foreach(f => f.setLastModified(hourAgo))
+    Indexes.publishGeneration(spark, m2, mkGen(4)) // supersede NOW
+    Indexes.withGcGrace(10L * 60L * 1000L) {
+      assert(Indexes.retireGenerations(spark, m2).isEmpty,
+        "an aged generation superseded inside the grace window must survive")
+    }
+    assert(new java.io.File(gOld).exists())
+    // age the SUPERSEDING pointer past the grace: now it retires
+    new java.io.File(m2).listFiles().foreach(f => f.setLastModified(hourAgo))
+    Indexes.withGcGrace(10L * 60L * 1000L) {
+      assert(Indexes.retireGenerations(spark, m2) === Seq(gOld))
+    }
   }
 
   test("positioned-window delete lifecycle: fold at probe, physical fold at compaction") {

@@ -272,7 +272,7 @@ class TextAnalysisSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toSeq
     val got = rows(pruned.get)
     val want = rows(TextAnalysis.bm25TopKIndexedBatchFull(spark, base, qs,
-      k = 10, k1 = 1.2, b = 0.75))
+      k = 10, k1 = 1.2, b = 0.75, ts = None))
     assert(got === want, "batch pruning must be output-invisible")
     // an all-common query in the batch declines the WHOLE batch
     // (all-or-nothing: a half-pruned batch loses the shared fetch)
