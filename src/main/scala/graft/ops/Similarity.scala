@@ -65,6 +65,23 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched exact cosine top-k: every query answered from the SAME single
+    * corpus pass (the tiny query frame broadcasts against the scan), with
+    * the per-query cut done by the bounded-heap
+    * [[graft.plans.GroupedTopK]] (O(n log k) per partition, k·|queries|
+    * shuffle). This is the exact-truth side for recall/eval harnesses
+    * ([[RetrievalEval]], GraphAnnRecallSpec) — deliberately linear in the
+    * corpus, amortized across the whole query panel. */
+  def bruteForceTopKBatch(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("query_id"), col("embedding").as("qv"))
+    val scored = emb.join(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosRound(col("embedding"), col("qv"), 4).as("cos"))
+    graft.plans.GroupedTopK.topK(scored, Seq("query_id"),
+      Seq("cos" -> true, "vec_id" -> false), k)
+  }
+
   /** Deterministic pseudo-random unit-ish hyperplanes (fixed seed). The
     * constants are seed-reproducible, so the DuckDB oracles embed them as
     * literal `DOUBLE[]` VALUES ([[planesSqlValues]]) and replay the exact

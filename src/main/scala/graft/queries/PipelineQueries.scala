@@ -964,8 +964,12 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("cos").desc, col("vec_id"))
   }
 
-  val annLshBatchSql: String =
-    s"""WITH $duckNormed,
+  /** Shared CTE chain replaying the 5-query batched LSH probe (`sc` = all
+    * candidates exactly scored, `q` = the query panel, `e` = normed
+    * corpus) — the common prefix of [[annLshBatchSql]] and
+    * [[retrievalEvalSql]]. */
+  private val duckLshBatchCtes: String =
+    s"""$duckNormed,
        |nb AS (SELECT greatest(4, (SELECT min(i)::INTEGER
        |                           FROM range(0, 33) t(i), (SELECT count(*) AS n FROM e) cn
        |                           WHERE (32::BIGINT << i) >= cn.n)) AS bits),
@@ -982,10 +986,64 @@ object PipelineQueries {
        |sc AS (SELECT cand.query_id, e.vec_id,
        |              round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 4) AS cos
        |       FROM cand JOIN e ON cand.vec_id = e.vec_id
-       |                 JOIN q ON cand.query_id = q.query_id)
+       |                 JOIN q ON cand.query_id = q.query_id)""".stripMargin
+
+  val annLshBatchSql: String =
+    s"""WITH $duckLshBatchCtes
        |SELECT query_id, vec_id, cos FROM sc
        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) <= 10
        |ORDER BY query_id, cos DESC, vec_id""".stripMargin
+
+  /** Retrieval-quality eval ([[graft.ops.RetrievalEval.metrics]]): per-query
+    * recall@10 / MRR@10 / nDCG@10 of the batched LSH-ANN ranking against
+    * brute-force-cosine ground truth, over the same 5-query panel as
+    * [[annLshBatch]]. Both rankings AND the metric arithmetic replay in the
+    * oracle — the discount table rides as identical fixed-point literals on
+    * both sides (no transcendental math in either plan), so the measured
+    * recall of the ANN index is itself hash-verified. */
+  def retrievalEval(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = embeddings(s, d)
+    val b = annLshBits(emb)
+    val idx = graft.ops.Indexes.ensureLshIndex(s, emb, d, bBits = b, lTables = 16)
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val sys = graft.ops.Indexes.lshTopKBatch(emb, idx, queries, k = 10, bBits = b)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        row_number().over(w).as("rank"))
+    val tru = Similarity.bruteForceTopKBatch(emb, queries, k = 10)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        row_number().over(w).as("rank"))
+    graft.ops.RetrievalEval.metrics(sys, tru, k = 10)
+  }
+
+  val retrievalEvalSql: String = {
+    val k = 10
+    s"""WITH $duckLshBatchCtes,
+       |sysr AS (SELECT query_id, vec_id AS doc_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+       |         FROM sc QUALIFY rank <= $k),
+       |tru AS (SELECT q.query_id, e.vec_id AS doc_id,
+       |          row_number() OVER (PARTITION BY q.query_id
+       |            ORDER BY round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 4) DESC, e.vec_id ASC) AS rank
+       |        FROM e, q WHERE e.vec_id != q.query_id QUALIFY rank <= $k),
+       |dc AS (SELECT r, fp FROM ${graft.ops.RetrievalEval.discountsSqlValues(k)}),
+       |ic AS (SELECT n, fp FROM ${graft.ops.RetrievalEval.idcgSqlValues(k)}),
+       |tc AS (SELECT query_id, count(*)::BIGINT AS n_truth FROM tru GROUP BY query_id),
+       |ha AS (SELECT h.query_id, count(*)::BIGINT AS n_hit,
+       |         sum(dc.fp)::BIGINT AS dcg_fp, min(h.rank) AS minr
+       |       FROM (SELECT s.query_id, s.rank FROM sysr s
+       |             JOIN tru t ON s.query_id = t.query_id AND s.doc_id = t.doc_id) h
+       |       JOIN dc ON dc.r = h.rank GROUP BY h.query_id)
+       |SELECT tc.query_id, tc.n_truth, coalesce(ha.n_hit, 0)::BIGINT AS n_hit,
+       |       round(coalesce(ha.n_hit, 0)::DOUBLE / tc.n_truth::DOUBLE, 6) AS recall,
+       |       round(coalesce(1.0 / ha.minr::DOUBLE, 0.0), 6) AS mrr,
+       |       round(coalesce(ha.dcg_fp, 0)::DOUBLE / ic.fp::DOUBLE, 6) AS ndcg
+       |FROM tc LEFT JOIN ha ON tc.query_id = ha.query_id JOIN ic ON ic.n = tc.n_truth
+       |ORDER BY tc.query_id""".stripMargin
+  }
 
   /** Committed IVF quantizer model (trained offline by
     * graft.tools.TrainIvfCentroids — seeded Lloyd's k-means at sf0.01).
