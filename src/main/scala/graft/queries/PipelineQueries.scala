@@ -964,6 +964,50 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("cos").desc, col("vec_id"))
   }
 
+  /** Multi-probe LSH ANN ([[graft.ops.Indexes.lshTopKMultiProbe]]): the
+    * [[annLsh]] probe widened with each table's 2 smallest-margin
+    * 1-bit-flip buckets — recall approaches ~3·L tables' at zero extra
+    * index cost, and the probe stays statically pruned literals. The
+    * oracle replays the margin ranking (row_number over |q·pⱼ|) and the
+    * XOR key perturbation exactly, so the widened candidate set is
+    * hash-verified, not assumed. */
+  def annLshMultiProbe(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val b = annLshBits(emb)
+    val idx = graft.ops.Indexes.ensureLshIndex(s, emb, d, bBits = b, lTables = 16)
+    graft.ops.Indexes.lshTopKMultiProbe(emb, idx, queryId = 0L, k = 10,
+      nFlips = 2, bBits = b)
+  }
+
+  val annLshMultiProbeSql: String =
+    s"""WITH $duckNormed,
+       |nb AS (SELECT greatest(4, (SELECT min(i)::INTEGER
+       |                           FROM range(0, 33) t(i), (SELECT count(*) AS n FROM e) cn
+       |                           WHERE (32::BIGINT << i) >= cn.n)) AS bits),
+       |pl AS (SELECT j, p FROM ${Similarity.planesSqlValues(128, 64, 42L)}),
+       |bk AS (SELECT e.vec_id, (pl.j // nb.bits) AS t,
+       |         sum(CASE WHEN list_dot_product(e.v, pl.p) > 0 THEN (1::BIGINT << (pl.j % nb.bits)) ELSE 0 END)::BIGINT AS key
+       |       FROM e CROSS JOIN pl, nb WHERE pl.j < nb.bits * 16
+       |       GROUP BY e.vec_id, (pl.j // nb.bits)),
+       |qd AS (SELECT (pl.j // nb.bits) AS t, (pl.j % nb.bits) AS jj,
+       |         list_dot_product(e.v, pl.p) AS d
+       |       FROM e CROSS JOIN pl, nb WHERE e.vec_id = 0 AND pl.j < nb.bits * 16),
+       |qb AS (SELECT t, sum(CASE WHEN d > 0 THEN (1::BIGINT << jj) ELSE 0 END)::BIGINT AS key
+       |       FROM qd GROUP BY t),
+       |fl AS (SELECT t, jj FROM (SELECT t, jj,
+       |         row_number() OVER (PARTITION BY t ORDER BY abs(d) ASC, jj ASC) AS rn
+       |       FROM qd) WHERE rn <= 2),
+       |qk AS (SELECT t, key FROM qb
+       |       UNION ALL
+       |       SELECT qb.t, xor(qb.key, (1::BIGINT << fl.jj))::BIGINT AS key
+       |       FROM qb JOIN fl ON qb.t = fl.t),
+       |cand AS (SELECT DISTINCT bk.vec_id FROM bk JOIN qk ON bk.t = qk.t AND bk.key = qk.key
+       |         WHERE bk.vec_id != 0),
+       |q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 0)
+       |SELECT e.vec_id, round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 4) AS cos
+       |FROM e JOIN cand ON e.vec_id = cand.vec_id, q
+       |ORDER BY cos DESC, e.vec_id ASC LIMIT 10""".stripMargin
+
   /** Shared CTE chain replaying the 5-query batched LSH probe (`sc` = all
     * candidates exactly scored, `q` = the query panel, `e` = normed
     * corpus) — the common prefix of [[annLshBatchSql]] and

@@ -1223,4 +1223,45 @@ class IndexesSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("sub-block bound violated")),
       s"expected the named guard error, got: $e")
   }
+
+  // ---- multi-probe LSH -----------------------------------------------------
+
+  test("multiProbeKeysLocal: base first, each flip differs by one distinct bit") {
+    val ps = Similarity.planes(4, 64, 42L)
+    val v = emb.where(col("vec_id") === 0L)
+      .select(col("embedding")).as[Seq[Float]].head().toArray
+    val keys = Indexes.multiProbeKeysLocal(v, ps, nFlips = 2)
+    assert(keys.length === 3)
+    assert(keys.head === Indexes.bucketKeyLocal(v, ps))
+    val flippedBits = keys.tail.map(_ ^ keys.head)
+    flippedBits.foreach(b => assert(java.lang.Long.bitCount(b) === 1))
+    assert(flippedBits.distinct.length === 2)
+  }
+
+  test("multi-probe candidates are a superset; recall >= single-probe recall") {
+    def recallOf(got: Seq[Long]): Double = {
+      val truth = Similarity.bruteForceTopK(emb, 0L, 10)
+        .select(col("vec_id")).as[Long].collect().toSet
+      got.count(truth).toDouble / truth.size
+    }
+    val sp = Indexes.lshTopKIndexed(emb, idxPath, 0L, 10)
+      .select(col("vec_id")).as[Long].collect().toSeq
+    val mp = Indexes.lshTopKMultiProbe(emb, idxPath, 0L, 10, nFlips = 2)
+      .select(col("vec_id")).as[Long].collect().toSeq
+    assert(recallOf(mp) >= recallOf(sp),
+      s"multi-probe recall ${recallOf(mp)} below single-probe ${recallOf(sp)}")
+    // nFlips = 0 degenerates to exactly the single-probe result
+    val mp0 = Indexes.lshTopKMultiProbe(emb, idxPath, 0L, 10, nFlips = 0)
+      .collect().toSeq
+    assert(mp0 === Indexes.lshTopKIndexed(emb, idxPath, 0L, 10).collect().toSeq)
+  }
+
+  test("multi-probe plan: still statically pruned, no bucketing pass") {
+    val probe = Indexes.lshTopKMultiProbe(emb, idxPath, 0L, 10, nFlips = 2)
+    val plan = probe.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters"), plan.take(2000))
+    assert(!plan.contains("Generate"), "probe plan re-buckets via explode")
+    val dots = "graft_dot".r.findAllIn(plan).size
+    assert(dots <= 6, s"probe plan has $dots graft_dot calls — bucketing leaked in:\n$plan")
+  }
 }
