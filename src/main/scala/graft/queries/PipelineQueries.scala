@@ -964,6 +964,47 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("cos").desc, col("vec_id"))
   }
 
+  /** PageRank over the part co-purchase graph ([[graft.ops.PageRank]]):
+    * nodes are parts, symmetric edges link parts sharing an order, 5
+    * fixed-point rounds, top-20 by rank. The oracle unrolls the identical
+    * integer recurrence as 5 chained CTEs — every division/sum is integer
+    * arithmetic, so the iterative distributed computation is hash-verified
+    * end-to-end (the non-hashable float fold is what [[graft.ops.PageRank]]
+    * designs away; see its scaladoc). Edge derivation is bounded per order
+    * (≤ lines-per-order² pairs), never a corpus cross join. */
+  def pagerank(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("pk"))
+    val b = li.select(col("ok"), col("pk").as("pk_b"))
+    val edges = li.join(b, "ok").where(col("pk") =!= col("pk_b"))
+      .select(col("pk").as("src"), col("pk_b").as("dst")).distinct()
+    graft.ops.PageRank.pageRankFp(edges, iters = 5)
+      .orderBy(col("rank_fp").desc, col("node").asc).limit(20)
+  }
+
+  val pagerankSql: String = {
+    val iterCtes = (1 to 5).map { i =>
+      s"""m$i AS (SELECT ed.dst AS node, sum(r${i - 1}.r // og.outdeg)::BIGINT AS m
+         |        FROM ed JOIN r${i - 1} ON ed.src = r${i - 1}.node
+         |                JOIN og ON ed.src = og.src
+         |        GROUP BY ed.dst),
+         |r$i AS (SELECT nd.node, (st.tp + (85 * coalesce(m$i.m, 0)) // 100)::BIGINT AS r
+         |        FROM nd CROSS JOIN st LEFT JOIN m$i ON nd.node = m$i.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ed AS (SELECT DISTINCT a.l_partkey::BIGINT AS src, b.l_partkey::BIGINT AS dst
+       |            FROM lineitem a JOIN lineitem b
+       |              ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey),
+       |nd AS (SELECT DISTINCT src AS node FROM ed),
+       |og AS (SELECT src, count(*)::BIGINT AS outdeg FROM ed GROUP BY src),
+       |st AS (SELECT (1000000000000 // count(*))::BIGINT AS base,
+       |              ((15 * (1000000000000 // count(*))) // 100)::BIGINT AS tp
+       |       FROM nd),
+       |r0 AS (SELECT nd.node, st.base AS r FROM nd CROSS JOIN st),
+       |$iterCtes
+       |SELECT node, r AS rank_fp FROM r5
+       |ORDER BY rank_fp DESC, node ASC LIMIT 20""".stripMargin
+  }
+
   /** Multi-probe LSH ANN ([[graft.ops.Indexes.lshTopKMultiProbe]]): the
     * [[annLsh]] probe widened with each table's 2 smallest-margin
     * 1-bit-flip buckets — recall approaches ~3·L tables' at zero extra
