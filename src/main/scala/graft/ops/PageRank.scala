@@ -70,6 +70,73 @@ object PageRank {
     ranks
   }
 
+  /** PERSONALIZED PageRank (random walk with restart): teleport mass flows
+    * only to `seeds`, so rank concentrates in the seed set's graph
+    * neighbourhood. Over a kNN similarity graph this is SEED-SET
+    * EXPANSION — "find documents like these curated ones" — the curation
+    * primitive behind quality-propagation pipelines, here with the same
+    * integer recurrence (and therefore the same hash-verifiability and
+    * per-round |E|-join + |V|-agg cost) as [[pageRankFp]]. The seed panel
+    * is a bounded literal riding in the plan (an `isin`), never a driver
+    * loop. Seeds absent from the graph contribute nothing (their teleport
+    * mass targets a node that has no edges and no output row) — callers
+    * seed from the corpus the graph was built over. */
+  def pprFp(edges: DataFrame, seeds: Seq[Long], iters: Int,
+            scale: Long = 1000000000000L, dampNum: Long = 85L,
+            dampDen: Long = 100L): DataFrame = {
+    require(iters >= 1 && iters <= 16, s"1 <= iters <= 16, got $iters")
+    require(seeds.nonEmpty && seeds.size <= 1024,
+      s"seed panel must be 1..1024 literals, got ${seeds.size}")
+    require(seeds.distinct.size == seeds.size, "duplicate seeds")
+    val ed = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val nodes = ed.select(col("src").as("node"))
+      .union(ed.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val base = scale / seeds.size
+    val teleport = ((dampDen - dampNum) * base) / dampDen
+    val isSeed = col("node").isin(seeds: _*)
+    val outdeg = ed.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val adj = ed.join(outdeg, "src").localCheckpoint()
+    var ranks = nodes.select(col("node"),
+        when(isSeed, lit(base)).otherwise(lit(0L)).as("rank_fp"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val msgs = adj.join(ranks, adj("src") === ranks("node"))
+        .select(adj("dst").as("node"),
+          call_function("div", col("rank_fp"), col("outdeg")).as("c"))
+      val agg = msgs.groupBy("node").agg(sum(col("c")).as("m"))
+      ranks = nodes.join(agg, Seq("node"), "left")
+        .select(col("node"),
+          (when(isSeed, lit(teleport)).otherwise(lit(0L)) +
+            call_function("div",
+              lit(dampNum) * coalesce(col("m"), lit(0L)), lit(dampDen)))
+            .as("rank_fp"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  /** Host-side sequential twin of [[pprFp]] (spec cross-check only). */
+  def referencePprFp(edges: Seq[(Long, Long)], seeds: Seq[Long], iters: Int,
+                     scale: Long = 1000000000000L, dampNum: Long = 85L,
+                     dampDen: Long = 100L): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val base = scale / seeds.size
+    val teleport = ((dampDen - dampNum) * base) / dampDen
+    val seedSet = seeds.toSet
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var r = nodes.map(v => v -> (if (seedSet(v)) base else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => r(s) / outdeg(s) }.sum
+      }
+      r = nodes.map(v => v ->
+        ((if (seedSet(v)) teleport else 0L) +
+          dampNum * in.getOrElse(v, 0L) / dampDen)).toMap
+    }
+    r
+  }
+
   /** Replays [[pageRankFp]]'s integer recurrence host-side for a SMALL
     * in-memory graph — the spec cross-check surface (never a query path):
     * the distributed result must equal this sequential fold exactly,

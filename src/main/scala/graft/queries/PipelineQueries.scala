@@ -982,15 +982,23 @@ object PipelineQueries {
       .orderBy(col("rank_fp").desc, col("node").asc).limit(20)
   }
 
-  val pagerankSql: String = {
-    val iterCtes = (1 to 5).map { i =>
+  /** The 5 unrolled integer PageRank iteration CTEs (m_i = incoming integer
+    * shares, r_i = damped rank), shared by [[pagerankSql]] (uniform
+    * teleport `st.tp`) and [[pprExpandSql]] (seed-gated teleport CASE).
+    * Expects CTEs `ed(src, dst)`, `nd(node)`, `og(src, outdeg)`, `st(tp)`
+    * and `r0(node, r)` in scope. */
+  private def duckRankIters(tpExpr: String): String =
+    (1 to 5).map { i =>
       s"""m$i AS (SELECT ed.dst AS node, sum(r${i - 1}.r // og.outdeg)::BIGINT AS m
          |        FROM ed JOIN r${i - 1} ON ed.src = r${i - 1}.node
          |                JOIN og ON ed.src = og.src
          |        GROUP BY ed.dst),
-         |r$i AS (SELECT nd.node, (st.tp + (85 * coalesce(m$i.m, 0)) // 100)::BIGINT AS r
+         |r$i AS (SELECT nd.node, ($tpExpr + (85 * coalesce(m$i.m, 0)) // 100)::BIGINT AS r
          |        FROM nd CROSS JOIN st LEFT JOIN m$i ON nd.node = m$i.node)""".stripMargin
     }.mkString(",\n")
+
+  val pagerankSql: String = {
+    val iterCtes = duckRankIters("st.tp")
     s"""WITH ed AS (SELECT DISTINCT a.l_partkey::BIGINT AS src, b.l_partkey::BIGINT AS dst
        |            FROM lineitem a JOIN lineitem b
        |              ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey),
@@ -2003,8 +2011,11 @@ object PipelineQueries {
       .orderBy(col("vec_a"), col("cos").desc, col("vec_b"))
   }
 
-  val knnGraphSql: String =
-    s"""WITH $duckNormed,
+  /** CTE chain replaying the committed j=3 kNN graph derivation (`scored`
+    * = all banded candidate pairs exactly scored) — shared by
+    * [[knnGraphSql]] and [[pprExpandSql]]. */
+  private val duckKnnGraphCtes: String =
+    s"""$duckNormed,
        |nb AS (SELECT greatest(6, (SELECT min(i)::INTEGER
        |                           FROM range(0, 33) t(i), (SELECT count(*) AS n FROM e) cn
        |                           WHERE (32::BIGINT << i) >= cn.n)) AS bits),
@@ -2019,11 +2030,56 @@ object PipelineQueries {
        |scored AS (SELECT cand.vec_a, cand.vec_b,
        |             round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS cos
        |           FROM cand JOIN e x ON cand.vec_a = x.vec_id
-       |                     JOIN e y ON cand.vec_b = y.vec_id)
+       |                     JOIN e y ON cand.vec_b = y.vec_id)""".stripMargin
+
+  val knnGraphSql: String =
+    s"""WITH $duckKnnGraphCtes
        |SELECT vec_a, vec_b, cos FROM scored
        |QUALIFY row_number() OVER (PARTITION BY vec_a
        |                           ORDER BY cos DESC, vec_b ASC) <= 3
        |ORDER BY vec_a, cos DESC, vec_b""".stripMargin
+
+  /** Seed-set expansion by personalized PageRank over the COMMITTED kNN
+    * graph ([[graft.ops.PageRank.pprFp]]): teleport restarts at 3 seed
+    * documents, 5 integer rounds, top-20 non-seed nodes — "find vectors
+    * like these curated ones" as one oracle-gated operator. The oracle
+    * replays the whole chain (banding → top-3 graph → seeded integer
+    * recurrence), so the expansion set is hash-verified end to end. */
+  def pprExpand(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val b = Similarity.scaledBandBits(corpusCount(emb))
+    val graphPath = graft.ops.Indexes.ensureKnnGraph(s, emb, d, j = 3, bBits = b)
+    val edges = s.read.parquet(graphPath)
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+    val seeds = Seq(0L, 1L, 2L)
+    graft.ops.PageRank.pprFp(edges, seeds, iters = 5)
+      .where(!col("node").isin(seeds: _*) && col("rank_fp") > 0)
+      .orderBy(col("rank_fp").desc, col("node").asc).limit(20)
+  }
+
+  val pprExpandSql: String = {
+    val seedList = "0, 1, 2"
+    val iterCtes = duckRankIters(
+      s"CASE WHEN nd.node IN ($seedList) THEN st.tp ELSE 0 END")
+    s"""WITH $duckKnnGraphCtes,
+       |gr AS (SELECT vec_a, vec_b FROM (
+       |         SELECT vec_a, vec_b,
+       |           row_number() OVER (PARTITION BY vec_a ORDER BY cos DESC, vec_b ASC) AS rn
+       |         FROM scored) WHERE rn <= 3),
+       |ed AS (SELECT vec_a AS src, vec_b AS dst FROM gr),
+       |nd AS (SELECT DISTINCT src AS node FROM ed
+       |       UNION SELECT DISTINCT dst FROM ed),
+       |og AS (SELECT src, count(*)::BIGINT AS outdeg FROM ed GROUP BY src),
+       |st AS (SELECT (1000000000000 // 3)::BIGINT AS base,
+       |              ((15 * (1000000000000 // 3)) // 100)::BIGINT AS tp),
+       |r0 AS (SELECT nd.node,
+       |         (CASE WHEN nd.node IN ($seedList) THEN st.base ELSE 0 END)::BIGINT AS r
+       |       FROM nd CROSS JOIN st),
+       |$iterCtes
+       |SELECT node, r AS rank_fp FROM r5
+       |WHERE node NOT IN ($seedList) AND r > 0
+       |ORDER BY rank_fp DESC, node ASC LIMIT 20""".stripMargin
+  }
 
   private def demoFs(s: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
     org.apache.hadoop.fs.FileSystem.get(

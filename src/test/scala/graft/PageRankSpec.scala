@@ -54,6 +54,48 @@ class PageRankSpec extends AnyFunSuite {
     assert(e.getMessage.contains("empty graph"))
   }
 
+  test("ppr: distributed equals sequential; mass concentrates near the seed") {
+    // chain 1 -> 2 -> 3 -> 4 (and back-edges) with seed {1}
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 3L))
+    val got = PageRank.pprFp(edges.toDF("src", "dst"), Seq(1L), iters = 5)
+      .as[(Long, Long)].collect().toMap
+    val want = PageRank.referencePprFp(edges, Seq(1L), iters = 5)
+    assert(got === want)
+    // mass concentrates around the restart point: the seed's neighbour
+    // (receiving the seed's ENTIRE out-share every round) holds the
+    // maximum, and everything reachable is positive. Finer orderings on a
+    // 4-node chain are genuinely non-monotone (low-outdeg far nodes funnel
+    // mass back), so the binding assertion is the exact equality above.
+    assert(got.maxBy(_._2)._1 === 2L)
+    assert(got.values.forall(_ > 0L))
+  }
+
+  test("ppr: non-seed components get exactly zero rank") {
+    val edges = Seq((1L, 2L), (2L, 1L), (10L, 11L), (11L, 10L))
+    val got = PageRank.pprFp(edges.toDF("src", "dst"), Seq(1L), iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got(10L) === 0L && got(11L) === 0L)
+    assert(got(1L) > 0L && got(2L) > 0L)
+  }
+
+  test("ppr: duplicate seeds rejected loudly") {
+    val e = intercept[IllegalArgumentException] {
+      PageRank.pprFp(Seq((1L, 2L)).toDF("src", "dst"), Seq(1L, 1L), 5)
+    }
+    assert(e.getMessage.contains("duplicate seeds"))
+  }
+
+  test("ppr expansion query: bounded rows, non-seed, ordered, positive") {
+    val out = graft.queries.PipelineQueries.pprExpand(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val nodes = out.map(_.getAs[Long]("node"))
+    assert(!nodes.exists(Set(0L, 1L, 2L)))
+    val ranks = out.map(_.getAs[Long]("rank_fp"))
+    assert(ranks.sameElements(ranks.sortBy(-_)))
+    assert(ranks.forall(_ > 0))
+  }
+
   test("co-purchase query: 20 rows, totally ordered, positive ranks") {
     val out = graft.queries.PipelineQueries.pagerank(
       spark, "/root/testdata/sf0.001").collect()
