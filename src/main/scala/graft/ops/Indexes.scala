@@ -1374,6 +1374,8 @@ object Indexes {
     * (deterministic, replayed by the oracle's row_number). */
   def multiProbeKeysLocal(v: Array[Float], ps: Seq[Array[Double]],
                           nFlips: Int): Seq[Long] = {
+    require(nFlips >= 0 && nFlips <= ps.size,
+      s"0 <= nFlips <= ${ps.size} (one flip per plane), got $nFlips")
     val dots = ps.map { p =>
       val n = math.min(v.length, p.length)
       var s = 0.0

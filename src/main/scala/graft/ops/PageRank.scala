@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Fixed-iteration PageRank in pure integer fixed point — the iterative
@@ -20,22 +20,78 @@ import org.apache.spark.sql.functions._
   * is bit-identical everywhere, so a 5-round run replays exactly as 5
   * unrolled CTEs in DuckDB.
   *
-  * Scale design: the adjacency (src, dst, outdeg) is materialized ONCE and
-  * each round costs one |E| equi-join (shuffle on src) plus one |V| hash
-  * aggregation (shuffle on dst) — the same shape GraphX/Pregel lowers to,
-  * with no driver-resident state at any point (ranks never collect; the
-  * driver holds two scalars). Lineage grows LINEARLY per round (each round
-  * reads only the previous ranks plus the two checkpointed invariants), so
-  * rounds stay lazy and fuse into one job; a cadence `localCheckpoint`
-  * (reliable `checkpoint` on a cluster — the components precedent) bounds
-  * plan depth for high iteration counts without paying a per-round
-  * materialization.
+  * Scale design: the adjacency (src, dst, share-denominator) is
+  * materialized ONCE and each round costs one |E| equi-join (shuffle on
+  * src) plus one |V| hash aggregation (shuffle on dst) — the same shape
+  * GraphX/Pregel lowers to, with no driver-resident state at any point
+  * (ranks never collect; the driver holds two scalars). Lineage grows
+  * LINEARLY per round (each round reads only the previous ranks plus the
+  * two checkpointed invariants), so rounds stay lazy and fuse into one
+  * job; a cadence `localCheckpoint` (reliable `checkpoint` on a cluster —
+  * the components precedent) bounds plan depth for high iteration counts
+  * without paying a per-round materialization (measured ~0.2 s/round of
+  * pure job + block-manager overhead on a 500-node graph).
   * Dangling nodes cannot exist in a symmetric graph (every node listed has
   * an out-edge); for directed inputs their mass is dropped, which only
   * rescales ranks uniformly — documented rather than redistributed, to
   * keep the per-round cost at one join.
+  *
+  * Block lifetime (the r12 sourceEntropy-leak distinction): the
+  * checkpointed edge/node/adjacency blocks are referenced ONLY by the
+  * returned frame's lineage — nothing here pins them in a long-lived memo
+  * — so once the caller drops the result, ContextCleaner reclaims them on
+  * GC, and harness loops that unpersist between queries (Verify/Bench)
+  * release them immediately.
   */
 object PageRank {
+
+  /** Edge list materialized ONCE plus the node set: every walk variant's
+    * nodes/denominator/adjacency consume the edges repeatedly, and without
+    * the checkpoint the caller's edge DERIVATION (often a join+distinct)
+    * would re-execute for each — measured 3× the whole query's cost on the
+    * co-purchase graph. */
+  private def prepare(edges: DataFrame, cols: Column*): (DataFrame, DataFrame) = {
+    val ed = edges.select(cols: _*).localCheckpoint()
+    val nodes = ed.select(col("src").as("node"))
+      .union(ed.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    (ed, nodes)
+  }
+
+  /** The shared damped-walk loop. `share` is the per-edge integer share
+    * of the source's rank, evaluated over the (adj ⋈ ranks) row (columns:
+    * adj's own plus `rank_fp`); `tp` the per-node teleport expression
+    * over `node`; `r0` the initial rank expression. */
+  private def damped(adj: DataFrame, nodes: DataFrame, r0: Column, tp: Column,
+                     share: Column, iters: Int, dampNum: Long,
+                     dampDen: Long): DataFrame = {
+    var ranks = nodes.select(col("node"), r0.as("rank_fp"))
+    for (it <- 1 to iters) {
+      val msgs = adj.join(ranks, adj("src") === ranks("node"))
+        .select(adj("dst").as("node"), share.as("c"))
+      val agg = msgs.groupBy("node").agg(sum(col("c")).as("m"))
+      ranks = nodes.join(agg, Seq("node"), "left")
+        .select(col("node"),
+          (tp + call_function("div",
+            lit(dampNum) * coalesce(col("m"), lit(0L)), lit(dampDen)))
+            .as("rank_fp"))
+      // linear lineage — cadence checkpoint only (object scaladoc)
+      if (it % 4 == 0 && it < iters) ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+
+  private def checkIters(iters: Int): Unit =
+    require(iters >= 1 && iters <= 16, s"1 <= iters <= 16, got $iters")
+
+  private def checkDamp(dampNum: Long, dampDen: Long): Unit =
+    require(dampNum > 0 && dampNum < dampDen, s"0 < dampNum < dampDen")
+
+  private def checkSeeds(seeds: Seq[Long]): Unit = {
+    require(seeds.nonEmpty && seeds.size <= 1024,
+      s"seed panel must be 1..1024 literals, got ${seeds.size}")
+    require(seeds.distinct.size == seeds.size, "duplicate seeds")
+  }
 
   /** `edges`: deduplicated directed (src, dst) pairs; nodes are
     * `distinct(src) ∪ distinct(dst)`. Returns (node, rank_fp) with
@@ -44,43 +100,19 @@ object PageRank {
     * so two engines can replay it). */
   def pageRankFp(edges: DataFrame, iters: Int, scale: Long = 1000000000000L,
                  dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
-    require(iters >= 1 && iters <= 16, s"1 <= iters <= 16, got $iters")
-    require(dampNum > 0 && dampNum < dampDen, s"0 < dampNum < dampDen")
-    // Materialize the edge list ONCE: nodes, outdeg and adj all consume it,
-    // and without this the caller's edge DERIVATION (often a join+distinct)
-    // would re-execute for each — measured 3x the whole query's cost on the
-    // co-purchase graph. localCheckpoint here; reliable checkpoint on a
-    // cluster (the components precedent).
-    val ed = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .localCheckpoint()
-    val nodes = ed.select(col("src").as("node"))
-      .union(ed.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
+    checkIters(iters); checkDamp(dampNum, dampDen)
+    val (ed, nodes) = prepare(edges,
+      col("src").cast("long"), col("dst").cast("long"))
     val n = nodes.count()
     require(n > 0, "pageRankFp: empty graph")
     val base = scale / n
     val teleport = ((dampDen - dampNum) * base) / dampDen
-    val outdeg = ed.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val adj = ed.join(outdeg, "src").localCheckpoint()
-    var ranks = nodes.select(col("node"), lit(base).as("rank_fp"))
-    for (it <- 1 to iters) {
-      val msgs = adj.join(ranks, adj("src") === ranks("node"))
-        .select(adj("dst").as("node"),
-          call_function("div", col("rank_fp"), col("outdeg")).as("c"))
-      val agg = msgs.groupBy("node").agg(sum(col("c")).as("m"))
-      ranks = nodes.join(agg, Seq("node"), "left")
-        .select(col("node"),
-          (lit(teleport) + call_function("div",
-            lit(dampNum) * coalesce(col("m"), lit(0L)), lit(dampDen)))
-            .as("rank_fp"))
-      // Lineage grows LINEARLY per round (each round reads only the
-      // previous ranks plus the two checkpointed invariants), so a
-      // per-round eager materialization is pure overhead — measured
-      // ~0.2 s/round of job + block-manager cost on a 500-node graph.
-      // A cadence checkpoint still bounds plan depth for high iters.
-      if (it % 4 == 0 && it < iters) ranks = ranks.localCheckpoint()
-    }
-    ranks
+    val adj = ed
+      .join(ed.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .localCheckpoint()
+    damped(adj, nodes, lit(base), lit(teleport),
+      call_function("div", col("rank_fp"), col("outdeg")),
+      iters, dampNum, dampDen)
   }
 
   /** PERSONALIZED PageRank (random walk with restart): teleport mass flows
@@ -97,57 +129,87 @@ object PageRank {
   def pprFp(edges: DataFrame, seeds: Seq[Long], iters: Int,
             scale: Long = 1000000000000L, dampNum: Long = 85L,
             dampDen: Long = 100L): DataFrame = {
-    require(iters >= 1 && iters <= 16, s"1 <= iters <= 16, got $iters")
-    require(seeds.nonEmpty && seeds.size <= 1024,
-      s"seed panel must be 1..1024 literals, got ${seeds.size}")
-    require(seeds.distinct.size == seeds.size, "duplicate seeds")
-    // Materialize the edge list ONCE: nodes, outdeg and adj all consume it,
-    // and without this the caller's edge DERIVATION (often a join+distinct)
-    // would re-execute for each — measured 3x the whole query's cost on the
-    // co-purchase graph. localCheckpoint here; reliable checkpoint on a
-    // cluster (the components precedent).
-    val ed = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .localCheckpoint()
-    val nodes = ed.select(col("src").as("node"))
-      .union(ed.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
+    checkIters(iters); checkDamp(dampNum, dampDen); checkSeeds(seeds)
+    val (ed, nodes) = prepare(edges,
+      col("src").cast("long"), col("dst").cast("long"))
     val base = scale / seeds.size
     val teleport = ((dampDen - dampNum) * base) / dampDen
     val isSeed = col("node").isin(seeds: _*)
-    val outdeg = ed.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val adj = ed.join(outdeg, "src").localCheckpoint()
-    var ranks = nodes.select(col("node"),
-        when(isSeed, lit(base)).otherwise(lit(0L)).as("rank_fp"))
-    for (it <- 1 to iters) {
-      val msgs = adj.join(ranks, adj("src") === ranks("node"))
-        .select(adj("dst").as("node"),
-          call_function("div", col("rank_fp"), col("outdeg")).as("c"))
-      val agg = msgs.groupBy("node").agg(sum(col("c")).as("m"))
-      ranks = nodes.join(agg, Seq("node"), "left")
-        .select(col("node"),
-          (when(isSeed, lit(teleport)).otherwise(lit(0L)) +
-            call_function("div",
-              lit(dampNum) * coalesce(col("m"), lit(0L)), lit(dampDen)))
-            .as("rank_fp"))
-      // linear lineage — cadence checkpoint only (see pageRankFp)
-      if (it % 4 == 0 && it < iters) ranks = ranks.localCheckpoint()
-    }
-    ranks
+    val adj = ed
+      .join(ed.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .localCheckpoint()
+    damped(adj, nodes,
+      when(isSeed, lit(base)).otherwise(lit(0L)),
+      when(isSeed, lit(teleport)).otherwise(lit(0L)),
+      call_function("div", col("rank_fp"), col("outdeg")),
+      iters, dampNum, dampDen)
+  }
+
+  /** WEIGHTED personalized walk over a similarity graph: each node's rank
+    * distributes over its out-edges proportionally to the edge weight —
+    * over a kNN graph with cosine-derived weights the walk follows
+    * SIMILARITY MASS, not just connectivity, which is the semantics
+    * seed-expansion actually wants (a barely-similar neighbour should
+    * receive a barely-there share).
+    *
+    * `edges`: (src, dst, w_fp) with INTEGER weights; rows with w_fp ≤ 0
+    * are dropped up front (they carry no mass, and keeping them could
+    * zero a node's weight sum — the one divide-by-zero shape). share =
+    * (rank · w) div Σw — exact in Long provided scale · max(w_fp) < 2^63;
+    * `maxWfp` is verified against the materialized edges with one cheap
+    * aggregate and fails LOUDLY, because a silent overflow here would
+    * corrupt every downstream rank. Equal weights degenerate to exactly
+    * [[pprFp]] (floor(r·w/(w·k)) ≡ floor(r/k) — spec-pinned). */
+  def pprWeightedFp(edges: DataFrame, seeds: Seq[Long], iters: Int,
+                    scale: Long = 1000000000000L, dampNum: Long = 85L,
+                    dampDen: Long = 100L, maxWfp: Long = 1000000L): DataFrame = {
+    checkIters(iters); checkDamp(dampNum, dampDen); checkSeeds(seeds)
+    require(maxWfp > 0 && scale <= Long.MaxValue / maxWfp,
+      s"scale * maxWfp must fit in Long: $scale * $maxWfp")
+    val (ed, nodes) = prepare(
+      edges.where(col("w_fp") > 0),
+      col("src").cast("long"), col("dst").cast("long"),
+      col("w_fp").cast("long"))
+    val wMax = ed.agg(max(col("w_fp"))).head.getLong(0)
+    require(wMax <= maxWfp,
+      s"edge weight $wMax exceeds maxWfp=$maxWfp — raise maxWfp (and check " +
+        s"scale * maxWfp still fits in Long) or re-quantize the weights")
+    val base = scale / seeds.size
+    val teleport = ((dampDen - dampNum) * base) / dampDen
+    val isSeed = col("node").isin(seeds: _*)
+    val adj = ed
+      .join(ed.groupBy("src").agg(sum(col("w_fp")).as("sw")), "src")
+      .localCheckpoint()
+    damped(adj, nodes,
+      when(isSeed, lit(base)).otherwise(lit(0L)),
+      when(isSeed, lit(teleport)).otherwise(lit(0L)),
+      call_function("div", col("rank_fp") * col("w_fp"), col("sw")),
+      iters, dampNum, dampDen)
   }
 
   /** Host-side sequential twin of [[pprFp]] (spec cross-check only). */
   def referencePprFp(edges: Seq[(Long, Long)], seeds: Seq[Long], iters: Int,
                      scale: Long = 1000000000000L, dampNum: Long = 85L,
-                     dampDen: Long = 100L): Map[Long, Long] = {
-    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+                     dampDen: Long = 100L): Map[Long, Long] =
+    referencePprWeightedFp(edges.map { case (s, d) => (s, d, 1L) }, seeds,
+      iters, scale, dampNum, dampDen)
+
+  /** Host-side sequential twin of [[pprWeightedFp]] (spec cross-check
+    * only; w ≤ 0 edges dropped, matching the operator). */
+  def referencePprWeightedFp(edges: Seq[(Long, Long, Long)], seeds: Seq[Long],
+                             iters: Int, scale: Long = 1000000000000L,
+                             dampNum: Long = 85L, dampDen: Long = 100L)
+      : Map[Long, Long] = {
+    val pos = edges.filter(_._3 > 0)
+    val nodes = (pos.map(_._1) ++ pos.map(_._2)).distinct.sorted
     val base = scale / seeds.size
     val teleport = ((dampDen - dampNum) * base) / dampDen
     val seedSet = seeds.toSet
-    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val sw = pos.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
     var r = nodes.map(v => v -> (if (seedSet(v)) base else 0L)).toMap
     for (_ <- 1 to iters) {
-      val in = edges.groupBy(_._2).map { case (d, es) =>
-        d -> es.map { case (s, _) => r(s) / outdeg(s) }.sum
+      val in = pos.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _, w) => r(s) * w / sw(s) }.sum
       }
       r = nodes.map(v => v ->
         ((if (seedSet(v)) teleport else 0L) +

@@ -79,7 +79,13 @@ object RetrievalEval {
     * Output: (query_id, n_truth, n_hit, recall, mrr, ndcg) ordered by
     * query_id. recall = |hits|/|truth|; mrr = 1/rank of the first system
     * hit; ndcg = binary-gain DCG over system hit positions / ideal DCG of
-    * |truth| relevant docs. */
+    * |truth| relevant docs.
+    *
+    * Contract: inputs are RANKINGS — at most one row per (query_id,
+    * doc_id). A caller feeding duplicate doc rows would double-count hits;
+    * the operator does not dedup on their behalf (a silent distinct would
+    * mask the upstream bug the way the repo's loud-guard convention
+    * forbids). */
   def metrics(system: DataFrame, truth: DataFrame, k: Int): DataFrame = {
     val sysK = system.where(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("rank"))

@@ -1004,14 +1004,18 @@ object PipelineQueries {
 
   /** The 5 unrolled integer PageRank iteration CTEs (m_i = incoming integer
     * shares, r_i = damped rank), shared by [[pagerankSql]] (uniform
-    * teleport `st.tp`) and [[pprExpandSql]] (seed-gated teleport CASE).
-    * Expects CTEs `ed(src, dst)`, `nd(node)`, `og(src, outdeg)`, `st(tp)`
-    * and `r0(node, r)` in scope. */
-  private def duckRankIters(tpExpr: String): String =
+    * teleport `st.tp`), [[pprExpandSql]] (seed-gated teleport CASE) and
+    * [[pprWeightedSql]] (weighted shares over a `sw` denominator table).
+    * Expects CTEs `ed(src, dst, ...)`, `nd(node)`, `$den(src, ...)`,
+    * `st(tp)` and `r0(node, r)` in scope; `shareOf` renders the per-edge
+    * integer share of the previous round's rank. */
+  private def duckRankIters(tpExpr: String,
+      shareOf: String => String = prev => s"$prev.r // og.outdeg",
+      den: String = "og"): String =
     (1 to 5).map { i =>
-      s"""m$i AS (SELECT ed.dst AS node, sum(r${i - 1}.r // og.outdeg)::BIGINT AS m
+      s"""m$i AS (SELECT ed.dst AS node, sum(${shareOf(s"r${i - 1}")})::BIGINT AS m
          |        FROM ed JOIN r${i - 1} ON ed.src = r${i - 1}.node
-         |                JOIN og ON ed.src = og.src
+         |                JOIN $den ON ed.src = $den.src
          |        GROUP BY ed.dst),
          |r$i AS (SELECT nd.node, ($tpExpr + (85 * coalesce(m$i.m, 0)) // 100)::BIGINT AS r
          |        FROM nd CROSS JOIN st LEFT JOIN m$i ON nd.node = m$i.node)""".stripMargin
@@ -2100,6 +2104,56 @@ object PipelineQueries {
        |WHERE node NOT IN ($seedList) AND r > 0
        |ORDER BY rank_fp DESC, node ASC LIMIT 20""".stripMargin
   }
+
+  /** SIMILARITY-WEIGHTED seed expansion ([[graft.ops.PageRank
+    * .pprWeightedFp]]): the [[pprExpand]] walk with each hop's share
+    * proportional to the kNN edge's cosine (quantized to 1e-6 integer
+    * weights, negatives clamped to 0 and dropped) — the walk follows
+    * similarity MASS, so a barely-similar neighbour receives a
+    * barely-there share. Same seeds, same oracle-replayed chain; only the
+    * share arithmetic differs, and it stays exact integer division. */
+  def pprWeighted(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val b = Similarity.scaledBandBits(corpusCount(emb))
+    val graphPath = graft.ops.Indexes.ensureKnnGraph(s, emb, d, j = 3, bBits = b)
+    val edges = s.read.parquet(graphPath)
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"),
+        round(greatest(col("cos"), lit(0.0)) * lit(1e6), 0).cast("long")
+          .as("w_fp"))
+    val seeds = Seq(0L, 1L, 2L)
+    graft.ops.PageRank.pprWeightedFp(edges, seeds, iters = 5)
+      .where(!col("node").isin(seeds: _*) && col("rank_fp") > 0)
+      .orderBy(col("rank_fp").desc, col("node").asc).limit(20)
+  }
+
+  val pprWeightedSql: String = {
+    val seedList = "0, 1, 2"
+    val iterCtes = duckRankIters(
+      s"CASE WHEN nd.node IN ($seedList) THEN st.tp ELSE 0 END",
+      prev => s"($prev.r * ed.w) // sw.sw", "sw")
+    s"""WITH $duckKnnGraphCtes,
+       |gr AS (SELECT vec_a, vec_b, cos FROM (
+       |         SELECT vec_a, vec_b, cos,
+       |           row_number() OVER (PARTITION BY vec_a ORDER BY cos DESC, vec_b ASC) AS rn
+       |         FROM scored) WHERE rn <= 3),
+       |ed AS (SELECT vec_a AS src, vec_b AS dst,
+       |         CAST(round(greatest(cos, 0) * 1000000.0) AS BIGINT) AS w
+       |       FROM gr
+       |       WHERE CAST(round(greatest(cos, 0) * 1000000.0) AS BIGINT) > 0),
+       |nd AS (SELECT DISTINCT src AS node FROM ed
+       |       UNION SELECT DISTINCT dst FROM ed),
+       |sw AS (SELECT src, sum(w)::BIGINT AS sw FROM ed GROUP BY src),
+       |st AS (SELECT (1000000000000 // 3)::BIGINT AS base,
+       |              ((15 * (1000000000000 // 3)) // 100)::BIGINT AS tp),
+       |r0 AS (SELECT nd.node,
+       |         (CASE WHEN nd.node IN ($seedList) THEN st.base ELSE 0 END)::BIGINT AS r
+       |       FROM nd CROSS JOIN st),
+       |$iterCtes
+       |SELECT node, r AS rank_fp FROM r5
+       |WHERE node NOT IN ($seedList) AND r > 0
+       |ORDER BY rank_fp DESC, node ASC LIMIT 20""".stripMargin
+  }
+
 
   private def demoFs(s: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
     org.apache.hadoop.fs.FileSystem.get(

@@ -85,6 +85,47 @@ class PageRankSpec extends AnyFunSuite {
     assert(e.getMessage.contains("duplicate seeds"))
   }
 
+  test("weighted ppr: distributed equals sequential; zero-weight edges dropped") {
+    val edges = Seq((1L, 2L, 900000L), (2L, 1L, 900000L), (1L, 3L, 100000L),
+      (3L, 1L, 500000L), (3L, 4L, 0L), (4L, 3L, 600000L))
+    val got = PageRank.pprWeightedFp(
+        edges.toDF("src", "dst", "w_fp"), Seq(1L), iters = 5)
+      .as[(Long, Long)].collect().toMap
+    val want = PageRank.referencePprWeightedFp(edges, Seq(1L), iters = 5)
+    assert(got === want)
+    // the heavy edge (w=9e5) carries 9x the light edge's share from the seed
+    assert(got(2L) > got(3L))
+  }
+
+  test("weighted ppr with equal weights degenerates to exactly pprFp") {
+    val unw = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
+    val w = unw.map { case (s, d) => (s, d, 777L) }
+    val a = PageRank.pprFp(unw.toDF("src", "dst"), Seq(1L, 4L), iters = 5)
+      .as[(Long, Long)].collect().toMap
+    val b = PageRank.pprWeightedFp(w.toDF("src", "dst", "w_fp"),
+        Seq(1L, 4L), iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(a === b) // floor(r*w/(w*k)) == floor(r/k) exactly
+  }
+
+  test("weighted ppr: oversized weight fails loudly, never overflows silently") {
+    val e = intercept[IllegalArgumentException] {
+      PageRank.pprWeightedFp(
+        Seq((1L, 2L, 2000000L), (2L, 1L, 1L)).toDF("src", "dst", "w_fp"),
+        Seq(1L), iters = 2)
+    }
+    assert(e.getMessage.contains("exceeds maxWfp"))
+  }
+
+  test("weighted ppr query: bounded rows, non-seed, ordered, positive") {
+    val out = graft.queries.PipelineQueries.pprWeighted(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty && out.length <= 20)
+    assert(!out.map(_.getAs[Long]("node")).exists(Set(0L, 1L, 2L)))
+    val ranks = out.map(_.getAs[Long]("rank_fp"))
+    assert(ranks.sameElements(ranks.sortBy(-_)) && ranks.forall(_ > 0))
+  }
+
   test("ppr expansion query: bounded rows, non-seed, ordered, positive") {
     val out = graft.queries.PipelineQueries.pprExpand(
       spark, "/root/testdata/sf0.001").collect()
