@@ -2154,6 +2154,142 @@ object PipelineQueries {
        |ORDER BY rank_fp DESC, node ASC LIMIT 20""".stripMargin
   }
 
+  /** The committed kNN graph as a canonical UNDIRECTED edge set — the
+    * shared prefix (`gr` top-3 graph, `und` u<v distinct edges) of the
+    * structural-metrics oracles ([[triangleCountSql]], [[labelPropSql]],
+    * [[kcoreSql]]). Declared after [[duckKnnGraphCtes]] it extends —
+    * SQL-building vals in this module sit in dependency order (the
+    * round-13 init-order lesson: a val referencing a later val captures
+    * null). `und` is MATERIALIZED: its consumers reference it up to 5
+    * times, and DuckDB inlining each reference would replay the whole
+    * banding chain per reference (measured: the k-core oracle went from
+    * a multi-minute 5^4 CTE blow-up to 0.6 s). */
+  private val duckKnnUndirectedCtes: String =
+    s"""$duckKnnGraphCtes,
+       |gr AS (SELECT vec_a, vec_b FROM (
+       |         SELECT vec_a, vec_b,
+       |           row_number() OVER (PARTITION BY vec_a ORDER BY cos DESC, vec_b ASC) AS rn
+       |         FROM scored) WHERE rn <= 3),
+       |und AS MATERIALIZED (SELECT DISTINCT least(vec_a, vec_b) AS u, greatest(vec_a, vec_b) AS v
+       |        FROM gr WHERE vec_a != vec_b)""".stripMargin
+
+  /** Triangle census of the committed kNN graph ([[graft.ops.GraphMetrics
+    * .triangleStats]]): per-node triangle count + 1e-6 fixed-point local
+    * clustering coefficient — the cliquishness signal that separates
+    * tight near-duplicate/topic clusters (high LCC) from hub nodes
+    * stitching unrelated content (high degree, low LCC). The engine
+    * enumerates via the degree-ordered orientation (skew-proof at scale);
+    * the oracle enumerates in plain id order — the triangle SET is
+    * orientation-independent, so every row hash-verifies. */
+  def triangleCount(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val b = Similarity.scaledBandBits(corpusCount(emb))
+    val graphPath = graft.ops.Indexes.ensureKnnGraph(s, emb, d, j = 3, bBits = b)
+    val edges = s.read.parquet(graphPath)
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+    graft.ops.GraphMetrics.triangleStats(edges)
+      .orderBy(col("tri").desc, col("node").asc).limit(50)
+  }
+
+  val triangleCountSql: String =
+    s"""WITH $duckKnnUndirectedCtes,
+       |dg AS (SELECT node, count(*)::BIGINT AS deg FROM (
+       |         SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+       |       GROUP BY node),
+       |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+       |        FROM und e1 JOIN und e2 ON e1.u = e2.u AND e1.v < e2.v
+       |        JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v),
+       |pt AS (SELECT node, count(*)::BIGINT AS tri FROM (
+       |         SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+       |         UNION ALL SELECT z FROM tri)
+       |       GROUP BY node)
+       |SELECT dg.node, dg.deg, coalesce(pt.tri, 0)::BIGINT AS tri,
+       |  (CASE WHEN dg.deg >= 2
+       |        THEN (2000000 * coalesce(pt.tri, 0)) // (dg.deg * (dg.deg - 1))
+       |        ELSE 0 END)::BIGINT AS lcc_fp
+       |FROM dg LEFT JOIN pt ON dg.node = pt.node
+       |ORDER BY tri DESC, dg.node ASC LIMIT 50""".stripMargin
+
+  /** Community sizes by synchronous label propagation over the committed
+    * kNN graph ([[graft.ops.GraphMetrics.labelPropagation]], 4 rounds,
+    * deterministic min-label tie-break) — the consolidation primitive
+    * that turns pairwise similarity edges into "keep one per community"
+    * curation decisions, cheaper than exact components when approximate
+    * communities suffice. The oracle unrolls all 4 synchronous rounds, so
+    * the final labelling — not just the sizes — is what's replayed. */
+  def labelProp(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val b = Similarity.scaledBandBits(corpusCount(emb))
+    val graphPath = graft.ops.Indexes.ensureKnnGraph(s, emb, d, j = 3, bBits = b)
+    val edges = s.read.parquet(graphPath)
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+    graft.ops.GraphMetrics.labelPropagation(edges, iters = 4)
+      .groupBy("label").agg(count(lit(1)).as("members"))
+      .orderBy(col("members").desc, col("label").asc).limit(20)
+  }
+
+  val labelPropSql: String = {
+    val rounds = (1 to 4).map { i =>
+      s"""c$i AS (SELECT sym.dst AS node, l${i - 1}.label, count(*)::BIGINT AS c
+         |        FROM sym JOIN l${i - 1} ON sym.src = l${i - 1}.node
+         |        GROUP BY sym.dst, l${i - 1}.label),
+         |b$i AS (SELECT node, label FROM (
+         |          SELECT node, label,
+         |            row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+         |          FROM c$i) WHERE rn = 1),
+         |l$i AS (SELECT nd.node, coalesce(b$i.label, nd.node) AS label
+         |        FROM nd LEFT JOIN b$i ON nd.node = b$i.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $duckKnnUndirectedCtes,
+       |sym AS (SELECT u AS src, v AS dst FROM und
+       |        UNION ALL SELECT v AS src, u AS dst FROM und),
+       |nd AS (SELECT DISTINCT src AS node FROM sym),
+       |l0 AS (SELECT node, node AS label FROM nd),
+       |$rounds
+       |SELECT label, count(*)::BIGINT AS members FROM l4
+       |GROUP BY label ORDER BY members DESC, label ASC LIMIT 20""".stripMargin
+  }
+
+  /** Dense-core extraction ([[graft.ops.GraphMetrics.kCore]]): 4
+    * synchronous peeling rounds at k=3 over the committed kNN graph —
+    * nodes that survive sit in ≥3-connected similarity neighbourhoods,
+    * the highest-confidence near-duplicate/topic cores (peeling is
+    * monotone, so extra rounds past convergence are no-ops; an
+    * unconverged fixed-round peel is a stated superset of the true
+    * core). The oracle unrolls all 4 rounds, so the surviving subgraph
+    * itself is hash-verified. */
+  def kcore(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val b = Similarity.scaledBandBits(corpusCount(emb))
+    val graphPath = graft.ops.Indexes.ensureKnnGraph(s, emb, d, j = 3, bBits = b)
+    val edges = s.read.parquet(graphPath)
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+    graft.ops.GraphMetrics.kCore(edges, k = 3, rounds = 4)
+      .orderBy(col("deg").desc, col("node").asc).limit(50)
+  }
+
+  val kcoreSql: String = {
+    // every e/k CTE is referenced 2-3 times by the next round; MATERIALIZED
+    // stops DuckDB inlining from compounding 5x per round (see
+    // duckKnnUndirectedCtes scaladoc)
+    val rounds = (1 to 4).map { i =>
+      s"""d$i AS (SELECT node, count(*)::BIGINT AS deg FROM (
+         |          SELECT u AS node FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1})
+         |        GROUP BY node),
+         |k$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= 3),
+         |e$i AS MATERIALIZED (SELECT e${i - 1}.u, e${i - 1}.v FROM e${i - 1}
+         |        JOIN k$i a ON e${i - 1}.u = a.node
+         |        JOIN k$i b ON e${i - 1}.v = b.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $duckKnnUndirectedCtes,
+       |e0 AS MATERIALIZED (SELECT u, v FROM und),
+       |$rounds
+       |SELECT node, count(*)::BIGINT AS deg FROM (
+       |  SELECT u AS node FROM e4 UNION ALL SELECT v FROM e4)
+       |GROUP BY node
+       |ORDER BY deg DESC, node ASC LIMIT 50""".stripMargin
+  }
+
 
   private def demoFs(s: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
     org.apache.hadoop.fs.FileSystem.get(
