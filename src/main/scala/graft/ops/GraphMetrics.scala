@@ -170,6 +170,70 @@ object GraphMetrics {
     degrees(e)
   }
 
+  /** Sentinel distance for not-yet-reached nodes in [[bfsHops]]: any
+    * value strictly greater than the maximum round count (16) works —
+    * relaxation only ever compares/increments it, and 1000+16 is nowhere
+    * near overflow. Shared with the oracle SQL as a literal. */
+  val BfsInf = 1000L
+
+  /** Multi-source BFS over the UNDIRECTED version of `edges`: exactly
+    * `rounds` synchronous relaxation rounds (dist_i(v) = min(dist_{i-1}
+    * (v), 1 + min over neighbours u of dist_{i-1}(u)), seeds at 0) — the
+    * Bellman-Ford lowering, deterministic because min is order-free, so
+    * the run replays exactly with unrolled CTEs. Returns (node, hops)
+    * for EVERY node, [[BfsInf]] marking nodes unreached within `rounds`
+    * hops. Over a similarity graph this is the "how far from the curated
+    * seed panel" curation feature. Seeds absent from the graph
+    * contribute nothing (no node row exists for them).
+    *
+    * Scale: per round one |2E| equi-join + one |V| min-aggregation +
+    * one |V| left join — the [[PageRank.damped]] shape; linear lineage,
+    * cadence checkpoint. */
+  def bfsHops(edges: DataFrame, seeds: Seq[Long], rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, s"1 <= rounds <= 16, got $rounds")
+    require(seeds.nonEmpty && seeds.size <= 1024,
+      s"seed panel must be 1..1024 literals, got ${seeds.size}")
+    require(seeds.distinct.size == seeds.size, "duplicate seeds")
+    val und = undirect(edges)
+    val sym = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint()
+    val nodes = sym.select(col("src").as("node")).distinct().localCheckpoint()
+    var dist = nodes.select(col("node"),
+      when(col("node").isin(seeds: _*), lit(0L)).otherwise(lit(BfsInf))
+        .as("hops"))
+    for (it <- 1 to rounds) {
+      val msgs = sym.join(dist, sym("src") === dist("node"))
+        .select(sym("dst").as("node"), (col("hops") + 1).as("h"))
+      val inc = msgs.groupBy("node").agg(min(col("h")).as("mh"))
+      dist = dist.join(inc, Seq("node"), "left")
+        .select(col("node"),
+          least(col("hops"), coalesce(col("mh"), lit(BfsInf))).as("hops"))
+      // linear lineage — cadence checkpoint only (PageRank precedent)
+      if (it % 4 == 0 && it < rounds) dist = dist.localCheckpoint()
+    }
+    dist
+  }
+
+  /** Host-side sequential twin of [[bfsHops]] (spec cross-check only). */
+  def referenceBfsHops(edges: Seq[(Long, Long)], seeds: Seq[Long],
+                       rounds: Int): Map[Long, Long] = {
+    val und = edges.map { case (s, d) => (math.min(s, d), math.max(s, d)) }
+      .filter { case (u, v) => u != v }.distinct
+    val sym = und ++ und.map { case (u, v) => (v, u) }
+    val nbrs = sym.groupBy(_._2).map { case (n, xs) => n -> xs.map(_._1) }
+    val nodes = sym.map(_._1).distinct
+    val seedSet = seeds.toSet
+    var dist = nodes.map(n => n -> (if (seedSet(n)) 0L else BfsInf)).toMap
+    for (_ <- 1 to rounds) {
+      dist = nodes.map { n =>
+        val in = nbrs.getOrElse(n, Seq.empty).map(u => dist(u) + 1)
+        n -> math.min(dist(n), if (in.isEmpty) BfsInf else in.min)
+      }.toMap
+    }
+    dist
+  }
+
   /** Host-side sequential twin of [[triangleStats]] (spec cross-check
     * only): (node → (deg, tri, lcc_fp)) by brute-force id-ordered
     * triangle enumeration. */

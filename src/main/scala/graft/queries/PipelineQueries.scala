@@ -2290,6 +2290,47 @@ object PipelineQueries {
        |ORDER BY deg DESC, node ASC LIMIT 50""".stripMargin
   }
 
+  /** Seed-distance profile ([[graft.ops.GraphMetrics.bfsHops]]): 4
+    * synchronous multi-source BFS rounds from the 3-seed curation panel
+    * over the committed kNN graph, reported as the hop histogram —
+    * "how much of the corpus sits within h similarity hops of the
+    * curated seeds" (hops=1000 is the unreached-within-4 sentinel, kept
+    * in the output: coverage gaps are the signal, not noise). Min is
+    * fold-order-free, so the Bellman-Ford rounds replay exactly as
+    * unrolled CTEs. */
+  def bfsHops(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val b = Similarity.scaledBandBits(corpusCount(emb))
+    val graphPath = graft.ops.Indexes.ensureKnnGraph(s, emb, d, j = 3, bBits = b)
+    val edges = s.read.parquet(graphPath)
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+    graft.ops.GraphMetrics.bfsHops(edges, Seq(0L, 1L, 2L), rounds = 4)
+      .groupBy("hops").agg(count(lit(1)).as("nodes"))
+      .orderBy(col("hops").asc)
+  }
+
+  val bfsHopsSql: String = {
+    val inf = graft.ops.GraphMetrics.BfsInf
+    val rounds = (1 to 4).map { i =>
+      s"""m$i AS (SELECT sym.dst AS node, min(h${i - 1}.hops + 1)::BIGINT AS mh
+         |        FROM sym JOIN h${i - 1} ON sym.src = h${i - 1}.node
+         |        GROUP BY sym.dst),
+         |h$i AS MATERIALIZED (SELECT h${i - 1}.node,
+         |          least(h${i - 1}.hops, coalesce(m$i.mh, $inf))::BIGINT AS hops
+         |        FROM h${i - 1} LEFT JOIN m$i ON h${i - 1}.node = m$i.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $duckKnnUndirectedCtes,
+       |sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM und
+       |        UNION ALL SELECT v AS src, u AS dst FROM und),
+       |nd AS (SELECT DISTINCT src AS node FROM sym),
+       |h0 AS (SELECT node,
+       |         (CASE WHEN node IN (0, 1, 2) THEN 0 ELSE $inf END)::BIGINT AS hops
+       |       FROM nd),
+       |$rounds
+       |SELECT hops, count(*)::BIGINT AS nodes FROM h4
+       |GROUP BY hops ORDER BY hops ASC""".stripMargin
+  }
+
 
   private def demoFs(s: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
     org.apache.hadoop.fs.FileSystem.get(

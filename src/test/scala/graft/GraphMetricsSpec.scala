@@ -114,6 +114,44 @@ class GraphMetricsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](GraphMetrics.kCore(df, 3, 17))
   }
 
+  private def bfs(edges: Seq[(Long, Long)], seeds: Seq[Long], rounds: Int): Map[Long, Long] =
+    GraphMetrics.bfsHops(edges.toDF("src", "dst"), seeds, rounds)
+      .as[(Long, Long)].collect().toMap
+
+  test("bfs: chain distances from one seed; truncation leaves the sentinel") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val got = bfs(chain, Seq(1L), rounds = 3)
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+      5L -> GraphMetrics.BfsInf, 6L -> GraphMetrics.BfsInf))
+  }
+
+  test("bfs: multi-source takes the nearest seed; disconnected part stays unreached") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+    val got = bfs(edges, Seq(1L, 10L), rounds = 4)
+    assert(got(3L) === 2L)
+    assert(got(11L) === 1L)
+    assert(got(20L) === GraphMetrics.BfsInf)
+    assert(got(21L) === GraphMetrics.BfsInf)
+  }
+
+  test("bfs: distributed equals the sequential twin; seed absent from graph is inert") {
+    val rnd = new scala.util.Random(31)
+    val edges = Seq.fill(300)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter { case (a, b) => a != b }
+    for (r <- Seq(1, 2, 4)) {
+      val seeds = Seq(0L, 7L, 999L) // 999 not in the graph
+      assert(bfs(edges, seeds, r) ===
+        GraphMetrics.referenceBfsHops(edges, seeds, r), s"rounds=$r")
+    }
+  }
+
+  test("bfs: parameter bounds fail loudly") {
+    val df = Seq((1L, 2L)).toDF("src", "dst")
+    intercept[IllegalArgumentException](GraphMetrics.bfsHops(df, Seq(1L), 0))
+    intercept[IllegalArgumentException](GraphMetrics.bfsHops(df, Seq.empty, 4))
+    intercept[IllegalArgumentException](GraphMetrics.bfsHops(df, Seq(1L, 1L), 4))
+  }
+
   test("lpa: iteration bounds fail loudly") {
     val df = Seq((1L, 2L)).toDF("src", "dst")
     intercept[IllegalArgumentException](GraphMetrics.labelPropagation(df, 0))
