@@ -1116,6 +1116,83 @@ object TextAnalysis {
       Seq("query_id"), Seq("score" -> true, "doc_id" -> false), k))
   }
 
+  /** Pseudo-relevance-feedback query expansion (the RM3-family shape)
+    * served from the inverted index + the doc store — lexical
+    * retrieval's answer to vocabulary mismatch, composed from the
+    * production probes:
+    *
+    *  1. FEEDBACK: [[bm25TopKIndexed]] top-`nFb` for the seed terms
+    *     (statically pruned indexed probe, zero corpus scans); the ids
+    *     land driver-side as a loudly bounded literal panel (`nFb` ≤ 64
+    *     — the graph-ANN frontier contract).
+    *  2. CANDIDATES: term frequencies WITHIN the feedback docs, read
+    *     from the doc store pruned to those literal ids (point lookups
+    *     against a doc_id-clustered store — the forward-index access
+    *     pattern, |nFb| docs, never a corpus scan), seed terms
+    *     excluded; top-`nCand` by (tf_sum desc, term asc) — bounded
+    *     take.
+    *  3. WEIGHTING: df for the candidate literals from the postings
+    *     (static bucket pruning + delete-fold anti-join — the
+    *     [[bm25TopKIndexedFull]] df derivation; every candidate has ≥ 1
+    *     surviving posting because its feedback doc survives, so the
+    *     inner join drops nothing); expansion score = tf_sum·N/df —
+    *     raw-idf weighting, the [[tfidfTopTerms]] determinism choice
+    *     (exact integer product, one correctly-rounded IEEE division,
+    *     no libm) — top-`nExp` terms, ties to the smaller term.
+    *  4. RE-QUERY: [[bm25TopKIndexed]] with seeds ∪ expansion — still a
+    *     statically pruned indexed probe.
+    *
+    * The oracle replays all four stages from the documents table, so
+    * the expansion-term SELECTION — not just the final ranking — is
+    * hash-verified end to end. Degenerate corpora (no feedback docs /
+    * no non-seed candidate terms) fall back to the unexpanded query.
+    * Cost: two bounded driver round-trips (ids, then terms) — the
+    * serving-query shape, same as the graph-ANN hops. */
+  def bm25PrfExpanded(spark: SparkSession, indexPath: String, docs: DataFrame,
+                      seedTerms: Seq[String], k: Int = 20, nFb: Int = 10,
+                      nCand: Int = 32, nExp: Int = 5,
+                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(seedTerms.nonEmpty && seedTerms.distinct == seedTerms,
+      "bm25PrfExpanded expects a non-empty, duplicate-free seed-term list")
+    require(nFb >= 1 && nFb <= 64, s"1 <= nFb <= 64, got $nFb")
+    require(nCand >= 1 && nCand <= 256, s"1 <= nCand <= 256, got $nCand")
+    require(nExp >= 1 && nExp <= nCand, s"1 <= nExp <= nCand, got $nExp")
+    import spark.implicits._
+    val fbIds = bm25TopKIndexed(spark, indexPath, seedTerms, nFb, k1, b)
+      .select(col("doc_id")).as[Long].collect().toSeq // ≤ nFb by the probe's cut
+    if (fbIds.isEmpty)
+      return bm25TopKIndexed(spark, indexPath, seedTerms, k, k1, b)
+    val candRows = docs.where(col("doc_id").isin(fbIds: _*))
+      .select(explode(TextOps.wordsSafe(col("text"))).as("term"))
+      .where(!col("term").isin(seedTerms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("tf_sum"))
+      .orderBy(col("tf_sum").desc, col("term").asc)
+      .limit(nCand)
+      .as[(String, Long)].collect().toSeq
+    if (candRows.isEmpty)
+      return bm25TopKIndexed(spark, indexPath, seedTerms, k, k1, b)
+    val candTerms = candRows.map(_._1)
+    val ts = invertedTombstones(spark, indexPath)
+    val tbs = candTerms.map(termBucketLocal).distinct
+    val post0 = readPartDirs(spark, s"$indexPath/postings",
+        s"batch_id=*/tb={${tbs.mkString(",")}}", postingsSchema)
+      .where(col("tb").isin(tbs: _*))
+      .where(col("term").isin(candTerms: _*))
+    val post = ts.fold(post0)(t =>
+      post0.join(t.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+    val expTerms = candRows.toDF("term", "tf_sum")
+      .join(post.groupBy(col("term")).agg(count(lit(1)).as("df")), Seq("term"))
+      .crossJoin(broadcast(invertedScalars(spark, indexPath, ts)
+        .select(col("n_docs"))))
+      .select(col("term"),
+        ((col("tf_sum") * col("n_docs")).cast("double") /
+          col("df").cast("double")).as("es"))
+      .orderBy(col("es").desc, col("term").asc)
+      .limit(nExp)
+      .select(col("term")).as[String].collect().toSeq
+    bm25TopKIndexed(spark, indexPath, seedTerms ++ expTerms, k, k1, b)
+  }
+
   /** HYBRID lexical+vector retrieval fusion — reciprocal-rank fusion
     * (RRF, Cormack et al.: score(d) = Σ 1/(rrfK + rank_i(d))) of two
     * ALREADY-CUT top-k rankings, the way an LLM-data-curation pipeline

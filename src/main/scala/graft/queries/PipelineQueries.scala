@@ -3993,6 +3993,74 @@ object PipelineQueries {
        |ORDER BY score DESC, doc_id ASC LIMIT 25""".stripMargin
   }
 
+  /** Pseudo-relevance-feedback expansion ([[graft.ops.TextAnalysis
+    * .bm25PrfExpanded]]): seed BM25 top-10 → top-32 in-feedback terms →
+    * tf_sum·N/df weighting → 5 expansion terms → re-query, every stage
+    * an indexed probe or a feedback-doc point read. The oracle replays
+    * the whole four-stage chain from the documents table, so the
+    * expansion-term selection itself is hash-verified — if the engine
+    * expanded with different terms, the final ranking's hash would not
+    * match. */
+  def bm25Prf(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val idx = TextAnalysis.ensureInvertedIndex(s, docs, d)
+    TextAnalysis.bm25PrfExpanded(s, idx, docs, Seq("vector", "quantum"), k = 25)
+  }
+
+  val bm25PrfSql: String = {
+    val (k1, b) = (1.2, 0.75)
+    val (k1s, k1p1, oneMb, bs) =
+      (k1.toString, (k1 + 1.0).toString, (1.0 - b).toString, b.toString)
+    val seeds = "'vector', 'quantum'"
+    // the one fixed-point BM25 contribution, shared by both rounds —
+    // constants interpolated from the same Scala doubles the engine folds
+    def contrib(src: String) =
+      s"""round(ln((n_docs::DOUBLE - $src.df::DOUBLE + 0.5) / ($src.df::DOUBLE + 0.5) + 1.0)
+         |          * ($src.tf::DOUBLE * $k1p1) / ($src.tf::DOUBLE + $k1s * ($oneMb + $bs * $src.dl::DOUBLE * n_docs::DOUBLE / total_dl::DOUBLE))
+         |          * 1000000.0)::BIGINT""".stripMargin
+    s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |tok AS MATERIALIZED (SELECT doc_id, len(w)::BIGINT AS dl, unnest(w) AS term FROM w),
+       |st AS MATERIALIZED (SELECT count(*)::BIGINT AS n_docs, sum(len(w))::BIGINT AS total_dl
+       |       FROM w),
+       |tf1 AS (SELECT doc_id, term, max(dl) AS dl, count(*)::BIGINT AS tf
+       |        FROM tok WHERE term IN ($seeds) GROUP BY doc_id, term),
+       |tfd1 AS (SELECT tf1.*, (count(*) OVER (PARTITION BY term))::BIGINT AS df FROM tf1),
+       |c1 AS (SELECT tfd1.doc_id, ${contrib("tfd1")} AS fp
+       |       FROM tfd1 CROSS JOIN st),
+       |r1 AS MATERIALIZED (SELECT doc_id FROM (
+       |        SELECT doc_id, round(sum(fp)::DOUBLE / 1000000.0, 6) AS score
+       |        FROM c1 GROUP BY doc_id
+       |        ORDER BY score DESC, doc_id ASC LIMIT 10)),
+       |cand AS (SELECT term, count(*)::BIGINT AS tf_sum
+       |         FROM tok JOIN r1 USING (doc_id)
+       |         WHERE term NOT IN ($seeds) GROUP BY term),
+       |cand32 AS MATERIALIZED (SELECT term, tf_sum FROM (
+       |          SELECT term, tf_sum,
+       |            row_number() OVER (ORDER BY tf_sum DESC, term ASC) AS rn
+       |          FROM cand) WHERE rn <= 32),
+       |dfc AS (SELECT term, count(*)::BIGINT AS df FROM (
+       |          SELECT DISTINCT term, doc_id FROM tok
+       |          WHERE term IN (SELECT term FROM cand32))
+       |        GROUP BY term),
+       |exp AS (SELECT term FROM (
+       |          SELECT c.term,
+       |            row_number() OVER (
+       |              ORDER BY (c.tf_sum * st.n_docs)::DOUBLE / d.df::DOUBLE DESC,
+       |                       c.term ASC) AS rn
+       |          FROM cand32 c JOIN dfc d USING (term) CROSS JOIN st)
+       |        WHERE rn <= 5),
+       |qt AS MATERIALIZED (SELECT term FROM exp
+       |       UNION ALL SELECT unnest([$seeds]) AS term),
+       |tf2 AS (SELECT doc_id, term, max(dl) AS dl, count(*)::BIGINT AS tf
+       |        FROM tok WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, term),
+       |tfd2 AS (SELECT tf2.*, (count(*) OVER (PARTITION BY term))::BIGINT AS df FROM tf2),
+       |c2 AS (SELECT tfd2.doc_id, ${contrib("tfd2")} AS fp
+       |       FROM tfd2 CROSS JOIN st)
+       |SELECT doc_id, round(sum(fp)::DOUBLE / 1000000.0, 6) AS score
+       |FROM c2 GROUP BY doc_id
+       |ORDER BY score DESC, doc_id ASC LIMIT 25""".stripMargin
+  }
+
   /** MAX-SCORE-PRUNED indexed BM25 ([[graft.ops.TextAnalysis
     * .bm25TopKIndexedPruned]] engaging inside bm25TopKIndexed): the query
     * mixes the corpus's one selective term ('dup', df 5%) with two

@@ -463,4 +463,55 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fps(0) === fps(1))
     assert(fps(0) !== fps(2))
   }
+
+  test("prf expansion: feedback terms widen the query; equals the hand-composed pipeline") {
+    val docs = Seq(
+      (0L, "apple banana banana cherry"),
+      (1L, "apple banana date"),
+      (2L, "cherry date egg egg egg"),
+      (3L, "banana fig fig")).toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("prf_idx").toString + "/idx"
+    TextAnalysis.writeInvertedIndex(docs, base)
+    val got = TextAnalysis.bm25PrfExpanded(spark, base, docs, Seq("apple"),
+        k = 4, nFb = 2, nCand = 4, nExp = 1)
+      .as[(Long, Double)].collect().toSeq
+    // 'banana' dominates the feedback docs {0, 1} (tf_sum 3, weight
+    // 3·4/3 = 4 vs cherry/date at 2) → expansion = [banana]; doc 3
+    // (no seed term at all) enters the result through the expansion
+    val want = TextAnalysis.bm25TopKIndexed(spark, base,
+        Seq("apple", "banana"), k = 4)
+      .as[(Long, Double)].collect().toSeq
+    assert(got === want)
+    assert(got.map(_._1).contains(3L))
+  }
+
+  test("prf expansion: seeds absent from the corpus fall back to the unexpanded probe") {
+    val docs = Seq((0L, "cat dog"), (1L, "dog emu")).toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("prf_idx2").toString + "/idx"
+    TextAnalysis.writeInvertedIndex(docs, base)
+    assert(TextAnalysis.bm25PrfExpanded(spark, base, docs, Seq("zebra"))
+      .collect().isEmpty)
+  }
+
+  test("prf expansion: tombstoned store equals rebuild-on-survivors end to end") {
+    val corpus = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val seeds = Seq("vector", "quantum")
+    val base = java.nio.file.Files.createTempDirectory("prf_del").toString + "/idx"
+    TextAnalysis.writeInvertedIndex(corpus, base)
+    // delete the top feedback doc so the fold engages in EVERY stage:
+    // feedback ranking, candidate df, scalar correction, final scoring
+    val top = TextAnalysis.bm25TopKIndexed(spark, base, seeds, k = 1)
+      .as[(Long, Double)].collect().head._1
+    TextAnalysis.tombstoneInvertedIndex(spark, base, Seq(top).toDF("doc_id"))
+    val survivors = corpus.where(col("doc_id") =!= top)
+    val rebuilt = java.nio.file.Files.createTempDirectory("prf_del2").toString + "/idx"
+    TextAnalysis.writeInvertedIndex(survivors, rebuilt)
+    val got = TextAnalysis.bm25PrfExpanded(spark, base, corpus, seeds, k = 25)
+      .as[(Long, Double)].collect().toSeq
+    val want = TextAnalysis.bm25PrfExpanded(spark, rebuilt, survivors, seeds, k = 25)
+      .as[(Long, Double)].collect().toSeq
+    assert(got === want)
+    assert(!got.map(_._1).contains(top))
+  }
 }
