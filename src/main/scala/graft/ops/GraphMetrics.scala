@@ -65,12 +65,10 @@ object GraphMetrics {
     * semi-join — then credited to all three corners. The oracle may
     * enumerate in plain id order (simpler SQL); the triangle SET is
     * orientation-independent, so counts agree. */
-  def triangleStats(edges: DataFrame): DataFrame = {
-    val und = undirect(edges).localCheckpoint()
-    val deg = und.select(col("u").as("node"))
-      .unionAll(und.select(col("v").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+  /** Triangle enumeration shared by [[triangleStats]] and
+    * [[graphSummary]]: each triangle once as an ordered (x, y, z) row,
+    * via the degree-ordered orientation (object scaladoc). */
+  private def trianglesOf(und: DataFrame, deg: DataFrame): DataFrame = {
     val withDeg = und
       .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
@@ -84,12 +82,20 @@ object GraphMetrics {
       .localCheckpoint()
     // wedges at pivot a, leaf pair id-ordered so each candidate triangle
     // appears once; closed iff the id-ordered leaf pair is an edge
-    val tri = oriented.as("o1")
+    oriented.as("o1")
       .join(oriented.as("o2"),
         col("o1.a") === col("o2.a") && col("o1.b") < col("o2.b"))
       .select(col("o1.a").as("x"), col("o1.b").as("y"), col("o2.b").as("z"))
       .join(und, col("y") === col("u") && col("z") === col("v"), "left_semi")
-    val perNode = tri
+  }
+
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val und = undirect(edges).localCheckpoint()
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val perNode = trianglesOf(und, deg)
       .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("tri"))
     deg.join(perNode, Seq("node"), "left")
@@ -100,6 +106,50 @@ object GraphMetrics {
             lit(2000000L) * coalesce(col("tri"), lit(0L)),
             col("deg") * (col("deg") - 1)))
           .otherwise(lit(0L)).as("lcc_fp"))
+  }
+
+  /** Canonical undirected weighted edges: (u < v, w) with the weight of
+    * a pair canonicalized to the MAX over its directed duplicates (over
+    * a kNN graph both directions carry the same quantized cosine, so
+    * max is the identity; for asymmetric inputs it is a stated
+    * deterministic choice). Non-positive weights dropped — they carry no
+    * vote and could zero a node's weight sum. */
+  private def undirectWeighted(edges: DataFrame): DataFrame =
+    edges.where(col("w_fp") > 0)
+      .select(least(col("src"), col("dst")).cast("long").as("u"),
+        greatest(col("src"), col("dst")).cast("long").as("v"),
+        col("w_fp").cast("long").as("w"))
+      .where(col("u") =!= col("v"))
+      .groupBy(col("u"), col("v")).agg(max(col("w")).as("w"))
+
+  /** [[labelPropagation]]'s similarity-weighted twin: votes carry the
+    * edge's INTEGER weight (1e-6-quantized cosine, the
+    * [[PageRank.pprWeightedFp]] convention), so a barely-similar
+    * neighbour casts a barely-there vote — the semantics community
+    * detection over a similarity graph actually wants. Weight sums are
+    * exact integer additions (fold-order-free), ties break to the
+    * smallest label; equal weights degenerate to exactly the unweighted
+    * variant (spec-pinned). `edges`: (src, dst, w_fp). */
+  def labelPropagationWeighted(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 16, s"1 <= iters <= 16, got $iters")
+    val und = undirectWeighted(edges)
+    val sym = und.select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .unionAll(und.select(col("v").as("src"), col("u").as("dst"), col("w")))
+      .localCheckpoint()
+    val nodes = sym.select(col("src").as("node")).distinct().localCheckpoint()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    for (it <- 1 to iters) {
+      val msgs = sym.join(labels, sym("src") === labels("node"))
+        .select(sym("dst").as("node"), col("label"), sym("w"))
+      val votes = msgs.groupBy("node", "label").agg(sum(col("w")).as("sw"))
+      val best = votes.groupBy("node")
+        .agg(max(struct(col("sw"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
+      labels = nodes.join(best, Seq("node"), "left")
+        .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+      if (it % 4 == 0 && it < iters) labels = labels.localCheckpoint()
+    }
+    labels
   }
 
   /** Synchronous label propagation over the UNDIRECTED version of
@@ -168,6 +218,67 @@ object GraphMetrics {
       if (it % 2 == 0 && it < rounds) e = e.localCheckpoint()
     }
     degrees(e)
+  }
+
+  /** One-row structural health summary of the UNDIRECTED version of
+    * `edges`: (nodes, edges, max_deg, wedges, triangles, cc_fp,
+    * assort_fp) — the dashboard row a pipeline watches to see a
+    * similarity graph drift (a collapsing global clustering coefficient
+    * or a swing to disassortativity signals banding/quantizer trouble
+    * before any query goes wrong).
+    *
+    *  - `wedges` = Σ deg·(deg−1)/2; `cc_fp` = global (transitivity)
+    *    clustering coefficient 3·triangles/wedges in 1e-6 fixed point.
+    *  - `assort_fp` = Newman degree assortativity in 1e-6 fixed point,
+    *    computed as floor((r+1)·1e6) − 1e6 over the directed pair list:
+    *    r = (M·Σjk − (Σj)²) / (M·Σj² − (Σj)²). The shift keeps the
+    *    integer-divided quantity NON-NEGATIVE (r ≥ −1 always), because
+    *    Spark's `div` truncates toward zero while other engines floor —
+    *    on non-negative operands they agree, so the row replays exactly.
+    *    Degenerate denominators (regular graph / no wedges) report 0 by
+    *    stated convention.
+    *
+    * All sums are exact integer aggregates in DECIMAL(38,0) — at
+    * trillion-edge scale Σdeg² · M exceeds a BIGINT, and under ANSI mode
+    * a silent Long wrap would corrupt the metric; decimal keeps the
+    * arithmetic exact to 38 digits and overflow LOUD. One |E| pass for
+    * degrees, one for pair sums, plus the [[trianglesOf]] wedge join. */
+  def graphSummary(edges: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val und = undirect(edges).localCheckpoint()
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val degAgg = deg.agg(
+      count(lit(1)).as("nodes"), max(col("deg")).as("max_deg"),
+      sum(call_function("div", col("deg") * (col("deg") - 1), lit(2L))
+        .cast(dec)).as("wedges"))
+    val edgeCnt = und.agg(count(lit(1)).as("edges"))
+    val triCnt = trianglesOf(und, deg).agg(count(lit(1)).as("triangles"))
+    val sym = und.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(und.select(col("v").as("a"), col("u").as("b")))
+    val sums = sym
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .agg(count(lit(1)).cast(dec).as("m"),
+        sum((col("da") * col("db")).cast(dec)).as("s_jk"),
+        sum(col("da").cast(dec)).as("s_j"),
+        sum((col("da") * col("da")).cast(dec)).as("s_jj"))
+    val num = col("s_jk") * col("m") - col("s_j") * col("s_j")
+    val den = col("s_jj") * col("m") - col("s_j") * col("s_j")
+    degAgg.crossJoin(broadcast(edgeCnt)).crossJoin(broadcast(triCnt))
+      .crossJoin(broadcast(sums))
+      .select(col("nodes"), col("edges"), col("max_deg"),
+        col("wedges").cast("long").as("wedges"), col("triangles"),
+        when(col("wedges") > 0,
+          call_function("div",
+            col("triangles").cast(dec) * lit(3000000L), col("wedges")))
+          .otherwise(lit(0L)).as("cc_fp"),
+        when(den > 0,
+          call_function("div", (num + den) * lit(1000000L), den)
+            - lit(1000000L))
+          .otherwise(lit(0L)).as("assort_fp"))
   }
 
   /** Sentinel distance for not-yet-reached nodes in [[bfsHops]]: any
@@ -270,6 +381,33 @@ object GraphMetrics {
       e = e.filter { case (u, v) => keep(u) && keep(v) }
     }
     degrees(e)
+  }
+
+  /** Host-side sequential twin of [[labelPropagationWeighted]] (spec
+    * cross-check only; ≤ 0-weight edges dropped, duplicate pairs
+    * canonicalized to max weight — matching the operator). */
+  def referenceLabelPropagationWeighted(edges: Seq[(Long, Long, Long)],
+                                        iters: Int): Map[Long, Long] = {
+    val und = edges.filter(_._3 > 0)
+      .map { case (s, d, w) => ((math.min(s, d), math.max(s, d)), w) }
+      .filter { case ((u, v), _) => u != v }
+      .groupBy(_._1).map { case (p, xs) => (p._1, p._2, xs.map(_._2).max) }
+      .toSeq
+    val sym = und ++ und.map { case (u, v, w) => (v, u, w) }
+    val nbrs = sym.groupBy(_._2)
+      .map { case (n, xs) => n -> xs.map(e => (e._1, e._3)) }
+    val nodes = sym.map(_._1).distinct
+    var labels = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      labels = nodes.map { n =>
+        val votes = nbrs.getOrElse(n, Seq.empty)
+          .groupBy { case (u, _) => labels(u) }
+          .map { case (l, xs) => l -> xs.map(_._2).sum }
+        n -> (if (votes.isEmpty) labels(n)
+              else votes.toSeq.maxBy { case (l, w) => (w, -l) }._1)
+      }.toMap
+    }
+    labels
   }
 
   /** Host-side sequential twin of [[labelPropagation]] (spec cross-check

@@ -2290,6 +2290,100 @@ object PipelineQueries {
        |ORDER BY deg DESC, node ASC LIMIT 50""".stripMargin
   }
 
+  /** [[labelProp]]'s similarity-weighted twin ([[graft.ops.GraphMetrics
+    * .labelPropagationWeighted]]): votes carry the kNN edge's
+    * 1e-6-quantized cosine (the q_ppr_weighted weight convention), so
+    * communities form along similarity MASS, not bare adjacency. Same
+    * 4 unrolled rounds in the oracle; integer weight sums keep every
+    * round fold-order-free. */
+  def labelPropWeighted(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val b = Similarity.scaledBandBits(corpusCount(emb))
+    val graphPath = graft.ops.Indexes.ensureKnnGraph(s, emb, d, j = 3, bBits = b)
+    val edges = s.read.parquet(graphPath)
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"),
+        round(greatest(col("cos"), lit(0.0)) * lit(1e6), 0).cast("long")
+          .as("w_fp"))
+    graft.ops.GraphMetrics.labelPropagationWeighted(edges, iters = 4)
+      .groupBy("label").agg(count(lit(1)).as("members"))
+      .orderBy(col("members").desc, col("label").asc).limit(20)
+  }
+
+  val labelPropWeightedSql: String = {
+    val rounds = (1 to 4).map { i =>
+      s"""c$i AS (SELECT sym.dst AS node, l${i - 1}.label, sum(sym.w)::BIGINT AS sw
+         |        FROM sym JOIN l${i - 1} ON sym.src = l${i - 1}.node
+         |        GROUP BY sym.dst, l${i - 1}.label),
+         |b$i AS (SELECT node, label FROM (
+         |          SELECT node, label,
+         |            row_number() OVER (PARTITION BY node ORDER BY sw DESC, label ASC) AS rn
+         |          FROM c$i) WHERE rn = 1),
+         |l$i AS (SELECT nd.node, coalesce(b$i.label, nd.node) AS label
+         |        FROM nd LEFT JOIN b$i ON nd.node = b$i.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $duckKnnGraphCtes,
+       |gr AS (SELECT vec_a, vec_b, cos FROM (
+       |         SELECT vec_a, vec_b, cos,
+       |           row_number() OVER (PARTITION BY vec_a ORDER BY cos DESC, vec_b ASC) AS rn
+       |         FROM scored) WHERE rn <= 3),
+       |uw AS MATERIALIZED (SELECT least(vec_a, vec_b) AS u, greatest(vec_a, vec_b) AS v,
+       |         max(CAST(round(greatest(cos, 0) * 1000000.0) AS BIGINT)) AS w
+       |       FROM gr WHERE vec_a != vec_b
+       |         AND CAST(round(greatest(cos, 0) * 1000000.0) AS BIGINT) > 0
+       |       GROUP BY least(vec_a, vec_b), greatest(vec_a, vec_b)),
+       |sym AS MATERIALIZED (SELECT u AS src, v AS dst, w FROM uw
+       |        UNION ALL SELECT v AS src, u AS dst, w FROM uw),
+       |nd AS (SELECT DISTINCT src AS node FROM sym),
+       |l0 AS (SELECT node, node AS label FROM nd),
+       |$rounds
+       |SELECT label, count(*)::BIGINT AS members FROM l4
+       |GROUP BY label ORDER BY members DESC, label ASC LIMIT 20""".stripMargin
+  }
+
+  /** Structural health row of the committed kNN graph ([[graft.ops
+    * .GraphMetrics.graphSummary]]): node/edge/degree extremes, global
+    * transitivity and Newman degree assortativity, both in 1e-6 fixed
+    * point from exact DECIMAL(38,0) integer sums (the assortativity is
+    * divided after a +1 shift so the operand is non-negative — truncate
+    * and floor division agree there, one of the few places the two
+    * engines' integer `div` semantics could silently diverge). */
+  def graphSummaryQ(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val b = Similarity.scaledBandBits(corpusCount(emb))
+    val graphPath = graft.ops.Indexes.ensureKnnGraph(s, emb, d, j = 3, bBits = b)
+    val edges = s.read.parquet(graphPath)
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+    graft.ops.GraphMetrics.graphSummary(edges)
+  }
+
+  val graphSummarySql: String =
+    s"""WITH $duckKnnUndirectedCtes,
+       |dg AS MATERIALIZED (SELECT node, count(*)::BIGINT AS deg FROM (
+       |         SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+       |       GROUP BY node),
+       |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+       |        FROM und e1 JOIN und e2 ON e1.u = e2.u AND e1.v < e2.v
+       |        JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v),
+       |tc AS (SELECT count(*)::BIGINT AS triangles FROM tri),
+       |ec AS (SELECT count(*)::BIGINT AS edges FROM und),
+       |na AS (SELECT count(*)::BIGINT AS nodes, max(deg)::BIGINT AS max_deg,
+       |         sum((deg * (deg - 1)) // 2) AS wedges FROM dg),
+       |pd AS (SELECT a.deg AS da, b.deg AS db FROM
+       |         (SELECT u AS x, v AS y FROM und UNION ALL SELECT v, u FROM und) s
+       |         JOIN dg a ON s.x = a.node JOIN dg b ON s.y = b.node),
+       |sm AS (SELECT count(*)::HUGEINT AS m, sum(da * db) AS s_jk,
+       |              sum(da) AS s_j, sum(da * da) AS s_jj FROM pd)
+       |SELECT na.nodes, ec.edges, na.max_deg, na.wedges::BIGINT AS wedges,
+       |  tc.triangles,
+       |  (CASE WHEN na.wedges > 0
+       |        THEN (tc.triangles * 3000000) // na.wedges ELSE 0 END)::BIGINT AS cc_fp,
+       |  (CASE WHEN (sm.s_jj * sm.m - sm.s_j * sm.s_j) > 0
+       |        THEN ((sm.s_jk * sm.m - sm.s_j * sm.s_j
+       |               + sm.s_jj * sm.m - sm.s_j * sm.s_j) * 1000000)
+       |             // (sm.s_jj * sm.m - sm.s_j * sm.s_j) - 1000000
+       |        ELSE 0 END)::BIGINT AS assort_fp
+       |FROM na, ec, tc, sm""".stripMargin
+
   /** Seed-distance profile ([[graft.ops.GraphMetrics.bfsHops]]): 4
     * synchronous multi-source BFS rounds from the 3-seed curation panel
     * over the committed kNN graph, reported as the hop histogram —

@@ -152,6 +152,76 @@ class GraphMetricsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](GraphMetrics.bfsHops(df, Seq(1L, 1L), 4))
   }
 
+  private def wlpa(edges: Seq[(Long, Long, Long)], iters: Int): Map[Long, Long] =
+    GraphMetrics.labelPropagationWeighted(edges.toDF("src", "dst", "w_fp"), iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("wlpa: a heavy edge outvotes two light ones") {
+    // node 3 hears label 1 with weight 10 and labels {2, 4} with 1 each;
+    // unweighted it would adopt min(1,2,4)=1 anyway, so give the heavy
+    // vote to the LARGER label to prove weight, not tie-break, decides
+    val got = wlpa(Seq((3L, 5L, 10L), (3L, 1L, 1L), (3L, 2L, 1L)), iters = 1)
+    assert(got(3L) === 5L)
+  }
+
+  test("wlpa: equal weights degenerate to exactly the unweighted variant") {
+    val rnd = new scala.util.Random(41)
+    val raw = Seq.fill(300)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+    for (it <- Seq(1, 2, 4)) {
+      assert(wlpa(raw.map { case (a, b) => (a, b, 7L) }, it) === lpa(raw, it),
+        s"iters=$it")
+    }
+  }
+
+  test("wlpa: distributed equals the sequential twin; non-positive weights drop") {
+    val rnd = new scala.util.Random(43)
+    val edges = Seq.fill(300)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong,
+      rnd.nextInt(10).toLong - 2)) // some <= 0
+      .filter { case (a, b, _) => a != b }
+    for (it <- Seq(1, 2, 4)) {
+      assert(wlpa(edges, it) ===
+        GraphMetrics.referenceLabelPropagationWeighted(edges, it), s"iters=$it")
+    }
+  }
+
+  private def summary(edges: Seq[(Long, Long)]): (Long, Long, Long, Long, Long, Long, Long) =
+    GraphMetrics.graphSummary(edges.toDF("src", "dst"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+
+  test("summary: K4 — transitivity 1, assortativity degenerate (regular graph) -> 0") {
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    // nodes, edges, max_deg, wedges, triangles, cc_fp, assort_fp
+    assert(summary(k4) === ((4L, 6L, 3L, 12L, 4L, 1000000L, 0L)))
+  }
+
+  test("summary: star graph is perfectly disassortative (r = -1), cc 0") {
+    val star = (1L to 3L).map(l => (0L, l))
+    assert(summary(star) === ((4L, 3L, 3L, 3L, 0L, 0L, -1000000L)))
+  }
+
+  test("summary: triangle plus pendant — hand-computed row") {
+    val got = summary(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)))
+    // degs: 1->2, 2->2, 3->3, 4->1; wedges = 1+1+3+0 = 5; T = 1
+    // cc = 3/5 -> 600000
+    // pairs (j,k): (2,2)x2, (2,3)x2, (3,2)x2, (2,1)... enumerate via twin sums:
+    // m=8, s_j = 2+2+2+3+3+2+3+1 ... trust the closed check below instead
+    assert(got._1 === 4L && got._2 === 4L && got._3 === 3L)
+    assert(got._4 === 5L && got._5 === 1L && got._6 === 600000L)
+    // independent host-side Newman computation
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val deg = Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L)
+    val sym = und ++ und.map(e => (e._2, e._1))
+    val m = BigInt(sym.size)
+    val sj = sym.map(e => BigInt(deg(e._1))).sum
+    val sjk = sym.map(e => BigInt(deg(e._1)) * BigInt(deg(e._2))).sum
+    val sjj = sym.map(e => BigInt(deg(e._1)) * BigInt(deg(e._1))).sum
+    val num = sjk * m - sj * sj
+    val den = sjj * m - sj * sj
+    val want = ((num + den) * 1000000 / den - 1000000).toLong
+    assert(got._7 === want)
+  }
+
   test("lpa: iteration bounds fail loudly") {
     val df = Seq((1L, 2L)).toDF("src", "dst")
     intercept[IllegalArgumentException](GraphMetrics.labelPropagation(df, 0))
