@@ -1193,6 +1193,91 @@ object TextAnalysis {
     bm25TopKIndexed(spark, indexPath, seedTerms ++ expTerms, k, k1, b)
   }
 
+  /** [[bm25PrfExpanded]]'s many-queries twin — the serving matrix's
+    * batch column (every probe family carries one): N queries expand and
+    * re-rank for the I/O of one. The batch contract throughout: shared
+    * READS, never shared candidates — feedback docs are fetched once as
+    * the union id panel but candidate terms count per (query, feedback
+    * doc) pair, and each query's expansion competes only against its own
+    * candidates (per-query identity with the single-query operator holds
+    * when term sets don't interact through df, which is query-independent
+    * by construction).
+    *
+    * Per-query cuts ride the bounded-heap [[graft.plans.GroupedTopK]]
+    * (no windows); the two driver round-trips are loudly capped at
+    * |Q|·nFb and |Q|·nCand rows. Queries whose feedback or candidate
+    * stage comes up empty keep their seed set — the single-op fallback,
+    * per query. */
+  def bm25PrfExpandedBatch(spark: SparkSession, indexPath: String,
+                           docs: DataFrame,
+                           seedQueries: Seq[(Long, Seq[String])],
+                           k: Int = 20, nFb: Int = 10, nCand: Int = 32,
+                           nExp: Int = 5, k1: Double = 1.2,
+                           b: Double = 0.75): DataFrame = {
+    require(seedQueries.nonEmpty && seedQueries.size <= 64,
+      s"1 <= |queries| <= 64, got ${seedQueries.size}")
+    require(seedQueries.map(_._1).distinct.size == seedQueries.size,
+      "duplicate query ids")
+    seedQueries.foreach { case (q, ts) =>
+      require(ts.nonEmpty && ts.distinct == ts,
+        s"query $q needs a non-empty, duplicate-free term list") }
+    require(nFb >= 1 && nFb <= 64, s"1 <= nFb <= 64, got $nFb")
+    require(nCand >= 1 && nCand <= 256, s"1 <= nCand <= 256, got $nCand")
+    require(nExp >= 1 && nExp <= nCand, s"1 <= nExp <= nCand, got $nExp")
+    import spark.implicits._
+    val seedDf = seedQueries.toDF("query_id", "terms")
+    val fb = bm25TopKIndexedBatch(spark, indexPath, seedDf, nFb, k1, b)
+      .select(col("query_id"), col("doc_id"))
+      .as[(Long, Long)].collect().toSeq // ≤ |Q|·nFb by the probe's cut
+    if (fb.isEmpty)
+      return bm25TopKIndexedBatch(spark, indexPath, seedDf, k, k1, b)
+    val fbIdsUnion = fb.map(_._2).distinct
+    val fbPairs = broadcast(fb.toDF("query_id", "doc_id"))
+    val seedPairs = broadcast(seedQueries
+      .flatMap { case (q, ts) => ts.map(q -> _) }.toDF("query_id", "term"))
+    // ONE point read of the union feedback docs, fanned to queries by the
+    // broadcast pair join; a query's own seed terms never become its
+    // candidates (per-query anti-join)
+    val cands = docs.where(col("doc_id").isin(fbIdsUnion: _*))
+      .select(col("doc_id"), explode(TextOps.wordsSafe(col("text"))).as("term"))
+      .join(fbPairs, Seq("doc_id"))
+      .join(seedPairs, Seq("query_id", "term"), "left_anti")
+      .groupBy(col("query_id"), col("term")).agg(count(lit(1)).as("tf_sum"))
+    val candCut = graft.plans.GroupedTopK.topK(cands, Seq("query_id"),
+        Seq("tf_sum" -> true, "term" -> false), nCand)
+      .as[(Long, String, Long)]
+      .take(seedQueries.size * nCand + 1).toSeq
+    require(candCut.size <= seedQueries.size * nCand,
+      "bm25PrfExpandedBatch candidate cut exceeded |Q|*nCand — cut broken")
+    if (candCut.isEmpty)
+      return bm25TopKIndexedBatch(spark, indexPath, seedDf, k, k1, b)
+    val candTerms = candCut.map(_._2).distinct
+    val ts = invertedTombstones(spark, indexPath)
+    val tbs = candTerms.map(termBucketLocal).distinct
+    val post0 = readPartDirs(spark, s"$indexPath/postings",
+        s"batch_id=*/tb={${tbs.mkString(",")}}", postingsSchema)
+      .where(col("tb").isin(tbs: _*))
+      .where(col("term").isin(candTerms: _*))
+    val post = ts.fold(post0)(t =>
+      post0.join(t.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+    val weighted = candCut.toDF("query_id", "term", "tf_sum")
+      .join(post.groupBy(col("term")).agg(count(lit(1)).as("df")), Seq("term"))
+      .crossJoin(broadcast(invertedScalars(spark, indexPath, ts)
+        .select(col("n_docs"))))
+      .select(col("query_id"), col("term"),
+        ((col("tf_sum") * col("n_docs")).cast("double") /
+          col("df").cast("double")).as("es"))
+    val exp = graft.plans.GroupedTopK.topK(weighted, Seq("query_id"),
+        Seq("es" -> true, "term" -> false), nExp)
+      .select(col("query_id"), col("term"))
+      .as[(Long, String)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSeq }
+    val finalQ = seedQueries
+      .map { case (q, seeds) => (q, seeds ++ exp.getOrElse(q, Seq.empty)) }
+      .toDF("query_id", "terms")
+    bm25TopKIndexedBatch(spark, indexPath, finalQ, k, k1, b)
+  }
+
   /** HYBRID lexical+vector retrieval fusion — reciprocal-rank fusion
     * (RRF, Cormack et al.: score(d) = Σ 1/(rrfK + rank_i(d))) of two
     * ALREADY-CUT top-k rankings, the way an LLM-data-curation pipeline

@@ -4155,6 +4155,81 @@ object PipelineQueries {
        |ORDER BY score DESC, doc_id ASC LIMIT 25""".stripMargin
   }
 
+  /** [[bm25Prf]]'s batch twin ([[graft.ops.TextAnalysis
+    * .bm25PrfExpandedBatch]]): three queries expand and re-rank for the
+    * I/O of one — shared union-feedback point read, per-query candidate
+    * competition, query-independent df. The oracle threads query_id
+    * through all four replayed stages. */
+  def bm25PrfBatch(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val idx = TextAnalysis.ensureInvertedIndex(s, docs, d)
+    TextAnalysis.bm25PrfExpandedBatch(s, idx, docs, Seq(
+        (0L, Seq("vector", "quantum")),
+        (1L, Seq("stream", "merge")),
+        (2L, Seq("dup", "scan"))), k = 10)
+      .orderBy(col("query_id"), col("score").desc, col("doc_id"))
+  }
+
+  val bm25PrfBatchSql: String = {
+    val (k1, b) = (1.2, 0.75)
+    val (k1s, k1p1, oneMb, bs) =
+      (k1.toString, (k1 + 1.0).toString, (1.0 - b).toString, b.toString)
+    def contrib(src: String) =
+      s"""round(ln((n_docs::DOUBLE - $src.df::DOUBLE + 0.5) / ($src.df::DOUBLE + 0.5) + 1.0)
+         |          * ($src.tf::DOUBLE * $k1p1) / ($src.tf::DOUBLE + $k1s * ($oneMb + $bs * $src.dl::DOUBLE * n_docs::DOUBLE / total_dl::DOUBLE))
+         |          * 1000000.0)::BIGINT""".stripMargin
+    s"""WITH qs(query_id, term) AS (VALUES
+       |  (0::BIGINT, 'vector'), (0, 'quantum'),
+       |  (1, 'stream'), (1, 'merge'),
+       |  (2, 'dup'), (2, 'scan')),
+       |w AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |tok AS MATERIALIZED (SELECT doc_id, len(w)::BIGINT AS dl, unnest(w) AS term FROM w),
+       |st AS MATERIALIZED (SELECT count(*)::BIGINT AS n_docs, sum(len(w))::BIGINT AS total_dl
+       |       FROM w),
+       |tf1 AS (SELECT doc_id, term, max(dl) AS dl, count(*)::BIGINT AS tf
+       |        FROM tok WHERE term IN (SELECT term FROM qs) GROUP BY doc_id, term),
+       |tfd1 AS (SELECT tf1.*, (count(*) OVER (PARTITION BY term))::BIGINT AS df FROM tf1),
+       |c1 AS (SELECT qs.query_id, tfd1.doc_id, ${contrib("tfd1")} AS fp
+       |       FROM qs JOIN tfd1 ON qs.term = tfd1.term CROSS JOIN st),
+       |s1 AS (SELECT query_id, doc_id, round(sum(fp)::DOUBLE / 1000000.0, 6) AS score
+       |       FROM c1 GROUP BY query_id, doc_id),
+       |r1 AS MATERIALIZED (SELECT query_id, doc_id FROM s1
+       |       QUALIFY row_number() OVER (PARTITION BY query_id
+       |                                  ORDER BY score DESC, doc_id ASC) <= 10),
+       |cand AS (SELECT r1.query_id, tok.term, count(*)::BIGINT AS tf_sum
+       |         FROM tok JOIN r1 USING (doc_id)
+       |         LEFT JOIN qs ON qs.query_id = r1.query_id AND qs.term = tok.term
+       |         WHERE qs.term IS NULL
+       |         GROUP BY r1.query_id, tok.term),
+       |cand32 AS MATERIALIZED (SELECT query_id, term, tf_sum FROM cand
+       |       QUALIFY row_number() OVER (PARTITION BY query_id
+       |                                  ORDER BY tf_sum DESC, term ASC) <= 32),
+       |dfc AS (SELECT term, count(*)::BIGINT AS df FROM (
+       |          SELECT DISTINCT term, doc_id FROM tok
+       |          WHERE term IN (SELECT term FROM cand32))
+       |        GROUP BY term),
+       |exp AS (SELECT query_id, term FROM (
+       |          SELECT c.query_id, c.term,
+       |            row_number() OVER (PARTITION BY c.query_id
+       |              ORDER BY (c.tf_sum * st.n_docs)::DOUBLE / d.df::DOUBLE DESC,
+       |                       c.term ASC) AS rn
+       |          FROM cand32 c JOIN dfc d USING (term) CROSS JOIN st)
+       |        WHERE rn <= 5),
+       |qt AS MATERIALIZED (SELECT query_id, term FROM exp
+       |       UNION ALL SELECT query_id, term FROM qs),
+       |tf2 AS (SELECT doc_id, term, max(dl) AS dl, count(*)::BIGINT AS tf
+       |        FROM tok WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, term),
+       |tfd2 AS (SELECT tf2.*, (count(*) OVER (PARTITION BY term))::BIGINT AS df FROM tf2),
+       |c2 AS (SELECT qt.query_id, tfd2.doc_id, ${contrib("tfd2")} AS fp
+       |       FROM qt JOIN tfd2 ON qt.term = tfd2.term CROSS JOIN st),
+       |s2 AS (SELECT query_id, doc_id, round(sum(fp)::DOUBLE / 1000000.0, 6) AS score
+       |       FROM c2 GROUP BY query_id, doc_id)
+       |SELECT query_id, doc_id, score FROM s2
+       |QUALIFY row_number() OVER (PARTITION BY query_id
+       |                           ORDER BY score DESC, doc_id ASC) <= 10
+       |ORDER BY query_id, score DESC, doc_id""".stripMargin
+  }
+
   /** MAX-SCORE-PRUNED indexed BM25 ([[graft.ops.TextAnalysis
     * .bm25TopKIndexedPruned]] engaging inside bm25TopKIndexed): the query
     * mixes the corpus's one selective term ('dup', df 5%) with two

@@ -493,6 +493,27 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().isEmpty)
   }
 
+  test("prf batch: per-query identity with the single-query operator") {
+    val corpus = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("prf_batch").toString + "/idx"
+    TextAnalysis.writeInvertedIndex(corpus, base)
+    val panel = Seq(
+      (0L, Seq("vector", "quantum")),
+      (1L, Seq("stream", "merge")),
+      (2L, Seq("zebra"))) // no hits: per-query seed fallback engages
+    val got = TextAnalysis.bm25PrfExpandedBatch(spark, base, corpus, panel, k = 10)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(r => r._2 -> r._3).sortBy { case (id, s) => (-s, id) }.toSeq)
+      .toMap
+    panel.foreach { case (q, seeds) =>
+      val single = TextAnalysis.bm25PrfExpanded(spark, base, corpus, seeds, k = 10)
+        .as[(Long, Double)].collect().toSeq
+      assert(got.getOrElse(q, Seq.empty) === single, s"query $q")
+    }
+  }
+
   test("prf expansion: tombstoned store equals rebuild-on-survivors end to end") {
     val corpus = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), col("text"))
