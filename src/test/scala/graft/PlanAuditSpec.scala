@@ -372,6 +372,37 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the re-rank cut must be a bounded top-k:\n$p")
   }
 
+  test("prf expansion: the returned probe is index-served — no corpus scan survives") {
+    // stages 1-3 (feedback, candidates, weighting) execute eagerly during
+    // construction, with the candidate stage a bounded doc_id point read;
+    // the RETURNED frame is the round-2 indexed probe and must carry the
+    // family's zero-corpus-scan property
+    val p = plan("q_bm25_prf")
+    assert(!p.contains("documents.parquet"),
+      s"the expanded re-query must serve from the inverted index:\n$p")
+    assert(p.contains("PartitionFilters: [tb"),
+      s"term-bucket pruning must reach the postings scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject(limit=25"),
+      s"the cut must be a bounded top-k:\n$p")
+    val pb = plan("q_bm25_prf_batch")
+    assert(!pb.contains("documents.parquet"),
+      s"the batch re-query must serve from the inverted index:\n$pb")
+    assert(pb.contains("PartitionFilters: [tb"),
+      s"term-bucket pruning must reach the postings scan:\n$pb")
+  }
+
+  test("graph metrics serve from the committed kNN edge store, never the embeddings") {
+    // the committed graph IS the input contract: a metric query that
+    // touches embeddings.parquet is silently rebuilding the graph per run
+    for (q <- Seq("q_triangle_count", "q_label_prop", "q_label_prop_weighted",
+        "q_kcore", "q_bfs_hops", "q_graph_summary", "q_pagerank")) {
+      val p = plan(q)
+      assert(!p.contains("embeddings.parquet"),
+        s"$q must read the committed edge store, not the corpus:\n$p")
+      assert(!p.contains("Window"), s"$q must not window-sort:\n$p")
+    }
+  }
+
   test("rank idiom rewrites to GroupedTopK (the optimizer rule, per round)") {
     val p = plan("q_rank_idiom")
     assert(p.contains("GroupedTopK"),
