@@ -187,6 +187,65 @@ object PageRank {
       iters, dampNum, dampDen)
   }
 
+  /** [[pprFp]]'s many-panels twin — the walk family's batch column: P
+    * seed panels expand in ONE walk over a single edge materialization.
+    * Ranks live keyed by (panel_id, node), so each round is one
+    * |E|·|P|-row equi-join + one |P|·|V| hash aggregation — the honest
+    * batch cost, linear in the (loudly capped, ≤ 16) panel count, with
+    * the edge store and adjacency read ONCE instead of per panel. The
+    * teleport/start constants ride a broadcast seed frame (panel_id,
+    * node, base, tp) — per-panel literals, no driver loop, no per-panel
+    * job. Per-panel output is bit-identical to a [[pprFp]] run with that
+    * panel (same integer recurrence, panel_id just partitions the keys —
+    * spec-pinned). */
+  def pprBatchFp(edges: DataFrame, panels: Seq[(Long, Seq[Long])], iters: Int,
+                 scale: Long = 1000000000000L, dampNum: Long = 85L,
+                 dampDen: Long = 100L): DataFrame = {
+    checkIters(iters); checkDamp(dampNum, dampDen)
+    require(panels.nonEmpty && panels.size <= 16,
+      s"1 <= |panels| <= 16, got ${panels.size}")
+    require(panels.map(_._1).distinct.size == panels.size, "duplicate panel ids")
+    panels.foreach { case (_, ss) => checkSeeds(ss) }
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val (ed, nodes) = prepare(edges,
+      col("src").cast("long"), col("dst").cast("long"))
+    val adj = ed
+      .join(ed.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .localCheckpoint()
+    val seeds = broadcast(panels.flatMap { case (p, ss) =>
+      val base = scale / ss.size
+      val tp = ((dampDen - dampNum) * base) / dampDen
+      ss.map(s => (p, s, base, tp))
+    }.toDF("panel_id", "node", "base", "tp"))
+    val panelNodes = nodes
+      .crossJoin(broadcast(panels.map(_._1).toDF("panel_id")))
+      .select(col("panel_id"), col("node"))
+      .localCheckpoint()
+    var ranks = panelNodes
+      .join(seeds.select(col("panel_id"), col("node"), col("base")),
+        Seq("panel_id", "node"), "left")
+      .select(col("panel_id"), col("node"),
+        coalesce(col("base"), lit(0L)).as("rank_fp"))
+    for (it <- 1 to iters) {
+      val msgs = adj.join(ranks, adj("src") === ranks("node"))
+        .select(col("panel_id"), adj("dst").as("node"),
+          call_function("div", col("rank_fp"), col("outdeg")).as("c"))
+      val agg = msgs.groupBy("panel_id", "node").agg(sum(col("c")).as("m"))
+      ranks = panelNodes
+        .join(agg, Seq("panel_id", "node"), "left")
+        .join(seeds.select(col("panel_id"), col("node"), col("tp")),
+          Seq("panel_id", "node"), "left")
+        .select(col("panel_id"), col("node"),
+          (coalesce(col("tp"), lit(0L)) + call_function("div",
+            lit(dampNum) * coalesce(col("m"), lit(0L)), lit(dampDen)))
+            .as("rank_fp"))
+      // linear lineage — cadence checkpoint only (object scaladoc)
+      if (it % 4 == 0 && it < iters) ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+
   /** Host-side sequential twin of [[pprFp]] (spec cross-check only). */
   def referencePprFp(edges: Seq[(Long, Long)], seeds: Seq[Long], iters: Int,
                      scale: Long = 1000000000000L, dampNum: Long = 85L,

@@ -2154,6 +2154,72 @@ object PipelineQueries {
        |ORDER BY rank_fp DESC, node ASC LIMIT 20""".stripMargin
   }
 
+  /** Batched seed-set expansion ([[graft.ops.PageRank.pprBatchFp]]):
+    * three curation panels expand in ONE walk over the committed kNN
+    * graph — a single edge materialization serves every panel, the
+    * batch contract of the serving families applied to the walk family.
+    * Per-panel cut is the bounded-heap GroupedTopK; per-panel output is
+    * bit-identical to the single-panel q_ppr_expand recurrence
+    * (spec-pinned), and the oracle unrolls all 5 rounds with panel_id
+    * threaded through every CTE. */
+  def pprBatch(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val b = Similarity.scaledBandBits(corpusCount(emb))
+    val graphPath = graft.ops.Indexes.ensureKnnGraph(s, emb, d, j = 3, bBits = b)
+    val edges = s.read.parquet(graphPath)
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+    val panels = Seq((0L, Seq(0L, 1L, 2L)), (1L, Seq(3L, 4L)), (2L, Seq(5L)))
+    import s.implicits._
+    val seedPairs = broadcast(panels
+      .flatMap { case (p, ss) => ss.map(p -> _) }.toDF("panel_id", "node"))
+    val ranks = graft.ops.PageRank.pprBatchFp(edges, panels, iters = 5)
+      .where(col("rank_fp") > 0)
+      .join(seedPairs, Seq("panel_id", "node"), "left_anti")
+    graft.plans.GroupedTopK.topK(ranks, Seq("panel_id"),
+        Seq("rank_fp" -> true, "node" -> false), 20)
+      .orderBy(col("panel_id"), col("rank_fp").desc, col("node"))
+  }
+
+  val pprBatchSql: String = {
+    val rounds = (1 to 5).map { i =>
+      s"""m$i AS (SELECT rp.panel_id, ed.dst AS node, sum(rp.r // og.outdeg)::BIGINT AS m
+         |        FROM ed JOIN r${i - 1} rp ON ed.src = rp.node
+         |                JOIN og ON ed.src = og.src
+         |        GROUP BY rp.panel_id, ed.dst),
+         |r$i AS MATERIALIZED (SELECT pnd.panel_id, pnd.node,
+         |          ((CASE WHEN sp.node IS NOT NULL THEN pnd.tp ELSE 0 END)
+         |           + (85 * coalesce(m$i.m, 0)) // 100)::BIGINT AS r
+         |        FROM pnd LEFT JOIN sp ON pnd.panel_id = sp.panel_id AND pnd.node = sp.node
+         |                 LEFT JOIN m$i ON pnd.panel_id = m$i.panel_id AND pnd.node = m$i.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $duckKnnGraphCtes,
+       |gr AS (SELECT vec_a, vec_b FROM (
+       |         SELECT vec_a, vec_b,
+       |           row_number() OVER (PARTITION BY vec_a ORDER BY cos DESC, vec_b ASC) AS rn
+       |         FROM scored) WHERE rn <= 3),
+       |ed AS MATERIALIZED (SELECT vec_a AS src, vec_b AS dst FROM gr),
+       |nd AS (SELECT DISTINCT src AS node FROM ed
+       |       UNION SELECT DISTINCT dst FROM ed),
+       |og AS MATERIALIZED (SELECT src, count(*)::BIGINT AS outdeg FROM ed GROUP BY src),
+       |sp(panel_id, node) AS (VALUES
+       |  (0::BIGINT, 0::BIGINT), (0, 1), (0, 2), (1, 3), (1, 4), (2, 5)),
+       |st AS (SELECT panel_id, (1000000000000 // count(*))::BIGINT AS base,
+       |              ((15 * (1000000000000 // count(*))) // 100)::BIGINT AS tp
+       |       FROM sp GROUP BY panel_id),
+       |pnd AS MATERIALIZED (SELECT st.panel_id, nd.node, st.base, st.tp
+       |       FROM nd CROSS JOIN st),
+       |r0 AS (SELECT pnd.panel_id, pnd.node,
+       |         (CASE WHEN sp.node IS NOT NULL THEN pnd.base ELSE 0 END)::BIGINT AS r
+       |       FROM pnd LEFT JOIN sp ON pnd.panel_id = sp.panel_id AND pnd.node = sp.node),
+       |$rounds
+       |SELECT panel_id, node, r AS rank_fp FROM r5
+       |WHERE r > 0 AND NOT EXISTS (SELECT 1 FROM sp
+       |  WHERE sp.panel_id = r5.panel_id AND sp.node = r5.node)
+       |QUALIFY row_number() OVER (PARTITION BY panel_id
+       |                           ORDER BY rank_fp DESC, node ASC) <= 20
+       |ORDER BY panel_id, rank_fp DESC, node""".stripMargin
+  }
+
   /** The committed kNN graph as a canonical UNDIRECTED edge set — the
     * shared prefix (`gr` top-3 graph, `und` u<v distinct edges) of the
     * structural-metrics oracles ([[triangleCountSql]], [[labelPropSql]],

@@ -54,6 +54,30 @@ class PageRankSpec extends AnyFunSuite {
     assert(e.getMessage.contains("empty graph"))
   }
 
+  test("ppr batch: per-panel identity with the single-panel walk") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 3L),
+      (4L, 5L), (5L, 4L), (1L, 5L))
+    val panels = Seq((0L, Seq(1L)), (1L, Seq(3L, 5L)), (2L, Seq(2L, 4L, 999L)))
+    val got = PageRank.pprBatchFp(edges.toDF("src", "dst"), panels, iters = 5)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    panels.foreach { case (p, ss) =>
+      val single = PageRank.pprFp(edges.toDF("src", "dst"), ss, iters = 5)
+        .as[(Long, Long)].collect().toMap
+      assert(got(p) === single, s"panel $p")
+    }
+  }
+
+  test("ppr batch: panel bounds fail loudly") {
+    val df = Seq((1L, 2L)).toDF("src", "dst")
+    intercept[IllegalArgumentException](
+      PageRank.pprBatchFp(df, Seq.empty, 5))
+    intercept[IllegalArgumentException](
+      PageRank.pprBatchFp(df, Seq((0L, Seq(1L)), (0L, Seq(2L))), 5))
+    intercept[IllegalArgumentException](
+      PageRank.pprBatchFp(df, Seq((0L, Seq(1L, 1L))), 5))
+  }
+
   test("ppr: distributed equals sequential; mass concentrates near the seed") {
     // chain 1 -> 2 -> 3 -> 4 (and back-edges) with seed {1}
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 3L))
