@@ -1278,6 +1278,107 @@ object TextAnalysis {
     bm25TopKIndexedBatch(spark, indexPath, finalQ, k, k1, b)
   }
 
+  // ---- fuzzy term index (deletion neighborhoods) ---------------------------
+
+  /** All 0/1-deletion variants of a term, deduplicated — the SymSpell
+    * construction: two strings are within edit distance 1 (insert,
+    * delete, or substitute) iff their deletion neighborhoods intersect,
+    * so indexing variants of the VOCABULARY and probing variants of the
+    * QUERY turns fuzzy matching into exact key equality. Pure Column
+    * chain (codegen'd, no UDF); 1-based substr arithmetic matches the
+    * DuckDB replay exactly. */
+  private[graft] def deletionVariants(term: Column): Column =
+    array_distinct(transform(sequence(lit(0), length(term)),
+      i => when(i === lit(0), term)
+        .otherwise(concat(term.substr(lit(1), i - 1),
+          term.substr(i + 1, length(term))))))
+
+  /** Driver-side replica of [[deletionVariants]] — probe variants become
+    * PLAN-TIME literals (the bucketKeyLocal pattern). */
+  private[graft] def deletionVariantsLocal(t: String): Seq[String] =
+    (t +: t.indices.map(i => t.substring(0, i) + t.substring(i + 1))).distinct
+
+  private val fuzzySchema = StructType(Seq(
+    StructField("variant", StringType), StructField("term", StringType),
+    StructField("df", LongType), StructField("vb", LongType)))
+
+  /** Build the fuzzy TERM index: one row per (deletion variant, term)
+    * over the corpus VOCABULARY with the term's document frequency,
+    * partitioned by the variant's 64-way bucket and variant-sorted
+    * within files — the probe statically prunes to the query variants'
+    * dirs and footer-prunes inside them. The store is VOCABULARY-sized
+    * (|V|·(avg term length + 1) rows), never corpus-sized — the same
+    * scale class as termstats, orders of magnitude under the postings. */
+  def writeFuzzyTermIndex(docs: DataFrame, path: String): Unit =
+    docs.select(col("doc_id"),
+        explode(TextOps.wordsSafe(col("text"))).as("term"))
+      .distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .select(explode(deletionVariants(col("term"))).as("variant"),
+        col("term"), col("df"))
+      .withColumn("vb", termBucket(col("variant")))
+      .repartition(col("vb"))
+      .sortWithinPartitions(col("variant"), col("term"))
+      .write.mode("overwrite").partitionBy("vb").parquet(path)
+
+  /** Write-once build-if-missing for the registered query path (the
+    * [[ensureInvertedIndex]] lifecycle). */
+  def ensureFuzzyTermIndex(spark: SparkSession, docs: DataFrame,
+                           sfDir: String): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val base = s"${graft.ops.Indexes.indexRoot}/$tag/" +
+      s"fuzzy_b${TermBuckets}_${graft.ops.Indexes.corpusFingerprint(docs)}"
+    if (!graft.ops.Indexes.successExists(spark, base)) {
+      val tmp = graft.ops.Indexes.tmpBuildPath(base)
+      writeFuzzyTermIndex(docs, tmp)
+      graft.ops.Indexes.commitIndexDir(spark, tmp, base)
+      graft.ops.Indexes.gcSiblings(spark, base, s"fuzzy_b${TermBuckets}_")
+    }
+    base
+  }
+
+  /** Fuzzy term matching served from the deletion-neighborhood index —
+    * the "did-you-mean" / typo-tolerant vocabulary lookup a query front
+    * end needs: for each query term, the vocabulary terms within edit
+    * distance 1, ranked (distance asc, df desc, term asc), top-`k`.
+    *
+    * The probe generates the query's 0/1-deletion variants DRIVER-side
+    * (≤ len+1 literals per term), reads only those variants' partition
+    * dirs (static pruning; variant-sorted files footer-prune inside),
+    * and CONFIRMS candidates with the built-in codegen'd
+    * `levenshtein` — the neighborhood intersection is complete for
+    * distance ≤ 1 (construction note at [[deletionVariants]]), so the
+    * confirm only removes false positives (distance-2 pairs whose
+    * deletions collide), never misses. The oracle needs none of the
+    * index mechanics: it scans the vocabulary with `levenshtein`
+    * directly — equality IS the completeness proof. Per-query cut rides
+    * the bounded-heap [[graft.plans.GroupedTopK]]. */
+  def fuzzyMatchTerms(spark: SparkSession, indexPath: String,
+                      qterms: Seq[String], k: Int = 3): DataFrame = {
+    require(qterms.nonEmpty && qterms.size <= 64 &&
+      qterms.distinct == qterms,
+      "fuzzyMatchTerms expects 1..64 distinct query terms")
+    require(k >= 1 && k <= 64, s"1 <= k <= 64, got $k")
+    import spark.implicits._
+    val qv = qterms.flatMap(q => deletionVariantsLocal(q).map(q -> _))
+    val variants = qv.map(_._2).distinct
+    val vbs = variants.map(termBucketLocal).distinct
+    val idx = readPartDirs(spark, indexPath, s"vb={${vbs.mkString(",")}}",
+        fuzzySchema)
+      .where(col("vb").isin(vbs: _*))
+      .where(col("variant").isin(variants: _*))
+    val matches = idx
+      .join(broadcast(qv.toDF("qterm", "variant")), Seq("variant"))
+      .select(col("qterm"), col("term"), col("df"))
+      .distinct() // one row per (query, candidate) however many variants collide
+      .where(levenshtein(col("qterm"), col("term")) <= 1)
+      .select(col("qterm"), col("term"),
+        levenshtein(col("qterm"), col("term")).cast("long").as("dist"),
+        col("df"))
+    graft.plans.GroupedTopK.topK(matches, Seq("qterm"),
+      Seq("dist" -> false, "df" -> true, "term" -> false), k)
+  }
+
   /** HYBRID lexical+vector retrieval fusion — reciprocal-rank fusion
     * (RRF, Cormack et al.: score(d) = Σ 1/(rrfK + rank_i(d))) of two
     * ALREADY-CUT top-k rankings, the way an LLM-data-curation pipeline

@@ -4296,6 +4296,36 @@ object PipelineQueries {
        |ORDER BY query_id, score DESC, doc_id""".stripMargin
   }
 
+  /** Typo-tolerant vocabulary lookup ([[graft.ops.TextAnalysis
+    * .fuzzyMatchTerms]]) from the deletion-neighborhood (SymSpell) term
+    * index: three misspellings and one exact term, top-3 vocabulary
+    * matches each by (edit distance, df, term). The oracle scans the
+    * vocabulary with `levenshtein` directly — no index mechanics — so
+    * hash equality proves the neighborhood probe is COMPLETE for
+    * distance ≤ 1, not just plausible. */
+  def fuzzyTerms(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val idx = TextAnalysis.ensureFuzzyTermIndex(s, docs, d)
+    TextAnalysis.fuzzyMatchTerms(s, idx,
+        Seq("vectr", "quantom", "strem", "join"), k = 3)
+      .orderBy(col("qterm"), col("dist"), col("df").desc, col("term"))
+  }
+
+  val fuzzyTermsSql: String =
+    s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |tok AS (SELECT DISTINCT doc_id, unnest(w) AS term FROM w),
+       |vocab AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tok GROUP BY term),
+       |qv(qterm) AS (VALUES ('vectr'), ('quantom'), ('strem'), ('join')),
+       |cand AS (SELECT qv.qterm, v.term,
+       |           levenshtein(qv.qterm, v.term)::BIGINT AS dist, v.df
+       |         FROM qv CROSS JOIN vocab v
+       |         WHERE levenshtein(qv.qterm, v.term) <= 1)
+       |SELECT qterm, term, dist, df FROM (
+       |  SELECT cand.*, row_number() OVER (PARTITION BY qterm
+       |           ORDER BY dist ASC, df DESC, term ASC) AS rn
+       |  FROM cand) WHERE rn <= 3
+       |ORDER BY qterm, dist, df DESC, term""".stripMargin
+
   /** MAX-SCORE-PRUNED indexed BM25 ([[graft.ops.TextAnalysis
     * .bm25TopKIndexedPruned]] engaging inside bm25TopKIndexed): the query
     * mixes the corpus's one selective term ('dup', df 5%) with two

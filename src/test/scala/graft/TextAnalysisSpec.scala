@@ -493,6 +493,51 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().isEmpty)
   }
 
+  test("fuzzy terms: complete for edit distance <= 1 against a brute-force scan") {
+    val corpus = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("fuzzy").toString + "/idx"
+    TextAnalysis.writeFuzzyTermIndex(corpus, base)
+    val qterms = Seq("vectr", "quantom", "strem", "join", "zzzzz")
+    val got = TextAnalysis.fuzzyMatchTerms(spark, base, qterms, k = 64)
+      .as[(String, String, Long, Long)].collect().toSet
+    // brute force: every vocabulary term within distance 1 of each query
+    val vocab = corpus
+      .select(col("doc_id"), org.apache.spark.sql.functions.explode(
+        graft.ops.TextOps.wordsSafe(col("text"))).as("term"))
+      .distinct().groupBy("term").count()
+      .as[(String, Long)].collect()
+    val want = (for {
+      q <- qterms; (t, df) <- vocab
+      d = editDistance(q, t) if d <= 1
+    } yield (q, t, d.toLong, df)).toSet
+    assert(want.groupBy(_._1).values.forall(_.size <= 64),
+      "fixture assumption: every neighborhood fits under the k cut")
+    assert(got === want)
+    assert(!got.exists(_._1 == "zzzzz"), "no vocabulary term within 1 of zzzzz")
+    assert(got.exists(r => r._1 == "join" && r._2 == "join" && r._3 == 0L),
+      "exact term must match at distance 0")
+  }
+
+  test("fuzzy terms: deletion variants match the Column expression exactly") {
+    val terms = Seq("a", "ab", "vector", "zzzzz", "aab")
+    val got = terms.toDF("term")
+      .select(col("term"), TextAnalysis.deletionVariants(col("term")).as("v"))
+      .as[(String, Seq[String])].collect().toMap
+    terms.foreach { t =>
+      assert(got(t) === TextAnalysis.deletionVariantsLocal(t), s"term $t")
+    }
+  }
+
+  private def editDistance(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0 }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
+
   test("prf batch: per-query identity with the single-query operator") {
     val corpus = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), col("text"))
