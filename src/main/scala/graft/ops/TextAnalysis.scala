@@ -1379,6 +1379,30 @@ object TextAnalysis {
       Seq("dist" -> false, "df" -> true, "term" -> false), k)
   }
 
+  /** Typo-tolerant BM25 — the composition of the two index families: each
+    * query term corrects to its best vocabulary match through the
+    * deletion-neighborhood index ([[fuzzyMatchTerms]] top-1: distance,
+    * then df, then term — so an exact term corrects to itself), terms
+    * with NO vocabulary neighbor within distance 1 drop out (they can
+    * only score zero), and the corrected set probes the inverted index
+    * ([[bm25TopKIndexed]]). One bounded driver round-trip (≤ |terms|
+    * corrections) between two statically-pruned index probes — never a
+    * corpus scan. Returns the empty ranking when nothing corrects. */
+  def bm25FuzzyTopK(spark: SparkSession, fuzzyIndexPath: String,
+                    invertedIndexPath: String, qterms: Seq[String],
+                    k: Int = 20, k1: Double = 1.2,
+                    b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val corrected = fuzzyMatchTerms(spark, fuzzyIndexPath, qterms, k = 1)
+      .select(col("term")).as[String].collect().toSeq.distinct.sorted
+    if (corrected.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("score", org.apache.spark.sql.types.DoubleType))))
+    else bm25TopKIndexed(spark, invertedIndexPath, corrected, k, k1, b)
+  }
+
   /** HYBRID lexical+vector retrieval fusion — reciprocal-rank fusion
     * (RRF, Cormack et al.: score(d) = Σ 1/(rrfK + rank_i(d))) of two
     * ALREADY-CUT top-k rankings, the way an LLM-data-curation pipeline

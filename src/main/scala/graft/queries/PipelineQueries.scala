@@ -4326,6 +4326,52 @@ object PipelineQueries {
        |  FROM cand) WHERE rn <= 3
        |ORDER BY qterm, dist, df DESC, term""".stripMargin
 
+  /** Typo-tolerant retrieval ([[graft.ops.TextAnalysis.bm25FuzzyTopK]]):
+    * four misspelled/unmatchable query terms correct through the
+    * deletion-neighborhood index, the survivors probe the inverted
+    * index — both stages statically pruned, the oracle replaying
+    * correction (vocabulary levenshtein top-1) and scoring (fixed-point
+    * BM25) end to end, so the CORRECTION decisions are hash-verified
+    * through the final ranking. */
+  def bm25Fuzzy(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val fz = TextAnalysis.ensureFuzzyTermIndex(s, docs, d)
+    val inv = TextAnalysis.ensureInvertedIndex(s, docs, d)
+    TextAnalysis.bm25FuzzyTopK(s, fz, inv,
+      Seq("vectr", "strem", "mergee", "quantom"), k = 25)
+  }
+
+  val bm25FuzzySql: String = {
+    val (k1, b) = (1.2, 0.75)
+    val (k1s, k1p1, oneMb, bs) =
+      (k1.toString, (k1 + 1.0).toString, (1.0 - b).toString, b.toString)
+    s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |tok AS MATERIALIZED (SELECT doc_id, len(w)::BIGINT AS dl, unnest(w) AS term FROM w),
+       |vocab AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM (
+       |          SELECT DISTINCT doc_id, term FROM tok) GROUP BY term),
+       |qv(qterm) AS (VALUES ('vectr'), ('strem'), ('mergee'), ('quantom')),
+       |corr AS MATERIALIZED (SELECT DISTINCT term FROM (
+       |          SELECT v.term, row_number() OVER (PARTITION BY qv.qterm
+       |            ORDER BY levenshtein(qv.qterm, v.term) ASC, v.df DESC, v.term ASC) AS rn
+       |          FROM qv CROSS JOIN vocab v
+       |          WHERE levenshtein(qv.qterm, v.term) <= 1) WHERE rn = 1),
+       |tf AS (SELECT doc_id, term, max(dl) AS dl, count(*)::BIGINT AS tf
+       |       FROM tok WHERE term IN (SELECT term FROM corr)
+       |       GROUP BY doc_id, term),
+       |tfd AS (SELECT tf.*, (count(*) OVER (PARTITION BY term))::BIGINT AS df
+       |        FROM tf),
+       |st AS (SELECT count(*)::BIGINT AS n_docs, sum(len(w))::BIGINT AS total_dl
+       |       FROM w),
+       |c AS (SELECT tfd.doc_id,
+       |        round(ln((n_docs::DOUBLE - tfd.df::DOUBLE + 0.5) / (tfd.df::DOUBLE + 0.5) + 1.0)
+       |          * (tfd.tf::DOUBLE * $k1p1) / (tfd.tf::DOUBLE + $k1s * ($oneMb + $bs * tfd.dl::DOUBLE * n_docs::DOUBLE / total_dl::DOUBLE))
+       |          * 1000000.0)::BIGINT AS fp
+       |      FROM tfd CROSS JOIN st)
+       |SELECT doc_id, round(sum(fp)::DOUBLE / 1000000.0, 6) AS score
+       |FROM c GROUP BY doc_id
+       |ORDER BY score DESC, doc_id ASC LIMIT 25""".stripMargin
+  }
+
   /** MAX-SCORE-PRUNED indexed BM25 ([[graft.ops.TextAnalysis
     * .bm25TopKIndexedPruned]] engaging inside bm25TopKIndexed): the query
     * mixes the corpus's one selective term ('dup', df 5%) with two

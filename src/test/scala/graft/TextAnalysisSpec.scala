@@ -538,6 +538,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     dp(a.length)(b.length)
   }
 
+  test("fuzzy bm25: corrections route to the indexed probe; nothing-corrects is empty") {
+    val corpus = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val fz = java.nio.file.Files.createTempDirectory("fzq").toString + "/idx"
+    val inv = java.nio.file.Files.createTempDirectory("fzinv").toString + "/idx"
+    TextAnalysis.writeFuzzyTermIndex(corpus, fz)
+    TextAnalysis.writeInvertedIndex(corpus, inv)
+    // vectr->vector, strem->stream, mergee->merge; zzzzz drops
+    val got = TextAnalysis.bm25FuzzyTopK(spark, fz, inv,
+        Seq("vectr", "strem", "mergee", "zzzzz"), k = 25)
+      .as[(Long, Double)].collect().toSeq
+    val want = TextAnalysis.bm25TopKIndexed(spark, inv,
+        Seq("merge", "stream", "vector"), k = 25)
+      .as[(Long, Double)].collect().toSeq
+    assert(got === want)
+    assert(TextAnalysis.bm25FuzzyTopK(spark, fz, inv, Seq("zzzzz"))
+      .collect().isEmpty)
+  }
+
   test("prf batch: per-query identity with the single-query operator") {
     val corpus = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), col("text"))
