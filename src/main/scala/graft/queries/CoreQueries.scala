@@ -492,6 +492,90 @@ object CoreQueries {
       |SELECT user_id, session_start, session_end, n_events, sum_value FROM sess
       |ORDER BY n_events DESC, user_id ASC, session_start ASC LIMIT 20""".stripMargin
 
+  /** §2.9 extension — FUNNEL analysis (view → click → purchase within 24 h
+    * of the first view): the conversion primitive of event analytics, in
+    * earliest-completion semantics — per user t1 = first view, t2 = first
+    * click after t1, t3 = first purchase after t2, every step inside the
+    * window anchored at t1. Entirely min-aggregations and integer
+    * microsecond arithmetic (no float, no order-dependence), so the
+    * 3-step chain replays exactly. Scale shape: three user-keyed
+    * aggregations, each joined to a |users|-sized frame — the event table
+    * is scanned narrowly per step with the type filter pushed down; no
+    * per-user arrays, no windows (a hot user costs min-merges, not a
+    * sort). */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val windowUs = 86400000000L // 24 h
+    val ev = events(s, d).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val v = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("t1"))
+    val c = ev.where(col("event_type") === "click")
+      .join(v, "user_id")
+      .where(col("us") > col("t1") && col("us") - col("t1") <= windowUs)
+      .groupBy("user_id").agg(min(col("us")).as("t2"), min(col("t1")).as("t1"))
+    val p = ev.where(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .where(col("us") > col("t2") && col("us") - col("t1") <= windowUs)
+      .groupBy("user_id").agg(min(col("us")).as("t3"))
+    v.agg(count(lit(1)).as("users")).select(lit(1L).as("step_n"),
+        lit("view").as("step"), col("users"))
+      .unionAll(c.agg(count(lit(1)).as("users")).select(lit(2L).as("step_n"),
+        lit("view>click").as("step"), col("users")))
+      .unionAll(p.agg(count(lit(1)).as("users")).select(lit(3L).as("step_n"),
+        lit("view>click>purchase").as("step"), col("users")))
+      .orderBy(col("step_n"))
+  }
+
+  val funnelSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS us FROM events),
+      |v AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view'
+      |      GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.us) AS t2, min(v.t1) AS t1
+      |      FROM e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.us > v.t1
+      |        AND e.us - v.t1 <= 86400000000
+      |      GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.us) AS t3
+      |      FROM e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.us > c.t2
+      |        AND e.us - c.t1 <= 86400000000
+      |      GROUP BY e.user_id)
+      |SELECT 1::BIGINT AS step_n, 'view' AS step,
+      |       (SELECT count(*) FROM v)::BIGINT AS users
+      |UNION ALL SELECT 2::BIGINT, 'view>click', (SELECT count(*) FROM c)::BIGINT
+      |UNION ALL SELECT 3::BIGINT, 'view>click>purchase', (SELECT count(*) FROM p)::BIGINT
+      |ORDER BY step_n""".stripMargin
+
+  /** §2.9 extension — daily COHORT RETENTION: users grouped by first-seen
+    * day, counted on each later active day — the engagement triangle
+    * behind every "day-N retention" dashboard. Pure date arithmetic on
+    * distinct (user, day) pairs (both engines truncate in UTC), exact
+    * integer day offsets, so the whole triangle hash-verifies. Scale:
+    * one distinct over (user, day) — far smaller than the event count —
+    * then a user-keyed join against the |users|-sized cohort frame. */
+  def retentionCohorts(s: SparkSession, d: String): DataFrame = {
+    val days = events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cohorts = days.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    days.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("users"))
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"), col("users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  val retentionCohortsSql: String =
+    """WITH d AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+      |c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)
+      |SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+      |       date_diff('day', c.cohort_day, d.day)::BIGINT AS day_offset,
+      |       count(*)::BIGINT AS users
+      |FROM d JOIN c USING (user_id)
+      |GROUP BY c.cohort_day, date_diff('day', c.cohort_day, d.day)
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   /** §2.9 extension — as-of join (purchase attribution): every purchase
     * event matched to the user's most recent at-or-before view event. The
     * Spark side is [[graft.ops.AsofJoin]]'s union+window composition; the

@@ -60,4 +60,63 @@ class CoreQueriesSpec extends AnyFunSuite {
   test("entry smoke: flagship at sf0.001 returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("funnel: matches a host-side sequential replay of the 3-step semantics") {
+    val got = CoreQueries.funnel(spark, sf).collect()
+      .map(r => r.getAs[String]("step") -> r.getAs[Long]("users")).toMap
+    // independent formulation: per-user time-sorted fold over collected
+    // events (sf0.001 is 1k rows)
+    val ev = graft.engine.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val W = 86400000000L
+    var (n1, n2, n3) = (0L, 0L, 0L)
+    ev.groupBy(_._1).foreach { case (_, es) =>
+      val views = es.filter(_._2 == "view").map(_._3)
+      if (views.nonEmpty) {
+        n1 += 1
+        val t1 = views.min
+        val clicks = es.filter(e => e._2 == "click" && e._3 > t1 &&
+          e._3 - t1 <= W).map(_._3)
+        if (clicks.nonEmpty) {
+          n2 += 1
+          val t2 = clicks.min
+          if (es.exists(e => e._2 == "purchase" && e._3 > t2 &&
+            e._3 - t1 <= W)) n3 += 1
+        }
+      }
+    }
+    assert(got === Map("view" -> n1, "view>click" -> n2,
+      "view>click>purchase" -> n3))
+    assert(n1 >= n2 && n2 >= n3, "funnel must be monotone")
+  }
+
+  test("retention cohorts: matches a host-side replay; day-0 row per cohort") {
+    val got = CoreQueries.retentionCohorts(spark, sf).collect()
+      .map(r => (r.getAs[String]("cohort_day"), r.getAs[Long]("day_offset")) ->
+        r.getAs[Long]("users")).toMap
+    val pairs = graft.engine.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col("ts")).cast("string").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getString(1)))
+    val cohort = pairs.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).min }
+    val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+    val want = pairs.groupBy { case (u, day) =>
+      val cd = cohort(u)
+      (cd, java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.parse(cd, fmt), java.time.LocalDate.parse(day, fmt)))
+    }.map { case (k, xs) => k -> xs.size.toLong }
+    assert(got === want)
+    // every cohort has its day-0 row and it is the cohort's max
+    val byCohort = got.groupBy(_._1._1)
+    byCohort.foreach { case (cd, rows) =>
+      val d0 = rows.getOrElse((cd, 0L), 0L)
+      assert(d0 > 0L, s"cohort $cd missing day-0")
+      assert(rows.values.forall(_ <= d0), s"cohort $cd day-0 not maximal")
+    }
+  }
 }
