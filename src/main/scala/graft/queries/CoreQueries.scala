@@ -576,6 +576,45 @@ object CoreQueries {
       |GROUP BY c.cohort_day, date_diff('day', c.cohort_day, d.day)
       |ORDER BY cohort_day, day_offset""".stripMargin
 
+  /** §2.9 extension — event-type TRANSITION MATRIX (first-order Markov
+    * counts): adjacent-event pairs per user in (ts, event_id) order —
+    * event_id breaks same-microsecond ties so the sequence is total —
+    * with the row-conditional probability in 1e-6 fixed point (exact
+    * integer division; both engines agree on non-negative `div`). The
+    * behavioural fingerprint behind anomaly detection and bot
+    * filtering. Scale: one user-keyed window (the sessionize shape —
+    * per-user sequence work is the honest cost of sequence analytics),
+    * then a |types|²-row aggregate. */
+  def eventTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("cnt")).as("tot"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("cnt"),
+        call_function("div", col("cnt") * lit(1000000L), col("tot")).as("p_fp"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val eventTransitionsSql: String =
+    """WITH p AS (SELECT event_type AS from_type,
+      |             lead(event_type) OVER (PARTITION BY user_id
+      |               ORDER BY ts, event_id) AS to_type
+      |           FROM events),
+      |c AS (SELECT from_type, to_type, count(*)::BIGINT AS cnt FROM p
+      |      WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+      |t AS (SELECT from_type, sum(cnt)::BIGINT AS tot FROM c GROUP BY from_type)
+      |SELECT c.from_type, c.to_type, c.cnt,
+      |       ((c.cnt * 1000000) // t.tot)::BIGINT AS p_fp
+      |FROM c JOIN t USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
+
   /** §2.9 extension — as-of join (purchase attribution): every purchase
     * event matched to the user's most recent at-or-before view event. The
     * Spark side is [[graft.ops.AsofJoin]]'s union+window composition; the

@@ -94,6 +94,28 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(n1 >= n2 && n2 >= n3, "funnel must be monotone")
   }
 
+  test("event transitions: matches a host-side replay; rows sum to their totals") {
+    val got = CoreQueries.eventTransitions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("cnt"), r.getAs[Long]("p_fp"))).toMap
+    val ev = graft.engine.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts")).as("us"),
+        org.apache.spark.sql.functions.col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val wantCnt = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val seq = es.sortBy(e => (e._3, e._2)).map(_._4).toSeq
+      seq.zip(seq.drop(1))
+    }.groupBy(x => x).map { case (k, xs) => k -> xs.size.toLong }
+    assert(got.view.mapValues(_._1).toMap === wantCnt)
+    val totals = wantCnt.groupBy(_._1._1).map { case (f, xs) => f -> xs.values.sum }
+    got.foreach { case ((f, t), (cnt, pfp)) =>
+      assert(pfp === cnt * 1000000L / totals(f), s"$f->$t")
+    }
+  }
+
   test("retention cohorts: matches a host-side replay; day-0 row per cohort") {
     val got = CoreQueries.retentionCohorts(spark, sf).collect()
       .map(r => (r.getAs[String]("cohort_day"), r.getAs[Long]("day_offset")) ->
