@@ -576,6 +576,49 @@ object CoreQueries {
       |GROUP BY c.cohort_day, date_diff('day', c.cohort_day, d.day)
       |ORDER BY cohort_day, day_offset""".stripMargin
 
+  /** §2.9 extension — hourly volume ANOMALY detection with an
+    * integer-exact variance test: hours whose event count deviates from
+    * the global hourly mean by more than 3σ, decided WITHOUT sqrt or
+    * float aggregation — z² > 9 cross-multiplies to
+    * (cnt·N − S1)² > 9·(N·S2 − S1²) over exact integer sums (S1 = Σcnt,
+    * S2 = Σcnt², N = hours), so the flag and the reported 1e-6
+    * fixed-point z² replay bit-identically (libm sqrt has
+    * engine-specific rounding; squaring the test removes it — the
+    * [[graft.ops.PageRank]] fixed-point discipline applied to a
+    * monitoring primitive). Scale: one hourly aggregate (map-side
+    * combined), a broadcast 1-row moment frame, and an hours-sized
+    * filter. */
+  def hourlyAnomalies(s: SparkSession, d: String): DataFrame = {
+    val hours = events(s, d)
+      .groupBy(date_format(window(col("ts"), "1 hour").getField("start"),
+        "yyyy-MM-dd HH:mm:ss").as("hour_start"))
+      .agg(count(lit(1)).as("cnt"))
+    val moments = hours.agg(count(lit(1)).as("n"),
+      sum(col("cnt")).as("s1"), sum(col("cnt") * col("cnt")).as("s2"))
+    val num = (col("cnt") * col("n") - col("s1")) *
+      (col("cnt") * col("n") - col("s1"))
+    val den = col("n") * col("s2") - col("s1") * col("s1")
+    hours.crossJoin(broadcast(moments))
+      .where(den > 0 && num > lit(9L) * den)
+      .select(col("hour_start"), col("cnt"),
+        call_function("div", num * lit(1000000L), den).as("z2_fp"))
+      .orderBy(col("z2_fp").desc, col("hour_start"))
+  }
+
+  val hourlyAnomaliesSql: String =
+    """WITH h AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+      |             count(*)::BIGINT AS cnt
+      |           FROM events GROUP BY hour_start),
+      |m AS (SELECT count(*)::BIGINT AS n, sum(cnt)::BIGINT AS s1,
+      |             sum(cnt * cnt)::BIGINT AS s2 FROM h)
+      |SELECT h.hour_start, h.cnt,
+      |       (((h.cnt * m.n - m.s1) * (h.cnt * m.n - m.s1)) * 1000000
+      |        // (m.n * m.s2 - m.s1 * m.s1))::BIGINT AS z2_fp
+      |FROM h CROSS JOIN m
+      |WHERE m.n * m.s2 - m.s1 * m.s1 > 0
+      |  AND (h.cnt * m.n - m.s1) * (h.cnt * m.n - m.s1) > 9 * (m.n * m.s2 - m.s1 * m.s1)
+      |ORDER BY z2_fp DESC, hour_start""".stripMargin
+
   /** §2.9 extension — event-type TRANSITION MATRIX (first-order Markov
     * counts): adjacent-event pairs per user in (ts, event_id) order —
     * event_id breaks same-microsecond ties so the sequence is total —

@@ -116,6 +116,28 @@ class CoreQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("hourly anomalies: matches a host-side integer replay of the z^2 test") {
+    val got = CoreQueries.hourlyAnomalies(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("cnt"), r.getAs[Long]("z2_fp")))
+    val hours = graft.engine.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.date_format(
+        org.apache.spark.sql.functions.date_trunc("hour",
+          org.apache.spark.sql.functions.col("ts")),
+        "yyyy-MM-dd HH:mm:ss").as("h"))
+      .groupBy("h").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val n = hours.length.toLong
+    val s1 = hours.map(_._2).sum
+    val s2 = hours.map(h => h._2 * h._2).sum
+    val den = n * s2 - s1 * s1
+    val want = hours.flatMap { case (h, cnt) =>
+      val d = cnt * n - s1
+      if (den > 0 && d * d > 9 * den) Some((h, cnt, d * d * 1000000L / den))
+      else None
+    }.sortBy(r => (-r._3, r._1))
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("retention cohorts: matches a host-side replay; day-0 row per cohort") {
     val got = CoreQueries.retentionCohorts(spark, sf).collect()
       .map(r => (r.getAs[String]("cohort_day"), r.getAs[Long]("day_offset")) ->
