@@ -576,6 +576,39 @@ object CoreQueries {
       |GROUP BY c.cohort_day, date_diff('day', c.cohort_day, d.day)
       |ORDER BY cohort_day, day_offset""".stripMargin
 
+  /** §2.9 extension — JOURNEY SIGNATURES: each user's first 8 event-type
+    * initials in total (ts, event_id) order, counted — the
+    * behavioural-archetype histogram ("vcvp…" = browse-then-buy) that
+    * complements [[eventTransitions]]'s memoryless view with actual
+    * prefixes. Determinism: `collect_list` is order-UNSTABLE under
+    * distribution, so the sequence materializes as `sort_array` over
+    * (ts, event_id, initial) structs — an order-free exact sort the
+    * oracle mirrors with `ORDER BY ts, event_id` inside its list
+    * aggregate. Per-user arrays are bounded by user activity (the
+    * sessionize sort-unit argument), the signature space by 4^8. */
+  def journeySignatures(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("c"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+        col("c")))).as("seq"))
+      .select(concat_ws("",
+        slice(transform(col("seq"), x => x.getField("c")), 1, 8))
+        .as("signature"))
+      .groupBy(col("signature")).agg(count(lit(1)).as("users"))
+      .orderBy(col("users").desc, col("signature").asc)
+      .limit(20)
+
+  val journeySignaturesSql: String =
+    """WITH s AS (SELECT user_id,
+      |             array_to_string(list_slice(
+      |               list(substr(event_type, 1, 1) ORDER BY ts, event_id),
+      |               1, 8), '') AS signature
+      |           FROM events GROUP BY user_id)
+      |SELECT signature, count(*)::BIGINT AS users FROM s
+      |GROUP BY signature ORDER BY users DESC, signature ASC LIMIT 20""".stripMargin
+
   /** §2.9 extension — hourly volume ANOMALY detection with an
     * integer-exact variance test: hours whose event count deviates from
     * the global hourly mean by more than 3σ, decided WITHOUT sqrt or

@@ -116,6 +116,23 @@ class CoreQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("journey signatures: matches a host-side replay of the ordered prefixes") {
+    val got = CoreQueries.journeySignatures(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("users")).toSeq
+    val ev = graft.engine.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts")).as("us"),
+        org.apache.spark.sql.functions.col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val want = ev.groupBy(_._1).values.map { es =>
+      es.sortBy(e => (e._3, e._2)).take(8).map(_._4.substring(0, 1)).mkString
+    }.groupBy(x => x).map { case (sig, xs) => sig -> xs.size.toLong }
+      .toSeq.sortBy { case (sig, n) => (-n, sig) }.take(20)
+    assert(got === want)
+  }
+
   test("hourly anomalies: matches a host-side integer replay of the z^2 test") {
     val got = CoreQueries.hourlyAnomalies(spark, sf).collect()
       .map(r => (r.getString(0), r.getAs[Long]("cnt"), r.getAs[Long]("z2_fp")))
