@@ -164,6 +164,63 @@ object Dedup {
     pairs
   }
 
+  /** DIRECTED containment near-dups — the subset-duplicate detector the
+    * symmetric family cannot be: containment(A→B) = |A∩B|/|A| flags a
+    * short document quoted/wrapped inside a longer one even when their
+    * Jaccard is tiny (minhash bands approximate JACCARD, so such pairs
+    * rarely collide there — a different candidate generator is the
+    * point, not an optimization). Candidates come from a df-capped
+    * RARE-SHINGLE join: two docs pair iff they share ≥ 1 shingle with
+    * corpus document frequency in [2, dfCap].
+    *
+    * Scale contract: the self-join volume is Σ_{rare shingles} df² ≤
+    * dfCap · |shingle postings| — LINEAR in the corpus with a stated
+    * constant, no quadratic term (common shingles, the quadratic risk,
+    * are excluded by the cap). Recall contract, equally stated: a
+    * contained doc is found iff ≥ 1 of its shingles is corpus-rare —
+    * a document made ENTIRELY of boilerplate shingles is invisible
+    * here (it is the symmetric family's territory).
+    *
+    * Output: (doc_a < doc_b, inter, c_a_in_b_fp, c_b_in_a_fp) for pairs
+    * whose LARGER directed containment reaches `thresholdFp` — both
+    * directions reported in 1e-6 fixed point (exact integer division;
+    * shingle sets are never empty by the [""] fallback, so the divisor
+    * is ≥ 1). Same persist/release contract as [[nearDupPairs]]. */
+  def containmentPairs(docs: DataFrame, thresholdFp: Long = 850000L,
+                       dfCap: Int = 16, shingleN: Int = 3): DataFrame = {
+    require(thresholdFp >= 1 && thresholdFp <= 1000000L,
+      s"1 <= thresholdFp <= 1e6, got $thresholdFp")
+    require(dfCap >= 2 && dfCap <= 1024, s"2 <= dfCap <= 1024, got $dfCap")
+    val sets = shingleSets(docs, shingleN).persist()
+    val ex = sets.select(col("doc_id"), explode(col("sh")).as("h"))
+    val rare = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= dfCap)
+      .select(col("h"))
+    val cand = ex.select(col("h"), col("doc_id").as("doc_a"))
+      .join(rare, Seq("h"))
+      .join(ex.select(col("h"), col("doc_id").as("doc_b")), Seq("h"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val pairs = cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+        size(col("sh_a")).cast("long").as("n_a"),
+        size(col("sh_b")).cast("long").as("n_b"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        call_function("div", col("inter") * lit(1000000L), col("n_a"))
+          .as("c_a_in_b_fp"),
+        call_function("div", col("inter") * lit(1000000L), col("n_b"))
+          .as("c_b_in_a_fp"))
+      .where(greatest(col("c_a_in_b_fp"), col("c_b_in_a_fp")) >= thresholdFp)
+      .localCheckpoint(true) // materialize, then the shingle cache can go
+    sets.unpersist()
+    pairs
+  }
+
   /** Connected components over near-dup pairs — the keep-one-per-cluster
     * step of dedup: every doc in a near-dup cluster maps to the cluster's
     * minimum doc_id (the canonical survivor).

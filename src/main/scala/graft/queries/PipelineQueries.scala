@@ -114,6 +114,37 @@ object PipelineQueries {
        |SELECT doc_a, doc_b, round(jacc, 6) AS jaccard FROM scored
        |WHERE jacc >= 0.3 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Directed containment near-dups ([[graft.ops.Dedup
+    * .containmentPairs]]): subset duplicates (quotes, wrappers) surfaced
+    * by the df-capped rare-shingle join the symmetric minhash family
+    * structurally cannot generate — both directed containments reported
+    * in exact 1e-6 fixed point, the oracle replaying shingles → rare-df
+    * candidates → intersection arithmetic end to end. */
+  def containmentPairs(s: SparkSession, d: String): DataFrame =
+    graft.ops.Dedup.containmentPairs(documents(s, d))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val containmentPairsSql: String =
+    s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |sg AS MATERIALIZED (SELECT doc_id, ${duckHashedShingleSet("w")} AS sh FROM w),
+       |ex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS h FROM sg),
+       |rare AS (SELECT h FROM (SELECT h, count(*)::BIGINT AS df FROM ex GROUP BY h) t
+       |         WHERE df BETWEEN 2 AND 16),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM ex a JOIN rare USING (h) JOIN ex b USING (h)
+       |         WHERE a.doc_id < b.doc_id),
+       |sc AS (SELECT doc_a, doc_b,
+       |         len(list_intersect(x.sh, y.sh))::BIGINT AS inter,
+       |         len(x.sh)::BIGINT AS na, len(y.sh)::BIGINT AS nb
+       |       FROM cand JOIN sg x ON cand.doc_a = x.doc_id
+       |                 JOIN sg y ON cand.doc_b = y.doc_id)
+       |SELECT doc_a, doc_b, inter,
+       |  ((inter * 1000000) // na)::BIGINT AS c_a_in_b_fp,
+       |  ((inter * 1000000) // nb)::BIGINT AS c_b_in_a_fp
+       |FROM sc
+       |WHERE greatest((inter * 1000000) // na, (inter * 1000000) // nb) >= 850000
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** DELETE-aware text near-dups ([[graft.ops.Indexes.tombstoneMinhashIndex]]
     * + tombstone-folding reads — the text twin of q_knn_graph_delete's
     * LSM delete lifecycle): a ~1/9 doc slice is tombstoned against a

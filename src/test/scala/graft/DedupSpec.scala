@@ -194,4 +194,43 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(sh(6L) === sh(7L))
   }
+
+  test("containment: a quoted subset pairs directionally even at tiny Jaccard") {
+    val quote = "colorless green ideas sleep furiously every single night"
+    val filler = (1 to 60).map(i => s"unique$i filler$i token$i").mkString(" ")
+    val corpus = Seq(
+      (0L, quote),                      // the short doc
+      (1L, s"$filler $quote"),          // container: quote embedded in noise
+      (2L, "entirely different content about boats and rivers flowing"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(corpus)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.length === 1)
+    val (a, b, inter, cab, cba) = got.head
+    assert((a, b) === ((0L, 1L)))
+    // every shingle of the quote appears in the container
+    assert(cab === 1000000L, s"full containment expected, got $cab")
+    // while the symmetric Jaccard is far below the near-dup threshold
+    assert(inter.toDouble / (inter + 60 * 3) < 0.3)
+    assert(cba < 100000L)
+  }
+
+  test("containment: all-common shingles are invisible (the stated recall bound)") {
+    // 20 copies of the same text: every shingle has df 20 > dfCap 16
+    val corpus = (0L until 20L)
+      .map(i => (i, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(corpus, dfCap = 16).collect().isEmpty)
+    // with the cap raised the exact dups pair at full mutual containment
+    val relaxed = Dedup.containmentPairs(corpus, dfCap = 32)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(relaxed.length === 20 * 19 / 2)
+    assert(relaxed.forall(r => r._4 === 1000000L && r._5 === 1000000L))
+  }
+
+  test("containment: parameter bounds fail loudly") {
+    val df = Seq((0L, "a b c d")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](Dedup.containmentPairs(df, thresholdFp = 0))
+    intercept[IllegalArgumentException](Dedup.containmentPairs(df, dfCap = 1))
+  }
 }
