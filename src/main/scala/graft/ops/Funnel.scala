@@ -39,7 +39,21 @@ case class FunnelState(t1: Long, t2: Long, t3: Long, emitted: Boolean)
   * older than one already folded) follows the monotone no-rewrite rule:
   * stages never un-set, which is the stated lateness approximation (an
   * exact rewind would require buffering every event below the current
-  * t2 — unbounded state for a monitoring operator). */
+  * t2 — unbounded state for a monitoring operator).
+  *
+  * STATE IS BOUNDED (r13 `weak`, fixed): the state store holds rows only
+  * for users inside their live funnel window. Once the watermark passes
+  * t1 + windowUs a funnel is FINAL — an incomplete one can never complete
+  * (every later stage would violate `t − t1 ≤ windowUs`) and a completed
+  * one has already emitted — so each state row carries an
+  * `EventTimeTimeout` at t1 + windowUs and is REMOVED when it fires (the
+  * [[Sessionize.stream]] expiry pattern). Viewless prefixes (clicks or
+  * purchases before any view) store nothing at all. Stated
+  * re-appearing-user approximation: a user whose completion tombstone has
+  * expired and who then views again starts a FRESH funnel and may emit a
+  * second completion — the price of O(active-window users) state instead
+  * of O(users ever seen); the batch twin over the full history remains
+  * the exact form. */
 object Funnel {
 
   /** Batch completions: one row per user whose funnel completed. */
@@ -66,44 +80,65 @@ object Funnel {
     t.getTime / 1000L * 1000000L + t.getNanos / 1000L
 
   /** Streaming completions (append mode): each completed funnel exactly
-    * once. `events` must carry (user_id, ts, event_type). */
-  def completionsStream(events: DataFrame,
-                        windowUs: Long): Dataset[FunnelCompletion] = {
+    * once. `events` must carry (user_id, ts, event_type); `watermark`
+    * bounds lateness AND drives state expiry (see class doc). */
+  def completionsStream(events: DataFrame, windowUs: Long,
+                        watermark: String = "2 hours"): Dataset[FunnelCompletion] = {
     import events.sparkSession.implicits._
     events
       .select(col("user_id").cast("long"), col("ts"), col("event_type"))
+      .withWatermark("ts", watermark)
       .as[(Long, Timestamp, String)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[FunnelState, FunnelCompletion](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (uid: Long, rows: Iterator[(Long, Timestamp, String)],
          state: GroupState[FunnelState]) =>
-          // batches deliver a group's rows unordered; the stage machine is
-          // order-sensitive, so sort the (tiny) per-user batch slice
-          val sorted = rows.map { case (_, t, ty) => (usOf(t), ty) }
-            .toArray.sortBy(_._1)
-          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L,
-            emitted = false))
-          sorted.foreach { case (t, ty) =>
-            ty match {
-              case "view" if st.t1 < 0 =>
-                st = st.copy(t1 = t)
-              case "click" if st.t1 >= 0 && st.t2 < 0 && t > st.t1 &&
-                t - st.t1 <= windowUs =>
-                st = st.copy(t2 = t)
-              case "purchase" if st.t2 >= 0 && st.t3 < 0 && t > st.t2 &&
-                t - st.t1 <= windowUs =>
-                st = st.copy(t3 = t)
-              case _ =>
+          if (state.hasTimedOut) {
+            // watermark passed t1 + windowUs: the funnel is final either
+            // way (completed → already emitted; incomplete → can never
+            // complete). Drop the row — state stays O(live windows).
+            state.remove()
+            Iterator.empty
+          } else {
+            // batches deliver a group's rows unordered; the stage machine
+            // is order-sensitive, so sort the (tiny) per-user batch slice
+            val sorted = rows.map { case (_, t, ty) => (usOf(t), ty) }
+              .toArray.sortBy(_._1)
+            var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L,
+              emitted = false))
+            sorted.foreach { case (t, ty) =>
+              ty match {
+                case "view" if st.t1 < 0 =>
+                  st = st.copy(t1 = t)
+                case "click" if st.t1 >= 0 && st.t2 < 0 && t > st.t1 &&
+                  t - st.t1 <= windowUs =>
+                  st = st.copy(t2 = t)
+                case "purchase" if st.t2 >= 0 && st.t3 < 0 && t > st.t2 &&
+                  t - st.t1 <= windowUs =>
+                  st = st.copy(t3 = t)
+                case _ =>
+              }
             }
+            val out =
+              if (st.t3 >= 0 && !st.emitted) {
+                st = st.copy(emitted = true)
+                Iterator(FunnelCompletion(uid, st.t1, st.t2, st.t3))
+              } else Iterator.empty
+            if (st.t1 >= 0) {
+              state.update(st)
+              // ms-domain deadline (the state API is ms): round UP so the
+              // timeout never fires before t1 + windowUs, and keep it
+              // ahead of the current watermark so an already-expired
+              // deadline fires on the next trigger (Sessionize pattern).
+              val deadlineMs = (st.t1 + windowUs + 999L) / 1000L
+              state.setTimeoutTimestamp(
+                math.max(deadlineMs, state.getCurrentWatermarkMs() + 1))
+            }
+            // viewless prefixes (st == all sentinels) store nothing: a
+            // click/purchase with no view carries no funnel information.
+            out
           }
-          val out =
-            if (st.t3 >= 0 && !st.emitted) {
-              st = st.copy(emitted = true)
-              Iterator(FunnelCompletion(uid, st.t1, st.t2, st.t3))
-            } else Iterator.empty
-          state.update(st)
-          out
       }
   }
 }

@@ -580,25 +580,31 @@ object CoreQueries {
     * initials in total (ts, event_id) order, counted — the
     * behavioural-archetype histogram ("vcvp…" = browse-then-buy) that
     * complements [[eventTransitions]]'s memoryless view with actual
-    * prefixes. Determinism: `collect_list` is order-UNSTABLE under
-    * distribution, so the sequence materializes as `sort_array` over
-    * (ts, event_id, initial) structs — an order-free exact sort the
-    * oracle mirrors with `ORDER BY ts, event_id` inside its list
-    * aggregate. Per-user arrays are bounded by user activity (the
-    * sessionize sort-unit argument), the signature space by 4^8. */
-  def journeySignatures(s: SparkSession, d: String): DataFrame =
-    events(s, d)
+    * prefixes. Per-user state is BOUNDED: the first-8 cut runs through
+    * [[graft.plans.GroupedTopK]] (ascending bounded heap, map-side
+    * partial) BEFORE any array forms, so a hot bot/SDK user with 10⁷
+    * events costs O(8) buffer per task instead of a full-history
+    * `collect_list` buffer that cannot spill (the r13 `weak`; the skewed
+    * fixture proof is JourneySignatureSkewSpec). Determinism:
+    * `collect_list` is order-UNSTABLE under distribution, so the ≤ 8
+    * survivors materialize as `sort_array` over (ts, event_id, initial)
+    * structs — an order-free exact sort the oracle mirrors with
+    * `ORDER BY ts, event_id` inside its list aggregate. */
+  def journeySignatures(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
       .select(col("user_id"), col("ts"), col("event_id"),
         substring(col("event_type"), 1, 1).as("c"))
+    graft.plans.GroupedTopK.topK(ev, Seq("user_id"),
+        Seq("ts" -> false, "event_id" -> false), 8)
       .groupBy(col("user_id"))
       .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
         col("c")))).as("seq"))
       .select(concat_ws("",
-        slice(transform(col("seq"), x => x.getField("c")), 1, 8))
-        .as("signature"))
+        transform(col("seq"), x => x.getField("c"))).as("signature"))
       .groupBy(col("signature")).agg(count(lit(1)).as("users"))
       .orderBy(col("users").desc, col("signature").asc)
       .limit(20)
+  }
 
   val journeySignaturesSql: String =
     """WITH s AS (SELECT user_id,
@@ -618,18 +624,26 @@ object CoreQueries {
     * fixed-point z² replay bit-identically (libm sqrt has
     * engine-specific rounding; squaring the test removes it — the
     * [[graft.ops.PageRank]] fixed-point discipline applied to a
-    * monitoring primitive). Scale: one hourly aggregate (map-side
+    * monitoring primitive). The moments and the cross-multiplied test run
+    * in DECIMAL(38,0) (the [[graft.ops.GraphMetrics.graphSummary]]
+    * pattern): at production scale S1 ~ 1e12 makes S1² ~ 1e24 and
+    * num·1e6 ~ 1e30 — far past BIGINT, where non-ANSI Long arithmetic
+    * would wrap SILENTLY and drop/corrupt anomaly rows; decimal keeps the
+    * test exact to 38 digits and overflow loud (the oracle's HUGEINT sums
+    * are exact natively). Scale: one hourly aggregate (map-side
     * combined), a broadcast 1-row moment frame, and an hours-sized
     * filter. */
   def hourlyAnomalies(s: SparkSession, d: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     val hours = events(s, d)
       .groupBy(date_format(window(col("ts"), "1 hour").getField("start"),
         "yyyy-MM-dd HH:mm:ss").as("hour_start"))
       .agg(count(lit(1)).as("cnt"))
-    val moments = hours.agg(count(lit(1)).as("n"),
-      sum(col("cnt")).as("s1"), sum(col("cnt") * col("cnt")).as("s2"))
-    val num = (col("cnt") * col("n") - col("s1")) *
-      (col("cnt") * col("n") - col("s1"))
+    val moments = hours.agg(count(lit(1)).cast(dec).as("n"),
+      sum(col("cnt")).cast(dec).as("s1"),
+      sum((col("cnt") * col("cnt")).cast(dec)).as("s2"))
+    val dev = col("cnt").cast(dec) * col("n") - col("s1")
+    val num = dev * dev
     val den = col("n") * col("s2") - col("s1") * col("s1")
     hours.crossJoin(broadcast(moments))
       .where(den > 0 && num > lit(9L) * den)

@@ -77,6 +77,44 @@ class FunnelSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("state store shrinks once the watermark passes a funnel's window (r13 weak)") {
+    val in = MemoryStream[(Long, Timestamp, String)]
+    // 1 h window + 10 min watermark so the fixture can outrun both quickly
+    val winUs = 3600000000L
+    val q = Funnel.completionsStream(
+        in.toDF().toDF("user_id", "ts", "event_type"), winUs, "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_state_expiry").start()
+    def stateRows(): Long = q.lastProgress.stateOperators(0).numRowsTotal
+    def emitted(): Set[Long] = spark.table("funnel_state_expiry")
+      .select("user_id").as[Long].collect().toSet
+    try {
+      // b1: user 10 opens a funnel (incomplete), user 11 completes one,
+      // user 12 sends a viewless click (must store NOTHING)
+      in.addData(
+        (10L, ts("2026-01-01T10:00:00Z"), "view"),
+        (11L, ts("2026-01-01T10:00:00Z"), "view"),
+        (11L, ts("2026-01-01T10:10:00Z"), "click"),
+        (11L, ts("2026-01-01T10:20:00Z"), "purchase"),
+        (12L, ts("2026-01-01T10:00:00Z"), "click"))
+      q.processAllAvailable()
+      assert(emitted() === Set(11L))
+      assert(stateRows() === 2, "only users with an open window hold state")
+      // b2: a fresh user far in the future pushes the watermark past
+      // t1 + window for users 10 and 11 (10:00 + 1 h = 11:00; watermark
+      // becomes 14:00 − 10 min = 13:50) — their rows must expire.
+      in.addData((13L, ts("2026-01-01T14:00:00Z"), "view"))
+      q.processAllAvailable()
+      // the timeout fires on the first batch that RUNS under the advanced
+      // watermark; nudge one more batch in case the engine didn't schedule
+      // a no-data cleanup batch on its own
+      in.addData((13L, ts("2026-01-01T14:01:00Z"), "click"))
+      q.processAllAvailable()
+      assert(stateRows() === 1, "expired funnels must leave the state store")
+      assert(emitted() === Set(11L), "expiry must not emit or re-emit")
+    } finally q.stop()
+  }
+
   test("registered q_funnel step-3 count equals the completion count on the fixture") {
     val sf = "/root/testdata/sf0.001"
     val step3 = graft.queries.CoreQueries.funnel(spark, sf).collect()
