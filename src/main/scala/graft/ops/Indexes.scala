@@ -1930,6 +1930,20 @@ object Indexes {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Directed containment pairs served from the stored shingle sets —
+    * output-identical to [[Dedup.containmentPairs]] over the same corpus,
+    * with ZERO document tokenization in the query path: the committed
+    * `sets/` table already holds every doc's hashed shingle set, so the
+    * per-run cost drops to the df-capped candidate join + intersection
+    * arithmetic. Tombstone-aware ([[readMinhashTable]]): deleted
+    * documents neither generate candidates nor appear in pairs — the
+    * delete lifecycle inherited for free (r13 VERDICT #5). */
+  def containmentPairsIndexed(spark: SparkSession, setsPath: String,
+                              thresholdFp: Long = 850000L,
+                              dfCap: Int = 16): DataFrame =
+    Dedup.containmentPairsFromSets(readMinhashTable(spark, setsPath),
+      thresholdFp, dfCap)
+
   /** INCREMENTAL near-dup check — the daily-ingest access pattern: a NEW
     * batch of documents checked against the EXISTING corpus's materialized
     * dedup state without touching corpus text. Only the new batch is

@@ -114,15 +114,21 @@ object PipelineQueries {
        |SELECT doc_a, doc_b, round(jacc, 6) AS jaccard FROM scored
        |WHERE jacc >= 0.3 ORDER BY doc_a, doc_b""".stripMargin
 
-  /** Directed containment near-dups ([[graft.ops.Dedup
-    * .containmentPairs]]): subset duplicates (quotes, wrappers) surfaced
-    * by the df-capped rare-shingle join the symmetric minhash family
+  /** Directed containment near-dups served from the COMMITTED shingle
+    * store ([[graft.ops.Indexes.containmentPairsIndexed]] over
+    * `ensureMinhashIndex`'s `sets/` — r13 VERDICT #5: the previous form
+    * re-shingled the corpus every run, the second most expensive bench
+    * entry): subset duplicates (quotes, wrappers) surfaced by the
+    * df-capped rare-shingle join the symmetric minhash family
     * structurally cannot generate — both directed containments reported
     * in exact 1e-6 fixed point, the oracle replaying shingles → rare-df
-    * candidates → intersection arithmetic end to end. */
-  def containmentPairs(s: SparkSession, d: String): DataFrame =
-    graft.ops.Dedup.containmentPairs(documents(s, d))
+    * candidates → intersection arithmetic end to end (the oracle still
+    * shingles from text, so the check also proves store == tokenize). */
+  def containmentPairs(s: SparkSession, d: String): DataFrame = {
+    val (sets, _) = graft.ops.Indexes.ensureMinhashIndex(s, documents(s, d), d)
+    graft.ops.Indexes.containmentPairsIndexed(s, sets)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
 
   val containmentPairsSql: String =
     s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM documents),

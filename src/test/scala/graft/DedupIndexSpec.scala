@@ -32,6 +32,33 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(indexed === inline)
   }
 
+  test("indexed containment pairs == inline; tombstoned == rebuild-on-survivors") {
+    import org.apache.spark.sql.functions.col
+    val (sets, _) = Indexes.ensureMinhashIndex(spark, docs, sf)
+    val indexed = Indexes.containmentPairsIndexed(spark, sets)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val inline = Dedup.containmentPairs(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(indexed === inline)
+    assert(inline.nonEmpty, "fixture must contain containment pairs")
+    // the delete lifecycle, inherited: tombstone one paired doc on a
+    // MANAGED copy of the store; the indexed result must equal a rebuild
+    // over the survivors (write-once fixture generations are never
+    // tombstoned — the family contract)
+    val dead = inline.head._1
+    val managed = java.nio.file.Files
+      .createTempDirectory("cont_del").toString + "/idx"
+    spark.read.parquet(sets).write.parquet(s"$managed/sets")
+    Indexes.tombstoneMinhashIndex(spark, s"$managed/sets",
+      Seq(dead).toDF("doc_id"))
+    val got = Indexes.containmentPairsIndexed(spark, s"$managed/sets")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val want = Dedup.containmentPairs(docs.where(col("doc_id") =!= dead))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === want)
+    assert(!got.exists(p => p._1 == dead || p._2 == dead))
+  }
+
   test("indexed simhash near-dups == inline simhashNearDups") {
     val idx = Indexes.ensureSimhashIndex(spark, docs, sf)
     val indexed = Indexes.simhashNearDupsIndexed(spark, idx)
