@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Subword tokenization against a COMMITTED vocabulary as a native
+  * Catalyst expression — the realism gap r13 named: whitespace "tokens"
+  * are not what a training pipeline budgets by; subword counts are. The
+  * vocabulary is BPE-trained offline and frozen
+  * ([[graft.tools.TrainBpeVocab]], the IVF/PQ committed-model precedent);
+  * the ENCODE is greedy longest-match (the WordPiece serving convention,
+  * publicly standard): from each position take the longest vocabulary
+  * piece, bounded at [[BpeEncode.MaxPieceLen]] characters, falling back
+  * to the single character (every character is implicitly in-vocabulary,
+  * so coverage is total and no UNK state exists).
+  *
+  * Why an Expression (rung b): the per-position loop with a hash-set
+  * probe cannot be expressed as a fixed Catalyst expression tree without
+  * an O(|V|) literal-array scan per probe; as a native expression it
+  * stays UDF-free, null-safe through the framework, and inside
+  * whole-stage codegen (the generated code is one static call). The
+  * vocabulary rides the expression as a plan literal (hundreds of
+  * pieces) and rebuilds its transient probe set per executor.
+  *
+  * Oracle portability: greedy longest-match with a bounded window
+  * replays in DuckDB as a recursive CTE whose step is a fixed CASE chain
+  * of `substr(w, pos, L) IN vocab` probes, L = MaxPieceLen..2, ELSE 1 —
+  * bit-exact agreement, spec- and hash-pinned. Positions are Java char
+  * (UTF-16) offsets on the Spark side and code points in DuckDB —
+  * identical for BMP text; the corpus convention (wordsSafe lowercase
+  * whitespace words) is ASCII-safe by construction. */
+case class BpeEncode(child: Expression, vocab: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_bpe requires a string argument, got ${child.dataType.catalogString}")
+
+  @transient private lazy val vocabSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](math.max(16, vocab.size * 2))
+    vocab.foreach { p =>
+      require(p.length >= 2 && p.length <= BpeEncode.MaxPieceLen,
+        s"vocabulary piece '$p' outside [2, ${BpeEncode.MaxPieceLen}] chars — " +
+          "single chars are implicit; longer pieces are unservable by the " +
+          "bounded longest-match window")
+      s.add(p)
+    }
+    s
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    BpeEncode.encode(s.asInstanceOf[UTF8String], vocabSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("bpeVocab", vocabSet,
+      "java.util.HashSet<String>")
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeEncode.encode($c, $setRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_bpe"
+}
+
+object BpeEncode {
+  /** Longest piece the encode will match (and the trainer will form):
+    * bounds the oracle's CASE chain and the per-position probe count. */
+  val MaxPieceLen = 8
+
+  /** Static helper the generated code calls. Greedy longest-match:
+    * at each position try lengths min(MaxPieceLen, remaining)..2 against
+    * the vocabulary, else emit the single character. */
+  def encode(s: UTF8String, vocab: java.util.HashSet[String]): ArrayData = {
+    val w = s.toString
+    val out = new java.util.ArrayList[AnyRef](math.max(4, w.length / 2))
+    var i = 0
+    while (i < w.length) {
+      var l = math.min(MaxPieceLen, w.length - i)
+      while (l > 1 && !vocab.contains(w.substring(i, i + l))) l -= 1
+      out.add(UTF8String.fromString(w.substring(i, i + l)))
+      i += l
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Column form — usable on ANY session (no function-registry dependency). */
+  def apply(c: Column, vocab: Seq[String]): Column =
+    ColumnBridge.column(BpeEncode(ColumnBridge.expression(c), vocab))
+}

@@ -137,14 +137,19 @@ object Curation {
     * hoisted projection would re-split the document per chunk), explode
     * only the start offsets, and slice the carried token array per chunk.
     * Narrow per-row work, zero shuffles. */
-  def chunkDocuments(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+  def chunkDocuments(docs: DataFrame, window: Int, stride: Int,
+                     tokenArray: Option[Column] = None): DataFrame = {
     require(window >= 1 && stride >= 1 && stride <= window,
       s"need 1 <= stride <= window, got window=$window stride=$stride")
+    // default: whitespace words (never empty — wordsSafe yields ['']);
+    // a subword tokenArray (BPE pieces) CAN be empty, so the start
+    // sequence is guarded for n = 0 → zero chunks
     docs.select(col("doc_id"),
-        TextOps.wordsSafe(col("text")).as("w"))
+        tokenArray.getOrElse(TextOps.wordsSafe(col("text"))).as("w"))
       .select(col("doc_id"), col("w"), size(col("w")).as("n"))
       .select(col("doc_id"), col("w"), col("n"),
-        explode(sequence(lit(0), col("n") - 1, lit(stride))).as("start"))
+        explode(when(col("n") > 0, sequence(lit(0), col("n") - 1, lit(stride)))
+          .otherwise(array().cast("array<int>"))).as("start"))
       .select(col("doc_id"),
         call_function("div", col("start"), lit(stride)).as("chunk_id"),
         least(lit(window), col("n") - col("start")).as("chunk_tokens"),
@@ -187,7 +192,8 @@ object Curation {
     * pathologically dominant source). Output rows are budget-bounded
     * regardless of corpus size. */
   def tokenBudgetMix(docs: DataFrame, budgets: Seq[(String, Long)],
-                     defaultBudget: Long): DataFrame = {
+                     defaultBudget: Long,
+                     tokens: Option[Column] = None): DataFrame = {
     require((defaultBudget +: budgets.map(_._2)).forall(_ >= 0),
       "token budgets must be non-negative")
     val budget = budgets.foldRight(lit(defaultBudget): Column) {
@@ -197,7 +203,8 @@ object Curation {
       .partitionBy(col("source")).orderBy(col("rnk"), col("doc_id"))
     docs.select(col("source"), col("doc_id"),
         md5(concat_ws(":", col("source"), col("doc_id"))).as("rnk"),
-        size(TextOps.wordsSafe(col("text"))).cast("long").as("tokens"))
+        tokens.getOrElse(size(TextOps.wordsSafe(col("text"))))
+          .cast("long").as("tokens"))
       .withColumn("cum_tokens", sum(col("tokens")).over(w))
       .where(col("cum_tokens") - col("tokens") < budget)
       .select(col("source"), col("doc_id"), col("tokens"), col("cum_tokens"))
@@ -296,11 +303,15 @@ object Curation {
     * (shard_id 0 everywhere) for corpora whose sources ARE the shards.
     * Output: one row per (source, shard, bin) with its doc/token load. */
   def packBins(docs: DataFrame, capacity: Int,
-               shardDocs: Long = Long.MaxValue): DataFrame = {
+               shardDocs: Long = Long.MaxValue,
+               tokens: Option[Column] = None): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"), col("shard_id")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val toks = size(TextOps.wordsSafe(col("text"))).cast("long")
+    // default: whitespace words; callers budgeting like a real training
+    // pipeline pass the committed-model subword count ([[Bpe.tokenCount]])
+    val toks = tokens.getOrElse(size(TextOps.wordsSafe(col("text"))))
+      .cast("long")
     docs.select(col("source"),
         floorDivLong(col("doc_id"), shardDocs).as("shard_id"),
         col("doc_id"), toks.as("tokens"))

@@ -2988,6 +2988,75 @@ object PipelineQueries {
 
   // ---- text analysis -------------------------------------------------------
 
+  /** Subword tokenization against the COMMITTED BPE vocabulary
+    * ([[graft.ops.Bpe]] / [[graft.functions.BpeEncode]] — r13 VERDICT #6):
+    * per doc, the whitespace word count, the exact subword token count
+    * (what a training pipeline budgets by), and the first word's actual
+    * segmentation as proof of real piece boundaries, not just counts.
+    * The oracle replays greedy longest-match EXACTLY: a recursive CTE
+    * over the DISTINCT words (the token count of a word is a pure
+    * function of the word) whose step is the same bounded CASE chain of
+    * vocabulary probes the native expression evaluates, joined back to
+    * word occurrences — so segmentation, counts, and the model fixture
+    * itself are all hash-verified. */
+  def bpeTokenize(s: SparkSession, d: String): DataFrame = {
+    val vocab = graft.ops.Bpe.vocab(s)
+    documents(s, d)
+      .select(col("doc_id"), TextOps.wordsSafe(col("text")).as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        graft.ops.Bpe.tokenCount(col("ws"), vocab).as("n_tokens"),
+        concat_ws("|",
+          graft.ops.Bpe.encode(element_at(col("ws"), 1), vocab)).as("pieces_w1"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shared oracle fragment: greedy longest-match BPE over the DISTINCT
+    * corpus words — a recursive CTE whose step is the same bounded CASE
+    * chain of vocabulary probes [[graft.functions.BpeEncode]] evaluates
+    * (the token sequence of a word is a pure function of the word, so
+    * the recursion is vocabulary-sized, not corpus-sized). Exposes
+    * `bwt(w, ntok, pieces)`, `bex(doc_id, wi, w)` (word occurrences with
+    * 1-based position), and `bdoctok(doc_id, tokens)`. The consuming SQL
+    * must open with `WITH RECURSIVE`. */
+  private val duckBpeCtes: String = {
+    val probes = (graft.functions.BpeEncode.MaxPieceLen to 2 by -1).map(l =>
+      s"           WHEN substr(w, pos::INT, $l) IN (SELECT piece FROM v WHERE l = $l) THEN $l")
+      .mkString("\n")
+    s"""v AS (SELECT piece, len(piece) AS l
+       |      FROM read_parquet('${graft.ops.Bpe.VocabPath}/*.parquet')),
+       |bdw AS (SELECT doc_id, $duckWords AS ws FROM documents),
+       |bwords AS (SELECT DISTINCT unnest(ws) AS w FROM bdw),
+       |brec(w, pos, ntok, pieces) AS (
+       |  SELECT w, 1::BIGINT, 0::BIGINT, '' FROM bwords
+       |  UNION ALL
+       |  SELECT w, pos + step, ntok + 1,
+       |         pieces || CASE WHEN ntok = 0 THEN '' ELSE chr(124) END ||
+       |         substr(w, pos::INT, step::INT)
+       |  FROM (
+       |    SELECT w, pos, ntok, pieces,
+       |      CASE
+       |$probes
+       |           ELSE 1 END AS step
+       |    FROM brec WHERE pos <= len(w)) t_brec),
+       |bwt AS (SELECT w, ntok, pieces FROM brec WHERE pos > len(w)),
+       |bex AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS wi,
+       |               unnest(ws) AS w FROM bdw),
+       |bdoctok AS (SELECT bex.doc_id, sum(bwt.ntok)::BIGINT AS tokens
+       |            FROM bex JOIN bwt USING (w) GROUP BY bex.doc_id)""".stripMargin
+  }
+
+  val bpeTokenizeSql: String =
+    s"""WITH RECURSIVE
+       |$duckBpeCtes,
+       |agg AS (SELECT bex.doc_id, count(*)::BIGINT AS n_words,
+       |               sum(bwt.ntok)::BIGINT AS n_tokens
+       |        FROM bex JOIN bwt USING (w) GROUP BY bex.doc_id),
+       |w1 AS (SELECT doc_id, ws[1] AS w FROM bdw)
+       |SELECT a.doc_id, a.n_words, a.n_tokens, bwt.pieces AS pieces_w1
+       |FROM agg a JOIN w1 USING (doc_id) JOIN bwt ON bwt.w = w1.w
+       |ORDER BY doc_id""".stripMargin
+
   def tokenStats(s: SparkSession, d: String): DataFrame =
     TextAnalysis.tokenStats(documents(s, d))
 
@@ -3254,16 +3323,25 @@ object PipelineQueries {
     * shard layout, one window cumsum partitioned by source — packing
     * parallelizes across sources, never a global sort. (shard = ∞ default:
     * shard_id is the constant 0 and drops out of the output, preserving
-    * the per-source contract; [[packShards]] is the bounded-shard form.) */
-  def packSequences(s: SparkSession, d: String): DataFrame =
-    Curation.packBins(documents(s, d), capacity = 512)
+    * the per-source contract; [[packShards]] is the bounded-shard form.)
+    * Bins fill by REAL subword counts (the committed BPE model — r13
+    * VERDICT #6: a training pipeline packs context windows by tokens the
+    * model sees, not whitespace words); the oracle re-derives every
+    * count through the recursive greedy-match replay. */
+  def packSequences(s: SparkSession, d: String): DataFrame = {
+    val vocab = graft.ops.Bpe.vocab(s)
+    Curation.packBins(documents(s, d), capacity = 512,
+        tokens = Some(graft.ops.Bpe.tokenCount(
+          TextOps.wordsSafe(col("text")), vocab)))
       .select(col("source"), col("bin_id"), col("n_docs"), col("bin_tokens"))
       .orderBy(col("source"), col("bin_id"))
+  }
 
   val packSequencesSql: String =
-    """WITH t AS (SELECT source, doc_id,
-      |             len(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'))::BIGINT AS tokens
-      |           FROM documents),
+    s"""WITH RECURSIVE
+      |$duckBpeCtes,
+      |t AS (SELECT d.source, d.doc_id, b.tokens
+      |      FROM documents d JOIN bdoctok b ON d.doc_id = b.doc_id),
       |c AS (SELECT source, tokens,
       |        coalesce(sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
@@ -3662,17 +3740,24 @@ object PipelineQueries {
   /** Data mixing to per-source token budgets: src0 gets 5 000 tokens, src1
     * 2 000, everything else 1 000, filled in deterministic md5-rank order
     * with the boundary-crossing doc included ([[Curation.tokenBudgetMix]]).
-    * Output rows are budget-bounded regardless of corpus size. */
-  def tokenBudgetMix(s: SparkSession, d: String): DataFrame =
+    * Budgets count REAL subword tokens (committed BPE model — r13 VERDICT
+    * #6). Output rows are budget-bounded regardless of corpus size. */
+  def tokenBudgetMix(s: SparkSession, d: String): DataFrame = {
+    val vocab = graft.ops.Bpe.vocab(s)
     Curation.tokenBudgetMix(documents(s, d),
-        Seq("src0" -> 5000L, "src1" -> 2000L), defaultBudget = 1000L)
+        Seq("src0" -> 5000L, "src1" -> 2000L), defaultBudget = 1000L,
+        tokens = Some(graft.ops.Bpe.tokenCount(
+          TextOps.wordsSafe(col("text")), vocab)))
       .orderBy(col("source"), col("cum_tokens"), col("doc_id"))
+  }
 
   val tokenBudgetMixSql: String =
-    """WITH r AS (SELECT source, doc_id,
-      |             md5(source || ':' || doc_id::VARCHAR) AS rnk,
-      |             len(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'))::BIGINT AS tokens
-      |           FROM documents),
+    s"""WITH RECURSIVE
+      |$duckBpeCtes,
+      |r AS (SELECT d.source, d.doc_id,
+      |             md5(d.source || ':' || d.doc_id::VARCHAR) AS rnk,
+      |             b.tokens
+      |      FROM documents d JOIN bdoctok b ON d.doc_id = b.doc_id),
       |c AS (SELECT source, doc_id, tokens,
       |        CAST(sum(tokens) OVER (PARTITION BY source ORDER BY rnk, doc_id) AS BIGINT) AS cum_tokens
       |      FROM r)
@@ -3682,22 +3767,35 @@ object PipelineQueries {
       |ORDER BY source, cum_tokens, doc_id""".stripMargin
 
   /** Context-window chunking audit: every doc_id < 30 document split into
-    * 8-token windows at stride 4 ([[Curation.chunkDocuments]]); the chunk
-    * md5 hash-verifies window CONTENT, not just counts. */
-  def chunkDocs(s: SparkSession, d: String): DataFrame =
+    * 8-token windows at stride 4 ([[Curation.chunkDocuments]]) — over the
+    * committed BPE model's SUBWORD pieces (r13 VERDICT #6: context windows
+    * are measured in model tokens, not whitespace words); the chunk md5
+    * hash-verifies window CONTENT (the actual piece sequence), so the
+    * oracle's recursive greedy-match replay is pinned piece for piece. */
+  def chunkDocs(s: SparkSession, d: String): DataFrame = {
+    val vocab = graft.ops.Bpe.vocab(s)
+    val pieces = flatten(transform(TextOps.wordsSafe(col("text")),
+      w => graft.ops.Bpe.encode(w, vocab)))
     Curation.chunkDocuments(
-        documents(s, d).where(col("doc_id") < 30), window = 8, stride = 4)
+        documents(s, d).where(col("doc_id") < 30), window = 8, stride = 4,
+        tokenArray = Some(pieces))
       .orderBy(col("doc_id"), col("chunk_id"))
+  }
 
   val chunkDocsSql: String =
-    """WITH w AS (SELECT doc_id,
-      |             string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS w
-      |           FROM documents WHERE doc_id < 30),
-      |n AS (SELECT doc_id, w, len(w) AS n FROM w),
-      |st AS (SELECT doc_id, w, n, unnest(range(0, n, 4)) AS start FROM n)
+    s"""WITH RECURSIVE
+      |$duckBpeCtes,
+      |docp AS (SELECT bex.doc_id,
+      |           flatten(list(CASE WHEN bwt.pieces = '' THEN []::VARCHAR[]
+      |                             ELSE string_split(bwt.pieces, '|') END
+      |                        ORDER BY bex.wi)) AS p
+      |         FROM bex JOIN bwt USING (w)
+      |         WHERE bex.doc_id < 30 GROUP BY bex.doc_id),
+      |n AS (SELECT doc_id, p, len(p) AS n FROM docp),
+      |st AS (SELECT doc_id, p, n, unnest(range(0, n, 4)) AS start FROM n)
       |SELECT doc_id, start // 4 AS chunk_id,
       |       least(8, n - start) AS chunk_tokens,
-      |       md5(array_to_string(w[start + 1 : start + 8], ' ')) AS chunk_md5
+      |       md5(array_to_string(p[start + 1 : start + 8], ' ')) AS chunk_md5
       |FROM st ORDER BY doc_id, chunk_id""".stripMargin
 
   /** Deterministic per-source reservoir: exactly 10 docs per source, chosen
