@@ -757,7 +757,9 @@ object TextAnalysis {
   private[graft] def bm25TopKIndexedFull(spark: SparkSession, indexPath: String,
                                          terms: Seq[String], k: Int,
                                          k1: Double, b: Double,
-                                         ts: Option[DataFrame]): DataFrame = {
+                                         ts: Option[DataFrame],
+                                         eligible: Option[DataFrame] = None)
+      : DataFrame = {
     val tbs = terms.map(termBucketLocal).distinct
     val post0 = readPartDirs(spark, s"$indexPath/postings",
         s"batch_id=*/tb={${tbs.mkString(",")}}", postingsSchema)
@@ -772,12 +774,40 @@ object TextAnalysis {
       count(lit(1)).over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("term"))))
     val contribFp = bm25ContribFp(k1, b)
-    tfd.crossJoin(broadcast(stats))
+    val contrib = tfd.crossJoin(broadcast(stats))
       .select(col("doc_id"), contribFp.as("fp"))
+    // the eligibility cut lands AFTER the df window: statistics stay
+    // GLOBAL (the store's view of the corpus), the filter only restricts
+    // candidates — the annGraphSearchFiltered posture
+    val cut = eligible.fold(contrib)(e =>
+      contrib.join(e.select(col("doc_id")).distinct(), Seq("doc_id"),
+        "left_semi"))
+    cut
       .groupBy(col("doc_id"))
       .agg(round(sum(col("fp")).cast("double") / lit(1e6), 6).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
+  }
+
+  /** Metadata-FILTERED indexed BM25 — the lexical half of the filtered
+    * serving matrix (r13 VERDICT #7): rank only documents passing an
+    * eligibility predicate (a doc_id frame from any metadata table),
+    * scored with GLOBAL corpus statistics (df from the probed postings,
+    * scalars from the store) so a document's score does not change with
+    * the filter — eligibility is a candidate cut, exactly the
+    * [[graft.ops.Indexes.annGraphSearchFiltered]] posture on the vector
+    * side. Same zero-corpus-scan probe as [[bm25TopKIndexed]]'s full
+    * path; MAX-SCORE pruning is deliberately not engaged here — its θ
+    * bound comes from unfiltered essential partials and is not a valid
+    * lower bound for the k-th ELIGIBLE score. */
+  def bm25TopKIndexedFiltered(spark: SparkSession, indexPath: String,
+                              terms: Seq[String], eligible: DataFrame,
+                              k: Int = 20, k1: Double = 1.2,
+                              b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms,
+      "bm25TopKIndexedFiltered expects a non-empty, duplicate-free term list")
+    bm25TopKIndexedFull(spark, indexPath, terms, k, k1, b,
+      invertedTombstones(spark, indexPath), Some(eligible))
   }
 
   /** Corpus scalars with the delete sidecar folded: the stored 1-row

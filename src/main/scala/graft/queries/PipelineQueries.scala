@@ -4288,6 +4288,32 @@ object PipelineQueries {
        |ORDER BY score DESC, doc_id ASC LIMIT 25""".stripMargin
   }
 
+  /** Metadata-FILTERED indexed BM25 ([[graft.ops.TextAnalysis
+    * .bm25TopKIndexedFiltered]] — r13 VERDICT #7, the lexical half of
+    * the filtered serving matrix): q_bm25_indexed's probe restricted to
+    * documents whose EMBEDDING carries label 2 — the same eligibility
+    * frame q_ann_graph_filtered cuts on, so the two filtered sub-probes
+    * answer one predicate. Statistics stay global (df window before the
+    * cut); the oracle is [[bm25IndexedSql]] with the eligibility
+    * predicate spliced in by anchored rewrite, so the twins cannot
+    * drift. */
+  def bm25Filtered(s: SparkSession, d: String): DataFrame = {
+    val idx = TextAnalysis.ensureInvertedIndex(s, documents(s, d), d)
+    val eligible = embeddings(s, d).where(col("label") === 2)
+      .select(col("vec_id").as("doc_id"))
+    TextAnalysis.bm25TopKIndexedFiltered(s, idx,
+      Seq("vector", "stream", "merge", "quantum"), eligible, k = 25)
+  }
+
+  val bm25FilteredSql: String = {
+    val anchor = "FROM tfd CROSS JOIN st"
+    require(bm25IndexedSql.contains(anchor),
+      "bm25FilteredSql: the anchor vanished from bm25IndexedSql")
+    bm25IndexedSql.replace(anchor,
+      anchor +
+        "\n      WHERE tfd.doc_id IN (SELECT vec_id FROM embeddings WHERE label = 2)")
+  }
+
   /** Pseudo-relevance-feedback expansion ([[graft.ops.TextAnalysis
     * .bm25PrfExpanded]]): seed BM25 top-10 → top-32 in-feedback terms →
     * tf_sum·N/df weighting → 5 expansion terms → re-query, every stage
@@ -4665,6 +4691,35 @@ object PipelineQueries {
   val hybridSearchSql: String =
     s"""WITH lex AS ($bm25IndexedSql),
        |vec0 AS ($annGraphSearchSql),
+       |lrk AS (SELECT doc_id,
+       |          row_number() OVER (ORDER BY score DESC, doc_id ASC) AS lr
+       |        FROM lex),
+       |vrk AS (SELECT vec_id AS doc_id,
+       |          row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS vr
+       |        FROM vec0),
+       |f AS (SELECT doc_id,
+       |        round(coalesce(1.0 / (60 + lr), 0) +
+       |              coalesce(1.0 / (60 + vr), 0), 6) AS rrf
+       |      FROM lrk FULL JOIN vrk USING (doc_id))
+       |SELECT doc_id, rrf FROM f
+       |ORDER BY rrf DESC, doc_id ASC LIMIT 10""".stripMargin
+
+  /** FILTERED hybrid retrieval — the one open cell of the serving matrix
+    * closed (r13 VERDICT #7): RRF fusion of the two FILTERED indexed
+    * sub-probes, both cutting on the SAME eligibility predicate
+    * (embedding label = 2): [[bm25Filtered]] on the lexical side,
+    * [[annGraphFiltered]] on the vector side. Fusion mechanics identical
+    * to [[hybridSearch]] (integer ranks, one fixed two-term IEEE sum,
+    * round 6); both sub-oracles replay verbatim as CTEs. */
+  def hybridFiltered(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.hybridSearchRrf(
+      bm25Filtered(s, d), "score",
+      annGraphFiltered(s, d).select(col("vec_id").as("doc_id"), col("cos")), "cos",
+      k = 10)
+
+  val hybridFilteredSql: String =
+    s"""WITH lex AS ($bm25FilteredSql),
+       |vec0 AS ($annGraphFilteredSql),
        |lrk AS (SELECT doc_id,
        |          row_number() OVER (ORDER BY score DESC, doc_id ASC) AS lr
        |        FROM lex),

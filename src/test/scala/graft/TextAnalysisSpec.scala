@@ -557,6 +557,25 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().isEmpty)
   }
 
+  test("filtered bm25: global statistics, eligibility is only a candidate cut") {
+    val corpus = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val inv = java.nio.file.Files.createTempDirectory("bm25f").toString + "/idx"
+    TextAnalysis.writeInvertedIndex(corpus, inv)
+    val terms = Seq("vector", "stream", "merge")
+    val eligible = corpus.where(col("doc_id") % 2 === 0).select(col("doc_id"))
+    val got = TextAnalysis.bm25TopKIndexedFiltered(spark, inv, terms, eligible,
+        k = 25).as[(Long, Double)].collect().toSeq
+    // scores must be the UNFILTERED scores (global df/scalars): the
+    // filtered ranking is exactly the full ranking restricted to
+    // eligible docs, re-cut to k
+    val want = TextAnalysis.bm25TopKIndexed(spark, inv, terms, k = 1000)
+      .as[(Long, Double)].collect().toSeq
+      .filter(_._1 % 2 == 0).take(25)
+    assert(got === want)
+    assert(got.nonEmpty && got.forall(_._1 % 2 == 0))
+  }
+
   test("fuzzy correction: tombstoned store equals rebuild-on-survivors (r13 gap)") {
     val corpus = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), col("text"))
