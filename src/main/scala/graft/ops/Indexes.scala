@@ -2002,6 +2002,69 @@ object Indexes {
       .where(col("jaccard") >= threshold)
   }
 
+  /** INCREMENTAL directed containment — the daily-ingest subset-dup
+    * check: each NEW document tested for containment against the
+    * EXISTING corpus's committed shingle sets, without re-pairing or
+    * re-tokenizing the corpus. The candidate generator is
+    * [[Dedup.containmentPairs]]'s df-capped rare-shingle join restricted
+    * to CROSS pairs: only shingles PRESENT in the new batch can
+    * candidate a cross pair, so the corpus postings scan is semi-joined
+    * down to the batch's (broadcastable, batch-bounded) shingle set
+    * before any counting, and rarity is judged on the UNION document
+    * frequency (corpus-restricted df + batch df — disjoint id spaces
+    * make the sum exact). Per-batch cost: one filtered corpus sets/
+    * scan + batch-sized work; tombstones fold via [[readMinhashTable]]
+    * (deleted corpus docs neither candidate nor pair). Output:
+    * (new_id, corpus_id, inter, c_new_fp, c_corpus_fp) for cross pairs
+    * whose larger directed containment reaches `thresholdFp` — both
+    * directions in exact 1e-6 fixed point, [[Dedup.containmentPairs]]'s
+    * output contract on the cross product. */
+  def containmentIncremental(spark: SparkSession, newDocs: DataFrame,
+                             setsPath: String, thresholdFp: Long = 850000L,
+                             dfCap: Int = 16, shingleN: Int = 3): DataFrame = {
+    require(thresholdFp >= 1 && thresholdFp <= 1000000L,
+      s"1 <= thresholdFp <= 1e6, got $thresholdFp")
+    require(dfCap >= 2 && dfCap <= 1024, s"2 <= dfCap <= 1024, got $dfCap")
+    val newSets = Dedup.shingleSets(newDocs, shingleN).persist()
+    val newEx = newSets.select(col("doc_id").as("new_id"),
+      explode(col("sh")).as("h"))
+    val newShingles = newEx.select(col("h")).distinct()
+    val corpusSets = readMinhashTable(spark, setsPath)
+    val corpusEx = corpusSets
+      .select(col("doc_id").as("corpus_id"), explode(col("sh")).as("h"))
+      .join(broadcast(newShingles), Seq("h")) // batch-relevant postings only
+      .persist()
+    val dfC = corpusEx.groupBy(col("h")).agg(count(lit(1)).as("dfc"))
+    val dfN = newEx.groupBy(col("h")).agg(count(lit(1)).as("dfn"))
+    val rare = dfN.join(dfC, Seq("h"), "left")
+      .where(coalesce(col("dfc"), lit(0L)) + col("dfn") >= 2 &&
+        coalesce(col("dfc"), lit(0L)) + col("dfn") <= dfCap)
+      .select(col("h"))
+    val cand = newEx.join(rare, Seq("h"))
+      .join(corpusEx, Seq("h"))
+      .where(col("new_id") =!= col("corpus_id")) // idempotent re-ingest guard
+      .select(col("new_id"), col("corpus_id")).distinct()
+    val pairs = cand
+      .join(corpusSets.select(col("doc_id").as("corpus_id"),
+        col("sh").as("sh_c")), Seq("corpus_id"))
+      .join(newSets.select(col("doc_id").as("new_id"), col("sh").as("sh_n"))
+        .hint("shuffle_hash"), Seq("new_id"))
+      .select(col("new_id"), col("corpus_id"),
+        size(array_intersect(col("sh_n"), col("sh_c"))).cast("long").as("inter"),
+        size(col("sh_n")).cast("long").as("n_n"),
+        size(col("sh_c")).cast("long").as("n_c"))
+      .select(col("new_id"), col("corpus_id"), col("inter"),
+        call_function("div", col("inter") * lit(1000000L), col("n_n"))
+          .as("c_new_fp"),
+        call_function("div", col("inter") * lit(1000000L), col("n_c"))
+          .as("c_corpus_fp"))
+      .where(greatest(col("c_new_fp"), col("c_corpus_fp")) >= thresholdFp)
+      .localCheckpoint(true)
+    corpusEx.unpersist()
+    newSets.unpersist()
+    pairs
+  }
+
   /** Label → path segment with a LENGTH prefix, so no two distinct labels
     * can ever produce families where one is a string prefix of the other
     * (lshFamily's no-prefix-overlap invariant: gcSiblings matches by

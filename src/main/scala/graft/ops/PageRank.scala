@@ -298,4 +298,116 @@ object PageRank {
     }
     r
   }
+
+  /** HITS (Kleinberg hubs & authorities, as publicly described) in the
+    * same integer fixed-point discipline as [[pageRankFp]]: per round,
+    * authority(i) = Σ hub(j) over in-edges, hub(i) = Σ authority(j) over
+    * out-edges, each vector L1-NORMALIZED back to `scale` — the
+    * normalization that makes fixed-iteration HITS well-defined, here an
+    * exact integer division (v · scale div Σv, the Σ accumulated in
+    * BigInt so any graph size stays exact) instead of the classic L2
+    * (whose sqrt is engine-specific libm). Per-node values stay ≤ scale
+    * by the L1 invariant, so v · scale ≤ scale² must fit in a Long —
+    * enforced on `scale`.
+    *
+    * Why the LOOP runs on co-partitioned RDDs (the [[Dedup]] connected-
+    * components precedent, measured again here): unlike the damped walks
+    * (one lineage path per round), every HITS half-round reads its raw
+    * vector TWICE (the L1 scalar + the normalize), and the per-round
+    * normalization DENOMINATOR is a fresh literal — a DataFrame loop
+    * therefore either doubles its plan per half-round (measured 35 s for
+    * 4 rounds) or, materialized, pays a fresh whole-stage-codegen
+    * compile per half-round because the changing literal defeats the
+    * codegen cache (measured ~0.5 s × 8 of pure Janino on a 26k-node
+    * graph). On RDDs each half-round is one co-partitioned join (zero
+    * shuffle — the edge lists are hash-partitioned ONCE, by src for the
+    * authority pass and by dst for the hub pass) + one reduceByKey + a
+    * driver L1 fold; no optimizer pass, no codegen, two driver scalars.
+    *
+    * Returns (node, auth_fp, hub_fp) after exactly `iters` rounds from
+    * the uniform start; fixed rounds + integer arithmetic make the run
+    * replay as unrolled CTEs in DuckDB, bit for bit. */
+  def hitsFp(edges: DataFrame, iters: Int,
+             scale: Long = 1000000000L): DataFrame = {
+    checkIters(iters)
+    require(scale > 0 && scale <= 3000000000L,
+      s"scale² must fit in a Long with margin, got $scale")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val edPairs = edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].rdd
+    // partition count sized from the MATERIALIZED edge count (the
+    // connected-components rule: ~500k edges per partition, capped at
+    // defaultParallelism) — neither the source's file count (a compact
+    // store would pin the loop to a few cores) nor a blanket full-width
+    // spread (per-round work this small pays more in task overhead than
+    // it gains)
+    val eCount = edPairs.count()
+    val part = new org.apache.spark.HashPartitioner(
+      math.max(1, math.min(spark.sparkContext.defaultParallelism,
+        (eCount / 500000L + 1L).toInt)))
+    val bySrc = edPairs.partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val byDst = edPairs.map(_.swap).partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = (edPairs.map(_._1) ++ edPairs.map(_._2)).distinct()
+      .map((_, ())).partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    require(nodes.take(1).nonEmpty, "hitsFp: empty graph")
+    val cached = scala.collection.mutable.Buffer.empty[
+      org.apache.spark.rdd.RDD[_]]
+    // raw(to) = Σ other(from) over the co-partitioned edge list, then
+    // L1-renormalize to `scale` with one driver BigInt fold (the fold
+    // also FORCES raw into its cache, so each half-round materializes
+    // exactly once; the caches release after the output materializes)
+    def halfRound(edgesFromTo: org.apache.spark.rdd.RDD[(Long, Long)],
+                  other: org.apache.spark.rdd.RDD[(Long, Long)])
+        : org.apache.spark.rdd.RDD[(Long, Long)] = {
+      val raw = edgesFromTo.join(other, part)
+        .map { case (_, (to, v)) => (to, v) }
+        .reduceByKey(part, _ + _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached += raw
+      val l1 = raw.aggregate(BigInt(0))((a, kv) => a + kv._2, _ + _)
+      if (l1 <= 0) raw.mapValues(_ => 0L)
+      else raw.mapValues(v => (BigInt(v) * scale / l1).toLong)
+    }
+    var hub = nodes.mapValues(_ => scale)
+    var auth = nodes.mapValues(_ => 0L)
+    for (_ <- 1 to iters) {
+      auth = halfRound(bySrc, hub)
+      hub = halfRound(byDst, auth)
+    }
+    // densify to the full node set (zero-raw nodes never appear in the
+    // reduceByKey streams) and exit to the DataFrame surface
+    val out = nodes
+      .leftOuterJoin(auth, part).mapValues { case (_, a) => a.getOrElse(0L) }
+      .leftOuterJoin(hub, part)
+      .map { case (n, (a, h)) => (n, a, h.getOrElse(0L)) }
+      .toDF("node", "auth_fp", "hub_fp")
+      .localCheckpoint(true)
+    (Seq(bySrc, byDst, nodes) ++ cached).foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  /** Host-side sequential twin of [[hitsFp]] (spec cross-check only). */
+  def referenceHitsFp(edges: Seq[(Long, Long)], iters: Int,
+                      scale: Long = 1000000000L): Map[Long, (Long, Long)] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    def norm(raw: Map[Long, BigInt]): Map[Long, Long] = {
+      val l1 = raw.values.sum
+      nodes.map(v => v -> (if (l1 > 0)
+        (raw.getOrElse(v, BigInt(0)) * scale / l1).toLong else 0L)).toMap
+    }
+    var hub = nodes.map(_ -> scale).toMap
+    var auth = nodes.map(_ -> 0L).toMap
+    for (_ <- 1 to iters) {
+      auth = norm(edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(e => BigInt(hub(e._1))).sum })
+      hub = norm(edges.groupBy(_._1).map { case (s, es) =>
+        s -> es.map(e => BigInt(auth(e._2))).sum })
+    }
+    nodes.map(v => v -> (auth(v), hub(v))).toMap
+  }
 }

@@ -1009,7 +1009,9 @@ object TextAnalysis {
                                               indexPath: String,
                                               queries: DataFrame, k: Int,
                                               k1: Double, b: Double,
-                                              ts: Option[DataFrame]): DataFrame = {
+                                              ts: Option[DataFrame],
+                                              eligible: Option[DataFrame] = None)
+      : DataFrame = {
     val qterms = queries.select(col("query_id"),
       explode(array_distinct(col("terms"))).as("term"))
     val vocab = qterms.select(col("term")).distinct()
@@ -1041,14 +1043,34 @@ object TextAnalysis {
       count(lit(1)).over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("term"))))
     val contribFp = bm25ContribFp(k1, b)
-    val scored = qterms.join(tfd, Seq("term"))
+    val contrib = qterms.join(tfd, Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"), contribFp.as("fp"))
+    // eligibility AFTER the df window (global statistics, the filtered
+    // single path's posture): a candidate cut shared by every query
+    val cut = eligible.fold(contrib)(e =>
+      contrib.join(e.select(col("doc_id")).distinct(), Seq("doc_id"),
+        "left_semi"))
+    val scored = cut
       .groupBy(col("query_id"), col("doc_id"))
       .agg(round(sum(col("fp")).cast("double") / lit(1e6), 6).as("score"))
     graft.plans.GroupedTopK.topK(scored, Seq("query_id"),
       Seq("score" -> true, "doc_id" -> false), k)
   }
+
+  /** Metadata-FILTERED batch BM25 — [[bm25TopKIndexedFiltered]]'s
+    * many-queries twin, closing the filtered lexical cell under
+    * {single, batch}: one probe of the union vocabulary, one shared
+    * eligibility semi-join, per-query GroupedTopK cut. Same global-
+    * statistics contract (scores filter-invariant); batch max-score
+    * pruning stays declined under a filter (the single path's stated
+    * θ-soundness argument). */
+  def bm25TopKIndexedBatchFiltered(spark: SparkSession, indexPath: String,
+                                   queries: DataFrame, eligible: DataFrame,
+                                   k: Int = 20, k1: Double = 1.2,
+                                   b: Double = 0.75): DataFrame =
+    bm25TopKIndexedBatchFull(spark, indexPath, queries, k, k1, b,
+      invertedTombstones(spark, indexPath), Some(eligible))
 
   /** MAX-SCORE pruning for the BATCH probe — [[bm25TopKIndexedPruned]]'s
     * many-queries twin, closing the family under

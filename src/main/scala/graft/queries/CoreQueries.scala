@@ -615,6 +615,81 @@ object CoreQueries {
       |SELECT signature, count(*)::BIGINT AS users FROM s
       |GROUP BY signature ORDER BY users DESC, signature ASC LIMIT 20""".stripMargin
 
+  /** §2.9 extension — ROLLING ACTIVE USERS (DAU + trailing-7-day WAU):
+    * the engagement headline every event pipeline reports. Exact and
+    * scalable: the rolling distinct is NOT a 7-day window over raw
+    * events (a window over distinct-user state cannot map-side combine)
+    * but the explode-forward form — each distinct (user, day) pair
+    * projects onto the ≤ 7 calendar days it makes the user "weekly
+    * active" for, then one distinct + count per day. Linear ×7 in the
+    * (user, day) pair count, which is itself far smaller than the event
+    * count; the calendar is densified over the observed span so quiet
+    * days report 0. All date arithmetic is exact UTC truncation — the
+    * whole series hash-verifies. */
+  def activeUsers(s: SparkSession, d: String): DataFrame = {
+    val days = events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val bounds = days.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val cal = bounds.select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val dau = days.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = days
+      .select(col("user_id"), explode(sequence(lit(0), lit(6))).as("x"),
+        col("day"))
+      .select(col("user_id"), date_add(col("day"), col("x")).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau7"))
+    cal.join(dau, Seq("day"), "left").join(wau, Seq("day"), "left")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("wau7"), lit(0L)).as("wau7"))
+      .orderBy(col("day"))
+  }
+
+  val activeUsersSql: String =
+    """WITH d AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+      |b AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+      |cal AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM b),
+      |dau AS (SELECT day, count(*)::BIGINT AS dau FROM d GROUP BY day),
+      |t AS (SELECT DISTINCT user_id, (day + x * INTERVAL 1 DAY)::DATE AS day
+      |      FROM d, range(0, 7) r(x)),
+      |w AS (SELECT day, count(*)::BIGINT AS wau7 FROM t GROUP BY day)
+      |SELECT strftime(cal.day, '%Y-%m-%d') AS day,
+      |       coalesce(dau.dau, 0)::BIGINT AS dau,
+      |       coalesce(w.wau7, 0)::BIGINT AS wau7
+      |FROM cal LEFT JOIN dau USING (day) LEFT JOIN w USING (day)
+      |ORDER BY day""".stripMargin
+
+  /** §2.9 extension — CONVERSION-LAG distribution: hours from first view
+    * to funnel completion, histogrammed — the time-to-convert panel that
+    * complements [[funnel]]'s step counts. Built on the SAME
+    * earliest-completion chain ([[graft.ops.Funnel.completionsBatch]]);
+    * the lag buckets are exact integer division over exact integer
+    * micros, so the histogram hash-verifies. */
+  def conversionLag(s: SparkSession, d: String): DataFrame =
+    graft.ops.Funnel.completionsBatch(events(s, d), 86400000000L)
+      .select(call_function("div", col("t3_us") - col("t1_us"),
+        lit(3600000000L)).as("lag_hours"))
+      .groupBy(col("lag_hours")).agg(count(lit(1)).as("completions"))
+      .orderBy(col("lag_hours"))
+
+  val conversionLagSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS us FROM events),
+      |v AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view'
+      |      GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.us) AS t2, min(v.t1) AS t1
+      |      FROM e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.us > v.t1
+      |        AND e.us - v.t1 <= 86400000000
+      |      GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(c.t1) AS t1, min(e.us) AS t3
+      |      FROM e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.us > c.t2
+      |        AND e.us - c.t1 <= 86400000000
+      |      GROUP BY e.user_id)
+      |SELECT ((t3 - t1) // 3600000000)::BIGINT AS lag_hours,
+      |       count(*)::BIGINT AS completions
+      |FROM p GROUP BY lag_hours ORDER BY lag_hours""".stripMargin
+
   /** §2.9 extension — hourly volume ANOMALY detection with an
     * integer-exact variance test: hours whose event count deviates from
     * the global hourly mean by more than 3σ, decided WITHOUT sqrt or

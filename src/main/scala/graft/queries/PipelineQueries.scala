@@ -197,6 +197,52 @@ object PipelineQueries {
       .orderBy(col("new_id"), col("corpus_id"))
   }
 
+  /** INCREMENTAL directed containment ([[graft.ops.Indexes
+    * .containmentIncremental]]): a new ingest batch (src0 re-ingested
+    * under offset ids — each new doc an exact clone of its original, so
+    * containment = 1e6 by construction where the rare-shingle candidate
+    * fires) checked for subset-duplication against the COMMITTED corpus
+    * shingle store, without re-tokenizing the corpus. Rarity is judged
+    * on the union document frequency; the oracle replays the whole
+    * increment from the documents table. */
+  def containmentIncrementalQ(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val (sets, _) = graft.ops.Indexes.ensureMinhashIndex(s, docs, d)
+    val newBatch = docs.where(col("source") === "src0")
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    graft.ops.Indexes.containmentIncremental(s, newBatch, sets)
+      .orderBy(col("new_id"), col("corpus_id"))
+  }
+
+  val containmentIncrementalSql: String =
+    s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |sg AS MATERIALIZED (SELECT doc_id, ${duckHashedShingleSet("w")} AS sh FROM w),
+       |nb AS MATERIALIZED (SELECT sg.doc_id + 100000 AS new_id, sh FROM sg
+       |      JOIN (SELECT doc_id FROM documents WHERE source = 'src0') s0
+       |      USING (doc_id)),
+       |nx AS MATERIALIZED (SELECT new_id, unnest(sh) AS h FROM nb),
+       |cx AS MATERIALIZED (SELECT doc_id AS corpus_id, unnest(sh) AS h FROM sg),
+       |nsh AS (SELECT DISTINCT h FROM nx),
+       |cdf AS (SELECT h, count(*)::BIGINT AS cdfn FROM cx JOIN nsh USING (h)
+       |        GROUP BY h),
+       |ndf AS (SELECT h, count(*)::BIGINT AS ndfn FROM nx GROUP BY h),
+       |rare AS (SELECT ndf.h FROM ndf LEFT JOIN cdf USING (h)
+       |         WHERE coalesce(cdfn, 0) + ndfn BETWEEN 2 AND 16),
+       |cand AS (SELECT DISTINCT nx.new_id, cx.corpus_id
+       |         FROM nx JOIN rare USING (h) JOIN cx USING (h)
+       |         WHERE nx.new_id != cx.corpus_id),
+       |sc AS (SELECT cand.new_id, cand.corpus_id,
+       |         len(list_intersect(n.sh, c.sh))::BIGINT AS inter,
+       |         len(n.sh)::BIGINT AS nn, len(c.sh)::BIGINT AS nc
+       |       FROM cand JOIN nb n ON cand.new_id = n.new_id
+       |                 JOIN sg c ON cand.corpus_id = c.doc_id)
+       |SELECT new_id, corpus_id, inter,
+       |       ((inter * 1000000) // nn)::BIGINT AS c_new_fp,
+       |       ((inter * 1000000) // nc)::BIGINT AS c_corpus_fp
+       |FROM sc
+       |WHERE greatest((inter * 1000000) // nn, (inter * 1000000) // nc) >= 850000
+       |ORDER BY new_id, corpus_id""".stripMargin
+
   /** The oracle replays the increment EXACTLY: the re-ingested docs carry
     * identical text, so their shingle sets and band keys equal the
     * originals' — the corpus CTEs serve both sides, with new ids offset. */
@@ -1072,6 +1118,88 @@ object PipelineQueries {
        |$iterCtes
        |SELECT node, r AS rank_fp FROM r5
        |ORDER BY rank_fp DESC, node ASC LIMIT 20""".stripMargin
+  }
+
+  /** HITS hubs & authorities ([[graft.ops.PageRank.hitsFp]]) on the
+    * DIRECTED bipartite purchase graph (customer → part, customer ids
+    * offset out of the part key space): hubs = customers whose baskets
+    * concentrate on authoritative parts, authorities = parts bought by
+    * strong hubs — the textbook HITS shape, and the co-ranking PageRank
+    * cannot express. Four L1-normalized integer fixed-point rounds; the
+    * oracle unrolls all eight half-rounds (MATERIALIZED — the kcore
+    * multi-reference lesson) with HUGEINT sums, so both rankings
+    * hash-verify bit for bit. */
+  /** The customer→part purchase edge list, committed write-once (the
+    * [[ensureCoPurchaseEdges]] precedent — deriving the distinct join per
+    * call dominated the iterative walk's cost). */
+  private def ensurePurchaseEdges(s: SparkSession, d: String): String = {
+    val or = orders(s, d).select(col("o_orderkey").as("ok"),
+      (col("o_custkey") + 1000000000L).as("src"))
+    val tag = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"${graft.ops.Indexes.indexRoot}/$tag/purch_" +
+      graft.ops.Indexes.corpusFingerprint(or)
+    if (!graft.ops.Indexes.successExists(s, path)) {
+      val tmp = graft.ops.Indexes.tmpBuildPath(path)
+      or.join(lineitem(s, d).select(col("l_orderkey").as("ok"),
+          col("l_partkey").as("dst")), "ok")
+        .select(col("src"), col("dst")).distinct()
+        .repartition(col("src")).sortWithinPartitions(col("src"), col("dst"))
+        .write.mode("overwrite").parquet(tmp)
+      graft.ops.Indexes.commitIndexDir(s, tmp, path)
+    }
+    path
+  }
+
+  def hits(s: SparkSession, d: String): DataFrame = {
+    val ed = s.read.parquet(ensurePurchaseEdges(s, d))
+    val r = graft.ops.PageRank.hitsFp(ed, iters = 4).localCheckpoint(true)
+    def top(c: String, role: String) =
+      r.orderBy(col(c).desc, col("node").asc).limit(10)
+        .select(lit(role).as("role"), col("node"), col(c).as("score_fp"))
+    top("auth_fp", "authority").unionAll(top("hub_fp", "hub"))
+      .orderBy(col("role"), col("score_fp").desc, col("node"))
+  }
+
+  private def duckHitsIters(iters: Int, scale: Long): String =
+    (1 to iters).map { i =>
+      s"""ar$i AS MATERIALIZED (
+         |  SELECT ed.dst AS node, sum(h${i - 1}.v)::HUGEINT AS raw
+         |  FROM ed JOIN h${i - 1} ON ed.src = h${i - 1}.node GROUP BY ed.dst),
+         |a$i AS MATERIALIZED (
+         |  SELECT nd.node,
+         |    CASE WHEN (SELECT sum(raw) FROM ar$i) > 0
+         |         THEN ((coalesce(ar$i.raw, 0) * $scale)
+         |               // (SELECT sum(raw) FROM ar$i))::BIGINT
+         |         ELSE 0 END AS v
+         |  FROM nd LEFT JOIN ar$i USING (node)),
+         |hr$i AS MATERIALIZED (
+         |  SELECT ed.src AS node, sum(a$i.v)::HUGEINT AS raw
+         |  FROM ed JOIN a$i ON ed.dst = a$i.node GROUP BY ed.src),
+         |h$i AS MATERIALIZED (
+         |  SELECT nd.node,
+         |    CASE WHEN (SELECT sum(raw) FROM hr$i) > 0
+         |         THEN ((coalesce(hr$i.raw, 0) * $scale)
+         |               // (SELECT sum(raw) FROM hr$i))::BIGINT
+         |         ELSE 0 END AS v
+         |  FROM nd LEFT JOIN hr$i USING (node)),""".stripMargin
+    }.mkString("\n")
+
+  val hitsSql: String = {
+    val scale = 1000000000L
+    s"""WITH ed AS (SELECT DISTINCT o.o_custkey::BIGINT + 1000000000 AS src,
+       |                   l.l_partkey::BIGINT AS dst
+       |            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |nd AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+       |h0 AS (SELECT node, $scale::BIGINT AS v FROM nd),
+       |${duckHitsIters(4, scale)}
+       |ranked AS (
+       |  SELECT * FROM (SELECT 'authority' AS role, node, v AS score_fp FROM a4
+       |                 QUALIFY row_number() OVER (ORDER BY v DESC, node ASC) <= 10)
+       |  UNION ALL
+       |  SELECT * FROM (SELECT 'hub' AS role, node, v AS score_fp FROM h4
+       |                 QUALIFY row_number() OVER (ORDER BY v DESC, node ASC) <= 10))
+       |SELECT role, node, score_fp FROM ranked
+       |ORDER BY role, score_fp DESC, node""".stripMargin
   }
 
   /** Multi-probe LSH ANN ([[graft.ops.Indexes.lshTopKMultiProbe]]): the
@@ -3057,6 +3185,46 @@ object PipelineQueries {
        |FROM agg a JOIN w1 USING (doc_id) JOIN bwt ON bwt.w = w1.w
        |ORDER BY doc_id""".stripMargin
 
+  /** CORPUS MANIFEST (the dataset datasheet row): per source — document
+    * count, whitespace-word and REAL subword token totals (committed BPE
+    * model), distinct languages, and mean tokens/doc in exact 1e-6 fixed
+    * point. The one-glance panel a training run's data card starts from;
+    * every number an exact integer aggregate, hash-verified through the
+    * recursive greedy-match oracle. */
+  def corpusManifest(s: SparkSession, d: String): DataFrame = {
+    val vocab = graft.ops.Bpe.vocab(s)
+    documents(s, d)
+      .select(col("source"), col("lang"),
+        TextOps.wordsSafe(col("text")).as("ws"))
+      .select(col("source"), col("lang"),
+        size(col("ws")).cast("long").as("words"),
+        graft.ops.Bpe.tokenCount(col("ws"), vocab).as("toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("words")).as("n_words"),
+        sum(col("toks")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"))
+      .select(col("source"), col("n_docs"), col("n_words"), col("n_tokens"),
+        col("n_langs"),
+        call_function("div", col("n_tokens") * lit(1000000L), col("n_docs"))
+          .as("avg_tokens_fp"))
+      .orderBy(col("source"))
+  }
+
+  val corpusManifestSql: String =
+    s"""WITH RECURSIVE
+       |$duckBpeCtes,
+       |m AS (SELECT d.source, d.lang, len($duckWords)::BIGINT AS words,
+       |             b.tokens
+       |      FROM documents d JOIN bdoctok b ON d.doc_id = b.doc_id),
+       |g AS (SELECT source, count(*)::BIGINT AS n_docs,
+       |        sum(words)::BIGINT AS n_words, sum(tokens)::BIGINT AS n_tokens,
+       |        count(DISTINCT lang)::BIGINT AS n_langs
+       |      FROM m GROUP BY source)
+       |SELECT source, n_docs, n_words, n_tokens, n_langs,
+       |       ((n_tokens * 1000000) // n_docs)::BIGINT AS avg_tokens_fp
+       |FROM g ORDER BY source""".stripMargin
+
   def tokenStats(s: SparkSession, d: String): DataFrame =
     TextAnalysis.tokenStats(documents(s, d))
 
@@ -4823,6 +4991,36 @@ object PipelineQueries {
   /** The scan-path batch oracle verbatim: indexed == scanned is the
     * registered claim. */
   val bm25IndexedBatchSql: String = bm25BatchSql
+
+  /** Metadata-FILTERED batch BM25 ([[graft.ops.TextAnalysis
+    * .bm25TopKIndexedBatchFiltered]]): the batch probe's five queries cut
+    * on the same embedding-label eligibility as [[bm25Filtered]] — the
+    * filtered lexical cell closed under {single, batch}. Oracle spliced
+    * into the batch scan replay by anchored rewrite. */
+  def bm25FilteredBatch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val idx = TextAnalysis.ensureInvertedIndex(s, documents(s, d), d)
+    val qs = Seq(
+      (0L, Seq("vector", "stream", "merge", "quantum")),
+      (1L, Seq("join", "hash", "filter")),
+      (2L, Seq("spark", "window")),
+      (3L, Seq("customer", "quantum")),
+      (4L, Seq("table", "data", "data"))
+    ).toDF("query_id", "terms")
+    val eligible = embeddings(s, d).where(col("label") === 2)
+      .select(col("vec_id").as("doc_id"))
+    TextAnalysis.bm25TopKIndexedBatchFiltered(s, idx, qs, eligible, k = 10)
+      .orderBy(col("query_id"), col("score").desc, col("doc_id"))
+  }
+
+  val bm25FilteredBatchSql: String = {
+    val anchor = "FROM q JOIN tfd ON q.term = tfd.term CROSS JOIN st"
+    require(bm25BatchSql.contains(anchor),
+      "bm25FilteredBatchSql: the anchor vanished from bm25BatchSql")
+    bm25BatchSql.replace(anchor,
+      anchor +
+        "\n      WHERE tfd.doc_id IN (SELECT vec_id FROM embeddings WHERE label = 2)")
+  }
 
   /** Exact-phrase search ([[graft.ops.TextAnalysis.phraseSearch]]) for a
     * 3-word phrase over the windowN=2 positioned index — two windows,

@@ -59,6 +59,22 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(!got.exists(p => p._1 == dead || p._2 == dead))
   }
 
+  test("incremental containment: cloned batch finds its originals from the store") {
+    import org.apache.spark.sql.functions.col
+    val (sets, _) = Indexes.ensureMinhashIndex(spark, docs, sf)
+    val newBatch = docs.where(col("source") === "src0")
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val got = Indexes.containmentIncremental(spark, newBatch, sets)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got.nonEmpty, "clones must surface containment pairs")
+    assert(got.forall(p => p._1 >= 100000L && p._2 < 100000L),
+      "pairs are strictly cross (new x corpus)")
+    // an exact clone pair has full bidirectional containment
+    val selfPairs = got.filter(p => p._1 - 100000L == p._2)
+    assert(selfPairs.nonEmpty)
+    assert(selfPairs.forall(p => p._4 == 1000000L && p._5 == 1000000L))
+  }
+
   test("indexed simhash near-dups == inline simhashNearDups") {
     val idx = Indexes.ensureSimhashIndex(spark, docs, sf)
     val indexed = Indexes.simhashNearDupsIndexed(spark, idx)

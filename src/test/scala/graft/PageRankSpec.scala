@@ -94,6 +94,37 @@ class PageRankSpec extends AnyFunSuite {
     assert(got.values.forall(_ > 0L))
   }
 
+  test("hits: distributed equals the sequential integer recurrence exactly") {
+    // directed, asymmetric: node 3 is the strong authority (pointed at by
+    // 1, 2, 4); node 1 the strong hub (points at 2, 3, 5)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 5L), (2L, 3L), (4L, 3L), (5L, 4L))
+    val got = PageRank.hitsFp(edges.toDF("src", "dst"), iters = 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val want = PageRank.referenceHitsFp(edges, iters = 4)
+    assert(got === want)
+    assert(got.maxBy(_._2._1)._1 === 3L, "node 3 is the top authority")
+    assert(got.maxBy(_._2._2)._1 === 1L, "node 1 is the top hub")
+  }
+
+  test("hits: bipartite graph splits roles; L1 mass conserved within truncation") {
+    // customers 100..102 -> parts 1..3
+    val edges = Seq((100L, 1L), (100L, 2L), (101L, 1L), (101L, 3L), (102L, 1L))
+    val scale = 1000000000L
+    val got = PageRank.hitsFp(edges.toDF("src", "dst"), iters = 4, scale)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got === PageRank.referenceHitsFp(edges, iters = 4, scale))
+    // sources have zero authority, sinks zero hub (no in/out edges)
+    assert(Seq(100L, 101L, 102L).forall(got(_)._1 === 0L))
+    assert(Seq(1L, 2L, 3L).forall(got(_)._2 === 0L))
+    // part 1 (3 buyers) is the top authority
+    assert(got.maxBy(_._2._1)._1 === 1L)
+    // each normalized vector sums to scale minus per-node truncation
+    val aSum = got.values.map(_._1).sum
+    val hSum = got.values.map(_._2).sum
+    assert(aSum <= scale && aSum > scale - got.size)
+    assert(hSum <= scale && hSum > scale - got.size)
+  }
+
   test("ppr: non-seed components get exactly zero rank") {
     val edges = Seq((1L, 2L), (2L, 1L), (10L, 11L), (11L, 10L))
     val got = PageRank.pprFp(edges.toDF("src", "dst"), Seq(1L), iters = 5)

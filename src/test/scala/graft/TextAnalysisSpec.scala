@@ -557,6 +557,29 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().isEmpty)
   }
 
+  test("filtered bm25 batch: per-query identity with the single filtered probe") {
+    val corpus = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val inv = java.nio.file.Files.createTempDirectory("bm25fb").toString + "/idx"
+    TextAnalysis.writeInvertedIndex(corpus, inv)
+    val eligible = corpus.where(col("doc_id") % 2 === 0).select(col("doc_id"))
+    val qs = Seq((0L, Seq("vector", "stream")), (1L, Seq("join", "merge")),
+      (2L, Seq("quantum"))).toDF("query_id", "terms")
+    val got = TextAnalysis.bm25TopKIndexedBatchFiltered(spark, inv, qs,
+        eligible, k = 10)
+      .as[(Long, Long, Double)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3))
+        .sortBy(r => (-r._2, r._1))).toMap
+    Seq(0L -> Seq("vector", "stream"), 1L -> Seq("join", "merge"),
+      2L -> Seq("quantum")).foreach { case (q, terms) =>
+      val single = TextAnalysis.bm25TopKIndexedFiltered(spark, inv, terms,
+          eligible, k = 10)
+        .as[(Long, Double)].collect().toSeq
+      assert(got.getOrElse(q, Seq.empty) === single, s"query $q")
+      assert(single.forall(_._1 % 2 == 0))
+    }
+  }
+
   test("filtered bm25: global statistics, eligibility is only a candidate cut") {
     val corpus = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), col("text"))
