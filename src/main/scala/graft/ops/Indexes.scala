@@ -2028,11 +2028,17 @@ object Indexes {
     val newSets = Dedup.shingleSets(newDocs, shingleN).persist()
     val newEx = newSets.select(col("doc_id").as("new_id"),
       explode(col("sh")).as("h"))
-    val newShingles = newEx.select(col("h")).distinct()
+    val newShingles = newEx.select(col("h")).distinct().persist()
+    // the batch-shingle probe broadcasts only while it is broadcast-SIZED;
+    // a bulk backfill's shingle set falls back to a shuffle semi-join
+    // rather than forcing an oversized broadcast (correctness identical)
+    val probe =
+      if (newShingles.count() <= 2000000L) broadcast(newShingles)
+      else newShingles
     val corpusSets = readMinhashTable(spark, setsPath)
     val corpusEx = corpusSets
       .select(col("doc_id").as("corpus_id"), explode(col("sh")).as("h"))
-      .join(broadcast(newShingles), Seq("h")) // batch-relevant postings only
+      .join(probe, Seq("h")) // batch-relevant postings only
       .persist()
     val dfC = corpusEx.groupBy(col("h")).agg(count(lit(1)).as("dfc"))
     val dfN = newEx.groupBy(col("h")).agg(count(lit(1)).as("dfn"))
@@ -2061,6 +2067,7 @@ object Indexes {
       .where(greatest(col("c_new_fp"), col("c_corpus_fp")) >= thresholdFp)
       .localCheckpoint(true)
     corpusEx.unpersist()
+    newShingles.unpersist()
     newSets.unpersist()
     pairs
   }

@@ -1120,6 +1120,64 @@ object PipelineQueries {
        |ORDER BY rank_fp DESC, node ASC LIMIT 20""".stripMargin
   }
 
+  /** TEXTRANK keyword extraction (Mihalcea & Tarau, as publicly
+    * described): PageRank over the corpus word-ADJACENCY graph — nodes
+    * are words (48-bit md5 ids, the shingle-hash convention), edges the
+    * symmetrized distinct adjacent-word pairs — surfacing the corpus's
+    * structurally central vocabulary, the unsupervised keyphrase
+    * primitive. Pure composition of committed machinery:
+    * [[graft.ops.TextOps.shingles]] (n = 2) for adjacency,
+    * [[graft.ops.PageRank.pageRankFp]] for the walk (same integer fixed
+    * point, same hash-verifiability), ranks joined back to the
+    * vocabulary for presentation. The oracle rebuilds the same graph and
+    * replays the five unrolled integer rounds via [[duckRankIters]]. */
+  def textrankKeywords(s: SparkSession, d: String): DataFrame = {
+    val w = documents(s, d)
+      .select(TextOps.wordsSafe(col("text")).as("ws"))
+    val pw = w.select(explode(TextOps.shingles(col("ws"), 2)).as("bg"))
+      .select(split(col("bg"), " ").as("p"))
+      .select(element_at(col("p"), 1).as("wa"), element_at(col("p"), 2).as("wb"))
+      .where(col("wa") =!= col("wb"))
+    val ed = pw.select(col("wa"), col("wb"))
+      .unionAll(pw.select(col("wb").as("wa"), col("wa").as("wb")))
+      .select(TextOps.shingleHash(col("wa")).as("src"),
+        TextOps.shingleHash(col("wb")).as("dst"))
+      .distinct()
+    val vocab = w.select(explode(col("ws")).as("word")).distinct()
+      .select(col("word"), TextOps.shingleHash(col("word")).as("node"))
+    graft.ops.PageRank.pageRankFp(ed, iters = 5)
+      .join(vocab, Seq("node"))
+      .select(col("word"), col("rank_fp"))
+      .orderBy(col("rank_fp").desc, col("word").asc)
+      .limit(20)
+  }
+
+  val textrankKeywordsSql: String = {
+    val iterCtes = duckRankIters("st.tp")
+    s"""WITH w AS (SELECT $duckWords AS w FROM documents),
+       |pr AS (SELECT unnest(list_transform(range(1, len(w)),
+       |                i -> [w[i], w[i + 1]])) AS p
+       |       FROM w WHERE len(w) >= 2),
+       |pw AS (SELECT p[1] AS wa, p[2] AS wb FROM pr WHERE p[1] != p[2]),
+       |ed AS (SELECT DISTINCT
+       |         ('0x' || substr(md5(wa), 1, 12))::BIGINT AS src,
+       |         ('0x' || substr(md5(wb), 1, 12))::BIGINT AS dst
+       |       FROM (SELECT wa, wb FROM pw
+       |             UNION ALL SELECT wb AS wa, wa AS wb FROM pw)),
+       |nd AS (SELECT DISTINCT src AS node FROM ed),
+       |og AS (SELECT src, count(*)::BIGINT AS outdeg FROM ed GROUP BY src),
+       |st AS (SELECT (1000000000000 // count(*))::BIGINT AS base,
+       |              ((15 * (1000000000000 // count(*))) // 100)::BIGINT AS tp
+       |       FROM nd),
+       |r0 AS (SELECT nd.node, st.base AS r FROM nd CROSS JOIN st),
+       |$iterCtes,
+       |vw AS (SELECT DISTINCT word,
+       |         ('0x' || substr(md5(word), 1, 12))::BIGINT AS node
+       |       FROM (SELECT unnest(w) AS word FROM w))
+       |SELECT vw.word, r5.r AS rank_fp FROM r5 JOIN vw USING (node)
+       |ORDER BY rank_fp DESC, word ASC LIMIT 20""".stripMargin
+  }
+
   /** HITS hubs & authorities ([[graft.ops.PageRank.hitsFp]]) on the
     * DIRECTED bipartite purchase graph (customer → part, customer ids
     * offset out of the part key space): hubs = customers whose baskets
