@@ -83,6 +83,32 @@ object EventStreams {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
               col("cnt"), col("sum_value"))
 
+  /** Streaming twin of q_active_users' DAU series
+    * ([[graft.queries.CoreQueries.activeUsers]]): per calendar day, the
+    * distinct active-user count, emitted exactly once when the watermark
+    * closes the day. Two stacked stateful stages, both watermark-bounded
+    * on the DAY-TRUNCATED event time `ts_day` — it must be the event-time
+    * column AND a dedup key, because `dropDuplicates` evicts state only
+    * for keys containing the watermarked column (keys of (user, derived
+    * date) alone would grow forever), and truncation makes every
+    * duplicate of a user-day share one event time, so the same-day
+    * re-appearance can never be late relative to its own key. State is
+    * one row per user-day inside the horizon (the exact state the batch
+    * `distinct` shuffles — never raw events), evicted roughly two
+    * day-boundaries later (the 25 h delay below day granularity). The
+    * trailing-7-day WAU stays batch-only by design: its rolling distinct
+    * would hold each user-day for 7 days and emit a week late — the
+    * batch twin over landed data is the exact form. */
+  def dailyActiveUsersStream(events: DataFrame,
+                             watermark: String = "25 hours"): DataFrame =
+    events
+      .select(col("user_id"), date_trunc("day", col("ts")).as("ts_day"))
+      .withWatermark("ts_day", watermark)
+      .dropDuplicates("user_id", "ts_day")
+      .groupBy(window(col("ts_day"), "1 day").as("w"))
+      .agg(count(lit(1)).as("dau"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"), col("dau"))
+
   /** Per-key running state: (event_type → cumulative count, cumulative value
     * sum) maintained across micro-batches via `mapGroupsWithState`. This is
     * the custom-state escape hatch for semantics windowed aggregation can't

@@ -61,6 +61,42 @@ class EventStreamsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("daily active users stream: closed days equal the batch DAU; dedup state evicts") {
+    val in = MemoryStream[(Long, Timestamp)]
+    val q = EventStreams.dailyActiveUsersStream(
+        in.toDF().toDF("user_id", "ts"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dau_stream").start()
+    def emitted(): Map[String, Long] = spark.table("dau_stream")
+      .as[(String, Long)].collect().toMap
+    // day 1: users 1, 2 (user 1 twice — morning + evening must count once)
+    in.addData(
+      (1L, ts("2026-01-01T08:00:00Z")),
+      (2L, ts("2026-01-01T12:00:00Z")),
+      (1L, ts("2026-01-01T22:00:00Z")))
+    q.processAllAvailable()
+    assert(emitted().isEmpty, "open day not yet emitted")
+    // day 2 activity; then a day far enough ahead that the 25 h watermark
+    // (on DAY-TRUNCATED time) passes both day ends and closes days 1 + 2
+    in.addData((3L, ts("2026-01-02T09:00:00Z")),
+      (1L, ts("2026-01-02T10:00:00Z")))
+    q.processAllAvailable()
+    in.addData((9L, ts("2026-01-05T06:00:00Z")))
+    q.processAllAvailable()
+    // one more micro-batch so the post-watermark eviction pass runs
+    in.addData((9L, ts("2026-01-05T07:00:00Z")))
+    q.processAllAvailable()
+    assert(emitted() === Map("2026-01-01" -> 2L, "2026-01-02" -> 2L))
+    // dedup state for closed days is gone: numRowsTotal across both
+    // stateful operators stays bounded by the open horizon
+    val stateRows = q.lastProgress.stateOperators
+      .asInstanceOf[Array[org.apache.spark.sql.streaming.StateOperatorProgress]]
+      .map(_.numRowsTotal).sum
+    assert(stateRows <= 4,
+      s"closed-day dedup/agg state must evict, held $stateRows rows")
+    q.stop()
+  }
+
   test("runningTotals: per-key state accumulates across micro-batches") {
     val in = MemoryStream[(String, Double)]
     val q = EventStreams.runningTotals(in.toDS())
