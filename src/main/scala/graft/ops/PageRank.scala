@@ -326,7 +326,12 @@ object PageRank {
     *
     * Returns (node, auth_fp, hub_fp) after exactly `iters` rounds from
     * the uniform start; fixed rounds + integer arithmetic make the run
-    * replay as unrolled CTEs in DuckDB, bit for bit. */
+    * replay as unrolled CTEs in DuckDB, bit for bit.
+    *
+    * EAGER-EXECUTION CONTRACT (the batch-probe family's rule): calling
+    * this method RUNS the walk — the loop's L1 folds are driver actions
+    * and the returned frame is already materialized (localCheckpoint),
+    * with every loop cache released before return. */
   def hitsFp(edges: DataFrame, iters: Int,
              scale: Long = 1000000000L): DataFrame = {
     checkIters(iters)

@@ -3582,14 +3582,21 @@ object PipelineQueries {
     * source being 90% of a 100 TB corpus. Bin ids restart per shard
     * (training-shard layout); PlanAuditSpec asserts the window key carries
     * the shard column. */
-  def packShards(s: SparkSession, d: String): DataFrame =
-    Curation.packBins(documents(s, d), capacity = 512, shardDocs = 100L)
+  def packShards(s: SparkSession, d: String): DataFrame = {
+    // same REAL-subword budgeting as q_pack_sequences — the two packing
+    // forms must count the same tokens or the shard layout lies
+    val vocab = graft.ops.Bpe.vocab(s)
+    Curation.packBins(documents(s, d), capacity = 512, shardDocs = 100L,
+        tokens = Some(graft.ops.Bpe.tokenCount(
+          TextOps.wordsSafe(col("text")), vocab)))
       .orderBy(col("source"), col("shard_id"), col("bin_id"))
+  }
 
   val packShardsSql: String =
-    """WITH t AS (SELECT source, doc_id, doc_id // 100 AS shard_id,
-      |             len(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'))::BIGINT AS tokens
-      |           FROM documents),
+    s"""WITH RECURSIVE
+      |$duckBpeCtes,
+      |t AS (SELECT d.source, d.doc_id, d.doc_id // 100 AS shard_id, b.tokens
+      |      FROM documents d JOIN bdoctok b ON d.doc_id = b.doc_id),
       |c AS (SELECT source, shard_id, tokens,
       |        coalesce(sum(tokens) OVER (PARTITION BY source, shard_id ORDER BY doc_id
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
