@@ -176,7 +176,9 @@ object Indexes {
         size() > ModelCacheCap
     })
 
-  private[ops] def memoModel[T <: AnyRef](df: DataFrame, family: String)(load: => T): T =
+  private[graft] def modelCacheSize: Int = modelCache.size()
+
+  private[graft] def memoModel[T <: AnyRef](df: DataFrame, family: String)(load: => T): T =
     if (df.inputFiles.isEmpty) load
     else {
       val planKey = md5Hex(df.queryExecution.analyzed.canonicalized

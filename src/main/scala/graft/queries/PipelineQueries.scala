@@ -3283,6 +3283,51 @@ object PipelineQueries {
        |       ((n_tokens * 1000000) // n_docs)::BIGINT AS avg_tokens_fp
        |FROM g ORDER BY source""".stripMargin
 
+  /** TOKENIZER-HEALTH audit: per source, the fraction of subword pieces
+    * that are single-character FALLBACKS (the committed vocabulary's
+    * pieces are ≥ 2 chars by contract, so length-1 pieces are exactly
+    * the not-in-vocabulary coverage) — the metric that tells a pipeline
+    * its tokenizer no longer fits a drifted corpus before perplexity
+    * does. Exact integer counts, rate in 1e-6 fixed point. */
+  def bpeOovRate(s: SparkSession, d: String): DataFrame = {
+    val vocab = graft.ops.Bpe.vocab(s)
+    documents(s, d)
+      .select(col("source"),
+        explode(TextOps.wordsSafe(col("text"))).as("w"))
+      .select(col("source"), graft.ops.Bpe.encode(col("w"), vocab).as("p"))
+      .select(col("source"), size(col("p")).cast("long").as("n"),
+        size(filter(col("p"), x => length(x) === 1)).cast("long").as("n1"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(col("n1")).as("n_char_fallbacks"))
+      .select(col("source"), col("n_tokens"), col("n_char_fallbacks"),
+        when(col("n_tokens") > 0, call_function("div",
+          col("n_char_fallbacks") * lit(1000000L), col("n_tokens")))
+          .otherwise(lit(0L)).as("oov_fp"))
+      .orderBy(col("source"))
+  }
+
+  val bpeOovRateSql: String =
+    s"""WITH RECURSIVE
+       |$duckBpeCtes,
+       |wp AS (SELECT w, ntok,
+       |         CASE WHEN pieces = '' THEN 0
+       |              ELSE len(list_filter(string_split(pieces, chr(124)),
+       |                                   x -> len(x) = 1)) END::BIGINT AS n1
+       |       FROM bwt),
+       |occ AS (SELECT d.source, x.w
+       |        FROM documents d
+       |        JOIN (SELECT doc_id, unnest(ws) AS w FROM bdw) x
+       |          ON d.doc_id = x.doc_id),
+       |g AS (SELECT source, sum(wp.ntok)::BIGINT AS n_tokens,
+       |             sum(wp.n1)::BIGINT AS n_char_fallbacks
+       |      FROM occ JOIN wp USING (w) GROUP BY source)
+       |SELECT source, n_tokens, n_char_fallbacks,
+       |       CASE WHEN n_tokens > 0
+       |            THEN (n_char_fallbacks * 1000000) // n_tokens
+       |            ELSE 0 END::BIGINT AS oov_fp
+       |FROM g ORDER BY source""".stripMargin
+
   def tokenStats(s: SparkSession, d: String): DataFrame =
     TextAnalysis.tokenStats(documents(s, d))
 

@@ -806,6 +806,32 @@ class IndexesSpec extends AnyFunSuite {
       "window store must compact back to its bucketed serving layout")
   }
 
+  test("model cache is a bounded LRU: an ad-hoc key stream cannot grow the driver") {
+    // r13 ADVICE: the bm25stats family keys on the query's term list, so
+    // a serving process answering arbitrary queries used to leak one
+    // entry per distinct query forever. Flood with more distinct keys
+    // than the cap and the cache must stay capped, while a committed
+    // model re-read still hits (access-ordered: recently-used survives).
+    val df = emb.limit(1)
+    val before = Indexes.modelCacheSize
+    (0 until 1200).foreach { i =>
+      Indexes.memoModel(df, s"lru_probe_$i")(java.lang.Long.valueOf(i.toLong))
+    }
+    assert(Indexes.modelCacheSize <= 1024,
+      s"cache must stay bounded, holds ${Indexes.modelCacheSize}")
+    assert(Indexes.modelCacheSize >= math.min(1024, before),
+      "the flood itself must be cached (not silently dropped)")
+    // a hot key touched during the flood survives it
+    Indexes.memoModel(df, "lru_probe_hot")(java.lang.Long.valueOf(-1L))
+    (0 until 500).foreach { i =>
+      Indexes.memoModel(df, s"lru_probe2_$i")(java.lang.Long.valueOf(i.toLong))
+      Indexes.memoModel(df, "lru_probe_hot")(java.lang.Long.valueOf(-999L))
+    }
+    assert(Indexes.memoModel(df, "lru_probe_hot")(
+      java.lang.Long.valueOf(-999L)) === java.lang.Long.valueOf(-1L),
+      "an access-refreshed entry must survive the churn (LRU, not FIFO)")
+  }
+
   test("generation manifest: atomic reader flip, rollback-safe grace-gated retirement") {
     val root = Files.createTempDirectory("manifest").toString
     val manifest = s"$root/manifest"
