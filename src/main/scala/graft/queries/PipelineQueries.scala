@@ -5057,6 +5057,41 @@ object PipelineQueries {
       k = 10)
       .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
 
+  /** BATCHED FILTERED hybrid — the last open cell of the hybrid matrix
+    * ({plain, weighted, filtered} × {single, batch} now all oracle-gated):
+    * per-query RRF over the two batched FILTERED sub-probes answering one
+    * eligibility predicate (embedding label = 2) — [[bm25FilteredBatch]]
+    * on the lexical side, [[annFilteredBatch]] (filtered IVF, the batch
+    * filtered vector probe) on the vector side. Same bounded-input
+    * fusion mechanics as [[hybridBatch]]. */
+  def hybridFilteredBatch(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.hybridSearchRrfBatch(
+      bm25FilteredBatch(s, d), "score",
+      annFilteredBatch(s, d)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("cos")), "cos",
+      k = 10)
+      .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
+
+  lazy val hybridFilteredBatchSql: String =
+    s"""WITH lex AS ($bm25FilteredBatchSql),
+       |vec0 AS ($annFilteredBatchSql),
+       |lrk AS (SELECT query_id, doc_id,
+       |          row_number() OVER (PARTITION BY query_id
+       |                             ORDER BY score DESC, doc_id ASC) AS lr
+       |        FROM lex),
+       |vrk AS (SELECT query_id, vec_id AS doc_id,
+       |          row_number() OVER (PARTITION BY query_id
+       |                             ORDER BY cos DESC, vec_id ASC) AS vr
+       |        FROM vec0),
+       |f AS (SELECT query_id, doc_id,
+       |        round(coalesce(1.0 / (60 + lr), 0) +
+       |              coalesce(1.0 / (60 + vr), 0), 6) AS rrf
+       |      FROM lrk FULL JOIN vrk USING (query_id, doc_id))
+       |SELECT query_id, doc_id, rrf FROM f
+       |QUALIFY row_number() OVER (PARTITION BY query_id
+       |                           ORDER BY rrf DESC, doc_id ASC) <= 10
+       |ORDER BY query_id, rrf DESC, doc_id""".stripMargin
+
   // lazy: interpolates bm25IndexedBatchSql, declared LATER in this object
   // — a plain val would capture null at init order (the driver's parse
   // error caught exactly that)
