@@ -197,6 +197,51 @@ object PipelineQueries {
       .orderBy(col("new_id"), col("corpus_id"))
   }
 
+  /** CROSS-SOURCE duplication matrix — "which sources duplicate each
+    * other": near-dup pairs from the committed minhash store
+    * ([[graft.ops.Indexes.minhashNearDupsIndexed]] — zero tokenization),
+    * labeled with both docs' sources (pair normalized so source_a ≤
+    * source_b) and counted per source pair with the mean Jaccard in 1e-6
+    * fixed point. The provenance panel behind source-level dedup policy:
+    * a hot off-diagonal cell = one source republishing another. Scale:
+    * the pair frame (already bounded: above-threshold near-dups only)
+    * joins the |docs|-sized source map twice, then a |sources|²-row
+    * aggregate. Mean = exact integer div of summed per-pair fixed-point
+    * Jaccards (each pair's jaccard quantized identically in both
+    * engines before summing, so the aggregate replays bit for bit). */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val (sets, bands) = graft.ops.Indexes.ensureMinhashIndex(s, documents(s, d), d)
+    val src = documents(s, d).select(col("doc_id"), col("source"))
+    val pairs = graft.ops.Indexes
+      .minhashNearDupsIndexed(s, sets, bands, threshold = 0.3)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"),
+        round(col("jaccard") * lit(1e6), 0).cast("long").as("j_fp"))
+    pairs.groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("j_fp")).as("j_sum"))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        call_function("div", col("j_sum"), col("n_pairs")).as("mean_j_fp"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val sourceOverlapSql: String =
+    s"""WITH $duckNearDupCtes,
+       |sp AS (SELECT least(da.source, db.source) AS source_a,
+       |              greatest(da.source, db.source) AS source_b,
+       |              round(jacc * 1000000, 0)::BIGINT AS j_fp
+       |       FROM scored
+       |       JOIN documents da ON scored.doc_a = da.doc_id
+       |       JOIN documents db ON scored.doc_b = db.doc_id
+       |       WHERE jacc >= 0.3)
+       |SELECT source_a, source_b, count(*)::BIGINT AS n_pairs,
+       |       (sum(j_fp) // count(*))::BIGINT AS mean_j_fp
+       |FROM sp GROUP BY source_a, source_b
+       |ORDER BY source_a, source_b""".stripMargin
+
   /** INCREMENTAL directed containment ([[graft.ops.Indexes
     * .containmentIncremental]]): a new ingest batch (src0 re-ingested
     * under offset ids — each new doc an exact clone of its original, so
