@@ -741,6 +741,47 @@ object CoreQueries {
       |  AND (h.cnt * m.n - m.s1) * (h.cnt * m.n - m.s1) > 9 * (m.n * m.s2 - m.s1 * m.s1)
       |ORDER BY z2_fp DESC, hour_start""".stripMargin
 
+  /** §2.9 extension — BOT-USER detection: users whose event volume sits
+    * more than 2σ above the per-user mean (the dial a curation pass
+    * starts from; the z² constant is the single knob), decided with the
+    * same sqrt-free integer z² test as [[hourlyAnomalies]] ((cnt·N − S1)²
+    * > 4·(N·S2 − S1²), moments in DECIMAL(38,0) — exact at any corpus
+    * size, overflow loud) and ONE-SIDED (cnt·N > S1): a bot is an
+    * excess-volume outlier; a near-silent user is not a bot. The
+    * flagged set feeds the dedup/curation pipeline as an exclusion
+    * frame. Scale: one per-user count (map-side combined), a broadcast
+    * 1-row moment frame, a |users|-sized filter. */
+  def botUsers(s: SparkSession, d: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val users = events(s, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    val moments = users.agg(count(lit(1)).cast(dec).as("n"),
+      sum(col("cnt")).cast(dec).as("s1"),
+      sum((col("cnt") * col("cnt")).cast(dec)).as("s2"))
+    val dev = col("cnt").cast(dec) * col("n") - col("s1")
+    val num = dev * dev
+    val den = col("n") * col("s2") - col("s1") * col("s1")
+    users.crossJoin(broadcast(moments))
+      .where(dev > 0 && den > 0 && num > lit(4L) * den)
+      .select(col("user_id"), col("cnt"),
+        call_function("div", num * lit(1000000L), den).as("z2_fp"))
+      .orderBy(col("z2_fp").desc, col("user_id"))
+  }
+
+  val botUsersSql: String =
+    """WITH u AS (SELECT user_id, count(*)::BIGINT AS cnt FROM events
+      |           GROUP BY user_id),
+      |m AS (SELECT count(*)::HUGEINT AS n, sum(cnt)::HUGEINT AS s1,
+      |             sum(cnt::HUGEINT * cnt)::HUGEINT AS s2 FROM u)
+      |SELECT u.user_id, u.cnt,
+      |       (((u.cnt * m.n - m.s1) * (u.cnt * m.n - m.s1)) * 1000000
+      |        // (m.n * m.s2 - m.s1 * m.s1))::BIGINT AS z2_fp
+      |FROM u CROSS JOIN m
+      |WHERE u.cnt * m.n - m.s1 > 0
+      |  AND m.n * m.s2 - m.s1 * m.s1 > 0
+      |  AND (u.cnt * m.n - m.s1) * (u.cnt * m.n - m.s1) > 4 * (m.n * m.s2 - m.s1 * m.s1)
+      |ORDER BY z2_fp DESC, user_id""".stripMargin
+
   /** §2.9 extension — event-type TRANSITION MATRIX (first-order Markov
     * counts): adjacent-event pairs per user in (ts, event_id) order —
     * event_id breaks same-microsecond ties so the sequence is total —
