@@ -1202,7 +1202,16 @@ object Indexes {
       // resolve [[currentGeneration]] flip with it, in-flight readers of
       // the old generation finish inside the grace window.
       manifestDir.foreach { m =>
-        publishGeneration(spark, m, dest)
+        // propagate the FINGERPRINT ROOT across the compaction (ADVICE
+        // r14): the compacted generation inherits src's lineage (src's
+        // own root if src was itself a compaction), so the next ensure*
+        // call recognizes the flipped generation as serving its
+        // fingerprint instead of republishing the uncompacted store.
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(m), spark.sparkContext.hadoopConfiguration)
+        val root = lineageOf(fs, new org.apache.hadoop.fs.Path(m), src)
+          .getOrElse(src)
+        publishGeneration(spark, m, dest, lineage = Some(root))
         retireGenerations(spark, m)
       }
     }
@@ -1242,7 +1251,8 @@ object Indexes {
     * manifest's audit log); only the data dirs go. Returns the retired
     * generation paths. */
   def publishGeneration(spark: SparkSession, manifestDir: String,
-                        generationPath: String): Long = {
+                        generationPath: String,
+                        lineage: Option[String] = None): Long = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(manifestDir), spark.sparkContext.hadoopConfiguration)
     val dir = new org.apache.hadoop.fs.Path(manifestDir)
@@ -1263,7 +1273,13 @@ object Indexes {
     val name = f"gen-$seq%012d-${java.util.UUID.randomUUID().toString.take(8)}"
     val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.tmp")
     val out = fs.create(tmp, true)
-    try out.write(generationPath.getBytes("UTF-8")) finally out.close()
+    // pointer content: line 1 = generation path; OPTIONAL line 2 = the
+    // fingerprint path this generation descends from (its lineage — the
+    // [[resolveThroughManifest]] republish guard's key). A lineage-less
+    // pointer (pre-r15 format, or a bare publishGeneration call) reads
+    // back as lineage == its own path.
+    val content = generationPath + lineage.map("\n" + _).getOrElse("")
+    try out.write(content.getBytes("UTF-8")) finally out.close()
     val dest = new org.apache.hadoop.fs.Path(dir, name)
     if (!fs.rename(tmp, dest)) {
       // nothing can legitimately occupy a nonce'd name — treat as a
@@ -1342,17 +1358,54 @@ object Indexes {
       }
       .sortBy { case (seq, p) => (seq, p.getName) }
 
+  /** The pointer's generation path (content line 1). */
   private def readPointer(fs: org.apache.hadoop.fs.FileSystem,
-                          p: org.apache.hadoop.fs.Path): String = {
+                          p: org.apache.hadoop.fs.Path): String =
+    readPointerLines(fs, p)._1
+
+  /** (generation path, lineage) — see [[publishGeneration]]'s content
+    * format. Lineage is None for pre-lineage pointers. */
+  private def readPointerLines(fs: org.apache.hadoop.fs.FileSystem,
+                               p: org.apache.hadoop.fs.Path)
+      : (String, Option[String]) = {
     val in = fs.open(p)
-    try {
+    val content = try {
       val buf = new java.io.ByteArrayOutputStream()
       val tmp = new Array[Byte](4096)
       var n = in.read(tmp)
       while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
       new String(buf.toByteArray, "UTF-8")
     } finally in.close()
+    content.split("\n", 2) match {
+      case Array(gen)      => (gen, None)
+      case Array(gen, lin) => (gen, Some(lin).filter(_.nonEmpty))
+    }
   }
+
+  /** The current pointer's (generation path, lineage), or None on an
+    * empty/absent manifest. */
+  private[graft] def currentGenerationEntry(spark: SparkSession,
+                                            manifestDir: String)
+      : Option[(String, Option[String])] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(manifestDir), spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(manifestDir)
+    if (!fs.exists(dir)) return None
+    manifestEntries(fs, dir).lastOption
+      .map { case (_, p) => readPointerLines(fs, p) }
+  }
+
+  /** The lineage key of `gen` as recorded by its LAST manifest pointer:
+    * the recorded lineage, else the generation path itself (lineage-less
+    * pointers root their own lineage), else None when `gen` was never
+    * published here — [[compactionPolicy]] uses this to propagate the
+    * fingerprint root across a compaction chain. */
+  private def lineageOf(fs: org.apache.hadoop.fs.FileSystem,
+                        dir: org.apache.hadoop.fs.Path,
+                        gen: String): Option[String] =
+    manifestEntries(fs, dir).reverse.iterator
+      .map { case (_, p) => readPointerLines(fs, p) }
+      .collectFirst { case (g, lin) if g == gen => lin.getOrElse(gen) }
 
   /** [[compactLshIndex]]'s twin for the CELL-partitioned families (IVF
     * inverted lists and the IVF-PQ IVFADC layout share it — the schema
@@ -1536,15 +1589,30 @@ object Indexes {
     s"$indexRoot/$tag/manifest_${familyPrefix.stripSuffix("_")}"
   }
 
-  /** Publish `path` to the family manifest if it is not already current,
-    * then serve the manifest's answer — the ensure*-side half of the
-    * generation-manifest contract. Falls back to `path` only on an
-    * empty manifest race (another process retired every pointer). */
+  /** Publish `path` to the family manifest if the manifest does not
+    * already serve this fingerprint, then serve the manifest's answer —
+    * the ensure*-side half of the generation-manifest contract. Falls
+    * back to `path` only on an empty manifest race (another process
+    * retired every pointer).
+    *
+    * LINEAGE GUARD (ADVICE r14): "serves this fingerprint" means the
+    * current generation either IS `path` or DESCENDS from it — every
+    * pointer records the fingerprint path its generation derives from
+    * (its lineage, propagated across compactions by
+    * [[compactionPolicy]]), and a compacted generation keeps its
+    * ancestor's lineage. Without the guard, the first ensure* call after
+    * a compaction flip saw currentGeneration != path and republished the
+    * uncompacted store — silently undoing the flip and feeding the
+    * freshly-compacted generation to grace retirement. A current
+    * generation with a DIFFERENT lineage (a new corpus fingerprint, or a
+    * rollback to an older one) still publishes: that is a real flip. */
   private[graft] def resolveThroughManifest(spark: SparkSession,
                                             manifestDir: String,
                                             path: String): String = {
-    if (!currentGeneration(spark, manifestDir).contains(path))
-      publishGeneration(spark, manifestDir, path)
+    val servesFingerprint = currentGenerationEntry(spark, manifestDir)
+      .exists { case (gen, lin) => gen == path || lin.getOrElse(gen) == path }
+    if (!servesFingerprint)
+      publishGeneration(spark, manifestDir, path, lineage = Some(path))
     currentGeneration(spark, manifestDir).getOrElse(path)
   }
 

@@ -339,9 +339,13 @@ object PageRank {
       s"scale² must fit in a Long with margin, got $scale")
     val spark = edges.sparkSession
     import spark.implicits._
+    // edPairs feeds FOUR downstream builds (count, bySrc, byDst, the
+    // nodes union) — persisted so the DataFrame scan + cast runs once,
+    // not once per build (ADVICE r14); released with the loop caches.
     val edPairs = edges
       .select(col("src").cast("long"), col("dst").cast("long"))
       .as[(Long, Long)].rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // partition count sized from the MATERIALIZED edge count (the
     // connected-components rule: ~500k edges per partition, capped at
     // defaultParallelism) — neither the source's file count (a compact
@@ -359,7 +363,20 @@ object PageRank {
     val nodes = (edPairs.map(_._1) ++ edPairs.map(_._2)).distinct()
       .map((_, ())).partitionBy(part)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    require(nodes.take(1).nonEmpty, "hitsFp: empty graph")
+    val nCount = nodes.count()
+    require(nCount > 0, "hitsFp: empty graph")
+    // the initial hub vector is L1-NORMALIZED to total ≤ scale (uniform
+    // value scale div N), so the L1 ≤ scale invariant holds from round 0
+    // and EVERY per-node Long sum in the loop is ≤ scale unconditionally
+    // — the first-round in-degree bound the un-normalized uniform start
+    // needed is gone (ADVICE r14). Results are bit-identical to the
+    // uniform-`scale` start (and to [[referenceHitsFp]]'s): with a
+    // uniform start, round-1 raw values share the constant factor c and
+    // floor((a·c)/(b·c)) = floor(a/b), so the first normalization —
+    // hence every later round — is invariant to c. c ≥ 1 is enforced:
+    require(nCount <= scale,
+      s"hitsFp: node count $nCount exceeds scale $scale — the normalized " +
+        "uniform start would floor to zero; raise scale")
     val cached = scala.collection.mutable.Buffer.empty[
       org.apache.spark.rdd.RDD[_]]
     // raw(to) = Σ other(from) over the co-partitioned edge list, then
@@ -378,7 +395,7 @@ object PageRank {
       if (l1 <= 0) raw.mapValues(_ => 0L)
       else raw.mapValues(v => (BigInt(v) * scale / l1).toLong)
     }
-    var hub = nodes.mapValues(_ => scale)
+    var hub = nodes.mapValues(_ => scale / nCount)
     var auth = nodes.mapValues(_ => 0L)
     for (_ <- 1 to iters) {
       auth = halfRound(bySrc, hub)
@@ -392,7 +409,8 @@ object PageRank {
       .map { case (n, (a, h)) => (n, a, h.getOrElse(0L)) }
       .toDF("node", "auth_fp", "hub_fp")
       .localCheckpoint(true)
-    (Seq(bySrc, byDst, nodes) ++ cached).foreach(_.unpersist(blocking = false))
+    (Seq(edPairs, bySrc, byDst, nodes) ++ cached)
+      .foreach(_.unpersist(blocking = false))
     out
   }
 

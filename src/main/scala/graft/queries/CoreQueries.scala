@@ -704,10 +704,26 @@ object CoreQueries {
     * pattern): at production scale S1 ~ 1e12 makes S1² ~ 1e24 and
     * num·1e6 ~ 1e30 — far past BIGINT, where non-ANSI Long arithmetic
     * would wrap SILENTLY and drop/corrupt anomaly rows; decimal keeps the
-    * test exact to 38 digits and overflow loud (the oracle's HUGEINT sums
-    * are exact natively). Scale: one hourly aggregate (map-side
-    * combined), a broadcast 1-row moment frame, and an hours-sized
-    * filter. */
+    * test exact to 38 digits (the oracle's HUGEINT sums are exact
+    * natively). PAST 38 digits, non-ANSI Spark degrades decimal overflow
+    * to NULL — which the `where` would silently drop — so num and den go
+    * through [[zsqLoud]] (coalesce → raise_error): overflow fails the job
+    * by construction, not by ANSI mode (ADVICE r14). Scale: one hourly
+    * aggregate (map-side combined), a broadcast 1-row moment frame, and
+    * an hours-sized filter. */
+  /** Loud-overflow guard for the z² decimal arithmetic: under default
+    * non-ANSI Spark, DECIMAL(38,0) overflow yields NULL, and a NULL in
+    * the `where` conjuncts silently DROPS the row — the exact failure
+    * the decimal move was meant to eliminate (ADVICE r14). coalesce
+    * short-circuits, so raise_error evaluates only on an actual
+    * overflow; the cast is a NullType→decimal no-op that exists to
+    * type-check the branch. */
+  private def zsqLoud(c: Column,
+                      dec: org.apache.spark.sql.types.DecimalType): Column =
+    coalesce(c, raise_error(lit(
+      "z² moment overflow past DECIMAL(38,0) — magnitudes exceed 38 " +
+        "digits; widen the moment type")).cast(dec))
+
   def hourlyAnomalies(s: SparkSession, d: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     val hours = events(s, d)
@@ -718,8 +734,8 @@ object CoreQueries {
       sum(col("cnt")).cast(dec).as("s1"),
       sum((col("cnt") * col("cnt")).cast(dec)).as("s2"))
     val dev = col("cnt").cast(dec) * col("n") - col("s1")
-    val num = dev * dev
-    val den = col("n") * col("s2") - col("s1") * col("s1")
+    val num = zsqLoud(dev * dev, dec)
+    val den = zsqLoud(col("n") * col("s2") - col("s1") * col("s1"), dec)
     hours.crossJoin(broadcast(moments))
       .where(den > 0 && num > lit(9L) * den)
       .select(col("hour_start"), col("cnt"),
@@ -746,7 +762,7 @@ object CoreQueries {
     * starts from; the z² constant is the single knob), decided with the
     * same sqrt-free integer z² test as [[hourlyAnomalies]] ((cnt·N − S1)²
     * > 4·(N·S2 − S1²), moments in DECIMAL(38,0) — exact at any corpus
-    * size, overflow loud) and ONE-SIDED (cnt·N > S1): a bot is an
+    * size, overflow loud via [[zsqLoud]]) and ONE-SIDED (cnt·N > S1): a bot is an
     * excess-volume outlier; a near-silent user is not a bot. The
     * flagged set feeds the dedup/curation pipeline as an exclusion
     * frame. Scale: one per-user count (map-side combined), a broadcast
@@ -759,8 +775,8 @@ object CoreQueries {
       sum(col("cnt")).cast(dec).as("s1"),
       sum((col("cnt") * col("cnt")).cast(dec)).as("s2"))
     val dev = col("cnt").cast(dec) * col("n") - col("s1")
-    val num = dev * dev
-    val den = col("n") * col("s2") - col("s1") * col("s1")
+    val num = zsqLoud(dev * dev, dec)
+    val den = zsqLoud(col("n") * col("s2") - col("s1") * col("s1"), dec)
     users.crossJoin(broadcast(moments))
       .where(dev > 0 && den > 0 && num > lit(4L) * den)
       .select(col("user_id"), col("cnt"),

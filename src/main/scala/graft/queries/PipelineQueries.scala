@@ -1238,13 +1238,20 @@ object PipelineQueries {
   private def ensurePurchaseEdges(s: SparkSession, d: String): String = {
     val or = orders(s, d).select(col("o_orderkey").as("ok"),
       (col("o_custkey") + 1000000000L).as("src"))
+    val li = lineitem(s, d).select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("dst"))
     val tag = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    // the committed edges derive from BOTH orders and lineitem (ADVICE
+    // r14): the path concatenates both fingerprints, so a lineitem
+    // regeneration under unchanged orders files rotates the path instead
+    // of serving stale edges — the single-input ensureCoPurchaseEdges
+    // precedent does not carry over to a two-table derivation.
     val path = s"${graft.ops.Indexes.indexRoot}/$tag/purch_" +
-      graft.ops.Indexes.corpusFingerprint(or)
+      graft.ops.Indexes.corpusFingerprint(or) + "_" +
+      graft.ops.Indexes.corpusFingerprint(li)
     if (!graft.ops.Indexes.successExists(s, path)) {
       val tmp = graft.ops.Indexes.tmpBuildPath(path)
-      or.join(lineitem(s, d).select(col("l_orderkey").as("ok"),
-          col("l_partkey").as("dst")), "ok")
+      or.join(li, "ok")
         .select(col("src"), col("dst")).distinct()
         .repartition(col("src")).sortWithinPartitions(col("src"), col("dst"))
         .write.mode("overwrite").parquet(tmp)

@@ -80,6 +80,48 @@ class ManifestWireSpec extends AnyFunSuite {
       "re-ensuring an already-current generation must not publish a new pointer")
   }
 
+  test("ensure* after a manifest-published compaction keeps the flip (no republish)") {
+    // ADVICE r14 (medium): compactionPolicy(manifestDir = the FAMILY
+    // manifest ensure* resolves through) flips to the compacted dest;
+    // the very next ensure* call used to see currentGeneration != its
+    // fingerprint path and republish the uncompacted store — silently
+    // undoing the flip. The lineage line in the pointer closes it.
+    val sfDir = "/root/testdata/sf0.001"
+    val p1 = TextAnalysis.ensureInvertedIndex(spark, docs, sfDir)
+    val manifest = Indexes.familyManifestDir(sfDir,
+      s"inverted_b${TextAnalysis.TermBuckets}_")
+    val terms = docs
+      .select(explode(graft.ops.TextOps.wordsSafe(col("text"))).as("w"))
+      .groupBy("w").count().orderBy(col("count").desc, col("w"))
+      .limit(2).select("w").as[String].collect().toSeq.sorted
+    val before = TextAnalysis.bm25TopKIndexed(spark, p1, terms, k = 10)
+      .as[(Long, Double)].collect().toSeq
+    val dest = Files.createTempDirectory("manifest_keepflip").toString + "/c0"
+    val d = Indexes.compactionPolicy(spark, p1, dest, maxFiles = 0,
+      manifestDir = Some(manifest))
+    assert(d.compacted && Indexes.currentGeneration(spark, manifest) === Some(dest))
+    val pointers = new java.io.File(manifest).listFiles()
+      .count(_.getName.startsWith("gen-"))
+    val p2 = TextAnalysis.ensureInvertedIndex(spark, docs, sfDir)
+    assert(p2 === dest,
+      "ensure* must recognize the compacted generation as serving its " +
+        "fingerprint (lineage), not flip back to the uncompacted store")
+    assert(new java.io.File(manifest).listFiles()
+      .count(_.getName.startsWith("gen-")) === pointers,
+      "no pointer published: the compaction flip is final")
+    assert(TextAnalysis.bm25TopKIndexed(spark, p2, terms, k = 10)
+      .as[(Long, Double)].collect().toSeq === before,
+      "the served compacted generation answers identically")
+    // a compaction OF the compaction propagates the same fingerprint
+    // root — the chain case the lineage line exists for
+    val dest2 = Files.createTempDirectory("manifest_keepflip").toString + "/c1"
+    val d2 = Indexes.compactionPolicy(spark, dest, dest2, maxFiles = 0,
+      manifestDir = Some(manifest))
+    assert(d2.compacted)
+    assert(TextAnalysis.ensureInvertedIndex(spark, docs, sfDir) === dest2,
+      "lineage must survive a compaction chain")
+  }
+
   test("policy declines a store whose layout it cannot name (no mid-policy throw)") {
     val weird = Files.createTempDirectory("policy_weird").toString + "/idx"
     // the ADVICE shape: a doc-ordered report store — no postings/, no
