@@ -24,18 +24,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * probe cannot be expressed as a fixed Catalyst expression tree without
   * an O(|V|) literal-array scan per probe; as a native expression it
   * stays UDF-free, null-safe through the framework, and inside
-  * whole-stage codegen (the generated code is one static call). The
-  * vocabulary rides the expression as a plan literal (hundreds of
-  * pieces) and rebuilds its transient probe set per executor.
+  * whole-stage codegen (the generated code is one static call).
+  *
+  * The vocabulary rides the expression as a [[BpeVocabRef]] HANDLE (r14
+  * VERDICT #1 — previously a plan-literal Seq): plan text and
+  * canonicalization see only the model fingerprint, tasks serialize only
+  * the broadcast stub, and the generated code resolves the probe set
+  * ONCE per codegen instance into a mutable slot — zero per-row
+  * indirection beyond the set lookup itself.
   *
   * Oracle portability: greedy longest-match with a bounded window
   * replays in DuckDB as a recursive CTE whose step is a fixed CASE chain
-  * of `substr(w, pos, L) IN vocab` probes, L = MaxPieceLen..2, ELSE 1 —
-  * bit-exact agreement, spec- and hash-pinned. Positions are Java char
-  * (UTF-16) offsets on the Spark side and code points in DuckDB —
-  * identical for BMP text; the corpus convention (wordsSafe lowercase
-  * whitespace words) is ASCII-safe by construction. */
-case class BpeEncode(child: Expression, vocab: Seq[String])
+  * of `substr(w, pos, L) IN (SELECT piece ...)` probes reading the SAME
+  * committed parquet model, L = MaxPieceLen..2, ELSE 1 — bit-exact
+  * agreement at any vocabulary size, spec- and hash-pinned. Positions
+  * are Java char (UTF-16) offsets on the Spark side and code points in
+  * DuckDB — identical for BMP text; the corpus convention (wordsSafe
+  * lowercase whitespace words) is ASCII-safe by construction. */
+case class BpeEncode(child: Expression, model: BpeVocabRef)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -45,25 +51,18 @@ case class BpeEncode(child: Expression, vocab: Seq[String])
     else TypeCheckResult.TypeCheckFailure(
       s"graft_bpe requires a string argument, got ${child.dataType.catalogString}")
 
-  @transient private lazy val vocabSet: java.util.HashSet[String] = {
-    val s = new java.util.HashSet[String](math.max(16, vocab.size * 2))
-    vocab.foreach { p =>
-      require(p.length >= 2 && p.length <= BpeEncode.MaxPieceLen,
-        s"vocabulary piece '$p' outside [2, ${BpeEncode.MaxPieceLen}] chars — " +
-          "single chars are implicit; longer pieces are unservable by the " +
-          "bounded longest-match window")
-      s.add(p)
-    }
-    s
-  }
-
   override def nullSafeEval(s: Any): Any =
-    BpeEncode.encode(s.asInstanceOf[UTF8String], vocabSet)
+    BpeEncode.encode(s.asInstanceOf[UTF8String], model.probe())
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val setRef = ctx.addReferenceObj("bpeVocab", vocabSet,
-      "java.util.HashSet<String>")
-    defineCodeGen(ctx, ev, c => s"graft.functions.BpeEncode.encode($c, $setRef)")
+    val refName = ctx.addReferenceObj("bpeModel", model,
+      classOf[BpeVocabRef].getName)
+    // resolve the probe set once per codegen instance (partition init),
+    // not once per row — the handle's probe() memoizes per JVM anyway,
+    // but the mutable slot also skips the volatile read in the row loop
+    val setVar = ctx.addMutableState("java.util.HashSet", "bpeSet",
+      v => s"$v = $refName.probe();")
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeEncode.encode($c, $setVar)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -94,6 +93,12 @@ object BpeEncode {
   }
 
   /** Column form — usable on ANY session (no function-registry dependency). */
+  def apply(c: Column, model: BpeVocabRef): Column =
+    ColumnBridge.column(BpeEncode(ColumnBridge.expression(c), model))
+
+  /** Spec/ad-hoc Column form over an inline vocabulary (see
+    * [[BpeVocabRef.inline]] for the cost caveat). */
   def apply(c: Column, vocab: Seq[String]): Column =
-    ColumnBridge.column(BpeEncode(ColumnBridge.expression(c), vocab))
+    apply(c, BpeVocabRef.inline(
+      s"inline:${vocab.length}:${vocab.hashCode().toHexString}", vocab))
 }

@@ -3237,8 +3237,24 @@ object PipelineQueries {
     * vocabulary probes the native expression evaluates, joined back to
     * word occurrences — so segmentation, counts, and the model fixture
     * itself are all hash-verified. */
-  def bpeTokenize(s: SparkSession, d: String): DataFrame = {
-    val vocab = graft.ops.Bpe.vocab(s)
+  def bpeTokenize(s: SparkSession, d: String): DataFrame =
+    bpeTokenizeWith(s, d, graft.ops.Bpe.model(s))
+
+  /** [[bpeTokenize]] served from the committed 32k-piece STRESS model
+    * ([[graft.tools.GenStressVocab]] — r14 VERDICT #1): the corpus
+    * cannot TRAIN a 32k vocabulary (31 distinct words; the real trainer
+    * exhausts at 89 pieces), but the serving design must hold at a
+    * production tokenizer's size — this registered, hash-verified query
+    * runs the same greedy longest-match through the same handle/
+    * broadcast path with a 32768-piece model, and its DuckDB oracle
+    * replays it from the same parquet fixture. The n-gram fill makes
+    * nearly every short window a hit — the encode's worst case. */
+  def bpeTokenize32k(s: SparkSession, d: String): DataFrame =
+    bpeTokenizeWith(s, d,
+      graft.ops.Bpe.model(s, graft.ops.Bpe.StressVocabPath))
+
+  private def bpeTokenizeWith(s: SparkSession, d: String,
+                              vocab: graft.functions.BpeVocabRef): DataFrame =
     documents(s, d)
       .select(col("doc_id"), TextOps.wordsSafe(col("text")).as("ws"))
       .select(col("doc_id"),
@@ -3247,7 +3263,6 @@ object PipelineQueries {
         concat_ws("|",
           graft.ops.Bpe.encode(element_at(col("ws"), 1), vocab)).as("pieces_w1"))
       .orderBy(col("doc_id"))
-  }
 
   /** Shared oracle fragment: greedy longest-match BPE over the DISTINCT
     * corpus words — a recursive CTE whose step is the same bounded CASE
@@ -3257,12 +3272,13 @@ object PipelineQueries {
     * `bwt(w, ntok, pieces)`, `bex(doc_id, wi, w)` (word occurrences with
     * 1-based position), and `bdoctok(doc_id, tokens)`. The consuming SQL
     * must open with `WITH RECURSIVE`. */
-  private val duckBpeCtes: String = {
+  private def duckBpeCtes(
+      vocabPath: String = graft.ops.Bpe.VocabPath): String = {
     val probes = (graft.functions.BpeEncode.MaxPieceLen to 2 by -1).map(l =>
       s"           WHEN substr(w, pos::INT, $l) IN (SELECT piece FROM v WHERE l = $l) THEN $l")
       .mkString("\n")
     s"""v AS (SELECT piece, len(piece) AS l
-       |      FROM read_parquet('${graft.ops.Bpe.VocabPath}/*.parquet')),
+       |      FROM read_parquet('$vocabPath/*.parquet')),
        |bdw AS (SELECT doc_id, $duckWords AS ws FROM documents),
        |bwords AS (SELECT DISTINCT unnest(ws) AS w FROM bdw),
        |brec(w, pos, ntok, pieces) AS (
@@ -3286,7 +3302,20 @@ object PipelineQueries {
 
   val bpeTokenizeSql: String =
     s"""WITH RECURSIVE
-       |$duckBpeCtes,
+       |${duckBpeCtes()},
+       |agg AS (SELECT bex.doc_id, count(*)::BIGINT AS n_words,
+       |               sum(bwt.ntok)::BIGINT AS n_tokens
+       |        FROM bex JOIN bwt USING (w) GROUP BY bex.doc_id),
+       |w1 AS (SELECT doc_id, ws[1] AS w FROM bdw)
+       |SELECT a.doc_id, a.n_words, a.n_tokens, bwt.pieces AS pieces_w1
+       |FROM agg a JOIN w1 USING (doc_id) JOIN bwt ON bwt.w = w1.w
+       |ORDER BY doc_id""".stripMargin
+
+  /** Same replay, same recursion, 32768-piece model — the oracle is
+    * vocabulary-size-independent by construction. */
+  val bpeTokenize32kSql: String =
+    s"""WITH RECURSIVE
+       |${duckBpeCtes(graft.ops.Bpe.StressVocabPath)},
        |agg AS (SELECT bex.doc_id, count(*)::BIGINT AS n_words,
        |               sum(bwt.ntok)::BIGINT AS n_tokens
        |        FROM bex JOIN bwt USING (w) GROUP BY bex.doc_id),
@@ -3302,7 +3331,7 @@ object PipelineQueries {
     * every number an exact integer aggregate, hash-verified through the
     * recursive greedy-match oracle. */
   def corpusManifest(s: SparkSession, d: String): DataFrame = {
-    val vocab = graft.ops.Bpe.vocab(s)
+    val vocab = graft.ops.Bpe.model(s)
     documents(s, d)
       .select(col("source"), col("lang"),
         TextOps.wordsSafe(col("text")).as("ws"))
@@ -3323,7 +3352,7 @@ object PipelineQueries {
 
   val corpusManifestSql: String =
     s"""WITH RECURSIVE
-       |$duckBpeCtes,
+       |${duckBpeCtes()},
        |m AS (SELECT d.source, d.lang, len($duckWords)::BIGINT AS words,
        |             b.tokens
        |      FROM documents d JOIN bdoctok b ON d.doc_id = b.doc_id),
@@ -3342,7 +3371,7 @@ object PipelineQueries {
     * its tokenizer no longer fits a drifted corpus before perplexity
     * does. Exact integer counts, rate in 1e-6 fixed point. */
   def bpeOovRate(s: SparkSession, d: String): DataFrame = {
-    val vocab = graft.ops.Bpe.vocab(s)
+    val vocab = graft.ops.Bpe.model(s)
     documents(s, d)
       .select(col("source"),
         explode(TextOps.wordsSafe(col("text"))).as("w"))
@@ -3361,7 +3390,7 @@ object PipelineQueries {
 
   val bpeOovRateSql: String =
     s"""WITH RECURSIVE
-       |$duckBpeCtes,
+       |${duckBpeCtes()},
        |wp AS (SELECT w, ntok,
        |         CASE WHEN pieces = '' THEN 0
        |              ELSE len(list_filter(string_split(pieces, chr(124)),
@@ -3652,7 +3681,7 @@ object PipelineQueries {
     * model sees, not whitespace words); the oracle re-derives every
     * count through the recursive greedy-match replay. */
   def packSequences(s: SparkSession, d: String): DataFrame = {
-    val vocab = graft.ops.Bpe.vocab(s)
+    val vocab = graft.ops.Bpe.model(s)
     Curation.packBins(documents(s, d), capacity = 512,
         tokens = Some(graft.ops.Bpe.tokenCount(
           TextOps.wordsSafe(col("text")), vocab)))
@@ -3662,7 +3691,7 @@ object PipelineQueries {
 
   val packSequencesSql: String =
     s"""WITH RECURSIVE
-      |$duckBpeCtes,
+      |${duckBpeCtes()},
       |t AS (SELECT d.source, d.doc_id, b.tokens
       |      FROM documents d JOIN bdoctok b ON d.doc_id = b.doc_id),
       |c AS (SELECT source, tokens,
@@ -3682,7 +3711,7 @@ object PipelineQueries {
   def packShards(s: SparkSession, d: String): DataFrame = {
     // same REAL-subword budgeting as q_pack_sequences — the two packing
     // forms must count the same tokens or the shard layout lies
-    val vocab = graft.ops.Bpe.vocab(s)
+    val vocab = graft.ops.Bpe.model(s)
     Curation.packBins(documents(s, d), capacity = 512, shardDocs = 100L,
         tokens = Some(graft.ops.Bpe.tokenCount(
           TextOps.wordsSafe(col("text")), vocab)))
@@ -3691,7 +3720,7 @@ object PipelineQueries {
 
   val packShardsSql: String =
     s"""WITH RECURSIVE
-      |$duckBpeCtes,
+      |${duckBpeCtes()},
       |t AS (SELECT d.source, d.doc_id, d.doc_id // 100 AS shard_id, b.tokens
       |      FROM documents d JOIN bdoctok b ON d.doc_id = b.doc_id),
       |c AS (SELECT source, shard_id, tokens,
@@ -4073,7 +4102,7 @@ object PipelineQueries {
     * Budgets count REAL subword tokens (committed BPE model — r13 VERDICT
     * #6). Output rows are budget-bounded regardless of corpus size. */
   def tokenBudgetMix(s: SparkSession, d: String): DataFrame = {
-    val vocab = graft.ops.Bpe.vocab(s)
+    val vocab = graft.ops.Bpe.model(s)
     Curation.tokenBudgetMix(documents(s, d),
         Seq("src0" -> 5000L, "src1" -> 2000L), defaultBudget = 1000L,
         tokens = Some(graft.ops.Bpe.tokenCount(
@@ -4083,11 +4112,74 @@ object PipelineQueries {
 
   val tokenBudgetMixSql: String =
     s"""WITH RECURSIVE
-      |$duckBpeCtes,
+      |${duckBpeCtes()},
       |r AS (SELECT d.source, d.doc_id,
       |             md5(d.source || ':' || d.doc_id::VARCHAR) AS rnk,
       |             b.tokens
       |      FROM documents d JOIN bdoctok b ON d.doc_id = b.doc_id),
+      |c AS (SELECT source, doc_id, tokens,
+      |        CAST(sum(tokens) OVER (PARTITION BY source ORDER BY rnk, doc_id) AS BIGINT) AS cum_tokens
+      |      FROM r)
+      |SELECT source, doc_id, tokens, cum_tokens FROM c
+      |WHERE cum_tokens - tokens <
+      |      CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 2000 ELSE 1000 END
+      |ORDER BY source, cum_tokens, doc_id""".stripMargin
+
+  /** [[tokenBudgetMix]] behind a TOKENIZER-HEALTH gate (r14 VERDICT #8 —
+    * q_bpe_oov_rate's metric becomes a curation decision): sources whose
+    * single-char fallback rate exceeds the corpus-wide rate are EXCLUDED
+    * from the budget mix before any budget fills. The gate is exact
+    * integer arithmetic — source s is unhealthy iff
+    * n1_s · N_total > N1_total · N_s (cross-multiplied, no division, no
+    * float) — and lands as a broadcast semi-join on `source` over the
+    * corpus scan (a sources-sized frame; the q_quality_gate shape:
+    * derive a tiny model, gate as a scan filter). Scale: one extra
+    * corpus token pass (map-side combined to |sources| rows) + the same
+    * budget-mix window. */
+  def tokenBudgetGated(s: SparkSession, d: String): DataFrame = {
+    val vocab = graft.ops.Bpe.model(s)
+    val docs = documents(s, d)
+    val perSrc = docs
+      .select(col("source"), explode(TextOps.wordsSafe(col("text"))).as("w"))
+      .select(col("source"), graft.ops.Bpe.encode(col("w"), vocab).as("p"))
+      .select(col("source"), size(col("p")).cast("long").as("n"),
+        size(filter(col("p"), x => length(x) === 1)).cast("long").as("n1"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("nt"), sum(col("n1")).as("fb"))
+    val tot = perSrc.agg(sum(col("nt")).as("gnt"), sum(col("fb")).as("gfb"))
+    val healthy = perSrc.crossJoin(broadcast(tot))
+      .where(col("fb") * col("gnt") <= col("gfb") * col("nt"))
+      .select(col("source"))
+    Curation.tokenBudgetMix(
+        docs.join(broadcast(healthy), Seq("source"), "left_semi"),
+        Seq("src0" -> 5000L, "src1" -> 2000L), defaultBudget = 1000L,
+        tokens = Some(graft.ops.Bpe.tokenCount(
+          TextOps.wordsSafe(col("text")), vocab)))
+      .orderBy(col("source"), col("cum_tokens"), col("doc_id"))
+  }
+
+  val tokenBudgetGatedSql: String =
+    s"""WITH RECURSIVE
+      |${duckBpeCtes()},
+      |wp AS (SELECT w, ntok,
+      |         CASE WHEN pieces = '' THEN 0
+      |              ELSE len(list_filter(string_split(pieces, chr(124)),
+      |                                   x -> len(x) = 1)) END::BIGINT AS n1
+      |       FROM bwt),
+      |occ AS (SELECT d.source, x.w
+      |        FROM documents d
+      |        JOIN (SELECT doc_id, unnest(ws) AS w FROM bdw) x
+      |          ON d.doc_id = x.doc_id),
+      |g AS (SELECT source, sum(wp.ntok)::BIGINT AS nt,
+      |             sum(wp.n1)::BIGINT AS fb
+      |      FROM occ JOIN wp USING (w) GROUP BY source),
+      |t AS (SELECT sum(nt)::BIGINT AS gnt, sum(fb)::BIGINT AS gfb FROM g),
+      |healthy AS (SELECT source FROM g, t WHERE g.fb * t.gnt <= t.gfb * g.nt),
+      |r AS (SELECT d.source, d.doc_id,
+      |             md5(d.source || ':' || d.doc_id::VARCHAR) AS rnk,
+      |             b.tokens
+      |      FROM documents d JOIN bdoctok b ON d.doc_id = b.doc_id
+      |      WHERE d.source IN (SELECT source FROM healthy)),
       |c AS (SELECT source, doc_id, tokens,
       |        CAST(sum(tokens) OVER (PARTITION BY source ORDER BY rnk, doc_id) AS BIGINT) AS cum_tokens
       |      FROM r)
@@ -4103,7 +4195,7 @@ object PipelineQueries {
     * hash-verifies window CONTENT (the actual piece sequence), so the
     * oracle's recursive greedy-match replay is pinned piece for piece. */
   def chunkDocs(s: SparkSession, d: String): DataFrame = {
-    val vocab = graft.ops.Bpe.vocab(s)
+    val vocab = graft.ops.Bpe.model(s)
     val pieces = flatten(transform(TextOps.wordsSafe(col("text")),
       w => graft.ops.Bpe.encode(w, vocab)))
     Curation.chunkDocuments(
@@ -4114,7 +4206,7 @@ object PipelineQueries {
 
   val chunkDocsSql: String =
     s"""WITH RECURSIVE
-      |$duckBpeCtes,
+      |${duckBpeCtes()},
       |docp AS (SELECT bex.doc_id,
       |           flatten(list(CASE WHEN bwt.pieces = '' THEN []::VARCHAR[]
       |                             ELSE string_split(bwt.pieces, '|') END

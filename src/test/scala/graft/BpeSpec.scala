@@ -16,12 +16,33 @@ class BpeSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
   import spark.implicits._
 
-  private val vocab = graft.ops.Bpe.vocab(spark)
+  private val model = graft.ops.Bpe.model(spark)
+  private val vocab: Seq[String] = model.pieces.toSeq
 
   test("committed vocabulary: non-empty, pieces within [2, MaxPieceLen]") {
     assert(vocab.nonEmpty)
     assert(vocab.forall(p => p.length >= 2 && p.length <= BpeEncode.MaxPieceLen))
     assert(vocab.distinct === vocab, "merge order yields distinct pieces")
+  }
+
+  test("model handle: plan text carries the fingerprint, never the pieces") {
+    // r14 VERDICT #1: the vocabulary must not ride the plan as a literal.
+    // Pieces chosen to be impossible in plan-English, so a substring hit
+    // can only mean the vocabulary leaked into the plan text.
+    val ref = graft.functions.BpeVocabRef.inline("spec-handle",
+      Seq("qqxx", "zzqy", "xxqqzz"))
+    val df = spark.range(1).select(BpeEncode(lit("aaaa"), ref).as("p"))
+    val plan = df.queryExecution.analyzed.toString +
+      df.queryExecution.executedPlan.toString
+    assert(plan.contains("bpe_model:spec-handle"),
+      "the handle renders as its fingerprint")
+    assert(Seq("qqxx", "zzqy", "xxqqzz").forall(p => !plan.contains(p)),
+      s"no vocabulary piece may appear in plan text:\n$plan")
+    // memoized: one broadcast per (model file, session)
+    assert(graft.ops.Bpe.model(spark) eq model,
+      "repeat loads share the session's broadcast handle")
+    // equality/canonicalization reduce to the fingerprint id
+    assert(graft.functions.BpeVocabRef.inline(model.id, Seq("xx")) === model)
   }
 
   test("trainer is deterministic and caps piece length") {
@@ -39,7 +60,7 @@ class BpeSpec extends AnyFunSuite {
     val words = Seq("customer", "customers", "window", "xyzzy", "", "a",
       "joinjoin", "zzcustomer")
     val df = words.toDF("w")
-      .select(col("w"), BpeEncode(col("w"), vocab).as("p"))
+      .select(col("w"), BpeEncode(col("w"), model).as("p"))
     val rows = df.as[(String, Seq[String])].collect().toMap
     words.foreach { w =>
       val p = rows(w)
@@ -62,7 +83,7 @@ class BpeSpec extends AnyFunSuite {
     assert(rows("") === Seq.empty, "empty word encodes to zero tokens")
     assert(rows("customer") === Seq("customer"), "an 8-char vocab word is one piece")
     // stays inside whole-stage codegen: the projection shows a *(n) span
-    val ds = spark.range(4).select(BpeEncode(lit("customer"), vocab))
+    val ds = spark.range(4).select(BpeEncode(lit("customer"), model))
     assert(ds.queryExecution.executedPlan.toString.contains("*("),
       "BpeEncode must not break whole-stage codegen")
   }
@@ -71,12 +92,12 @@ class BpeSpec extends AnyFunSuite {
     val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), graft.ops.TextOps.wordsSafe(col("text")).as("ws"))
     val viaAgg = docs.select(col("doc_id"),
-        graft.ops.Bpe.tokenCount(col("ws"), vocab).as("n"))
+        graft.ops.Bpe.tokenCount(col("ws"), model).as("n"))
       .as[(Long, Long)].collect().toMap
     val viaExplode = docs
       .select(col("doc_id"), explode(col("ws")).as("w"))
       .select(col("doc_id"),
-        size(BpeEncode(col("w"), vocab)).cast("long").as("n"))
+        size(BpeEncode(col("w"), model)).cast("long").as("n"))
       .groupBy("doc_id").agg(sum(col("n")).as("n"))
       .as[(Long, Long)].collect().toMap
     assert(viaAgg === viaExplode)
