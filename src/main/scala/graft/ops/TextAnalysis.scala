@@ -1377,6 +1377,22 @@ object TextAnalysis {
       .sortWithinPartitions(col("variant"), col("term"))
       .write.mode("overwrite").partitionBy("vb").parquet(path)
 
+  /** Compact the fuzzy deletion-neighborhood store ((variant, term, df),
+    * vb partition dirs) — a pure file fold back to one variant-sorted
+    * file per bucket. The family carries NO delete sidecar by design:
+    * deletes re-derive candidate df from the SURVIVING postings at probe
+    * time (see [[fuzzyTerms]]'s tombstonesFrom), so compaction here is
+    * layout maintenance only; probes answer identically pre/post. */
+  def compactFuzzyTermIndex(spark: SparkSession, src: String,
+                            dest: String): Unit = {
+    val tmp = graft.ops.Indexes.tmpBuildPath(dest)
+    spark.read.parquet(src)
+      .repartition(col("vb"))
+      .sortWithinPartitions(col("variant"), col("term"))
+      .write.mode("overwrite").partitionBy("vb").parquet(tmp)
+    graft.ops.Indexes.commitIndexDir(spark, tmp, dest)
+  }
+
   /** Write-once build-if-missing for the registered query path (the
     * [[ensureInvertedIndex]] lifecycle). */
   def ensureFuzzyTermIndex(spark: SparkSession, docs: DataFrame,
@@ -1390,7 +1406,9 @@ object TextAnalysis {
       graft.ops.Indexes.commitIndexDir(spark, tmp, base)
       graft.ops.Indexes.gcSiblings(spark, base, s"fuzzy_b${TermBuckets}_")
     }
-    base
+    graft.ops.Indexes.resolveThroughManifest(spark,
+      graft.ops.Indexes.familyManifestDir(sfDir, s"fuzzy_b${TermBuckets}_"),
+      base)
   }
 
   /** Fuzzy term matching served from the deletion-neighborhood index —

@@ -124,10 +124,12 @@ class ManifestWireSpec extends AnyFunSuite {
 
   test("policy declines a store whose layout it cannot name (no mid-policy throw)") {
     val weird = Files.createTempDirectory("policy_weird").toString + "/idx"
-    // the ADVICE shape: a doc-ordered report store — no postings/, no
-    // (t, key), no cell, no sb
-    docs.select(col("doc_id"), length(col("text")).as("ntok"),
-        (col("doc_id") * 7L).as("s"), lit(0L).as("pos"))
+    // a genuinely foreign layout: none of the family markers (the r14
+    // dispatch widening recognizes doc-keyed report stores now, so the
+    // original (doc_id, ntok, s, pos) fixture became a REAL family —
+    // this one has no postings/, sets/+bands/, t/key, cell, sb,
+    // vec_a/vec_b, codes, or doc-keyed marker)
+    docs.select(col("doc_id").as("k1"), length(col("text")).as("v1"))
       .write.mode("overwrite").parquet(weird)
     val dest = Files.createTempDirectory("policy_weird_dst").toString + "/idx"
     val d = Indexes.compactionPolicy(spark, weird, dest, maxFiles = 0)
@@ -135,6 +137,74 @@ class ManifestWireSpec extends AnyFunSuite {
     assert(d.declined.exists(_.contains("unrecognized store layout")),
       s"must decline with a reason: $d")
     assert(!new java.io.File(dest).exists(), "a declined policy writes nothing")
+  }
+
+  test("EVERY maintained family: policy compacts + publishes, ensure* serves the flip, content preserved") {
+    // r14 VERDICT #2: manifest resolution extends past LSH/inverted to
+    // every ensure* family. Per family: build → flip through the policy
+    // (maxFiles = 0 forces it) with the FAMILY manifest → re-ensure must
+    // serve the compacted generation (no flip-back, no new pointer) and
+    // its content must equal the original's row multiset.
+    val sfDir = "/root/testdata/sf0.001"
+    val emb = graft.engine.Tables.embeddings(spark, sfDir)
+    val cent = spark.read.parquet("/root/repo/fixtures/ivf_centroids.parquet")
+    val cb = spark.read.parquet("/root/repo/fixtures/pq_codebooks.parquet")
+    val lbl = "manif15"
+    val lblSeg = f"${lbl.length}%03d$lbl"
+    def content(path: String, subs: Seq[String]): Map[String, Map[String, Long]] =
+      subs.map { sub =>
+        val p = if (sub.isEmpty) path else s"$path/$sub"
+        sub -> spark.read.parquet(p).collect()
+          .groupBy(_.toString).map { case (k, v) => (k, v.length.toLong) }
+      }.toMap
+    val fams: Seq[(String, String, () => String, Seq[String])] = Seq(
+      ("simhash", "simhash_",
+        () => Indexes.ensureSimhashIndex(spark, docs, sfDir), Seq("")),
+      ("shingles", s"shingles_n3_${lblSeg}_",
+        () => Indexes.ensureShingleSets(spark, docs, sfDir, 3, lbl), Seq("")),
+      ("winhash", s"winhash_k8_${lblSeg}_",
+        () => Indexes.ensureWindowHashes(spark, docs, sfDir, 8, lbl), Seq("")),
+      ("poswin", s"poswin_n8_${lblSeg}_",
+        () => Indexes.ensurePositionedWindows(spark, docs, sfDir, 8, lbl),
+        Seq("")),
+      ("poswinsrv", s"poswinsrv_n8_${lblSeg}_",
+        () => Indexes.ensurePositionedWindowsServing(spark, docs, sfDir, 8, lbl),
+        Seq("")),
+      ("minhash", "minhash_k8_r2_n3_",
+        () => Indexes.ensureMinhashIndex(spark, docs, sfDir, numHashes = 8)
+          ._1.stripSuffix("/sets"), Seq("sets", "bands")),
+      ("knng", "knng_j3_b3_L8_",
+        () => Indexes.ensureKnnGraph(spark, emb, sfDir, j = 3, bBits = 3),
+        Seq("")),
+      ("pq", "pq_m8_",
+        () => Indexes.ensurePqIndex(spark, emb, cb, sfDir), Seq("")),
+      ("ivf", "ivf_k16_",
+        () => Indexes.ensureIvfIndex(spark, emb, cent, sfDir, nCells = 16),
+        Seq("")),
+      ("ivfpq", "ivfpq_k16_m8_",
+        () => Indexes.ensureIvfPqIndex(spark, emb, cent, cb, sfDir,
+          nCells = 16), Seq("")),
+      ("fuzzy", s"fuzzy_b${TextAnalysis.TermBuckets}_",
+        () => TextAnalysis.ensureFuzzyTermIndex(spark, docs, sfDir), Seq("")))
+    fams.foreach { case (name, prefix, ensure, subs) =>
+      val p1 = ensure()
+      val manifest = Indexes.familyManifestDir(sfDir, prefix)
+      assert(Indexes.currentGeneration(spark, manifest) === Some(p1),
+        s"$name: ensure must publish its generation")
+      val before = content(p1, subs)
+      val dest = Files.createTempDirectory(s"manif15_$name").toString + "/c0"
+      val d = Indexes.compactionPolicy(spark, p1, dest, maxFiles = 0,
+        manifestDir = Some(manifest))
+      assert(d.compacted && d.declined.isEmpty,
+        s"$name: the policy must recognize and compact this family: $d")
+      assert(Indexes.currentGeneration(spark, manifest) === Some(dest),
+        s"$name: the policy must publish the compacted generation")
+      val p2 = ensure()
+      assert(p2 === dest || p2.stripSuffix("/sets") === dest,
+        s"$name: re-ensure must serve the flip, got $p2")
+      assert(content(dest, subs) === before,
+        s"$name: compaction must preserve the row multiset")
+    }
   }
 
   test("racing publishers on one sequence both land; (seq, name) totally orders them") {
