@@ -594,4 +594,54 @@ object Dedup {
       .where(col("hamming") <= maxHamming) // filter BEFORE dedup: smaller distinct
       .distinct()
   }
+
+  /** Banded Hamming near-dup pass over 64-BIT HEX signatures — the
+    * [[simhashNearDupsFromSigs]] blocking generalized to the image
+    * perceptual-hash family (r14 VERDICT #3: aHash carries 64 bits as
+    * 16 hex chars; the top bit makes a single signed-BIGINT parse
+    * overflow, so the hash rides as two 32-bit halves and the distance
+    * is the sum of the halves' popcounts — exactly the whole-hash
+    * Hamming). COMPLETE for maxHamming < bands by pigeonhole: a pair
+    * within distance d differs in at most d of the `bands` disjoint
+    * chunks, so at least one chunk matches exactly and the pair meets
+    * in that band's bucket — banding is pure blocking, never a recall
+    * trade (MultimodalSpec equates it to brute force). Band keys are
+    * hex SUBSTRINGS (no bit math on the join key at all). Decode
+    * sentinels (empty hex) are dropped before banding, so a corrupt
+    * payload can never collide into a dup pair. Scale shape:
+    * |corpus|·bands exploded rows, bucket-join, exact verify — the
+    * text near-dup asymptote applied to images. */
+  def hammingNearDups64(sigs: DataFrame, idCol: String, hexCol: String,
+                        maxHamming: Int, bands: Int = 8): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"banding is complete only for maxHamming < bands, " +
+        s"got $maxHamming >= $bands")
+    require(bands > 0 && 16 % bands == 0,
+      s"bands must divide the 16 hex chars evenly, got $bands")
+    val chunkHex = 16 / bands
+    val s = sigs.where(length(col(hexCol)) === 16)
+      .select(col(idCol).as("id"),
+        conv(substring(col(hexCol), 1, 8), 16, 10).cast("long").as("hi"),
+        conv(substring(col(hexCol), 9, 8), 16, 10).cast("long").as("lo"),
+        col(hexCol).as("hx"))
+    val chunks = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        substring(col("hx"), b * chunkHex + 1, chunkHex).as("key"))
+    }
+    val bk = s.select(col("id"), col("hi"), col("lo"),
+        explode(array(chunks: _*)).as("c"))
+      .select(col("id"), col("hi"), col("lo"),
+        col("c.band").as("band"), col("c.key").as("key"))
+    val a = bk.select(col("band"), col("key"), col("id").as("id_a"),
+      col("hi").as("hi_a"), col("lo").as("lo_a"))
+    val b = bk.select(col("band"), col("key"), col("id").as("id_b"),
+      col("hi").as("hi_b"), col("lo").as("lo_b"))
+    a.join(b, Seq("band", "key")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b"))))
+          .cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

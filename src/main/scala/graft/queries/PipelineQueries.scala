@@ -4543,6 +4543,39 @@ object PipelineQueries {
        |       count(*) OVER (PARTITION BY ahash_hex)::BIGINT AS group_size
        |FROM m ORDER BY name""".stripMargin
 
+  /** Perceptual-hash image NEAR-dup pairs (r14 VERDICT #3 — the last
+    * pipeline pillar dedup didn't reach): decode → aHash64 → the SAME
+    * banded Hamming blocking the text SimHash family uses
+    * ([[graft.ops.Dedup.hammingNearDups64]]; 8 bands × 8 bits, complete
+    * for the distance-6 cut by pigeonhole). Catches re-encoded /
+    * re-rendered images a byte digest or exact-hash group
+    * (q_image_phash) cannot: the fixture's real chart PNGs pair at
+    * Hamming 4 and 6 while their bytes share nothing. The oracle never
+    * runs a decoder OR the banding — it brute-forces all pairs over the
+    * analytic manifest's frozen hashes, so the blocking's completeness
+    * is hash-verified, not assumed. */
+  def imageNearDups(s: SparkSession, d: String): DataFrame =
+    graft.ops.Dedup.hammingNearDups64(
+        Multimodal.imagePHashes(
+          s.read.format("binaryFile").load(imageFixtureDir)).toDF(),
+        "name", "ahash_hex", maxHamming = 6, bands = 8)
+      .select(col("id_a").as("name_a"), col("id_b").as("name_b"),
+        col("hamming"))
+      .orderBy(col("name_a"), col("name_b"))
+
+  val imageNearDupsSql: String =
+    s"""WITH m AS (SELECT name, ahash_hex
+       |           FROM read_parquet('$imageManifestPath/*.parquet')
+       |           WHERE len(ahash_hex) = 16),
+       |p AS (SELECT a.name AS name_a, b.name AS name_b,
+       |        (bit_count(xor(('0x' || substr(a.ahash_hex, 1, 8))::BIGINT,
+       |                       ('0x' || substr(b.ahash_hex, 1, 8))::BIGINT))
+       |       + bit_count(xor(('0x' || substr(a.ahash_hex, 9, 8))::BIGINT,
+       |                       ('0x' || substr(b.ahash_hex, 9, 8))::BIGINT)))::BIGINT AS hamming
+       |      FROM m a JOIN m b ON a.name < b.name)
+       |SELECT name_a, name_b, hamming FROM p
+       |WHERE hamming <= 6 ORDER BY name_a, name_b""".stripMargin
+
   /** Committed audio fixture (see graft.tools.GenAudioFixture): 12
     * formula-generated 16-bit PCM WAVs with analytic ground truth. */
   val audioFixtureDir: String =

@@ -145,6 +145,30 @@ class MultimodalSpec extends AnyFunSuite {
     rows.foreach { case (n, (h, _, _)) => assert(manifest(n) === h, n) }
   }
 
+  test("image near-dups: banding equals brute force; near pairs beyond exact groups") {
+    import graft.queries.PipelineQueries
+    val banded = PipelineQueries.imageNearDups(spark, "").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // brute-force truth from the frozen manifest hashes (host-side)
+    val manifest = spark.read.parquet(PipelineQueries.imageManifestPath)
+      .select("name", "ahash_hex").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .filter(_._2.length == 16).sortBy(_._1)
+    val brute = (for {
+      i <- manifest.indices; j <- (i + 1) until manifest.length
+      d = java.lang.Long.bitCount(
+        java.lang.Long.parseUnsignedLong(manifest(i)._2, 16) ^
+          java.lang.Long.parseUnsignedLong(manifest(j)._2, 16)).toLong
+      if d <= 6
+    } yield (manifest(i)._1, manifest(j)._1, d)).toSet
+    assert(banded === brute,
+      "pigeonhole completeness: banded blocking must equal all-pairs truth")
+    // the cut must contain TRUE near dups (0 < hamming <= 6), not just
+    // the exact-hash groups q_image_phash already finds
+    assert(banded.exists(_._3 == 0L) && banded.exists(t => t._3 > 0L),
+      s"fixture must exercise both exact and near pairs: $banded")
+  }
+
   test("real audio decode matches the analytic manifest; corrupt → sentinel") {
     import graft.queries.PipelineQueries
     val decoded = PipelineQueries.audioDecode(spark, "")
