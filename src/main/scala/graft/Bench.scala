@@ -308,10 +308,26 @@ object Bench {
     // intermediates (shingle sets, band keys) and Spark's cache manager
     // matches plan subtrees, so without the clear a timed run would skip
     // whole stages and bench 3-10× faster than its real plan.
+    // STEAL-AWARE RE-RUN (round 15, VERDICT r14 #7): two consecutive
+    // rounds produced steal-poisoned driver artifacts (r13 1.8 s, r14
+    // 156.8 s of recorded hypervisor steal) that had to be adjudicated
+    // after the fact from the per-iteration counters. The counters can
+    // act at RUN TIME instead: an iteration whose steal_ms exceeds
+    // max(100 ms, 10% of its wall time) is marked poisoned and the
+    // query earns a bounded number of replacement iterations (default 2,
+    // SPARK_GRAFT_BENCH_STEAL_RERUNS) until `wanted` clean ones exist.
+    // ALL iterations stay in the artifact (`iters` simply grows — the
+    // poisoned ones remain attributable), the headline min is taken over
+    // all of them, and the summary counts total replacements. Hosts
+    // without /proc/stat (-1) can't adjudicate and never re-run.
+    val maxStealReruns =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_STEAL_RERUNS", "2").toInt
+    def stealPoisoned(it: Iter): Boolean =
+      it.stealMs > math.max(100L, (it.sec * 100).toLong)
     val results = ordered.map { case (name, fn) =>
         // Level the heap before this query's timed iterations (see scaladoc).
         System.gc()
-        val iters = (1 to itersFor(name)).map { _ =>
+        def runOnce(): Iter = {
           spark.catalog.clearCache()
           // clearCache drops DATASET cache entries but NOT the persistent
           // RDD blocks behind localCheckpoint (q_pipeline_e2e materializes
@@ -363,6 +379,15 @@ object Bench {
               f"jitMs=${it.jitMs}%7d janinoCompiles=${it.janino}%4d")
           it
         }
+        val wanted = itersFor(name)
+        val buf = scala.collection.mutable.Buffer.empty[Iter]
+        while (buf.count(i => !stealPoisoned(i)) < wanted &&
+            buf.size < wanted + maxStealReruns)
+          buf += runOnce()
+        val iters = buf.toSeq
+        if (benchDebug && iters.size > wanted)
+          System.err.println(s"[bench-debug] $name: " +
+            s"${iters.size - wanted} steal re-run(s)")
         (name, iters.map(_.sec).min, colds(name), iters)
       }
     def jMap[T](f: ((String, Double, Double, Seq[Iter])) => T) =
@@ -400,8 +425,9 @@ object Bench {
       if (vs.exists(_ < 0)) -1L else vs.sum
     }
     val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
+    val stealReruns = results.map(r => r._4.size - itersFor(r._1)).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMedian,"total_median":${fmt(totalMedian)},"excluded":$excl,"mode":"steady_state_min_of_$steadyIters","cold_total":$coldTotal,"sf":"$sfDir","iters":$itersJson,"gc_ms":$gcJson,"steal_ms":$stealJson,"jit_ms":$jitJson,"janino_compiles":$janinoJson,"minor_faults":$minfltJson,"io_wait_ms":$ioWaitJson,"cpu_ms":$cpuJson,"runq_ms":$runqJson,"counters_available":$availJson,"order":$orderJson,"order_mode":"$orderMode","order_seed":$orderSeed,"heap_max_mb":$heapMb,"cpus":"$cpus"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMedian,"total_median":${fmt(totalMedian)},"excluded":$excl,"mode":"steady_state_min_of_$steadyIters","cold_total":$coldTotal,"sf":"$sfDir","iters":$itersJson,"gc_ms":$gcJson,"steal_ms":$stealJson,"jit_ms":$jitJson,"janino_compiles":$janinoJson,"minor_faults":$minfltJson,"io_wait_ms":$ioWaitJson,"cpu_ms":$cpuJson,"runq_ms":$runqJson,"counters_available":$availJson,"order":$orderJson,"order_mode":"$orderMode","order_seed":$orderSeed,"steal_reruns":$stealReruns,"heap_max_mb":$heapMb,"cpus":"$cpus"}"""
     // The full per-query/per-iteration record: the single-line contract JSON,
     // in the CWD (driver convention) and round-stamp-free — diffable history
     // lives under results/ (committed by the round workflow).
@@ -416,7 +442,7 @@ object Bench {
     // .json. Both go out after spark.stop() so no executor shutdown logging
     // can interleave.
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"total_median":${fmt(totalMedian)},"cold_total":${fmt(coldTotal)},"steal_total_ms":${totalOf(_.stealMs)},"runq_total_ms":${totalOf(_.runqMs)},"gc_total_ms":${totalOf(_.gcMs)},"counters_available":$availJson,"order_mode":"$orderMode","order_seed":$orderSeed,"heap_max_mb":$heapMb,"cpus":"$cpus","sf":"$sfDir","detail":"bench_result.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"total_median":${fmt(totalMedian)},"cold_total":${fmt(coldTotal)},"steal_total_ms":${totalOf(_.stealMs)},"runq_total_ms":${totalOf(_.runqMs)},"gc_total_ms":${totalOf(_.gcMs)},"steal_reruns":$stealReruns,"counters_available":$availJson,"order_mode":"$orderMode","order_seed":$orderSeed,"heap_max_mb":$heapMb,"cpus":"$cpus","sf":"$sfDir","detail":"bench_result.json"}"""
     spark.stop()
     System.out.println(line)
     System.out.println(s"BENCH_SUMMARY $summary")
