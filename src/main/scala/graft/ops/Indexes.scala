@@ -1737,7 +1737,17 @@ object Indexes {
                                             manifestDir: String,
                                             path: String): String = {
     val servesFingerprint = currentGenerationEntry(spark, manifestDir)
-      .exists { case (gen, lin) => gen == path || lin.getOrElse(gen) == path }
+      .exists { case (gen, lin) =>
+        (gen == path || lin.getOrElse(gen) == path) && {
+          // LIVENESS: a current generation whose directory is GONE (an
+          // external cleanup raced the grace window, a tmp-dir dest was
+          // reaped) must not brick serving — republish the fingerprint
+          // path, which the build step above just guaranteed exists.
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            new java.net.URI(gen), spark.sparkContext.hadoopConfiguration)
+          fs.exists(new org.apache.hadoop.fs.Path(gen))
+        }
+      }
     if (!servesFingerprint)
       publishGeneration(spark, manifestDir, path, lineage = Some(path))
     currentGeneration(spark, manifestDir).getOrElse(path)

@@ -3253,6 +3253,11 @@ object PipelineQueries {
     bpeTokenizeWith(s, d,
       graft.ops.Bpe.model(s, graft.ops.Bpe.StressVocabPath))
 
+  /** [[graft.tools.BpePlanProbe]]'s hook into the same query body. */
+  private[graft] def bpeTokenizeForProbe(s: SparkSession, d: String,
+      vocab: graft.functions.BpeVocabRef): DataFrame =
+    bpeTokenizeWith(s, d, vocab)
+
   private def bpeTokenizeWith(s: SparkSession, d: String,
                               vocab: graft.functions.BpeVocabRef): DataFrame =
     documents(s, d)

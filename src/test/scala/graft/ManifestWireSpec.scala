@@ -15,6 +15,14 @@ import graft.ops.{Indexes, TextAnalysis}
   * two r13 ADVICE hardenings on the same surface: the policy declines
   * stores whose layout it cannot name, and publish uses nonce'd pointer
   * names so a POSIX rename can never silently replace a rival's pointer. */
+object ManifestWireSpec {
+  /** Per-run index-root namespace for the FLIP tests: unique, so flips
+    * never leak into the real sf-tagged families (or inherit a previous
+    * run's leftover manifests — the index root outlives the JVM). */
+  val flipNamespace: String =
+    s"manifns-${java.util.UUID.randomUUID().toString.take(8)}"
+}
+
 class ManifestWireSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
   import spark.implicits._
@@ -86,7 +94,11 @@ class ManifestWireSpec extends AnyFunSuite {
     // the very next ensure* call used to see currentGeneration != its
     // fingerprint path and republish the uncompacted store — silently
     // undoing the flip. The lineage line in the pointer closes it.
-    val sfDir = "/root/testdata/sf0.001"
+    // HERMETIC NAMESPACE: sfDir only keys the index-root tag (the data
+    // comes from the frames), so a per-run unique tag keeps this test's
+    // flips out of the REAL sf0.001 families other suites' plan audits
+    // assert on, and out of a previous run's leftover manifest state.
+    val sfDir = ManifestWireSpec.flipNamespace
     val p1 = TextAnalysis.ensureInvertedIndex(spark, docs, sfDir)
     val manifest = Indexes.familyManifestDir(sfDir,
       s"inverted_b${TextAnalysis.TermBuckets}_")
@@ -120,6 +132,14 @@ class ManifestWireSpec extends AnyFunSuite {
     assert(d2.compacted)
     assert(TextAnalysis.ensureInvertedIndex(spark, docs, sfDir) === dest2,
       "lineage must survive a compaction chain")
+    // ROLLBACK flip: restore the fingerprint generation as current (the
+    // manifest's pointer history keeps every generation; publishing an
+    // old path forward is the documented rollback shape). Also returns
+    // the SHARED sf0.001 family to its steady state for later suites,
+    // whose plan audits assert the fingerprint path's name.
+    Indexes.publishGeneration(spark, manifest, p1, lineage = Some(p1))
+    assert(TextAnalysis.ensureInvertedIndex(spark, docs, sfDir) === p1,
+      "rollback: the republished fingerprint generation serves again")
   }
 
   test("policy declines a store whose layout it cannot name (no mid-policy throw)") {
@@ -144,9 +164,10 @@ class ManifestWireSpec extends AnyFunSuite {
     // every ensure* family. Per family: build → flip through the policy
     // (maxFiles = 0 forces it) with the FAMILY manifest → re-ensure must
     // serve the compacted generation (no flip-back, no new pointer) and
-    // its content must equal the original's row multiset.
-    val sfDir = "/root/testdata/sf0.001"
-    val emb = graft.engine.Tables.embeddings(spark, sfDir)
+    // its content must equal the original's row multiset. Flips run in
+    // the per-run hermetic namespace (see the keep-flip test).
+    val sfDir = ManifestWireSpec.flipNamespace
+    val emb = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val cent = spark.read.parquet("/root/repo/fixtures/ivf_centroids.parquet")
     val cb = spark.read.parquet("/root/repo/fixtures/pq_codebooks.parquet")
     val lbl = "manif15"
@@ -204,6 +225,11 @@ class ManifestWireSpec extends AnyFunSuite {
         s"$name: re-ensure must serve the flip, got $p2")
       assert(content(dest, subs) === before,
         s"$name: compaction must preserve the row multiset")
+      // rollback flip: restore the fingerprint generation as current —
+      // exercises the rollback shape AND returns the shared sf0.001
+      // families to steady state for later suites
+      Indexes.publishGeneration(spark, manifest, p1, lineage = Some(p1))
+      assert(ensure() === p1, s"$name: rollback must serve again")
     }
   }
 
