@@ -1187,6 +1187,7 @@ object Indexes {
       else if (cols("doc_id") && cols("s") && cols("pos")) Some("poswin")
       else if (cols("doc_id") &&
         (cols("simhash") || cols("sh") || cols("h"))) Some("docflat")
+      else if (cols("name") && cols("ahash_hex")) Some("docflat")
       else None
     val bucketCols: Seq[org.apache.spark.sql.Column] = family match {
       case Some("inverted")        => Seq(col("tb"))
@@ -1466,18 +1467,68 @@ object Indexes {
                           dest: String): Unit = {
     val tmp = tmpBuildPath(dest)
     val raw = spark.read.parquet(src)
+    // the store's own key: doc_id for the text families, name for the
+    // image-hash store (one sidecar convention, one compactor)
+    val keyCol = if (raw.columns.contains("doc_id")) "doc_id" else "name"
     val ts = tombstonePath(src)
     val folded =
       if (hasParquetFiles(spark, ts))
-        raw.join(spark.read.parquet(ts).select(col("doc_id")).distinct(),
-          Seq("doc_id"), "left_anti")
+        raw.join(spark.read.parquet(ts).select(col(keyCol)).distinct(),
+          Seq(keyCol), "left_anti")
       else raw
-    val sortCols = Seq("doc_id", "pos").filter(raw.columns.contains)
+    val sortCols = Seq(keyCol, "pos").filter(raw.columns.contains)
       .map(col)
-    folded.repartition(col("doc_id"))
+    folded.select(raw.columns.map(col).toSeq: _*)
+      .repartition(col(keyCol))
       .sortWithinPartitions(sortCols: _*)
       .write.mode("overwrite").parquet(tmp)
     commitIndexDir(spark, tmp, dest)
+  }
+
+  /** Committed PERCEPTUAL-HASH store for an image corpus (r15 — the
+    * image twin of [[ensureSimhashIndex]]): decoding is the expensive
+    * pass (ImageIO over every payload), the serving state is 16 bytes
+    * of aHash + dims per image, so the decode runs ONCE per corpus
+    * fingerprint and every near-dup/cluster query serves from the
+    * committed (name, width, height, ahash_hex) table. Fingerprinted
+    * over the image FILES (binaryFile inputs are regular scan inputs),
+    * manifest-resolved like every maintained family; the name-keyed
+    * delete sidecar folds at read ([[readImageHashIndex]]) and
+    * physically at [[compactDocFlatIndex]] (the policy dispatches this
+    * layout through its ahash marker). */
+  def ensureImageHashIndex(spark: SparkSession, imagesDir: String): String = {
+    val images = spark.read.format("binaryFile").load(imagesDir)
+    val tag = imagesDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"$indexRoot/$tag/imghash_${corpusFingerprint(images)}"
+    if (!successExists(spark, path)) {
+      val tmp = tmpBuildPath(path)
+      Multimodal.imagePHashes(images).toDF()
+        .repartition(col("name")).sortWithinPartitions(col("name"))
+        .write.mode("overwrite").parquet(tmp)
+      commitIndexDir(spark, tmp, path)
+      gcSiblings(spark, path, "imghash_")
+    }
+    resolveThroughManifest(spark,
+      familyManifestDir(imagesDir, "imghash_"), path)
+  }
+
+  /** Name-keyed delete verbs for the image-hash store — the LSM delete
+    * lifecycle applied to the image family (sidecar naming as
+    * [[tombstoneLshIndex]]; the key is the image name, the store's
+    * identity column). */
+  def tombstoneImageHashIndex(spark: SparkSession, indexPath: String,
+                              deletedNames: DataFrame): Unit =
+    deletedNames.select(col("name")).distinct()
+      .coalesce(1)
+      .write.mode("append").parquet(tombstonePath(indexPath))
+
+  def readImageHashIndex(spark: SparkSession, indexPath: String): DataFrame = {
+    val idx = spark.read.parquet(indexPath)
+    val ts = tombstonePath(indexPath)
+    if (hasParquetFiles(spark, ts))
+      idx.join(spark.read.parquet(ts).select(col("name")).distinct(),
+        Seq("name"), "left_anti")
+    else idx
   }
 
   /** Compact the flat PQ code table (vec_id, c0..c{m-1}): the sidecar is

@@ -4559,10 +4559,15 @@ object PipelineQueries {
     * runs a decoder OR the banding — it brute-forces all pairs over the
     * analytic manifest's frozen hashes, so the blocking's completeness
     * is hash-verified, not assumed. */
+  /** Served from the COMMITTED hash store
+    * ([[graft.ops.Indexes.ensureImageHashIndex]]): the ImageIO decode —
+    * the expensive pass — runs once per corpus fingerprint; the banded
+    * near-dup join reads 16 bytes/image of committed state, the 100 TB
+    * shape (decode-once, serve-many). */
   def imageNearDups(s: SparkSession, d: String): DataFrame =
     graft.ops.Dedup.hammingNearDups64(
-        Multimodal.imagePHashes(
-          s.read.format("binaryFile").load(imageFixtureDir)).toDF(),
+        graft.ops.Indexes.readImageHashIndex(s,
+          graft.ops.Indexes.ensureImageHashIndex(s, imageFixtureDir)),
         "name", "ahash_hex", maxHamming = 6, bands = 8)
       .select(col("id_a").as("name_a"), col("id_b").as("name_b"),
         col("hamming"))
@@ -4580,6 +4585,72 @@ object PipelineQueries {
        |      FROM m a JOIN m b ON a.name < b.name)
        |SELECT name_a, name_b, hamming FROM p
        |WHERE hamming <= 6 ORDER BY name_a, name_b""".stripMargin
+
+  /** Image DUP CLUSTERS: the near-dup pair set closed into connected
+    * components through the SAME distributed pointer-jumping machinery
+    * text dedup uses ([[graft.ops.Dedup.connectedComponents]] over
+    * 48-bit name hashes — the q_textrank id precedent), then each
+    * cluster labeled by its min-name representative with its size;
+    * singleton images report themselves at size 1, so the output is the
+    * complete dedup-decision panel for the image corpus. The oracle
+    * brute-forces pairs from the frozen manifest and closes them with a
+    * recursive reach CTE — neither the decoder, the banding, nor the
+    * pointer jumping is trusted, only reproduced. */
+  def imageDupClusters(s: SparkSession, d: String): DataFrame = {
+    val sigs = graft.ops.Indexes.readImageHashIndex(s,
+      graft.ops.Indexes.ensureImageHashIndex(s, imageFixtureDir))
+    val pairs = graft.ops.Dedup.hammingNearDups64(
+      sigs, "name", "ahash_hex", maxHamming = 6, bands = 8)
+    val ids = sigs.where(length(col("ahash_hex")) === 16)
+      .select(col("name"), TextOps.shingleHash(col("name")).as("node"))
+    val cc = graft.ops.Dedup.connectedComponents(
+      pairs.select(TextOps.shingleHash(col("id_a")).as("doc_a"),
+        TextOps.shingleHash(col("id_b")).as("doc_b")))
+    val members = ids.join(cc, ids("node") === cc("doc_id"))
+      .select(col("name"), col("rep"))
+    // min-NAME canonical rep over the cluster MEMBERS: the 48-bit
+    // min-node rep is an internal label (hash order ≠ name order); the
+    // panel names clusters by their lexicographically first member,
+    // which the oracle reproduces without the hash
+    val reps = members.groupBy(col("rep"))
+      .agg(min(col("name")).as("canon_rep"),
+        count(lit(1)).as("cluster_size"))
+    val clustered = members.join(reps, Seq("rep"))
+      .select(col("name"),
+        col("canon_rep").as("dup_rep"), col("cluster_size"))
+    ids.select(col("name")).join(clustered, Seq("name"), "left_outer")
+      .select(col("name"),
+        coalesce(col("dup_rep"), col("name")).as("dup_rep"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+      .orderBy(col("name"))
+  }
+
+  val imageDupClustersSql: String =
+    s"""WITH RECURSIVE
+       |m AS (SELECT name, ahash_hex
+       |      FROM read_parquet('$imageManifestPath/*.parquet')
+       |      WHERE len(ahash_hex) = 16),
+       |p AS (SELECT a.name AS name_a, b.name AS name_b
+       |      FROM m a JOIN m b ON a.name < b.name
+       |      WHERE (bit_count(xor(('0x' || substr(a.ahash_hex, 1, 8))::BIGINT,
+       |                           ('0x' || substr(b.ahash_hex, 1, 8))::BIGINT))
+       |           + bit_count(xor(('0x' || substr(a.ahash_hex, 9, 8))::BIGINT,
+       |                           ('0x' || substr(b.ahash_hex, 9, 8))::BIGINT))) <= 6),
+       |sym AS (SELECT name_a AS s, name_b AS d FROM p
+       |        UNION SELECT name_b, name_a FROM p),
+       |reach(s, d) AS (
+       |  SELECT s, d FROM sym
+       |  UNION
+       |  SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s),
+       |comp AS (SELECT s AS name, least(s, min(d)) AS dup_rep
+       |         FROM reach GROUP BY s),
+       |sizes AS (SELECT dup_rep, count(*)::BIGINT AS cluster_size
+       |          FROM comp GROUP BY dup_rep)
+       |SELECT m.name AS name, coalesce(c.dup_rep, m.name) AS dup_rep,
+       |       coalesce(z.cluster_size, 1)::BIGINT AS cluster_size
+       |FROM m LEFT JOIN comp c ON m.name = c.name
+       |LEFT JOIN sizes z ON c.dup_rep = z.dup_rep
+       |ORDER BY m.name""".stripMargin
 
   /** Committed audio fixture (see graft.tools.GenAudioFixture): 12
     * formula-generated 16-bit PCM WAVs with analytic ground truth. */

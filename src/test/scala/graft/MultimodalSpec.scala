@@ -169,6 +169,50 @@ class MultimodalSpec extends AnyFunSuite {
       s"fixture must exercise both exact and near pairs: $banded")
   }
 
+  test("image hash store: decode-once serving, delete lifecycle, policy compaction flip") {
+    import graft.ops.{Dedup, Indexes}
+    import graft.queries.PipelineQueries
+    // hermetic copy: tombstones/flips must never touch the shared
+    // fixture-dir family the registered queries serve from
+    val dir = java.nio.file.Files.createTempDirectory("imghash_spec").toString
+    val src = new java.io.File(PipelineQueries.imageFixtureDir)
+    src.listFiles().foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(dir, f.getName))
+    }
+    val p1 = Indexes.ensureImageHashIndex(spark, dir)
+    val stored = Indexes.readImageHashIndex(spark, p1)
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    // store == inline decode (decode-once serving is lossless)
+    val inline = graft.ops.Multimodal.imagePHashes(
+        spark.read.format("binaryFile").load(dir)).toDF()
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(stored === inline)
+    // tombstone one member of a known dup pair → its pairs vanish at read
+    Indexes.tombstoneImageHashIndex(spark, p1,
+      Seq("genv_00.png").toDF("name"))
+    val pairs = Dedup.hammingNearDups64(
+        Indexes.readImageHashIndex(spark, p1), "name", "ahash_hex", 6, 8)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.nonEmpty)
+    assert(!pairs.exists(p => p._1 == "genv_00.png" || p._2 == "genv_00.png"),
+      "a tombstoned image must not candidate for pairs")
+    // the policy recognizes the layout and compacts the delete physically
+    val manifest = Indexes.familyManifestDir(dir, "imghash_")
+    val dest = java.nio.file.Files
+      .createTempDirectory("imghash_spec_c").toString + "/c0"
+    val d = Indexes.compactionPolicy(spark, p1, dest, maxFiles = 0,
+      manifestDir = Some(manifest))
+    assert(d.compacted && d.declined.isEmpty, s"$d")
+    val compacted = spark.read.parquet(dest)
+    assert(compacted.count() === stored.size - 1,
+      "compaction folds the tombstone physically")
+    assert(!new java.io.File(s"$dest.tombstones").exists(),
+      "the compacted generation carries no sidecar")
+    assert(Indexes.ensureImageHashIndex(spark, dir) === dest,
+      "ensure serves the compacted flip (lineage)")
+  }
+
   test("real audio decode matches the analytic manifest; corrupt → sentinel") {
     import graft.queries.PipelineQueries
     val decoded = PipelineQueries.audioDecode(spark, "")
