@@ -1478,10 +1478,19 @@ object Indexes {
       else raw
     val sortCols = Seq(keyCol, "pos").filter(raw.columns.contains)
       .map(col)
-    folded.select(raw.columns.map(col).toSeq: _*)
-      .repartition(col(keyCol))
-      .sortWithinPartitions(sortCols: _*)
-      .write.mode("overwrite").parquet(tmp)
+    if (raw.columns.contains("batch_id"))
+      // STREAMING (batch_id-partitioned) stores fold their lineage into
+      // generation batch 0 and KEEP the layout (the [[compactLshIndex]]
+      // rule), so the compacted store accepts further idempotent appends
+      folded.drop("batch_id").withColumn("batch_id", lit(0L))
+        .repartition(col(keyCol))
+        .sortWithinPartitions(sortCols: _*)
+        .write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+    else
+      folded.select(raw.columns.map(col).toSeq: _*)
+        .repartition(col(keyCol))
+        .sortWithinPartitions(sortCols: _*)
+        .write.mode("overwrite").parquet(tmp)
     commitIndexDir(spark, tmp, dest)
   }
 
@@ -1530,6 +1539,34 @@ object Indexes {
         Seq("name"), "left_anti")
     else idx
   }
+
+  /** Exactly-once streaming APPEND for an explicitly-managed image-hash
+    * store: the micro-batch's payloads decode to hash rows that land in
+    * a `batch_id=<id>` partition via dynamic overwrite, so a replayed
+    * batch rewrites its own partition (the
+    * [[appendLshIndexIdempotent]] contract applied to the image
+    * family). Readers ignore the extra batch_id column; compaction
+    * folds the lineage into generation batch 0 keeping the layout. */
+  def appendImageHashIndexIdempotent(named: DataFrame, batchId: Long,
+                                     path: String): Unit =
+    Multimodal.imagePHashesNamed(named).toDF()
+      .withColumn("batch_id", lit(batchId))
+      .coalesce(1)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(path)
+
+  /** [[tombstoneImageHashIndex]]'s exactly-once twin for streaming
+    * delete ingest ([[tombstoneLshIndexIdempotent]] contract; one store
+    * uses ONE tombstone channel, never both). */
+  def tombstoneImageHashIndexIdempotent(spark: SparkSession,
+                                        indexPath: String,
+                                        deletedNames: DataFrame,
+                                        batchId: Long): Unit =
+    deletedNames.select(col("name")).distinct()
+      .withColumn("batch_id", lit(batchId))
+      .coalesce(1)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(tombstonePath(indexPath))
 
   /** Compact the flat PQ code table (vec_id, c0..c{m-1}): the sidecar is
     * the family-generic vec_id channel ([[tombstoneLshIndex]]'s scaladoc

@@ -212,11 +212,17 @@ object Multimodal {
     * guard as [[decodeImages]]) → [[aHash64]] → zero-padded hex. Sentinel
     * rows carry width/height −1 and an empty hash so a corrupt payload
     * can never collide into a real dup group. */
-  def imagePHashes(images: DataFrame): Dataset[ImagePHash] = {
-    val spark = images.sparkSession
+  def imagePHashes(images: DataFrame): Dataset[ImagePHash] =
+    imagePHashesNamed(images.select(
+      element_at(split(col("path"), "/"), -1).as("name"), col("content")))
+
+  /** [[imagePHashes]] over an already-(name, content) frame — the CDC
+    * maintenance ingest shape, where payloads arrive as change rows
+    * rather than a binaryFile scan. */
+  def imagePHashesNamed(named: DataFrame): Dataset[ImagePHash] = {
+    val spark = named.sparkSession
     import spark.implicits._
-    images.select(
-        element_at(split(col("path"), "/"), -1).as("name"), col("content"))
+    named.select(col("name"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)

@@ -474,18 +474,34 @@ object EventStreams {
                            append: (DataFrame, Long) => Unit,
                            tombstone: (SparkSession, DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
+    cdcChangeStream(changes, checkpoint, storePath, "doc_id", Seq("text"),
+      hasStore, append, tombstone)
+
+  /** [[cdcDocStream]] generalized over the identity and payload columns
+    * (round 15 — the image family joins the CDC surface, keyed by the
+    * STRING column `name` with a binary payload): one body, every store
+    * family's add/delete split, same-id / first-batch / re-add
+    * contracts, and the two bound store verbs. */
+  private def cdcChangeStream(changes: DataFrame, checkpoint: String,
+                              storePath: String, idCol: String,
+                              payloadCols: Seq[String],
+                              hasStore: SparkSession => Boolean,
+                              append: (DataFrame, Long) => Unit,
+                              tombstone: (SparkSession, DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
-        import s.implicits._
-        val b = batch.toDF().select(col("op"), col("doc_id"), col("text")).persist()
+        val b = batch.toDF()
+          .select(col("op") +: col(idCol) +: payloadCols.map(col): _*)
+          .persist()
         try {
           val adds = b.where(col("op") === "add")
-            .select(col("doc_id"), col("text"))
-          val dels = b.where(col("op") === "delete").select(col("doc_id"))
-          require(adds.join(dels, Seq("doc_id"), "left_semi").isEmpty,
-            s"CDC batch $batchId adds and deletes the same doc_id — " +
+            .select(col(idCol) +: payloadCols.map(col): _*)
+          val dels = b.where(col("op") === "delete").select(col(idCol))
+          require(adds.join(dels, Seq(idCol), "left_semi").isEmpty,
+            s"CDC batch $batchId adds and deletes the same $idCol — " +
               "ambiguous; split the operations across batches")
           val store = hasStore(s)
           val hasAdds = !adds.isEmpty
@@ -495,12 +511,12 @@ object EventStreams {
               s"CDC batch $batchId deletes from a store that does not exist yet")
             val ts = s"$storePath.tombstones"
             if (hasAdds && graft.ops.Indexes.hasParquetFiles(s, ts)) {
-              val clash = adds.select(col("doc_id"))
-                .join(s.read.parquet(ts).select(col("doc_id")), Seq("doc_id"),
+              val clash = adds.select(col(idCol))
+                .join(s.read.parquet(ts).select(col(idCol)), Seq(idCol),
                   "left_semi")
               require(clash.isEmpty,
-                s"CDC batch $batchId re-adds tombstoned doc_id(s) " +
-                  s"${clash.limit(5).as[Long].collect().mkString(", ")} — " +
+                s"CDC batch $batchId re-adds tombstoned $idCol(s) " +
+                  s"${clash.limit(5).collect().map(_.get(0)).mkString(", ")} — " +
                   "ids are permanent identities here; emit re-added content " +
                   "under a fresh id, or compact the store to retire the " +
                   "tombstones first")
@@ -511,6 +527,27 @@ object EventStreams {
         } finally b.unpersist(blocking = false)
       }
       .start()
+
+  /** CDC-STYLE image-hash-store maintenance — the multimodal family
+    * joins the streaming surface: (op, name, content) change batches,
+    * adds DECODE in the micro-batch and land as idempotent batch_id
+    * hash partitions ([[graft.ops.Indexes
+    * .appendImageHashIndexIdempotent]] — 16 bytes/image of state; the
+    * payload itself is never stored), deletes as idempotent name
+    * tombstones. Every near-dup probe over the maintained store then
+    * equals one over a from-scratch build on (all adds so far − all
+    * deletes so far) — spec-asserted, including across a checkpoint
+    * restart. Same loud contracts as the document CDC twins. */
+  def imageHashCdcStream(changes: DataFrame, storePath: String,
+                         checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    cdcChangeStream(changes, checkpoint, storePath, "name", Seq("content"),
+      hasStore = s => graft.ops.Indexes.hasParquetFiles(s, storePath),
+      append = (adds, bid) =>
+        graft.ops.Indexes.appendImageHashIndexIdempotent(adds, bid, storePath),
+      tombstone = (s, dels, bid) =>
+        graft.ops.Indexes.tombstoneImageHashIndexIdempotent(s, storePath,
+          dels, bid))
 
   /** CDC-STYLE phrase-store maintenance — [[invertedIndexCdcStream]]'s
     * twin for the positioned-window SERVING store, closing the round-13

@@ -492,6 +492,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"static pruning ineffective: read $readFiles of $storeFiles store files")
   }
 
+  test("token-budget gate: broadcast semi-join on source, no shuffle join") {
+    val p = plan("q_token_budget_gated")
+    assert(p.contains("LeftSemi, BuildRight") || p.contains("LeftSemi, BuildLeft"),
+      s"the health gate must land as a broadcast semi-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sources-sized gate must never shuffle the corpus:\n$p")
+  }
+
+  test("image near-dup serving never decodes: hash-store scan only") {
+    // decode-once serve-many: the registered query reads the committed
+    // imghash store; ImageIO runs at ensure time, not in the probe plan
+    val p = plan("q_image_near_dups")
+    assert(p.contains("imghash_"),
+      s"the probe must scan the committed hash store:\n$p")
+    assert(!p.toLowerCase.contains("binaryfile") && !p.contains("mapPartitions"),
+      s"no payload scan or decode closure may appear in the serving plan:\n$p")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // Theta joins in the documented quadratic baselines become
     // BroadcastNestedLoopJoin (bounded side); an unconditional
