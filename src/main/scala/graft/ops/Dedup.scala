@@ -618,30 +618,63 @@ object Dedup {
         s"got $maxHamming >= $bands")
     require(bands > 0 && 16 % bands == 0,
       s"bands must divide the 16 hex chars evenly, got $bands")
+    val a = banded64(sigs, idCol, hexCol, bands, "a")
+    val b = banded64(sigs, idCol, hexCol, bands, "b")
+    a.join(b, Seq("band", "key")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming64("a", "b"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** INCREMENTAL banded Hamming near-dup — the daily-ingest shape for
+    * the image family (the [[graft.ops.Indexes]] containment-incr
+    * precedent applied to perceptual hashes): a NEW batch of signatures
+    * probed against the committed corpus store, returning
+    * (id_new, id_old, hamming ≤ maxHamming). Same pigeonhole
+    * completeness as [[hammingNearDups64]]; cost is
+    * |batch|·bands ⨝ |corpus|·bands on the band buckets — the corpus
+    * side never self-joins, so a daily batch prices |batch|-bounded
+    * candidates, not corpus². */
+  def hammingNearDups64Incr(batch: DataFrame, corpus: DataFrame,
+                            idCol: String, hexCol: String,
+                            maxHamming: Int, bands: Int = 8): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"banding is complete only for maxHamming < bands, " +
+        s"got $maxHamming >= $bands")
+    val n = banded64(batch, idCol, hexCol, bands, "new")
+    val o = banded64(corpus, idCol, hexCol, bands, "old")
+    n.join(o, Seq("band", "key")).where(col("id_new") =!= col("id_old"))
+      .select(col("id_new"), col("id_old"), hamming64("new", "old"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** One side of the 64-bit banded join: band keys are hex substrings,
+    * the hash rides as two 32-bit halves (see [[hammingNearDups64]]). */
+  private def banded64(sigs: DataFrame, idCol: String, hexCol: String,
+                       bands: Int, suffix: String): DataFrame = {
+    require(bands > 0 && 16 % bands == 0,
+      s"bands must divide the 16 hex chars evenly, got $bands")
     val chunkHex = 16 / bands
     val s = sigs.where(length(col(hexCol)) === 16)
-      .select(col(idCol).as("id"),
-        conv(substring(col(hexCol), 1, 8), 16, 10).cast("long").as("hi"),
-        conv(substring(col(hexCol), 9, 8), 16, 10).cast("long").as("lo"),
+      .select(col(idCol).as(s"id_$suffix"),
+        conv(substring(col(hexCol), 1, 8), 16, 10).cast("long")
+          .as(s"hi_$suffix"),
+        conv(substring(col(hexCol), 9, 8), 16, 10).cast("long")
+          .as(s"lo_$suffix"),
         col(hexCol).as("hx"))
     val chunks = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         substring(col("hx"), b * chunkHex + 1, chunkHex).as("key"))
     }
-    val bk = s.select(col("id"), col("hi"), col("lo"),
+    s.select(col(s"id_$suffix"), col(s"hi_$suffix"), col(s"lo_$suffix"),
         explode(array(chunks: _*)).as("c"))
-      .select(col("id"), col("hi"), col("lo"),
-        col("c.band").as("band"), col("c.key").as("key"))
-    val a = bk.select(col("band"), col("key"), col("id").as("id_a"),
-      col("hi").as("hi_a"), col("lo").as("lo_a"))
-    val b = bk.select(col("band"), col("key"), col("id").as("id_b"),
-      col("hi").as("hi_b"), col("lo").as("lo_b"))
-    a.join(b, Seq("band", "key")).where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
-          bit_count(col("lo_a").bitwiseXOR(col("lo_b"))))
-          .cast("long").as("hamming"))
-      .where(col("hamming") <= maxHamming)
-      .distinct()
+      .select(col("c.band").as("band"), col("c.key").as("key"),
+        col(s"id_$suffix"), col(s"hi_$suffix"), col(s"lo_$suffix"))
   }
+
+  private def hamming64(x: String, y: String): Column =
+    (bit_count(col(s"hi_$x").bitwiseXOR(col(s"hi_$y"))) +
+      bit_count(col(s"lo_$x").bitwiseXOR(col(s"lo_$y"))))
+      .cast("long").as("hamming")
 }

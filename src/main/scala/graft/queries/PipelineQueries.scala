@@ -4586,6 +4586,45 @@ object PipelineQueries {
        |SELECT name_a, name_b, hamming FROM p
        |WHERE hamming <= 6 ORDER BY name_a, name_b""".stripMargin
 
+  /** INCREMENTAL image near-dup — the daily-ingest question for the
+    * image corpus ("does my new batch duplicate anything I already
+    * have?"): the batch's hashes banded-joined against the committed
+    * store, never a corpus self-join ([[graft.ops.Dedup
+    * .hammingNearDups64Incr]]; the q_containment_incr shape for
+    * images). The fixture split simulates it: the genv_* re-encodes
+    * arrive as the batch, the rest is the standing corpus — each
+    * variant must pair with its original at Hamming 0, and nothing
+    * else within 6. Oracle: the same split brute-forced over the
+    * frozen manifest. */
+  def imageNearDupsIncr(s: SparkSession, d: String): DataFrame = {
+    val sigs = graft.ops.Indexes.readImageHashIndex(s,
+      graft.ops.Indexes.ensureImageHashIndex(s, imageFixtureDir))
+    graft.ops.Dedup.hammingNearDups64Incr(
+        sigs.where(col("name").startsWith("genv_")),
+        sigs.where(!col("name").startsWith("genv_")),
+        "name", "ahash_hex", maxHamming = 6, bands = 8)
+      .select(col("id_new").as("name_new"), col("id_old").as("name_old"),
+        col("hamming"))
+      .orderBy(col("name_new"), col("name_old"))
+  }
+
+  val imageNearDupsIncrSql: String =
+    s"""WITH m AS (SELECT name, ahash_hex
+       |           FROM read_parquet('$imageManifestPath/*.parquet')
+       |           WHERE len(ahash_hex) = 16)
+       |SELECT a.name AS name_new, b.name AS name_old,
+       |       (bit_count(xor(('0x' || substr(a.ahash_hex, 1, 8))::BIGINT,
+       |                      ('0x' || substr(b.ahash_hex, 1, 8))::BIGINT))
+       |      + bit_count(xor(('0x' || substr(a.ahash_hex, 9, 8))::BIGINT,
+       |                      ('0x' || substr(b.ahash_hex, 9, 8))::BIGINT)))::BIGINT AS hamming
+       |FROM m a JOIN m b
+       |  ON starts_with(a.name, 'genv_') AND NOT starts_with(b.name, 'genv_')
+       |WHERE (bit_count(xor(('0x' || substr(a.ahash_hex, 1, 8))::BIGINT,
+       |                     ('0x' || substr(b.ahash_hex, 1, 8))::BIGINT))
+       |     + bit_count(xor(('0x' || substr(a.ahash_hex, 9, 8))::BIGINT,
+       |                     ('0x' || substr(b.ahash_hex, 9, 8))::BIGINT))) <= 6
+       |ORDER BY name_new, name_old""".stripMargin
+
   /** Image DUP CLUSTERS: the near-dup pair set closed into connected
     * components through the SAME distributed pointer-jumping machinery
     * text dedup uses ([[graft.ops.Dedup.connectedComponents]] over
