@@ -27,9 +27,14 @@ class ManifestWireSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
   import spark.implicits._
 
+  // the FULL sf0.001 frame, deliberately: ensure* fingerprints corpus
+  // FILES, so a `.limit(n)` slice aliases the full corpus's fingerprint
+  // and whoever builds first poisons the shared store (the label-less
+  // families have no slice discriminator — that is exactly why the
+  // sliced families take a `label`). 500 docs; speed is a non-issue.
   private val docs = graft.engine.Tables
     .documents(spark, "/root/testdata/sf0.001")
-    .select(col("doc_id"), col("text")).limit(60)
+    .select(col("doc_id"), col("text"))
 
   test("probe under concurrent compaction: one consistent generation across the flip") {
     val root = Files.createTempDirectory("manifest_wire").toString
