@@ -3468,6 +3468,97 @@ object PipelineQueries {
       |         least(tokens/100.0, 1.0)*0.4 + stop_ratio*2.0*0.4 + (1.0-punct)*0.2))), 6) AS avg_quality
       |FROM t GROUP BY source ORDER BY source""".stripMargin
 
+  /** WITHIN-DOCUMENT repetition rate — the published repetition-filter
+    * signal (the Gopher data-quality family, Rae et al. 2021, as
+    * publicly described, which measures duplicate 2- through 4-gram
+    * fractions): the fraction of a document's word BIGRAMS that are
+    * duplicates of an earlier bigram in the SAME document.
+    * Self-repetition is the loudest single symptom of boilerplate and
+    * degenerate generation; corpus-level dedup never sees it because
+    * the repeats live inside one doc. Per source: exact n-gram and
+    * duplicate counts, rate in 1e-6 fixed point. One scan, map-side
+    * combined — positional n-grams, not the dedup family's distinct
+    * shingle SETS (the duplicates are the signal here). */
+  def selfRepetition(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("source"),
+        TextOps.shingles(TextOps.wordsSafe(col("text")), 2).as("g"))
+      .select(col("source"), size(col("g")).cast("long").as("n"),
+        (size(col("g")) - size(array_distinct(col("g"))))
+          .cast("long").as("dup"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_ngrams"), sum(col("dup")).as("n_dup"))
+      .select(col("source"), col("n_ngrams"), col("n_dup"),
+        when(col("n_ngrams") > 0, call_function("div",
+          col("n_dup") * lit(1000000L), col("n_ngrams")))
+          .otherwise(lit(0L)).as("rep_fp"))
+      .orderBy(col("source"))
+
+  val selfRepetitionSql: String =
+    s"""WITH t AS (SELECT source, $duckWords AS w FROM documents),
+       |g AS (SELECT source,
+       |        CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)),
+       |          i -> w[i] || ' ' || w[i+1])
+       |        ELSE []::VARCHAR[] END AS g
+       |      FROM t),
+       |m AS (SELECT source, len(g)::BIGINT AS n,
+       |             (len(g) - len(list_distinct(g)))::BIGINT AS dup FROM g)
+       |SELECT source, sum(n)::BIGINT AS n_ngrams, sum(dup)::BIGINT AS n_dup,
+       |       CASE WHEN sum(n) > 0 THEN (sum(dup) * 1000000) // sum(n)
+       |            ELSE 0 END::BIGINT AS rep_fp
+       |FROM m GROUP BY source ORDER BY source""".stripMargin
+
+  /** GOPHER-RULE quality panel (Rae et al. 2021's published document
+    * filters, the instance of rule-based curation every large text
+    * pipeline runs first): per document — word count within [50, 1e5],
+    * mean word length within [3, 10] (cross-multiplied exact integers:
+    * 3n ≤ Σlen ≤ 10n — no division), and at least 2 distinct members of
+    * the stop-word probe set (the "is it prose?" test). Per source:
+    * fail counts per rule and the pass count (docs failing none). Every
+    * number an exact integer; one scan, map-side combined. */
+  def gopherRules(s: SparkSession, d: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    documents(s, d)
+      .select(col("source"), TextOps.wordsSafe(col("text")).as("w"))
+      .select(col("source"),
+        size(col("w")).cast("long").as("n"),
+        aggregate(transform(col("w"), x => length(x).cast("long")),
+          lit(0L), (a, x) => a + x).as("sumlen"),
+        size(array_intersect(array_distinct(col("w")),
+          typedlit(stop))).cast("long").as("nstop"))
+      .select(col("source"),
+        (col("n") < 50 || col("n") > 100000L).as("f_wc"),
+        (col("sumlen") < col("n") * 3 || col("sumlen") > col("n") * 10)
+          .as("f_ml"),
+        (col("nstop") < 2).as("f_sw"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("f_wc"), 1L).otherwise(0L)).as("n_fail_wordcount"),
+        sum(when(col("f_ml"), 1L).otherwise(0L)).as("n_fail_meanlen"),
+        sum(when(col("f_sw"), 1L).otherwise(0L)).as("n_fail_stopwords"),
+        sum(when(!col("f_wc") && !col("f_ml") && !col("f_sw"), 1L)
+          .otherwise(0L)).as("n_pass"))
+      .orderBy(col("source"))
+  }
+
+  val gopherRulesSql: String =
+    s"""WITH t AS (SELECT source, $duckWords AS w FROM documents),
+       |m AS (SELECT source, len(w)::BIGINT AS n,
+       |        coalesce(list_sum(list_transform(w, x -> len(x))), 0)::BIGINT AS sumlen,
+       |        len(list_intersect(list_distinct(w),
+       |          ['the','a','of','and','to','in','is']))::BIGINT AS nstop
+       |      FROM t),
+       |f AS (SELECT source, (n < 50 OR n > 100000) AS f_wc,
+       |        (sumlen < n * 3 OR sumlen > n * 10) AS f_ml,
+       |        (nstop < 2) AS f_sw FROM m)
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |       sum(CASE WHEN f_wc THEN 1 ELSE 0 END)::BIGINT AS n_fail_wordcount,
+       |       sum(CASE WHEN f_ml THEN 1 ELSE 0 END)::BIGINT AS n_fail_meanlen,
+       |       sum(CASE WHEN f_sw THEN 1 ELSE 0 END)::BIGINT AS n_fail_stopwords,
+       |       sum(CASE WHEN NOT f_wc AND NOT f_ml AND NOT f_sw
+       |                THEN 1 ELSE 0 END)::BIGINT AS n_pass
+       |FROM f GROUP BY source ORDER BY source""".stripMargin
+
   /** Sketch-driven quality gate audit ([[Curation.qualityThreshold]]):
     * the p25 quality cut estimated from the 200-doc deterministic hash
     * sample, applied per source — how much survives, and the threshold
