@@ -29,7 +29,14 @@ object Bpe {
     * one canonical model id. */
   def model(spark: SparkSession, path: String = VocabPath): BpeVocabRef = {
     val df = spark.read.parquet(path)
-    Indexes.memoModel(df, "bpe") {
+    // the cached value wraps a BROADCAST, which dies with its
+    // SparkContext — unlike every other memoized model (plain driver
+    // values), so the memo key must carry the application id: a second
+    // context in one JVM (spec suites, notebook restarts) would
+    // otherwise be served a handle whose blocks no longer exist
+    // (review catch). Stale entries from a stopped context age out of
+    // the bounded LRU; their broadcasts died with that context.
+    Indexes.memoModel(df, s"bpe_${spark.sparkContext.applicationId}") {
       val pieces = df.orderBy(col("rank")).select(col("piece"))
         .collect().map(_.getString(0))
       BpeVocabRef.broadcastRef(spark, Indexes.corpusFingerprint(df), pieces)

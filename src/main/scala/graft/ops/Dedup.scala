@@ -616,8 +616,8 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming < bands,
       s"banding is complete only for maxHamming < bands, " +
         s"got $maxHamming >= $bands")
-    require(bands > 0 && 16 % bands == 0,
-      s"bands must divide the 16 hex chars evenly, got $bands")
+    // bands-divisibility is enforced once, in banded64 (both entry
+    // points route through it)
     val a = banded64(sigs, idCol, hexCol, bands, "a")
     val b = banded64(sigs, idCol, hexCol, bands, "b")
     a.join(b, Seq("band", "key")).where(col("id_a") < col("id_b"))

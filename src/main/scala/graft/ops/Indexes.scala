@@ -266,6 +266,24 @@ object Indexes {
       val cutoff = System.currentTimeMillis() - gcGraceMs
       val family = fs.listStatus(parent)
         .filter(_.getPath.getName.startsWith(familyPrefix))
+      // Pass 0 — the family manifest's CURRENT generation (and the
+      // fingerprint root its lineage names) are LIVE by definition,
+      // whatever their mtime: a compacted dest placed inside the family
+      // dir would otherwise be reclaimed on the dir's own age — the
+      // mtime-vs-supersession bug retireGenerations' scaladoc records
+      // fixing — silently undoing a flip in-flight readers just
+      // resolved (review catch; manifest-managed retirement is
+      // [[retireGenerations]]' supersession-gated job, never this
+      // sweep's).
+      val manifestDir = new org.apache.hadoop.fs.Path(parent,
+        s"manifest_${familyPrefix.stripSuffix("_")}")
+      val spared: Set[String] =
+        if (!fs.exists(manifestDir)) Set.empty
+        else manifestEntries(fs, manifestDir).lastOption.toSeq.flatMap {
+          case (_, ptr) =>
+            val (gen, lin) = readPointerLines(fs, ptr)
+            gen +: lin.toSeq
+        }.map(g => new org.apache.hadoop.fs.Path(g).toUri.getPath).toSet
       // Pass 1 — generations and orphaned `.tmp-*` build dirs: aged and
       // not current → reclaim. Delete-tombstone sidecars are EXCLUDED
       // here: `<gen>.tombstones` shares the family prefix, so the plain
@@ -275,7 +293,8 @@ object Indexes {
       family.foreach { st =>
         val name = st.getPath.getName
         if (!name.endsWith(".tombstones") && name != p.getName &&
-            st.getModificationTime < cutoff)
+            st.getModificationTime < cutoff &&
+            !spared.contains(st.getPath.toUri.getPath))
           fs.delete(st.getPath, true)
       }
       // Pass 2 — sidecars: a sidecar lives exactly as long as its OWN
@@ -690,15 +709,20 @@ object Indexes {
     val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
     val family = s"knng_j${j}_b${bBits}_L${lTables}_"
     val path = s"$indexRoot/$tag/$family${corpusFingerprint(emb)}"
-    if (!successExists(spark, path)) {
+    val mdir = familyManifestDir(sfDir, family)
+    if (!manifestServes(spark, mdir, path) && !successExists(spark, path)) {
       val tmp = tmpBuildPath(path)
       knnGraphIndexed(emb, idxPath, j)
         .repartition(col("vec_a")).sortWithinPartitions(col("vec_a"))
         .write.mode("overwrite").parquet(tmp)
       commitIndexDir(spark, tmp, path)
+      // publish the NEW generation BEFORE the sweep: gcSiblings spares
+      // whatever the family manifest currently serves, so the flip must
+      // land first or the aged superseded generation would be spared too
+      resolveThroughManifest(spark, mdir, path)
       gcSiblings(spark, path, family)
     }
-    resolveThroughManifest(spark, familyManifestDir(sfDir, family), path)
+    resolveThroughManifest(spark, mdir, path)
   }
 
   /** The index's tombstoned ids as a driver set (bounded by delete
@@ -1436,7 +1460,12 @@ object Indexes {
   private def lineageOf(fs: org.apache.hadoop.fs.FileSystem,
                         dir: org.apache.hadoop.fs.Path,
                         gen: String): Option[String] =
-    manifestEntries(fs, dir).reverse.iterator
+    // a manifest that does not exist yet has no lineage to propagate —
+    // the policy's first-ever publish to a fresh manifest must not
+    // crash on the listing (review catch: listStatus throws
+    // FileNotFoundException, it does not return null)
+    if (!fs.exists(dir)) None
+    else manifestEntries(fs, dir).reverse.iterator
       .map { case (_, p) => readPointerLines(fs, p) }
       .collectFirst { case (g, lin) if g == gen => lin.getOrElse(gen) }
 
@@ -1509,16 +1538,20 @@ object Indexes {
     val images = spark.read.format("binaryFile").load(imagesDir)
     val tag = imagesDir.replaceAll("[^A-Za-z0-9._-]", "_")
     val path = s"$indexRoot/$tag/imghash_${corpusFingerprint(images)}"
-    if (!successExists(spark, path)) {
+    val mdir = familyManifestDir(imagesDir, "imghash_")
+    if (!manifestServes(spark, mdir, path) && !successExists(spark, path)) {
       val tmp = tmpBuildPath(path)
       Multimodal.imagePHashes(images).toDF()
         .repartition(col("name")).sortWithinPartitions(col("name"))
         .write.mode("overwrite").parquet(tmp)
       commitIndexDir(spark, tmp, path)
+      // publish the NEW generation BEFORE the sweep: gcSiblings spares
+      // whatever the family manifest currently serves, so the flip must
+      // land first or the aged superseded generation would be spared too
+      resolveThroughManifest(spark, mdir, path)
       gcSiblings(spark, path, "imghash_")
     }
-    resolveThroughManifest(spark,
-      familyManifestDir(imagesDir, "imghash_"), path)
+    resolveThroughManifest(spark, mdir, path)
   }
 
   /** Name-keyed delete verbs for the image-hash store — the LSM delete
@@ -1777,10 +1810,16 @@ object Indexes {
                      seed: Long = 42L, partitionByBucket: Boolean = true): String = {
     val path = lshIndexPath(sfDir, corpusFingerprint(emb), bBits, lTables, seed,
       partitionByBucket)
-    if (!successExists(spark, path)) {
+    val mdir = familyManifestDir(sfDir,
+      lshFamily(bBits, lTables, seed, partitionByBucket))
+    if (!manifestServes(spark, mdir, path) && !successExists(spark, path)) {
       val tmp = tmpBuildPath(path)
       writeLshIndex(emb, tmp, bBits, lTables, dim, seed, partitionByBucket)
       commitIndexDir(spark, tmp, path)
+      // publish the NEW generation BEFORE the sweep: gcSiblings spares
+      // whatever the family manifest currently serves, so the flip must
+      // land first or the aged superseded generation would be spared too
+      resolveThroughManifest(spark, mdir, path)
       gcSiblings(spark, path, lshFamily(bBits, lTables, seed, partitionByBucket))
     }
     // the probe path resolves THROUGH the family manifest (r13 VERDICT
@@ -1790,9 +1829,7 @@ object Indexes {
     // serving process and this corpus-keyed build path read one door.
     // Steady state (single writer, one corpus per sfDir — the gcSiblings
     // lifecycle's standing assumption) resolves to exactly `path`.
-    resolveThroughManifest(spark,
-      familyManifestDir(sfDir, lshFamily(bBits, lTables, seed, partitionByBucket)),
-      path)
+    resolveThroughManifest(spark, mdir, path)
   }
 
   /** The manifest a family's write-once generations flip through:
@@ -1824,22 +1861,33 @@ object Indexes {
   private[graft] def resolveThroughManifest(spark: SparkSession,
                                             manifestDir: String,
                                             path: String): String = {
-    val servesFingerprint = currentGenerationEntry(spark, manifestDir)
-      .exists { case (gen, lin) =>
-        (gen == path || lin.getOrElse(gen) == path) && {
-          // LIVENESS: a current generation whose directory is GONE (an
-          // external cleanup raced the grace window, a tmp-dir dest was
-          // reaped) must not brick serving — republish the fingerprint
-          // path, which the build step above just guaranteed exists.
-          val fs = org.apache.hadoop.fs.FileSystem.get(
-            new java.net.URI(gen), spark.sparkContext.hadoopConfiguration)
-          fs.exists(new org.apache.hadoop.fs.Path(gen))
-        }
-      }
-    if (!servesFingerprint)
+    if (!manifestServes(spark, manifestDir, path))
       publishGeneration(spark, manifestDir, path, lineage = Some(path))
     currentGeneration(spark, manifestDir).getOrElse(path)
   }
+
+  /** Does the family manifest currently serve `path`'s fingerprint —
+    * i.e. the current generation IS `path`, or descends from it via
+    * compaction lineage, AND its directory still exists? (LIVENESS: a
+    * current generation whose directory is GONE — external cleanup
+    * raced the grace, a tmp-dir dest was reaped — must not brick
+    * serving; the resolver republishes the fingerprint path instead.)
+    *
+    * Doubles as the ensure* BUILD-SKIP predicate (review catch): after
+    * a compaction flip plus grace retirement of the fingerprint
+    * directory, successExists(path) is false — without this check
+    * every later ensure* re-ran the full corpus build (an ImageIO
+    * decode pass, a re-shingle) only for the manifest answer to shadow
+    * it immediately. */
+  private[graft] def manifestServes(spark: SparkSession, manifestDir: String,
+                                    path: String): Boolean =
+    currentGenerationEntry(spark, manifestDir).exists { case (gen, lin) =>
+      (gen == path || lin.getOrElse(gen) == path) && {
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(gen), spark.sparkContext.hadoopConfiguration)
+        fs.exists(new org.apache.hadoop.fs.Path(gen))
+      }
+    }
 
   /** BATCHED multi-query ANN over the same stored LSH index as
     * [[lshTopKIndexed]] — the production vector-store access pattern: the
@@ -2015,7 +2063,8 @@ object Indexes {
     // code table too — codes scored against a different model are garbage.
     val path = s"$indexRoot/$tag/pq_m${nSub}_${corpusFingerprint(emb)}" +
       s"_cb${corpusFingerprint(codebooks)}"
-    if (!successExists(spark, path)) {
+    val mdir = familyManifestDir(sfDir, s"pq_m${nSub}_")
+    if (!manifestServes(spark, mdir, path) && !successExists(spark, path)) {
       val subDim = dim / nSub
       val cbs = collectCodebooks(codebooks)
       val codeCols = (0 until nSub).map { m =>
@@ -2026,10 +2075,13 @@ object Indexes {
       emb.select(col("vec_id") +: codeCols: _*)
         .write.mode("overwrite").parquet(tmp)
       commitIndexDir(spark, tmp, path)
+      // publish the NEW generation BEFORE the sweep: gcSiblings spares
+      // whatever the family manifest currently serves, so the flip must
+      // land first or the aged superseded generation would be spared too
+      resolveThroughManifest(spark, mdir, path)
       gcSiblings(spark, path, s"pq_m${nSub}_")
     }
-    resolveThroughManifest(spark,
-      familyManifestDir(sfDir, s"pq_m${nSub}_"), path)
+    resolveThroughManifest(spark, mdir, path)
   }
 
   private def collectCodebooks(codebooks: DataFrame): Map[Int, Array[Array[Double]]] =
@@ -2148,7 +2200,10 @@ object Indexes {
     val fp = corpusFingerprint(docs)
     val base = s"$indexRoot/$tag/minhash_k${numHashes}_r${bandRows}_n${shingleN}_$fp"
     val (sets, bands) = (s"$base/sets", s"$base/bands")
-    if (!successExists(spark, sets) || !successExists(spark, bands)) {
+    val mdir = familyManifestDir(sfDir,
+      s"minhash_k${numHashes}_r${bandRows}_n${shingleN}_")
+    if (!manifestServes(spark, mdir, base) &&
+        (!successExists(spark, sets) || !successExists(spark, bands))) {
       // both derived tables build under ONE tmp base and publish with one
       // rename — a reader can never see sets/ without its matching bands/
       val tmp = tmpBuildPath(base)
@@ -2160,13 +2215,16 @@ object Indexes {
         .write.mode("overwrite").parquet(s"$tmp/bands")
       s.unpersist()
       commitIndexDir(spark, tmp, base)
+      // publish the NEW generation BEFORE the sweep: gcSiblings spares
+      // whatever the family manifest currently serves, so the flip must
+      // land first or the aged superseded generation would be spared too
+      resolveThroughManifest(spark, mdir, base)
       gcSiblings(spark, base,
         s"minhash_k${numHashes}_r${bandRows}_n${shingleN}_")
     }
     // the manifest points at the BASE; both subtables resolve with it,
     // so a compaction flip can never split them
-    val served = resolveThroughManifest(spark, familyManifestDir(sfDir,
-      s"minhash_k${numHashes}_r${bandRows}_n${shingleN}_"), base)
+    val served = resolveThroughManifest(spark, mdir, base)
     (s"$served/sets", s"$served/bands")
   }
 
@@ -2404,14 +2462,18 @@ object Indexes {
     val lbl = labelSegment(label)
     val path =
       s"$indexRoot/$tag/shingles_n${shingleN}_${lbl}_${corpusFingerprint(docs)}"
-    if (!successExists(spark, path)) {
+    val mdir = familyManifestDir(sfDir, s"shingles_n${shingleN}_${lbl}_")
+    if (!manifestServes(spark, mdir, path) && !successExists(spark, path)) {
       val tmp = tmpBuildPath(path)
       Dedup.shingleSets(docs, shingleN).write.mode("overwrite").parquet(tmp)
       commitIndexDir(spark, tmp, path)
+      // publish the NEW generation BEFORE the sweep: gcSiblings spares
+      // whatever the family manifest currently serves, so the flip must
+      // land first or the aged superseded generation would be spared too
+      resolveThroughManifest(spark, mdir, path)
       gcSiblings(spark, path, s"shingles_n${shingleN}_${lbl}_")
     }
-    resolveThroughManifest(spark,
-      familyManifestDir(sfDir, s"shingles_n${shingleN}_${lbl}_"), path)
+    resolveThroughManifest(spark, mdir, path)
   }
 
   /** Materialized positional window-hash table (doc_id, pos, h) for one
@@ -2426,14 +2488,18 @@ object Indexes {
     val lbl = labelSegment(label)
     val path =
       s"$indexRoot/$tag/winhash_k${k}_${lbl}_${corpusFingerprint(docs)}"
-    if (!successExists(spark, path)) {
+    val mdir = familyManifestDir(sfDir, s"winhash_k${k}_${lbl}_")
+    if (!manifestServes(spark, mdir, path) && !successExists(spark, path)) {
       val tmp = tmpBuildPath(path)
       Dedup.windowHashes(docs, k).write.mode("overwrite").parquet(tmp)
       commitIndexDir(spark, tmp, path)
+      // publish the NEW generation BEFORE the sweep: gcSiblings spares
+      // whatever the family manifest currently serves, so the flip must
+      // land first or the aged superseded generation would be spared too
+      resolveThroughManifest(spark, mdir, path)
       gcSiblings(spark, path, s"winhash_k${k}_${lbl}_")
     }
-    resolveThroughManifest(spark,
-      familyManifestDir(sfDir, s"winhash_k${k}_${lbl}_"), path)
+    resolveThroughManifest(spark, mdir, path)
   }
 
   /** Materialized POSITIONED window table (doc_id, ntok, pos, s) for one
@@ -2465,15 +2531,19 @@ object Indexes {
     val lbl = labelSegment(label)
     val path =
       s"$indexRoot/$tag/poswin_n${windowN}_${lbl}_${corpusFingerprint(docs)}"
-    if (!successExists(spark, path)) {
+    val mdir = familyManifestDir(sfDir, s"poswin_n${windowN}_${lbl}_")
+    if (!manifestServes(spark, mdir, path) && !successExists(spark, path)) {
       val tmp = tmpBuildPath(path)
       Decontamination.positionedWindows(docs, windowN)
         .write.mode("overwrite").parquet(tmp)
       commitIndexDir(spark, tmp, path)
+      // publish the NEW generation BEFORE the sweep: gcSiblings spares
+      // whatever the family manifest currently serves, so the flip must
+      // land first or the aged superseded generation would be spared too
+      resolveThroughManifest(spark, mdir, path)
       gcSiblings(spark, path, s"poswin_n${windowN}_${lbl}_")
     }
-    resolveThroughManifest(spark,
-      familyManifestDir(sfDir, s"poswin_n${windowN}_${lbl}_"), path)
+    resolveThroughManifest(spark, mdir, path)
   }
 
   /** Partition-dir bits for the SERVING copy of the positioned-window
@@ -2507,7 +2577,8 @@ object Indexes {
     val lbl = labelSegment(label)
     val path =
       s"$indexRoot/$tag/poswinsrv_n${windowN}_${lbl}_${corpusFingerprint(docs)}"
-    if (!successExists(spark, path)) {
+    val mdir = familyManifestDir(sfDir, s"poswinsrv_n${windowN}_${lbl}_")
+    if (!manifestServes(spark, mdir, path) && !successExists(spark, path)) {
       val tmp = tmpBuildPath(path)
       Decontamination.positionedWindows(docs, windowN)
         .select(col("doc_id"), col("pos"), col("s"))
@@ -2516,10 +2587,13 @@ object Indexes {
         .sortWithinPartitions(col("s"), col("doc_id"), col("pos"))
         .write.mode("overwrite").partitionBy("sb").parquet(tmp)
       commitIndexDir(spark, tmp, path)
+      // publish the NEW generation BEFORE the sweep: gcSiblings spares
+      // whatever the family manifest currently serves, so the flip must
+      // land first or the aged superseded generation would be spared too
+      resolveThroughManifest(spark, mdir, path)
       gcSiblings(spark, path, s"poswinsrv_n${windowN}_${lbl}_")
     }
-    resolveThroughManifest(spark,
-      familyManifestDir(sfDir, s"poswinsrv_n${windowN}_${lbl}_"), path)
+    resolveThroughManifest(spark, mdir, path)
   }
 
   /** Delete lifecycle for the positioned-window stores (round 13 — the
@@ -2736,7 +2810,10 @@ object Indexes {
     val dir =
       s"$indexRoot/$tag/minhash_lc_k${numHashes}_r${bandRows}_n${shingleN}_$fp"
     val (sets, bands) = (s"$dir/sets", s"$dir/bands")
-    if (!successExists(spark, sets) || !successExists(spark, bands)) {
+    val mdir = familyManifestDir(sfDir,
+      s"minhash_lc_k${numHashes}_r${bandRows}_n${shingleN}_")
+    if (!manifestServes(spark, mdir, dir) &&
+        (!successExists(spark, sets) || !successExists(spark, bands))) {
       val tmp = tmpBuildPath(dir)
       val s = Dedup.shingleSets(base, shingleN).persist()
       s.write.mode("overwrite").parquet(s"$tmp/sets")
@@ -2748,11 +2825,14 @@ object Indexes {
       appendMinhashIndex(batch, s"$tmp/sets", s"$tmp/bands",
         numHashes, bandRows, shingleN)
       commitIndexDir(spark, tmp, dir)
+      // publish the NEW generation BEFORE the sweep: gcSiblings spares
+      // whatever the family manifest currently serves, so the flip must
+      // land first or the aged superseded generation would be spared too
+      resolveThroughManifest(spark, mdir, dir)
       gcSiblings(spark, dir,
         s"minhash_lc_k${numHashes}_r${bandRows}_n${shingleN}_")
     }
-    val served = resolveThroughManifest(spark, familyManifestDir(sfDir,
-      s"minhash_lc_k${numHashes}_r${bandRows}_n${shingleN}_"), dir)
+    val served = resolveThroughManifest(spark, mdir, dir)
     (s"$served/sets", s"$served/bands")
   }
 
@@ -2763,13 +2843,18 @@ object Indexes {
                          sfDir: String): String = {
     val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
     val path = s"$indexRoot/$tag/simhash_${corpusFingerprint(docs)}"
-    if (!successExists(spark, path)) {
+    val mdir = familyManifestDir(sfDir, "simhash_")
+    if (!manifestServes(spark, mdir, path) && !successExists(spark, path)) {
       val tmp = tmpBuildPath(path)
       Dedup.simhash(docs).write.mode("overwrite").parquet(tmp)
       commitIndexDir(spark, tmp, path)
+      // publish the NEW generation BEFORE the sweep: gcSiblings spares
+      // whatever the family manifest currently serves, so the flip must
+      // land first or the aged superseded generation would be spared too
+      resolveThroughManifest(spark, mdir, path)
       gcSiblings(spark, path, "simhash_")
     }
-    resolveThroughManifest(spark, familyManifestDir(sfDir, "simhash_"), path)
+    resolveThroughManifest(spark, mdir, path)
   }
 
   /** Doc-keyed delete verbs for the simhash signature table — the fourth
@@ -2999,14 +3084,18 @@ object Indexes {
     val path = s"$indexRoot/$tag/ivfpq_k${nCells}_m${nSub}_" +
       s"${corpusFingerprint(emb)}_cc${corpusFingerprint(centroids)}" +
       s"_cb${corpusFingerprint(codebooks)}"
-    if (!successExists(spark, path)) {
+    val mdir = familyManifestDir(sfDir, s"ivfpq_k${nCells}_m${nSub}_")
+    if (!manifestServes(spark, mdir, path) && !successExists(spark, path)) {
       val tmp = tmpBuildPath(path)
       writeIvfPqIndex(emb, centroids, codebooks, tmp, nSub, dim)
       commitIndexDir(spark, tmp, path)
+      // publish the NEW generation BEFORE the sweep: gcSiblings spares
+      // whatever the family manifest currently serves, so the flip must
+      // land first or the aged superseded generation would be spared too
+      resolveThroughManifest(spark, mdir, path)
       gcSiblings(spark, path, s"ivfpq_k${nCells}_m${nSub}_")
     }
-    resolveThroughManifest(spark,
-      familyManifestDir(sfDir, s"ivfpq_k${nCells}_m${nSub}_"), path)
+    resolveThroughManifest(spark, mdir, path)
   }
 
   /** Build the IVFADC table at `path` (see [[ensureIvfPqIndex]] for the
@@ -3308,14 +3397,18 @@ object Indexes {
                      sfDir: String, nCells: Int): String = {
     val path = ivfIndexPath(sfDir,
       s"${corpusFingerprint(emb)}_cb${corpusFingerprint(centroids)}", nCells)
-    if (!successExists(spark, path)) {
+    val mdir = familyManifestDir(sfDir, s"ivf_k${nCells}_")
+    if (!manifestServes(spark, mdir, path) && !successExists(spark, path)) {
       val tmp = tmpBuildPath(path)
       writeIvfIndex(emb, centroids, tmp)
       commitIndexDir(spark, tmp, path)
+      // publish the NEW generation BEFORE the sweep: gcSiblings spares
+      // whatever the family manifest currently serves, so the flip must
+      // land first or the aged superseded generation would be spared too
+      resolveThroughManifest(spark, mdir, path)
       gcSiblings(spark, path, s"ivf_k${nCells}_")
     }
-    resolveThroughManifest(spark,
-      familyManifestDir(sfDir, s"ivf_k${nCells}_"), path)
+    resolveThroughManifest(spark, mdir, path)
   }
 
   private[graft] def successExists(spark: SparkSession, path: String): Boolean = {

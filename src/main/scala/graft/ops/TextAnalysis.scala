@@ -657,17 +657,20 @@ object TextAnalysis {
     val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
     val base = s"${graft.ops.Indexes.indexRoot}/$tag/" +
       s"inverted_b${TermBuckets}_${graft.ops.Indexes.corpusFingerprint(docs)}"
-    if (!graft.ops.Indexes.successExists(spark, s"$base/postings")) {
+    val mdir = graft.ops.Indexes.familyManifestDir(sfDir,
+      s"inverted_b${TermBuckets}_")
+    if (!graft.ops.Indexes.manifestServes(spark, mdir, base) &&
+        !graft.ops.Indexes.successExists(spark, s"$base/postings")) {
       val tmp = graft.ops.Indexes.tmpBuildPath(base)
       writeInvertedIndex(docs, tmp)
       graft.ops.Indexes.commitIndexDir(spark, tmp, base)
+      // flip before the sweep (see graft.ops.Indexes.gcSiblings pass 0)
+      graft.ops.Indexes.resolveThroughManifest(spark, mdir, base)
       graft.ops.Indexes.gcSiblings(spark, base, s"inverted_b${TermBuckets}_")
     }
     // resolve through the family manifest — the generation-manifest
     // reader contract ([[graft.ops.Indexes.resolveThroughManifest]])
-    graft.ops.Indexes.resolveThroughManifest(spark,
-      graft.ops.Indexes.familyManifestDir(sfDir, s"inverted_b${TermBuckets}_"),
-      base)
+    graft.ops.Indexes.resolveThroughManifest(spark, mdir, base)
   }
 
   /** The ONE fixed-point BM25 contribution expression all scoring paths
@@ -1400,15 +1403,18 @@ object TextAnalysis {
     val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
     val base = s"${graft.ops.Indexes.indexRoot}/$tag/" +
       s"fuzzy_b${TermBuckets}_${graft.ops.Indexes.corpusFingerprint(docs)}"
-    if (!graft.ops.Indexes.successExists(spark, base)) {
+    val mdir = graft.ops.Indexes.familyManifestDir(sfDir,
+      s"fuzzy_b${TermBuckets}_")
+    if (!graft.ops.Indexes.manifestServes(spark, mdir, base) &&
+        !graft.ops.Indexes.successExists(spark, base)) {
       val tmp = graft.ops.Indexes.tmpBuildPath(base)
       writeFuzzyTermIndex(docs, tmp)
       graft.ops.Indexes.commitIndexDir(spark, tmp, base)
+      // flip before the sweep (see graft.ops.Indexes.gcSiblings pass 0)
+      graft.ops.Indexes.resolveThroughManifest(spark, mdir, base)
       graft.ops.Indexes.gcSiblings(spark, base, s"fuzzy_b${TermBuckets}_")
     }
-    graft.ops.Indexes.resolveThroughManifest(spark,
-      graft.ops.Indexes.familyManifestDir(sfDir, s"fuzzy_b${TermBuckets}_"),
-      base)
+    graft.ops.Indexes.resolveThroughManifest(spark, mdir, base)
   }
 
   /** Fuzzy term matching served from the deletion-neighborhood index —

@@ -137,14 +137,26 @@ class ManifestWireSpec extends AnyFunSuite {
     assert(d2.compacted)
     assert(TextAnalysis.ensureInvertedIndex(spark, docs, sfDir) === dest2,
       "lineage must survive a compaction chain")
-    // ROLLBACK flip: restore the fingerprint generation as current (the
-    // manifest's pointer history keeps every generation; publishing an
-    // old path forward is the documented rollback shape). Also returns
-    // the SHARED sf0.001 family to its steady state for later suites,
-    // whose plan audits assert the fingerprint path's name.
+    // BUILD-SKIP after retirement (review catch): retire the superseded
+    // generations so the FINGERPRINT directory itself is gone — the next
+    // ensure must serve the flip WITHOUT re-running the corpus build
+    // (pre-fix it found successExists false, paid the full rebuild, and
+    // the manifest answer immediately shadowed it)
+    Thread.sleep(5)
+    Indexes.withGcGrace(0L) { Indexes.retireGenerations(spark, manifest) }
+    assert(!new java.io.File(p1).exists(),
+      "retirement must reclaim the superseded fingerprint generation")
+    assert(TextAnalysis.ensureInvertedIndex(spark, docs, sfDir) === dest2)
+    assert(!new java.io.File(p1).exists(),
+      "no wasted rebuild of the retired fingerprint generation")
+    // ROLLBACK flip: point the manifest at the (now dead) fingerprint
+    // path; the resolver's liveness check sees the dead pointer, ensure
+    // REBUILDS the fingerprint generation, and serving continues from
+    // it — the disaster-recovery shape.
     Indexes.publishGeneration(spark, manifest, p1, lineage = Some(p1))
     assert(TextAnalysis.ensureInvertedIndex(spark, docs, sfDir) === p1,
       "rollback: the republished fingerprint generation serves again")
+    assert(new java.io.File(p1).exists(), "the rollback rebuilt the store")
   }
 
   test("policy declines a store whose layout it cannot name (no mid-policy throw)") {
