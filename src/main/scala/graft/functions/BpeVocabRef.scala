@@ -22,8 +22,9 @@ import org.apache.spark.sql.SparkSession
   *    acceptable exactly when the vocab is small).
   *
   * The probe set (the HashSet greedy longest-match tests membership
-  * against) builds lazily ONCE PER JVM per ref instance and is never
-  * serialized. Equality by `id` only: two refs with one fingerprint are
+  * against) builds lazily once per JVM per MODEL FINGERPRINT (a shared
+  * companion-object cache — task-deserialized ref instances all hit the
+  * same set) and is never serialized. Equality by `id` only: two refs with one fingerprint are
   * interchangeable by construction (the fingerprint covers the model
   * file bytes), which keeps Catalyst's semanticEquals/canonicalized
   * plan-cache behavior exact without hashing 32k strings per compare. */
@@ -39,13 +40,20 @@ final class BpeVocabRef private (val id: String,
 
   @transient @volatile private var set: java.util.HashSet[String] = _
 
-  /** The membership set the encode probes — built once per JVM, cached
-    * on the ref (double-checked; builds are idempotent). */
+  /** The membership set the encode probes — cached JVM-WIDE keyed by the
+    * content fingerprint `id`, not per ref instance: codegen references
+    * deserialize one ref per task, so an instance-only cache rebuilt the
+    * 32k-entry set for every task on the executor (ADVICE r15). The
+    * instance field is just a fast path over the shared map. Keying by
+    * `id` is safe across SparkContexts — the fingerprint covers the
+    * model bytes, so one id always names one piece set — and the map is
+    * bounded by the number of distinct models the JVM ever serves. */
   def probe(): java.util.HashSet[String] = {
     var s = set
-    if (s == null) this.synchronized {
-      s = set
-      if (s == null) { s = BpeVocabRef.buildSet(pieces); set = s }
+    if (s == null) {
+      s = BpeVocabRef.probeSets.computeIfAbsent(
+        id, _ => BpeVocabRef.buildSet(pieces))
+      set = s
     }
     s
   }
@@ -61,6 +69,12 @@ final class BpeVocabRef private (val id: String,
 }
 
 object BpeVocabRef {
+
+  /** JVM-wide probe-set cache (see [[BpeVocabRef.probe]]): one built
+    * HashSet per model fingerprint, shared by every task-deserialized
+    * ref on the executor. */
+  private val probeSets =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.HashSet[String]]()
 
   /** Production backing: validate once on the driver, broadcast once per
     * session (callers memoize the ref — [[graft.ops.Bpe.model]]). */

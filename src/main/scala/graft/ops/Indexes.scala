@@ -276,7 +276,7 @@ object Indexes {
       // [[retireGenerations]]' supersession-gated job, never this
       // sweep's).
       val manifestDir = new org.apache.hadoop.fs.Path(parent,
-        s"manifest_${familyPrefix.stripSuffix("_")}")
+        manifestDirName(familyPrefix))
       val spared: Set[String] =
         if (!fs.exists(manifestDir)) Set.empty
         else manifestEntries(fs, manifestDir).lastOption.toSeq.flatMap {
@@ -1838,8 +1838,16 @@ object Indexes {
     * match `<family><fingerprint>`). */
   private[graft] def familyManifestDir(sfDir: String, familyPrefix: String): String = {
     val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"$indexRoot/$tag/manifest_${familyPrefix.stripSuffix("_")}"
+    s"$indexRoot/$tag/${manifestDirName(familyPrefix)}"
   }
+
+  /** The ONE formula for a family's manifest dir name — shared by
+    * [[familyManifestDir]] (the ensure*-side resolver) and
+    * [[gcSiblings]]' pass-0 spare (ADVICE r15: an inline re-derivation
+    * would silently stop sparing the live generation if the convention
+    * ever changed in one place but not the other). */
+  private def manifestDirName(familyPrefix: String): String =
+    s"manifest_${familyPrefix.stripSuffix("_")}"
 
   /** Publish `path` to the family manifest if the manifest does not
     * already serve this fingerprint, then serve the manifest's answer —
@@ -2061,9 +2069,15 @@ object Indexes {
     // BOTH inputs fingerprint into the path: the codebooks are an
     // independent committed fixture, so retraining them must rotate the
     // code table too — codes scored against a different model are garbage.
-    val path = s"$indexRoot/$tag/pq_m${nSub}_${corpusFingerprint(emb)}" +
-      s"_cb${corpusFingerprint(codebooks)}"
-    val mdir = familyManifestDir(sfDir, s"pq_m${nSub}_")
+    // The codebook fingerprint is part of the FAMILY identity, not just
+    // the generation name (ADVICE r15): with a structural-only family,
+    // alternating two codebooks over one sfDir flapped the single
+    // manifest every call and exposed the other model's aged generation
+    // to gcSiblings while it was still actively ensured. One model ⇒ one
+    // manifest + one gc scope.
+    val family = s"pq_m${nSub}_cb${corpusFingerprint(codebooks)}_"
+    val path = s"$indexRoot/$tag/$family${corpusFingerprint(emb)}"
+    val mdir = familyManifestDir(sfDir, family)
     if (!manifestServes(spark, mdir, path) && !successExists(spark, path)) {
       val subDim = dim / nSub
       val cbs = collectCodebooks(codebooks)
@@ -2079,7 +2093,7 @@ object Indexes {
       // whatever the family manifest currently serves, so the flip must
       // land first or the aged superseded generation would be spared too
       resolveThroughManifest(spark, mdir, path)
-      gcSiblings(spark, path, s"pq_m${nSub}_")
+      gcSiblings(spark, path, family)
     }
     resolveThroughManifest(spark, mdir, path)
   }
@@ -2887,13 +2901,6 @@ object Indexes {
 
   // ---- IVF inverted lists ---------------------------------------------------
 
-  /** Deterministic IVF index location for a corpus dir + content
-    * fingerprint + cell count. */
-  def ivfIndexPath(sfDir: String, fp: String, nCells: Int): String = {
-    val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"$indexRoot/$tag/ivf_k${nCells}_$fp"
-  }
-
   /** Materialize the IVF inverted lists: every vector's cell assignment
     * (argmax cosine against the trained centroids — the IDENTICAL `max_by`
     * tie-break [[Similarity.ivfTopK]] uses inline), written as parquet
@@ -3081,10 +3088,13 @@ object Indexes {
                        sfDir: String, nCells: Int, nSub: Int = 8,
                        dim: Int = 64): String = {
     val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val path = s"$indexRoot/$tag/ivfpq_k${nCells}_m${nSub}_" +
-      s"${corpusFingerprint(emb)}_cc${corpusFingerprint(centroids)}" +
-      s"_cb${corpusFingerprint(codebooks)}"
-    val mdir = familyManifestDir(sfDir, s"ivfpq_k${nCells}_m${nSub}_")
+    // model fingerprints are FAMILY identity (the [[ensurePqIndex]]
+    // ADVICE-r15 rule): each (centroids, codebooks) pair gets its own
+    // manifest + gc scope instead of flapping a structural-only pointer
+    val family = s"ivfpq_k${nCells}_m${nSub}_cc${corpusFingerprint(centroids)}" +
+      s"_cb${corpusFingerprint(codebooks)}_"
+    val path = s"$indexRoot/$tag/$family${corpusFingerprint(emb)}"
+    val mdir = familyManifestDir(sfDir, family)
     if (!manifestServes(spark, mdir, path) && !successExists(spark, path)) {
       val tmp = tmpBuildPath(path)
       writeIvfPqIndex(emb, centroids, codebooks, tmp, nSub, dim)
@@ -3093,7 +3103,7 @@ object Indexes {
       // whatever the family manifest currently serves, so the flip must
       // land first or the aged superseded generation would be spared too
       resolveThroughManifest(spark, mdir, path)
-      gcSiblings(spark, path, s"ivfpq_k${nCells}_m${nSub}_")
+      gcSiblings(spark, path, family)
     }
     resolveThroughManifest(spark, mdir, path)
   }
@@ -3395,9 +3405,12 @@ object Indexes {
     * lists. */
   def ensureIvfIndex(spark: SparkSession, emb: DataFrame, centroids: DataFrame,
                      sfDir: String, nCells: Int): String = {
-    val path = ivfIndexPath(sfDir,
-      s"${corpusFingerprint(emb)}_cb${corpusFingerprint(centroids)}", nCells)
-    val mdir = familyManifestDir(sfDir, s"ivf_k${nCells}_")
+    // centroid fingerprint is FAMILY identity (the [[ensurePqIndex]]
+    // ADVICE-r15 rule): each trained model owns its manifest + gc scope
+    val family = s"ivf_k${nCells}_cc${corpusFingerprint(centroids)}_"
+    val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"$indexRoot/$tag/$family${corpusFingerprint(emb)}"
+    val mdir = familyManifestDir(sfDir, family)
     if (!manifestServes(spark, mdir, path) && !successExists(spark, path)) {
       val tmp = tmpBuildPath(path)
       writeIvfIndex(emb, centroids, tmp)
@@ -3406,7 +3419,7 @@ object Indexes {
       // whatever the family manifest currently serves, so the flip must
       // land first or the aged superseded generation would be spared too
       resolveThroughManifest(spark, mdir, path)
-      gcSiblings(spark, path, s"ivf_k${nCells}_")
+      gcSiblings(spark, path, family)
     }
     resolveThroughManifest(spark, mdir, path)
   }

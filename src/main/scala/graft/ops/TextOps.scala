@@ -53,9 +53,27 @@ object TextOps {
   /** 48-bit shingle id from the md5 hex prefix — the SAME base value the
     * MinHash family consumes (DuckDB mirror:
     * `('0x' || substr(md5(s), 1, 12))::BIGINT`). 48 bits fit a signed long
-    * with headroom for the universal-hash multiply in [[Dedup]]. */
+    * with headroom for the universal-hash multiply in [[Dedup]].
+    *
+    * KEY vs IDENTITY: this is the hash for shingle/bucket KEYS, where a
+    * collision merely merges two shingles identically on both engines
+    * (graceful, documented). Where the hash is a node IDENTITY — a
+    * collision would merge unrelated dup clusters or graph nodes — use
+    * [[nodeId64]]: at billions of items the 48-bit birthday bound
+    * (n²/2⁴⁹) expects thousands of spurious merges, the 64-bit one
+    * (n²/2⁶⁵) a handful at most (VERDICT r15 scale-margin note). */
   def shingleHash(s: Column): Column =
     conv(substring(md5(s), 1, 12), 16, 10).cast("long")
+
+  /** 64-bit node IDENTITY from the full md5 upper half, signed two's
+    * complement (`conv(hex, 16, -10)` interprets the 64-bit value as
+    * signed, so the cast to long never overflows). DuckDB mirror:
+    * `('0x' || substr(md5(s), 1, 16))::UBIGINT` — the oracle's ids are
+    * the same 64 bits read unsigned, which partitions values identically
+    * for every group/join use (ids are internal labels and never appear
+    * in query output, so signedness cannot leak). */
+  def nodeId64(s: Column): Column =
+    conv(substring(md5(s), 1, 16), 16, -10).cast("long")
 
   /** Distinct 48-bit shingle ids from a string shingle array. Dedup stores
     * and shuffles THESE, not the shingle strings: at corpus scale the

@@ -1167,7 +1167,9 @@ object PipelineQueries {
 
   /** TEXTRANK keyword extraction (Mihalcea & Tarau, as publicly
     * described): PageRank over the corpus word-ADJACENCY graph — nodes
-    * are words (48-bit md5 ids, the shingle-hash convention), edges the
+    * are words (64-bit md5 IDENTITY ids, [[graft.ops.TextOps.nodeId64]]
+    * — a collision here would merge two words' ranks, so the id gets
+    * the full birthday margin, not the 48-bit shingle-KEY hash), edges the
     * symmetrized distinct adjacent-word pairs — surfacing the corpus's
     * structurally central vocabulary, the unsupervised keyphrase
     * primitive. Pure composition of committed machinery:
@@ -1185,11 +1187,11 @@ object PipelineQueries {
       .where(col("wa") =!= col("wb"))
     val ed = pw.select(col("wa"), col("wb"))
       .unionAll(pw.select(col("wb").as("wa"), col("wa").as("wb")))
-      .select(TextOps.shingleHash(col("wa")).as("src"),
-        TextOps.shingleHash(col("wb")).as("dst"))
+      .select(TextOps.nodeId64(col("wa")).as("src"),
+        TextOps.nodeId64(col("wb")).as("dst"))
       .distinct()
     val vocab = w.select(explode(col("ws")).as("word")).distinct()
-      .select(col("word"), TextOps.shingleHash(col("word")).as("node"))
+      .select(col("word"), TextOps.nodeId64(col("word")).as("node"))
     graft.ops.PageRank.pageRankFp(ed, iters = 5)
       .join(vocab, Seq("node"))
       .select(col("word"), col("rank_fp"))
@@ -1205,8 +1207,8 @@ object PipelineQueries {
        |       FROM w WHERE len(w) >= 2),
        |pw AS (SELECT p[1] AS wa, p[2] AS wb FROM pr WHERE p[1] != p[2]),
        |ed AS (SELECT DISTINCT
-       |         ('0x' || substr(md5(wa), 1, 12))::BIGINT AS src,
-       |         ('0x' || substr(md5(wb), 1, 12))::BIGINT AS dst
+       |         ('0x' || substr(md5(wa), 1, 16))::UBIGINT AS src,
+       |         ('0x' || substr(md5(wb), 1, 16))::UBIGINT AS dst
        |       FROM (SELECT wa, wb FROM pw
        |             UNION ALL SELECT wb AS wa, wa AS wb FROM pw)),
        |nd AS (SELECT DISTINCT src AS node FROM ed),
@@ -1217,7 +1219,7 @@ object PipelineQueries {
        |r0 AS (SELECT nd.node, st.base AS r FROM nd CROSS JOIN st),
        |$iterCtes,
        |vw AS (SELECT DISTINCT word,
-       |         ('0x' || substr(md5(word), 1, 12))::BIGINT AS node
+       |         ('0x' || substr(md5(word), 1, 16))::UBIGINT AS node
        |       FROM (SELECT unnest(w) AS word FROM w))
        |SELECT vw.word, r5.r AS rank_fp FROM r5 JOIN vw USING (node)
        |ORDER BY rank_fp DESC, word ASC LIMIT 20""".stripMargin
@@ -4719,7 +4721,9 @@ object PipelineQueries {
   /** Image DUP CLUSTERS: the near-dup pair set closed into connected
     * components through the SAME distributed pointer-jumping machinery
     * text dedup uses ([[graft.ops.Dedup.connectedComponents]] over
-    * 48-bit name hashes — the q_textrank id precedent), then each
+    * 64-bit name IDENTITY ids ([[graft.ops.TextOps.nodeId64]] — a
+    * collision here merges two unrelated dup clusters, so cluster
+    * identity gets the full 64-bit birthday margin), then each
     * cluster labeled by its min-name representative with its size;
     * singleton images report themselves at size 1, so the output is the
     * complete dedup-decision panel for the image corpus. The oracle
@@ -4732,10 +4736,10 @@ object PipelineQueries {
     val pairs = graft.ops.Dedup.hammingNearDups64(
       sigs, "name", "ahash_hex", maxHamming = 6, bands = 8)
     val ids = sigs.where(length(col("ahash_hex")) === 16)
-      .select(col("name"), TextOps.shingleHash(col("name")).as("node"))
+      .select(col("name"), TextOps.nodeId64(col("name")).as("node"))
     val cc = graft.ops.Dedup.connectedComponents(
-      pairs.select(TextOps.shingleHash(col("id_a")).as("doc_a"),
-        TextOps.shingleHash(col("id_b")).as("doc_b")))
+      pairs.select(TextOps.nodeId64(col("id_a")).as("doc_a"),
+        TextOps.nodeId64(col("id_b")).as("doc_b")))
     val members = ids.join(cc, ids("node") === cc("doc_id"))
       .select(col("name"), col("rep"))
     // min-NAME canonical rep over the cluster MEMBERS: the 48-bit

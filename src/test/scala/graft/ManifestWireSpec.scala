@@ -214,12 +214,15 @@ class ManifestWireSpec extends AnyFunSuite {
       ("knng", "knng_j3_b3_L8_",
         () => Indexes.ensureKnnGraph(spark, emb, sfDir, j = 3, bBits = 3),
         Seq("")),
-      ("pq", "pq_m8_",
+      // model-coupled ANN families: the trained model's fingerprint is
+      // part of the FAMILY identity (ADVICE r15 — see ensurePqIndex)
+      ("pq", s"pq_m8_cb${Indexes.corpusFingerprint(cb)}_",
         () => Indexes.ensurePqIndex(spark, emb, cb, sfDir), Seq("")),
-      ("ivf", "ivf_k16_",
+      ("ivf", s"ivf_k16_cc${Indexes.corpusFingerprint(cent)}_",
         () => Indexes.ensureIvfIndex(spark, emb, cent, sfDir, nCells = 16),
         Seq("")),
-      ("ivfpq", "ivfpq_k16_m8_",
+      ("ivfpq", s"ivfpq_k16_m8_cc${Indexes.corpusFingerprint(cent)}" +
+          s"_cb${Indexes.corpusFingerprint(cb)}_",
         () => Indexes.ensureIvfPqIndex(spark, emb, cent, cb, sfDir,
           nCells = 16), Seq("")),
       ("fuzzy", s"fuzzy_b${TextAnalysis.TermBuckets}_",
