@@ -25,6 +25,10 @@ case class AudioFeatures(name: String, channels: Int, sample_rate: Int,
                          bits: Int, n_samples: Long, duration_us: Long,
                          abs_sum: Long)
 
+/** Decoded-content audio fingerprint ([[Multimodal.energyHash64]]). */
+case class AudioPHash(name: String, channels: Int, n_samples: Long,
+                      ehash_hex: String)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, and a per-partition decode/feature-extract pass.
   *
@@ -267,6 +271,45 @@ object Multimodal {
     * JVM-cached SPI registry per payload.) */
   val maxPcmBytes: Long = 64L * 1024 * 1024
 
+  /** Decoded 16-bit PCM payload: format fields plus the raw sample
+    * bytes. `absAt(i)` reads |sample i| of the interleaved stream with
+    * the container's endianness — the indexed-access shape
+    * [[energyHash64]] consumes. */
+  private final class Pcm(val channels: Int, val rate: Int,
+                          val bigEndian: Boolean, val buf: Array[Byte]) {
+    val nSamples: Int = buf.length / 2
+    def absAt(i: Long): Long = {
+      val o = (i << 1).toInt
+      val b0 = buf(o).toInt // WAV is LE, AU/AIFF are BE
+      val b1 = buf(o + 1).toInt
+      val s = (if (bigEndian) (b0 << 8) | (b1 & 0xff)
+               else (b1 << 8) | (b0 & 0xff)).toShort
+      math.abs(s.toLong)
+    }
+  }
+
+  /** Bomb-guarded 16-bit PCM decode shared by every audio consumer
+    * (the [[readImageGuarded]] contract for sound): header-declared
+    * `frameLength × frameSize` checked against [[maxPcmBytes]] BEFORE
+    * any buffer allocation; undecodable / non-16-bit-PCM payloads
+    * return null (callers emit their sentinel row) under `NonFatal`. */
+  private def readPcmGuarded(bytes: Array[Byte]): Pcm =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val frames = in.getFrameLength
+        val frameSize = fmt.getFrameSize
+        if (fmt.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16 || frames <= 0 ||
+            frameSize <= 0 || frames * frameSize > maxPcmBytes) null
+        else new Pcm(fmt.getChannels, fmt.getSampleRate.toInt,
+          fmt.isBigEndian, in.readAllBytes())
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => null }
+
   def decodeAudio(audio: DataFrame): Dataset[AudioFeatures] = {
     val spark = audio.sparkSession
     import spark.implicits._
@@ -276,38 +319,92 @@ object Multimodal {
       .as[(String, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (name, bytes) =>
-          try {
-            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(bytes))
-            try {
-              val fmt = in.getFormat
-              val frames = in.getFrameLength
-              val frameSize = fmt.getFrameSize
-              if (fmt.getEncoding !=
-                    javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-                  fmt.getSampleSizeInBits != 16 || frames <= 0 ||
-                  frameSize <= 0 || frames * frameSize > maxPcmBytes)
-                sentinel(name)
-              else {
-                val buf = in.readAllBytes()
-                val channels = fmt.getChannels
-                val nSamples = buf.length / 2
-                var absSum = 0L
-                var i = 0
-                while (i + 1 < buf.length) {
-                  val b0 = buf(i).toInt // WAV is LE, AU/AIFF are BE
-                  val b1 = buf(i + 1).toInt
-                  val s = (if (fmt.isBigEndian) (b0 << 8) | (b1 & 0xff)
-                           else (b1 << 8) | (b0 & 0xff)).toShort
-                  absSum += math.abs(s.toLong)
-                  i += 2
-                }
-                val rate = fmt.getSampleRate.toLong
-                AudioFeatures(name, channels, rate.toInt, 16, nSamples.toLong,
-                  (nSamples.toLong / channels) * 1000000L / rate, absSum)
-              }
-            } finally in.close()
-          } catch { case scala.util.control.NonFatal(_) => sentinel(name) }
+          val pcm = readPcmGuarded(bytes)
+          if (pcm == null) sentinel(name)
+          else {
+            var absSum = 0L
+            var i = 0L
+            while (i < pcm.nSamples) { absSum += pcm.absAt(i); i += 1 }
+            AudioFeatures(name, pcm.channels, pcm.rate, 16,
+              pcm.nSamples.toLong,
+              (pcm.nSamples.toLong / pcm.channels) * 1000000L / pcm.rate,
+              absSum)
+          }
+        }
+      }
+  }
+
+  /** 64-bit energy-envelope hash over a decoded PCM |amplitude| stream —
+    * the audio twin of [[aHash64]], and the fingerprint audio dedup
+    * blocks on: a re-encoded, renamed, resampled-header, or
+    * volume-scaled copy of the same recording decodes to the same
+    * amplitude SHAPE, so it collides here even when every byte hash
+    * differs.
+    *
+    * Exactness contract (the analytic-manifest oracle depends on it):
+    * pure integer arithmetic end-to-end. Sample i of n lands in time
+    * block i·64/n (floor boundaries — the aHash block formula in one
+    * dimension); bit b is set iff blockAbsSum · n > totalAbsSum · blockN
+    * — the cross-multiplied form of "block mean |amplitude| > global
+    * mean |amplitude|", division-free so no float can disagree across
+    * implementations. Streams shorter than 64 samples leave their empty
+    * blocks at 0. `absSample(i)` supplies |sample i| — the decoder reads
+    * its PCM buffer, the fixture generator its formula — so both sides
+    * run literally this loop.
+    *
+    * Properties the spec pins: (1) exact volume INVARIANCE — scaling
+    * every |sample| by a positive integer c cancels in the
+    * cross-multiplication, so a louder re-encode fingerprints
+    * identically; (2) overflow-free by bound — |sample| ≤ 32768, so
+    * blockSum·n and total·blockN are each ≤ 32768·n·(n/64+1) < 2⁶³ for
+    * every n ≤ [[maxPcmBytes]]/2 (≈3.4·10⁷), the decode guard's own
+    * ceiling. Multi-channel streams hash the interleaved stream as one
+    * sequence (channel-agnostic by design — the envelope, not the mix).
+    */
+  def energyHash64(n: Long, absSample: Long => Long): Long = {
+    val blockSum = new Array[Long](64)
+    val blockN = new Array[Long](64)
+    var total = 0L
+    var i = 0L
+    while (i < n) {
+      val b = (i * 64 / n).toInt
+      val a = absSample(i)
+      blockSum(b) += a; blockN(b) += 1; total += a
+      i += 1
+    }
+    var hash = 0L
+    var b = 0
+    while (b < 64) {
+      if (blockN(b) > 0 && blockSum(b) * n > total * blockN(b))
+        hash |= 1L << b
+      b += 1
+    }
+    hash
+  }
+
+  /** Per-payload audio fingerprint from a binaryFile scan: guarded PCM
+    * decode → [[energyHash64]] → zero-padded hex. Sentinel rows carry
+    * channels/n_samples −1 and an empty hash so a corrupt payload can
+    * never collide into a dup group (the [[imagePHashes]] contract). */
+  def audioPHashes(audio: DataFrame): Dataset[AudioPHash] =
+    audioPHashesNamed(audio.select(
+      element_at(split(col("path"), "/"), -1).as("name"), col("content")))
+
+  /** [[audioPHashes]] over an already-(name, content) frame — the CDC
+    * maintenance ingest shape. */
+  def audioPHashesNamed(named: DataFrame): Dataset[AudioPHash] = {
+    val spark = named.sparkSession
+    import spark.implicits._
+    named.select(col("name"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (name, bytes) =>
+          val pcm = readPcmGuarded(bytes)
+          if (pcm == null) AudioPHash(name, -1, -1L, "")
+          else {
+            val h = energyHash64(pcm.nSamples.toLong, pcm.absAt)
+            AudioPHash(name, pcm.channels, pcm.nSamples.toLong, f"$h%016x")
+          }
         }
       }
   }
