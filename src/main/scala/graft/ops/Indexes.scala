@@ -1211,7 +1211,8 @@ object Indexes {
       else if (cols("doc_id") && cols("s") && cols("pos")) Some("poswin")
       else if (cols("doc_id") &&
         (cols("simhash") || cols("sh") || cols("h"))) Some("docflat")
-      else if (cols("name") && cols("ahash_hex")) Some("docflat")
+      else if (cols("name") && (cols("ahash_hex") || cols("ehash_hex")))
+        Some("docflat")
       else None
     val bucketCols: Seq[org.apache.spark.sql.Column] = family match {
       case Some("inverted")        => Seq(col("tb"))
@@ -1592,6 +1593,74 @@ object Indexes {
     * delete ingest ([[tombstoneLshIndexIdempotent]] contract; one store
     * uses ONE tombstone channel, never both). */
   def tombstoneImageHashIndexIdempotent(spark: SparkSession,
+                                        indexPath: String,
+                                        deletedNames: DataFrame,
+                                        batchId: Long): Unit =
+    deletedNames.select(col("name")).distinct()
+      .withColumn("batch_id", lit(batchId))
+      .coalesce(1)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(tombstonePath(indexPath))
+
+  /** Committed PERCEPTUAL-HASH store for an AUDIO corpus — the
+    * [[ensureImageHashIndex]] contract for sound: the javax.sound PCM
+    * decode is the expensive pass, the serving state is 16 bytes of
+    * energy-envelope hash + format fields per recording
+    * ([[Multimodal.energyHash64]]), so the decode runs ONCE per corpus
+    * fingerprint and every near-dup/cluster query serves from the
+    * committed (name, channels, n_samples, ehash_hex) table.
+    * Manifest-resolved, name-keyed delete sidecar, compaction via the
+    * shared docflat policy (the `ehash_hex` layout marker). */
+  def ensureAudioHashIndex(spark: SparkSession, audioDir: String): String = {
+    val audio = spark.read.format("binaryFile").load(audioDir)
+    val tag = audioDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"$indexRoot/$tag/audhash_${corpusFingerprint(audio)}"
+    val mdir = familyManifestDir(audioDir, "audhash_")
+    if (!manifestServes(spark, mdir, path) && !successExists(spark, path)) {
+      val tmp = tmpBuildPath(path)
+      Multimodal.audioPHashes(audio).toDF()
+        .repartition(col("name")).sortWithinPartitions(col("name"))
+        .write.mode("overwrite").parquet(tmp)
+      commitIndexDir(spark, tmp, path)
+      // publish BEFORE the sweep (the ensureImageHashIndex ordering rule)
+      resolveThroughManifest(spark, mdir, path)
+      gcSiblings(spark, path, "audhash_")
+    }
+    resolveThroughManifest(spark, mdir, path)
+  }
+
+  /** Name-keyed delete verbs for the audio-hash store (the
+    * [[tombstoneImageHashIndex]] lifecycle — one sidecar convention
+    * across the multimodal stores). */
+  def tombstoneAudioHashIndex(spark: SparkSession, indexPath: String,
+                              deletedNames: DataFrame): Unit =
+    deletedNames.select(col("name")).distinct()
+      .coalesce(1)
+      .write.mode("append").parquet(tombstonePath(indexPath))
+
+  def readAudioHashIndex(spark: SparkSession, indexPath: String): DataFrame = {
+    val idx = spark.read.parquet(indexPath)
+    val ts = tombstonePath(indexPath)
+    if (hasParquetFiles(spark, ts))
+      idx.join(spark.read.parquet(ts).select(col("name")).distinct(),
+        Seq("name"), "left_anti")
+    else idx
+  }
+
+  /** Exactly-once streaming APPEND for an explicitly-managed audio-hash
+    * store ([[appendImageHashIndexIdempotent]] contract: batch_id
+    * dynamic-partition overwrite, replay rewrites its own partition). */
+  def appendAudioHashIndexIdempotent(named: DataFrame, batchId: Long,
+                                     path: String): Unit =
+    Multimodal.audioPHashesNamed(named).toDF()
+      .withColumn("batch_id", lit(batchId))
+      .coalesce(1)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(path)
+
+  /** [[tombstoneAudioHashIndex]]'s exactly-once twin for streaming
+    * delete ingest (one store uses ONE tombstone channel, never both). */
+  def tombstoneAudioHashIndexIdempotent(spark: SparkSession,
                                         indexPath: String,
                                         deletedNames: DataFrame,
                                         batchId: Long): Unit =

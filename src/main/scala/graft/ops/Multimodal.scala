@@ -301,9 +301,12 @@ object Multimodal {
         val fmt = in.getFormat
         val frames = in.getFrameLength
         val frameSize = fmt.getFrameSize
+        // channels/rate > 0 guards the per-row feature math (duration_us
+        // divides by both) — a header yielding 0 must sentinel, not throw
         if (fmt.getEncoding !=
               javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
             fmt.getSampleSizeInBits != 16 || frames <= 0 ||
+            fmt.getChannels <= 0 || fmt.getSampleRate.toInt <= 0 ||
             frameSize <= 0 || frames * frameSize > maxPcmBytes) null
         else new Pcm(fmt.getChannels, fmt.getSampleRate.toInt,
           fmt.isBigEndian, in.readAllBytes())

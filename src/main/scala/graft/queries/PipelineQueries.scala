@@ -4805,6 +4805,166 @@ object PipelineQueries {
     s"""SELECT name, channels, sample_rate, bits, n_samples, duration_us, abs_sum
        |FROM read_parquet('$audioManifestPath/*.parquet') ORDER BY name""".stripMargin
 
+  /** Perceptual-hash AUDIO dedup — [[imagePHash]] for sound: decode →
+    * [[graft.ops.Multimodal.energyHash64]] → group by the 64-bit
+    * energy-envelope fingerprint. The fixture's genv_* re-masters are
+    * 3× LOUDER than their genq_* originals (every byte differs, every
+    * amplitude differs) yet fingerprint identically — exact volume
+    * invariance — and the genr_* renamed copies collide with their
+    * gen_* originals trivially. Served from the committed hash store
+    * ([[graft.ops.Indexes.ensureAudioHashIndex]]): decode-once,
+    * serve-many. The oracle never runs a decoder: ground-truth hashes
+    * come from the generator formula's analytic manifest. */
+  def audioPHash(s: SparkSession, d: String): DataFrame = {
+    val ph = graft.ops.Indexes.readAudioHashIndex(s,
+      graft.ops.Indexes.ensureAudioHashIndex(s, audioFixtureDir))
+    ph.join(ph.groupBy(col("ehash_hex"))
+        .agg(min(col("name")).as("dup_rep"), count(lit(1)).as("group_size")),
+      Seq("ehash_hex"))
+      .select(col("name"), col("channels"), col("n_samples"),
+        col("ehash_hex"), col("dup_rep"), col("group_size"))
+      .orderBy(col("name"))
+  }
+
+  val audioPHashSql: String =
+    s"""WITH m AS (SELECT name, channels, n_samples, ehash_hex
+       |           FROM read_parquet('$audioManifestPath/*.parquet'))
+       |SELECT name, channels, n_samples, ehash_hex,
+       |       min(name) OVER (PARTITION BY ehash_hex) AS dup_rep,
+       |       count(*) OVER (PARTITION BY ehash_hex)::BIGINT AS group_size
+       |FROM m ORDER BY name""".stripMargin
+
+  /** Audio NEAR-dup pairs: the committed store's fingerprints through
+    * the SAME payload-agnostic banded Hamming blocking the image and
+    * SimHash families use ([[graft.ops.Dedup.hammingNearDups64]];
+    * 8 bands × 8 bits, pigeonhole-complete for the distance-6 cut).
+    * Catches the fixture's engineered gene_00 edit (two time blocks
+    * transposed — Hamming 2 from its original, invisible to any exact
+    * hash) alongside the distance-0 volume/rename pairs. The oracle
+    * brute-forces ALL pairs over the manifest's frozen hashes, so the
+    * blocking's completeness is hash-verified, not assumed. */
+  def audioNearDups(s: SparkSession, d: String): DataFrame =
+    graft.ops.Dedup.hammingNearDups64(
+        graft.ops.Indexes.readAudioHashIndex(s,
+          graft.ops.Indexes.ensureAudioHashIndex(s, audioFixtureDir)),
+        "name", "ehash_hex", maxHamming = 6, bands = 8)
+      .select(col("id_a").as("name_a"), col("id_b").as("name_b"),
+        col("hamming"))
+      .orderBy(col("name_a"), col("name_b"))
+
+  val audioNearDupsSql: String =
+    s"""WITH m AS (SELECT name, ehash_hex
+       |           FROM read_parquet('$audioManifestPath/*.parquet')
+       |           WHERE len(ehash_hex) = 16),
+       |p AS (SELECT a.name AS name_a, b.name AS name_b,
+       |        (bit_count(xor(('0x' || substr(a.ehash_hex, 1, 8))::BIGINT,
+       |                       ('0x' || substr(b.ehash_hex, 1, 8))::BIGINT))
+       |       + bit_count(xor(('0x' || substr(a.ehash_hex, 9, 8))::BIGINT,
+       |                       ('0x' || substr(b.ehash_hex, 9, 8))::BIGINT)))::BIGINT AS hamming
+       |      FROM m a JOIN m b ON a.name < b.name)
+       |SELECT name_a, name_b, hamming FROM p
+       |WHERE hamming <= 6 ORDER BY name_a, name_b""".stripMargin
+
+  /** INCREMENTAL audio near-dup — the daily-ingest question for the
+    * audio corpus: the batch's fingerprints banded-joined against the
+    * committed store, never a corpus self-join ([[graft.ops.Dedup
+    * .hammingNearDups64Incr]]). The fixture split simulates it: the
+    * engineered variants (genv_* re-masters, genr_* renames, the
+    * gene_00 edit) arrive as the batch, the originals are the standing
+    * corpus. Oracle: the same split brute-forced over the frozen
+    * manifest. */
+  def audioNearDupsIncr(s: SparkSession, d: String): DataFrame = {
+    val sigs = graft.ops.Indexes.readAudioHashIndex(s,
+      graft.ops.Indexes.ensureAudioHashIndex(s, audioFixtureDir))
+    val isBatch = col("name").startsWith("genv_") ||
+      col("name").startsWith("genr_") || col("name").startsWith("gene_")
+    graft.ops.Dedup.hammingNearDups64Incr(
+        sigs.where(isBatch), sigs.where(!isBatch),
+        "name", "ehash_hex", maxHamming = 6, bands = 8)
+      .select(col("id_new").as("name_new"), col("id_old").as("name_old"),
+        col("hamming"))
+      .orderBy(col("name_new"), col("name_old"))
+  }
+
+  val audioNearDupsIncrSql: String =
+    s"""WITH m AS (SELECT name, ehash_hex
+       |           FROM read_parquet('$audioManifestPath/*.parquet')
+       |           WHERE len(ehash_hex) = 16)
+       |SELECT a.name AS name_new, b.name AS name_old,
+       |       (bit_count(xor(('0x' || substr(a.ehash_hex, 1, 8))::BIGINT,
+       |                      ('0x' || substr(b.ehash_hex, 1, 8))::BIGINT))
+       |      + bit_count(xor(('0x' || substr(a.ehash_hex, 9, 8))::BIGINT,
+       |                      ('0x' || substr(b.ehash_hex, 9, 8))::BIGINT)))::BIGINT AS hamming
+       |FROM m a JOIN m b
+       |  ON (starts_with(a.name, 'genv_') OR starts_with(a.name, 'genr_')
+       |      OR starts_with(a.name, 'gene_'))
+       | AND NOT (starts_with(b.name, 'genv_') OR starts_with(b.name, 'genr_')
+       |          OR starts_with(b.name, 'gene_'))
+       |WHERE (bit_count(xor(('0x' || substr(a.ehash_hex, 1, 8))::BIGINT,
+       |                     ('0x' || substr(b.ehash_hex, 1, 8))::BIGINT))
+       |     + bit_count(xor(('0x' || substr(a.ehash_hex, 9, 8))::BIGINT,
+       |                     ('0x' || substr(b.ehash_hex, 9, 8))::BIGINT))) <= 6
+       |ORDER BY name_new, name_old""".stripMargin
+
+  /** Audio DUP CLUSTERS — [[imageDupClusters]] for sound: the near-dup
+    * pair set closed into connected components (distributed pointer
+    * jumping over 64-bit name-identity ids), each cluster labeled by
+    * its min-name representative with its size; singletons report
+    * themselves at size 1. The complete dedup-decision panel for the
+    * audio corpus; the oracle closes brute-forced pairs with a
+    * recursive reach CTE. */
+  def audioDupClusters(s: SparkSession, d: String): DataFrame = {
+    val sigs = graft.ops.Indexes.readAudioHashIndex(s,
+      graft.ops.Indexes.ensureAudioHashIndex(s, audioFixtureDir))
+    val pairs = graft.ops.Dedup.hammingNearDups64(
+      sigs, "name", "ehash_hex", maxHamming = 6, bands = 8)
+    val ids = sigs.where(length(col("ehash_hex")) === 16)
+      .select(col("name"), TextOps.nodeId64(col("name")).as("node"))
+    val cc = graft.ops.Dedup.connectedComponents(
+      pairs.select(TextOps.nodeId64(col("id_a")).as("doc_a"),
+        TextOps.nodeId64(col("id_b")).as("doc_b")))
+    val members = ids.join(cc, ids("node") === cc("doc_id"))
+      .select(col("name"), col("rep"))
+    val reps = members.groupBy(col("rep"))
+      .agg(min(col("name")).as("canon_rep"),
+        count(lit(1)).as("cluster_size"))
+    val clustered = members.join(reps, Seq("rep"))
+      .select(col("name"),
+        col("canon_rep").as("dup_rep"), col("cluster_size"))
+    ids.select(col("name")).join(clustered, Seq("name"), "left_outer")
+      .select(col("name"),
+        coalesce(col("dup_rep"), col("name")).as("dup_rep"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+      .orderBy(col("name"))
+  }
+
+  val audioDupClustersSql: String =
+    s"""WITH RECURSIVE
+       |m AS (SELECT name, ehash_hex
+       |      FROM read_parquet('$audioManifestPath/*.parquet')
+       |      WHERE len(ehash_hex) = 16),
+       |p AS (SELECT a.name AS name_a, b.name AS name_b
+       |      FROM m a JOIN m b ON a.name < b.name
+       |      WHERE (bit_count(xor(('0x' || substr(a.ehash_hex, 1, 8))::BIGINT,
+       |                           ('0x' || substr(b.ehash_hex, 1, 8))::BIGINT))
+       |           + bit_count(xor(('0x' || substr(a.ehash_hex, 9, 8))::BIGINT,
+       |                           ('0x' || substr(b.ehash_hex, 9, 8))::BIGINT))) <= 6),
+       |sym AS (SELECT name_a AS s, name_b AS d FROM p
+       |        UNION SELECT name_b, name_a FROM p),
+       |reach(s, d) AS (
+       |  SELECT s, d FROM sym
+       |  UNION
+       |  SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s),
+       |comp AS (SELECT s AS name, least(s, min(d)) AS dup_rep
+       |         FROM reach GROUP BY s),
+       |sizes AS (SELECT dup_rep, count(*)::BIGINT AS cluster_size
+       |          FROM comp GROUP BY dup_rep)
+       |SELECT m.name AS name, coalesce(c.dup_rep, m.name) AS dup_rep,
+       |       coalesce(z.cluster_size, 1)::BIGINT AS cluster_size
+       |FROM m LEFT JOIN comp c ON m.name = c.name
+       |LEFT JOIN sizes z ON c.dup_rep = z.dup_rep
+       |ORDER BY m.name""".stripMargin
+
   /** Video-style frame sampling (1→N decode): every 2nd 256-byte frame of
     * the payload, fingerprinted per frame. The oracle replays the identical
     * hex-domain slicing, so the mapPartitions path is hash-verified. */

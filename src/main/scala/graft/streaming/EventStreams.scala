@@ -549,6 +549,28 @@ object EventStreams {
         graft.ops.Indexes.tombstoneImageHashIndexIdempotent(s, storePath,
           dels, bid))
 
+  /** CDC-STYLE audio-hash-store maintenance — [[imageHashCdcStream]]'s
+    * twin for sound: (op, name, content) change batches, adds DECODE
+    * (javax.sound PCM → [[graft.ops.Multimodal.energyHash64]]) in the
+    * micro-batch and land as idempotent batch_id hash partitions
+    * ([[graft.ops.Indexes.appendAudioHashIndexIdempotent]] — 16 bytes of
+    * envelope state per recording; the payload itself is never stored),
+    * deletes as idempotent name tombstones. Every near-dup probe over
+    * the maintained store then equals one over a from-scratch build on
+    * (all adds so far − all deletes so far) — spec-asserted, including
+    * across a checkpoint restart. Same loud contracts as the document
+    * CDC twins. */
+  def audioHashCdcStream(changes: DataFrame, storePath: String,
+                         checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    cdcChangeStream(changes, checkpoint, storePath, "name", Seq("content"),
+      hasStore = s => graft.ops.Indexes.hasParquetFiles(s, storePath),
+      append = (adds, bid) =>
+        graft.ops.Indexes.appendAudioHashIndexIdempotent(adds, bid, storePath),
+      tombstone = (s, dels, bid) =>
+        graft.ops.Indexes.tombstoneAudioHashIndexIdempotent(s, storePath,
+          dels, bid))
+
   /** CDC-STYLE phrase-store maintenance — [[invertedIndexCdcStream]]'s
     * twin for the positioned-window SERVING store, closing the round-13
     * serving family under streaming: (op, doc_id, text) batches, adds as

@@ -8,22 +8,45 @@ import org.apache.spark.sql.SparkSession
   * `sbt "runMain graft.tools.GenAudioFixture"`; output is committed).
   *
   * Writes two artifacts under `fixtures/`:
-  *  - `audio/gen_NN.wav` — deterministic 16-bit mono PCM WAVs whose sample
-  *    values follow a closed-form formula, serialized as RAW RIFF bytes
-  *    (no javax.sound writer involved — the file bytes cannot depend on
-  *    the library under test);
+  *  - `audio/&lt;name&gt;.wav` — deterministic 16-bit PCM WAVs whose sample values
+  *    follow closed-form formulas, serialized as RAW RIFF bytes (no
+  *    javax.sound writer involved — the file bytes cannot depend on the
+  *    library under test);
   *  - `audio_manifest.parquet` — ground truth (name, channels, sample_rate,
-  *    bits, n_samples, duration_us, abs_sum) computed directly from the
-  *    formula while writing.
+  *    bits, n_samples, duration_us, abs_sum, ehash_hex) computed directly
+  *    from the formula while writing; `ehash_hex` runs LITERALLY
+  *    [[graft.ops.Multimodal.energyHash64]]'s loop over the formula's
+  *    |sample| values — the decoder under test must reproduce it from the
+  *    file bytes or the fingerprint math is wrong.
   *
-  * PCM is lossless, so `Multimodal.decodeAudio` (javax.sound.sampled) must
-  * reproduce the formula's |amplitude| sums exactly or the decode is
-  * wrong — the same decoder-independence contract as GenImageFixture. */
+  * The corpus is engineered so the audio near-dup family has true
+  * positives to find (the image fixture's genv_* convention, for sound):
+  *  - `gen_00..11.wav` — 12 independent full-range recordings (the
+  *    pseudo-random formula makes unrelated fingerprints far apart:
+  *    expected pairwise Hamming ≈ 32, so nothing here pairs within 6);
+  *  - `genq_00..03.wav` — QUIET recordings (formula / 8);
+  *  - `genv_00..03.wav` — each genq re-mastered 3× LOUDER (every sample
+  *    × 3, clamp-free by construction) — different bytes, identical
+  *    energy envelope: the generator REQUIRES ehash(genv) == ehash(genq),
+  *    pinning exact volume invariance on real WAV payloads;
+  *  - `genr_00..01.wav` — byte-identical RENAMED copies of gen_00/01
+  *    (the re-uploaded-file dup case);
+  *  - `gene_00.wav` — genq_00 with its loudest and quietest time blocks
+  *    transposed (a "same track, segments re-ordered" near-dup): the
+  *    generator REQUIRES its fingerprint within Hamming 1..6 of
+  *    genq_00's — close enough to pair, far enough to prove the banding
+  *    finds non-exact matches;
+  *  - `gens_00.wav` — a STEREO file (interleaved formula) exercising the
+  *    multi-channel decode + channel-agnostic envelope contract.
+  */
 object GenAudioFixture {
 
   /** The synthetic sample formula (shared with the analytic sums). */
   def sample(i: Int, t: Int): Short =
     ((((t.toLong * (7 + i) + i.toLong * 131) * 2654435761L) % 65536L) - 32768L).toShort
+
+  /** Quiet variant: |values| ≤ 4096, so the 3× re-master never clamps. */
+  def sampleQ(i: Int, t: Int): Short = (sample(i, t) / 8).toShort
 
   private def writeLE16(o: DataOutputStream, v: Int): Unit = {
     o.write(v & 0xff); o.write((v >> 8) & 0xff)
@@ -33,40 +56,119 @@ object GenAudioFixture {
     o.write((v >> 16) & 0xff); o.write((v >> 24) & 0xff)
   }
 
+  /** Write one RIFF WAV + return its analytic manifest row. `samples`
+    * is the full interleaved 16-bit stream (`n_samples` = its length;
+    * frames = length / channels). */
+  private def writeWav(dir: File, name: String, channels: Int, rate: Int,
+                       samples: Array[Short]): (String, Int, Int, Int, Long, Long, Long, String) = {
+    val o = new DataOutputStream(new FileOutputStream(new File(dir, name)))
+    try {
+      val dataBytes = samples.length * 2
+      o.writeBytes("RIFF"); writeLE32(o, 36 + dataBytes); o.writeBytes("WAVE")
+      o.writeBytes("fmt "); writeLE32(o, 16)
+      writeLE16(o, 1) // PCM
+      writeLE16(o, channels)
+      writeLE32(o, rate)
+      writeLE32(o, rate * 2 * channels) // byte rate
+      writeLE16(o, 2 * channels)        // block align
+      writeLE16(o, 16)                  // bits
+      o.writeBytes("data"); writeLE32(o, dataBytes)
+      var absSum = 0L
+      var t = 0
+      while (t < samples.length) {
+        writeLE16(o, samples(t) & 0xffff)
+        absSum += math.abs(samples(t).toLong)
+        t += 1
+      }
+      val n = samples.length.toLong
+      val ehash = graft.ops.Multimodal.energyHash64(n,
+        i => math.abs(samples(i.toInt).toLong))
+      (name, channels, rate, 16, n, (n / channels) * 1000000L / rate, absSum,
+        f"$ehash%016x")
+    } finally o.close()
+  }
+
+  private def hamming(aHex: String, bHex: String): Int =
+    java.lang.Long.bitCount(
+      java.lang.Long.parseUnsignedLong(aHex, 16) ^
+        java.lang.Long.parseUnsignedLong(bHex, 16))
+
   def main(args: Array[String]): Unit = {
     val dir = new File("fixtures/audio")
     dir.mkdirs()
-    val rows = (0 until 12).map { i =>
+
+    // 12 independent full-range recordings (the original committed set —
+    // same formula, same bytes)
+    val base = (0 until 12).map { i =>
       val rate = 8000 + 800 * i
       val n = 500 + 137 * i
-      val name = f"gen_$i%02d.wav"
-      val o = new DataOutputStream(new FileOutputStream(new File(dir, name)))
-      try {
-        val dataBytes = n * 2
-        o.writeBytes("RIFF"); writeLE32(o, 36 + dataBytes); o.writeBytes("WAVE")
-        o.writeBytes("fmt "); writeLE32(o, 16)
-        writeLE16(o, 1) // PCM
-        writeLE16(o, 1) // mono
-        writeLE32(o, rate)
-        writeLE32(o, rate * 2) // byte rate
-        writeLE16(o, 2)        // block align
-        writeLE16(o, 16)       // bits
-        o.writeBytes("data"); writeLE32(o, dataBytes)
-        var absSum = 0L
-        var t = 0
-        while (t < n) {
-          val s = sample(i, t)
-          writeLE16(o, s & 0xffff)
-          absSum += math.abs(s.toLong)
-          t += 1
-        }
-        (name, 1, rate, 16, n.toLong, n.toLong * 1000000L / rate, absSum)
-      } finally o.close()
+      writeWav(dir, f"gen_$i%02d.wav", 1, rate,
+        Array.tabulate(n)(t => sample(i, t)))
     }
+
+    // quiet + 3×-louder re-masters: exact volume invariance on real bytes
+    val quietLoud = (0 until 4).flatMap { i =>
+      val rate = 8000 + 800 * i
+      val n = 500 + 137 * i
+      val q = Array.tabulate(n)(t => sampleQ(i, t))
+      val v = q.map(s => (s * 3).toShort)
+      val rq = writeWav(dir, f"genq_$i%02d.wav", 1, rate, q)
+      val rv = writeWav(dir, f"genv_$i%02d.wav", 1, rate, v)
+      require(rq._8 == rv._8,
+        s"volume invariance broke: genq_$i ${rq._8} != genv_$i ${rv._8}")
+      Seq(rq, rv)
+    }
+
+    // byte-identical renamed copies of gen_00/gen_01
+    val renamed = (0 until 2).map { i =>
+      val rate = 8000 + 800 * i
+      val n = 500 + 137 * i
+      val r = writeWav(dir, f"genr_$i%02d.wav", 1, rate,
+        Array.tabulate(n)(t => sample(i, t)))
+      require(r._8 == base(i)._8, s"renamed copy drifted: genr_$i")
+      r
+    }
+
+    // edited near-dup of genq_00: transpose the loudest and quietest time
+    // blocks (swap their sample values pairwise). The global |amplitude|
+    // sum is EXACTLY unchanged — no other block's threshold moves — so
+    // only the two transposed blocks' bits flip: a guaranteed small,
+    // nonzero Hamming distance (the "same track, segments re-ordered"
+    // edit case).
+    val edited = {
+      val n = 500
+      val q = Array.tabulate(n)(t => sampleQ(0, t))
+      def blockOf(t: Int) = (t.toLong * 64 / n).toInt
+      val sums = new Array[Long](64)
+      val cnts = new Array[Long](64)
+      q.indices.foreach { t =>
+        sums(blockOf(t)) += math.abs(q(t).toLong); cnts(blockOf(t)) += 1
+      }
+      val means = (0 until 64).map(b => sums(b).toDouble / cnts(b))
+      val bHigh = means.indices.maxBy(means)
+      val bLow = means.indices.minBy(means)
+      val hiIdx = q.indices.filter(blockOf(_) == bHigh)
+      val loIdx = q.indices.filter(blockOf(_) == bLow)
+      val e = q.clone()
+      (0 until math.min(hiIdx.size, loIdx.size)).foreach { k =>
+        val tmp = e(hiIdx(k)); e(hiIdx(k)) = e(loIdx(k)); e(loIdx(k)) = tmp
+      }
+      val re = writeWav(dir, "gene_00.wav", 1, 8000, e)
+      val d = hamming(re._8, quietLoud.head._8)
+      require(d >= 1 && d <= 6,
+        s"gene_00 must sit within Hamming 1..6 of genq_00, got $d")
+      Seq(re)
+    }
+
+    // stereo: 600 frames × 2 channels of a fresh formula seed
+    val stereo = Seq(writeWav(dir, "gens_00.wav", 2, 11025,
+      Array.tabulate(1200)(k => sample(20, k))))
+
+    val rows = base ++ quietLoud ++ renamed ++ edited ++ stereo
     val spark = graft.engine.Sessions.local("4", "graft-gen-audio")
     import spark.implicits._
     rows.toDF("name", "channels", "sample_rate", "bits", "n_samples",
-        "duration_us", "abs_sum")
+        "duration_us", "abs_sum", "ehash_hex")
       .coalesce(1).write.mode("overwrite")
       .parquet("fixtures/audio_manifest.parquet")
     println(s"wrote ${rows.size} wavs + manifest")

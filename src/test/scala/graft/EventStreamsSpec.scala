@@ -947,4 +947,70 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(comp.columns.contains("batch_id"),
       "the compacted streaming store must keep its batch_id layout")
   }
+
+  test("CDC audio-hash stream: add/delete batches equal a survivor rebuild, across a restart") {
+    import org.apache.spark.sql.types._
+    val landing = java.nio.file.Files.createTempDirectory("audcdc_landing").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("audcdc_ckpt").toString
+    val store = java.nio.file.Files.createTempDirectory("audcdc_store").toString + "/idx"
+    val schema = StructType(Seq(StructField("op", StringType),
+      StructField("name", StringType), StructField("content", BinaryType)))
+    val fixture = new java.io.File(graft.queries.PipelineQueries.audioFixtureDir)
+      .listFiles().map(f =>
+        f.getName -> java.nio.file.Files.readAllBytes(f.toPath)).toMap
+    def land(rows: Seq[(String, String)]): Unit =
+      rows.map { case (op, n) =>
+          (op, n, if (op == "add") fixture(n) else null)
+        }.toDF("op", "name", "content").coalesce(1)
+        .write.mode("append").parquet(landing)
+    def start() = EventStreams.audioHashCdcStream(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(landing), store, ckpt)
+    var live = Set.empty[String]
+    def check(clue: String): Unit = {
+      val want = graft.ops.Multimodal.audioPHashesNamed(
+          live.toSeq.sorted.map(n => (n, fixture(n))).toDF("name", "content"))
+        .toDF().collect().map(r => r.getString(0) -> r.getString(3)).toSet
+      val got = graft.ops.Indexes.readAudioHashIndex(spark, store)
+        .collect().map(r => r.getString(0) -> r.getString(3)).toSet
+      assert(got === want, clue)
+      // the near-dup probe over the maintained store equals the rebuild
+      val pw = graft.ops.Dedup.hammingNearDups64(
+          live.toSeq.sorted.map(n => (n, fixture(n))).toDF("name", "content")
+            .transform(d => graft.ops.Multimodal.audioPHashesNamed(d).toDF()),
+          "name", "ehash_hex", 6, 8)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val pg = graft.ops.Dedup.hammingNearDups64(
+          graft.ops.Indexes.readAudioHashIndex(spark, store),
+          "name", "ehash_hex", 6, 8)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(pg === pw, s"$clue (pairs)")
+    }
+    val names = fixture.keys.toSeq.sorted
+    val add0 = names.take(10)
+    land(add0.map("add" -> _)); live ++= add0
+    val q1 = start(); q1.processAllAvailable()
+    check("after the pure-add batch")
+    // mixed batch: the remaining adds plus a delete of a dup-pair member
+    // added EARLIER (gen_00 pairs with this batch's genr_00)
+    val add1 = names.drop(10)
+    val del1 = Seq("gen_00.wav")
+    land(add1.map("add" -> _) ++ del1.map("delete" -> _))
+    live ++= add1; live --= del1.toSet
+    q1.processAllAvailable(); q1.stop()
+    check("after the mixed batch")
+    // recovery: a delete lands while the stream is DOWN
+    val del2 = Seq("genq_00.wav")
+    land(del2.map("delete" -> _)); live --= del2.toSet
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    check("after the post-restart delete batch")
+    // compaction folds the lineage + deletes physically, layout kept
+    val dest = java.nio.file.Files.createTempDirectory("audcdc_c").toString + "/c0"
+    val d = graft.ops.Indexes.compactionPolicy(spark, store, dest, maxFiles = 0)
+    assert(d.compacted && d.declined.isEmpty, s"$d")
+    val comp = spark.read.parquet(dest)
+    assert(comp.count() === live.size)
+    assert(comp.columns.contains("batch_id"),
+      "the compacted streaming store must keep its batch_id layout")
+  }
 }

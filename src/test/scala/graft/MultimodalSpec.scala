@@ -251,6 +251,129 @@ class MultimodalSpec extends AnyFunSuite {
       s"junk/bomb payloads must degrade to sentinels: ${got.toSeq}")
   }
 
+  test("energyHash64: exact volume invariance, short streams, interleave-agnostic") {
+    // volume invariance: scaling every |sample| by a positive integer
+    // cancels in the cross-multiplication — bit-identical hashes
+    val vals = Array.tabulate(500)(t =>
+      math.abs(graft.tools.GenAudioFixture.sampleQ(0, t).toLong))
+    val h1 = Multimodal.energyHash64(vals.length.toLong, i => vals(i.toInt))
+    for (c <- Seq(2L, 3L, 7L, 1000L)) {
+      val hc = Multimodal.energyHash64(vals.length.toLong,
+        i => vals(i.toInt) * c)
+      assert(hc === h1, s"volume scale ×$c must not move the fingerprint")
+    }
+    // streams shorter than 64 samples: empty blocks stay 0, no crash,
+    // and the populated blocks still threshold correctly
+    val short = Array(5L, 1L, 9L)
+    val hs = Multimodal.energyHash64(3L, i => short(i.toInt))
+    // blocks: i·64/3 → sample 0→block 0, 1→21, 2→42; mean = 5;
+    // bits set where value·3 > 15: samples 0 (15 = no) and 2 (27 = yes)
+    assert(hs === (1L << 42), f"short-stream hash wrong: $hs%016x")
+    assert(Multimodal.energyHash64(0L, _ => 0L) === 0L,
+      "empty stream must hash to 0, not divide by zero")
+    // multi-channel: the interleaved stream hashes as ONE sequence — a
+    // stereo stream whose two channels repeat the mono signal has the
+    // identical envelope whenever block boundaries never split a frame
+    // (n divisible by 32 → boundary i = 2n·b/64 is always even), so the
+    // doubled-interleave hash is bit-identical to the mono hash
+    val mono512 = Array.tabulate(512)(t =>
+      math.abs(graft.tools.GenAudioFixture.sampleQ(1, t).toLong))
+    val h512 = Multimodal.energyHash64(512L, i => mono512(i.toInt))
+    val stereo = Array.tabulate(1024)(k => mono512(k / 2))
+    assert(Multimodal.energyHash64(1024L, i => stereo(i.toInt)) === h512,
+      "doubled-interleave stereo of the same signal must share the envelope")
+  }
+
+  test("audio fingerprints: decode matches the analytic manifest; twins pair as engineered") {
+    import graft.queries.PipelineQueries
+    // decode must reproduce the generator formula's hash for EVERY file
+    val decoded = Multimodal.audioPHashes(
+        spark.read.format("binaryFile").load(PipelineQueries.audioFixtureDir))
+      .collect().map(p => p.name -> p.ehash_hex).toMap
+    val manifest = spark.read.parquet(PipelineQueries.audioManifestPath)
+      .select("name", "ehash_hex").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(decoded === manifest,
+      "javax.sound decode must reproduce the formula-side energy hashes")
+    // the engineered contracts, verified on real WAV payloads:
+    for (i <- 0 until 4)
+      assert(decoded(f"genv_$i%02d.wav") === decoded(f"genq_$i%02d.wav"),
+        s"3×-louder re-master $i must fingerprint identically")
+    for (i <- 0 until 2)
+      assert(decoded(f"genr_$i%02d.wav") === decoded(f"gen_$i%02d.wav"),
+        s"renamed byte-identical copy $i must fingerprint identically")
+    val dEdit = java.lang.Long.bitCount(
+      java.lang.Long.parseUnsignedLong(decoded("gene_00.wav"), 16) ^
+        java.lang.Long.parseUnsignedLong(decoded("genq_00.wav"), 16))
+    assert(dEdit >= 1 && dEdit <= 6,
+      s"the transposed-blocks edit must sit at Hamming 1..6, got $dEdit")
+  }
+
+  test("audio near-dup banding equals all-pairs truth over the frozen manifest") {
+    import graft.queries.PipelineQueries
+    val banded = PipelineQueries.audioNearDups(spark, "").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val manifest = spark.read.parquet(PipelineQueries.audioManifestPath)
+      .select("name", "ehash_hex").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .filter(_._2.length == 16).sortBy(_._1)
+    val brute = (for {
+      i <- manifest.indices; j <- (i + 1) until manifest.length
+      d = java.lang.Long.bitCount(
+        java.lang.Long.parseUnsignedLong(manifest(i)._2, 16) ^
+          java.lang.Long.parseUnsignedLong(manifest(j)._2, 16)).toLong
+      if d <= 6
+    } yield (manifest(i)._1, manifest(j)._1, d)).toSet
+    assert(banded === brute,
+      "pigeonhole completeness: banded blocking must equal all-pairs truth")
+    assert(banded.exists(_._3 == 0L) && banded.exists(t => t._3 > 0L),
+      s"fixture must exercise both exact and near pairs: $banded")
+  }
+
+  test("audio hash store: decode-once serving, delete lifecycle, policy compaction flip") {
+    import graft.ops.{Dedup, Indexes}
+    import graft.queries.PipelineQueries
+    // hermetic copy: tombstones/flips must never touch the shared
+    // fixture-dir family the registered queries serve from
+    val dir = java.nio.file.Files.createTempDirectory("audhash_spec").toString
+    val src = new java.io.File(PipelineQueries.audioFixtureDir)
+    src.listFiles().foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(dir, f.getName))
+    }
+    val p1 = Indexes.ensureAudioHashIndex(spark, dir)
+    val stored = Indexes.readAudioHashIndex(spark, p1)
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    // store == inline decode (decode-once serving is lossless)
+    val inline = Multimodal.audioPHashes(
+        spark.read.format("binaryFile").load(dir)).toDF()
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(stored === inline)
+    // tombstone one member of a known dup pair → its pairs vanish at read
+    Indexes.tombstoneAudioHashIndex(spark, p1,
+      Seq("genv_00.wav").toDF("name"))
+    val pairs = Dedup.hammingNearDups64(
+        Indexes.readAudioHashIndex(spark, p1), "name", "ehash_hex", 6, 8)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.nonEmpty)
+    assert(!pairs.exists(p => p._1 == "genv_00.wav" || p._2 == "genv_00.wav"),
+      "a tombstoned recording must not candidate for pairs")
+    // the policy recognizes the layout and compacts the delete physically
+    val manifest = Indexes.familyManifestDir(dir, "audhash_")
+    val dest = java.nio.file.Files
+      .createTempDirectory("audhash_spec_c").toString + "/c0"
+    val d = Indexes.compactionPolicy(spark, p1, dest, maxFiles = 0,
+      manifestDir = Some(manifest))
+    assert(d.compacted && d.declined.isEmpty, s"$d")
+    val compacted = spark.read.parquet(dest)
+    assert(compacted.count() === stored.size - 1,
+      "compaction folds the tombstone physically")
+    assert(!new java.io.File(s"$dest.tombstones").exists(),
+      "the compacted generation carries no sidecar")
+    assert(Indexes.ensureAudioHashIndex(spark, dir) === dest,
+      "ensure serves the compacted flip (lineage)")
+  }
+
   test("metadata-only query does not need payload decode (column pruning)") {
     val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
     val plan = Multimodal.attachPayload(docs).select("doc_id", "source")
