@@ -31,7 +31,7 @@ object Indexes {
     * fingerprint only guards against DATA changes; without this tag an
     * algorithm change with unchanged parameters would silently probe a
     * stale index built by the old code. */
-  val IndexFormatVersion = "v3" // v3: inverted index gains doclens/termstats stores (r13)
+  val IndexFormatVersion = "v4" // v4: image-hash store gains the dhash_hex column (r17)
 
   /** Cap on partition-directory fan-out per LSH table: the bucketed layout
     * partitions by the key's TOP `min(bBits, PartDirBits)` bits only, so

@@ -15,9 +15,10 @@ case class Frame(doc_id: Long, frame_idx: Long, n_bytes: Long, frame_md5: String
 case class ImageFeatures(name: String, width: Int, height: Int,
                          n_pixels: Long, sum_r: Long, sum_g: Long, sum_b: Long)
 
-/** Decoded-content perceptual fingerprint ([[Multimodal.aHash64]]). */
+/** Decoded-content perceptual fingerprints ([[Multimodal.aHash64]] +
+  * [[Multimodal.dHash64]] — both off the ONE decoded grid). */
 case class ImagePHash(name: String, width: Int, height: Int,
-                      ahash_hex: String)
+                      ahash_hex: String, dhash_hex: String)
 
 /** Real decoded-audio features (JDK javax.sound.sampled decode — see
   * [[Multimodal.decodeAudio]]). */
@@ -212,10 +213,60 @@ object Multimodal {
     hash
   }
 
-  /** Per-image perceptual hash from a binaryFile scan: decode (same bomb
-    * guard as [[decodeImages]]) → [[aHash64]] → zero-padded hex. Sentinel
-    * rows carry width/height −1 and an empty hash so a corrupt payload
-    * can never collide into a real dup group. */
+  /** 64-bit difference-hash (dHash) over a 9×8 block grid — the
+    * GRADIENT-sign fingerprint that complements [[aHash64]]: aHash
+    * compares each block against the GLOBAL mean, so any per-row
+    * brightness field (a vignette, a scanner lamp gradient, a fade)
+    * moves block means relative to the global mean and flips many bits;
+    * dHash compares each block only against its HORIZONTAL neighbour,
+    * and two horizontally adjacent blocks span the same rows, so adding
+    * any f(y) to every pixel of row y adds f-mass proportional to each
+    * block's width — cancelling EXACTLY in the cross-multiplied compare
+    * (no clamping assumed). The fixture pins this: a vertical-ramp copy
+    * that aHash misses at Hamming > 6 pairs at dHash 0.
+    *
+    * Exactness contract (the analytic-manifest oracle depends on it):
+    * pure integer arithmetic end-to-end. Column block cx = x·9/w
+    * (floor), row block by = y·8/h; bit by·8+cx (cx ∈ [0,8)) is set iff
+    * sum(cx+1,by)·n(cx,by) > sum(cx,by)·n(cx+1,by) — "right block mean >
+    * left block mean", division-free. Blocks with no pixels (w < 9 or
+    * h < 8) leave their bits 0. `grayRow(y)` supplies one row of grays —
+    * decoder and fixture generator run literally this loop. */
+  def dHash64(w: Int, h: Int, grayRow: Int => Array[Int]): Long = {
+    val sum = Array.ofDim[Long](8, 9)
+    val n = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      val row = grayRow(y)
+      var x = 0
+      while (x < w) {
+        val cx = x * 9 / w
+        sum(by)(cx) += row(x); n(by)(cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var by = 0
+    while (by < 8) {
+      var cx = 0
+      while (cx < 8) {
+        if (n(by)(cx) > 0 && n(by)(cx + 1) > 0 &&
+            sum(by)(cx + 1) * n(by)(cx) > sum(by)(cx) * n(by)(cx + 1))
+          hash |= 1L << (by * 8 + cx)
+        cx += 1
+      }
+      by += 1
+    }
+    hash
+  }
+
+  /** Per-image perceptual hashes from a binaryFile scan: decode (same bomb
+    * guard as [[decodeImages]]) → [[aHash64]] + [[dHash64]] off the one
+    * decoded grid → zero-padded hex. Sentinel rows carry width/height −1
+    * and empty hashes so a corrupt payload can never collide into a real
+    * dup group. */
   def imagePHashes(images: DataFrame): Dataset[ImagePHash] =
     imagePHashesNamed(images.select(
       element_at(split(col("path"), "/"), -1).as("name"), col("content")))
@@ -232,12 +283,12 @@ object Multimodal {
         javax.imageio.ImageIO.setUseCache(false)
         rows.map { case (name, bytes) =>
           val img = readImageGuarded(bytes)
-          if (img == null) ImagePHash(name, -1, -1, "")
+          if (img == null) ImagePHash(name, -1, -1, "", "")
           else {
             val (w, h) = (img.getWidth, img.getHeight)
             val rowBuf = new Array[Int](w)
             val grays = new Array[Int](w)
-            val hash = aHash64(w, h, { y =>
+            val grayRow = (y: Int) => {
               img.getRGB(0, y, w, 1, rowBuf, 0, w)
               var x = 0
               while (x < w) {
@@ -246,8 +297,12 @@ object Multimodal {
                 x += 1
               }
               grays
-            })
-            ImagePHash(name, w, h, f"$hash%016x")
+            }
+            // two row passes over the ONE decoded raster (getRGB is a
+            // memory walk; the decode itself never re-runs)
+            val ah = aHash64(w, h, grayRow)
+            val dh = dHash64(w, h, grayRow)
+            ImagePHash(name, w, h, f"$ah%016x", f"$dh%016x")
           }
         }
       }

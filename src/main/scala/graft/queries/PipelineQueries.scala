@@ -4718,6 +4718,38 @@ object PipelineQueries {
        |                     ('0x' || substr(b.ahash_hex, 9, 8))::BIGINT))) <= 6
        |ORDER BY name_new, name_old""".stripMargin
 
+  /** Gradient-sign (dHash) image near-dup pairs — the brightness-robust
+    * twin of [[imageNearDups]], served from the SAME committed store
+    * (both fingerprints come off the one decoded grid; see
+    * [[graft.ops.Multimodal.dHash64]]). The fixture pins WHY both
+    * fingerprints are carried: the genb_00 vertical-brightness-ramp
+    * pair sits at aHash Hamming > 6 (q_image_near_dups provably misses
+    * it — the generator REQUIRES that) but dHash 0 (per-row brightness
+    * shifts cancel exactly in the horizontal gradient compare), so it
+    * appears HERE and only here. Oracle: brute force over the
+    * manifest's frozen dhash_hex. */
+  def imageNearDupsDhash(s: SparkSession, d: String): DataFrame =
+    graft.ops.Dedup.hammingNearDups64(
+        graft.ops.Indexes.readImageHashIndex(s,
+          graft.ops.Indexes.ensureImageHashIndex(s, imageFixtureDir)),
+        "name", "dhash_hex", maxHamming = 6, bands = 8)
+      .select(col("id_a").as("name_a"), col("id_b").as("name_b"),
+        col("hamming"))
+      .orderBy(col("name_a"), col("name_b"))
+
+  val imageNearDupsDhashSql: String =
+    s"""WITH m AS (SELECT name, dhash_hex
+       |           FROM read_parquet('$imageManifestPath/*.parquet')
+       |           WHERE len(dhash_hex) = 16),
+       |p AS (SELECT a.name AS name_a, b.name AS name_b,
+       |        (bit_count(xor(('0x' || substr(a.dhash_hex, 1, 8))::BIGINT,
+       |                       ('0x' || substr(b.dhash_hex, 1, 8))::BIGINT))
+       |       + bit_count(xor(('0x' || substr(a.dhash_hex, 9, 8))::BIGINT,
+       |                       ('0x' || substr(b.dhash_hex, 9, 8))::BIGINT)))::BIGINT AS hamming
+       |      FROM m a JOIN m b ON a.name < b.name)
+       |SELECT name_a, name_b, hamming FROM p
+       |WHERE hamming <= 6 ORDER BY name_a, name_b""".stripMargin
+
   /** Image DUP CLUSTERS: the near-dup pair set closed into connected
     * components through the SAME distributed pointer-jumping machinery
     * text dedup uses ([[graft.ops.Dedup.connectedComponents]] over

@@ -13,7 +13,7 @@ import org.apache.spark.sql.SparkSession
   *  - `images/gen_NN.png` — deterministic synthetic RGB PNGs whose pixel
   *    values follow a closed-form formula;
   *  - `image_manifest.parquet` — the ground-truth (name, width, height,
-  *    n_pixels, sum_r, sum_g, sum_b) per image.
+  *    n_pixels, sum_r, sum_g, sum_b, ahash_hex, dhash_hex) per image.
   *
   * The manifest's channel sums are computed ANALYTICALLY from the formula
   * (plain integer loops — no image object, no codec), so the oracle for
@@ -24,6 +24,17 @@ import org.apache.spark.sql.SparkSession
   * separately) are also manifested: width/height parsed straight from the
   * PNG IHDR header bytes (codec-independent) and REQUIRED to match ImageIO,
   * channel sums frozen from a one-time decode (regression pinning).
+  *
+  * Near-dup engineering:
+  *  - `genv_NN.png` — one corner pixel's red +3: different bytes, aHash
+  *    within Hamming 1 of its original (the exact-group/near-dup case);
+  *  - `genb_00_base.png` / `genb_00_ramp.png` — the SAME image without and
+  *    with a vertical brightness ramp (+0..+72 per row, clamp-free by
+  *    construction): the generator REQUIRES aHash to MISS the pair
+  *    (Hamming > 6 — global-mean comparison breaks under a brightness
+  *    field) and dHash to CATCH it at Hamming 0 (horizontal gradient signs
+  *    are exactly invariant to any per-row brightness shift) — the case
+  *    that justifies carrying both fingerprints.
   */
 object GenImageFixture {
 
@@ -31,6 +42,10 @@ object GenImageFixture {
   def rgb(i: Int, x: Int, y: Int): (Int, Int, Int) =
     ((x * 3 + y * 5 + i * 11) % 256, (x * 7 + y * 2 + i * 13) % 256,
       (x + y + i * 29) % 256)
+
+  /** Ramp-pair base formula: channels < 180, so a +72 ramp never clamps. */
+  def rgbB(x: Int, y: Int): (Int, Int, Int) =
+    ((x * 3 + y * 5) % 180, (x * 7 + y * 2 + 13) % 180, (x + y + 29) % 180)
 
   def main(args: Array[String]): Unit = {
     val imagesDir = new File("fixtures/images")
@@ -42,15 +57,15 @@ object GenImageFixture {
     // i < 4 (r(0,0,i) = 11·i ≤ 33).
     def variantBump(i: Int, x: Int, y: Int): Int =
       if (x == 0 && y == 0) 3 else 0
-    def aHashOf(i: Int, w: Int, h: Int, bump: Boolean): String = {
-      val hash = graft.ops.Multimodal.aHash64(w, h, { y =>
-        Array.tabulate(w) { x =>
-          val (r, g, b) = rgb(i, x, y)
-          (r + (if (bump) variantBump(i, x, y) else 0) + g + b) / 3
-        }
-      })
-      f"$hash%016x"
-    }
+    def grayRowOf(i: Int, w: Int, bump: Boolean)(y: Int): Array[Int] =
+      Array.tabulate(w) { x =>
+        val (r, g, b) = rgb(i, x, y)
+        (r + (if (bump) variantBump(i, x, y) else 0) + g + b) / 3
+      }
+    def aHashOf(i: Int, w: Int, h: Int, bump: Boolean): String =
+      f"${graft.ops.Multimodal.aHash64(w, h, grayRowOf(i, w, bump))}%016x"
+    def dHashOf(i: Int, w: Int, h: Int, bump: Boolean): String =
+      f"${graft.ops.Multimodal.dHash64(w, h, grayRowOf(i, w, bump))}%016x"
 
     val synthetic = (0 until 16).flatMap { i =>
       val (w, h) = (32 + 7 * i, 24 + 5 * i)
@@ -76,8 +91,43 @@ object GenImageFixture {
               java.lang.Long.parseUnsignedLong(aHashOf(i, w, h, bump = false), 16))
           require(d <= 1, s"variant $name drifted $d bits from its original")
         }
-        (name, w, h, w.toLong * h, sr, sg, sb, ah)
+        (name, w, h, w.toLong * h, sr, sg, sb, ah, dHashOf(i, w, h, v))
       }
+    }
+
+    // the brightness-ramp pair: aHash must miss it, dHash must catch it
+    val rampPair = {
+      val (w, h) = (96, 64)
+      def ramp(y: Int): Int = y * 72 / h
+      def write(name: String, ramped: Boolean) = {
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        for (y <- 0 until h; x <- 0 until w) {
+          val (r0, g0, b0) = rgbB(x, y)
+          val c = if (ramped) ramp(y) else 0
+          val (r, g, b) = (r0 + c, g0 + c, b0 + c)
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          sr += r; sg += g; sb += b
+        }
+        require(ImageIO.write(img, "png", new File(imagesDir, name)),
+          s"no PNG writer for $name")
+        val grayRow = (y: Int) => Array.tabulate(w) { x =>
+          val (r, g, b) = rgbB(x, y)
+          val c = if (ramped) ramp(y) else 0
+          (r + c + g + c + b + c) / 3
+        }
+        val ah = graft.ops.Multimodal.aHash64(w, h, grayRow)
+        val dh = graft.ops.Multimodal.dHash64(w, h, grayRow)
+        (name, w, h, w.toLong * h, sr, sg, sb, f"$ah%016x", f"$dh%016x")
+      }
+      val base = write("genb_00_base.png", ramped = false)
+      val ramped = write("genb_00_ramp.png", ramped = true)
+      def hx(s: String) = java.lang.Long.parseUnsignedLong(s, 16)
+      val dA = java.lang.Long.bitCount(hx(base._8) ^ hx(ramped._8))
+      val dD = java.lang.Long.bitCount(hx(base._9) ^ hx(ramped._9))
+      require(dA > 6, s"aHash must MISS the ramp pair (got Hamming $dA)")
+      require(dD == 0, s"dHash must be exactly ramp-invariant (got $dD)")
+      Seq(base, ramped)
     }
 
     // Real-world PNGs already in the dir: IHDR-parsed dims + frozen sums.
@@ -97,24 +147,25 @@ object GenImageFixture {
         px.foreach { p =>
           sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
         }
-        // perceptual hash frozen from the same one-time decode as the sums
-        val hash = graft.ops.Multimodal.aHash64(wHdr, hHdr, { y =>
-          Array.tabulate(wHdr) { x =>
-            val p = px(y * wHdr + x)
-            (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
-          }
-        })
-        (f.getName, wHdr, hHdr, wHdr.toLong * hHdr, sr, sg, sb, f"$hash%016x")
+        // perceptual hashes frozen from the same one-time decode as the sums
+        val grayRow = (y: Int) => Array.tabulate(wHdr) { x =>
+          val p = px(y * wHdr + x)
+          (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+        }
+        val hash = graft.ops.Multimodal.aHash64(wHdr, hHdr, grayRow)
+        val dh = graft.ops.Multimodal.dHash64(wHdr, hHdr, grayRow)
+        (f.getName, wHdr, hHdr, wHdr.toLong * hHdr, sr, sg, sb,
+          f"$hash%016x", f"$dh%016x")
       }
 
     val spark = graft.engine.Sessions.local("4", "graft-gen-image-fixture")
     import spark.implicits._
-    (synthetic ++ real)
+    (synthetic ++ rampPair ++ real)
       .toDF("name", "width", "height", "n_pixels", "sum_r", "sum_g", "sum_b",
-        "ahash_hex")
+        "ahash_hex", "dhash_hex")
       .coalesce(1)
       .write.mode("overwrite").parquet("fixtures/image_manifest.parquet")
-    println(s"wrote ${synthetic.size} synthetic + ${real.size} real images + manifest")
+    println(s"wrote ${synthetic.size} synthetic + ${rampPair.size} ramp + ${real.size} real images + manifest")
     spark.stop()
   }
 }

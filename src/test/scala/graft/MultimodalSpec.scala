@@ -251,6 +251,34 @@ class MultimodalSpec extends AnyFunSuite {
       s"junk/bomb payloads must degrade to sentinels: ${got.toSeq}")
   }
 
+  test("dHash catches the brightness-ramp pair aHash provably misses") {
+    import graft.queries.PipelineQueries
+    // decoded hashes must reproduce the manifest's frozen dhash for
+    // EVERY image (the analytic-oracle exactness contract)
+    val decoded = Multimodal.imagePHashes(
+        spark.read.format("binaryFile").load(PipelineQueries.imageFixtureDir))
+      .collect().map(p => p.name -> (p.ahash_hex, p.dhash_hex)).toMap
+    val manifest = spark.read.parquet(PipelineQueries.imageManifestPath)
+      .select("name", "ahash_hex", "dhash_hex").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(decoded === manifest,
+      "ImageIO decode must reproduce the formula-side a/d hashes")
+    def hx(s: String) = java.lang.Long.parseUnsignedLong(s, 16)
+    val (baseA, baseD) = decoded("genb_00_base.png")
+    val (rampA, rampD) = decoded("genb_00_ramp.png")
+    val dA = java.lang.Long.bitCount(hx(baseA) ^ hx(rampA))
+    assert(dA > 6, s"aHash must miss the ramp pair (got $dA)")
+    assert(baseD === rampD, "dHash must be exactly ramp-invariant")
+    // and the registered queries reflect it: the pair is absent from the
+    // aHash near-dups and present in the dHash near-dups at Hamming 0
+    val aPairs = PipelineQueries.imageNearDups(spark, "").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val dPairs = PipelineQueries.imageNearDupsDhash(spark, "").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(!aPairs.contains(("genb_00_base.png", "genb_00_ramp.png")))
+    assert(dPairs.contains(("genb_00_base.png", "genb_00_ramp.png", 0L)))
+  }
+
   test("energyHash64: exact volume invariance, short streams, interleave-agnostic") {
     // volume invariance: scaling every |sample| by a positive integer
     // cancels in the cross-multiplication — bit-identical hashes
