@@ -21,6 +21,14 @@ object Bpe {
     * serving design at a real tokenizer's vocabulary size. */
   val StressVocabPath = "/root/repo/fixtures/bpe_vocab_32k.parquet"
 
+  /** The committed model TRAINED FROM TEXT at vocabulary scale (8192
+    * merges over the zipf fixture corpus's ~26k distinct words —
+    * [[graft.tools.GenZipfCorpus]] + [[graft.tools.TrainBpeVocab]]
+    * `--corpus`): unlike the stress fill, every piece here emerged from
+    * corpus statistics, so piece-length mix and probe depth are those
+    * of a real tokenizer. */
+  val ZipfVocabPath = "/root/repo/fixtures/bpe_vocab_zipf8k.parquet"
+
   /** The committed vocabulary as a fingerprint-keyed broadcast handle
     * (r14 VERDICT #1 — the pieces never ride a plan literal). ONE
     * broadcast per (model file, session): the ref is memoized through

@@ -3271,6 +3271,92 @@ object PipelineQueries {
           graft.ops.Bpe.encode(element_at(col("ws"), 1), vocab)).as("pieces_w1"))
       .orderBy(col("doc_id"))
 
+  /** Committed vocabulary-realistic corpus (see
+    * [[graft.tools.GenZipfCorpus]] — r15/r16 carried ask #5): 3000 docs,
+    * ~600k tokens, ~26k distinct Zipf(1.1)-distributed words, and the
+    * ≥8k-piece BPE model TRAINED FROM ITS TEXT (not synthetic fill). */
+  val zipfCorpusPath: String = sys.env.getOrElse("SPARK_GRAFT_ZIPF",
+    "/root/repo/fixtures/zipf_corpus.parquet")
+
+  private def zipfDocuments(s: SparkSession): DataFrame =
+    s.read.parquet(zipfCorpusPath)
+
+  /** The zipf fixture as a DuckDB FROM source (the oracles' corpus swap). */
+  private val zipfFromSql: String =
+    s"read_parquet('$zipfCorpusPath/*.parquet')"
+
+  /** Token counting over the REALISTIC corpus with the model trained
+    * from its own text ([[graft.tools.TrainBpeVocab]] `--corpus`,
+    * 8192 merges — the first vocabulary-scale model whose pieces are
+    * LINGUISTIC, not lexicographic fill): same handle/broadcast serving
+    * path, same greedy longest-match, hash-verified through the same
+    * recursive-CTE oracle — over 26k distinct words instead of 31, so
+    * type/token-shaped behavior (probe depth, piece-length mix) is
+    * exercised for real. */
+  def bpeTokenizeZipf(s: SparkSession, d: String): DataFrame =
+    zipfDocuments(s)
+      .select(col("doc_id"), TextOps.wordsSafe(col("text")).as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        graft.ops.Bpe.tokenCount(col("ws"),
+          graft.ops.Bpe.model(s, graft.ops.Bpe.ZipfVocabPath)).as("n_tokens"),
+        concat_ws("|",
+          graft.ops.Bpe.encode(element_at(col("ws"), 1),
+            graft.ops.Bpe.model(s, graft.ops.Bpe.ZipfVocabPath))).as("pieces_w1"))
+      .orderBy(col("doc_id"))
+
+  val bpeTokenizeZipfSql: String =
+    s"""WITH RECURSIVE
+       |${duckBpeCtes(graft.ops.Bpe.ZipfVocabPath, zipfFromSql)},
+       |agg AS (SELECT bex.doc_id, count(*)::BIGINT AS n_words,
+       |               sum(bwt.ntok)::BIGINT AS n_tokens
+       |        FROM bex JOIN bwt USING (w) GROUP BY bex.doc_id),
+       |w1 AS (SELECT doc_id, ws[1] AS w FROM bdw)
+       |SELECT a.doc_id, a.n_words, a.n_tokens, bwt.pieces AS pieces_w1
+       |FROM agg a JOIN w1 USING (doc_id) JOIN bwt ON bwt.w = w1.w
+       |ORDER BY doc_id""".stripMargin
+
+  /** Heaps-law growth panel over the realistic corpus: cumulative
+    * token count vs cumulative TYPE (distinct-word) count per 300-doc
+    * prefix — the type/token curve every vocabulary-scale claim rests
+    * on, now measured on a ~26k-type corpus instead of the driver
+    * fixture's 31. Computed distributively: a word's first-seen doc is
+    * `min(doc_id)` (one shuffle on word), bucketed and cumulative-
+    * summed with a 10-row window — no per-prefix rescan. */
+  def zipfVocabGrowth(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = zipfDocuments(s)
+      .select(col("doc_id"), explode(TextOps.wordsSafe(col("text"))).as("w"))
+    val tokens = w.groupBy((col("doc_id") / 300).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("bucket_tokens"))
+    val types = w.groupBy(col("w")).agg(min(col("doc_id")).as("first_doc"))
+      .groupBy((col("first_doc") / 300).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("bucket_types"))
+    val win = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokens.join(types, Seq("bucket"))
+      .select(col("bucket"),
+        sum(col("bucket_tokens")).over(win).as("cum_tokens"),
+        sum(col("bucket_types")).over(win).as("cum_types"))
+      .orderBy(col("bucket"))
+  }
+
+  val zipfVocabGrowthSql: String =
+    s"""WITH d AS (SELECT doc_id, $duckWords AS ws FROM $zipfFromSql),
+       |w AS (SELECT doc_id, unnest(ws) AS w FROM d),
+       |tok AS (SELECT (doc_id // 300)::BIGINT AS bucket,
+       |               count(*)::BIGINT AS bucket_tokens
+       |        FROM w GROUP BY 1),
+       |typ AS (SELECT (min_doc // 300)::BIGINT AS bucket,
+       |               count(*)::BIGINT AS bucket_types
+       |        FROM (SELECT w, min(doc_id) AS min_doc FROM w GROUP BY w)
+       |        GROUP BY 1)
+       |SELECT bucket,
+       |       CAST(sum(bucket_tokens) OVER (ORDER BY bucket) AS BIGINT) AS cum_tokens,
+       |       CAST(sum(bucket_types) OVER (ORDER BY bucket) AS BIGINT) AS cum_types
+       |FROM tok JOIN typ USING (bucket)
+       |ORDER BY bucket""".stripMargin
+
   /** Shared oracle fragment: greedy longest-match BPE over the DISTINCT
     * corpus words — a recursive CTE whose step is the same bounded CASE
     * chain of vocabulary probes [[graft.functions.BpeEncode]] evaluates
@@ -3278,15 +3364,18 @@ object PipelineQueries {
     * the recursion is vocabulary-sized, not corpus-sized). Exposes
     * `bwt(w, ntok, pieces)`, `bex(doc_id, wi, w)` (word occurrences with
     * 1-based position), and `bdoctok(doc_id, tokens)`. The consuming SQL
-    * must open with `WITH RECURSIVE`. */
+    * must open with `WITH RECURSIVE`. `docsFrom` swaps the corpus source
+    * (default the driver `documents` view; the zipf twin passes its
+    * fixture's read_parquet). */
   private def duckBpeCtes(
-      vocabPath: String = graft.ops.Bpe.VocabPath): String = {
+      vocabPath: String = graft.ops.Bpe.VocabPath,
+      docsFrom: String = "documents"): String = {
     val probes = (graft.functions.BpeEncode.MaxPieceLen to 2 by -1).map(l =>
       s"           WHEN substr(w, pos::INT, $l) IN (SELECT piece FROM v WHERE l = $l) THEN $l")
       .mkString("\n")
     s"""v AS (SELECT piece, len(piece) AS l
        |      FROM read_parquet('$vocabPath/*.parquet')),
-       |bdw AS (SELECT doc_id, $duckWords AS ws FROM documents),
+       |bdw AS (SELECT doc_id, $duckWords AS ws FROM $docsFrom),
        |bwords AS (SELECT DISTINCT unnest(ws) AS w FROM bdw),
        |brec(w, pos, ntok, pieces) AS (
        |  SELECT w, 1::BIGINT, 0::BIGINT, '' FROM bwords

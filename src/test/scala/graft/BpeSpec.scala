@@ -56,6 +56,17 @@ class BpeSpec extends AnyFunSuite {
     assert(a.map(_._2) === a.indices.map(_.toLong), "ranks are the merge order")
   }
 
+  test("trainFast == train merge for merge (incremental counts are exact)") {
+    // a corpus with ties, repeated pairs inside one word, over-length
+    // candidates, and a realistic slice of the zipf fixture vocabulary
+    val hand = Seq(("banana", 10L), ("bandana", 6L), ("ananas", 4L),
+      ("verylongtoken", 3L), ("aaaa", 5L), ("abab", 5L), ("baba", 5L))
+    assert(TrainBpeVocab.trainFast(hand, 32) === TrainBpeVocab.train(hand, 32))
+    val zipf = (1 to 400).map(r =>
+      (graft.tools.GenZipfCorpus.word(r), (1000.0 / math.pow(r, 1.1)).toLong + 1))
+    assert(TrainBpeVocab.trainFast(zipf, 200) === TrainBpeVocab.train(zipf, 200))
+  }
+
   test("encode: lossless, greedy-maximal, total coverage, codegen-resident") {
     val words = Seq("customer", "customers", "window", "xyzzy", "", "a",
       "joinjoin", "zzcustomer")
