@@ -4020,6 +4020,57 @@ object PipelineQueries {
     graft.ops.TextClassifier.nbScores(docs, model).orderBy(col("doc_id"))
   }
 
+  /** The NB classifier COMPOSED into the curation pipeline (r15/r16
+    * carried ask #7 — the q_token_budget_gated precedent): train on the
+    * src1-vs-src2 seed split, score every document, GATE on the exact
+    * integer odds proxy (`q2_odds > 0` — pure integer bit-length sums,
+    * so the cut is order-independent; gating on the float log-odds
+    * could flip a boundary doc under a different partition sum order),
+    * then run the per-source token-budget mix over the survivors. The
+    * oracle replays train → score → gate → budget as one SQL chain, so
+    * the classifier is graded INSIDE the composition, not standalone. */
+  def nbGatedMix(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val model = graft.ops.TextClassifier.trainNaiveBayes(
+      docs.where(col("source") === "src1"),
+      docs.where(col("source") === "src2"))
+    val kept = graft.ops.TextClassifier.nbScores(docs, model)
+      .where(col("q2_odds") > 0).select(col("doc_id"))
+    Curation.tokenBudgetMix(
+        docs.join(kept, Seq("doc_id"), "left_semi"),
+        Seq("src0" -> 5000L, "src1" -> 2000L), defaultBudget = 1000L)
+      .orderBy(col("source"), col("cum_tokens"), col("doc_id"))
+  }
+
+  val nbGatedMixSql: String =
+    s"""WITH tw AS (SELECT doc_id, source, $duckWords AS w FROM documents),
+       |tok AS (SELECT doc_id, source, unnest(w) AS t FROM tw),
+       |nz AS (SELECT doc_id, source, t,
+       |         ('0x' || substr(md5(t), 1, 12))::BIGINT % 1024 AS b
+       |       FROM tok WHERE t <> ''),
+       |pc AS (SELECT b, count(*) AS c FROM nz WHERE source = 'src1' GROUP BY b),
+       |nc AS (SELECT b, count(*) AS c FROM nz WHERE source = 'src2' GROUP BY b),
+       |terms AS (SELECT nz.doc_id,
+       |    (length(bin(coalesce(pc.c, 0) + 1)) -
+       |     length(bin(coalesce(nc.c, 0) + 1)))::BIGINT AS q2t
+       |  FROM nz
+       |  LEFT JOIN pc ON nz.b = pc.b
+       |  LEFT JOIN nc ON nz.b = nc.b),
+       |keep AS (SELECT doc_id FROM terms GROUP BY doc_id
+       |         HAVING sum(q2t) > 0),
+       |r AS (SELECT d.source, d.doc_id,
+       |        md5(d.source || ':' || d.doc_id::VARCHAR) AS rnk,
+       |        len($duckWords)::BIGINT AS tokens
+       |      FROM documents d JOIN keep USING (doc_id)),
+       |c AS (SELECT source, doc_id, tokens,
+       |        CAST(sum(tokens) OVER (PARTITION BY source
+       |          ORDER BY rnk, doc_id) AS BIGINT) AS cum_tokens
+       |      FROM r)
+       |SELECT source, doc_id, tokens, cum_tokens FROM c
+       |WHERE cum_tokens - tokens <
+       |      CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 2000 ELSE 1000 END
+       |ORDER BY source, cum_tokens, doc_id""".stripMargin
+
   /** The oracle retrains in SQL (grouped counts are exact) and rescores
     * via LEFT JOINs against the count tables — structurally different
     * from the Spark side's literal-array lookups, same numbers. */
