@@ -4965,6 +4965,121 @@ object PipelineQueries {
   val audioManifestPath: String = sys.env.getOrElse("SPARK_GRAFT_AUDIO_MANIFEST",
     "/root/repo/fixtures/audio_manifest.parquet")
 
+  /** REGISTERED equivalence for the STREAM-MAINTAINED image store
+    * (r15/r16 carried ask #8 — promoting the EventStreamsSpec CDC
+    * assertion into a CORRECTNESS row, the q_dedup_components_distributed
+    * precedent): drive [[graft.streaming.EventStreams.imageHashCdcStream]]
+    * over the committed fixture with a DETERMINISTIC change script —
+    * adds split across two micro-batches, a delete landing with the
+    * second, a stream STOP, a further delete landing while the stream is
+    * DOWN, and a checkpoint restart to drain it — then serve the
+    * near-dup probe from the maintained store. The oracle knows nothing
+    * of streams: it brute-forces the pairs of (all adds − all deletes)
+    * from the frozen manifest, so a hash match proves maintained-store
+    * serving == survivor-rebuild truth, across a restart, every round. */
+  def imageStoreStreamEquiv(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import s.implicits._
+    val landing = java.nio.file.Files.createTempDirectory("imgsse_l").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("imgsse_c").toString
+    val store = java.nio.file.Files.createTempDirectory("imgsse_s").toString + "/idx"
+    val schema = StructType(Seq(StructField("op", StringType),
+      StructField("name", StringType), StructField("content", BinaryType)))
+    val files = new java.io.File(imageFixtureDir).listFiles().sortBy(_.getName)
+    val bytes = files.map(f =>
+      f.getName -> java.nio.file.Files.readAllBytes(f.toPath)).toMap
+    val names = files.map(_.getName).toSeq
+    def land(rows: Seq[(String, String)]): Unit =
+      rows.map { case (op, n) =>
+          (op, n, if (op == "add") bytes(n) else null)
+        }.toDF("op", "name", "content").coalesce(1)
+        .write.mode("append").parquet(landing)
+    def start() = graft.streaming.EventStreams.imageHashCdcStream(
+      s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(landing), store, ckpt)
+    val (h1, h2) = names.splitAt(names.size / 2)
+    land(h1.map("add" -> _))
+    val q1 = start(); q1.processAllAvailable()
+    land(h2.map("add" -> _) ++ Seq("delete" -> "gen_00.png"))
+    q1.processAllAvailable(); q1.stop()
+    land(Seq("delete" -> "genv_01.png")) // lands while the stream is DOWN
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    graft.ops.Dedup.hammingNearDups64(
+        graft.ops.Indexes.readImageHashIndex(s, store),
+        "name", "ahash_hex", maxHamming = 6, bands = 8)
+      .select(col("id_a").as("name_a"), col("id_b").as("name_b"),
+        col("hamming"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  val imageStoreStreamEquivSql: String =
+    s"""WITH m AS (SELECT name, ahash_hex
+       |           FROM read_parquet('$imageManifestPath/*.parquet')
+       |           WHERE len(ahash_hex) = 16
+       |             AND name NOT IN ('gen_00.png', 'genv_01.png')),
+       |p AS (SELECT a.name AS name_a, b.name AS name_b,
+       |        (bit_count(xor(('0x' || substr(a.ahash_hex, 1, 8))::BIGINT,
+       |                       ('0x' || substr(b.ahash_hex, 1, 8))::BIGINT))
+       |       + bit_count(xor(('0x' || substr(a.ahash_hex, 9, 8))::BIGINT,
+       |                       ('0x' || substr(b.ahash_hex, 9, 8))::BIGINT)))::BIGINT AS hamming
+       |      FROM m a JOIN m b ON a.name < b.name)
+       |SELECT name_a, name_b, hamming FROM p
+       |WHERE hamming <= 6 ORDER BY name_a, name_b""".stripMargin
+
+  /** [[imageStoreStreamEquiv]] for the AUDIO store — the same
+    * deterministic script over [[graft.streaming.EventStreams
+    * .audioHashCdcStream]], deletes chosen so both an exact-dup member
+    * (gen_00.wav, paired with its genr_00 rename) and a volume-pair
+    * member (genq_00.wav) vanish from the served pairs. */
+  def audioStoreStreamEquiv(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import s.implicits._
+    val landing = java.nio.file.Files.createTempDirectory("audsse_l").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("audsse_c").toString
+    val store = java.nio.file.Files.createTempDirectory("audsse_s").toString + "/idx"
+    val schema = StructType(Seq(StructField("op", StringType),
+      StructField("name", StringType), StructField("content", BinaryType)))
+    val files = new java.io.File(audioFixtureDir).listFiles().sortBy(_.getName)
+    val bytes = files.map(f =>
+      f.getName -> java.nio.file.Files.readAllBytes(f.toPath)).toMap
+    val names = files.map(_.getName).toSeq
+    def land(rows: Seq[(String, String)]): Unit =
+      rows.map { case (op, n) =>
+          (op, n, if (op == "add") bytes(n) else null)
+        }.toDF("op", "name", "content").coalesce(1)
+        .write.mode("append").parquet(landing)
+    def start() = graft.streaming.EventStreams.audioHashCdcStream(
+      s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(landing), store, ckpt)
+    val (h1, h2) = names.splitAt(names.size / 2)
+    land(h1.map("add" -> _))
+    val q1 = start(); q1.processAllAvailable()
+    land(h2.map("add" -> _) ++ Seq("delete" -> "gen_00.wav"))
+    q1.processAllAvailable(); q1.stop()
+    land(Seq("delete" -> "genq_00.wav"))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    graft.ops.Dedup.hammingNearDups64(
+        graft.ops.Indexes.readAudioHashIndex(s, store),
+        "name", "ehash_hex", maxHamming = 6, bands = 8)
+      .select(col("id_a").as("name_a"), col("id_b").as("name_b"),
+        col("hamming"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  val audioStoreStreamEquivSql: String =
+    s"""WITH m AS (SELECT name, ehash_hex
+       |           FROM read_parquet('$audioManifestPath/*.parquet')
+       |           WHERE len(ehash_hex) = 16
+       |             AND name NOT IN ('gen_00.wav', 'genq_00.wav')),
+       |p AS (SELECT a.name AS name_a, b.name AS name_b,
+       |        (bit_count(xor(('0x' || substr(a.ehash_hex, 1, 8))::BIGINT,
+       |                       ('0x' || substr(b.ehash_hex, 1, 8))::BIGINT))
+       |       + bit_count(xor(('0x' || substr(a.ehash_hex, 9, 8))::BIGINT,
+       |                       ('0x' || substr(b.ehash_hex, 9, 8))::BIGINT)))::BIGINT AS hamming
+       |      FROM m a JOIN m b ON a.name < b.name)
+       |SELECT name_a, name_b, hamming FROM p
+       |WHERE hamming <= 6 ORDER BY name_a, name_b""".stripMargin
+
   /** REAL audio decode end-to-end: binaryFile scan → per-partition
     * javax.sound decode → exact PCM amplitude sums, verified against the
     * analytic manifest (PCM is lossless; the oracle never runs a
