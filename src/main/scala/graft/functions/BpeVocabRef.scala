@@ -53,6 +53,16 @@ final class BpeVocabRef private (val id: String,
     if (s == null) {
       s = BpeVocabRef.probeSets.computeIfAbsent(
         id, _ => BpeVocabRef.buildSet(pieces))
+      // poison detector (ADVICE r16): inline() accepts caller-supplied
+      // ids, so an id reused with DIFFERENT pieces would silently serve
+      // the first binding's set process-wide. Piece lists are duplicate-
+      // free (BPE merges are unique; buildSet would shrink a dup list),
+      // so a size mismatch is proof of an id/content collision — fail
+      // loudly instead of mis-tokenizing.
+      require(s.size == pieces.length,
+        s"BPE probe-set cache poisoned: id '$id' is bound to a " +
+          s"${s.size}-piece set but this ref carries ${pieces.length} " +
+          "pieces — two different vocabularies share one id")
       set = s
     }
     s

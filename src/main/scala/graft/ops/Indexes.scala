@@ -62,6 +62,42 @@ object Indexes {
   val indexRoot: String = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
     s"${System.getProperty("java.io.tmpdir")}/graft_indexes") + s"/$IndexFormatVersion"
 
+  private val legacyRootsSwept = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** One-shot reclaim of SUPERSEDED version roots (ADVICE r16: naming
+    * migrations inside a version — e.g. promoting model fingerprints
+    * into the pq/ivf family prefixes — orphan the old-named generations
+    * and their manifest dirs forever, because no current family glob can
+    * match them; index roots are durable across JVMs). Version roots are
+    * the migration boundary: any legacy naming lives under an OLD
+    * `<base>/vN`, so reclaiming aged sibling version roots retires every
+    * orphan class at once without enumerating historical conventions.
+    * Grace: [[runDirGcGraceMsDefault]] (≥ 6 h) on the root's mtime — a
+    * live older-version JVM keeps touching its root's children (child
+    * creation moves dir mtime), so only genuinely abandoned roots age
+    * out. Runs once per JVM, piggybacked on the first family sweep. */
+  private[graft] def gcLegacyVersionRoots(spark: SparkSession): Unit =
+    if (legacyRootsSwept.compareAndSet(false, true))
+      sweepLegacyVersionRoots(spark)
+
+  /** The sweep body (separately callable so the spec can exercise it
+    * without consuming the once-per-JVM guard). */
+  private[graft] def sweepLegacyVersionRoots(spark: SparkSession): Unit = {
+    val root = new org.apache.hadoop.fs.Path(indexRoot)
+    val base = root.getParent
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexRoot), spark.sparkContext.hadoopConfiguration)
+    if (base != null && fs.exists(base)) {
+      val cutoff = System.currentTimeMillis() - runDirGcGraceMsDefault
+      fs.listStatus(base).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name.matches("v\\d+") &&
+            name != IndexFormatVersion && st.getModificationTime < cutoff)
+          fs.delete(st.getPath, true)
+      }
+    }
+  }
+
   /** Cheap corpus fingerprint from the frame's input files — path, length,
     * modification time, PLUS each file's last ≤4 KiB (for parquet that is
     * the footer: row-group offsets and column min/max stats, so any content
@@ -258,6 +294,7 @@ object Indexes {
     * without bound. */
   private[graft] def gcSiblings(spark: SparkSession, path: String,
                          familyPrefix: String): Unit = {
+    gcLegacyVersionRoots(spark) // once per JVM: retire superseded vN roots
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)

@@ -151,4 +151,28 @@ class IndexGcSpec extends AnyFunSuite {
     }
     assert(Files.exists(mine), "the current run's own dir must never be swept")
   }
+
+  test("superseded version roots: aged vN siblings reclaimed; current and fresh survive") {
+    import graft.ops.Indexes
+    val base = java.nio.file.Paths.get(Indexes.indexRoot).getParent
+    java.nio.file.Files.createDirectories(base)
+    val old = base.resolve("v0")
+    val fresh = base.resolve("v1")
+    val notVersion = base.resolve("v0_backup")
+    Seq(old, fresh, notVersion).foreach(java.nio.file.Files.createDirectories(_))
+    // age v0 and the non-version dir past the ≥6 h grace
+    val aged = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - Indexes.runDirGcGraceMsDefault - 60000L)
+    java.nio.file.Files.setLastModifiedTime(old, aged)
+    java.nio.file.Files.setLastModifiedTime(notVersion, aged)
+    Indexes.sweepLegacyVersionRoots(spark)
+    assert(!java.nio.file.Files.exists(old),
+      "an aged superseded version root (with its legacy-named families) is reclaimed")
+    assert(java.nio.file.Files.exists(fresh),
+      "a version root inside the grace window survives (a live older JVM)")
+    assert(java.nio.file.Files.exists(notVersion),
+      "only ^v\\d+$ dirs are version roots; anything else is never touched")
+    java.nio.file.Files.deleteIfExists(fresh)
+    java.nio.file.Files.deleteIfExists(notVersion)
+  }
 }
