@@ -103,9 +103,18 @@ object Bench {
     * q_semantic_dedup_recall joined the set in round 10: it is a recall
     * AUDIT whose truth side is the brute-force all-pairs cosine join — the
     * same quadratic-verification class as q_jaccard_all_pairs. Both stay
-    * under the per-round correctness gate; they are only untimed. */
+    * under the per-round correctness gate; they are only untimed.
+    * The two *_store_stream_equiv rows (r17) are STREAMING-LIFECYCLE
+    * assertions: each invocation stages a landing zone, runs a
+    * checkpointed CDC stream twice (with a restart between), and probes
+    * a few dozen fixture rows — the time measured is Structured
+    * Streaming start/stop machinery on a 26-file fixture, not an
+    * operator's data path (the data path, hammingNearDups64 over the
+    * committed store, is timed by q_image_near_dups/q_audio_near_dups).
+    * They stay under the per-round correctness gate; only untimed. */
   private val excludedBaselines =
-    Set("q_jaccard_all_pairs", "q_semantic_dedup_recall")
+    Set("q_jaccard_all_pairs", "q_semantic_dedup_recall",
+      "q_image_store_stream_equiv", "q_audio_store_stream_equiv")
 
   private def syncFs(): Unit =
     try new ProcessBuilder("sync").inheritIO().start().waitFor()
