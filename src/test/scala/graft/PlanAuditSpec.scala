@@ -510,6 +510,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no payload scan or decode closure may appear in the serving plan:\n$p")
   }
 
+  test("audio near-dup serving never decodes: hash-store scan only") {
+    // the image family's decode-once contract, for sound: javax.sound
+    // runs at ensureAudioHashIndex time, never in the probe plan
+    for (q <- Seq("q_audio_near_dups", "q_audio_near_dups_incr",
+                  "q_image_near_dups_dhash")) {
+      val p = plan(q)
+      assert(p.contains("audhash_") || p.contains("imghash_"),
+        s"$q must scan its committed hash store:\n$p")
+      assert(!p.toLowerCase.contains("binaryfile") && !p.contains("mapPartitions"),
+        s"$q: no payload scan or decode closure in the serving plan:\n$p")
+    }
+  }
+
   test("no registered query plans a CartesianProduct") {
     // Theta joins in the documented quadratic baselines become
     // BroadcastNestedLoopJoin (bounded side); an unconditional
