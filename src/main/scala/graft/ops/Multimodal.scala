@@ -20,6 +20,15 @@ case class ImageFeatures(name: String, width: Int, height: Int,
 case class ImagePHash(name: String, width: Int, height: Int,
                       ahash_hex: String, dhash_hex: String)
 
+/** Integer box-filter downsample result ([[Multimodal.resizeImages]]):
+  * output dims and EXACT channel sums of the resized raster. */
+case class ImageResized(name: String, out_w: Int, out_h: Int,
+                        sum_r: Long, sum_g: Long, sum_b: Long)
+
+/** Frame-decimation resample result ([[Multimodal.decimateAudio]]). */
+case class AudioDecimated(name: String, channels: Int, rate_out: Int,
+                          n_samples: Long, duration_us: Long, abs_sum: Long)
+
 /** Real decoded-audio features (JDK javax.sound.sampled decode — see
   * [[Multimodal.decodeAudio]]). */
 case class AudioFeatures(name: String, channels: Int, sample_rate: Int,
@@ -166,6 +175,111 @@ object Multimodal {
               y += 1
             }
             ImageFeatures(name, w, h, w.toLong * h, sr, sg, sb)
+          }
+        }
+      }
+  }
+
+  /** REAL image RESIZE — integer k×k box-filter downsample (the thumbnail
+    * pass of a multimodal training pipeline, with the family's exactness
+    * discipline so it is oracle-gateable): output pixel (X, Y) channel c
+    * is floor(Σ over the k×k source block / k²) — pure integer division,
+    * no resampling kernel floats to disagree across implementations —
+    * and output dims are floor(w/k) × floor(h/k) (a partial edge block
+    * is DROPPED, never averaged over a short count). The query surface
+    * returns the resized raster's exact channel sums; the fixture
+    * generator computes the same sums from its pixel formula with no
+    * image object, so a wrong filter, offset, or edge rule cannot
+    * hash-match. Same bomb guard + sentinel contract as
+    * [[decodeImages]]; one decode per payload, one row pass. */
+  def resizeImages(images: DataFrame, factor: Int = 2): Dataset[ImageResized] = {
+    require(factor >= 1, s"resize factor must be >= 1, got $factor")
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select(
+        element_at(split(col("path"), "/"), -1).as("name"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (name, bytes) =>
+          val img = readImageGuarded(bytes)
+          if (img == null) ImageResized(name, -1, -1, 0L, 0L, 0L)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val (ow, oh) = (w / factor, h / factor)
+            // accumulate per-output-column block sums row by row: one
+            // getRGB pass, O(out_w) state — no full-raster buffer
+            val accR = new Array[Long](ow)
+            val accG = new Array[Long](ow)
+            val accB = new Array[Long](ow)
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            val rowBuf = new Array[Int](w)
+            val k2 = factor.toLong * factor
+            var y = 0
+            while (y < oh * factor) {
+              img.getRGB(0, y, w, 1, rowBuf, 0, w)
+              var x = 0
+              while (x < ow * factor) {
+                val ox = x / factor
+                val p = rowBuf(x)
+                accR(ox) += (p >> 16) & 0xff
+                accG(ox) += (p >> 8) & 0xff
+                accB(ox) += p & 0xff
+                x += 1
+              }
+              if (y % factor == factor - 1) {
+                var ox = 0
+                while (ox < ow) {
+                  sr += accR(ox) / k2; sg += accG(ox) / k2; sb += accB(ox) / k2
+                  accR(ox) = 0L; accG(ox) = 0L; accB(ox) = 0L
+                  ox += 1
+                }
+              }
+              y += 1
+            }
+            ImageResized(name, ow, oh, sr, sg, sb)
+          }
+        }
+      }
+  }
+
+  /** REAL audio RESAMPLE — integer frame DECIMATION (keep every
+    * `factor`-th FRAME, all channels of it; rate_out = rate / factor):
+    * the one resampling rule that is exact by construction — kept
+    * samples are source samples, so the fixture formula supplies the
+    * decimated |amplitude| sums analytically, and an interpolating
+    * resampler's float kernel never enters the contract. Decimating
+    * FRAMES (not interleaved samples) keeps multi-channel alignment: a
+    * stereo stream keeps L and R of the same instant together. Same
+    * guard + sentinel contract as [[decodeAudio]]. */
+  def decimateAudio(audio: DataFrame, factor: Int = 2): Dataset[AudioDecimated] = {
+    require(factor >= 1, s"decimation factor must be >= 1, got $factor")
+    val spark = audio.sparkSession
+    import spark.implicits._
+    audio.select(
+        element_at(split(col("path"), "/"), -1).as("name"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (name, bytes) =>
+          val pcm = readPcmGuarded(bytes)
+          if (pcm == null) AudioDecimated(name, -1, -1, 0L, 0L, 0L)
+          else {
+            val ch = pcm.channels
+            val nFrames = pcm.nSamples / ch
+            var absSum = 0L
+            var kept = 0L
+            var f = 0L
+            while (f < nFrames) {
+              if (f % factor == 0) {
+                var c = 0
+                while (c < ch) { absSum += pcm.absAt(f * ch + c); c += 1 }
+                kept += 1
+              }
+              f += 1
+            }
+            val rateOut = pcm.rate / factor
+            AudioDecimated(name, ch, rateOut, kept * ch,
+              kept * 1000000L / rateOut, absSum)
           }
         }
       }

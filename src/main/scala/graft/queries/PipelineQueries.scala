@@ -5252,6 +5252,41 @@ object PipelineQueries {
        |LEFT JOIN sizes z ON c.dup_rep = z.dup_rep
        |ORDER BY m.name""".stripMargin
 
+  /** REAL image RESIZE end-to-end ([[graft.ops.Multimodal.resizeImages]]):
+    * binaryFile scan → decode → integer 2×2 box-filter downsample → exact
+    * channel sums of the RESIZED raster, verified against the analytic
+    * manifest (the generator computes the same floor-division block sums
+    * from its pixel formula — a wrong filter, offset, or edge rule cannot
+    * hash-match). The thumbnail pass of a multimodal pipeline with the
+    * decode family's exactness contract. */
+  def imageResize(s: SparkSession, d: String): DataFrame =
+    Multimodal.resizeImages(
+        s.read.format("binaryFile").load(imageFixtureDir), factor = 2)
+      .toDF().orderBy(col("name"))
+
+  val imageResizeSql: String =
+    s"""SELECT name, (width // 2)::INTEGER AS out_w,
+       |       (height // 2)::INTEGER AS out_h,
+       |       rs2_sum_r AS sum_r, rs2_sum_g AS sum_g, rs2_sum_b AS sum_b
+       |FROM read_parquet('$imageManifestPath/*.parquet') ORDER BY name""".stripMargin
+
+  /** REAL audio RESAMPLE end-to-end ([[graft.ops.Multimodal
+    * .decimateAudio]]): frame decimation by 2 — kept samples are source
+    * samples, so the manifest's decimated |amplitude| sums are analytic
+    * and the resample is hash-verified like the decode (an interpolating
+    * kernel's floats never enter the contract). Frames, not interleaved
+    * samples: the stereo fixture keeps L and R of the same instant. */
+  def audioResample(s: SparkSession, d: String): DataFrame =
+    Multimodal.decimateAudio(
+        s.read.format("binaryFile").load(audioFixtureDir), factor = 2)
+      .toDF().orderBy(col("name"))
+
+  val audioResampleSql: String =
+    s"""SELECT name, channels, (sample_rate // 2)::INTEGER AS rate_out,
+       |       dec2_n_samples AS n_samples, dec2_duration_us AS duration_us,
+       |       dec2_abs_sum AS abs_sum
+       |FROM read_parquet('$audioManifestPath/*.parquet') ORDER BY name""".stripMargin
+
   /** Video-style frame sampling (1→N decode): every 2nd 256-byte frame of
     * the payload, fingerprinted per frame. The oracle replays the identical
     * hex-domain slicing, so the mapPartitions path is hash-verified. */

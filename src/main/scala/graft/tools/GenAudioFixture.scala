@@ -58,9 +58,13 @@ object GenAudioFixture {
 
   /** Write one RIFF WAV + return its analytic manifest row. `samples`
     * is the full interleaved 16-bit stream (`n_samples` = its length;
-    * frames = length / channels). */
+    * frames = length / channels). The dec2_* columns are the
+    * factor-2 FRAME-decimation ground truth ([[graft.ops.Multimodal
+    * .decimateAudio]]): kept frames f % 2 == 0, rate_out = rate / 2
+    * (integer division — 11025 → 5512), duration replayed with the
+    * operator's own integer formula. */
   private def writeWav(dir: File, name: String, channels: Int, rate: Int,
-                       samples: Array[Short]): (String, Int, Int, Int, Long, Long, Long, String) = {
+                       samples: Array[Short]): (String, Int, Int, Int, Long, Long, Long, String, Long, Long, Long) = {
     val o = new DataOutputStream(new FileOutputStream(new File(dir, name)))
     try {
       val dataBytes = samples.length * 2
@@ -83,8 +87,24 @@ object GenAudioFixture {
       val n = samples.length.toLong
       val ehash = graft.ops.Multimodal.energyHash64(n,
         i => math.abs(samples(i.toInt).toLong))
+      // factor-2 frame decimation ground truth
+      val nFrames = samples.length / channels
+      var dAbs = 0L
+      var kept = 0L
+      var f = 0
+      while (f < nFrames) {
+        if (f % 2 == 0) {
+          var c = 0
+          while (c < channels) {
+            dAbs += math.abs(samples(f * channels + c).toLong); c += 1
+          }
+          kept += 1
+        }
+        f += 1
+      }
+      val rateOut = rate / 2
       (name, channels, rate, 16, n, (n / channels) * 1000000L / rate, absSum,
-        f"$ehash%016x")
+        f"$ehash%016x", kept * channels, kept * 1000000L / rateOut, dAbs)
     } finally o.close()
   }
 
@@ -168,7 +188,8 @@ object GenAudioFixture {
     val spark = graft.engine.Sessions.local("4", "graft-gen-audio")
     import spark.implicits._
     rows.toDF("name", "channels", "sample_rate", "bits", "n_samples",
-        "duration_us", "abs_sum", "ehash_hex")
+        "duration_us", "abs_sum", "ehash_hex",
+        "dec2_n_samples", "dec2_duration_us", "dec2_abs_sum")
       .coalesce(1).write.mode("overwrite")
       .parquet("fixtures/audio_manifest.parquet")
     println(s"wrote ${rows.size} wavs + manifest")

@@ -47,6 +47,25 @@ object GenImageFixture {
   def rgbB(x: Int, y: Int): (Int, Int, Int) =
     ((x * 3 + y * 5) % 180, (x * 7 + y * 2 + 13) % 180, (x + y + 29) % 180)
 
+  /** Factor-2 box-filter resize ground truth ([[graft.ops.Multimodal
+    * .resizeImages]]): per output pixel, floor(2×2 block sum / 4) per
+    * channel; partial edge blocks dropped. Runs on any (x, y) → (r, g, b)
+    * source — the formula for synthetic images, the decoded pixel array
+    * for the real charts — with no image object. */
+  def resized2Sums(w: Int, h: Int,
+                   rgbAt: (Int, Int) => (Int, Int, Int)): (Long, Long, Long) = {
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    for (yy <- 0 until h / 2; xx <- 0 until w / 2) {
+      var (br, bg, bb) = (0L, 0L, 0L)
+      for (dy <- 0 until 2; dx <- 0 until 2) {
+        val (r, g, b) = rgbAt(xx * 2 + dx, yy * 2 + dy)
+        br += r; bg += g; bb += b
+      }
+      sr += br / 4; sg += bg / 4; sb += bb / 4
+    }
+    (sr, sg, sb)
+  }
+
   def main(args: Array[String]): Unit = {
     val imagesDir = new File("fixtures/images")
     imagesDir.mkdirs()
@@ -91,7 +110,12 @@ object GenImageFixture {
               java.lang.Long.parseUnsignedLong(aHashOf(i, w, h, bump = false), 16))
           require(d <= 1, s"variant $name drifted $d bits from its original")
         }
-        (name, w, h, w.toLong * h, sr, sg, sb, ah, dHashOf(i, w, h, v))
+        val (r2r, r2g, r2b) = resized2Sums(w, h, { (x, y) =>
+          val (r0, g, b) = rgb(i, x, y)
+          (r0 + (if (v) variantBump(i, x, y) else 0), g, b)
+        })
+        (name, w, h, w.toLong * h, sr, sg, sb, ah, dHashOf(i, w, h, v),
+          r2r, r2g, r2b)
       }
     }
 
@@ -118,7 +142,13 @@ object GenImageFixture {
         }
         val ah = graft.ops.Multimodal.aHash64(w, h, grayRow)
         val dh = graft.ops.Multimodal.dHash64(w, h, grayRow)
-        (name, w, h, w.toLong * h, sr, sg, sb, f"$ah%016x", f"$dh%016x")
+        val (r2r, r2g, r2b) = resized2Sums(w, h, { (x, y) =>
+          val (r0, g0, b0) = rgbB(x, y)
+          val c = if (ramped) ramp(y) else 0
+          (r0 + c, g0 + c, b0 + c)
+        })
+        (name, w, h, w.toLong * h, sr, sg, sb, f"$ah%016x", f"$dh%016x",
+          r2r, r2g, r2b)
       }
       val base = write("genb_00_base.png", ramped = false)
       val ramped = write("genb_00_ramp.png", ramped = true)
@@ -154,15 +184,19 @@ object GenImageFixture {
         }
         val hash = graft.ops.Multimodal.aHash64(wHdr, hHdr, grayRow)
         val dh = graft.ops.Multimodal.dHash64(wHdr, hHdr, grayRow)
+        val (r2r, r2g, r2b) = resized2Sums(wHdr, hHdr, { (x, y) =>
+          val p = px(y * wHdr + x)
+          ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+        })
         (f.getName, wHdr, hHdr, wHdr.toLong * hHdr, sr, sg, sb,
-          f"$hash%016x", f"$dh%016x")
+          f"$hash%016x", f"$dh%016x", r2r, r2g, r2b)
       }
 
     val spark = graft.engine.Sessions.local("4", "graft-gen-image-fixture")
     import spark.implicits._
     (synthetic ++ rampPair ++ real)
       .toDF("name", "width", "height", "n_pixels", "sum_r", "sum_g", "sum_b",
-        "ahash_hex", "dhash_hex")
+        "ahash_hex", "dhash_hex", "rs2_sum_r", "rs2_sum_g", "rs2_sum_b")
       .coalesce(1)
       .write.mode("overwrite").parquet("fixtures/image_manifest.parquet")
     println(s"wrote ${synthetic.size} synthetic + ${rampPair.size} ramp + ${real.size} real images + manifest")

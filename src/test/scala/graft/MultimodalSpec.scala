@@ -402,6 +402,51 @@ class MultimodalSpec extends AnyFunSuite {
       "ensure serves the compacted flip (lineage)")
   }
 
+  test("resize: exact 2x2 box filter on known pixels; edge drop; corrupt sentinel") {
+    // 3x5 image: out dims 1x2 (odd column and 5th row dropped).
+    // Pixels (r only; g=2r, b=3r pattern keeps channels distinct):
+    //   rows y=0..4, cols x=0..2, r = 10*(y*3+x)
+    val img = new java.awt.image.BufferedImage(3, 5,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 5; x <- 0 until 3) {
+      val r = 10 * (y * 3 + x); val g = (2 * r) % 256; val b = (3 * r) % 256
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    import spark.implicits._
+    val df = Seq(("/x/k.png", bos.toByteArray),
+        ("/x/junk.png", Array[Byte](9, 9, 9)))
+      .toDF("path", "content")
+    val got = Multimodal.resizeImages(df, factor = 2).collect()
+      .map(r => r.name -> r).toMap
+    // block (0,0): r ∈ {0,10,30,40} sum 80 → 20; block (0,1): r ∈
+    // {60,70,90,100} sum 320 → 80; sum_r = 100. g = 2r exactly (all
+    // 2r < 256 here: max r=100 → g=200): floor sums double → 200.
+    // b = 3r wraps at r=90,100 (270%256=14, 300%256=44):
+    // block(0,0) b {0,30,90,120} → 240/4=60; block(0,1) b
+    // {180,210,14,44} → 448/4=112; sum_b = 172.
+    val k = got("k.png")
+    assert((k.out_w, k.out_h, k.sum_r, k.sum_g, k.sum_b) ===
+      ((1, 2, 100L, 200L, 172L)), s"$k")
+    val j = got("junk.png")
+    assert(j.out_w === -1 && j.sum_r === 0L, "corrupt payload → sentinel")
+    // and the registered queries reproduce the analytic manifests whole
+    import graft.queries.PipelineQueries
+    val ri = PipelineQueries.imageResize(spark, "").collect().map(_.toSeq)
+    val mi = spark.sql(s"""SELECT name, CAST(width/2 AS INT), CAST(height/2 AS INT),
+        rs2_sum_r, rs2_sum_g, rs2_sum_b
+        FROM parquet.`${PipelineQueries.imageManifestPath}` ORDER BY name""")
+      .collect().map(_.toSeq)
+    assert(ri.nonEmpty && ri === mi)
+    val ra = PipelineQueries.audioResample(spark, "").collect().map(_.toSeq)
+    val ma = spark.sql(s"""SELECT name, channels, CAST(sample_rate/2 AS INT),
+        dec2_n_samples, dec2_duration_us, dec2_abs_sum
+        FROM parquet.`${PipelineQueries.audioManifestPath}` ORDER BY name""")
+      .collect().map(_.toSeq)
+    assert(ra.nonEmpty && ra === ma)
+  }
+
   test("metadata-only query does not need payload decode (column pruning)") {
     val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
     val plan = Multimodal.attachPayload(docs).select("doc_id", "source")
