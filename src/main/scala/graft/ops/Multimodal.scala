@@ -376,11 +376,60 @@ object Multimodal {
     hash
   }
 
+  /** Both perceptual hashes in ONE row pass — the serving fusion of
+    * [[aHash64]] and [[dHash64]] (each alone is the contract the fixture
+    * generators replay; this computes the identical accumulations off a
+    * single `grayRow` sweep so the decode path reads the raster once,
+    * not twice). MultimodalSpec pins phash2 == (aHash64, dHash64) on
+    * random grids, so the fusion can never drift from the spec'd loops. */
+  def phash2(w: Int, h: Int, grayRow: Int => Array[Int]): (Long, Long) = {
+    val aSum = new Array[Long](64)
+    val aN = new Array[Long](64)
+    var total = 0L
+    val dSum = Array.ofDim[Long](8, 9)
+    val dN = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      val row = grayRow(y)
+      var x = 0
+      while (x < w) {
+        val g = row(x)
+        val ab = by * 8 + x * 8 / w
+        aSum(ab) += g; aN(ab) += 1; total += g
+        val cx = x * 9 / w
+        dSum(by)(cx) += g; dN(by)(cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val nPix = w.toLong * h
+    var ah = 0L
+    var b = 0
+    while (b < 64) {
+      if (aN(b) > 0 && aSum(b) * nPix > total * aN(b)) ah |= 1L << b
+      b += 1
+    }
+    var dh = 0L
+    var by = 0
+    while (by < 8) {
+      var cx = 0
+      while (cx < 8) {
+        if (dN(by)(cx) > 0 && dN(by)(cx + 1) > 0 &&
+            dSum(by)(cx + 1) * dN(by)(cx) > dSum(by)(cx) * dN(by)(cx + 1))
+          dh |= 1L << (by * 8 + cx)
+        cx += 1
+      }
+      by += 1
+    }
+    (ah, dh)
+  }
+
   /** Per-image perceptual hashes from a binaryFile scan: decode (same bomb
-    * guard as [[decodeImages]]) → [[aHash64]] + [[dHash64]] off the one
-    * decoded grid → zero-padded hex. Sentinel rows carry width/height −1
-    * and empty hashes so a corrupt payload can never collide into a real
-    * dup group. */
+    * guard as [[decodeImages]]) → [[phash2]] (the fused aHash + dHash
+    * pass) off the one decoded grid → zero-padded hex. Sentinel rows
+    * carry width/height −1 and empty hashes so a corrupt payload can
+    * never collide into a real dup group. */
   def imagePHashes(images: DataFrame): Dataset[ImagePHash] =
     imagePHashesNamed(images.select(
       element_at(split(col("path"), "/"), -1).as("name"), col("content")))
@@ -412,10 +461,7 @@ object Multimodal {
               }
               grays
             }
-            // two row passes over the ONE decoded raster (getRGB is a
-            // memory walk; the decode itself never re-runs)
-            val ah = aHash64(w, h, grayRow)
-            val dh = dHash64(w, h, grayRow)
+            val (ah, dh) = phash2(w, h, grayRow)
             ImagePHash(name, w, h, f"$ah%016x", f"$dh%016x")
           }
         }

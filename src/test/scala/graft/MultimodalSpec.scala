@@ -251,6 +251,19 @@ class MultimodalSpec extends AnyFunSuite {
       s"junk/bomb payloads must degrade to sentinels: ${got.toSeq}")
   }
 
+  test("phash2 fusion equals (aHash64, dHash64) on random grids") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 20) {
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(30)
+      val grid = Array.fill(h, w)(rnd.nextInt(256))
+      def gr(y: Int): Array[Int] = grid(y)
+      assert(Multimodal.phash2(w, h, gr) ===
+        ((Multimodal.aHash64(w, h, gr), Multimodal.dHash64(w, h, gr))),
+        s"trial $trial ${w}x$h")
+    }
+  }
+
   test("dHash catches the brightness-ramp pair aHash provably misses") {
     import graft.queries.PipelineQueries
     // decoded hashes must reproduce the manifest's frozen dhash for
