@@ -51,18 +51,21 @@ final class BpeVocabRef private (val id: String,
   def probe(): java.util.HashSet[String] = {
     var s = set
     if (s == null) {
-      s = BpeVocabRef.probeSets.computeIfAbsent(
-        id, _ => BpeVocabRef.buildSet(pieces))
+      val mine = pieces
+      val entry = BpeVocabRef.probeSets.computeIfAbsent(
+        id, _ => (BpeVocabRef.buildSet(mine), BpeVocabRef.contentFp(mine)))
       // poison detector (ADVICE r16): inline() accepts caller-supplied
       // ids, so an id reused with DIFFERENT pieces would silently serve
-      // the first binding's set process-wide. Piece lists are duplicate-
-      // free (BPE merges are unique; buildSet would shrink a dup list),
-      // so a size mismatch is proof of an id/content collision — fail
-      // loudly instead of mis-tokenizing.
-      require(s.size == pieces.length,
-        s"BPE probe-set cache poisoned: id '$id' is bound to a " +
-          s"${s.size}-piece set but this ref carries ${pieces.length} " +
-          "pieces — two different vocabularies share one id")
+      // the first binding's set process-wide. The check is an
+      // order-independent CONTENT fingerprint, not just size — models
+      // trained to the same merge count (the common case: 64 / 8192 /
+      // 32768) collide on length while disagreeing on every piece
+      // (self-review catch on the first, size-only detector).
+      require(entry._2 == BpeVocabRef.contentFp(mine),
+        s"BPE probe-set cache poisoned: id '$id' is already bound to a " +
+          s"different ${entry._1.size}-piece vocabulary than this ref's " +
+          s"${mine.length} pieces — two models share one id")
+      s = entry._1
       set = s
     }
     s
@@ -82,9 +85,24 @@ object BpeVocabRef {
 
   /** JVM-wide probe-set cache (see [[BpeVocabRef.probe]]): one built
     * HashSet per model fingerprint, shared by every task-deserialized
-    * ref on the executor. */
-  private val probeSets =
-    new java.util.concurrent.ConcurrentHashMap[String, java.util.HashSet[String]]()
+    * ref on the executor, carrying the binding's content fingerprint
+    * for the poison check. */
+  private val probeSets = new java.util.concurrent.ConcurrentHashMap[
+    String, (java.util.HashSet[String], Long)]()
+
+  /** Order-independent content fingerprint: length XOR-folded with each
+    * piece's cached hashCode — O(n) per task, no allocation, and any
+    * single-piece difference between two equal-size vocabularies flips
+    * it with String.hashCode's full dispersion. */
+  private def contentFp(pieces: Array[String]): Long = {
+    var fp = pieces.length.toLong * 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < pieces.length) {
+      fp ^= pieces(i).hashCode.toLong * 0xBF58476D1CE4E5B9L
+      i += 1
+    }
+    fp
+  }
 
   /** Production backing: validate once on the driver, broadcast once per
     * session (callers memoize the ref — [[graft.ops.Bpe.model]]). */

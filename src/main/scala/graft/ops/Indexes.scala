@@ -81,18 +81,25 @@ object Indexes {
       sweepLegacyVersionRoots(spark)
 
   /** The sweep body (separately callable so the spec can exercise it
-    * without consuming the once-per-JVM guard). */
+    * without consuming the once-per-JVM guard). Only STRICTLY OLDER
+    * version roots are candidates (self-review catch: `!= current` would
+    * let a lingering old binary delete a NEWER deployment's live root —
+    * upgrades only ever orphan the past, so numeric N < current is the
+    * correct "superseded" test), and the grace honours the
+    * [[withGcGrace]] hook like every other sweep. */
   private[graft] def sweepLegacyVersionRoots(spark: SparkSession): Unit = {
     val root = new org.apache.hadoop.fs.Path(indexRoot)
     val base = root.getParent
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(indexRoot), spark.sparkContext.hadoopConfiguration)
+    val current = IndexFormatVersion.stripPrefix("v").toInt
     if (base != null && fs.exists(base)) {
-      val cutoff = System.currentTimeMillis() - runDirGcGraceMsDefault
+      val cutoff = System.currentTimeMillis() - effectiveRunDirGcGraceMs
       fs.listStatus(base).foreach { st =>
         val name = st.getPath.getName
         if (st.isDirectory && name.matches("v\\d+") &&
-            name != IndexFormatVersion && st.getModificationTime < cutoff)
+            name.stripPrefix("v").toInt < current &&
+            st.getModificationTime < cutoff)
           fs.delete(st.getPath, true)
       }
     }

@@ -262,7 +262,12 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { case (name, bytes) =>
           val pcm = readPcmGuarded(bytes)
-          if (pcm == null) AudioDecimated(name, -1, -1, 0L, 0L, 0L)
+          // rate/factor must stay >= 1 Hz or the duration math divides by
+          // zero — a factor exceeding a payload's rate sentinels that
+          // payload (self-review catch: the family contract is "degrade,
+          // never throw", and rate is per-file so no global require fits)
+          if (pcm == null || pcm.rate / factor < 1)
+            AudioDecimated(name, -1, -1, 0L, 0L, 0L)
           else {
             val ch = pcm.channels
             val nFrames = pcm.nSamples / ch

@@ -4977,15 +4977,26 @@ object PipelineQueries {
     * of streams: it brute-forces the pairs of (all adds − all deletes)
     * from the frozen manifest, so a hash match proves maintained-store
     * serving == survivor-rebuild truth, across a restart, every round. */
-  def imageStoreStreamEquiv(s: SparkSession, d: String): DataFrame = {
+  /** The shared stream-equivalence harness (self-review: the image and
+    * audio twins differed only in fixture dir, stream constructor, hash
+    * column, and delete names — one lifecycle script, two payloads):
+    * land half the fixture as adds, drain; land the rest plus the first
+    * delete in one mixed batch, drain, STOP; land the second delete
+    * while the stream is DOWN; restart from the checkpoint, drain; then
+    * serve the banded near-dup probe from the maintained store. */
+  private def storeStreamEquiv(s: SparkSession, fixtureDir: String,
+      hashCol: String, deleteDuring: String, deleteDown: String,
+      stream: (DataFrame, String, String) =>
+        org.apache.spark.sql.streaming.StreamingQuery,
+      readIndex: (SparkSession, String) => DataFrame): DataFrame = {
     import org.apache.spark.sql.types._
     import s.implicits._
-    val landing = java.nio.file.Files.createTempDirectory("imgsse_l").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("imgsse_c").toString
-    val store = java.nio.file.Files.createTempDirectory("imgsse_s").toString + "/idx"
+    val landing = java.nio.file.Files.createTempDirectory("sse_l").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sse_c").toString
+    val store = java.nio.file.Files.createTempDirectory("sse_s").toString + "/idx"
     val schema = StructType(Seq(StructField("op", StringType),
       StructField("name", StringType), StructField("content", BinaryType)))
-    val files = new java.io.File(imageFixtureDir).listFiles().sortBy(_.getName)
+    val files = new java.io.File(fixtureDir).listFiles().sortBy(_.getName)
     val bytes = files.map(f =>
       f.getName -> java.nio.file.Files.readAllBytes(f.toPath)).toMap
     val names = files.map(_.getName).toSeq
@@ -4994,23 +5005,28 @@ object PipelineQueries {
           (op, n, if (op == "add") bytes(n) else null)
         }.toDF("op", "name", "content").coalesce(1)
         .write.mode("append").parquet(landing)
-    def start() = graft.streaming.EventStreams.imageHashCdcStream(
+    def start() = stream(
       s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
         .parquet(landing), store, ckpt)
     val (h1, h2) = names.splitAt(names.size / 2)
     land(h1.map("add" -> _))
     val q1 = start(); q1.processAllAvailable()
-    land(h2.map("add" -> _) ++ Seq("delete" -> "gen_00.png"))
+    land(h2.map("add" -> _) ++ Seq("delete" -> deleteDuring))
     q1.processAllAvailable(); q1.stop()
-    land(Seq("delete" -> "genv_01.png")) // lands while the stream is DOWN
+    land(Seq("delete" -> deleteDown)) // lands while the stream is DOWN
     val q2 = start(); q2.processAllAvailable(); q2.stop()
-    graft.ops.Dedup.hammingNearDups64(
-        graft.ops.Indexes.readImageHashIndex(s, store),
-        "name", "ahash_hex", maxHamming = 6, bands = 8)
+    graft.ops.Dedup.hammingNearDups64(readIndex(s, store),
+        "name", hashCol, maxHamming = 6, bands = 8)
       .select(col("id_a").as("name_a"), col("id_b").as("name_b"),
         col("hamming"))
       .orderBy(col("name_a"), col("name_b"))
   }
+
+  def imageStoreStreamEquiv(s: SparkSession, d: String): DataFrame =
+    storeStreamEquiv(s, imageFixtureDir, "ahash_hex",
+      deleteDuring = "gen_00.png", deleteDown = "genv_01.png",
+      stream = graft.streaming.EventStreams.imageHashCdcStream,
+      readIndex = graft.ops.Indexes.readImageHashIndex)
 
   val imageStoreStreamEquivSql: String =
     s"""WITH m AS (SELECT name, ahash_hex
@@ -5031,40 +5047,12 @@ object PipelineQueries {
     * .audioHashCdcStream]], deletes chosen so both an exact-dup member
     * (gen_00.wav, paired with its genr_00 rename) and a volume-pair
     * member (genq_00.wav) vanish from the served pairs. */
-  def audioStoreStreamEquiv(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    import s.implicits._
-    val landing = java.nio.file.Files.createTempDirectory("audsse_l").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("audsse_c").toString
-    val store = java.nio.file.Files.createTempDirectory("audsse_s").toString + "/idx"
-    val schema = StructType(Seq(StructField("op", StringType),
-      StructField("name", StringType), StructField("content", BinaryType)))
-    val files = new java.io.File(audioFixtureDir).listFiles().sortBy(_.getName)
-    val bytes = files.map(f =>
-      f.getName -> java.nio.file.Files.readAllBytes(f.toPath)).toMap
-    val names = files.map(_.getName).toSeq
-    def land(rows: Seq[(String, String)]): Unit =
-      rows.map { case (op, n) =>
-          (op, n, if (op == "add") bytes(n) else null)
-        }.toDF("op", "name", "content").coalesce(1)
-        .write.mode("append").parquet(landing)
-    def start() = graft.streaming.EventStreams.audioHashCdcStream(
-      s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
-        .parquet(landing), store, ckpt)
-    val (h1, h2) = names.splitAt(names.size / 2)
-    land(h1.map("add" -> _))
-    val q1 = start(); q1.processAllAvailable()
-    land(h2.map("add" -> _) ++ Seq("delete" -> "gen_00.wav"))
-    q1.processAllAvailable(); q1.stop()
-    land(Seq("delete" -> "genq_00.wav"))
-    val q2 = start(); q2.processAllAvailable(); q2.stop()
-    graft.ops.Dedup.hammingNearDups64(
-        graft.ops.Indexes.readAudioHashIndex(s, store),
-        "name", "ehash_hex", maxHamming = 6, bands = 8)
-      .select(col("id_a").as("name_a"), col("id_b").as("name_b"),
-        col("hamming"))
-      .orderBy(col("name_a"), col("name_b"))
-  }
+  def audioStoreStreamEquiv(s: SparkSession, d: String): DataFrame =
+    storeStreamEquiv(s, audioFixtureDir, "ehash_hex",
+      deleteDuring = "gen_00.wav", deleteDown = "genq_00.wav",
+      stream = graft.streaming.EventStreams.audioHashCdcStream,
+      readIndex = graft.ops.Indexes.readAudioHashIndex)
+
 
   val audioStoreStreamEquivSql: String =
     s"""WITH m AS (SELECT name, ehash_hex

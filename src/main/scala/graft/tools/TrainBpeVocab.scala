@@ -28,15 +28,23 @@ object TrainBpeVocab {
   def main(args: Array[String]): Unit = {
     // `--corpus <parquet>` trains from any (doc_id, text) parquet (the
     // zipf fixture path); otherwise arg0 is an sfDir of driver tables.
+    // With --corpus, the remaining positionals are (nMerges, out) — the
+    // corpus path REPLACES the sfDir slot (self-review catch: keeping
+    // sfDir-first forced a dummy positional and sent the out path into
+    // nMerges.toInt).
     val corpus = args.indexOf("--corpus") match {
       case -1 => None
       case i  => Some(args(i + 1))
     }
-    val pos = args.filterNot(a => a.startsWith("--") ||
+    val pos0 = args.filterNot(a => a.startsWith("--") ||
       corpus.contains(a))
-    val sfDir = pos.headOption.getOrElse("/root/testdata/sf0.01")
-    val nMerges = pos.lift(1).map(_.toInt).getOrElse(64)
-    val out = pos.lift(2).getOrElse("fixtures/bpe_vocab.parquet")
+    val (sfDir, pos) = corpus match {
+      case Some(_) => ("", pos0.toSeq)
+      case None    => (pos0.headOption.getOrElse("/root/testdata/sf0.01"),
+                       pos0.drop(1).toSeq)
+    }
+    val nMerges = pos.headOption.map(_.toInt).getOrElse(64)
+    val out = pos.lift(1).getOrElse("fixtures/bpe_vocab.parquet")
     val spark = graft.engine.Sessions.local("8", "graft-train-bpe")
     import spark.implicits._
 

@@ -158,21 +158,28 @@ class IndexGcSpec extends AnyFunSuite {
     java.nio.file.Files.createDirectories(base)
     val old = base.resolve("v0")
     val fresh = base.resolve("v1")
+    val newer = base.resolve("v99")
     val notVersion = base.resolve("v0_backup")
-    Seq(old, fresh, notVersion).foreach(java.nio.file.Files.createDirectories(_))
-    // age v0 and the non-version dir past the ≥6 h grace
+    Seq(old, fresh, newer, notVersion)
+      .foreach(java.nio.file.Files.createDirectories(_))
+    // age v0, v99, and the non-version dir past the ≥6 h grace
     val aged = java.nio.file.attribute.FileTime.fromMillis(
       System.currentTimeMillis() - Indexes.runDirGcGraceMsDefault - 60000L)
     java.nio.file.Files.setLastModifiedTime(old, aged)
+    java.nio.file.Files.setLastModifiedTime(newer, aged)
     java.nio.file.Files.setLastModifiedTime(notVersion, aged)
     Indexes.sweepLegacyVersionRoots(spark)
     assert(!java.nio.file.Files.exists(old),
       "an aged superseded version root (with its legacy-named families) is reclaimed")
     assert(java.nio.file.Files.exists(fresh),
       "a version root inside the grace window survives (a live older JVM)")
+    assert(java.nio.file.Files.exists(newer),
+      "a NEWER version root is never superseded: a lingering old binary " +
+        "must not delete the next deployment's live indexes, whatever the mtime")
     assert(java.nio.file.Files.exists(notVersion),
       "only ^v\\d+$ dirs are version roots; anything else is never touched")
     java.nio.file.Files.deleteIfExists(fresh)
+    java.nio.file.Files.deleteIfExists(newer)
     java.nio.file.Files.deleteIfExists(notVersion)
   }
 }
