@@ -3357,6 +3357,101 @@ object PipelineQueries {
        |FROM tok JOIN typ USING (bucket)
        |ORDER BY bucket""".stripMargin
 
+  /** Engineered near-dup clones of the zipf corpus (separate fixture so
+    * the frozen corpus + trained model never move): 60 sources, one
+    * ~90%-overlap clone each ([[graft.tools.GenZipfCorpus.cloneText]]). */
+  val zipfClonesPath: String = sys.env.getOrElse("SPARK_GRAFT_ZIPF_CLONES",
+    "/root/repo/fixtures/zipf_clones.parquet")
+
+  private val zipfClonesFromSql: String =
+    s"read_parquet('$zipfClonesPath/*.parquet')"
+
+  /** EXACT shingle Jaccard for the engineered clone pairs on the
+    * REALISTIC corpus — the dedup family's core arithmetic (wordsSafe →
+    * 3-shingles → 48-bit hashed sets → intersection/union) verified on
+    * a ~26k-type vocabulary where shingle sets are large and almost
+    * entirely distinct (the driver fixture's 31-word regime cannot
+    * exercise that). Fixed-point 1e-6 integer division keeps the score
+    * float-free. */
+  def zipfCloneJaccard(s: SparkSession, d: String): DataFrame = {
+    val srcSets = Dedup.shingleSets(zipfDocuments(s))
+      .select(col("doc_id").as("src_id"), col("sh").as("sh_src"))
+    val clones = s.read.parquet(zipfClonesPath)
+    val clSets = Dedup.shingleSets(clones)
+      .join(clones.select(col("doc_id"), col("src_id")), Seq("doc_id"))
+      .select(col("doc_id").as("clone_id"), col("src_id"),
+        col("sh").as("sh_clone"))
+    clSets.join(srcSets, Seq("src_id"))
+      .select(col("clone_id"), col("src_id"),
+        size(array_intersect(col("sh_clone"), col("sh_src")))
+          .cast("long").as("n_common"),
+        (size(col("sh_clone")) + size(col("sh_src")) -
+          size(array_intersect(col("sh_clone"), col("sh_src"))))
+          .cast("long").as("n_union"))
+      .withColumn("jacc_fp", // integral div: `/` on longs would go DOUBLE
+        call_function("div", col("n_common") * lit(1000000L), col("n_union")))
+      .orderBy(col("clone_id"))
+  }
+
+  val zipfCloneJaccardSql: String =
+    s"""WITH c AS (SELECT doc_id AS clone_id, src_id, $duckWords AS w
+       |           FROM $zipfClonesFromSql),
+       |s AS (SELECT doc_id AS src_id, $duckWords AS w FROM $zipfFromSql
+       |      WHERE doc_id IN (SELECT src_id FROM $zipfClonesFromSql)),
+       |cs AS (SELECT clone_id, src_id, ${duckHashedShingleSet("w")} AS sh FROM c),
+       |ss AS (SELECT src_id, ${duckHashedShingleSet("w")} AS sh FROM s),
+       |j AS (SELECT cs.clone_id, cs.src_id,
+       |        len(list_intersect(cs.sh, ss.sh))::BIGINT AS n_common,
+       |        (len(cs.sh) + len(ss.sh)
+       |         - len(list_intersect(cs.sh, ss.sh)))::BIGINT AS n_union
+       |      FROM cs JOIN ss USING (src_id))
+       |SELECT clone_id, src_id, n_common, n_union,
+       |       (n_common * 1000000 // n_union)::BIGINT AS jacc_fp
+       |FROM j ORDER BY clone_id""".stripMargin
+
+  /** MinHash signature agreement for the same clone pairs — the
+    * ESTIMATOR side of the dedup family on the realistic corpus: 16
+    * md5-permutation minima per doc, matches counted across each pair
+    * (E[matches/16] = true Jaccard). The oracle replays hashed shingles
+    * → (h % P · a + b) % P minima → per-pair match count from the same
+    * constants table, so signature math is hash-verified on large,
+    * nearly-disjoint shingle sets. */
+  def zipfCloneMinhash(s: SparkSession, d: String): DataFrame = {
+    val clones = s.read.parquet(zipfClonesPath)
+    val pairIds = clones.select(col("src_id").as("doc_id"))
+    val srcSigs = Dedup.minhashSignatures(
+      zipfDocuments(s).join(pairIds, Seq("doc_id"), "left_semi"))
+    val clSigs = Dedup.minhashSignatures(clones)
+    val matches = (0 until 16).map(i =>
+      when(col(s"a.h$i") === col(s"b.h$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    clSigs.as("a")
+      .join(clones.select(col("doc_id"), col("src_id")), Seq("doc_id"))
+      .join(srcSigs.as("b"), col("src_id") === col("b.doc_id"))
+      .select(col("a.doc_id").as("clone_id"), col("src_id"),
+        matches.as("sig_matches"))
+      .orderBy(col("clone_id"))
+  }
+
+  val zipfCloneMinhashSql: String = {
+    val consts = Dedup.minhashConstsSqlValues(16)
+    val P = Dedup.MinhashP
+    s"""WITH c AS (SELECT doc_id, src_id, $duckWords AS w FROM $zipfClonesFromSql),
+       |s AS (SELECT doc_id, $duckWords AS w FROM $zipfFromSql
+       |      WHERE doc_id IN (SELECT src_id FROM $zipfClonesFromSql)),
+       |ex AS (SELECT doc_id, unnest(${duckHashedShingleSet("w")}) AS h
+       |       FROM (SELECT doc_id, w FROM c UNION ALL SELECT doc_id, w FROM s)),
+       |sig AS (SELECT doc_id, i, min(((h % $P) * a + b) % $P) AS hv
+       |        FROM ex CROSS JOIN $consts GROUP BY doc_id, i),
+       |m AS (SELECT c.doc_id AS clone_id, c.src_id,
+       |        sum(CASE WHEN x.hv = y.hv THEN 1 ELSE 0 END)::BIGINT AS sig_matches
+       |      FROM (SELECT doc_id, src_id FROM c) c
+       |      JOIN sig x ON x.doc_id = c.doc_id
+       |      JOIN sig y ON y.doc_id = c.src_id AND y.i = x.i
+       |      GROUP BY c.doc_id, c.src_id)
+       |SELECT clone_id, src_id, sig_matches FROM m ORDER BY clone_id""".stripMargin
+  }
+
   /** Shared oracle fragment: greedy longest-match BPE over the DISTINCT
     * corpus words — a recursive CTE whose step is the same bounded CASE
     * chain of vocabulary probes [[graft.functions.BpeEncode]] evaluates

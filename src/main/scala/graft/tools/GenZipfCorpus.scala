@@ -100,6 +100,28 @@ object GenZipfCorpus {
     sb.toString
   }
 
+  /** Engineered near-dup CLONE of `docText(srcId)`: every 10th word
+    * (positions t ≡ 5 mod 10) replaced by a fresh Zipf draw — ~90%
+    * token overlap, so 3-shingle Jaccard lands well above the dedup
+    * family's 0.3 cut while every byte hash differs. Shared formula so
+    * any analytic replay regenerates the identical clone. */
+  def cloneText(srcId: Long): String = {
+    val nWords = 80 + (mix(srcId * 31 + 7) & 0x7fffffffL).toInt % 240
+    val sb = new StringBuilder
+    var t = 0
+    while (t < nWords) {
+      if (t > 0) sb.append(' ')
+      val u =
+        if (t % 10 == 5)
+          (mix(srcId * 7919 + t + 999331L) >>> 11).toDouble / (1L << 53).toDouble
+        else
+          (mix(srcId * 1000003L + t) >>> 11).toDouble / (1L << 53).toDouble
+      sb.append(word(rankOf(u)))
+      t += 1
+    }
+    sb.toString
+  }
+
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toInt).getOrElse(3000)
     val out = args.lift(1).getOrElse("fixtures/zipf_corpus.parquet")
@@ -115,6 +137,18 @@ object GenZipfCorpus {
     val nDistinct = docs.iterator.flatMap(_._2.split(" ")).toSet.size
     val nTokens = docs.iterator.map(_._2.count(_ == ' ') + 1).sum
     println(s"wrote $nDocs docs, $nTokens tokens, $nDistinct distinct words -> $out")
+
+    // near-dup clones as a SEPARATE fixture (the corpus — and the BPE
+    // model trained from it — stays frozen): 60 sources, one clone each
+    val clones = (0 until 60).map { j =>
+      val src = j.toLong * 50
+      val text = cloneText(src)
+      (100000L + src, src, text, "zz", "zipf_clone", text.length.toLong)
+    }
+    clones.toDF("doc_id", "src_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet("fixtures/zipf_clones.parquet")
+    println(s"wrote ${clones.size} clones -> fixtures/zipf_clones.parquet")
     spark.stop()
   }
 }
