@@ -90,15 +90,22 @@ object BpeVocabRef {
   private val probeSets = new java.util.concurrent.ConcurrentHashMap[
     String, (java.util.HashSet[String], Long)]()
 
-  /** Order-independent content fingerprint: length XOR-folded with each
-    * piece's cached hashCode — O(n) per task, no allocation, and any
-    * single-piece difference between two equal-size vocabularies flips
-    * it with String.hashCode's full dispersion. */
+  /** Order-independent content fingerprint: the WRAPPING SUM (not XOR —
+    * a duplicated piece pair would XOR-cancel to nothing) of a mixed
+    * 64-bit term per piece, seeded by the piece count. O(n) per task,
+    * no allocation. Residual blindness: a substituted piece whose
+    * (hashCode, length) pair collides with the original's — ~2⁻³² for
+    * accidental id reuse, which is this detector's threat model (the
+    * cryptographic id already guards the production path). */
   private def contentFp(pieces: Array[String]): Long = {
     var fp = pieces.length.toLong * 0x9E3779B97F4A7C15L
     var i = 0
     while (i < pieces.length) {
-      fp ^= pieces(i).hashCode.toLong * 0xBF58476D1CE4E5B9L
+      val p = pieces(i)
+      var z = p.hashCode.toLong * 1000003L + p.length
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      fp += z ^ (z >>> 31)
       i += 1
     }
     fp

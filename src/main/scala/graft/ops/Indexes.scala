@@ -92,13 +92,15 @@ object Indexes {
     val base = root.getParent
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(indexRoot), spark.sparkContext.hadoopConfiguration)
-    val current = IndexFormatVersion.stripPrefix("v").toInt
+    val current = IndexFormatVersion.stripPrefix("v").toLong
     if (base != null && fs.exists(base)) {
       val cutoff = System.currentTimeMillis() - effectiveRunDirGcGraceMs
       fs.listStatus(base).foreach { st =>
         val name = st.getPath.getName
-        if (st.isDirectory && name.matches("v\\d+") &&
-            name.stripPrefix("v").toInt < current &&
+        // 1..18 digits: fits a Long, so a stray 'v<hugenumber>' dir in
+        // the shared base can never crash the sweep (it is skipped)
+        if (st.isDirectory && name.matches("v\\d{1,18}") &&
+            name.stripPrefix("v").toLong < current &&
             st.getModificationTime < cutoff)
           fs.delete(st.getPath, true)
       }

@@ -3361,7 +3361,7 @@ object PipelineQueries {
     * the frozen corpus + trained model never move): 60 sources, one
     * ~90%-overlap clone each ([[graft.tools.GenZipfCorpus.cloneText]]). */
   val zipfClonesPath: String = sys.env.getOrElse("SPARK_GRAFT_ZIPF_CLONES",
-    "/root/repo/fixtures/zipf_clones.parquet")
+    "/root/repo/fixtures/zipf_corpus_clones.parquet")
 
   private val zipfClonesFromSql: String =
     s"read_parquet('$zipfClonesPath/*.parquet')"
@@ -3374,9 +3374,13 @@ object PipelineQueries {
     * exercise that). Fixed-point 1e-6 integer division keeps the score
     * float-free. */
   def zipfCloneJaccard(s: SparkSession, d: String): DataFrame = {
-    val srcSets = Dedup.shingleSets(zipfDocuments(s))
-      .select(col("doc_id").as("src_id"), col("sh").as("sh_src"))
     val clones = s.read.parquet(zipfClonesPath)
+    // restrict to the 60 sources BEFORE shingling (self-review: the
+    // whole-corpus form md5-hashed ~2940 unneeded documents per run)
+    val srcSets = Dedup.shingleSets(zipfDocuments(s)
+        .join(clones.select(col("src_id").as("doc_id")), Seq("doc_id"),
+          "left_semi"))
+      .select(col("doc_id").as("src_id"), col("sh").as("sh_src"))
     val clSets = Dedup.shingleSets(clones)
       .join(clones.select(col("doc_id"), col("src_id")), Seq("doc_id"))
       .select(col("doc_id").as("clone_id"), col("src_id"),
@@ -3385,9 +3389,9 @@ object PipelineQueries {
       .select(col("clone_id"), col("src_id"),
         size(array_intersect(col("sh_clone"), col("sh_src")))
           .cast("long").as("n_common"),
-        (size(col("sh_clone")) + size(col("sh_src")) -
-          size(array_intersect(col("sh_clone"), col("sh_src"))))
-          .cast("long").as("n_union"))
+        (size(col("sh_clone")) + size(col("sh_src"))).cast("long").as("n_both"))
+      .select(col("clone_id"), col("src_id"), col("n_common"),
+        (col("n_both") - col("n_common")).as("n_union"))
       .withColumn("jacc_fp", // integral div: `/` on longs would go DOUBLE
         call_function("div", col("n_common") * lit(1000000L), col("n_union")))
       .orderBy(col("clone_id"))

@@ -86,41 +86,35 @@ object GenZipfCorpus {
     lo + 1
   }
 
-  /** The document text for `docId` — shared with any analytic replay. */
-  def docText(docId: Long): String = {
+  /** ONE generator serves originals and clones (self-review: two copied
+    * loops would let an edit to one silently destroy the engineered
+    * overlap the clone fixture verifies): `redraw(t)` = Some(u) swaps
+    * position t's Zipf draw for u; None keeps the original draw. */
+  private def genText(docId: Long, redraw: Int => Option[Double]): String = {
     val nWords = 80 + (mix(docId * 31 + 7) & 0x7fffffffL).toInt % 240
     val sb = new StringBuilder
     var t = 0
     while (t < nWords) {
       if (t > 0) sb.append(' ')
-      val u = (mix(docId * 1000003L + t) >>> 11).toDouble / (1L << 53).toDouble
+      val u = redraw(t).getOrElse(
+        (mix(docId * 1000003L + t) >>> 11).toDouble / (1L << 53).toDouble)
       sb.append(word(rankOf(u)))
       t += 1
     }
     sb.toString
   }
 
+  /** The document text for `docId` — shared with any analytic replay. */
+  def docText(docId: Long): String = genText(docId, _ => None)
+
   /** Engineered near-dup CLONE of `docText(srcId)`: every 10th word
     * (positions t ≡ 5 mod 10) replaced by a fresh Zipf draw — ~90%
     * token overlap, so 3-shingle Jaccard lands well above the dedup
-    * family's 0.3 cut while every byte hash differs. Shared formula so
-    * any analytic replay regenerates the identical clone. */
-  def cloneText(srcId: Long): String = {
-    val nWords = 80 + (mix(srcId * 31 + 7) & 0x7fffffffL).toInt % 240
-    val sb = new StringBuilder
-    var t = 0
-    while (t < nWords) {
-      if (t > 0) sb.append(' ')
-      val u =
-        if (t % 10 == 5)
-          (mix(srcId * 7919 + t + 999331L) >>> 11).toDouble / (1L << 53).toDouble
-        else
-          (mix(srcId * 1000003L + t) >>> 11).toDouble / (1L << 53).toDouble
-      sb.append(word(rankOf(u)))
-      t += 1
-    }
-    sb.toString
-  }
+    * family's 0.3 cut while every byte hash differs. */
+  def cloneText(srcId: Long): String = genText(srcId, t =>
+    if (t % 10 == 5)
+      Some((mix(srcId * 7919 + t + 999331L) >>> 11).toDouble / (1L << 53).toDouble)
+    else None)
 
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toInt).getOrElse(3000)
@@ -139,16 +133,22 @@ object GenZipfCorpus {
     println(s"wrote $nDocs docs, $nTokens tokens, $nDistinct distinct words -> $out")
 
     // near-dup clones as a SEPARATE fixture (the corpus — and the BPE
-    // model trained from it — stays frozen): 60 sources, one clone each
+    // model trained from it — stays frozen): 60 sources spread across
+    // the ACTUAL corpus (self-review: hardcoded ids 0,50..2950 and a
+    // hardcoded output path would clobber the committed fixture with
+    // clones of nonexistent sources on any non-default run)
+    require(nDocs >= 60, s"need >= 60 docs to engineer 60 clones, got $nDocs")
+    val clonesOut = args.lift(2).getOrElse(
+      out.replaceAll("\\.parquet$", "") + "_clones.parquet")
+    val stride = nDocs.toLong / 60
     val clones = (0 until 60).map { j =>
-      val src = j.toLong * 50
+      val src = j * stride
       val text = cloneText(src)
       (100000L + src, src, text, "zz", "zipf_clone", text.length.toLong)
     }
     clones.toDF("doc_id", "src_id", "text", "lang", "source", "n_chars")
-      .coalesce(1).write.mode("overwrite")
-      .parquet("fixtures/zipf_clones.parquet")
-    println(s"wrote ${clones.size} clones -> fixtures/zipf_clones.parquet")
+      .coalesce(1).write.mode("overwrite").parquet(clonesOut)
+    println(s"wrote ${clones.size} clones -> $clonesOut")
     spark.stop()
   }
 }
