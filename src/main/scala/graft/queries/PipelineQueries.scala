@@ -3456,6 +3456,40 @@ object PipelineQueries {
        |SELECT clone_id, src_id, sig_matches FROM m ORDER BY clone_id""".stripMargin
   }
 
+  /** Fuzzy-variant lookup on the REALISTIC vocabulary — the correctness
+    * row for the family the ZipfScaleProbe only measured: the same
+    * deletion-neighborhood index + statically-pruned probe + codegen'd
+    * levenshtein confirm, served over ~26k types (the regime where the
+    * neighborhood blocking earns its keep; the driver fixture's 31-word
+    * vocabulary makes every strategy trivially complete). Query terms
+    * are engineered typos of real zipf words — rank 100 "befu" minus a
+    * char, rank 500 "defu" plus one, rank 2000 "bacoku" with a
+    * substituted head, and rank 40 "ku" verbatim (the dist-0 case amid
+    * a dense 1-neighborhood). The oracle scans the vocabulary with
+    * levenshtein directly — equality is the completeness proof. */
+  def fuzzyTermsZipf(s: SparkSession, d: String): DataFrame = {
+    val idx = TextAnalysis.ensureFuzzyTermIndex(s, zipfDocuments(s),
+      zipfCorpusPath)
+    TextAnalysis.fuzzyMatchTerms(s, idx,
+        Seq("efu", "xdefu", "qacoku", "ku"), k = 3)
+      .orderBy(col("qterm"), col("dist"), col("df").desc, col("term"))
+  }
+
+  val fuzzyTermsZipfSql: String =
+    s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM $zipfFromSql),
+       |tok AS (SELECT DISTINCT doc_id, unnest(w) AS term FROM w),
+       |vocab AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tok GROUP BY term),
+       |qv(qterm) AS (VALUES ('efu'), ('xdefu'), ('qacoku'), ('ku')),
+       |cand AS (SELECT qv.qterm, v.term,
+       |           levenshtein(qv.qterm, v.term)::BIGINT AS dist, v.df
+       |         FROM qv CROSS JOIN vocab v
+       |         WHERE levenshtein(qv.qterm, v.term) <= 1)
+       |SELECT qterm, term, dist, df FROM (
+       |  SELECT cand.*, row_number() OVER (PARTITION BY qterm
+       |           ORDER BY dist ASC, df DESC, term ASC) AS rn
+       |  FROM cand) WHERE rn <= 3
+       |ORDER BY qterm, dist, df DESC, term""".stripMargin
+
   /** Shared oracle fragment: greedy longest-match BPE over the DISTINCT
     * corpus words — a recursive CTE whose step is the same bounded CASE
     * chain of vocabulary probes [[graft.functions.BpeEncode]] evaluates
