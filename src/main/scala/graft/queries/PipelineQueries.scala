@@ -6282,6 +6282,33 @@ object PipelineQueries {
        |       round(sum(kq)::DOUBLE / 1e6 / max(t)::DOUBLE, 6) AS kl_vs_corpus
        |FROM q GROUP BY source ORDER BY source""".stripMargin
 
+  /** Token-distribution QA on the REALISTIC corpus — the entropy/KL
+    * panel's correctness row off the degenerate vocabulary: 8 zipf
+    * sources × ~26k types, where per-source entropy approaches the
+    * corpus-wide Zipf entropy and the KL divergences are near zero
+    * (sources are iid draws of one law) — the regime the panel exists
+    * to flag deviations FROM. Same fixed-order summation contract as
+    * [[sourceEntropy]]'s oracle. */
+  def sourceEntropyZipf(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.sourceEntropy(zipfDocuments(s))
+
+  val sourceEntropyZipfSql: String =
+    s"""WITH w AS (SELECT source, $duckWords AS w FROM $zipfFromSql),
+       |tok AS (SELECT source, unnest(w) AS term FROM w),
+       |tf AS (SELECT source, term, count(*)::BIGINT AS c FROM tok GROUP BY source, term),
+       |st AS (SELECT source, sum(c)::BIGINT AS t FROM tf GROUP BY source),
+       |cp AS (SELECT term, sum(c)::BIGINT AS ct FROM tf GROUP BY term),
+       |ctot AS (SELECT sum(ct)::BIGINT AS ctot FROM cp),
+       |q AS (SELECT tf.source, st.t,
+       |        round(c::DOUBLE * ln(c::DOUBLE) * 1e6)::BIGINT AS eq,
+       |        round(c::DOUBLE * ln(c::DOUBLE * ctot::DOUBLE /
+       |          (t::DOUBLE * ct::DOUBLE)) * 1e6)::BIGINT AS kq
+       |      FROM tf JOIN cp USING (term) JOIN st USING (source) CROSS JOIN ctot)
+       |SELECT source, count(*)::BIGINT AS n_terms, max(t) AS tokens,
+       |       round(ln(max(t)::DOUBLE) - sum(eq)::DOUBLE / 1e6 / max(t)::DOUBLE, 6) AS entropy,
+       |       round(sum(kq)::DOUBLE / 1e6 / max(t)::DOUBLE, 6) AS kl_vs_corpus
+       |FROM q GROUP BY source ORDER BY source""".stripMargin
+
   /** Per-source length deciles ([[graft.ops.Curation.ntileStats]] over
     * `n_chars`, ties broken by doc_id — total order, so ntile assignment
     * is engine-identical). */
