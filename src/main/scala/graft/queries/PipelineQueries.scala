@@ -3332,6 +3332,9 @@ object PipelineQueries {
     val types = w.groupBy(col("w")).agg(min(col("doc_id")).as("first_doc"))
       .groupBy((col("first_doc") / 300).cast("long").as("bucket"))
       .agg(count(lit(1)).as("bucket_types"))
+    // global (partition-less) window: its input is the per-BUCKET frame
+    // — 10 rows at any corpus size (bucket count is fixed), so the
+    // single-partition cumsum Spark warns about is bounded by design
     val win = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tokens.join(types, Seq("bucket"))

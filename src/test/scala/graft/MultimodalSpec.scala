@@ -325,6 +325,24 @@ class MultimodalSpec extends AnyFunSuite {
       "doubled-interleave stereo of the same signal must share the envelope")
   }
 
+  test("energyHash64 on random streams: exact scale invariance for arbitrary content") {
+    // the fixture pins invariance on the formula stream; this pins it on
+    // arbitrary content and lengths (within the documented overflow
+    // bound: blockSum·n ≤ 32768·c·(n/64+1)·n < 2⁶³ holds for c ≤ 1e6
+    // at n ≤ 5000)
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 10) {
+      val n = 1 + rnd.nextInt(5000)
+      val vals = Array.fill(n)(rnd.nextInt(32769).toLong)
+      val h = Multimodal.energyHash64(n.toLong, i => vals(i.toInt))
+      assert(h === Multimodal.energyHash64(n.toLong, i => vals(i.toInt)),
+        s"trial $trial: deterministic")
+      for (c <- Seq(2L, 17L, 1000L, 1000000L))
+        assert(Multimodal.energyHash64(n.toLong, i => vals(i.toInt) * c) === h,
+          s"trial $trial n=$n scale ×$c")
+    }
+  }
+
   test("audio fingerprints: decode matches the analytic manifest; twins pair as engineered") {
     import graft.queries.PipelineQueries
     // decode must reproduce the generator formula's hash for EVERY file

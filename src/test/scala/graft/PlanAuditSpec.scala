@@ -523,6 +523,19 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("zipf clone verification joins broadcast the 60-pair side, never sort-merge") {
+    // the clone fixture is dimension-sized by construction; a plan that
+    // sort-merge-joins it against the corpus would shuffle ~600k tokens
+    // of shingle state for a 60-row probe
+    for (q <- Seq("q_zipf_clone_jaccard", "q_zipf_clone_minhash")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q must broadcast the clone side:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q must not sort-merge a 60-row dimension:\n$p")
+    }
+  }
+
   test("no registered query plans a CartesianProduct") {
     // Theta joins in the documented quadratic baselines become
     // BroadcastNestedLoopJoin (bounded side); an unconditional
