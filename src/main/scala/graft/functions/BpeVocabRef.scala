@@ -102,10 +102,7 @@ object BpeVocabRef {
     var i = 0
     while (i < pieces.length) {
       val p = pieces(i)
-      var z = p.hashCode.toLong * 1000003L + p.length
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      fp += z ^ (z >>> 31)
+      fp += graft.ops.TextOps.mix64(p.hashCode.toLong * 1000003L + p.length)
       i += 1
     }
     fp

@@ -75,6 +75,18 @@ object TextOps {
   def nodeId64(s: Column): Column =
     conv(substring(md5(s), 1, 16), 16, -10).cast("long")
 
+  /** The ONE splitmix64 finalizer (self-review: three private copies —
+    * fixture generators, probe tools, the BPE content fingerprint — were
+    * drifting surfaces for a constant typo no test would cross-check).
+    * Plain JVM function: deterministic mixing for fixture formulas and
+    * cache fingerprints, never a Column. */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   /** Distinct 48-bit shingle ids from a string shingle array. Dedup stores
     * and shuffles THESE, not the shingle strings: at corpus scale the
     * persisted/shuffled payload drops from ~tens of bytes per shingle to 8,

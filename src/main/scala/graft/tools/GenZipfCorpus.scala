@@ -2,7 +2,8 @@ package graft.tools
 
 /** One-shot generator for the VOCABULARY-REALISTIC text fixture
   * (`fixtures/zipf_corpus.parquet`, committed — run via
-  * `sbt "runMain graft.tools.GenZipfCorpus [nDocs] [out]"`).
+  * `sbt "runMain graft.tools.GenZipfCorpus [nDocs] [out] [clonesOut]"`;
+  * clonesOut defaults to `<out minus .parquet>_clones.parquet`).
   *
   * WHY THIS EXISTS (r15 VERDICT #5, carried through r16): the driver's
   * synthetic documents table has 31 distinct words, so the trained BPE
@@ -55,12 +56,7 @@ object GenZipfCorpus {
     sb.toString
   }
 
-  private def mix(z0: Long): Long = {
-    var z = z0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
+  private def mix(z0: Long): Long = graft.ops.TextOps.mix64(z0)
 
   /** Cumulative Zipf weights (index r-1 holds CDF through rank r). */
   private lazy val cdf: Array[Double] = {
@@ -141,10 +137,13 @@ object GenZipfCorpus {
     val clonesOut = args.lift(2).getOrElse(
       out.replaceAll("\\.parquet$", "") + "_clones.parquet")
     val stride = nDocs.toLong / 60
+    // clone ids offset by nDocs, NOT a constant: a fixed 100000 offset
+    // collided with source ids once nDocs exceeded it, merging a clone's
+    // shingles with an unrelated document's in any by-doc_id union
     val clones = (0 until 60).map { j =>
       val src = j * stride
       val text = cloneText(src)
-      (100000L + src, src, text, "zz", "zipf_clone", text.length.toLong)
+      (nDocs.toLong + src, src, text, "zz", "zipf_clone", text.length.toLong)
     }
     clones.toDF("doc_id", "src_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.mode("overwrite").parquet(clonesOut)

@@ -34,12 +34,7 @@ object MediaScaleProbe {
     * brightness-shifted copy of one pattern, and aHash is shift-
     * invariant BY DESIGN, so the corpus collapsed into accidental
     * near-dup cliques and the pair count exploded quadratically. */
-  private def mix(z0: Long): Long = {
-    var z = z0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
+  private def mix(z0: Long): Long = graft.ops.TextOps.mix64(z0)
 
   /** Probe pixel formula — hash mix over (seed, x, y, chan). */
   private def px(seed: Long, x: Int, y: Int, chan: Int): Int =
