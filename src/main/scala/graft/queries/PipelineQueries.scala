@@ -3479,19 +3479,7 @@ object PipelineQueries {
   }
 
   val fuzzyTermsZipfSql: String =
-    s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM $zipfFromSql),
-       |tok AS (SELECT DISTINCT doc_id, unnest(w) AS term FROM w),
-       |vocab AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tok GROUP BY term),
-       |qv(qterm) AS (VALUES ('efu'), ('xdefu'), ('qacoku'), ('ku')),
-       |cand AS (SELECT qv.qterm, v.term,
-       |           levenshtein(qv.qterm, v.term)::BIGINT AS dist, v.df
-       |         FROM qv CROSS JOIN vocab v
-       |         WHERE levenshtein(qv.qterm, v.term) <= 1)
-       |SELECT qterm, term, dist, df FROM (
-       |  SELECT cand.*, row_number() OVER (PARTITION BY qterm
-       |           ORDER BY dist ASC, df DESC, term ASC) AS rn
-       |  FROM cand) WHERE rn <= 3
-       |ORDER BY qterm, dist, df DESC, term""".stripMargin
+    fuzzyTermsSqlFor(zipfFromSql, Seq("efu", "xdefu", "qacoku", "ku"))
 
   /** Shared oracle fragment: greedy longest-match BPE over the DISTINCT
     * corpus words — a recursive CTE whose step is the same bounded CASE
@@ -5743,11 +5731,16 @@ object PipelineQueries {
       .orderBy(col("qterm"), col("dist"), col("df").desc, col("term"))
   }
 
-  val fuzzyTermsSql: String =
-    s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM documents),
+  /** ONE oracle body for every fuzzy-lookup corpus (self-review: the
+    * zipf twin started as a verbatim copy differing only in FROM and the
+    * VALUES terms — a future tiebreak fix applied to one copy would
+    * silently diverge the other). */
+  private def fuzzyTermsSqlFor(docsFrom: String, terms: Seq[String]): String = {
+    val values = terms.map(t => s"('$t')").mkString(", ")
+    s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM $docsFrom),
        |tok AS (SELECT DISTINCT doc_id, unnest(w) AS term FROM w),
        |vocab AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tok GROUP BY term),
-       |qv(qterm) AS (VALUES ('vectr'), ('quantom'), ('strem'), ('join')),
+       |qv(qterm) AS (VALUES $values),
        |cand AS (SELECT qv.qterm, v.term,
        |           levenshtein(qv.qterm, v.term)::BIGINT AS dist, v.df
        |         FROM qv CROSS JOIN vocab v
@@ -5757,6 +5750,10 @@ object PipelineQueries {
        |           ORDER BY dist ASC, df DESC, term ASC) AS rn
        |  FROM cand) WHERE rn <= 3
        |ORDER BY qterm, dist, df DESC, term""".stripMargin
+  }
+
+  val fuzzyTermsSql: String =
+    fuzzyTermsSqlFor("documents", Seq("vectr", "quantom", "strem", "join"))
 
   /** Typo-tolerant retrieval ([[graft.ops.TextAnalysis.bm25FuzzyTopK]]):
     * four misspelled/unmatchable query terms correct through the
@@ -6268,8 +6265,10 @@ object PipelineQueries {
   def sourceEntropy(s: SparkSession, d: String): DataFrame =
     TextAnalysis.sourceEntropy(documents(s, d))
 
-  val sourceEntropySql: String =
-    s"""WITH w AS (SELECT source, $duckWords AS w FROM documents),
+  /** ONE oracle body for every entropy-panel corpus (the fuzzy builder's
+    * rationale). */
+  private def sourceEntropySqlFor(docsFrom: String): String =
+    s"""WITH w AS (SELECT source, $duckWords AS w FROM $docsFrom),
        |tok AS (SELECT source, unnest(w) AS term FROM w),
        |tf AS (SELECT source, term, count(*)::BIGINT AS c FROM tok GROUP BY source, term),
        |st AS (SELECT source, sum(c)::BIGINT AS t FROM tf GROUP BY source),
@@ -6284,6 +6283,8 @@ object PipelineQueries {
        |       round(ln(max(t)::DOUBLE) - sum(eq)::DOUBLE / 1e6 / max(t)::DOUBLE, 6) AS entropy,
        |       round(sum(kq)::DOUBLE / 1e6 / max(t)::DOUBLE, 6) AS kl_vs_corpus
        |FROM q GROUP BY source ORDER BY source""".stripMargin
+
+  val sourceEntropySql: String = sourceEntropySqlFor("documents")
 
   /** Token-distribution QA on the REALISTIC corpus — the entropy/KL
     * panel's correctness row off the degenerate vocabulary: 8 zipf
@@ -6295,22 +6296,7 @@ object PipelineQueries {
   def sourceEntropyZipf(s: SparkSession, d: String): DataFrame =
     TextAnalysis.sourceEntropy(zipfDocuments(s))
 
-  val sourceEntropyZipfSql: String =
-    s"""WITH w AS (SELECT source, $duckWords AS w FROM $zipfFromSql),
-       |tok AS (SELECT source, unnest(w) AS term FROM w),
-       |tf AS (SELECT source, term, count(*)::BIGINT AS c FROM tok GROUP BY source, term),
-       |st AS (SELECT source, sum(c)::BIGINT AS t FROM tf GROUP BY source),
-       |cp AS (SELECT term, sum(c)::BIGINT AS ct FROM tf GROUP BY term),
-       |ctot AS (SELECT sum(ct)::BIGINT AS ctot FROM cp),
-       |q AS (SELECT tf.source, st.t,
-       |        round(c::DOUBLE * ln(c::DOUBLE) * 1e6)::BIGINT AS eq,
-       |        round(c::DOUBLE * ln(c::DOUBLE * ctot::DOUBLE /
-       |          (t::DOUBLE * ct::DOUBLE)) * 1e6)::BIGINT AS kq
-       |      FROM tf JOIN cp USING (term) JOIN st USING (source) CROSS JOIN ctot)
-       |SELECT source, count(*)::BIGINT AS n_terms, max(t) AS tokens,
-       |       round(ln(max(t)::DOUBLE) - sum(eq)::DOUBLE / 1e6 / max(t)::DOUBLE, 6) AS entropy,
-       |       round(sum(kq)::DOUBLE / 1e6 / max(t)::DOUBLE, 6) AS kl_vs_corpus
-       |FROM q GROUP BY source ORDER BY source""".stripMargin
+  val sourceEntropyZipfSql: String = sourceEntropySqlFor(zipfFromSql)
 
   /** Per-source length deciles ([[graft.ops.Curation.ntileStats]] over
     * `n_chars`, ties broken by doc_id — total order, so ntile assignment
