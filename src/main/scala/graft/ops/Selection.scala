@@ -1,0 +1,390 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Data-selection operators for LLM-training pipelines: hashed-n-gram
+  * importance resampling (the DSIR recipe: score a raw pool by how much
+  * more likely a target corpus makes each document, then sample by
+  * Gumbel-top-k) and temperature-scaled source mixing (the multilingual
+  * `p^alpha` re-weighting).
+  *
+  * Beyond-reference surface: the reference pipeline (cf.
+  * `/root/reference/analytics_otodom.py:14-243`) selects rows by explicit
+  * predicates only; a 100 TB pre-training pipeline selects by learned
+  * distribution match. Published methods re-derived in this engine's
+  * deterministic-oracle idiom: every float reduction is 1e-6 fixed-point
+  * quantized per term and summed as exact integers (the
+  * [[TextAnalysis.sourceEntropy]] contract), so DuckDB replays the
+  * identical algorithm hash-exactly.
+  *
+  * Scale shape: one corpus pass builds the bounded bucket model (≤ `buckets`
+  * rows — collected once, memoized per corpus fingerprint, broadcast back);
+  * scoring is one explode + two map-side-combinable hash aggregates keyed by
+  * doc, joined to the broadcast model. No driver-side loops over corpus
+  * rows, nothing quadratic.
+  */
+object Selection {
+
+  /** Default hashed-feature bucket count. Small enough that the model is a
+    * trivially broadcastable local table, large enough that the md5-bucket
+    * collisions act as the DSIR paper's intended dimensionality reduction
+    * (hashed bag-of-n-grams), not as degenerate aliasing. */
+  val DefaultBuckets = 256
+
+  /** Exploded hashed unigram+bigram features: one row per feature
+    * OCCURRENCE (bag counts, not a distinct set — likelihood ratios weigh
+    * repeated n-grams), bucketed by the shared md5-prefix hash. The words
+    * array is materialized in its own projection before the bigram
+    * `transform` (TextOps.shingleSetFromWords' O(words²) CSE pitfall).
+    * Bigrams use raw [[TextOps.shingles]] semantics: `[]` below 2 words —
+    * the unigram features still represent the doc, so no fallback row is
+    * needed (unlike the dedup shingle sets where an empty set would drop
+    * the doc from the index entirely).
+    *
+    * DuckDB mirror: `unnest(list_concat(w, bigrams(w)))` with
+    * `('0x' || substr(md5(f), 1, 12))::BIGINT % buckets`. */
+  def hashedFeatureBuckets(docs: DataFrame, buckets: Int): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"),
+        TextOps.wordsSafe(col("text")).as("w"))
+      .select(col("doc_id"), col("source"),
+        explode(concat(col("w"), TextOps.shingles(col("w"), 2))).as("f"))
+      .select(col("doc_id"), col("source"),
+        (TextOps.shingleHash(col("f")) % buckets).as("b"))
+
+  /** The bounded DSIR bucket model: per-bucket add-one-smoothed
+    * log-likelihood ratio `ln p_target(b) − ln p_raw(b)` over the hashed
+    * feature space, estimated from one pass over the corpus (target = rows
+    * matching `isTarget`, raw = the rest).
+    *
+    * Collected eagerly (≤ `buckets` rows by construction) and memoized per
+    * (plan, corpus fingerprint) via [[Indexes.memoModel]] — the
+    * IVF/Bloom/LM model precedent: repeat invocations over the same corpus
+    * content skip the corpus pass, a regenerated corpus rotates the
+    * fingerprint. The log-ratio doubles are computed with the same
+    * expression shape the oracle uses (`ln((c+1)/(tot+B))` on exact
+    * integer ratios), so both engines see identical IEEE inputs; the
+    * per-term 1e-6 quantization downstream absorbs the libm last-ulp. */
+  def dsirModel(docs: DataFrame, isTarget: Column,
+                buckets: Int = DefaultBuckets): Array[(Long, Double)] = {
+    val family = s"dsir_b$buckets:" +
+      isTarget.toString.replaceAll("\\s+", " ").take(96)
+    Indexes.memoModel(docs, family) {
+      val counts = hashedFeatureBuckets(docs, buckets)
+        .withColumn("tgt", isTarget)
+        .groupBy(col("b"))
+        .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+          sum(when(col("tgt"), 0L).otherwise(1L)).as("cr"))
+        .collect() // ≤ buckets rows — model-sized by construction
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val tt = counts.map(_._2).sum
+      val tr = counts.map(_._3).sum
+      // Buckets absent from `counts` were touched by NO document, so no
+      // scored doc can join to them — the model only needs observed rows.
+      counts.map { case (b, ct, cr) =>
+        (b, math.log((ct + 1).toDouble / (tt + buckets).toDouble) -
+          math.log((cr + 1).toDouble / (tr + buckets).toDouble))
+      }
+    }
+  }
+
+  /** Per-document importance weights over the RAW pool (rows NOT matching
+    * `isTarget`), 1e-6 fixed-point quantized: output `(doc_id, source, s)`
+    * where `s = Σ_b round(c_b · lr_b · 1e6)` as an exact BIGINT sum —
+    * order-free under Spark's partial-agg merge, engine-identical in the
+    * oracle replay. `s / 1e6` is the DSIR log importance weight
+    * `ln p_target(doc) − ln p_raw(doc)` under the hashed-n-gram
+    * multinomial (additive constants from the multinomial coefficient
+    * cancel in ranking).
+    *
+    * Scale: explode → (doc, bucket) hash aggregate (map-side combined) →
+    * broadcast-join the ≤ `buckets`-row model → (doc) hash aggregate.
+    * Shuffles carry (doc_id, bucket, count) longs, never text. */
+  def importanceWeightsQuantized(docs: DataFrame, isTarget: Column,
+                                 buckets: Int = DefaultBuckets): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lr = spark.createDataset(dsirModel(docs, isTarget, buckets).toSeq)
+      .toDF("b", "lr")
+    hashedFeatureBuckets(docs.where(!isTarget), buckets)
+      .groupBy(col("doc_id"), col("source"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(lr), Seq("b"))
+      .select(col("doc_id"), col("source"),
+        round(col("c").cast("double") * col("lr") * lit(1e6)).cast("long")
+          .as("sq"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("sq")).as("s"))
+  }
+
+  /** 2^48 + 1 — the Gumbel uniform's denominator: `u = (h48 + 1) / D` maps
+    * the 48-bit md5-prefix hash into the OPEN interval (0, 1), so both
+    * `ln(u)` and `ln(−ln u)` are always finite. */
+  val GumbelDenom: Double = 281474976710657.0
+
+  /** Quantized Gumbel-top-k sampling key: `s + round(g·1e6)` where
+    * `g = −ln(−ln u)` and `u` derives from the row id's md5 — the
+    * Gumbel-max trick turns weighted sampling WITHOUT replacement into a
+    * stateless top-k by `weight + Gumbel(0,1)`, with the randomness a pure
+    * function of the id (stable across runs, engines, and corpus growth —
+    * the [[Curation.hashBucket]] split philosophy applied to sampling).
+    * Integer addition keeps the ranking key exactly comparable across
+    * engines: the single `round(g·1e6)` libm call is the only float step.
+    *
+    * DuckDB mirror:
+    * `s + round(-ln(-ln((('0x'||substr(md5(id::VARCHAR),1,12))::BIGINT::DOUBLE + 1) / 281474976710657.0))*1e6)::BIGINT`. */
+  def gumbelKeyQuantized(id: Column, sQuant: Column): Column =
+    sQuant + round(-log(-log(
+      (TextOps.shingleHash(id.cast("string")).cast("double") +
+        lit(1.0)) / lit(GumbelDenom))) * lit(1e6)).cast("long")
+
+  /** DSIR selection: Gumbel-top-k over the importance weights — the raw
+    * pool resampled toward the target distribution. Returns the selected
+    * rows with their weight and sampling key (both 1e-6-quantized longs;
+    * callers format). Ranking is by exact integer key, tie-broken by
+    * doc_id, so the selected set is a total order both engines reproduce.
+    *
+    * Scale: the top-k is a TakeOrderedAndProject over the scored frame —
+    * per-partition heaps, no global sort materialization. */
+  def dsirSelect(docs: DataFrame, isTarget: Column, k: Int,
+                 buckets: Int = DefaultBuckets): DataFrame =
+    importanceWeightsQuantized(docs, isTarget, buckets)
+      .select(col("doc_id"), col("source"), col("s"),
+        gumbelKeyQuantized(col("doc_id"), col("s")).as("kq"))
+      .orderBy(col("kq").desc, col("doc_id").asc)
+      .limit(k)
+
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein): greedily
+    * pick `k` of the top-`nCandidates` retrieval hits maximizing
+    * `λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)` — the diversity pass a
+    * retrieval-augmented pipeline runs between ANN recall and prompt
+    * assembly, so near-duplicate hits don't crowd the context window.
+    *
+    * Integer-exact greedy: λ is supplied in TENTHS (`lambdaTenths = 7` ⇒
+    * λ = 0.7), relevance and pairwise cosines are 1e-6-quantized longs, so
+    * the selection compares `lambdaTenths·relq − (10−lambdaTenths)·maxsimq`
+    * — pure integer arithmetic, engine-identical, no float drift in the
+    * argmax. Ties break toward the smaller vec_id. The first pick maximizes
+    * relevance alone (empty selected set ⇒ the sim term is 0 by
+    * convention); its reported score is `lambdaTenths·relq`.
+    *
+    * Scale: candidate scoring is the brute-force broadcast pass (swap in
+    * any ANN probe upstream); pairwise sims join only the ≤ `nCandidates`
+    * candidate embeddings. The greedy loop itself runs driver-side over the
+    * collected candidate matrix — BOUNDED by the loud `require` below (the
+    * graph-ANN beam-frontier precedent: serving-side loops over model-sized
+    * state, never corpus-sized). */
+  def mmrRerank(emb: DataFrame, queryId: Long, nCandidates: Int, k: Int,
+                lambdaTenths: Int = 7): DataFrame = {
+    require(nCandidates <= 256,
+      s"mmrRerank collects the candidate matrix driver-side; " +
+        s"nCandidates=$nCandidates exceeds the 256 serving bound")
+    require(lambdaTenths >= 0 && lambdaTenths <= 10,
+      s"lambdaTenths must be in [0,10], got $lambdaTenths")
+    val spark = emb.sparkSession
+    val q = emb.where(col("vec_id") === queryId)
+      .select(col("embedding").as("qv"))
+    // 1e-6-quantized relevance, top-nCandidates (TakeOrderedAndProject —
+    // per-partition heaps, no global sort)
+    val cand = emb.join(broadcast(q))
+      .where(col("vec_id") =!= queryId)
+      .select(col("vec_id"),
+        round(Similarity.cosine(col("embedding"), col("qv")) * lit(1e6))
+          .cast("long").as("relq"))
+      .orderBy(col("relq").desc, col("vec_id").asc)
+      .limit(nCandidates)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ids = cand.map(_._1)
+    // pairwise candidate sims — ≤ nCandidates² rows by construction
+    val cemb = emb.where(col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), col("embedding"))
+    val sims = cemb.as("x").join(cemb.as("y"),
+        col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        round(Similarity.cosine(col("x.embedding"), col("y.embedding")) *
+          lit(1e6)).cast("long").as("simq"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // greedy argmax over exact longs
+    val lam = lambdaTenths.toLong
+    val remaining = scala.collection.mutable.LinkedHashMap(cand: _*)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    while (picked.length < k && remaining.nonEmpty) {
+      val best = remaining.iterator.map { case (id, relq) =>
+        val maxSim = if (picked.isEmpty) 0L
+          else picked.iterator.map(p => sims((id, p._1))).max
+        (id, relq, lam * relq - (10 - lam) * maxSim)
+      }.reduceLeft { (a, b) =>
+        if (b._3 > a._3 || (b._3 == a._3 && b._1 < a._1)) b else a
+      }
+      picked += best
+      remaining.remove(best._1)
+    }
+    import spark.implicits._
+    picked.toSeq.zipWithIndex.map { case ((id, relq, scoreq), i) =>
+      (i + 1L, id, relq / 1e6, scoreq / 1e7)
+    }.toDF("rank", "vec_id", "rel", "mmr")
+      .select(col("rank"), col("vec_id"),
+        round(col("rel"), 6).as("rel"), round(col("mmr"), 6).as("mmr"))
+  }
+
+  /** Hard-negative mining for contrastive/embedding training: for one
+    * anchor, label every candidate scoring at least `posThreshold` a
+    * POSITIVE (the near-dup band — at training time, paraphrases/copies),
+    * and keep the `k` best-scoring candidates BELOW the band as HARD
+    * negatives (similar enough to be informative, dissimilar enough to be
+    * true negatives) — the pair-mining pass behind contrastive retrieval
+    * training (DPR/SimCSE-style), re-expressed over the engine's
+    * embedding column.
+    *
+    * Scale shape: two filters over the same broadcast-query scan — the
+    * positive band is a predicate (naturally sparse at scale), the
+    * negative cut a TakeOrderedAndProject heap. This is the brute-force
+    * baseline by design (one linear pass, same contract as
+    * [[Similarity.bruteForceTopK]]); production swaps the scan for an ANN
+    * probe upstream, the labeling/cut stages are unchanged. */
+  def hardNegatives(emb: DataFrame, queryId: Long, posThreshold: Double,
+                    k: Int): DataFrame = {
+    val q = emb.where(col("vec_id") === queryId)
+      .select(col("embedding").as("qv"))
+    val scored = emb.join(broadcast(q))
+      .where(col("vec_id") =!= queryId)
+      .select(col("vec_id"),
+        Similarity.cosRound(col("embedding"), col("qv"), 4).as("cos"))
+    val pos = scored.where(col("cos") >= posThreshold)
+      .select(lit("pos").as("label"), col("vec_id"), col("cos"))
+    val neg = scored.where(col("cos") < posThreshold)
+      .orderBy(col("cos").desc, col("vec_id").asc).limit(k)
+      .select(lit("hard_neg").as("label"), col("vec_id"), col("cos"))
+    pos.unionAll(neg)
+      .orderBy(col("label").desc, col("cos").desc, col("vec_id").asc)
+  }
+
+  /** Distributed k-center (farthest-point) diversity selection per IVF
+    * cell — the CORPUS-SCALE counterpart of [[mmrRerank]]: where MMR
+    * diversifies one query's bounded candidate list, this picks `reps`
+    * maximally-spread representatives from EVERY cell of the coarse
+    * quantizer in parallel — the coreset pass a training pipeline runs to
+    * diversify an over-clustered embedding corpus (dedup survivors, seed
+    * selection, eval-panel construction).
+    *
+    * Greedy farthest-point per cell: seed = the cell's min vec_id; each
+    * round adds the member maximizing its min quantized cosine-distance
+    * (`round((1 − cos)·1e6)` — exact integer compares) to the already
+    * selected, ties to the smaller vec_id. 2-approximation of the optimal
+    * k-center cover (Gonzalez) — per cell, independently.
+    *
+    * Scale shape (the kmeansTrain bounded-model-collect contract): cell
+    * assignment is one broadcast of the centroid table reduced map-side
+    * via `max_by`; each of the `reps − 1` rounds is ONE distributed job —
+    * members broadcast-join the ≤ |cells|·reps selected rows, the
+    * per-member min-distance is a map-side-combinable aggregate, the
+    * per-cell argmax another; only |cells| winner rows return to the
+    * driver per round. Rounds are inherently sequential (greedy); driver
+    * state is the |cells|·reps selected matrix, never corpus rows. */
+  def kCenterPerCell(emb: DataFrame, centroids: DataFrame, reps: Int): DataFrame = {
+    require(reps >= 1 && reps <= 16, s"1 <= reps <= 16, got $reps")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // cell widened to long once here (the fixture stores int32); the
+    // oracle mirrors with cell::BIGINT so output types agree
+    val cent = centroids.select(col("cell").cast("long").as("cell"),
+      col("centroid").as("cv"), Similarity.norm(col("centroid")).as("cn"))
+    // assignment: cosine-argmax, ties to the smaller cell (the ivfTopK /
+    // annIvf oracle convention) — max_by over (ccos, -cell), no window
+    val members = emb
+      .select(col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"))
+      .join(broadcast(cent))
+      .select(col("vec_id"), col("embedding"),
+        (graft.functions.DotProduct.dot(col("embedding"), col("cv")) /
+          (col("nrm") * col("cn"))).as("ccos"),
+        col("cell"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cell"), struct(col("ccos"), -col("cell"))).as("cell"),
+        first(col("embedding")).as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val distQ = round((lit(1.0) -
+        Similarity.cosine(col("embedding"), col("sv"))) * lit(1e6)).cast("long")
+      // round 1: per-cell min vec_id (+ its embedding, for later rounds)
+      var selected: Array[(Long, Long, Array[Float], Long, Option[Long])] =
+        members.groupBy(col("cell"))
+          .agg(min(col("vec_id")).as("vec_id"),
+            min_by(col("embedding"), col("vec_id")).as("embedding"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            r.getSeq[Float](2).toArray, 1L, None: Option[Long]))
+      for (rank <- 2 to reps) {
+        val selDf = selected.toSeq
+          .map { case (cell, id, v, _, _) => (cell, id, v) }
+          .toDF("cell", "sel_id", "sv")
+        val winners = members
+          .join(broadcast(selDf), Seq("cell"))
+          .where(col("vec_id") =!= col("sel_id"))
+          .groupBy(col("cell"), col("vec_id"))
+          .agg(min(distQ).as("mindq"), count(lit(1)).as("n_sel"),
+            first(col("embedding")).as("embedding"))
+          // an already-selected member pairs with one FEWER rep (the
+          // vec_id =!= sel_id guard dropped its self-pair), so requiring
+          // a pairing with every rank−1 rep excludes exactly the selected
+          // set — and exhausted cells (members < rank−1 reps) yield no
+          // winner row at all
+          .where(col("n_sel") === lit((rank - 1).toLong))
+          .groupBy(col("cell"))
+          .agg(max_by(struct(col("vec_id"), col("mindq"), col("embedding")),
+            struct(col("mindq"), -col("vec_id"))).as("w"))
+          .select(col("cell"), col("w.vec_id"), col("w.mindq"), col("w.embedding"))
+          .collect() // ≤ |cells| rows — bounded
+        selected = selected ++ winners.map(r => (r.getLong(0), r.getLong(1),
+          r.getSeq[Float](3).toArray, rank.toLong, Some(r.getLong(2))))
+      }
+      selected.toSeq
+        .map { case (cell, id, _, rank, mindq) =>
+          (cell, rank, id, mindq.map(_ / 1e6))
+        }
+        .toDF("cell", "rank", "vec_id", "spread")
+        .select(col("cell"), col("rank"), col("vec_id"),
+          round(col("spread"), 6).as("spread"))
+        .orderBy(col("cell"), col("rank"))
+    } finally members.unpersist(blocking = false)
+  }
+
+  /** Temperature-scaled source mixture (the multilingual `p^alpha`
+    * re-balancing): per-source token share `p_i`, tempered share
+    * `q_i ∝ p_i^alpha` (alpha < 1 upsamples the tail, alpha = 1 is
+    * proportional, alpha → 0 is uniform), and the per-source sampling
+    * factor `q_i / p_i` a pipeline multiplies into per-doc inclusion
+    * probabilities.
+    *
+    * Determinism: `p^alpha` is one `exp(alpha · ln p)`-class libm call per
+    * SOURCE (bounded rows), on arguments that are ratios of exact integer
+    * token counts; the normalizing sum runs over the bounded per-source
+    * table, made order-free by quantizing each tempered share to 1e-6
+    * fixed point BEFORE the sum. Output rounded to 6.
+    *
+    * Scale: one explode-free pass — token counts come from the words-array
+    * SIZE, not an explode — into a |sources|-row aggregate; the window
+    * normalization runs over that bounded table. */
+  def temperatureMix(docs: DataFrame, alpha: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy() // |sources| rows by contract — bounded
+    docs
+      .select(col("source"),
+        size(TextOps.wordsSafe(col("text"))).cast("long").as("toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        (col("tokens").cast("double") /
+          sum(col("tokens")).over(w).cast("double")).as("p"))
+      .select(col("source"), col("n_docs"), col("tokens"), col("p"),
+        round(pow(col("p"), lit(alpha)) * lit(1e6)).cast("long").as("tq"))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        round(col("p"), 6).as("p"),
+        round(col("tq").cast("double") / sum(col("tq")).over(w).cast("double"), 6)
+          .as("q"),
+        round(col("tq").cast("double") / sum(col("tq")).over(w).cast("double") /
+          col("p"), 6).as("boost"))
+      .orderBy(col("source"))
+  }
+}

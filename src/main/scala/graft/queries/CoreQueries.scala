@@ -690,6 +690,35 @@ object CoreQueries {
       |       count(*)::BIGINT AS completions
       |FROM p GROUP BY lag_hours ORDER BY lag_hours""".stripMargin
 
+  /** §2.9 extension — view→purchase ATTRIBUTION pairs: every purchase
+    * joined to the same user's views within the preceding 30 minutes
+    * ([[graft.streaming.EventStreams.attributionBatch]] — the batch twin
+    * of the watermarked STREAM-STREAM interval join
+    * `attributionJoinStream`; EventStreamsSpec pins stream == batch per
+    * prefix and the watermark's state-eviction semantics). Timestamps
+    * format at the output edge; `lag_secs` is exact integer micros
+    * floor-divided, so the row set hash-verifies. */
+  def attributionJoin(s: SparkSession, d: String): DataFrame =
+    graft.streaming.EventStreams.attributionBatch(events(s, d), withinMinutes = 30)
+      .select(col("user_id"),
+        date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        col("lag_secs"))
+      .orderBy(col("user_id"), col("view_ts"), col("purchase_ts"), col("lag_secs"))
+
+  val attributionJoinSql: String =
+    """WITH v AS (SELECT user_id, ts::TIMESTAMP AS vts FROM events
+      |           WHERE event_type = 'view'),
+      |p AS (SELECT user_id, ts::TIMESTAMP AS pts FROM events
+      |      WHERE event_type = 'purchase')
+      |SELECT v.user_id,
+      |       strftime(vts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+      |       strftime(pts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+      |       ((epoch_us(pts) - epoch_us(vts)) // 1000000)::BIGINT AS lag_secs
+      |FROM v JOIN p ON v.user_id = p.user_id
+      |  AND pts >= vts AND pts <= vts + INTERVAL 30 MINUTE
+      |ORDER BY v.user_id, view_ts, purchase_ts, lag_secs""".stripMargin
+
   /** §2.9 extension — hourly volume ANOMALY detection with an
     * integer-exact variance test: hours whose event count deviates from
     * the global hourly mean by more than 3σ, decided WITHOUT sqrt or

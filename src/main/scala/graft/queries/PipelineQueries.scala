@@ -6445,4 +6445,220 @@ object PipelineQueries {
        |      FROM b)
        |SELECT source, doc_id, w::BIGINT AS weight, round(skey, 6) AS skey
        |FROM r WHERE rn <= 15 ORDER BY source, doc_id""".stripMargin
+
+  // ---- distribution-matched data selection (DSIR) ---------------------------
+
+  /** Shared oracle prefix for the DSIR family: hashed unigram+bigram
+    * feature buckets (bag counts), per-bucket smoothed log-likelihood
+    * ratios of target (src0) vs raw, and the per-doc 1e-6-quantized
+    * weight sum — the literal replay of
+    * [[graft.ops.Selection.importanceWeightsQuantized]]. */
+  private val duckDsirCtes: String =
+    s"""w AS (SELECT doc_id, source, $duckWords AS w FROM documents),
+       |f AS (SELECT doc_id, source, source = 'src0' AS tgt,
+       |        unnest(list_concat(w, CASE WHEN len(w) >= 2 THEN
+       |          list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+       |          ELSE [] END)) AS f
+       |      FROM w),
+       |bk AS (SELECT doc_id, source, tgt,
+       |         ('0x' || substr(md5(f), 1, 12))::BIGINT % 256 AS b FROM f),
+       |cb AS (SELECT b, sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS ct,
+       |              sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END)::BIGINT AS cr
+       |       FROM bk GROUP BY b),
+       |tot AS (SELECT sum(ct)::BIGINT AS tt, sum(cr)::BIGINT AS tr FROM cb),
+       |lr AS (SELECT b, ln((ct + 1)::DOUBLE / (tt + 256)::DOUBLE) -
+       |              ln((cr + 1)::DOUBLE / (tr + 256)::DOUBLE) AS lr
+       |       FROM cb CROSS JOIN tot),
+       |dc AS (SELECT doc_id, source, b, count(*)::BIGINT AS c
+       |       FROM bk WHERE NOT tgt GROUP BY doc_id, source, b),
+       |d AS (SELECT doc_id, source,
+       |        sum(round(c::DOUBLE * lr * 1e6)::BIGINT)::BIGINT AS s
+       |      FROM dc JOIN lr USING (b) GROUP BY doc_id, source)""".stripMargin
+
+  /** DSIR importance weights over the raw pool (target = src0), audited
+    * per source — every doc's quantized weight flows through the sums, so
+    * the hash check covers the full scored pool, not a sampled head. */
+  def dsirWeights(s: SparkSession, d: String): DataFrame =
+    graft.ops.Selection
+      .importanceWeightsQuantized(documents(s, d), col("source") === "src0")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("s")).as("ssum"),
+        min(col("s")).as("smin"), max(col("s")).as("smax"))
+      .select(col("source"), col("n_docs"),
+        round(col("ssum").cast("double") / lit(1e6) / col("n_docs"), 6)
+          .as("avg_w"),
+        round(col("smin").cast("double") / lit(1e6), 6).as("min_w"),
+        round(col("smax").cast("double") / lit(1e6), 6).as("max_w"))
+      .orderBy(col("source"))
+
+  val dsirWeightsSql: String =
+    s"""WITH $duckDsirCtes
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |       round(sum(s)::DOUBLE / 1e6 / count(*), 6) AS avg_w,
+       |       round(min(s)::DOUBLE / 1e6, 6) AS min_w,
+       |       round(max(s)::DOUBLE / 1e6, 6) AS max_w
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
+
+  /** DSIR selection: Gumbel-top-50 over the importance weights — weighted
+    * sampling without replacement as a stateless top-k
+    * ([[graft.ops.Selection.dsirSelect]]). gkey is the quantized integer
+    * key scaled back to weight units; ordering by it is EXACTLY the
+    * integer-key ordering (monotone division by 1e6). */
+  def dsirSelectQ(s: SparkSession, d: String): DataFrame =
+    graft.ops.Selection
+      .dsirSelect(documents(s, d), col("source") === "src0", k = 50)
+      .select(col("doc_id"), col("source"),
+        round(col("s").cast("double") / lit(1e6), 6).as("weight"),
+        round(col("kq").cast("double") / lit(1e6), 6).as("gkey"))
+      .orderBy(col("gkey").desc, col("doc_id").asc)
+
+  val dsirSelectSql: String =
+    s"""WITH $duckDsirCtes,
+       |g AS (SELECT doc_id, source, s,
+       |        s + round(-ln(-ln(
+       |          (('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT::DOUBLE
+       |            + 1.0) / 281474976710657.0)) * 1e6)::BIGINT AS kq
+       |      FROM d)
+       |SELECT doc_id, source, round(s::DOUBLE / 1e6, 6) AS weight,
+       |       round(kq::DOUBLE / 1e6, 6) AS gkey
+       |FROM g ORDER BY gkey DESC, doc_id ASC LIMIT 50""".stripMargin
+
+  /** MMR diversity re-rank over the brute-force top-25 for query 0
+    * (λ = 0.7, k = 10): the context-assembly pass between ANN recall and
+    * prompting ([[graft.ops.Selection.mmrRerank]]). The greedy argmax
+    * compares pure integers (`7·relq − 3·maxsimq`, 1e-6-quantized), so the
+    * oracle's unrolled replay is hash-exact. */
+  def mmrRerankQ(s: SparkSession, d: String): DataFrame =
+    graft.ops.Selection.mmrRerank(embeddings(s, d), queryId = 0L,
+      nCandidates = 25, k = 10, lambdaTenths = 7)
+
+  /** Unrolled greedy replay (the annGraphBeam chained-CTE pattern —
+    * recursive CTEs can't carry the selected SET cleanly, chained step
+    * CTEs can): sel0 is the pure-relevance pick; step i joins the
+    * remaining candidates to their max sim over sel(i−1) and picks the
+    * integer-MMR argmax. */
+  val mmrRerankSql: String = {
+    val steps = (1 until 10).map { i =>
+      s"""p$i AS (SELECT c.vec_id, c.relq,
+         |         7 * c.relq - 3 * max(s.simq) AS scoreq, ${i + 1} AS rank
+         |       FROM cand c JOIN sims s ON s.a = c.vec_id
+         |       WHERE s.b IN (SELECT vec_id FROM sel${i - 1})
+         |         AND c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+         |       GROUP BY c.vec_id, c.relq
+         |       QUALIFY row_number() OVER (ORDER BY scoreq DESC, c.vec_id ASC) = 1),
+         |sel$i AS (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM p$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    materializeCtes(s"""WITH $duckNormed,
+       |q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 0),
+       |cand AS (SELECT e.vec_id,
+       |           round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn) * 1e6)::BIGINT AS relq
+       |         FROM e, q WHERE e.vec_id != 0
+       |         QUALIFY row_number() OVER (ORDER BY relq DESC, vec_id ASC) <= 25),
+       |sims AS (SELECT x.vec_id AS a, y.vec_id AS b,
+       |           round(list_dot_product(ex.v, ey.v) / (ex.nrm * ey.nrm) * 1e6)::BIGINT AS simq
+       |         FROM cand x JOIN cand y ON x.vec_id != y.vec_id
+       |         JOIN e ex ON ex.vec_id = x.vec_id
+       |         JOIN e ey ON ey.vec_id = y.vec_id),
+       |sel0 AS (SELECT vec_id, relq, 7 * relq AS scoreq, 1 AS rank FROM cand
+       |         QUALIFY row_number() OVER (ORDER BY relq DESC, vec_id ASC) = 1),
+       |$steps
+       |SELECT rank::BIGINT AS rank, vec_id,
+       |       round(relq::DOUBLE / 1e6, 6) AS rel,
+       |       round(scoreq::DOUBLE / 1e7, 6) AS mmr
+       |FROM sel9 ORDER BY rank""".stripMargin)
+  }
+
+  /** Distributed k-center diversity selection: 3 farthest-point
+    * representatives per IVF cell ([[graft.ops.Selection.kCenterPerCell]])
+    * — the corpus-scale coreset pass (MMR diversifies one query's list;
+    * this diversifies EVERY cell in parallel). Assignment replays the
+    * annIvf convention; distances are 1e-6-quantized integers, so the
+    * greedy argmax is engine-exact. */
+  def kcenterDiverse(s: SparkSession, d: String): DataFrame =
+    graft.ops.Selection.kCenterPerCell(embeddings(s, d),
+      s.read.parquet(ivfCentroidsPath), reps = 3)
+
+  /** Unrolled per-cell greedy (the kmeansTrain/annGraphBeam chained-CTE
+    * pattern, PARTITION BY cell): sel1 seeds at the cell's min vec_id;
+    * each step anti-joins the already-selected and takes the per-cell
+    * max-min-distance argmax. */
+  val kcenterDiverseSql: String = {
+    val steps = (2 to 3).map { i =>
+      s"""r$i AS (SELECT x.cell, x.vec_id,
+         |         min(round((1 - list_dot_product(x.v, s.v) / (x.nrm * s.nrm)) * 1e6)::BIGINT) AS md
+         |       FROM m x
+         |       JOIN sel${i - 1} t ON t.cell = x.cell
+         |       JOIN m s ON s.vec_id = t.vec_id
+         |       LEFT JOIN sel${i - 1} z ON z.cell = x.cell AND z.vec_id = x.vec_id
+         |       WHERE z.vec_id IS NULL
+         |       GROUP BY x.cell, x.vec_id
+         |       QUALIFY row_number() OVER (PARTITION BY x.cell
+         |                                  ORDER BY md DESC, x.vec_id ASC) = 1),
+         |sel$i AS (SELECT * FROM sel${i - 1}
+         |          UNION ALL SELECT cell, vec_id, $i AS rank, md AS mindq FROM r$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    materializeCtes(s"""WITH $duckNormed,
+       |cent AS (SELECT cell::BIGINT AS cell, centroid AS cv,
+       |                sqrt(list_dot_product(centroid, centroid)) AS cn
+       |         FROM read_parquet('$ivfCentroidsPath/*.parquet')),
+       |asg AS (SELECT e.vec_id, cent.cell,
+       |               list_dot_product(e.v, cent.cv) / (e.nrm * cent.cn) AS ccos
+       |        FROM e CROSS JOIN cent),
+       |cells AS (SELECT vec_id, cell FROM asg
+       |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) = 1),
+       |m AS (SELECT c.cell, c.vec_id, e.v, e.nrm
+       |      FROM cells c JOIN e ON c.vec_id = e.vec_id),
+       |sel1 AS (SELECT cell, min(vec_id) AS vec_id, 1 AS rank,
+       |                NULL::BIGINT AS mindq
+       |         FROM m GROUP BY cell),
+       |$steps
+       |SELECT cell, rank::BIGINT AS rank, vec_id,
+       |       round(mindq::DOUBLE / 1e6, 6) AS spread
+       |FROM sel3 ORDER BY cell, rank""".stripMargin)
+  }
+
+  /** Contrastive-pair mining for query 0: positives = the ≥ 0.35 band
+    * (two fixture vectors clear it, so the oracle grades BOTH labels),
+    * hard negatives = the 10 best scorers below it
+    * ([[graft.ops.Selection.hardNegatives]]). */
+  def hardNegativesQ(s: SparkSession, d: String): DataFrame =
+    graft.ops.Selection.hardNegatives(embeddings(s, d), queryId = 0L,
+      posThreshold = 0.35, k = 10)
+
+  val hardNegativesSql: String =
+    s"""WITH $duckNormed,
+       |q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 0),
+       |c AS (SELECT e.vec_id,
+       |        round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 4) AS cos
+       |      FROM e, q WHERE e.vec_id != 0),
+       |pos AS (SELECT 'pos' AS label, vec_id, cos FROM c WHERE cos >= 0.35),
+       |neg AS (SELECT 'hard_neg' AS label, vec_id, cos FROM c WHERE cos < 0.35
+       |        QUALIFY row_number() OVER (ORDER BY cos DESC, vec_id ASC) <= 10)
+       |SELECT label, vec_id, cos
+       |FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg)
+       |ORDER BY label DESC, cos DESC, vec_id ASC""".stripMargin
+
+  /** Temperature-scaled source mixture at alpha = 0.5
+    * ([[graft.ops.Selection.temperatureMix]]): per-source token share,
+    * tempered share, and the sampling boost a pipeline multiplies into
+    * per-doc inclusion probabilities. */
+  def domainTemperature(s: SparkSession, d: String): DataFrame =
+    graft.ops.Selection.temperatureMix(documents(s, d), alpha = 0.5)
+
+  val domainTemperatureSql: String =
+    s"""WITH b AS (SELECT source, count(*)::BIGINT AS n_docs,
+       |             sum(len($duckWords))::BIGINT AS tokens
+       |           FROM documents GROUP BY source),
+       |t AS (SELECT sum(tokens)::BIGINT AS tot FROM b),
+       |p AS (SELECT source, n_docs, tokens, tokens::DOUBLE / tot::DOUBLE AS p
+       |      FROM b CROSS JOIN t),
+       |q AS (SELECT source, n_docs, tokens, p,
+       |        round(pow(p, 0.5) * 1e6)::BIGINT AS tq FROM p),
+       |n AS (SELECT sum(tq)::BIGINT AS qt FROM q)
+       |SELECT source, n_docs, tokens, round(p, 6) AS p,
+       |       round(tq::DOUBLE / qt::DOUBLE, 6) AS q,
+       |       round(tq::DOUBLE / qt::DOUBLE / p, 6) AS boost
+       |FROM q CROSS JOIN n ORDER BY source""".stripMargin
 }

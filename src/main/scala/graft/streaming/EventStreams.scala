@@ -109,6 +109,59 @@ object EventStreams {
       .agg(count(lit(1)).as("dau"))
       .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"), col("dau"))
 
+  /** STREAM-STREAM watermarked interval join — the one streaming join shape
+    * this module lacked (everything else is stream-static or foreachBatch):
+    * view→purchase attribution, each purchase joined to every SAME-USER
+    * view it follows within `withinMinutes`. Both sides carry watermarks
+    * and the join condition bounds both event times, so Spark derives a
+    * state-eviction horizon for BOTH buffers (a view is dropped once the
+    * purchase-side watermark passes `view_ts + withinMinutes + watermark`)
+    * — without the time bound the view buffer would grow forever. Inner
+    * join in append mode: a pair is emitted in the micro-batch where the
+    * later side arrives, exactly once through the checkpoint contract.
+    *
+    * Scale: state is keyed by user_id (the equi-join key), so the stateful
+    * shuffle partitions by user — skewless for event data, and the
+    * interval predicate prunes buffered rows per key. The batch twin
+    * [[attributionBatch]] shares the join/projection builder literally, so
+    * the spec's stream==batch assertion pins one definition, not two. */
+  def attributionJoinStream(views: DataFrame, purchases: DataFrame,
+                            withinMinutes: Int = 30,
+                            watermark: String = "1 hour"): DataFrame =
+    attributionJoined(
+      views.select(col("user_id"), col("ts").as("view_ts"))
+        .withWatermark("view_ts", watermark),
+      purchases.select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", watermark),
+      withinMinutes)
+
+  /** Batch twin of [[attributionJoinStream]] over a landed events table —
+    * the registered-query form (q_attribution_join). */
+  def attributionBatch(events: DataFrame, withinMinutes: Int = 30): DataFrame =
+    attributionJoined(
+      events.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts")),
+      events.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("purchase_ts")),
+      withinMinutes)
+
+  /** The ONE join condition + projection both twins share. `lag_secs` is
+    * floor((purchase − view) in whole seconds) computed over exact integer
+    * MICROS (`div`), not over second-truncated casts — truncating each side
+    * first would disagree with the oracle's `(Δus) // 1e6` on sub-second
+    * components. */
+  private def attributionJoined(v: DataFrame, p: DataFrame,
+                                withinMinutes: Int): DataFrame =
+    v.join(p,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") +
+            expr(s"INTERVAL $withinMinutes MINUTES"))
+      .select(col("user_id"), col("view_ts"), col("purchase_ts"),
+        call_function("div",
+          unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")),
+          lit(1000000L)).as("lag_secs"))
+
   /** Per-key running state: (event_type → cumulative count, cumulative value
     * sum) maintained across micro-batches via `mapGroupsWithState`. This is
     * the custom-state escape hatch for semantics windowed aggregation can't

@@ -61,6 +61,61 @@ class EventStreamsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("stream-stream attribution join equals batch per prefix; late purchase dropped") {
+    val views = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp)]
+    val q = EventStreams.attributionJoinStream(
+        views.toDF().toDF("user_id", "ts"),
+        purchases.toDF().toDF("user_id", "ts"),
+        withinMinutes = 30, watermark = "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("attr").start()
+
+    var fedV = Seq.empty[(Long, Timestamp)]
+    var fedP = Seq.empty[(Long, Timestamp)]
+    def feed(v: Seq[(Long, Timestamp)], p: Seq[(Long, Timestamp)]): Unit = {
+      fedV ++= v; fedP ++= p
+      if (v.nonEmpty) views.addData(v)
+      if (p.nonEmpty) purchases.addData(p)
+      q.processAllAvailable()
+    }
+    def got(): Set[(Long, Timestamp, Timestamp, Long)] =
+      spark.table("attr").as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+    def batchTwin(): Set[(Long, Timestamp, Timestamp, Long)] = {
+      val ev = (fedV.map { case (u, t) => (u, t, "view") } ++
+        fedP.map { case (u, t) => (u, t, "purchase") })
+        .toDF("user_id", "ts", "event_type")
+      EventStreams.attributionBatch(ev, withinMinutes = 30)
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+    }
+
+    // u1: purchase 10 min after the view joins (lag 600); u2's purchase is
+    // 60 min out — outside the window; u3 purchases with no view at all
+    feed(
+      Seq((1L, ts("2026-01-01T10:00:00Z")), (2L, ts("2026-01-01T10:00:00Z"))),
+      Seq((1L, ts("2026-01-01T10:10:00Z")), (2L, ts("2026-01-01T11:00:00Z")),
+        (3L, ts("2026-01-01T10:05:00Z"))))
+    assert(got() === batchTwin())
+    assert(got() === Set((1L, ts("2026-01-01T10:00:00Z"),
+      ts("2026-01-01T10:10:00Z"), 600L)))
+
+    // a LATER-ARRIVING view joins the purchase already buffered on the
+    // other side — both buffers hold rows inside the watermark horizon
+    feed(Seq((2L, ts("2026-01-01T10:45:00Z"))), Seq.empty)
+    assert(got() === batchTwin())
+    assert(got().contains((2L, ts("2026-01-01T10:45:00Z"),
+      ts("2026-01-01T11:00:00Z"), 900L)))
+
+    // advance both watermarks to ~13:00 − 1 h, then replay a purchase far
+    // behind them: dropped as late, no new pair (the matching view's state
+    // horizon has passed — bounded state is the point of the watermark)
+    feed(Seq((9L, ts("2026-01-01T13:00:00Z"))),
+      Seq((9L, ts("2026-01-01T13:00:01Z"))))
+    val before = got().size
+    feed(Seq.empty, Seq((1L, ts("2026-01-01T10:12:00Z"))))
+    assert(got().size === before)
+    q.stop()
+  }
+
   test("daily active users stream: closed days equal the batch DAU; dedup state evicts") {
     val in = MemoryStream[(Long, Timestamp)]
     val q = EventStreams.dailyActiveUsersStream(

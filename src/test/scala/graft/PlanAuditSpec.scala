@@ -536,6 +536,26 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("selection family: broadcast model joins, heap cuts, no range-join blowup") {
+    // DSIR scoring joins the ≤256-row bucket model — must broadcast, and
+    // the per-doc reduction must stay a hash aggregate (map-side combined)
+    val w = plan("q_dsir_weights")
+    assert(w.contains("BroadcastHashJoin"), s"lr model must broadcast:\n$w")
+    assert(!w.contains("SortMergeJoin"), s"no shuffle join for a 256-row model:\n$w")
+    // Gumbel selection is a top-k, never a global sort
+    assert(plan("q_dsir_select").contains("TakeOrderedAndProject(limit=50"))
+    // hard negatives: broadcast query vector + bounded-heap negative cut
+    val hn = plan("q_hard_negatives")
+    assert(hn.contains("TakeOrderedAndProject(limit=10"), s"negative cut must heap:\n$hn")
+    assert(!hn.contains("SortMergeJoin"), s"query vector must broadcast:\n$hn")
+    // the attribution interval join has an equi-key (user_id): the range
+    // predicates ride the hash/merge join as post-conditions, never a
+    // nested-loop
+    val aj = plan("q_attribution_join")
+    assert(!aj.contains("BroadcastNestedLoop") && !aj.contains("CartesianProduct"),
+      s"attribution join must use its user_id equi-key:\n$aj")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // Theta joins in the documented quadratic baselines become
     // BroadcastNestedLoopJoin (bounded side); an unconditional

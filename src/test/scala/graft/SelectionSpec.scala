@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Selection
+
+/** DSIR importance resampling + temperature mixing ([[graft.ops.Selection]]):
+  * the math contracts the oracle replay can't express — sign/ordering
+  * semantics of the weights, Gumbel selection invariants, and the tempered
+  * mixture's direction (alpha < 1 upsamples the tail). */
+class SelectionSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val isTarget = col("source") === "tgt"
+
+  /** Target = repeated natural phrase; raw pool has one doc sampled from
+    * the target distribution and one junk doc sharing no n-grams. */
+  private def corpus = Seq(
+    (0L, "tgt", "the quick brown fox jumps over the lazy dog"),
+    (1L, "tgt", "the quick brown fox naps under the lazy dog"),
+    (2L, "tgt", "a quick brown fox runs past the lazy dog"),
+    (10L, "raw", "the quick brown fox jumps over the lazy dog"),
+    (11L, "raw", "zzz9 qqq8 vvv7 kkk6 jjj5 xxx4 yyy3 www2 uuu1"),
+    (12L, "raw", "quick brown fox and lazy dog again and again")
+  ).toDF("doc_id", "source", "text")
+
+  test("importance weights rank in-distribution raw docs above junk") {
+    val w = Selection.importanceWeightsQuantized(corpus, isTarget)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(w.keySet === Set(10L, 11L, 12L)) // target rows are never scored
+    // the verbatim target clone outscores the partly-matching doc, which
+    // outscores the out-of-distribution junk — and junk is net-negative
+    // (its features live only in raw mass)
+    assert(w(10L) > w(12L) && w(12L) > w(11L))
+    assert(w(10L) > 0 && w(11L) < 0)
+  }
+
+  test("importance weights are a pure function of corpus content") {
+    val a = Selection.importanceWeightsQuantized(corpus, isTarget)
+      .as[(Long, String, Long)].collect().toSet
+    val b = Selection.importanceWeightsQuantized(corpus, isTarget)
+      .as[(Long, String, Long)].collect().toSet
+    assert(a === b)
+  }
+
+  test("feature buckets stay inside [0, buckets)") {
+    val bs = Selection.hashedFeatureBuckets(corpus, 64)
+      .select(col("b")).as[Long].collect()
+    assert(bs.nonEmpty && bs.forall(b => b >= 0 && b < 64))
+    // unigrams + bigrams, bag counts: doc 0 has 9 words -> 9 + 8 features
+    val n0 = Selection.hashedFeatureBuckets(corpus.where(col("doc_id") === 0), 64)
+      .count()
+    assert(n0 === 17)
+  }
+
+  test("gumbel top-k: k rows, distinct ids, keys strictly ordered, stable") {
+    val sel = Selection.dsirSelect(corpus, isTarget, k = 2)
+      .as[(Long, String, Long, Long)].collect()
+    assert(sel.length === 2)
+    assert(sel.map(_._1).distinct.length === 2)
+    assert(sel.map(_._4).toSeq === sel.map(_._4).sorted(Ordering[Long].reverse))
+    // the key adds doc-id-seeded Gumbel noise to the weight — re-running
+    // selects the identical set (stateless sampling)
+    val again = Selection.dsirSelect(corpus, isTarget, k = 2)
+      .as[(Long, String, Long, Long)].collect()
+    assert(sel.toSeq === again.toSeq)
+    // k >= pool size degrades to "all raw docs, ranked"
+    val all = Selection.dsirSelect(corpus, isTarget, k = 100).collect()
+    assert(all.length === 3)
+  }
+
+  test("gumbel noise never produces infinities across the id space") {
+    // u = (h48 + 1) / (2^48 + 1) is in the open interval even at the hash
+    // extremes; probe the formula over a spread of ids
+    val keys = Selection.dsirSelect(corpus, isTarget, k = 100)
+      .select(col("kq")).as[Long].collect()
+    assert(keys.forall(k => k != Long.MaxValue && k != Long.MinValue))
+  }
+
+  private def toyEmb = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),     // query
+    (1L, Array(0.99f, 0.1f, 0.0f)),    // best hit (rel ≈ .99494)
+    (2L, Array(0.99f, 0.101f, 0.0f)),  // near-duplicate of 1 (sim ≈ 1)
+    (3L, Array(0.9f, 0.0f, 0.436f)),   // diverse (rel = .9, sim(3,1) ≈ .895)
+    (4L, Array(0.0f, 0.7f, 0.7f))      // very diverse, rel = 0
+  ).toDF("vec_id", "embedding")
+
+  test("mmr: diversity picks displace the near-duplicate; λ=1 is pure top-k") {
+    // λ = 0.3 weighs diversity 7:3 — after picking 1, the orthogonal doc 4
+    // (score ≈ 3·0 − 7·.071 = −.50) beats diverse-3 (≈ −3.57) which beats
+    // the near-dup 2 (≈ 3·.9948 − 7·.99998 = −4.02): the near-dup is
+    // squeezed out of the top-3 entirely
+    val mmr = Selection.mmrRerank(toyEmb, queryId = 0L, nCandidates = 4,
+      k = 3, lambdaTenths = 3)
+      .select(col("rank"), col("vec_id")).as[(Long, Long)].collect().toSeq
+    assert(mmr.map(_._2) === Seq(1L, 4L, 3L))
+    val pure = Selection.mmrRerank(toyEmb, queryId = 0L, nCandidates = 4,
+      k = 3, lambdaTenths = 10)
+      .select(col("vec_id")).as[Long].collect().toSeq
+    assert(pure === Seq(1L, 2L, 3L)) // relevance order, diversity ignored
+  }
+
+  test("mmr: ranks are 1..k, ids distinct, k beyond pool degrades gracefully") {
+    val all = Selection.mmrRerank(toyEmb, queryId = 0L, nCandidates = 4,
+      k = 10, lambdaTenths = 7)
+      .select(col("rank"), col("vec_id")).as[(Long, Long)].collect().toSeq
+    assert(all.map(_._1) === (1L to 4L))
+    assert(all.map(_._2).distinct.length === 4)
+    intercept[IllegalArgumentException] {
+      Selection.mmrRerank(toyEmb, 0L, nCandidates = 1000, k = 10)
+    }
+  }
+
+  test("hard negatives: band membership exact, negative cut at k, order total") {
+    val got = Selection.hardNegatives(toyEmb, queryId = 0L,
+      posThreshold = 0.95, k = 1)
+      .select(col("label"), col("vec_id")).as[(String, Long)].collect().toSeq
+    // 1 and 2 sit in the ≥.95 positive band (cos ≈ .9949/.9948); the single
+    // hard negative is the best scorer below it (3, cos = .9) — 4 (cos 0)
+    // never surfaces
+    assert(got === Seq(("pos", 1L), ("pos", 2L), ("hard_neg", 3L)))
+    // k larger than the below-band pool returns all of it, positives first
+    val all = Selection.hardNegatives(toyEmb, 0L, posThreshold = 0.95, k = 10)
+      .select(col("label")).as[String].collect().toSeq
+    assert(all === Seq("pos", "pos", "hard_neg", "hard_neg"))
+  }
+
+  test("k-center per cell: farthest-point order, exhausted cells stop early") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),    // cell 0 seed (min id)
+      (2L, Array(0.95f, 0.31f)),  // near the seed
+      (3L, Array(0.8f, 0.6f)),    // farthest from the seed within cell 0
+      (4L, Array(0.0f, 1.0f)),    // cell 1 seed
+      (5L, Array(0.5f, 0.87f))    // cell 1's only other member
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((0, Array(1.0, 0.0)), (1, Array(0.0, 1.0)))
+      .toDF("cell", "centroid")
+    val got = Selection.kCenterPerCell(emb, cents, reps = 3)
+      .select(col("cell"), col("rank"), col("vec_id"))
+      .as[(Long, Long, Long)].collect().toSeq
+    // cell 0: seed 1, then 3 (cos .8 → spread .2 beats 2's .049), then 2;
+    // cell 1: seed 4, then 5 — and NO rank-3 row (cell exhausted)
+    assert(got === Seq((0L, 1L, 1L), (0L, 2L, 3L), (0L, 3L, 2L),
+      (1L, 1L, 4L), (1L, 2L, 5L)))
+    // rank-1 rows carry no spread; later ranks do
+    val spreads = Selection.kCenterPerCell(emb, cents, reps = 2)
+      .select(col("rank"), col("spread")).as[(Long, Option[Double])].collect()
+    assert(spreads.filter(_._1 == 1L).forall(_._2.isEmpty))
+    assert(spreads.filter(_._1 == 2L).forall(_._2.exists(_ > 0.0)))
+  }
+
+  test("temperature mix: alpha=1 is proportional, alpha<1 lifts the tail") {
+    val docs = (
+      (0L until 90L).map(i => (i, "big", "w " * 40)) ++
+      (0L until 10L).map(i => (100 + i, "small", "w " * 4))
+    ).toDF("doc_id", "source", "text")
+    val at1 = Selection.temperatureMix(docs, alpha = 1.0)
+      .select(col("source"), col("p"), col("q"), col("boost"))
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // proportional: q == p (within the 1e-6 quantization), boost == 1
+    assert(math.abs(at1("big")._3 - at1("big")._2) < 2e-6)
+    assert(math.abs(at1("small")._4 - 1.0) < 2e-5)
+    val at03 = Selection.temperatureMix(docs, alpha = 0.3)
+      .select(col("source"), col("p"), col("q"), col("boost"))
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // tempering lifts the under-represented source and dampens the head
+    assert(at03("small")._4 > 1.0 && at03("big")._4 < 1.0)
+    assert(at03("small")._3 > at1("small")._3)
+    // shares still sum to ~1
+    assert(math.abs(at03.values.map(_._3).sum - 1.0) < 1e-5)
+  }
+}
