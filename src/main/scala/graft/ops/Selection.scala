@@ -80,10 +80,16 @@ object Selection {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       val tt = counts.map(_._2).sum
       val tr = counts.map(_._3).sum
-      // Buckets absent from `counts` were touched by NO document, so no
-      // scored doc can join to them — the model only needs observed rows.
-      counts.map { case (b, ct, cr) =>
-        (b, math.log((ct + 1).toDouble / (tt + buckets).toDouble) -
+      // ALL buckets get a row: ones touched by no training document carry
+      // the smoothed zero-count ratio. Batch scoring never joins them (a
+      // corpus doc's buckets are by construction observed), but the
+      // STREAMING gate scores unseen documents whose features may hash to
+      // untouched buckets — the add-one smoothing is exactly what gives
+      // those a finite, correct log-ratio.
+      val byBucket = counts.map(c => c._1 -> c).toMap
+      Array.tabulate(buckets) { b =>
+        val (_, ct, cr) = byBucket.getOrElse(b.toLong, (b.toLong, 0L, 0L))
+        (b.toLong, math.log((ct + 1).toDouble / (tt + buckets).toDouble) -
           math.log((cr + 1).toDouble / (tr + buckets).toDouble))
       }
     }
@@ -116,6 +122,63 @@ object Selection {
           .as("sq"))
       .groupBy(col("doc_id"), col("source"))
       .agg(sum(col("sq")).as("s"))
+  }
+
+  /** STATELESS single-projection DSIR scorer — the same quantized weight
+    * `s = Σ_b round(c_b · lr_b · 1e6)` as [[importanceWeightsQuantized]],
+    * computed WITHOUT explode/aggregate stages: the ≤ `buckets`-element
+    * log-ratio array rides the plan as a literal, and the per-doc sum is
+    * ONE `aggregate` pass over the SORTED bucket array with run-length
+    * state (prev bucket, run count, accumulated sum) — O(F log F) per row
+    * in the sort plus O(F) lambda steps. (A first cut counted each
+    * distinct bucket with a `filter` scan — O(F·D) interpreted lambda
+    * evals per row, measured minutes at sf0.1; higher-order lambdas are
+    * interpreted, so per-element work must stay constant.) Because every
+    * stage is a per-row expression, this form composes with ANY streaming
+    * output mode — no state store, no stream-static join — which is
+    * exactly what the continuous-ingest gate needs
+    * ([[graft.streaming.EventStreams.dsirGateStream]]). Parallelism
+    * follows input splits, as for every per-row operator.
+    *
+    * Identity contract: on any document, this equals the exploded batch
+    * path VALUE-FOR-VALUE (same per-(bucket,count) rounding, integer sum
+    * — SelectionSpec asserts it), so the DuckDB oracles keep their one
+    * exploded derivation. Documents with features hashing to buckets the
+    * TRAINING corpus never touched (impossible in the batch self-scoring
+    * shape, routine for unseen streaming docs) read the smoothed
+    * zero-count ratio [[dsirModel]] now materializes for every bucket. */
+  def dsirScoredStateless(docs: DataFrame, model: Array[(Long, Double)],
+                          buckets: Int = DefaultBuckets): DataFrame = {
+    require(model.length == buckets,
+      s"model must cover all $buckets buckets, got ${model.length} rows " +
+        "(build it with dsirModel, which materializes every bucket)")
+    val lrArr: Seq[Double] = model.sortBy(_._1).map(_._2).toSeq
+    docs
+      .withColumn("__w", TextOps.wordsSafe(col("text")))
+      .withColumn("__bs",
+        transform(concat(col("__w"), TextOps.shingles(col("__w"), 2)),
+          f => TextOps.shingleHash(f) % buckets))
+      .withColumn("s", {
+        // round(run · lr_b · 1e6) — the exploded path's exact per-(bucket,
+        // count) quantization; integer additions commute, so the bucket-
+        // sorted accumulation equals the exploded sum value-for-value
+        def contrib(prev: Column, run: Column): Column =
+          when(prev < 0L, lit(0L)).otherwise(
+            round(run.cast("double") *
+              element_at(typedlit(lrArr), (prev + lit(1L)).cast("int")) *
+              lit(1e6)).cast("long"))
+        aggregate(array_sort(col("__bs")),
+          struct(lit(-1L).as("prev"), lit(0L).as("run"), lit(0L).as("acc")),
+          (st, b) => when(b === st.getField("prev"),
+            struct(b.as("prev"), (st.getField("run") + lit(1L)).as("run"),
+              st.getField("acc").as("acc")))
+            .otherwise(struct(b.as("prev"), lit(1L).as("run"),
+              (st.getField("acc") +
+                contrib(st.getField("prev"), st.getField("run"))).as("acc"))),
+          st => st.getField("acc") +
+            contrib(st.getField("prev"), st.getField("run")))
+      })
+      .drop("__w", "__bs")
   }
 
   /** 2^48 + 1 — the Gumbel uniform's denominator: `u = (h48 + 1) / D` maps
@@ -205,7 +268,20 @@ object Selection {
         round(Similarity.cosine(col("x.embedding"), col("y.embedding")) *
           lit(1e6)).cast("long").as("simq"))
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
-    // greedy argmax over exact longs
+    import spark.implicits._
+    greedyMmr(cand, sims, k, lambdaTenths)
+      .map { case (rank, id, relq, scoreq) => (rank, id, relq / 1e6, scoreq / 1e7) }
+      .toDF("rank", "vec_id", "rel", "mmr")
+      .select(col("rank"), col("vec_id"),
+        round(col("rel"), 6).as("rel"), round(col("mmr"), 7).as("mmr"))
+  }
+
+  /** The ONE greedy-MMR argmax both serving shapes share: pure integer
+    * arithmetic over the collected candidate/sim matrices, ties to the
+    * smaller id. Returns (rank, id, relq, scoreq). */
+  private def greedyMmr(cand: Array[(Long, Long)],
+                        sims: Map[(Long, Long), Long], k: Int,
+                        lambdaTenths: Int): Seq[(Long, Long, Long, Long)] = {
     val lam = lambdaTenths.toLong
     val remaining = scala.collection.mutable.LinkedHashMap(cand: _*)
     val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
@@ -220,12 +296,57 @@ object Selection {
       picked += best
       remaining.remove(best._1)
     }
-    import spark.implicits._
     picked.toSeq.zipWithIndex.map { case ((id, relq, scoreq), i) =>
-      (i + 1L, id, relq / 1e6, scoreq / 1e7)
-    }.toDF("rank", "vec_id", "rel", "mmr")
-      .select(col("rank"), col("vec_id"),
-        round(col("rel"), 6).as("rel"), round(col("mmr"), 6).as("mmr"))
+      (i + 1L, id, relq, scoreq)
+    }
+  }
+
+  /** BATCHED MMR re-rank — the serving-matrix twin of [[mmrRerank]]: every
+    * panel query's candidates come from ONE broadcast corpus pass (cut
+    * per query by the bounded-heap [[graft.plans.GroupedTopK]]), the
+    * pairwise sims for the UNION candidate set from one more, and the
+    * greedy loops run driver-side over the bounded per-query matrices.
+    * Per-query output is IDENTICAL to the single-query operator
+    * (SelectionSpec asserts it) — the batch shares passes, never changes
+    * results. */
+  def mmrRerankBatch(emb: DataFrame, queryIds: Seq[Long], nCandidates: Int,
+                     k: Int, lambdaTenths: Int = 7): DataFrame = {
+    require(queryIds.nonEmpty && queryIds.size <= 64,
+      s"bounded query panel expected, got ${queryIds.size}")
+    require(nCandidates <= 256,
+      s"mmrRerankBatch collects candidate matrices driver-side; " +
+        s"nCandidates=$nCandidates exceeds the 256 serving bound")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val queries = emb.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = emb.join(broadcast(queries))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(Similarity.cosine(col("embedding"), col("qv")) * lit(1e6))
+          .cast("long").as("relq"))
+    val cand = graft.plans.GroupedTopK.topK(scored, Seq("query_id"),
+        Seq("relq" -> true, "vec_id" -> false), nCandidates)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ids = cand.map(_._2).distinct.toSeq
+    val cemb = emb.where(col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), col("embedding"))
+    val sims = cemb.as("x").join(cemb.as("y"),
+        col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        round(Similarity.cosine(col("x.embedding"), col("y.embedding")) *
+          lit(1e6)).cast("long").as("simq"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val rows = cand.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (qid, rs) =>
+      greedyMmr(rs.map(r => (r._2, r._3)), sims, k, lambdaTenths)
+        .map { case (rank, id, relq, scoreq) =>
+          (qid, rank, id, relq / 1e6, scoreq / 1e7)
+        }
+    }
+    rows.toDF("query_id", "rank", "vec_id", "rel", "mmr")
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("rel"), 6).as("rel"), round(col("mmr"), 7).as("mmr"))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** Hard-negative mining for contrastive/embedding training: for one

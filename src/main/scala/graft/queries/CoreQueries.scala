@@ -719,6 +719,34 @@ object CoreQueries {
       |  AND pts >= vts AND pts <= vts + INTERVAL 30 MINUTE
       |ORDER BY v.user_id, view_ts, purchase_ts, lag_secs""".stripMargin
 
+  /** LEFT-OUTER attribution — the funnel view: unconverted views keep a
+    * row with null purchase columns (streaming twin
+    * `attributionJoinStreamOuter` emits exactly those rows when the
+    * watermark closes the window). Nulls sort LAST on both engines by the
+    * explicit ordering below. */
+  def attributionOuter(s: SparkSession, d: String): DataFrame =
+    graft.streaming.EventStreams.attributionBatch(events(s, d),
+        withinMinutes = 30, joinType = "left_outer")
+      .select(col("user_id"),
+        date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        col("lag_secs"))
+      .orderBy(col("user_id"), col("view_ts"),
+        col("purchase_ts").asc_nulls_last, col("lag_secs").asc_nulls_last)
+
+  val attributionOuterSql: String =
+    """WITH v AS (SELECT user_id, ts::TIMESTAMP AS vts FROM events
+      |           WHERE event_type = 'view'),
+      |p AS (SELECT user_id AS p_user, ts::TIMESTAMP AS pts FROM events
+      |      WHERE event_type = 'purchase')
+      |SELECT v.user_id,
+      |       strftime(vts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+      |       strftime(pts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+      |       ((epoch_us(pts) - epoch_us(vts)) // 1000000)::BIGINT AS lag_secs
+      |FROM v LEFT JOIN p ON v.user_id = p.p_user
+      |  AND pts >= vts AND pts <= vts + INTERVAL 30 MINUTE
+      |ORDER BY v.user_id, view_ts, purchase_ts NULLS LAST, lag_secs NULLS LAST""".stripMargin
+
   /** §2.9 extension — hourly volume ANOMALY detection with an
     * integer-exact variance test: hours whose event count deviates from
     * the global hourly mean by more than 3σ, decided WITHOUT sqrt or

@@ -6565,8 +6565,57 @@ object PipelineQueries {
        |$steps
        |SELECT rank::BIGINT AS rank, vec_id,
        |       round(relq::DOUBLE / 1e6, 6) AS rel,
-       |       round(scoreq::DOUBLE / 1e7, 6) AS mmr
+       |       round(scoreq::DOUBLE / 1e7, 7) AS mmr
        |FROM sel9 ORDER BY rank""".stripMargin)
+  }
+
+  /** BATCHED MMR over the vec_id < 5 panel (the annLshBatch convention):
+    * one corpus pass serves every query's candidates, per-query greedy
+    * identical to q_mmr_rerank ([[graft.ops.Selection.mmrRerankBatch]]). */
+  def mmrRerankBatchQ(s: SparkSession, d: String): DataFrame =
+    graft.ops.Selection.mmrRerankBatch(embeddings(s, d),
+      queryIds = Seq(0L, 1L, 2L, 3L, 4L), nCandidates = 25, k = 10,
+      lambdaTenths = 7)
+
+  /** Per-query unrolled greedy replay — the q_mmr_rerank oracle stamped
+    * once per panel member, CTEs suffixed by query id. */
+  val mmrRerankBatchSql: String = {
+    def block(q: Int): String = {
+      val steps = (1 until 10).map { i =>
+        s"""p${i}_$q AS (SELECT c.vec_id, c.relq,
+           |         7 * c.relq - 3 * max(s.simq) AS scoreq, ${i + 1} AS rank
+           |       FROM cand_$q c JOIN sims_$q s ON s.a = c.vec_id
+           |       WHERE s.b IN (SELECT vec_id FROM sel${i - 1}_$q)
+           |         AND c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1}_$q)
+           |       GROUP BY c.vec_id, c.relq
+           |       QUALIFY row_number() OVER (ORDER BY scoreq DESC, c.vec_id ASC) = 1),
+           |sel${i}_$q AS (SELECT * FROM sel${i - 1}_$q UNION ALL SELECT * FROM p${i}_$q)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""qv_$q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = $q),
+         |cand_$q AS (SELECT e.vec_id,
+         |           round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn) * 1e6)::BIGINT AS relq
+         |         FROM e, qv_$q q WHERE e.vec_id != $q
+         |         QUALIFY row_number() OVER (ORDER BY relq DESC, vec_id ASC) <= 25),
+         |sims_$q AS (SELECT x.vec_id AS a, y.vec_id AS b,
+         |           round(list_dot_product(ex.v, ey.v) / (ex.nrm * ey.nrm) * 1e6)::BIGINT AS simq
+         |         FROM cand_$q x JOIN cand_$q y ON x.vec_id != y.vec_id
+         |         JOIN e ex ON ex.vec_id = x.vec_id
+         |         JOIN e ey ON ey.vec_id = y.vec_id),
+         |sel0_$q AS (SELECT vec_id, relq, 7 * relq AS scoreq, 1 AS rank FROM cand_$q
+         |         QUALIFY row_number() OVER (ORDER BY relq DESC, vec_id ASC) = 1),
+         |$steps""".stripMargin
+    }
+    val finals = (0 to 4).map(q =>
+      s"""SELECT $q::BIGINT AS query_id, rank::BIGINT AS rank, vec_id,
+         |       round(relq::DOUBLE / 1e6, 6) AS rel,
+         |       round(scoreq::DOUBLE / 1e7, 7) AS mmr FROM sel9_$q"""
+        .stripMargin).mkString("\nUNION ALL\n")
+    materializeCtes(s"""WITH $duckNormed,
+       |${(0 to 4).map(block).mkString(",\n")}
+       |SELECT * FROM (
+       |$finals
+       |) ORDER BY query_id, rank""".stripMargin)
   }
 
   /** Distributed k-center diversity selection: 3 farthest-point
@@ -6618,6 +6667,69 @@ object PipelineQueries {
        |       round(mindq::DOUBLE / 1e6, 6) AS spread
        |FROM sel3 ORDER BY cell, rank""".stripMargin)
   }
+
+  /** DSIR importance GATE over the raw pool: keep documents whose
+    * quantized log importance weight is ≥ 0 (more target-like than
+    * raw-like) — scored by the STATELESS array-path scorer
+    * ([[graft.ops.Selection.dsirScoredStateless]], the same projection
+    * the streaming gate runs), while the oracle replays the EXPLODED
+    * derivation — so this row's hash match IS the cross-engine proof
+    * that the two scoring paths agree value-for-value on every kept
+    * doc. */
+  def dsirGate(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val model = graft.ops.Selection.dsirModel(docs, col("source") === "src0")
+    graft.ops.Selection
+      .dsirScoredStateless(docs.where(col("source") =!= "src0"), model)
+      .where(col("s") >= 0L)
+      .select(col("doc_id"), col("source"),
+        round(col("s").cast("double") / lit(1e6), 6).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dsirGateSql: String =
+    s"""WITH $duckDsirCtes
+       |SELECT doc_id, source, round(s::DOUBLE / 1e6, 6) AS weight
+       |FROM d WHERE s >= 0 ORDER BY doc_id""".stripMargin
+
+  /** DSIR gate COMPOSED with the token-budget mix (the q_token_budget_gated
+    * precedent — a selection signal becomes a curation decision): only
+    * docs passing the importance gate compete for the per-source token
+    * budgets. One oracle replays gate → rank → budget, so the driver
+    * grades the composition, not the pieces. */
+  def dsirGatedMix(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    // the EXPLODED (codegen'd) scorer — value-identical to the stateless
+    // path q_dsir_gate runs (spec-pinned), at ~4× less wall on this
+    // corpus shape; the gate joins survivors back for their text
+    val survivors = graft.ops.Selection
+      .importanceWeightsQuantized(docs, col("source") === "src0")
+      .where(col("s") >= 0L)
+      .select(col("doc_id"))
+    Curation.tokenBudgetMix(
+        docs.join(survivors, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("source"), col("text")),
+        Seq("src19" -> 60L), defaultBudget = 100L)
+      .orderBy(col("source"), col("cum_tokens"), col("doc_id"))
+  }
+
+  val dsirGatedMixSql: String =
+    s"""WITH $duckDsirCtes,
+       |surv AS (SELECT dd.doc_id, dd.source, dd.text
+       |         FROM documents dd JOIN d ON dd.doc_id = d.doc_id
+       |         WHERE d.s >= 0),
+       |r AS (SELECT source, doc_id,
+       |             md5(source || ':' || doc_id::VARCHAR) AS rnk,
+       |             len(${duckWordsOf("text")})::BIGINT AS tokens
+       |      FROM surv),
+       |c AS (SELECT source, doc_id, tokens,
+       |        CAST(sum(tokens) OVER (PARTITION BY source
+       |                               ORDER BY rnk, doc_id) AS BIGINT) AS cum_tokens
+       |      FROM r)
+       |SELECT source, doc_id, tokens, cum_tokens FROM c
+       |WHERE cum_tokens - tokens <
+       |      CASE source WHEN 'src19' THEN 60 ELSE 100 END
+       |ORDER BY source, cum_tokens, doc_id""".stripMargin
 
   /** Contrastive-pair mining for query 0: positives = the ≥ 0.35 band
     * (two fixture vectors clear it, so the oracle grades BOTH labels),

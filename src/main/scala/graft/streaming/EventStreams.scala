@@ -127,36 +127,53 @@ object EventStreams {
     * the spec's stream==batch assertion pins one definition, not two. */
   def attributionJoinStream(views: DataFrame, purchases: DataFrame,
                             withinMinutes: Int = 30,
-                            watermark: String = "1 hour"): DataFrame =
+                            watermark: String = "1 hour",
+                            joinType: String = "inner"): DataFrame =
     attributionJoined(
       views.select(col("user_id"), col("ts").as("view_ts"))
         .withWatermark("view_ts", watermark),
       purchases.select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
         .withWatermark("purchase_ts", watermark),
-      withinMinutes)
+      withinMinutes, joinType)
+
+  /** LEFT-OUTER variant — the conversion-funnel shape: every view emits,
+    * matched ones with their purchases as they arrive, UNMATCHED ones with
+    * null purchase columns exactly once, when the watermark proves no
+    * in-window purchase can still arrive. This is the streaming semantics
+    * batch can't fake: the null row's emission TIME is the state-eviction
+    * horizon itself. */
+  def attributionJoinStreamOuter(views: DataFrame, purchases: DataFrame,
+                                 withinMinutes: Int = 30,
+                                 watermark: String = "1 hour"): DataFrame =
+    attributionJoinStream(views, purchases, withinMinutes, watermark,
+      joinType = "leftOuter")
 
   /** Batch twin of [[attributionJoinStream]] over a landed events table —
-    * the registered-query form (q_attribution_join). */
-  def attributionBatch(events: DataFrame, withinMinutes: Int = 30): DataFrame =
+    * the registered-query forms (q_attribution_join inner,
+    * q_attribution_outer left-outer). */
+  def attributionBatch(events: DataFrame, withinMinutes: Int = 30,
+                       joinType: String = "inner"): DataFrame =
     attributionJoined(
       events.where(col("event_type") === "view")
         .select(col("user_id"), col("ts").as("view_ts")),
       events.where(col("event_type") === "purchase")
         .select(col("user_id").as("p_user"), col("ts").as("purchase_ts")),
-      withinMinutes)
+      withinMinutes, joinType)
 
-  /** The ONE join condition + projection both twins share. `lag_secs` is
+  /** The ONE join condition + projection all twins share. `lag_secs` is
     * floor((purchase − view) in whole seconds) computed over exact integer
     * MICROS (`div`), not over second-truncated casts — truncating each side
     * first would disagree with the oracle's `(Δus) // 1e6` on sub-second
-    * components. */
+    * components (null-propagating on unmatched left-outer rows). */
   private def attributionJoined(v: DataFrame, p: DataFrame,
-                                withinMinutes: Int): DataFrame =
+                                withinMinutes: Int,
+                                joinType: String): DataFrame =
     v.join(p,
         col("user_id") === col("p_user") &&
           col("purchase_ts") >= col("view_ts") &&
           col("purchase_ts") <= col("view_ts") +
-            expr(s"INTERVAL $withinMinutes MINUTES"))
+            expr(s"INTERVAL $withinMinutes MINUTES"),
+        joinType)
       .select(col("user_id"), col("view_ts"), col("purchase_ts"),
         call_function("div",
           unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")),
@@ -265,6 +282,22 @@ object EventStreams {
   def lmGateStream(docs: DataFrame, lm: graft.ops.LmScore.NgramLm,
                    maxNll: Double): DataFrame =
     graft.ops.LmScore.lmGate(docs, lm, maxNll)
+
+  /** Streaming DSIR importance gate — the distribution-match twin of
+    * [[lmGateStream]]: each landing document scores against the FROZEN
+    * hashed-n-gram bucket model (trained offline by
+    * [[graft.ops.Selection.dsirModel]]; ≤256 doubles riding the plan as a
+    * literal) via the stateless single-projection scorer, and only docs at
+    * least `minWeightQ` (1e-6-quantized log importance units) pass. No
+    * state store, no stream-static join — composes with every output
+    * mode; refresh the model by restarting the stream, the
+    * lmGateStream/Bloom lifecycle. Unseen features hash to buckets the
+    * training corpus never touched and read the smoothed zero-count
+    * ratio — finite by construction. */
+  def dsirGateStream(docs: DataFrame, model: Array[(Long, Double)],
+                     buckets: Int, minWeightQ: Long): DataFrame =
+    graft.ops.Selection.dsirScoredStateless(docs, model, buckets)
+      .where(col("s") >= minWeightQ)
 
   /** Continuous-ingest near-dup gate — the streaming twin of
     * [[graft.ops.Indexes.minhashNearDupsIncremental]]: each micro-batch of

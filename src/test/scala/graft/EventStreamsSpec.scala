@@ -116,6 +116,72 @@ class EventStreamsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("left-outer attribution stream: unmatched view emits nulls once, at the horizon") {
+    val views = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp)]
+    val q = EventStreams.attributionJoinStreamOuter(
+        views.toDF().toDF("user_id", "ts"),
+        purchases.toDF().toDF("user_id", "ts"),
+        withinMinutes = 30, watermark = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("attr_outer")
+      .start()
+    def got(): Seq[(Long, Timestamp, Option[Timestamp], Option[Long])] =
+      spark.table("attr_outer")
+        .as[(Long, Timestamp, Option[Timestamp], Option[Long])]
+        .collect().toSeq.sortBy(r => (r._1, r._2.getTime))
+    // u1 converts (emits immediately, matched); u2 never does
+    views.addData((1L, ts("2026-01-01T10:00:00Z")), (2L, ts("2026-01-01T10:00:00Z")))
+    purchases.addData((1L, ts("2026-01-01T10:10:00Z")))
+    q.processAllAvailable()
+    assert(got() === Seq((1L, ts("2026-01-01T10:00:00Z"),
+      Some(ts("2026-01-01T10:10:00Z")), Some(600L))))
+    // u2's null row must NOT appear until the watermark proves no purchase
+    // in [10:00, 10:30] can still arrive...
+    assert(!got().exists(_._1 == 2L))
+    // ...advance event time past 10:30 + 10 min watermark on BOTH sides
+    views.addData((9L, ts("2026-01-01T11:30:00Z")))
+    purchases.addData((9L, ts("2026-01-01T11:30:01Z")))
+    q.processAllAvailable()
+    q.processAllAvailable()
+    val u2 = got().filter(_._1 == 2L)
+    assert(u2 === Seq((2L, ts("2026-01-01T10:00:00Z"), None, None)),
+      s"unconverted view must emit exactly one null row, got $u2")
+    q.stop()
+  }
+
+  test("streaming DSIR gate: stateless scores equal batch per prefix, gate filters") {
+    import graft.ops.Selection
+    // frozen model trained offline on a tiny target/raw corpus
+    val train = Seq(
+      (0L, "tgt", "the quick brown fox jumps over the lazy dog"),
+      (1L, "tgt", "a quick brown fox runs past the lazy dog"),
+      (2L, "raw", "zzz9 qqq8 vvv7 kkk6 jjj5 xxx4 yyy3 www2 uuu1")
+    ).toDF("doc_id", "source", "text")
+    val model = Selection.dsirModel(train, col("source") === "tgt")
+    val in = MemoryStream[(Long, String, String)]
+    val q = EventStreams.dsirGateStream(
+        in.toDF().toDF("doc_id", "source", "text"),
+        model, Selection.DefaultBuckets, minWeightQ = 0L)
+      .writeStream.outputMode("append").format("memory").queryName("dsir_gate")
+      .start()
+    var fed = Seq.empty[(Long, String, String)]
+    def feed(rows: (Long, String, String)*): Unit = {
+      fed ++= rows; in.addData(rows); q.processAllAvailable()
+    }
+    def got(): Map[Long, Long] = spark.table("dsir_gate")
+      .select(col("doc_id"), col("s")).as[(Long, Long)].collect().toMap
+    feed((10L, "s", "the quick brown fox jumps over the lazy dog"),
+      (11L, "s", "qqq8 vvv7 kkk6 jjj5"))
+    feed((12L, "s", "quick brown fox and lazy dog"))
+    // the gate keeps exactly the docs the batch scorer puts at >= 0
+    val batch = Selection
+      .dsirScoredStateless(fed.toDF("doc_id", "source", "text"), model)
+      .select(col("doc_id"), col("s")).as[(Long, Long)].collect().toMap
+    assert(got() === batch.filter(_._2 >= 0L))
+    assert(got().contains(10L) && !got().contains(11L)) // junk gated out
+    q.stop()
+  }
+
   test("daily active users stream: closed days equal the batch DAU; dedup state evicts") {
     val in = MemoryStream[(Long, Timestamp)]
     val q = EventStreams.dailyActiveUsersStream(

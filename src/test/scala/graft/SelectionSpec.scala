@@ -112,6 +112,68 @@ class SelectionSpec extends AnyFunSuite {
     }
   }
 
+  test("stateless array-path scorer equals the exploded batch path doc-for-doc") {
+    val model = Selection.dsirModel(corpus, isTarget)
+    assert(model.length === Selection.DefaultBuckets) // every bucket present
+    val exploded = Selection.importanceWeightsQuantized(corpus, isTarget)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r._3).toMap
+    val stateless = Selection
+      .dsirScoredStateless(corpus.where(!isTarget), model)
+      .select(col("doc_id"), col("s")).as[(Long, Long)].collect().toMap
+    assert(stateless === exploded)
+  }
+
+  test("stateless == exploded on the REAL fixture corpus (sf0.001)") {
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val tgt = col("source") === "src0"
+    val model = Selection.dsirModel(docs, tgt)
+    val exploded = Selection.importanceWeightsQuantized(docs, tgt)
+      .select(col("doc_id"), col("s")).as[(Long, Long)].collect().toMap
+    val stateless = Selection
+      .dsirScoredStateless(docs.where(!tgt), model)
+      .select(col("doc_id"), col("s")).as[(Long, Long)].collect().toMap
+    assert(stateless === exploded)
+    assert(stateless.nonEmpty)
+  }
+
+  test("stateless scorer is finite on features the training corpus never saw") {
+    // deliberately UNBALANCED totals (tt=34 vs tr=17): the zero-count
+    // bucket ratio ln((tr+B)/(tt+B)) is then strictly negative, so unseen
+    // features must contribute — on the main `corpus` fixture the totals
+    // tie exactly and the smoothed default is 0 by construction, which is
+    // correct but proves nothing
+    val train = Seq(
+      (0L, "tgt", "the quick brown fox jumps over the lazy dog"),
+      (1L, "tgt", "a quick brown fox runs past the lazy dog"),
+      (2L, "raw", "zzz9 qqq8 vvv7 kkk6 jjj5 xxx4 yyy3 www2 uuu1")
+    ).toDF("doc_id", "source", "text")
+    val model = Selection.dsirModel(train, isTarget)
+    val unseen = Seq((99L, "raw", "totallyunseen wordsoup zxqv blorp"))
+      .toDF("doc_id", "source", "text")
+    val s = Selection.dsirScoredStateless(unseen, model)
+      .select(col("s")).as[Long].collect().head
+    // all-unseen features read the smoothed zero-count buckets: finite,
+    // raw-leaning (negative) because the target mass dominates the model
+    assert(s < 0L && math.abs(s) < 100000000L)
+  }
+
+  test("mmr batch: per-query identity with the single-query operator") {
+    val emb = toyEmb.union(Seq((5L, Array(0.7f, 0.7f, 0.1f)))
+      .toDF("vec_id", "embedding"))
+    val batch = Selection.mmrRerankBatch(emb, queryIds = Seq(0L, 5L),
+      nCandidates = 4, k = 3, lambdaTenths = 3)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("rel"), col("mmr"))
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    for (q <- Seq(0L, 5L)) {
+      val single = Selection.mmrRerank(emb, q, nCandidates = 4, k = 3,
+        lambdaTenths = 3)
+        .select(col("rank"), col("vec_id"), col("rel"), col("mmr"))
+        .as[(Long, Long, Double, Double)].collect().toSeq
+      assert(batch.filter(_._1 == q).map(r => (r._2, r._3, r._4, r._5)) === single,
+        s"batch row set must equal the single operator for query $q")
+    }
+  }
+
   test("hard negatives: band membership exact, negative cut at k, order total") {
     val got = Selection.hardNegatives(toyEmb, queryId = 0L,
       posThreshold = 0.95, k = 1)
