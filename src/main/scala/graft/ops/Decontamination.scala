@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination: find training documents that share word
@@ -289,6 +289,48 @@ object Decontamination {
         col("first_train_pos"), col("first_eval_pos"),
         least(run + lit(windowN - 1), col("ntok").cast("long"))
           .as("longest_run_tokens"))
+  }
+
+  /** SEMANTIC decontamination — the embedding-space twin of the token
+    * n-gram checks above: a training vector is contaminated if it scores
+    * at least `threshold` cosine against ANY eval-set vector (paraphrased
+    * or templated benchmark leakage that shares no 5-gram). Candidates
+    * come from the committed banded-LSH index — the eval side's index rows
+    * equi-join the corpus side's on (table, band key), so the pass is
+    * bucketed, never an |eval|×|corpus| product; the exact cosine confirm
+    * runs only on bucket collisions. Recall is the LSH banding recall, the
+    * same contract (and measured story) as q_embedding_near_dups.
+    *
+    * Returns one row per contaminated training vector: `(vec_id, eval_id,
+    * cos)` with its best-scoring eval match (ties to the smaller eval_id)
+    * — the removal list plus the evidence a leakage audit needs.
+    *
+    * Scale shape: two index scans (eval slice semi-filtered), a band-key
+    * equi-join, distinct candidate pairs, exact re-rank over candidates,
+    * one max_by per contaminated vector (map-side combined). Tombstones
+    * fold at the index read like every probe ([[Indexes.readLshIndex]]). */
+  def semanticDecontaminate(emb: DataFrame, indexPath: String,
+                            isEval: Column, threshold: Double): DataFrame = {
+    val spark = emb.sparkSession
+    val idx = Indexes.readLshIndex(spark, indexPath)
+    val evalIds = emb.where(isEval).select(col("vec_id"))
+    val evalIdx = idx.join(evalIds, Seq("vec_id"), "left_semi")
+      .select(col("t"), col("key"), col("vec_id").as("eval_id"))
+    val corpusIdx = idx.join(evalIds, Seq("vec_id"), "left_anti")
+      .select(col("t"), col("key"), col("vec_id"))
+    val e = emb.select(col("vec_id"), col("embedding"))
+    corpusIdx.join(evalIdx, Seq("t", "key"))
+      .select(col("vec_id"), col("eval_id")).distinct()
+      .join(e, Seq("vec_id"))
+      .join(e.select(col("vec_id").as("eval_id"), col("embedding").as("emb_e")),
+        Seq("eval_id"))
+      .select(col("vec_id"), col("eval_id"),
+        Similarity.cosRound(col("embedding"), col("emb_e"), 6).as("cos"))
+      .where(col("cos") >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("eval_id"), col("cos")),
+        struct(col("cos"), -col("eval_id"))).as("m"))
+      .select(col("vec_id"), col("m.eval_id").as("eval_id"), col("m.cos").as("cos"))
   }
 
   /** Per-source audit over [[contaminatedDocsBloom]] — same output contract

@@ -2269,6 +2269,48 @@ object PipelineQueries {
        |  FROM cand JOIN e x ON cand.vec_a = x.vec_id JOIN e y ON cand.vec_b = y.vec_id)
        |WHERE cos > 0.4 ORDER BY vec_a, vec_b""".stripMargin
 
+  /** SEMANTIC decontamination over the shared flat LSH index
+    * ([[graft.ops.Decontamination.semanticDecontaminate]]): training
+    * vectors scoring ≥ 0.35 against any of the 25 eval vectors, each with
+    * its best eval match — benchmark leakage that shares no token n-gram.
+    * Bucketed cross-set probe, never an |eval|×|corpus| product. */
+  def semanticDecontaminateQ(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    // the near-dup family's banding (floor-6 scaled bits, 8 tables, flat
+    // layout) — the SAME shared index q_embedding_near_dups probes, and
+    // the banding the oracle replays; the floor-4 annLshBits config is
+    // the ANN-serving family's, not this one's
+    val b = Similarity.scaledBandBits(corpusCount(emb))
+    val idx = graft.ops.Indexes.ensureLshIndex(s, emb, d, bBits = b, lTables = 8,
+      partitionByBucket = false)
+    graft.ops.Decontamination
+      .semanticDecontaminate(emb, idx, col("vec_id") < 25, threshold = 0.35)
+      .orderBy(col("vec_id"))
+  }
+
+  val semanticDecontaminateSql: String =
+    s"""WITH $duckNormed,
+       |nb AS (SELECT greatest(6, (SELECT min(i)::INTEGER
+       |                           FROM range(0, 33) t(i), (SELECT count(*) AS n FROM e) cn
+       |                           WHERE (32::BIGINT << i) >= cn.n)) AS bits),
+       |pl AS (SELECT j, p FROM ${Similarity.planesSqlValues(128, 64, 42L)}),
+       |bk AS (SELECT e.vec_id, (pl.j // nb.bits) AS t,
+       |         sum(CASE WHEN list_dot_product(e.v, pl.p) > 0 THEN (1::BIGINT << (pl.j % nb.bits)) ELSE 0 END)::BIGINT AS key
+       |       FROM e CROSS JOIN pl, nb WHERE pl.j < nb.bits * 8
+       |       GROUP BY e.vec_id, (pl.j // nb.bits)),
+       |cand AS (SELECT DISTINCT c.vec_id, ev.vec_id AS eval_id
+       |         FROM bk c JOIN bk ev ON c.t = ev.t AND c.key = ev.key
+       |         WHERE c.vec_id >= 25 AND ev.vec_id < 25),
+       |sc AS (SELECT cand.vec_id, cand.eval_id,
+       |         round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS cos
+       |       FROM cand JOIN e x ON cand.vec_id = x.vec_id
+       |                 JOIN e y ON cand.eval_id = y.vec_id)
+       |SELECT vec_id, eval_id, cos FROM sc
+       |WHERE cos >= 0.35
+       |QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                           ORDER BY cos DESC, eval_id ASC) = 1
+       |ORDER BY vec_id""".stripMargin
+
   /** Index observability ([[graft.ops.Indexes.lshIndexStats]]): bucket
     * occupancy per table of the shared corpus-scaled flat index — the
     * `imbalance` (max/mean occupancy) column is the alert line for the

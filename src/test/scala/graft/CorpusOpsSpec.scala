@@ -172,4 +172,34 @@ class CorpusOpsSpec extends AnyFunSuite {
       .groupBy("source").count().as[(String, Long)].collect().toMap
     assert(again === sampled)
   }
+
+  test("semantic decontamination: planted clone caught, clean vectors kept") {
+    // eval 0 leaks VERBATIM into train 30 (cos = 1 -> identical band keys
+    // in every table, so LSH recall is 1 for this pair by construction);
+    // train 31 is a near-copy of eval 1; train 32 points the opposite way
+    val base = java.nio.file.Files.createTempDirectory("semdecon").toString
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(8)(k => (graft.ops.TextOps.mix64(seed * 8 + k) % 1000).toFloat)
+    val rows =
+      (0L until 10L).map(i => (i, vec(i.toInt))) ++            // eval panel
+      (10L until 30L).map(i => (i, vec(i.toInt))) :+           // clean train
+      (30L, vec(0)) :+                                         // verbatim leak of eval 0
+      (31L, vec(1).zipWithIndex.map { case (v, k) => if (k == 0) v + 1f else v }) :+
+      (32L, vec(2).map(v => -v))                               // anti-correlated
+    rows.toDF("vec_id", "embedding").write.mode("overwrite").parquet(s"$base/emb")
+    val emb = spark.read.parquet(s"$base/emb")
+    val idx = graft.ops.Indexes.ensureLshIndex(spark, emb, s"$base/corpus",
+      bBits = 3, lTables = 4, dim = 8, partitionByBucket = false)
+    val got = graft.ops.Decontamination
+      .semanticDecontaminate(emb, idx, col("vec_id") < 10, threshold = 0.999)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.contains(30L) && got(30L)._1 === 0L && got(30L)._2 === 1.0)
+    assert(got.contains(31L) && got(31L)._1 === 1L) // near-copy still >= .999
+    assert(!got.contains(32L) && !got.keys.exists(_ < 10L))
+    // lowering the bar keeps the argmax contract: best eval match reported
+    val loose = graft.ops.Decontamination
+      .semanticDecontaminate(emb, idx, col("vec_id") < 10, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(loose.map(_._1).distinct.length === loose.length) // one row per vec
+  }
 }
