@@ -719,6 +719,73 @@ object CoreQueries {
       |  AND pts >= vts AND pts <= vts + INTERVAL 30 MINUTE
       |ORDER BY v.user_id, view_ts, purchase_ts, lag_secs""".stripMargin
 
+  private val attrEquivSeq = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** The STREAMING attribution join as its own registered query — the
+    * q_image_store_stream_equiv promotion applied to the stream-stream
+    * join: the events fixture replays through the file-source stream,
+    * [[graft.streaming.EventStreams.attributionJoinStream]] runs for
+    * real (watermarks, join-state buffers, append sink), and the emitted
+    * rows are graded by the SAME DuckDB oracle as the batch form — inner
+    * stream-stream joins emit every match once all input is processed,
+    * so stream == batch exactly. Output is materialized to a local frame
+    * and the memory-sink table dropped, so repeated bench iterations
+    * don't accumulate sink state. */
+  def attributionStreamEquiv(s: SparkSession, d: String): DataFrame = {
+    // the file stream source requires a DIRECTORY landing zone; stage the
+    // fixture file into one (hardlink when the filesystem allows, copy
+    // otherwise) — the same shape a production landing zone has
+    val landing = java.nio.file.Files.createTempDirectory("attr_eq_land")
+    val src = java.nio.file.Paths.get(s"$d/events.parquet")
+    val dst = landing.resolve("events.parquet")
+    try java.nio.file.Files.createLink(dst, src)
+    catch { case _: Exception =>
+      java.nio.file.Files.copy(src, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    // a 10% USER slice: attribution is user-local, so a user-sliced
+    // stream proves identical semantics while the stateful join buffers
+    // a tenth of the state — the bench then prices the streaming
+    // machinery, not fixture replay volume
+    val ev = graft.streaming.EventStreams.readEvents(s, landing.toString)
+      .where(col("user_id") % 10 === 0)
+    val name = s"attr_stream_equiv_${attrEquivSeq.incrementAndGet()}"
+    val ckpt = java.nio.file.Files.createTempDirectory("attr_eq").toString
+    val q = graft.streaming.EventStreams.attributionJoinStream(
+        ev.where(col("event_type") === "view"),
+        ev.where(col("event_type") === "purchase"),
+        withinMinutes = 30, watermark = "1 hour")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    val out = s.table(name)
+      .select(col("user_id"),
+        date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        col("lag_secs"))
+    val local = s.createDataFrame(
+      java.util.Arrays.asList(out.collect(): _*), out.schema)
+    s.catalog.dropTempView(name)
+    local.orderBy(col("user_id"), col("view_ts"), col("purchase_ts"),
+      col("lag_secs"))
+  }
+
+  /** The batch derivation over the same 10% user slice the streaming
+    * query replays — stream == batch, one oracle body. */
+  val attributionStreamEquivSql: String =
+    """WITH v AS (SELECT user_id, ts::TIMESTAMP AS vts FROM events
+      |           WHERE event_type = 'view' AND user_id % 10 = 0),
+      |p AS (SELECT user_id, ts::TIMESTAMP AS pts FROM events
+      |      WHERE event_type = 'purchase' AND user_id % 10 = 0)
+      |SELECT v.user_id,
+      |       strftime(vts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+      |       strftime(pts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+      |       ((epoch_us(pts) - epoch_us(vts)) // 1000000)::BIGINT AS lag_secs
+      |FROM v JOIN p ON v.user_id = p.user_id
+      |  AND pts >= vts AND pts <= vts + INTERVAL 30 MINUTE
+      |ORDER BY v.user_id, view_ts, purchase_ts, lag_secs""".stripMargin
+
   /** LEFT-OUTER attribution — the funnel view: unconverted views keep a
     * row with null purchase columns (streaming twin
     * `attributionJoinStreamOuter` emits exactly those rows when the
