@@ -126,17 +126,18 @@ object Selection {
 
   /** STATELESS single-projection DSIR scorer — the same quantized weight
     * `s = Σ_b round(c_b · lr_b · 1e6)` as [[importanceWeightsQuantized]],
-    * computed WITHOUT explode/aggregate stages: the ≤ `buckets`-element
-    * log-ratio array rides the plan as a literal, and the per-doc sum is
-    * ONE `aggregate` pass over the SORTED bucket array with run-length
-    * state (prev bucket, run count, accumulated sum) — O(F log F) per row
-    * in the sort plus O(F) lambda steps. (A first cut counted each
-    * distinct bucket with a `filter` scan — O(F·D) interpreted lambda
-    * evals per row, measured minutes at sf0.1; higher-order lambdas are
-    * interpreted, so per-element work must stay constant.) Because every
-    * stage is a per-row expression, this form composes with ANY streaming
-    * output mode — no state store, no stream-static join — which is
-    * exactly what the continuous-ingest gate needs
+    * computed WITHOUT explode/aggregate stages by the NATIVE codegen
+    * expression [[graft.functions.DsirScore]]: the ≤ `buckets`-element
+    * log-ratio array rides the plan as a referenced model object, and the
+    * whole per-row pipeline (tokenize → n-grams → md5 buckets → quantized
+    * sum) is one compiled call fused into whole-stage codegen. The two
+    * rejected shapes are documented on the expression: a `filter`-count
+    * HOF was O(F·D) interpreted lambda evals per row (minutes at sf0.1),
+    * the sorted run-length HOF O(F log F) but still interpreted per
+    * element (5.4 s at sf0.1); the native kernel reads ~1 s. Because the
+    * scorer is a per-row expression, this form composes with ANY
+    * streaming output mode — no state store, no stream-static join —
+    * which is exactly what the continuous-ingest gate needs
     * ([[graft.streaming.EventStreams.dsirGateStream]]). Parallelism
     * follows input splits, as for every per-row operator.
     *
@@ -152,33 +153,9 @@ object Selection {
     require(model.length == buckets,
       s"model must cover all $buckets buckets, got ${model.length} rows " +
         "(build it with dsirModel, which materializes every bucket)")
-    val lrArr: Seq[Double] = model.sortBy(_._1).map(_._2).toSeq
-    docs
-      .withColumn("__w", TextOps.wordsSafe(col("text")))
-      .withColumn("__bs",
-        transform(concat(col("__w"), TextOps.shingles(col("__w"), 2)),
-          f => TextOps.shingleHash(f) % buckets))
-      .withColumn("s", {
-        // round(run · lr_b · 1e6) — the exploded path's exact per-(bucket,
-        // count) quantization; integer additions commute, so the bucket-
-        // sorted accumulation equals the exploded sum value-for-value
-        def contrib(prev: Column, run: Column): Column =
-          when(prev < 0L, lit(0L)).otherwise(
-            round(run.cast("double") *
-              element_at(typedlit(lrArr), (prev + lit(1L)).cast("int")) *
-              lit(1e6)).cast("long"))
-        aggregate(array_sort(col("__bs")),
-          struct(lit(-1L).as("prev"), lit(0L).as("run"), lit(0L).as("acc")),
-          (st, b) => when(b === st.getField("prev"),
-            struct(b.as("prev"), (st.getField("run") + lit(1L)).as("run"),
-              st.getField("acc").as("acc")))
-            .otherwise(struct(b.as("prev"), lit(1L).as("run"),
-              (st.getField("acc") +
-                contrib(st.getField("prev"), st.getField("run"))).as("acc"))),
-          st => st.getField("acc") +
-            contrib(st.getField("prev"), st.getField("run")))
-      })
-      .drop("__w", "__bs")
+    val lrArr: Array[Double] = model.sortBy(_._1).map(_._2)
+    docs.withColumn("s",
+      graft.functions.DsirScore.scoreCol(col("text"), lrArr))
   }
 
   /** 2^48 + 1 — the Gumbel uniform's denominator: `u = (h48 + 1) / D` maps

@@ -6741,17 +6741,15 @@ object PipelineQueries {
     * grades the composition, not the pieces. */
   def dsirGatedMix(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    // the EXPLODED (codegen'd) scorer — value-identical to the stateless
-    // path q_dsir_gate runs (spec-pinned), at ~4× less wall on this
-    // corpus shape; the gate joins survivors back for their text
+    // the native single-projection scorer ([[graft.functions.DsirScore]])
+    // — value-identical to the exploded path (spec + q_dsir_gate's
+    // oracle), and the gate stays a per-row predicate: no join at all
+    val model = graft.ops.Selection.dsirModel(docs, col("source") === "src0")
     val survivors = graft.ops.Selection
-      .importanceWeightsQuantized(docs, col("source") === "src0")
+      .dsirScoredStateless(docs.where(col("source") =!= "src0"), model)
       .where(col("s") >= 0L)
-      .select(col("doc_id"))
-    Curation.tokenBudgetMix(
-        docs.join(survivors, Seq("doc_id"), "left_semi")
-          .select(col("doc_id"), col("source"), col("text")),
-        Seq("src19" -> 60L), defaultBudget = 100L)
+      .select(col("doc_id"), col("source"), col("text"))
+    Curation.tokenBudgetMix(survivors, Seq("src19" -> 60L), defaultBudget = 100L)
       .orderBy(col("source"), col("cum_tokens"), col("doc_id"))
   }
 
