@@ -1328,6 +1328,51 @@ object CoreQueries {
       .orderBy(col("bucket"))
   }
 
+  /** Hilbert-clustered locality — [[zorderLocality]]'s measurement over
+    * the better curve ([[graft.functions.HilbertIndex]]): same two
+    * normalized dimensions, same top-8-bit bucketing, so the two
+    * queries' per-bucket spans compare directly (LayoutSpec additionally
+    * pins the curve axioms — bijectivity + unit-step adjacency — and
+    * measures the mean-span advantage on the fixture). */
+  def hilbertLocality(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Layout
+    val li = lineitem(s, d).select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("pk"))
+    val mm = li.agg(min(col("ok")).as("oklo"), max(col("ok")).as("okhi"),
+      min(col("pk")).as("pklo"), max(col("pk")).as("pkhi"))
+    val h = graft.functions.HilbertIndex.hilbert(
+      Layout.normalizeToBits(col("ok"), col("oklo"), col("okhi"), ZBits),
+      Layout.normalizeToBits(col("pk"), col("pklo"), col("pkhi"), ZBits),
+      ZBits)
+    li.join(broadcast(mm))
+      .select(shiftright(h, ZBits).as("bucket"), col("ok"), col("pk"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        (max(col("ok")) - min(col("ok"))).cast("long").as("ok_span"),
+        (max(col("pk")) - min(col("pk"))).cast("long").as("pk_span"))
+      .orderBy(col("bucket"))
+  }
+
+  val hilbertLocalitySql: String = {
+    val m = (1L << ZBits) - 1
+    val (ctes, last) =
+      graft.functions.HilbertIndex.hilbertSqlCtes("nv", ZBits, Seq("ok", "pk"))
+    s"""WITH mm AS (SELECT min(l_orderkey) AS oklo, max(l_orderkey) AS okhi,
+       |              min(l_partkey) AS pklo, max(l_partkey) AS pkhi
+       |            FROM lineitem),
+       |nv AS (SELECT l_orderkey AS ok, l_partkey AS pk,
+       |         CASE WHEN okhi > oklo
+       |           THEN (l_orderkey - oklo) * $m // (okhi - oklo) ELSE 0 END AS x,
+       |         CASE WHEN pkhi > pklo
+       |           THEN (l_partkey - pklo) * $m // (pkhi - pklo) ELSE 0 END AS y
+       |       FROM lineitem, mm),
+       |$ctes
+       |SELECT hd$ZBits >> $ZBits AS bucket, count(*) AS n,
+       |       (max(ok) - min(ok))::BIGINT AS ok_span,
+       |       (max(pk) - min(pk))::BIGINT AS pk_span
+       |FROM $last GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   val zorderLocalitySql: String = {
     val m = (1L << ZBits) - 1
     val z = graft.ops.Layout.interleaveSqlExpr(Seq("no", "np"), ZBits)

@@ -118,4 +118,54 @@ class LayoutSpec extends AnyFunSuite {
       s"z-order must stay selective on ok too: ${hitsOk(zb)}/${zb.length}")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("hilbert curve axioms: bijective onto [0, 4^bits), unit-step adjacent") {
+    // exhaustive over the full 6-bit grid (4096 cells): the two properties
+    // that DEFINE a Hilbert curve, and that the Morton interleave lacks
+    // (its seam jumps are why Hilbert exists)
+    val bits = 6
+    val n = 1 << bits
+    val ds = for (x <- 0 until n; y <- 0 until n)
+      yield ((x.toLong, y.toLong),
+        graft.functions.HilbertIndex.xy2d(n.toLong, x.toLong, y.toLong))
+    assert(ds.map(_._2).sorted === (0L until (n.toLong * n)).toSeq,
+      "xy2d must be a bijection onto [0, n^2)")
+    val byD = ds.map(_.swap).toMap
+    (0L until (n.toLong * n - 1)).foreach { d =>
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1,
+        s"positions $d and ${d + 1} must be grid neighbours")
+    }
+  }
+
+  test("hilbert expression == kernel; hilbert buckets at least as tight as morton") {
+    // expression/codegen path equals the plain kernel on a random grid
+    val bits = 8
+    val pts = (0 until 500).map { i =>
+      (graft.ops.TextOps.mix64(i.toLong) & 0xffL,
+        graft.ops.TextOps.mix64(i + 9999L) & 0xffL)
+    }
+    val got = pts.toDF("x", "y")
+      .select(graft.functions.HilbertIndex.hilbert(col("x"), col("y"), bits).as("h"))
+      .as[Long].collect().toSeq
+    val want = pts.map { case (x, y) =>
+      graft.functions.HilbertIndex.xy2d(1L << bits, x, y) }
+    assert(got === want)
+    // locality: over an exhaustive 6-bit grid, the mean per-bucket bounding
+    // box (top-2-bit buckets) of the hilbert order is no worse than morton's
+    val n = 1 << 6
+    def spans(index: (Long, Long) => Long): Double = {
+      val cells = for (x <- 0L until n; y <- 0L until n) yield (index(x, y), x, y)
+      val buckets = cells.groupBy(_._1 >> 8) // 16 buckets of 256 cells
+      buckets.values.map { g =>
+        (g.map(_._2).max - g.map(_._2).min + g.map(_._3).max - g.map(_._3).min).toDouble
+      }.sum / buckets.size
+    }
+    def morton(x: Long, y: Long): Long =
+      (0 until 6).foldLeft(0L)((a, i) =>
+        a | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
+    val hs = spans((x, y) => graft.functions.HilbertIndex.xy2d(n.toLong, x, y))
+    val ms = spans(morton)
+    assert(hs <= ms + 1e-9, s"hilbert mean span $hs must not exceed morton $ms")
+  }
 }
