@@ -305,14 +305,24 @@ object Selection {
     val cand = graft.plans.GroupedTopK.topK(scored, Seq("query_id"),
         Seq("relq" -> true, "vec_id" -> false), nCandidates)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val ids = cand.map(_._2).distinct.toSeq
-    val cemb = emb.where(col("vec_id").isin(ids: _*))
+    // pairwise sims over the WITHIN-QUERY pair domain only — an all-pairs
+    // join of the union candidate set would collect |panel·nc|² rows
+    // (≈268M at the loud bounds) where greedy needs at most panel·nc²
+    // (self-review catch); the tiny pair frame broadcasts against the
+    // candidate embeddings
+    val pairDomain = cand.groupBy(_._1).values.flatMap { rs =>
+      val ids = rs.map(_._2).toSeq
+      for (a <- ids; b <- ids if a != b) yield (a, b)
+    }.toSeq.distinct
+    val pairs = pairDomain.toDF("a", "b")
+    val cemb = emb.where(col("vec_id").isin(cand.map(_._2).distinct.toSeq: _*))
       .select(col("vec_id"), col("embedding"))
-    val sims = cemb.as("x").join(cemb.as("y"),
-        col("x.vec_id") =!= col("y.vec_id"))
-      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        round(Similarity.cosine(col("x.embedding"), col("y.embedding")) *
-          lit(1e6)).cast("long").as("simq"))
+    val sims = broadcast(pairs)
+      .join(cemb.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
+      .join(cemb.select(col("vec_id").as("b"), col("embedding").as("eb")), Seq("b"))
+      .select(col("a"), col("b"),
+        round(Similarity.cosine(col("ea"), col("eb")) * lit(1e6))
+          .cast("long").as("simq"))
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
     val rows = cand.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (qid, rs) =>
       greedyMmr(rs.map(r => (r._2, r._3)), sims, k, lambdaTenths)
