@@ -119,6 +119,39 @@ class LayoutSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("hilbert-ordered files prune on both dims like z-ordered ones") {
+    // writeZordered is curve-agnostic (it range-partitions + sorts on the
+    // given index column): the Hilbert index through the same writer must
+    // deliver the same both-dims file-skipping payoff
+    val d = "/root/testdata/sf0.001"
+    val li = graft.engine.Tables.lineitem(spark, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val mm = li.agg(min(col("ok")).as("oklo"), max(col("ok")).as("okhi"),
+      min(col("pk")).as("pklo"), max(col("pk")).as("pkhi"))
+    val h = graft.functions.HilbertIndex.hilbert(
+      Layout.normalizeToBits(col("ok"), col("oklo"), col("okhi"), 8),
+      Layout.normalizeToBits(col("pk"), col("pklo"), col("pkhi"), 8), 8)
+    val withH = li.join(broadcast(mm)).select(col("ok"), col("pk"), h.as("hv"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_hilb").toString
+    Layout.writeZordered(withH, col("hv"), s"$dir/hilb", numFiles = 16)
+    val hb = spark.read.parquet(s"$dir/hilb")
+      .groupBy(input_file_name())
+      .agg(min(col("ok")).cast("long").as("oklo"),
+        max(col("ok")).cast("long").as("okhi"),
+        min(col("pk")).cast("long").as("pklo"),
+        max(col("pk")).cast("long").as("pkhi"))
+      .select(col("oklo"), col("okhi"), col("pklo"), col("pkhi"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(hb.length >= 8)
+    val hitsPk = hb.count { case (_, _, plo, phi) => phi >= 100 && plo <= 120 }
+    assert(hitsPk * 2 <= hb.length,
+      s"hilbert order should skip >= half the files on a pk-only predicate: $hitsPk/${hb.length}")
+    val hitsOk = hb.count { case (olo, ohi, _, _) => ohi >= 0 && olo <= 90 }
+    assert(hitsOk * 2 <= hb.length,
+      s"hilbert order must stay selective on ok too: $hitsOk/${hb.length}")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("hilbert curve axioms: bijective onto [0, 4^bits), unit-step adjacent") {
     // exhaustive over the full 6-bit grid (4096 cells): the two properties
     // that DEFINE a Hilbert curve, and that the Morton interleave lacks
