@@ -67,6 +67,16 @@ object DsirScore {
   private val Space = UTF8String.fromString(" ")
   private val WsPattern = UTF8String.fromString("\\s+")
 
+  /** One digest instance per executor thread (r17 ADVICE): a per-ROW
+    * `MessageDigest.getInstance` is billions of provider lookups +
+    * allocations on a 100 TB scan; the instance is stateless between
+    * `bucketOf`'s `reset()`-prefixed uses, so thread confinement is the
+    * whole safety argument. */
+  private val localMd = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** 48-bit md5-prefix bucket of one feature — byte-for-byte the value
     * `conv(substring(md5(f), 1, 12), 16, 10)` yields (12 hex chars = the
     * digest's first 6 bytes, read unsigned big-endian). */
@@ -84,7 +94,7 @@ object DsirScore {
   def score(text: UTF8String, lr: Array[Double]): Long = {
     val buckets = lr.length
     val w = text.trim().toLowerCase().split(WsPattern, -1)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = localMd.get()
     val counts = new Array[Long](buckets)
     var i = 0
     while (i < w.length) {

@@ -173,7 +173,7 @@ object Indexes {
     })
   }
 
-  private def md5Hex(bytes: Array[Byte]): String =
+  private[graft] def md5Hex(bytes: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5").digest(bytes)
       .map(b => f"$b%02x").mkString
 

@@ -68,30 +68,52 @@ object Selection {
     * per-term 1e-6 quantization downstream absorbs the libm last-ulp. */
   def dsirModel(docs: DataFrame, isTarget: Column,
                 buckets: Int = DefaultBuckets): Array[(Long, Double)] = {
-    val family = s"dsir_b$buckets:" +
-      isTarget.toString.replaceAll("\\s+", " ").take(96)
+    // full predicate rendering HASHED into the family key (r17 ADVICE: a
+    // 96-char truncation would silently alias two predicates sharing a
+    // prefix onto one cached model)
+    val family = s"dsir_b$buckets:" + Indexes.md5Hex(
+      isTarget.toString.replaceAll("\\s+", " ").getBytes("UTF-8")).take(16)
     Indexes.memoModel(docs, family) {
-      val counts = hashedFeatureBuckets(docs, buckets)
-        .withColumn("tgt", isTarget)
-        .groupBy(col("b"))
-        .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
-          sum(when(col("tgt"), 0L).otherwise(1L)).as("cr"))
-        .collect() // ≤ buckets rows — model-sized by construction
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      val tt = counts.map(_._2).sum
-      val tr = counts.map(_._3).sum
-      // ALL buckets get a row: ones touched by no training document carry
-      // the smoothed zero-count ratio. Batch scoring never joins them (a
-      // corpus doc's buckets are by construction observed), but the
-      // STREAMING gate scores unseen documents whose features may hash to
-      // untouched buckets — the add-one smoothing is exactly what gives
-      // those a finite, correct log-ratio.
-      val byBucket = counts.map(c => c._1 -> c).toMap
-      Array.tabulate(buckets) { b =>
-        val (_, ct, cr) = byBucket.getOrElse(b.toLong, (b.toLong, 0L, 0L))
-        (b.toLong, math.log((ct + 1).toDouble / (tt + buckets).toDouble) -
-          math.log((cr + 1).toDouble / (tr + buckets).toDouble))
-      }
+      modelFromCounts(bucketCounts(docs, isTarget, buckets), buckets)
+    }
+  }
+
+  /** The one-pass per-bucket (target, raw) occurrence counts the model
+    * derives from — ≤ `buckets` result rows, trivially MERGEABLE across
+    * corpus batches (exact integer sums), which is what makes the
+    * committed-store lifecycle ([[Indexes.ensureDsirModelStore]]) an
+    * append-not-rebuild design. A NULL `isTarget` row counts as RAW in
+    * both engines (r17 ADVICE: the oracle coalesces the predicate the
+    * same way, so three-valued logic can never diverge cross-engine). */
+  def bucketCounts(docs: DataFrame, isTarget: Column,
+                   buckets: Int): DataFrame =
+    hashedFeatureBuckets(docs, buckets)
+      .withColumn("tgt", coalesce(isTarget, lit(false)))
+      .groupBy(col("b"))
+      .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("tgt"), 0L).otherwise(1L)).as("cr"))
+
+  /** Smoothed log-ratio model from a (b, ct, cr) count frame — the pure
+    * derivation step shared by the memoized rebuild path and the
+    * committed-store read path (identical integers in ⇒ identical IEEE
+    * doubles out, so store == rebuild needs no tolerance). */
+  def modelFromCounts(countsDf: DataFrame, buckets: Int): Array[(Long, Double)] = {
+    val counts = countsDf
+      .collect() // ≤ buckets rows — model-sized by construction
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val tt = counts.map(_._2).sum
+    val tr = counts.map(_._3).sum
+    // ALL buckets get a row: ones touched by no training document carry
+    // the smoothed zero-count ratio. Batch scoring never joins them (a
+    // corpus doc's buckets are by construction observed), but the
+    // STREAMING gate scores unseen documents whose features may hash to
+    // untouched buckets — the add-one smoothing is exactly what gives
+    // those a finite, correct log-ratio.
+    val byBucket = counts.map(c => c._1 -> c).toMap
+    Array.tabulate(buckets) { b =>
+      val (_, ct, cr) = byBucket.getOrElse(b.toLong, (b.toLong, 0L, 0L))
+      (b.toLong, math.log((ct + 1).toDouble / (tt + buckets).toDouble) -
+        math.log((cr + 1).toDouble / (tr + buckets).toDouble))
     }
   }
 

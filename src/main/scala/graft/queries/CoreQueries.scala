@@ -750,26 +750,45 @@ object CoreQueries {
     val ev = graft.streaming.EventStreams.readEvents(s, landing.toString)
       .where(col("user_id") % 10 === 0)
     val name = s"attr_stream_equiv_${attrEquivSeq.incrementAndGet()}"
-    val ckpt = java.nio.file.Files.createTempDirectory("attr_eq").toString
-    val q = graft.streaming.EventStreams.attributionJoinStream(
-        ev.where(col("event_type") === "view"),
-        ev.where(col("event_type") === "purchase"),
-        withinMinutes = 30, watermark = "1 hour")
-      .writeStream.outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
-    val out = s.table(name)
-      .select(col("user_id"),
-        date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
-        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+    val ckpt = java.nio.file.Files.createTempDirectory("attr_eq")
+    // the landing zone and checkpoint are per-invocation scratch — delete
+    // both once the memory-sink output is materialized to a local frame
+    // (r17 ADVICE: repeated correctness/bench rounds were accumulating
+    // them in /tmp)
+    try {
+      val q = graft.streaming.EventStreams.attributionJoinStream(
+          ev.where(col("event_type") === "view"),
+          ev.where(col("event_type") === "purchase"),
+          withinMinutes = 30, watermark = "1 hour")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      val out = s.table(name)
+        .select(col("user_id"),
+          date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+          date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          col("lag_secs"))
+      val local = s.createDataFrame(
+        java.util.Arrays.asList(out.collect(): _*), out.schema)
+      s.catalog.dropTempView(name)
+      local.orderBy(col("user_id"), col("view_ts"), col("purchase_ts"),
         col("lag_secs"))
-    val local = s.createDataFrame(
-      java.util.Arrays.asList(out.collect(): _*), out.schema)
-    s.catalog.dropTempView(name)
-    local.orderBy(col("user_id"), col("view_ts"), col("purchase_ts"),
-      col("lag_secs"))
+    } finally {
+      deleteTempTree(landing)
+      deleteTempTree(ckpt)
+    }
   }
+
+  /** Best-effort recursive delete of a per-invocation temp directory
+    * (scratch only — never index/store state, which has its own GC). */
+  private def deleteTempTree(root: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** The batch derivation over the same 10% user slice the streaming
     * query replays — stream == batch, one oracle body. */

@@ -6497,7 +6497,7 @@ object PipelineQueries {
     * [[graft.ops.Selection.importanceWeightsQuantized]]. */
   private val duckDsirCtes: String =
     s"""w AS (SELECT doc_id, source, $duckWords AS w FROM documents),
-       |f AS (SELECT doc_id, source, source = 'src0' AS tgt,
+       |f AS (SELECT doc_id, source, coalesce(source = 'src0', FALSE) AS tgt,
        |        unnest(list_concat(w, CASE WHEN len(w) >= 2 THEN
        |          list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
        |          ELSE [] END)) AS f
