@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Materialized ANN index surface: precompute the banded-LSH bucket
@@ -1715,6 +1715,126 @@ object Indexes {
       .coalesce(1)
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(tombstonePath(indexPath))
+
+  // ---- committed DSIR bucket-count model store -----------------------------
+
+  /** Family prefix for a DSIR model store: the caller's PREDICATE TAG and
+    * bucket count precede the fingerprint, so models trained with
+    * different target predicates (or widths) over the same corpus are
+    * distinct GC families — the [[lshFamily]] param-key convention. The
+    * tag names the predicate family (e.g. `src0`); callers own its
+    * uniqueness exactly as they own LSH's seed. */
+  private def dsirModelFamily(predTag: String, buckets: Int): String =
+    s"dsirm_${predTag.replaceAll("[^A-Za-z0-9._-]", "_")}_b${buckets}_"
+
+  /** Committed DSIR bucket-count MODEL store — closing the repo's one
+    * rebuild-only committed state (r17 VERDICT #1): the per-bucket
+    * (ct, cr) target/raw occurrence counts from one corpus pass land as a
+    * ≤ `buckets`-row parquet table with the shared index lifecycle
+    * (manifest resolution, atomic tmp-then-commit, sibling GC). What
+    * makes this family APPEND-not-rebuild where
+    * [[graft.ops.Selection.dsirModel]]'s memo is not: the counts are
+    * exact integer sums, so a batch's counts MERGE by addition — daily
+    * ingest pays one batch pass, never the corpus pass a rotated
+    * fingerprint forces on the memoized path. The smoothed log-ratio
+    * model derives from the merged counts at read
+    * ([[readDsirModel]] → [[graft.ops.Selection.modelFromCounts]] —
+    * identical integers in, identical IEEE doubles out). */
+  def ensureDsirModelStore(spark: SparkSession, docs: DataFrame,
+                           sfDir: String, isTarget: Column, predTag: String,
+                           buckets: Int = Selection.DefaultBuckets): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val family = dsirModelFamily(predTag, buckets)
+    val path = s"$indexRoot/$tag/$family${corpusFingerprint(docs)}"
+    val mdir = familyManifestDir(sfDir, family)
+    if (!manifestServes(spark, mdir, path) && !successExists(spark, path)) {
+      val tmp = tmpBuildPath(path)
+      Selection.bucketCounts(docs, isTarget, buckets)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      commitIndexDir(spark, tmp, path)
+      // publish BEFORE the sweep (the ensureImageHashIndex ordering rule)
+      resolveThroughManifest(spark, mdir, path)
+      gcSiblings(spark, path, family)
+    }
+    resolveThroughManifest(spark, mdir, path)
+  }
+
+  /** Append one ingest batch's bucket counts to a committed model store —
+    * a batch-sized pass, a ≤ `buckets`-row write; the read path merges by
+    * integer addition, so append == rebuild EXACTLY (spec-asserted).
+    * Same content-addressing caveat as [[appendMinhashIndex]]: appends
+    * desynchronize the store from its fingerprint key, so explicit
+    * maintenance owns the path from then on. Torn-append recovery is the
+    * plain path's documented gap; streaming ingest uses the idempotent
+    * twin below. */
+  def appendDsirModelStore(newDocs: DataFrame, isTarget: Column,
+                           path: String,
+                           buckets: Int = Selection.DefaultBuckets): Unit =
+    Selection.bucketCounts(newDocs, isTarget, buckets)
+      .coalesce(1).write.mode("append").parquet(path)
+
+  /** Exactly-once streaming append for the model store
+    * ([[appendMinhashIndexIdempotent]] contract): the batch's counts land
+    * in a `batch_id=<id>` partition via dynamic overwrite, so a replayed
+    * micro-batch rewrites its own partition bit-identically instead of
+    * double-counting — and double-counting is the SPECIFIC hazard of a
+    * mergeable-counts store, where a duplicated row silently shifts every
+    * downstream log-ratio. A streaming-maintained store is batch-addressed
+    * from birth (seed the base corpus as batch 0). */
+  def appendDsirModelStoreIdempotent(newDocs: DataFrame, isTarget: Column,
+                                     batchId: Long, path: String,
+                                     buckets: Int = Selection.DefaultBuckets): Unit =
+    Selection.bucketCounts(newDocs, isTarget, buckets)
+      .withColumn("batch_id", lit(batchId))
+      .coalesce(1)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(path)
+
+  /** Merged per-bucket counts of a model store generation: base + every
+    * appended batch summed per bucket — exact integers, so the merge is
+    * associative and replay-order-free. Readers select columns
+    * explicitly, so flat and batch_id-partitioned layouts both serve. */
+  def readDsirModelCounts(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("b"))
+      .agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr"))
+
+  /** The live smoothed log-ratio model off a store generation — what the
+    * streaming gate reloads per batch instead of a frozen plan literal. */
+  def readDsirModel(spark: SparkSession, path: String,
+                    buckets: Int = Selection.DefaultBuckets): Array[(Long, Double)] =
+    Selection.modelFromCounts(readDsirModelCounts(spark, path), buckets)
+
+  /** Build-if-missing INGEST-LIFECYCLE model store — the
+    * [[ensureLifecycleMinhashIndex]] bridge for the DSIR family: the base
+    * slice's counts built fresh, the batch slice added THROUGH the real
+    * [[appendDsirModelStore]] maintenance path (a second parquet file in
+    * the same table), all inside one tmp generation that commits
+    * atomically — so a registered query probing this store grades
+    * append → merge → score end-to-end against an oracle computed on the
+    * UNION corpus, idempotently across re-executions. Keyed on the BASE
+    * slice's fingerprint (callers re-key a slice of the same corpus
+    * files, as q_dsir_weights_store does, satisfying the same-corpus
+    * contract by construction). */
+  def ensureLifecycleDsirModel(spark: SparkSession, base: DataFrame,
+                               batch: DataFrame, sfDir: String,
+                               isTarget: Column, predTag: String,
+                               buckets: Int = Selection.DefaultBuckets): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val family = s"dsirm_lc_${predTag.replaceAll("[^A-Za-z0-9._-]", "_")}_b${buckets}_"
+    val path = s"$indexRoot/$tag/$family${corpusFingerprint(base)}"
+    val mdir = familyManifestDir(sfDir, family)
+    if (!manifestServes(spark, mdir, path) && !successExists(spark, path)) {
+      val tmp = tmpBuildPath(path)
+      Selection.bucketCounts(base, isTarget, buckets)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      appendDsirModelStore(batch, isTarget, tmp, buckets)
+      commitIndexDir(spark, tmp, path)
+      resolveThroughManifest(spark, mdir, path)
+      gcSiblings(spark, path, family)
+    }
+    resolveThroughManifest(spark, mdir, path)
+  }
 
   /** Compact the flat PQ code table (vec_id, c0..c{m-1}): the sidecar is
     * the family-generic vec_id channel ([[tombstoneLshIndex]]'s scaladoc

@@ -6541,6 +6541,40 @@ object PipelineQueries {
        |       round(max(s)::DOUBLE / 1e6, 6) AS max_w
        |FROM d GROUP BY source ORDER BY source""".stripMargin
 
+  /** DSIR weights served from the COMMITTED, APPEND-MAINTAINED model
+    * store (r17 VERDICT #1 — the one operator family whose state was
+    * rebuild-only): a base slice of the corpus builds the bucket-count
+    * table, the remaining slice lands THROUGH the real
+    * [[graft.ops.Indexes.appendDsirModelStore]] maintenance path inside
+    * one atomically-committed generation
+    * ([[graft.ops.Indexes.ensureLifecycleDsirModel]]), the merged counts
+    * derive the live model, and the raw pool scores with the native
+    * stateless kernel. The oracle replays the FULL-corpus exploded
+    * derivation — so this row's hash match is the cross-engine proof
+    * that append == rebuild AND the kernel == the exploded path, in one
+    * gate. Aggregation mirrors [[dsirWeights]] exactly (shared oracle
+    * body). */
+  def dsirWeightsStore(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val path = graft.ops.Indexes.ensureLifecycleDsirModel(s,
+      docs.where(col("doc_id") % 5 =!= 4), docs.where(col("doc_id") % 5 === 4),
+      d, col("source") === "src0", "src0")
+    val model = graft.ops.Indexes.readDsirModel(s, path)
+    graft.ops.Selection
+      .dsirScoredStateless(docs.where(col("source") =!= "src0"), model)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("s")).as("ssum"),
+        min(col("s")).as("smin"), max(col("s")).as("smax"))
+      .select(col("source"), col("n_docs"),
+        round(col("ssum").cast("double") / lit(1e6) / col("n_docs"), 6)
+          .as("avg_w"),
+        round(col("smin").cast("double") / lit(1e6), 6).as("min_w"),
+        round(col("smax").cast("double") / lit(1e6), 6).as("max_w"))
+      .orderBy(col("source"))
+  }
+
+  val dsirWeightsStoreSql: String = dsirWeightsSql
+
   /** DSIR selection: Gumbel-top-50 over the importance weights — weighted
     * sampling without replacement as a stateless top-k
     * ([[graft.ops.Selection.dsirSelect]]). gkey is the quantized integer

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -298,6 +298,62 @@ object EventStreams {
                      buckets: Int, minWeightQ: Long): DataFrame =
     graft.ops.Selection.dsirScoredStateless(docs, model, buckets)
       .where(col("s") >= minWeightQ)
+
+  /** Streaming DSIR MODEL maintenance — the missing half of the gate's
+    * continuous-ingest story (r17 VERDICT #1, the
+    * [[indexMaintenanceStream]] pattern for the selection family): each
+    * landing micro-batch's per-bucket (target, raw) counts append to the
+    * committed model store through
+    * [[graft.ops.Indexes.appendDsirModelStoreIdempotent]] — batch_id
+    * partitions, dynamic overwrite — so the model grows by one
+    * batch-sized pass per batch, and a crash-replayed batch rewrites its
+    * partition instead of DOUBLE-COUNTING (the one failure a mergeable
+    * counts store cannot tolerate silently). Counting happens once per
+    * document ever, at ingest: the 100 TB property that makes the
+    * maintained model cheaper than the memoized path's full re-scan on
+    * every corpus-fingerprint rotation. */
+  def dsirModelMaintenanceStream(docs: DataFrame, isTarget: Column,
+                                 storePath: String, checkpoint: String,
+                                 buckets: Int = graft.ops.Selection.DefaultBuckets)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.Indexes.appendDsirModelStoreIdempotent(batch.toDF(),
+          isTarget, batchId, storePath, buckets)
+      }
+      .start()
+
+  /** [[dsirGateStream]] against a LIVE maintained model: each micro-batch
+    * reloads the store's current merged counts, derives the smoothed
+    * log-ratio model (≤ `buckets` rows — a driver-side blink), and gates
+    * the batch with the same native stateless scorer. `foreachBatch`
+    * because the model is per-batch state the streaming plan cannot
+    * refresh (a plan literal is frozen at start — the restart lifecycle
+    * the frozen-model gate documents); the sink is the standard
+    * batch_id-partitioned idempotent overwrite. Replay nuance, stated
+    * loudly: a batch replayed AFTER the model store advanced re-gates
+    * under the newer model — the final state is consistent (each batch_id
+    * partition reflects one model snapshot), and the gate's contract is
+    * "the model at processing time", the semantics a continuously
+    * retrained production gate actually has. */
+  def dsirGateStreamLive(docs: DataFrame, modelStorePath: String,
+                         minWeightQ: Long, outPath: String,
+                         checkpoint: String,
+                         buckets: Int = graft.ops.Selection.DefaultBuckets)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val model = graft.ops.Indexes.readDsirModel(spark, modelStorePath, buckets)
+        graft.ops.Selection.dsirScoredStateless(batch.toDF(), model, buckets)
+          .where(col("s") >= minWeightQ)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(outPath)
+      }
+      .start()
 
   /** Continuous-ingest near-dup gate — the streaming twin of
     * [[graft.ops.Indexes.minhashNearDupsIncremental]]: each micro-batch of

@@ -1134,4 +1134,44 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(comp.columns.contains("batch_id"),
       "the compacted streaming store must keep its batch_id layout")
   }
+
+  test("dsir model maintenance stream == batch rebuild; live gate re-reads the maintained model per batch") {
+    val isTarget = col("source") === "tgt"
+    val dir = java.nio.file.Files.createTempDirectory("dsir_mms").toString
+    val store = s"$dir/model"
+    val b1 = Seq((0L, "tgt", "the quick brown fox jumps over the lazy dog"),
+      (10L, "raw", "zzz9 qqq8 vvv7 kkk6 jjj5 xxx4 yyy3 www2 uuu1"))
+    val b2 = Seq((1L, "tgt", "a quick brown fox runs past the lazy dog"),
+      (11L, "raw", "quick brown fox and lazy dog again and again"))
+    val in = MemoryStream[(Long, String, String)]
+    val q = EventStreams.dsirModelMaintenanceStream(
+      in.toDF().toDF("doc_id", "source", "text"), isTarget, store, s"$dir/ck")
+    in.addData(b1); q.processAllAvailable()
+    // model state A: batch-1 counts only — score a probe doc under it
+    val probe = Seq((100L, "raw", "the quick brown fox jumps over the lazy dog"))
+    val gin = MemoryStream[(Long, String, String)]
+    val out = s"$dir/gated"
+    val gq = EventStreams.dsirGateStreamLive(
+      gin.toDF().toDF("doc_id", "source", "text"), store,
+      minWeightQ = Long.MinValue, out, s"$dir/gck")
+    gin.addData(probe); gq.processAllAvailable()
+    val sA = spark.read.parquet(out).where(col("batch_id") === 0)
+      .select(col("s")).as[Long].head()
+    // advance the model while the GATE keeps running, then re-gate the
+    // same doc: the score must move — proof the gate reloads the store
+    // per batch instead of freezing a plan literal
+    in.addData(b2); q.processAllAvailable(); q.stop()
+    gin.addData(probe); gq.processAllAvailable(); gq.stop()
+    val sB = spark.read.parquet(out).where(col("batch_id") === 1)
+      .select(col("s")).as[Long].head()
+    assert(sA !== sB, "live gate must observe the advanced model")
+    // maintained store == one-shot rebuild over the union corpus, exactly
+    val full = graft.ops.Selection.dsirModel(
+      (b1 ++ b2).toDF("doc_id", "source", "text"), isTarget)
+    assert(graft.ops.Indexes.readDsirModel(spark, store).toSeq === full.toSeq)
+    // and the final gate score is the batch scorer's under that model
+    assert(sB === graft.ops.Selection.dsirScoredStateless(
+      probe.toDF("doc_id", "source", "text"), full)
+      .select(col("s")).as[Long].head())
+  }
 }

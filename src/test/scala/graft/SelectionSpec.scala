@@ -234,4 +234,32 @@ class SelectionSpec extends AnyFunSuite {
     // shares still sum to ~1
     assert(math.abs(at03.values.map(_._3).sum - 1.0) < 1e-5)
   }
+
+  test("dsir model store: ensure == rebuild, append == rebuild, replay never double-counts") {
+    val dir = java.nio.file.Files.createTempDirectory("dsir_store").toString
+    corpus.write.mode("overwrite").parquet(s"$dir/docs.parquet")
+    val docs = spark.read.parquet(s"$dir/docs.parquet")
+    val full = Selection.dsirModel(docs, isTarget)
+    // committed ensure over the full corpus == the memoized rebuild,
+    // EXACTLY — identical integer counts in, identical IEEE doubles out
+    val p1 = graft.ops.Indexes.ensureDsirModelStore(spark, docs, dir, isTarget, "tgt")
+    assert(graft.ops.Indexes.readDsirModel(spark, p1).toSeq === full.toSeq)
+    // lifecycle generation: base counts + batch through the REAL append
+    // path (second parquet file in the same table), merged at read ==
+    // full-corpus rebuild — the append==rebuild proof the other committed
+    // stores carry
+    val base = docs.where(col("doc_id") <= 10)
+    val batch = docs.where(col("doc_id") > 10)
+    val p2 = graft.ops.Indexes.ensureLifecycleDsirModel(
+      spark, base, batch, dir, isTarget, "tgt")
+    assert(graft.ops.Indexes.readDsirModel(spark, p2).toSeq === full.toSeq)
+    // idempotent streaming append: REPLAYING a batch_id rewrites its own
+    // partition — the double-count a mergeable-counts store must never
+    // absorb silently
+    val p3 = s"$dir/stream_store"
+    graft.ops.Indexes.appendDsirModelStoreIdempotent(base, isTarget, 0L, p3)
+    graft.ops.Indexes.appendDsirModelStoreIdempotent(batch, isTarget, 1L, p3)
+    graft.ops.Indexes.appendDsirModelStoreIdempotent(batch, isTarget, 1L, p3)
+    assert(graft.ops.Indexes.readDsirModel(spark, p3).toSeq === full.toSeq)
+  }
 }
