@@ -35,9 +35,12 @@ case class AudioFeatures(name: String, channels: Int, sample_rate: Int,
                          bits: Int, n_samples: Long, duration_us: Long,
                          abs_sum: Long)
 
-/** Decoded-content audio fingerprint ([[Multimodal.energyHash64]]). */
+/** Decoded-content audio fingerprint ([[Multimodal.energyHash64]]), plus
+  * the CANONICAL-RATE twin ([[Multimodal.energyHash64Canonical]]; `crate`
+  * is the effective rate after power-of-2 frame decimation) that a
+  * resampled re-encode of the same recording collides on. */
 case class AudioPHash(name: String, channels: Int, n_samples: Long,
-                      ehash_hex: String)
+                      ehash_hex: String, crate: Int, cehash_hex: String)
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, and a per-partition decode/feature-extract pass.
@@ -605,6 +608,47 @@ object Multimodal {
     hash
   }
 
+  /** The canonical-rate band's floor: streams decimate by the largest
+    * power-of-2 factor that keeps their rate ≥ this, landing every
+    * recording in [4000, 8000) Hz before fingerprinting. */
+  val canonicalRateFloor: Int = 4000
+
+  /** Power-of-2 canonical decimation factor: the largest `f = 2^k` with
+    * `rate / f >= canonicalRateFloor` (1 for rates already below the
+    * floor). Powers of two make the normalization COMPOSE with factor-2
+    * resampling exactly: a copy at `rate / 2` gets factor `f / 2`, so
+    * both decimate to the IDENTICAL sample stream — the property the
+    * resample-robust fingerprint rests on, and why an arbitrary integer
+    * ratio (`rate / canonical`) would not work (12000→3 vs 6000→1 keeps
+    * different streams). */
+  def canonicalDecimation(rate: Int): Int = {
+    var f = 1
+    while (rate / (f * 2) >= canonicalRateFloor) f *= 2
+    f
+  }
+
+  /** CANONICAL-RATE energy hash — [[energyHash64]] composed with the
+    * integer frame decimation of [[decimateAudio]] at the power-of-2
+    * canonical factor (r17 VERDICT #3: the plain hash is volume-invariant
+    * but rate-SENSITIVE — a 22.05 kHz re-encode of a 44.1 kHz recording
+    * changes `n` and every block boundary, so the family missed the
+    * commonest real-world audio dup). Decimating FRAMES keeps
+    * multi-channel alignment; kept samples are source samples, so the
+    * whole pipeline stays integer-exact and the fixture generator can
+    * supply the analytic ground truth by running LITERALLY this loop over
+    * its formula (the [[energyHash64]] contract). Volume invariance
+    * carries through unchanged (scaling cancels in the
+    * cross-multiplication over the decimated stream). */
+  def energyHash64Canonical(channels: Int, rate: Int, n: Long,
+                            absSample: Long => Long): Long = {
+    val factor = canonicalDecimation(rate).toLong
+    val ch = channels.toLong
+    val nFrames = n / ch
+    val keptFrames = (nFrames + factor - 1) / factor
+    energyHash64(keptFrames * ch,
+      j => absSample((j / ch) * factor * ch + (j % ch)))
+  }
+
   /** Per-payload audio fingerprint from a binaryFile scan: guarded PCM
     * decode → [[energyHash64]] → zero-padded hex. Sentinel rows carry
     * channels/n_samples −1 and an empty hash so a corrupt payload can
@@ -623,10 +667,13 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { case (name, bytes) =>
           val pcm = readPcmGuarded(bytes)
-          if (pcm == null) AudioPHash(name, -1, -1L, "")
+          if (pcm == null) AudioPHash(name, -1, -1L, "", -1, "")
           else {
             val h = energyHash64(pcm.nSamples.toLong, pcm.absAt)
-            AudioPHash(name, pcm.channels, pcm.nSamples.toLong, f"$h%016x")
+            val ch = energyHash64Canonical(pcm.channels, pcm.rate,
+              pcm.nSamples.toLong, pcm.absAt)
+            AudioPHash(name, pcm.channels, pcm.nSamples.toLong, f"$h%016x",
+              pcm.rate / canonicalDecimation(pcm.rate), f"$ch%016x")
           }
         }
       }

@@ -5306,6 +5306,42 @@ object PipelineQueries {
        |SELECT name_a, name_b, hamming FROM p
        |WHERE hamming <= 6 ORDER BY name_a, name_b""".stripMargin
 
+  /** RESAMPLE-ROBUST audio near-dup pairs (r17 VERDICT #4): the same
+    * banded Hamming blocking, but over the CANONICAL-RATE fingerprint
+    * ([[graft.ops.Multimodal.energyHash64Canonical]] — every recording
+    * power-of-2 frame-decimated into the [4000, 8000) Hz band before
+    * hashing). The fixture's gend_* files are 22.05 kHz-style re-encodes
+    * (factor-2 decimated copies of gen_00/gen_01 at half the rate):
+    * engineered to sit at Hamming ≥ 7 under the rate-sensitive plain
+    * hash — [[audioNearDups]] misses them BY CONSTRUCTION — and at
+    * Hamming 0 here, where both normalize onto the identical sample
+    * stream. Volume pairs carry over unchanged (scaling still cancels
+    * over the decimated stream). Served from the same committed store
+    * (the canonical hash is one more column of decode-once state); the
+    * oracle brute-forces all pairs over the manifest's analytic
+    * canonical hashes. */
+  def audioNearDupsResampled(s: SparkSession, d: String): DataFrame =
+    graft.ops.Dedup.hammingNearDups64(
+        graft.ops.Indexes.readAudioHashIndex(s,
+          graft.ops.Indexes.ensureAudioHashIndex(s, audioFixtureDir)),
+        "name", "cehash_hex", maxHamming = 6, bands = 8)
+      .select(col("id_a").as("name_a"), col("id_b").as("name_b"),
+        col("hamming"))
+      .orderBy(col("name_a"), col("name_b"))
+
+  val audioNearDupsResampledSql: String =
+    s"""WITH m AS (SELECT name, cehash_hex
+       |           FROM read_parquet('$audioManifestPath/*.parquet')
+       |           WHERE len(cehash_hex) = 16),
+       |p AS (SELECT a.name AS name_a, b.name AS name_b,
+       |        (bit_count(xor(('0x' || substr(a.cehash_hex, 1, 8))::BIGINT,
+       |                       ('0x' || substr(b.cehash_hex, 1, 8))::BIGINT))
+       |       + bit_count(xor(('0x' || substr(a.cehash_hex, 9, 8))::BIGINT,
+       |                       ('0x' || substr(b.cehash_hex, 9, 8))::BIGINT)))::BIGINT AS hamming
+       |      FROM m a JOIN m b ON a.name < b.name)
+       |SELECT name_a, name_b, hamming FROM p
+       |WHERE hamming <= 6 ORDER BY name_a, name_b""".stripMargin
+
   /** INCREMENTAL audio near-dup — the daily-ingest question for the
     * audio corpus: the batch's fingerprints banded-joined against the
     * committed store, never a corpus self-join ([[graft.ops.Dedup

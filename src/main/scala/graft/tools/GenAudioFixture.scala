@@ -37,7 +37,12 @@ import org.apache.spark.sql.SparkSession
   *    genq_00's — close enough to pair, far enough to prove the banding
   *    finds non-exact matches;
   *  - `gens_00.wav` — a STEREO file (interleaved formula) exercising the
-  *    multi-channel decode + channel-agnostic envelope contract.
+  *    multi-channel decode + channel-agnostic envelope contract;
+  *  - `gend_00..01.wav` — RESAMPLED copies (factor-2 frame decimation to
+  *    rate/2) of gen_00/gen_01: the generator REQUIRES the plain energy
+  *    hash to miss them (Hamming ≥ 7) and the canonical-rate hash
+  *    (`cehash_hex`) to match exactly — the resample-robust dedup's
+  *    engineered true positives.
   */
 object GenAudioFixture {
 
@@ -62,9 +67,12 @@ object GenAudioFixture {
     * factor-2 FRAME-decimation ground truth ([[graft.ops.Multimodal
     * .decimateAudio]]): kept frames f % 2 == 0, rate_out = rate / 2
     * (integer division — 11025 → 5512), duration replayed with the
-    * operator's own integer formula. */
+    * operator's own integer formula. `cehash_hex` runs LITERALLY
+    * [[graft.ops.Multimodal.energyHash64Canonical]] over the formula's
+    * |sample| values — the resample-robust fingerprint's analytic ground
+    * truth. */
   private def writeWav(dir: File, name: String, channels: Int, rate: Int,
-                       samples: Array[Short]): (String, Int, Int, Int, Long, Long, Long, String, Long, Long, Long) = {
+                       samples: Array[Short]): (String, Int, Int, Int, Long, Long, Long, String, Long, Long, Long, String) = {
     val o = new DataOutputStream(new FileOutputStream(new File(dir, name)))
     try {
       val dataBytes = samples.length * 2
@@ -103,8 +111,11 @@ object GenAudioFixture {
         f += 1
       }
       val rateOut = rate / 2
+      val cehash = graft.ops.Multimodal.energyHash64Canonical(
+        channels, rate, n, i => math.abs(samples(i.toInt).toLong))
       (name, channels, rate, 16, n, (n / channels) * 1000000L / rate, absSum,
-        f"$ehash%016x", kept * channels, kept * 1000000L / rateOut, dAbs)
+        f"$ehash%016x", kept * channels, kept * 1000000L / rateOut, dAbs,
+        f"$cehash%016x")
     } finally o.close()
   }
 
@@ -136,6 +147,8 @@ object GenAudioFixture {
       val rv = writeWav(dir, f"genv_$i%02d.wav", 1, rate, v)
       require(rq._8 == rv._8,
         s"volume invariance broke: genq_$i ${rq._8} != genv_$i ${rv._8}")
+      require(rq._12 == rv._12,
+        s"canonical volume invariance broke: genq_$i ${rq._12} != genv_$i ${rv._12}")
       Seq(rq, rv)
     }
 
@@ -184,12 +197,34 @@ object GenAudioFixture {
     val stereo = Seq(writeWav(dir, "gens_00.wav", 2, 11025,
       Array.tabulate(1200)(k => sample(20, k))))
 
-    val rows = base ++ quietLoud ++ renamed ++ edited ++ stereo
+    // RESAMPLED copies (r17 VERDICT #4 — the commonest real-world audio
+    // dup): gen_00/gen_01 factor-2 frame-decimated to rate/2, different
+    // n and every block boundary moved. The generator REQUIRES the
+    // rate-sensitive plain hash to MISS the pair (Hamming ≥ 7 — outside
+    // the distance-6 cut) while the canonical-rate hash matches EXACTLY
+    // (both normalize into the [4000, 8000) band onto the identical
+    // sample stream) — the before/after the resample-robust family is
+    // built on.
+    val resampled = (0 until 2).map { i =>
+      val rate = 8000 + 800 * i
+      val n = 500 + 137 * i
+      val full = Array.tabulate(n)(t => sample(i, t))
+      val dec = full.indices.collect { case t if t % 2 == 0 => full(t) }.toArray
+      val r = writeWav(dir, f"gend_$i%02d.wav", 1, rate / 2, dec)
+      val dPlain = hamming(r._8, base(i)._8)
+      require(dPlain >= 7,
+        s"gend_$i must be INVISIBLE to the rate-sensitive hash, got Hamming $dPlain")
+      require(r._12 == base(i)._12,
+        s"canonical-rate invariance broke: gend_$i ${r._12} != gen_$i ${base(i)._12}")
+      r
+    }
+
+    val rows = base ++ quietLoud ++ renamed ++ edited ++ stereo ++ resampled
     val spark = graft.engine.Sessions.local("4", "graft-gen-audio")
     import spark.implicits._
     rows.toDF("name", "channels", "sample_rate", "bits", "n_samples",
         "duration_us", "abs_sum", "ehash_hex",
-        "dec2_n_samples", "dec2_duration_us", "dec2_abs_sum")
+        "dec2_n_samples", "dec2_duration_us", "dec2_abs_sum", "cehash_hex")
       .coalesce(1).write.mode("overwrite")
       .parquet("fixtures/audio_manifest.parquet")
     println(s"wrote ${rows.size} wavs + manifest")

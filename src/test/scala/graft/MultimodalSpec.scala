@@ -368,6 +368,45 @@ class MultimodalSpec extends AnyFunSuite {
       s"the transposed-blocks edit must sit at Hamming 1..6, got $dEdit")
   }
 
+  test("canonical-rate audio hash: resampled copies collide exactly, plain hash misses them") {
+    import graft.queries.PipelineQueries
+    val ph = Multimodal.audioPHashes(
+        spark.read.format("binaryFile").load(PipelineQueries.audioFixtureDir))
+      .collect().map(p => p.name -> p).toMap
+    // decode must reproduce the generator formula's canonical hash for
+    // EVERY file (the ehash contract extended to the decimated stream)
+    val manifest = spark.read.parquet(PipelineQueries.audioManifestPath)
+      .select("name", "cehash_hex").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ph.view.mapValues(_.cehash_hex).toMap === manifest)
+    for (i <- 0 until 2) {
+      val (orig, res) = (ph(f"gen_$i%02d.wav"), ph(f"gend_$i%02d.wav"))
+      // the half-rate re-encode normalizes onto the identical stream
+      assert(res.cehash_hex === orig.cehash_hex,
+        s"resampled copy $i must canonical-fingerprint identically")
+      assert(res.crate === orig.crate,
+        s"both rates must land on the same canonical band member")
+      // ...and the rate-sensitive plain hash misses it — the gap this
+      // fingerprint exists to close
+      val dPlain = java.lang.Long.bitCount(
+        java.lang.Long.parseUnsignedLong(res.ehash_hex, 16) ^
+          java.lang.Long.parseUnsignedLong(orig.ehash_hex, 16))
+      assert(dPlain >= 7, s"plain hash should miss the resample, got $dPlain")
+    }
+    // volume invariance carries through the decimation unchanged
+    for (i <- 0 until 4)
+      assert(ph(f"genv_$i%02d.wav").cehash_hex === ph(f"genq_$i%02d.wav").cehash_hex)
+    // canonical band: every decodable recording lands in [4000, 8000) Hz
+    // (rates below the floor keep factor 1 — none in this fixture)
+    ph.values.filter(_.channels > 0).foreach(p =>
+      assert(p.crate >= 4000 && p.crate < 8000, s"${p.name}: ${p.crate}"))
+    // and the registered query finds the engineered pairs at distance 0
+    val pairs = PipelineQueries.audioNearDupsResampled(spark, "")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(pairs.contains(("gen_00.wav", "gend_00.wav", 0L)) ||
+      pairs.contains(("gend_00.wav", "gen_00.wav", 0L)), s"$pairs")
+  }
+
   test("audio near-dup banding equals all-pairs truth over the frozen manifest") {
     import graft.queries.PipelineQueries
     val banded = PipelineQueries.audioNearDups(spark, "").collect()
