@@ -412,17 +412,16 @@ object Selection {
     * per-cell argmax another; only |cells| winner rows return to the
     * driver per round. Rounds are inherently sequential (greedy); driver
     * state is the |cells|·reps selected matrix, never corpus rows. */
-  def kCenterPerCell(emb: DataFrame, centroids: DataFrame, reps: Int): DataFrame = {
-    require(reps >= 1 && reps <= 16, s"1 <= reps <= 16, got $reps")
-    val spark = emb.sparkSession
-    import spark.implicits._
-    // cell widened to long once here (the fixture stores int32); the
-    // oracle mirrors with cell::BIGINT so output types agree
+  /** IVF coarse-quantizer cell assignment: cosine-argmax over the
+    * broadcast centroid table, ties to the smaller cell (the ivfTopK /
+    * annIvf oracle convention) — `max_by` over (ccos, −cell), no window.
+    * Cell widened to long once here (the fixture stores int32); oracles
+    * mirror with `cell::BIGINT` so output types agree. Shared by
+    * [[kCenterPerCell]] and [[clusterTemperatureMix]]. */
+  def ivfCellAssignment(emb: DataFrame, centroids: DataFrame): DataFrame = {
     val cent = centroids.select(col("cell").cast("long").as("cell"),
       col("centroid").as("cv"), Similarity.norm(col("centroid")).as("cn"))
-    // assignment: cosine-argmax, ties to the smaller cell (the ivfTopK /
-    // annIvf oracle convention) — max_by over (ccos, -cell), no window
-    val members = emb
+    emb
       .select(col("vec_id"), col("embedding"),
         Similarity.norm(col("embedding")).as("nrm"))
       .join(broadcast(cent))
@@ -433,6 +432,13 @@ object Selection {
       .groupBy(col("vec_id"))
       .agg(max_by(col("cell"), struct(col("ccos"), -col("cell"))).as("cell"),
         first(col("embedding")).as("embedding"))
+  }
+
+  def kCenterPerCell(emb: DataFrame, centroids: DataFrame, reps: Int): DataFrame = {
+    require(reps >= 1 && reps <= 16, s"1 <= reps <= 16, got $reps")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val members = ivfCellAssignment(emb, centroids)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val distQ = round((lit(1.0) -
@@ -496,25 +502,55 @@ object Selection {
     * Scale: one explode-free pass — token counts come from the words-array
     * SIZE, not an explode — into a |sources|-row aggregate; the window
     * normalization runs over that bounded table. */
-  def temperatureMix(docs: DataFrame, alpha: Double): DataFrame = {
+  def temperatureMix(docs: DataFrame, alpha: Double): DataFrame =
+    temperatureMixBy(docs, col("source"), "source", alpha)
+
+  /** [[temperatureMix]] generalized over ANY bounded grouping label —
+    * the seam [[clusterTemperatureMix]] plugs learned clusters into.
+    * `label` must be low-cardinality by contract (sources, IVF cells):
+    * the window normalization runs over the |labels|-row aggregate. */
+  def temperatureMixBy(docs: DataFrame, label: Column, labelName: String,
+                       alpha: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy() // |sources| rows by contract — bounded
+    val w = Window.partitionBy() // |labels| rows by contract — bounded
     docs
-      .select(col("source"),
+      .select(label.as(labelName),
         size(TextOps.wordsSafe(col("text"))).cast("long").as("toks"))
-      .groupBy(col("source"))
+      .groupBy(col(labelName))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"))
-      .select(col("source"), col("n_docs"), col("tokens"),
+      .select(col(labelName), col("n_docs"), col("tokens"),
         (col("tokens").cast("double") /
           sum(col("tokens")).over(w).cast("double")).as("p"))
-      .select(col("source"), col("n_docs"), col("tokens"), col("p"),
+      .select(col(labelName), col("n_docs"), col("tokens"), col("p"),
         round(pow(col("p"), lit(alpha)) * lit(1e6)).cast("long").as("tq"))
-      .select(col("source"), col("n_docs"), col("tokens"),
+      .select(col(labelName), col("n_docs"), col("tokens"),
         round(col("p"), 6).as("p"),
         round(col("tq").cast("double") / sum(col("tq")).over(w).cast("double"), 6)
           .as("q"),
         round(col("tq").cast("double") / sum(col("tq")).over(w).cast("double") /
           col("p"), 6).as("boost"))
-      .orderBy(col("source"))
+      .orderBy(col(labelName))
   }
+
+  /** CLUSTER-tempered mixture (r17 VERDICT #6): [[temperatureMix]] with
+    * the grouping label swapped from the SOURCE column to the LEARNED
+    * IVF cell of each document's embedding — the standard fix when
+    * source labels are too coarse at pre-training scale (one "web"
+    * source spans dozens of latent domains; tempering over clusters
+    * balances what the data actually is, not what the crawler called
+    * it). Assignment is the shared broadcast-centroid cosine-argmax
+    * ([[ivfCellAssignment]]); docs join their cells on doc_id ≡ vec_id
+    * (the fixture identity every embedding consumer uses); the temper
+    * math is byte-identical to the source form. Output keyed by `cell`.
+    *
+    * Scale: one broadcast assignment pass + one doc-keyed equi-join +
+    * the |cells|-row tempered aggregate — no new shuffle shapes beyond
+    * the family's existing ones. */
+  def clusterTemperatureMix(docs: DataFrame, emb: DataFrame,
+                            centroids: DataFrame, alpha: Double): DataFrame =
+    temperatureMixBy(
+      docs.join(ivfCellAssignment(emb, centroids)
+          .select(col("vec_id"), col("cell")),
+        docs("doc_id") === col("vec_id")),
+      col("cell"), "cell", alpha)
 }

@@ -6869,6 +6869,40 @@ object PipelineQueries {
   def domainTemperature(s: SparkSession, d: String): DataFrame =
     graft.ops.Selection.temperatureMix(documents(s, d), alpha = 0.5)
 
+  /** CLUSTER-tempered mixture at alpha = 0.5
+    * ([[graft.ops.Selection.clusterTemperatureMix]]): tempering balanced
+    * by LEARNED IVF cells instead of source labels — the oracle replays
+    * assignment (the kcenterDiverse convention) → join on doc_id ≡
+    * vec_id → token counts → temper end-to-end. */
+  def clusterTemperature(s: SparkSession, d: String): DataFrame =
+    graft.ops.Selection.clusterTemperatureMix(documents(s, d),
+      embeddings(s, d), s.read.parquet(ivfCentroidsPath), alpha = 0.5)
+
+  val clusterTemperatureSql: String =
+    materializeCtes(s"""WITH $duckNormed,
+       |cent AS (SELECT cell::BIGINT AS cell, centroid AS cv,
+       |                sqrt(list_dot_product(centroid, centroid)) AS cn
+       |         FROM read_parquet('$ivfCentroidsPath/*.parquet')),
+       |asg AS (SELECT e.vec_id, cent.cell,
+       |               list_dot_product(e.v, cent.cv) / (e.nrm * cent.cn) AS ccos
+       |        FROM e CROSS JOIN cent),
+       |cells AS (SELECT vec_id, cell FROM asg
+       |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) = 1),
+       |b AS (SELECT c.cell, count(*)::BIGINT AS n_docs,
+       |             sum(len($duckWords))::BIGINT AS tokens
+       |      FROM documents d JOIN cells c ON d.doc_id = c.vec_id
+       |      GROUP BY c.cell),
+       |t AS (SELECT sum(tokens)::BIGINT AS tot FROM b),
+       |p AS (SELECT cell, n_docs, tokens, tokens::DOUBLE / tot::DOUBLE AS p
+       |      FROM b CROSS JOIN t),
+       |q AS (SELECT cell, n_docs, tokens, p,
+       |        round(pow(p, 0.5) * 1e6)::BIGINT AS tq FROM p),
+       |n AS (SELECT sum(tq)::BIGINT AS qt FROM q)
+       |SELECT cell, n_docs, tokens, round(p, 6) AS p,
+       |       round(tq::DOUBLE / qt::DOUBLE, 6) AS q,
+       |       round(tq::DOUBLE / qt::DOUBLE / p, 6) AS boost
+       |FROM q CROSS JOIN n ORDER BY cell""".stripMargin)
+
   val domainTemperatureSql: String =
     s"""WITH b AS (SELECT source, count(*)::BIGINT AS n_docs,
        |             sum(len($duckWords))::BIGINT AS tokens

@@ -235,6 +235,29 @@ class SelectionSpec extends AnyFunSuite {
     assert(math.abs(at03.values.map(_._3).sum - 1.0) < 1e-5)
   }
 
+  test("cluster-tempered mix groups by LEARNED cells and lifts the tail cluster") {
+    // 9 docs embed near axis x (cell 0), 1 near axis y (cell 1) — the
+    // "web" source hides two latent domains the source label can't see
+    val emb = ((0L until 9L).map(i => (i, Array(1.0f, 0.05f * i))) :+
+      (9L, Array(0.1f, 1.0f))).toDF("vec_id", "embedding")
+    val cents = Seq((0, Array(1.0, 0.0)), (1, Array(0.0, 1.0)))
+      .toDF("cell", "centroid")
+    val docs = (0L until 10L).map(i => (i, "web", "w " * 10))
+      .toDF("doc_id", "source", "text")
+    val m = Selection.clusterTemperatureMix(docs, emb, cents, alpha = 0.3)
+      .select(col("cell"), col("n_docs"), col("boost"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(m.keySet === Set(0L, 1L))
+    assert(m(0L)._2 === 9L && m(1L)._2 === 1L,
+      "assignment must follow the learned geometry, not the source label")
+    // tempering lifts the latent tail domain and dampens the head —
+    // invisible to source-tempering (ONE source ⇒ boost ≡ 1)
+    assert(m(1L)._3 > 1.0 && m(0L)._3 < 1.0)
+    val bySource = Selection.temperatureMix(docs, alpha = 0.3)
+      .select(col("boost")).as[Double].collect()
+    assert(bySource.toSeq === Seq(1.0))
+  }
+
   test("dsir model store: ensure == rebuild, append == rebuild, replay never double-counts") {
     val dir = java.nio.file.Files.createTempDirectory("dsir_store").toString
     corpus.write.mode("overwrite").parquet(s"$dir/docs.parquet")
