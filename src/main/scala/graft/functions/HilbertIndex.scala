@@ -1,9 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{DataType, LongType}
 
@@ -77,6 +79,125 @@ object HilbertIndex {
     ColumnBridge.column(HilbertIndex(ColumnBridge.expression(x),
       ColumnBridge.expression(y), bits))
 
+  /** N-DIMENSIONAL Hilbert index over pre-normalized coordinates — the
+    * d-dim generalization the 2-D kernel lacked (r17 VERDICT #5: a
+    * 100 TB layout decision usually clusters 3+ columns, where only the
+    * Morton interleave was available). Re-derives the public transpose
+    * algorithm (J. Skilling, "Programming the Hilbert curve", AIP Conf.
+    * Proc. 707, 2004): per-level inverse-undo, Gray encode, and the
+    * bit-transpose interleave (X[0] carries the MSB). NOTE: at n = 2
+    * this is a valid Hilbert curve but NOT bit-identical to
+    * [[HilbertIndex.xy2d]]'s classic-walk orientation — the 2-D family
+    * keeps its kernel and oracle; this one owns n ≥ 3 (and its own
+    * oracle replay, [[hilbertNSqlCtes]]). LayoutSpec pins the same two
+    * axioms exhaustively at d = 3 — bijectivity onto [0, 2^(n·bits))
+    * and unit-step adjacency — plus a d = 4 bijectivity probe. */
+  def axesToIndex(bits: Int, xs: Array[Long]): Long = {
+    val n = xs.length
+    val x = xs.clone()
+    // inverse undo
+    var q = 1L << (bits - 1)
+    while (q > 1) {
+      val p = q - 1
+      var i = 0
+      while (i < n) {
+        if ((x(i) & q) != 0) x(0) ^= p
+        else { val t = (x(0) ^ x(i)) & p; x(0) ^= t; x(i) ^= t }
+        i += 1
+      }
+      q >>= 1
+    }
+    // Gray encode
+    var i = 1
+    while (i < n) { x(i) ^= x(i - 1); i += 1 }
+    var t = 0L
+    q = 1L << (bits - 1)
+    while (q > 1) {
+      if ((x(n - 1) & q) != 0) t ^= q - 1
+      q >>= 1
+    }
+    i = 0
+    while (i < n) { x(i) ^= t; i += 1 }
+    // transpose-interleave, X[0] first at each level = the MSB
+    var d = 0L
+    var j = bits - 1
+    while (j >= 0) {
+      var k = 0
+      while (k < n) { d = (d << 1) | ((x(k) >> j) & 1L); k += 1 }
+      j -= 1
+    }
+    d
+  }
+
+  /** Column form over n pre-normalized long coordinates. */
+  def hilbertN(bits: Int, coords: Column*): Column =
+    ColumnBridge.column(HilbertIndexN(
+      coords.map(ColumnBridge.expression).toIndexedSeq, bits))
+
+  /** [[axesToIndex]] as generated DuckDB SQL — the [[hilbertSqlCtes]]
+    * contract for n dims: chained CTEs carrying (x0..x{n-1}) forward by
+    * NAME, one CTE per (level, dim) inverse-undo step (each mutation
+    * reads only the PREVIOUS CTE's columns — both x0' and xi' use the
+    * pre-step x0, exactly as the kernel's single `t` does), then the
+    * Gray prefix-xor, the bits-of-x{n-1} twiddle fold, and the
+    * transpose-interleave as a sum of shifted bits. `from` must provide
+    * long columns x0..x{n-1} already normalized to [0, 2^bits), plus the
+    * carry columns. Returns (cteSql, finalCteName); the index is column
+    * `hn` of that CTE. */
+  def hilbertNSqlCtes(from: String, bits: Int, n: Int,
+                      carry: Seq[String]): (String, String) = {
+    require(n >= 2 && n * bits <= 63, s"need 2 <= n, n*bits <= 63; got n=$n bits=$bits")
+    val keep = carry.mkString(", ")
+    def cols(mut: Map[Int, String]): String =
+      (0 until n).map(i => mut.getOrElse(i, s"x$i")).zipWithIndex
+        .map { case (e, i) => s"$e AS x$i" }.mkString(",\n         ")
+    var prev = from
+    val steps = scala.collection.mutable.ArrayBuffer.empty[String]
+    var c = 0
+    // inverse undo: Q from 2^(bits-1) down to 2, dims in order
+    for (lvl <- (1 until bits).reverse; i <- 0 until n) {
+      val q = 1L << lvl
+      val p = q - 1
+      val name = s"u$c"; c += 1
+      val mut: Map[Int, String] =
+        if (i == 0)
+          Map(0 -> s"CASE WHEN (x0 & $q) > 0 THEN xor(x0, $p) ELSE x0 END")
+        else Map(
+          0 -> (s"CASE WHEN (x$i & $q) > 0 THEN xor(x0, $p) " +
+            s"ELSE xor(x0, xor(x0, x$i) & $p) END"),
+          i -> (s"CASE WHEN (x$i & $q) > 0 THEN x$i " +
+            s"ELSE xor(x$i, xor(x0, x$i) & $p) END"))
+      steps += s"""$name AS (SELECT $keep,
+         ${cols(mut)}
+         FROM $prev)"""
+      prev = name
+    }
+    // Gray encode: xi' = xor(x0..xi) (prefix fold of the sequential form)
+    val grayMut = (1 until n).map { i =>
+      i -> (1 to i).foldLeft("x0")((acc, k) => s"xor($acc, x$k)")
+    }.toMap
+    steps += s"""g0 AS (SELECT $keep,
+       ${cols(grayMut)}
+       FROM $prev)"""
+    prev = "g0"
+    // twiddle fold over the LAST dim's bits, applied to every dim
+    val tExpr =
+      if (bits == 1) "0"
+      else (1 until bits).reverse
+        .map(l => s"(CASE WHEN (x${n - 1} & ${1L << l}) > 0 THEN ${(1L << l) - 1} ELSE 0 END)")
+        .reduceLeft((a, b) => s"xor($a, $b)")
+    val tMut = (0 until n).map(i => i -> s"xor(x$i, ht)").toMap
+    steps += s"""g1 AS (SELECT $keep, $tExpr AS ht, ${(0 until n).map(i => s"x$i").mkString(", ")} FROM $prev)"""
+    steps += s"""g2 AS (SELECT $keep,
+       ${cols(tMut)}
+       FROM g1)"""
+    // transpose-interleave: bit j of x_i lands at j*n + (n-1-i)
+    val hTerms = (for (j <- 0 until bits; i <- 0 until n)
+      yield s"((x$i >> $j) & 1) * ${1L << (j * n + (n - 1 - i))}").mkString(" + ")
+    steps += s"""hf AS (SELECT $keep, ($hTerms)::BIGINT AS hn FROM g2)"""
+    (steps.mkString(",\n"), "hf")
+  }
+
   /** The SAME walk as generated DuckDB SQL: one CTE per bit level carrying
     * (hx, hy, hd) forward by NAME — no expression-tree blowup — built from
     * the identical rotate/reflect cases as [[xy2d]]. `from` must provide
@@ -105,4 +226,62 @@ object HilbertIndex {
     }
     ((init +: steps).mkString(",\n"), s"h$bits")
   }
+}
+
+/** The n-ary Catalyst expression over [[HilbertIndex.axesToIndex]]: one
+  * codegen'd kernel call per row (the coordinate array is a per-row
+  * scratch buffer the JIT routinely stack-allocates). Inputs MUST already
+  * be normalized to [0, 2^bits); output is in [0, 2^(n·bits)), 63-bit
+  * budget enforced at construction. */
+case class HilbertIndexN(children: Seq[Expression], bits: Int)
+    extends Expression {
+
+  require(children.size >= 2, s"need >= 2 dims, got ${children.size}")
+  require(bits >= 1 && children.size * bits <= 63,
+    s"n*bits must fit 63 bits, got ${children.size} * $bits")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == LongType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_hilbert_n requires long arguments, got " +
+        children.map(_.dataType.catalogString).mkString(", "))
+
+  override def eval(input: InternalRow): Any = {
+    val xs = new Array[Long](children.size)
+    var i = 0
+    while (i < children.size) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      xs(i) = v.asInstanceOf[Long]
+      i += 1
+    }
+    HilbertIndex.axesToIndex(bits, xs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val gens = children.map(_.genCode(ctx))
+    val arr = ctx.freshName("hilbertCoords")
+    val childCode = gens.map(_.code.toString).mkString("\n")
+    val anyNull = gens.map(_.isNull.toString).mkString(" || ")
+    val assigns = gens.zipWithIndex
+      .map { case (g, i) => s"$arr[$i] = ${g.value};" }.mkString("\n")
+    ev.copy(code = code"""
+      $childCode
+      boolean ${ev.isNull} = false;
+      long ${ev.value} = 0L;
+      if ($anyNull) { ${ev.isNull} = true; } else {
+        long[] $arr = new long[${children.size}];
+        $assigns
+        ${ev.value} = graft.functions.HilbertIndex.axesToIndex($bits, $arr);
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+
+  override def prettyName: String = "graft_hilbert_n"
 }

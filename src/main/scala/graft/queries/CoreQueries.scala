@@ -1392,6 +1392,62 @@ object CoreQueries {
        |FROM $last GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
+  /** THREE-dimensional Hilbert locality — the audit that exercises the
+    * n-dim kernel ([[graft.functions.HilbertIndex.axesToIndex]], the
+    * Skilling transpose walk) on a real 3-column layout decision
+    * (l_orderkey, l_partkey, l_suppkey): same normalization, top-8-bit
+    * bucketing of the 24-bit index, per-bucket per-dimension spans. The
+    * oracle replays the identical walk as generated chained CTEs
+    * ([[graft.functions.HilbertIndex.hilbertNSqlCtes]]) — one CTE per
+    * (level, dim) inverse-undo step, Gray prefix-xor, twiddle fold,
+    * transpose-interleave — so the kernel is hash-verified value-exactly
+    * over the full corpus, the 2-D family's proof shape at d = 3. */
+  def hilbert3Locality(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Layout
+    val li = lineitem(s, d).select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+    val mm = li.agg(min(col("ok")).as("oklo"), max(col("ok")).as("okhi"),
+      min(col("pk")).as("pklo"), max(col("pk")).as("pkhi"),
+      min(col("sk")).as("sklo"), max(col("sk")).as("skhi"))
+    val h = graft.functions.HilbertIndex.hilbertN(ZBits,
+      Layout.normalizeToBits(col("ok"), col("oklo"), col("okhi"), ZBits),
+      Layout.normalizeToBits(col("pk"), col("pklo"), col("pkhi"), ZBits),
+      Layout.normalizeToBits(col("sk"), col("sklo"), col("skhi"), ZBits))
+    li.join(broadcast(mm))
+      .select(shiftright(h, 2 * ZBits).as("bucket"),
+        col("ok"), col("pk"), col("sk"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        (max(col("ok")) - min(col("ok"))).cast("long").as("ok_span"),
+        (max(col("pk")) - min(col("pk"))).cast("long").as("pk_span"),
+        (max(col("sk")) - min(col("sk"))).cast("long").as("sk_span"))
+      .orderBy(col("bucket"))
+  }
+
+  val hilbert3LocalitySql: String = {
+    val m = (1L << ZBits) - 1
+    val (ctes, last) = graft.functions.HilbertIndex.hilbertNSqlCtes(
+      "nv", ZBits, 3, Seq("ok", "pk", "sk"))
+    s"""WITH mm AS (SELECT min(l_orderkey) AS oklo, max(l_orderkey) AS okhi,
+       |              min(l_partkey) AS pklo, max(l_partkey) AS pkhi,
+       |              min(l_suppkey) AS sklo, max(l_suppkey) AS skhi
+       |            FROM lineitem),
+       |nv AS (SELECT l_orderkey AS ok, l_partkey AS pk, l_suppkey AS sk,
+       |         CASE WHEN okhi > oklo
+       |           THEN (l_orderkey - oklo) * $m // (okhi - oklo) ELSE 0 END AS x0,
+       |         CASE WHEN pkhi > pklo
+       |           THEN (l_partkey - pklo) * $m // (pkhi - pklo) ELSE 0 END AS x1,
+       |         CASE WHEN skhi > sklo
+       |           THEN (l_suppkey - sklo) * $m // (skhi - sklo) ELSE 0 END AS x2
+       |       FROM lineitem, mm),
+       |$ctes
+       |SELECT hn >> ${2 * ZBits} AS bucket, count(*) AS n,
+       |       (max(ok) - min(ok))::BIGINT AS ok_span,
+       |       (max(pk) - min(pk))::BIGINT AS pk_span,
+       |       (max(sk) - min(sk))::BIGINT AS sk_span
+       |FROM $last GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   val zorderLocalitySql: String = {
     val m = (1L << ZBits) - 1
     val z = graft.ops.Layout.interleaveSqlExpr(Seq("no", "np"), ZBits)

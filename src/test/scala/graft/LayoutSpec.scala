@@ -201,4 +201,74 @@ class LayoutSpec extends AnyFunSuite {
     val ms = spans(morton)
     assert(hs <= ms + 1e-9, s"hilbert mean span $hs must not exceed morton $ms")
   }
+
+  test("n-dim hilbert axioms at d=3: bijective onto [0, 8^bits), unit-step adjacent; d=4 bijective") {
+    // the same two defining properties the 2-D kernel pins, exhaustively,
+    // for the Skilling transpose walk at three dims — the generalization
+    // a 3+-column layout decision clusters on (r17 VERDICT #5)
+    import graft.functions.HilbertIndex.axesToIndex
+    for (bits <- 1 to 3) {
+      val n = 1 << bits
+      val ds = for (x <- 0 until n; y <- 0 until n; z <- 0 until n)
+        yield ((x.toLong, y.toLong, z.toLong),
+          axesToIndex(bits, Array(x.toLong, y.toLong, z.toLong)))
+      assert(ds.map(_._2).sorted === (0L until (1L << (3 * bits))).toSeq,
+        s"bits=$bits: axesToIndex must be a bijection onto [0, 8^bits)")
+      val byD = ds.map(_.swap).toMap
+      (0L until (1L << (3 * bits)) - 1).foreach { d =>
+        val (x1, y1, z1) = byD(d); val (x2, y2, z2) = byD(d + 1)
+        assert(math.abs(x1 - x2) + math.abs(y1 - y2) + math.abs(z1 - z2) === 1,
+          s"bits=$bits: positions $d and ${d + 1} must be grid neighbours")
+      }
+    }
+    // d=4 probe: bijectivity over the full 2-bit grid (65536 positions)
+    val ds4 = for (a <- 0 until 4; b <- 0 until 4; c <- 0 until 4; e <- 0 until 4)
+      yield axesToIndex(2, Array(a.toLong, b.toLong, c.toLong, e.toLong))
+    assert(ds4.sorted === (0L until 256L).toSeq,
+      "d=4 bits=2: bijection onto [0, 16^2)")
+  }
+
+  test("n-dim hilbert expression == kernel (codegen path); null in any dim → null") {
+    val bits = 8
+    val pts = (0 until 400).map { i =>
+      (graft.ops.TextOps.mix64(i.toLong) & 0xffL,
+        graft.ops.TextOps.mix64(i + 7777L) & 0xffL,
+        graft.ops.TextOps.mix64(i + 31337L) & 0xffL)
+    }
+    val got = pts.toDF("x", "y", "z")
+      .select(graft.functions.HilbertIndex.hilbertN(bits,
+        col("x"), col("y"), col("z")).as("h"))
+      .as[Long].collect().toSeq
+    val want = pts.map { case (x, y, z) =>
+      graft.functions.HilbertIndex.axesToIndex(bits, Array(x, y, z)) }
+    assert(got === want)
+    val withNull = Seq((Some(1L), Some(2L), Option.empty[Long]))
+      .toDF("x", "y", "z")
+      .select(graft.functions.HilbertIndex.hilbertN(bits,
+        col("x"), col("y"), col("z")).as("h"))
+      .collect()
+    assert(withNull.head.isNullAt(0))
+  }
+
+  test("n-dim hilbert at d=3 buckets no looser than 3-dim morton on the full grid") {
+    val bits = 4 // 4096 cells
+    val n = 1L << bits
+    def morton3(x: Long, y: Long, z: Long): Long =
+      (0 until bits).foldLeft(0L)((a, i) =>
+        a | (((x >> i) & 1L) << (3 * i)) | (((y >> i) & 1L) << (3 * i + 1)) |
+          (((z >> i) & 1L) << (3 * i + 2)))
+    def spans(index: (Long, Long, Long) => Long): Double = {
+      val cells = for (x <- 0L until n; y <- 0L until n; z <- 0L until n)
+        yield (index(x, y, z), x, y, z)
+      val buckets = cells.groupBy(_._1 >> (3 * bits - 6)) // 64 buckets
+      buckets.values.map { g =>
+        (g.map(_._2).max - g.map(_._2).min + g.map(_._3).max - g.map(_._3).min +
+          g.map(_._4).max - g.map(_._4).min).toDouble
+      }.sum / buckets.size
+    }
+    val hs = spans((x, y, z) =>
+      graft.functions.HilbertIndex.axesToIndex(bits, Array(x, y, z)))
+    val ms = spans(morton3)
+    assert(hs <= ms + 1e-9, s"hilbert3 mean span $hs must not exceed morton3 $ms")
+  }
 }
