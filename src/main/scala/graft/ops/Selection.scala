@@ -532,6 +532,56 @@ object Selection {
       .orderBy(col(labelName))
   }
 
+  /** DoReMi-style EXCESS-LOSS domain reweighting (Xie et al., "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining",
+    * 2023 — public method re-derived in this engine's integer-exact
+    * idiom): the Group-DRO exponentiated-gradient update on domain
+    * weights, in its fixed-loss softmax form — without proxy-model
+    * retraining the per-round losses are constant, so the T-step hedge
+    * update collapses to `w_d ∝ exp(η · excess_d)` exactly (the
+    * iteration buys nothing; stating that loudly beats faking one).
+    * Loss proxy: the CMS-LM's INTEGER bit-length NLL (`q2_nll` — the
+    * [[LmScore.lmScores]] column built from exact bin-length sums), so a
+    * domain's mean loss is a ratio of exact integers; excess is over the
+    * min domain (shift-invariant for the softmax, subtracted for
+    * stability); `exp` runs once per DOMAIN (bounded rows) and its
+    * output is 1e-6-quantized BEFORE the normalizing sum — order-free,
+    * engine-replayable (the [[temperatureMix]] discipline).
+    *
+    * Semantics: hard (high-excess-loss) domains get w > uniform — the
+    * DoReMi direction; a domain at the min excess anchors at exp(0).
+    * Scale: one LM scoring scan (the q_lm_perplexity shape) into a
+    * |domains|-row aggregate; window normalization over that bounded
+    * table. */
+  def doremiWeights(docs: DataFrame, isTarget: Column,
+                    etaTenths: Int = 10): DataFrame = {
+    require(etaTenths >= 0 && etaTenths <= 100,
+      s"etaTenths must be in [0,100], got $etaTenths")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy() // |domains| rows by contract — bounded
+    val lm = LmScore.trainBigramLm(docs.where(isTarget))
+    val raw = docs.where(!isTarget)
+    LmScore.lmScores(raw, lm)
+      .join(raw.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bigrams")).as("grams"),
+        sum(col("q2_nll")).as("q2"))
+      .select(col("source"), col("n_docs"), col("grams"),
+        round(col("q2").cast("double") * lit(1e6) /
+          greatest(col("grams"), lit(1L)).cast("double")).cast("long").as("mq"))
+      .select(col("source"), col("n_docs"), col("grams"), col("mq"),
+        (col("mq") - min(col("mq")).over(w)).as("exq"))
+      .select(col("source"), col("n_docs"), col("grams"), col("mq"), col("exq"),
+        round(exp(lit(etaTenths / 10.0) * col("exq").cast("double") / lit(1e6)) *
+          lit(1e6)).cast("long").as("eq"))
+      .select(col("source"), col("n_docs"), col("grams"),
+        round(col("mq").cast("double") / lit(1e6), 6).as("mean_bits"),
+        round(col("exq").cast("double") / lit(1e6), 6).as("excess"),
+        round(col("eq").cast("double") / sum(col("eq")).over(w).cast("double"), 6)
+          .as("w"))
+      .orderBy(col("source"))
+  }
+
   /** CLUSTER-tempered mixture (r17 VERDICT #6): [[temperatureMix]] with
     * the grouping label swapped from the SOURCE column to the LEARNED
     * IVF cell of each document's embedding — the standard fix when

@@ -3897,7 +3897,10 @@ object PipelineQueries {
     * side replays per-position min-of-depth lookups, and the vocabulary
     * excludes the "" split artifact exactly as [[graft.ops.LmScore
     * .trainNgramLm]] does. */
-  private def lmPerplexitySqlFor(n: Int, countCol: String): String = {
+  /** The w..agg CTE chain of the order-`n` CMS-LM replay, shared by the
+    * per-doc perplexity oracles and the domain-reweighting oracle (which
+    * aggregates `agg` per source instead of selecting it per doc). */
+  private def lmScoreCtesFor(n: Int): String = {
     val P = Dedup.MinhashP
     val W = 1024
     val consts = Dedup.minhashConstsSqlValues(4)
@@ -3907,7 +3910,7 @@ object PipelineQueries {
         .mkString(" || ' ' || ")
     // n-gram count is len-n+1, so positions run range(1, len(w)-(n-2))
     val hi = s"len(w) - ${n - 2}"
-    s"""WITH w AS (SELECT doc_id, source, $duckWords AS w FROM documents),
+    s"""w AS (SELECT doc_id, source, $duckWords AS w FROM documents),
        |refw AS (SELECT w FROM w WHERE source = 'src0'),
        |refg AS (SELECT unnest(CASE WHEN len(w) >= $n
        |           THEN list_transform(range(1, $hi), i -> ${cat("i", n)})
@@ -3940,12 +3943,15 @@ object PipelineQueries {
        |agg AS (SELECT doc_id, count(*) AS n,
        |          CAST(sum(length(bin(euv + v)) - length(bin(ebv + 1))) AS BIGINT) AS q2,
        |          round(sum(ln((euv + v)::DOUBLE / (ebv + 1)::DOUBLE)) / count(*), 6) AS nll
-       |        FROM eb JOIN eu USING (doc_id, p), vocab GROUP BY doc_id)
+       |        FROM eb JOIN eu USING (doc_id, p), vocab GROUP BY doc_id)""".stripMargin
+  }
+
+  private def lmPerplexitySqlFor(n: Int, countCol: String): String =
+    s"""WITH ${lmScoreCtesFor(n)}
        |SELECT d.doc_id, CAST(coalesce(n, 0) AS BIGINT) AS $countCol,
        |       coalesce(q2, 0) AS q2_nll, coalesce(nll, 0.0) AS nll
        |FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
        |LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
-  }
 
   val lmPerplexitySql: String = lmPerplexitySqlFor(2, "n_bigrams")
 
@@ -6902,6 +6908,36 @@ object PipelineQueries {
        |       round(tq::DOUBLE / qt::DOUBLE, 6) AS q,
        |       round(tq::DOUBLE / qt::DOUBLE / p, 6) AS boost
        |FROM q CROSS JOIN n ORDER BY cell""".stripMargin)
+
+  /** DoReMi-style excess-loss domain reweighting at η = 1
+    * ([[graft.ops.Selection.doremiWeights]]): the CMS-LM integer NLL
+    * proxy per domain, excess over the min domain, softmax with the
+    * exp output quantized before the normalizing sum. The oracle
+    * replays the whole chain — the q_lm_perplexity CTE body aggregated
+    * per source instead of per doc, then the quantized hedge update. */
+  def doremiWeightsQ(s: SparkSession, d: String): DataFrame =
+    graft.ops.Selection.doremiWeights(documents(s, d),
+      col("source") === "src0", etaTenths = 10)
+
+  val doremiWeightsSql: String =
+    s"""WITH ${lmScoreCtesFor(2)},
+       |ds AS (SELECT dd.source, count(*)::BIGINT AS n_docs,
+       |         CAST(sum(coalesce(a.n, 0)) AS BIGINT) AS grams,
+       |         CAST(sum(coalesce(a.q2, 0)) AS BIGINT) AS q2
+       |       FROM (SELECT doc_id, source FROM documents WHERE source <> 'src0') dd
+       |       LEFT JOIN agg a USING (doc_id) GROUP BY dd.source),
+       |m AS (SELECT source, n_docs, grams,
+       |        round(q2::DOUBLE * 1e6 / greatest(grams, 1)::DOUBLE)::BIGINT AS mq
+       |      FROM ds),
+       |mn AS (SELECT min(mq) AS mql FROM m),
+       |e AS (SELECT source, n_docs, grams, mq, mq - mql AS exq,
+       |        round(exp(1.0 * (mq - mql)::DOUBLE / 1e6) * 1e6)::BIGINT AS eq
+       |      FROM m CROSS JOIN mn),
+       |t AS (SELECT sum(eq)::BIGINT AS teq FROM e)
+       |SELECT source, n_docs, grams, round(mq::DOUBLE / 1e6, 6) AS mean_bits,
+       |       round(exq::DOUBLE / 1e6, 6) AS excess,
+       |       round(eq::DOUBLE / teq::DOUBLE, 6) AS w
+       |FROM e CROSS JOIN t ORDER BY source""".stripMargin
 
   val domainTemperatureSql: String =
     s"""WITH b AS (SELECT source, count(*)::BIGINT AS n_docs,

@@ -258,6 +258,27 @@ class SelectionSpec extends AnyFunSuite {
     assert(bySource.toSeq === Seq(1.0))
   }
 
+  test("doremi reweighting: hard (high-excess-NLL) domains upweighted, weights sum to 1, η=0 is uniform") {
+    val docs = (
+      (0L until 4L).map(i => (i, "tgt", "the quick brown fox jumps over the lazy dog")) ++
+      (10L until 14L).map(i => (i, "easy", "the quick brown fox jumps over the lazy dog")) ++
+      (20L until 24L).map(i => (i, "hard", "zz9 qq8 vv7 kk6 jj5 xx4 yy3 ww2 uu1"))
+    ).toDF("doc_id", "source", "text")
+    val w = Selection.doremiWeights(docs, col("source") === "tgt", etaTenths = 10)
+      .select(col("source"), col("excess"), col("w"))
+      .as[(String, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(w.keySet === Set("easy", "hard")) // target domain never weighted
+    // the out-of-distribution domain carries the excess loss and the
+    // larger weight — the DoReMi direction
+    assert(w("easy")._2 === 0.0 && w("hard")._2 > 0.0)
+    assert(w("hard")._3 > w("easy")._3)
+    assert(math.abs(w.values.map(_._3).sum - 1.0) < 2e-6)
+    // η = 0 degrades to the uniform mixture regardless of losses
+    val u = Selection.doremiWeights(docs, col("source") === "tgt", etaTenths = 0)
+      .select(col("w")).as[Double].collect()
+    assert(u.toSeq === Seq(0.5, 0.5))
+  }
+
   test("dsir model store: ensure == rebuild, append == rebuild, replay never double-counts") {
     val dir = java.nio.file.Files.createTempDirectory("dsir_store").toString
     corpus.write.mode("overwrite").parquet(s"$dir/docs.parquet")
