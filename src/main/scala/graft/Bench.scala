@@ -117,11 +117,16 @@ object Bench {
     * stream-stream join start-to-stop per invocation (~7 s of streaming
     * machinery, measured flat in data volume — the 10% user slice and
     * the full fixture time identically); its data path is timed by
-    * q_attribution_join / q_attribution_outer. */
+    * q_attribution_join / q_attribution_outer.
+    * q_dsir_model_stream_equiv (r18) is the same class for the
+    * maintained DSIR model: landing zone + two checkpointed stream
+    * sessions with a restart + compaction per invocation; its data
+    * paths are timed by q_dsir_weights (scoring) and
+    * q_dsir_weights_store (store serving). */
   private val excludedBaselines =
     Set("q_jaccard_all_pairs", "q_semantic_dedup_recall",
       "q_image_store_stream_equiv", "q_audio_store_stream_equiv",
-      "q_attribution_stream_equiv")
+      "q_attribution_stream_equiv", "q_dsir_model_stream_equiv")
 
   private def syncFs(): Unit =
     try new ProcessBuilder("sync").inheritIO().start().waitFor()

@@ -1805,6 +1805,22 @@ object Indexes {
                     buckets: Int = Selection.DefaultBuckets): Array[(Long, Double)] =
     Selection.modelFromCounts(readDsirModelCounts(spark, path), buckets)
 
+  /** Compact a streaming-maintained model store: the batch_id lineage
+    * (one ≤ `buckets`-row file per micro-batch) folds into ONE merged
+    * count table under generation batch 0, keeping the batch-addressed
+    * layout so maintenance appends keep landing ([[compactLshIndex]]'s
+    * layout-preservation rule). Unlike row stores there are no
+    * tombstones to fold — counts only ever merge — so compaction is
+    * pure file-count hygiene: a year of daily batches is 365 files a
+    * reader must sum; post-compaction it is one. Read-equivalence is
+    * exact by the merge's associativity (spec-asserted). */
+  def compactDsirModelStore(spark: SparkSession, src: String,
+                            dest: String): Unit =
+    readDsirModelCounts(spark, src)
+      .withColumn("batch_id", lit(0L))
+      .coalesce(1)
+      .write.mode("overwrite").partitionBy("batch_id").parquet(dest)
+
   /** Build-if-missing INGEST-LIFECYCLE model store — the
     * [[ensureLifecycleMinhashIndex]] bridge for the DSIR family: the base
     * slice's counts built fresh, the batch slice added THROUGH the real

@@ -782,7 +782,7 @@ object CoreQueries {
 
   /** Best-effort recursive delete of a per-invocation temp directory
     * (scratch only — never index/store state, which has its own GC). */
-  private def deleteTempTree(root: java.nio.file.Path): Unit =
+  private[queries] def deleteTempTree(root: java.nio.file.Path): Unit =
     try {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(root).iterator().asScala.toSeq

@@ -6617,6 +6617,64 @@ object PipelineQueries {
 
   val dsirWeightsStoreSql: String = dsirWeightsSql
 
+  /** REGISTERED stream-equivalence for the MAINTAINED DSIR model — the
+    * q_image/audio_store_stream_equiv promotion applied to the selection
+    * family: the documents corpus replays through a file-source stream in
+    * two landings with a checkpoint RESTART between them (the second
+    * half lands while the stream is DOWN),
+    * [[graft.streaming.EventStreams.dsirModelMaintenanceStream]] builds
+    * the count store batch by batch, then COMPACTION folds the lineage
+    * ([[graft.ops.Indexes.compactDsirModelStore]]) and the raw pool
+    * scores from the compacted model with the native kernel. The oracle
+    * knows nothing of streams or stores — it replays the one-shot
+    * full-corpus exploded derivation — so this row's hash match proves
+    * maintained == compacted == rebuilt, across a restart, every round.
+    * Scratch dirs deleted once the output is materialized. */
+  def dsirModelStreamEquiv(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val docs = documents(s, d)
+    val landing = java.nio.file.Files.createTempDirectory("dsirme_l")
+    val scratch = java.nio.file.Files.createTempDirectory("dsirme_s")
+    try {
+      val store = s"$scratch/model"
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("source", StringType), StructField("text", StringType)))
+      def land(part: DataFrame): Unit =
+        part.select(col("doc_id"), col("source"), col("text"))
+          .coalesce(1).write.mode("append").parquet(landing.toString)
+      def start() = graft.streaming.EventStreams.dsirModelMaintenanceStream(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(landing.toString),
+        col("source") === "src0", store, s"$scratch/ck")
+      land(docs.where(col("doc_id") % 2 === 0))
+      val q1 = start(); q1.processAllAvailable(); q1.stop()
+      land(docs.where(col("doc_id") % 2 =!= 0)) // lands while DOWN
+      val q2 = start(); q2.processAllAvailable(); q2.stop()
+      val compacted = s"$scratch/model_c0"
+      graft.ops.Indexes.compactDsirModelStore(s, store, compacted)
+      val model = graft.ops.Indexes.readDsirModel(s, compacted)
+      val out = graft.ops.Selection
+        .dsirScoredStateless(docs.where(col("source") =!= "src0"), model)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("s")).as("ssum"),
+          min(col("s")).as("smin"), max(col("s")).as("smax"))
+        .select(col("source"), col("n_docs"),
+          round(col("ssum").cast("double") / lit(1e6) / col("n_docs"), 6)
+            .as("avg_w"),
+          round(col("smin").cast("double") / lit(1e6), 6).as("min_w"),
+          round(col("smax").cast("double") / lit(1e6), 6).as("max_w"))
+        .orderBy(col("source"))
+      val local = s.createDataFrame(
+        java.util.Arrays.asList(out.collect(): _*), out.schema)
+      local.orderBy(col("source"))
+    } finally {
+      CoreQueries.deleteTempTree(landing)
+      CoreQueries.deleteTempTree(scratch)
+    }
+  }
+
+  val dsirModelStreamEquivSql: String = dsirWeightsSql
+
   /** DSIR selection: Gumbel-top-50 over the importance weights — weighted
     * sampling without replacement as a stateless top-k
     * ([[graft.ops.Selection.dsirSelect]]). gkey is the quantized integer

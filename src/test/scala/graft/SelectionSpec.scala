@@ -305,5 +305,14 @@ class SelectionSpec extends AnyFunSuite {
     graft.ops.Indexes.appendDsirModelStoreIdempotent(batch, isTarget, 1L, p3)
     graft.ops.Indexes.appendDsirModelStoreIdempotent(batch, isTarget, 1L, p3)
     assert(graft.ops.Indexes.readDsirModel(spark, p3).toSeq === full.toSeq)
+    // compaction folds the batch lineage into generation batch 0:
+    // read-equivalent, layout kept, one file
+    val p4 = s"$dir/model_c0"
+    graft.ops.Indexes.compactDsirModelStore(spark, p3, p4)
+    assert(graft.ops.Indexes.readDsirModel(spark, p4).toSeq === full.toSeq)
+    val compacted = spark.read.parquet(p4)
+    assert(compacted.columns.contains("batch_id"),
+      "compaction must keep the batch-addressed layout")
+    assert(compacted.select(col("batch_id")).distinct().count() === 1)
   }
 }
