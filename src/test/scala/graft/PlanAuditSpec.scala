@@ -556,6 +556,39 @@ class PlanAuditSpec extends AnyFunSuite {
       s"attribution join must use its user_id equi-key:\n$aj")
   }
 
+  test("round-18 additions stay on their scale paths") {
+    // store-served DSIR weights: the native kernel scores in ONE
+    // projection — no explode stage, no model join at all (the lr array
+    // rides the plan as a referenced object inside graft_dsir_score)
+    val ws = plan("q_dsir_weights_store")
+    assert(ws.contains("graft_dsir_score"),
+      s"store serving must score with the native kernel:\n$ws")
+    assert(!ws.contains("Generate") && !ws.contains("SortMergeJoin"),
+      s"no explode stage / model shuffle join in the kernel path:\n$ws")
+    // cluster tempering: the centroid table broadcasts into the
+    // assignment; the |cells|-row temper never shuffle-joins a dimension
+    val ct = plan("q_cluster_temperature")
+    assert(ct.contains("BroadcastHashJoin"),
+      s"centroid assignment must broadcast:\n$ct")
+    // 3-D hilbert audit: the n-dim kernel is one codegen'd expression in
+    // the scan projection, not a lambda or a join
+    val h3 = plan("q_hilbert3_locality")
+    assert(h3.contains("graft_hilbert_n"),
+      s"the n-dim kernel must appear as a native expression:\n$h3")
+    assert(!h3.contains("SortMergeJoin"),
+      s"the min/max frame must broadcast:\n$h3")
+    // resample-robust audio serving: the decode-once contract carries to
+    // the canonical-hash column
+    val ar = plan("q_audio_near_dups_resampled")
+    assert(ar.contains("audhash_") && !ar.toLowerCase.contains("binaryfile"),
+      s"canonical-hash serving must read the committed store:\n$ar")
+    // doremi: the CMS-LM model rides as literals (scan-stage fold) — no
+    // explode of the token stream survives in the plan
+    val dw = plan("q_doremi_weights")
+    assert(!dw.contains("Generate"),
+      s"LM scoring must stay a scan-stage array fold, not an explode:\n$dw")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // Theta joins in the documented quadratic baselines become
     // BroadcastNestedLoopJoin (bounded side); an unconditional
