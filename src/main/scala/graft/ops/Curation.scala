@@ -363,6 +363,46 @@ object Curation {
         round(col("skey"), 6).as("skey"))
   }
 
+  /** DEDUP-AWARE ("soft dedup") A-ES sampling: each document's sampling
+    * weight is its token count divided by its near-dup CLUSTER size, so a
+    * content unit duplicated n times contributes the same expected mass
+    * as a unique one — the middle ground between keeping all duplicates
+    * (over-sampling boilerplate) and hard dedup (discarding every copy's
+    * provenance), the pass a pipeline runs when duplicates carry signal
+    * (popularity, cross-source confirmation) but must not dominate the
+    * mixture. Unpaired documents have cluster size 1 and sample exactly
+    * as [[weightedSample]] would.
+    *
+    * Determinism: the cluster sizes come from the same connected
+    * components the dedup family registers ([[Dedup.connectedComponents]]
+    * — min-label fixpoint, engine-replayable via the recursive-CTE
+    * oracle); weight and key are the A-ES columns with ONE extra exact
+    * division (`toks / cluster_size` — identical IEEE op order both
+    * engines). Scale: the components/size join is doc-keyed; the cut is
+    * the bounded-heap [[graft.plans.GroupedTopK]], so the exchange
+    * carries ≤ k·|sources| rows regardless of corpus size. */
+  def softDedupSample(docs: DataFrame, pairs: DataFrame, k: Int): DataFrame = {
+    val cc = graft.ops.Dedup.connectedComponents(pairs)
+    val sizes = cc.groupBy(col("rep")).agg(count(lit(1)).as("csz"))
+    val withC = docs.select(col("source"), col("doc_id"), col("text"))
+      .join(cc, Seq("doc_id"), "left")
+      .join(sizes, Seq("rep"), "left")
+      .select(col("source"), col("doc_id"), col("text"),
+        coalesce(col("csz"), lit(1L)).as("cluster_size"))
+    val h48 = conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    val toks = greatest(size(TextOps.wordsSafe(col("text"))), lit(1)).cast("double")
+    val u = (h48.cast("double") + lit(1.0)) / lit(281474976710656.0) // 2^48
+    val scored = withC.select(col("source"), col("doc_id"), col("cluster_size"),
+        (toks / col("cluster_size").cast("double")).as("w"))
+      .select(col("source"), col("doc_id"), col("cluster_size"), col("w"),
+        (log(u) / col("w")).as("skey"))
+    graft.plans.GroupedTopK.topK(scored, Seq("source"),
+        Seq("skey" -> true, "doc_id" -> false), k)
+      .select(col("source"), col("doc_id"), col("cluster_size"),
+        round(col("w"), 6).as("weight"), round(col("skey"), 6).as("skey"))
+  }
+
   /** Per-group quantile-bucket (ntile) profile: assign every row to one of
     * `n` equal-count buckets of `valueCol` within its `partCol` group
     * (ties broken by `idCol` for a total, engine-portable order), then

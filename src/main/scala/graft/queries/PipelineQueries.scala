@@ -6530,6 +6530,52 @@ object PipelineQueries {
        |SELECT source, doc_id, w::BIGINT AS weight, round(skey, 6) AS skey
        |FROM r WHERE rn <= 15 ORDER BY source, doc_id""".stripMargin
 
+  /** DEDUP-AWARE A-ES sampling ([[graft.ops.Curation.softDedupSample]]):
+    * weights divided by near-dup cluster size so duplicated content
+    * contributes the same expected mass as unique content — composed
+    * from the registered components (same pairs, same min-label
+    * fixpoint) and the registered sampler (same A-ES key). The oracle
+    * chains the recursive transitive-closure CTE into the sampling
+    * replay, so the composition is graded end-to-end. */
+  def softDedupSampleQ(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val (sets, bands) = graft.ops.Indexes.ensureMinhashIndex(s, docs, d)
+    Curation.softDedupSample(docs,
+        graft.ops.Indexes.minhashNearDupsIndexed(s, sets, bands, threshold = 0.3)
+          .select(col("doc_a"), col("doc_b")), k = 15)
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  val softDedupSampleSql: String =
+    s"""WITH RECURSIVE $duckNearDupCtes,
+       |pairs AS (SELECT doc_a, doc_b FROM scored WHERE jacc >= 0.3),
+       |sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |        UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM sym
+       |  UNION
+       |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+       |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS rep
+       |         FROM reach GROUP BY src),
+       |sizes AS (SELECT rep, count(*)::BIGINT AS csz FROM comp GROUP BY rep),
+       |sb AS (SELECT dd.source, dd.doc_id,
+       |         coalesce(z.csz, 1)::BIGINT AS cluster_size,
+       |         greatest(len($duckWords), 1)::DOUBLE AS toks,
+       |         (('0x' || substr(md5(dd.doc_id::VARCHAR), 1, 12))::BIGINT::DOUBLE
+       |           + 1.0) / 281474976710656.0 AS u
+       |       FROM documents dd
+       |       LEFT JOIN comp c ON dd.doc_id = c.doc_id
+       |       LEFT JOIN sizes z ON c.rep = z.rep),
+       |sw AS (SELECT source, doc_id, cluster_size,
+       |         toks / cluster_size::DOUBLE AS w, u FROM sb),
+       |sr AS (SELECT source, doc_id, cluster_size, w, ln(u) / w AS skey,
+       |         row_number() OVER (PARTITION BY source
+       |                            ORDER BY ln(u) / w DESC, doc_id ASC) AS rn
+       |       FROM sw)
+       |SELECT source, doc_id, cluster_size, round(w, 6) AS weight,
+       |       round(skey, 6) AS skey
+       |FROM sr WHERE rn <= 15 ORDER BY source, doc_id""".stripMargin
+
   // ---- distribution-matched data selection (DSIR) ---------------------------
 
   /** Shared oracle prefix for the DSIR family: hashed unigram+bigram

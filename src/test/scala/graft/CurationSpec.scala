@@ -321,4 +321,31 @@ class CurationSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1, 3L, 1L, 3L), (2, 2L, 4L, 5L),
       (3, 2L, 6L, 7L), (4, 2L, 8L, 9L), (5, 2L, 10L, 11L)))
   }
+
+  test("soft-dedup sample: cluster mass split across members, no pairs == weightedSample") {
+    val docs = (0L until 20L).map { i =>
+      (i, ("w " * 10).trim, if (i < 10) "sA" else "sB")
+    }.toDF("doc_id", "text", "source")
+    // docs 0..4 form one 5-member near-dup cluster in sA
+    val pairs = (0L until 4L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Curation.softDedupSample(docs, pairs, k = 50)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    // clustered members carry size 5 and 1/5 the weight of singletons
+    (0L until 5L).foreach { i =>
+      assert(got(i)._1 === 5L && math.abs(got(i)._2 - 2.0) < 1e-9)
+    }
+    (5L until 20L).foreach { i =>
+      assert(got(i)._1 === 1L && math.abs(got(i)._2 - 10.0) < 1e-9)
+    }
+    // with NO pairs every cluster is a singleton: the cut must equal the
+    // plain A-ES sampler's selection exactly
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val soft = Curation.softDedupSample(docs, empty, k = 3)
+      .select(col("source"), col("doc_id")).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val plain = Curation.weightedSample(docs, k = 3)
+      .select(col("source"), col("doc_id")).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(soft === plain)
+    // a deduped cluster member can still be sampled — soft, not hard dedup
+    assert((0L until 5L).exists(got.contains))
+  }
 }
