@@ -1837,7 +1837,12 @@ object Indexes {
                                isTarget: Column, predTag: String,
                                buckets: Int = Selection.DefaultBuckets): String = {
     val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val family = s"dsirm_lc_${predTag.replaceAll("[^A-Za-z0-9._-]", "_")}_b${buckets}_"
+    // a DISTINCT top-level prefix (dsirmlc_, not dsirm_lc_): a plain
+    // store tagged predTag = "lc_x" would otherwise render the same
+    // family string as a lifecycle store tagged "x", and gcSiblings
+    // sweeps by family prefix — the lshFamily no-collision rule
+    // (self-review r18 catch)
+    val family = s"dsirmlc_${predTag.replaceAll("[^A-Za-z0-9._-]", "_")}_b${buckets}_"
     val path = s"$indexRoot/$tag/$family${corpusFingerprint(base)}"
     val mdir = familyManifestDir(sfDir, family)
     if (!manifestServes(spark, mdir, path) && !successExists(spark, path)) {

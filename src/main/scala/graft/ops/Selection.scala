@@ -135,7 +135,11 @@ object Selection {
     import spark.implicits._
     val lr = spark.createDataset(dsirModel(docs, isTarget, buckets).toSeq)
       .toDF("b", "lr")
-    hashedFeatureBuckets(docs.where(!isTarget), buckets)
+    // NULL predicate counts as RAW — the same coalesce [[bucketCounts]]
+    // applies, so the scored pool and the model see one universe (a bare
+    // `!isTarget` would DROP a NULL-source row here while the oracle's
+    // coalesced tgt scores it — the self-review r18 catch)
+    hashedFeatureBuckets(docs.where(!coalesce(isTarget, lit(false))), buckets)
       .groupBy(col("doc_id"), col("source"), col("b"))
       .agg(count(lit(1)).as("c"))
       .join(broadcast(lr), Seq("b"))
@@ -417,11 +421,16 @@ object Selection {
     * annIvf oracle convention) — `max_by` over (ccos, −cell), no window.
     * Cell widened to long once here (the fixture stores int32); oracles
     * mirror with `cell::BIGINT` so output types agree. Shared by
-    * [[kCenterPerCell]] and [[clusterTemperatureMix]]. */
-  def ivfCellAssignment(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    * [[kCenterPerCell]] (which needs each vector carried through) and
+    * [[clusterTemperatureMix]] (which needs only the cell — pass
+    * `carryEmbedding = false` so the argmax exchange moves (vec_id,
+    * ccos, cell) longs/doubles, not |docs| × dim floats of dead payload;
+    * self-review r18 catch). */
+  def ivfCellAssignment(emb: DataFrame, centroids: DataFrame,
+                        carryEmbedding: Boolean = true): DataFrame = {
     val cent = centroids.select(col("cell").cast("long").as("cell"),
       col("centroid").as("cv"), Similarity.norm(col("centroid")).as("cn"))
-    emb
+    val scored = emb
       .select(col("vec_id"), col("embedding"),
         Similarity.norm(col("embedding")).as("nrm"))
       .join(broadcast(cent))
@@ -429,9 +438,14 @@ object Selection {
         (graft.functions.DotProduct.dot(col("embedding"), col("cv")) /
           (col("nrm") * col("cn"))).as("ccos"),
         col("cell"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cell"), struct(col("ccos"), -col("cell"))).as("cell"),
-        first(col("embedding")).as("embedding"))
+    if (carryEmbedding)
+      scored.groupBy(col("vec_id"))
+        .agg(max_by(col("cell"), struct(col("ccos"), -col("cell"))).as("cell"),
+          first(col("embedding")).as("embedding"))
+    else
+      scored.select(col("vec_id"), col("ccos"), col("cell"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cell"), struct(col("ccos"), -col("cell"))).as("cell"))
   }
 
   def kCenterPerCell(emb: DataFrame, centroids: DataFrame, reps: Int): DataFrame = {
@@ -599,8 +613,7 @@ object Selection {
   def clusterTemperatureMix(docs: DataFrame, emb: DataFrame,
                             centroids: DataFrame, alpha: Double): DataFrame =
     temperatureMixBy(
-      docs.join(ivfCellAssignment(emb, centroids)
-          .select(col("vec_id"), col("cell")),
+      docs.join(ivfCellAssignment(emb, centroids, carryEmbedding = false),
         docs("doc_id") === col("vec_id")),
       col("cell"), "cell", alpha)
 }

@@ -6649,7 +6649,7 @@ object PipelineQueries {
       d, col("source") === "src0", "src0")
     val model = graft.ops.Indexes.readDsirModel(s, path)
     graft.ops.Selection
-      .dsirScoredStateless(docs.where(col("source") =!= "src0"), model)
+      .dsirScoredStateless(docs.where(!coalesce(col("source") === "src0", lit(false))), model)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("s")).as("ssum"),
         min(col("s")).as("smin"), max(col("s")).as("smax"))
@@ -6700,7 +6700,7 @@ object PipelineQueries {
       graft.ops.Indexes.compactDsirModelStore(s, store, compacted)
       val model = graft.ops.Indexes.readDsirModel(s, compacted)
       val out = graft.ops.Selection
-        .dsirScoredStateless(docs.where(col("source") =!= "src0"), model)
+        .dsirScoredStateless(docs.where(!coalesce(col("source") === "src0", lit(false))), model)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("s")).as("ssum"),
           min(col("s")).as("smin"), max(col("s")).as("smax"))
@@ -6902,7 +6902,7 @@ object PipelineQueries {
     val docs = documents(s, d)
     val model = graft.ops.Selection.dsirModel(docs, col("source") === "src0")
     graft.ops.Selection
-      .dsirScoredStateless(docs.where(col("source") =!= "src0"), model)
+      .dsirScoredStateless(docs.where(!coalesce(col("source") === "src0", lit(false))), model)
       .where(col("s") >= 0L)
       .select(col("doc_id"), col("source"),
         round(col("s").cast("double") / lit(1e6), 6).as("weight"))
@@ -6926,7 +6926,7 @@ object PipelineQueries {
     // oracle), and the gate stays a per-row predicate: no join at all
     val model = graft.ops.Selection.dsirModel(docs, col("source") === "src0")
     val survivors = graft.ops.Selection
-      .dsirScoredStateless(docs.where(col("source") =!= "src0"), model)
+      .dsirScoredStateless(docs.where(!coalesce(col("source") === "src0", lit(false))), model)
       .where(col("s") >= 0L)
       .select(col("doc_id"), col("source"), col("text"))
     Curation.tokenBudgetMix(survivors, Seq("src19" -> 60L), defaultBudget = 100L)

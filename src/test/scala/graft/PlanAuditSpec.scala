@@ -565,11 +565,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"store serving must score with the native kernel:\n$ws")
     assert(!ws.contains("Generate") && !ws.contains("SortMergeJoin"),
       s"no explode stage / model shuffle join in the kernel path:\n$ws")
-    // cluster tempering: the centroid table broadcasts into the
-    // assignment; the |cells|-row temper never shuffle-joins a dimension
+    // cluster tempering: the condition-free centroid join must be the
+    // BROADCAST nested-loop (a shuffled centroid join would regress the
+    // assignment's scale shape — and a bare BroadcastHashJoin assert
+    // would be satisfied by the unrelated docs-cells equi-join;
+    // self-review r18 catch), and the assignment exchange must not carry
+    // the embedding payload the temper path never reads
     val ct = plan("q_cluster_temperature")
-    assert(ct.contains("BroadcastHashJoin"),
-      s"centroid assignment must broadcast:\n$ct")
+    assert(ct.contains("BroadcastNestedLoopJoin"),
+      s"centroid assignment must broadcast the centroid table:\n$ct")
+    assert(!ct.contains("first(embedding"),
+      s"the temper path must not shuffle dead embedding payload:\n$ct")
     // 3-D hilbert audit: the n-dim kernel is one codegen'd expression in
     // the scan projection, not a lambda or a join
     val h3 = plan("q_hilbert3_locality")

@@ -235,6 +235,24 @@ class SelectionSpec extends AnyFunSuite {
     assert(math.abs(at03.values.map(_._3).sum - 1.0) < 1e-5)
   }
 
+  test("NULL-source docs count as RAW in both the model and the scored pool") {
+    // the r18 self-review catch: the oracle's coalesced tgt scores a
+    // NULL-source row as raw, so the Spark pool filter must keep it too
+    val withNull = corpus.unionByName(
+      Seq((20L, null.asInstanceOf[String], "quick brown fox and lazy dog"))
+        .toDF("doc_id", "source", "text"))
+    val w = Selection.importanceWeightsQuantized(withNull, isTarget)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(w === Set(10L, 11L, 12L, 20L),
+      "a NULL-source doc must be scored as raw, not silently dropped")
+    // and it participates in the model's raw counts (cr grows)
+    val crWith = Selection.bucketCounts(withNull, isTarget, 64)
+      .agg(sum(col("cr"))).as[Long].head()
+    val crWithout = Selection.bucketCounts(corpus, isTarget, 64)
+      .agg(sum(col("cr"))).as[Long].head()
+    assert(crWith > crWithout)
+  }
+
   test("cluster-tempered mix groups by LEARNED cells and lifts the tail cluster") {
     // 9 docs embed near axis x (cell 0), 1 near axis y (cell 1) — the
     // "web" source hides two latent domains the source label can't see
