@@ -7023,8 +7023,11 @@ object PipelineQueries {
     graft.ops.Selection.doremiWeights(documents(s, d),
       col("source") === "src0", etaTenths = 10)
 
-  val doremiWeightsSql: String =
-    s"""WITH ${lmScoreCtesFor(2)},
+  /** The per-domain hedge-update CTE chain shared by the doremi oracle
+    * and the mix composition ([[doremiMixSql]]): `e` carries the
+    * quantized exp terms, `t` the normalizing sum. */
+  private def duckDoremiCtes: String =
+    s"""${lmScoreCtesFor(2)},
        |ds AS (SELECT dd.source, count(*)::BIGINT AS n_docs,
        |         CAST(sum(coalesce(a.n, 0)) AS BIGINT) AS grams,
        |         CAST(sum(coalesce(a.q2, 0)) AS BIGINT) AS q2
@@ -7037,11 +7040,52 @@ object PipelineQueries {
        |e AS (SELECT source, n_docs, grams, mq, mq - mql AS exq,
        |        round(exp(1.0 * (mq - mql)::DOUBLE / 1e6) * 1e6)::BIGINT AS eq
        |      FROM m CROSS JOIN mn),
-       |t AS (SELECT sum(eq)::BIGINT AS teq FROM e)
+       |t AS (SELECT sum(eq)::BIGINT AS teq FROM e)""".stripMargin
+
+  val doremiWeightsSql: String =
+    s"""WITH $duckDoremiCtes
        |SELECT source, n_docs, grams, round(mq::DOUBLE / 1e6, 6) AS mean_bits,
        |       round(exq::DOUBLE / 1e6, 6) AS excess,
        |       round(eq::DOUBLE / teq::DOUBLE, 6) AS w
        |FROM e CROSS JOIN t ORDER BY source""".stripMargin
+
+  /** DoReMi weights made ACTIONABLE — the q_dsir_gated_mix precedent for
+    * the reweighting family: each domain's token budget is its hedge
+    * weight times a global 2000-token budget, fed into the registered
+    * budget-mix machinery ([[graft.ops.Curation.tokenBudgetMix]]). The
+    * per-domain weights collect driver-side (a bounded |domains|-row
+    * model, the dsirModel convention) from the same 6-dp values the
+    * weights query reports, so the oracle replays weight → budget → rank
+    * → cut in one chain and the driver grades the composition. */
+  def doremiMix(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val wrows = graft.ops.Selection
+      .doremiWeights(docs, col("source") === "src0", etaTenths = 10)
+      .select(col("source"), col("w")).collect() // |domains| rows — bounded
+    val budgets = wrows.toSeq
+      .map(r => r.getString(0) -> math.round(2000.0 * r.getDouble(1)))
+    Curation.tokenBudgetMix(docs.where(col("source") =!= "src0"), budgets,
+        defaultBudget = 0L)
+      .orderBy(col("source"), col("cum_tokens"), col("doc_id"))
+  }
+
+  val doremiMixSql: String =
+    s"""WITH $duckDoremiCtes,
+       |bud AS (SELECT source,
+       |          round(2000.0 * round(eq::DOUBLE / teq::DOUBLE, 6))::BIGINT AS budget
+       |        FROM e CROSS JOIN t),
+       |br AS (SELECT source, doc_id,
+       |         md5(source || ':' || doc_id::VARCHAR) AS rnk,
+       |         len($duckWords)::BIGINT AS tokens
+       |       FROM documents WHERE source <> 'src0'),
+       |bc AS (SELECT source, doc_id, tokens,
+       |         CAST(sum(tokens) OVER (PARTITION BY source
+       |                                ORDER BY rnk, doc_id) AS BIGINT) AS cum_tokens
+       |       FROM br)
+       |SELECT bc.source, doc_id, tokens, cum_tokens
+       |FROM bc JOIN bud USING (source)
+       |WHERE cum_tokens - tokens < budget
+       |ORDER BY source, cum_tokens, doc_id""".stripMargin
 
   val domainTemperatureSql: String =
     s"""WITH b AS (SELECT source, count(*)::BIGINT AS n_docs,
