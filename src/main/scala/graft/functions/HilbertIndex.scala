@@ -147,7 +147,10 @@ object HilbertIndex {
   def hilbertNSqlCtes(from: String, bits: Int, n: Int,
                       carry: Seq[String]): (String, String) = {
     require(n >= 2 && n * bits <= 63, s"need 2 <= n, n*bits <= 63; got n=$n bits=$bits")
-    val keep = carry.mkString(", ")
+    // rendered as a PREFIX with its own trailing comma, so an empty
+    // carry list yields valid SQL instead of "SELECT ," (self-review r18
+    // catch — a pure layout-key caller carries nothing)
+    val keep = if (carry.isEmpty) "" else carry.mkString(", ") + ","
     def cols(mut: Map[Int, String]): String =
       (0 until n).map(i => mut.getOrElse(i, s"x$i")).zipWithIndex
         .map { case (e, i) => s"$e AS x$i" }.mkString(",\n         ")
@@ -167,7 +170,7 @@ object HilbertIndex {
             s"ELSE xor(x0, xor(x0, x$i) & $p) END"),
           i -> (s"CASE WHEN (x$i & $q) > 0 THEN x$i " +
             s"ELSE xor(x$i, xor(x0, x$i) & $p) END"))
-      steps += s"""$name AS (SELECT $keep,
+      steps += s"""$name AS (SELECT $keep
          ${cols(mut)}
          FROM $prev)"""
       prev = name
@@ -176,7 +179,7 @@ object HilbertIndex {
     val grayMut = (1 until n).map { i =>
       i -> (1 to i).foldLeft("x0")((acc, k) => s"xor($acc, x$k)")
     }.toMap
-    steps += s"""g0 AS (SELECT $keep,
+    steps += s"""g0 AS (SELECT $keep
        ${cols(grayMut)}
        FROM $prev)"""
     prev = "g0"
@@ -187,14 +190,14 @@ object HilbertIndex {
         .map(l => s"(CASE WHEN (x${n - 1} & ${1L << l}) > 0 THEN ${(1L << l) - 1} ELSE 0 END)")
         .reduceLeft((a, b) => s"xor($a, $b)")
     val tMut = (0 until n).map(i => i -> s"xor(x$i, ht)").toMap
-    steps += s"""g1 AS (SELECT $keep, $tExpr AS ht, ${(0 until n).map(i => s"x$i").mkString(", ")} FROM $prev)"""
-    steps += s"""g2 AS (SELECT $keep,
+    steps += s"""g1 AS (SELECT $keep $tExpr AS ht, ${(0 until n).map(i => s"x$i").mkString(", ")} FROM $prev)"""
+    steps += s"""g2 AS (SELECT $keep
        ${cols(tMut)}
        FROM g1)"""
     // transpose-interleave: bit j of x_i lands at j*n + (n-1-i)
     val hTerms = (for (j <- 0 until bits; i <- 0 until n)
       yield s"((x$i >> $j) & 1) * ${1L << (j * n + (n - 1 - i))}").mkString(" + ")
-    steps += s"""hf AS (SELECT $keep, ($hTerms)::BIGINT AS hn FROM g2)"""
+    steps += s"""hf AS (SELECT $keep ($hTerms)::BIGINT AS hn FROM g2)"""
     (steps.mkString(",\n"), "hf")
   }
 

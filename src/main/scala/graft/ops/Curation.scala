@@ -344,13 +344,22 @@ object Curation {
     * and the streaming twin ([[graft.streaming.EventStreams
     * .weightedSampleStream]]), so both paths score a row identically by
     * construction. */
-  private[graft] def aesScore(docId: Column, text: Column): (Column, Column) = {
+  /** The md5-prefix uniform u ∈ (0, 1] keyed on the row id — THE A-ES
+    * randomness source; one definition so every sampler (and its DuckDB
+    * replay) derives the identical value. */
+  private[graft] def aesUniform(docId: Column): Column = {
     val h48 = conv(substring(md5(docId.cast("string")), 1, 12), 16, 10)
       .cast("long")
-    val wgt = greatest(
-      size(TextOps.wordsSafe(text)), lit(1)).cast("double")
-    val u = (h48.cast("double") + lit(1.0)) / lit(281474976710656.0) // 2^48
-    (wgt, log(u) / wgt)
+    (h48.cast("double") + lit(1.0)) / lit(281474976710656.0) // 2^48
+  }
+
+  /** The A-ES token-count weight floor (empty docs stay sample-able). */
+  private[graft] def aesTokens(text: Column): Column =
+    greatest(size(TextOps.wordsSafe(text)), lit(1)).cast("double")
+
+  private[graft] def aesScore(docId: Column, text: Column): (Column, Column) = {
+    val wgt = aesTokens(text)
+    (wgt, log(aesUniform(docId)) / wgt)
   }
 
   def weightedSample(docs: DataFrame, k: Int): DataFrame = {
@@ -389,14 +398,13 @@ object Curation {
       .join(sizes, Seq("rep"), "left")
       .select(col("source"), col("doc_id"), col("text"),
         coalesce(col("csz"), lit(1L)).as("cluster_size"))
-    val h48 = conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
-      .cast("long")
-    val toks = greatest(size(TextOps.wordsSafe(col("text"))), lit(1)).cast("double")
-    val u = (h48.cast("double") + lit(1.0)) / lit(281474976710656.0) // 2^48
+    // the SHARED A-ES primitives (one oracle-bound formula, one place —
+    // self-review r18 catch), with the single soft-dedup delta: the
+    // weight divides by cluster size before keying
     val scored = withC.select(col("source"), col("doc_id"), col("cluster_size"),
-        (toks / col("cluster_size").cast("double")).as("w"))
+        (aesTokens(col("text")) / col("cluster_size").cast("double")).as("w"))
       .select(col("source"), col("doc_id"), col("cluster_size"), col("w"),
-        (log(u) / col("w")).as("skey"))
+        (log(aesUniform(col("doc_id"))) / col("w")).as("skey"))
     graft.plans.GroupedTopK.topK(scored, Seq("source"),
         Seq("skey" -> true, "doc_id" -> false), k)
       .select(col("source"), col("doc_id"), col("cluster_size"),

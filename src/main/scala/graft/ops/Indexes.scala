@@ -1813,7 +1813,17 @@ object Indexes {
     * tombstones to fold — counts only ever merge — so compaction is
     * pure file-count hygiene: a year of daily batches is 365 files a
     * reader must sum; post-compaction it is one. Read-equivalence is
-    * exact by the merge's associativity (spec-asserted). */
+    * exact by the merge's associativity (spec-asserted).
+    *
+    * FENCING CONTRACT (the compactionPolicy rule, stated for the
+    * double-count hazard specific to mergeable counts): `dest` is a NEW
+    * generation for READERS; the maintenance stream keeps writing (and
+    * crash-REPLAYING) against `src`, whose per-batch partitions remain
+    * the replay idempotence domain. Re-pointing a live checkpointed
+    * stream at a compacted destination would let a replayed batch land
+    * beside its own counts already folded into batch 0 — counted twice,
+    * silently. Flip the stream to a compacted path only from a FRESH
+    * checkpoint over drained input. */
   def compactDsirModelStore(spark: SparkSession, src: String,
                             dest: String): Unit =
     readDsirModelCounts(spark, src)

@@ -154,12 +154,22 @@ object LmScore {
     * Join-free and shuffle-free by construction — the model is three plan
     * literals. */
   def lmScores(docs: DataFrame, lm: NgramLm, textCol: String = "text"): DataFrame =
-    estimates(docs, lm, textCol).select(col("doc_id"),
+    lmScoresKeeping(docs, lm, Nil, textCol)
+
+  /** [[lmScores]] carrying caller-selected input columns through the SAME
+    * scan-stage projection — the shape a grouped consumer needs
+    * ([[Selection.doremiWeights]] keeps `source`): without it the caller
+    * must join the scores back to the corpus by doc_id, a second full
+    * scan plus a |docs|-row shuffle in a family documented join-free
+    * (self-review r18 catch). */
+  def lmScoresKeeping(docs: DataFrame, lm: NgramLm, keep: Seq[String],
+                      textCol: String = "text"): DataFrame =
+    estimates(docs, lm, textCol).select(col("doc_id") +: keep.map(col) ++: Seq(
       size(col("__graft_eb")).cast("long").as("n_bigrams"),
       aggregate(zip_with(col("__graft_eb"), col("__graft_eu"), (b, u) =>
           (length(bin(u + lm.vocab)) - length(bin(b + lit(1L)))).cast("long")),
         lit(0L), _ + _).as("q2_nll"),
-      nllCol(lm).as("nll"))
+      nllCol(lm).as("nll")): _*)
 
   /** Keep documents whose average NLL is at most `maxNll` (plus everything
     * too short to score — a doc under n words is not evidence of junk). The

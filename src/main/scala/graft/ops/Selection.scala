@@ -101,6 +101,13 @@ object Selection {
     val counts = countsDf
       .collect() // ≤ buckets rows — model-sized by construction
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // a store maintained at a different width would otherwise fold
+    // silently: totals summed over the wider universe, tail buckets
+    // dropped, every log-ratio wrong with no error (the path-based
+    // append/read APIs carry no width metadata — self-review r18 catch)
+    require(counts.forall(_._1 < buckets),
+      s"count table has bucket ids >= $buckets — the store was built " +
+        s"with a different width (max id ${counts.map(_._1).max})")
     val tt = counts.map(_._2).sum
     val tr = counts.map(_._3).sum
     // ALL buckets get a row: ones touched by no training document carry
@@ -574,9 +581,9 @@ object Selection {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy() // |domains| rows by contract — bounded
     val lm = LmScore.trainBigramLm(docs.where(isTarget))
-    val raw = docs.where(!isTarget)
-    LmScore.lmScores(raw, lm)
-      .join(raw.select(col("doc_id"), col("source")), Seq("doc_id"))
+    // source rides the scoring scan itself (lmScoresKeeping) — ONE corpus
+    // pass into the |domains|-row aggregate, no join-back shuffle
+    LmScore.lmScoresKeeping(docs.where(!isTarget), lm, Seq("source"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_bigrams")).as("grams"),
         sum(col("q2_nll")).as("q2"))

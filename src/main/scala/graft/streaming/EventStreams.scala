@@ -336,7 +336,17 @@ object EventStreams {
     * under the newer model — the final state is consistent (each batch_id
     * partition reflects one model snapshot), and the gate's contract is
     * "the model at processing time", the semantics a continuously
-    * retrained production gate actually has. */
+    * retrained production gate actually has. Before the FIRST
+    * maintenance batch lands the store path has no files: the gate runs
+    * on the all-zero-count model — every bucket at the identical
+    * smoothed ratio, every doc scoring 0 — the neutral prior, rather
+    * than crashing on a missing path (self-review r18 catch). A gate
+    * batch racing a maintenance REPLAY's partition overwrite may read
+    * that batch's counts mid-rewrite; since a replay rewrites identical
+    * rows, the only exposure is the deleted-then-rewritten window —
+    * production serving reads compacted generations ([[graft.ops
+    * .Indexes.compactDsirModelStore]]'s fencing contract) when that
+    * window matters. */
   def dsirGateStreamLive(docs: DataFrame, modelStorePath: String,
                          minWeightQ: Long, outPath: String,
                          checkpoint: String,
@@ -346,7 +356,13 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val model = graft.ops.Indexes.readDsirModel(spark, modelStorePath, buckets)
+        val model =
+          if (graft.ops.Indexes.hasParquetFiles(spark, modelStorePath))
+            graft.ops.Indexes.readDsirModel(spark, modelStorePath, buckets)
+          else graft.ops.Selection.modelFromCounts(
+            spark.emptyDataFrame
+              .select(lit(0L).as("b"), lit(0L).as("ct"), lit(0L).as("cr"))
+              .limit(0), buckets)
         graft.ops.Selection.dsirScoredStateless(batch.toDF(), model, buckets)
           .where(col("s") >= minWeightQ)
           .withColumn("batch_id", lit(batchId))

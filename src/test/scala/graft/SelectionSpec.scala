@@ -328,6 +328,12 @@ class SelectionSpec extends AnyFunSuite {
     val p4 = s"$dir/model_c0"
     graft.ops.Indexes.compactDsirModelStore(spark, p3, p4)
     assert(graft.ops.Indexes.readDsirModel(spark, p4).toSeq === full.toSeq)
+    // reading a store at the wrong width fails LOUDLY, never folds
+    // silently (the totals would be summed over the wider universe)
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Indexes.readDsirModel(spark, p4, buckets = 16)
+    }
+    assert(e.getMessage.contains("different width"))
     val compacted = spark.read.parquet(p4)
     assert(compacted.columns.contains("batch_id"),
       "compaction must keep the batch-addressed layout")
