@@ -36,6 +36,29 @@ object Curation {
     }
   }
 
+  /** LEAKAGE-SAFE train/val/test split: the assignment hashes the
+    * near-dup cluster REPRESENTATIVE, not the document, so
+    * near-duplicates can never straddle splits — the membership-leakage
+    * channel a per-doc hash split leaves open (a training doc's
+    * paraphrase landing in test silently evaluates the model on its own
+    * training data; token-level decontamination then "finds" nothing
+    * because the eval side IS the leak). Unpaired documents key on their
+    * own id, so with no pairs this degrades to [[splitLabel]] exactly.
+    * Same determinism contract: pure function of ids and the pair set,
+    * stable across runs, engines, and corpus growth.
+    *
+    * Scale: one components pass (the dedup family's own fixpoint) + a
+    * doc-keyed left join + the narrow split map — no sampling pass, no
+    * new shuffle shapes. */
+  def clusterSplit(docs: DataFrame, pairs: DataFrame,
+                   weights: Seq[(String, Int)]): DataFrame = {
+    val cc = graft.ops.Dedup.connectedComponents(pairs)
+    docs.join(cc, Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("rep"), col("doc_id")))
+      .withColumn("split", splitLabel(col("split_key"), weights))
+      .drop("rep")
+  }
+
   /** Email/phone patterns kept to syntax with identical semantics in Java
     * regex and DuckDB's RE2: character classes, bounded quantifiers,
     * alternation — no backreferences, no lookaround. */

@@ -4010,6 +4010,54 @@ object PipelineQueries {
       |       min(doc_id) AS min_id, max(doc_id) AS max_id
       |FROM b GROUP BY split ORDER BY split""".stripMargin
 
+  /** LEAKAGE-SAFE cluster split ([[graft.ops.Curation.clusterSplit]]):
+    * the 90/5/5 hash split keyed on the near-dup cluster representative
+    * so paraphrase pairs never straddle train/eval. The audit reports
+    * per split both document and CLUSTER counts (distinct split keys);
+    * the oracle chains the recursive components CTE into the split
+    * replay. The straddle-freedom guarantee itself is spec-pinned on a
+    * planted boundary cluster (an aggregate can't express "no cluster
+    * spans two splits" compactly — the spec can). */
+  def clusterSplitQ(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val (sets, bands) = graft.ops.Indexes.ensureMinhashIndex(s, docs, d)
+    Curation.clusterSplit(docs,
+        graft.ops.Indexes.minhashNearDupsIndexed(s, sets, bands, threshold = 0.3)
+          .select(col("doc_a"), col("doc_b")),
+        Seq("train" -> 90, "val" -> 5, "test" -> 5))
+      .select(col("split"), col("split_key"),
+        length(coalesce(col("text"), lit(""))).as("chars"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("split_key")).as("n_clusters"),
+        sum(col("chars")).as("total_chars"))
+      .orderBy(col("split"))
+  }
+
+  val clusterSplitSql: String =
+    s"""WITH RECURSIVE $duckNearDupCtes,
+       |pairs AS (SELECT doc_a, doc_b FROM scored WHERE jacc >= 0.3),
+       |sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |        UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM sym
+       |  UNION
+       |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+       |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS rep
+       |         FROM reach GROUP BY src),
+       |kx AS (SELECT d.doc_id, length(coalesce(d.text, '')) AS chars,
+       |         coalesce(c.rep, d.doc_id) AS split_key
+       |       FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+       |sx AS (SELECT split_key, chars,
+       |         ('0x' || substr(md5(split_key::VARCHAR), 1, 12))::BIGINT % 100 AS bucket
+       |       FROM kx)
+       |SELECT CASE WHEN bucket < 90 THEN 'train'
+       |            WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+       |       count(*) AS n_docs,
+       |       count(DISTINCT split_key) AS n_clusters,
+       |       CAST(sum(chars) AS BIGINT) AS total_chars
+       |FROM sx GROUP BY split ORDER BY split""".stripMargin
+
   /** PII scrub audit: per source, how many documents matched the email /
     * phone patterns and the net character delta after placeholder
     * substitution. The scrub itself is a codegen'd per-row regexp_replace

@@ -348,4 +348,38 @@ class CurationSpec extends AnyFunSuite {
     // a deduped cluster member can still be sampled — soft, not hard dedup
     assert((0L until 5L).exists(got.contains))
   }
+
+  test("cluster split: near-dups never straddle; no pairs degrades to the hash split") {
+    val ids = (0L until 200L)
+    val docs = ids.map(i => (i, "text " + i, "s")).toDF("doc_id", "text", "source")
+    val weights = Seq("train" -> 90, "val" -> 5, "test" -> 5)
+    // find two ids the PLAIN per-doc split separates, then pair them: the
+    // cluster split must put both in the representative's split
+    val plain = docs.select(col("doc_id"),
+        graft.ops.Curation.splitLabel(col("doc_id"), weights).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val trainId = ids.find(plain(_) == "train").get
+    val testId = ids.find(plain(_) == "test").get
+    assert(plain(trainId) !== plain(testId)) // the leak the op exists to stop
+    val pairs = Seq((math.min(trainId, testId), math.max(trainId, testId)))
+      .toDF("doc_a", "doc_b")
+    val clustered = graft.ops.Curation.clusterSplit(docs, pairs, weights)
+      .select(col("doc_id"), col("split"), col("split_key"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(clustered(trainId)._1 === clustered(testId)._1,
+      "paired near-dups must land in ONE split")
+    val rep = math.min(trainId, testId)
+    assert(clustered(trainId)._2 === rep && clustered(testId)._2 === rep)
+    assert(clustered(trainId)._1 === plain(rep),
+      "the cluster takes its representative's split")
+    // every unpaired doc splits exactly as the plain hash split would
+    ids.filterNot(i => i == trainId || i == testId).foreach { i =>
+      assert(clustered(i)._1 === plain(i) && clustered(i)._2 === i)
+    }
+    // no pairs at all == the plain split, doc for doc
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    graft.ops.Curation.clusterSplit(docs, empty, weights)
+      .select(col("doc_id"), col("split")).collect()
+      .foreach(r => assert(r.getString(1) === plain(r.getLong(0))))
+  }
 }
