@@ -36,6 +36,23 @@ object Curation {
     }
   }
 
+  /** Per-group score CALIBRATION: each row's raw score mapped to its
+    * within-group percent_rank (ties total-ordered by `id` so the rank —
+    * and everything cut on it — is engine-portable). The fairness pass
+    * before any GLOBAL quality cut: raw heuristic scores are not
+    * comparable across sources (a forum's median "quality" is not a
+    * textbook's), so one global raw threshold silently empties some
+    * domains and waves others through; calibrated, the same global cut
+    * keeps the same FRACTION of every domain, and the per-domain raw
+    * threshold it implies becomes an observable. One window per group —
+    * parallel across groups, spill-backed within one. */
+  def calibrateByGroup(df: DataFrame, group: Column, score: Column,
+                       id: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(score, id)
+    df.withColumn("cal", percent_rank().over(w))
+  }
+
   /** LEAKAGE-SAFE train/val/test split: the assignment hashes the
     * near-dup cluster REPRESENTATIVE, not the document, so
     * near-duplicates can never straddle splits — the membership-leakage

@@ -3725,6 +3725,43 @@ object PipelineQueries {
       |         least(tokens/100.0, 1.0)*0.4 + stop_ratio*2.0*0.4 + (1.0-punct)*0.2))), 6) AS avg_quality
       |FROM t GROUP BY source ORDER BY source""".stripMargin
 
+  /** Per-source quality-score calibration
+    * ([[graft.ops.Curation.calibrateByGroup]]): every document's raw
+    * heuristic quality score mapped to its within-source percent_rank,
+    * then ONE global calibrated cut (≥ 0.5) applied — each source keeps
+    * its upper half BY CONSTRUCTION, and the reported `raw_threshold`
+    * (the minimum raw score that survived, per source) makes the
+    * domain-dependent cut the calibration implies an observable: the
+    * number a single global RAW threshold would have had to guess per
+    * source. Scores are identical IEEE arithmetic in both engines (the
+    * q_quality_scores formula), so the rank order and the cut replay
+    * exactly. */
+  def scoreCalibration(s: SparkSession, d: String): DataFrame =
+    Curation.calibrateByGroup(
+        documents(s, d).select(col("source"), col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("q")),
+        col("source"), col("q"), col("doc_id"))
+      .where(col("cal") >= 0.5)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), round(min(col("q")), 6).as("raw_threshold"))
+      .orderBy(col("source"))
+
+  val scoreCalibrationSql: String =
+    """WITH t AS (SELECT source, doc_id,
+      |  greatest(0.0, least(1.0,
+      |    least(len(string_split_regex(lower(trim(text)), '\s+'))/100.0, 1.0)*0.4
+      |    + (len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |         x -> x IN ('the','a','of','and','to','in','is')))::DOUBLE
+      |       / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1))*2.0*0.4
+      |    + (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))::DOUBLE
+      |        / greatest(length(text), 1))*0.2)) AS q
+      |  FROM documents),
+      |c AS (SELECT source, doc_id, q,
+      |        percent_rank() OVER (PARTITION BY source ORDER BY q, doc_id) AS cal
+      |      FROM t)
+      |SELECT source, count(*) AS n_kept, round(min(q), 6) AS raw_threshold
+      |FROM c WHERE cal >= 0.5 GROUP BY source ORDER BY source""".stripMargin
+
   /** WITHIN-DOCUMENT repetition rate — the published repetition-filter
     * signal (the Gopher data-quality family, Rae et al. 2021, as
     * publicly described, which measures duplicate 2- through 4-gram
