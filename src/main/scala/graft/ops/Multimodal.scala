@@ -16,9 +16,12 @@ case class ImageFeatures(name: String, width: Int, height: Int,
                          n_pixels: Long, sum_r: Long, sum_g: Long, sum_b: Long)
 
 /** Decoded-content perceptual fingerprints ([[Multimodal.aHash64]] +
-  * [[Multimodal.dHash64]] — both off the ONE decoded grid). */
+  * [[Multimodal.dHash64]] — both off the ONE decoded grid), plus the
+  * ROTATION-canonical twin ([[Multimodal.rotAHash64Canonical]]) that a
+  * rotated re-encode of the same picture collides on. */
 case class ImagePHash(name: String, width: Int, height: Int,
-                      ahash_hex: String, dhash_hex: String)
+                      ahash_hex: String, dhash_hex: String,
+                      rhash_hex: String)
 
 /** Integer box-filter downsample result ([[Multimodal.resizeImages]]):
   * output dims and EXACT channel sums of the resized raster. */
@@ -433,6 +436,43 @@ object Multimodal {
     (ah, dh)
   }
 
+  /** ROTATION-canonical average hash: the unsigned MINIMUM of the four
+    * 90°-rotation [[aHash64]] values, each computed by the exact contract
+    * loop over the rotated grid (rotation is an integer pixel permutation
+    * — no resampling, so the composition stays integer-exact and the
+    * fixture generator supplies analytic ground truth by running
+    * literally this function over its formula). A ROTATED re-encode's
+    * four-rotation multiset equals the original's, so the minima agree
+    * EXACTLY — the r17-audio-resample robustness pattern applied to the
+    * image family's commonest missed dup (phone shots re-encoded
+    * portrait/landscape).
+    *
+    * Stated boundary: min-pick canonicalization is exact for PURE
+    * rotations (any Hamming-0 re-encode of a rotated copy); a rotation
+    * COMPOSED with an edit can flip which rotation attains the minimum,
+    * so the near+rotated composite needs the 4-way cross distance —
+    * serve it by probing the plain hash against all four rotations, the
+    * same way the resample family would handle rate+edit composites.
+    * Block sums do NOT survive rotation when dims aren't multiples of 8
+    * (floor boundaries reflect inexactly), so each rotation hashes its
+    * own grid view rather than remapping block sums. */
+  def rotAHash64Canonical(w: Int, h: Int, gray: (Int, Int) => Int): Long = {
+    def hashOf(rw: Int, rh: Int, at: (Int, Int) => Int): Long = {
+      val buf = new Array[Int](rw)
+      aHash64(rw, rh, { y =>
+        var x = 0
+        while (x < rw) { buf(x) = at(x, y); x += 1 }
+        buf
+      })
+    }
+    val r0 = hashOf(w, h, (x, y) => gray(x, y))
+    val r90 = hashOf(h, w, (x, y) => gray(y, h - 1 - x))
+    val r180 = hashOf(w, h, (x, y) => gray(w - 1 - x, h - 1 - y))
+    val r270 = hashOf(h, w, (x, y) => gray(w - 1 - y, x))
+    Seq(r0, r90, r180, r270).reduce((a, b) =>
+      if (java.lang.Long.compareUnsigned(a, b) <= 0) a else b)
+  }
+
   /** Per-image perceptual hashes from a binaryFile scan: decode (same bomb
     * guard as [[decodeImages]]) → [[phash2]] (the fused aHash + dHash
     * pass) off the one decoded grid → zero-padded hex. Sentinel rows
@@ -454,23 +494,34 @@ object Multimodal {
         javax.imageio.ImageIO.setUseCache(false)
         rows.map { case (name, bytes) =>
           val img = readImageGuarded(bytes)
-          if (img == null) ImagePHash(name, -1, -1, "", "")
+          if (img == null) ImagePHash(name, -1, -1, "", "", "")
           else {
             val (w, h) = (img.getWidth, img.getHeight)
+            // one decoded grid feeds the fused sweep AND the four
+            // rotation views (the canonical hash reads it column-wise,
+            // which a per-row getRGB closure can't serve)
+            val grid = new Array[Int](w * h)
             val rowBuf = new Array[Int](w)
-            val grays = new Array[Int](w)
-            val grayRow = (y: Int) => {
-              img.getRGB(0, y, w, 1, rowBuf, 0, w)
+            var gy = 0
+            while (gy < h) {
+              img.getRGB(0, gy, w, 1, rowBuf, 0, w)
               var x = 0
               while (x < w) {
                 val p = rowBuf(x)
-                grays(x) = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+                grid(gy * w + x) =
+                  (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
                 x += 1
               }
+              gy += 1
+            }
+            val grays = new Array[Int](w)
+            val grayRow = (y: Int) => {
+              System.arraycopy(grid, y * w, grays, 0, w)
               grays
             }
             val (ah, dh) = phash2(w, h, grayRow)
-            ImagePHash(name, w, h, f"$ah%016x", f"$dh%016x")
+            val rh = rotAHash64Canonical(w, h, (x, y) => grid(y * w + x))
+            ImagePHash(name, w, h, f"$ah%016x", f"$dh%016x", f"$rh%016x")
           }
         }
       }

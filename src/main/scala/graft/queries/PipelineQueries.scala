@@ -5147,6 +5147,37 @@ object PipelineQueries {
        |SELECT name_a, name_b, hamming FROM p
        |WHERE hamming <= 6 ORDER BY name_a, name_b""".stripMargin
 
+  /** ROTATION-robust image near-dup pairs — the third fingerprint off
+    * the same committed store ([[graft.ops.Multimodal
+    * .rotAHash64Canonical]]: the unsigned min of the four 90°-rotation
+    * aHashes, exact for pure rotations). The fixture's genrot_00 is a
+    * 90°-rotated re-encode of gen_00 engineered at generation to sit at
+    * plain-aHash Hamming ≥ 7 ([[imageNearDups]] misses it BY
+    * CONSTRUCTION) and canonical Hamming 0 — the audio family's
+    * resample twin, for rotation. Oracle: brute force over the
+    * manifest's analytic rhash_hex. */
+  def imageNearDupsRotated(s: SparkSession, d: String): DataFrame =
+    graft.ops.Dedup.hammingNearDups64(
+        graft.ops.Indexes.readImageHashIndex(s,
+          graft.ops.Indexes.ensureImageHashIndex(s, imageFixtureDir)),
+        "name", "rhash_hex", maxHamming = 6, bands = 8)
+      .select(col("id_a").as("name_a"), col("id_b").as("name_b"),
+        col("hamming"))
+      .orderBy(col("name_a"), col("name_b"))
+
+  val imageNearDupsRotatedSql: String =
+    s"""WITH m AS (SELECT name, rhash_hex
+       |           FROM read_parquet('$imageManifestPath/*.parquet')
+       |           WHERE len(rhash_hex) = 16),
+       |p AS (SELECT a.name AS name_a, b.name AS name_b,
+       |        (bit_count(xor(('0x' || substr(a.rhash_hex, 1, 8))::BIGINT,
+       |                       ('0x' || substr(b.rhash_hex, 1, 8))::BIGINT))
+       |       + bit_count(xor(('0x' || substr(a.rhash_hex, 9, 8))::BIGINT,
+       |                       ('0x' || substr(b.rhash_hex, 9, 8))::BIGINT)))::BIGINT AS hamming
+       |      FROM m a JOIN m b ON a.name < b.name)
+       |SELECT name_a, name_b, hamming FROM p
+       |WHERE hamming <= 6 ORDER BY name_a, name_b""".stripMargin
+
   /** Image DUP CLUSTERS: the near-dup pair set closed into connected
     * components through the SAME distributed pointer-jumping machinery
     * text dedup uses ([[graft.ops.Dedup.connectedComponents]] over

@@ -85,6 +85,10 @@ object GenImageFixture {
       f"${graft.ops.Multimodal.aHash64(w, h, grayRowOf(i, w, bump))}%016x"
     def dHashOf(i: Int, w: Int, h: Int, bump: Boolean): String =
       f"${graft.ops.Multimodal.dHash64(w, h, grayRowOf(i, w, bump))}%016x"
+    // rotation-canonical hash, run LITERALLY over the formula grid (the
+    // ehash/cehash analytic-manifest contract, for rotations)
+    def rotOf(w: Int, h: Int, gray: (Int, Int) => Int): String =
+      f"${graft.ops.Multimodal.rotAHash64Canonical(w, h, gray)}%016x"
 
     val synthetic = (0 until 16).flatMap { i =>
       val (w, h) = (32 + 7 * i, 24 + 5 * i)
@@ -114,9 +118,54 @@ object GenImageFixture {
           val (r0, g, b) = rgb(i, x, y)
           (r0 + (if (v) variantBump(i, x, y) else 0), g, b)
         })
+        val rh = rotOf(w, h, (x, y) => {
+          val (r0, g, b) = rgb(i, x, y)
+          (r0 + (if (v) variantBump(i, x, y) else 0) + g + b) / 3
+        })
         (name, w, h, w.toLong * h, sr, sg, sb, ah, dHashOf(i, w, h, v),
-          r2r, r2g, r2b)
+          r2r, r2g, r2b, rh)
       }
+    }
+
+    // ROTATED re-encode of gen_00 (90 degrees clockwise): the commonest
+    // real-world image dup the un-rotated hashes miss by construction.
+    // R(x', y') = G(y', h-1-x'), dims swap; channel sums are preserved
+    // (rotation is a pixel permutation). The generator REQUIRES the
+    // plain aHash to MISS the pair (Hamming >= 7) and the canonical
+    // rotation hash to match EXACTLY.
+    val rotated = {
+      val (w, h) = (32, 24) // gen_00 dims
+      val (rw, rh2) = (h, w)
+      val img = new BufferedImage(rw, rh2, BufferedImage.TYPE_INT_RGB)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (y <- 0 until rh2; x <- 0 until rw) {
+        val (r, g, b) = rgb(0, y, h - 1 - x)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        sr += r; sg += g; sb += b
+      }
+      val name = "genrot_00.png"
+      require(ImageIO.write(img, "png", new File(imagesDir, name)),
+        s"no PNG writer for $name")
+      def rgray(x: Int, y: Int): Int = {
+        val (r, g, b) = rgb(0, y, h - 1 - x)
+        (r + g + b) / 3
+      }
+      val grayRow = (y: Int) => Array.tabulate(rw)(x => rgray(x, y))
+      val ah = graft.ops.Multimodal.aHash64(rw, rh2, grayRow)
+      val dh = graft.ops.Multimodal.dHash64(rw, rh2, grayRow)
+      val rhash = rotOf(rw, rh2, rgray)
+      val (r2r, r2g, r2b) = resized2Sums(rw, rh2, { (x, y) =>
+        val (r, g, b) = rgb(0, y, h - 1 - x); (r, g, b)
+      })
+      val origA = java.lang.Long.parseUnsignedLong(
+        synthetic.find(_._1 == "gen_00.png").get._8, 16)
+      val dPlain = java.lang.Long.bitCount(origA ^ ah)
+      require(dPlain >= 7,
+        s"genrot_00 must be INVISIBLE to the un-rotated aHash, got Hamming $dPlain")
+      require(rhash == synthetic.find(_._1 == "gen_00.png").get._13,
+        s"rotation-canonical invariance broke: $rhash")
+      Seq((name, rw, rh2, rw.toLong * rh2, sr, sg, sb, f"$ah%016x",
+        f"$dh%016x", r2r, r2g, r2b, rhash))
     }
 
     // the brightness-ramp pair: aHash must miss it, dHash must catch it
@@ -147,8 +196,13 @@ object GenImageFixture {
           val c = if (ramped) ramp(y) else 0
           (r0 + c, g0 + c, b0 + c)
         })
+        val rh2 = rotOf(w, h, (x, y) => {
+          val (r0, g0, b0) = rgbB(x, y)
+          val c = if (ramped) ramp(y) else 0
+          (r0 + c + g0 + c + b0 + c) / 3
+        })
         (name, w, h, w.toLong * h, sr, sg, sb, f"$ah%016x", f"$dh%016x",
-          r2r, r2g, r2b)
+          r2r, r2g, r2b, rh2)
       }
       val base = write("genb_00_base.png", ramped = false)
       val ramped = write("genb_00_ramp.png", ramped = true)
@@ -188,15 +242,20 @@ object GenImageFixture {
           val p = px(y * wHdr + x)
           ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
         })
+        val rh = rotOf(wHdr, hHdr, (x, y) => {
+          val p = px(y * wHdr + x)
+          (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+        })
         (f.getName, wHdr, hHdr, wHdr.toLong * hHdr, sr, sg, sb,
-          f"$hash%016x", f"$dh%016x", r2r, r2g, r2b)
+          f"$hash%016x", f"$dh%016x", r2r, r2g, r2b, rh)
       }
 
     val spark = graft.engine.Sessions.local("4", "graft-gen-image-fixture")
     import spark.implicits._
-    (synthetic ++ rampPair ++ real)
+    (synthetic ++ rotated ++ rampPair ++ real)
       .toDF("name", "width", "height", "n_pixels", "sum_r", "sum_g", "sum_b",
-        "ahash_hex", "dhash_hex", "rs2_sum_r", "rs2_sum_g", "rs2_sum_b")
+        "ahash_hex", "dhash_hex", "rs2_sum_r", "rs2_sum_g", "rs2_sum_b",
+        "rhash_hex")
       .coalesce(1)
       .write.mode("overwrite").parquet("fixtures/image_manifest.parquet")
     println(s"wrote ${synthetic.size} synthetic + ${rampPair.size} ramp + ${real.size} real images + manifest")

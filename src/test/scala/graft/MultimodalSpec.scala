@@ -368,6 +368,38 @@ class MultimodalSpec extends AnyFunSuite {
       s"the transposed-blocks edit must sit at Hamming 1..6, got $dEdit")
   }
 
+  test("rotation-canonical image hash: rotated re-encode collides exactly, plain aHash misses it") {
+    import graft.queries.PipelineQueries
+    val ph = Multimodal.imagePHashes(
+        spark.read.format("binaryFile").load(PipelineQueries.imageFixtureDir))
+      .collect().map(p => p.name -> p).toMap
+    // decode must reproduce the generator formula's canonical hash for
+    // EVERY image (the ahash analytic-manifest contract, for rotations)
+    val manifest = spark.read.parquet(PipelineQueries.imageManifestPath)
+      .select("name", "rhash_hex").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ph.view.mapValues(_.rhash_hex).toMap === manifest)
+    val (orig, rot) = (ph("gen_00.png"), ph("genrot_00.png"))
+    assert(rot.rhash_hex === orig.rhash_hex,
+      "a 90°-rotated re-encode must canonical-fingerprint identically")
+    val dPlain = java.lang.Long.bitCount(
+      java.lang.Long.parseUnsignedLong(rot.ahash_hex, 16) ^
+        java.lang.Long.parseUnsignedLong(orig.ahash_hex, 16))
+    assert(dPlain >= 7, s"plain aHash should miss the rotation, got $dPlain")
+    // canonical is invariant under ALL four rotations of a raw grid
+    val g = Array.tabulate(8, 5)((x, y) => (x * 37 + y * 91) % 256)
+    def at(x: Int, y: Int) = g(x)(y)
+    val c0 = Multimodal.rotAHash64Canonical(8, 5, at)
+    val c90 = Multimodal.rotAHash64Canonical(5, 8, (x, y) => at(y, 5 - 1 - x))
+    val c180 = Multimodal.rotAHash64Canonical(8, 5, (x, y) => at(8 - 1 - x, 5 - 1 - y))
+    assert(c90 === c0 && c180 === c0)
+    // and the registered query finds the engineered pair at distance 0
+    val pairs = PipelineQueries.imageNearDupsRotated(spark, "")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(pairs.contains(("gen_00.png", "genrot_00.png", 0L)) ||
+      pairs.contains(("genrot_00.png", "gen_00.png", 0L)), s"$pairs")
+  }
+
   test("canonical-rate audio hash: resampled copies collide exactly, plain hash misses them") {
     import graft.queries.PipelineQueries
     val ph = Multimodal.audioPHashes(
