@@ -45,12 +45,20 @@ object Curation {
     * domains and waves others through; calibrated, the same global cut
     * keeps the same FRACTION of every domain, and the per-domain raw
     * threshold it implies becomes an observable. One window per group —
-    * parallel across groups, spill-backed within one. */
+    * parallel across groups, spill-backed within one.
+    *
+    * `cal` is cume_dist (rank/n, INCLUSIVE), not percent_rank
+    * ((rank−1)/(n−1)): percent_rank assigns 0 to every member of a
+    * single-row group, so a `cal > 0.5` cut would silently EMPTY each
+    * singleton source — the exact failure the op exists to prevent
+    * (self-review r18 catch). Under cume_dist a singleton scores 1 and
+    * survives any sub-1 cut, and a `> 0.5` cut keeps exactly
+    * ⌊n/2⌋ of an n-doc group (the upper half, quantized downward). */
   def calibrateByGroup(df: DataFrame, group: Column, score: Column,
                        id: Column): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(group).orderBy(score, id)
-    df.withColumn("cal", percent_rank().over(w))
+    df.withColumn("cal", cume_dist().over(w))
   }
 
   /** LEAKAGE-SAFE train/val/test split: the assignment hashes the

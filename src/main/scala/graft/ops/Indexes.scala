@@ -31,7 +31,14 @@ object Indexes {
     * fingerprint only guards against DATA changes; without this tag an
     * algorithm change with unchanged parameters would silently probe a
     * stale index built by the old code. */
-  val IndexFormatVersion = "v4" // v4: image-hash store gains the dhash_hex column (r17)
+  // v4: image-hash store gains the dhash_hex column (r17)
+  // v5: image-hash store gains rhash_hex, audio-hash store gains
+  //     crate/cehash_hex (r18) — without the bump, a committed v4
+  //     generation over an UNCHANGED corpus dir (env-pinned index root,
+  //     persisted probe dirs) would manifest-resolve and serve without
+  //     the columns the rotated/resampled queries select (masked in-repo
+  //     only because the fixture dirs themselves changed)
+  val IndexFormatVersion = "v5"
 
   /** Cap on partition-directory fan-out per LSH table: the bucketed layout
     * partitions by the key's TOP `min(bBits, PartDirBits)` bits only, so

@@ -457,20 +457,51 @@ object Multimodal {
     * (floor boundaries reflect inexactly), so each rotation hashes its
     * own grid view rather than remapping block sums. */
   def rotAHash64Canonical(w: Int, h: Int, gray: (Int, Int) => Int): Long = {
-    def hashOf(rw: Int, rh: Int, at: (Int, Int) => Int): Long = {
-      val buf = new Array[Int](rw)
-      aHash64(rw, rh, { y =>
-        var x = 0
-        while (x < rw) { buf(x) = at(x, y); x += 1 }
-        buf
-      })
+    val rowBuf = new Array[Int](w)
+    val colBuf = new Array[Int](h)
+    val grayRow = (y: Int) => {
+      var x = 0; while (x < w) { rowBuf(x) = gray(x, y); x += 1 }; rowBuf
     }
-    val r0 = hashOf(w, h, (x, y) => gray(x, y))
-    val r90 = hashOf(h, w, (x, y) => gray(y, h - 1 - x))
-    val r180 = hashOf(w, h, (x, y) => gray(w - 1 - x, h - 1 - y))
-    val r270 = hashOf(h, w, (x, y) => gray(w - 1 - y, x))
-    Seq(r0, r90, r180, r270).reduce((a, b) =>
-      if (java.lang.Long.compareUnsigned(a, b) <= 0) a else b)
+    val grayCol = (x: Int) => {
+      var y = 0; while (y < h) { colBuf(y) = gray(x, y); y += 1 }; colBuf
+    }
+    val (r90, r180, r270) = rotatedAHashes(w, h, grayRow, grayCol)
+    minUnsigned(aHash64(w, h, grayRow), r90, r180, r270)
+  }
+
+  private def minUnsigned(vs: Long*): Long =
+    vs.reduce((a, b) => if (java.lang.Long.compareUnsigned(a, b) <= 0) a else b)
+
+  /** The three NON-identity rotation aHashes from row/COLUMN accessors —
+    * the serving-path shape (self-review r18 catch): no full-grid
+    * materialization (a 64 MP image would cost +256 MB of scratch per
+    * in-flight task — columns read straight from the decoded raster
+    * instead), and no re-sweep of the unrotated hash the fused
+    * [[phash2]] pass already produced (the canonical value is the
+    * unsigned min of the caller's r0 with these three). Row y of r180 is
+    * source row h−1−y reversed; row y of r90 is source COLUMN y
+    * reversed; row y of r270 is source column w−1−y forward — the same
+    * pixel permutations as the contract accessor form, which delegates
+    * here so serving == contract by construction (and the manifest
+    * cross-check pins it on real decodes). */
+  def rotatedAHashes(w: Int, h: Int, grayRow: Int => Array[Int],
+                     grayCol: Int => Array[Int]): (Long, Long, Long) = {
+    val bufW = new Array[Int](w)
+    val bufH = new Array[Int](h)
+    val r180 = aHash64(w, h, { y =>
+      val src = grayRow(h - 1 - y)
+      var x = 0
+      while (x < w) { bufW(x) = src(w - 1 - x); x += 1 }
+      bufW
+    })
+    val r90 = aHash64(h, w, { y => // rotated dims: width h, height w
+      val src = grayCol(y)
+      var x = 0
+      while (x < h) { bufH(x) = src(h - 1 - x); x += 1 }
+      bufH
+    })
+    val r270 = aHash64(h, w, y => grayCol(w - 1 - y))
+    (r90, r180, r270)
   }
 
   /** Per-image perceptual hashes from a binaryFile scan: decode (same bomb
@@ -497,30 +528,36 @@ object Multimodal {
           if (img == null) ImagePHash(name, -1, -1, "", "", "")
           else {
             val (w, h) = (img.getWidth, img.getHeight)
-            // one decoded grid feeds the fused sweep AND the four
-            // rotation views (the canonical hash reads it column-wise,
-            // which a per-row getRGB closure can't serve)
-            val grid = new Array[Int](w * h)
             val rowBuf = new Array[Int](w)
-            var gy = 0
-            while (gy < h) {
-              img.getRGB(0, gy, w, 1, rowBuf, 0, w)
+            val grays = new Array[Int](w)
+            val grayRow = (y: Int) => {
+              img.getRGB(0, y, w, 1, rowBuf, 0, w)
               var x = 0
               while (x < w) {
                 val p = rowBuf(x)
-                grid(gy * w + x) =
-                  (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+                grays(x) = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
                 x += 1
               }
-              gy += 1
-            }
-            val grays = new Array[Int](w)
-            val grayRow = (y: Int) => {
-              System.arraycopy(grid, y * w, grays, 0, w)
               grays
             }
+            // rotation views read COLUMNS straight off the decoded
+            // raster — O(w+h) scratch, no full-grid copy; the unrotated
+            // hash comes from the fused sweep, not a fifth raster pass
+            val colBuf = new Array[Int](h)
+            val cgrays = new Array[Int](h)
+            val grayCol = (x: Int) => {
+              img.getRGB(x, 0, 1, h, colBuf, 0, 1)
+              var y = 0
+              while (y < h) {
+                val p = colBuf(y)
+                cgrays(y) = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+                y += 1
+              }
+              cgrays
+            }
             val (ah, dh) = phash2(w, h, grayRow)
-            val rh = rotAHash64Canonical(w, h, (x, y) => grid(y * w + x))
+            val (r90, r180, r270) = rotatedAHashes(w, h, grayRow, grayCol)
+            val rh = minUnsigned(ah, r90, r180, r270)
             ImagePHash(name, w, h, f"$ah%016x", f"$dh%016x", f"$rh%016x")
           }
         }

@@ -109,6 +109,21 @@ object PipelineQueries {
        |           FROM cand JOIN sets x ON cand.doc_a = x.doc_id
        |                     JOIN sets y ON cand.doc_b = y.doc_id)""".stripMargin
 
+  /** The recursive transitive-closure components block over a `pairs`
+    * CTE (doc_a, doc_b) — sym/reach + min-label comp (doc_id, rep).
+    * Factored for the round-18 consumers (clusterSplitSql,
+    * softDedupSampleSql); the carried oracles predate it and keep their
+    * inlined copies (green, untouched). */
+  private val duckComponentsCtes: String =
+    """sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |        UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM sym
+      |  UNION
+      |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+      |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS rep
+      |         FROM reach GROUP BY src)""".stripMargin
+
   val minhashNearDupsSql: String =
     s"""WITH $duckNearDupCtes
        |SELECT doc_a, doc_b, round(jacc, 6) AS jaccard FROM scored
@@ -3727,9 +3742,10 @@ object PipelineQueries {
 
   /** Per-source quality-score calibration
     * ([[graft.ops.Curation.calibrateByGroup]]): every document's raw
-    * heuristic quality score mapped to its within-source percent_rank,
-    * then ONE global calibrated cut (≥ 0.5) applied — each source keeps
-    * its upper half BY CONSTRUCTION, and the reported `raw_threshold`
+    * heuristic quality score mapped to its within-source cume_dist,
+    * then ONE global calibrated cut (> 0.5) applied — each source keeps
+    * its upper half BY CONSTRUCTION (⌊n/2⌋ docs; a singleton source
+    * scores 1 and survives — percent_rank would zero it out), and the reported `raw_threshold`
     * (the minimum raw score that survived, per source) makes the
     * domain-dependent cut the calibration implies an observable: the
     * number a single global RAW threshold would have had to guess per
@@ -3741,26 +3757,19 @@ object PipelineQueries {
         documents(s, d).select(col("source"), col("doc_id"),
           TextAnalysis.qualityScore(col("text")).as("q")),
         col("source"), col("q"), col("doc_id"))
-      .where(col("cal") >= 0.5)
+      .where(col("cal") > 0.5)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"), round(min(col("q")), 6).as("raw_threshold"))
       .orderBy(col("source"))
 
-  val scoreCalibrationSql: String =
-    """WITH t AS (SELECT source, doc_id,
-      |  greatest(0.0, least(1.0,
-      |    least(len(string_split_regex(lower(trim(text)), '\s+'))/100.0, 1.0)*0.4
-      |    + (len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-      |         x -> x IN ('the','a','of','and','to','in','is')))::DOUBLE
-      |       / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1))*2.0*0.4
-      |    + (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))::DOUBLE
-      |        / greatest(length(text), 1))*0.2)) AS q
+  lazy val scoreCalibrationSql: String =
+    s"""WITH t AS (SELECT source, doc_id, $duckQualityScore AS q
       |  FROM documents),
       |c AS (SELECT source, doc_id, q,
-      |        percent_rank() OVER (PARTITION BY source ORDER BY q, doc_id) AS cal
+      |        cume_dist() OVER (PARTITION BY source ORDER BY q, doc_id) AS cal
       |      FROM t)
       |SELECT source, count(*) AS n_kept, round(min(q), 6) AS raw_threshold
-      |FROM c WHERE cal >= 0.5 GROUP BY source ORDER BY source""".stripMargin
+      |FROM c WHERE cal > 0.5 GROUP BY source ORDER BY source""".stripMargin
 
   /** WITHIN-DOCUMENT repetition rate — the published repetition-filter
     * signal (the Gopher data-quality family, Rae et al. 2021, as
@@ -4074,14 +4083,7 @@ object PipelineQueries {
   val clusterSplitSql: String =
     s"""WITH RECURSIVE $duckNearDupCtes,
        |pairs AS (SELECT doc_a, doc_b FROM scored WHERE jacc >= 0.3),
-       |sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-       |        UNION SELECT doc_b, doc_a FROM pairs),
-       |reach(src, dst) AS (
-       |  SELECT src, dst FROM sym
-       |  UNION
-       |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
-       |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS rep
-       |         FROM reach GROUP BY src),
+       |$duckComponentsCtes,
        |kx AS (SELECT d.doc_id, length(coalesce(d.text, '')) AS chars,
        |         coalesce(c.rep, d.doc_id) AS split_key
        |       FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
@@ -6665,14 +6667,7 @@ object PipelineQueries {
   val softDedupSampleSql: String =
     s"""WITH RECURSIVE $duckNearDupCtes,
        |pairs AS (SELECT doc_a, doc_b FROM scored WHERE jacc >= 0.3),
-       |sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-       |        UNION SELECT doc_b, doc_a FROM pairs),
-       |reach(src, dst) AS (
-       |  SELECT src, dst FROM sym
-       |  UNION
-       |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
-       |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS rep
-       |         FROM reach GROUP BY src),
+       |$duckComponentsCtes,
        |sizes AS (SELECT rep, count(*)::BIGINT AS csz FROM comp GROUP BY rep),
        |sb AS (SELECT dd.source, dd.doc_id,
        |         coalesce(z.csz, 1)::BIGINT AS cluster_size,

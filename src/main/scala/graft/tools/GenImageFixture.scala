@@ -258,7 +258,8 @@ object GenImageFixture {
         "rhash_hex")
       .coalesce(1)
       .write.mode("overwrite").parquet("fixtures/image_manifest.parquet")
-    println(s"wrote ${synthetic.size} synthetic + ${rampPair.size} ramp + ${real.size} real images + manifest")
+    println(s"wrote ${synthetic.size} synthetic + ${rotated.size} rotated + " +
+      s"${rampPair.size} ramp + ${real.size} real images + manifest")
     spark.stop()
   }
 }

@@ -353,16 +353,20 @@ class CurationSpec extends AnyFunSuite {
     // two sources with WILDLY different raw score distributions: a raw
     // global threshold would empty the low-scoring source entirely
     val docs = ((0L until 20L).map(i => ("hi", i, 0.8 + 0.01 * i)) ++
-      (100L until 120L).map(i => ("lo", i, 0.01 * (i - 100)))) // 0.00..0.19
+      (100L until 120L).map(i => ("lo", i, 0.01 * (i - 100))) ++ // 0.00..0.19
+      Seq(("solo", 200L, 0.02))) // a singleton niche source
       .toDF("source", "doc_id", "q")
     val cal = graft.ops.Curation.calibrateByGroup(docs,
         col("source"), col("q"), col("doc_id"))
-      .where(col("cal") >= 0.5)
+      .where(col("cal") > 0.5)
       .groupBy(col("source")).agg(count(lit(1)).as("n"),
         min(col("q")).as("thr"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     // each source keeps ~half — the calibrated cut is fair by construction
     assert(cal("hi")._1 === 10L && cal("lo")._1 === 10L)
+    // a single-doc source SURVIVES the global cut (cume_dist gives it 1;
+    // percent_rank would zero it out and silently empty the domain)
+    assert(cal("solo")._1 === 1L)
     // while the implied RAW thresholds differ by an order of magnitude
     assert(cal("hi")._2 > 0.85 && cal("lo")._2 < 0.15)
     // the raw cut that keeps hi's upper half would keep NOTHING of lo
