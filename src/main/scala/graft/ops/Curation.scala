@@ -37,7 +37,7 @@ object Curation {
   }
 
   /** Per-group score CALIBRATION: each row's raw score mapped to its
-    * within-group percent_rank (ties total-ordered by `id` so the rank —
+    * within-group cume_dist (ties total-ordered by `id` so the rank —
     * and everything cut on it — is engine-portable). The fairness pass
     * before any GLOBAL quality cut: raw heuristic scores are not
     * comparable across sources (a forum's median "quality" is not a

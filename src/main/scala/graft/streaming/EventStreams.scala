@@ -341,12 +341,12 @@ object EventStreams {
     * on the all-zero-count model — every bucket at the identical
     * smoothed ratio, every doc scoring 0 — the neutral prior, rather
     * than crashing on a missing path (self-review r18 catch). A gate
-    * batch racing a maintenance REPLAY's partition overwrite may read
-    * that batch's counts mid-rewrite; since a replay rewrites identical
-    * rows, the only exposure is the deleted-then-rewritten window —
-    * production serving reads compacted generations ([[graft.ops
-    * .Indexes.compactDsirModelStore]]'s fencing contract) when that
-    * window matters. */
+    * batch racing an in-flight append (or a maintenance REPLAY's
+    * partition delete-then-rewrite) may read half-landed counts through
+    * this DIRECT-path form — the torn-read window is why production
+    * serving uses [[dsirGateStreamLiveFenced]], whose per-batch model
+    * resolves through a generation manifest of write-once snapshots
+    * and can never observe a mutation (r18 VERDICT #4). */
   def dsirGateStreamLive(docs: DataFrame, modelStorePath: String,
                          minWeightQ: Long, outPath: String,
                          checkpoint: String,
@@ -359,15 +359,77 @@ object EventStreams {
         val model =
           if (graft.ops.Indexes.hasParquetFiles(spark, modelStorePath))
             graft.ops.Indexes.readDsirModel(spark, modelStorePath, buckets)
-          else graft.ops.Selection.modelFromCounts(
-            spark.emptyDataFrame
-              .select(lit(0L).as("b"), lit(0L).as("ct"), lit(0L).as("cr"))
-              .limit(0), buckets)
-        graft.ops.Selection.dsirScoredStateless(batch.toDF(), model, buckets)
-          .where(col("s") >= minWeightQ)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id").parquet(outPath)
+          else graft.ops.Selection.neutralModel(buckets)
+        gateBatch(batch.toDF(), model, buckets, minWeightQ, batchId, outPath)
+      }
+      .start()
+
+  /** The one gate-batch body both live gates share: score with the
+    * native stateless kernel, cut at `minWeightQ`, land idempotently in
+    * the batch's own partition. */
+  private def gateBatch(batch: DataFrame, model: Array[(Long, Double)],
+                        buckets: Int, minWeightQ: Long, batchId: Long,
+                        outPath: String): Unit =
+    graft.ops.Selection.dsirScoredStateless(batch, model, buckets)
+      .where(col("s") >= minWeightQ)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(outPath)
+
+  /** [[dsirModelMaintenanceStream]] with the READER FENCE (r18 VERDICT
+    * #4): after each batch's idempotent count append lands, the merged
+    * store is snapshotted into a fresh WRITE-ONCE generation dir and the
+    * manifest pointer flips atomically
+    * ([[graft.ops.Indexes.publishDsirModelGeneration]]). Publication
+    * happens strictly AFTER the append completes, so a manifest-resolving
+    * reader ([[dsirGateStreamLiveFenced]]) can never observe a
+    * half-landed batch — the mutable store path stays the maintenance
+    * stream's private replay-idempotence domain, exactly the fencing
+    * every other committed store's readers already get from
+    * resolveThroughManifest. A crash between append and publish costs
+    * nothing: readers keep the previous snapshot, and the replayed batch
+    * re-appends idempotently then publishes. Compaction composes: fold
+    * the lineage with [[graft.ops.Indexes.compactDsirModelStore]], then
+    * publish the compacted path through the SAME manifest — readers flip
+    * atomically to a read-equivalent generation. */
+  def dsirModelMaintenanceStreamFenced(docs: DataFrame, isTarget: Column,
+                                       storePath: String, manifestDir: String,
+                                       checkpoint: String,
+                                       buckets: Int = graft.ops.Selection.DefaultBuckets)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.Indexes.appendDsirModelStoreIdempotent(batch.toDF(),
+          isTarget, batchId, storePath, buckets)
+        graft.ops.Indexes.publishDsirModelGeneration(batch.sparkSession,
+          storePath, manifestDir, batchId)
+        ()
+      }
+      .start()
+
+  /** [[dsirGateStreamLive]] with the torn-read window CLOSED: each gate
+    * batch resolves [[graft.ops.Indexes.currentGeneration]] and scores
+    * against that write-once snapshot — a concurrent append, crash
+    * replay, or compaction can never be read mid-flight, because
+    * generations are published only after they are completely written
+    * and never mutated afterwards (the manifest contract every ensure*
+    * reader already relies on). An empty manifest (no maintenance batch
+    * published yet) gates on the neutral all-zero prior, like the
+    * direct-path form's missing-store case. */
+  def dsirGateStreamLiveFenced(docs: DataFrame, manifestDir: String,
+                               minWeightQ: Long, outPath: String,
+                               checkpoint: String,
+                               buckets: Int = graft.ops.Selection.DefaultBuckets)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val model = graft.ops.Indexes.currentGeneration(spark, manifestDir)
+          .map(gen => graft.ops.Indexes.readDsirModel(spark, gen, buckets))
+          .getOrElse(graft.ops.Selection.neutralModel(buckets))
+        gateBatch(batch.toDF(), model, buckets, minWeightQ, batchId, outPath)
       }
       .start()
 

@@ -1174,4 +1174,66 @@ class EventStreamsSpec extends AnyFunSuite {
       probe.toDF("doc_id", "source", "text"), full)
       .select(col("s")).as[Long].head())
   }
+
+  test("fenced dsir gate never reads a half-landed append; compaction flips atomically") {
+    val isTarget = col("source") === "tgt"
+    val dir = java.nio.file.Files.createTempDirectory("dsir_fence").toString
+    val store = s"$dir/model"
+    val mdir = s"$dir/manifest"
+    val b1 = Seq((0L, "tgt", "the quick brown fox jumps over the lazy dog"),
+      (10L, "raw", "zzz9 qqq8 vvv7 kkk6 jjj5 xxx4 yyy3 www2 uuu1"))
+    val b2 = Seq((1L, "tgt", "a quick brown fox runs past the lazy dog"),
+      (11L, "raw", "quick brown fox and lazy dog again and again"))
+    val probe = Seq((100L, "raw", "the quick brown fox jumps over the lazy dog"))
+    // batch 1 through the FENCED maintenance stream → generation A published
+    val in = MemoryStream[(Long, String, String)]
+    val q = EventStreams.dsirModelMaintenanceStreamFenced(
+      in.toDF().toDF("doc_id", "source", "text"), isTarget, store, mdir,
+      s"$dir/ck")
+    in.addData(b1); q.processAllAvailable(); q.stop()
+    val genA = graft.ops.Indexes.currentGeneration(spark, mdir).get
+    val modelA = graft.ops.Indexes.readDsirModel(spark, genA)
+    // a HALF-LANDED append: batch-2 counts land in the MUTABLE store with
+    // no publish — exactly what a gate racing an in-flight append sees
+    graft.ops.Indexes.appendDsirModelStoreIdempotent(
+      b2.toDF("doc_id", "source", "text"), isTarget, 1L, store)
+    // the window is REAL: the mutable store's model has already moved
+    assert(graft.ops.Indexes.readDsirModel(spark, store).toSeq !== modelA.toSeq,
+      "the unfenced direct-path read must observe the half-landed append")
+    // the FENCED gate must still score under generation A
+    val gin = MemoryStream[(Long, String, String)]
+    val out = s"$dir/gated"
+    val gq = EventStreams.dsirGateStreamLiveFenced(
+      gin.toDF().toDF("doc_id", "source", "text"), mdir,
+      minWeightQ = Long.MinValue, out, s"$dir/gck")
+    gin.addData(probe); gq.processAllAvailable()
+    val s0 = spark.read.parquet(out).where(col("batch_id") === 0)
+      .select(col("s")).as[Long].head()
+    assert(s0 === graft.ops.Selection.dsirScoredStateless(
+      probe.toDF("doc_id", "source", "text"), modelA)
+      .select(col("s")).as[Long].head(),
+      "fenced gate output must equal the replay under the published snapshot")
+    // the append PUBLISHES → the gate flips to the union model
+    graft.ops.Indexes.publishDsirModelGeneration(spark, store, mdir, 1L)
+    gin.addData(probe); gq.processAllAvailable()
+    val s1 = spark.read.parquet(out).where(col("batch_id") === 1)
+      .select(col("s")).as[Long].head()
+    val full = graft.ops.Selection.dsirModel(
+      (b1 ++ b2).toDF("doc_id", "source", "text"), isTarget)
+    assert(s1 === graft.ops.Selection.dsirScoredStateless(
+      probe.toDF("doc_id", "source", "text"), full)
+      .select(col("s")).as[Long].head())
+    assert(s0 !== s1, "the publish must advance the fenced gate's model")
+    // compaction MID-STREAM: fold the lineage, publish the compacted path
+    // through the SAME manifest — an atomic, read-equivalent reader flip
+    val compacted = s"$dir/model_c0"
+    graft.ops.Indexes.compactDsirModelStore(spark, store, compacted)
+    graft.ops.Indexes.publishGeneration(spark, mdir, compacted)
+    gin.addData(probe); gq.processAllAvailable(); gq.stop()
+    val s2 = spark.read.parquet(out).where(col("batch_id") === 2)
+      .select(col("s")).as[Long].head()
+    assert(s2 === s1, "compaction is read-equivalent through the manifest")
+    // generations are write-once: A still serves its original snapshot
+    assert(graft.ops.Indexes.readDsirModel(spark, genA).toSeq === modelA.toSeq)
+  }
 }

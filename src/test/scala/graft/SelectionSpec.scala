@@ -334,6 +334,23 @@ class SelectionSpec extends AnyFunSuite {
       graft.ops.Indexes.readDsirModel(spark, p4, buckets = 16)
     }
     assert(e.getMessage.contains("different width"))
+    // the REVERSE mismatch — a store built NARROWER than the read width —
+    // fails identically (r18 ADVICE: max-observed-id inference waves it
+    // through and silently derives the wrong smoothing universe)
+    val p5 = s"$dir/narrow_store"
+    graft.ops.Indexes.appendDsirModelStoreIdempotent(
+      base, isTarget, 0L, p5, buckets = 16)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.Indexes.readDsirModel(spark, p5) // default width
+    }
+    assert(e2.getMessage.contains("different width"))
+    // a store whose batches disagree on the universe refuses to merge
+    graft.ops.Indexes.appendDsirModelStoreIdempotent(
+      batch, isTarget, 1L, p5, buckets = 32)
+    val e3 = intercept[IllegalArgumentException] {
+      graft.ops.Indexes.readDsirModel(spark, p5, buckets = 16)
+    }
+    assert(e3.getMessage.contains("mixed widths"))
     val compacted = spark.read.parquet(p4)
     assert(compacted.columns.contains("batch_id"),
       "compaction must keep the batch-addressed layout")
