@@ -165,6 +165,41 @@ object Medians {
       df.sparkSession.sparkContext.parallelize(outRows, 1), outSchema)
   }
 
+  /** Value at ONE per-group target rank (1-based, in value order, counting
+    * multiplicity — `rankFor(n)` names it from the group's non-null count)
+    * through the same distributed histogram-refinement engine — the
+    * THRESHOLD-ONLY serving shape for calibrated cuts (r18 VERDICT #3):
+    * a "keep the upper half of every source" decision needs only each
+    * group's n and the value at rank ⌊n/2⌋+1, never the full within-group
+    * cume_dist materialization, whose window sort is the spill bound when
+    * one source is 90 % of a 100 TB corpus. Rank selection BY VALUE gives
+    * the identical threshold as the (value, id)-ordered window rank: ties
+    * share the value, so whichever tie order the window picks, the rank-k
+    * element's VALUE is the k-th smallest counting multiplicity.
+    *
+    * Output: (keys..., n, <out>) — n is the group's non-null count, so
+    * callers derive kept-counts (n − ⌊n/2⌋ for the upper-half cut)
+    * without a second scan. Same contracts as [[exactMedianSelect]]:
+    * few giant groups (maxGroups-bounded, LOUD), NaN-free values, nulls
+    * excluded, ~1 + log_B(n) embarrassingly-parallel scans. */
+  def exactRankSelect(df: DataFrame, keys: Seq[String], value: String,
+                      rankFor: Long => Long, out: String = "v",
+                      buckets: Int = 4096, collectLimit: Int = 64,
+                      maxGroups: Int = DefaultMaxGroups): DataFrame = {
+    import org.apache.spark.sql.Row
+    val (keySchema, results) = selectByRank(df, keys, value, buckets,
+      collectLimit, maxGroups)(n => Seq(rankFor(n)))
+    val outRows = results.map { case (k, n, byRank) =>
+      Row.fromSeq(k.toSeq ++ Seq[Any](n, byRank(rankFor(n))))
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(
+      keySchema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(out, org.apache.spark.sql.types.DoubleType)))
+    df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(outRows, 1), outSchema)
+  }
+
   /** The shared selection engine: resolves, for every group, the value at
     * each rank `ranksFor(n)` requests. Returns (key schema, per-group
     * (key row, n, rank → value)). Groups with zero non-null values are

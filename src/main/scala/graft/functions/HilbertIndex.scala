@@ -143,10 +143,24 @@ object HilbertIndex {
     * transpose-interleave as a sum of shifted bits. `from` must provide
     * long columns x0..x{n-1} already normalized to [0, 2^bits), plus the
     * carry columns. Returns (cteSql, finalCteName); the index is column
-    * `hn` of that CTE. */
+    * `hn` of that CTE.
+    *
+    * Composition limits, stated loudly (r18 ADVICE): the chain emits
+    * FIXED CTE names (u0.., g0, g1, g2, hf), so at most one instance can
+    * appear per SQL statement; and carry names may not collide with the
+    * generated x0..x{n-1}/ht/hn columns (a carry named `ht` would be
+    * shadowed in g1 and duplicated downstream) — rejected by require
+    * rather than rendered silently wrong. */
   def hilbertNSqlCtes(from: String, bits: Int, n: Int,
                       carry: Seq[String]): (String, String) = {
     require(n >= 2 && n * bits <= 63, s"need 2 <= n, n*bits <= 63; got n=$n bits=$bits")
+    val reserved = (0 until n).map(i => s"x$i").toSet ++ Set("ht", "hn")
+    val colliding = carry.filter(reserved.contains)
+    require(colliding.isEmpty,
+      s"carry columns ${colliding.mkString(", ")} collide with the " +
+        s"generated x0..x${n - 1}/ht/hn names — alias them before the " +
+        "Hilbert chain (the CTEs would shadow the carry and duplicate " +
+        "the SELECT list)")
     // rendered as a PREFIX with its own trailing comma, so an empty
     // carry list yields valid SQL instead of "SELECT ," (self-review r18
     // catch — a pure layout-key caller carries nothing)

@@ -649,6 +649,68 @@ object Dedup {
       .distinct()
   }
 
+  /** 4-WAY CROSS-DISTANCE banded Hamming near-dup (r18 VERDICT #2 — the
+    * rotation+edit composite server): a pair matches when either image's
+    * PLAIN hash sits within `maxHamming` of ANY of the other's variant
+    * hashes (for rotation robustness the variants are the four
+    * 90°-rotation aHashes, identity included — so the result SUPERSETS
+    * the plain near-dup pairs). This is the distance the min-pick
+    * canonical column cannot serve: a rotated copy WITH an edit can flip
+    * which rotation attains the unsigned min, putting the pair at
+    * canonical Hamming ≫ threshold while the edit itself moved only a
+    * few bits in the ALIGNED rotation — which the cross distance reads
+    * directly.
+    *
+    * Candidates: the base hash's band keys probed against every variant
+    * hash's band keys, both directions, then pair-normalized. Complete
+    * by the same pigeonhole as [[hammingNearDups64]], per direction: if
+    * min over variants of H(a_base, b_v) ≤ d < bands, then a_base and
+    * the minimizing b_v differ in ≤ d of the `bands` disjoint chunks and
+    * meet in a matching band bucket. The exact confirm computes all
+    * 2·|variants| half-pair popcounts UNROLLED (plan-time `least` chain
+    * — stays in whole-stage codegen, no interpreted HOF) and keeps
+    * min ≤ maxHamming. Scale shape: |corpus|·bands·(|variants|+1)
+    * exploded key rows, bucket-join, O(1) work per candidate — the
+    * hammingNearDups64 asymptote times a small constant. */
+  def hammingNearDups64Cross(sigs: DataFrame, idCol: String,
+                             baseCol: String, variantCols: Seq[String],
+                             maxHamming: Int, bands: Int = 8): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"banding is complete only for maxHamming < bands, " +
+        s"got $maxHamming >= $bands")
+    require(variantCols.nonEmpty, "need at least one variant hash column")
+    val aB = banded64(sigs, idCol, baseCol, bands, "a")
+      .select(col("band"), col("key"), col("id_a"))
+    val bB = variantCols.map(vc => banded64(sigs, idCol, vc, bands, "b")
+        .select(col("band"), col("key"), col("id_b")))
+      .reduce(_ unionAll _)
+    val cand = aB.join(bB, Seq("band", "key"))
+      .where(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+    def hi(c: String) = conv(substring(col(c), 1, 8), 16, 10).cast("long")
+    def lo(c: String) = conv(substring(col(c), 9, 8), 16, 10).cast("long")
+    val cols = baseCol +: variantCols
+    def halves(suffix: String) = sigs
+      .where(cols.map(c => length(col(c)) === 16).reduce(_ && _))
+      .select(col(idCol).as(s"id_$suffix") +:
+        cols.zipWithIndex.flatMap { case (c, i) =>
+          Seq(hi(c).as(s"h${i}hi_$suffix"), lo(c).as(s"h${i}lo_$suffix"))
+        }: _*)
+    // min over variants of H(side x's BASE, side y's variant i)
+    def dmin(x: String, y: String): Column =
+      variantCols.indices.map { i =>
+        bit_count(col(s"h0hi_$x").bitwiseXOR(col(s"h${i + 1}hi_$y"))) +
+          bit_count(col(s"h0lo_$x").bitwiseXOR(col(s"h${i + 1}lo_$y")))
+      }.reduce(least(_, _))
+    cand.join(halves("a"), Seq("id_a"))
+      .join(halves("b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        least(dmin("a", "b"), dmin("b", "a")).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** One side of the 64-bit banded join: band keys are hex substrings,
     * the hash rides as two 32-bit halves (see [[hammingNearDups64]]). */
   private def banded64(sigs: DataFrame, idCol: String, hexCol: String,

@@ -18,10 +18,17 @@ case class ImageFeatures(name: String, width: Int, height: Int,
 /** Decoded-content perceptual fingerprints ([[Multimodal.aHash64]] +
   * [[Multimodal.dHash64]] — both off the ONE decoded grid), plus the
   * ROTATION-canonical twin ([[Multimodal.rotAHash64Canonical]]) that a
-  * rotated re-encode of the same picture collides on. */
+  * rotated re-encode of the same picture collides on, plus the three
+  * per-rotation aHashes it is the min of (r19: the 4-way cross-distance
+  * probe needs each rotation's hash individually — a rotation COMPOSED
+  * with an edit can flip which rotation attains the min, so the
+  * canonical column alone cannot serve rotation+edit composites; +24 B
+  * per image of committed state, derived from sweeps the build already
+  * runs). */
 case class ImagePHash(name: String, width: Int, height: Int,
                       ahash_hex: String, dhash_hex: String,
-                      rhash_hex: String)
+                      rhash_hex: String, r90_hex: String,
+                      r180_hex: String, r270_hex: String)
 
 /** Integer box-filter downsample result ([[Multimodal.resizeImages]]):
   * output dims and EXACT channel sums of the resized raster. */
@@ -451,12 +458,25 @@ object Multimodal {
     * rotations (any Hamming-0 re-encode of a rotated copy); a rotation
     * COMPOSED with an edit can flip which rotation attains the minimum,
     * so the near+rotated composite needs the 4-way cross distance —
-    * serve it by probing the plain hash against all four rotations, the
-    * same way the resample family would handle rate+edit composites.
+    * SERVED since r19 by [[graft.ops.Dedup.hammingNearDups64Cross]]
+    * (the plain hash banded against all four per-rotation hashes, which
+    * the committed store carries as columns; the genrotn_00 fixture is
+    * generator-REQUIRED to sit past the min-pick at canonical Hamming
+    * ≥ 7 yet within the 4-way distance).
     * Block sums do NOT survive rotation when dims aren't multiples of 8
     * (floor boundaries reflect inexactly), so each rotation hashes its
     * own grid view rather than remapping block sums. */
   def rotAHash64Canonical(w: Int, h: Int, gray: (Int, Int) => Int): Long = {
+    val (r0, r90, r180, r270) = aHashes4(w, h, gray)
+    minUnsigned(r0, r90, r180, r270)
+  }
+
+  /** ALL FOUR 90°-rotation aHashes by accessor — (r0, r90, r180, r270);
+    * [[rotAHash64Canonical]] is their unsigned min. The per-rotation
+    * values are what the committed store persists individually (r19):
+    * the 4-way cross-distance probe compares a plain hash against each
+    * rotation's hash, which the min alone cannot answer. */
+  def aHashes4(w: Int, h: Int, gray: (Int, Int) => Int): (Long, Long, Long, Long) = {
     val rowBuf = new Array[Int](w)
     val colBuf = new Array[Int](h)
     val grayRow = (y: Int) => {
@@ -466,7 +486,7 @@ object Multimodal {
       var y = 0; while (y < h) { colBuf(y) = gray(x, y); y += 1 }; colBuf
     }
     val (r90, r180, r270) = rotatedAHashes(w, h, grayRow, grayCol)
-    minUnsigned(aHash64(w, h, grayRow), r90, r180, r270)
+    (aHash64(w, h, grayRow), r90, r180, r270)
   }
 
   private def minUnsigned(vs: Long*): Long =
@@ -525,7 +545,7 @@ object Multimodal {
         javax.imageio.ImageIO.setUseCache(false)
         rows.map { case (name, bytes) =>
           val img = readImageGuarded(bytes)
-          if (img == null) ImagePHash(name, -1, -1, "", "", "")
+          if (img == null) ImagePHash(name, -1, -1, "", "", "", "", "", "")
           else {
             val (w, h) = (img.getWidth, img.getHeight)
             val rowBuf = new Array[Int](w)
@@ -558,7 +578,8 @@ object Multimodal {
             val (ah, dh) = phash2(w, h, grayRow)
             val (r90, r180, r270) = rotatedAHashes(w, h, grayRow, grayCol)
             val rh = minUnsigned(ah, r90, r180, r270)
-            ImagePHash(name, w, h, f"$ah%016x", f"$dh%016x", f"$rh%016x")
+            ImagePHash(name, w, h, f"$ah%016x", f"$dh%016x", f"$rh%016x",
+              f"$r90%016x", f"$r180%016x", f"$r270%016x")
           }
         }
       }

@@ -3771,6 +3771,30 @@ object PipelineQueries {
       |SELECT source, count(*) AS n_kept, round(min(q), 6) AS raw_threshold
       |FROM c WHERE cal > 0.5 GROUP BY source ORDER BY source""".stripMargin
 
+  /** THRESHOLD-ONLY scale twin of [[scoreCalibration]] (r18 VERDICT #3 —
+    * the round's worst 10× probe was the full cume_dist materialization):
+    * the registered decision needs only each source's count and the raw
+    * score at rank ⌊n/2⌋+1, so this form derives the per-source threshold
+    * through the distributed rank-selection engine
+    * ([[graft.engine.Medians.exactRankSelect]] — histogram refinement,
+    * ~log_B(n) fully-parallel scans, NO within-source window sort) and
+    * reports the identical (source, n_kept, raw_threshold) rows. Rank
+    * selection by VALUE equals the (q, doc_id)-ordered window's
+    * boundary value because ties share the value; n_kept = n − ⌊n/2⌋ by
+    * the cume_dist cut's arithmetic. Same oracle as the full-rank form —
+    * one SQL grades both shapes, which is the point: the full-rank query
+    * stays the oracle-replayable derivation, this is the shape that
+    * survives one source being 90 % of the corpus. */
+  def scoreCalibrationSelect(s: SparkSession, d: String): DataFrame =
+    graft.engine.Medians.exactRankSelect(
+        documents(s, d).select(col("source"),
+          TextAnalysis.qualityScore(col("text")).as("q")),
+        Seq("source"), "q", n => n / 2 + 1, out = "thr")
+      .select(col("source"),
+        (col("n") - call_function("div", col("n"), lit(2L))).as("n_kept"),
+        round(col("thr"), 6).as("raw_threshold"))
+      .orderBy(col("source"))
+
   /** WITHIN-DOCUMENT repetition rate — the published repetition-filter
     * signal (the Gopher data-quality family, Rae et al. 2021, as
     * publicly described, which measures duplicate 2- through 4-gram
@@ -5179,6 +5203,53 @@ object PipelineQueries {
        |      FROM m a JOIN m b ON a.name < b.name)
        |SELECT name_a, name_b, hamming FROM p
        |WHERE hamming <= 6 ORDER BY name_a, name_b""".stripMargin
+
+  /** ROTATION+EDIT composite image near-dups — the 4-WAY CROSS-DISTANCE
+    * probe (r18 VERDICT #2): a pair matches when either image's PLAIN
+    * aHash sits within Hamming 6 of ANY of the other's four per-rotation
+    * aHashes, which the committed store carries as columns
+    * ([[graft.ops.Dedup.hammingNearDups64Cross]] — base hash banded
+    * against every rotation's bands, pigeonhole-complete per direction,
+    * exact min-distance confirm unrolled in codegen). This is the
+    * distance the min-pick canonical column cannot answer: the fixture's
+    * genrotn_00 (a 90°-rotated copy of a synthetic original WITH a
+    * one-band brightness edit) is generator-REQUIRED to sit at canonical
+    * Hamming ≥ 7 from its original — the min-pick FLIPS, so
+    * q_image_near_dups_rotated provably misses it — while its 4-way
+    * distance is ≤ 6, so this query finds it. Identity is among the
+    * variants, so the result SUPERSETS the plain near-dup pairs. Oracle:
+    * brute force over the manifest's frozen per-rotation hashes with the
+    * identical 7-term least. */
+  def imageNearDupsRotNear(s: SparkSession, d: String): DataFrame =
+    graft.ops.Dedup.hammingNearDups64Cross(
+        graft.ops.Indexes.readImageHashIndex(s,
+          graft.ops.Indexes.ensureImageHashIndex(s, imageFixtureDir)),
+        "name", "ahash_hex",
+        Seq("ahash_hex", "r90_hex", "r180_hex", "r270_hex"),
+        maxHamming = 6, bands = 8)
+      .select(col("id_a").as("name_a"), col("id_b").as("name_b"),
+        col("hamming"))
+      .orderBy(col("name_a"), col("name_b"))
+
+  val imageNearDupsRotNearSql: String = {
+    def dd(x: String, y: String) =
+      s"(bit_count(xor(('0x' || substr($x, 1, 8))::BIGINT, ('0x' || substr($y, 1, 8))::BIGINT))" +
+        s" + bit_count(xor(('0x' || substr($x, 9, 8))::BIGINT, ('0x' || substr($y, 9, 8))::BIGINT)))"
+    val terms = Seq(
+      dd("a.ahash_hex", "b.ahash_hex"),
+      dd("a.ahash_hex", "b.r90_hex"), dd("a.ahash_hex", "b.r180_hex"),
+      dd("a.ahash_hex", "b.r270_hex"),
+      dd("b.ahash_hex", "a.r90_hex"), dd("b.ahash_hex", "a.r180_hex"),
+      dd("b.ahash_hex", "a.r270_hex")).mkString(",\n          ")
+    s"""WITH m AS (SELECT name, ahash_hex, r90_hex, r180_hex, r270_hex
+       |           FROM read_parquet('$imageManifestPath/*.parquet')
+       |           WHERE len(ahash_hex) = 16),
+       |p AS (SELECT a.name AS name_a, b.name AS name_b,
+       |        least($terms)::BIGINT AS hamming
+       |      FROM m a JOIN m b ON a.name < b.name)
+       |SELECT name_a, name_b, hamming FROM p
+       |WHERE hamming <= 6 ORDER BY name_a, name_b""".stripMargin
+  }
 
   /** Image DUP CLUSTERS: the near-dup pair set closed into connected
     * components through the SAME distributed pointer-jumping machinery
@@ -7197,6 +7268,270 @@ object PipelineQueries {
        |FROM bc JOIN bud USING (source)
        |WHERE cum_tokens - tokens < budget
        |ORDER BY source, cum_tokens, doc_id""".stripMargin
+
+  /** END-TO-END SELECTION pipeline under ONE oracle (r18 VERDICT #1 —
+    * the q_pipeline_e2e composition precedent applied to the r17/r18
+    * selection/curation surface, whose 20+ operators had only ever been
+    * graded alone): DSIR importance gate (native kernel) → per-source
+    * calibrated quality cut → leakage-safe cluster split → DoReMi-
+    * budgeted token mix → span packing. One audit row per stage (count +
+    * order-free bit_xor fingerprint); the oracle replays every stage as
+    * a chained CTE over the previous stage's CTE, so a drift anywhere in
+    * the composed chain — a survivor gated differently, a rank moving
+    * because the pool changed, one doc crossing a split — breaks the
+    * hash at that stage and every stage downstream. Composition is where
+    * stage contracts drift (the round-8 lesson that created
+    * q_pipeline_e2e).
+    *
+    * Stage semantics — each over the PREVIOUS stage's survivors, which
+    * is the point (the standalone rows grade each operator against the
+    * whole corpus; here the calibration ranks move with the gated pool,
+    * the split's pair set restricts to calibration survivors, the mix
+    * competes only the train slice):
+    *   1. dsir_gate — the raw pool (non-src0, NULL-safe) scored by the
+    *      native [[graft.functions.DsirScore]] kernel against the
+    *      full-corpus src0-target model, keep s ≥ 0 (q_dsir_gate's cut).
+    *   2. calibrate — within-source cume_dist of the quality score over
+    *      GATE SURVIVORS, keep cal > 0.5 ([[graft.ops.Curation
+    *      .calibrateByGroup]]).
+    *   3. cluster_split — 90/5/5 keyed on the near-dup cluster rep
+    *      ([[graft.ops.Curation.clusterSplit]]); pairs come from the
+    *      committed full-corpus minhash index restricted to survivors on
+    *      both ends (banding and Jaccard are per-pair properties, so the
+    *      restriction equals recomputation on the subset — the
+    *      pipelineE2e precedent). Downstream takes the TRAIN slice.
+    *   4. doremi_mix — per-domain budgets round(2000·w) from the
+    *      CORPUS-level hedge weights (domain weights are a property of
+    *      the corpus mixture, trained once like the DSIR model, not of
+    *      the filtered pool), applied to the train slice through
+    *      [[graft.ops.Curation.tokenBudgetMix]].
+    *   5. packed — 512-token span packing of the budget-selected docs
+    *      ([[graft.ops.Curation.packSpans]], shardDocs = 100).
+    *
+    * Scale: every stage keeps its registered operator's shape (the gate
+    * a per-row kernel projection, calibration one window per source,
+    * components doc-keyed, the mix one bounded cumsum per source,
+    * packing one bounded-shard cumsum); stages are localCheckpoint-
+    * materialized to truncate lineage between the 6 audit branches —
+    * the q_pipeline_e2e planning-bottleneck lesson (durable staging is
+    * already graded by q_pipeline_e2e_durable; this row keeps the
+    * cheaper local mode). */
+  def selectionE2e(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    val isTarget = col("source") === "src0"
+
+    // stage 1: DSIR gate — native kernel over the NULL-safe raw pool
+    val model = graft.ops.Selection.dsirModel(docs, isTarget)
+    val g1 = graft.ops.Selection
+      .dsirScoredStateless(docs.where(!coalesce(isTarget, lit(false))), model)
+      .where(col("s") >= 0L)
+      .select(col("doc_id"), col("source"), col("text"), col("s"))
+      .localCheckpoint()
+
+    // stage 2: per-source calibrated quality cut over the gated pool
+    val g2 = Curation.calibrateByGroup(
+        g1.select(col("doc_id"), col("source"), col("text"),
+          TextAnalysis.qualityScore(col("text")).as("q")),
+        col("source"), col("q"), col("doc_id"))
+      .where(col("cal") > 0.5)
+      .select(col("doc_id"), col("source"), col("text"))
+      .localCheckpoint()
+
+    // stage 3: leakage-safe split; committed full-corpus pairs restricted
+    // to calibration survivors on both ends
+    val ids = g2.select(col("doc_id"))
+    val (sets, bands) = graft.ops.Indexes.ensureMinhashIndex(s, documents(s, d), d)
+    val pairs = graft.ops.Indexes
+      .minhashNearDupsIndexed(s, sets, bands, threshold = 0.3)
+      .join(ids.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+      .join(ids.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+      .select(col("doc_a"), col("doc_b"))
+    val g3 = Curation.clusterSplit(g2, pairs,
+        Seq("train" -> 90, "val" -> 5, "test" -> 5))
+      .localCheckpoint()
+    val train = g3.where(col("split") === "train")
+      .select(col("doc_id"), col("source"), col("text"))
+
+    // stage 4: corpus-level DoReMi budgets applied to the train slice
+    val wrows = graft.ops.Selection
+      .doremiWeights(docs, isTarget, etaTenths = 10)
+      .select(col("source"), col("w")).collect() // |domains| rows — bounded
+    val budgets = wrows.toSeq
+      .map(r => r.getString(0) -> math.round(2000.0 * r.getDouble(1)))
+    val g4 = Curation.tokenBudgetMix(train, budgets, defaultBudget = 0L)
+      .localCheckpoint()
+
+    // stage 5: pack the budget-selected docs into 512-token bins
+    val finalDocs = train.join(g4.select(col("doc_id")), Seq("doc_id"),
+      "left_semi")
+    val packed = Curation.packSpans(finalDocs, capacity = 512, shardDocs = 100L)
+
+    val idItem = col("doc_id").cast("string")
+    stageRow(0, "raw", docs, idItem)
+      .unionByName(stageRow(1, "dsir_gate", g1,
+        concat_ws(":", col("doc_id"), col("s"))))
+      .unionByName(stageRow(2, "calibrate", g2, idItem))
+      .unionByName(stageRow(3, "cluster_split", g3,
+        concat_ws(":", col("doc_id"), col("split"))))
+      .unionByName(stageRow(4, "doremi_mix", g4,
+        concat_ws(":", col("doc_id"), col("cum_tokens"))))
+      .unionByName(stageRow(5, "packed", packed,
+        concat_ws(":", col("source"), col("shard_id"), col("doc_id"),
+          col("tokens"), col("start_bin"), col("end_bin"))))
+      .orderBy(col("stage_id"))
+  }
+
+  /** The full-chain DuckDB replay of [[selectionE2e]] — assembled with
+    * unique CTE names because the factored fragments collide (duckDsirCtes
+    * and lmScoreCtesFor both define `w` and `cb`): one shared words CTE
+    * feeds the DSIR block (dcb/dtot prefix-renamed), the minhash block,
+    * the CMS-LM/DoReMi block (verbatim names), and the stage chain. */
+  val selectionE2eSql: String = {
+    val P = Dedup.MinhashP
+    val mhConsts = Dedup.minhashConstsSqlValues(16)
+    val lmConsts = Dedup.minhashConstsSqlValues(4)
+    def fpOf(item: String) =
+      s"coalesce(bit_xor(('0x' || substr(md5($item), 1, 12))::BIGINT), 0)::VARCHAR"
+    val idFp = fpOf("doc_id::VARCHAR")
+    materializeCtes(s"""WITH RECURSIVE
+       |w AS (SELECT doc_id, source, $duckWords AS w FROM documents),
+       |f AS (SELECT doc_id, source, coalesce(source = 'src0', FALSE) AS tgt,
+       |        unnest(list_concat(w, CASE WHEN len(w) >= 2 THEN
+       |          list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+       |          ELSE [] END)) AS f
+       |      FROM w),
+       |bk AS (SELECT doc_id, source, tgt,
+       |         ('0x' || substr(md5(f), 1, 12))::BIGINT % 256 AS b FROM f),
+       |dcb AS (SELECT b, sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS ct,
+       |               sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END)::BIGINT AS cr
+       |        FROM bk GROUP BY b),
+       |dtot AS (SELECT sum(ct)::BIGINT AS tt, sum(cr)::BIGINT AS tr FROM dcb),
+       |lr AS (SELECT b, ln((ct + 1)::DOUBLE / (tt + 256)::DOUBLE) -
+       |              ln((cr + 1)::DOUBLE / (tr + 256)::DOUBLE) AS lr
+       |       FROM dcb CROSS JOIN dtot),
+       |dc AS (SELECT doc_id, source, b, count(*)::BIGINT AS c
+       |       FROM bk WHERE NOT tgt GROUP BY doc_id, source, b),
+       |dsc AS (SELECT doc_id, source,
+       |          sum(round(c::DOUBLE * lr * 1e6)::BIGINT)::BIGINT AS s
+       |        FROM dc JOIN lr USING (b) GROUP BY doc_id, source),
+       |g1 AS (SELECT doc_id, source, s FROM dsc WHERE s >= 0),
+       |qs AS (SELECT g1.doc_id, g1.source, $duckQualityScore AS q
+       |       FROM g1 JOIN documents USING (doc_id)),
+       |calq AS (SELECT doc_id, source,
+       |           cume_dist() OVER (PARTITION BY source ORDER BY q, doc_id) AS cal
+       |         FROM qs),
+       |g2 AS (SELECT doc_id, source FROM calq WHERE cal > 0.5),
+       |shg AS (SELECT doc_id, unnest(${duckHashedShingleSet("w")}) AS s FROM w),
+       |hb AS (SELECT doc_id, s % $P AS hb FROM shg),
+       |mh AS (SELECT doc_id, i, min((hb * a + b) % $P) AS h
+       |       FROM hb, $mhConsts GROUP BY doc_id, i),
+       |bands AS (SELECT doc_id, i // 2 AS band,
+       |            md5(string_agg(h::VARCHAR, ',' ORDER BY i)) AS bkey
+       |          FROM mh GROUP BY doc_id, band),
+       |sets AS (SELECT doc_id, ${duckHashedShingleSet("w")} AS sh FROM w),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |scored AS (SELECT doc_a, doc_b,
+       |             len(list_intersect(x.sh, y.sh))::DOUBLE
+       |               / greatest(len(list_distinct(x.sh || y.sh)), 1) AS jacc
+       |           FROM cand JOIN sets x ON cand.doc_a = x.doc_id
+       |                     JOIN sets y ON cand.doc_b = y.doc_id),
+       |pairs AS (SELECT doc_a, doc_b FROM scored WHERE jacc >= 0.3
+       |          AND doc_a IN (SELECT doc_id FROM g2)
+       |          AND doc_b IN (SELECT doc_id FROM g2)),
+       |$duckComponentsCtes,
+       |sp AS (SELECT g2.doc_id, g2.source,
+       |         CASE WHEN ('0x' || substr(md5(coalesce(c.rep, g2.doc_id)::VARCHAR),
+       |                    1, 12))::BIGINT % 100 < 90 THEN 'train'
+       |              WHEN ('0x' || substr(md5(coalesce(c.rep, g2.doc_id)::VARCHAR),
+       |                    1, 12))::BIGINT % 100 < 95 THEN 'val'
+       |              ELSE 'test' END AS split
+       |       FROM g2 LEFT JOIN comp c ON g2.doc_id = c.doc_id),
+       |tr AS (SELECT doc_id, source FROM sp WHERE split = 'train'),
+       |refw AS (SELECT w FROM w WHERE source = 'src0'),
+       |refg AS (SELECT unnest(CASE WHEN len(w) >= 2
+       |           THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+       |           ELSE []::VARCHAR[] END) AS g FROM refw),
+       |refp AS (SELECT unnest(CASE WHEN len(w) >= 2
+       |           THEN list_transform(range(1, len(w)), i -> w[i])
+       |           ELSE []::VARCHAR[] END) AS g FROM refw),
+       |vocab AS (SELECT count(DISTINCT g) AS v
+       |          FROM (SELECT unnest(w) AS g FROM refw) WHERE g <> ''),
+       |cb AS (SELECT i, (hb * a + b) % $P % 1024 AS cl, count(*) AS cnt
+       |       FROM (SELECT ('0x' || substr(md5(g), 1, 12))::BIGINT % $P AS hb
+       |             FROM refg) CROSS JOIN $lmConsts GROUP BY i, cl),
+       |cu AS (SELECT i, (hb * a + b) % $P % 1024 AS cl, count(*) AS cnt
+       |       FROM (SELECT ('0x' || substr(md5(g), 1, 12))::BIGINT % $P AS hb
+       |             FROM refp) CROSS JOIN $lmConsts GROUP BY i, cl),
+       |pos AS (SELECT doc_id, unnest(range(1, len(w))) AS p, w
+       |        FROM w WHERE source <> 'src0' AND len(w) >= 2),
+       |ph AS (SELECT doc_id, p,
+       |         ('0x' || substr(md5(w[p] || ' ' || w[p+1]), 1, 12))::BIGINT % $P AS bh,
+       |         ('0x' || substr(md5(w[p]), 1, 12))::BIGINT % $P AS uh FROM pos),
+       |pcell AS (SELECT doc_id, p, i, (bh * a + b) % $P % 1024 AS bcl,
+       |                 (uh * a + b) % $P % 1024 AS ucl
+       |          FROM ph CROSS JOIN $lmConsts),
+       |eb AS (SELECT doc_id, p, min(coalesce(cb.cnt, 0)) AS ebv
+       |       FROM pcell LEFT JOIN cb ON cb.i = pcell.i AND cb.cl = pcell.bcl
+       |       GROUP BY doc_id, p),
+       |eu AS (SELECT doc_id, p, min(coalesce(cu.cnt, 0)) AS euv
+       |       FROM pcell LEFT JOIN cu ON cu.i = pcell.i AND cu.cl = pcell.ucl
+       |       GROUP BY doc_id, p),
+       |agg AS (SELECT doc_id, count(*) AS n,
+       |          CAST(sum(length(bin(euv + v)) - length(bin(ebv + 1))) AS BIGINT) AS q2
+       |        FROM eb JOIN eu USING (doc_id, p), vocab GROUP BY doc_id),
+       |ds AS (SELECT dd.source, count(*)::BIGINT AS n_docs,
+       |         CAST(sum(coalesce(a.n, 0)) AS BIGINT) AS grams,
+       |         CAST(sum(coalesce(a.q2, 0)) AS BIGINT) AS q2
+       |       FROM (SELECT doc_id, source FROM documents WHERE source <> 'src0') dd
+       |       LEFT JOIN agg a USING (doc_id) GROUP BY dd.source),
+       |m AS (SELECT source,
+       |        round(q2::DOUBLE * 1e6 / greatest(grams, 1)::DOUBLE)::BIGINT AS mq
+       |      FROM ds),
+       |mn AS (SELECT min(mq) AS mql FROM m),
+       |e AS (SELECT source,
+       |        round(exp(1.0 * (mq - mql)::DOUBLE / 1e6) * 1e6)::BIGINT AS eq
+       |      FROM m CROSS JOIN mn),
+       |t AS (SELECT sum(eq)::BIGINT AS teq FROM e),
+       |bud AS (SELECT source,
+       |          round(2000.0 * round(eq::DOUBLE / teq::DOUBLE, 6))::BIGINT AS budget
+       |        FROM e CROSS JOIN t),
+       |br AS (SELECT tr.source, tr.doc_id,
+       |         md5(tr.source || ':' || tr.doc_id::VARCHAR) AS rnk,
+       |         len(w.w)::BIGINT AS tokens
+       |       FROM tr JOIN w ON tr.doc_id = w.doc_id),
+       |bc AS (SELECT source, doc_id, tokens,
+       |         CAST(sum(tokens) OVER (PARTITION BY source
+       |                                ORDER BY rnk, doc_id) AS BIGINT) AS cum_tokens
+       |       FROM br),
+       |g4 AS (SELECT bc.source, bc.doc_id, bc.tokens, bc.cum_tokens
+       |       FROM bc JOIN bud USING (source)
+       |       WHERE cum_tokens - tokens < budget),
+       |fd AS (SELECT tr.source, tr.doc_id, tr.doc_id // 100 AS shard_id,
+       |         len(w.w)::BIGINT AS tokens
+       |       FROM tr JOIN w ON tr.doc_id = w.doc_id
+       |       WHERE tr.doc_id IN (SELECT doc_id FROM g4)),
+       |pk AS (SELECT source, shard_id, doc_id, tokens,
+       |         CAST(coalesce(sum(tokens) OVER (PARTITION BY source, shard_id
+       |           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |           0) AS BIGINT) AS start_off FROM fd),
+       |pck AS (SELECT source, shard_id, doc_id, tokens,
+       |          CAST(start_off // 512 AS BIGINT) AS start_bin,
+       |          CAST((start_off + tokens - 1) // 512 AS BIGINT) AS end_bin FROM pk)
+       |SELECT 0 AS stage_id, 'raw' AS stage, count(*)::BIGINT AS n, $idFp AS fp FROM documents
+       |UNION ALL SELECT 1, 'dsir_gate', count(*)::BIGINT,
+       |  ${fpOf("doc_id::VARCHAR || ':' || s::VARCHAR")} FROM g1
+       |UNION ALL SELECT 2, 'calibrate', count(*)::BIGINT, $idFp FROM g2
+       |UNION ALL SELECT 3, 'cluster_split', count(*)::BIGINT,
+       |  ${fpOf("doc_id::VARCHAR || ':' || split")} FROM sp
+       |UNION ALL SELECT 4, 'doremi_mix', count(*)::BIGINT,
+       |  ${fpOf("doc_id::VARCHAR || ':' || cum_tokens::VARCHAR")} FROM g4
+       |UNION ALL SELECT 5, 'packed', count(*)::BIGINT,
+       |  ${fpOf("source || ':' || shard_id::VARCHAR || ':' || doc_id::VARCHAR || " +
+           "':' || tokens::VARCHAR || ':' || start_bin::VARCHAR || ':' || end_bin::VARCHAR")} FROM pck
+       |ORDER BY stage_id""".stripMargin)
+  }
 
   val domainTemperatureSql: String =
     s"""WITH b AS (SELECT source, count(*)::BIGINT AS n_docs,

@@ -89,6 +89,13 @@ object GenImageFixture {
     // ehash/cehash analytic-manifest contract, for rotations)
     def rotOf(w: Int, h: Int, gray: (Int, Int) => Int): String =
       f"${graft.ops.Multimodal.rotAHash64Canonical(w, h, gray)}%016x"
+    // the three non-identity per-rotation aHashes (r19: the committed
+    // store persists them for the 4-way cross-distance probe; the
+    // manifest freezes the same analytic values)
+    def r3Of(w: Int, h: Int, gray: (Int, Int) => Int): (String, String, String) = {
+      val (_, r90, r180, r270) = graft.ops.Multimodal.aHashes4(w, h, gray)
+      (f"$r90%016x", f"$r180%016x", f"$r270%016x")
+    }
 
     val synthetic = (0 until 16).flatMap { i =>
       val (w, h) = (32 + 7 * i, 24 + 5 * i)
@@ -118,12 +125,14 @@ object GenImageFixture {
           val (r0, g, b) = rgb(i, x, y)
           (r0 + (if (v) variantBump(i, x, y) else 0), g, b)
         })
-        val rh = rotOf(w, h, (x, y) => {
+        val gray = (x: Int, y: Int) => {
           val (r0, g, b) = rgb(i, x, y)
           (r0 + (if (v) variantBump(i, x, y) else 0) + g + b) / 3
-        })
+        }
+        val rh = rotOf(w, h, gray)
+        val (g90, g180, g270) = r3Of(w, h, gray)
         (name, w, h, w.toLong * h, sr, sg, sb, ah, dHashOf(i, w, h, v),
-          r2r, r2g, r2b, rh)
+          r2r, r2g, r2b, rh, g90, g180, g270)
       }
     }
 
@@ -164,8 +173,9 @@ object GenImageFixture {
         s"genrot_00 must be INVISIBLE to the un-rotated aHash, got Hamming $dPlain")
       require(rhash == synthetic.find(_._1 == "gen_00.png").get._13,
         s"rotation-canonical invariance broke: $rhash")
+      val (g90, g180, g270) = r3Of(rw, rh2, rgray)
       Seq((name, rw, rh2, rw.toLong * rh2, sr, sg, sb, f"$ah%016x",
-        f"$dh%016x", r2r, r2g, r2b, rhash))
+        f"$dh%016x", r2r, r2g, r2b, rhash, g90, g180, g270))
     }
 
     // the brightness-ramp pair: aHash must miss it, dHash must catch it
@@ -196,13 +206,15 @@ object GenImageFixture {
           val c = if (ramped) ramp(y) else 0
           (r0 + c, g0 + c, b0 + c)
         })
-        val rh2 = rotOf(w, h, (x, y) => {
+        val grayB = (x: Int, y: Int) => {
           val (r0, g0, b0) = rgbB(x, y)
           val c = if (ramped) ramp(y) else 0
           (r0 + c + g0 + c + b0 + c) / 3
-        })
+        }
+        val rh2 = rotOf(w, h, grayB)
+        val (g90, g180, g270) = r3Of(w, h, grayB)
         (name, w, h, w.toLong * h, sr, sg, sb, f"$ah%016x", f"$dh%016x",
-          r2r, r2g, r2b, rh2)
+          r2r, r2g, r2b, rh2, g90, g180, g270)
       }
       val base = write("genb_00_base.png", ramped = false)
       val ramped = write("genb_00_ramp.png", ramped = true)
@@ -242,24 +254,113 @@ object GenImageFixture {
           val p = px(y * wHdr + x)
           ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
         })
-        val rh = rotOf(wHdr, hHdr, (x, y) => {
+        val grayAt = (x: Int, y: Int) => {
           val p = px(y * wHdr + x)
           (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
-        })
+        }
+        val rh = rotOf(wHdr, hHdr, grayAt)
+        val (g90, g180, g270) = r3Of(wHdr, hHdr, grayAt)
         (f.getName, wHdr, hHdr, wHdr.toLong * hHdr, sr, sg, sb,
-          f"$hash%016x", f"$dh%016x", r2r, r2g, r2b, rh)
+          f"$hash%016x", f"$dh%016x", r2r, r2g, r2b, rh, g90, g180, g270)
       }
+
+    // ROTATED+EDITED composite (r19 — the min-pick boundary turned into a
+    // served case): a 90°-cw rotation of one synthetic original COMPOSED
+    // with a one-block-band brightness edit in the rotated frame.
+    // Deterministic search over (original, band side, delta) for the
+    // first composite that is
+    //   (a) plain-aHash Hamming ≥ 7 from EVERY other image — invisible
+    //       to q_image_near_dups, and it perturbs no existing pair set;
+    //   (b) canonical-rhash Hamming ≥ 7 from EVERY other image,
+    //       INCLUDING its own original — the edit flips which rotation
+    //       attains the unsigned min, so the min-pick canonical column
+    //       PROVABLY misses the pair (the stated rotAHash64Canonical
+    //       boundary, now a generator-REQUIRED fixture);
+    //   (c) 4-way cross distance ≤ 6 to its original — the
+    //       hammingNearDups64Cross probe provably finds it;
+    //   (d) dHash Hamming ≥ 7 from every other image — the dhash query
+    //       stays unchanged too.
+    val compositeSearchPool = synthetic ++ rotated ++ rampPair ++ real
+    val composite = {
+      def hx(s: String) = java.lang.Long.parseUnsignedLong(s, 16)
+      def hd(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+      val found = (for {
+        ii <- (0 until 16).view
+        band <- Seq(0, 1, 2, 3) // top/bottom row-band, left/right col-band
+        delta <- Seq(24, 40, 56, 72)
+      } yield (ii, band, delta)).map { case (ii, band, delta) =>
+        val (w, h) = (32 + 7 * ii, 24 + 5 * ii)
+        val (rw, rh2) = (h, w)
+        def inBand(x: Int, y: Int): Boolean = band match {
+          case 0 => y < rh2 / 8
+          case 1 => y >= rh2 - rh2 / 8
+          case 2 => x < rw / 8
+          case _ => x >= rw - rw / 8
+        }
+        def rgbC(x: Int, y: Int): (Int, Int, Int) = {
+          val (r, g, b) = rgb(ii, y, h - 1 - x) // genrot_00's rotation rule
+          if (inBand(x, y))
+            (math.min(255, r + delta), math.min(255, g + delta),
+              math.min(255, b + delta))
+          else (r, g, b)
+        }
+        def grayC(x: Int, y: Int): Int = {
+          val (r, g, b) = rgbC(x, y); (r + g + b) / 3
+        }
+        (ii, rw, rh2, rgbC _, grayC _)
+      }.find { case (ii, rw, rh2, _, grayC) =>
+        val (c0, c90, c180, c270) =
+          graft.ops.Multimodal.aHashes4(rw, rh2, grayC)
+        val crh = hx(rotOf(rw, rh2, grayC))
+        val cdh = graft.ops.Multimodal.dHash64(rw, rh2,
+          y => Array.tabulate(rw)(x => grayC(x, y)))
+        val orig = synthetic.find(_._1 == f"gen_$ii%02d.png").get
+        val (o0, o90, o180, o270) =
+          (hx(orig._8), hx(orig._14), hx(orig._15), hx(orig._16))
+        val d4 = Seq(hd(c0, o0), hd(c0, o90), hd(c0, o180), hd(c0, o270),
+          hd(o0, c90), hd(o0, c180), hd(o0, c270)).min
+        d4 <= 6 &&
+          compositeSearchPool.forall(o => hd(c0, hx(o._8)) >= 7) &&
+          compositeSearchPool.forall(o => hd(cdh, hx(o._9)) >= 7) &&
+          compositeSearchPool.forall(o => hd(crh, hx(o._13)) >= 7)
+      }
+      require(found.isDefined, "no rotated+edited composite satisfied the " +
+        "4-way contract — widen the (original, band, delta) search grid")
+      val (ii, rw, rh2, rgbC, grayC) = found.get
+      val img = new BufferedImage(rw, rh2, BufferedImage.TYPE_INT_RGB)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (y <- 0 until rh2; x <- 0 until rw) {
+        val (r, g, b) = rgbC(x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        sr += r; sg += g; sb += b
+      }
+      val name = "genrotn_00.png"
+      require(ImageIO.write(img, "png", new File(imagesDir, name)),
+        s"no PNG writer for $name")
+      val grayRow = (y: Int) => Array.tabulate(rw)(x => grayC(x, y))
+      val ah = graft.ops.Multimodal.aHash64(rw, rh2, grayRow)
+      val dh = graft.ops.Multimodal.dHash64(rw, rh2, grayRow)
+      val rhash = rotOf(rw, rh2, grayC)
+      val (g90, g180, g270) = r3Of(rw, rh2, grayC)
+      val (r2r, r2g, r2b) = resized2Sums(rw, rh2, rgbC)
+      println(f"composite genrotn_00: rotated+edited copy of gen_$ii%02d " +
+        "(min-pick flipped, 4-way distance within the near-dup band)")
+      Seq((name, rw, rh2, rw.toLong * rh2, sr, sg, sb, f"$ah%016x",
+        f"$dh%016x", r2r, r2g, r2b, rhash, g90, g180, g270))
+    }
+
 
     val spark = graft.engine.Sessions.local("4", "graft-gen-image-fixture")
     import spark.implicits._
-    (synthetic ++ rotated ++ rampPair ++ real)
+    (synthetic ++ rotated ++ composite ++ rampPair ++ real)
       .toDF("name", "width", "height", "n_pixels", "sum_r", "sum_g", "sum_b",
         "ahash_hex", "dhash_hex", "rs2_sum_r", "rs2_sum_g", "rs2_sum_b",
-        "rhash_hex")
+        "rhash_hex", "r90_hex", "r180_hex", "r270_hex")
       .coalesce(1)
       .write.mode("overwrite").parquet("fixtures/image_manifest.parquet")
     println(s"wrote ${synthetic.size} synthetic + ${rotated.size} rotated + " +
-      s"${rampPair.size} ramp + ${real.size} real images + manifest")
+      s"${composite.size} composite + ${rampPair.size} ramp + " +
+      s"${real.size} real images + manifest")
     spark.stop()
   }
 }

@@ -228,6 +228,22 @@ class LayoutSpec extends AnyFunSuite {
       "d=4 bits=2: bijection onto [0, 16^2)")
   }
 
+  test("n-dim hilbert SQL chain rejects carry names that collide with its generated columns") {
+    // a carry named ht (or x0..x{n-1}/hn) would be shadowed in the
+    // twiddle CTE and duplicated in the SELECT list — silently wrong SQL
+    // without the guard (r18 ADVICE)
+    for (bad <- Seq("ht", "hn", "x0", "x2")) {
+      val e = intercept[IllegalArgumentException] {
+        graft.functions.HilbertIndex.hilbertNSqlCtes("src", 2, 3, Seq("ok", bad))
+      }
+      assert(e.getMessage.contains(bad), e.getMessage)
+    }
+    // non-colliding carries still render
+    val (sql, last) = graft.functions.HilbertIndex
+      .hilbertNSqlCtes("src", 2, 3, Seq("doc_id"))
+    assert(last === "hf" && sql.contains("doc_id,"))
+  }
+
   test("n-dim hilbert expression == kernel (codegen path); null in any dim → null") {
     val bits = 8
     val pts = (0 until 400).map { i =>

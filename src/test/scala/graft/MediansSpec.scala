@@ -131,6 +131,31 @@ class MediansSpec extends AnyFunSuite {
     assert(eNaN.getMessage.contains("NaN-free"), eNaN.getMessage)
   }
 
+  test("rank selection: per-group rank-k value == window cume_dist boundary; ties and singletons") {
+    // ties straddle the boundary and one group is a singleton — the two
+    // cases the threshold-only calibration twin must get right
+    val df = Seq(
+      ("a", 1L, 5.0), ("a", 2L, 5.0), ("a", 3L, 7.0), ("a", 4L, 5.0),
+      ("a", 5L, 9.0), ("b", 6L, 1.0), ("c", 7L, 2.0), ("c", 8L, 4.0))
+      .toDF("k", "id", "v")
+    val got = Medians.exactRankSelect(df, Seq("k"), "v", n => n / 2 + 1,
+        out = "thr")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // a: n=5, rank 3 of [5,5,5,7,9] = 5.0 (ties share the value);
+    // b: the singleton survives at its own value; c: n=2 → rank 2
+    assert(got === Set(("a", 5L, 5.0), ("b", 1L, 1.0), ("c", 2L, 4.0)))
+    // value-rank selection == the (v, id)-ordered cume_dist(> 0.5) cut's
+    // boundary, and n − ⌊n/2⌋ == the cut's kept-count — per group
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("v"), col("id"))
+    val win = df.withColumn("cal", cume_dist().over(w))
+      .where(col("cal") > 0.5)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_kept"), min(col("v")).as("thr"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.map { case (k, n, thr) => (k, n - n / 2, thr) } === win)
+  }
+
   test("plan shape: Window rank selection, no buffered median aggregate") {
     val li = graft.engine.Tables.lineitem(spark, "/root/testdata/sf0.001")
     val plan = Medians.exactMedianByKey(li, Seq("l_returnflag"), "l_extendedprice")

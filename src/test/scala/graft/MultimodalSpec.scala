@@ -400,6 +400,49 @@ class MultimodalSpec extends AnyFunSuite {
       pairs.contains(("genrot_00.png", "gen_00.png", 0L)), s"$pairs")
   }
 
+  test("4-way cross-distance near-dups: composite found, min-pick provably misses it, banding equals brute force") {
+    import graft.queries.PipelineQueries
+    val manifest = spark.read.parquet(PipelineQueries.imageManifestPath)
+      .select("name", "ahash_hex", "r90_hex", "r180_hex", "r270_hex", "rhash_hex")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getString(5)))
+      .filter(_._2.length == 16).sortBy(_._1)
+    def hd(a: String, b: String) = java.lang.Long.bitCount(
+      java.lang.Long.parseUnsignedLong(a, 16) ^
+        java.lang.Long.parseUnsignedLong(b, 16)).toLong
+    def d4(a: (String, String, String, String, String, String),
+           b: (String, String, String, String, String, String)): Long =
+      Seq(hd(a._2, b._2), hd(a._2, b._3), hd(a._2, b._4), hd(a._2, b._5),
+        hd(b._2, a._3), hd(b._2, a._4), hd(b._2, a._5)).min
+    // pigeonhole completeness of the cross banding: served == all-pairs
+    val brute = (for {
+      i <- manifest.indices; j <- (i + 1) until manifest.length
+      d = d4(manifest(i), manifest(j)) if d <= 6
+    } yield (manifest(i)._1, manifest(j)._1, d)).toSet
+    val served = PipelineQueries.imageNearDupsRotNear(spark, "").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(served === brute,
+      "cross banding must equal the all-pairs 4-way truth")
+    // the engineered rotated+edited composite is FOUND here ...
+    val comp = served.find(t => t._2 == "genrotn_00.png" &&
+      t._1.matches("gen_\\d+\\.png"))
+    assert(comp.isDefined, s"composite pair missing from $served")
+    val byName = manifest.map(m => m._1 -> m).toMap
+    val (orig, cmp) = (byName(comp.get._1), byName("genrotn_00.png"))
+    // ... while the canonical min-pick column provably misses it (the
+    // edit flipped which rotation attains the unsigned min) ...
+    assert(hd(orig._6, cmp._6) >= 7,
+      "the min-pick canonical distance must exceed the band")
+    // ... and the plain hash is blind too (it is rotated)
+    assert(hd(orig._2, cmp._2) >= 7)
+    // identity rides among the variants: plain pairs are a subset
+    val plain = PipelineQueries.imageNearDups(spark, "").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(plain.subsetOf(served.map(t => (t._1, t._2))),
+      "4-way pairs must superset the plain near-dup pairs")
+  }
+
   test("canonical-rate audio hash: resampled copies collide exactly, plain hash misses them") {
     import graft.queries.PipelineQueries
     val ph = Multimodal.audioPHashes(

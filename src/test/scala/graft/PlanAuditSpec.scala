@@ -595,6 +595,27 @@ class PlanAuditSpec extends AnyFunSuite {
       s"LM scoring must stay a scan-stage array fold, not an explode:\n$dw")
   }
 
+  test("round-19 additions stay on their scale paths") {
+    // 4-way cross-distance serving: reads the committed image-hash store
+    // (16 hex columns/image of state), never a decode — and the exact
+    // confirm is a codegen'd least-chain, not an interpreted HOF
+    val rn = plan("q_image_near_dups_rot_near")
+    assert(rn.contains("imghash_") && !rn.toLowerCase.contains("binaryfile"),
+      s"cross-distance serving must read the committed store:\n$rn")
+    assert(!rn.contains("ArrayTransform"),
+      s"the min-distance confirm must stay unrolled in codegen:\n$rn")
+    // selection-pipeline composition: stages are lineage-truncated
+    // (localCheckpoint), so the audit branches plan as scans of
+    // materialized results — the q_pipeline_e2e planning-bottleneck
+    // contract — and no tokenize explode survives into the final plan
+    // (the gate scored with the native kernel pre-checkpoint)
+    val se = plan("q_selection_e2e")
+    assert(se.contains("ExistingRDD"),
+      s"stages must be lineage-truncated into materialized scans:\n$se")
+    assert(!se.contains("Generate"),
+      s"no tokenize explode may survive past the checkpointed stages:\n$se")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // Theta joins in the documented quadratic baselines become
     // BroadcastNestedLoopJoin (bounded side); an unconditional
