@@ -3785,15 +3785,24 @@ object PipelineQueries {
     * one SQL grades both shapes, which is the point: the full-rank query
     * stays the oracle-replayable derivation, this is the shape that
     * survives one source being 90 % of the corpus. */
-  def scoreCalibrationSelect(s: SparkSession, d: String): DataFrame =
+  def scoreCalibrationSelect(s: SparkSession, d: String): DataFrame = {
+    // the selection engine rescans its input once per refinement round —
+    // cheap when the input is (source, q) longs/doubles, NOT when every
+    // rescan re-derives the three-regex quality score per document
+    // (first probe read 3.77× at 10×, WORSE than the window it
+    // replaces). Materialize the scored pool once; the rounds then scan
+    // a two-column cached frame — exactly what a 100 TB run does by
+    // writing the scored pool before deriving cut thresholds.
+    val scored = documents(s, d).select(col("source"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      .localCheckpoint()
     graft.engine.Medians.exactRankSelect(
-        documents(s, d).select(col("source"),
-          TextAnalysis.qualityScore(col("text")).as("q")),
-        Seq("source"), "q", n => n / 2 + 1, out = "thr")
+        scored, Seq("source"), "q", n => n / 2 + 1, out = "thr")
       .select(col("source"),
         (col("n") - call_function("div", col("n"), lit(2L))).as("n_kept"),
         round(col("thr"), 6).as("raw_threshold"))
       .orderBy(col("source"))
+  }
 
   /** WITHIN-DOCUMENT repetition rate — the published repetition-filter
     * signal (the Gopher data-quality family, Rae et al. 2021, as
