@@ -689,10 +689,57 @@ object Dedup {
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"))
       .distinct()
+    crossConfirm(cand, sigs, sigs, idCol, baseCol, variantCols,
+      maxHamming, "a", "b")
+  }
+
+  /** INCREMENTAL 4-way cross-distance — the daily-ingest shape for
+    * rotation+edit composites ([[hammingNearDups64Incr]]'s contract over
+    * [[hammingNearDups64Cross]]'s distance): a NEW batch probed against
+    * the committed corpus store, candidates from batch-base×corpus-
+    * variant bands UNIONED with batch-variant×corpus-base bands (the two
+    * directions of the min — either side may be the rotated one), exact
+    * symmetric confirm, corpus never self-joins. Catches what the plain
+    * incremental probe cannot: a landing batch image that is a rotated
+    * (or rotated-and-edited) copy of standing corpus content. */
+  def hammingNearDups64CrossIncr(batch: DataFrame, corpus: DataFrame,
+                                 idCol: String, baseCol: String,
+                                 variantCols: Seq[String], maxHamming: Int,
+                                 bands: Int = 8): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"banding is complete only for maxHamming < bands, " +
+        s"got $maxHamming >= $bands")
+    require(variantCols.nonEmpty, "need at least one variant hash column")
+    def bandsOf(side: DataFrame, c: String, suffix: String) =
+      banded64(side, idCol, c, bands, suffix)
+        .select(col("band"), col("key"), col(s"id_$suffix"))
+    val nB = bandsOf(batch, baseCol, "new")
+    val oB = bandsOf(corpus, baseCol, "old")
+    val nV = variantCols.map(bandsOf(batch, _, "new")).reduce(_ unionAll _)
+    val oV = variantCols.map(bandsOf(corpus, _, "old")).reduce(_ unionAll _)
+    val cand = nB.join(oV, Seq("band", "key"))
+      .select(col("id_new"), col("id_old"))
+      .unionAll(nV.join(oB, Seq("band", "key"))
+        .select(col("id_new"), col("id_old")))
+      .where(col("id_new") =!= col("id_old"))
+      .distinct()
+    crossConfirm(cand, batch, corpus, idCol, baseCol, variantCols,
+      maxHamming, "new", "old")
+  }
+
+  /** The shared exact confirm of the cross-distance family: join each
+    * side's (base, variants) hash halves onto the candidate pairs and
+    * keep the SYMMETRIC min distance — min over variants of
+    * H(x.base, y.variant) in both directions — within `maxHamming`.
+    * Unrolled `least` chain: stays in whole-stage codegen. */
+  private def crossConfirm(cand: DataFrame, left: DataFrame,
+                           right: DataFrame, idCol: String, baseCol: String,
+                           variantCols: Seq[String], maxHamming: Int,
+                           lSuffix: String, rSuffix: String): DataFrame = {
     def hi(c: String) = conv(substring(col(c), 1, 8), 16, 10).cast("long")
     def lo(c: String) = conv(substring(col(c), 9, 8), 16, 10).cast("long")
     val cols = baseCol +: variantCols
-    def halves(suffix: String) = sigs
+    def halves(side: DataFrame, suffix: String) = side
       .where(cols.map(c => length(col(c)) === 16).reduce(_ && _))
       .select(col(idCol).as(s"id_$suffix") +:
         cols.zipWithIndex.flatMap { case (c, i) =>
@@ -704,10 +751,11 @@ object Dedup {
         bit_count(col(s"h0hi_$x").bitwiseXOR(col(s"h${i + 1}hi_$y"))) +
           bit_count(col(s"h0lo_$x").bitwiseXOR(col(s"h${i + 1}lo_$y")))
       }.reduce(least(_, _))
-    cand.join(halves("a"), Seq("id_a"))
-      .join(halves("b"), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        least(dmin("a", "b"), dmin("b", "a")).cast("long").as("hamming"))
+    cand.join(halves(left, lSuffix), Seq(s"id_$lSuffix"))
+      .join(halves(right, rSuffix), Seq(s"id_$rSuffix"))
+      .select(col(s"id_$lSuffix"), col(s"id_$rSuffix"),
+        least(dmin(lSuffix, rSuffix), dmin(rSuffix, lSuffix))
+          .cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
 

@@ -5260,6 +5260,53 @@ object PipelineQueries {
        |WHERE hamming <= 6 ORDER BY name_a, name_b""".stripMargin
   }
 
+  /** INCREMENTAL rotation+edit composite probe — the daily-ingest twin
+    * of [[imageNearDupsRotNear]] ([[graft.ops.Dedup
+    * .hammingNearDups64CrossIncr]]): the genv_* re-encodes arrive as the
+    * batch and probe the standing corpus under the 4-WAY cross distance,
+    * so a landing image that is a ROTATED (or rotated-and-edited) copy
+    * of standing content pairs where the plain incremental probe
+    * (q_image_near_dups_incr) is blind — the fixture pins it: genv_00's
+    * plain hash sits within 1 of genrot_00's UN-rotation variant, a
+    * cross-orientation batch/corpus dup only this probe reports. The
+    * corpus side never self-joins. Oracle: the same split brute-forced
+    * over the manifest's frozen per-rotation hashes with the identical
+    * 7-term least. */
+  def imageNearDupsRotIncr(s: SparkSession, d: String): DataFrame = {
+    val sigs = graft.ops.Indexes.readImageHashIndex(s,
+      graft.ops.Indexes.ensureImageHashIndex(s, imageFixtureDir))
+    graft.ops.Dedup.hammingNearDups64CrossIncr(
+        sigs.where(col("name").startsWith("genv_")),
+        sigs.where(!col("name").startsWith("genv_")),
+        "name", "ahash_hex",
+        Seq("ahash_hex", "r90_hex", "r180_hex", "r270_hex"),
+        maxHamming = 6, bands = 8)
+      .select(col("id_new").as("name_new"), col("id_old").as("name_old"),
+        col("hamming"))
+      .orderBy(col("name_new"), col("name_old"))
+  }
+
+  val imageNearDupsRotIncrSql: String = {
+    def dd(x: String, y: String) =
+      s"(bit_count(xor(('0x' || substr($x, 1, 8))::BIGINT, ('0x' || substr($y, 1, 8))::BIGINT))" +
+        s" + bit_count(xor(('0x' || substr($x, 9, 8))::BIGINT, ('0x' || substr($y, 9, 8))::BIGINT)))"
+    val terms = Seq(
+      dd("a.ahash_hex", "b.ahash_hex"),
+      dd("a.ahash_hex", "b.r90_hex"), dd("a.ahash_hex", "b.r180_hex"),
+      dd("a.ahash_hex", "b.r270_hex"),
+      dd("b.ahash_hex", "a.r90_hex"), dd("b.ahash_hex", "a.r180_hex"),
+      dd("b.ahash_hex", "a.r270_hex")).mkString(",\n          ")
+    s"""WITH m AS (SELECT name, ahash_hex, r90_hex, r180_hex, r270_hex
+       |           FROM read_parquet('$imageManifestPath/*.parquet')
+       |           WHERE len(ahash_hex) = 16),
+       |p AS (SELECT a.name AS name_new, b.name AS name_old,
+       |        least($terms)::BIGINT AS hamming
+       |      FROM m a JOIN m b
+       |        ON starts_with(a.name, 'genv_') AND NOT starts_with(b.name, 'genv_'))
+       |SELECT name_new, name_old, hamming FROM p
+       |WHERE hamming <= 6 ORDER BY name_new, name_old""".stripMargin
+  }
+
   /** Image DUP CLUSTERS: the near-dup pair set closed into connected
     * components through the SAME distributed pointer-jumping machinery
     * text dedup uses ([[graft.ops.Dedup.connectedComponents]] over
@@ -6859,14 +6906,19 @@ object PipelineQueries {
     * family: the documents corpus replays through a file-source stream in
     * two landings with a checkpoint RESTART between them (the second
     * half lands while the stream is DOWN),
-    * [[graft.streaming.EventStreams.dsirModelMaintenanceStream]] builds
-    * the count store batch by batch, then COMPACTION folds the lineage
-    * ([[graft.ops.Indexes.compactDsirModelStore]]) and the raw pool
-    * scores from the compacted model with the native kernel. The oracle
-    * knows nothing of streams or stores — it replays the one-shot
-    * full-corpus exploded derivation — so this row's hash match proves
-    * maintained == compacted == rebuilt, across a restart, every round.
-    * Scratch dirs deleted once the output is materialized. */
+    * [[graft.streaming.EventStreams.dsirModelMaintenanceStreamFenced]]
+    * builds the count store batch by batch AND publishes a write-once
+    * generation snapshot per batch (r19: the registered row now
+    * exercises the torn-read fence, not just the spec), then COMPACTION
+    * folds the lineage ([[graft.ops.Indexes.compactDsirModelStore]]),
+    * the compacted path is published through the SAME manifest, and the
+    * raw pool scores from the MANIFEST-RESOLVED generation
+    * ([[graft.ops.Indexes.currentGeneration]]) with the native kernel.
+    * The oracle knows nothing of streams, stores, or manifests — it
+    * replays the one-shot full-corpus exploded derivation — so this
+    * row's hash match proves maintained == published == compacted ==
+    * rebuilt, across a restart, every round. Scratch dirs deleted once
+    * the output is materialized. */
   def dsirModelStreamEquiv(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types._
     val docs = documents(s, d)
@@ -6879,17 +6931,26 @@ object PipelineQueries {
       def land(part: DataFrame): Unit =
         part.select(col("doc_id"), col("source"), col("text"))
           .coalesce(1).write.mode("append").parquet(landing.toString)
-      def start() = graft.streaming.EventStreams.dsirModelMaintenanceStream(
+      val mdir = s"$scratch/manifest"
+      def start() = graft.streaming.EventStreams.dsirModelMaintenanceStreamFenced(
         s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
           .parquet(landing.toString),
-        col("source") === "src0", store, s"$scratch/ck")
+        col("source") === "src0", store, mdir, s"$scratch/ck")
       land(docs.where(col("doc_id") % 2 === 0))
       val q1 = start(); q1.processAllAvailable(); q1.stop()
       land(docs.where(col("doc_id") % 2 =!= 0)) // lands while DOWN
       val q2 = start(); q2.processAllAvailable(); q2.stop()
       val compacted = s"$scratch/model_c0"
       graft.ops.Indexes.compactDsirModelStore(s, store, compacted)
-      val model = graft.ops.Indexes.readDsirModel(s, compacted)
+      // the reader flip every other committed store already grades:
+      // publish the compacted generation, resolve it back through the
+      // manifest, and score from what the POINTER serves
+      graft.ops.Indexes.publishGeneration(s, mdir, compacted)
+      val gen = graft.ops.Indexes.currentGeneration(s, mdir)
+        .getOrElse(sys.error("manifest must serve the compacted generation"))
+      require(gen == compacted,
+        s"the freshly published compaction must win the pointer, got $gen")
+      val model = graft.ops.Indexes.readDsirModel(s, gen)
       val out = graft.ops.Selection
         .dsirScoredStateless(docs.where(!coalesce(col("source") === "src0", lit(false))), model)
         .groupBy(col("source"))

@@ -441,6 +441,26 @@ class MultimodalSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(plain.subsetOf(served.map(t => (t._1, t._2))),
       "4-way pairs must superset the plain near-dup pairs")
+    // the INCREMENTAL split equals the directional brute force, and it
+    // reports the cross-orientation batch/corpus dup the plain
+    // incremental probe is blind to (genv_00's plain hash sits within 1
+    // of genrot_00's un-rotation variant)
+    val incr = PipelineQueries.imageNearDupsRotIncr(spark, "").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val bruteIncr = (for {
+      a <- manifest if a._1.startsWith("genv_")
+      b <- manifest if !b._1.startsWith("genv_")
+      d = d4(a, b) if d <= 6
+    } yield (a._1, b._1, d)).toSet
+    assert(incr === bruteIncr,
+      "incremental cross banding must equal the directional truth")
+    assert(incr.exists(t => t._1 == "genv_00.png" && t._2 == "genrot_00.png"),
+      s"the cross-orientation batch/corpus dup must be reported: $incr")
+    val plainIncr = PipelineQueries.imageNearDupsIncr(spark, "").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!plainIncr.contains(("genv_00.png", "genrot_00.png")),
+      "the plain incremental probe must remain blind to it — the pair " +
+        "is this op's reason to exist")
   }
 
   test("canonical-rate audio hash: resampled copies collide exactly, plain hash misses them") {
