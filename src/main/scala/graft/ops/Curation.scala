@@ -53,7 +53,9 @@ object Curation {
     * singleton source — the exact failure the op exists to prevent
     * (self-review r18 catch). Under cume_dist a singleton scores 1 and
     * survives any sub-1 cut, and a `> 0.5` cut keeps exactly
-    * ⌊n/2⌋ of an n-doc group (the upper half, quantized downward). */
+    * n − ⌊n/2⌋ = ⌈n/2⌉ of an n-doc group (the upper half, ties resolved
+    * by the id order — the arithmetic the threshold-only twin
+    * [[graft.engine.Medians.exactRankSelect]] replays). */
   def calibrateByGroup(df: DataFrame, group: Column, score: Column,
                        id: Column): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

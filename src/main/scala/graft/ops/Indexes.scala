@@ -1753,18 +1753,35 @@ object Indexes {
   private def stampDsirWidth(counts: DataFrame, buckets: Int): DataFrame =
     counts.withColumn("buckets", lit(buckets.toLong))
 
+  /** The distinct widths present in a model store — empty for a store
+    * with no count rows yet (missing path, or a schema-only store an
+    * all-filtered first micro-batch leaves behind). */
+  private def dsirStoreWidths(spark: SparkSession, path: String): Array[Long] =
+    if (!hasParquetFiles(spark, path)) Array.empty
+    else spark.read.parquet(path)
+      .select(col("buckets")).distinct()
+      .collect().map(_.getLong(0)).sorted
+
   /** The single width a model store was built at — LOUD on an empty or
     * mixed-width store (mixed widths mean two maintenance paths disagreed
     * on the universe; no merge of their counts is meaningful). */
   private[graft] def storedDsirWidth(spark: SparkSession, path: String): Long = {
-    val widths = spark.read.parquet(path)
-      .select(col("buckets")).distinct()
-      .collect().map(_.getLong(0)).sorted
+    val widths = dsirStoreWidths(spark, path)
     require(widths.length == 1,
       s"DSIR model store at $path carries ${if (widths.isEmpty) "no rows"
         else s"mixed widths ${widths.mkString(",")}"} — refusing to merge")
     widths.head
   }
+
+  /** The ONE merged-counts derivation every reader/compactor/publisher
+    * shares (self-review r19: three hand-rolled copies would let a merge
+    * change diverge the compacted layout from published snapshots):
+    * base + every appended batch summed per bucket — exact integers, so
+    * the merge is associative and replay-order-free. */
+  private def mergedDsirCounts(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("b"))
+      .agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr"))
 
   /** Committed DSIR bucket-count MODEL store — closing the repo's one
     * rebuild-only committed state (r17 VERDICT #1): the per-bucket
@@ -1844,9 +1861,7 @@ object Indexes {
     require(stored == buckets.toLong,
       s"DSIR model store at $path was built with a different width " +
         s"(stored $stored, read $buckets)")
-    spark.read.parquet(path)
-      .groupBy(col("b"))
-      .agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr"))
+    mergedDsirCounts(spark, path)
   }
 
   /** The live smoothed log-ratio model off a store generation — what the
@@ -1875,18 +1890,14 @@ object Indexes {
     * silently. Flip the stream to a compacted path only from a FRESH
     * checkpoint over drained input. */
   def compactDsirModelStore(spark: SparkSession, src: String,
-                            dest: String): Unit = {
+                            dest: String): Unit =
     // the width travels WITH the compaction (read it off the source, not
     // a caller parameter — compaction is layout hygiene, not retraining)
-    val width = storedDsirWidth(spark, src)
-    spark.read.parquet(src)
-      .groupBy(col("b"))
-      .agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr"))
-      .withColumn("buckets", lit(width))
+    mergedDsirCounts(spark, src)
+      .withColumn("buckets", lit(storedDsirWidth(spark, src)))
       .withColumn("batch_id", lit(0L))
       .coalesce(1)
       .write.mode("overwrite").partitionBy("batch_id").parquet(dest)
-  }
 
   /** Publish a WRITE-ONCE merged-counts snapshot of a maintained model
     * store through a generation manifest — the torn-read fence for
@@ -1904,23 +1915,35 @@ object Indexes {
     *
     * Cost per micro-batch: one ≤ `buckets`-row write + one pointer
     * rename — model-sized, corpus-independent. Superseded generation
-    * dirs retire through [[retireGenerations]] on the same manifest.
-    * A replay that runs AFTER later batches landed snapshots the store
-    * as it then is — fresher than the original, never torn; the gate's
-    * "model at processing time" contract is unchanged. */
+    * DIRS retire inline through [[retireGenerations]] (supersession-
+    * grace-gated, so in-flight readers finish — self-review r19: without
+    * this a long-running stream accumulates one snapshot dir per batch
+    * forever); the tiny pointer files stay, the manifest family's
+    * standard flip-history trade. A store with NO count rows yet (never
+    * appended, or an all-filtered first micro-batch left a schema-only
+    * file) publishes NOTHING and returns None — readers keep the
+    * neutral prior, and the maintenance stream must not die on a case
+    * the unfenced form tolerated (self-review r19). A replay that runs
+    * AFTER later batches landed snapshots the store as it then is —
+    * fresher than the original, never torn; the gate's "model at
+    * processing time" contract is unchanged. */
   def publishDsirModelGeneration(spark: SparkSession, storePath: String,
-                                 manifestDir: String, batchId: Long): String = {
-    val width = storedDsirWidth(spark, storePath)
+                                 manifestDir: String,
+                                 batchId: Long): Option[String] = {
+    val widths = dsirStoreWidths(spark, storePath)
+    if (widths.isEmpty) return None
+    require(widths.length == 1,
+      s"DSIR model store at $storePath carries mixed widths " +
+        s"${widths.mkString(",")} — refusing to publish a merged snapshot")
     val gen = s"$storePath.gen/b$batchId-" +
       java.util.UUID.randomUUID().toString.take(8)
-    spark.read.parquet(storePath)
-      .groupBy(col("b"))
-      .agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr"))
-      .withColumn("buckets", lit(width))
+    mergedDsirCounts(spark, storePath)
+      .withColumn("buckets", lit(widths.head))
       .coalesce(1)
       .write.mode("overwrite").parquet(gen)
     publishGeneration(spark, manifestDir, gen)
-    gen
+    retireGenerations(spark, manifestDir)
+    Some(gen)
   }
 
   /** Build-if-missing INGEST-LIFECYCLE model store — the

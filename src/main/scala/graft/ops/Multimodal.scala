@@ -489,7 +489,7 @@ object Multimodal {
     (aHash64(w, h, grayRow), r90, r180, r270)
   }
 
-  private def minUnsigned(vs: Long*): Long =
+  private[graft] def minUnsigned(vs: Long*): Long =
     vs.reduce((a, b) => if (java.lang.Long.compareUnsigned(a, b) <= 0) a else b)
 
   /** The three NON-identity rotation aHashes from row/COLUMN accessors —

@@ -3744,7 +3744,7 @@ object PipelineQueries {
     * ([[graft.ops.Curation.calibrateByGroup]]): every document's raw
     * heuristic quality score mapped to its within-source cume_dist,
     * then ONE global calibrated cut (> 0.5) applied — each source keeps
-    * its upper half BY CONSTRUCTION (⌊n/2⌋ docs; a singleton source
+    * its upper half BY CONSTRUCTION (⌈n/2⌉ docs; a singleton source
     * scores 1 and survives — percent_rank would zero it out), and the reported `raw_threshold`
     * (the minimum raw score that survived, per source) makes the
     * domain-dependent cut the calibration implies an observable: the

@@ -85,16 +85,18 @@ object GenImageFixture {
       f"${graft.ops.Multimodal.aHash64(w, h, grayRowOf(i, w, bump))}%016x"
     def dHashOf(i: Int, w: Int, h: Int, bump: Boolean): String =
       f"${graft.ops.Multimodal.dHash64(w, h, grayRowOf(i, w, bump))}%016x"
-    // rotation-canonical hash, run LITERALLY over the formula grid (the
-    // ehash/cehash analytic-manifest contract, for rotations)
-    def rotOf(w: Int, h: Int, gray: (Int, Int) => Int): String =
-      f"${graft.ops.Multimodal.rotAHash64Canonical(w, h, gray)}%016x"
-    // the three non-identity per-rotation aHashes (r19: the committed
-    // store persists them for the 4-way cross-distance probe; the
-    // manifest freezes the same analytic values)
-    def r3Of(w: Int, h: Int, gray: (Int, Int) => Int): (String, String, String) = {
-      val (_, r90, r180, r270) = graft.ops.Multimodal.aHashes4(w, h, gray)
-      (f"$r90%016x", f"$r180%016x", f"$r270%016x")
+    // all four rotation hashes from ONE sweep set, run LITERALLY over
+    // the formula grid (the ehash/cehash analytic-manifest contract,
+    // for rotations): (canonical, r90, r180, r270). The canonical is
+    // minUnsigned(aHashes4) BY DEFINITION — rotAHash64Canonical
+    // delegates to exactly that — so the manifest freezes the public
+    // function's output without running the rotation loops twice per
+    // image (self-review r19).
+    def rot4Of(w: Int, h: Int,
+               gray: (Int, Int) => Int): (String, String, String, String) = {
+      val (r0, r90, r180, r270) = graft.ops.Multimodal.aHashes4(w, h, gray)
+      (f"${graft.ops.Multimodal.minUnsigned(r0, r90, r180, r270)}%016x",
+        f"$r90%016x", f"$r180%016x", f"$r270%016x")
     }
 
     val synthetic = (0 until 16).flatMap { i =>
@@ -129,8 +131,7 @@ object GenImageFixture {
           val (r0, g, b) = rgb(i, x, y)
           (r0 + (if (v) variantBump(i, x, y) else 0) + g + b) / 3
         }
-        val rh = rotOf(w, h, gray)
-        val (g90, g180, g270) = r3Of(w, h, gray)
+        val (rh, g90, g180, g270) = rot4Of(w, h, gray)
         (name, w, h, w.toLong * h, sr, sg, sb, ah, dHashOf(i, w, h, v),
           r2r, r2g, r2b, rh, g90, g180, g270)
       }
@@ -162,7 +163,7 @@ object GenImageFixture {
       val grayRow = (y: Int) => Array.tabulate(rw)(x => rgray(x, y))
       val ah = graft.ops.Multimodal.aHash64(rw, rh2, grayRow)
       val dh = graft.ops.Multimodal.dHash64(rw, rh2, grayRow)
-      val rhash = rotOf(rw, rh2, rgray)
+      val (rhash, g90, g180, g270) = rot4Of(rw, rh2, rgray)
       val (r2r, r2g, r2b) = resized2Sums(rw, rh2, { (x, y) =>
         val (r, g, b) = rgb(0, y, h - 1 - x); (r, g, b)
       })
@@ -173,7 +174,6 @@ object GenImageFixture {
         s"genrot_00 must be INVISIBLE to the un-rotated aHash, got Hamming $dPlain")
       require(rhash == synthetic.find(_._1 == "gen_00.png").get._13,
         s"rotation-canonical invariance broke: $rhash")
-      val (g90, g180, g270) = r3Of(rw, rh2, rgray)
       Seq((name, rw, rh2, rw.toLong * rh2, sr, sg, sb, f"$ah%016x",
         f"$dh%016x", r2r, r2g, r2b, rhash, g90, g180, g270))
     }
@@ -211,8 +211,7 @@ object GenImageFixture {
           val c = if (ramped) ramp(y) else 0
           (r0 + c + g0 + c + b0 + c) / 3
         }
-        val rh2 = rotOf(w, h, grayB)
-        val (g90, g180, g270) = r3Of(w, h, grayB)
+        val (rh2, g90, g180, g270) = rot4Of(w, h, grayB)
         (name, w, h, w.toLong * h, sr, sg, sb, f"$ah%016x", f"$dh%016x",
           r2r, r2g, r2b, rh2, g90, g180, g270)
       }
@@ -258,8 +257,7 @@ object GenImageFixture {
           val p = px(y * wHdr + x)
           (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
         }
-        val rh = rotOf(wHdr, hHdr, grayAt)
-        val (g90, g180, g270) = r3Of(wHdr, hHdr, grayAt)
+        val (rh, g90, g180, g270) = rot4Of(wHdr, hHdr, grayAt)
         (f.getName, wHdr, hHdr, wHdr.toLong * hHdr, sr, sg, sb,
           f"$hash%016x", f"$dh%016x", r2r, r2g, r2b, rh, g90, g180, g270)
       }
@@ -311,7 +309,7 @@ object GenImageFixture {
       }.find { case (ii, rw, rh2, _, grayC) =>
         val (c0, c90, c180, c270) =
           graft.ops.Multimodal.aHashes4(rw, rh2, grayC)
-        val crh = hx(rotOf(rw, rh2, grayC))
+        val crh = graft.ops.Multimodal.minUnsigned(c0, c90, c180, c270)
         val cdh = graft.ops.Multimodal.dHash64(rw, rh2,
           y => Array.tabulate(rw)(x => grayC(x, y)))
         val orig = synthetic.find(_._1 == f"gen_$ii%02d.png").get
@@ -340,8 +338,7 @@ object GenImageFixture {
       val grayRow = (y: Int) => Array.tabulate(rw)(x => grayC(x, y))
       val ah = graft.ops.Multimodal.aHash64(rw, rh2, grayRow)
       val dh = graft.ops.Multimodal.dHash64(rw, rh2, grayRow)
-      val rhash = rotOf(rw, rh2, grayC)
-      val (g90, g180, g270) = r3Of(rw, rh2, grayC)
+      val (rhash, g90, g180, g270) = rot4Of(rw, rh2, grayC)
       val (r2r, r2g, r2b) = resized2Sums(rw, rh2, rgbC)
       println(f"composite genrotn_00: rotated+edited copy of gen_$ii%02d " +
         "(min-pick flipped, 4-way distance within the near-dup band)")

@@ -351,6 +351,18 @@ class SelectionSpec extends AnyFunSuite {
       graft.ops.Indexes.readDsirModel(spark, p5, buckets = 16)
     }
     assert(e3.getMessage.contains("mixed widths"))
+    // publishing a store with NO count rows is a no-op, not a crash (an
+    // all-filtered first micro-batch leaves a schema-only store and must
+    // not kill the fenced maintenance stream — self-review r19); readers
+    // of the still-empty manifest keep the neutral prior
+    val p6 = s"$dir/empty_store"
+    graft.ops.Indexes.appendDsirModelStoreIdempotent(
+      docs.where(lit(false)), isTarget, 0L, p6)
+    assert(graft.ops.Indexes.publishDsirModelGeneration(
+      spark, p6, s"$dir/empty_manifest", 0L).isEmpty)
+    assert(graft.ops.Indexes.currentGeneration(
+      spark, s"$dir/empty_manifest").isEmpty,
+      "an empty store must not publish a generation")
     val compacted = spark.read.parquet(p4)
     assert(compacted.columns.contains("batch_id"),
       "compaction must keep the batch-addressed layout")
