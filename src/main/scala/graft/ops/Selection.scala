@@ -613,6 +613,59 @@ object Selection {
       .orderBy(col("source"))
   }
 
+  /** DATA-CONSTRAINED epoch allocation — the "can this mixture even be
+    * satisfied" audit a pipeline runs before committing to a token
+    * budget (re-derived from the publicly-described data-constrained
+    * scaling result: repeating data has sharply diminishing returns, cf.
+    * Muennighoff et al., "Scaling Data-Constrained Language Models",
+    * 2023 — the fitted effective-data form decays exponentially in the
+    * epoch count with a constant around r ≈ 15): per source, the
+    * tempered mixture share `q` ([[temperatureMixBy]]'s exact quantized
+    * machinery) names a target token count `round(q·B)`; dividing by the
+    * source's UNIQUE tokens gives the epochs the target demands; the
+    * EFFECTIVE yield of E epochs over U unique tokens is
+    * `E·U` for E ≤ 1 (no repetition yet) and
+    * `U·(1 + r·(1 − exp(−(E−1)/r)))` beyond — so the audit reports, per
+    * source, the epochs the mix implies and the token DEFICIT the decay
+    * leaves (`max(0, target − effective)`), the number that says "add
+    * data or rebalance" before a training run discovers it.
+    *
+    * Determinism: targets are `round(q·B)` on the 6-dp tempered share
+    * (exact both engines); epochs and the one `exp` per SOURCE (bounded
+    * rows) run on ratios of exact longs, and every reported float is
+    * 1e-6-quantized — the [[temperatureMix]] discipline. Scale: one
+    * explode-free corpus scan into a |sources|-row aggregate; everything
+    * after is arithmetic over the bounded table. */
+  def epochAllocation(docs: DataFrame, budgetTokens: Long, alpha: Double,
+                      rd: Double = 15.0): DataFrame = {
+    require(budgetTokens >= 0, s"budget must be non-negative, got $budgetTokens")
+    require(rd > 0, s"the decay constant must be positive, got $rd")
+    val mix = temperatureMixBy(docs, col("source"), "source", alpha)
+    val target = round(col("q") * lit(budgetTokens.toDouble)).cast("long")
+    val eff = when(col("epochs_raw") <= 1.0,
+        col("epochs_raw") * col("tokens").cast("double"))
+      .otherwise(col("tokens").cast("double") *
+        (lit(1.0) + lit(rd) *
+          (lit(1.0) - exp((lit(1.0) - col("epochs_raw")) / lit(rd)))))
+    mix.select(col("source"), col("tokens"), col("q"))
+      .withColumn("target_tokens", target)
+      // a zero-token source can satisfy only a zero target; epochs are
+      // undefined there — reported as 0 with the full target as deficit
+      .withColumn("epochs_raw",
+        when(col("tokens") > 0,
+          col("target_tokens").cast("double") / col("tokens").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("eff_tokens",
+        when(col("tokens") > 0, round(eff).cast("long")).otherwise(lit(0L)))
+      .select(col("source"), col("tokens"), col("q"),
+        col("target_tokens"),
+        round(col("epochs_raw"), 6).as("epochs"),
+        col("eff_tokens"),
+        greatest(col("target_tokens") - col("eff_tokens"), lit(0L))
+          .as("deficit"))
+      .orderBy(col("source"))
+  }
+
   /** CLUSTER-tempered mixture (r17 VERDICT #6): [[temperatureMix]] with
     * the grouping label swapped from the SOURCE column to the LEARNED
     * IVF cell of each document's embedding — the standard fix when

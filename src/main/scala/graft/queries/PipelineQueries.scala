@@ -7603,6 +7603,49 @@ object PipelineQueries {
        |ORDER BY stage_id""".stripMargin)
   }
 
+  /** DATA-CONSTRAINED epoch allocation at a fixed 500k-token budget with
+    * α = 0.5 tempering ([[graft.ops.Selection.epochAllocation]]): per
+    * source, the tempered target, the epochs it demands over the
+    * source's unique tokens, the EFFECTIVE yield under the published
+    * diminishing-returns decay (one exp per source, 1e-6/integer
+    * quantized), and the deficit — the "add data or rebalance" audit
+    * before a training run. The fixed budget keeps the oracle
+    * corpus-independent: at sf0.01 most sources sit past 1 epoch (decay
+    * branch), at sf0.1 under it (linear branch) — both branches earn
+    * correctness rows across the driver's SFs. */
+  def epochAllocationQ(s: SparkSession, d: String): DataFrame =
+    graft.ops.Selection.epochAllocation(documents(s, d),
+      budgetTokens = 500000L, alpha = 0.5)
+
+  val epochAllocationSql: String =
+    s"""WITH b AS (SELECT source, sum(len($duckWords))::BIGINT AS tokens
+       |           FROM documents GROUP BY source),
+       |t AS (SELECT sum(tokens)::BIGINT AS tot FROM b),
+       |p AS (SELECT source, tokens, tokens::DOUBLE / tot::DOUBLE AS p
+       |      FROM b CROSS JOIN t),
+       |qx AS (SELECT source, tokens,
+       |         round(pow(p, 0.5) * 1e6)::BIGINT AS tq FROM p),
+       |nx AS (SELECT sum(tq)::BIGINT AS qt FROM qx),
+       |mx AS (SELECT source, tokens,
+       |         round(tq::DOUBLE / qt::DOUBLE, 6) AS q
+       |       FROM qx CROSS JOIN nx),
+       |tg AS (SELECT source, tokens, q,
+       |         round(q * 500000.0)::BIGINT AS target_tokens FROM mx),
+       |ep AS (SELECT source, tokens, q, target_tokens,
+       |         CASE WHEN tokens > 0
+       |              THEN target_tokens::DOUBLE / tokens::DOUBLE
+       |              ELSE 0.0 END AS er FROM tg),
+       |ef AS (SELECT source, tokens, q, target_tokens, er,
+       |         CASE WHEN tokens > 0 THEN
+       |           round(CASE WHEN er <= 1.0 THEN er * tokens::DOUBLE
+       |                 ELSE tokens::DOUBLE * (1.0 + 15.0 *
+       |                   (1.0 - exp((1.0 - er) / 15.0))) END)::BIGINT
+       |         ELSE 0 END AS eff_tokens FROM ep)
+       |SELECT source, tokens, q, target_tokens, round(er, 6) AS epochs,
+       |       eff_tokens,
+       |       greatest(target_tokens - eff_tokens, 0)::BIGINT AS deficit
+       |FROM ef ORDER BY source""".stripMargin
+
   val domainTemperatureSql: String =
     s"""WITH b AS (SELECT source, count(*)::BIGINT AS n_docs,
        |             sum(len($duckWords))::BIGINT AS tokens

@@ -297,6 +297,29 @@ class SelectionSpec extends AnyFunSuite {
     assert(u.toSeq === Seq(0.5, 0.5))
   }
 
+  test("epoch allocation: linear branch yields the target exactly, decay branch reports the deficit") {
+    // one dominant source (under 1 epoch at this budget) and one tail
+    // source the tempered mix pushes far past 1 epoch
+    val docs = ((1 to 50).map(i => (i.toLong, "big", "a b c d e f g h i j")) ++
+      (1 to 2).map(i => (100L + i, "small", "a b c d e")))
+      .toDF("doc_id", "source", "text")
+    val out = Selection.epochAllocation(docs, budgetTokens = 500L, alpha = 0.5)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getLong(6))).toMap
+    val (bigU, bigT, bigE, bigEff, bigDef) = out("big")
+    val (smallU, smallT, smallE, smallEff, smallDef) = out("small")
+    assert(bigU === 500L && smallU === 10L)
+    // under one epoch the yield is exactly the target — no deficit
+    assert(bigE <= 1.0 && bigEff === bigT && bigDef === 0L)
+    // past one epoch the decay bites: effective < target, deficit names
+    // exactly the gap — the "add data or rebalance" number
+    assert(smallE > 1.0 && smallEff < smallT &&
+      smallDef === smallT - smallEff)
+    // repetition still yields MORE than the unique tokens alone
+    assert(smallEff > smallU)
+  }
+
   test("dsir model store: ensure == rebuild, append == rebuild, replay never double-counts") {
     val dir = java.nio.file.Files.createTempDirectory("dsir_store").toString
     corpus.write.mode("overwrite").parquet(s"$dir/docs.parquet")
