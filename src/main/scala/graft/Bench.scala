@@ -122,11 +122,17 @@ object Bench {
     * maintained DSIR model: landing zone + two checkpointed stream
     * sessions with a restart + compaction per invocation; its data
     * paths are timed by q_dsir_weights (scoring) and
-    * q_dsir_weights_store (store serving). */
+    * q_dsir_weights_store (store serving).
+    * q_dsir_gate_stream_equiv (r19) is the gate-side twin: two landing
+    * zones, a fenced maintenance stream AND a twice-started fenced gate
+    * stream with a restart per invocation — pure streaming machinery on
+    * fixture rows; the gate's data path (the native kernel projection)
+    * is timed by q_dsir_gate / q_dsir_weights_store. */
   private val excludedBaselines =
     Set("q_jaccard_all_pairs", "q_semantic_dedup_recall",
       "q_image_store_stream_equiv", "q_audio_store_stream_equiv",
-      "q_attribution_stream_equiv", "q_dsir_model_stream_equiv")
+      "q_attribution_stream_equiv", "q_dsir_model_stream_equiv",
+      "q_dsir_gate_stream_equiv")
 
   private def syncFs(): Unit =
     try new ProcessBuilder("sync").inheritIO().start().waitFor()

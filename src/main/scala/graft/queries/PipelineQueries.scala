@@ -6973,6 +6973,82 @@ object PipelineQueries {
 
   val dsirModelStreamEquivSql: String = dsirWeightsSql
 
+  /** REGISTERED stream-equivalence for the FENCED LIVE GATE (r19 —
+    * completing the fence's oracle story; the maintenance side is
+    * graded by q_dsir_model_stream_equiv): the full corpus maintains
+    * the model through [[graft.streaming.EventStreams
+    * .dsirModelMaintenanceStreamFenced]] (per-batch write-once
+    * generation publish), then the RAW POOL replays through
+    * [[graft.streaming.EventStreams.dsirGateStreamLiveFenced]] in two
+    * landings with a checkpoint RESTART between them — every gate batch
+    * resolves its model through the manifest, and because the model is
+    * final before the pool lands, the gate's model-at-processing-time
+    * contract coincides with the batch gate's: the batch_id-partitioned
+    * sink, aggregated per source, must hash-equal the stream-blind
+    * oracle's one-shot exploded gate derivation. Proves
+    * fenced-maintained == manifest-resolved == batch-gated, across a
+    * restart, every round. */
+  def dsirGateStreamEquiv(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val docs = documents(s, d)
+    val isTarget = col("source") === "src0"
+    val mLanding = java.nio.file.Files.createTempDirectory("dsirge_m")
+    val pLanding = java.nio.file.Files.createTempDirectory("dsirge_p")
+    val scratch = java.nio.file.Files.createTempDirectory("dsirge_s")
+    try {
+      val store = s"$scratch/model"
+      val mdir = s"$scratch/manifest"
+      val out = s"$scratch/gated"
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("source", StringType), StructField("text", StringType)))
+      def land(part: DataFrame, dir: java.nio.file.Path): Unit =
+        part.select(col("doc_id"), col("source"), col("text"))
+          .coalesce(1).write.mode("append").parquet(dir.toString)
+      def stream(dir: java.nio.file.Path) =
+        s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(dir.toString)
+      // 1. the model: full corpus through the fenced maintenance stream
+      land(docs, mLanding)
+      val mq = graft.streaming.EventStreams.dsirModelMaintenanceStreamFenced(
+        stream(mLanding), isTarget, store, mdir, s"$scratch/mck")
+      mq.processAllAvailable(); mq.stop()
+      // 2. the pool: two landings, restart between, fenced gate at s >= 0
+      val pool = docs.where(!coalesce(isTarget, lit(false)))
+      def startGate() = graft.streaming.EventStreams.dsirGateStreamLiveFenced(
+        stream(pLanding), mdir, minWeightQ = 0L, out, s"$scratch/gck")
+      land(pool.where(col("doc_id") % 2 === 0), pLanding)
+      val g1 = startGate(); g1.processAllAvailable(); g1.stop()
+      land(pool.where(col("doc_id") % 2 =!= 0), pLanding) // lands while DOWN
+      val g2 = startGate(); g2.processAllAvailable(); g2.stop()
+      // 3. the sink, aggregated per source — the dsirWeights shape over
+      // the gate's survivors
+      val outDf = s.read.parquet(out)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("s")).as("ssum"),
+          min(col("s")).as("smin"), max(col("s")).as("smax"))
+        .select(col("source"), col("n_docs"),
+          round(col("ssum").cast("double") / lit(1e6) / col("n_docs"), 6)
+            .as("avg_w"),
+          round(col("smin").cast("double") / lit(1e6), 6).as("min_w"),
+          round(col("smax").cast("double") / lit(1e6), 6).as("max_w"))
+      val local = s.createDataFrame(
+        java.util.Arrays.asList(outDf.collect(): _*), outDf.schema)
+      local.orderBy(col("source"))
+    } finally {
+      CoreQueries.deleteTempTree(mLanding)
+      CoreQueries.deleteTempTree(pLanding)
+      CoreQueries.deleteTempTree(scratch)
+    }
+  }
+
+  val dsirGateStreamEquivSql: String =
+    s"""WITH $duckDsirCtes
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |       round(sum(s)::DOUBLE / 1e6 / count(*), 6) AS avg_w,
+       |       round(min(s)::DOUBLE / 1e6, 6) AS min_w,
+       |       round(max(s)::DOUBLE / 1e6, 6) AS max_w
+       |FROM d WHERE s >= 0 GROUP BY source ORDER BY source""".stripMargin
+
   /** DSIR selection: Gumbel-top-50 over the importance weights — weighted
     * sampling without replacement as a stateless top-k
     * ([[graft.ops.Selection.dsirSelect]]). gkey is the quantized integer
