@@ -1762,16 +1762,22 @@ object Indexes {
       .select(col("buckets")).distinct()
       .collect().map(_.getLong(0)).sorted
 
-  /** The single width a model store was built at — LOUD on an empty or
-    * mixed-width store (mixed widths mean two maintenance paths disagreed
-    * on the universe; no merge of their counts is meaningful). */
-  private[graft] def storedDsirWidth(spark: SparkSession, path: String): Long = {
-    val widths = dsirStoreWidths(spark, path)
+  /** The ONE width validation (self-review r19 second pass: publish had
+    * grown its own copy with divergent wording): exactly one width, LOUD
+    * on an empty or mixed-width store (mixed widths mean two maintenance
+    * paths disagreed on the universe; no merge of their counts is
+    * meaningful). */
+  private def singleDsirWidth(path: String, widths: Array[Long]): Long = {
     require(widths.length == 1,
       s"DSIR model store at $path carries ${if (widths.isEmpty) "no rows"
         else s"mixed widths ${widths.mkString(",")}"} — refusing to merge")
     widths.head
   }
+
+  /** The single width a model store was built at — see
+    * [[singleDsirWidth]] for the loudness contract. */
+  private[graft] def storedDsirWidth(spark: SparkSession, path: String): Long =
+    singleDsirWidth(path, dsirStoreWidths(spark, path))
 
   /** The ONE merged-counts derivation every reader/compactor/publisher
     * shares (self-review r19: three hand-rolled copies would let a merge
@@ -1914,12 +1920,20 @@ object Indexes {
     * snapshot: published-after-written, write-once forever after.
     *
     * Cost per micro-batch: one ≤ `buckets`-row write + one pointer
-    * rename — model-sized, corpus-independent. Superseded generation
-    * DIRS retire inline through [[retireGenerations]] (supersession-
-    * grace-gated, so in-flight readers finish — self-review r19: without
-    * this a long-running stream accumulates one snapshot dir per batch
-    * forever); the tiny pointer files stay, the manifest family's
-    * standard flip-history trade. A store with NO count rows yet (never
+    * rename — model-sized, corpus-independent. Superseded SNAPSHOT dirs
+    * retire inline by direct listing of the `<store>.gen/` prefix — a
+    * snapshot retires only when a NEWER snapshot is itself older than
+    * the grace window (grace runs from supersession, the
+    * retireGenerations rule, with the successor's creation time as the
+    * flip proxy), so a long-running stream stays bounded at
+    * grace-window-many dirs without the two hazards generic manifest
+    * retirement carries here (self-review r19 second pass): it would
+    * re-open EVERY pointer ever written per batch (O(N²) driver I/O
+    * over the stream's life), and it would recursively DELETE any
+    * non-snapshot path published through the same manifest — e.g. a
+    * compacted LIVE store the flipped maintenance stream is appending
+    * into. The tiny pointer files stay, the manifest family's standard
+    * flip-history trade. A store with NO count rows yet (never
     * appended, or an all-filtered first micro-batch left a schema-only
     * file) publishes NOTHING and returns None — readers keep the
     * neutral prior, and the maintenance stream must not die on a case
@@ -1932,18 +1946,42 @@ object Indexes {
                                  batchId: Long): Option[String] = {
     val widths = dsirStoreWidths(spark, storePath)
     if (widths.isEmpty) return None
-    require(widths.length == 1,
-      s"DSIR model store at $storePath carries mixed widths " +
-        s"${widths.mkString(",")} — refusing to publish a merged snapshot")
+    val width = singleDsirWidth(storePath, widths)
     val gen = s"$storePath.gen/b$batchId-" +
       java.util.UUID.randomUUID().toString.take(8)
     mergedDsirCounts(spark, storePath)
-      .withColumn("buckets", lit(widths.head))
+      .withColumn("buckets", lit(width))
       .coalesce(1)
       .write.mode("overwrite").parquet(gen)
     publishGeneration(spark, manifestDir, gen)
-    retireGenerations(spark, manifestDir)
+    retireDsirSnapshots(spark, storePath)
     Some(gen)
+  }
+
+  /** The snapshot-prefix sweep [[publishDsirModelGeneration]] runs per
+    * publish: list `<store>.gen/`, sort by creation time, and delete
+    * every snapshot strictly older than the NEWEST snapshot that is
+    * itself past the grace window — that newer snapshot's creation is
+    * the moment the older ones were superseded, so any reader that
+    * resolved an old pointer has had a full grace window to finish.
+    * Scoped to the snapshot prefix by construction: can never touch a
+    * store, a compaction destination, or anything else a caller
+    * published through the manifest. */
+  private[graft] def retireDsirSnapshots(spark: SparkSession,
+                                         storePath: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(s"$storePath.gen")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(storePath), spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val snaps = fs.listStatus(root).filter(_.isDirectory)
+      .sortBy(_.getModificationTime)
+    val cutoff = System.currentTimeMillis() - effectiveGcGraceMs
+    val newestPastGrace =
+      snaps.lastIndexWhere(_.getModificationTime < cutoff)
+    snaps.take(math.max(newestPastGrace, 0)).map { st =>
+      fs.delete(st.getPath, true)
+      st.getPath.toString
+    }.toSeq
   }
 
   /** Build-if-missing INGEST-LIFECYCLE model store — the

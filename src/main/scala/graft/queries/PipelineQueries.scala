@@ -6843,13 +6843,13 @@ object PipelineQueries {
        |        sum(round(c::DOUBLE * lr * 1e6)::BIGINT)::BIGINT AS s
        |      FROM dc JOIN lr USING (b) GROUP BY doc_id, source)""".stripMargin
 
-  /** DSIR importance weights over the raw pool (target = src0), audited
-    * per source — every doc's quantized weight flows through the sums, so
-    * the hash check covers the full scored pool, not a sampled head. */
-  def dsirWeights(s: SparkSession, d: String): DataFrame =
-    graft.ops.Selection
-      .importanceWeightsQuantized(documents(s, d), col("source") === "src0")
-      .groupBy(col("source"))
+  /** The per-source quantized-weight summary every DSIR row reports —
+    * ONE implementation over any (source, s) frame, so the store-served
+    * and stream-equiv rows can never drift from the weights row they are
+    * documented to mirror (self-review r19 second pass). Unordered;
+    * callers order (and the stream rows localize) at the edge. */
+  private def dsirWeightSummary(scored: DataFrame): DataFrame =
+    scored.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("s")).as("ssum"),
         min(col("s")).as("smin"), max(col("s")).as("smax"))
       .select(col("source"), col("n_docs"),
@@ -6857,6 +6857,13 @@ object PipelineQueries {
           .as("avg_w"),
         round(col("smin").cast("double") / lit(1e6), 6).as("min_w"),
         round(col("smax").cast("double") / lit(1e6), 6).as("max_w"))
+
+  /** DSIR importance weights over the raw pool (target = src0), audited
+    * per source — every doc's quantized weight flows through the sums, so
+    * the hash check covers the full scored pool, not a sampled head. */
+  def dsirWeights(s: SparkSession, d: String): DataFrame =
+    dsirWeightSummary(graft.ops.Selection
+        .importanceWeightsQuantized(documents(s, d), col("source") === "src0"))
       .orderBy(col("source"))
 
   val dsirWeightsSql: String =
@@ -6886,16 +6893,9 @@ object PipelineQueries {
       docs.where(col("doc_id") % 5 =!= 4), docs.where(col("doc_id") % 5 === 4),
       d, col("source") === "src0", "src0")
     val model = graft.ops.Indexes.readDsirModel(s, path)
-    graft.ops.Selection
-      .dsirScoredStateless(docs.where(!coalesce(col("source") === "src0", lit(false))), model)
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("s")).as("ssum"),
-        min(col("s")).as("smin"), max(col("s")).as("smax"))
-      .select(col("source"), col("n_docs"),
-        round(col("ssum").cast("double") / lit(1e6) / col("n_docs"), 6)
-          .as("avg_w"),
-        round(col("smin").cast("double") / lit(1e6), 6).as("min_w"),
-        round(col("smax").cast("double") / lit(1e6), 6).as("max_w"))
+    dsirWeightSummary(graft.ops.Selection
+        .dsirScoredStateless(
+          docs.where(!coalesce(col("source") === "src0", lit(false))), model))
       .orderBy(col("source"))
   }
 
@@ -6951,16 +6951,9 @@ object PipelineQueries {
       require(gen == compacted,
         s"the freshly published compaction must win the pointer, got $gen")
       val model = graft.ops.Indexes.readDsirModel(s, gen)
-      val out = graft.ops.Selection
-        .dsirScoredStateless(docs.where(!coalesce(col("source") === "src0", lit(false))), model)
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("s")).as("ssum"),
-          min(col("s")).as("smin"), max(col("s")).as("smax"))
-        .select(col("source"), col("n_docs"),
-          round(col("ssum").cast("double") / lit(1e6) / col("n_docs"), 6)
-            .as("avg_w"),
-          round(col("smin").cast("double") / lit(1e6), 6).as("min_w"),
-          round(col("smax").cast("double") / lit(1e6), 6).as("max_w"))
+      val out = dsirWeightSummary(graft.ops.Selection
+        .dsirScoredStateless(
+          docs.where(!coalesce(col("source") === "src0", lit(false))), model))
         .orderBy(col("source"))
       val local = s.createDataFrame(
         java.util.Arrays.asList(out.collect(): _*), out.schema)
@@ -7022,15 +7015,7 @@ object PipelineQueries {
       val g2 = startGate(); g2.processAllAvailable(); g2.stop()
       // 3. the sink, aggregated per source — the dsirWeights shape over
       // the gate's survivors
-      val outDf = s.read.parquet(out)
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("s")).as("ssum"),
-          min(col("s")).as("smin"), max(col("s")).as("smax"))
-        .select(col("source"), col("n_docs"),
-          round(col("ssum").cast("double") / lit(1e6) / col("n_docs"), 6)
-            .as("avg_w"),
-          round(col("smin").cast("double") / lit(1e6), 6).as("min_w"),
-          round(col("smax").cast("double") / lit(1e6), 6).as("max_w"))
+      val outDf = dsirWeightSummary(s.read.parquet(out))
       val local = s.createDataFrame(
         java.util.Arrays.asList(outDf.collect(): _*), outDf.schema)
       local.orderBy(col("source"))

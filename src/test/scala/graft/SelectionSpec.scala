@@ -386,6 +386,34 @@ class SelectionSpec extends AnyFunSuite {
     assert(graft.ops.Indexes.currentGeneration(
       spark, s"$dir/empty_manifest").isEmpty,
       "an empty store must not publish a generation")
+    // snapshot retirement is SCOPED to the .gen prefix and grace-gated
+    // from supersession (self-review r19 second pass: generic manifest
+    // retirement would recursively delete any non-snapshot path
+    // published through the same manifest — e.g. a compacted live
+    // store): with grace forced to 0, each publish retires everything
+    // its own snapshot superseded, the newest snapshot survives, and
+    // the mutable store is untouched
+    val p7 = s"$dir/retire_store"
+    val m7 = s"$dir/retire_manifest"
+    graft.ops.Indexes.withGcGrace(0L) {
+      graft.ops.Indexes.appendDsirModelStoreIdempotent(base, isTarget, 0L, p7)
+      val g0 = graft.ops.Indexes.publishDsirModelGeneration(spark, p7, m7, 0L)
+      Thread.sleep(20) // distinct snapshot mtimes order the supersession
+      graft.ops.Indexes.appendDsirModelStoreIdempotent(batch, isTarget, 1L, p7)
+      Thread.sleep(20)
+      val g1 = graft.ops.Indexes.publishDsirModelGeneration(spark, p7, m7, 1L)
+      val live = new java.io.File(s"$p7.gen").listFiles().filter(_.isDirectory)
+      assert(live.length === 1 &&
+        g1.exists(_.endsWith(live.head.getName)),
+        s"only the newest snapshot survives a zero-grace sweep: ${live.toSeq}")
+      assert(g0.isDefined && !new java.io.File(g0.get).exists(),
+        "the superseded snapshot must be reclaimed")
+      // the MUTABLE store survives every sweep, and the current pointer
+      // still serves the full merged model
+      assert(graft.ops.Indexes.readDsirModel(spark, p7).toSeq === full.toSeq)
+      assert(graft.ops.Indexes.readDsirModel(spark,
+        graft.ops.Indexes.currentGeneration(spark, m7).get).toSeq === full.toSeq)
+    }
     val compacted = spark.read.parquet(p4)
     assert(compacted.columns.contains("batch_id"),
       "compaction must keep the batch-addressed layout")
