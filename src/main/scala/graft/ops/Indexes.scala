@@ -1427,9 +1427,23 @@ object Indexes {
     * SUCCESSOR pointer is older than the grace window (review catch:
     * gating on the generation's own mtime deleted a long-lived current
     * generation the instant a compaction superseded it — under the
-    * in-flight readers the grace exists to protect). */
+    * in-flight readers the grace exists to protect).
+    *
+    * `scopePrefix` (r19): restrict DELETION to generation paths under a
+    * prefix — the per-batch snapshot publisher's guard, because a
+    * manifest may also carry non-snapshot paths (a compacted LIVE store
+    * the maintenance stream appends into) that a generic sweep would
+    * recursively delete. Supersession is still judged against the FULL
+    * pointer history; only the delete targets are scoped.
+    * `prunePointers` (r19): also delete every pointer file naming a
+    * retired generation, so a per-batch publisher's manifest listing
+    * stays bounded by the grace window instead of growing one pointer
+    * per batch forever (the flip history is only pruned for generations
+    * whose data is already gone). */
   def retireGenerations(spark: SparkSession, manifestDir: String,
-                        keep: Int = 1): Seq[String] = {
+                        keep: Int = 1,
+                        scopePrefix: Option[String] = None,
+                        prunePointers: Boolean = false): Seq[String] = {
     require(keep >= 1, "retireGenerations must keep at least the current generation")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(manifestDir), spark.sparkContext.hadoopConfiguration)
@@ -1445,19 +1459,25 @@ object Indexes {
     // the pointer after its final occurrence (an earlier occurrence's
     // successor may be arbitrarily old while the generation was current
     // again until just now)
-    gens.dropRight(keep).distinct.filterNot(live.contains).flatMap { gen =>
-      val genP = new org.apache.hadoop.fs.Path(gen)
-      // last occurrence is outside the live tail (filtered above), so the
-      // successor index always exists
-      val supersededAt = fs.getFileStatus(
-        entries(gens.lastIndexOf(gen) + 1)._2).getModificationTime
-      if (fs.exists(genP) && supersededAt < cutoff) {
-        fs.delete(genP, true)
-        val ts = new org.apache.hadoop.fs.Path(s"$gen.tombstones")
-        if (fs.exists(ts)) fs.delete(ts, true)
-        Some(gen)
-      } else None
-    }
+    gens.dropRight(keep).distinct.filterNot(live.contains)
+      .filter(gen => scopePrefix.forall(gen.startsWith))
+      .flatMap { gen =>
+        val genP = new org.apache.hadoop.fs.Path(gen)
+        // last occurrence is outside the live tail (filtered above), so the
+        // successor index always exists
+        val supersededAt = fs.getFileStatus(
+          entries(gens.lastIndexOf(gen) + 1)._2).getModificationTime
+        if (fs.exists(genP) && supersededAt < cutoff) {
+          fs.delete(genP, true)
+          val ts = new org.apache.hadoop.fs.Path(s"$gen.tombstones")
+          if (fs.exists(ts)) fs.delete(ts, true)
+          if (prunePointers)
+            entries.zip(gens).foreach { case ((_, p), g) =>
+              if (g == gen) fs.delete(p, false)
+            }
+          Some(gen)
+        } else None
+      }
   }
 
   /** Pointer files sorted by (sequence, name): the name's nonce suffix
@@ -1921,19 +1941,17 @@ object Indexes {
     *
     * Cost per micro-batch: one ≤ `buckets`-row write + one pointer
     * rename — model-sized, corpus-independent. Superseded SNAPSHOT dirs
-    * retire inline by direct listing of the `<store>.gen/` prefix — a
-    * snapshot retires only when a NEWER snapshot is itself older than
-    * the grace window (grace runs from supersession, the
-    * retireGenerations rule, with the successor's creation time as the
-    * flip proxy), so a long-running stream stays bounded at
-    * grace-window-many dirs without the two hazards generic manifest
-    * retirement carries here (self-review r19 second pass): it would
-    * re-open EVERY pointer ever written per batch (O(N²) driver I/O
-    * over the stream's life), and it would recursively DELETE any
-    * non-snapshot path published through the same manifest — e.g. a
-    * compacted LIVE store the flipped maintenance stream is appending
-    * into. The tiny pointer files stay, the manifest family's standard
-    * flip-history trade. A store with NO count rows yet (never
+    * retire inline through [[retireDsirSnapshots]]: the PROVEN
+    * [[retireGenerations]] supersession rule (grace from the successor
+    * POINTER's mtime, rollback republishes survive, unpublished crash
+    * orphans can never count as supersessors — the r19 third-pass
+    * catch), SCOPED so only `<store>.gen/` paths are deletable (a
+    * compacted LIVE store published through the same manifest is
+    * untouchable) and with retired snapshots' pointer files pruned so
+    * the per-batch manifest listing stays bounded by the grace window
+    * instead of growing one pointer per batch forever (non-snapshot
+    * pointers keep their full flip history). A store with NO count rows
+    * yet (never
     * appended, or an all-filtered first micro-batch left a schema-only
     * file) publishes NOTHING and returns None — readers keep the
     * neutral prior, and the maintenance stream must not die on a case
@@ -1954,34 +1972,51 @@ object Indexes {
       .coalesce(1)
       .write.mode("overwrite").parquet(gen)
     publishGeneration(spark, manifestDir, gen)
-    retireDsirSnapshots(spark, storePath)
+    retireDsirSnapshots(spark, storePath, manifestDir)
     Some(gen)
   }
 
-  /** The snapshot-prefix sweep [[publishDsirModelGeneration]] runs per
-    * publish: list `<store>.gen/`, sort by creation time, and delete
-    * every snapshot strictly older than the NEWEST snapshot that is
-    * itself past the grace window — that newer snapshot's creation is
-    * the moment the older ones were superseded, so any reader that
-    * resolved an old pointer has had a full grace window to finish.
-    * Scoped to the snapshot prefix by construction: can never touch a
-    * store, a compaction destination, or anything else a caller
-    * published through the manifest. */
+  /** The snapshot sweep [[publishDsirModelGeneration]] runs per publish
+    * — MANIFEST-DRIVEN, not dir-mtime-driven (self-review r19 third
+    * pass: an UNPUBLISHED orphan dir — a crash between the snapshot
+    * write and the pointer flip — must never count as a supersessor, or
+    * the sweep deletes the manifest-current generation a reader just
+    * resolved, with zero grace; likewise a rollback republish must keep
+    * its target, which only the pointer history knows). Delegates to
+    * [[retireGenerations]]' proven supersession rule, SCOPED so only
+    * paths under `<store>.gen/` can be deleted (a compacted live store
+    * published through the same manifest is untouchable) and with
+    * pointer pruning so the per-batch manifest listing stays bounded by
+    * the grace window. Crash ORPHANS — snapshot dirs no pointer ever
+    * named, invisible to readers by construction — are reclaimed
+    * directly once their own age passes the grace window. */
   private[graft] def retireDsirSnapshots(spark: SparkSession,
-                                         storePath: String): Seq[String] = {
-    val root = new org.apache.hadoop.fs.Path(s"$storePath.gen")
+                                         storePath: String,
+                                         manifestDir: String): Seq[String] = {
+    val prefix = s"$storePath.gen/"
+    val retired = retireGenerations(spark, manifestDir, keep = 1,
+      scopePrefix = Some(prefix), prunePointers = true)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(storePath), spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return Seq.empty
-    val snaps = fs.listStatus(root).filter(_.isDirectory)
-      .sortBy(_.getModificationTime)
+    val root = new org.apache.hadoop.fs.Path(s"$storePath.gen")
+    if (!fs.exists(root)) return retired
+    val mdir = new org.apache.hadoop.fs.Path(manifestDir)
+    // compare by the nonce'd dir NAME: listStatus returns fully-qualified
+    // URIs (file:/…) while pointers carry the caller's raw path form —
+    // a string compare on full paths would orphan every live snapshot
+    val referencedNames =
+      if (!fs.exists(mdir)) Set.empty[String]
+      else manifestEntries(fs, mdir)
+        .map { case (_, p) => readPointer(fs, p) }
+        .filter(_.startsWith(prefix))
+        .map(g => new org.apache.hadoop.fs.Path(g).getName).toSet
     val cutoff = System.currentTimeMillis() - effectiveGcGraceMs
-    val newestPastGrace =
-      snaps.lastIndexWhere(_.getModificationTime < cutoff)
-    snaps.take(math.max(newestPastGrace, 0)).map { st =>
-      fs.delete(st.getPath, true)
-      st.getPath.toString
-    }.toSeq
+    val orphans = fs.listStatus(root).toSeq.filter { st =>
+      st.isDirectory && !referencedNames.contains(st.getPath.getName) &&
+        st.getModificationTime < cutoff
+    }
+    orphans.foreach(st => fs.delete(st.getPath, true))
+    retired ++ orphans.map(_.getPath.toString)
   }
 
   /** Build-if-missing INGEST-LIFECYCLE model store — the

@@ -386,30 +386,46 @@ class SelectionSpec extends AnyFunSuite {
     assert(graft.ops.Indexes.currentGeneration(
       spark, s"$dir/empty_manifest").isEmpty,
       "an empty store must not publish a generation")
-    // snapshot retirement is SCOPED to the .gen prefix and grace-gated
-    // from supersession (self-review r19 second pass: generic manifest
-    // retirement would recursively delete any non-snapshot path
-    // published through the same manifest — e.g. a compacted live
-    // store): with grace forced to 0, each publish retires everything
-    // its own snapshot superseded, the newest snapshot survives, and
-    // the mutable store is untouched
+    // snapshot retirement is MANIFEST-DRIVEN, SCOPED to the .gen prefix,
+    // grace-gated from the SUCCESSOR POINTER's mtime, and prunes retired
+    // snapshots' pointer files (self-review r19, passes two AND three:
+    // generic retirement would recursively delete a non-snapshot path
+    // published through the same manifest; dir-mtime supersession let an
+    // UNPUBLISHED crash orphan zero-grace-delete the current generation)
     val p7 = s"$dir/retire_store"
     val m7 = s"$dir/retire_manifest"
-    graft.ops.Indexes.withGcGrace(0L) {
+    // phase 1 — a GENEROUS grace: publishes sweep inline but nothing may
+    // retire, including an UNPUBLISHED orphan (crash between snapshot
+    // write and pointer flip), which must also never count as a
+    // supersessor of anything
+    val (g0, g1) = graft.ops.Indexes.withGcGrace(60000L) {
       graft.ops.Indexes.appendDsirModelStoreIdempotent(base, isTarget, 0L, p7)
-      val g0 = graft.ops.Indexes.publishDsirModelGeneration(spark, p7, m7, 0L)
-      Thread.sleep(20) // distinct snapshot mtimes order the supersession
+      val a = graft.ops.Indexes.publishDsirModelGeneration(spark, p7, m7, 0L)
+      val orphan = new java.io.File(s"$p7.gen/b9-orphan00")
+      assert(orphan.mkdirs())
+      Thread.sleep(50) // distinct pointer mtimes order the supersession
       graft.ops.Indexes.appendDsirModelStoreIdempotent(batch, isTarget, 1L, p7)
-      Thread.sleep(20)
-      val g1 = graft.ops.Indexes.publishDsirModelGeneration(spark, p7, m7, 1L)
-      val live = new java.io.File(s"$p7.gen").listFiles().filter(_.isDirectory)
-      assert(live.length === 1 &&
-        g1.exists(_.endsWith(live.head.getName)),
-        s"only the newest snapshot survives a zero-grace sweep: ${live.toSeq}")
-      assert(g0.isDefined && !new java.io.File(g0.get).exists(),
-        "the superseded snapshot must be reclaimed")
-      // the MUTABLE store survives every sweep, and the current pointer
-      // still serves the full merged model
+      val b = graft.ops.Indexes.publishDsirModelGeneration(spark, p7, m7, 1L)
+      assert(a.isDefined && new java.io.File(a.get).exists(),
+        "inside the grace window a superseded snapshot must survive")
+      assert(orphan.exists(), "inside the grace window the orphan survives")
+      (a, b)
+    }
+    Thread.sleep(50)
+    // phase 2 — grace 0, swept directly: g0's supersessor pointer is now
+    // past the window → retired with its pointer files pruned; g1 is the
+    // CURRENT generation → kept; the orphan is unreferenced and aged →
+    // reclaimed; the mutable store is untouchable by construction
+    graft.ops.Indexes.withGcGrace(0L) {
+      graft.ops.Indexes.retireDsirSnapshots(spark, p7, m7)
+      val live = new java.io.File(s"$p7.gen").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      assert(!live.exists(n => g0.exists(_.endsWith(n))),
+        s"the superseded snapshot must be reclaimed: $live")
+      assert(g1.exists(g => live.exists(g.endsWith)),
+        s"the current generation must survive every sweep: $live")
+      assert(!live.contains("b9-orphan00"), s"orphan must be reclaimed: $live")
+      assert(graft.ops.Indexes.currentGeneration(spark, m7) === g1)
       assert(graft.ops.Indexes.readDsirModel(spark, p7).toSeq === full.toSeq)
       assert(graft.ops.Indexes.readDsirModel(spark,
         graft.ops.Indexes.currentGeneration(spark, m7).get).toSeq === full.toSeq)
