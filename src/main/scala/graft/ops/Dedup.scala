@@ -732,6 +732,55 @@ object Dedup {
     * keep the SYMMETRIC min distance — min over variants of
     * H(x.base, y.variant) in both directions — within `maxHamming`.
     * Unrolled `least` chain: stays in whole-stage codegen. */
+  /** Multi-CHANNEL banded Hamming near-dups — the cross-RATE audio
+    * serving op (VERDICT r19 #4): each hex column is one FIXED-rate
+    * projection of the recording ([[graft.ops.Multimodal.xrateTargets]]),
+    * two recordings pair when ANY channel's 64-bit distance fits the
+    * cut, and the reported `hamming` is the min over channels. Unlike
+    * [[hammingNearDups64Cross]] (base banded against VARIANT columns —
+    * the image-rotation geometry, where a rotated copy's plain hash
+    * matches the other image's rotation hash), the rate channels are
+    * DISTINCT feature spaces: comparing a 4 kHz projection against a
+    * 6 kHz projection is meaningless, so banding and confirm both stay
+    * same-channel. Pigeonhole completeness holds per channel — if
+    * channel c's distance is ≤ maxHamming < bands, one of c's bands
+    * matches exactly — so the union of per-channel candidates is
+    * complete for the min-over-channels cut. Candidate volume is
+    * |channels| banded self-joins over committed 8-byte keys; the
+    * confirm is a codegen'd `least` chain, no re-decode. */
+  def hammingNearDups64Multi(sigs: DataFrame, idCol: String,
+                             hexCols: Seq[String], maxHamming: Int,
+                             bands: Int = 8): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"banding is complete only for maxHamming < bands, " +
+        s"got $maxHamming >= $bands")
+    require(hexCols.nonEmpty, "need at least one hash channel")
+    val cand = hexCols.map { c =>
+      val a = banded64(sigs, idCol, c, bands, "a")
+        .select(col("band"), col("key"), col("id_a"))
+      val b = banded64(sigs, idCol, c, bands, "b")
+        .select(col("band"), col("key"), col("id_b"))
+      a.join(b, Seq("band", "key")).where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+    }.reduce(_ unionAll _).distinct()
+    def hi(c: String) = conv(substring(col(c), 1, 8), 16, 10).cast("long")
+    def lo(c: String) = conv(substring(col(c), 9, 8), 16, 10).cast("long")
+    def halves(suffix: String) = sigs
+      .where(hexCols.map(c => length(col(c)) === 16).reduce(_ && _))
+      .select(col(idCol).as(s"id_$suffix") +:
+        hexCols.zipWithIndex.flatMap { case (c, i) =>
+          Seq(hi(c).as(s"h${i}hi_$suffix"), lo(c).as(s"h${i}lo_$suffix"))
+        }: _*)
+    val dmin = hexCols.indices.map { i =>
+      bit_count(col(s"h${i}hi_a").bitwiseXOR(col(s"h${i}hi_b"))) +
+        bit_count(col(s"h${i}lo_a").bitwiseXOR(col(s"h${i}lo_b")))
+    }.reduce(least(_, _))
+    cand.join(halves("a"), Seq("id_a")).join(halves("b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        dmin.cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   private def crossConfirm(cand: DataFrame, left: DataFrame,
                            right: DataFrame, idCol: String, baseCol: String,
                            variantCols: Seq[String], maxHamming: Int,

@@ -46,7 +46,13 @@ object Indexes {
   //     (the 4-way rotation+edit cross-distance probe needs each
   //     rotation's hash, not just their min). v5 generations lack both
   //     and must not manifest-resolve into the new readers.
-  val IndexFormatVersion = "v6"
+  // v7: the audio-hash store gains the two FIXED-RATE energy hashes
+  //     x4k_hex/x6k_hex (cross-rate composites — a 44.1 kHz master and
+  //     its 16 kHz re-encode land at different power-of-2 canonical
+  //     rates, so only a shared fixed target rate makes them
+  //     comparable). v6 audio generations lack the columns and must not
+  //     manifest-resolve into the new readers.
+  val IndexFormatVersion = "v7"
 
   /** Cap on partition-directory fan-out per LSH table: the bucketed layout
     * partitions by the key's TOP `min(bBits, PartDirBits)` bits only, so
@@ -1459,14 +1465,23 @@ object Indexes {
     // the pointer after its final occurrence (an earlier occurrence's
     // successor may be arbitrarily old while the generation was current
     // again until just now)
-    gens.dropRight(keep).distinct.filterNot(live.contains)
+    val candidates = gens.dropRight(keep).distinct.filterNot(live.contains)
       .filter(gen => scopePrefix.forall(gen.startsWith))
+    // snapshot every successor mtime BEFORE any deletion: with
+    // prunePointers, retiring one generation deletes every pointer
+    // naming it, and under a rollback-republish history (g1,g2,g1,g3)
+    // a pruned pointer of g1 is exactly g2's successor — reading it
+    // lazily mid-sweep would throw FileNotFoundException (review catch)
+    val supersededAtOf = candidates.map { gen =>
+      // last occurrence is outside the live tail (filtered above), so the
+      // successor index always exists
+      gen -> fs.getFileStatus(
+        entries(gens.lastIndexOf(gen) + 1)._2).getModificationTime
+    }.toMap
+    candidates
       .flatMap { gen =>
         val genP = new org.apache.hadoop.fs.Path(gen)
-        // last occurrence is outside the live tail (filtered above), so the
-        // successor index always exists
-        val supersededAt = fs.getFileStatus(
-          entries(gens.lastIndexOf(gen) + 1)._2).getModificationTime
+        val supersededAt = supersededAtOf(gen)
         if (fs.exists(genP) && supersededAt < cutoff) {
           fs.delete(genP, true)
           val ts = new org.apache.hadoop.fs.Path(s"$gen.tombstones")
@@ -1961,22 +1976,62 @@ object Indexes {
     * processing time" contract is unchanged. */
   def publishDsirModelGeneration(spark: SparkSession, storePath: String,
                                  manifestDir: String,
-                                 batchId: Long): Option[String] = {
-    val widths = dsirStoreWidths(spark, storePath)
-    if (widths.isEmpty) return None
-    val width = singleDsirWidth(storePath, widths)
-    val gen = s"$storePath.gen/b$batchId-" +
-      java.util.UUID.randomUUID().toString.take(8)
-    mergedDsirCounts(spark, storePath)
-      .withColumn("buckets", lit(width))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(gen)
-    publishGeneration(spark, manifestDir, gen)
-    retireDsirSnapshots(spark, storePath, manifestDir)
-    Some(gen)
-  }
+                                 batchId: Long): Option[String] =
+    publishStoreSnapshot(spark, storePath, manifestDir, batchId) {
+      val widths = dsirStoreWidths(spark, storePath)
+      if (widths.isEmpty) None
+      else Some(mergedDsirCounts(spark, storePath)
+        .withColumn("buckets", lit(singleDsirWidth(storePath, widths))))
+    }
 
-  /** The snapshot sweep [[publishDsirModelGeneration]] runs per publish
+  /** GENERIC per-batch snapshot-fence lifecycle (VERDICT r19 #5 — the
+    * DSIR fence's pattern extracted once, so the next live-maintained
+    * store a streaming reader consumes does not re-derive it): derive a
+    * MODEL-SIZED merged view of a maintained store via `merge`, write it
+    * into a fresh write-once nonce'd generation dir under
+    * `<store>.gen/`, flip the manifest pointer atomically strictly AFTER
+    * the write, and retire superseded snapshots. `merge` returning None
+    * (nothing to snapshot yet — e.g. an all-filtered first micro-batch)
+    * publishes NOTHING and returns None; readers keep their prior.
+    *
+    * The three r19 hazard lessons, encoded here once:
+    *  - retirement is SCOPED to the `<store>.gen/` prefix — a generic
+    *    sweep would recursively delete any non-snapshot path (a
+    *    compacted LIVE store) published through the same manifest;
+    *  - retired snapshots' pointer files are PRUNED so a per-batch
+    *    publisher's manifest listing stays bounded by the grace window
+    *    (never O(total batches)), with every successor mtime snapshotted
+    *    BEFORE any deletion so a rollback-republish history survives;
+    *  - crash ORPHANS (written, never pointer-flipped) are reclaimed by
+    *    their own age only — manifest-driven supersession means an
+    *    unpublished dir can never retire a generation a reader resolved.
+    *
+    * SINGLE publisher per store (see [[retireStoreSnapshots]]); the
+    * snapshot must be bounded (it is written `coalesce(1)`) — this fence
+    * is for model/count stores a stream consults per batch, not for
+    * corpus-sized data. */
+  def publishStoreSnapshot(spark: SparkSession, storePath: String,
+                           manifestDir: String, batchId: Long)
+                          (merge: => Option[DataFrame]): Option[String] =
+    merge match {
+      case None => None
+      case Some(snapshot) =>
+        val gen = s"$storePath.gen/b$batchId-" +
+          java.util.UUID.randomUUID().toString.take(8)
+        snapshot.coalesce(1).write.mode("overwrite").parquet(gen)
+        publishGeneration(spark, manifestDir, gen)
+        retireStoreSnapshots(spark, storePath, manifestDir)
+        Some(gen)
+    }
+
+  /** The DSIR name for [[retireStoreSnapshots]] — kept so the fence's
+    * first caller reads in its own vocabulary. */
+  private[graft] def retireDsirSnapshots(spark: SparkSession,
+                                         storePath: String,
+                                         manifestDir: String): Seq[String] =
+    retireStoreSnapshots(spark, storePath, manifestDir)
+
+  /** The snapshot sweep [[publishStoreSnapshot]] runs per publish
     * — MANIFEST-DRIVEN, not dir-mtime-driven (self-review r19 third
     * pass: an UNPUBLISHED orphan dir — a crash between the snapshot
     * write and the pointer flip — must never count as a supersessor, or
@@ -1989,10 +2044,23 @@ object Indexes {
     * pointer pruning so the per-batch manifest listing stays bounded by
     * the grace window. Crash ORPHANS — snapshot dirs no pointer ever
     * named, invisible to readers by construction — are reclaimed
-    * directly once their own age passes the grace window. */
-  private[graft] def retireDsirSnapshots(spark: SparkSession,
-                                         storePath: String,
-                                         manifestDir: String): Seq[String] = {
+    * directly once their own age passes the grace window.
+    *
+    * SINGLE-PUBLISHER contract: orphan reclaim judges a dir purely by
+    * age-vs-grace, so a CONCURRENT publisher's snapshot sitting in its
+    * write-to-publish window (written, pointer not yet flipped) is
+    * indistinguishable from a crash orphan, and a second sweeping
+    * process running under a short [[withGcGrace]] override could
+    * delete it before the flip. One publisher per store — exactly what
+    * the foreachBatch maintenance stream guarantees (Structured
+    * Streaming serializes a query's batches) — makes the race
+    * impossible: the only in-window snapshot is the sweeping batch's
+    * own, already pointer-flipped by the time this runs. Do not point a
+    * second concurrent publisher or an external sweeper at the same
+    * store. */
+  def retireStoreSnapshots(spark: SparkSession,
+                           storePath: String,
+                           manifestDir: String): Seq[String] = {
     val prefix = s"$storePath.gen/"
     val retired = retireGenerations(spark, manifestDir, keep = 1,
       scopePrefix = Some(prefix), prunePointers = true)

@@ -22,8 +22,9 @@ case class ImageFeatures(name: String, width: Int, height: Int,
   * per-rotation aHashes it is the min of (r19: the 4-way cross-distance
   * probe needs each rotation's hash individually — a rotation COMPOSED
   * with an edit can flip which rotation attains the min, so the
-  * canonical column alone cannot serve rotation+edit composites; +24 B
-  * per image of committed state, derived from sweeps the build already
+  * canonical column alone cannot serve rotation+edit composites; +48 B
+  * per image of committed state as stored — three 16-char hex strings,
+  * +24 B in raw long terms — derived from sweeps the build already
   * runs). */
 case class ImagePHash(name: String, width: Int, height: Int,
                       ahash_hex: String, dhash_hex: String,
@@ -48,9 +49,16 @@ case class AudioFeatures(name: String, channels: Int, sample_rate: Int,
 /** Decoded-content audio fingerprint ([[Multimodal.energyHash64]]), plus
   * the CANONICAL-RATE twin ([[Multimodal.energyHash64Canonical]]; `crate`
   * is the effective rate after power-of-2 frame decimation) that a
-  * resampled re-encode of the same recording collides on. */
+  * resampled re-encode of the same recording collides on, plus the
+  * FIXED-RATE hashes ([[Multimodal.energyHash64AtRate]] at
+  * [[Multimodal.xrateTargets]] — r20: the power-of-2 canonical only
+  * composes for factor-2 chains, so a 44.1 kHz master and its 16 kHz
+  * re-encode land at DIFFERENT canonical rates and never compare; the
+  * fixed-rate columns project every recording into the same feature
+  * space, +32 B per recording of committed state as stored). */
 case class AudioPHash(name: String, channels: Int, n_samples: Long,
-                      ehash_hex: String, crate: Int, cehash_hex: String)
+                      ehash_hex: String, crate: Int, cehash_hex: String,
+                      x4k_hex: String, x6k_hex: String)
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, and a per-partition decode/feature-extract pass.
@@ -533,6 +541,84 @@ object Multimodal {
     imagePHashesNamed(images.select(
       element_at(split(col("path"), "/"), -1).as("name"), col("content")))
 
+  /** Gray-grid scratch cap for the perceptual-hash sweep: images up to
+    * this many pixels (1 B gray each — 16 MB per in-flight task) hash
+    * off one materialized row-major grid; larger ones fall back to the
+    * O(w+h) getRGB accessor form so a decompression-bomb-sized raster
+    * can never multiply task memory. */
+  val maxGrayGridBytes: Long = 16L * 1024 * 1024
+
+  /** (grayRow, grayCol) accessors over a decoded raster, in two forms
+    * producing IDENTICAL gray values (gray = (r+g+b)/3 fits a byte;
+    * MultimodalSpec pins grid-form hashes == getRGB-form hashes):
+    *
+    *  - `useGrid = true` (images within [[maxGrayGridBytes]] of scratch):
+    *    ONE row-wise getRGB sweep into a w·h-byte gray grid; every hash
+    *    pass reads the array. Per-COLUMN getRGB calls (one per column,
+    *    TWICE — the r90 and r270 views) otherwise dominate the sweep on
+    *    wide charts, each call paying raster/ColorModel dispatch for a
+    *    single 1-px column (r20 root-cause of the q_image_phash bench
+    *    regression: 4 of the 5 raster passes went through getRGB).
+    *  - `useGrid = false` (oversized rasters — the r18 review's 64 MP
+    *    decompression-bomb concern): the O(w+h)-scratch getRGB accessor
+    *    form, so task memory never scales with a hostile image's area
+    *    beyond what the decoded BufferedImage itself already holds. */
+  private[graft] def grayAccessors(img: java.awt.image.BufferedImage,
+                                   useGrid: Boolean)
+      : (Int => Array[Int], Int => Array[Int]) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val rowBuf = new Array[Int](w)
+    val grays = new Array[Int](w)
+    val cgrays = new Array[Int](h)
+    if (useGrid) {
+      val grid = new Array[Byte](w * h)
+      var gy = 0
+      while (gy < h) {
+        img.getRGB(0, gy, w, 1, rowBuf, 0, w)
+        var x = 0
+        while (x < w) {
+          val p = rowBuf(x)
+          grid(gy * w + x) =
+            ((((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3).toByte
+          x += 1
+        }
+        gy += 1
+      }
+      ((y: Int) => {
+        var x = 0
+        while (x < w) { grays(x) = grid(y * w + x) & 0xff; x += 1 }
+        grays
+      },
+       (x: Int) => {
+        var y = 0
+        while (y < h) { cgrays(y) = grid(y * w + x) & 0xff; y += 1 }
+        cgrays
+      })
+    } else {
+      val colBuf = new Array[Int](h)
+      ((y: Int) => {
+        img.getRGB(0, y, w, 1, rowBuf, 0, w)
+        var x = 0
+        while (x < w) {
+          val p = rowBuf(x)
+          grays(x) = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+          x += 1
+        }
+        grays
+      },
+       (x: Int) => {
+        img.getRGB(x, 0, 1, h, colBuf, 0, 1)
+        var y = 0
+        while (y < h) {
+          val p = colBuf(y)
+          cgrays(y) = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+          y += 1
+        }
+        cgrays
+      })
+    }
+  }
+
   /** [[imagePHashes]] over an already-(name, content) frame — the CDC
     * maintenance ingest shape, where payloads arrive as change rows
     * rather than a binaryFile scan. */
@@ -548,33 +634,8 @@ object Multimodal {
           if (img == null) ImagePHash(name, -1, -1, "", "", "", "", "", "")
           else {
             val (w, h) = (img.getWidth, img.getHeight)
-            val rowBuf = new Array[Int](w)
-            val grays = new Array[Int](w)
-            val grayRow = (y: Int) => {
-              img.getRGB(0, y, w, 1, rowBuf, 0, w)
-              var x = 0
-              while (x < w) {
-                val p = rowBuf(x)
-                grays(x) = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
-                x += 1
-              }
-              grays
-            }
-            // rotation views read COLUMNS straight off the decoded
-            // raster — O(w+h) scratch, no full-grid copy; the unrotated
-            // hash comes from the fused sweep, not a fifth raster pass
-            val colBuf = new Array[Int](h)
-            val cgrays = new Array[Int](h)
-            val grayCol = (x: Int) => {
-              img.getRGB(x, 0, 1, h, colBuf, 0, 1)
-              var y = 0
-              while (y < h) {
-                val p = colBuf(y)
-                cgrays(y) = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
-                y += 1
-              }
-              cgrays
-            }
+            val (grayRow, grayCol) =
+              grayAccessors(img, w.toLong * h <= maxGrayGridBytes)
             val (ah, dh) = phash2(w, h, grayRow)
             val (r90, r180, r270) = rotatedAHashes(w, h, grayRow, grayCol)
             val rh = minUnsigned(ah, r90, r180, r270)
@@ -758,6 +819,43 @@ object Multimodal {
       j => absSample((j / ch) * factor * ch + (j % ch)))
   }
 
+  /** Fixed target rates for the cross-rate energy hashes — two universal
+    * rates every recording projects into, so recordings from ANY source
+    * rate become comparable (unlike the per-recording power-of-2
+    * canonical). 4000 divides the 8/16/32/48 kHz family, 6000 the
+    * 12/24/6 kHz family — when the target divides a re-encode's rate,
+    * the selection composition collapses EXACTLY (see
+    * [[energyHash64AtRate]]); otherwise the envelopes still land near. */
+  val xrateTargets: Seq[Int] = Seq(4000, 6000)
+
+  /** Energy hash at a FIXED target rate via exact rational nearest-frame
+    * selection: kept frame `j` reads source frame `j·rate/target`
+    * (integer floor — the zero-order-hold resampler), all channels of
+    * the frame, `keptFrames = nFrames·target/rate` (floor,
+    * duration-preserving). Integer-exact end-to-end, so the fixture
+    * generator supplies analytic ground truth by running literally this
+    * loop ([[energyHash64]]'s contract).
+    *
+    * The composition property the cross-rate family rests on: if a
+    * variant was itself produced by exact nearest-frame selection from a
+    * master (any zero-order-hold re-encode) and `target` DIVIDES the
+    * variant's rate, then selecting the variant down to `target` picks
+    * `master[(j·k)·R_m/R_v] = master[j·R_m/target]` — the identical
+    * sample stream the master projects to, so the two fixed-rate hashes
+    * agree EXACTLY; a rate the target does not divide lands near instead
+    * (floor jitter moves individual samples but not the 64-block
+    * envelope mass). Rates BELOW the target upsample by frame
+    * repetition — envelope-preserving, still exact arithmetic. */
+  def energyHash64AtRate(channels: Int, rate: Int, n: Long, target: Int,
+                         absSample: Long => Long): Long = {
+    require(rate > 0 && target > 0, s"rates must be positive: $rate, $target")
+    val ch = channels.toLong
+    val nFrames = n / ch
+    val keptFrames = nFrames * target / rate
+    energyHash64(keptFrames * ch,
+      j => absSample((j / ch) * rate / target * ch + (j % ch)))
+  }
+
   /** Per-payload audio fingerprint from a binaryFile scan: guarded PCM
     * decode → [[energyHash64]] → zero-padded hex. Sentinel rows carry
     * channels/n_samples −1 and an empty hash so a corrupt payload can
@@ -776,13 +874,16 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { case (name, bytes) =>
           val pcm = readPcmGuarded(bytes)
-          if (pcm == null) AudioPHash(name, -1, -1L, "", -1, "")
+          if (pcm == null) AudioPHash(name, -1, -1L, "", -1, "", "", "")
           else {
             val h = energyHash64(pcm.nSamples.toLong, pcm.absAt)
             val ch = energyHash64Canonical(pcm.channels, pcm.rate,
               pcm.nSamples.toLong, pcm.absAt)
+            val Seq(x4, x6) = xrateTargets.map(t => energyHash64AtRate(
+              pcm.channels, pcm.rate, pcm.nSamples.toLong, t, pcm.absAt))
             AudioPHash(name, pcm.channels, pcm.nSamples.toLong, f"$h%016x",
-              pcm.rate / canonicalDecimation(pcm.rate), f"$ch%016x")
+              pcm.rate / canonicalDecimation(pcm.rate), f"$ch%016x",
+              f"$x4%016x", f"$x6%016x")
           }
         }
       }

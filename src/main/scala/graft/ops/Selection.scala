@@ -622,13 +622,22 @@ object Selection {
     * epoch count with a constant around r ≈ 15): per source, the
     * tempered mixture share `q` ([[temperatureMixBy]]'s exact quantized
     * machinery) names a target token count `round(q·B)`; dividing by the
-    * source's UNIQUE tokens gives the epochs the target demands; the
+    * source's token count gives the epochs the target demands; the
     * EFFECTIVE yield of E epochs over U unique tokens is
     * `E·U` for E ≤ 1 (no repetition yet) and
     * `U·(1 + r·(1 − exp(−(E−1)/r)))` beyond — so the audit reports, per
     * source, the epochs the mix implies and the token DEFICIT the decay
     * leaves (`max(0, target − effective)`), the number that says "add
     * data or rebalance" before a training run discovers it.
+    *
+    * PRECONDITION — dedup first: the effective-data form is defined
+    * over UNIQUE data, but `tokens` here is whatever
+    * [[temperatureMixBy]] counts on the frame it is given, duplicates
+    * included. Run the audit on a deduplicated frame (the exact-dedup /
+    * MinHash survivor ops in [[Dedup]] produce one); feeding a
+    * heavily-duplicated source under-reports its true epoch count and
+    * deficit, because its "tokens" are inflated by copies the decay has
+    * already spent.
     *
     * Determinism: targets are `round(q·B)` on the 6-dp tempered share
     * (exact both engines); epochs and the one `exp` per SOURCE (bounded

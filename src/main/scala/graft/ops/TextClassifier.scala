@@ -80,6 +80,110 @@ object TextClassifier {
     }
   }
 
+  /** Hashed char-ngram multiclass NB language-ID model (VERDICT r19 #3 —
+    * the n-way upgrade over the marker-vote heuristic
+    * [[TextAnalysis.langId]], which can only answer for languages whose
+    * stopword markers it hard-codes and mislabels marker-free text):
+    * per-class 1e-6-quantized log-likelihood tables over hashed char
+    * n-gram buckets plus quantized log-priors. All state is
+    * `|labels| · buckets` longs — broadcastable regardless of corpus
+    * size, the [[NbModel]] discipline. `labels` is sorted ascending; the
+    * argmax tie-break is "smallest label wins", replayed by the oracle
+    * as `row_number() OVER (ORDER BY s DESC, cls ASC)`. Scores are exact
+    * integer sums of driver-precomputed quantized terms, so cross-engine
+    * comparison is exact (the [[LmScore]]/DSIR fixed-point convention —
+    * the one `ln` per (class, bucket) cell runs on identical rational
+    * inputs in both engines and the 1e-6 rounding absorbs ulp). */
+  final case class NbLangModel(labels: Seq[String], lr: Array[Array[Long]],
+                               prior: Array[Long], buckets: Int, n: Int) {
+    require(labels.size >= 2 && labels.size <= 64,
+      s"multiclass langid needs 2..64 labels, got ${labels.size}")
+    require(labels == labels.sorted && labels.distinct == labels,
+      "labels must be sorted and distinct")
+    require(lr.length == labels.size && lr.forall(_.length == buckets) &&
+      prior.length == labels.size, "model tables must be |labels| x buckets")
+  }
+
+  /** All length-`n` substrings of `lower(coalesce(text, ''))` — the
+    * char-ngram feature both engines replay (DuckDB:
+    * `list_transform(range(1, length(t)-(n-2)), i -> substr(t, i, n))`;
+    * DuckDB's range() yields [] when stop <= start, Spark's sequence()
+    * REVERSES, hence the explicit short-text guard). */
+  def charGrams(text: Column, n: Int): Column = {
+    val t = lower(coalesce(text, lit("")))
+    when(length(t) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(t) - (n - 1)),
+        i => t.substr(i, lit(n))))
+  }
+
+  /** Train the multiclass langid from a LABELED seed slice: one grouped
+    * count per (class, bucket) — map-side combined, `|labels| · buckets`
+    * rows collected — plus the class doc counts. Null labels are the
+    * caller's problem (filter first); memoized on the seed's content
+    * fingerprint like every driver model. */
+  def trainLangId(seed: DataFrame, labelCol: String = "lang",
+                  buckets: Int = 256, n: Int = 3,
+                  textCol: String = "text"): NbLangModel = {
+    val tagged = seed.select(col(labelCol).cast("string").as("__graft_cls"),
+      col(textCol))
+    Indexes.memoModel(tagged, s"nblang_${labelCol}_${textCol}_b${buckets}_n$n") {
+      val cells = tagged
+        .select(col("__graft_cls"), explode(charGrams(col(textCol), n)).as("g"))
+        .groupBy(col("__graft_cls"),
+          (TextOps.shingleHash(col("g")) % buckets).as("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect() // ≤ |labels|·buckets rows by construction
+      val docsByCls = tagged.groupBy(col("__graft_cls")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(!docsByCls.contains(null),
+        s"trainLangId: null label in '$labelCol' — filter the seed first")
+      val labels = docsByCls.keys.toSeq.sorted
+      val idx = labels.zipWithIndex.toMap
+      val counts = Array.fill(labels.size, buckets)(0L)
+      cells.foreach(r =>
+        counts(idx(r.getString(0)))(r.getLong(1).toInt) = r.getLong(2))
+      val totDocs = docsByCls.values.sum
+      val lr = labels.indices.map { i =>
+        val tok = counts(i).sum
+        counts(i).map(c =>
+          math.round(math.log((c + 1).toDouble / (tok + buckets).toDouble) * 1e6))
+      }.toArray
+      val prior = labels.map(l =>
+        math.round(math.log(docsByCls(l).toDouble / totDocs.toDouble) * 1e6))
+        .toArray
+      NbLangModel(labels, lr, prior, buckets, n)
+    }
+  }
+
+  /** Predict a language per document: grams hashed ONCE, then one
+    * codegen'd fold per class over its literal table (exact long sums —
+    * no join, no shuffle, no per-row libm), argmax with the smallest
+    * label winning ties. Appends `predicted` to the input's columns. */
+  def langIdPredict(docs: DataFrame, model: NbLangModel,
+                    textCol: String = "text"): DataFrame = {
+    val reserved = docs.columns.filter(_.startsWith("__graft_"))
+    require(reserved.isEmpty,
+      s"input already has reserved column(s) ${reserved.mkString(", ")}; rename them first")
+    val keep = docs.columns.map(col).toSeq
+    val scoreOf = model.labels.indices.map { i =>
+      val tbl = typedlit(model.lr(i).toSeq)
+      aggregate(transform(col("__graft_b"),
+          b => element_at(tbl, b + 1)),
+        lit(model.prior(i)), _ + _).as(s"__graft_s$i")
+    }
+    val scored = docs
+      .withColumn("__graft_b",
+        transform(charGrams(col(textCol), model.n),
+          g => (TextOps.shingleHash(g) % model.buckets).cast("int")))
+      .select(keep ++ scoreOf: _*)
+    val g = greatest(model.labels.indices.map(i => col(s"__graft_s$i")): _*)
+    val pred = model.labels.indices.dropRight(1)
+      .foldRight(lit(model.labels.last): Column) { (i, acc) =>
+        when(col(s"__graft_s$i") === g, lit(model.labels(i))).otherwise(acc)
+      }
+    scored.select(keep :+ pred.as("predicted"): _*)
+  }
+
   /** Score `docs`: one row per document —
     *  - `n_tokens`: non-empty tokens scored;
     *  - `q2_odds`: Σ per-token (bitlen(pos[b]+1) − bitlen(neg[b]+1)) —

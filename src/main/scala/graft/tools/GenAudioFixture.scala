@@ -72,7 +72,7 @@ object GenAudioFixture {
     * |sample| values — the resample-robust fingerprint's analytic ground
     * truth. */
   private def writeWav(dir: File, name: String, channels: Int, rate: Int,
-                       samples: Array[Short]): (String, Int, Int, Int, Long, Long, Long, String, Long, Long, Long, String) = {
+                       samples: Array[Short]): (String, Int, Int, Int, Long, Long, Long, String, Long, Long, Long, String, String, String) = {
     val o = new DataOutputStream(new FileOutputStream(new File(dir, name)))
     try {
       val dataBytes = samples.length * 2
@@ -113,9 +113,14 @@ object GenAudioFixture {
       val rateOut = rate / 2
       val cehash = graft.ops.Multimodal.energyHash64Canonical(
         channels, rate, n, i => math.abs(samples(i.toInt).toLong))
+      // fixed-rate ground truth: LITERALLY energyHash64AtRate over the
+      // formula's |sample| values (the cross-rate family's contract)
+      val Seq(x4, x6) = graft.ops.Multimodal.xrateTargets.map(t =>
+        graft.ops.Multimodal.energyHash64AtRate(channels, rate, n, t,
+          i => math.abs(samples(i.toInt).toLong)))
       (name, channels, rate, 16, n, (n / channels) * 1000000L / rate, absSum,
         f"$ehash%016x", kept * channels, kept * 1000000L / rateOut, dAbs,
-        f"$cehash%016x")
+        f"$cehash%016x", f"$x4%016x", f"$x6%016x")
     } finally o.close()
   }
 
@@ -219,12 +224,80 @@ object GenAudioFixture {
       r
     }
 
-    val rows = base ++ quietLoud ++ renamed ++ edited ++ stereo ++ resampled
+    // CROSS-RATE + edit composite (r19 VERDICT #4 — the arbitrary-rate
+    // dup the power-of-2 canonical provably misses): genx_00 is a
+    // 44.1 kHz master; genx_01 is its 16 kHz re-encode by exact
+    // nearest-frame selection (the zero-order-hold resampler
+    // energyHash64AtRate replays) PLUS a gene_00-style block-transpose
+    // edit applied to the 4 kHz-SELECTED substream (indices 4j — 16000 =
+    // 4·4000, so the x4k projection sees exactly those samples).
+    // Canonical rates land at 5512 vs 4000 — DIFFERENT streams, so the
+    // canonical family cannot compare them at all; the generator
+    // REQUIRES the canonical distance ≥ 7 (and the plain ≥ 7), while the
+    // x4k fixed-rate distance sits in 1..6: rate change contributes
+    // EXACTLY zero (selection composition collapses — REQUIRED equal
+    // before the edit), the edit contributes the small nonzero distance.
+    val xrate = {
+      val n = 2000
+      val master = Array.tabulate(n)(t => sample(30, t))
+      val rx = writeWav(dir, "genx_00.wav", 1, 44100, master)
+      // 16 kHz re-encode: frame u reads master frame u*44100/16000
+      val nV = n * 16000 / 44100
+      val variant = Array.tabulate(nV)(u =>
+        master((u.toLong * 44100 / 16000).toInt))
+      // un-edited re-encode: the x4k projections must agree EXACTLY
+      val x4Master = graft.ops.Multimodal.energyHash64AtRate(
+        1, 44100, n.toLong, 4000, i => math.abs(master(i.toInt).toLong))
+      val x4Clean = graft.ops.Multimodal.energyHash64AtRate(
+        1, 16000, nV.toLong, 4000, i => math.abs(variant(i.toInt).toLong))
+      require(x4Clean == x4Master,
+        f"x4k selection composition must collapse exactly: $x4Clean%016x != $x4Master%016x")
+      // edit the 4kHz-selected substream (indices 4j): transpose its
+      // loudest and quietest 64-block segments, the gene_00 trick — the
+      // selected stream's global |amplitude| sum is unchanged, so only
+      // the two transposed blocks' bits can flip
+      // exactly the frames energyHash64AtRate reads: keptFrames =
+      // floor(nV·4000/16000), frame j → source frame j·16000/4000 = 4j
+      val kept = Array.tabulate(nV * 4000 / 16000)(j => 4 * j)
+      def blockOf(j: Int) = (j.toLong * 64 / kept.length).toInt
+      val sums = new Array[Long](64)
+      val cnts = new Array[Long](64)
+      kept.indices.foreach { j =>
+        sums(blockOf(j)) += math.abs(variant(kept(j)).toLong)
+        cnts(blockOf(j)) += 1
+      }
+      val means = (0 until 64).map(b =>
+        if (cnts(b) == 0) 0.0 else sums(b).toDouble / cnts(b))
+      val bHigh = means.indices.maxBy(means)
+      val bLow = means.indices.minBy(means)
+      val hiIdx = kept.indices.filter(blockOf(_) == bHigh).map(kept)
+      val loIdx = kept.indices.filter(blockOf(_) == bLow).map(kept)
+      val e = variant.clone()
+      (0 until math.min(hiIdx.size, loIdx.size)).foreach { k =>
+        val tmp = e(hiIdx(k)); e(hiIdx(k)) = e(loIdx(k)); e(loIdx(k)) = tmp
+      }
+      val rv = writeWav(dir, "genx_01.wav", 1, 16000, e)
+      val dPlain = hamming(rv._8, rx._8)
+      require(dPlain >= 7,
+        s"genx_01 must be invisible to the rate-sensitive hash, got $dPlain")
+      val dCanon = hamming(rv._12, rx._12)
+      require(dCanon >= 7,
+        s"genx_01 must be MISSED by the power-of-2 canonical (different " +
+          s"canonical rates ${44100 / 8} vs ${16000 / 4}), got $dCanon")
+      val dX4 = hamming(rv._13, rx._13)
+      require(dX4 >= 1 && dX4 <= 6,
+        s"genx_01 must sit within x4k Hamming 1..6 of genx_00, got $dX4")
+      Seq(rx, rv)
+    }
+
+    val rows = base ++ quietLoud ++ renamed ++ edited ++ stereo ++
+      resampled ++ xrate
     val spark = graft.engine.Sessions.local("4", "graft-gen-audio")
     import spark.implicits._
     rows.toDF("name", "channels", "sample_rate", "bits", "n_samples",
         "duration_us", "abs_sum", "ehash_hex",
-        "dec2_n_samples", "dec2_duration_us", "dec2_abs_sum", "cehash_hex")
+        "dec2_n_samples", "dec2_duration_us", "dec2_abs_sum", "cehash_hex",
+        "xr4k_hex", "xr6k_hex")
       .coalesce(1).write.mode("overwrite")
       .parquet("fixtures/audio_manifest.parquet")
     println(s"wrote ${rows.size} wavs + manifest")

@@ -182,4 +182,39 @@ class IndexGcSpec extends AnyFunSuite {
     java.nio.file.Files.deleteIfExists(newer)
     java.nio.file.Files.deleteIfExists(notVersion)
   }
+
+  test("generic snapshot fence: rollback-republish history survives a pruning sweep") {
+    // pointer history g1, g2, g1 (rollback), g3 with prunePointers: the
+    // sweep must snapshot every successor mtime BEFORE deleting — retiring
+    // g1 first prunes g1's pointers, and g2's supersessor IS g1's second
+    // pointer; a lazy mid-sweep getFileStatus threw FileNotFoundException
+    // and killed the maintenance stream (r19 ADVICE, fixed r20)
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("snapfence").toString
+    val store = s"$base/store"
+    val mdir = s"$base/manifest"
+    def snap(tag: String, batch: Long): String =
+      Indexes.withGcGrace(Long.MaxValue) { // publish-only: no retirement yet
+        Indexes.publishStoreSnapshot(spark, store, mdir, batch) {
+          Some(spark.range(3).select(col("id"), lit(tag).as("tag")))
+        }.get
+      }
+    val g1 = snap("g1", 1L); Thread.sleep(30)
+    val g2 = snap("g2", 2L); Thread.sleep(30)
+    // rollback: flip BACK to g1 by republishing its existing dir
+    Indexes.publishGeneration(spark, mdir, g1); Thread.sleep(30)
+    val g3 = snap("g3", 4L); Thread.sleep(30)
+
+    val retired = Indexes.withGcGrace(0L) {
+      Indexes.retireStoreSnapshots(spark, store, mdir) // must not throw
+    }
+    assert(retired.toSet === Set(g1, g2), s"retired: $retired")
+    assert(!new java.io.File(g1).exists() && !new java.io.File(g2).exists())
+    assert(new java.io.File(g3).exists(), "the current generation survives")
+    assert(Indexes.currentGeneration(spark, mdir) === Some(g3))
+    // pruning: only the current generation's pointer remains
+    val pointers = new java.io.File(mdir).listFiles()
+      .map(_.getName).filter(_.startsWith("gen-")).toSeq
+    assert(pointers.size === 1, s"retired generations' pointers pruned: $pointers")
+  }
 }

@@ -264,6 +264,28 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("gray-grid accessor form hashes identically to the getRGB form") {
+    // the serving sweep picks grid vs getRGB by raster size
+    // (maxGrayGridBytes); both forms must produce bit-identical hashes
+    // or the threshold would silently change committed fingerprints
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 10) {
+      val w = 1 + rnd.nextInt(50)
+      val h = 1 + rnd.nextInt(40)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, rnd.nextInt(0x1000000))
+      def hashes(useGrid: Boolean) = {
+        val (gr, gc) = Multimodal.grayAccessors(img, useGrid)
+        val (ah, dh) = Multimodal.phash2(w, h, gr)
+        (ah, dh, Multimodal.rotatedAHashes(w, h, gr, gc))
+      }
+      assert(hashes(useGrid = true) === hashes(useGrid = false),
+        s"trial $trial ${w}x$h")
+    }
+  }
+
   test("dHash catches the brightness-ramp pair aHash provably misses") {
     import graft.queries.PipelineQueries
     // decoded hashes must reproduce the manifest's frozen dhash for
@@ -500,6 +522,50 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(pairs.contains(("gen_00.wav", "gend_00.wav", 0L)) ||
       pairs.contains(("gend_00.wav", "gen_00.wav", 0L)), s"$pairs")
+  }
+
+  test("cross-rate audio hash: 44.1k->16k+edit composite found, canonical provably misses, banding equals brute force") {
+    import graft.queries.PipelineQueries
+    val ph = Multimodal.audioPHashes(
+        spark.read.format("binaryFile").load(PipelineQueries.audioFixtureDir))
+      .collect().map(p => p.name -> p).toMap
+    // decode must reproduce the generator formula's fixed-rate hashes
+    // for EVERY file (the ehash contract at both shared target rates)
+    val manifest = spark.read.parquet(PipelineQueries.audioManifestPath)
+      .select("name", "xr4k_hex", "xr6k_hex").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(ph.view.mapValues(p => (p.x4k_hex, p.x6k_hex)).toMap === manifest)
+
+    def d(a: String, b: String) = java.lang.Long.bitCount(
+      java.lang.Long.parseUnsignedLong(a, 16) ^
+        java.lang.Long.parseUnsignedLong(b, 16))
+    val (master, variant) = (ph("genx_00.wav"), ph("genx_01.wav"))
+    // the canonical family lands the pair at DIFFERENT canonical rates
+    // (5512 vs 4000) — q_audio_near_dups_resampled is blind to it
+    assert(master.crate === 5512 && variant.crate === 4000)
+    assert(d(master.cehash_hex, variant.cehash_hex) >= 7,
+      "the power-of-2 canonical must miss the cross-rate composite")
+    val resampled = PipelineQueries.audioNearDupsResampled(spark, "")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!resampled.contains(("genx_00.wav", "genx_01.wav")),
+      "the canonical query must remain blind — this pair is the xrate op's reason to exist")
+    // the shared 4 kHz projection prices only the edit
+    assert(d(master.x4k_hex, variant.x4k_hex) >= 1 &&
+      d(master.x4k_hex, variant.x4k_hex) <= 6)
+
+    // the registered query finds it; banding equals min-over-channels
+    // brute force over the frozen manifest
+    val got = PipelineQueries.audioNearDupsXrate(spark, "")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val rows = manifest.toSeq.filter(r => r._2._1.length == 16)
+    val brute = (for {
+      (na, (a4, a6)) <- rows
+      (nb, (b4, b6)) <- rows if na < nb
+      dd = math.min(d(a4, b4), d(a6, b6)) if dd <= 6
+    } yield (na, nb, dd.toLong)).toSet
+    assert(got === brute, s"banding must equal all-pairs truth:\n$got\nvs\n$brute")
+    assert(got.exists(t => t._1 == "genx_00.wav" && t._2 == "genx_01.wav"),
+      s"the engineered cross-rate composite must be reported: $got")
   }
 
   test("audio near-dup banding equals all-pairs truth over the frozen manifest") {

@@ -52,4 +52,32 @@ class PipelineCheckpointModeSpec extends AnyFunSuite {
       new java.io.File(s"$workDir/$n/_SUCCESS").exists()),
       s"missing _SUCCESS in one of $stageDirs")
   }
+
+  test("selection chain: storage stages fingerprint-identical to localCheckpoint") {
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Int, String, Long, String)] =
+      df.collect().toSeq.map(r =>
+        (r.getInt(0), r.getString(1), r.getLong(2), r.getString(3)))
+
+    // cold run absorbs the minhash index build + codegen
+    rows(PipelineQueries.selectionE2e(spark, d, PipelineQueries.LocalStage))
+
+    val local = rows(
+      PipelineQueries.selectionE2e(spark, d, PipelineQueries.LocalStage))
+    val workDir = Files.createTempDirectory("selection-storage-stages").toString
+    val stored = rows(PipelineQueries.selectionE2e(spark, d,
+      PipelineQueries.StorageStage(workDir)))
+
+    assert(local.size == 6, s"expected 6 stage rows, got ${local.size}")
+    assert(stored == local,
+      s"selection stage fingerprints diverged between materialization modes:\n" +
+        s"  local : $local\n  stored: $stored")
+
+    val stageDirs = new java.io.File(workDir).list().toSeq
+      .filterNot(_.startsWith(".")).sorted
+    assert(stageDirs == Seq("sel1_gate", "sel2_calibrate", "sel3_split",
+      "sel4_mix"), s"unexpected stage dirs $stageDirs")
+    assert(stageDirs.forall(n =>
+      new java.io.File(s"$workDir/$n/_SUCCESS").exists()),
+      s"missing _SUCCESS in one of $stageDirs")
+  }
 }

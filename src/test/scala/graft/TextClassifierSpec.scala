@@ -65,6 +65,64 @@ class TextClassifierSpec extends AnyFunSuite {
       s"positive seed must outscore negative: ${avg("src1")} vs ${avg("src2")}")
   }
 
+  private val langSeeds = Seq(
+    (1L, "en", "the cat and the dog of the house and the mouse"),
+    (2L, "en", "the road and the river of the north and the town"),
+    (3L, "de", "der hund und die katze und das haus der strasse"),
+    (4L, "de", "die kinder und der wald und das wasser die berge"),
+    (5L, "fr", "le chien et la maison et le fleuve la montagne"),
+    (6L, "fr", "la ville et le jardin et la riviere le chateau"),
+    (7L, "es", "el perro y los gatos y la casa los rios"),
+    (8L, "es", "los pueblos y el bosque y las montanas el camino")
+  ).toDF("doc_id", "lang", "text")
+
+  test("multiclass langid: seeds classified back, minority doc the marker heuristic mislabels") {
+    val m = TextClassifier.trainLangId(langSeeds, "lang", buckets = 128)
+    assert(m.labels === Seq("de", "en", "es", "fr"))
+    val back = TextClassifier.langIdPredict(langSeeds, m)
+      .select(col("doc_id"), col("lang"), col("predicted"))
+      .as[(Long, String, String)].collect()
+    assert(back.forall(r => r._2 == r._3),
+      s"seeds must classify back to their own labels: ${back.mkString(", ")}")
+
+    // the planted minority doc: German content words with NO article/
+    // conjunction markers — the heuristic's votes are all zero, so it
+    // answers 'other'; the trained char-trigram model still matches the
+    // German seeds' trigram mass (hund/katze/haus/wald/wasser stems)
+    val planted = Seq((99L, "katzen hunde wasserhaus waldkinder bergstrasse"))
+      .toDF("doc_id", "text")
+    val heuristic = planted
+      .select(graft.ops.TextAnalysis.langId(col("text")).as("p"))
+      .as[String].head()
+    assert(heuristic === "other",
+      s"the marker heuristic must mislabel the planted doc, got $heuristic")
+    val trained = TextClassifier.langIdPredict(planted, m)
+      .select(col("predicted")).as[String].head()
+    assert(trained === "de",
+      s"the trained model must recover the planted doc's language, got $trained")
+  }
+
+  test("multiclass langid: all-tied scores fall to the smallest label (oracle tie rule)") {
+    // equal class doc counts -> equal priors; an empty doc contributes no
+    // gram terms, so every class score is exactly its prior and the
+    // argmax must take the ascending-label tie-break the oracle replays
+    val m = TextClassifier.trainLangId(langSeeds, "lang", buckets = 128)
+    val p = TextClassifier.langIdPredict(
+        Seq((100L, "")).toDF("doc_id", "text"), m)
+      .select(col("predicted")).as[String].head()
+    assert(p === "de", s"tie must fall to the smallest label, got $p")
+  }
+
+  test("multiclass langid: prediction plan is join-free and shuffle-free") {
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val m = TextClassifier.trainLangId(
+      docs.where(col("lang").isNotNull), "lang")
+    val plan = TextClassifier.langIdPredict(docs, m)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"prediction must not join:\n$plan")
+    assert(!plan.contains("Exchange"), s"prediction must not shuffle:\n$plan")
+  }
+
   test("plan: scoring is join-free and shuffle-free; tokenizes once") {
     val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
     val m = TextClassifier.trainNaiveBayes(
