@@ -732,6 +732,42 @@ object Dedup {
     * keep the SYMMETRIC min distance — min over variants of
     * H(x.base, y.variant) in both directions — within `maxHamming`.
     * Unrolled `least` chain: stays in whole-stage codegen. */
+  private def crossConfirm(cand: DataFrame, left: DataFrame,
+                           right: DataFrame, idCol: String, baseCol: String,
+                           variantCols: Seq[String], maxHamming: Int,
+                           lSuffix: String, rSuffix: String): DataFrame = {
+    val cols = baseCol +: variantCols
+    def halves(side: DataFrame, suffix: String) =
+      hexHalves(side, idCol, cols, suffix)
+    // min over variants of H(side x's BASE, side y's variant i)
+    def dmin(x: String, y: String): Column =
+      variantCols.indices.map { i =>
+        bit_count(col(s"h0hi_$x").bitwiseXOR(col(s"h${i + 1}hi_$y"))) +
+          bit_count(col(s"h0lo_$x").bitwiseXOR(col(s"h${i + 1}lo_$y")))
+      }.reduce(least(_, _))
+    cand.join(halves(left, lSuffix), Seq(s"id_$lSuffix"))
+      .join(halves(right, rSuffix), Seq(s"id_$rSuffix"))
+      .select(col(s"id_$lSuffix"), col(s"id_$rSuffix"),
+        least(dmin(lSuffix, rSuffix), dmin(rSuffix, lSuffix))
+          .cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** id + per-column (hi, lo) 32-bit halves as longs, keeping only rows
+    * where EVERY hash column is a full 16-hex value (sentinels drop) —
+    * the exact-confirm input shape shared by the cross-distance and
+    * multi-channel families. */
+  private def hexHalves(side: DataFrame, idCol: String, cols: Seq[String],
+                        suffix: String): DataFrame = {
+    def hi(c: String) = conv(substring(col(c), 1, 8), 16, 10).cast("long")
+    def lo(c: String) = conv(substring(col(c), 9, 8), 16, 10).cast("long")
+    side.where(cols.map(c => length(col(c)) === 16).reduce(_ && _))
+      .select(col(idCol).as(s"id_$suffix") +:
+        cols.zipWithIndex.flatMap { case (c, i) =>
+          Seq(hi(c).as(s"h${i}hi_$suffix"), lo(c).as(s"h${i}lo_$suffix"))
+        }: _*)
+  }
+
   /** Multi-CHANNEL banded Hamming near-dups — the cross-RATE audio
     * serving op (VERDICT r19 #4): each hex column is one FIXED-rate
     * projection of the recording ([[graft.ops.Multimodal.xrateTargets]]),
@@ -763,50 +799,17 @@ object Dedup {
       a.join(b, Seq("band", "key")).where(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"))
     }.reduce(_ unionAll _).distinct()
-    def hi(c: String) = conv(substring(col(c), 1, 8), 16, 10).cast("long")
-    def lo(c: String) = conv(substring(col(c), 9, 8), 16, 10).cast("long")
-    def halves(suffix: String) = sigs
-      .where(hexCols.map(c => length(col(c)) === 16).reduce(_ && _))
-      .select(col(idCol).as(s"id_$suffix") +:
-        hexCols.zipWithIndex.flatMap { case (c, i) =>
-          Seq(hi(c).as(s"h${i}hi_$suffix"), lo(c).as(s"h${i}lo_$suffix"))
-        }: _*)
     val dmin = hexCols.indices.map { i =>
       bit_count(col(s"h${i}hi_a").bitwiseXOR(col(s"h${i}hi_b"))) +
         bit_count(col(s"h${i}lo_a").bitwiseXOR(col(s"h${i}lo_b")))
     }.reduce(least(_, _))
-    cand.join(halves("a"), Seq("id_a")).join(halves("b"), Seq("id_b"))
+    cand.join(hexHalves(sigs, idCol, hexCols, "a"), Seq("id_a"))
+      .join(hexHalves(sigs, idCol, hexCols, "b"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         dmin.cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
 
-  private def crossConfirm(cand: DataFrame, left: DataFrame,
-                           right: DataFrame, idCol: String, baseCol: String,
-                           variantCols: Seq[String], maxHamming: Int,
-                           lSuffix: String, rSuffix: String): DataFrame = {
-    def hi(c: String) = conv(substring(col(c), 1, 8), 16, 10).cast("long")
-    def lo(c: String) = conv(substring(col(c), 9, 8), 16, 10).cast("long")
-    val cols = baseCol +: variantCols
-    def halves(side: DataFrame, suffix: String) = side
-      .where(cols.map(c => length(col(c)) === 16).reduce(_ && _))
-      .select(col(idCol).as(s"id_$suffix") +:
-        cols.zipWithIndex.flatMap { case (c, i) =>
-          Seq(hi(c).as(s"h${i}hi_$suffix"), lo(c).as(s"h${i}lo_$suffix"))
-        }: _*)
-    // min over variants of H(side x's BASE, side y's variant i)
-    def dmin(x: String, y: String): Column =
-      variantCols.indices.map { i =>
-        bit_count(col(s"h0hi_$x").bitwiseXOR(col(s"h${i + 1}hi_$y"))) +
-          bit_count(col(s"h0lo_$x").bitwiseXOR(col(s"h${i + 1}lo_$y")))
-      }.reduce(least(_, _))
-    cand.join(halves(left, lSuffix), Seq(s"id_$lSuffix"))
-      .join(halves(right, rSuffix), Seq(s"id_$rSuffix"))
-      .select(col(s"id_$lSuffix"), col(s"id_$rSuffix"),
-        least(dmin(lSuffix, rSuffix), dmin(rSuffix, lSuffix))
-          .cast("long").as("hamming"))
-      .where(col("hamming") <= maxHamming)
-  }
 
   /** One side of the 64-bit banded join: band keys are hex substrings,
     * the hash rides as two 32-bit halves (see [[hammingNearDups64]]). */

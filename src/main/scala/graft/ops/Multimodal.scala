@@ -851,10 +851,35 @@ object Multimodal {
     require(rate > 0 && target > 0, s"rates must be positive: $rate, $target")
     val ch = channels.toLong
     val nFrames = n / ch
-    val keptFrames = nFrames * target / rate
+    // CEILING, the energyHash64Canonical convention: floor truncated a
+    // recording shorter than rate/target frames to a ZERO-sample stream
+    // whose all-zero hash passed every len==16 validity filter and
+    // band-matched every other sub-threshold clip (self-review r20)
+    val keptFrames = (nFrames * target + rate - 1) / rate
     energyHash64(keptFrames * ch,
       j => absSample((j / ch) * rate / target * ch + (j % ch)))
   }
+
+  /** Kept frames under [[energyHash64AtRate]]'s selection. */
+  private def xrateKeptFrames(channels: Int, rate: Int, n: Long,
+                              target: Int): Long =
+    ((n / channels) * target + rate - 1) / rate
+
+  /** A fixed-rate hash is COMPARABLE only when its projection carries at
+    * least one sample per hash block: below 64 kept frames most blocks
+    * are empty, the hash degenerates toward all-zero, and two unrelated
+    * sub-second clips would band-match at distance 0 (self-review r20 —
+    * the same reason corrupt payloads get an empty sentinel hex). */
+  val xrateMinKeptFrames: Long = 64L
+
+  /** The fixed-rate hash as the store/manifest hex column: empty (the
+    * sentinel the len==16 banding filters exclude) when the projection
+    * is too short to compare — the ONE place the comparability rule
+    * lives, called by the decode sweep and the fixture generator. */
+  def xrateHex(channels: Int, rate: Int, n: Long, target: Int,
+               absSample: Long => Long): String =
+    if (xrateKeptFrames(channels, rate, n, target) < xrateMinKeptFrames) ""
+    else f"${energyHash64AtRate(channels, rate, n, target, absSample)}%016x"
 
   /** Per-payload audio fingerprint from a binaryFile scan: guarded PCM
     * decode → [[energyHash64]] → zero-padded hex. Sentinel rows carry
@@ -879,11 +904,10 @@ object Multimodal {
             val h = energyHash64(pcm.nSamples.toLong, pcm.absAt)
             val ch = energyHash64Canonical(pcm.channels, pcm.rate,
               pcm.nSamples.toLong, pcm.absAt)
-            val Seq(x4, x6) = xrateTargets.map(t => energyHash64AtRate(
+            val Seq(x4, x6) = xrateTargets.map(t => xrateHex(
               pcm.channels, pcm.rate, pcm.nSamples.toLong, t, pcm.absAt))
             AudioPHash(name, pcm.channels, pcm.nSamples.toLong, f"$h%016x",
-              pcm.rate / canonicalDecimation(pcm.rate), f"$ch%016x",
-              f"$x4%016x", f"$x6%016x")
+              pcm.rate / canonicalDecimation(pcm.rate), f"$ch%016x", x4, x6)
           }
         }
       }

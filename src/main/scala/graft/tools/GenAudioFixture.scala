@@ -113,14 +113,15 @@ object GenAudioFixture {
       val rateOut = rate / 2
       val cehash = graft.ops.Multimodal.energyHash64Canonical(
         channels, rate, n, i => math.abs(samples(i.toInt).toLong))
-      // fixed-rate ground truth: LITERALLY energyHash64AtRate over the
+      // fixed-rate ground truth: LITERALLY the serving sweep's xrateHex
+      // (energyHash64AtRate + the comparability floor) over the
       // formula's |sample| values (the cross-rate family's contract)
       val Seq(x4, x6) = graft.ops.Multimodal.xrateTargets.map(t =>
-        graft.ops.Multimodal.energyHash64AtRate(channels, rate, n, t,
+        graft.ops.Multimodal.xrateHex(channels, rate, n, t,
           i => math.abs(samples(i.toInt).toLong)))
       (name, channels, rate, 16, n, (n / channels) * 1000000L / rate, absSum,
         f"$ehash%016x", kept * channels, kept * 1000000L / rateOut, dAbs,
-        f"$cehash%016x", f"$x4%016x", f"$x6%016x")
+        f"$cehash%016x", x4, x6)
     } finally o.close()
   }
 
