@@ -753,18 +753,25 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
-  /** id + per-column (hi, lo) 32-bit halves as longs, keeping only rows
-    * where EVERY hash column is a full 16-hex value (sentinels drop) —
-    * the exact-confirm input shape shared by the cross-distance and
-    * multi-channel families. */
+  /** id + per-column (hi, lo) 32-bit halves as longs — the
+    * exact-confirm input shape shared by the cross-distance and
+    * multi-channel families. Rows where EVERY hash column is a sentinel
+    * drop; a column that is sentinel on an otherwise-comparable row
+    * carries NULL halves, so its per-channel distance is NULL and the
+    * confirm's `least` chain SKIPS it (Spark and DuckDB least both
+    * ignore NULLs) — a recording comparable on one channel but too
+    * short for another still pairs on the channel it has (self-review
+    * r20 second pass: the EVERY-column filter silently dropped
+    * mixed-sentinel rows, contradicting the ANY-channel contract). */
   private def hexHalves(side: DataFrame, idCol: String, cols: Seq[String],
                         suffix: String): DataFrame = {
     def hi(c: String) = conv(substring(col(c), 1, 8), 16, 10).cast("long")
     def lo(c: String) = conv(substring(col(c), 9, 8), 16, 10).cast("long")
-    side.where(cols.map(c => length(col(c)) === 16).reduce(_ && _))
+    side.where(cols.map(c => length(col(c)) === 16).reduce(_ || _))
       .select(col(idCol).as(s"id_$suffix") +:
         cols.zipWithIndex.flatMap { case (c, i) =>
-          Seq(hi(c).as(s"h${i}hi_$suffix"), lo(c).as(s"h${i}lo_$suffix"))
+          Seq(when(length(col(c)) === 16, hi(c)).as(s"h${i}hi_$suffix"),
+            when(length(col(c)) === 16, lo(c)).as(s"h${i}lo_$suffix"))
         }: _*)
   }
 
@@ -783,7 +790,10 @@ object Dedup {
     * matches exactly — so the union of per-channel candidates is
     * complete for the min-over-channels cut. Candidate volume is
     * |channels| banded self-joins over committed 8-byte keys; the
-    * confirm is a codegen'd `least` chain, no re-decode. */
+    * confirm is a codegen'd `least` chain, no re-decode. A channel that
+    * is sentinel (too-short projection) on either side contributes a
+    * NULL distance the `least` skips — the pair still reports on any
+    * channel both sides carry ([[hexHalves]]' mixed-sentinel rule). */
   def hammingNearDups64Multi(sigs: DataFrame, idCol: String,
                              hexCols: Seq[String], maxHamming: Int,
                              bands: Int = 8): DataFrame = {

@@ -52,7 +52,12 @@ object Indexes {
   //     rates, so only a shared fixed target rate makes them
   //     comparable). v6 audio generations lack the columns and must not
   //     manifest-resolve into the new readers.
-  val IndexFormatVersion = "v7"
+  // v8: the fixed-rate kept-frame convention finalized (floor + the
+  //     sub-64-kept-frame comparability sentinel) after an interim
+  //     same-round ceiling build — a v7 audio store may carry
+  //     ceiling-era x4k/x6k hashes that no longer match the engine or
+  //     the regenerated manifest (the bump-on-algorithm-change rule).
+  val IndexFormatVersion = "v8"
 
   /** Cap on partition-directory fan-out per LSH table: the bucketed layout
     * partitions by the key's TOP `min(bBits, PartDirBits)` bits only, so

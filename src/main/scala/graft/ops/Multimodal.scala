@@ -850,20 +850,27 @@ object Multimodal {
                          absSample: Long => Long): Long = {
     require(rate > 0 && target > 0, s"rates must be positive: $rate, $target")
     val ch = channels.toLong
-    val nFrames = n / ch
-    // CEILING, the energyHash64Canonical convention: floor truncated a
-    // recording shorter than rate/target frames to a ZERO-sample stream
-    // whose all-zero hash passed every len==16 validity filter and
-    // band-matched every other sub-threshold clip (self-review r20)
-    val keptFrames = (nFrames * target + rate - 1) / rate
+    val keptFrames = xrateKeptFrames(channels, rate, n, target)
     energyHash64(keptFrames * ch,
       j => absSample((j / ch) * rate / target * ch + (j % ch)))
   }
 
-  /** Kept frames under [[energyHash64AtRate]]'s selection. */
-  private def xrateKeptFrames(channels: Int, rate: Int, n: Long,
-                              target: Int): Long =
-    ((n / channels) * target + rate - 1) / rate
+  /** Kept frames under [[energyHash64AtRate]]'s selection — FLOOR, and
+    * floor is load-bearing (self-review r20, second pass): for a
+    * variant itself produced by floor-count selection at rate R_v with
+    * target | R_v, the nested-floor identity
+    * `floor(floor(x)/k) == floor(x/k)` makes the variant's kept count
+    * equal the master's UNCONDITIONALLY — a ceiling count (an interim
+    * fix here) broke that exactness whenever the master count landed on
+    * a multiple of the divisor, silently missing the very dups the
+    * family exists to catch. The degenerate-short-clip hazard floor
+    * creates (0 kept frames → all-zero hash) is handled by
+    * [[xrateMinKeptFrames]]' sentinel instead. ONE source of truth:
+    * the hash, the sentinel gate, and the fixture generator's edit
+    * construction all read this. */
+  private[graft] def xrateKeptFrames(channels: Int, rate: Int, n: Long,
+                                     target: Int): Long =
+    (n / channels) * target / rate
 
   /** A fixed-rate hash is COMPARABLE only when its projection carries at
     * least one sample per hash block: below 64 kept frames most blocks

@@ -5691,14 +5691,17 @@ object PipelineQueries {
       .orderBy(col("name_a"), col("name_b"))
 
   val audioNearDupsXrateSql: String = {
+    // a channel sentinel on either side yields NULL, which least()
+    // skips in BOTH engines — the ANY-shared-channel contract
     def d(c: String) =
-      s"""(bit_count(xor(('0x' || substr(a.$c, 1, 8))::BIGINT,
+      s"""(CASE WHEN len(a.$c) = 16 AND len(b.$c) = 16 THEN
+         |          bit_count(xor(('0x' || substr(a.$c, 1, 8))::BIGINT,
          |              ('0x' || substr(b.$c, 1, 8))::BIGINT))
-         |       + bit_count(xor(('0x' || substr(a.$c, 9, 8))::BIGINT,
-         |              ('0x' || substr(b.$c, 9, 8))::BIGINT)))""".stripMargin
+         |        + bit_count(xor(('0x' || substr(a.$c, 9, 8))::BIGINT,
+         |              ('0x' || substr(b.$c, 9, 8))::BIGINT)) END)""".stripMargin
     s"""WITH m AS (SELECT name, xr4k_hex, xr6k_hex
        |           FROM read_parquet('$audioManifestPath/*.parquet')
-       |           WHERE len(xr4k_hex) = 16 AND len(xr6k_hex) = 16),
+       |           WHERE len(xr4k_hex) = 16 OR len(xr6k_hex) = 16),
        |p AS (SELECT a.name AS name_a, b.name AS name_b,
        |        least(${d("xr4k_hex")},
        |              ${d("xr6k_hex")})::BIGINT AS hamming

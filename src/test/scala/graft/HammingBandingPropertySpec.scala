@@ -61,6 +61,45 @@ class HammingBandingPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("multi-channel banded == min-over-channels brute force; mixed sentinels pair on the shared channel") {
+    // property sweep: two channels derived from the generator's hashes
+    for (seed <- 21L to 24L) {
+      val hs = sample(sigsGen, seed).distinct
+      val sigs = hs.zipWithIndex.map { case (h, i) =>
+        (f"s$i%04d", h, java.lang.Long.rotateLeft(h, 17) ^ 0x5aL)
+      }
+      val df = sigs.map { case (n, h1, h2) => (n, f"$h1%016x", f"$h2%016x") }
+        .toDF("name", "x1", "x2")
+      val maxH = sample(Gen.choose(0, 7), seed + 90)
+      val got = Dedup.hammingNearDups64Multi(df, "name", Seq("x1", "x2"), maxH)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      val want = (for {
+        i <- sigs.indices; j <- (i + 1) until sigs.length
+        d = math.min(
+          java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2),
+          java.lang.Long.bitCount(sigs(i)._3 ^ sigs(j)._3)).toLong
+        if d <= maxH
+      } yield (sigs(i)._1, sigs(j)._1, d)).toSet
+      assert(got === want, s"seed=$seed maxH=$maxH")
+    }
+
+    // the mixed-sentinel contract (self-review r20 second pass): a row
+    // comparable on ONE channel still pairs on that channel; rows with
+    // no shared comparable channel never pair
+    val h = 0x0123456789abcdefL
+    val k = 0x00ff00ff00ff00ffL
+    val df = Seq(
+      ("a", f"$h%016x", ""),          // channel-1 only
+      ("b", f"$h%016x", f"$k%016x"), // both channels
+      ("c", "", f"$k%016x")           // channel-2 only
+    ).toDF("name", "x1", "x2")
+    val got = Dedup.hammingNearDups64Multi(df, "name", Seq("x1", "x2"), 6)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(("a", "b", 0L), ("b", "c", 0L)),
+      s"mixed-sentinel pairs must report on the shared channel only: $got")
+  }
+
   test("incremental banded == brute force restricted to batch×corpus") {
     for (seed <- 11L to 14L) {
       val hs = sample(sigsGen, seed).distinct
