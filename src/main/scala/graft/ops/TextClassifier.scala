@@ -155,12 +155,25 @@ object TextClassifier {
     }
   }
 
-  /** Predict a language per document: grams hashed ONCE, then one
-    * codegen'd fold per class over its literal table (exact long sums —
-    * no join, no shuffle, no per-row libm), argmax with the smallest
-    * label winning ties. Appends `predicted` to the input's columns. */
+  /** Predict a language per document through the NATIVE kernel
+    * ([[graft.functions.LangIdScore]] — one codegen'd call per row, one
+    * md5 per gram shared across classes; the Column HOF derivation
+    * below ran interpreted per element, the [[graft.functions.DsirScore]]
+    * lesson). Appends `predicted` to the input's columns. Identity with
+    * [[langIdPredictColumns]] is spec-pinned; the oracle replays the
+    * exploded derivation. */
   def langIdPredict(docs: DataFrame, model: NbLangModel,
-                    textCol: String = "text"): DataFrame = {
+                    textCol: String = "text"): DataFrame =
+    docs.withColumn("predicted", graft.functions.LangIdScore.predictCol(
+      col(textCol), model.labels, model.lr, model.prior, model.n))
+
+  /** The COLUMN-form derivation of [[langIdPredict]] — grams hashed
+    * once, one fold per class over its literal table (exact long sums),
+    * argmax with the smallest label winning ties. Kept as the
+    * spec cross-check of the native kernel: this is the expression
+    * chain the DuckDB oracle replays step by step. */
+  private[graft] def langIdPredictColumns(docs: DataFrame, model: NbLangModel,
+                                          textCol: String = "text"): DataFrame = {
     val reserved = docs.columns.filter(_.startsWith("__graft_"))
     require(reserved.isEmpty,
       s"input already has reserved column(s) ${reserved.mkString(", ")}; rename them first")

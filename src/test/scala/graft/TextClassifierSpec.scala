@@ -123,6 +123,29 @@ class TextClassifierSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"prediction must not shuffle:\n$plan")
   }
 
+  test("multiclass langid: native kernel == Column derivation (fixture + seeds + nulls)") {
+    // the oracle replays the Column chain; the served path is the
+    // native expression — their identity is the whole safety argument
+    def preds(df: org.apache.spark.sql.DataFrame,
+              m: TextClassifier.NbLangModel,
+              f: (org.apache.spark.sql.DataFrame, TextClassifier.NbLangModel,
+                  String) => org.apache.spark.sql.DataFrame) =
+      f(df, m, "text").select(col("doc_id"), col("predicted"))
+        .as[(Long, String)].collect().toMap
+    val mSeeds = TextClassifier.trainLangId(langSeeds, "lang", buckets = 128)
+    val probe = langSeeds.select(col("doc_id"), col("text"))
+      .unionByName(Seq((200L, ""), (201L, null.asInstanceOf[String]),
+        (202L, "katzen hunde wasserhaus")).toDF("doc_id", "text"))
+    assert(preds(probe, mSeeds, TextClassifier.langIdPredict) ===
+      preds(probe, mSeeds, TextClassifier.langIdPredictColumns(_, _, _)))
+
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val m = TextClassifier.trainLangId(docs.where(col("lang").isNotNull), "lang")
+    assert(preds(docs, m, TextClassifier.langIdPredict) ===
+      preds(docs, m, TextClassifier.langIdPredictColumns(_, _, _)))
+  }
+
   test("plan: scoring is join-free and shuffle-free; tokenizes once") {
     val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
     val m = TextClassifier.trainNaiveBayes(
