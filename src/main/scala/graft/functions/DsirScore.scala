@@ -67,34 +67,17 @@ object DsirScore {
   private val Space = UTF8String.fromString(" ")
   private val WsPattern = UTF8String.fromString("\\s+")
 
-  /** One digest instance per executor thread (r17 ADVICE): a per-ROW
-    * `MessageDigest.getInstance` is billions of provider lookups +
-    * allocations on a 100 TB scan; the instance is stateless between
-    * `bucketOf`'s `reset()`-prefixed uses, so thread confinement is the
-    * whole safety argument. */
-  private val localMd = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
-  /** 48-bit md5-prefix bucket of one feature — byte-for-byte the value
-    * `conv(substring(md5(f), 1, 12), 16, 10)` yields (12 hex chars = the
-    * digest's first 6 bytes, read unsigned big-endian). */
+  /** 48-bit md5-prefix bucket of one feature ([[Md5Bucket]] — the
+    * shared kernel form of the corpus hash convention). */
   private def bucketOf(f: UTF8String, buckets: Int,
-                       md: java.security.MessageDigest): Int = {
-    md.reset()
-    val d = md.digest(f.getBytes)
-    val h48 = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
-      ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
-      ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
-    (h48 % buckets).toInt
-  }
+                       md: java.security.MessageDigest): Int =
+    (Md5Bucket.h48(md, f.getBytes) % buckets).toInt
 
   /** The per-row kernel the generated code calls. */
   def score(text: UTF8String, lr: Array[Double]): Long = {
     val buckets = lr.length
     val w = text.trim().toLowerCase().split(WsPattern, -1)
-    val md = localMd.get()
+    val md = Md5Bucket.md()
     val counts = new Array[Long](buckets)
     var i = 0
     while (i < w.length) {

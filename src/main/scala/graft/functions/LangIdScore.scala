@@ -73,35 +73,43 @@ case class LangIdScore(child: Expression, labels: Array[String],
 
 object LangIdScore {
 
-  /** One digest instance per executor thread — the [[DsirScore]]
-    * rationale: a per-ROW getInstance is billions of provider lookups
-    * on a 100 TB scan. */
-  private val localMd = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
   /** The per-row kernel the generated code calls. Returns the predicted
-    * label as UTF8String. */
+    * label as UTF8String.
+    *
+    * LINEAR in the document's bytes (self-review r20 third pass: the
+    * first form called `substringSQL(i, n)` per gram, which re-walks
+    * the string from byte 0 to locate codepoint i — O(numChars²) on
+    * long documents): one forward walk over the UTF-8 bytes keeps a
+    * ring of the last n+1 codepoint BOUNDARY offsets, and each gram
+    * digests the byte slice between the boundary n codepoints back and
+    * the current one — the identical bytes `substringSQL(i, n).getBytes`
+    * copies (both clamp a malformed trailing codepoint's overshoot to
+    * the buffer end; boundaries advance by `numBytesForFirstByte`, the
+    * same step `numChars()`/`substringSQL` take). */
   def predict(text: UTF8String, labels: Array[String],
               lr: Array[Array[Long]], prior: Array[Long], n: Int): UTF8String = {
     val buckets = lr(0).length
-    val t = text.toLowerCase()
-    val md = localMd.get()
+    val bytes = text.toLowerCase().getBytes
+    val md = Md5Bucket.md()
     val scores = java.util.Arrays.copyOf(prior, prior.length)
-    val nChars = t.numChars()
-    var i = 1
-    while (i <= nChars - (n - 1)) {
-      val g = t.substringSQL(i, n)
-      md.reset()
-      val d = md.digest(g.getBytes)
-      val h48 = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
-        ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
-        ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
-      val b = (h48 % buckets).toInt
-      var c = 0
-      while (c < scores.length) { scores(c) += lr(c)(b); c += 1 }
-      i += 1
+    val ring = new Array[Int](n + 1)
+    var off = 0
+    var idx = 0
+    var done = false
+    while (!done) {
+      ring(idx % (n + 1)) = off
+      if (idx >= n) {
+        val start = ring((idx - n) % (n + 1))
+        val end = math.min(off, bytes.length)
+        val b = (Md5Bucket.h48(md, bytes, start, end - start) % buckets).toInt
+        var c = 0
+        while (c < scores.length) { scores(c) += lr(c)(b); c += 1 }
+      }
+      if (off >= bytes.length) done = true
+      else {
+        off += UTF8String.numBytesForFirstByte(bytes(off))
+        idx += 1
+      }
     }
     var best = 0
     var c = 1

@@ -738,7 +738,7 @@ object Dedup {
                            lSuffix: String, rSuffix: String): DataFrame = {
     val cols = baseCol +: variantCols
     def halves(side: DataFrame, suffix: String) =
-      hexHalves(side, idCol, cols, suffix)
+      hexHalves(side, idCol, cols, suffix, strict = true)
     // min over variants of H(side x's BASE, side y's variant i)
     def dmin(x: String, y: String): Column =
       variantCols.indices.map { i =>
@@ -755,22 +755,34 @@ object Dedup {
 
   /** id + per-column (hi, lo) 32-bit halves as longs — the
     * exact-confirm input shape shared by the cross-distance and
-    * multi-channel families. Rows where EVERY hash column is a sentinel
-    * drop; a column that is sentinel on an otherwise-comparable row
-    * carries NULL halves, so its per-channel distance is NULL and the
-    * confirm's `least` chain SKIPS it (Spark and DuckDB least both
-    * ignore NULLs) — a recording comparable on one channel but too
-    * short for another still pairs on the channel it has (self-review
-    * r20 second pass: the EVERY-column filter silently dropped
-    * mixed-sentinel rows, contradicting the ANY-channel contract). */
+    * multi-channel families, in two sentinel regimes:
+    *
+    *  - `strict = true` (the CROSS family / [[crossConfirm]]): rows must
+    *    carry EVERY hash column — the image stores emit sentinels
+    *    all-or-nothing (a corrupt decode blanks the whole row), their
+    *    oracles encode the same all-16 filter, and a mixed row is
+    *    structurally unreachable, so the strict form keeps engine and
+    *    oracle trivially aligned.
+    *  - `strict = false` (the multi-channel family): rows survive with
+    *    ANY comparable column; a sentinel column carries NULL halves,
+    *    its per-channel distance is NULL, and the confirm's `least`
+    *    chain SKIPS it (Spark and DuckDB least both ignore NULLs) — a
+    *    recording comparable on one channel but too short for another
+    *    still pairs on the channel it has, the reachable mixed state
+    *    kept-frame scaling creates (self-review r20 second pass; third
+    *    pass split the regimes so the image oracles' all-16 contract
+    *    stays exact rather than latently divergent). */
   private def hexHalves(side: DataFrame, idCol: String, cols: Seq[String],
-                        suffix: String): DataFrame = {
+                        suffix: String, strict: Boolean): DataFrame = {
     def hi(c: String) = conv(substring(col(c), 1, 8), 16, 10).cast("long")
     def lo(c: String) = conv(substring(col(c), 9, 8), 16, 10).cast("long")
-    side.where(cols.map(c => length(col(c)) === 16).reduce(_ || _))
+    val valid = cols.map(c => length(col(c)) === 16)
+    side.where(if (strict) valid.reduce(_ && _) else valid.reduce(_ || _))
       .select(col(idCol).as(s"id_$suffix") +:
         cols.zipWithIndex.flatMap { case (c, i) =>
-          Seq(when(length(col(c)) === 16, hi(c)).as(s"h${i}hi_$suffix"),
+          if (strict) Seq(hi(c).as(s"h${i}hi_$suffix"),
+            lo(c).as(s"h${i}lo_$suffix"))
+          else Seq(when(length(col(c)) === 16, hi(c)).as(s"h${i}hi_$suffix"),
             when(length(col(c)) === 16, lo(c)).as(s"h${i}lo_$suffix"))
         }: _*)
   }
@@ -813,8 +825,10 @@ object Dedup {
       bit_count(col(s"h${i}hi_a").bitwiseXOR(col(s"h${i}hi_b"))) +
         bit_count(col(s"h${i}lo_a").bitwiseXOR(col(s"h${i}lo_b")))
     }.reduce(least(_, _))
-    cand.join(hexHalves(sigs, idCol, hexCols, "a"), Seq("id_a"))
-      .join(hexHalves(sigs, idCol, hexCols, "b"), Seq("id_b"))
+    cand.join(hexHalves(sigs, idCol, hexCols, "a", strict = false),
+        Seq("id_a"))
+      .join(hexHalves(sigs, idCol, hexCols, "b", strict = false),
+        Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         dmin.cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)

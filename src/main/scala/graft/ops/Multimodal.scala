@@ -851,6 +851,13 @@ object Multimodal {
     require(rate > 0 && target > 0, s"rates must be positive: $rate, $target")
     val ch = channels.toLong
     val keptFrames = xrateKeptFrames(channels, rate, n, target)
+    // loud, not silent: a zero-frame projection would hash to the
+    // valid-LOOKING all-zero value (the r20 self-review hazard); callers
+    // wanting the sentinel behavior go through xrateHex, which gates on
+    // the comparability floor before ever reaching this depth
+    require(keptFrames >= 1,
+      s"fixed-rate projection is empty: $n samples @ $rate Hz -> 0 kept " +
+        s"frames at $target Hz; use xrateHex (sentinel) for short clips")
     energyHash64(keptFrames * ch,
       j => absSample((j / ch) * rate / target * ch + (j % ch)))
   }

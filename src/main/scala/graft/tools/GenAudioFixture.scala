@@ -291,8 +291,28 @@ object GenAudioFixture {
       Seq(rx, rv)
     }
 
+    // MIXED-SENTINEL pair (self-review r20 third pass: the ANY-channel
+    // contract — sentinel on one fixed-rate channel, comparable on the
+    // other — had no fixture row, so the oracle's CASE/OR branches and
+    // the least()-skips-NULL assumption never ran cross-engine): a clip
+    // long enough for the 6 kHz projection (75 kept frames) but below
+    // the 64-frame comparability floor at 4 kHz (50 kept), plus its 3×
+    // re-master — the pair must be found via the x6k channel alone.
+    val xshort = {
+      val n = 100
+      val q = Array.tabulate(n)(t => sampleQ(40, t))
+      val v = q.map(s => (s * 3).toShort)
+      val rq = writeWav(dir, "genxs_00.wav", 1, 8000, q)
+      val rv = writeWav(dir, "genxs_01.wav", 1, 8000, v)
+      require(rq._13 == "" && rv._13 == "",
+        s"x4k must be the too-short sentinel, got '${rq._13}'/'${rv._13}'")
+      require(rq._14.length == 16 && rq._14 == rv._14,
+        s"x6k must be valid and volume-invariant: ${rq._14} vs ${rv._14}")
+      Seq(rq, rv)
+    }
+
     val rows = base ++ quietLoud ++ renamed ++ edited ++ stereo ++
-      resampled ++ xrate
+      resampled ++ xrate ++ xshort
     val spark = graft.engine.Sessions.local("4", "graft-gen-audio")
     import spark.implicits._
     rows.toDF("name", "channels", "sample_rate", "bits", "n_samples",

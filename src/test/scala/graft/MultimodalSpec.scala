@@ -554,18 +554,30 @@ class MultimodalSpec extends AnyFunSuite {
       d(master.x4k_hex, variant.x4k_hex) <= 6)
 
     // the registered query finds it; banding equals min-over-channels
-    // brute force over the frozen manifest
+    // brute force over the frozen manifest under the ANY-channel
+    // contract: a sentinel channel contributes no distance, rows with
+    // no comparable channel drop entirely
     val got = PipelineQueries.audioNearDupsXrate(spark, "")
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
-    val rows = manifest.toSeq.filter(r => r._2._1.length == 16)
+    val rows = manifest.toSeq
+      .filter(r => r._2._1.length == 16 || r._2._2.length == 16)
+    def chan(a: String, b: String): Option[Int] =
+      if (a.length == 16 && b.length == 16) Some(d(a, b)) else None
     val brute = (for {
       (na, (a4, a6)) <- rows
       (nb, (b4, b6)) <- rows if na < nb
-      dd = math.min(d(a4, b4), d(a6, b6)) if dd <= 6
+      dd <- (chan(a4, b4).toSeq ++ chan(a6, b6).toSeq).minOption
+      if dd <= 6
     } yield (na, nb, dd.toLong)).toSet
     assert(got === brute, s"banding must equal all-pairs truth:\n$got\nvs\n$brute")
     assert(got.exists(t => t._1 == "genx_00.wav" && t._2 == "genx_01.wav"),
       s"the engineered cross-rate composite must be reported: $got")
+    // the mixed-sentinel fixture pair pairs via its ONLY shared channel
+    assert(got.exists(t => t._1 == "genxs_00.wav" && t._2 == "genxs_01.wav"),
+      s"the mixed-sentinel pair must be reported via the x6k channel: $got")
+    assert(ph("genxs_00.wav").x4k_hex === "" &&
+      ph("genxs_00.wav").x6k_hex.length === 16,
+      "genxs_00 must be the engineered mixed-sentinel row")
   }
 
   test("audio near-dup banding equals all-pairs truth over the frozen manifest") {
