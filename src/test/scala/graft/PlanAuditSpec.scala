@@ -616,6 +616,37 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no tokenize explode may survive past the checkpointed stages:\n$se")
   }
 
+  test("round-20 additions stay on their scale paths") {
+    // cross-rate audio serving: committed fixed-rate hash columns, never
+    // a decode; the min-over-channels confirm is a codegen'd least-chain
+    val xr = plan("q_audio_near_dups_xrate")
+    assert(xr.contains("audhash_") && !xr.toLowerCase.contains("binaryfile"),
+      s"cross-rate serving must read the committed store:\n$xr")
+    assert(!xr.contains("ArrayTransform"),
+      s"the min-distance confirm must stay unrolled in codegen:\n$xr")
+    // n-way langid: the native kernel scores+argmaxes in ONE projection
+    // (the DsirScore discipline) — no interpreted HOF, no model join,
+    // no explode on the SCORING side (training's grouped count is a
+    // separate driver-memoized pass)
+    val lm = plan("q_lang_id_multi")
+    assert(lm.contains("graft_langid"),
+      s"prediction must run the native kernel:\n$lm")
+    assert(!lm.contains("ArrayTransform") && !lm.contains("ArrayAggregate"),
+      s"no interpreted HOF may survive in the scoring plan:\n$lm")
+    assert(!lm.contains("SortMergeJoin"),
+      s"the model rides as a plan literal, never a join:\n$lm")
+    // the recovered q_image_phash: ONE decode subtree — the window form
+    // (no self-join whose second subtree re-runs the mapPartitions)
+    val ip = plan("q_image_phash")
+    assert("MapPartitions".r.findAllIn(ip).size <= 1,
+      s"the decode sweep must appear exactly once (window form):\n$ip")
+    // durable selection chain: stages read back from parquet — the
+    // lineage truncation is the storage scan itself
+    val sd = plan("q_selection_e2e_durable")
+    assert(!sd.contains("Generate"),
+      s"no tokenize explode may survive past the durable stages:\n$sd")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // Theta joins in the documented quadratic baselines become
     // BroadcastNestedLoopJoin (bounded side); an unconditional
