@@ -732,6 +732,39 @@ object Dedup {
     * keep the SYMMETRIC min distance — min over variants of
     * H(x.base, y.variant) in both directions — within `maxHamming`.
     * Unrolled `least` chain: stays in whole-stage codegen. */
+  /** INCREMENTAL [[hammingNearDups64Multi]] — the daily-ingest shape:
+    * the batch's per-channel bands joined against the corpus's bands of
+    * the SAME channel (rate channels never compare cross-channel),
+    * candidates unioned over channels, confirmed by the ANY-channel
+    * min-distance. The corpus never self-joins. */
+  def hammingNearDups64MultiIncr(batch: DataFrame, corpus: DataFrame,
+                                 idCol: String, hexCols: Seq[String],
+                                 maxHamming: Int,
+                                 bands: Int = 8): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"banding is complete only for maxHamming < bands, " +
+        s"got $maxHamming >= $bands")
+    require(hexCols.nonEmpty, "need at least one hash channel")
+    val cand = hexCols.map { c =>
+      banded64(batch, idCol, c, bands, "new")
+        .select(col("band"), col("key"), col("id_new"))
+        .join(banded64(corpus, idCol, c, bands, "old")
+          .select(col("band"), col("key"), col("id_old")), Seq("band", "key"))
+        .where(col("id_new") =!= col("id_old"))
+        .select(col("id_new"), col("id_old"))
+    }.reduce(_ unionAll _).distinct()
+    val dmin = hexCols.indices.map { i =>
+      bit_count(col(s"h${i}hi_new").bitwiseXOR(col(s"h${i}hi_old"))) +
+        bit_count(col(s"h${i}lo_new").bitwiseXOR(col(s"h${i}lo_old")))
+    }.reduce(least(_, _))
+    cand.join(hexHalves(batch, idCol, hexCols, "new", strict = false),
+        Seq("id_new"))
+      .join(hexHalves(corpus, idCol, hexCols, "old", strict = false),
+        Seq("id_old"))
+      .select(col("id_new"), col("id_old"), dmin.cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   private def crossConfirm(cand: DataFrame, left: DataFrame,
                            right: DataFrame, idCol: String, baseCol: String,
                            variantCols: Seq[String], maxHamming: Int,

@@ -5710,6 +5710,49 @@ object PipelineQueries {
        |WHERE hamming <= 6 ORDER BY name_a, name_b""".stripMargin
   }
 
+  /** INCREMENTAL cross-rate audio near-dup — [[audioNearDupsXrate]]'s
+    * daily-ingest twin ([[graft.ops.Dedup.hammingNearDups64MultiIncr]]:
+    * per-channel batch×corpus banding, ANY-channel min confirm, the
+    * corpus never self-joins). The fixture split lands the engineered
+    * re-encodes as the batch: genx_01 (the 16 kHz+edit composite — the
+    * canonical family's provable miss) and genxs_01 (the mixed-sentinel
+    * re-master, pairing via its only comparable channel) must both be
+    * reported against their standing-corpus originals. Oracle: the same
+    * split brute-forced over the frozen manifest with the identical
+    * CASE-guarded min. */
+  def audioNearDupsXrateIncr(s: SparkSession, d: String): DataFrame = {
+    val sigs = graft.ops.Indexes.readAudioHashIndex(s,
+      graft.ops.Indexes.ensureAudioHashIndex(s, audioFixtureDir))
+    val isBatch = col("name").startsWith("genx_01") ||
+      col("name").startsWith("genxs_01")
+    graft.ops.Dedup.hammingNearDups64MultiIncr(
+        sigs.where(isBatch), sigs.where(!isBatch),
+        "name", Seq("x4k_hex", "x6k_hex"), maxHamming = 6, bands = 8)
+      .select(col("id_new").as("name_new"), col("id_old").as("name_old"),
+        col("hamming"))
+      .orderBy(col("name_new"), col("name_old"))
+  }
+
+  val audioNearDupsXrateIncrSql: String = {
+    def d(c: String) =
+      s"""(CASE WHEN len(a.$c) = 16 AND len(b.$c) = 16 THEN
+         |          bit_count(xor(('0x' || substr(a.$c, 1, 8))::BIGINT,
+         |              ('0x' || substr(b.$c, 1, 8))::BIGINT))
+         |        + bit_count(xor(('0x' || substr(a.$c, 9, 8))::BIGINT,
+         |              ('0x' || substr(b.$c, 9, 8))::BIGINT)) END)""".stripMargin
+    s"""WITH m AS (SELECT name, xr4k_hex, xr6k_hex,
+       |             (starts_with(name, 'genx_01')
+       |              OR starts_with(name, 'genxs_01')) AS is_batch
+       |           FROM read_parquet('$audioManifestPath/*.parquet')
+       |           WHERE len(xr4k_hex) = 16 OR len(xr6k_hex) = 16),
+       |p AS (SELECT a.name AS name_new, b.name AS name_old,
+       |        least(${d("xr4k_hex")},
+       |              ${d("xr6k_hex")})::BIGINT AS hamming
+       |      FROM m a JOIN m b ON a.is_batch AND NOT b.is_batch)
+       |SELECT name_new, name_old, hamming FROM p
+       |WHERE hamming <= 6 ORDER BY name_new, name_old""".stripMargin
+  }
+
   /** INCREMENTAL audio near-dup — the daily-ingest question for the
     * audio corpus: the batch's fingerprints banded-joined against the
     * committed store, never a corpus self-join ([[graft.ops.Dedup

@@ -100,6 +100,46 @@ class HammingBandingPropertySpec extends AnyFunSuite {
       s"mixed-sentinel pairs must report on the shared channel only: $got")
   }
 
+  test("multi-channel incremental == directional brute force; mixed sentinel pairs directionally") {
+    for (seed <- 31L to 33L) {
+      val hs = sample(sigsGen, seed).distinct
+      val sigs = hs.zipWithIndex.map { case (h, i) =>
+        (f"s$i%04d", h, java.lang.Long.rotateLeft(h, 23) ^ 0x33L)
+      }
+      val (batch, corpus) = sigs.partition(_._1.stripPrefix("s").toInt % 4 == 0)
+      def frame(xs: Seq[(String, Long, Long)]) =
+        xs.map { case (n, h1, h2) => (n, f"$h1%016x", f"$h2%016x") }
+          .toDF("name", "x1", "x2")
+      val maxH = sample(Gen.choose(0, 7), seed + 90)
+      val got = Dedup.hammingNearDups64MultiIncr(
+          frame(batch), frame(corpus), "name", Seq("x1", "x2"), maxH)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      val want = (for {
+        (bn, b1, b2) <- batch; (cn, c1, c2) <- corpus
+        d = math.min(java.lang.Long.bitCount(b1 ^ c1),
+          java.lang.Long.bitCount(b2 ^ c2)).toLong
+        if d <= maxH
+      } yield (bn, cn, d)).toSet
+      assert(got === want, s"seed=$seed maxH=$maxH")
+    }
+
+    // mixed sentinel, directionally: the batch row is channel-2-only,
+    // the corpus rows channel-1-only and both-channels
+    val h = 0x0f0f0f0f0f0f0f0fL
+    val k = 0xfedcba9876543210L
+    val batch = Seq(("n", "", f"$k%016x")).toDF("name", "x1", "x2")
+    val corpus = Seq(
+      ("c1", f"$h%016x", ""),          // no shared channel with the batch
+      ("c2", f"$h%016x", f"$k%016x")  // pairs via channel 2
+    ).toDF("name", "x1", "x2")
+    val got = Dedup.hammingNearDups64MultiIncr(
+        batch, corpus, "name", Seq("x1", "x2"), 6)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(("n", "c2", 0L)),
+      s"directional mixed-sentinel must pair only on the shared channel: $got")
+  }
+
   test("incremental banded == brute force restricted to batch×corpus") {
     for (seed <- 11L to 14L) {
       val hs = sample(sigsGen, seed).distinct
