@@ -645,6 +645,13 @@ class PlanAuditSpec extends AnyFunSuite {
     val sd = plan("q_selection_e2e_durable")
     assert(!sd.contains("Generate"),
       s"no tokenize explode may survive past the durable stages:\n$sd")
+    // incremental cross-rate twin: same committed store, batch×corpus
+    // banding (never a decode, never an interpreted confirm)
+    val xi = plan("q_audio_near_dups_xrate_incr")
+    assert(xi.contains("audhash_") && !xi.toLowerCase.contains("binaryfile"),
+      s"incremental cross-rate serving must read the committed store:\n$xi")
+    assert(!xi.contains("ArrayTransform"),
+      s"the ANY-channel min confirm must stay unrolled in codegen:\n$xi")
   }
 
   test("no registered query plans a CartesianProduct") {
