@@ -197,6 +197,53 @@ object TextClassifier {
     scored.select(keep :+ pred.as("predicted"): _*)
   }
 
+  /** Per-source LANGUAGE-MIX drift QA — the composition that turns
+    * [[langIdPredict]]'s per-document labels into an actionable
+    * data-mixing signal (the unigram [[TextAnalysis.sourceEntropy]]
+    * panel's twin over the PREDICTED-LANGUAGE distribution): for each
+    * source, KL(source mix ‖ corpus mix) = Σ_lang p·ln(p/q) with
+    * p = n_sl/n_s and q = n_l/n, each class term 1e-6 fixed-point
+    * quantized so the per-source reduction is an exact integer sum
+    * (the corpus-wide discipline), plus the majority language
+    * (ties break on the smallest label — the argmax rule again).
+    *
+    * Scale: ONE pass over `pred` builds the |sources|·|langs| mix
+    * aggregate (map-side combined); every total — per-source, per-class,
+    * corpus — is a window sum over that bounded frame, so there is no
+    * join and no second corpus scan. The empty-partition window is a
+    * single-partition sort of ≤ |sources|·|langs| rows (bounded by
+    * construction, the model-sized exemption to the global-window
+    * rule). KL(p‖q) here is always finite: q ≥ p·n_s/n > 0 whenever a
+    * (source, lang) cell exists. */
+  def langMixDrift(pred: DataFrame, sourceCol: String = "source",
+                   predCol: String = "predicted"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mix = pred
+      .select(col(sourceCol).as("source"), col(predCol).as("predicted"))
+      .groupBy(col("source"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+    val bySrc = Window.partitionBy(col("source"))
+    val byLang = Window.partitionBy(col("predicted"))
+    val whole = Window.partitionBy()
+    val rank = Window.partitionBy(col("source"))
+      .orderBy(col("n").desc, col("predicted").asc)
+    val p = col("n").cast("double") / col("t").cast("double")
+    val q = col("cn").cast("double") / col("ctot").cast("double")
+    mix
+      .select(col("source"), col("predicted"), col("n"),
+        sum(col("n")).over(bySrc).as("t"),
+        sum(col("n")).over(byLang).as("cn"),
+        sum(col("n")).over(whole).as("ctot"),
+        row_number().over(rank).as("rn"))
+      .select(col("source"), col("predicted"), col("t"), col("rn"),
+        round(p * log(p / q) * lit(1e6)).cast("long").as("kq"))
+      .groupBy(col("source"))
+      .agg(max(col("t")).as("n_docs"),
+        max(when(col("rn") === 1, col("predicted"))).as("majority_lang"),
+        round(sum(col("kq")).cast("double") / lit(1e6), 6).as("kl_mix"))
+      .orderBy(col("source"))
+  }
+
   /** Score `docs`: one row per document —
     *  - `n_tokens`: non-empty tokens scored;
     *  - `q2_odds`: Σ per-token (bitlen(pos[b]+1) − bitlen(neg[b]+1)) —

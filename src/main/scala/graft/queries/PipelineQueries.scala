@@ -3732,7 +3732,10 @@ object PipelineQueries {
       .orderBy(col("source"), col("predicted"))
   }
 
-  val langIdMultiSql: String =
+  /** The train → score → argmax derivation shared by every trained-langid
+    * oracle (the sourceEntropySqlFor one-body rationale): ends at
+    * `pred`, whose rn = 1 rows are the per-document predicted labels. */
+  private val langIdPredCtes: String =
     """WITH d AS (SELECT doc_id, source, lang, lower(coalesce(text, '')) AS t
       |           FROM documents),
       |g AS (SELECT doc_id, lang,
@@ -3763,14 +3766,57 @@ object PipelineQueries {
       |pred AS (SELECT doc_id, source, cls AS predicted,
       |           row_number() OVER (PARTITION BY doc_id
       |                              ORDER BY s DESC, cls ASC) AS rn
-      |         FROM sc),
-      |mix AS (SELECT source, predicted, count(*)::BIGINT AS n_docs
-      |        FROM pred WHERE rn = 1 GROUP BY 1, 2)
-      |SELECT source, predicted, n_docs,
-      |       round(n_docs::DOUBLE /
-      |         CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT)::DOUBLE,
-      |         6) AS share
-      |FROM mix ORDER BY source, predicted""".stripMargin
+      |         FROM sc)""".stripMargin
+
+  val langIdMultiSql: String =
+    s"""$langIdPredCtes,
+       |mix AS (SELECT source, predicted, count(*)::BIGINT AS n_docs
+       |        FROM pred WHERE rn = 1 GROUP BY 1, 2)
+       |SELECT source, predicted, n_docs,
+       |       round(n_docs::DOUBLE /
+       |         CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT)::DOUBLE,
+       |         6) AS share
+       |FROM mix ORDER BY source, predicted""".stripMargin
+
+  /** Language-mix DRIFT QA ([[graft.ops.TextClassifier.langMixDrift]]
+    * over the trained langid's predictions): per source, the
+    * fixed-point KL of its predicted-language mix against the corpus
+    * mix plus the majority language — the [[sourceEntropy]] panel's
+    * twin over the PREDICTED-LANGUAGE distribution, the signal a
+    * multilingual 100 TB ingest watches for a source whose language
+    * composition drifts. One kernel scan builds the |sources|·|langs|
+    * mix; every total is a window sum over that bounded frame (no
+    * joins, no second corpus pass). The oracle replays
+    * train → score → argmax → mix → KL end to end. */
+  def langMixDrift(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val model = graft.ops.TextClassifier.trainLangId(
+      docs.where(col("lang").isNotNull), "lang")
+    graft.ops.TextClassifier.langMixDrift(
+      graft.ops.TextClassifier.langIdPredict(
+        docs.select(col("doc_id"), col("source"), col("text")), model))
+  }
+
+  val langMixDriftSql: String =
+    s"""$langIdPredCtes,
+       |mix AS (SELECT source, predicted, count(*)::BIGINT AS n
+       |        FROM pred WHERE rn = 1 GROUP BY 1, 2),
+       |x AS (SELECT source, predicted, n,
+       |        CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS t,
+       |        CAST(sum(n) OVER (PARTITION BY predicted) AS BIGINT) AS cn,
+       |        CAST(sum(n) OVER () AS BIGINT) AS ctot,
+       |        row_number() OVER (PARTITION BY source
+       |                           ORDER BY n DESC, predicted ASC) AS rn2
+       |      FROM mix),
+       |k AS (SELECT source, predicted, t, rn2,
+       |        round((n::DOUBLE / t::DOUBLE)
+       |          * ln((n::DOUBLE / t::DOUBLE) / (cn::DOUBLE / ctot::DOUBLE))
+       |          * 1e6)::BIGINT AS kq
+       |      FROM x)
+       |SELECT source, max(t) AS n_docs,
+       |       max(CASE WHEN rn2 = 1 THEN predicted END) AS majority_lang,
+       |       round(sum(kq)::DOUBLE / 1e6, 6) AS kl_mix
+       |FROM k GROUP BY source ORDER BY source""".stripMargin
 
   val langIdCountsSql: String =
     """WITH v AS (SELECT

@@ -645,6 +645,16 @@ class PlanAuditSpec extends AnyFunSuite {
     val sd = plan("q_selection_e2e_durable")
     assert(!sd.contains("Generate"),
       s"no tokenize explode may survive past the durable stages:\n$sd")
+    // language-mix drift: one native-kernel corpus pass, then windows
+    // over the bounded |sources|·|langs| aggregate — never a join back
+    // to the corpus, never an interpreted HOF
+    val ld = plan("q_lang_mix_drift")
+    assert(ld.contains("graft_langid"),
+      s"prediction must run the native kernel:\n$ld")
+    assert(!ld.contains("SortMergeJoin") && !ld.contains("BroadcastHashJoin"),
+      s"mix totals must be window sums over the aggregate, not joins:\n$ld")
+    assert(!ld.contains("ArrayTransform") && !ld.contains("ArrayAggregate"),
+      s"no interpreted HOF may survive in the drift plan:\n$ld")
     // incremental cross-rate twin: same committed store, batch×corpus
     // banding (never a decode, never an interpreted confirm)
     val xi = plan("q_audio_near_dups_xrate_incr")

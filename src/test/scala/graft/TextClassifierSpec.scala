@@ -146,6 +146,32 @@ class TextClassifierSpec extends AnyFunSuite {
       preds(docs, m, TextClassifier.langIdPredictColumns(_, _, _)))
   }
 
+  test("langMixDrift: hand-built mixes — symmetric KL, zero drift, majority tie-break") {
+    // sources A {en:3, de:1} and B {en:1, de:3} against corpus
+    // {en:6, de:6} (q = 0.5 each): their KLs are equal by symmetry and
+    // strictly positive; source C {en:2, de:2} matches the corpus mix
+    // exactly -> every class term is round(p*ln(1)*1e6) = 0 and kl_mix
+    // is exactly 0.0; C's majority ties on count and must fall to the
+    // smallest label — 'de' < 'en' (the argmax rule)
+    val pred = Seq(
+      ("A", "en"), ("A", "en"), ("A", "en"), ("A", "de"),
+      ("B", "en"), ("B", "de"), ("B", "de"), ("B", "de"),
+      ("C", "en"), ("C", "en"), ("C", "de"), ("C", "de"))
+      .toDF("source", "predicted")
+    val out = TextClassifier.langMixDrift(pred)
+      .as[(String, Long, String, Double)].collect().toSeq
+    // the op's own arithmetic, replayed: per-class fixed-point terms
+    // summed exactly, scaled back at 6 dp
+    val expectedKlA = BigDecimal(
+      (math.round(0.75 * math.log(0.75 / 0.5) * 1e6) +
+        math.round(0.25 * math.log(0.25 / 0.5) * 1e6)).toDouble / 1e6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out === Seq(
+      ("A", 4L, "en", expectedKlA),
+      ("B", 4L, "de", expectedKlA),
+      ("C", 4L, "de", 0.0)))
+  }
+
   test("plan: scoring is join-free and shuffle-free; tokenizes once") {
     val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
     val m = TextClassifier.trainNaiveBayes(
