@@ -727,11 +727,6 @@ object Dedup {
       maxHamming, "new", "old")
   }
 
-  /** The shared exact confirm of the cross-distance family: join each
-    * side's (base, variants) hash halves onto the candidate pairs and
-    * keep the SYMMETRIC min distance — min over variants of
-    * H(x.base, y.variant) in both directions — within `maxHamming`.
-    * Unrolled `least` chain: stays in whole-stage codegen. */
   /** INCREMENTAL [[hammingNearDups64Multi]] — the daily-ingest shape:
     * the batch's per-channel bands joined against the corpus's bands of
     * the SAME channel (rate channels never compare cross-channel),
@@ -765,6 +760,11 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** The shared exact confirm of the cross-distance family: join each
+    * side's (base, variants) hash halves onto the candidate pairs and
+    * keep the SYMMETRIC min distance — min over variants of
+    * H(x.base, y.variant) in both directions — within `maxHamming`.
+    * Unrolled `least` chain: stays in whole-stage codegen. */
   private def crossConfirm(cand: DataFrame, left: DataFrame,
                            right: DataFrame, idCol: String, baseCol: String,
                            variantCols: Seq[String], maxHamming: Int,

@@ -96,8 +96,14 @@ object TextClassifier {
     * inputs in both engines and the 1e-6 rounding absorbs ulp). */
   final case class NbLangModel(labels: Seq[String], lr: Array[Array[Long]],
                                prior: Array[Long], buckets: Int, n: Int) {
-    require(labels.size >= 2 && labels.size <= 64,
-      s"multiclass langid needs 2..64 labels, got ${labels.size}")
+    // >= 1, not >= 2: a monolingual corpus is a normal curation input
+    // and its argmax is trivially the one class — the registered
+    // queries must degrade to that, not crash (session-close review).
+    // The 4096 ceiling is a sanity bound on the broadcast tables
+    // (|labels|·buckets longs: 4096·256·8 B = 8 MB), far above any
+    // real language inventory, not a capability limit at 64.
+    require(labels.size >= 1 && labels.size <= 4096,
+      s"multiclass langid needs 1..4096 labels, got ${labels.size}")
     require(labels == labels.sorted && labels.distinct == labels,
       "labels must be sorted and distinct")
     require(lr.length == labels.size && lr.forall(_.length == buckets) &&

@@ -3749,7 +3749,8 @@ object PipelineQueries {
       |dc AS (SELECT lang AS cls, count(*)::BIGINT AS dc FROM documents
       |       WHERE lang IS NOT NULL GROUP BY 1),
       |tot AS (SELECT sum(dc)::BIGINT AS td FROM dc),
-      |tok AS (SELECT cls, sum(c)::BIGINT AS tk FROM cnt GROUP BY 1),
+      |tok AS (SELECT dc.cls, coalesce(sum(c), 0)::BIGINT AS tk
+      |        FROM dc LEFT JOIN cnt ON cnt.cls = dc.cls GROUP BY dc.cls),
       |cell AS (SELECT dc.cls, r.range AS b FROM dc CROSS JOIN range(256) r),
       |lr AS (SELECT cell.cls, cell.b,
       |         round(ln((coalesce(c, 0) + 1)::DOUBLE / (tk + 256)::DOUBLE)
@@ -5736,15 +5737,22 @@ object PipelineQueries {
         col("hamming"))
       .orderBy(col("name_a"), col("name_b"))
 
+  /** The CASE-guarded 64-bit hex Hamming fragment of the multi-channel
+    * oracles (tables `a`/`b`): NULL when either side's channel is
+    * sentinel, which `least()` skips in BOTH engines — the ANY-shared-
+    * channel contract. ONE definition (session-close review: the two
+    * xrate oracles carried verbatim copies of the one fragment the
+    * whole mixed-sentinel story rests on — the [[graft.functions.Md5Bucket]]
+    * extraction's rationale, applied to the oracle side). */
+  private def duckHexHamming(c: String): String =
+    s"""(CASE WHEN len(a.$c) = 16 AND len(b.$c) = 16 THEN
+       |          bit_count(xor(('0x' || substr(a.$c, 1, 8))::BIGINT,
+       |              ('0x' || substr(b.$c, 1, 8))::BIGINT))
+       |        + bit_count(xor(('0x' || substr(a.$c, 9, 8))::BIGINT,
+       |              ('0x' || substr(b.$c, 9, 8))::BIGINT)) END)""".stripMargin
+
   val audioNearDupsXrateSql: String = {
-    // a channel sentinel on either side yields NULL, which least()
-    // skips in BOTH engines — the ANY-shared-channel contract
-    def d(c: String) =
-      s"""(CASE WHEN len(a.$c) = 16 AND len(b.$c) = 16 THEN
-         |          bit_count(xor(('0x' || substr(a.$c, 1, 8))::BIGINT,
-         |              ('0x' || substr(b.$c, 1, 8))::BIGINT))
-         |        + bit_count(xor(('0x' || substr(a.$c, 9, 8))::BIGINT,
-         |              ('0x' || substr(b.$c, 9, 8))::BIGINT)) END)""".stripMargin
+    def d(c: String) = duckHexHamming(c)
     s"""WITH m AS (SELECT name, xr4k_hex, xr6k_hex
        |           FROM read_parquet('$audioManifestPath/*.parquet')
        |           WHERE len(xr4k_hex) = 16 OR len(xr6k_hex) = 16),
@@ -5780,12 +5788,7 @@ object PipelineQueries {
   }
 
   val audioNearDupsXrateIncrSql: String = {
-    def d(c: String) =
-      s"""(CASE WHEN len(a.$c) = 16 AND len(b.$c) = 16 THEN
-         |          bit_count(xor(('0x' || substr(a.$c, 1, 8))::BIGINT,
-         |              ('0x' || substr(b.$c, 1, 8))::BIGINT))
-         |        + bit_count(xor(('0x' || substr(a.$c, 9, 8))::BIGINT,
-         |              ('0x' || substr(b.$c, 9, 8))::BIGINT)) END)""".stripMargin
+    def d(c: String) = duckHexHamming(c)
     s"""WITH m AS (SELECT name, xr4k_hex, xr6k_hex,
        |             (starts_with(name, 'genx_01')
        |              OR starts_with(name, 'genxs_01')) AS is_batch

@@ -146,6 +146,32 @@ class TextClassifierSpec extends AnyFunSuite {
       preds(docs, m, TextClassifier.langIdPredictColumns(_, _, _)))
   }
 
+  test("multiclass langid: degenerate and monolingual label sets (session-close review)") {
+    // a label whose seed docs are all shorter than the gram width
+    // contributes ZERO trigrams: its table must still exist (all-zero
+    // counts -> ln(1/(0+256)) cells, the smoothing the oracle's tok CTE
+    // must also keep), so a gram-bearing doc scores it hugely negative
+    // and NEVER predicts it — while the class itself still trains
+    val seeds = langSeeds.unionByName(
+      Seq((50L, "xx", "ab"), (51L, "xx", "c")).toDF("doc_id", "lang", "text"))
+    val m = TextClassifier.trainLangId(seeds, "lang", buckets = 128)
+    assert(m.labels === Seq("de", "en", "es", "fr", "xx"))
+    val back = TextClassifier.langIdPredict(
+        langSeeds.select(col("doc_id"), col("text")), m)
+      .select(col("predicted")).as[String].collect()
+    assert(!back.contains("xx"),
+      s"a zero-gram class must never win a gram-bearing doc: ${back.mkString(",")}")
+
+    // a monolingual corpus is a normal curation input: the model must
+    // degrade to the trivial argmax, not crash on a label-count bound
+    val mono = TextClassifier.trainLangId(
+      langSeeds.where(col("lang") === "en"), "lang", buckets = 128)
+    val p = TextClassifier.langIdPredict(
+        Seq((60L, "whatever text")).toDF("doc_id", "text"), mono)
+      .select(col("predicted")).as[String].head()
+    assert(p === "en")
+  }
+
   test("langMixDrift: hand-built mixes — symmetric KL, zero drift, majority tie-break") {
     // sources A {en:3, de:1} and B {en:1, de:3} against corpus
     // {en:6, de:6} (q = 0.5 each): their KLs are equal by symmetry and
