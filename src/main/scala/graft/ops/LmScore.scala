@@ -161,9 +161,35 @@ object LmScore {
     * ([[Selection.doremiWeights]] keeps `source`): without it the caller
     * must join the scores back to the corpus by doc_id, a second full
     * scan plus a |docs|-row shuffle in a family documented join-free
-    * (self-review r18 catch). */
+    * (self-review r18 catch).
+    *
+    * r20 OPT: scoring runs through the NATIVE
+    * [[graft.functions.LmDocScore]] kernel — one codegen'd call per row
+    * instead of the five interpreted higher-order functions of the
+    * exploded Column chain (kept as [[lmScoresKeepingExploded]] for the
+    * spec's identity pin; the registered oracles replay the exploded
+    * derivation in DuckDB, so the hash gate also proves kernel ==
+    * exploded every round). */
   def lmScoresKeeping(docs: DataFrame, lm: NgramLm, keep: Seq[String],
-                      textCol: String = "text"): DataFrame =
+                      textCol: String = "text"): DataFrame = {
+    val reserved = docs.columns.filter(_.startsWith("__graft_"))
+    require(reserved.isEmpty,
+      s"input already has reserved column(s) ${reserved.mkString(", ")}; rename them first")
+    docs
+      .withColumn("__graft_sc",
+        graft.functions.LmDocScore.scoreCol(col(textCol), lm))
+      .select(col("doc_id") +: keep.map(col) ++: Seq(
+        col("__graft_sc.n_bigrams").as("n_bigrams"),
+        col("__graft_sc.q2_nll").as("q2_nll"),
+        col("__graft_sc.nll").as("nll")): _*)
+  }
+
+  /** The pre-kernel exploded Column derivation (HOF transform chain) —
+    * retained ONLY as the spec's cross-implementation identity anchor
+    * (LmScoreSpec asserts kernel == exploded on the real fixture; the
+    * DuckDB oracles replay this same derivation). Never on a query path. */
+  private[graft] def lmScoresKeepingExploded(docs: DataFrame, lm: NgramLm,
+      keep: Seq[String], textCol: String = "text"): DataFrame =
     estimates(docs, lm, textCol).select(col("doc_id") +: keep.map(col) ++: Seq(
       size(col("__graft_eb")).cast("long").as("n_bigrams"),
       aggregate(zip_with(col("__graft_eb"), col("__graft_eu"), (b, u) =>
@@ -193,10 +219,21 @@ object LmScore {
     * single split. */
   def lmGate(docs: DataFrame, lm: NgramLm, maxNll: Double,
              textCol: String = "text"): DataFrame = {
+    val reserved = docs.columns.filter(_.startsWith("__graft_"))
+    require(reserved.isEmpty,
+      s"input already has reserved column(s) ${reserved.mkString(", ")}; rename them first")
     val keep = docs.columns.map(col)
-    estimates(docs, lm, textCol)
+    // r20 OPT: the kernel scores once per row; the nondeterministic
+    // barrier still pins the struct to its own projection so pushdown
+    // cannot clone the kernel call into the Filter (the predicate
+    // references TWO struct fields — inlined, each GetStructField would
+    // carry its own kernel evaluation).
+    docs
+      .withColumn("__graft_sc",
+        graft.functions.LmDocScore.scoreCol(col(textCol), lm))
       .withColumn("__graft_nd", rand(42L))
-      .where((size(col("__graft_eb")) === 0 || nllCol(lm) <= maxNll) &&
+      .where((col("__graft_sc.n_bigrams") === 0L ||
+          col("__graft_sc.nll") <= maxNll) &&
         col("__graft_nd") >= 0.0)
       .select(keep.toIndexedSeq: _*)
   }

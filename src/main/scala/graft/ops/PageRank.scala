@@ -81,6 +81,48 @@ object PageRank {
     ranks
   }
 
+  /** The damped-walk loop over a GROUPED adjacency (r20 OPT, guide
+    * §2.3/§3): `adjG` holds one row per source — (src, dsts array) — so
+    * each round's rank join probes |V| grouped rows instead of |E| flat
+    * edges, and the integer share `div(rank, outdeg)` is computed ONCE
+    * PER SOURCE before the explode fans the messages out (the flat shape
+    * recomputed it per edge: ~2.4M divisions/round on the sf0.1
+    * co-purchase graph for ~20k distinct values). outdeg = size(dsts) by
+    * construction, so the share value per edge — and therefore every
+    * downstream integer sum — is bit-identical to the flat loop's
+    * (PageRankSpec pins distributed == sequential reference). Applies to
+    * the UNWEIGHTED walks only: the weighted walk's share varies per
+    * edge, so it keeps the flat join (a per-element HOF transform would
+    * run interpreted — the DsirScore lesson). */
+  private def dampedGrouped(adjG: DataFrame, nodes: DataFrame, r0: Column,
+                            tp: Column, iters: Int, dampNum: Long,
+                            dampDen: Long): DataFrame = {
+    var ranks = nodes.select(col("node"), r0.as("rank_fp"))
+    for (it <- 1 to iters) {
+      val msgs = adjG.join(ranks, adjG("src") === ranks("node"))
+        .select(col("dsts"), call_function("div",
+          col("rank_fp"), size(col("dsts")).cast("long")).as("c"))
+        .select(explode(col("dsts")).as("node"), col("c"))
+      val agg = msgs.groupBy("node").agg(sum(col("c")).as("m"))
+      ranks = nodes.join(agg, Seq("node"), "left")
+        .select(col("node"),
+          (tp + call_function("div",
+            lit(dampNum) * coalesce(col("m"), lit(0L)), lit(dampDen)))
+            .as("rank_fp"))
+      // linear lineage — cadence checkpoint only (object scaladoc)
+      if (it % 4 == 0 && it < iters) ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+
+  /** Grouped adjacency for [[dampedGrouped]]: one row per source with its
+    * out-neighbour array (outdeg = size(dsts), so no separate aggregate
+    * or join against an outdegree table). */
+  private def groupedAdj(ed: DataFrame): DataFrame =
+    ed.groupBy(col("src"))
+      .agg(collect_list(col("dst")).as("dsts"))
+      .localCheckpoint()
+
   private def checkIters(iters: Int): Unit =
     require(iters >= 1 && iters <= 16, s"1 <= iters <= 16, got $iters")
 
@@ -107,11 +149,7 @@ object PageRank {
     require(n > 0, "pageRankFp: empty graph")
     val base = scale / n
     val teleport = ((dampDen - dampNum) * base) / dampDen
-    val adj = ed
-      .join(ed.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
-      .localCheckpoint()
-    damped(adj, nodes, lit(base), lit(teleport),
-      call_function("div", col("rank_fp"), col("outdeg")),
+    dampedGrouped(groupedAdj(ed), nodes, lit(base), lit(teleport),
       iters, dampNum, dampDen)
   }
 
@@ -135,13 +173,9 @@ object PageRank {
     val base = scale / seeds.size
     val teleport = ((dampDen - dampNum) * base) / dampDen
     val isSeed = col("node").isin(seeds: _*)
-    val adj = ed
-      .join(ed.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
-      .localCheckpoint()
-    damped(adj, nodes,
+    dampedGrouped(groupedAdj(ed), nodes,
       when(isSeed, lit(base)).otherwise(lit(0L)),
       when(isSeed, lit(teleport)).otherwise(lit(0L)),
-      call_function("div", col("rank_fp"), col("outdeg")),
       iters, dampNum, dampDen)
   }
 
@@ -210,9 +244,7 @@ object PageRank {
     import spark.implicits._
     val (ed, nodes) = prepare(edges,
       col("src").cast("long"), col("dst").cast("long"))
-    val adj = ed
-      .join(ed.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
-      .localCheckpoint()
+    val adjG = groupedAdj(ed) // same grouped shape as dampedGrouped (r20 OPT)
     val seeds = broadcast(panels.flatMap { case (p, ss) =>
       val base = scale / ss.size
       val tp = ((dampDen - dampNum) * base) / dampDen
@@ -228,9 +260,10 @@ object PageRank {
       .select(col("panel_id"), col("node"),
         coalesce(col("base"), lit(0L)).as("rank_fp"))
     for (it <- 1 to iters) {
-      val msgs = adj.join(ranks, adj("src") === ranks("node"))
-        .select(col("panel_id"), adj("dst").as("node"),
-          call_function("div", col("rank_fp"), col("outdeg")).as("c"))
+      val msgs = adjG.join(ranks, adjG("src") === ranks("node"))
+        .select(col("panel_id"), col("dsts"), call_function("div",
+          col("rank_fp"), size(col("dsts")).cast("long")).as("c"))
+        .select(col("panel_id"), explode(col("dsts")).as("node"), col("c"))
       val agg = msgs.groupBy("panel_id", "node").agg(sum(col("c")).as("m"))
       ranks = panelNodes
         .join(agg, Seq("panel_id", "node"), "left")
@@ -360,8 +393,27 @@ object PageRank {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val byDst = edPairs.map(_.swap).partitionBy(part)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = (edPairs.map(_._1) ++ edPairs.map(_._2)).distinct()
-      .map((_, ())).partitionBy(part)
+    // node set derived from the two ALREADY-PARTITIONED edge lists
+    // (r20 OPT): partition i of bySrc/byDst holds exactly the edges
+    // whose key hashes to i, so a per-partition key-set union IS the
+    // global distinct — no distinct shuffle, no extra partitionBy
+    // (preservesPartitioning keeps `part`, which is exact here: the
+    // emitted keys are the partition's own key set).
+    // KEYS ONLY from each side: bySrc partition i holds the src-keyed
+    // rows hashing to i (values are dsts of other partitions), byDst
+    // the dst-keyed ones — their key union is the partition-i slice of
+    // distinct(src ∪ dst).
+    val nodes = bySrc.zipPartitions(byDst, preservesPartitioning = true) {
+      (sIt, dIt) =>
+        val seen = new java.util.HashSet[Long]()
+        sIt.foreach { kv => seen.add(kv._1) }
+        dIt.foreach { kv => seen.add(kv._1) }
+        val it = seen.iterator()
+        new Iterator[(Long, Unit)] {
+          def hasNext: Boolean = it.hasNext
+          def next(): (Long, Unit) = (it.next(), ())
+        }
+    }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nCount = nodes.count()
     require(nCount > 0, "hitsFp: empty graph")
@@ -382,13 +434,39 @@ object PageRank {
     // raw(to) = Σ other(from) over the co-partitioned edge list, then
     // L1-renormalize to `scale` with one driver BigInt fold (the fold
     // also FORCES raw into its cache, so each half-round materializes
-    // exactly once; the caches release after the output materializes)
+    // exactly once; the caches release after the output materializes).
+    //
+    // FUSED HALF-ROUND (r20 OPT, guide §2.3/§2.4): both inputs are
+    // hash-partitioned by `part`, so the equi-join needs no shuffle —
+    // but `RDD.join` still paid per-row Tuple2 allocation + boxing for
+    // every edge, and the separate map + reduceByKey re-materialized the
+    // full |E| message stream before combining (measured ~0.4 s and
+    // ~1.4 s process-CPU per half-round on the 600k-edge sf0.1 purchase
+    // graph — 8 half-rounds dominated q_hits at 4.4 s). zipPartitions
+    // replaces the join with one primitive LongMap hash-build per
+    // partition (vector side) + a streamed probe over the edges that
+    // COMBINES into a LongMap keyed by `to` — the map-side partial
+    // aggregation happens inside the same pass, so the downstream
+    // reduceByKey shuffles ≤ |V| rows per partition instead of |E|
+    // messages. Join semantics are preserved exactly: a `from` absent
+    // from the vector contributes nothing and creates no output key
+    // (the -1 sentinel is safe — vector values are always ≥ 0).
+    // Partial per-key sums stay ≤ the global per-node sum ≤ scale, so
+    // Long arithmetic cannot overflow (the L1 invariant).
     def halfRound(edgesFromTo: org.apache.spark.rdd.RDD[(Long, Long)],
                   other: org.apache.spark.rdd.RDD[(Long, Long)])
         : org.apache.spark.rdd.RDD[(Long, Long)] = {
-      val raw = edgesFromTo.join(other, part)
-        .map { case (_, (to, v)) => (to, v) }
-        .reduceByKey(part, _ + _)
+      val contrib = edgesFromTo.zipPartitions(other) { (eIt, oIt) =>
+        val vec = new scala.collection.mutable.LongMap[Long]()
+        oIt.foreach { kv => vec.update(kv._1, kv._2) }
+        val acc = new scala.collection.mutable.LongMap[Long]()
+        eIt.foreach { case (from, to) =>
+          val v = vec.getOrElse(from, -1L)
+          if (v >= 0L) acc.update(to, acc.getOrElse(to, 0L) + v)
+        }
+        acc.iterator
+      }
+      val raw = contrib.reduceByKey(part, _ + _)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       cached += raw
       val l1 = raw.aggregate(BigInt(0))((a, kv) => a + kv._2, _ + _)
@@ -402,11 +480,18 @@ object PageRank {
       hub = halfRound(byDst, auth)
     }
     // densify to the full node set (zero-raw nodes never appear in the
-    // reduceByKey streams) and exit to the DataFrame surface
-    val out = nodes
-      .leftOuterJoin(auth, part).mapValues { case (_, a) => a.getOrElse(0L) }
-      .leftOuterJoin(hub, part)
-      .map { case (n, (a, h)) => (n, a, h.getOrElse(0L)) }
+    // reduceByKey streams) and exit to the DataFrame surface. Same fused
+    // co-partitioned shape as the half-rounds (r20 OPT): all three
+    // vectors ride `part`, so one zipPartitions replaces two
+    // leftOuterJoins (and their Option allocation per node).
+    val out = nodes.zipPartitions(auth, hub) { (nIt, aIt, hIt) =>
+      val am = new scala.collection.mutable.LongMap[Long]()
+      aIt.foreach { kv => am.update(kv._1, kv._2) }
+      val hm = new scala.collection.mutable.LongMap[Long]()
+      hIt.foreach { kv => hm.update(kv._1, kv._2) }
+      nIt.map { case (n, _) =>
+        (n, am.getOrElse(n, 0L), hm.getOrElse(n, 0L)) }
+    }
       .toDF("node", "auth_fp", "hub_fp")
       .localCheckpoint(true)
     (Seq(edPairs, bySrc, byDst, nodes) ++ cached)

@@ -232,7 +232,15 @@ object Selection {
     * per-partition heaps, no global sort materialization. */
   def dsirSelect(docs: DataFrame, isTarget: Column, k: Int,
                  buckets: Int = DefaultBuckets): DataFrame =
-    importanceWeightsQuantized(docs, isTarget, buckets)
+    // r20 OPT (guide §1.2 "per-task work"): scored by the NATIVE
+    // [[dsirScoredStateless]] kernel instead of the exploded
+    // explode→(doc,bucket)-agg→join→(doc)-agg path — value-for-value
+    // identical per document (the kernel's identity contract,
+    // SelectionSpec-pinned; the oracle keeps its exploded replay), with
+    // the four shuffle stages collapsed into one scan projection.
+    // q_dsir_weights still grades the exploded operator itself.
+    dsirScoredStateless(docs.where(!coalesce(isTarget, lit(false))),
+        dsirModel(docs, isTarget, buckets), buckets)
       .select(col("doc_id"), col("source"), col("s"),
         gumbelKeyQuantized(col("doc_id"), col("s")).as("kq"))
       .orderBy(col("kq").desc, col("doc_id").asc)

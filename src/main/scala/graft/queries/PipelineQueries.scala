@@ -364,6 +364,24 @@ object PipelineQueries {
     * no collected list, the shape that still works when a stage holds
     * billions of rows; the count column plus eight chained stages make an
     * accidental XOR cancellation vanishingly unlikely for an audit). */
+  /** Deterministic 2-word pseudo-lines from a [[TextOps.wordsSafe]] array
+    * — '\n'-joined pairs of consecutive words, last line a single word
+    * when the count is odd (the q_line_dedup / pipelineE2e s3 derivation).
+    *
+    * r20 OPT (guide §1.2 "per-task work"): the original
+    * `transform(sequence(...), p -> concat_ws(slice(...)))` ran the
+    * lambda INTERPRETED per element (higher-order functions never enter
+    * whole-stage codegen — the DsirScore lesson), and s3_lineclean's
+    * three references re-paid it; this form is one codegen'd
+    * concat_ws + regexp_replace per row. String-identical by
+    * construction: wordsSafe output is trim+'\s+'-split, so every word
+    * is non-empty and `\S+`-shaped (the one exception, empty text →
+    * [''], joins to '' where the regex matches nothing — the same ''
+    * the slice path produced); rewriting every second space to '\n' in
+    * the single-space join reproduces exactly the 2-word slices. */
+  private def pseudoLines2(w: Column): Column =
+    regexp_replace(concat_ws(" ", w), "(\\S+ \\S+) ", "$1\n")
+
   private def stageRow(id: Int, name: String, df: DataFrame,
                        item: Column): DataFrame =
     df.select(conv(substring(md5(item), 1, 12), 16, 10).cast("long").as("h"))
@@ -498,14 +516,24 @@ object PipelineQueries {
   /** Durable parquet round-trip under `dir` — the 100 TB cluster mode. */
   final case class StorageStage(dir: String) extends StageStore
 
+  /** SPARK_GRAFT_STAGE_DEBUG=1 prints per-stage materialization wall
+    * time to stderr (dev-only; the bench leaves it unset). */
+  private val stageDebug = sys.env.get("SPARK_GRAFT_STAGE_DEBUG").contains("1")
+
   private def materializeStage(df: DataFrame, store: StageStore,
-      name: String): DataFrame = store match {
-    case LocalStage => df.localCheckpoint()
-    case StorageStage(dir) =>
-      touchHeartbeat(df.sparkSession, dir)
-      val p = s"$dir/$name"
-      df.write.mode("overwrite").parquet(p)
-      df.sparkSession.read.parquet(p)
+      name: String): DataFrame = {
+    val t0 = if (stageDebug) System.nanoTime() else 0L
+    val out = store match {
+      case LocalStage => df.localCheckpoint()
+      case StorageStage(dir) =>
+        touchHeartbeat(df.sparkSession, dir)
+        val p = s"$dir/$name"
+        df.write.mode("overwrite").parquet(p)
+        df.sparkSession.read.parquet(p)
+    }
+    if (stageDebug) System.err.println(
+      f"[stage] $name%-16s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+    out
   }
 
   def pipelineE2e(s: SparkSession, d: String, store: StageStore): DataFrame = {
@@ -529,12 +557,15 @@ object PipelineQueries {
 
     // stage 3: boilerplate line removal over deterministic 2-word
     // pseudo-lines (the q_line_dedup derivation; the fixture has no '\n')
+    // materialized once (r20 OPT): four consumers re-derived the
+    // pseudo-line text per reference (boilerplate df, line hashes,
+    // reconstruction, the source join) — the intra-op localCheckpoint
+    // precedent of Dedup.nearDupPairs
     val lined = best
       .select(col("doc_id"), col("source"),
         TextOps.wordsSafe(col("text")).as("w"))
-      .select(col("doc_id"), col("source"), concat_ws("\n", transform(
-          sequence(lit(0), call_function("div", size(col("w")) - 1, lit(2))),
-          p => concat_ws(" ", slice(col("w"), p * 2 + 1, lit(2))))).as("text"))
+      .select(col("doc_id"), col("source"), pseudoLines2(col("w")).as("text"))
+      .localCheckpoint()
     val cleaned = materializeStage(graft.ops.LineDedup
       .cleanDocs(lined.select(col("doc_id"), col("text")), maxDocFreq = 25)
       .join(lined.select(col("doc_id"), col("source")), Seq("doc_id"))
@@ -1200,6 +1231,12 @@ object PipelineQueries {
       .select(split(col("bg"), " ").as("p"))
       .select(element_at(col("p"), 1).as("wa"), element_at(col("p"), 2).as("wb"))
       .where(col("wa") =!= col("wb"))
+    // r20 OPT note: a canonicalize-then-symmetrize rewrite (distinct over
+    // least/greatest pairs, both orientations re-emitted by one explode)
+    // was measured at 2.34 s vs 1.90 s for this shape — the halved
+    // distinct input did not pay for the least/greatest + struct-explode
+    // overhead at any tested SF, so the direct symmetrize-then-distinct
+    // stays.
     val ed = pw.select(col("wa"), col("wb"))
       .unionAll(pw.select(col("wb").as("wa"), col("wa").as("wb")))
       .select(TextOps.nodeId64(col("wa")).as("src"),
@@ -4581,9 +4618,7 @@ object PipelineQueries {
   def lineDedup(s: SparkSession, d: String): DataFrame = {
     val lined = documents(s, d)
       .select(col("doc_id"), TextOps.wordsSafe(col("text")).as("w"))
-      .select(col("doc_id"), concat_ws("\n", transform(
-          sequence(lit(0), call_function("div", size(col("w")) - 1, lit(2))),
-          p => concat_ws(" ", slice(col("w"), p * 2 + 1, lit(2))))).as("text"))
+      .select(col("doc_id"), pseudoLines2(col("w")).as("text"))
     graft.ops.LineDedup.audit(lined, maxDocFreq = 25).orderBy(col("doc_id"))
   }
 

@@ -124,21 +124,43 @@ class LmScoreSpec extends AnyFunSuite {
       s"scoring must stay codegen'd:\n$plan")
   }
 
-  test("plan: the gate tokenizes once — predicate pushdown must not inline the chain") {
+  test("plan: scoring and gate run the native kernel exactly once per row") {
     val dir = java.nio.file.Files.createTempDirectory("lm_gate_plan").toString
     (0 until 64).map(i => (i.toLong, s"the cat sat on doc $i"))
       .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
-    def splits(plan: String): Int = "split\\(".r.findAllIn(plan).length
+    def kernels(plan: String): Int =
+      "graft_lm_doc_score".r.findAllIn(plan).length
     val scorePlan = LmScore.lmScores(spark.read.parquet(dir), lm)
       .queryExecution.optimizedPlan.toString
     val gatePlan = LmScore.lmGate(spark.read.parquet(dir), lm, maxNll = 1.0)
       .queryExecution.optimizedPlan.toString
-    // without the barrier, pushdown inlined the tokenize->md5->CMS chain
-    // into the Filter: 15 split copies, each re-executed per array element
-    assert(splits(scorePlan) === 1, s"scoring must split once:\n$scorePlan")
-    assert(splits(gatePlan) === 1, s"gate must split once:\n$gatePlan")
+    // r20: the whole tokenize->md5->CMS chain lives inside ONE compiled
+    // kernel call; the gate's nondeterministic barrier still pins it to
+    // its own projection (pushdown would clone it per struct field)
+    assert(kernels(scorePlan) === 1, s"scoring must score once:\n$scorePlan")
+    assert(kernels(gatePlan) === 1, s"gate must score once:\n$gatePlan")
+    assert(!scorePlan.contains("split("), s"no interpreted tokenize:\n$scorePlan")
     assert(!gatePlan.contains("Join") && !gatePlan.contains("Exchange"),
       s"the gate stays a scan-stage filter:\n$gatePlan")
+  }
+
+  test("kernel == exploded Column derivation, value for value (bigram and 5-gram)") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "zebra quark fizz bang mat cat the on"),
+      (3L, "single"),
+      (4L, ""),
+      (5L, null.asInstanceOf[String]),
+      (6L, "  the   CAT sat  "), // trim/lower/collapse parity
+      (7L, "the cat sat on the mat the cat sat on the mat")
+    ).toDF("doc_id", "text")
+    for (model <- Seq(lm, LmScore.trainNgramLm(ref, n = 5))) {
+      val kernel = LmScore.lmScores(docs, model).orderBy("doc_id")
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      val exploded = LmScore.lmScoresKeepingExploded(docs, model, Nil)
+        .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+      assert(kernel === exploded, s"n=${model.n}")
+    }
   }
 
   test("reserved intermediate columns in the input fail fast instead of clobbering") {
