@@ -227,9 +227,15 @@ object Medians {
         "shape holds per-group search state on the driver and is for FEW " +
         "giant groups; use exactMedianByKey (spill-safe window rank " +
         "selection) for many groups, or raise maxGroups deliberately")
-    // state: groupKey -> per-target (rank, lo, hi, offset, resolved value)
+    // state: groupKey -> per-target (rank, lo, hi, offset, resolved value).
+    // cellCount = rows in the CURRENT [lo, hi] range — set from the chosen
+    // histogram cell each round (r20 OPT: the separate per-round count
+    // scan it replaces was a full pass over the fact that re-derived
+    // exactly this number; the chosen cell's count IS the new range's
+    // row count).
     final case class St(rank: Long, var lo: Double, var hi: Double,
-                        var offset: Long, var value: Option[Double] = None)
+                        var offset: Long, var value: Option[Double] = None,
+                        var cellCount: Long = Long.MaxValue)
     val states: Seq[(Row, Long, Seq[St])] = stats.toSeq.map { r =>
       val n = r.getLong(keys.size)
       val (lo, hi) = (r.getDouble(keys.size + 1), r.getDouble(keys.size + 2))
@@ -307,7 +313,8 @@ object Medians {
             if (st.rank <= cum + cnt) {
               done = true
               if (bmin == bmax) st.value = Some(bmin) // all-equal cell: resolved
-              else { st.lo = bmin; st.hi = bmax; st.offset = cum }
+              else { st.lo = bmin; st.hi = bmax; st.offset = cum
+                     st.cellCount = cnt }
             } else cum += cnt
           }
         }
@@ -316,12 +323,12 @@ object Medians {
       }
       open = openStates
       // collect-finish for narrow states: when a range is tiny, pull its
-      // values and select on the driver instead of another full round
+      // values and select on the driver instead of another full round.
+      // The range size comes FREE from the chosen histogram cell
+      // (st.cellCount) — no extra counting scan (r20 OPT).
       if (open.nonEmpty) {
-        val counts = joined(open).groupBy(col("_sid")).agg(count(lit(1)).as("_c"))
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-        val finals = open.zipWithIndex.filter { case ((_, st), sid) =>
-          counts.getOrElse(sid, 0L) <= collectLimit
+        val finals = open.zipWithIndex.filter { case ((_, st), _) =>
+          st.cellCount <= collectLimit
         }
         if (finals.nonEmpty) {
           val fOpen = finals.map(_._1)

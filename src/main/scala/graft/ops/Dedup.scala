@@ -233,14 +233,20 @@ object Dedup {
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .repartition(width, col("doc_a"), col("doc_b")).distinct()
+    // r20 OPT (guide §2.3): no keyless repartition after the refine joins
+    // — it shuffled (and sort-before-repartition-sorted) the array-FAT
+    // pair rows for spread the plan already has: `cand` is
+    // width-partitioned above, so a broadcast refine join preserves that
+    // spread, and a shuffle refine join is width-partitioned by doc_b.
     val pairs = cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
         Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
         Seq("doc_b"))
-      .repartition(width)
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+        // r20 OPT: native intersect-count kernel — see IntersectCount64
+        graft.functions.IntersectCount64.of(col("sh_a"), col("sh_b"))
+          .as("inter"),
         size(col("sh_a")).cast("long").as("n_a"),
         size(col("sh_b")).cast("long").as("n_b"))
       .select(col("doc_a"), col("doc_b"), col("inter"),

@@ -2955,7 +2955,8 @@ object Indexes {
       .join(newSets.select(col("doc_id").as("new_id"), col("sh").as("sh_n"))
         .hint("shuffle_hash"), Seq("new_id"))
       .select(col("new_id"), col("corpus_id"),
-        size(array_intersect(col("sh_n"), col("sh_c"))).cast("long").as("inter"),
+        graft.functions.IntersectCount64.of(col("sh_n"), col("sh_c"))
+          .as("inter"), // r20 OPT: native intersect-count kernel
         size(col("sh_n")).cast("long").as("n_n"),
         size(col("sh_c")).cast("long").as("n_c"))
       .select(col("new_id"), col("corpus_id"), col("inter"),

@@ -264,6 +264,28 @@ object TextClassifier {
     val reserved = docs.columns.filter(_.startsWith("__graft_"))
     require(reserved.isEmpty,
       s"input already has reserved column(s) ${reserved.mkString(", ")}; rename them first")
+    // r20 OPT: scored by the native [[graft.functions.NbDocScore]]
+    // kernel — one codegen call per row instead of five interpreted
+    // higher-order functions (the DsirScore/LmDocScore lesson).
+    // Value-identical by construction; TextClassifierSpec pins kernel ==
+    // exploded ([[nbScoresExploded]]), and the registered oracles replay
+    // the exploded derivation in DuckDB.
+    docs
+      .withColumn("__graft_sc",
+        graft.functions.NbDocScore.scoreCol(col(textCol), model))
+      .select(col("doc_id"),
+        col("__graft_sc.n_tokens").as("n_tokens"),
+        col("__graft_sc.q2_odds").as("q2_odds"),
+        col("__graft_sc.nb_logodds").as("nb_logodds"))
+  }
+
+  /** The pre-kernel exploded Column derivation — retained ONLY as the
+    * spec's cross-implementation identity anchor (never a query path). */
+  private[graft] def nbScoresExploded(docs: DataFrame, model: NbModel,
+               textCol: String = "text"): DataFrame = {
+    val reserved = docs.columns.filter(_.startsWith("__graft_"))
+    require(reserved.isEmpty,
+      s"input already has reserved column(s) ${reserved.mkString(", ")}; rename them first")
     val (pArr, nArr) = (typedlit(model.pos.toSeq), typedlit(model.neg.toSeq))
     val prior = log(lit(model.posDocs.toDouble) / lit(model.negDocs.toDouble))
     docs

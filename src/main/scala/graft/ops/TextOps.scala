@@ -96,9 +96,22 @@ object TextOps {
   def hashedShingleSet(sh: Column): Column =
     array_distinct(transform(sh, shingleHash(_)))
 
-  /** Jaccard similarity of two pre-distinct arrays (string or hashed):
-    * |a ∩ b| / |a ∪ b| (sizes only — element order never matters). */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      greatest(size(array_union(a, b)), lit(1)).cast("double")
+  /** Jaccard similarity of two pre-distinct HASHED (long) arrays:
+    * |a ∩ b| / |a ∪ b| (sizes only — element order never matters).
+    *
+    * r20 OPT: the intersection count runs through the native
+    * [[graft.functions.IntersectCount64]] kernel, and the union size is
+    * derived arithmetically (|a| + |b| − |a∩b| — exact for the
+    * pre-distinct inputs this function has always contracted for)
+    * instead of materializing `array_union`. Two boxed hash-set builds
+    * and two throwaway arrays per pair become one primitive probe pass;
+    * values are bit-identical (same integers into the same double
+    * division — DedupSpec pins the family, every oracle replays
+    * `len(list_intersect)/len(list_distinct(a||b))`). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = graft.functions.IntersectCount64.of(a, b)
+    inter.cast("double") /
+      greatest(size(a).cast("long") + size(b).cast("long") - inter, lit(1L))
+        .cast("double")
+  }
 }

@@ -3272,9 +3272,18 @@ object PipelineQueries {
       partitionByBucket = false)
     val g = graft.ops.Indexes.knnGraphIndexed(emb, idx, j = 3)
       .select(col("vec_a"), col("vec_b"))
-    val mutual = g.intersect(
-        g.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
-      .where(col("vec_a") < col("vec_b"))
+    // r20 OPT (guide §2.4): `g.intersect(g.swapped)` EXECUTED the whole
+    // kNN-graph derivation twice (no CSE across set-op children) and
+    // paid two distinct shuffles. A mutual edge is exactly a canonical
+    // pair seen from both orientations — g holds each directed edge once
+    // (top-j per vec_a), so count == 2 over least/greatest ⟺ mutual.
+    // One derivation, one shuffle, identical pair set.
+    val mutual = g
+      .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
+        greatest(col("vec_a"), col("vec_b")).as("vec_b"))
+      .groupBy(col("vec_a"), col("vec_b")).agg(count(lit(1)).as("_n"))
+      .where(col("_n") === 2)
+      .select(col("vec_a"), col("vec_b"))
     Dedup.connectedComponents(
         mutual.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
       .groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
@@ -3484,8 +3493,8 @@ object PipelineQueries {
         col("sh").as("sh_clone"))
     clSets.join(srcSets, Seq("src_id"))
       .select(col("clone_id"), col("src_id"),
-        size(array_intersect(col("sh_clone"), col("sh_src")))
-          .cast("long").as("n_common"),
+        graft.functions.IntersectCount64.of(col("sh_clone"), col("sh_src"))
+          .as("n_common"), // r20 OPT: native intersect-count kernel
         (size(col("sh_clone")) + size(col("sh_src"))).cast("long").as("n_both"))
       .select(col("clone_id"), col("src_id"), col("n_common"),
         (col("n_both") - col("n_common")).as("n_union"))

@@ -210,4 +210,23 @@ class TextClassifierSpec extends AnyFunSuite {
     assert("split\\(".r.findAllIn(plan).size <= 1,
       s"scoring must tokenize once:\n$plan")
   }
+
+  test("nbScores: native kernel == exploded Column derivation, value for value") {
+    import spark.implicits._
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val m = TextClassifier.trainNaiveBayes(
+      docs.where(col("source") === "src1"),
+      docs.where(col("source") === "src2"))
+    val edge = Seq(
+      (900001L, ""), (900002L, null.asInstanceOf[String]),
+      (900003L, "  MIXED   Case   tokens  "), (900004L, "one"))
+      .toDF("doc_id", "text")
+    for (frame <- Seq(docs.select(col("doc_id"), col("text")), edge)) {
+      val kernel = TextClassifier.nbScores(frame, m).orderBy("doc_id")
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      val exploded = TextClassifier.nbScoresExploded(frame, m).orderBy("doc_id")
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      assert(kernel === exploded)
+    }
+  }
 }
