@@ -1231,16 +1231,22 @@ object PipelineQueries {
       .select(split(col("bg"), " ").as("p"))
       .select(element_at(col("p"), 1).as("wa"), element_at(col("p"), 2).as("wb"))
       .where(col("wa") =!= col("wb"))
-    // r20 OPT note: a canonicalize-then-symmetrize rewrite (distinct over
-    // least/greatest pairs, both orientations re-emitted by one explode)
-    // was measured at 2.34 s vs 1.90 s for this shape — the halved
-    // distinct input did not pay for the least/greatest + struct-explode
-    // overhead at any tested SF, so the direct symmetrize-then-distinct
-    // stays.
-    val ed = pw.select(col("wa"), col("wb"))
-      .unionAll(pw.select(col("wb").as("wa"), col("wa").as("wb")))
-      .select(TextOps.nodeId64(col("wa")).as("src"),
-        TextOps.nodeId64(col("wb")).as("dst"))
+    // r20 OPT notes: (1) a canonicalize-then-symmetrize rewrite (distinct
+    // over least/greatest pairs, both orientations re-emitted afterwards)
+    // was measured at 2.34 s vs 1.90 s — the halved distinct input did
+    // not pay for the least/greatest + struct-explode overhead; the
+    // distinct stays over the symmetrized stream. (2) What DID pay: the
+    // old unionAll of two selects over `pw` EXECUTED the tokenize +
+    // bigram-explode derivation twice (set-op/union branches don't CSE);
+    // both orientations now come from ONE pass — each bigram's two
+    // hashed orientations explode from a 2-element array.
+    val ed = pw
+      .select(TextOps.nodeId64(col("wa")).as("ha"),
+        TextOps.nodeId64(col("wb")).as("hb"))
+      .select(explode(array(
+        struct(col("ha").as("src"), col("hb").as("dst")),
+        struct(col("hb").as("src"), col("ha").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
     val vocab = w.select(explode(col("ws")).as("word")).distinct()
       .select(col("word"), TextOps.nodeId64(col("word")).as("node"))
