@@ -3860,12 +3860,22 @@ object Indexes {
     val e = emb.select(col("vec_id"), col("embedding"),
       Similarity.norm(col("embedding")).as("nrm"))
       .where(col("nrm") > 0d)
-    // Blocking keys: in-bound corpora stay on the narrow stored lists
-    // (no embedding join); an oversized cell engages hyperplane
-    // sub-blocking (scaladoc above).
+    // Blocking keys, with the embedding attached ONCE by vec_id (the
+    // nrm > 0 inner filter rides along) BEFORE the pair self-join: the
+    // candidate PAIR stream — within-cell quadratic, so at scale far
+    // larger than |V| — then never crosses an exchange. The old shape
+    // paired narrow ids first and re-attached both embeddings through two
+    // shuffled joins of the pair stream (6 exchanges, pair-volume bytes
+    // moved twice); this one pays |V|-row wide exchanges only (r20 OPT,
+    // guide §2.3/§2.4). An oversized cell engages hyperplane sub-blocking
+    // (scaladoc above), which already carries the embedding for the
+    // sign-bit subkeys — it stays on the row through the guard window so
+    // the (cell, sub) exchange established there is REUSED by the
+    // self-join, not re-paid.
     val keyed: DataFrame =
       if (big <= maxCellSize)
         idx.withColumn("sub", lit(0L))
+          .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       else {
         // Smallest b with maxCellSize·2^b ≥ 4·big — pure integer arithmetic
         // (no log2 floating point) so the oracle derives the identical b.
@@ -3889,7 +3899,7 @@ object Indexes {
             when(col("count") > maxCellSize,
               Similarity.lshBucket(col("embedding"), b, dim, subBlockSeed))
               .otherwise(lit(0L)))
-          .select(col("cell"), col("vec_id"), col("sub"))
+          .select(col("cell"), col("vec_id"), col("sub"), col("embedding"))
         // The unsplittable-clique guard rides IN-PLAN (the boundedMedian
         // pattern): a window count over (cell, sub) — the same hash
         // partitioning the pair self-join needs, so the exchange is
@@ -3909,17 +3919,13 @@ object Indexes {
                   s"$maxCellSize) - near-identical embeddings at mass form a " +
                   "duplicate CLIQUE no hyperplane separates; handle with " +
                   "clique semantics or retrain the quantizer"))))
-              .otherwise(col("sub")).as("sub"))
+              .otherwise(col("sub")).as("sub"), col("embedding"))
       }
-    keyed.select(col("cell"), col("sub"), col("vec_id").as("vec_a"))
-      .join(keyed.select(col("cell"), col("sub"), col("vec_id").as("vec_b")),
-        Seq("cell", "sub"))
+    keyed.select(col("cell"), col("sub"), col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a"))
+      .join(keyed.select(col("cell"), col("sub"), col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b")), Seq("cell", "sub"))
       .where(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"))
-      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")),
-        Seq("vec_a"))
-      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")),
-        Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         Similarity.cosRound(col("emb_a"), col("emb_b"), 6).as("cos"))
       .where(col("cos") > threshold)

@@ -446,11 +446,13 @@ object Selection {
     * annIvf oracle convention) — `max_by` over (ccos, −cell), no window.
     * Cell widened to long once here (the fixture stores int32); oracles
     * mirror with `cell::BIGINT` so output types agree. Shared by
-    * [[kCenterPerCell]] (which needs each vector carried through) and
-    * [[clusterTemperatureMix]] (which needs only the cell — pass
-    * `carryEmbedding = false` so the argmax exchange moves (vec_id,
-    * ccos, cell) longs/doubles, not |docs| × dim floats of dead payload;
-    * self-review r18 catch). */
+    * [[kCenterPerCell]] (which needs each vector carried through — pass
+    * `carryEmbedding = true`, which re-attaches the vector by a
+    * |docs|-row unique-key join AFTER the narrow argmax) and
+    * [[clusterTemperatureMix]] (which needs only the cell). The argmax
+    * aggregate itself always runs narrow — (vec_id, ccos, cell) longs/
+    * doubles, never |docs| × dim floats of payload (self-review r18
+    * catch, generalized to both modes in r20 OPT). */
   def ivfCellAssignment(emb: DataFrame, centroids: DataFrame,
                         carryEmbedding: Boolean = true): DataFrame = {
     val cent = centroids.select(col("cell").cast("long").as("cell"),
@@ -463,14 +465,18 @@ object Selection {
         (graft.functions.DotProduct.dot(col("embedding"), col("cv")) /
           (col("nrm") * col("cn"))).as("ccos"),
         col("cell"))
+    // The argmax aggregate always runs NARROW — (vec_id, ccos, cell) longs/
+    // doubles over |docs|·|cells| scored rows — and carryEmbedding re-attaches
+    // the vector by a |docs|-row join on the unique vec_id key afterwards
+    // (identical rows to the old first(embedding) carry, without dragging
+    // dim floats of dead payload through every partial-aggregate buffer of
+    // the cross-scored stream; r20 OPT, guide §2.3).
+    val assigned = scored.select(col("vec_id"), col("ccos"), col("cell"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cell"), struct(col("ccos"), -col("cell"))).as("cell"))
     if (carryEmbedding)
-      scored.groupBy(col("vec_id"))
-        .agg(max_by(col("cell"), struct(col("ccos"), -col("cell"))).as("cell"),
-          first(col("embedding")).as("embedding"))
-    else
-      scored.select(col("vec_id"), col("ccos"), col("cell"))
-        .groupBy(col("vec_id"))
-        .agg(max_by(col("cell"), struct(col("ccos"), -col("cell"))).as("cell"))
+      assigned.join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    else assigned
   }
 
   def kCenterPerCell(emb: DataFrame, centroids: DataFrame, reps: Int): DataFrame = {
