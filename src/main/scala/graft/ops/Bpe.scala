@@ -36,7 +36,7 @@ object Bpe {
     * so every query in a session shares the handle and Catalyst sees
     * one canonical model id. */
   def model(spark: SparkSession, path: String = VocabPath): BpeVocabRef = {
-    val df = spark.read.parquet(path)
+    val df = graft.engine.Tables.parquetCached(spark, path)
     // the cached value wraps a BROADCAST, which dies with its
     // SparkContext — unlike every other memoized model (plain driver
     // values), so the memo key must carry the application id: a second

@@ -158,8 +158,8 @@ object Decontamination {
       require(!p.contains("shingles_n") || p.contains(s"shingles_n${windowN}_"),
         s"shingle table $p was not built at windowN=$windowN")
     }
-    windowedConfirm(spark.read.parquet(trainSetsPath),
-      spark.read.parquet(evalSetsPath), windowN, mBits, kHashes)
+    windowedConfirm(graft.engine.Tables.parquetCached(spark, trainSetsPath),
+      graft.engine.Tables.parquetCached(spark, evalSetsPath), windowN, mBits, kHashes)
   }
 
   /** Both sides arrive as (doc_id, sh) shingle-set frames — inline or
@@ -241,8 +241,8 @@ object Decontamination {
       require(!p.contains("poswin_n") || p.contains(s"poswin_n${windowN}_"),
         s"positioned-window table $p was not built at windowN=$windowN")
     }
-    reportFromWindows(spark.read.parquet(trainWinPath),
-      spark.read.parquet(evalWinPath), windowN, mBits, kHashes)
+    reportFromWindows(graft.engine.Tables.parquetCached(spark, trainWinPath),
+      graft.engine.Tables.parquetCached(spark, evalWinPath), windowN, mBits, kHashes)
   }
 
   /** Both sides arrive as (doc_id, ntok, pos, s) positioned-window frames

@@ -808,7 +808,7 @@ object Indexes {
     if (!hasParquetFiles(spark, ts)) Set.empty
     else {
       import spark.implicits._
-      val ids = spark.read.parquet(ts).select(col("vec_id")).distinct()
+      val ids = graft.engine.Tables.parquetCached(spark, ts).select(col("vec_id")).distinct()
         .as[Long].take(MaxBatchProbeRows + 1)
       require(ids.length <= MaxBatchProbeRows,
         "tombstone sidecar exceeds MaxBatchProbeRows — compact the index " +
@@ -898,7 +898,7 @@ object Indexes {
       .where(col("cell").isin(probes: _*))
       .groupBy(col("cell")).agg(min(col("vec_id")).as("vec_id"))
       .select(col("vec_id")).as[Long].collect().toSet
-    val graph = spark.read.parquet(graphPath)
+    val graph = graft.engine.Tables.parquetCached(spark, graphPath)
       .select(col("vec_a"), col("vec_b"))
     var visited = entries
     var frontier = entries
@@ -978,7 +978,7 @@ object Indexes {
       .where(col("cell").isin(probes: _*))
       .groupBy(col("cell")).agg(min(col("vec_id")).as("vec_id"))
       .select(col("vec_id")).as[Long].collect().toSet
-    val graph = spark.read.parquet(graphPath)
+    val graph = graft.engine.Tables.parquetCached(spark, graphPath)
       .select(col("vec_a"), col("vec_b"))
     // visited (seen) and scored are tracked SEPARATELY: a zero-norm
     // neighbour scores null and never enters `scored`, and deduping
@@ -1051,7 +1051,7 @@ object Indexes {
       .where(col("cell").isin(cellUnion: _*))
       .groupBy(col("cell")).agg(min(col("vec_id")).as("vec_id"))
       .as[(Int, Long)].collect().toMap
-    val graph = spark.read.parquet(graphPath)
+    val graph = graft.engine.Tables.parquetCached(spark, graphPath)
       .select(col("vec_a"), col("vec_b"))
     var visited: Map[Long, Set[Long]] = probesPerQ.map { case (qid, cells) =>
       qid -> cells.flatMap(entryByCell.get).toSet
@@ -1160,10 +1160,10 @@ object Indexes {
   }
 
   def readLshIndex(spark: SparkSession, indexPath: String): DataFrame = {
-    val idx = spark.read.parquet(indexPath)
+    val idx = graft.engine.Tables.parquetCached(spark, indexPath)
     val ts = tombstonePath(indexPath)
     if (hasParquetFiles(spark, ts))
-      idx.join(spark.read.parquet(ts).select(col("vec_id")).distinct(),
+      idx.join(graft.engine.Tables.parquetCached(spark, ts).select(col("vec_id")).distinct(),
         Seq("vec_id"), "left_anti")
     else idx
   }
@@ -1251,10 +1251,10 @@ object Indexes {
       fsRoot.exists(new org.apache.hadoop.fs.Path(s"$src/sets")) &&
       fsRoot.exists(new org.apache.hadoop.fs.Path(s"$src/bands"))
     val idx =
-      if (isInverted) spark.read.parquet(s"$src/postings")
+      if (isInverted) graft.engine.Tables.parquetCached(spark, s"$src/postings")
       else if (isMinhash) readMinhashTable(spark, s"$src/bands")
       else {
-        val raw = spark.read.parquet(src)
+        val raw = graft.engine.Tables.parquetCached(spark, src)
         // fold on the store's OWN delete key (review catch: window/doc
         // stores tombstone on doc_id, vector stores on vec_id — a
         // key-mismatched fold throws at analysis)
@@ -1262,7 +1262,7 @@ object Indexes {
         if (raw.columns.contains("vec_id") && !raw.columns.contains("doc_id"))
           readLshIndex(spark, src)
         else if (raw.columns.contains("doc_id") && hasParquetFiles(spark, ts))
-          raw.join(spark.read.parquet(ts).select(col("doc_id")).distinct(),
+          raw.join(graft.engine.Tables.parquetCached(spark, ts).select(col("doc_id")).distinct(),
             Seq("doc_id"), "left_anti")
         else raw
       }
@@ -1597,14 +1597,14 @@ object Indexes {
   def compactDocFlatIndex(spark: SparkSession, src: String,
                           dest: String): Unit = {
     val tmp = tmpBuildPath(dest)
-    val raw = spark.read.parquet(src)
+    val raw = graft.engine.Tables.parquetCached(spark, src)
     // the store's own key: doc_id for the text families, name for the
     // image-hash store (one sidecar convention, one compactor)
     val keyCol = if (raw.columns.contains("doc_id")) "doc_id" else "name"
     val ts = tombstonePath(src)
     val folded =
       if (hasParquetFiles(spark, ts))
-        raw.join(spark.read.parquet(ts).select(col(keyCol)).distinct(),
+        raw.join(graft.engine.Tables.parquetCached(spark, ts).select(col(keyCol)).distinct(),
           Seq(keyCol), "left_anti")
       else raw
     val sortCols = Seq(keyCol, "pos").filter(raw.columns.contains)
@@ -1667,10 +1667,10 @@ object Indexes {
       .write.mode("append").parquet(tombstonePath(indexPath))
 
   def readImageHashIndex(spark: SparkSession, indexPath: String): DataFrame = {
-    val idx = spark.read.parquet(indexPath)
+    val idx = graft.engine.Tables.parquetCached(spark, indexPath)
     val ts = tombstonePath(indexPath)
     if (hasParquetFiles(spark, ts))
-      idx.join(spark.read.parquet(ts).select(col("name")).distinct(),
+      idx.join(graft.engine.Tables.parquetCached(spark, ts).select(col("name")).distinct(),
         Seq("name"), "left_anti")
     else idx
   }
@@ -1740,10 +1740,10 @@ object Indexes {
       .write.mode("append").parquet(tombstonePath(indexPath))
 
   def readAudioHashIndex(spark: SparkSession, indexPath: String): DataFrame = {
-    val idx = spark.read.parquet(indexPath)
+    val idx = graft.engine.Tables.parquetCached(spark, indexPath)
     val ts = tombstonePath(indexPath)
     if (hasParquetFiles(spark, ts))
-      idx.join(spark.read.parquet(ts).select(col("name")).distinct(),
+      idx.join(graft.engine.Tables.parquetCached(spark, ts).select(col("name")).distinct(),
         Seq("name"), "left_anti")
     else idx
   }
@@ -1798,7 +1798,7 @@ object Indexes {
     * all-filtered first micro-batch leaves behind). */
   private def dsirStoreWidths(spark: SparkSession, path: String): Array[Long] =
     if (!hasParquetFiles(spark, path)) Array.empty
-    else spark.read.parquet(path)
+    else graft.engine.Tables.parquetCached(spark, path)
       .select(col("buckets")).distinct()
       .collect().map(_.getLong(0)).sorted
 
@@ -1825,7 +1825,7 @@ object Indexes {
     * base + every appended batch summed per bucket — exact integers, so
     * the merge is associative and replay-order-free. */
   private def mergedDsirCounts(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    graft.engine.Tables.parquetCached(spark, path)
       .groupBy(col("b"))
       .agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr"))
 
@@ -2150,11 +2150,11 @@ object Indexes {
     * adjacency-lookup layout [[ensureKnnGraph]] builds. */
   def compactKnnGraph(spark: SparkSession, src: String, dest: String): Unit = {
     val tmp = tmpBuildPath(dest)
-    val raw = spark.read.parquet(src)
+    val raw = graft.engine.Tables.parquetCached(spark, src)
     val ts = tombstonePath(src)
     val folded =
       if (hasParquetFiles(spark, ts)) {
-        val del = spark.read.parquet(ts).select(col("vec_id")).distinct()
+        val del = graft.engine.Tables.parquetCached(spark, ts).select(col("vec_id")).distinct()
         raw
           .join(del.withColumnRenamed("vec_id", "vec_a"),
             Seq("vec_a"), "left_anti")
@@ -2794,10 +2794,10 @@ object Indexes {
     * deletion removes rows, never changes one). No sidecar ⇒ the plain
     * read, identical plan. */
   def readMinhashTable(spark: SparkSession, tablePath: String): DataFrame = {
-    val idx = spark.read.parquet(tablePath)
+    val idx = graft.engine.Tables.parquetCached(spark, tablePath)
     val ts = minhashTombstonePath(tablePath)
     if (hasParquetFiles(spark, ts))
-      idx.join(spark.read.parquet(ts).select(col("doc_id")).distinct(),
+      idx.join(graft.engine.Tables.parquetCached(spark, ts).select(col("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")
     else idx
   }
@@ -3185,10 +3185,10 @@ object Indexes {
                                dest: String): Unit = {
     val tmp = tmpBuildPath(dest)
     val ts = tombstonePath(src)
-    val rows0 = spark.read.parquet(src)
+    val rows0 = graft.engine.Tables.parquetCached(spark, src)
     val rows =
       if (hasParquetFiles(spark, ts))
-        rows0.join(spark.read.parquet(ts).select(col("doc_id")).distinct(),
+        rows0.join(graft.engine.Tables.parquetCached(spark, ts).select(col("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
       else rows0
     if (rows0.columns.contains("batch_id"))
@@ -3409,10 +3409,10 @@ object Indexes {
       .write.mode("append").parquet(tombstonePath(indexPath))
 
   def readSimhashIndex(spark: SparkSession, indexPath: String): DataFrame = {
-    val idx = spark.read.parquet(indexPath)
+    val idx = graft.engine.Tables.parquetCached(spark, indexPath)
     val ts = tombstonePath(indexPath)
     if (hasParquetFiles(spark, ts))
-      idx.join(spark.read.parquet(ts).select(col("doc_id")).distinct(),
+      idx.join(graft.engine.Tables.parquetCached(spark, ts).select(col("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")
     else idx
   }

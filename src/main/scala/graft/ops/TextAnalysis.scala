@@ -411,12 +411,12 @@ object TextAnalysis {
           .where(col("sb").isin(sbs: _*))
           .where(col("s").isin(hs.distinct: _*))
       } else
-        spark.read.parquet(posWinPath).where(col("s").isin(hs.distinct: _*))
+        graft.engine.Tables.parquetCached(spark, posWinPath).where(col("s").isin(hs.distinct: _*))
     // the delete fold: tombstoned docs' windows never become anchors
     val tsPath = s"$posWinPath.tombstones"
     if (graft.ops.Indexes.hasParquetFiles(spark, tsPath))
       probed.join(
-        spark.read.parquet(tsPath).select(col("doc_id")).distinct(),
+        graft.engine.Tables.parquetCached(spark, tsPath).select(col("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")
     else probed
   }
@@ -520,7 +520,7 @@ object TextAnalysis {
       val w = if (dynamic) w0.option("partitionOverwriteMode", "dynamic") else w0
       w.partitionBy(parts: _*).parquet(s"$path/$sub")
     }
-    val post = spark.read.parquet(s"$path/postings")
+    val post = graft.engine.Tables.parquetCached(spark, s"$path/postings")
       .where(col("batch_id") === batch)
     save(post.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
       .withColumn("batch_id", lit(batch))
@@ -533,7 +533,7 @@ object TextAnalysis {
       .repartition(col("tb"))
       .sortWithinPartitions(col("term")),
       "termstats", Seq("batch_id", "tb"))
-    save(spark.read.parquet(s"$path/doclens")
+    save(graft.engine.Tables.parquetCached(spark, s"$path/doclens")
       .where(col("batch_id") === batch)
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).cast("long").as("total_dl"))
       .withColumn("batch_id", lit(batch)).coalesce(1),
@@ -606,7 +606,7 @@ object TextAnalysis {
                                         indexPath: String): Option[DataFrame] = {
     val ts = invTombstonePath(indexPath)
     if (graft.ops.Indexes.hasParquetFiles(spark, ts))
-      Some(spark.read.parquet(ts).select(col("doc_id"), col("dl")).distinct())
+      Some(graft.engine.Tables.parquetCached(spark, ts).select(col("doc_id"), col("dl")).distinct())
     else None
   }
 
@@ -645,7 +645,7 @@ object TextAnalysis {
 
   private def invTombstoneRows(spark: SparkSession, indexPath: String,
                                docIds: DataFrame): DataFrame =
-    spark.read.parquet(s"$indexPath/doclens")
+    graft.engine.Tables.parquetCached(spark, s"$indexPath/doclens")
       .join(docIds.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("dl"))
 
@@ -707,7 +707,7 @@ object TextAnalysis {
     val ts = invertedTombstones(spark, src)
     def fold(df: DataFrame): DataFrame =
       ts.fold(df)(t => df.join(t.select(col("doc_id")), Seq("doc_id"), "left_anti"))
-    fold(spark.read.parquet(s"$src/postings"))
+    fold(graft.engine.Tables.parquetCached(spark, s"$src/postings"))
       .select(col("doc_id"), col("term"), col("dl"), col("tf"), col("tb"))
       .withColumn("batch_id", lit(0L))
       .repartition(col("tb"))
@@ -1389,7 +1389,7 @@ object TextAnalysis {
   def compactFuzzyTermIndex(spark: SparkSession, src: String,
                             dest: String): Unit = {
     val tmp = graft.ops.Indexes.tmpBuildPath(dest)
-    spark.read.parquet(src)
+    graft.engine.Tables.parquetCached(spark, src)
       .repartition(col("vb"))
       .sortWithinPartitions(col("variant"), col("term"))
       .write.mode("overwrite").partitionBy("vb").parquet(tmp)

@@ -529,7 +529,7 @@ object PipelineQueries {
         touchHeartbeat(df.sparkSession, dir)
         val p = s"$dir/$name"
         df.write.mode("overwrite").parquet(p)
-        df.sparkSession.read.parquet(p)
+        graft.engine.Tables.parquetCached(df.sparkSession, p)
     }
     if (stageDebug) System.err.println(
       f"[stage] $name%-16s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
@@ -899,7 +899,7 @@ object PipelineQueries {
     // steady-state query never re-tokenizes
     val win = graft.ops.Indexes.ensureWindowHashes(s, documents(s, d), d,
       k = 5, label = "full")
-    Dedup.duplicatedSpansFromWindows(s.read.parquet(win), k = 5)
+    Dedup.duplicatedSpansFromWindows(graft.engine.Tables.parquetCached(s, win), k = 5)
       .orderBy(col("doc_id"), col("start_pos"))
   }
 
@@ -940,7 +940,7 @@ object PipelineQueries {
   def dupFraction(s: SparkSession, d: String): DataFrame = {
     val winPath = graft.ops.Indexes.ensureWindowHashes(s, documents(s, d), d,
       k = 5, label = "full")
-    val win = s.read.parquet(winPath)
+    val win = graft.engine.Tables.parquetCached(s, winPath)
     val docTokens = win.groupBy(col("doc_id"))
       .agg((max(col("pos")) + lit(5)).cast("long").as("tokens"))
     val dupTokens = Dedup.duplicatedSpansFromWindows(win, k = 5)
@@ -998,7 +998,7 @@ object PipelineQueries {
     * (DedupIndexSpec asserts indexed/inline parity). */
   def simhashStats(s: SparkSession, d: String): DataFrame = {
     val idx = graft.ops.Indexes.ensureSimhashIndex(s, documents(s, d), d)
-    s.read.parquet(idx)
+    graft.engine.Tables.parquetCached(s, idx)
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("simhash")).as("n_distinct"),
         round(avg(bit_count(col("simhash"))), 4).as("avg_bits"))
@@ -1171,7 +1171,7 @@ object PipelineQueries {
   }
 
   def pagerank(s: SparkSession, d: String): DataFrame = {
-    val edges = s.read.parquet(ensureCoPurchaseEdges(s, d))
+    val edges = graft.engine.Tables.parquetCached(s, ensureCoPurchaseEdges(s, d))
     graft.ops.PageRank.pageRankFp(edges, iters = 5)
       .orderBy(col("rank_fp").desc, col("node").asc).limit(20)
   }
@@ -1321,7 +1321,7 @@ object PipelineQueries {
   }
 
   def hits(s: SparkSession, d: String): DataFrame = {
-    val ed = s.read.parquet(ensurePurchaseEdges(s, d))
+    val ed = graft.engine.Tables.parquetCached(s, ensurePurchaseEdges(s, d))
     val r = graft.ops.PageRank.hitsFp(ed, iters = 4).localCheckpoint(true)
     def top(c: String, role: String) =
       r.orderBy(col(c).desc, col("node").asc).limit(10)
@@ -1515,7 +1515,7 @@ object PipelineQueries {
     * (IndexesSpec asserts equality). */
   def annIvf(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
-    val cent = s.read.parquet(ivfCentroidsPath)
+    val cent = graft.engine.Tables.parquetCached(s, ivfCentroidsPath)
     val idx = graft.ops.Indexes.ensureIvfIndex(s, emb, cent, d, nCells = 16)
     graft.ops.Indexes.ivfTopKIndexed(emb, cent, idx, queryId = 0L, k = 10, nProbe = 4)
   }
@@ -1545,7 +1545,7 @@ object PipelineQueries {
     * the oracle compares scalar means, never array encodings. */
   def kmeansStep(s: SparkSession, d: String): DataFrame =
     graft.ops.Similarity.kmeansStep(embeddings(s, d),
-        s.read.parquet(ivfCentroidsPath))
+        graft.engine.Tables.parquetCached(s, ivfCentroidsPath))
       .orderBy(col("cell"), col("dim"))
 
   val kmeansStepSql: String =
@@ -1571,7 +1571,7 @@ object PipelineQueries {
     * multi-round float loop engine-identical (scaladoc there). */
   def kmeansTrain(s: SparkSession, d: String): DataFrame =
     graft.ops.Similarity.kmeansTrain(embeddings(s, d),
-        s.read.parquet(ivfCentroidsPath), iters = 3)
+        graft.engine.Tables.parquetCached(s, ivfCentroidsPath), iters = 3)
       .orderBy(col("iter"), col("cell"), col("dim"))
 
   val kmeansTrainSql: String = {
@@ -1617,7 +1617,7 @@ object PipelineQueries {
     * index, exact re-rank of probed members only. */
   def annIvfBatch(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
-    val cent = s.read.parquet(ivfCentroidsPath)
+    val cent = graft.engine.Tables.parquetCached(s, ivfCentroidsPath)
     val idx = graft.ops.Indexes.ensureIvfIndex(s, emb, cent, d, nCells = 16)
     val queries = emb.where(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding"))
@@ -1663,7 +1663,7 @@ object PipelineQueries {
     * be bit-nondeterministic), so the candidate cut replays exactly. */
   def annPq(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
-    val cb = s.read.parquet(pqCodebooksPath)
+    val cb = graft.engine.Tables.parquetCached(s, pqCodebooksPath)
     val idx = graft.ops.Indexes.ensurePqIndex(s, emb, cb, d)
     graft.ops.Indexes.pqTopKIndexed(emb, cb, idx, queryId = 0L, k = 10, rerank = 100)
   }
@@ -1699,7 +1699,7 @@ object PipelineQueries {
     * the bounded-heap operator. */
   def annPqBatch(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
-    val cb = s.read.parquet(pqCodebooksPath)
+    val cb = graft.engine.Tables.parquetCached(s, pqCodebooksPath)
     val idx = graft.ops.Indexes.ensurePqIndex(s, emb, cb, d)
     val queries = emb.where(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding"))
@@ -1749,8 +1749,8 @@ object PipelineQueries {
     * exactly. */
   def annIvfPq(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
-    val cent = s.read.parquet(ivfCentroidsPath)
-    val cb = s.read.parquet(pqCodebooksPath)
+    val cent = graft.engine.Tables.parquetCached(s, ivfCentroidsPath)
+    val cb = graft.engine.Tables.parquetCached(s, pqCodebooksPath)
     val idx = graft.ops.Indexes.ensureIvfPqIndex(s, emb, cent, cb, d, nCells = 16)
     graft.ops.Indexes.ivfPqTopKIndexed(emb, cent, cb, idx, queryId = 0L,
       k = 10, nProbe = 4, rerank = 100)
@@ -1804,7 +1804,7 @@ object PipelineQueries {
     * and the cut. */
   def annFiltered(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
-    val cent = s.read.parquet(ivfCentroidsPath)
+    val cent = graft.engine.Tables.parquetCached(s, ivfCentroidsPath)
     val idx = graft.ops.Indexes.ensureIvfIndex(s, emb, cent, d, nCells = 16)
     val eligible = emb.where(col("label") === 2).select(col("vec_id"))
     graft.ops.Indexes.ivfTopKFilteredIndexed(emb, cent, idx, eligible,
@@ -1838,7 +1838,7 @@ object PipelineQueries {
     * single-query path. */
   def annFilteredBatch(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
-    val cent = s.read.parquet(ivfCentroidsPath)
+    val cent = graft.engine.Tables.parquetCached(s, ivfCentroidsPath)
     val idx = graft.ops.Indexes.ensureIvfIndex(s, emb, cent, d, nCells = 16)
     val eligible = emb.where(col("label") === 2).select(col("vec_id"))
     val queries = emb.where(col("vec_id") < 5)
@@ -1879,8 +1879,8 @@ object PipelineQueries {
     * broadcasts against ONE scan of the cell-partitioned code table. */
   def annIvfPqBatch(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
-    val cent = s.read.parquet(ivfCentroidsPath)
-    val cb = s.read.parquet(pqCodebooksPath)
+    val cent = graft.engine.Tables.parquetCached(s, ivfCentroidsPath)
+    val cb = graft.engine.Tables.parquetCached(s, pqCodebooksPath)
     val idx = graft.ops.Indexes.ensureIvfPqIndex(s, emb, cent, cb, d, nCells = 16)
     val queries = emb.where(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding"))
@@ -1962,7 +1962,7 @@ object PipelineQueries {
     * pairing on both engines (`nrm > 0` — NaN-comparison parity). */
   def semanticDedup(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
-    val cent = s.read.parquet(semanticCentroidsPath)
+    val cent = graft.engine.Tables.parquetCached(s, semanticCentroidsPath)
     val idx = graft.ops.Indexes.ensureIvfIndex(s, emb, cent, d, nCells = 256)
     graft.ops.Indexes.semanticDedupGroups(emb, idx, threshold = 0.4)
       .orderBy(col("rep"))
@@ -2012,7 +2012,7 @@ object PipelineQueries {
     * KEEPS pairs (rows > 0) while every derivation stays oracle-replayed. */
   def semanticDedupBlocked(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
-    val cent = s.read.parquet(ivfCentroidsPath)
+    val cent = graft.engine.Tables.parquetCached(s, ivfCentroidsPath)
     val idx = graft.ops.Indexes.ensureIvfIndex(s, emb, cent, d, nCells = 16)
     graft.ops.Indexes.semanticDedupGroups(emb, idx, threshold = 0.35,
         maxCellSize = 8L)
@@ -2086,7 +2086,7 @@ object PipelineQueries {
     * corpus. */
   def semanticDedupRecall(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
-    val cent = s.read.parquet(ivfCentroidsPath)
+    val cent = graft.engine.Tables.parquetCached(s, ivfCentroidsPath)
     val idx = graft.ops.Indexes.ensureIvfIndex(s, emb, cent, d, nCells = 16)
     val e = emb.select(col("vec_id"), col("embedding"),
       Similarity.norm(col("embedding")).as("nrm")).where(col("nrm") > 0d)
@@ -2189,7 +2189,7 @@ object PipelineQueries {
   def semanticDedupRecallSampled(s: SparkSession, d: String,
       targetSample: Long): DataFrame = {
     val emb = embeddings(s, d)
-    val cent = s.read.parquet(ivfCentroidsPath)
+    val cent = graft.engine.Tables.parquetCached(s, ivfCentroidsPath)
     val idx = graft.ops.Indexes.ensureIvfIndex(s, emb, cent, d, nCells = 16)
     // One bounded driver scalar (a parquet count) — the same class of
     // driver-side model state as the IVF centroid collect.
@@ -2450,7 +2450,7 @@ object PipelineQueries {
     val emb = embeddings(s, d)
     val b = Similarity.scaledBandBits(corpusCount(emb))
     val graphPath = graft.ops.Indexes.ensureKnnGraph(s, emb, d, j = 3, bBits = b)
-    val edges = s.read.parquet(graphPath)
+    val edges = graft.engine.Tables.parquetCached(s, graphPath)
       .select(col("vec_a").as("src"), col("vec_b").as("dst"))
     val seeds = Seq(0L, 1L, 2L)
     graft.ops.PageRank.pprFp(edges, seeds, iters = 5)
@@ -2493,7 +2493,7 @@ object PipelineQueries {
     val emb = embeddings(s, d)
     val b = Similarity.scaledBandBits(corpusCount(emb))
     val graphPath = graft.ops.Indexes.ensureKnnGraph(s, emb, d, j = 3, bBits = b)
-    val edges = s.read.parquet(graphPath)
+    val edges = graft.engine.Tables.parquetCached(s, graphPath)
       .select(col("vec_a").as("src"), col("vec_b").as("dst"),
         round(greatest(col("cos"), lit(0.0)) * lit(1e6), 0).cast("long")
           .as("w_fp"))
@@ -2543,7 +2543,7 @@ object PipelineQueries {
     val emb = embeddings(s, d)
     val b = Similarity.scaledBandBits(corpusCount(emb))
     val graphPath = graft.ops.Indexes.ensureKnnGraph(s, emb, d, j = 3, bBits = b)
-    val edges = s.read.parquet(graphPath)
+    val edges = graft.engine.Tables.parquetCached(s, graphPath)
       .select(col("vec_a").as("src"), col("vec_b").as("dst"))
     val panels = Seq((0L, Seq(0L, 1L, 2L)), (1L, Seq(3L, 4L)), (2L, Seq(5L)))
     import s.implicits._
@@ -2628,7 +2628,7 @@ object PipelineQueries {
     val emb = embeddings(s, d)
     val b = Similarity.scaledBandBits(corpusCount(emb))
     val graphPath = graft.ops.Indexes.ensureKnnGraph(s, emb, d, j = 3, bBits = b)
-    val edges = s.read.parquet(graphPath)
+    val edges = graft.engine.Tables.parquetCached(s, graphPath)
       .select(col("vec_a").as("src"), col("vec_b").as("dst"))
     graft.ops.GraphMetrics.triangleStats(edges)
       .orderBy(col("tri").desc, col("node").asc).limit(50)
@@ -2664,7 +2664,7 @@ object PipelineQueries {
     val emb = embeddings(s, d)
     val b = Similarity.scaledBandBits(corpusCount(emb))
     val graphPath = graft.ops.Indexes.ensureKnnGraph(s, emb, d, j = 3, bBits = b)
-    val edges = s.read.parquet(graphPath)
+    val edges = graft.engine.Tables.parquetCached(s, graphPath)
       .select(col("vec_a").as("src"), col("vec_b").as("dst"))
     graft.ops.GraphMetrics.labelPropagation(edges, iters = 4)
       .groupBy("label").agg(count(lit(1)).as("members"))
@@ -2705,7 +2705,7 @@ object PipelineQueries {
     val emb = embeddings(s, d)
     val b = Similarity.scaledBandBits(corpusCount(emb))
     val graphPath = graft.ops.Indexes.ensureKnnGraph(s, emb, d, j = 3, bBits = b)
-    val edges = s.read.parquet(graphPath)
+    val edges = graft.engine.Tables.parquetCached(s, graphPath)
       .select(col("vec_a").as("src"), col("vec_b").as("dst"))
     graft.ops.GraphMetrics.kCore(edges, k = 3, rounds = 4)
       .orderBy(col("deg").desc, col("node").asc).limit(50)
@@ -2743,7 +2743,7 @@ object PipelineQueries {
     val emb = embeddings(s, d)
     val b = Similarity.scaledBandBits(corpusCount(emb))
     val graphPath = graft.ops.Indexes.ensureKnnGraph(s, emb, d, j = 3, bBits = b)
-    val edges = s.read.parquet(graphPath)
+    val edges = graft.engine.Tables.parquetCached(s, graphPath)
       .select(col("vec_a").as("src"), col("vec_b").as("dst"),
         round(greatest(col("cos"), lit(0.0)) * lit(1e6), 0).cast("long")
           .as("w_fp"))
@@ -2794,7 +2794,7 @@ object PipelineQueries {
     val emb = embeddings(s, d)
     val b = Similarity.scaledBandBits(corpusCount(emb))
     val graphPath = graft.ops.Indexes.ensureKnnGraph(s, emb, d, j = 3, bBits = b)
-    val edges = s.read.parquet(graphPath)
+    val edges = graft.engine.Tables.parquetCached(s, graphPath)
       .select(col("vec_a").as("src"), col("vec_b").as("dst"))
     graft.ops.GraphMetrics.graphSummary(edges)
   }
@@ -2839,7 +2839,7 @@ object PipelineQueries {
     val emb = embeddings(s, d)
     val b = Similarity.scaledBandBits(corpusCount(emb))
     val graphPath = graft.ops.Indexes.ensureKnnGraph(s, emb, d, j = 3, bBits = b)
-    val edges = s.read.parquet(graphPath)
+    val edges = graft.engine.Tables.parquetCached(s, graphPath)
       .select(col("vec_a").as("src"), col("vec_b").as("dst"))
     graft.ops.GraphMetrics.bfsHops(edges, Seq(0L, 1L, 2L), rounds = 4)
       .groupBy("hops").agg(count(lit(1)).as("nodes"))
@@ -2951,7 +2951,7 @@ object PipelineQueries {
     }
     graft.ops.Indexes.knnGraphIncremental(emb, path,
         emb.where(isNew).select(col("vec_id")),
-        s.read.parquet(s"${path}_prevgraph"), j = 3)
+        graft.engine.Tables.parquetCached(s, s"${path}_prevgraph"), j = 3)
       .orderBy(col("vec_a"), col("cos").desc, col("vec_b"))
   }
 
@@ -2982,7 +2982,7 @@ object PipelineQueries {
       graft.ops.Indexes.tombstoneLshIndex(s, p, deleted)
     }
     graft.ops.Indexes.knnGraphDelete(emb, path, deleted,
-        s.read.parquet(s"${path}_prevgraph"), j = 3)
+        graft.engine.Tables.parquetCached(s, s"${path}_prevgraph"), j = 3)
       .orderBy(col("vec_a"), col("cos").desc, col("vec_b"))
   }
 
@@ -3026,7 +3026,7 @@ object PipelineQueries {
     val emb = embeddings(s, d)
     val b = Similarity.scaledBandBits(corpusCount(emb))
     val graphPath = graft.ops.Indexes.ensureKnnGraph(s, emb, d, j = 3, bBits = b)
-    val cent = s.read.parquet(ivfCentroidsPath)
+    val cent = graft.engine.Tables.parquetCached(s, ivfCentroidsPath)
     val ivfIdx = graft.ops.Indexes.ensureIvfIndex(s, emb, cent, d, nCells = 16)
     graft.ops.Indexes.annGraphSearch(emb, cent, ivfIdx, graphPath,
       queryId = 0L, k = 10, nProbe = 4, hops = 2)
@@ -3087,7 +3087,7 @@ object PipelineQueries {
     val emb = embeddings(s, d)
     val b = Similarity.scaledBandBits(corpusCount(emb))
     val graphPath = graft.ops.Indexes.ensureKnnGraph(s, emb, d, j = 3, bBits = b)
-    val cent = s.read.parquet(ivfCentroidsPath)
+    val cent = graft.engine.Tables.parquetCached(s, ivfCentroidsPath)
     val ivfIdx = graft.ops.Indexes.ensureIvfIndex(s, emb, cent, d, nCells = 16)
     graft.ops.Indexes.annGraphSearchBeam(emb, cent, ivfIdx, graphPath,
       queryId = 0L, k = 10, nProbe = 4, hops = 2, beamWidth = 4)
@@ -3166,7 +3166,7 @@ object PipelineQueries {
     val emb = embeddings(s, d)
     val b = Similarity.scaledBandBits(corpusCount(emb))
     val graphPath = graft.ops.Indexes.ensureKnnGraph(s, emb, d, j = 3, bBits = b)
-    val cent = s.read.parquet(ivfCentroidsPath)
+    val cent = graft.engine.Tables.parquetCached(s, ivfCentroidsPath)
     val ivfIdx = graft.ops.Indexes.ensureIvfIndex(s, emb, cent, d, nCells = 16)
     val eligible = emb.where(col("label") === 2).select(col("vec_id"))
     // nProbe 8 (vs the plain demo's 4): a selective filter thins the
@@ -3201,7 +3201,7 @@ object PipelineQueries {
     val emb = embeddings(s, d)
     val b = Similarity.scaledBandBits(corpusCount(emb))
     val graphPath = graft.ops.Indexes.ensureKnnGraph(s, emb, d, j = 3, bBits = b)
-    val cent = s.read.parquet(ivfCentroidsPath)
+    val cent = graft.engine.Tables.parquetCached(s, ivfCentroidsPath)
     val ivfIdx = graft.ops.Indexes.ensureIvfIndex(s, emb, cent, d, nCells = 16)
     val qs = emb.where(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding"))
@@ -3388,7 +3388,7 @@ object PipelineQueries {
     "/root/repo/fixtures/zipf_corpus.parquet")
 
   private def zipfDocuments(s: SparkSession): DataFrame =
-    s.read.parquet(zipfCorpusPath)
+    graft.engine.Tables.parquetCached(s, zipfCorpusPath)
 
   /** The zipf fixture as a DuckDB FROM source (the oracles' corpus swap). */
   private val zipfFromSql: String =
@@ -3486,7 +3486,7 @@ object PipelineQueries {
     * exercise that). Fixed-point 1e-6 integer division keeps the score
     * float-free. */
   def zipfCloneJaccard(s: SparkSession, d: String): DataFrame = {
-    val clones = s.read.parquet(zipfClonesPath)
+    val clones = graft.engine.Tables.parquetCached(s, zipfClonesPath)
     // restrict to the 60 sources BEFORE shingling (self-review: the
     // whole-corpus form md5-hashed ~2940 unneeded documents per run)
     val srcSets = Dedup.shingleSets(zipfDocuments(s)
@@ -3533,7 +3533,7 @@ object PipelineQueries {
     * constants table, so signature math is hash-verified on large,
     * nearly-disjoint shingle sets. */
   def zipfCloneMinhash(s: SparkSession, d: String): DataFrame = {
-    val clones = s.read.parquet(zipfClonesPath)
+    val clones = graft.engine.Tables.parquetCached(s, zipfClonesPath)
     val pairIds = clones.select(col("src_id").as("doc_id"))
     val srcSigs = Dedup.minhashSignatures(
       zipfDocuments(s).join(pairIds, Seq("doc_id"), "left_semi"))
@@ -4677,7 +4677,7 @@ object PipelineQueries {
         Seq("train" -> 80, "val" -> 10, "test" -> 10), maxRecordsPerFile = 100L)
       fs.create(marker, true).close()
     }
-    val perFile = s.read.parquet(path)
+    val perFile = graft.engine.Tables.parquetCached(s, path)
       .select(col("split"), col("_metadata.file_path").as("f"), col("doc_id"))
       .groupBy(col("split"), col("f"))
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("lo"),
@@ -7274,7 +7274,7 @@ object PipelineQueries {
       val g2 = startGate(); g2.processAllAvailable(); g2.stop()
       // 3. the sink, aggregated per source — the dsirWeights shape over
       // the gate's survivors
-      val outDf = dsirWeightSummary(s.read.parquet(out))
+      val outDf = dsirWeightSummary(graft.engine.Tables.parquetCached(s, out))
       val local = s.createDataFrame(
         java.util.Arrays.asList(outDf.collect(): _*), outDf.schema)
       local.orderBy(col("source"))
@@ -7420,7 +7420,7 @@ object PipelineQueries {
     * greedy argmax is engine-exact. */
   def kcenterDiverse(s: SparkSession, d: String): DataFrame =
     graft.ops.Selection.kCenterPerCell(embeddings(s, d),
-      s.read.parquet(ivfCentroidsPath), reps = 3)
+      graft.engine.Tables.parquetCached(s, ivfCentroidsPath), reps = 3)
 
   /** Unrolled per-cell greedy (the kmeansTrain/annGraphBeam chained-CTE
     * pattern, PARTITION BY cell): sel1 seeds at the cell's min vec_id;
@@ -7558,7 +7558,7 @@ object PipelineQueries {
     * vec_id → token counts → temper end-to-end. */
   def clusterTemperature(s: SparkSession, d: String): DataFrame =
     graft.ops.Selection.clusterTemperatureMix(documents(s, d),
-      embeddings(s, d), s.read.parquet(ivfCentroidsPath), alpha = 0.5)
+      embeddings(s, d), graft.engine.Tables.parquetCached(s, ivfCentroidsPath), alpha = 0.5)
 
   val clusterTemperatureSql: String =
     materializeCtes(s"""WITH $duckNormed,
